@@ -1,0 +1,418 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational analytics operators (SURVEY.md §2, "Relational analytics").
+  *
+  * Every operator is a declarative DataFrame transform so Catalyst owns
+  * pushdown, pruning, join planning and whole-stage codegen.
+  *
+  * == Oracle determinism contract ==
+  * The driver hash-compares each result against DuckDB running
+  * [[oracles]] on the same parquet. Floating-point sums are NOT
+  * reassociation-stable, so every money/value aggregate routes through
+  * integer cents (`round(x*100)::bigint`): integer sums are exact and
+  * order-independent, and the final `intSum / 100.0` division produces
+  * bit-identical doubles on both engines. Timestamps are emitted as
+  * formatted strings (engines differ in timestamp physical types), and
+  * every query ends in a total ORDER BY with tiebreakers.
+  */
+object Analytics {
+
+  /** Exact integer cents from a 2-decimal double column. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events.ts arrives as parquet ns (NTZ); normalize to session-TZ
+    * TIMESTAMP so unix_micros etc. work. Session TZ is UTC, so the
+    * wall-clock value DuckDB sees is identical.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+  private def fmtDay(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1-style pricing summary: single scan of lineitem, grouped
+    * partial-agg absorbs everything map-side; shuffle volume is
+    * O(groups)=O(6). At 100 TB this stays a one-pass scan+combine.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val qc = cents(col("l_quantity"))
+    val epc = cents(col("l_extendedprice"))
+    val dc = cents(col("l_discount"))   // discount in percent-points
+    val tc = cents(col("l_tax"))
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        (sum(qc) / 100.0).as("sum_qty"),
+        (sum(epc) / 100.0).as("sum_base_price"),
+        (sum(epc * (lit(100) - dc)) / 10000.0).as("sum_disc_price"),
+        (sum(epc * (lit(100) - dc) * (lit(100) + tc)) / 1000000.0).as("sum_charge"),
+        (sum(qc) / 100.0 / count(lit(1))).as("avg_qty"),
+        (sum(epc) / 100.0 / count(lit(1))).as("avg_price"),
+        (sum(dc) / 100.0 / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS sum_disc_price,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT))*(100 + CAST(round(l_tax*100) AS BIGINT)))/1000000.0 AS sum_charge,
+      |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0/count(*) AS avg_qty,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0/count(*) AS avg_price,
+      |  sum(CAST(round(l_discount*100) AS BIGINT))/100.0/count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** 3-way join + agg + top-k. customer is small → broadcast; the
+    * orders⋈lineitem fact-fact join shuffles on orderkey (co-bucketing
+    * at scale removes it, see Tables.writeBucketed). Top-k is computed
+    * after aggregation on O(orders) rows.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-03-15").cast("timestamp")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))) / 10000.0).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        fmtDay(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** 5-way join through region/nation: all dims broadcast, the single
+    * shuffle is orders⋈lineitem on orderkey. Local-supplier condition
+    * c_nationkey = s_nationkey.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = t(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))) / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ------------------------------------------------------- join family
+  /** Explicit broadcast hash join of a small dim — no shuffle of the
+    * fact side at any scale.
+    */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg((sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  val joinBroadcastSql: String =
+    """SELECT p_brand,
+      |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+      |  count(*) AS n_items
+      |FROM lineitem, part WHERE l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Left-semi: customers having at least one order. Semi-join keeps
+    * the build side to keys only — no row multiplication.
+    */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti: customers with no URGENT order (plain "no orders" is
+    * empty at every sf — all customers order).
+    */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------ aggregations
+  /** count(distinct) per group — Spark plans this as a two-phase
+    * partial/final distinct aggregate, no driver collection.
+    */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  val aggDistinctSql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------- windows
+  /** rank() over a partitioned window. Rank ties on equal acctbal are
+    * engine-stable (rank, not row_number).
+    */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(cents(col("c_acctbal")).desc)
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("bal_rank"))
+      .orderBy(col("c_mktsegment"), col("bal_rank"), col("c_custkey"))
+  }
+
+  val windowRankSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  rank() OVER (PARTITION BY c_mktsegment ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC) AS bal_rank
+      |FROM customer ORDER BY c_mktsegment, bal_rank, c_custkey""".stripMargin
+
+  /** Running sum + lag delta over event time, per user. Explicit ROWS
+    * frame: the running sum is evaluated left-to-right over an exact
+    * integer, so it is order- and engine-stable.
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(order: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vc = cents(col("value"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts"),
+        col("value"),
+        (sum(vc).over(wRun) / 100.0).as("running_sum"),
+        ((vc - lag(vc, 1).over(w)) / 100.0).as("delta"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value,
+      |  sum(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS running_sum,
+      |  (CAST(round(value*100) AS BIGINT) - lag(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id))/100.0 AS delta
+      |FROM events ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** row_number ≤ k per group (top-3 orders per customer by price),
+    * tie-broken on orderkey so the pick is deterministic.
+    */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(cents(col("o_totalprice")).desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ------------------------------------------------------------ pivot
+  /** Pivot event_type → columns. Expressed as conditional aggregation
+    * (what Pivot lowers to) so empty cells are 0 on both engines.
+    */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = types.map(tp =>
+      sum(when(col("event_type") === tp, 1).otherwise(0)).as(s"n_$tp")) :+
+      (sum(cents(col("value"))) / 100.0).as("total_value")
+    events(s, dir).groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("user_id"))
+  }
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |  sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
+      |  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error,
+      |  sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
+      |  sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------------------------- rollup
+  /** ROLLUP (r_name, n_name) revenue hierarchy. Subtotal rows carry
+    * NULLs; ordering pins NULLS FIRST explicitly on both engines.
+    */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg((sum(cents(col("o_totalprice"))) / 100.0).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  val rollupRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders, customer, nation, region
+      |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------ time windows
+  /** Tumbling 1-hour window aggregation over event time. Bounded key
+    * space (hours × types) ⇒ map-side partial agg absorbs the stream.
+    */
+  def eventsTumbling(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val eventsTumblingSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------- sessionize
+  /** Gap-based sessionization, 30-minute gap: lag → new-session flag →
+    * cumulative sum ⇒ session id; then one grouped agg per session.
+    * Micros are exact integers on both engines. Skewed hot users are
+    * handled by AQE skew-join/partition split at scale.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(order: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("vc"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        fmtTs(min(col("ts"))).as("session_start"),
+        fmtTs(max(col("ts"))).as("session_end"),
+        ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_sec"),
+        (sum(col("vc")) / 100.0).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+      |    CAST(round(value*100) AS BIGINT) AS vc
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |g AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      |  (max(us) - min(us))/1000000.0 AS duration_sec,
+      |  sum(vc)/100.0 AS session_value
+      |FROM g GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ----------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_local_supplier" -> q5LocalSupplier,
+    "join_broadcast" -> joinBroadcast,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "agg_distinct" -> aggDistinct,
+    "window_rank" -> windowRank,
+    "window_running" -> windowRunning,
+    "topk_per_group" -> topkPerGroup,
+    "pivot_events" -> pivotEvents,
+    "rollup_revenue" -> rollupRevenue,
+    "events_tumbling" -> eventsTumbling,
+    "sessionize" -> sessionize)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "join_broadcast" -> joinBroadcastSql,
+    "join_semi" -> joinSemiSql,
+    "join_anti" -> joinAntiSql,
+    "agg_distinct" -> aggDistinctSql,
+    "window_rank" -> windowRankSql,
+    "window_running" -> windowRunningSql,
+    "topk_per_group" -> topkPerGroupSql,
+    "pivot_events" -> pivotEventsSql,
+    "rollup_revenue" -> rollupRevenueSql,
+    "events_tumbling" -> eventsTumblingSql,
+    "sessionize" -> sessionizeSql)
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Table loaders + schema normalization + scale-aware sinks.
+  *
+  * The reference map task had to sniff column-name variants at runtime
+  * (`End_Lat` vs `dropoff_latitude`, /root/reference/src/awsbatch-map/
+  * main.py:58-66). [[normalize]] generalizes that: a canonical-name →
+  * accepted-aliases map applied at load, so every downstream operator
+  * sees one schema.
+  */
+object Tables {
+
+  val tpch: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf directory. Plain parquet scan: column
+    * pruning and predicate pushdown stay with the data source.
+    *
+    * Parquet TIMESTAMP(NANOS) columns (events.ts) are illegal for
+    * Spark's vectorized reader; with `spark.sql.legacy.parquet
+    * .nanosAsLong` they surface as nanos-since-epoch LongType, which we
+    * convert back to a proper TIMESTAMP here (integer division — the
+    * values exceed double's 2^53 exact range).
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every table as a temp view so `spark.sql` works too. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tpch.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Rename any alias column to its canonical name; columns absent in
+    * the input are simply not produced (caller validates with
+    * [[require]]d canonical names if it needs them).
+    */
+  def normalize(df: DataFrame, aliases: Map[String, Seq[String]]): DataFrame =
+    aliases.foldLeft(df) { case (d, (canonical, alts)) =>
+      if (d.columns.contains(canonical)) d
+      else alts.find(d.columns.contains).fold(d)(a => d.withColumnRenamed(a, canonical))
+    }
+
+  /** Scale sink: partitioned parquet. At 100 TB, date/month
+    * partitioning turns the reference's per-month array job into
+    * partition pruning on read.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Scale sink: bucketed table for co-located fact-fact joins
+    * (orders ⋈ lineitem on orderkey avoids both shuffles when both
+    * sides are bucketed the same way).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCol: String, sortCol: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(sortCol)
+      .format("parquet").saveAsTable(table)
+
+  /** Project to only the named columns (keeps ReadSchema minimal when
+    * applied directly over a scan).
+    */
+  def pruned(df: DataFrame, cols: String*): DataFrame =
+    df.select(cols.map(col): _*)
+}
