@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Geo / reference-pipeline operators (SURVEY.md §2, table 1).
+  *
+  * Re-expresses the reference map task (/root/reference/src/awsbatch-map/
+  * main.py:21-96): EPSG:4326→3857 projection, NYC bounding-box filter,
+  * 1400×1000 rasterization (datashader Canvas.points equivalent),
+  * histogram-equalized shading (tf.shade eq_hist equivalent), and the
+  * per-partition fan-out / ordered reduce of the AWS Batch array job
+  * (Implementation.cs:17-80, Reduce.ps1:1-10) — all as declarative
+  * DataFrame transforms.
+  *
+  * The testdata has no lat/lon, so a deterministic synthetic point
+  * cloud is derived from `events` with pure integer Weyl-sequence
+  * arithmetic — exactly reproducible in the DuckDB oracle.
+  *
+  * == Scale notes ==
+  * Rasterization groups on a bounded key space (1.4M pixels): map-side
+  * partial aggregation absorbs virtually all input rows, shuffle volume
+  * is O(pixels) regardless of input size. Eq-hist ranks the raster
+  * (O(pixels)), never the input. The per-day fan-out is a grouped agg +
+  * tiny window — the reference's 24-way array job becomes partition
+  * pruning + shuffle-free combine.
+  */
+object Geo {
+
+  /** meters per degree longitude in EPSG:3857 (20037508.342789244/180). */
+  private val M = 20037508.342789244 / 180.0
+  /** WGS84 sphere radius: y = R·ln(tan(π/4 + φ/2)). */
+  private val R = 6378137.0
+  // Reference bbox (main.py x_range/y_range), Web Mercator meters.
+  private val X0 = -8254332.0
+  private val X1 = -8209813.5
+  private val Y0 = 4965255.5
+  private val Y1 = 4988769.5
+  private val W = 1400
+  private val H = 1000
+
+  /** Deterministic synthetic points: integer Weyl sequences on
+    * event_id → uniform lon/lat around NYC. Integer mod arithmetic is
+    * exact and engine-independent; the final double ops (div, mul, add)
+    * are IEEE-identical on both engines.
+    */
+  def points(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("event_id"), col("ts"),
+        (lit(-74.15) + (col("event_id") * 2654435761L % 100000L) / 100000.0 * 0.4).as("lon"),
+        (lit(40.55) + ((col("event_id") * 1103515245L + 12345L) % 100000L) / 100000.0 * 0.35).as("lat"))
+
+  private val pointsCte: String =
+    """points AS (
+      |  SELECT event_id, ts,
+      |    -74.15 + (event_id * 2654435761 % 100000)/100000.0 * 0.4 AS lon,
+      |    40.55 + ((event_id * 1103515245 + 12345) % 100000)/100000.0 * 0.35 AS lat
+      |  FROM events)""".stripMargin
+
+  /** EPSG:4326 → EPSG:3857: x = lon·M, y = ln(tan((90+lat)·π/360))·M.
+    * Pure codegen'd column math; outputs rounded to cm so last-ulp libm
+    * differences between engines cannot flip the hash.
+    */
+  private def mercX = (col("lon") * M).as("x")
+  private def mercY = (log(tan((col("lat") + 90.0) * (math.Pi / 360.0))) * R).as("y")
+
+  private val mercCte: String =
+    s"""merc AS (
+       |  SELECT event_id, ts, lon * $M AS x,
+       |    ln(tan((lat + 90.0) * ${math.Pi / 360.0})) * $R AS y
+       |  FROM points)""".stripMargin
+
+  def geoMercator(s: SparkSession, dir: String): DataFrame =
+    points(s, dir).select(col("event_id"), mercX, mercY)
+      .select(col("event_id"), round(col("x"), 2).as("x"), round(col("y"), 2).as("y"))
+      .orderBy(col("event_id"))
+
+  val geoMercatorSql: String =
+    s"""WITH $pointsCte, $mercCte
+       |SELECT event_id, round(x, 2) AS x, round(y, 2) AS y
+       |FROM merc ORDER BY event_id""".stripMargin
+
+  /** Bounding-box range predicate. On a real dataset with materialized
+    * x/y this is a pushed-down parquet range filter; here it applies
+    * right above the scan (only event_id is read).
+    */
+  def geoBboxFilter(s: SparkSession, dir: String): DataFrame =
+    points(s, dir).select(col("event_id"), mercX, mercY)
+      .filter(col("x") >= X0 && col("x") <= X1 && col("y") >= Y0 && col("y") <= Y1)
+      .select(col("event_id"), round(col("x"), 2).as("x"), round(col("y"), 2).as("y"))
+      .orderBy(col("event_id"))
+
+  val geoBboxFilterSql: String =
+    s"""WITH $pointsCte, $mercCte
+       |SELECT event_id, round(x, 2) AS x, round(y, 2) AS y
+       |FROM merc
+       |WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
+       |ORDER BY event_id""".stripMargin
+
+  /** Rasterize: bin points into the 1400×1000 grid and count per pixel
+    * (datashader Canvas.points equivalent). Bounded key space ⇒ partial
+    * agg absorbs the input map-side.
+    */
+  def rasterDf(s: SparkSession, dir: String): DataFrame =
+    points(s, dir).select(col("event_id"), mercX, mercY)
+      .filter(col("x") >= X0 && col("x") <= X1 && col("y") >= Y0 && col("y") <= Y1)
+      .select(
+        least(floor((col("x") - X0) / (X1 - X0) * W), lit(W - 1)).cast("long").as("px"),
+        least(floor((col("y") - Y0) / (Y1 - Y0) * H), lit(H - 1)).cast("long").as("py"))
+      .groupBy("px", "py").agg(count(lit(1)).as("cnt"))
+
+  private val rasterCte: String =
+    s"""raster AS (
+       |  SELECT CAST(least(floor((x - ($X0)) / (${X1 - X0}) * $W), ${W - 1}) AS BIGINT) AS px,
+       |    CAST(least(floor((y - ($Y0)) / (${Y1 - Y0}) * $H), ${H - 1}) AS BIGINT) AS py,
+       |    count(*) AS cnt
+       |  FROM merc
+       |  WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
+       |  GROUP BY 1, 2)""".stripMargin
+
+  def geoRasterize(s: SparkSession, dir: String): DataFrame =
+    rasterDf(s, dir).orderBy(col("px"), col("py"))
+
+  val geoRasterizeSql: String =
+    s"""WITH $pointsCte, $mercCte, $rasterCte
+       |SELECT px, py, cnt FROM raster ORDER BY px, py""".stripMargin
+
+  /** Histogram-equalized shading (tf.shade eq_hist equivalent): rank
+    * bins by count, map percent_rank → 0..255 shade. Runs over the
+    * O(pixels) raster, not the input; ties (equal counts) shade equally
+    * so the result is engine-stable.
+    */
+  def geoShadeEqhist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("cnt"))
+    rasterDf(s, dir)
+      .select(col("px"), col("py"), col("cnt"),
+        floor(percent_rank().over(w) * 255).cast("int").as("shade"))
+      .orderBy(col("px"), col("py"))
+  }
+
+  val geoShadeEqhistSql: String =
+    s"""WITH $pointsCte, $mercCte, $rasterCte
+       |SELECT px, py, cnt,
+       |  CAST(floor(percent_rank() OVER (ORDER BY cnt) * 255) AS INT) AS shade
+       |FROM raster ORDER BY px, py""".stripMargin
+
+  /** Per-partition (day) fan-out: one frame-summary row per day of
+    * in-bbox points, with an ordered frame sequence — the Spark-native
+    * equivalent of the reference's per-month AWS Batch array job
+    * (Implementation.cs:41-57): partitions become group keys, the array
+    * index becomes row_number over the partition order.
+    */
+  def mapFanout(s: SparkSession, dir: String): DataFrame = {
+    val frames = points(s, dir).select(col("event_id"), col("ts"), mercX, mercY)
+      .filter(col("x") >= X0 && col("x") <= X1 && col("y") >= Y0 && col("y") <= Y1)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("frame_day"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("event_id") % 997L).as("checksum"))
+    frames
+      .withColumn("frame_seq", row_number().over(Window.orderBy(col("frame_day"))))
+      .select(col("frame_seq"), col("frame_day"), col("n_points"), col("checksum"))
+      .orderBy(col("frame_seq"))
+  }
+
+  val mapFanoutSql: String =
+    s"""WITH $pointsCte, $mercCte,
+       |frames AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS frame_day, count(*) AS n_points,
+       |    sum(event_id % 997) AS checksum
+       |  FROM merc
+       |  WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
+       |  GROUP BY 1)
+       |SELECT row_number() OVER (ORDER BY frame_day) AS frame_seq,
+       |  frame_day, n_points, checksum
+       |FROM frames ORDER BY frame_seq""".stripMargin
+
+  /** Ordered reduce: assemble the frame manifest the encoder would
+    * consume (Reduce.ps1's ffmpeg step, encode itself stubbed as
+    * out-of-scope I/O): cumulative point offsets, total frame count,
+    * and the 2-fps presentation timestamp.
+    */
+  def reduceAssemble(s: SparkSession, dir: String): DataFrame = {
+    val frames = mapFanout(s, dir)
+    val wRun = Window.orderBy(col("frame_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames
+      .select(col("frame_seq"), col("frame_day"), col("n_points"),
+        sum(col("n_points")).over(wRun).as("cum_points"),
+        count(lit(1)).over(Window.partitionBy()).as("total_frames"),
+        ((col("frame_seq") - 1) / 2.0).as("pts_sec"))
+      .orderBy(col("frame_seq"))
+  }
+
+  val reduceAssembleSql: String =
+    s"""WITH $pointsCte, $mercCte,
+       |frames AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS frame_day, count(*) AS n_points,
+       |    sum(event_id % 997) AS checksum
+       |  FROM merc
+       |  WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
+       |  GROUP BY 1),
+       |seq AS (
+       |  SELECT row_number() OVER (ORDER BY frame_day) AS frame_seq,
+       |    frame_day, n_points FROM frames)
+       |SELECT frame_seq, frame_day, n_points,
+       |  sum(n_points) OVER (ORDER BY frame_seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_points,
+       |  count(*) OVER () AS total_frames,
+       |  (frame_seq - 1) / 2.0 AS pts_sec
+       |FROM seq ORDER BY frame_seq""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_mercator" -> geoMercator,
+    "geo_bbox_filter" -> geoBboxFilter,
+    "geo_rasterize" -> geoRasterize,
+    "geo_shade_eqhist" -> geoShadeEqhist,
+    "map_fanout" -> mapFanout,
+    "reduce_assemble" -> reduceAssemble)
+
+  val oracles: Map[String, String] = Map(
+    "geo_mercator" -> geoMercatorSql,
+    "geo_bbox_filter" -> geoBboxFilterSql,
+    "geo_rasterize" -> geoRasterizeSql,
+    "geo_shade_eqhist" -> geoShadeEqhistSql,
+    "map_fanout" -> mapFanoutSql,
+    "reduce_assemble" -> reduceAssembleSql)
+}
