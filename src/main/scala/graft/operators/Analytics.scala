@@ -383,6 +383,19 @@ object Analytics {
       |FROM g GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------------------ skew helper
+  /** Two-phase salted aggregation for skewed keys: spray each hot key
+    * across `salt` partial groups, combine, then merge the partials.
+    * At 100 TB a single hot user/key otherwise pins one reducer; the
+    * salt bounds any reducer's share to ~1/salt of the hot key. AQE
+    * skew handling covers joins; this covers pure aggregations.
+    */
+  def saltedAgg(df: DataFrame, key: Column, value: Column, salt: Int = 16): DataFrame =
+    df.select(key.as("k"), value.as("v"))
+      .withColumn("s", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+      .groupBy(col("k"), col("s")).agg(sum(col("v")).as("partial"), count(lit(1)).as("pn"))
+      .groupBy(col("k")).agg(sum(col("partial")).as("sum_v"), sum(col("pn")).as("n"))
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2): media as opaque binary
+  * columns with typed metadata, and a batched per-partition feature
+  * extractor. The container has no image/audio codecs, so the decode
+  * step is a clearly-marked deterministic stub — the Spark plumbing
+  * (binary schema, batch shape, partition-parallel extraction, typed
+  * Dataset output) is the real deliverable.
+  */
+object Multimodal {
+
+  /** One ingested blob row. The synthetic corpus carries its text as
+    * the blob payload; a real pipeline reads image/audio/video bytes.
+    */
+  case class Blob(doc_id: Long, kind: String, data: Array[Byte])
+
+  /** Extracted per-blob features (stub-decoded). */
+  case class Features(doc_id: Long, kind: String, byte_len: Int,
+                      head_byte: Int, tail_byte: Int, checksum: Long)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Binary-column ingest: blob + typed metadata (byte length, sha256,
+    * modality kind). Everything is codegen'd column math over the scan;
+    * at scale this is the schema you'd write partitioned-by-kind
+    * parquet from (Tables.writePartitioned).
+    */
+  def mmIngest(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      octet_length(col("text")).as("byte_len"),
+      sha2(col("text"), 256).as("sha256"))
+      .orderBy(col("doc_id"))
+
+  val mmIngestSql: String =
+    """SELECT doc_id,
+      |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  strlen(text) AS byte_len,
+      |  sha256(text) AS sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stub decoder — deterministic stand-in for the real image/audio
+    * codec call (absent in this environment). Consumes a whole batch,
+    * like a vectorized decode would.
+    */
+  private def decodeBatch(batch: Seq[Blob]): Seq[Features] =
+    batch.map { b =>
+      val d = b.data
+      Features(b.doc_id, b.kind, d.length,
+        if (d.nonEmpty) d.head & 0xff else -1,
+        if (d.nonEmpty) d.last & 0xff else -1,
+        d.foldLeft(0L)((acc, x) => (acc * 31 + (x & 0xff)) % 997))
+    }
+
+  /** Batched per-partition feature extraction over blobs: typed
+    * Dataset → mapPartitions in batches of 64 (the shape a vectorized
+    * decoder wants) → typed Features. This is the one sanctioned
+    * mapPartitions in the engine — imperative per-batch logic that
+    * column expressions can't express.
+    */
+  def mmBatchExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = docs(s, dir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("data")).as[Blob]
+    blobs.mapPartitions(it =>
+        it.grouped(64).flatMap(batch => decodeBatch(batch)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_ingest" -> mmIngest,
+    "mm_batch_extract" -> mmBatchExtract)
+
+  val oracles: Map[String, String] = Map(
+    "mm_ingest" -> mmIngestSql)
+}

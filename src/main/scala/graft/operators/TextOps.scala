@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` corpus (SURVEY.md §2).
+  *
+  * All token/ratio math stays in integer counts and exact int→double
+  * divisions so results are engine-stable without rounding. Everything
+  * is `functions._` column math (codegen'd) — no UDFs — so a 100 TB
+  * corpus scan stays a single whole-stage-codegen pass with map-side
+  * partial aggregation where grouping occurs.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** English-ish stopword list used for quality scoring. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  private def words: Column = split(col("text"), " ")
+
+  /** Token counting three ways: whitespace tokens, regex word tokens,
+    * and a BPE-ish estimate (chars/4 — the ~4-chars-per-token rule of
+    * thumb for BPE vocabularies).
+    */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(words).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).as("re_tokens"),
+      ceil(col("n_chars") / 4.0).cast("long").as("bpe_est_tokens"))
+      .orderBy(col("doc_id"))
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+      |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length, average word length, stopword ratio,
+    * punctuation ratio, and a composite score — all exact rational
+    * arithmetic (int counts divided as doubles).
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(words)
+    val nStop = size(filter(words, w => w.isInCollection(stopwords)))
+    val nPunct = regexp_count(col("text"), lit("[^a-z0-9 ]"))
+    docs(s, dir).select(
+      col("doc_id"), col("n_chars"),
+      nTok.as("n_tokens"),
+      ((col("n_chars") - (nTok - 1)) * 1.0 / nTok).as("avg_word_len"),
+      (nStop * 1.0 / nTok).as("stopword_ratio"),
+      (nPunct * 1.0 / col("n_chars")).as("punct_ratio"),
+      ((lit(1.0) - nStop * 1.0 / nTok) * (lit(1.0) - nPunct * 1.0 / col("n_chars"))
+        * least(lit(1.0), nTok / 64.0)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_chars,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  (n_chars - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) AS avg_word_len,
+       |  len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0 / len(string_split(text, ' ')) AS stopword_ratio,
+       |  len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars AS punct_ratio,
+       |  (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0 / len(string_split(text, ' ')))
+       |    * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars)
+       |    * least(1.0, len(string_split(text, ' ')) / 64.0) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID by stopword-hit heuristic: count hits from per-language
+    * stopword lists, pick the argmax (ties broken by fixed priority).
+    * Rows-only check — the synthetic corpus is English-vocabulary
+    * regardless of its `lang` label; the ScalaTest spec asserts the
+    * heuristic on crafted sentences per language.
+    */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val lists: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of", "to", "is"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+      "es" -> Seq("el", "la", "los", "y", "es", "que"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "que"))
+    val hits = lists.map { case (lang, ws) =>
+      lang -> size(filter(words, w => w.isInCollection(ws)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = hits.foldRight(lit("und")) { case ((lang, h), other) =>
+      when(h === best && h > 0, lang).otherwise(other)
+    }
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      pred.as("pred_lang"),
+      (pred === col("lang")).as("label_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide top-50 word bigrams with deterministic tiebreak. The
+    * explode → count is a classic map-side-combinable aggregation;
+    * top-k happens on the (small) distinct-bigram aggregate.
+    */
+  def textNgrams(s: SparkSession, dir: String): DataFrame = {
+    val w = words
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    docs(s, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(50)
+  }
+
+  val textNgramsSql: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w)
+      |SELECT bigram, count(*) AS cnt FROM b
+      |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin
+
+  /** 64-bit-style rolling polynomial fingerprint (mod 2^31-scale prime
+    * to stay exact in long arithmetic under ANSI mode):
+    * h = fold(chars, h*31 + code mod p). Pure higher-order column
+    * expression — one codegen'd pass, no UDF. Rows-only check; the
+    * spec asserts known fingerprints and collision behavior.
+    */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      aggregate(split(col("text"), ""), lit(0L),
+        (acc, c) => pmod(acc * 31L + ascii(c), lit(1000000007L))).as("fingerprint"),
+      col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_ngrams" -> textNgrams,
+    "text_fingerprint" -> textFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_ngrams" -> textNgramsSql)
+}

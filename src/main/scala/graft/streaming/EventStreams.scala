@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.sources.Tables
+
+/** Structured Streaming operators (SURVEY.md §2, streaming block).
+  *
+  * Each operator has two faces sharing one semantics:
+  *  - a batch face registered in SparkEntry.queries (checkable by the
+  *    DuckDB oracle / against the batch Analytics twin), and
+  *  - a streaming face ([[windowAggStream]] / [[sessionizeStream]])
+  *    driven by the ScalaTest spec through MemoryStream.
+  *
+  * At scale the streaming path is the incremental version of the same
+  * plan: watermark bounds state, the tumbling-window agg is partial-
+  * aggregated before shuffle, and sessionization state lives in the
+  * state store keyed by user — AQE/skew notes from the batch twins
+  * carry over.
+  */
+object EventStreams {
+
+  case class Ev(user_id: Long, event_id: Long, us: Long, vc: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        duration_sec: Double, session_value: Double)
+  case class SessState(sessionId: Long, startUs: Long, lastUs: Long,
+                               nEv: Long, sumCents: Long)
+
+  val GapUs: Long = 1800L * 1000000L // 30-minute session gap
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+
+  // ------------------------------------------------------- window agg
+  /** Batch face: tumbling 1-hour window + per-window distinct users.
+    * Same plan shape the streaming face produces incrementally.
+    */
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("event_type"), col("n_events"), col("n_users"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val streamWindowAggSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+      |  event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
+
+  /** Streaming face: watermarked tumbling-window agg over a streaming
+    * DataFrame with (ts TIMESTAMP, user_id, event_type) — state is
+    * bounded by the watermark, emitted on window close (Append).
+    */
+  def windowAggStream(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"))
+
+  // ------------------------------------------------------ sessionize
+  private def foldSessions(userId: Long, evs: Iterator[Ev]): Iterator[SessionOut] = {
+    val sorted = evs.toVector.sortBy(e => (e.us, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Vector.newBuilder[SessionOut]
+      var st = SessState(0L, sorted.head.us, sorted.head.us, 0L, 0L)
+      def emit(): Unit = out += SessionOut(userId, st.sessionId, st.nEv,
+        (st.lastUs - st.startUs) / 1000000.0, st.sumCents / 100.0)
+      sorted.foreach { e =>
+        if (e.us - st.lastUs > GapUs) {
+          emit()
+          st = SessState(st.sessionId + 1, e.us, e.us, 1L, e.vc)
+        } else {
+          st = st.copy(lastUs = e.us, nEv = st.nEv + 1,
+            sumCents = st.sumCents + e.vc,
+            startUs = if (st.nEv == 0) e.us else st.startUs)
+        }
+      }
+      emit()
+      out.result().iterator
+    }
+  }
+
+  /** Batch face: gap sessionization via typed groupByKey →
+    * flatMapGroups running the same fold the streaming state machine
+    * runs. Rows-only check; the spec asserts equality with the
+    * window-function twin (operators.Analytics.sessionize).
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroups((uid: Long, it: Iterator[Ev]) => foldSessions(uid, it))
+      .toDF()
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Streaming face: flatMapGroupsWithState gap sessionization. A
+    * session is emitted when a later event crosses the 30-minute gap;
+    * the trailing open session stays in state (a production deployment
+    * would add an event-time timeout flush — kept out here so the
+    * micro-batch loop stays quiescent between inputs).
+    * Input: Dataset[Ev] from a stream.
+    */
+  def sessionizeStream(stream: Dataset[Ev]): Dataset[SessionOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toVector.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(
+            SessState(0L, -1L, Long.MinValue / 4, 0L, 0L))
+          val out = Vector.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            if (st.nEv > 0 && e.us - st.lastUs > GapUs) {
+              out += SessionOut(uid, st.sessionId, st.nEv,
+                (st.lastUs - st.startUs) / 1000000.0, st.sumCents / 100.0)
+              st = SessState(st.sessionId + 1, e.us, e.us, 1L, e.vc)
+            } else if (st.nEv == 0) {
+              st = SessState(st.sessionId, e.us, e.us, 1L, e.vc)
+            } else {
+              st = st.copy(lastUs = e.us, nEv = st.nEv + 1, sumCents = st.sumCents + e.vc)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> streamWindowAgg,
+    "stream_sessionize" -> streamSessionize)
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" -> streamWindowAggSql)
+}

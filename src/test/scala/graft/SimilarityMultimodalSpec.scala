@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+
+class SimilarityMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteforce ANN: ranks are 1..k per query, cosine non-increasing") {
+    val out = Similarity.annBruteforce(spark, sf)
+      .select("query_id", "rank", "cosine").as[(Long, Int, Double)].collect()
+      .groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      val cos = sorted.map(_._3)
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b - 1e-12 })
+    }
+  }
+
+  test("bruteforce ANN top-1 matches a manual argmax for query 0") {
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val q = vecs(0L)
+    val manual = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.head._1
+    val sparkTop = Similarity.annBruteforce(spark, sf)
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .select("neighbor_id").as[Long].head()
+    assert(sparkTop == manual)
+  }
+
+  test("LSH ANN returns only same-bucket candidates and valid ranks") {
+    val out = Similarity.annLsh(spark, sf)
+      .select("query_id", "rank", "cosine").as[(Long, Int, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, r, c) => r >= 1 && r <= 5 && c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
+  }
+
+  test("mm ingest kinds cycle by doc_id and sha256 is 64 hex chars") {
+    val out = Multimodal.mmIngest(spark, sf)
+      .select("doc_id", "kind", "sha256").as[(Long, String, String)].collect()
+    assert(out.forall { case (id, kind, sha) =>
+      val expect = Seq("image", "audio", "video")((id % 3).toInt)
+      kind == expect && sha.matches("[0-9a-f]{64}")
+    })
+  }
+
+  test("mm batch extract: features match a direct recompute") {
+    val out = Multimodal.mmBatchExtract(spark, sf)
+      .select("doc_id", "byte_len", "head_byte", "tail_byte", "checksum")
+      .as[(Long, Int, Int, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    texts.take(20).foreach { case (id, txt) =>
+      val bytes = txt.getBytes("UTF-8")
+      val (bl, hb, tb, cs) = out(id)
+      assert(bl == bytes.length && hb == (bytes.head & 0xff) && tb == (bytes.last & 0xff))
+      assert(cs == bytes.foldLeft(0L)((acc, x) => (acc * 31 + (x & 0xff)) % 997))
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+import graft.operators.Analytics
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming window agg emits closed windows after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.windowAggStream(stream, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new Timestamp(3600000L * 10 + min * 60000L)
+      mem.addData((ts(0), 1L, "click"), (ts(5), 2L, "click"), (ts(59), 1L, "view"))
+      q.processAllAvailable()
+      // advance event time far past hour 10 so its window closes
+      mem.addData((ts(200), 3L, "click"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n_events FROM winagg")
+        .as[(String, Long)].collect().toSet
+      assert(rows.contains(("click", 2L)), s"got $rows")
+      assert(rows.contains(("view", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming sessionize emits a session once the gap elapses in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000000L
+      mem.addData(Ev(1L, 1L, t0, 100), Ev(1L, 2L, t0 + 60L * 1000000, 200))
+      q.processAllAvailable()
+      // an event beyond the 30-min gap closes session 0 and opens session 1
+      mem.addData(Ev(1L, 3L, t0 + 45L * 60 * 1000000, 300))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, session_id, n_events, session_value FROM sess")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 0L, 2L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("batch sessionize faces agree: flatMapGroups twin equals window-function twin") {
+    val a = EventStreams.streamSessionize(spark, sf)
+      .select("user_id", "session_id", "n_events", "duration_sec", "session_value")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    val b = Analytics.sessionize(spark, sf)
+      .select("user_id", "session_id", "n_events", "duration_sec", "session_value")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(a == b)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("langid picks the language with most stopword hits") {
+    val df = docsDf(Seq(
+      (1L, "the cat is on the mat and it is a cat", "en"),
+      (2L, "der hund ist nicht das problem und die katze", "de"),
+      (3L, "el perro y la casa es que los gatos", "es"),
+      (4L, "le chien et la maison est que les chats", "fr")))
+    df.write.mode("overwrite").parquet("/tmp/graft-test-lang/documents.parquet")
+    val out = TextOps.textLangid(spark, "/tmp/graft-test-lang")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "es")
+    assert(out(4L) == "fr")
+  }
+
+  test("fingerprint is deterministic, text-sensitive, and matches the rolling formula") {
+    val df = docsDf(Seq((1L, "ab", "en"), (2L, "ab", "en"), (3L, "ba", "en")))
+    df.write.mode("overwrite").parquet("/tmp/graft-test-fp/documents.parquet")
+    val out = TextOps.textFingerprint(spark, "/tmp/graft-test-fp")
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    // h("ab") = (0*31+97)*31 + 98 mod 1e9+7 = 3105
+    assert(out(1L) == 97L * 31 + 98)
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("token counts agree across methods on crafted text") {
+    val df = docsDf(Seq((1L, "one two three four", "en")))
+    df.write.mode("overwrite").parquet("/tmp/graft-test-tok/documents.parquet")
+    val r = TextOps.textTokens(spark, "/tmp/graft-test-tok").head()
+    assert(r.getAs[Int]("ws_tokens") == 4)
+    assert(r.getAs[Int]("re_tokens") == 4)
+    assert(r.getAs[Long]("bpe_est_tokens") == math.ceil(18 / 4.0).toLong)
+  }
+
+  test("exact dedup collapses normalized duplicates to min doc_id") {
+    val df = docsDf(Seq(
+      (5L, "hello world", "en"),
+      (9L, "  hello   world ", "en"),
+      (7L, "something else", "en")))
+    df.write.mode("overwrite").parquet("/tmp/graft-test-dd/documents.parquet")
+    val out = Dedup.dedupExact(spark, "/tmp/graft-test-dd")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((5L, 2L), (7L, 1L)))
+  }
+
+  test("minhash-lsh achieves full recall of exact jaccard pairs on sf0.001") {
+    val exact = Dedup.dedupNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.dedupMinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "expected planted near-dup pairs in testdata")
+    // LSH with 8 bands of 4 at j≥0.3: collision prob per pair ≥ 1-(1-j^4)^8;
+    // planted pairs are j≥0.8 → recall should be complete on this corpus.
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+  }
+
+  test("simhash distance is 0 for identical docs and candidates carry hamming<=8") {
+    val df = docsDf(Seq(
+      (1L, "spark window query batch merge sort", "en"),
+      (2L, "spark window query batch merge sort", "en"),
+      (3L, "completely different words entirely here now", "en")))
+    df.write.mode("overwrite").parquet("/tmp/graft-test-sh/documents.parquet")
+    val out = Dedup.dedupSimhash(spark, "/tmp/graft-test-sh")
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(out.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    assert(out.forall(_._3 <= 8))
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val out = Dedup.dedupEmbedding(spark, sf)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(out.forall { case (a, b, c) => a < b && c >= 0.45 && c <= 1.0 + 1e-9 })
+  }
+}
