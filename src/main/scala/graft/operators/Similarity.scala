@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.{FloatVectorDot, GraftFunctions}
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2):
@@ -15,21 +16,36 @@ import graft.sources.Tables
   * top-k is a per-query partial aggregate. At 100 TB the corpus side
   * stays partition-parallel; the LSH variant replaces the full cross
   * product with a bucket-equality join whose keys are uniform by
-  * construction (signs of random projections).
+  * construction (signs of random projections). The inner loops run
+  * through [[graft.functions.FloatVectorDot]] — a codegen'd Catalyst
+  * expression — because Spark's higher-order `aggregate`/`zip_with`
+  * evaluate interpreted and dominate O(pairs·dim) workloads.
   */
 object Similarity {
 
   private val K = 5          // neighbors returned per query
   private val NQ = 10        // query set: vec_id < NQ
   private val PLANES = 8     // random hyperplanes → 256 buckets
+  private val DIM = 64
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        expr("sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v))").as("nrm"))
+  import org.apache.spark.sql.graftshim.GraftSqlShim
 
-  private val dotExpr =
-    "aggregate(zip_with(q.embedding, c.embedding, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+  private def dot(a: Column, b: Column): Column =
+    GraftSqlShim.column(
+      FloatVectorDot(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+    e.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+  }
+
+  /** Deterministic pseudo-random hyperplane j: component d is
+    * ((j·73 + d·179) mod 97)/97 − 0.5.
+    */
+  private def plane(j: Int): Array[Float] =
+    Array.tabulate(DIM)(d => (((j * 73 + d * 179) % 97) / 97.0 - 0.5).toFloat)
 
   /** Exact cosine top-k: broadcast query set × corpus scan, then
     * row_number ≤ k per query with a vec_id tiebreak.
@@ -42,28 +58,22 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(q).join(c, col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cosine"))
+        (dot(col("q.embedding"), col("c.embedding")) / (col("q.nrm") * col("c.nrm"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Random-hyperplane LSH ANN: signature bit j = sign(v·rⱼ) for 8
-    * deterministic pseudo-random planes (components derived from
-    * (j·73 + d·179) mod 97 — pure arithmetic, engine-independent);
+  /** Random-hyperplane LSH ANN: signature bit j = sign(v·planeⱼ);
     * candidates share the full 8-bit bucket, then exact cosine top-k
     * within the bucket. Trades recall for replacing the cross join
     * with a bucket-equality join.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val bucketExpr =
-      s"""aggregate(sequence(0, ${PLANES - 1}), 0L, (acc, j) ->
-         |  acc | shiftleft(CASE WHEN
-         |    aggregate(sequence(0, size(embedding) - 1), 0D, (a, d) ->
-         |      a + CAST(element_at(embedding, d + 1) AS DOUBLE) *
-         |          (CAST((j*73 + d*179) % 97 AS DOUBLE)/97.0 - 0.5)) > 0D
-         |    THEN 1L ELSE 0L END, j))""".stripMargin
-    val e = emb(s, dir).withColumn("bucket", expr(bucketExpr))
+    val bucket = (0 until PLANES).map { j =>
+      when(dot(col("embedding"), typedLit(plane(j))) > 0d, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    val e = emb(s, dir).withColumn("bucket", bucket)
     val q = e.filter(col("vec_id") < NQ).alias("q")
     val c = e.alias("c")
     val w = Window.partitionBy(col("query_id"))
@@ -71,7 +81,7 @@ object Similarity {
     broadcast(q).join(c,
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cosine"))
+        (dot(col("q.embedding"), col("c.embedding")) / (col("q.nrm") * col("c.nrm"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))

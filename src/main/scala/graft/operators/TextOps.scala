@@ -45,19 +45,30 @@ object TextOps {
   /** Quality scoring: length, average word length, stopword ratio,
     * punctuation ratio, and a composite score — all exact rational
     * arithmetic (int counts divided as doubles).
+    *
+    * Token/stopword counts run as explode → grouped conditional
+    * aggregation (codegen'd `isin` over literal stopwords) instead of
+    * an interpreted `filter(words, λ)` lambda, which dominated the
+    * runtime at sf0.1.
     */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val nTok = size(words)
-    val nStop = size(filter(words, w => w.isInCollection(stopwords)))
-    val nPunct = regexp_count(col("text"), lit("[^a-z0-9 ]"))
-    docs(s, dir).select(
-      col("doc_id"), col("n_chars"),
-      nTok.as("n_tokens"),
-      ((col("n_chars") - (nTok - 1)) * 1.0 / nTok).as("avg_word_len"),
-      (nStop * 1.0 / nTok).as("stopword_ratio"),
-      (nPunct * 1.0 / col("n_chars")).as("punct_ratio"),
-      ((lit(1.0) - nStop * 1.0 / nTok) * (lit(1.0) - nPunct * 1.0 / col("n_chars"))
-        * least(lit(1.0), nTok / 64.0)).as("quality_score"))
+    val meta = docs(s, dir).select(col("doc_id"), col("n_chars"),
+      regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
+    val nTok = col("n_tokens"); val nStop = col("n_stop"); val nPunct = col("n_punct")
+    meta.join(toks, "doc_id")
+      .select(
+        col("doc_id"), col("n_chars"),
+        nTok.as("n_tokens"),
+        ((col("n_chars") - (nTok - 1)) * 1.0 / nTok).as("avg_word_len"),
+        (nStop * 1.0 / nTok).as("stopword_ratio"),
+        (nPunct * 1.0 / col("n_chars")).as("punct_ratio"),
+        ((lit(1.0) - nStop * 1.0 / nTok) * (lit(1.0) - nPunct * 1.0 / col("n_chars"))
+          * least(lit(1.0), nTok / 64.0)).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 

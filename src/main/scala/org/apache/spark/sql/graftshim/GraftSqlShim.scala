@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Spark internals the engine needs:
+  * building a Column from a Catalyst Expression and registering native
+  * expressions in the session's FunctionRegistry. Lives under
+  * `org.apache.spark.sql` for package-private access — the standard
+  * pattern for Spark-native extension libraries.
+  */
+object GraftSqlShim {
+
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}
