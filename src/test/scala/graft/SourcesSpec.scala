@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Loader-layer specs: schema normalization (the reference's
+  * End_Lat/dropoff_latitude sniffing, generalized) and the bucketed
+  * sink used for co-located fact-fact joins at scale.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize renames alias columns to canonical names") {
+    // mirrors /root/reference/src/awsbatch-map/main.py:58-66 semantics
+    val old = Seq((1L, 40.7, -74.0)).toDF("id", "End_Lat", "End_Lon")
+    val neu = Seq((2L, 40.8, -73.9)).toDF("id", "dropoff_latitude", "dropoff_longitude")
+    val aliases = Map(
+      "lat" -> Seq("End_Lat", "dropoff_latitude"),
+      "lon" -> Seq("End_Lon", "dropoff_longitude"))
+    val a = Tables.normalize(old, aliases)
+    val b = Tables.normalize(neu, aliases)
+    assert(a.columns.toSet == Set("id", "lat", "lon"))
+    assert(b.columns.toSet == Set("id", "lat", "lon"))
+    // canonical name already present → untouched
+    val c = Tables.normalize(a, aliases)
+    assert(c.columns.toSet == Set("id", "lat", "lon"))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val orders = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    Tables.writeBucketed(orders, "orders_b", 8, "o_orderkey", "o_orderkey")
+    Tables.writeBucketed(lineitem, "lineitem_b", 8, "l_orderkey", "l_orderkey")
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+}
