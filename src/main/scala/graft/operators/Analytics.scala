@@ -221,7 +221,7 @@ object Analytics {
       .orderBy(cents(col("c_acctbal")).desc)
     t(s, dir, "customer")
       .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
-        rank().over(w).as("bal_rank"))
+        rank().over(w).cast("long").as("bal_rank"))
       .orderBy(col("c_mktsegment"), col("bal_rank"), col("c_custkey"))
   }
 
@@ -261,7 +261,7 @@ object Analytics {
       .orderBy(cents(col("o_totalprice")).desc, col("o_orderkey"))
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).as("rn"))
+        row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= 3)
       .orderBy(col("o_custkey"), col("rn"))
   }
@@ -279,7 +279,7 @@ object Analytics {
   def pivotEvents(s: SparkSession, dir: String): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val aggs = types.map(tp =>
-      sum(when(col("event_type") === tp, 1).otherwise(0)).as(s"n_$tp")) :+
+      sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"n_$tp")) :+
       (sum(cents(col("value"))) / 100.0).as("total_value")
     events(s, dir).groupBy(col("user_id"))
       .agg(aggs.head, aggs.tail: _*)
@@ -288,11 +288,11 @@ object Analytics {
 
   val pivotEventsSql: String =
     """SELECT user_id,
-      |  sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
-      |  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error,
-      |  sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
-      |  sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
+      |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
       |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -373,7 +373,7 @@ object Analytics {
       |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s
       |  FROM e),
       |g AS (
-      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM f)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,

@@ -240,7 +240,18 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding)
 
+  /** DuckDB twin of the cosine pairs: sequential left-fold dot, same
+    * association order as FloatVectorDot ⇒ bit-identical doubles.
+    */
+  val dedupEmbeddingSql: String =
+    """WITH e AS (SELECT vec_id, embedding, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (acc, v) -> acc + v)) AS nrm FROM embeddings),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (acc, v) -> acc + v) / (a.nrm * b.nrm) AS cosine
+      |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+      |SELECT * FROM p WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
-    "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -160,7 +160,7 @@ object Geo {
       .agg(count(lit(1)).as("n_points"),
         sum(col("event_id") % 997L).as("checksum"))
     frames
-      .withColumn("frame_seq", row_number().over(Window.orderBy(col("frame_day"))))
+      .withColumn("frame_seq", row_number().over(Window.orderBy(col("frame_day"))).cast("long"))
       .select(col("frame_seq"), col("frame_day"), col("n_points"), col("checksum"))
       .orderBy(col("frame_seq"))
   }
@@ -169,11 +169,11 @@ object Geo {
     s"""WITH $pointsCte, $mercCte,
        |frames AS (
        |  SELECT strftime(ts, '%Y-%m-%d') AS frame_day, count(*) AS n_points,
-       |    sum(event_id % 997) AS checksum
+       |    CAST(sum(event_id % 997) AS BIGINT) AS checksum
        |  FROM merc
        |  WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
        |  GROUP BY 1)
-       |SELECT row_number() OVER (ORDER BY frame_day) AS frame_seq,
+       |SELECT CAST(row_number() OVER (ORDER BY frame_day) AS BIGINT) AS frame_seq,
        |  frame_day, n_points, checksum
        |FROM frames ORDER BY frame_seq""".stripMargin
 
@@ -198,15 +198,15 @@ object Geo {
     s"""WITH $pointsCte, $mercCte,
        |frames AS (
        |  SELECT strftime(ts, '%Y-%m-%d') AS frame_day, count(*) AS n_points,
-       |    sum(event_id % 997) AS checksum
+       |    CAST(sum(event_id % 997) AS BIGINT) AS checksum
        |  FROM merc
        |  WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
        |  GROUP BY 1),
        |seq AS (
-       |  SELECT row_number() OVER (ORDER BY frame_day) AS frame_seq,
+       |  SELECT CAST(row_number() OVER (ORDER BY frame_day) AS BIGINT) AS frame_seq,
        |    frame_day, n_points FROM frames)
        |SELECT frame_seq, frame_day, n_points,
-       |  sum(n_points) OVER (ORDER BY frame_seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_points,
+       |  CAST(sum(n_points) OVER (ORDER BY frame_seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_points,
        |  count(*) OVER () AS total_frames,
        |  (frame_seq - 1) / 2.0 AS pts_sec
        |FROM seq ORDER BY frame_seq""".stripMargin

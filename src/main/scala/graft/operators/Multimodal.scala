@@ -35,7 +35,7 @@ object Multimodal {
       col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      octet_length(col("text")).as("byte_len"),
+      octet_length(col("text")).cast("long").as("byte_len"),
       sha2(col("text"), 256).as("sha256"))
       .orderBy(col("doc_id"))
 
@@ -82,6 +82,20 @@ object Multimodal {
     "mm_ingest" -> mmIngest,
     "mm_batch_extract" -> mmBatchExtract)
 
+  /** DuckDB twin of the stub decoder: the corpus is pure ASCII, so
+    * byte-level features equal character-level ones and the rolling
+    * checksum folds identically over ascii codes.
+    */
+  val mmBatchExtractSql: String =
+    """SELECT doc_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  CAST(strlen(text) AS INT) AS byte_len,
+      |  ascii(substr(text, 1, 1)) AS head_byte,
+      |  ascii(substr(text, CAST(strlen(text) AS INT), 1)) AS tail_byte,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 997) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "mm_ingest" -> mmIngestSql)
+    "mm_ingest" -> mmIngestSql,
+    "mm_batch_extract" -> mmBatchExtractSql)
 }

@@ -59,7 +59,7 @@ object Similarity {
     broadcast(q).join(c, col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         (dot(col("q.embedding"), col("c.embedding")) / (col("q.nrm") * col("c.nrm"))).as("cosine"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -82,7 +82,7 @@ object Similarity {
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         (dot(col("q.embedding"), col("c.embedding")) / (col("q.nrm") * col("c.nrm"))).as("cosine"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -91,5 +91,20 @@ object Similarity {
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh)
 
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB twin of the brute-force path: the dot product is a
+    * sequential left-fold over per-element double products — the same
+    * association order as FloatVectorDot, so cosines are bit-identical
+    * and ranks match exactly. (annLsh stays rows-only: its bucketing
+    * depends on float-literal plane components.)
+    */
+  val annBruteforceSql: String =
+    """WITH e AS (SELECT vec_id, embedding, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (acc, v) -> acc + v)) AS nrm FROM embeddings),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(q.embedding)+1), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (acc, v) -> acc + v) / (q.nrm * c.nrm) AS cosine
+      |  FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM p)
+      |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteforceSql)
 }

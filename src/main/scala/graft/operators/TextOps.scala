@@ -30,8 +30,8 @@ object TextOps {
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      size(words).as("ws_tokens"),
-      regexp_count(col("text"), lit("[a-z0-9]+")).as("re_tokens"),
+      size(words).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("re_tokens"),
       ceil(col("n_chars") / 4.0).cast("long").as("bpe_est_tokens"))
       .orderBy(col("doc_id"))
 
@@ -152,8 +152,40 @@ object TextOps {
     "text_ngrams" -> textNgrams,
     "text_fingerprint" -> textFingerprint)
 
+  /** DuckDB twin of the rolling fingerprint: left-fold over ascii
+    * codes with a 0 seed (list_reduce has no init, so the seed is
+    * prepended) — exact integer arithmetic on both engines.
+    */
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of the stopword-hit argmax; CASE order matches the
+    * Scala foldRight priority (en, de, es, fr).
+    */
+  val textLangidSql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |h AS (SELECT doc_id, lang,
+      |  len(list_filter(ws, w -> w IN ('the','a','and','of','to','is'))) AS h_en,
+      |  len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht'))) AS h_de,
+      |  len(list_filter(ws, w -> w IN ('el','la','los','y','es','que'))) AS h_es,
+      |  len(list_filter(ws, w -> w IN ('le','la','les','et','est','que'))) AS h_fr
+      |  FROM t),
+      |p AS (SELECT doc_id, lang,
+      |  CASE WHEN h_en = greatest(h_en,h_de,h_es,h_fr) AND h_en > 0 THEN 'en'
+      |       WHEN h_de = greatest(h_en,h_de,h_es,h_fr) AND h_de > 0 THEN 'de'
+      |       WHEN h_es = greatest(h_en,h_de,h_es,h_fr) AND h_es > 0 THEN 'es'
+      |       WHEN h_fr = greatest(h_en,h_de,h_es,h_fr) AND h_fr > 0 THEN 'fr'
+      |       ELSE 'und' END AS pred_lang
+      |  FROM h)
+      |SELECT doc_id, lang, pred_lang, pred_lang = lang AS label_match FROM p ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
-    "text_ngrams" -> textNgramsSql)
+    "text_ngrams" -> textNgramsSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "text_langid" -> textLangidSql)
 }

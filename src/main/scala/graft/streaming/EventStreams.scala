@@ -145,6 +145,23 @@ object EventStreams {
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize)
 
+  /** DuckDB twin of the flatMapGroups fold: the window-function
+    * formulation produces the same sessions, so the stateful batch
+    * face is oracle-checked too.
+    */
+  val streamSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e),
+      |g AS (
+      |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  (max(us) - min(us))/1000000.0 AS duration_sec,
+      |  sum(vc)/100.0 AS session_value
+      |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "stream_window_agg" -> streamWindowAggSql)
+    "stream_window_agg" -> streamWindowAggSql,
+    "stream_sessionize" -> streamSessionizeSql)
 }

@@ -44,7 +44,7 @@ class GeoSpec extends SparkSpec {
 
   test("fan-out frames are sequentially numbered and reduce preserves totals") {
     val frames = Geo.mapFanout(spark, sf).collect()
-    assert(frames.map(_.getAs[Int]("frame_seq")).toSeq == (1 to frames.length))
+    assert(frames.map(_.getAs[Long]("frame_seq")).toSeq == (1L to frames.length.toLong))
     val manifest = Geo.reduceAssemble(spark, sf).collect()
     val lastCum = manifest.last.getAs[Long]("cum_points")
     assert(lastCum == frames.map(_.getAs[Long]("n_points")).sum)

@@ -8,12 +8,12 @@ class SimilarityMultimodalSpec extends SparkSpec {
 
   test("bruteforce ANN: ranks are 1..k per query, cosine non-increasing") {
     val out = Similarity.annBruteforce(spark, sf)
-      .select("query_id", "rank", "cosine").as[(Long, Int, Double)].collect()
+      .select("query_id", "rank", "cosine").as[(Long, Long, Double)].collect()
       .groupBy(_._1)
     assert(out.nonEmpty)
     out.foreach { case (_, rows) =>
       val sorted = rows.sortBy(_._2)
-      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length.toLong))
       val cos = sorted.map(_._3)
       assert(cos.zip(cos.tail).forall { case (a, b) => a >= b - 1e-12 })
     }
@@ -40,9 +40,9 @@ class SimilarityMultimodalSpec extends SparkSpec {
 
   test("LSH ANN returns only same-bucket candidates and valid ranks") {
     val out = Similarity.annLsh(spark, sf)
-      .select("query_id", "rank", "cosine").as[(Long, Int, Double)].collect()
+      .select("query_id", "rank", "cosine").as[(Long, Long, Double)].collect()
     assert(out.nonEmpty)
-    assert(out.forall { case (_, r, c) => r >= 1 && r <= 5 && c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
+    assert(out.forall { case (_, r, c) => r >= 1L && r <= 5L && c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
   }
 
   test("mm ingest kinds cycle by doc_id and sha256 is 64 hex chars") {

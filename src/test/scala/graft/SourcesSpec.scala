@@ -27,6 +27,13 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a previously aborted run can leave the location behind after
+      // the catalog entry is gone; CTAS then refuses the location
+      new scala.reflect.io.Directory(
+        new java.io.File(s"spark-warehouse/$t")).deleteRecursively()
+    }
     val orders = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     val lineitem = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     Tables.writeBucketed(orders, "orders_b", 8, "o_orderkey", "o_orderkey")

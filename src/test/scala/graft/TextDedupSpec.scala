@@ -41,8 +41,8 @@ class TextDedupSpec extends SparkSpec {
     val df = docsDf(Seq((1L, "one two three four", "en")))
     df.write.mode("overwrite").parquet("/tmp/graft-test-tok/documents.parquet")
     val r = TextOps.textTokens(spark, "/tmp/graft-test-tok").head()
-    assert(r.getAs[Int]("ws_tokens") == 4)
-    assert(r.getAs[Int]("re_tokens") == 4)
+    assert(r.getAs[Long]("ws_tokens") == 4L)
+    assert(r.getAs[Long]("re_tokens") == 4L)
     assert(r.getAs[Long]("bpe_est_tokens") == math.ceil(18 / 4.0).toLong)
   }
 

@@ -51,6 +51,11 @@ def main(sf_dir, out_dir):
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: cols spark={list(a.columns)} duck={list(b.columns)}")
             fails += 1; continue
+        dtype_bad = [(c, a[c].dtype, b[c].dtype) for c in a.columns
+                     if a[c].dtype != b[c].dtype]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch {dtype_bad}")
+            fails += 1; continue
         if len(a) != len(b):
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}"); fails += 1; continue
         ok = True
