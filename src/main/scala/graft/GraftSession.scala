@@ -16,6 +16,7 @@ object GraftSession {
               shufflePartitions: Int = defaultCpus): SparkSession.Builder = {
     val b = SparkSession.builder()
       .appName("graft")
+      .withExtensions(new graft.functions.GraftExtensions())
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -71,3 +71,19 @@ object GraftFunctions {
     GraftSqlShim.registerFunction(spark, "vector_dot",
       exprs => FloatVectorDot(exprs(0), exprs(1)))
 }
+
+/** SparkSessionExtensions installer — the public, cluster-friendly
+  * registration path: `--conf spark.sql.extensions=graft.functions
+  * .GraftExtensions` (or `builder.withExtensions`) makes graft's native
+  * functions available in every session of the application without
+  * touching internal registries.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FloatVectorDot].getName, "vector_dot"),
+      (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1))))
+  }
+}

@@ -383,6 +383,85 @@ object Analytics {
       |FROM g GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // --------------------------------------------------------- as-of join
+  /** As-of join, expressed without a join: attribute each event to the
+    * user's most recent signup at-or-before it. A single windowed pass
+    * (running max over the tagged timestamp) — at 100 TB this is one
+    * shuffle on user_id instead of a range-join explosion, and it's the
+    * composition-first answer to "Spark lacks ASOF JOIN".
+    */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("asof_signup_us",
+        max(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("delta_sec",
+        (col("us") - col("asof_signup_us")) / 1000000.0)
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  val joinAsofSql: String =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |  max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+      |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_us,
+      |  (epoch_us(ts) - max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+      |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 1000000.0 AS delta_sec
+      |FROM events
+      |ORDER BY user_id, us, event_id""".stripMargin
+
+  // ------------------------------------------------- percentiles/sketches
+  /** Exact interpolated percentiles per group (the correctness twin of
+    * the sketch below). Both engines interpolate at p·(n−1).
+    */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .orderBy(col("event_type"))
+
+  val aggPercentileSql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  quantile_cont(value, 0.99) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Approximate quantiles via Spark's built-in sketch
+    * (percentile_approx / ApproximatePercentile). Rows-only — the
+    * sketch has no DuckDB twin; the spec bounds its error against
+    * [[aggPercentile]]. This is the 100 TB path: fixed-size sketch
+    * state, single pass, mergeable partials.
+    */
+  def aggApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile_approx(value, 0.5, 10000)").as("p50"),
+        expr("percentile_approx(value, 0.9, 10000)").as("p90"),
+        expr("percentile_approx(value, 0.99, 10000)").as("p99"))
+      .orderBy(col("event_type"))
+
+  /** Approximate distinct users per event type (HyperLogLog++).
+    * Rows-only; the spec bounds the estimate against the exact count.
+    * At 100 TB this replaces a full distinct shuffle with mergeable
+    * fixed-size sketches.
+    */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   // ------------------------------------------------------ skew helper
   /** Two-phase salted aggregation for skewed keys: spray each hot key
     * across `salt` partial groups, combine, then merge the partials.
@@ -411,9 +490,15 @@ object Analytics {
     "pivot_events" -> pivotEvents,
     "rollup_revenue" -> rollupRevenue,
     "events_tumbling" -> eventsTumbling,
-    "sessionize" -> sessionize)
+    "sessionize" -> sessionize,
+    "join_asof" -> joinAsof,
+    "agg_percentile" -> aggPercentile,
+    "agg_approx_quantile" -> aggApproxQuantile,
+    "agg_approx_distinct" -> aggApproxDistinct)
 
   val oracles: Map[String, String] = Map(
+    "join_asof" -> joinAsofSql,
+    "agg_percentile" -> aggPercentileSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

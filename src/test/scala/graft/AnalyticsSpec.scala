@@ -54,6 +54,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("as-of join attributes events to the latest signup at-or-before them") {
+    val out = Analytics.joinAsof(spark, sf)
+      .select("user_id", "event_type", "us", "asof_signup_us")
+      .as[(Long, String, Long, Option[Long])].collect()
+    // every attributed timestamp is a signup time <= the event time
+    assert(out.forall { case (_, _, us, asof) => asof.forall(_ <= us) })
+    // signup events attribute to themselves (delta 0) unless a later
+    // same-us signup exists (max over the running frame)
+    val perUser = out.groupBy(_._1)
+    perUser.values.foreach { rows =>
+      val signupTimes = rows.filter(_._2 == "signup").map(_._3).toSet
+      rows.foreach { case (_, _, _, asof) =>
+        asof.foreach(t => assert(signupTimes.contains(t)))
+      }
+    }
+  }
+
+  test("sketch aggregates stay within error bounds of exact twins") {
+    val exact = Analytics.aggPercentile(spark, sf)
+      .select("event_type", "p50", "p90").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = Analytics.aggApproxQuantile(spark, sf)
+      .select("event_type", "p50", "p90").as[(String, Double, Double)]
+      .collect()
+    approx.foreach { case (tp, a50, a90) =>
+      val (e50, e90) = exact(tp)
+      assert(math.abs(a50 - e50) <= math.max(1.0, e50 * 0.05), s"$tp p50 $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= math.max(1.0, e90 * 0.05), s"$tp p90 $a90 vs $e90")
+    }
+    val events = graft.sources.Tables.load(spark, sf, "events")
+    val exactUsers = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    Analytics.aggApproxDistinct(spark, sf)
+      .select("event_type", "approx_users").as[(String, Long)].collect()
+      .foreach { case (tp, apx) =>
+        val ex = exactUsers(tp)
+        assert(math.abs(apx - ex) <= math.max(2.0, ex * 0.1), s"$tp $apx vs $ex")
+      }
+  }
+
   test("join_semi + join_anti partition the urgent-order space") {
     val semiN = Analytics.joinSemi(spark, sf).count()
     val antiN = Analytics.joinAnti(spark, sf).count()
