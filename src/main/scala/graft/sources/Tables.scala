@@ -37,6 +37,18 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     tpch.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** CSV source with schema (header expected). Schema is REQUIRED, not
+    * inferred: at 100 TB an inference pass is a full extra scan.
+    */
+  def loadCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** JSON-lines source with schema (same no-inference rule). */
+  def loadJson(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Rename any alias column to its canonical name; columns absent in
     * the input are simply not produced (caller validates with
     * [[require]]d canonical names if it needs them).

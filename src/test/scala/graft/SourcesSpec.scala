@@ -26,6 +26,22 @@ class SourcesSpec extends SparkSpec {
     assert(c.columns.toSet == Set("id", "lat", "lon"))
   }
 
+  test("csv and json round-trip through the schema'd loaders") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    df.write.mode("overwrite").option("header", "true").csv("/tmp/graft-test-csv")
+    df.write.mode("overwrite").json("/tmp/graft-test-json")
+    val fromCsv = Tables.loadCsv(spark, "/tmp/graft-test-csv", schema)
+    val fromJson = Tables.loadJson(spark, "/tmp/graft-test-json", schema)
+    val expect = Set((1L, "a", 1.5), (2L, "b", 2.5))
+    assert(fromCsv.as[(Long, String, Double)].collect().toSet == expect)
+    assert(fromJson.as[(Long, String, Double)].collect().toSet == expect)
+    assert(fromCsv.schema == schema && fromJson.schema == schema)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Seq("orders_b", "lineitem_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
