@@ -272,6 +272,31 @@ object Analytics {
       |    row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rn
       |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  /** Top-k per group via [[graft.functions.TopKAggregator]] — the
+    * bounded-buffer twin of [[topkPerGroup]]. The window formulation
+    * totally sorts every group after a full shuffle; this one carries
+    * at most k rows per (group × partition) into the shuffle with
+    * map-side partial merge — the 100 TB shape. Same output, same
+    * oracle.
+    */
+  def topkPerGroupAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("sk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, r._4))
+      .agg(graft.functions.TopKAggregator.topK(3).toColumn.name("top"))
+      .flatMap { case (cust, tops) =>
+        tops.iterator.zipWithIndex.map { case ((_, id, price), i) =>
+          (cust, id, price, (i + 1).toLong)
+        }
+      }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   // ------------------------------------------------------------ pivot
   /** Pivot event_type → columns. Expressed as conditional aggregation
     * (what Pivot lowers to) so empty cells are 0 on both engines.
@@ -491,12 +516,14 @@ object Analytics {
     "rollup_revenue" -> rollupRevenue,
     "events_tumbling" -> eventsTumbling,
     "sessionize" -> sessionize,
+    "topk_per_group_agg" -> topkPerGroupAgg,
     "join_asof" -> joinAsof,
     "agg_percentile" -> aggPercentile,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_approx_distinct" -> aggApproxDistinct)
 
   val oracles: Map[String, String] = Map(
+    "topk_per_group_agg" -> topkPerGroupSql,
     "join_asof" -> joinAsofSql,
     "agg_percentile" -> aggPercentileSql,
     "q1_pricing_summary" -> q1Sql,

@@ -141,6 +141,59 @@ object EventStreams {
       }
   }
 
+  /** Event-time input row for the watermarked streaming face. */
+  case class EvT(user_id: Long, event_id: Long, ts: java.sql.Timestamp, vc: Long)
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+
+  /** Streaming face with the production trailing-session flush: an
+    * event-time timeout fires once the WATERMARK passes lastSeen+gap,
+    * emitting the open session even if the user never returns. Unlike
+    * a processing-time timeout, this is driven purely by data (the
+    * watermark), so tests and replays are deterministic and the
+    * micro-batch loop stays quiescent between inputs.
+    */
+  def sessionizeStreamEventTime(stream: Dataset[EvT],
+                                watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[EvT], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, st.sessionId, st.nEv,
+              (st.lastUs - st.startUs) / 1000000.0, st.sumCents / 100.0))
+          } else {
+            val sorted = evs.toVector
+              .map(e => Ev(e.user_id, e.event_id, micros(e.ts), e.vc))
+              .sortBy(e => (e.us, e.event_id))
+            var st = state.getOption.getOrElse(
+              SessState(0L, -1L, Long.MinValue / 4, 0L, 0L))
+            val out = Vector.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              if (st.nEv > 0 && e.us - st.lastUs > GapUs) {
+                out += SessionOut(uid, st.sessionId, st.nEv,
+                  (st.lastUs - st.startUs) / 1000000.0, st.sumCents / 100.0)
+                st = SessState(st.sessionId + 1, e.us, e.us, 1L, e.vc)
+              } else if (st.nEv == 0) {
+                st = SessState(st.sessionId, e.us, e.us, 1L, e.vc)
+              } else {
+                st = st.copy(lastUs = e.us, nEv = st.nEv + 1, sumCents = st.sumCents + e.vc)
+              }
+            }
+            state.update(st)
+            // flush the open session when the watermark passes last+gap
+            state.setTimeoutTimestamp(st.lastUs / 1000L + GapUs / 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize)

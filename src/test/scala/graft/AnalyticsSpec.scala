@@ -54,6 +54,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("top-k twins agree: bounded aggregator equals window formulation") {
+    val a = Analytics.topkPerGroup(spark, sf)
+      .select("o_custkey", "o_orderkey", "rn").as[(Long, Long, Long)].collect().toSet
+    val b = Analytics.topkPerGroupAgg(spark, sf)
+      .select("o_custkey", "o_orderkey", "rn").as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("as-of join attributes events to the latest signup at-or-before them") {
     val out = Analytics.joinAsof(spark, sf)
       .select("user_id", "event_type", "us", "asof_signup_us")

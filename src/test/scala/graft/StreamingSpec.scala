@@ -50,6 +50,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout flushes the trailing open session once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.EvT]
+    val q = EventStreams.sessionizeStreamEventTime(mem.toDS(), watermarkDelay = "1 second")
+      .writeStream.format("memory").queryName("sessevt")
+      .outputMode("append").start()
+    try {
+      def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+      // user 1: two events 60s apart, then silence
+      mem.addData(EventStreams.EvT(1L, 1L, ts(0), 100),
+        EventStreams.EvT(1L, 2L, ts(60), 200))
+      q.processAllAvailable()
+      // another user's much later event advances the watermark far past
+      // user 1's last event + 30-minute gap → timeout flush
+      mem.addData(EventStreams.EvT(2L, 3L, ts(7200), 300))
+      q.processAllAvailable()
+      mem.addData(EventStreams.EvT(2L, 4L, ts(7300), 300))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, session_id, n_events, session_value FROM sessevt")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 0L, 2L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("batch sessionize faces agree: flatMapGroups twin equals window-function twin") {
     val a = EventStreams.streamSessionize(spark, sf)
       .select("user_id", "session_id", "n_events", "duration_sec", "session_value")
