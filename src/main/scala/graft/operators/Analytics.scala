@@ -364,6 +364,53 @@ object Analytics {
       |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Sliding 1-hour window (15-min slide) aggregation: each event
+    * contributes to 4 windows. Spark's window() generator handles the
+    * fan-out; the oracle replays it by unnesting slide indices 0..3.
+    * Key space stays bounded (windows × types) ⇒ map-side combine.
+    */
+  def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val eventsSlidingSql: String =
+    """WITH slid AS (
+      |  SELECT event_type, value,
+      |    to_timestamp((epoch_us(ts) // 900000000)*900 - k.k*900) AS window_start
+      |  FROM events, (SELECT unnest(range(4)) AS k) k)
+      |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+      |FROM slid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** CUBE over (region, priority): all four grouping-set combinations
+    * in one pass (Spark expands to a single shuffle with grouping-id).
+    */
+  def cubeRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("o_orderpriority"))
+      .agg((sum(cents(col("o_totalprice"))) / 100.0).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("o_orderpriority"))
+
+  val cubeRevenueSql: String =
+    """SELECT r_name, o_orderpriority,
+      |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders, customer, nation, region
+      |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, o_orderpriority)
+      |ORDER BY r_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------- sessionize
   /** Gap-based sessionization, 30-minute gap: lag → new-session flag →
     * cumulative sum ⇒ session id; then one grouped agg per session.
@@ -515,6 +562,8 @@ object Analytics {
     "pivot_events" -> pivotEvents,
     "rollup_revenue" -> rollupRevenue,
     "events_tumbling" -> eventsTumbling,
+    "events_sliding" -> eventsSliding,
+    "cube_revenue" -> cubeRevenue,
     "sessionize" -> sessionize,
     "topk_per_group_agg" -> topkPerGroupAgg,
     "join_asof" -> joinAsof,
@@ -523,6 +572,8 @@ object Analytics {
     "agg_approx_distinct" -> aggApproxDistinct)
 
   val oracles: Map[String, String] = Map(
+    "events_sliding" -> eventsSlidingSql,
+    "cube_revenue" -> cubeRevenueSql,
     "topk_per_group_agg" -> topkPerGroupSql,
     "join_asof" -> joinAsofSql,
     "agg_percentile" -> aggPercentileSql,
