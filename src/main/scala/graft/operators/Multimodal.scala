@@ -78,9 +78,56 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** One sampled frame of a "video" blob. */
+  case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long,
+                   frame_checksum: Long)
+
+  /** Frame sampling over video blobs: fixed 32-byte "frames", every
+    * 4th sampled — the partition-parallel decode-and-sample shape a
+    * real video pipeline has (codec stubbed: frames are byte slices,
+    * features are rolling checksums). Typed flatMap keeps the
+    * per-blob loop tight and the fan-out streaming (no giant array
+    * materialization per row).
+    */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter(col("doc_id") % 3 === 2) // 'video' kind
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, data) =>
+        val nFrames = data.length / 32
+        (0 until nFrames by 4).iterator.map { f =>
+          val off = f * 32
+          var cs = 0L
+          var i = off
+          while (i < off + 32) { cs = (cs * 31 + (data(i) & 0xff)) % 997; i += 1 }
+          Frame(id, f.toLong, off.toLong, cs)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Oracle: pure-ASCII corpus ⇒ byte slices are substrings; frames
+    * replayed with range(0, nf, 4) and the same rolling checksum.
+    */
+  val mmFrameSampleSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, text, strlen(text) // 32 AS nf FROM documents
+      |  WHERE doc_id % 3 = 2),
+      |fr AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS f FROM v)
+      |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(f * 32 AS BIGINT) AS frame_off,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(substr(text, CAST(f*32 + 1 AS INT), 32), ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 997) AS frame_checksum
+      |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ingest" -> mmIngest,
-    "mm_batch_extract" -> mmBatchExtract)
+    "mm_batch_extract" -> mmBatchExtract,
+    "mm_frame_sample" -> mmFrameSample)
 
   /** DuckDB twin of the stub decoder: the corpus is pure ASCII, so
     * byte-level features equal character-level ones and the rolling
@@ -97,5 +144,6 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_ingest" -> mmIngestSql,
-    "mm_batch_extract" -> mmBatchExtractSql)
+    "mm_batch_extract" -> mmBatchExtractSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
 }

@@ -194,9 +194,45 @@ object EventStreams {
       }
   }
 
+  // ---------------------------------------------------------- dedup
+  /** Batch face: first event per (user, type) — deterministic
+    * event-order dedup (row_number over us, event_id).
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("us"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT user_id, event_type, event_id, us FROM (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** Streaming face: stateful exact dedup on (user_id, event_type)
+    * bounded by the watermark — Spark's dropDuplicatesWithinWatermark
+    * keeps first-arrival state only until the watermark passes, so
+    * state is bounded at 100 TB/day event volumes.
+    */
+  def dedupStream(stream: DataFrame, watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg,
-    "stream_sessionize" -> streamSessionize)
+    "stream_sessionize" -> streamSessionize,
+    "stream_dedup" -> streamDedup)
 
   /** DuckDB twin of the flatMapGroups fold: the window-function
     * formulation produces the same sessions, so the stateful batch
@@ -216,5 +252,6 @@ object EventStreams {
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
-    "stream_sessionize" -> streamSessionizeSql)
+    "stream_sessionize" -> streamSessionizeSql,
+    "stream_dedup" -> streamDedupSql)
 }

@@ -74,6 +74,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps only the first arrival per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.dedupStream(stream, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new Timestamp(3600000L * 100 + min * 60000L)
+      mem.addData((ts(0), 1L, "click"), (ts(1), 1L, "click"), (ts(2), 1L, "view"),
+        (ts(3), 2L, "click"))
+      q.processAllAvailable()
+      mem.addData((ts(4), 1L, "click")) // still duplicate, still in state
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, event_type FROM dedupstream")
+        .as[(Long, String)].collect()
+      assert(rows.length == 3, s"got ${rows.toSeq}")
+      assert(rows.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
+
   test("batch sessionize faces agree: flatMapGroups twin equals window-function twin") {
     val a = EventStreams.streamSessionize(spark, sf)
       .select("user_id", "session_id", "n_events", "duration_sec", "session_value")
