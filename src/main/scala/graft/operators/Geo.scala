@@ -147,6 +147,40 @@ object Geo {
        |  CAST(floor(percent_rank() OVER (ORDER BY cnt) * 255) AS INT) AS shade
        |FROM raster ORDER BY px, py""".stripMargin
 
+  /** Fire-like color ramp (black → red → yellow → white), the shape of
+    * the reference's colorcet `fire` map (main.py's tf.shade cmap).
+    * Piecewise-linear over the 0..255 shade with integer arithmetic —
+    * identical on both engines.
+    */
+  def geoShadeRgb(s: SparkSession, dir: String): DataFrame = {
+    def ramp(shade: org.apache.spark.sql.Column) = {
+      val r = least(lit(255L), shade * 3L)
+      val g = greatest(lit(0L), least(lit(255L), (shade - 85L) * 3L))
+      val b = greatest(lit(0L), least(lit(255L), (shade - 170L) * 3L))
+      (r, g, b)
+    }
+    val w = Window.orderBy(col("cnt"))
+    val shaded = rasterDf(s, dir)
+      .select(col("px"), col("py"), col("cnt"),
+        floor(percent_rank().over(w) * 255).cast("long").as("shade"))
+    val (r, g, b) = ramp(col("shade"))
+    shaded.select(col("px"), col("py"), col("shade"),
+      r.as("red"), g.as("green"), b.as("blue"))
+      .orderBy(col("px"), col("py"))
+  }
+
+  val geoShadeRgbSql: String =
+    s"""WITH $pointsCte, $mercCte, $rasterCte,
+       |shaded AS (
+       |  SELECT px, py, cnt,
+       |    CAST(floor(percent_rank() OVER (ORDER BY cnt) * 255) AS BIGINT) AS shade
+       |  FROM raster)
+       |SELECT px, py, shade,
+       |  least(255, shade * 3) AS red,
+       |  greatest(0, least(255, (shade - 85) * 3)) AS green,
+       |  greatest(0, least(255, (shade - 170) * 3)) AS blue
+       |FROM shaded ORDER BY px, py""".stripMargin
+
   /** Per-partition (day) fan-out: one frame-summary row per day of
     * in-bbox points, with an ordered frame sequence — the Spark-native
     * equivalent of the reference's per-month AWS Batch array job
@@ -216,6 +250,7 @@ object Geo {
     "geo_bbox_filter" -> geoBboxFilter,
     "geo_rasterize" -> geoRasterize,
     "geo_shade_eqhist" -> geoShadeEqhist,
+    "geo_shade_rgb" -> geoShadeRgb,
     "map_fanout" -> mapFanout,
     "reduce_assemble" -> reduceAssemble)
 
@@ -224,6 +259,7 @@ object Geo {
     "geo_bbox_filter" -> geoBboxFilterSql,
     "geo_rasterize" -> geoRasterizeSql,
     "geo_shade_eqhist" -> geoShadeEqhistSql,
+    "geo_shade_rgb" -> geoShadeRgbSql,
     "map_fanout" -> mapFanoutSql,
     "reduce_assemble" -> reduceAssembleSql)
 }

@@ -26,6 +26,20 @@ class SourcesSpec extends SparkSpec {
     assert(c.columns.toSet == Set("id", "lat", "lon"))
   }
 
+  test("partitioned sink enables partition pruning on read") {
+    val events = Tables.load(spark, sf, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Tables.writePartitioned(events, "/tmp/graft-test-part", "day")
+    val pruned = spark.read.parquet("/tmp/graft-test-part")
+      .filter(col("day") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the day predicate must be a partition filter, not a data filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("day"), s"expected day partition filter in:\n$plan")
+    assert(pruned.count() > 0)
+  }
+
   test("csv and json round-trip through the schema'd loaders") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
