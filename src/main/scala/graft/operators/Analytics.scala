@@ -487,6 +487,64 @@ object Analytics {
       |FROM events
       |ORDER BY user_id, us, event_id""".stripMargin
 
+  // ----------------------------------------------------------- range join
+  /** Range (interval) join: every event within 1 hour AFTER a
+    * purchase by the same user. Expressed as a bucketized equi-join:
+    * both sides key on floor(us / window), the purchase side probes
+    * its bucket and the next, and the exact range predicate filters
+    * after the equi-match. At 100 TB this shuffles on uniform bucket
+    * keys instead of exploding a cartesian/BNL range join.
+    */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val W = 3600L * 1000000L // 1-hour window, micros
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("us").as("p_us"),
+        explode(array((col("us") / W).cast("long"),
+          (col("us") / W).cast("long") + 1)).as("bucket"))
+    val probes = e.select(col("user_id").as("e_user"), col("event_id").as("probe_id"),
+      col("event_type").as("probe_type"), col("us").as("e_us"),
+      (col("us") / W).cast("long").as("bucket"))
+    purchases.join(probes,
+        purchases("bucket") === probes("bucket") && col("p_user") === col("e_user")
+          && col("e_us") > col("p_us") && col("e_us") <= col("p_us") + W)
+      .select(col("purchase_id"), col("probe_id"), col("probe_type"),
+        ((col("e_us") - col("p_us")) / 1000000.0).as("delta_sec"))
+      .orderBy(col("purchase_id"), col("probe_id"))
+  }
+
+  val joinRangeSql: String =
+    """SELECT p.event_id AS purchase_id, e.event_id AS probe_id,
+      |  e.event_type AS probe_type,
+      |  (epoch_us(e.ts) - epoch_us(p.ts)) / 1000000.0 AS delta_sec
+      |FROM events p JOIN events e
+      |  ON p.event_type = 'purchase' AND p.user_id = e.user_id
+      |  AND epoch_us(e.ts) > epoch_us(p.ts)
+      |  AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000
+      |ORDER BY purchase_id, probe_id""".stripMargin
+
+  /** Bloom-filter pre-join sketch: build a Bloom filter over orders'
+    * custkeys (df.stat.bloomFilter) and filter customers through
+    * `might_contain` semantics driver-side-free — the classic 100 TB
+    * technique for shrinking the probe side before a shuffle join.
+    * Rows-only (the sketch is Spark-specific); the spec proves zero
+    * false negatives against the exact semi-join and bounds the false
+    * positive count.
+    */
+  def filterBloom(s: SparkSession, dir: String): DataFrame = {
+    val custkeys = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val bloom = custkeys.stat.bloomFilter("o_custkey", 10000, 0.01)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
+    t(s, dir, "customer")
+      .filter(mightContain(col("c_custkey")))
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
   // ------------------------------------------------- percentiles/sketches
   /** Exact interpolated percentiles per group (the correctness twin of
     * the sketch below). Both engines interpolate at p·(n−1).
@@ -567,6 +625,8 @@ object Analytics {
     "sessionize" -> sessionize,
     "topk_per_group_agg" -> topkPerGroupAgg,
     "join_asof" -> joinAsof,
+    "join_range" -> joinRange,
+    "filter_bloom" -> filterBloom,
     "agg_percentile" -> aggPercentile,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_approx_distinct" -> aggApproxDistinct)
@@ -576,6 +636,7 @@ object Analytics {
     "cube_revenue" -> cubeRevenueSql,
     "topk_per_group_agg" -> topkPerGroupSql,
     "join_asof" -> joinAsofSql,
+    "join_range" -> joinRangeSql,
     "agg_percentile" -> aggPercentileSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

@@ -103,6 +103,27 @@ class AnalyticsSpec extends SparkSpec {
       }
   }
 
+  test("bloom pre-filter has zero false negatives and bounded false positives") {
+    val exact = graft.sources.Tables.load(spark, sf, "customer")
+      .join(graft.sources.Tables.load(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey").as[Long].collect().toSet
+    val bloomed = Analytics.filterBloom(spark, sf)
+      .select("c_custkey").as[Long].collect().toSet
+    assert(exact.subsetOf(bloomed), "bloom filter dropped a true member")
+    val total = graft.sources.Tables.load(spark, sf, "customer").count()
+    val fp = (bloomed -- exact).size
+    assert(fp <= math.max(5L, (total - exact.size) / 10), s"too many false positives: $fp")
+  }
+
+  test("range join matches only events in the (0, 1h] window after a purchase") {
+    val out = Analytics.joinRange(spark, sf)
+      .select("purchase_id", "probe_id", "delta_sec").as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (p, e, d) => d > 0 && d <= 3600.0 && p != e })
+  }
+
   test("join_semi + join_anti partition the urgent-order space") {
     val semiN = Analytics.joinSemi(spark, sf).count()
     val antiN = Analytics.joinAnti(spark, sf).count()
