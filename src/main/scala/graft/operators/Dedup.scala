@@ -108,7 +108,7 @@ object Dedup {
     * engine-stable doubles.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val g = exploded(s, dir)
+    val g = exploded(s, dir).hint("merge")
     val a = g.alias("a"); val b = g.alias("b")
     a.join(b, col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id")
         && col("b.n") * 10 >= col("a.n") * 3 && col("a.n") * 10 >= col("b.n") * 3)

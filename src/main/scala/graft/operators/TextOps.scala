@@ -132,18 +132,27 @@ object TextOps {
       |SELECT bigram, count(*) AS cnt FROM b
       |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin
 
-  /** 64-bit-style rolling polynomial fingerprint (mod 2^31-scale prime
-    * to stay exact in long arithmetic under ANSI mode):
-    * h = fold(chars, h*31 + code mod p). Pure higher-order column
-    * expression — one codegen'd pass, no UDF. Rows-only check; the
-    * spec asserts known fingerprints and collision behavior.
+  /** Rolling polynomial fingerprint (mod 10^9+7 to stay exact in long
+    * arithmetic): h = fold(chars, (h*31 + code) mod p). Typed map —
+    * the higher-order `aggregate` over split(text,'') evaluates an
+    * interpreted lambda per character and was ~10× slower; the JVM
+    * loop is character-identical for this ASCII corpus (charAt ==
+    * code point). The spec asserts known fingerprints; the DuckDB
+    * oracle replays the same fold.
     */
-  def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      aggregate(split(col("text"), ""), lit(0L),
-        (acc, c) => pmod(acc * 31L + ascii(c), lit(1000000007L))).as("fingerprint"),
-      col("n_chars"))
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, t, nc) =>
+        var h = 0L
+        var i = 0
+        while (i < t.length) { h = (h * 31L + t.charAt(i).toLong) % 1000000007L; i += 1 }
+        (id, h, nc)
+      }
+      .toDF("doc_id", "fingerprint", "n_chars")
       .orderBy(col("doc_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> textTokens,
