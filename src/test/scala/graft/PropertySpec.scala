@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+import graft.operators.Analytics
+
+/** Seeded randomized property tests — each property generates many
+  * cases and evaluates them in ONE Spark job against a pure-Scala
+  * model, so the suite stays fast.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("property: sessionize partitions each user's events with >gap between sessions") {
+    val rnd = new Random(42)
+    val gapUs = 1800L * 1000000L
+    val base = 1700000000000000L
+    // 50 users, random event trains with mixed intra/inter-session gaps
+    val evs = (1 to 50).flatMap { u =>
+      var t = base + rnd.nextInt(100000)
+      (1 to 1 + rnd.nextInt(40)).map { i =>
+        t += (if (rnd.nextBoolean()) rnd.nextInt(29 * 60) + 1 // stay in session
+              else 31 * 60 + rnd.nextInt(7200)) * 1000000L    // break session
+        (u.toLong, (u * 1000 + i).toLong, t, 1.0 + rnd.nextInt(100))
+      }
+    }
+    evs.toDF("user_id", "event_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("event_type", lit("click"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-prop-sess/events.parquet")
+    val out = Analytics.sessionize(spark, "/tmp/graft-prop-sess")
+      .select("user_id", "session_id", "n_events").as[(Long, Long, Long)].collect()
+    // model: fold the sorted train per user
+    val model = evs.groupBy(_._1).map { case (u, rows) =>
+      val ts = rows.map(_._3).sorted
+      val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+        if (t - acc.head.head > gapUs) List(t) :: acc
+        else (t :: acc.head) :: acc.tail
+      }
+      u -> sessions.map(_.length.toLong).reverse
+    }
+    val got = out.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(_._2).map(_._3).toList
+    }
+    assert(got == model)
+  }
+
+  test("property: mercator projection inverts within 1e-9 degrees") {
+    val rnd = new Random(7)
+    val M = 20037508.342789244 / 180.0
+    val R = 6378137.0
+    val pts = (1 to 500).map { i =>
+      (i.toLong, -74.15 + rnd.nextDouble() * 0.4, 40.55 + rnd.nextDouble() * 0.35)
+    }
+    val out = pts.toDF("id", "lon", "lat")
+      .select(col("id"), col("lon"), col("lat"),
+        (col("lon") * M).as("x"),
+        (log(tan((col("lat") + 90.0) * (math.Pi / 360.0))) * R).as("y"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+    out.foreach { case (_, lon, lat, x, y) =>
+      val lonBack = x / M
+      val latBack = math.toDegrees(2 * math.atan(math.exp(y / R))) - 90.0
+      assert(math.abs(lonBack - lon) < 1e-9, s"lon $lon -> $lonBack")
+      assert(math.abs(latBack - lat) < 1e-9, s"lat $lat -> $latBack")
+    }
+  }
+
+  test("property: TopK aggregator equals sort-take-k on random groups") {
+    val rnd = new Random(13)
+    val rows = (1 to 5000).map { i =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(1000).toLong, i.toLong, rnd.nextDouble())
+    } // (group, sortKey, id, payload) — sortKey collisions guaranteed
+    val ds = rows.toDF("g", "sk", "id", "p").as[(Long, Long, Long, Double)]
+    val got = ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, r._4))
+      .agg(graft.functions.TopKAggregator.topK(5).toColumn.name("top"))
+      .collect().toMap
+    val model = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3, r._4))
+        .sortBy { case (sk, id, _) => (-sk, id) }.take(5).toSeq
+    }
+    assert(got.keySet == model.keySet)
+    got.foreach { case (g, top) => assert(top == model(g), s"group $g") }
+  }
+
+  test("property: integer-cents round-trips 2-decimal doubles exactly") {
+    val rnd = new Random(99)
+    val vals = (1 to 10000).map(_ => math.round(rnd.nextDouble() * 1e7) / 100.0)
+    val out = vals.toDF("v")
+      .select((round(col("v") * 100).cast("long") / 100.0).as("rt"))
+      .as[Double].collect()
+    vals.zip(out).foreach { case (v, rt) => assert(v == rt, s"$v != $rt") }
+  }
+}
