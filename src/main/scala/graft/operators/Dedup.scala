@@ -235,16 +235,37 @@ object Dedup {
     * on the O(pairs·dim) inner loop.
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    // Brute force is inherently broadcast-one-side (the scale path is
+    // Similarity.annLsh): one side is broadcast as a plain array and
+    // each partition streams its rows against it. The dot fold runs in
+    // the same sequential order as FloatVectorDot / the DuckDB
+    // list_reduce oracle, so cosines stay bit-identical. The
+    // BroadcastNestedLoopJoin formulation spent ~5× longer in join-row
+    // machinery for the same arithmetic.
     val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        expr("sqrt(vector_dot(embedding, embedding))").as("nrm"))
-    val a = e.alias("a"); val b = e.alias("b")
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (expr("vector_dot(a.embedding, b.embedding)")
-          / (col("a.nrm") * col("b.nrm"))).as("cosine"))
-      .filter(col("cosine") >= 0.45)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def nrm(v: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += v(i).toDouble * v(i); i += 1 }
+      math.sqrt(d)
+    }
+    val all = s.sparkContext.broadcast(
+      e.collect().sortBy(_._1).map { case (id, v) => (id, v, nrm(v)) })
+    e.mapPartitions { it =>
+      val corpus = all.value
+      it.flatMap { case (id, v) =>
+        val n = nrm(v)
+        corpus.iterator.filter(_._1 > id).flatMap { case (oid, ov, on) =>
+          var d = 0.0; var i = 0
+          val m = math.min(v.length, ov.length)
+          while (i < m) { d += v(i).toDouble * ov(i); i += 1 }
+          val cos = d / (n * on)
+          if (cos >= 0.45) Iterator.single((id, oid, cos)) else Iterator.empty
+        }
+      }
+    }
+      .toDF("vec_a", "vec_b", "cosine")
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
