@@ -227,6 +227,63 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------- connected components
+  /** Duplicate CLUSTERS from the verified near-dup pairs: iterative
+    * min-label propagation (each doc's component = smallest doc_id
+    * reachable through near-dup edges). Pure DataFrame loop — join +
+    * groupBy(min) per round, converging in O(component diameter)
+    * rounds; the same algorithm scales as small-star/large-star at
+    * 100 TB. Oracle: a recursive CTE computing min reachable id.
+    */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    // bidirectional edge list, cached: reused every iteration
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2")).agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("newlabel"),
+          col("label"))
+      updated.cache()
+      changed = updated.filter(col("newlabel") < col("label")).count()
+      labels = updated.select(col("id"), col("newlabel").as("label"))
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupComponentsSql: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
+      |  FROM w WHERE len(ws) > 2),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+      |  JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id
+      |  WHERE zb.n * 10 >= za.n * 3 AND za.n * 10 >= zb.n * 3
+      |  GROUP BY 1, 2),
+      |p AS (SELECT doc_a, doc_b FROM inter
+      |  JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
+      |  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+      |SELECT id AS doc_id, min(r) AS component
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- embedding
   /** Embedding-cosine near-dup pairs (brute force, the correctness
     * baseline; the banded scale path is Similarity.annLsh). Cosine via
@@ -274,7 +331,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_components" -> dedupComponents)
 
   /** DuckDB twin of the cosine pairs: sequential left-fold dot, same
     * association order as FloatVectorDot ⇒ bit-identical doubles.
@@ -289,5 +347,6 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_components" -> dedupComponentsSql)
 }

@@ -81,6 +81,20 @@ class TextDedupSpec extends SparkSpec {
     assert(out.forall(_._3 <= 8))
   }
 
+  test("components merge transitive near-dup chains to the min id") {
+    val out = Dedup.dedupComponents(spark, sf)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    val pairs = Dedup.dedupNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // every edge's endpoints share a component, and the component id
+    // is a member of the vertex set with the minimum reachable id
+    pairs.foreach { case (a, b) =>
+      assert(out(a) == out(b), s"edge ($a,$b) split across components")
+      assert(out(a) <= math.min(a, b))
+    }
+    assert(out.values.toSet.subsetOf(out.keySet))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val out = Dedup.dedupEmbedding(spark, sf)
       .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
