@@ -87,9 +87,57 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-style ANN: a 16-cell coarse quantizer (deterministic
+    * codebook: the vectors with vec_id < 16) assigns every vector to
+    * its nearest centroid; queries probe their nprobe=2 nearest cells
+    * and rank candidates by exact cosine. The corpus-side pass is one
+    * typed map (16 dots per row); search shuffles only on cell ids.
+    * The real-system upgrade is a trained k-means codebook — the
+    * assignment/probe plumbing is identical.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val NPROBE = 2
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    def nrm(v: Array[Float]): Double = math.sqrt(dotd(v, v))
+    val codebook = s.sparkContext.broadcast(
+      e.filter(_._1 < 16).collect().sortBy(_._1)
+        .map { case (id, v) => (id, v, nrm(v)) })
+    def cellsOf(v: Array[Float], n: Double, k: Int): Seq[Long] =
+      codebook.value
+        .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(k).map(_._1).toSeq
+    val assigned = e.map { case (id, v) =>
+      val n = nrm(v)
+      (id, v, n, cellsOf(v, n, 1).head)
+    }.toDF("vec_id", "embedding", "nrm", "cell")
+    val probes = e.filter(_._1 < NQ).flatMap { case (id, v) =>
+      val n = nrm(v)
+      cellsOf(v, n, NPROBE).map(c => (id, v, n, c))
+    }.toDF("q_id", "q_emb", "q_nrm", "cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(probes).join(assigned,
+        probes("cell") === assigned("cell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
-    "ann_lsh" -> annLsh)
+    "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf)
 
   /** DuckDB twin of the brute-force path: the dot product is a
     * sequential left-fold over per-element double products — the same

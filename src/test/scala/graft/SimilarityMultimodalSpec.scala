@@ -45,6 +45,20 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(out.forall { case (_, r, c) => r >= 1L && r <= 5L && c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
   }
 
+  test("IVF ANN produces valid ranked neighbors with decent recall vs brute force") {
+    val ivf = Similarity.annIvf(spark, sf)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_._1).values.foreach { rows =>
+      assert(rows.sortBy(_._3).map(_._3).toSeq == (1L to rows.length.toLong))
+    }
+    val bf = Similarity.annBruteforce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val hits = ivf.map(r => (r._1, r._2)).count(bf.contains)
+    val recall = hits.toDouble / bf.size
+    assert(recall >= 0.2, s"IVF recall@5 unexpectedly low: $recall")
+  }
+
   test("mm ingest kinds cycle by doc_id and sha256 is 64 hex chars") {
     val out = Multimodal.mmIngest(spark, sf)
       .select("doc_id", "kind", "sha256").as[(Long, String, String)].collect()
