@@ -24,8 +24,14 @@ object TopKAggregator {
   def topK(k: Int): Aggregator[Row3, List[Row3], Seq[Row3]] =
     new Aggregator[Row3, List[Row3], Seq[Row3]] {
 
-      private def ord: Ordering[Row3] =
-        Ordering.by[Row3, (Long, Long)] { case (s, id, _) => (-s, id) }
+      private def ord: Ordering[Row3] = new Ordering[Row3] {
+        // explicit compare — negating the key would overflow on
+        // Long.MinValue and rank it first instead of last
+        override def compare(a: Row3, b: Row3): Int = {
+          val c = java.lang.Long.compare(b._1, a._1) // sortKey DESC
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2) // id ASC
+        }
+      }
 
       private def bounded(xs: List[Row3]): List[Row3] =
         xs.sorted(ord).take(k)

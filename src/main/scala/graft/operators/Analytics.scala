@@ -54,8 +54,12 @@ object Analytics {
       .agg(
         (sum(qc) / 100.0).as("sum_qty"),
         (sum(epc) / 100.0).as("sum_base_price"),
-        (sum(epc * (lit(100) - dc)) / 10000.0).as("sum_disc_price"),
-        (sum(epc * (lit(100) - dc) * (lit(100) + tc)) / 1000000.0).as("sum_charge"),
+        // product terms reach ~1e11/row: sum in DECIMAL(38,0) so the
+        // accumulator cannot overflow int64 at 100 TB scale factors;
+        // DuckDB's sum(BIGINT) is already HUGEINT. Both cast the exact
+        // integer sum to double before one IEEE division.
+        (sum((epc * (lit(100) - dc)).cast("decimal(38,0)")).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum((epc * (lit(100) - dc) * (lit(100) + tc)).cast("decimal(38,0)")).cast("double") / 1000000.0).as("sum_charge"),
         (sum(qc) / 100.0 / count(lit(1))).as("avg_qty"),
         (sum(epc) / 100.0 / count(lit(1))).as("avg_price"),
         (sum(dc) / 100.0 / count(lit(1))).as("avg_disc"),
@@ -92,7 +96,7 @@ object Analytics {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg((sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))) / 10000.0).as("revenue"))
+      .agg((sum((cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).cast("decimal(38,0)")).cast("double") / 10000.0).as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
         fmtDay(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -131,7 +135,7 @@ object Analytics {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg((sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))) / 10000.0).as("revenue"))
+      .agg((sum((cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).cast("decimal(38,0)")).cast("double") / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 

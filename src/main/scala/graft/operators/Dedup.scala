@@ -50,7 +50,9 @@ object Dedup {
     * unchanged.
     */
   private def trigrams(text: String): Array[String] = {
-    val ws = text.split(' ')
+    // split(" ", -1) keeps empty tokens (doubles/trailing spaces) —
+    // the same tokenization as DuckDB string_split and SQL split()
+    val ws = text.split(" ", -1)
     val set = scala.collection.mutable.LinkedHashSet.empty[String]
     var i = 0
     while (i + 2 < ws.length) {
@@ -198,7 +200,7 @@ object Dedup {
     val sigs = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) =>
         val counts = new Array[Int](64)
-        t.split(' ').foreach { w =>
+        t.split(" ", -1).foreach { w =>
           val h = xxh64(w)
           var j = 0
           while (j < 64) {
@@ -245,18 +247,24 @@ object Dedup {
       .select(col("id"), col("id").as("label"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    // run to FIXPOINT (the oracle is exact); localCheckpoint each round
+    // truncates the growing join lineage and replaces per-round caches
+    while (changed > 0 && rounds < 64) {
       val neighborMin = edges
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id2")).agg(min(col("label")).as("nmin"))
       val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("newlabel"),
           col("label"))
-      updated.cache()
+        .localCheckpoint()
       changed = updated.filter(col("newlabel") < col("label")).count()
       labels = updated.select(col("id"), col("newlabel").as("label"))
       rounds += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupComponents did not converge in $rounds rounds")
+    edges.unpersist(false)
     labels.select(col("id").as("doc_id"), col("label").as("component"))
       .orderBy(col("doc_id"))
   }

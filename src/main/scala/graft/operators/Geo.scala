@@ -60,17 +60,19 @@ object Geo {
       |    40.55 + ((event_id * 1103515245 + 12345) % 100000)/100000.0 * 0.35 AS lat
       |  FROM events)""".stripMargin
 
-  /** EPSG:4326 → EPSG:3857: x = lon·M, y = ln(tan((90+lat)·π/360))·M.
-    * Pure codegen'd column math; outputs rounded to cm so last-ulp libm
-    * differences between engines cannot flip the hash.
+  /** EPSG:4326 → EPSG:3857: x = lon·M, y = ln(tan((90+lat)·π/360))·R,
+    * rounded to cm AT THE PROJECTION so every downstream consumer
+    * (bbox predicate, pixel binning, output) sees identical doubles on
+    * both engines — last-ulp libm differences in tan/ln can otherwise
+    * flip a bin or an edge inclusion.
     */
-  private def mercX = (col("lon") * M).as("x")
-  private def mercY = (log(tan((col("lat") + 90.0) * (math.Pi / 360.0))) * R).as("y")
+  private def mercX = round(col("lon") * M, 2).as("x")
+  private def mercY = round(log(tan((col("lat") + 90.0) * (math.Pi / 360.0))) * R, 2).as("y")
 
   private val mercCte: String =
     s"""merc AS (
-       |  SELECT event_id, ts, lon * $M AS x,
-       |    ln(tan((lat + 90.0) * ${math.Pi / 360.0})) * $R AS y
+       |  SELECT event_id, ts, round(lon * $M, 2) AS x,
+       |    round(ln(tan((lat + 90.0) * ${math.Pi / 360.0})) * $R, 2) AS y
        |  FROM points)""".stripMargin
 
   def geoMercator(s: SparkSession, dir: String): DataFrame =

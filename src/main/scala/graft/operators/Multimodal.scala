@@ -54,8 +54,8 @@ object Multimodal {
     batch.map { b =>
       val d = b.data
       Features(b.doc_id, b.kind, d.length,
-        if (d.nonEmpty) d.head & 0xff else -1,
-        if (d.nonEmpty) d.last & 0xff else -1,
+        if (d.nonEmpty) d.head & 0xff else 0, // ascii('') = 0 in the oracle
+        if (d.nonEmpty) d.last & 0xff else 0,
         d.foldLeft(0L)((acc, x) => (acc * 31 + (x & 0xff)) % 997))
     }
 

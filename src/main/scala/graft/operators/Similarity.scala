@@ -107,9 +107,11 @@ object Similarity {
       d
     }
     def nrm(v: Array[Float]): Double = math.sqrt(dotd(v, v))
-    val codebook = s.sparkContext.broadcast(
-      e.filter(_._1 < 16).collect().sortBy(_._1)
-        .map { case (id, v) => (id, v, nrm(v)) })
+    val cbRows = e.filter(_._1 < 16).collect().sortBy(_._1)
+      .map { case (id, v) => (id, v, nrm(v)) }
+    require(cbRows.nonEmpty,
+      "ann_ivf needs codebook vectors (vec_id < 16) in the embeddings table")
+    val codebook = s.sparkContext.broadcast(cbRows)
     def cellsOf(v: Array[Float], n: Double, k: Int): Seq[Long] =
       codebook.value
         .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }

@@ -165,7 +165,10 @@ object EventStreams {
         (uid: Long, evs: Iterator[EvT], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.remove()
+            // keep a tombstone with the NEXT session id so later events
+            // continue the per-user numbering instead of reusing id 0
+            // (one tiny record per user — same state bound as dedup)
+            state.update(SessState(st.sessionId + 1, -1L, Long.MinValue / 4, 0L, 0L))
             Iterator.single(SessionOut(uid, st.sessionId, st.nEv,
               (st.lastUs - st.startUs) / 1000000.0, st.sumCents / 100.0))
           } else {
@@ -188,7 +191,8 @@ object EventStreams {
             }
             state.update(st)
             // flush the open session when the watermark passes last+gap
-            state.setTimeoutTimestamp(st.lastUs / 1000L + GapUs / 1000L)
+            if (st.nEv > 0)
+              state.setTimeoutTimestamp(st.lastUs / 1000L + GapUs / 1000L)
             out.result().iterator
           }
       }

@@ -68,9 +68,20 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(EventStreams.EvT(2L, 4L, ts(7300), 300))
       q.processAllAvailable()
-      val rows = spark.sql("SELECT user_id, session_id, n_events, session_value FROM sessevt")
+      var rows = spark.sql("SELECT user_id, session_id, n_events, session_value FROM sessevt")
         .as[(Long, Long, Long, Double)].collect().toSet
       assert(rows.contains((1L, 0L, 2L, 3.0)), s"got $rows")
+      // user 1 returns AFTER the timeout flush: numbering must continue
+      // at session 1 (not reuse 0), and flush again on watermark pass
+      mem.addData(EventStreams.EvT(1L, 5L, ts(7400), 500))
+      q.processAllAvailable()
+      mem.addData(EventStreams.EvT(2L, 6L, ts(12000), 100))
+      q.processAllAvailable()
+      mem.addData(EventStreams.EvT(2L, 7L, ts(12100), 100))
+      q.processAllAvailable()
+      rows = spark.sql("SELECT user_id, session_id, n_events, session_value FROM sessevt")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 1L, 1L, 5.0)), s"expected continued session id 1, got $rows")
     } finally q.stop()
   }
 
