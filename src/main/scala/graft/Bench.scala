@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,14 +15,33 @@ object Bench {
     }
     // Two passes: the first pays one-time janino/codegen compilation
     // (~0.5-1.5s per query — larger than the data time at sf0.1); the
-    // second measures steady-state engine throughput. Both reported.
+    // second measures steady-state engine throughput. Both recorded.
     val cold = SparkEntry.queries.map { case (name, fn) => name -> once(name, fn) }
     val warm = SparkEntry.queries.map { case (name, fn) => name -> once(name, fn) }
+    // 3-decimal rounding keeps each entry ~22 bytes; the printed line
+    // must stay well under the driver's output-tail capture window
+    // (r1's ~4KB line got front-truncated there → "parsed": null).
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // locale-proof decimal point
     def js(m: Map[String, Double]) =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (warm.nonEmpty) warm.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"cold_total":$coldTotal,"cold_queries":${js(cold)},"sf":"$sfDir"}""")
+    // sf as a bare number when the dir name encodes one ("sf0.1" → 0.1).
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(warm)},"cold_total":${r3(coldTotal)},"sf":$sfNum}"""
+    // Full (unrounded, warm+cold per query) detail goes to a file; only
+    // the compact line goes to stdout.
+    val full = s"""{"sf_dir":"$sfDir","total":$total,"cold_total":$coldTotal,""" +
+      s""""queries":${m2j(warm)},"cold_queries":${m2j(cold)}}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try Files.writeString(Paths.get(outFile), full)
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
+    // Printed after spark.stop() so no executor/log line can interleave;
+    // this is the final stdout line of the run.
+    println(line)
   }
+  private def m2j(m: Map[String, Double]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 }

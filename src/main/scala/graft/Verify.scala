@@ -39,6 +39,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Expected-key manifest: a query that throws before creating its
+    // output dir must COUNT AS A FAILURE downstream, not vanish from
+    // the gate (which iterates output dirs otherwise).
+    val keys = SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/query_keys.json"), keys)
     spark.stop()
   }
 }

@@ -67,9 +67,29 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * compose with `expr(...)`/`spark.sql`. Idempotent.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     GraftSqlShim.registerFunction(spark, "vector_dot",
       exprs => FloatVectorDot(exprs(0), exprs(1)))
+    registerBloom(spark)
+  }
+
+  /** Spark ships executor-side Bloom sketches as internal expressions
+    * (used by its own runtime row-level filtering) without SQL names;
+    * surfacing them keeps filter_bloom's build side a mergeable
+    * aggregate and its probe side codegen'd — no driver funnel, no UDF.
+    */
+  def registerBloom(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    GraftSqlShim.registerFunction(spark, "graft_bloom_agg",
+      exprs => exprs.size match {
+        case 1 => new BloomFilterAggregate(exprs.head)
+        case 2 => new BloomFilterAggregate(exprs(0), exprs(1))
+        case _ => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+      })
+    GraftSqlShim.registerFunction(spark, "graft_might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)))
+  }
 }
 
 /** SparkSessionExtensions installer — the public, cluster-friendly

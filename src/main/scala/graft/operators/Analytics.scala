@@ -529,25 +529,39 @@ object Analytics {
       |  AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000
       |ORDER BY purchase_id, probe_id""".stripMargin
 
-  /** Bloom-filter pre-join sketch: build a Bloom filter over orders'
-    * custkeys (df.stat.bloomFilter) and filter customers through
-    * `might_contain` semantics driver-side-free — the classic 100 TB
-    * technique for shrinking the probe side before a shuffle join.
-    * Rows-only (the sketch is Spark-specific); the spec proves zero
-    * false negatives against the exact semi-join and bounds the false
-    * positive count.
+  /** Bloom-filter pre-join: build an executor-side Bloom sketch over
+    * URGENT orders' custkeys with Spark's native `BloomFilterAggregate`
+    * (mergeable partials — the build side never funnels through the
+    * driver) and probe with `BloomFilterMightContain` (codegen'd, no
+    * UDF), the classic 100 TB technique for shrinking the probe side
+    * before a shuffle join. The sketch reaches the probe as a scalar
+    * subquery — exactly how Spark's own runtime row-level filtering
+    * wires it. Bloom admits false positives, so the registered query
+    * keeps the exact semi-join as the verify step behind the sketch:
+    * output = the exact URGENT-customer set (bloom has no false
+    * negatives) ⇒ full DuckDB oracle; the spec additionally bounds the
+    * sketch's false-positive pass-through.
     */
   def filterBloom(s: SparkSession, dir: String): DataFrame = {
-    val custkeys = t(s, dir, "orders")
-      .filter(col("o_orderpriority") === "1-URGENT")
-    val bloom = custkeys.stat.bloomFilter("o_custkey", 10000, 0.01)
-    val bloomBc = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
-    t(s, dir, "customer")
-      .filter(mightContain(col("c_custkey")))
-      .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
+    graft.functions.GraftFunctions.registerBloom(s)
+    t(s, dir, "orders").createOrReplaceTempView("graft_fb_orders")
+    t(s, dir, "customer").createOrReplaceTempView("graft_fb_customer")
+    s.sql(
+      """SELECT c_custkey, c_name FROM graft_fb_customer
+        |WHERE graft_might_contain(
+        |    (SELECT graft_bloom_agg(o_custkey, CAST(10000 AS BIGINT), CAST(100000 AS BIGINT))
+        |     FROM graft_fb_orders WHERE o_orderpriority = '1-URGENT'),
+        |    c_custkey)
+        |  AND EXISTS (SELECT 1 FROM graft_fb_orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
   }
+
+  val filterBloomSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
 
   // ------------------------------------------------- percentiles/sketches
   /** Exact interpolated percentiles per group (the correctness twin of
@@ -641,6 +655,7 @@ object Analytics {
     "topk_per_group_agg" -> topkPerGroupSql,
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
+    "filter_bloom" -> filterBloomSql,
     "agg_percentile" -> aggPercentileSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

@@ -293,21 +293,87 @@ object Dedup {
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- embedding
-  /** Embedding-cosine near-dup pairs (brute force, the correctness
-    * baseline; the banded scale path is Similarity.annLsh). Cosine via
-    * [[graft.functions.FloatVectorDot]] — a codegen'd native
-    * expression; Spark's interpreted higher-order fold was ~9× slower
-    * on the O(pairs·dim) inner loop.
+  private def vdot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    GraftSqlShim.column(graft.functions.FloatVectorDot(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+  }
+
+  /** Number of vec_id blocks for the triangle block-pair join. Each
+    * vector is replicated to EMB_BLOCKS buckets, and every pair meets
+    * in exactly one of the EMB_BLOCKS·(EMB_BLOCKS+1)/2 bucket keys, so
+    * per-task memory is bounded at ~2N/EMB_BLOCKS vectors while the
+    * comparison count stays exactly N·(N−1)/2. Tune ≈ sqrt(cluster
+    * cores) upward at larger scale.
+    */
+  private val EMB_BLOCKS = 8
+
+  /** Embedding-cosine near-dup pairs — EXACT all-pairs, distributed.
+    *
+    * The exact threshold semantics (oracle = every pair with cosine
+    * ≥ 0.45) force a complete pairwise comparison: the qualifying pairs
+    * in this corpus sit just above the threshold (min ≈ 0.4501), so no
+    * approximate candidate generator (sign-LSH, IVF) reaches 100%
+    * recall — those are the *approximate* scale paths (Similarity
+    * .annLsh / annIvf). What CAN scale out is the comparison itself:
+    * triangle block-pair partitioning (blk = vec_id mod B; a vector in
+    * block i is emitted to every bucket {min(i,x), max(i,x)}) turns the
+    * quadratic scan into a uniform equi-join over B(B+1)/2 bucket keys
+    * — executor-parallel, nothing driver-side, each pair produced
+    * exactly once (u meets v only in bucket {blk(u), blk(v)}).
+    *
+    * Cosine runs through [[graft.functions.FloatVectorDot]] (codegen'd,
+    * sequential accumulation) so results stay bit-identical to the
+    * DuckDB list_reduce oracle. The old broadcast brute force lives on
+    * as [[dedupEmbeddingBruteForce]] for the spec cross-check only.
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val B = EMB_BLOCKS
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vdot(col("embedding"), col("embedding"))).as("nrm"),
+        pmod(col("vec_id"), lit(B)).cast("int").as("blk"))
+    // Asymmetric triangle emission: the LEFT side plays the ROW block
+    // (block i → buckets (i,j), j ≥ i), the RIGHT side the COLUMN block
+    // (block j → buckets (i,j), i ≤ j), so bucket (i,j) evaluates
+    // exactly block_i × block_j — each unordered pair once, ~N²/2 total
+    // comparisons (the symmetric both-sides emission costs 4×). Only
+    // diagonal buckets see a pair twice, deduped by vec_id order.
+    val a = e
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("blk").as("blk_a"),
+        explode(sequence(col("blk"), lit(B - 1))).as("cb"))
+      .withColumn("bucket", col("blk_a") * B + col("cb"))
+      // spread buckets across tasks: the source may arrive in one
+      // partition at small SF, and one task must never own the whole
+      // triangle — bucket is the unit of work by construction.
+      .repartition(col("bucket"))
+    val b = e
+      .select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("blk").as("blk_b"),
+        explode(sequence(lit(0), col("blk"))).as("rb"))
+      .withColumn("bucket_b", col("rb") * B + col("blk_b"))
+    // the cosine threshold lives IN the join condition: non-matching
+    // pairs are rejected on the streamed JoinedRow view and never
+    // copied into a join output row (the embedding payloads make that
+    // copy the dominant cost); the surviving handful recompute the
+    // same codegen'd dot in the projection.
+    val cos = vdot(col("ea"), col("eb")) / (col("na") * col("nb"))
+    a.join(b, col("bucket") === col("bucket_b")
+        && (col("blk_a") =!= col("blk_b") || col("vec_a") < col("vec_b"))
+        && cos >= 0.45)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), cos.as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Spec-only cross-check: the r1 broadcast brute force (collects the
+    * corpus onto the driver — NOT registered; kept to pin
+    * [[dedupEmbedding]]'s block-join against an independent
+    * formulation).
+    */
+  def dedupEmbeddingBruteForce(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Brute force is inherently broadcast-one-side (the scale path is
-    // Similarity.annLsh): one side is broadcast as a plain array and
-    // each partition streams its rows against it. The dot fold runs in
-    // the same sequential order as FloatVectorDot / the DuckDB
-    // list_reduce oracle, so cosines stay bit-identical. The
-    // BroadcastNestedLoopJoin formulation spent ~5× longer in join-row
-    // machinery for the same arithmetic.
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     def nrm(v: Array[Float]): Double = {

@@ -65,24 +65,31 @@ object Geo {
     * (bbox predicate, pixel binning, output) sees identical doubles on
     * both engines — last-ulp libm differences in tan/ln can otherwise
     * flip a bin or an edge inclusion.
+    *
+    * The cm round is floor(v·100 + 0.5)/100 — exact IEEE mul/add/floor
+    * replicated verbatim in the oracle SQL, so parity holds by
+    * construction. Spark's round(x, 2) would instead round the
+    * shortest-decimal repr HALF_UP (BigDecimal) while DuckDB rounds the
+    * binary double — divergent exactly on .xx5 boundaries.
     */
-  private def mercX = round(col("lon") * M, 2).as("x")
-  private def mercY = round(log(tan((col("lat") + 90.0) * (math.Pi / 360.0))) * R, 2).as("y")
+  private def cmRound(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100.0 + 0.5) / 100.0
+  private def mercX = cmRound(col("lon") * M).as("x")
+  private def mercY = cmRound(log(tan((col("lat") + 90.0) * (math.Pi / 360.0))) * R).as("y")
 
   private val mercCte: String =
     s"""merc AS (
-       |  SELECT event_id, ts, round(lon * $M, 2) AS x,
-       |    round(ln(tan((lat + 90.0) * ${math.Pi / 360.0})) * $R, 2) AS y
+       |  SELECT event_id, ts, floor((lon * $M) * 100.0 + 0.5) / 100.0 AS x,
+       |    floor((ln(tan((lat + 90.0) * ${math.Pi / 360.0})) * $R) * 100.0 + 0.5) / 100.0 AS y
        |  FROM points)""".stripMargin
 
   def geoMercator(s: SparkSession, dir: String): DataFrame =
     points(s, dir).select(col("event_id"), mercX, mercY)
-      .select(col("event_id"), round(col("x"), 2).as("x"), round(col("y"), 2).as("y"))
       .orderBy(col("event_id"))
 
   val geoMercatorSql: String =
     s"""WITH $pointsCte, $mercCte
-       |SELECT event_id, round(x, 2) AS x, round(y, 2) AS y
+       |SELECT event_id, x, y
        |FROM merc ORDER BY event_id""".stripMargin
 
   /** Bounding-box range predicate. On a real dataset with materialized
@@ -92,12 +99,11 @@ object Geo {
   def geoBboxFilter(s: SparkSession, dir: String): DataFrame =
     points(s, dir).select(col("event_id"), mercX, mercY)
       .filter(col("x") >= X0 && col("x") <= X1 && col("y") >= Y0 && col("y") <= Y1)
-      .select(col("event_id"), round(col("x"), 2).as("x"), round(col("y"), 2).as("y"))
       .orderBy(col("event_id"))
 
   val geoBboxFilterSql: String =
     s"""WITH $pointsCte, $mercCte
-       |SELECT event_id, round(x, 2) AS x, round(y, 2) AS y
+       |SELECT event_id, x, y
        |FROM merc
        |WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
        |ORDER BY event_id""".stripMargin
@@ -130,18 +136,40 @@ object Geo {
     s"""WITH $pointsCte, $mercCte, $rasterCte
        |SELECT px, py, cnt FROM raster ORDER BY px, py""".stripMargin
 
-  /** Histogram-equalized shading (tf.shade eq_hist equivalent): rank
-    * bins by count, map percent_rank → 0..255 shade. Runs over the
-    * O(pixels) raster, not the input; ties (equal counts) shade equally
-    * so the result is engine-stable.
+  /** Histogram-equalized shading (tf.shade eq_hist equivalent) as a
+    * TWO-PASS HISTOGRAM, not an un-partitioned rank over the raster:
+    * pass 1 reduces the raster to its count histogram (|distinct cnt|
+    * rows — tiny), pass 2 derives each count's strictly-below bin total
+    * from the histogram alone (a broadcast non-equi aggregation over
+    * histogram×histogram), and the shade lookup broadcast-joins back
+    * onto the raster. Reproduces percent_rank exactly — shade =
+    * floor((below/(n_bins−1))·255), ties shade equally — but no single
+    * task ever sorts O(pixels); the only O(pixels) shuffle is the
+    * histogram partial-agg, and the final join is broadcast
+    * (shuffle-free).
     */
-  def geoShadeEqhist(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("cnt"))
-    rasterDf(s, dir)
-      .select(col("px"), col("py"), col("cnt"),
-        floor(percent_rank().over(w) * 255).cast("int").as("shade"))
-      .orderBy(col("px"), col("py"))
+  private def eqhistShade(raster: DataFrame): DataFrame = {
+    val hist = raster.groupBy(col("cnt")).agg(count(lit(1)).as("m"))
+    val histO = hist.select(col("cnt").as("cnt_o"), col("m").as("m_o"))
+    val below = hist.join(broadcast(histO), col("cnt_o") < col("cnt"), "left")
+      .groupBy(col("cnt"))
+      .agg(coalesce(sum(col("m_o")), lit(0L)).as("below"))
+    val tot = hist.agg(sum(col("m")).as("n_bins"))
+    // percent_rank = (rank−1)/(n−1) with rank = strictly-below + 1;
+    // the double division/multiplication order matches Spark's
+    // percent_rank and the oracle SQL bit-for-bit.
+    val pr = when(col("n_bins") === 1, lit(0.0))
+      .otherwise(col("below").cast("double") / (col("n_bins") - 1).cast("double"))
+    val lookup = below.crossJoin(broadcast(tot))
+      .select(col("cnt").as("cnt_l"), floor(pr * 255).as("shade"))
+    raster.join(broadcast(lookup), col("cnt") === col("cnt_l"))
+      .select(col("px"), col("py"), col("cnt"), col("shade"))
   }
+
+  def geoShadeEqhist(s: SparkSession, dir: String): DataFrame =
+    eqhistShade(rasterDf(s, dir))
+      .select(col("px"), col("py"), col("cnt"), col("shade").cast("int").as("shade"))
+      .orderBy(col("px"), col("py"))
 
   val geoShadeEqhistSql: String =
     s"""WITH $pointsCte, $mercCte, $rasterCte
@@ -161,10 +189,8 @@ object Geo {
       val b = greatest(lit(0L), least(lit(255L), (shade - 170L) * 3L))
       (r, g, b)
     }
-    val w = Window.orderBy(col("cnt"))
-    val shaded = rasterDf(s, dir)
-      .select(col("px"), col("py"), col("cnt"),
-        floor(percent_rank().over(w) * 255).cast("long").as("shade"))
+    val shaded = eqhistShade(rasterDf(s, dir))
+      .select(col("px"), col("py"), col("cnt"), col("shade").cast("long").as("shade"))
     val (r, g, b) = ramp(col("shade"))
     shaded.select(col("px"), col("py"), col("shade"),
       r.as("red"), g.as("green"), b.as("blue"))

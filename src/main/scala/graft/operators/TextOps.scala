@@ -97,16 +97,28 @@ object TextOps {
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
       "es" -> Seq("el", "la", "los", "y", "es", "que"),
       "fr" -> Seq("le", "la", "les", "et", "est", "que"))
-    val hits = lists.map { case (lang, ws) =>
-      lang -> size(filter(words, w => w.isInCollection(ws)))
+    // One explode pass + one codegen'd conditional-sum lane per
+    // language (mirror of textQuality's shape) — the per-language
+    // `filter(words, λ)` formulation evaluated an interpreted lambda
+    // per word per language (SURVEY §8's pitfall). split() always
+    // yields ≥1 token, so the inner join back is lossless.
+    val hitAggs = lists.map { case (lang, ws) =>
+      sum(when(col("w").isInCollection(ws), 1L).otherwise(0L)).as(s"h_$lang")
     }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    val pred = hits.foldRight(lit("und")) { case ((lang, h), other) =>
-      when(h === best && h > 0, lang).otherwise(other)
+    val hits = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(hitAggs.head, hitAggs.tail: _*)
+    val best = lists.map { case (lang, _) => col(s"h_$lang") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = lists.foldRight(lit("und")) { case ((lang, _), other) =>
+      when(col(s"h_$lang") === best && col(s"h_$lang") > 0, lang).otherwise(other)
     }
-    docs(s, dir).select(col("doc_id"), col("lang"),
-      pred.as("pred_lang"),
-      (pred === col("lang")).as("label_match"))
+    docs(s, dir).select(col("doc_id"), col("lang"))
+      .join(hits, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        pred.as("pred_lang"),
+        (pred === col("lang")).as("label_match"))
       .orderBy(col("doc_id"))
   }
 
@@ -115,12 +127,18 @@ object TextOps {
     * top-k happens on the (small) distinct-bigram aggregate.
     */
   def textNgrams(s: SparkSession, dir: String): DataFrame = {
-    val w = words
-    val bigrams = zip_with(
-      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-      (a, b) => concat(a, lit(" "), b))
-    docs(s, dir)
-      .select(explode(bigrams).as("bigram"))
+    import s.implicits._
+    // Typed flatMap bigram generator (mirror of Dedup.exploded): the
+    // zip_with(slice, slice) + explode formulation pairs an interpreted
+    // lambda with an explode-over-computed-array — both SURVEY §8
+    // pitfalls. One narrow JVM pass; split(" ", -1) matches Spark
+    // split()/DuckDB string_split empty-token semantics.
+    docs(s, dir).select(col("text")).as[String]
+      .flatMap { t =>
+        val ws = t.split(" ", -1)
+        (0 until ws.length - 1).iterator.map(i => ws(i) + " " + ws(i + 1))
+      }
+      .toDF("bigram")
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(50)

@@ -29,7 +29,11 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // FLOOR division, not `div` (truncate-toward-zero): for pre-1970
+      // (negative) nanos the two differ by 1µs and DuckDB's
+      // TIMESTAMP_NS→µs conversion floors. Identical post-1970.
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END))"))
     else df
   }
 

@@ -133,7 +133,14 @@ object EventStreams {
             } else if (st.nEv == 0) {
               st = SessState(st.sessionId, e.us, e.us, 1L, e.vc)
             } else {
-              st = st.copy(lastUs = e.us, nEv = st.nEv + 1, sumCents = st.sumCents + e.vc)
+              // cross-batch out-of-order (legal within the watermark
+              // delay): never move lastUs backwards — that would split
+              // the session spuriously on the next in-order event or
+              // yield a negative duration; extend startUs backwards
+              // instead so the session span covers the late event.
+              st = st.copy(lastUs = math.max(st.lastUs, e.us),
+                startUs = math.min(st.startUs, e.us),
+                nEv = st.nEv + 1, sumCents = st.sumCents + e.vc)
             }
           }
           state.update(st)
@@ -186,7 +193,10 @@ object EventStreams {
               } else if (st.nEv == 0) {
                 st = SessState(st.sessionId, e.us, e.us, 1L, e.vc)
               } else {
-                st = st.copy(lastUs = e.us, nEv = st.nEv + 1, sumCents = st.sumCents + e.vc)
+                // same cross-batch out-of-order guard as above
+                st = st.copy(lastUs = math.max(st.lastUs, e.us),
+                  startUs = math.min(st.startUs, e.us),
+                  nEv = st.nEv + 1, sumCents = st.sumCents + e.vc)
               }
             }
             state.update(st)

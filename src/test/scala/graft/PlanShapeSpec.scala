@@ -39,4 +39,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
       s"expected a window operator:\n$plan")
   }
+
+  test("filter_bloom probes via native might_contain, no UDF in the plan") {
+    val plan = planOf(Analytics.filterBloom(spark, sf))
+    assert(!plan.contains("UDF") && !plan.contains("BatchEvalPython"),
+      s"bloom probe must be a native expression:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"expected BloomFilterMightContain in the plan:\n$plan")
+  }
+
+  test("text ngrams/langid plans carry no interpreted higher-order function") {
+    for ((name, df) <- Seq(
+        "text_ngrams" -> operators.TextOps.textNgrams(spark, sf),
+        "text_langid" -> operators.TextOps.textLangid(spark, sf))) {
+      val plan = planOf(df)
+      for (bad <- Seq("zip_with", "ZipWith", "ArrayFilter", "lambdafunction"))
+        assert(!plan.contains(bad), s"$name: interpreted HOF '$bad' in plan:\n$plan")
+    }
+  }
+
+  test("eq-hist shade has no un-partitioned window over the raster") {
+    for ((name, df) <- Seq(
+        "geo_shade_eqhist" -> Geo.geoShadeEqhist(spark, sf),
+        "geo_shade_rgb" -> Geo.geoShadeRgb(spark, sf))) {
+      val plan = planOf(df)
+      assert(!plan.contains("Window"),
+        s"$name: expected the two-pass histogram (window-free) shade:\n$plan")
+    }
+  }
+
+  test("dedup_embedding is distributed: no driver collect, bucket-keyed join") {
+    val plan = planOf(operators.Dedup.dedupEmbedding(spark, sf))
+    assert(plan.contains("Join"), s"expected a bucket join:\n$plan")
+    assert(plan.contains("bucket"), s"expected bucket keys:\n$plan")
+  }
 }

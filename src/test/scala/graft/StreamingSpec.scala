@@ -50,6 +50,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-batch out-of-order event never moves the session backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000000L
+      mem.addData(Ev(1L, 1L, t0 + 120L * 1000000, 100))
+      q.processAllAvailable()
+      // a LATE event from an earlier instant arrives in the next batch:
+      // it must extend the open session backwards (startUs) without
+      // regressing lastUs — a lastUs regression would spuriously split
+      // the session on the next in-order event or go negative-duration
+      mem.addData(Ev(1L, 2L, t0, 50))
+      q.processAllAvailable()
+      mem.addData(Ev(1L, 3L, t0 + 240L * 1000000, 25))
+      q.processAllAvailable()
+      // close session 0 by crossing the gap
+      mem.addData(Ev(1L, 4L, t0 + 45L * 60 * 1000000, 300))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, session_id, n_events, duration_sec, session_value FROM sess_ooo")
+        .as[(Long, Long, Long, Double, Double)].collect().toSet
+      // one session holding all three events, spanning t0..t0+240s
+      assert(rows.contains((1L, 0L, 3L, 240.0, 1.75)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("event-time timeout flushes the trailing open session once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.EvT]

@@ -100,4 +100,17 @@ class TextDedupSpec extends SparkSpec {
       .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
     assert(out.forall { case (a, b, c) => a < b && c >= 0.45 && c <= 1.0 + 1e-9 })
   }
+
+  test("embedding triangle block join is bit-identical to the broadcast brute force") {
+    // the registered distributed formulation must lose no pair and
+    // produce the same doubles as the collect-based baseline (which is
+    // spec-only — never registered)
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val a = Dedup.dedupEmbedding(spark, dir)
+        .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSeq
+      val b = Dedup.dedupEmbeddingBruteForce(spark, dir)
+        .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSeq
+      assert(a == b, s"block join != brute force at $dir")
+    }
+  }
 }

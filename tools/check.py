@@ -32,8 +32,15 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails = 0
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(f"{out_dir}/{d}"))
+    # Iterate the EXPECTED key set (manifest written by Verify), so a
+    # query that throws before creating its output dir counts as a
+    # failure instead of silently disappearing from the gate.
+    keys_path = f"{out_dir}/query_keys.json"
+    if os.path.exists(keys_path):
+        names = sorted(json.load(open(keys_path)))
+    else:
+        names = sorted(d for d in os.listdir(out_dir)
+                       if os.path.isdir(f"{out_dir}/{d}"))
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
