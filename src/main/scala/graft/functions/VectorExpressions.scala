@@ -105,5 +105,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatVectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1))))
+    // whole-operator top-k-per-group (graft.plans): logical node →
+    // partial/final physical pair
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

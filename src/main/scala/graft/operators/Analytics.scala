@@ -276,14 +276,32 @@ object Analytics {
       |    row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rn
       |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
-  /** Top-k per group via [[graft.functions.TopKAggregator]] — the
-    * bounded-buffer twin of [[topkPerGroup]]. The window formulation
-    * totally sorts every group after a full shuffle; this one carries
-    * at most k rows per (group × partition) into the shuffle with
-    * map-side partial merge — the 100 TB shape. Same output, same
-    * oracle.
+  /** Top-k per group via the custom physical operator
+    * [[graft.plans.TopKPerGroup]] (LogicalPlan + Strategy + SparkPlan)
+    * — the bounded-state twin of [[topkPerGroup]]. The window
+    * formulation totally sorts every group after a full shuffle; this
+    * one prunes each partition to ≤ k rows per group BEFORE the
+    * exchange (partial stage) and merges after (final stage), all on
+    * UnsafeRows — the 100 TB shape with no encoder ser/de (which the
+    * earlier [[graft.functions.TopKAggregator]] formulation paid; that
+    * Aggregator remains as the spec's independent cross-check). Same
+    * output, same oracle.
     */
-  def topkPerGroupAgg(s: SparkSession, dir: String): DataFrame = {
+  def topkPerGroupAgg(s: SparkSession, dir: String): DataFrame =
+    graft.plans.GraftOps.topKPerGroup(
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            cents(col("o_totalprice")).as("__sk")),
+        Seq("o_custkey"),
+        Seq("__sk" -> true, "o_orderkey" -> false),
+        k = 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+
+  /** The r1 typed-Aggregator formulation — spec-only cross-check for
+    * the custom operator (kept off the registry).
+    */
+  def topkPerGroupAggTyped(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "orders")
       .select(col("o_custkey"), cents(col("o_totalprice")).as("sk"),

@@ -54,12 +54,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
-  test("top-k twins agree: bounded aggregator equals window formulation") {
+  test("top-k triplets agree: custom operator = typed aggregator = window formulation") {
     val a = Analytics.topkPerGroup(spark, sf)
       .select("o_custkey", "o_orderkey", "rn").as[(Long, Long, Long)].collect().toSet
     val b = Analytics.topkPerGroupAgg(spark, sf)
       .select("o_custkey", "o_orderkey", "rn").as[(Long, Long, Long)].collect().toSet
-    assert(a == b)
+    val c = Analytics.topkPerGroupAggTyped(spark, sf)
+      .select("o_custkey", "o_orderkey", "rn").as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "custom physical operator != window formulation")
+    assert(a == c, "typed aggregator != window formulation")
   }
 
   test("as-of join attributes events to the latest signup at-or-before them") {

@@ -68,6 +68,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("topk_per_group_agg plans as partial+final TopKPerGroup around one exchange") {
+    val plan = planOf(Analytics.topkPerGroupAgg(spark, sf))
+    val hits = "TopKPerGroup".r.findAllIn(plan).length
+    assert(hits >= 2, s"expected partial+final TopKPerGroupExec:\n$plan")
+    assert(!plan.contains("WindowExec"), s"no window sort expected:\n$plan")
+  }
+
   test("dedup_embedding is distributed: no driver collect, bucket-keyed join") {
     val plan = planOf(operators.Dedup.dedupEmbedding(spark, sf))
     assert(plan.contains("Join"), s"expected a bucket join:\n$plan")
