@@ -56,7 +56,10 @@ class SimilarityMultimodalSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val hits = ivf.map(r => (r._1, r._2)).count(bf.contains)
     val recall = hits.toDouble / bf.size
-    assert(recall >= 0.2, s"IVF recall@5 unexpectedly low: $recall")
+    info(s"IVF recall@5 vs brute force: $recall")
+    // trained 32-cell codebook, assign-2, probe-3 measures 0.94 here
+    // (graft.DebugIvf); 0.85 leaves slack for testdata regeneration
+    assert(recall >= 0.85, s"IVF recall@5 regressed below trained baseline: $recall")
   }
 
   test("mm ingest kinds cycle by doc_id and sha256 is 64 hex chars") {
