@@ -31,6 +31,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka-shaped json source drives the windowed aggregation unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    // MemoryStream[String].toDF gives the Kafka wire shape (a `value`
+    // column) — EventSource.decode is the only adapter in between
+    val events = graft.streaming.EventSource.decode(mem.toDF())
+    val q = EventStreams.windowAggStream(events, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("kafka_win")
+      .outputMode("append").start()
+    try {
+      def ev(min: Int, uid: Long, typ: String) =
+        s"""{"user_id":$uid,"event_id":${min * 10 + uid},"ts":"1970-01-01 ${"%02d".format(10 + min / 60)}:${"%02d".format(min % 60)}:00","event_type":"$typ","value":1.5}"""
+      mem.addData(ev(0, 1, "click"), ev(5, 2, "click"), ev(59, 1, "view"))
+      q.processAllAvailable()
+      mem.addData("not json at all", ev(200, 3, "click")) // malformed → dropped
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n_events FROM kafka_win")
+        .as[(String, Long)].collect().toSet
+      assert(rows.contains(("click", 2L)), s"got $rows")
+      assert(rows.contains(("view", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("kafka-shaped json source drives event-time sessionization unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val events = graft.streaming.EventSource.asEvT(
+      graft.streaming.EventSource.decode(mem.toDF()))
+    val q = EventStreams.sessionizeStreamEventTime(events, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("kafka_sess")
+      .outputMode("append").start()
+    try {
+      def ev(sec: Int, uid: Long, id: Long, v: Double) =
+        s"""{"user_id":$uid,"event_id":$id,"ts":"1970-01-02 ${"%02d".format(sec / 3600)}:${"%02d".format(sec % 3600 / 60)}:${"%02d".format(sec % 60)}","event_type":"click","value":$v}"""
+      mem.addData(ev(0, 1, 1, 1.0), ev(60, 1, 2, 2.0))
+      q.processAllAvailable()
+      // watermark far past last+gap flushes the open session via timeout
+      mem.addData(ev(3600, 2, 3, 9.0))
+      q.processAllAvailable()
+      mem.addData(ev(7200, 2, 4, 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, session_id, n_events, session_value FROM kafka_sess")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 0L, 2L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits a session once the gap elapses in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
