@@ -143,24 +143,42 @@ object Dedup {
   private def aCoef(i: Int): Long = (1103515245L * (i + 1)) % P
   private def bCoef(i: Int): Long = (12345L * (i + 1) + 987654321L) % P
 
+  /** Polynomial rolling hash mod 2³¹−1 — the engine-portable shingle/
+    * word id: exact integer arithmetic a DuckDB `list_reduce` replays
+    * verbatim (same shape as text_fingerprint), which is what lets the
+    * minhash/simhash pipelines below be HASH-VERIFIED cross-engine
+    * instead of rows-only (xxhash64 has no DuckDB twin).
+    */
+  private def polyHash(t: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < t.length) { h = (h * 31L + t.charAt(i).toLong) % P; i += 1 }
+    h
+  }
+
   /** MinHash signatures (k=32 permutations (aᵢ·h+bᵢ) mod 2³¹-1 over
-    * xxhash64 shingle ids) → 8 LSH bands of 4 → bucket self-join →
-    * exact-Jaccard verification ≥ 0.3. One codegen'd min-agg column
-    * per permutation; all arithmetic stays below 2⁶² so ANSI-mode long
-    * math never overflows. Rows-only (xxhash64 has no DuckDB twin);
-    * the spec asserts recall vs dedupNgramJaccard.
+    * [[polyHash]] shingle ids) → 8 LSH bands of 4 (band key = a mod-P
+    * fold of the 4 lane minima) → bucket self-join → exact-Jaccard
+    * verification ≥ 0.3. One codegen'd min-agg column per permutation;
+    * all arithmetic stays below 2⁶² so ANSI-mode long math never
+    * overflows, and every step is replayed by the DuckDB oracle.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val minAggs = (0 until MINHASH_K).map(i =>
       min(pmod(col("h") * aCoef(i) + bCoef(i), lit(P))).as(s"m$i"))
-    val sigs = exploded(s, dir)
+    val hashed = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       // materialize the 31-bit shingle id once, not once per lane
-      .select(col("doc_id"), pmod(xxhash64(col("ng")), lit(P)).as("h"))
+      .flatMap { case (id, t) => trigrams(t).iterator.map(ng => (id, polyHash(ng))) }
+      .toDF("doc_id", "h")
+    val sigs = hashed
       .groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = (0 until BANDS).map(bd =>
-      struct(lit(bd).as("band"),
-        hash((bd * 4 until bd * 4 + 4).map(i => col(s"m$i")): _*).as("bh")))
+    val bandCols = (0 until BANDS).map { bd =>
+      val bh = (bd * 4 until bd * 4 + 4).map(i => col(s"m$i"))
+        .foldLeft(lit(0L).cast("long"): Column)((acc, m) => pmod(acc * 31L + m, lit(P)))
+      struct(lit(bd).as("band"), bh.as("bh"))
+    }
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
     val a = banded.alias("a"); val b = banded.alias("b")
@@ -181,41 +199,40 @@ object Dedup {
   }
 
   // --------------------------------------------------------- simhash
-  /** 64-bit SimHash: per bit j, sum ±1 over word-hash bits (one
-    * codegen'd sum-agg per bit over the exploded words), bit set if
-    * positive; candidates share any of 4×16-bit chunks, verified by
-    * exact Hamming distance ≤ 8.
+  /** 60-bit SimHash: lane j's ±1 contribution per word is the parity
+    * of (polyHash(word)·aⱼ+bⱼ) mod 2³¹−1, bit set if the lane sum is
+    * positive; candidates share any of 4×15-bit chunks (pigeonhole-
+    * complete for Hamming ≤ 3), verified by exact Hamming distance
+    * ≤ 8. One typed JVM pass computes the signature (the 60-lane
+    * grouped-agg shape spent its time exploding + re-hashing); 60 bits
+    * rather than 64 keeps `1<<j` and the chunk masks inside positive
+    * BIGINT range on both engines, and every step — hash, lanes,
+    * banding, Hamming — is exact integer arithmetic the DuckDB oracle
+    * replays.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Spark's xxhash64(string) = XXH64 over the UTF8 bytes, seed 42 —
-    // replicated here so the typed map produces the exact signature the
-    // column formulation did (the 64-lane grouped-agg version spent its
-    // time exploding + re-hashing; one JVM pass is ~4× faster).
-    def xxh64(w: String): Long = {
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(w)
-      org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
-    }
     val sigs = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) =>
-        val counts = new Array[Int](64)
+        val counts = new Array[Int](60)
         t.split(" ", -1).foreach { w =>
-          val h = xxh64(w)
+          val h = polyHash(w)
           var j = 0
-          while (j < 64) {
-            counts(j) += (if (((h >> j) & 1L) == 1L) 1 else -1); j += 1
+          while (j < 60) {
+            val lane = (h * aCoef(j) + bCoef(j)) % P
+            counts(j) += (if ((lane & 1L) == 1L) 1 else -1)
+            j += 1
           }
         }
         var sim = 0L
         var j = 0
-        while (j < 64) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+        while (j < 60) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
         (id, sim)
       }
       .toDF("doc_id", "simhash")
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(65535L)).as("ch")))
+        shiftright(col("simhash"), c * 15).bitwiseAND(lit(32767L)).as("ch")))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(array(chunkCols: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ch"))
@@ -418,9 +435,64 @@ object Dedup {
       |  FROM e a, e b WHERE a.vec_id < b.vec_id)
       |SELECT * FROM p WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** DuckDB twin of the full MinHash-LSH pipeline — polyHash shingle
+    * ids, 32 permutation lanes, mod-P band fold, bucket join, exact
+    * Jaccard verify — every step exact integer math, so the candidate
+    * set and jaccard doubles are bit-identical.
+    */
+  val dedupMinhashLshSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
+      |  FROM w WHERE len(ws) > 2),
+      |gh AS (SELECT doc_id, ng,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS h
+      |  FROM g),
+      |perms AS (SELECT j, (1103515245 * (j+1)) % 2147483647 AS a, (12345*(j+1) + 987654321) % 2147483647 AS b FROM range(0,32) t(j)),
+      |lanes AS (SELECT doc_id, j, min((h * a + b) % 2147483647) AS mj
+      |  FROM gh CROSS JOIN perms GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, j // 4 AS band,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(mj ORDER BY j)), (a,b) -> (a*31 + b) % 2147483647) AS bh
+      |  FROM lanes GROUP BY doc_id, j // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+      |  FROM cand c JOIN g ga ON ga.doc_id = c.doc_a
+      |  JOIN g gb ON gb.doc_id = c.doc_b AND gb.ng = ga.ng
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, i * 1.0 / (s1.n + s2.n - i) AS jaccard
+      |FROM inter JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
+      |WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB twin of the 60-bit SimHash pipeline — polyHash word ids,
+    * parity lanes, 4×15-bit chunk banding, Hamming ≤ 8 verify.
+    */
+  val dedupSimhashSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+      |hw AS (SELECT doc_id, word,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(word,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS h
+      |  FROM w),
+      |perms AS (SELECT j, (1103515245 * (j+1)) % 2147483647 AS a, (12345*(j+1) + 987654321) % 2147483647 AS b FROM range(0,60) t(j)),
+      |lanes AS (SELECT doc_id, j,
+      |  sum(CASE WHEN ((h * a + b) % 2147483647) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+      |  FROM hw CROSS JOIN perms GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id, CAST(sum(CASE WHEN cnt > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM lanes GROUP BY doc_id),
+      |ch AS (SELECT doc_id, simhash, c AS chunk, (simhash >> (c*15)) & 32767 AS chv
+      |  FROM sig CROSS JOIN range(0,4) t(c)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.chv = b.chv AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8)
+      |SELECT doc_a, doc_b, hamming FROM cand ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_components" -> dedupComponentsSql)
 }

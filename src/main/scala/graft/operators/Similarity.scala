@@ -221,8 +221,7 @@ object Similarity {
   /** DuckDB twin of the brute-force path: the dot product is a
     * sequential left-fold over per-element double products — the same
     * association order as FloatVectorDot, so cosines are bit-identical
-    * and ranks match exactly. (annLsh stays rows-only: its bucketing
-    * depends on float-literal plane components.)
+    * and ranks match exactly.
     */
   val annBruteforceSql: String =
     """WITH e AS (SELECT vec_id, embedding, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (acc, v) -> acc + v)) AS nrm FROM embeddings),
@@ -232,6 +231,32 @@ object Similarity {
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM p)
       |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB twin of the LSH path: the plane components are the same
+    * deterministic integer formula cast to REAL, the bucket bits the
+    * same strict-positive dot signs, so buckets — and therefore the
+    * candidate sets, cosines, and ranks — are bit-identical.
+    */
+  val annLshSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (acc, v) -> acc + v)) AS nrm
+      |  FROM embeddings),
+      |planes AS (SELECT j, list_transform(range(0,64), d -> CAST(CAST((j*73 + d*179) % 97 AS DOUBLE)/97.0 - 0.5 AS REAL)) AS p
+      |  FROM range(0,8) t(j)),
+      |bits AS (SELECT e.vec_id, pl.j,
+      |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pl.p[i] AS DOUBLE))), (acc, v) -> acc + v) > 0
+      |       THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END AS bit
+      |  FROM e CROSS JOIN planes pl),
+      |bk AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(q.embedding)+1), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (acc, v) -> acc + v) / (q.nrm * c.nrm) AS cosine
+      |  FROM e q JOIN bk qb ON qb.vec_id = q.vec_id
+      |  JOIN bk cb ON cb.bucket = qb.bucket
+      |  JOIN e c ON c.vec_id = cb.vec_id
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM p)
+      |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "ann_bruteforce" -> annBruteforceSql)
+    "ann_bruteforce" -> annBruteforceSql,
+    "ann_lsh" -> annLshSql)
 }
