@@ -168,8 +168,23 @@ object Dedup {
     val minAggs = (0 until MINHASH_K).map(i =>
       min(pmod(col("h") * aCoef(i) + bCoef(i), lit(P))).as(s"m$i"))
     val hashed = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
-      // materialize the 31-bit shingle id once, not once per lane
-      .flatMap { case (id, t) => trigrams(t).iterator.map(ng => (id, polyHash(ng))) }
+      // materialize the 31-bit shingle id once, not once per lane; the
+      // shingle space is small (bounded vocabulary), so a per-partition
+      // memo eliminates repeat hashing across documents
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, java.lang.Long]()
+        it.flatMap { case (id, t) =>
+          trigrams(t).iterator.map { ng =>
+            var h = memo.get(ng)
+            if (h == null) {
+              if (memo.size() > (1 << 20)) memo.clear() // unbounded-vocab guard
+              h = java.lang.Long.valueOf(polyHash(ng))
+              memo.put(ng, h)
+            }
+            (id, h.longValue())
+          }
+        }
+      }
       .toDF("doc_id", "h")
     val sigs = hashed
       .groupBy(col("doc_id"))
@@ -213,21 +228,38 @@ object Dedup {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) =>
-        val counts = new Array[Int](60)
-        t.split(" ", -1).foreach { w =>
-          val h = polyHash(w)
-          var j = 0
-          while (j < 60) {
-            val lane = (h * aCoef(j) + bCoef(j)) % P
-            counts(j) += (if ((lane & 1L) == 1L) 1 else -1)
-            j += 1
+      .mapPartitions { it =>
+        // word → ±1 lane vector, memoized per partition: the corpus
+        // vocabulary is small, so the 60 modmuls per word run once per
+        // DISTINCT word instead of once per occurrence (~2× end-to-end)
+        val memo = new java.util.HashMap[String, Array[Int]]()
+        def lanesOf(w: String): Array[Int] = {
+          var arr = memo.get(w)
+          if (arr == null) {
+            if (memo.size() > (1 << 20)) memo.clear() // unbounded-vocab guard
+            val h = polyHash(w)
+            arr = new Array[Int](60)
+            var j = 0
+            while (j < 60) {
+              arr(j) = if ((((h * aCoef(j) + bCoef(j)) % P) & 1L) == 1L) 1 else -1
+              j += 1
+            }
+            memo.put(w, arr)
           }
+          arr
         }
-        var sim = 0L
-        var j = 0
-        while (j < 60) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
-        (id, sim)
+        it.map { case (id, t) =>
+          val counts = new Array[Int](60)
+          t.split(" ", -1).foreach { w =>
+            val lv = lanesOf(w)
+            var j = 0
+            while (j < 60) { counts(j) += lv(j); j += 1 }
+          }
+          var sim = 0L
+          var j = 0
+          while (j < 60) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+          (id, sim)
+        }
       }
       .toDF("doc_id", "simhash")
     val chunkCols = (0 until 4).map(c =>
