@@ -62,9 +62,139 @@ object Curate {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ train/val split
+  /** Deterministic CONTENT-HASH train/val split: bucket = rolling
+    * fingerprint of the text mod 100, `train` below 90. Content-based
+    * (not id-based) on purpose — byte-identical documents always land
+    * in the same split, so exact duplicates can never straddle the
+    * train/val boundary. Pure arithmetic over the text, embarrassingly
+    * parallel, no shuffle before the output sort.
+    */
+  def splitTrainVal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        var h = 0L
+        var i = 0
+        while (i < t.length) { h = (h * 31L + t.charAt(i).toLong) % 1000000007L; i += 1 }
+        (id, h % 100L)
+      }
+      .toDF("doc_id", "bucket")
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train").otherwise("val").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitTrainValSql: String =
+    """WITH f AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- split leakage check
+  /** Train/val CONTAMINATION check: verified near-dup pairs (n-gram
+    * Jaccard ≥ 0.3) that STRADDLE the content-hash split — the val
+    * documents a model would be unfairly scored on. Composes the
+    * engine's own near-dup verifier with [[splitTrainVal]]; the pair
+    * set is tiny, so the split assignments broadcast into it.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupNgramJaccard(s, dir)
+    val splits = splitTrainVal(s, dir).select(col("doc_id"), col("split"))
+    pairs
+      .join(broadcast(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a"))), "doc_a")
+      .join(broadcast(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b"))), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val splitLeakageSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
+      |  FROM w WHERE len(ws) > 2),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+      |  JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id
+      |  WHERE zb.n * 10 >= za.n * 3 AND za.n * 10 >= zb.n * 3
+      |  GROUP BY 1, 2),
+      |p AS (SELECT doc_a, doc_b, i * 1.0 / (s1.n + s2.n - i) AS jaccard
+      |  FROM inter JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
+      |  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3),
+      |f AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+      |  FROM documents),
+      |sp AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split FROM f)
+      |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, jaccard
+      |FROM p JOIN sp sa ON sa.doc_id = doc_a JOIN sp sb ON sb.doc_id = doc_b
+      |WHERE sa.split <> sb.split
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------- corpus stats
+  /** Per-source corpus accounting: the ledger a curation run reports —
+    * doc counts, token/char volume, length spread, language breadth.
+    * One grouped pass, fully map-side combinable at any scale.
+    */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("source"))
+
+  val corpusStatsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(n_chars) AS min_chars,
+      |  max(n_chars) AS max_chars,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------- text normalize
+  /** Normalization scrub: strip non-[a-z0-9 ] characters, collapse
+    * whitespace runs, trim — the canonical-text pass upstream of exact
+    * dedup — with per-doc removed-char accounting. Codegen'd regex
+    * column ops; the simple character-class patterns mean Spark (Java
+    * regex) and DuckDB (RE2) agree by construction.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        trim(regexp_replace(regexp_replace(col("text"), "[^a-z0-9 ]", ""), " +", " "))
+          .as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        (col("n_chars") - length(col("norm_text"))).as("n_removed"))
+      .orderBy(col("doc_id"))
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+      |  n_chars - len(trim(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_removed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curate" -> pipelineCurate)
+    "pipeline_curate" -> pipelineCurate,
+    "split_train_val" -> splitTrainVal,
+    "split_leakage" -> splitLeakage,
+    "corpus_stats" -> corpusStats,
+    "text_normalize" -> textNormalize)
 
   val oracles: Map[String, String] = Map(
-    "pipeline_curate" -> pipelineCurateSql)
+    "pipeline_curate" -> pipelineCurateSql,
+    "split_train_val" -> splitTrainValSql,
+    "split_leakage" -> splitLeakageSql,
+    "corpus_stats" -> corpusStatsSql,
+    "text_normalize" -> textNormalizeSql)
 }

@@ -297,13 +297,25 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     // run to FIXPOINT (the oracle is exact); localCheckpoint each round
-    // truncates the growing join lineage and replaces per-round caches
+    // truncates the growing join lineage and replaces per-round caches.
+    // Each round does (a) one neighbor-min hop and (b) one POINTER-
+    // DOUBLING hop (follow the label's own label): labels then reach
+    // 2^rounds-distant minima, so chains converge in O(log diameter)
+    // rounds instead of O(diameter) — at 100 TB the round count, not
+    // the per-round shuffle, is the wall-clock lever (each round is a
+    // driver-synchronized job).
     while (changed > 0 && rounds < 64) {
       val neighborMin = edges
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id2")).agg(min(col("label")).as("nmin"))
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("newlabel"),
+      val stepped = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"),
+          col("label"))
+      val parents = stepped.select(col("id").as("pid"), col("l1").as("plabel"))
+      val updated = stepped.join(parents, col("l1") === col("pid"), "left")
+        .select(col("id"),
+          least(col("l1"), coalesce(col("plabel"), col("l1"))).as("newlabel"),
           col("label"))
         .localCheckpoint()
       changed = updated.filter(col("newlabel") < col("label")).count()

@@ -101,6 +101,42 @@ class TextDedupSpec extends SparkSpec {
     assert(out.forall { case (a, b, c) => a < b && c >= 0.45 && c <= 1.0 + 1e-9 })
   }
 
+  test("content-hash split is deterministic and keeps exact duplicates together") {
+    import graft.operators.Curate
+    val a = Curate.splitTrainVal(spark, sf).collect()
+    val b = Curate.splitTrainVal(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "split not deterministic")
+    // same text ⇒ same split, by construction of the content hash
+    val df = docsDf(Seq((1L, "alpha beta gamma", "en"), (2L, "alpha beta gamma", "en"),
+      (3L, "delta epsilon zeta", "en")))
+    df.write.mode("overwrite").parquet("/tmp/graft-test-split/documents.parquet")
+    val m = Curate.splitTrainVal(spark, "/tmp/graft-test-split")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m(1L) == m(2L), "identical texts split apart")
+  }
+
+  test("split leakage reports only cross-split near-dup pairs") {
+    import graft.operators.Curate
+    val splits = Curate.splitTrainVal(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    Curate.splitLeakage(spark, sf)
+      .select("doc_a", "doc_b", "split_a", "split_b")
+      .as[(Long, Long, String, String)].collect().foreach { case (a, b, sa, sb) =>
+        assert(sa != sb)
+        assert(splits(a) == sa && splits(b) == sb)
+      }
+  }
+
+  test("text normalize is idempotent and accounts removed chars") {
+    import graft.operators.Curate
+    val out = Curate.textNormalize(spark, sf)
+      .select("norm_text", "n_removed").as[(String, Long)].collect()
+    out.foreach { case (t, removed) =>
+      assert(removed >= 0)
+      assert(t == t.trim.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " "))
+    }
+  }
+
   test("embedding triangle block join is bit-identical to the broadcast brute force") {
     // the registered distributed formulation must lose no pair and
     // produce the same doubles as the collect-based baseline (which is
