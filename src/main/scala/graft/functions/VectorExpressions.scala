@@ -70,6 +70,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     GraftSqlShim.registerFunction(spark, "vector_dot",
       exprs => FloatVectorDot(exprs(0), exprs(1)))
+    GraftSqlShim.registerFunction(spark, "poly_hash",
+      exprs => StringPolyHash(exprs(0), exprs(1)))
     registerBloom(spark)
   }
 
@@ -105,6 +107,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatVectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[StringPolyHash].getName, "poly_hash"),
+      (exprs: Seq[Expression]) => StringPolyHash(exprs(0), exprs(1))))
     // whole-operator top-k-per-group (graft.plans): logical node →
     // partial/final physical pair
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

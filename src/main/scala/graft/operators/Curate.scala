@@ -71,16 +71,12 @@ object Curate {
     * parallel, no shuffle before the output sort.
     */
   def splitTrainVal(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val fp = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(col("text")),
+      GraftSqlShim.expression(lit(1000000007L))))
     graft.sources.Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) =>
-        var h = 0L
-        var i = 0
-        while (i < t.length) { h = (h * 31L + t.charAt(i).toLong) % 1000000007L; i += 1 }
-        (id, h % 100L)
-      }
-      .toDF("doc_id", "bucket")
+      .select(col("doc_id"), (fp % 100L).as("bucket"))
       .select(col("doc_id"), col("bucket"),
         when(col("bucket") < 90, "train").otherwise("val").as("split"))
       .orderBy(col("doc_id"))

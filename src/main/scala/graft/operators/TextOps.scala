@@ -151,24 +151,21 @@ object TextOps {
       |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin
 
   /** Rolling polynomial fingerprint (mod 10^9+7 to stay exact in long
-    * arithmetic): h = fold(chars, (h*31 + code) mod p). Typed map —
-    * the higher-order `aggregate` over split(text,'') evaluates an
-    * interpreted lambda per character and was ~10× slower; the JVM
-    * loop is character-identical for this ASCII corpus (charAt ==
-    * code point). The spec asserts known fingerprints; the DuckDB
-    * oracle replays the same fold.
+    * arithmetic): h = fold(bytes, (h*31 + b) mod p), computed by the
+    * native codegen'd [[graft.functions.StringPolyHash]] — the whole
+    * query is one WholeStageCodegen span over the scan (the r1 typed
+    * map paid an encoder round-trip; the interpreted higher-order
+    * `aggregate` before it was ~10× slower). Byte == code point for
+    * this ASCII corpus, so the DuckDB oracle's character fold replays
+    * it exactly; the spec asserts known fingerprints.
     */
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docs(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
-      .as[(Long, String, Long)]
-      .map { case (id, t, nc) =>
-        var h = 0L
-        var i = 0
-        while (i < t.length) { h = (h * 31L + t.charAt(i).toLong) % 1000000007L; i += 1 }
-        (id, h, nc)
-      }
-      .toDF("doc_id", "fingerprint", "n_chars")
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val fp = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(col("text")),
+      GraftSqlShim.expression(lit(1000000007L))))
+    docs(s, dir)
+      .select(col("doc_id"), fp.as("fingerprint"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
 
