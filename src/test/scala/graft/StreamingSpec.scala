@@ -31,6 +31,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parquet sink persists windowed output via checkpointed append") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.windowAggStream(stream, watermark = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/chk")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new Timestamp(3600000L * 10 + min * 60000L)
+      mem.addData((ts(0), 1L, "click"), (ts(5), 2L, "click"))
+      q.processAllAvailable()
+      mem.addData((ts(200), 3L, "click")) // advances watermark, closes hour-10
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$base/out")
+        .select("event_type", "n_events").as[(String, Long)].collect().toSet
+      assert(rows.contains(("click", 2L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("kafka-shaped json source drives the windowed aggregation unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
