@@ -200,6 +200,87 @@ object Analytics {
       |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Full-outer join: per-nation customer/supplier presence, nulls
+    * where a nation has only one side. Both sides pre-aggregate to
+    * O(nations) BEFORE the join, so the outer join itself is tiny at
+    * any scale — the 100 TB-safe way to outer-join two fact summaries.
+    */
+  def joinOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_rich_customers"))
+    val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_rich_suppliers"))
+    c.join(sup, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"),
+        coalesce(col("n_rich_suppliers"), lit(0L)).as("n_rich_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  val joinOuterSql: String =
+    """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_rich_customers
+      |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_rich_suppliers
+      |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+      |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+      |  coalesce(n_rich_customers, 0) AS n_rich_customers,
+      |  coalesce(n_rich_suppliers, 0) AS n_rich_suppliers
+      |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Set operators: customers appearing in BOTH predicate sets
+    * (INTERSECT) and in the first but not the second (EXCEPT).
+    * Spark plans these as left-semi/left-anti aggregates — no row
+    * multiplication, distinct absorbed into the join.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val auto = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val high = t(s, dir, "orders").filter(cents(col("o_totalprice")) > 20000000L)
+      .select(col("o_custkey"))
+    val both = auto.intersect(high).withColumn("set_op", lit("urgent_and_high"))
+    val only = auto.except(high).withColumn("set_op", lit("urgent_only"))
+    both.union(only)
+      .select(col("set_op"), col("o_custkey"))
+      .orderBy(col("set_op"), col("o_custkey"))
+  }
+
+  val setOpsSql: String =
+    """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |h AS (SELECT o_custkey FROM orders WHERE CAST(round(o_totalprice*100) AS BIGINT) > 20000000)
+      |SELECT 'urgent_and_high' AS set_op, o_custkey FROM (SELECT o_custkey FROM u INTERSECT SELECT o_custkey FROM h)
+      |UNION ALL
+      |SELECT 'urgent_only' AS set_op, o_custkey FROM (SELECT o_custkey FROM u EXCEPT SELECT o_custkey FROM h)
+      |ORDER BY set_op, o_custkey""".stripMargin
+
+  /** RANGE-frame window: per-user value sum over the trailing 1-hour
+    * EVENT-TIME interval (not a row count) — the time-decayed feature
+    * shape. Frame bounds are in microseconds over a long ordering
+    * column, identical semantics on both engines.
+    */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        cents(col("value")).as("vc"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        (sum(col("vc")).over(w) / 100.0).as("trailing_1h_value"),
+        count(lit(1)).over(w).as("trailing_1h_events"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS us,
+      |  sum(CAST(round(value*100) AS BIGINT)) OVER w / 100.0 AS trailing_1h_value,
+      |  count(*) OVER w AS trailing_1h_events
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, us, event_id""".stripMargin
+
   // ------------------------------------------------------ aggregations
   /** count(distinct) per group — Spark plans this as a two-phase
     * partial/final distinct aggregate, no driver collection.
@@ -649,6 +730,9 @@ object Analytics {
     "join_broadcast" -> joinBroadcast,
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
+    "join_outer" -> joinOuter,
+    "set_ops" -> setOps,
+    "window_range_frame" -> windowRangeFrame,
     "agg_distinct" -> aggDistinct,
     "window_rank" -> windowRank,
     "window_running" -> windowRunning,
@@ -681,6 +765,9 @@ object Analytics {
     "join_broadcast" -> joinBroadcastSql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
+    "join_outer" -> joinOuterSql,
+    "set_ops" -> setOpsSql,
+    "window_range_frame" -> windowRangeFrameSql,
     "agg_distinct" -> aggDistinctSql,
     "window_rank" -> windowRankSql,
     "window_running" -> windowRunningSql,

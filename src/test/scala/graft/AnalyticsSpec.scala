@@ -127,6 +127,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall { case (p, e, d) => d > 0 && d <= 3600.0 && p != e })
   }
 
+  test("outer join coalesces one-sided nations; set ops partition the urgent space") {
+    val outer = Analytics.joinOuter(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(outer.nonEmpty)
+    assert(outer.forall { case (_, c, s) => c >= 0 && s >= 0 && (c > 0 || s > 0) })
+    val sets = Analytics.setOps(spark, sf)
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // INTERSECT and EXCEPT of the same left set are disjoint by definition
+    assert(sets.getOrElse("urgent_and_high", Set.empty)
+      .intersect(sets.getOrElse("urgent_only", Set.empty)).isEmpty)
+  }
+
+  test("range-frame window sums exactly the trailing hour") {
+    val rows = Analytics.windowRangeFrame(spark, sf)
+      .select("user_id", "us", "trailing_1h_events").as[(Long, Long, Long)].collect()
+    val byUser = rows.groupBy(_._1)
+    byUser.values.foreach { evs =>
+      val sorted = evs.sortBy(_._2)
+      sorted.foreach { case (_, us, n) =>
+        // RANGE frame bounds are inclusive on both ends
+        val expect = sorted.count(e => e._2 >= us - 3600L * 1000000L && e._2 <= us)
+        assert(n == expect, s"at us=$us expected $expect in frame, got $n")
+      }
+    }
+  }
+
   test("join_semi + join_anti partition the urgent-order space") {
     val semiN = Analytics.joinSemi(spark, sf).count()
     val antiN = Analytics.joinAnti(spark, sf).count()
