@@ -30,10 +30,14 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle: same quality formula, same pair CTE, NOT EXISTS drop. */
+  /** Oracle: same quality formula, the SHARED pair CTE
+    * ([[Dedup.pairCtes]] — cannot drift from the jaccard oracle),
+    * NOT EXISTS drop.
+    */
   val pipelineCurateSql: String = {
     val stops = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH q AS (
+    s"""WITH ${Dedup.pairCtes},
+       |q AS (
        |  SELECT doc_id, n_chars,
        |    len(string_split(text, ' ')) AS n_tokens,
        |    len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0 / len(string_split(text, ' ')) AS stopword_ratio,
@@ -41,19 +45,7 @@ object Curate {
        |      * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars)
        |      * least(1.0, len(string_split(text, ' ')) / 64.0) AS quality_score
        |  FROM documents),
-       |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
-       |  FROM w WHERE len(ws) > 2),
-       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-       |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
-       |  JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id
-       |  WHERE zb.n * 10 >= za.n * 3 AND za.n * 10 >= zb.n * 3
-       |  GROUP BY 1, 2),
-       |drops AS (SELECT DISTINCT doc_b AS doc_id FROM inter
-       |  JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
-       |  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3)
+       |drops AS (SELECT DISTINCT doc_b AS doc_id FROM p)
        |SELECT q.doc_id, n_chars,
        |  CAST(n_tokens AS BIGINT) AS n_tokens, stopword_ratio, quality_score
        |FROM q
@@ -109,27 +101,15 @@ object Curate {
   }
 
   val splitLeakageSql: String =
-    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
-      |  FROM w WHERE len(ws) > 2),
-      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
-      |  JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id
-      |  WHERE zb.n * 10 >= za.n * 3 AND za.n * 10 >= zb.n * 3
-      |  GROUP BY 1, 2),
-      |p AS (SELECT doc_a, doc_b, i * 1.0 / (s1.n + s2.n - i) AS jaccard
-      |  FROM inter JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
-      |  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3),
-      |f AS (SELECT doc_id,
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
-      |  FROM documents),
-      |sp AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split FROM f)
-      |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, jaccard
-      |FROM p JOIN sp sa ON sa.doc_id = doc_a JOIN sp sb ON sb.doc_id = doc_b
-      |WHERE sa.split <> sb.split
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH ${Dedup.pairCtes},
+       |f AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+       |  FROM documents),
+       |sp AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split FROM f)
+       |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, jaccard
+       |FROM p JOIN sp sa ON sa.doc_id = doc_a JOIN sp sb ON sb.doc_id = doc_b
+       |WHERE sa.split <> sb.split
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ----------------------------------------------------- corpus stats
   /** Per-source corpus accounting: the ledger a curation run reports —

@@ -73,16 +73,46 @@ object Dedup {
       .toDF("doc_id", "ngs")
   }
 
-  /** Exploded (doc_id, n, shingle) view used by the join-based ops. */
+  /** Exploded (doc_id, n, shingle-hash) view used by the join-based
+    * ops. Joining on the 31-bit [[polyHash]] id instead of the shingle
+    * STRING shrinks the shuffle key from ~20 B to 8 B and makes the
+    * join comparisons integer — at corpus scale the string shuffle is
+    * the dominant cost of the candidate join. Distinct shingles that
+    * collide (P ≈ n²/2³¹, symmetric in the oracle by construction)
+    * count as shared, exactly as DuckDB replays it.
+    */
   private def exploded(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         val ngs = trigrams(t)
-        ngs.iterator.map(ng => (id, ngs.length, ng))
+        ngs.iterator.map(ng => (id, ngs.length, polyHash(ng)))
       }
-      .toDF("doc_id", "n", "ng")
+      .toDF("doc_id", "n", "hg")
   }
+
+  /** Shared oracle fragment: shingles → polyHash ids → size-compatible
+    * intersection counts → verified jaccard pairs. Interpolated into
+    * every oracle that consumes near-dup pairs (jaccard, components,
+    * curate, leakage) so the replicas cannot drift.
+    */
+  private[operators] val pairCtes: String =
+    """w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
+      |  FROM w WHERE len(ws) > 2),
+      |gh AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS hg
+      |  FROM g),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM gh a JOIN gh b ON a.hg = b.hg AND a.doc_id < b.doc_id
+      |  JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id
+      |  WHERE zb.n * 10 >= za.n * 3 AND za.n * 10 >= zb.n * 3
+      |  GROUP BY 1, 2),
+      |p AS (SELECT doc_a, doc_b, i * 1.0 / (s1.n + s2.n - i) AS jaccard
+      |  FROM inter JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
+      |  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3)""".stripMargin
 
   // ----------------------------------------------------------- exact
   /** Exact dedup on normalized text (trim + collapse whitespace):
@@ -112,7 +142,7 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val g = exploded(s, dir).hint("merge")
     val a = g.alias("a"); val b = g.alias("b")
-    a.join(b, col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id")
+    a.join(b, col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id")
         && col("b.n") * 10 >= col("a.n") * 3 && col("a.n") * 10 >= col("b.n") * 3)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
@@ -124,20 +154,9 @@ object Dedup {
   }
 
   val dedupNgramJaccardSql: String =
-    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
-      |  FROM w WHERE len(ws) > 2),
-      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
-      |  JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id
-      |  WHERE zb.n * 10 >= za.n * 3 AND za.n * 10 >= zb.n * 3
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, i * 1.0 / (s1.n + s2.n - i) AS jaccard
-      |FROM inter JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
-      |WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH $pairCtes
+       |SELECT doc_a, doc_b, jaccard FROM p
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------ minhash-lsh
   private def aCoef(i: Int): Long = (1103515245L * (i + 1)) % P
@@ -331,27 +350,15 @@ object Dedup {
   }
 
   val dedupComponentsSql: String =
-    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
-      |  FROM w WHERE len(ws) > 2),
-      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
-      |  JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id
-      |  WHERE zb.n * 10 >= za.n * 3 AND za.n * 10 >= zb.n * 3
-      |  GROUP BY 1, 2),
-      |p AS (SELECT doc_a, doc_b FROM inter
-      |  JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
-      |  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3),
-      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-      |  UNION ALL SELECT doc_b, doc_a FROM p),
-      |reach(id, r) AS (
-      |  SELECT DISTINCT src, src FROM e
-      |  UNION
-      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
-      |SELECT id AS doc_id, min(r) AS component
-      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    s"""WITH RECURSIVE $pairCtes,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+       |SELECT id AS doc_id, min(r) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- embedding
   private def vdot(a: Column, b: Column): Column = {
