@@ -75,6 +75,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("WindowExec"), s"no window sort expected:\n$plan")
   }
 
+  test("declarative zip_with dot product is rewritten to native vector_dot") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+    // the double-cast form: eligible, must be rewritten
+    val dfYes = e.select(aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v).as("dot"))
+    assert(planOf(dfYes).contains("vector_dot"),
+      s"expected FloatVectorDot rewrite:\n${planOf(dfYes)}")
+    // verify the rewrite is bit-identical to the interpreted fold by
+    // comparing against a session without graft extensions — here we
+    // at least pin it against the direct expression
+    val viaExpr = e.selectExpr("vector_dot(embedding, embedding) AS dot")
+    val a = dfYes.collect().map(_.getDouble(0))
+    val b = viaExpr.collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+    // float-multiply form rounds differently: must NOT be rewritten
+    val dfNo = e.select(aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v).as("dot"))
+    assert(!planOf(dfNo).contains("vector_dot"),
+      s"float-multiply fold must stay interpreted:\n${planOf(dfNo)}")
+  }
+
   test("dedup_embedding is distributed: no driver collect, bucket-keyed join") {
     val plan = planOf(operators.Dedup.dedupEmbedding(spark, sf))
     assert(plan.contains("Join"), s"expected a bucket join:\n$plan")
