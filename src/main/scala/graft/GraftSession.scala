@@ -29,7 +29,15 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
-    master.fold(b)(b.master)
+    // experiment knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overrides any
+    // default above (A/B-ing config effects without a rebuild)
+    val b2 = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";").toSeq).filter(_.contains("="))
+      .foldLeft(b) { (acc, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        acc.config(k, v)
+      }
+    master.fold(b2)(b2.master)
   }
 
   def defaultCpus: Int =
