@@ -28,7 +28,7 @@ object Bench {
     val total = if (warm.nonEmpty) warm.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     // sf as a bare number when the dir name encodes one ("sf0.1" → 0.1).
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(warm)},"cold_total":${r3(coldTotal)},"sf":$sfNum}"""
     // Full (unrounded, warm+cold per query) detail goes to a file; only
     // the compact line goes to stdout.

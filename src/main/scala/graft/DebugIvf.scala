@@ -62,7 +62,7 @@ object DebugIvf {
           }
           (bc, v.map(x => math.round(x / n * 1e6)), 1L)
         }.groupBy(_._1).map { case (cell, rows) =>
-          val sums = new Array[Long](64)
+          val sums = new Array[Long](rows.map(_._2.length).max)
           rows.foreach(r => (0 until r._2.length).foreach(i => sums(i) += r._2(i)))
           cell -> (sums, rows.length)
         }

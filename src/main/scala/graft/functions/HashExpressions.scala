@@ -23,7 +23,14 @@ case class StringPolyHash(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (StringType, LongType) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure("poly_hash modulus must be a constant")
+        else right.eval() match {
+          case m: java.lang.Long if m > 0 => TypeCheckResult.TypeCheckSuccess
+          case m => TypeCheckResult.TypeCheckFailure(
+            s"poly_hash modulus must be a positive bigint constant, got $m")
+        }
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"poly_hash requires (string, bigint modulus), got ($l, $r)")
     }

@@ -31,15 +31,33 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Result is null for length-mismatched inputs or null elements even
+  // when both arrays are non-null, so nullability cannot be derived
+  // from the children.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "vector_dot"
 
+  /** Canonical fold semantics — exactly what
+    * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)`
+    * computes: null for a null array, a length mismatch (zip_with pads
+    * with nulls, which poison the fold), or any null element;
+    * otherwise the left-to-right double accumulation. Matching the
+    * fold bit-for-bit is what makes [[graft.plans.VectorDotRewriteRule]]
+    * unconditionally sound.
+    */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i)
+      i += 1
+    }
     s
   }
 
@@ -48,13 +66,20 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -87,7 +112,9 @@ object GraftFunctions {
       exprs => exprs.size match {
         case 1 => new BloomFilterAggregate(exprs.head)
         case 2 => new BloomFilterAggregate(exprs(0), exprs(1))
-        case _ => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        case 3 => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        case n => throw new IllegalArgumentException(
+          s"graft_bloom_agg expects 1 to 3 arguments, got $n")
       })
     GraftSqlShim.registerFunction(spark, "graft_might_contain",
       exprs => BloomFilterMightContain(exprs(0), exprs(1)))

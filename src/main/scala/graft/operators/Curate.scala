@@ -92,9 +92,13 @@ object Curate {
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.dedupNgramJaccard(s, dir)
     val splits = splitTrainVal(s, dir).select(col("doc_id"), col("split"))
-    pairs
-      .join(broadcast(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a"))), "doc_a")
-      .join(broadcast(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b"))), "doc_b")
+    // broadcast the PAIR side (tiny) into the corpus-sized split
+    // assignment — never the reverse; re-hint the (still tiny)
+    // intermediate so the second join builds on it too
+    val pa = broadcast(pairs)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+    broadcast(pa)
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
       .filter(col("split_a") =!= col("split_b"))
       .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -6,15 +6,16 @@ import graft.sources.Tables
 
 /** Deduplication operators over `documents` / `embeddings`
   * (SURVEY.md §2). Exact + four near-dup families, all as declarative
-  * column math (the hashing is splittable arithmetic over xxhash64 —
-  * no UDFs).
+  * column math over splittable integer hashing — no UDFs.
   *
   * Signature computation (MinHash perms, SimHash bit sums) is shaped as
   * explode → grouped aggregation with one codegen'd agg column per
   * signature lane, NOT as nested higher-order lambdas: Spark evaluates
   * `transform`/`aggregate` interpreted, and the O(docs·lanes·tokens)
   * inner loop dominated the runtime in that shape (~3× slower
-  * end-to-end at sf0.1).
+  * end-to-end at sf0.1). All hashing routes through [[polyHash]]
+  * (polynomial fold mod 2³¹−1) so every signature pipeline is exactly
+  * replayable by its DuckDB oracle.
   *
   * == Scale design ==
   * - exact: hash-groupBy on normalized text — one shuffle of
@@ -27,7 +28,7 @@ import graft.sources.Tables
   * - minhash-lsh: b=8 bands × r=4 rows over k=32 minhashes; shuffle
   *   keys are (band, bandhash) — uniform by construction, no skew;
   *   bucket-local self-joins bound the candidate set.
-  * - simhash: 64-bit signature, banded into 4×16-bit chunks; any equal
+  * - simhash: 60-bit signature, banded into 4×15-bit chunks; any equal
   *   chunk ⇒ candidate ⇒ exact Hamming verify (complete for distance
   *   ≤ 3 by pigeonhole; ≤ 8 accepted when a chunk survives).
   * - embedding: brute-force cosine pairs is the correctness baseline;

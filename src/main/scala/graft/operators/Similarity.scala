@@ -28,9 +28,23 @@ object Similarity {
   private val PLANES = 8     // random hyperplanes → 256 buckets
   private val DIM = 64
 
-  /** Per-corpus trained IVF codebooks (train-once model artifacts). */
+  /** Per-corpus trained IVF codebooks (train-once model artifacts).
+    * Keyed by the corpus FILE SIGNATURE (paths + sizes + mtimes), not
+    * the directory alone, so rewriting the data at a path invalidates
+    * the cached model instead of silently serving stale centroids.
+    */
   private val ivfCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Float], Double)]]()
+
+  /** Cheap driver-side corpus signature: no Spark job, just FS metadata. */
+  private def corpusKey(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      try fs.listStatus(path).map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+      catch { case _: java.io.FileNotFoundException => Array(s"$dir:missing") }
+    dir + "|" + stats.sorted.mkString(",")
+  }
 
   import org.apache.spark.sql.graftshim.GraftSqlShim
 
@@ -137,8 +151,9 @@ object Similarity {
     def nrm(v: Array[Float]): Double = math.sqrt(dotd(v, v))
     // Train-once semantics: the codebook is a model artifact (in a real
     // deployment it would be persisted beside the index), so per-corpus
-    // training runs once per JVM and later invocations reuse it.
-    val centroids = ivfCodebooks.computeIfAbsent(dir, _ => {
+    // training runs once per JVM and later invocations reuse it —
+    // unless the files at the path changed (signature key).
+    val centroids = ivfCodebooks.computeIfAbsent(corpusKey(s, dir), _ => {
     val seeds = e.filter(_._1 < CELLS).collect().sortBy(_._1)
       .map { case (id, v) => (id, v, nrm(v)) }
     require(seeds.nonEmpty,
@@ -173,6 +188,7 @@ object Similarity {
           (a._1, sums, a._3 + b._3)
         }
         .map(_._2).collect().map(r => r._1 -> (r._2, r._3)).toMap
+      bc.destroy() // per-iteration broadcast, dead after the collect
       centroids = centroids.map { case (cid, oldV, oldN) =>
         cellAgg.get(cid) match {
           case Some((sums, cnt)) =>

@@ -46,16 +46,20 @@ object EventSource {
 
   /** Shared decode stage: a frame with a Kafka-shaped `value` column
     * (binary or string JSON) → typed event rows. Malformed payloads
-    * yield null structs (from_json PERMISSIVE) and are dropped — a
-    * production pipeline would fork them to a dead-letter sink instead;
-    * the filter keeps the contract explicit either way.
+    * yield null structs (from_json PERMISSIVE) and are dropped, AND so
+    * are payloads missing any required key field (user_id/event_id/ts)
+    * — a null key would otherwise kill the typed downstream stream at
+    * runtime. A production pipeline would fork both to a dead-letter
+    * sink instead; the filter keeps the contract explicit either way.
+    * A missing `value` amount is a valid zero-value event.
     */
   def decode(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value").cast("string"), eventSchema).as("e"))
-      .filter(col("e").isNotNull && col("e.ts").isNotNull)
+      .filter(col("e").isNotNull && col("e.ts").isNotNull
+        && col("e.user_id").isNotNull && col("e.event_id").isNotNull)
       .select(col("e.user_id").as("user_id"), col("e.event_id").as("event_id"),
         col("e.ts").as("ts"), col("e.event_type").as("event_type"),
-        col("e.value").as("value"))
+        coalesce(col("e.value"), lit(0.0)).as("value"))
 
   /** Decoded frame → the event-time sessionization input type
     * (integer-cents value, same convention as the batch operators).

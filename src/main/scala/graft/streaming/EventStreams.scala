@@ -133,11 +133,16 @@ object EventStreams {
             } else if (st.nEv == 0) {
               st = SessState(st.sessionId, e.us, e.us, 1L, e.vc)
             } else {
-              // cross-batch out-of-order (legal within the watermark
-              // delay): never move lastUs backwards — that would split
-              // the session spuriously on the next in-order event or
-              // yield a negative duration; extend startUs backwards
-              // instead so the session span covers the late event.
+              // cross-batch out-of-order: never move lastUs backwards —
+              // that would split the session spuriously on the next
+              // in-order event or yield a negative duration; extend
+              // startUs backwards instead so the session span covers
+              // the late event. NOTE this face has no watermark, so
+              // lateness is unbounded and an arbitrarily old event
+              // merges into the open session (diverging from the
+              // batch twin, which sorts globally); the production face
+              // with BOUNDED lateness is sessionizeStreamEventTime,
+              // where the watermark drops older-than-delay input.
               st = st.copy(lastUs = math.max(st.lastUs, e.us),
                 startUs = math.min(st.startUs, e.us),
                 nEv = st.nEv + 1, sumCents = st.sumCents + e.vc)

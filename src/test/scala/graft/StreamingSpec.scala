@@ -53,6 +53,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decode drops malformed/keyless payloads and zero-fills missing value") {
+    val raw = Seq(
+      """{"user_id":1,"event_id":10,"ts":"2026-01-01 00:00:00","event_type":"click","value":2.5}""",
+      """{"user_id":2,"event_id":20,"ts":"2026-01-01 00:00:01","event_type":"view"}""", // no value → 0.0
+      """{"event_id":30,"ts":"2026-01-01 00:00:02","event_type":"view","value":1.0}""", // no user_id → dropped
+      """{"user_id":4,"event_id":40,"event_type":"view","value":1.0}""",                // no ts → dropped
+      "not json at all"                                                                  // malformed → dropped
+    ).toDF("value")
+    val out = graft.streaming.EventSource.decode(raw)
+      .select("user_id", "event_id", "value").as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 10L, 2.5), (2L, 20L, 0.0)), s"got $out")
+  }
+
   test("kafka-shaped json source drives the windowed aggregation unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
