@@ -84,6 +84,25 @@ class PropertySpec extends SparkSpec {
     got.foreach { case (g, top) => assert(top == model(g), s"group $g") }
   }
 
+  test("property: TopKPerGroup physical operator equals sort-take-k with ties and tiny groups") {
+    val rnd = new Random(77)
+    // groups of size 1..~120 (many smaller than k), guaranteed sortKey
+    // ties within groups, plus a k larger than some whole groups
+    val rows = (1 to 4000).map { i =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(50).toLong, i.toLong)
+    }
+    val df = rows.toDF("g", "sk", "id")
+    val out = graft.plans.GraftOps.topKPerGroup(
+        df, Seq("g"), Seq("sk" -> true, "id" -> false), k = 7)
+      .select("g", "id", "rn").as[(Long, Long, Long)].collect()
+    val model = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(r => (r._2, r._3)).sortBy { case (sk, id) => (-sk, id) }
+        .take(7).zipWithIndex.map { case ((_, id), i) => (g, id, (i + 1).toLong) }
+    }.toSet
+    assert(out.toSet == model, "operator output != sort-take-k model")
+    assert(out.length == model.size)
+  }
+
   test("property: integer-cents round-trips 2-decimal doubles exactly") {
     val rnd = new Random(99)
     val vals = (1 to 10000).map(_ => math.round(rnd.nextDouble() * 1e7) / 100.0)
