@@ -248,6 +248,25 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Streaming CONTENT dedup: first arrival per normalized-text
+    * signature within the watermark — the streaming face of
+    * dedup_exact. The signature is the codegen'd poly_hash of the
+    * whitespace-normalized text (the same engine-portable hash the
+    * batch dedup family uses), so state per doc is one long + the
+    * watermark bound, not the text itself.
+    */
+  def dedupContentStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val sig = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(
+        regexp_replace(trim(col("text")), " +", " ")),
+      GraftSqlShim.expression(lit(1000000007L))))
+    docs
+      .withColumn("content_sig", sig)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_sig")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize,

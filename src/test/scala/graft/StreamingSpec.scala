@@ -53,6 +53,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming content dedup keeps first arrival per normalized text") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreams.dedupContentStream(docs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new Timestamp(3600000L * 10 + min * 60000L)
+      mem.addData(
+        (ts(0), 1L, "alpha beta gamma"),
+        (ts(1), 2L, "  alpha  beta gamma "), // normalizes to the same text → dup
+        (ts(2), 3L, "delta epsilon"))
+      q.processAllAvailable()
+      mem.addData((ts(3), 4L, "alpha beta gamma")) // still within watermark → dup
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM content_dedup").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("decode drops malformed/keyless payloads and zero-fills missing value") {
     val raw = Seq(
       """{"user_id":1,"event_id":10,"ts":"2026-01-01 00:00:00","event_type":"click","value":2.5}""",
