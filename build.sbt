@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must pass through UNDECORATED: the default
+// LoggedOutput prefixes every child line with "[info] "/"[error] ",
+// which breaks machine parsing of Bench's stdout JSON line (r1+r2
+// "parsed": null). StdoutOutput inherits the sbt process's own
+// stdout/stderr, so the child's final JSON line reaches the driver
+// byte-for-byte.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,23 +1,45 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 object Bench {
+
+  /** The registered queries end in an ORDER BY — that's the determinism
+    * contract Verify needs for stable output files, but the final
+    * global sort (plus its single-partition exchange) is pure overhead
+    * for a noop-sink benchmark and sets a ~0.2-0.5 s per-query floor.
+    * Stripping the top-level global Sort benches the same computation
+    * minus the presentation sort; both numbers are reported.
+    */
+  private def unsorted(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global =>
+        org.apache.spark.sql.graftshim.GraftSqlShim.dataFrame(df.sparkSession, s.child)
+      case _ => df
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
     // noop sink: forces full evaluation of every projected column
     // (count() would let Catalyst prune the actual computation away).
-    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String, fn: (SparkSession, String) => DataFrame,
+             strip: Boolean): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      try {
+        val df = fn(spark, sfDir)
+        (if (strip) unsorted(df) else df)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       (System.nanoTime() - t0) / 1e9
     }
-    // Two passes: the first pays one-time janino/codegen compilation
+    // Three passes: the first pays one-time janino/codegen compilation
     // (~0.5-1.5s per query — larger than the data time at sf0.1); the
-    // second measures steady-state engine throughput. Both recorded.
-    val cold = SparkEntry.queries.map { case (name, fn) => name -> once(name, fn) }
-    val warm = SparkEntry.queries.map { case (name, fn) => name -> once(name, fn) }
+    // second measures steady-state engine throughput with the output
+    // sort; the third measures the computation WITHOUT the final
+    // presentation sort (per-operator cost readable). All recorded.
+    val cold = SparkEntry.queries.map { case (n, f) => n -> once(n, f, strip = false) }
+    val warm = SparkEntry.queries.map { case (n, f) => n -> once(n, f, strip = false) }
+    val nosort = SparkEntry.queries.map { case (n, f) => n -> once(n, f, strip = true) }
     // 3-decimal rounding keeps each entry ~22 bytes; the printed line
     // must stay well under the driver's output-tail capture window
     // (r1's ~4KB line got front-truncated there → "parsed": null).
@@ -27,13 +49,14 @@ object Bench {
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (warm.nonEmpty) warm.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    val nosortTotal = if (nosort.nonEmpty) nosort.values.sum else 0.0
     // sf as a bare number when the dir name encodes one ("sf0.1" → 0.1).
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(warm)},"cold_total":${r3(coldTotal)},"sf":$sfNum}"""
-    // Full (unrounded, warm+cold per query) detail goes to a file; only
-    // the compact line goes to stdout.
-    val full = s"""{"sf_dir":"$sfDir","total":$total,"cold_total":$coldTotal,""" +
-      s""""queries":${m2j(warm)},"cold_queries":${m2j(cold)}}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(warm)},"cold_total":${r3(coldTotal)},"nosort_total":${r3(nosortTotal)},"sf":$sfNum}"""
+    // Full (unrounded, warm+cold+nosort per query) detail goes to a
+    // file; only the compact line goes to stdout.
+    val full = s"""{"sf_dir":"$sfDir","total":$total,"cold_total":$coldTotal,"nosort_total":$nosortTotal,""" +
+      s""""queries":${m2j(warm)},"cold_queries":${m2j(cold)},"nosort_queries":${m2j(nosort)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try Files.writeString(Paths.get(outFile), full)
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
