@@ -709,6 +709,82 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  // ------------------------------------------- bucketed fact-fact join
+  /** Corpora whose bucketed twin tables are already written, keyed by
+    * the corpus FILE SIGNATURE (same stale-safety contract as the IVF
+    * codebook cache): rewriting the data at a path invalidates the memo.
+    */
+  private val bucketedReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write orders/lineitem as co-bucketed tables (8 buckets on the join
+    * key, sorted within buckets) once per corpus per JVM. saveAsTable
+    * metadata lives in the session catalog; a previous JVM may have
+    * left the warehouse location behind after its catalog entry died
+    * with it, so the location is cleared explicitly before the CTAS.
+    */
+  private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (oTbl, lTbl) = (s"graft_orders_$tag", s"graft_lineitem_$tag")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val sig = Seq("orders", "lineitem").map { name =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(hconf)
+      try fs.listStatus(p).map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
+      catch { case _: java.io.FileNotFoundException => s"$name:missing" }
+    }.mkString("|")
+    bucketedReady.computeIfAbsent(s"$dir|$sig", _ => {
+      Seq(oTbl, lTbl).foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), tbl)
+        loc.getFileSystem(hconf).delete(loc, true)
+      }
+      Tables.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        oTbl, 8, "o_orderkey", "o_orderkey")
+      Tables.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        lTbl, 8, "l_orderkey", "l_orderkey")
+      tag
+    })
+    (oTbl, lTbl)
+  }
+
+  /** Fact-fact join with ZERO shuffle exchanges (SURVEY §5/§9.4): both
+    * sides are pre-bucketed on the join key, so the sort-merge join
+    * consumes the bucketed scan partitioning directly, and the per-order
+    * aggregation reuses the same partitioning (group keys ⊇ bucket key).
+    * This is the 100 TB orders⋈lineitem story made plan-visible: the
+    * one-time bucketed write amortizes over every subsequent join, and
+    * the only exchange in the whole query is the final presentation
+    * sort. The merge hint pins SMJ (at test SF both sides fit under the
+    * broadcast threshold, which would also be exchange-free but wouldn't
+    * demonstrate co-located shuffle avoidance).
+    */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (oTbl, lTbl) = ensureBucketed(s, dir)
+    val o = s.table(oTbl).filter(col("o_orderpriority") === "1-URGENT")
+    val l = s.table(lTbl)
+    o.join(l.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_totalprice"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum((cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .cast("decimal(38,0)")).cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Oracle over the PLAIN tables — bucketing is a physical layout
+    * choice and must not change the result.
+    */
+  val joinBucketedSql: String =
+    """SELECT o_orderkey, o_totalprice, count(*) AS n_items,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderkey, o_totalprice
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------ skew helper
   /** Two-phase salted aggregation for skewed keys: spray each hot key
     * across `salt` partial groups, combine, then merge the partials.
@@ -721,6 +797,23 @@ object Analytics {
       .withColumn("s", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
       .groupBy(col("k"), col("s")).agg(sum(col("v")).as("partial"), count(lit(1)).as("pn"))
       .groupBy(col("k")).agg(sum(col("partial")).as("sum_v"), sum(col("pn")).as("n"))
+
+  /** Registered face of [[saltedAgg]]: per-user event-value totals via
+    * the two-phase salted shape, so the skew story is plan-visible (two
+    * HashAggregate pairs, first keyed (k, salt)) and oracle-checked —
+    * the salted partials must recombine to exactly the plain GROUP BY.
+    * Values route through integer cents, so the recombination is exact
+    * regardless of how the salt splits a key.
+    */
+  def aggSalted(s: SparkSession, dir: String): DataFrame =
+    saltedAgg(events(s, dir), col("user_id"), cents(col("value")), 16)
+      .select(col("k").as("user_id"), (col("sum_v") / 100.0).as("sum_value"), col("n"))
+      .orderBy(col("user_id"))
+
+  val aggSaltedSql: String =
+    """SELECT user_id, sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  count(*) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -749,7 +842,9 @@ object Analytics {
     "filter_bloom" -> filterBloom,
     "agg_percentile" -> aggPercentile,
     "agg_approx_quantile" -> aggApproxQuantile,
-    "agg_approx_distinct" -> aggApproxDistinct)
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "join_bucketed" -> joinBucketed,
+    "agg_salted" -> aggSalted)
 
   val oracles: Map[String, String] = Map(
     "events_sliding" -> eventsSlidingSql,
@@ -775,5 +870,7 @@ object Analytics {
     "pivot_events" -> pivotEventsSql,
     "rollup_revenue" -> rollupRevenueSql,
     "events_tumbling" -> eventsTumblingSql,
-    "sessionize" -> sessionizeSql)
+    "sessionize" -> sessionizeSql,
+    "join_bucketed" -> joinBucketedSql,
+    "agg_salted" -> aggSaltedSql)
 }

@@ -100,6 +100,23 @@ class PlanShapeSpec extends SparkSpec {
       s"float-multiply fold must stay interpreted:\n${planOf(dfNo)}")
   }
 
+  test("join_bucketed: zero shuffle exchanges below the presentation sort") {
+    val df = Analytics.joinBucketed(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
+    // the ONLY exchange allowed is the final ORDER BY's range partition:
+    // join and per-order aggregation both ride the bucket partitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join+agg must not hash-shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+  }
+
+  test("agg_salted plans as two aggregate pairs, salted first") {
+    val plan = planOf(Analytics.aggSalted(spark, sf))
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 4, s"expected partial/final pairs for both phases:\n$plan")
+  }
+
   test("dedup_embedding is distributed: no driver collect, bucket-keyed join") {
     val plan = planOf(operators.Dedup.dedupEmbedding(spark, sf))
     assert(plan.contains("Join"), s"expected a bucket join:\n$plan")
