@@ -30,29 +30,71 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle: same quality formula, the SHARED pair CTE
-    * ([[Dedup.pairCtes]] — cannot drift from the jaccard oracle),
-    * NOT EXISTS drop.
+  /** Shared quality CTE (`q`) — the oracle twin of TextOps.textQuality's
+    * scoring formula, interpolated into both curate oracles so the
+    * replicas cannot drift.
     */
-  val pipelineCurateSql: String = {
+  private val qualityCte: String = {
     val stops = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH ${Dedup.pairCtes},
-       |q AS (
+    s"""q AS (
        |  SELECT doc_id, n_chars,
        |    len(string_split(text, ' ')) AS n_tokens,
        |    len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0 / len(string_split(text, ' ')) AS stopword_ratio,
        |    (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0 / len(string_split(text, ' ')))
        |      * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars)
        |      * least(1.0, len(string_split(text, ' ')) / 64.0) AS quality_score
-       |  FROM documents),
-       |drops AS (SELECT DISTINCT doc_b AS doc_id FROM p)
-       |SELECT q.doc_id, n_chars,
-       |  CAST(n_tokens AS BIGINT) AS n_tokens, stopword_ratio, quality_score
-       |FROM q
-       |WHERE quality_score >= 0.5
-       |  AND NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = q.doc_id)
-       |ORDER BY q.doc_id""".stripMargin
+       |  FROM documents)""".stripMargin
   }
+
+  private val curateSelect: String =
+    """SELECT q.doc_id, n_chars,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens, stopword_ratio, quality_score
+      |FROM q
+      |WHERE quality_score >= 0.5
+      |  AND NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = q.doc_id)
+      |ORDER BY q.doc_id""".stripMargin
+
+  /** Oracle: same quality formula, the SHARED pair CTE
+    * ([[Dedup.pairCtes]] — cannot drift from the jaccard oracle),
+    * NOT EXISTS drop.
+    */
+  val pipelineCurateSql: String =
+    s"""WITH ${Dedup.pairCtes},
+       |$qualityCte,
+       |drops AS (SELECT DISTINCT doc_b AS doc_id FROM p)
+       |$curateSelect""".stripMargin
+
+  // --------------------------------------- per-cluster curate policy
+  /** Curation with the PER-CLUSTER exemplar policy (SURVEY §9.2): keep
+    * only each duplicate cluster's exemplar (the minimum doc_id,
+    * i.e. the doc whose [[Dedup.dedupComponents]] label equals its own
+    * id) instead of the per-pair higher-id rule. The pair rule keeps
+    * local minima of dup chains — in a 1-5, 5-3 chain it keeps {1, 3};
+    * the cluster policy keeps {1} only. Costs the iterative component
+    * labeling inside the composite; the drop set stays tiny and
+    * broadcasts into the left-anti join exactly as before.
+    */
+  def pipelineCurateCluster(s: SparkSession, dir: String): DataFrame = {
+    val quality = TextOps.textQuality(s, dir)
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("stopword_ratio"), col("quality_score"))
+    val dropIds = Dedup.dedupComponents(s, dir)
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id"))
+    quality
+      .filter(col("quality_score") >= 0.5)
+      .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the SHARED component CTE ([[Dedup.componentCtes]] — the
+    * recursive-CTE components oracle verbatim), non-exemplar drop.
+    */
+  val pipelineCurateClusterSql: String =
+    s"""WITH RECURSIVE ${Dedup.componentCtes},
+       |$qualityCte,
+       |drops AS (SELECT doc_id FROM comp WHERE component <> doc_id)
+       |$curateSelect""".stripMargin
 
   // ------------------------------------------------ train/val split
   /** Deterministic CONTENT-HASH train/val split: bucket = rolling
@@ -166,6 +208,7 @@ object Curate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> pipelineCurate,
+    "pipeline_curate_cluster" -> pipelineCurateCluster,
     "split_train_val" -> splitTrainVal,
     "split_leakage" -> splitLeakage,
     "corpus_stats" -> corpusStats,
@@ -173,6 +216,7 @@ object Curate {
 
   val oracles: Map[String, String] = Map(
     "pipeline_curate" -> pipelineCurateSql,
+    "pipeline_curate_cluster" -> pipelineCurateClusterSql,
     "split_train_val" -> splitTrainValSql,
     "split_leakage" -> splitLeakageSql,
     "corpus_stats" -> corpusStatsSql,

@@ -350,16 +350,25 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val dedupComponentsSql: String =
-    s"""WITH RECURSIVE $pairCtes,
+  /** Shared oracle fragment extending [[pairCtes]] with the recursive
+    * connected-components labeling (`comp(doc_id, component)`), so the
+    * cluster-policy consumers (curate) replay exactly the components
+    * oracle.
+    */
+  private[operators] val componentCtes: String =
+    s"""$pairCtes,
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
        |  UNION ALL SELECT doc_b, doc_a FROM p),
        |reach(id, r) AS (
        |  SELECT DISTINCT src, src FROM e
        |  UNION
-       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
-       |SELECT id AS doc_id, min(r) AS component
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       |comp AS (SELECT id AS doc_id, min(r) AS component
+       |  FROM reach GROUP BY id)""".stripMargin
+
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $componentCtes
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- embedding
   private def vdot(a: Column, b: Column): Column = {

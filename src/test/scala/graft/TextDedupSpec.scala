@@ -95,6 +95,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out.values.toSet.subsetOf(out.keySet))
   }
 
+  test("cluster curate keeps exactly the component exemplars the pair policy over-keeps") {
+    import graft.operators.Curate
+    val pairKept = Curate.pipelineCurate(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val clusterKept = Curate.pipelineCurateCluster(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val comp = Dedup.dedupComponents(spark, sf)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    // cluster policy is at least as strict: it can only drop MORE docs
+    assert(clusterKept.subsetOf(pairKept),
+      s"cluster policy kept docs the pair policy dropped: ${clusterKept -- pairKept}")
+    // and what it drops is exactly the non-exemplars among the pair-kept
+    val expected = pairKept.filter(id => comp.get(id).forall(_ == id))
+    assert(clusterKept == expected,
+      s"diff: extra=${clusterKept -- expected} missing=${expected -- clusterKept}")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val out = Dedup.dedupEmbedding(spark, sf)
       .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
