@@ -82,6 +82,16 @@ case class TopKPerGroupExec(
     val kk = k
     val isPartial = partial
     val outAttrs = output
+    // Partial-stage memory bound: unlike Spark's partial HashAggregate
+    // (fixed-width buffers inside an UnsafeFixedWidthAggregationMap that
+    // spills), this map holds up to k COPIED child rows per group, so a
+    // high-group-cardinality partition at 100 TB would otherwise buffer
+    // ~the whole partition. When the map reaches this many groups it is
+    // FLUSHED to output and restarted — partial output may then carry up
+    // to k rows per group per flush window, which the final stage merges
+    // back to an exact top-k (same contract as partial-agg re-merge).
+    val flushLimit = math.max(1,
+      conf.getConfString("spark.graft.topkPartialFlushGroups", "32768").toInt)
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(groupE, childOutput)
       val ord = RowOrdering.create(sortE, childOutput)
@@ -89,8 +99,7 @@ case class TopKPerGroupExec(
       // insertion: k is small by contract (top-k, not top-millions);
       // each insert is ≤ k comparisons against already-pruned rows.
       val groups = new java.util.HashMap[UnsafeRow, java.util.ArrayList[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      def insert(row: InternalRow): Unit = {
         val key = groupProj(row)
         var buf = groups.get(key)
         if (buf == null) {
@@ -105,18 +114,37 @@ case class TopKPerGroupExec(
           if (buf.size() > kk) buf.remove(kk)
         }
       }
-      val entries = groups.values().iterator()
       if (isPartial) {
+        // Streaming build/drain: consume input until the group cap,
+        // drain the map to output, repeat until the input is exhausted.
         new Iterator[InternalRow] {
+          private var drain: java.util.Iterator[java.util.ArrayList[InternalRow]] =
+            java.util.Collections.emptyIterator()
           private var cur: java.util.Iterator[InternalRow] =
             java.util.Collections.emptyIterator()
+          private def fill(): Unit = {
+            while (iter.hasNext && groups.size() < flushLimit) insert(iter.next())
+            val vals = new java.util.ArrayList(groups.values())
+            groups.clear()
+            drain = vals.iterator()
+          }
           override def hasNext: Boolean = {
-            while (!cur.hasNext && entries.hasNext) cur = entries.next().iterator()
-            cur.hasNext
+            while (!cur.hasNext) {
+              if (drain.hasNext) cur = drain.next().iterator()
+              else if (iter.hasNext) fill()
+              else return false
+            }
+            true
           }
           override def next(): InternalRow = cur.next()
         }
       } else {
+        // Final stage: ClusteredDistribution guarantees every row of a
+        // group is in this partition, so the full build must complete
+        // before ranks are emitted; state is O(groups-in-partition · k),
+        // the operator's inherent output size.
+        while (iter.hasNext) insert(iter.next())
+        val entries = groups.values().iterator()
         val proj = UnsafeProjection.create(outAttrs, outAttrs)
         val joined = new JoinedRow
         val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)

@@ -103,6 +103,35 @@ class PropertySpec extends SparkSpec {
     assert(out.length == model.size)
   }
 
+  test("property: TopKPerGroup partial flush keeps results exact at adversarial group cardinality") {
+    // force the partial stage to flush every 16 groups while feeding a
+    // partition with ~2000 distinct groups (every row its own group,
+    // interleaved revisits): output must equal the unbounded-map answer
+    val prev = spark.conf.getOption("spark.graft.topkPartialFlushGroups")
+    spark.conf.set("spark.graft.topkPartialFlushGroups", "16")
+    try {
+      val rnd = new Random(99)
+      // high cardinality + revisits AFTER a group has been flushed
+      val rows = (1 to 6000).map { i =>
+        (rnd.nextInt(2000).toLong, rnd.nextInt(40).toLong, i.toLong)
+      }
+      val df = rows.toDF("g", "sk", "id").repartition(3)
+      val out = graft.plans.GraftOps.topKPerGroup(
+          df, Seq("g"), Seq("sk" -> true, "id" -> false), k = 3)
+        .select("g", "id", "rn").as[(Long, Long, Long)].collect()
+      val model = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map(r => (r._2, r._3)).sortBy { case (sk, id) => (-sk, id) }
+          .take(3).zipWithIndex.map { case ((_, id), i) => (g, id, (i + 1).toLong) }
+      }.toSet
+      assert(out.toSet == model, "flushed partial stage changed the result")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.topkPartialFlushGroups", v)
+        case None => spark.conf.unset("spark.graft.topkPartialFlushGroups")
+      }
+    }
+  }
+
   test("property: integer-cents round-trips 2-decimal doubles exactly") {
     val rnd = new Random(99)
     val vals = (1 to 10000).map(_ => math.round(rnd.nextDouble() * 1e7) / 100.0)
