@@ -27,6 +27,12 @@ object Similarity {
   private val NQ = 10        // query set: vec_id < NQ
   private val PLANES = 8     // random hyperplanes → 256 buckets
   private val DIM = 64
+  // IVF hyper-parameters — shared between the Spark pipeline and its
+  // DuckDB oracle so the two replay the identical computation
+  private val IVF_CELLS = 32
+  private val IVF_ASSIGN = 2
+  private val IVF_NPROBE = 3
+  private val IVF_ITERS = 4
 
   /** Per-corpus trained IVF codebooks (train-once model artifacts).
     * Keyed by the corpus FILE SIGNATURE (paths + sizes + mtimes), not
@@ -136,10 +142,10 @@ object Similarity {
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val CELLS = 32
-    val ASSIGN = 2
-    val NPROBE = 3
-    val ITERS = 4
+    val CELLS = IVF_CELLS
+    val ASSIGN = IVF_ASSIGN
+    val NPROBE = IVF_NPROBE
+    val ITERS = IVF_ITERS
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     def dotd(a: Array[Float], b: Array[Float]): Double = {
@@ -272,7 +278,54 @@ object Similarity {
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM p)
       |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB twin of the FULL trained-IVF pipeline. The four Lloyd
+    * iterations are UNROLLED into chained CTEs (b0 → b1 → … → b4) —
+    * DuckDB's recursive CTEs can't correlate the carried codebook at
+    * depth > 1, but the iteration count is a compile-time constant, so
+    * generating one CTE block per iteration replays the training
+    * exactly: argmax assignment (cosine desc, cid tiebreak) as a
+    * windowed rank, fixed-point unit-vector sums as exact BIGINT
+    * arithmetic (Scala's math.round(x) = floor(x + 0.5) spelled
+    * explicitly), centroid refresh as the identical double-division
+    * chain cast to REAL, emptied cells keeping their previous centroid
+    * via the LEFT JOIN COALESCE. Every cosine is the same sequential
+    * left-fold as [[graft.functions.FloatVectorDot]], so the trained
+    * codebook, cell assignments, probes, candidate set, cosines, and
+    * ranks are all bit-identical — a full hash oracle for an operator
+    * whose output depends on trained model state.
+    */
+  val annIvfSql: String = {
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
+    val base = Seq(
+      s"n AS (SELECT vec_id, embedding, sqrt(${fold("embedding", "embedding")}) AS nrm FROM embeddings)",
+      s"b0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $IVF_CELLS)")
+    val iters = (1 to IVF_ITERS).flatMap { it =>
+      val p = it - 1
+      Seq(
+        s"bn$it AS (SELECT cid, cv, sqrt(${fold("cv", "cv")}) AS cn FROM b$p)",
+        s"sc$it AS (SELECT n.vec_id, b.cid, ${fold("n.embedding", "b.cv")} / (n.nrm * b.cn) AS cos FROM n CROSS JOIN bn$it b)",
+        s"a$it AS (SELECT s.vec_id, s.cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc$it) s WHERE s.rn = 1)",
+        s"c$it AS (SELECT cell, count(*) AS cnt FROM a$it GROUP BY cell)",
+        s"f$it AS (SELECT a.cell, t.d, sum(CAST(floor(CAST(n.embedding[t.d] AS DOUBLE) / n.nrm * 1e6 + 0.5) AS BIGINT)) AS s FROM a$it a JOIN n ON n.vec_id = a.vec_id CROSS JOIN range(1, $DIM + 1) t(d) GROUP BY a.cell, t.d)",
+        s"m$it AS (SELECT f.cell, list(CAST(CAST(f.s AS DOUBLE) / 1e6 / c.cnt AS REAL) ORDER BY f.d) AS cv FROM f$it f JOIN c$it c ON c.cell = f.cell GROUP BY f.cell)",
+        s"b$it AS (SELECT b.cid, COALESCE(m.cv, b.cv) AS cv FROM b$p b LEFT JOIN m$it m ON m.cell = b.cid)")
+    }
+    val search = Seq(
+      s"bk AS (SELECT cid, cv, sqrt(${fold("cv", "cv")}) AS cn FROM b$IVF_ITERS)",
+      s"sc AS (SELECT n.vec_id, b.cid, ${fold("n.embedding", "b.cv")} / (n.nrm * b.cn) AS cos FROM n CROSS JOIN bk b)",
+      "rk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc)",
+      s"asg AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= $IVF_ASSIGN)",
+      s"prb AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= $IVF_NPROBE AND vec_id < $NQ)",
+      "cand AS (SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id FROM prb q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.vec_id)",
+      s"p AS (SELECT c.query_id, c.neighbor_id, ${fold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine FROM cand c JOIN n nq ON nq.vec_id = c.query_id JOIN n nc ON nc.vec_id = c.neighbor_id)",
+      "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM p)")
+    "WITH " + (base ++ iters ++ search).mkString(",\n") +
+      s"\nSELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
-    "ann_lsh" -> annLshSql)
+    "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql)
 }
