@@ -176,6 +176,38 @@ object Dedup {
     h
   }
 
+  /** Per-row MinHash signature: the 32 lane minima ((aᵢ·h+bᵢ) mod P
+    * over polyHash trigram ids — IDENTICAL arithmetic to the batch
+    * lanes in [[dedupMinhashLsh]]) folded band-wise into one mod-P
+    * long. Whitespace is collapsed first so formatting variants
+    * produce the same shingles. Computed row-local (no aggregation),
+    * which is what lets the STREAMING dedup face key on it without a
+    * stateful aggregation upstream of the dedup operator. Docs too
+    * short to shingle fall back to the normalized-text hash (exact
+    * dedup semantics — the batch pipeline simply never near-dups
+    * them).
+    */
+  private[graft] def minhashSignature(text: String): Long = {
+    val norm = text.trim.replaceAll(" +", " ")
+    val hs = trigrams(norm).map(polyHash)
+    if (hs.isEmpty) return polyHash(norm)
+    var sig = 0L
+    var i = 0
+    while (i < MINHASH_K) {
+      val a = aCoef(i); val b = bCoef(i)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = (hs(j) * a + b) % P
+        if (v < m) m = v
+        j += 1
+      }
+      sig = (sig * 31L + m) % P
+      i += 1
+    }
+    sig
+  }
+
   /** MinHash signatures (k=32 permutations (aᵢ·h+bᵢ) mod 2³¹-1 over
     * [[polyHash]] shingle ids) → 8 LSH bands of 4 (band key = a mod-P
     * fold of the 4 lane minima) → bucket self-join → exact-Jaccard

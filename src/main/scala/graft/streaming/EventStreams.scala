@@ -267,6 +267,30 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("content_sig")
   }
 
+  /** Streaming NEAR-dup dedup face (SURVEY §9.5): first arrival per
+    * full banded MinHash signature within the watermark. The signature
+    * is [[graft.operators.Dedup.minhashSignature]] — the 32 batch LSH
+    * lane minima folded into one long with identical arithmetic, so
+    * stream and batch agree on what a (near-)exact dup is. It is
+    * computed per row in a typed map (no aggregation upstream), so the
+    * query carries a single stateful operator whose state is one long
+    * per surviving doc within the watermark. Catches exact and
+    * near-exact dups (all lanes equal); lower-similarity near-dups are
+    * the batch LSH pipeline's job — any-band matching needs cross-band
+    * state that streaming dedup cannot express in bounded form.
+    */
+  def dedupMinhashStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("ts"), col("doc_id"), col("text"))
+      .as[(java.sql.Timestamp, Long, String)]
+      .map { case (ts, id, text) =>
+        (ts, id, text, graft.operators.Dedup.minhashSignature(text)) }
+      .toDF("ts", "doc_id", "text", "minhash_sig")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("minhash_sig")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize,

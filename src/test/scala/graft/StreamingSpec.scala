@@ -74,6 +74,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash dedup drops signature-equal near-exact dups within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreams.dedupMinhashStream(docs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("minhash_dedup")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new Timestamp(3600000L * 10 + min * 60000L)
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val spaced = "  alpha beta  gamma delta epsilon zeta eta theta iota kappa " // whitespace variant
+      val other = "one two three four five six seven eight nine ten"
+      val rows = Seq(
+        (ts(0), 1L, base), (ts(1), 2L, spaced), (ts(2), 3L, other),
+        (ts(3), 4L, base), (ts(4), 5L, "tiny doc"), (ts(5), 6L, "tiny  doc"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM minhash_dedup").as[Long].collect().toSet
+      // model: first arrival per signature, signatures computed by the
+      // same (batch-identical) function the operator uses
+      val expected = rows.groupBy(r => graft.operators.Dedup.minhashSignature(r._3))
+        .values.map(_.minBy(_._1.getTime)._2).toSet
+      assert(ids == expected, s"got $ids expected $expected")
+      // and the whitespace variants really did collapse
+      assert(!ids.contains(2L) && !ids.contains(4L) && !ids.contains(6L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("decode drops malformed/keyless payloads and zero-fills missing value") {
     val raw = Seq(
       """{"user_id":1,"event_id":10,"ts":"2026-01-01 00:00:00","event_type":"click","value":2.5}""",
