@@ -246,6 +246,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: event-time sessionize with timeout flush equals the batch fold at random scale") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(1234)
+    val base = 1700000000000L
+    // 400 events over ~20 users with random inter-arrival gaps that
+    // straddle the 30-min session gap, globally time-ordered so the
+    // watermark never drops input; fed in 8 batches + 2 sentinel
+    // batches that push the watermark past every open session's flush
+    var tMs = base
+    val evs = (1 to 400).map { i =>
+      tMs += rnd.nextInt(8 * 60 * 1000).toLong // 0..8 min steps
+      EventStreams.EvT(rnd.nextInt(20).toLong, i.toLong,
+        new Timestamp(tMs), rnd.nextInt(10000).toLong)
+    }
+    val mem = MemoryStream[EventStreams.EvT]
+    val q = EventStreams.sessionizeStreamEventTime(mem.toDS(), watermarkDelay = "1 second")
+      .writeStream.format("memory").queryName("sess_prop")
+      .outputMode("append").start()
+    try {
+      evs.grouped(50).foreach { batch =>
+        mem.addData(batch: _*); q.processAllAvailable()
+      }
+      // two far-future sentinels: the first advances the watermark, the
+      // second lets the timeout fire in its micro-batch
+      mem.addData(EventStreams.EvT(999L, 9999L, new Timestamp(tMs + 86400000L), 0L))
+      q.processAllAvailable()
+      mem.addData(EventStreams.EvT(999L, 10000L, new Timestamp(tMs + 2 * 86400000L), 0L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, session_id, n_events, duration_sec, session_value FROM sess_prop")
+        .as[(Long, Long, Long, Double, Double)].collect().toSet
+        .filter(_._1 < 100L)
+      // batch model: per-user (us, event_id) sort, 30-min-gap fold,
+      // trailing sessions included (the timeout flushed them)
+      val model = evs.groupBy(_.user_id).flatMap { case (uid, us) =>
+        val sorted = us.sortBy(e => (e.ts.getTime, e.event_id))
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[Vector[EventStreams.EvT]]
+        sorted.foreach { e =>
+          if (sessions.nonEmpty &&
+              (e.ts.getTime - sessions.last.last.ts.getTime) * 1000L <= EventStreams.GapUs)
+            sessions(sessions.size - 1) = sessions.last :+ e
+          else sessions += Vector(e)
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          (uid, i.toLong, s.size.toLong,
+            (s.last.ts.getTime - s.head.ts.getTime) / 1000.0,
+            s.map(_.vc).sum / 100.0)
+        }
+      }.toSet
+      assert(got == model,
+        s"extra=${got -- model}\nmissing=${model -- got}")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps only the first arrival per key within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
