@@ -206,13 +206,91 @@ object Curate {
       |  n_chars - len(trim(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_removed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- sequence packing
+  /** Sequential document packing: concatenate the corpus in doc_id
+    * order and chunk it into fixed 2048-token context windows — the
+    * standard pretraining packing op. Each doc gets its global token
+    * offset and the window (bin) its first token lands in.
+    *
+    * == Scale design ==
+    * The global running sum is computed as a TWO-PASS prefix sum, not
+    * one un-partitioned window (which would sort the whole corpus in a
+    * single task): docs fold into fixed 64-doc buckets (deterministic
+    * `doc_id div 64`), the intra-bucket cumsum is a window PARTITIONED
+    * by bucket, and the tiny per-bucket totals (O(docs/64) rows) take
+    * the only global window before broadcasting back — the same shape
+    * as the eq-hist shade's histogram pass.
+    */
+  def packSequential(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 2048L
+    val d = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr("doc_id div 64").as("bkt"))
+    val intra = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.withColumn("cum_in", sum(col("n_tokens")).over(intra))
+    val bktTotals = d.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bt"))
+    val over = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bktTotals
+      .withColumn("bp", coalesce(sum(col("bt")).over(over), lit(0L)))
+      .select(col("bkt"), col("bp"))
+    cum.join(broadcast(prefixes), "bkt")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bp") + col("cum_in") - col("n_tokens")).as("tok_offset"))
+      .withColumn("bin_id", expr("tok_offset div 2048"))
+      .orderBy(col("doc_id"))
+  }
+
+  val packSequentialSql: String =
+    """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tok_offset
+      |  FROM d)
+      |SELECT doc_id, n_tokens, tok_offset, tok_offset // 2048 AS bin_id
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ stratified sampling
+  /** Deterministic stratified sampling: per-language keep rates
+    * (downsample the dominant language toward a balanced corpus)
+    * decided by a content-hash bucket — the same poly_hash family as
+    * the train/val split but over a prefixed text so the two decisions
+    * are decorrelated. Pure per-row arithmetic: embarrassingly
+    * parallel, no shuffle before the output sort, and re-running on a
+    * grown corpus keeps every previously-sampled doc (no reservoir
+    * state, unlike rand()-based sampling which isn't even replayable).
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("smp|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val quota = when(col("lang") === "en", 30L).otherwise(80L)
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        (h % 100L).as("bucket"))
+      .filter(col("bucket") < quota)
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleStratifiedSql: String =
+    """WITH f AS (SELECT doc_id, lang, source, n_chars,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('smp|' || text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, source, n_chars, bucket FROM f
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 80 END
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_cluster" -> pipelineCurateCluster,
     "split_train_val" -> splitTrainVal,
     "split_leakage" -> splitLeakage,
     "corpus_stats" -> corpusStats,
-    "text_normalize" -> textNormalize)
+    "text_normalize" -> textNormalize,
+    "pack_sequential" -> packSequential,
+    "sample_stratified" -> sampleStratified)
 
   val oracles: Map[String, String] = Map(
     "pipeline_curate" -> pipelineCurateSql,
@@ -220,5 +298,7 @@ object Curate {
     "split_train_val" -> splitTrainValSql,
     "split_leakage" -> splitLeakageSql,
     "corpus_stats" -> corpusStatsSql,
-    "text_normalize" -> textNormalizeSql)
+    "text_normalize" -> textNormalizeSql,
+    "pack_sequential" -> packSequentialSql,
+    "sample_stratified" -> sampleStratifiedSql)
 }

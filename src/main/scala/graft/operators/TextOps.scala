@@ -169,12 +169,53 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------- repetition
+  /** Repetition quality signal (the duplicate-shingle pressure a
+    * Gopher-style repetition filter keys on): per doc, total vs
+    * DISTINCT word trigrams and the duplicate ratio. High rep_ratio
+    * marks boilerplate/templated text a curation pass down-weights.
+    * Shingle emission is the sanctioned typed flatMap (SURVEY §8: the
+    * declarative explode-over-computed-array re-evaluates the
+    * generator per output row); the counts aggregate map-side. The
+    * ratio is exact int arithmetic divided once — engine-stable.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tri = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = t.split(" ", -1)
+        (0 until math.max(ws.length - 2, 0)).iterator
+          .map(i => (id, ws(i) + " " + ws(i + 1) + " " + ws(i + 2)))
+      }.toDF("doc_id", "ng")
+    val agg = tri.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), countDistinct(col("ng")).as("n_distinct"))
+    docs(s, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_shingles") > 0,
+          (col("n_shingles") - col("n_distinct")) * 1.0 / col("n_shingles"))
+          .otherwise(0.0))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS ngs FROM w)
+      |SELECT doc_id, CAST(len(ngs) AS BIGINT) AS n_shingles,
+      |  CAST(len(list_distinct(ngs)) AS BIGINT) AS n_distinct,
+      |  CASE WHEN len(ngs) > 0 THEN (len(ngs) - len(list_distinct(ngs))) * 1.0 / len(ngs) ELSE 0.0 END AS rep_ratio
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_ngrams" -> textNgrams,
-    "text_fingerprint" -> textFingerprint)
+    "text_fingerprint" -> textFingerprint,
+    "text_repetition" -> textRepetition)
 
   /** DuckDB twin of the rolling fingerprint: left-fold over ascii
     * codes with a 0 seed (list_reduce has no init, so the seed is
@@ -211,5 +252,6 @@ object TextOps {
     "text_quality" -> textQualitySql,
     "text_ngrams" -> textNgramsSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_langid" -> textLangidSql)
+    "text_langid" -> textLangidSql,
+    "text_repetition" -> textRepetitionSql)
 }

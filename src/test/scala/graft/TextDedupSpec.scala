@@ -112,6 +112,21 @@ class TextDedupSpec extends SparkSpec {
       s"diff: extra=${clusterKept -- expected} missing=${expected -- clusterKept}")
   }
 
+  test("sequential packing is gapless: each offset continues the previous doc") {
+    import graft.operators.Curate
+    val rows = Curate.packSequential(spark, sf)
+      .select("doc_id", "n_tokens", "tok_offset", "bin_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.head._3 == 0L)
+    rows.sliding(2).foreach {
+      case Array((_, n, off, _), (id2, _, off2, _)) =>
+        assert(off2 == off + n, s"gap before doc $id2: $off+$n != $off2")
+      case _ =>
+    }
+    rows.foreach { case (id, _, off, bin) =>
+      assert(bin == off / 2048, s"doc $id bin mismatch") }
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val out = Dedup.dedupEmbedding(spark, sf)
       .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
