@@ -221,9 +221,11 @@ object Curate {
     * the only global window before broadcasting back — the same shape
     * as the eq-hist shade's histogram pass.
     */
-  def packSequential(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, n_tokens, tok_offset) via the two-pass prefix sum —
+    * shared by the per-doc and per-window packing views.
+    */
+  private def packedOffsets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val W = 2048L
     val d = graft.sources.Tables.load(s, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
         expr("doc_id div 64").as("bkt"))
@@ -239,9 +241,12 @@ object Curate {
     cum.join(broadcast(prefixes), "bkt")
       .select(col("doc_id"), col("n_tokens"),
         (col("bp") + col("cum_in") - col("n_tokens")).as("tok_offset"))
+  }
+
+  def packSequential(s: SparkSession, dir: String): DataFrame =
+    packedOffsets(s, dir)
       .withColumn("bin_id", expr("tok_offset div 2048"))
       .orderBy(col("doc_id"))
-  }
 
   val packSequentialSql: String =
     """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
@@ -250,6 +255,39 @@ object Curate {
       |  FROM d)
       |SELECT doc_id, n_tokens, tok_offset, tok_offset // 2048 AS bin_id
       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** The consumer-side packing view: one row per 2048-token context
+    * window — how many docs fill it, their id span, and the fill token
+    * count (= 2048 for every interior window; the trailing window is
+    * partial). Docs explode to the (few) windows their token interval
+    * overlaps; the per-window aggregation is map-side combinable.
+    */
+  def packWindows(s: SparkSession, dir: String): DataFrame = {
+    val W = 2048L
+    packedOffsets(s, dir)
+      .withColumn("bin_id", explode(sequence(
+        expr("tok_offset div 2048"),
+        expr("(tok_offset + n_tokens - 1) div 2048"))))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(least(col("tok_offset") + col("n_tokens"), (col("bin_id") + 1) * W) -
+          greatest(col("tok_offset"), col("bin_id") * W)).as("fill_tokens"))
+      .orderBy(col("bin_id"))
+  }
+
+  val packWindowsSql: String =
+    """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tok_offset
+      |  FROM d),
+      |b AS (SELECT doc_id, n_tokens, tok_offset,
+      |  unnest(range(tok_offset // 2048, (tok_offset + n_tokens - 1) // 2048 + 1)) AS bin_id
+      |  FROM c)
+      |SELECT bin_id, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      |  CAST(sum(least(tok_offset + n_tokens, (bin_id + 1) * 2048) - greatest(tok_offset, bin_id * 2048)) AS BIGINT) AS fill_tokens
+      |FROM b GROUP BY bin_id ORDER BY bin_id""".stripMargin
 
   // ------------------------------------------------ stratified sampling
   /** Deterministic stratified sampling: per-language keep rates
@@ -290,6 +328,7 @@ object Curate {
     "corpus_stats" -> corpusStats,
     "text_normalize" -> textNormalize,
     "pack_sequential" -> packSequential,
+    "pack_windows" -> packWindows,
     "sample_stratified" -> sampleStratified)
 
   val oracles: Map[String, String] = Map(
@@ -300,5 +339,6 @@ object Curate {
     "corpus_stats" -> corpusStatsSql,
     "text_normalize" -> textNormalizeSql,
     "pack_sequential" -> packSequentialSql,
+    "pack_windows" -> packWindowsSql,
     "sample_stratified" -> sampleStratifiedSql)
 }

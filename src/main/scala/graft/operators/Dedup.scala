@@ -330,6 +330,60 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------- contamination check
+  /** Benchmark decontamination report: for every EVAL doc (source =
+    * 'src0', standing in for a held-out benchmark) count the TRAIN
+    * docs (every other source) it shares a word-trigram shingle with,
+    * and the number of (shingle, train-doc) hits — the n-gram-overlap
+    * check a pretraining pipeline runs before shipping a corpus so
+    * eval answers aren't memorized from train. All eval docs are
+    * reported (zero rows for the clean ones).
+    *
+    * Same scale shape as the jaccard verifier: the join keys are the
+    * 8-byte polyHash shingle ids, the eval side is benchmark-sized
+    * (tiny) and broadcasts; at 100 TB the train side streams through
+    * unbuffered.
+    */
+  def contaminationNgram(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val g = exploded(s, dir).join(src, "doc_id")
+    val eval_ = g.filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"), col("hg"))
+    val train = g.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), col("hg").as("hg_t"))
+    val hits = broadcast(eval_).join(train, col("hg") === col("hg_t"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        count(lit(1)).as("n_hits"))
+    docs(s, dir).filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("eval_id"))
+  }
+
+  /** Oracle: the same shingle→polyHash CTEs restricted by source. */
+  val contaminationNgramSql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, source, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
+      |  FROM w WHERE len(ws) > 2),
+      |gh AS (SELECT doc_id, source,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS hg
+      |  FROM g),
+      |hits AS (SELECT e.doc_id AS eval_id,
+      |    count(DISTINCT t.doc_id) AS n_train_docs, count(*) AS n_hits
+      |  FROM gh e JOIN gh t ON t.hg = e.hg AND t.source <> 'src0'
+      |  WHERE e.source = 'src0' GROUP BY e.doc_id)
+      |SELECT d.doc_id AS eval_id,
+      |  COALESCE(h.n_train_docs, 0) AS n_train_docs,
+      |  COALESCE(h.n_hits, 0) AS n_hits
+      |FROM documents d LEFT JOIN hits h ON h.eval_id = d.doc_id
+      |WHERE d.source = 'src0'
+      |ORDER BY eval_id""".stripMargin
+
   // ------------------------------------------- connected components
   /** Duplicate CLUSTERS from the verified near-dup pairs: iterative
     * min-label propagation (each doc's component = smallest doc_id
@@ -516,7 +570,8 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
-    "dedup_components" -> dedupComponents)
+    "dedup_components" -> dedupComponents,
+    "contamination_ngram" -> contaminationNgram)
 
   /** DuckDB twin of the cosine pairs: sequential left-fold dot, same
     * association order as FloatVectorDot ⇒ bit-identical doubles.
@@ -587,5 +642,6 @@ object Dedup {
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "dedup_components" -> dedupComponentsSql)
+    "dedup_components" -> dedupComponentsSql,
+    "contamination_ngram" -> contaminationNgramSql)
 }
