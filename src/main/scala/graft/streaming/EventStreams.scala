@@ -66,6 +66,27 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"))
 
+  /** Streaming face of corpus_stats: the per-source corpus ledger as
+    * an incrementally-maintained streaming aggregation (Complete/
+    * Update mode) — the live counters a continuous ingest pipeline
+    * exposes. Same aggregates as the batch query except language
+    * breadth: exact countDistinct is unsupported in streaming (it
+    * would need unbounded per-group state), so the face reports the
+    * mergeable HLL sketch instead — the 100 TB answer to the same
+    * question. State per source is one fixed-size row.
+    */
+  def corpusStatsStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        approx_count_distinct(col("lang")).as("approx_langs"))
+
   // ------------------------------------------------------ sessionize
   private def foldSessions(userId: Long, evs: Iterator[Ev]): Iterator[SessionOut] = {
     val sorted = evs.toVector.sortBy(e => (e.us, e.event_id))

@@ -102,6 +102,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus stats accumulate across batches to the batch ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, String)]
+    val docs = mem.toDF().toDF("source", "lang", "n_chars", "text")
+    val q = EventStreams.corpusStatsStream(docs)
+      .writeStream.format("memory").queryName("corpus_live")
+      .outputMode("complete").start()
+    try {
+      mem.addData(("s0", "en", 10L, "a b c"), ("s0", "de", 20L, "d e"))
+      q.processAllAvailable()
+      mem.addData(("s0", "en", 30L, "f"), ("s1", "fr", 5L, "g h i j"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT source, n_docs, total_tokens, total_chars, min_chars, max_chars, approx_langs FROM corpus_live")
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+        .map { case (s, a, b, c, d, e, f) => s -> ((a, b, c, d, e, f)) }.toMap
+      assert(rows("s0") == ((3L, 6L, 60L, 10L, 30L, 2L)), s"got $rows")
+      assert(rows("s1") == ((1L, 4L, 5L, 5L, 5L, 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("decode drops malformed/keyless payloads and zero-fills missing value") {
     val raw = Seq(
       """{"user_id":1,"event_id":10,"ts":"2026-01-01 00:00:00","event_type":"click","value":2.5}""",
