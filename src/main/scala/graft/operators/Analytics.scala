@@ -785,6 +785,60 @@ object Analytics {
       |GROUP BY o_orderkey, o_totalprice
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------- partition-pruned scan
+  /** Corpora whose date-partitioned events twin is already written
+    * (same signature-keyed memo as the bucketed tables). */
+  private val partitionedReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensurePartitionedEvents(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+      s"graft_events_byday_$tag")
+    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val sig =
+      try src.getFileSystem(hconf).listStatus(src)
+        .map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}").sorted.mkString(",")
+      catch { case _: java.io.FileNotFoundException => "missing" }
+    partitionedReady.computeIfAbsent(s"$dir|$sig", _ => {
+      loc.getFileSystem(hconf).delete(loc, true)
+      Tables.writePartitioned(
+        events(s, dir).withColumn("event_date", to_date(col("ts"))),
+        loc.toString, "event_date")
+      tag
+    })
+    loc.toString
+  }
+
+  /** Single-day aggregate over DATE-PARTITIONED events: the partition
+    * predicate is resolved against directory metadata (PartitionFilters
+    * in the scan — plan-asserted), so 29 of 30 day-partitions are never
+    * opened. This is the reference's per-month array-job fan-out
+    * (/root/reference/src/awsbatch-mapreduce/Implementation.cs:17-80)
+    * re-expressed as a storage-layout property: at 100 TB the month
+    * loop becomes partition pruning on one logical table.
+    */
+  def scanPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val path = ensurePartitionedEvents(s, dir)
+    s.read.parquet(path)
+      .filter(col("event_date") === lit("2024-01-15").cast("date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle over the PLAIN events table — partitioning is layout, not
+    * semantics. Session TZ is UTC, so to_date and CAST(ts AS DATE)
+    * agree.
+    */
+  val scanPartitionedSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+      |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------ skew helper
   /** Two-phase salted aggregation for skewed keys: spray each hot key
     * across `salt` partial groups, combine, then merge the partials.
@@ -844,7 +898,8 @@ object Analytics {
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_approx_distinct" -> aggApproxDistinct,
     "join_bucketed" -> joinBucketed,
-    "agg_salted" -> aggSalted)
+    "agg_salted" -> aggSalted,
+    "scan_partitioned" -> scanPartitioned)
 
   val oracles: Map[String, String] = Map(
     "events_sliding" -> eventsSlidingSql,
@@ -872,5 +927,6 @@ object Analytics {
     "events_tumbling" -> eventsTumblingSql,
     "sessionize" -> sessionizeSql,
     "join_bucketed" -> joinBucketedSql,
-    "agg_salted" -> aggSaltedSql)
+    "agg_salted" -> aggSaltedSql,
+    "scan_partitioned" -> scanPartitionedSql)
 }

@@ -111,6 +111,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
   }
 
+  test("scan_partitioned prunes to one day-partition via PartitionFilters") {
+    val plan = planOf(Analytics.scanPartitioned(spark, sf))
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"expected the date predicate as a partition filter:\n$plan")
+    // the predicate must NOT fall through to a data filter on event_date
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_date)"),
+      s"event_date must be a partition column, not a data column:\n$plan")
+  }
+
   test("agg_salted plans as two aggregate pairs, salted first") {
     val plan = planOf(Analytics.aggSalted(spark, sf))
     val aggs = "HashAggregate".r.findAllIn(plan).length
