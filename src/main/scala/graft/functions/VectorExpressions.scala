@@ -142,6 +142,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // whole-operator top-k-per-group (graft.plans): logical node →
     // partial/final physical pair
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // columnar multimodal batch decode (graft.plans.MmDecode)
+    e.injectPlannerStrategy(_ => graft.plans.MmDecodeStrategy)
     // declarative aggregate(zip_with(·,·,double-mul)) dot products →
     // codegen'd FloatVectorDot
     e.injectOptimizerRule(_ => graft.plans.VectorDotRewriteRule)

@@ -59,13 +59,28 @@ object Multimodal {
         d.foldLeft(0L)((acc, x) => (acc * 31 + (x & 0xff)) % 997))
     }
 
-  /** Batched per-partition feature extraction over blobs: typed
-    * Dataset → mapPartitions in batches of 64 (the shape a vectorized
-    * decoder wants) → typed Features. This is the one sanctioned
-    * mapPartitions in the engine — imperative per-batch logic that
-    * column expressions can't express.
+  /** Batched feature extraction over blobs via the COLUMNAR decode
+    * operator ([[graft.plans.MmDecode]], r3): the decode emits
+    * 64-row ColumnarBatches — the shape a vectorized codec produces —
+    * that flow into downstream codegen through one ColumnarToRow
+    * boundary, instead of paying a typed-encoder round trip per row.
+    * The r2 typed-mapPartitions form survives as
+    * [[mmBatchExtractTyped]] for the spec cross-check.
     */
   def mmBatchExtract(s: SparkSession, dir: String): DataFrame = {
+    val blobs = docs(s, dir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("data"))
+    graft.plans.MmOps.decode(blobs).orderBy(col("doc_id"))
+  }
+
+  /** Spec-only cross-check: the r2 typed mapPartitions decode — same
+    * kernel, encoder-based plumbing; pins the columnar operator
+    * bit-for-bit.
+    */
+  def mmBatchExtractTyped(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val blobs = docs(s, dir).select(
       col("doc_id"),

@@ -85,4 +85,17 @@ class SimilarityMultimodalSpec extends SparkSpec {
       assert(cs == bytes.foldLeft(0L)((acc, x) => (acc * 31 + (x & 0xff)) % 997))
     }
   }
+
+  test("columnar decode operator equals the typed mapPartitions twin and plans columnar") {
+    val colr = Multimodal.mmBatchExtract(spark, sf)
+    val typed = Multimodal.mmBatchExtractTyped(spark, sf)
+    val a = colr.collect().map(_.toSeq)
+    val b = typed.collect().map(_.toSeq)
+    assert(a.length == b.length && a.indices.forall(i => a(i) == b(i)),
+      "columnar decode diverged from the typed twin")
+    val plan = colr.queryExecution.executedPlan.toString
+    assert(plan.contains("MmDecode"), s"expected MmDecodeExec in plan:\n$plan")
+    assert(plan.contains("ColumnarToRow"),
+      s"expected a columnar transition above the decode:\n$plan")
+  }
 }
