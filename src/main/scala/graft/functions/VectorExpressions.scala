@@ -139,6 +139,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[StringPolyHash].getName, "poly_hash"),
       (exprs: Seq[Expression]) => StringPolyHash(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[StringMinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => StringMinHashSig(exprs(0))))
     // whole-operator top-k-per-group (graft.plans): logical node →
     // partial/final physical pair
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -187,26 +187,47 @@ object Dedup {
     * dedup semantics — the batch pipeline simply never near-dups
     * them).
     */
-  private[graft] def minhashSignature(text: String): Long = {
-    val norm = text.trim.replaceAll(" +", " ")
-    val hs = trigrams(norm).map(polyHash)
-    if (hs.isEmpty) return polyHash(norm)
-    var sig = 0L
-    var i = 0
-    while (i < MINHASH_K) {
-      val a = aCoef(i); val b = bCoef(i)
-      var m = Long.MaxValue
-      var j = 0
-      while (j < hs.length) {
-        val v = (hs(j) * a + b) % P
-        if (v < m) m = v
-        j += 1
-      }
-      sig = (sig * 31L + m) % P
-      i += 1
-    }
-    sig
+  private[graft] def minhashSignature(text: String): Long =
+    graft.functions.MinHashKernel.signature(text)
+
+  /** Registered face of the signature: one codegen'd `minhash_sig`
+    * column per doc — the near-exact-dup key the streaming dedup face
+    * keys on, hash-verified by a full DuckDB lane replay.
+    */
+  def dedupMinhashSig(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val sig = GraftSqlShim.column(graft.functions.StringMinHashSig(
+      GraftSqlShim.expression(col("text"))))
+    docs(s, dir)
+      .select(col("doc_id"), sig.as("minhash_sig"))
+      .orderBy(col("doc_id"))
   }
+
+  /** DuckDB twin of the signature kernel: normalize, trigrams,
+    * polyHash, 32 lanes, ordered fold; short docs fall back to the
+    * normalized-text hash.
+    */
+  val dedupMinhashSigSql: String =
+    """WITH n AS (SELECT doc_id, trim(regexp_replace(text, ' +', ' ', 'g')) AS t FROM documents),
+      |w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM n),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS ng
+      |  FROM w WHERE len(ws) > 2),
+      |gh AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS h
+      |  FROM g),
+      |perms AS (SELECT j, (1103515245 * (j+1)) % 2147483647 AS a, (12345*(j+1) + 987654321) % 2147483647 AS b FROM range(0,32) t(j)),
+      |lanes AS (SELECT doc_id, j, min((h * a + b) % 2147483647) AS mj
+      |  FROM gh CROSS JOIN perms GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(mj ORDER BY j)), (x,y) -> (x*31 + y) % 2147483647) AS minhash_sig
+      |  FROM lanes GROUP BY doc_id),
+      |fb AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS fsig
+      |  FROM w WHERE len(ws) <= 2)
+      |SELECT d.doc_id, COALESCE(s.minhash_sig, f.fsig) AS minhash_sig
+      |FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+      |LEFT JOIN fb f ON f.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** MinHash signatures (k=32 permutations (aᵢ·h+bᵢ) mod 2³¹-1 over
     * [[polyHash]] shingle ids) → 8 LSH bands of 4 (band key = a mod-P
@@ -571,7 +592,8 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_components" -> dedupComponents,
-    "contamination_ngram" -> contaminationNgram)
+    "contamination_ngram" -> contaminationNgram,
+    "dedup_minhash_sig" -> dedupMinhashSig)
 
   /** DuckDB twin of the cosine pairs: sequential left-fold dot, same
     * association order as FloatVectorDot ⇒ bit-identical doubles.
@@ -643,5 +665,6 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_components" -> dedupComponentsSql,
-    "contamination_ngram" -> contaminationNgramSql)
+    "contamination_ngram" -> contaminationNgramSql,
+    "dedup_minhash_sig" -> dedupMinhashSigSql)
 }

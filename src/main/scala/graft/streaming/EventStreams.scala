@@ -301,13 +301,13 @@ object EventStreams {
     * state that streaming dedup cannot express in bounded form.
     */
   def dedupMinhashStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    docs.select(col("ts"), col("doc_id"), col("text"))
-      .as[(java.sql.Timestamp, Long, String)]
-      .map { case (ts, id, text) =>
-        (ts, id, text, graft.operators.Dedup.minhashSignature(text)) }
-      .toDF("ts", "doc_id", "text", "minhash_sig")
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    // column-native signature: the codegen'd minhash_sig expression —
+    // no typed-encoder round trip in the streaming hot path
+    val sig = GraftSqlShim.column(graft.functions.StringMinHashSig(
+      GraftSqlShim.expression(col("text"))))
+    docs
+      .withColumn("minhash_sig", sig)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("minhash_sig")
   }
