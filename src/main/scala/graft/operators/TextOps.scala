@@ -181,11 +181,17 @@ object TextOps {
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // distinct-count over the 31-bit polyHash shingle id, not the ~20-B
+    // string: the distinct aggregation shuffles (doc_id, id) pairs, and
+    // at corpus scale the key bytes are the cost. Hash collisions
+    // (P ≈ n²/2³¹ within a doc) under-count identically in the oracle,
+    // which replays the same hash.
     val tri = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         val ws = t.split(" ", -1)
         (0 until math.max(ws.length - 2, 0)).iterator
-          .map(i => (id, ws(i) + " " + ws(i + 1) + " " + ws(i + 2)))
+          .map(i => (id, graft.functions.MinHashKernel.polyHash(
+            ws(i) + " " + ws(i + 1) + " " + ws(i + 2))))
       }.toDF("doc_id", "ng")
     val agg = tri.groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), countDistinct(col("ng")).as("n_distinct"))
@@ -203,7 +209,8 @@ object TextOps {
 
   val textRepetitionSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |t AS (SELECT doc_id, list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS ngs FROM w)
+      |t AS (SELECT doc_id, list_transform(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+      |  ng -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647)) AS ngs FROM w)
       |SELECT doc_id, CAST(len(ngs) AS BIGINT) AS n_shingles,
       |  CAST(len(list_distinct(ngs)) AS BIGINT) AS n_distinct,
       |  CASE WHEN len(ngs) > 0 THEN (len(ngs) - len(list_distinct(ngs))) * 1.0 / len(ngs) ELSE 0.0 END AS rep_ratio
