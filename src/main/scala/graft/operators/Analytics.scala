@@ -785,6 +785,41 @@ object Analytics {
       |GROUP BY o_orderkey, o_totalprice
       |ORDER BY o_orderkey""".stripMargin
 
+  // ----------------------------------------- native session windows
+  /** Gap sessionization via Spark's NATIVE `session_window` operator —
+    * the built-in face beside the explicit lag/cumsum [[sessionize]]
+    * (and the streaming flatMapGroupsWithState fold): one
+    * SessionWindow aggregation, mergeable and watermark-compatible, so
+    * the identical expression runs batch and streaming. Session end is
+    * last event + gap (Spark's window semantics: a new event merges
+    * while it starts strictly BEFORE the current window end, i.e. a
+    * gap ≥ 30 min splits).
+    */
+  def eventsSessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("session_value"))
+      .select(col("user_id"),
+        fmtTs(col("session_window.start")).as("session_start"),
+        fmtTs(col("session_window.end")).as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Oracle: the lag/cumsum gap fold with the NATIVE boundary rule
+    * (split at gap ≥ 30 min, window end = last + 30 min). */
+  val eventsSessionWindowSql: String =
+    """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+      |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |f AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000 THEN 1 ELSE 0 END AS new_s FROM e),
+      |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      |  count(*) AS n_events, sum(vc)/100.0 AS session_value
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   // --------------------------------------------- partition-pruned scan
   /** Corpora whose date-partitioned events twin is already written
     * (same signature-keyed memo as the bucketed tables). */
@@ -899,7 +934,8 @@ object Analytics {
     "agg_approx_distinct" -> aggApproxDistinct,
     "join_bucketed" -> joinBucketed,
     "agg_salted" -> aggSalted,
-    "scan_partitioned" -> scanPartitioned)
+    "scan_partitioned" -> scanPartitioned,
+    "events_session_window" -> eventsSessionWindow)
 
   val oracles: Map[String, String] = Map(
     "events_sliding" -> eventsSlidingSql,
@@ -928,5 +964,6 @@ object Analytics {
     "sessionize" -> sessionizeSql,
     "join_bucketed" -> joinBucketedSql,
     "agg_salted" -> aggSaltedSql,
-    "scan_partitioned" -> scanPartitionedSql)
+    "scan_partitioned" -> scanPartitionedSql,
+    "events_session_window" -> eventsSessionWindowSql)
 }

@@ -87,6 +87,23 @@ object EventStreams {
         max(col("n_chars")).as("max_chars"),
         approx_count_distinct(col("lang")).as("approx_langs"))
 
+  /** Streaming face of the NATIVE session_window operator: the same
+    * expression as the batch query (Analytics.eventsSessionWindow),
+    * watermarked — Spark merges open session state incrementally and
+    * emits a session once the watermark passes its end. The built-in
+    * alternative to the flatMapGroupsWithState fold below: less
+    * control (no custom continuity guards), zero custom state code.
+    */
+  def sessionWindowStream(stream: DataFrame, watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   // ------------------------------------------------------ sessionize
   private def foldSessions(userId: Long, evs: Iterator[Ev]): Iterator[SessionOut] = {
     val sorted = evs.toVector.sortBy(e => (e.us, e.event_id))

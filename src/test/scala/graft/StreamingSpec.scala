@@ -321,6 +321,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window stream merges gap-connected events and splits at the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val q = EventStreams.sessionWindowStream(events, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess_native")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new Timestamp(3600000L * 10 + min * 60000L)
+      // user 1: two events 10 min apart (one session), then 40 min gap
+      // (new session); user 2: single event
+      mem.addData((ts(0), 1L), (ts(10), 1L), (ts(50), 1L), (ts(5), 2L))
+      q.processAllAvailable()
+      mem.addData((ts(300), 9L)) // watermark far past every session end
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sess_native")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map { case (u, s, e, n) => (u, s.getTime, e.getTime, n) }.toSet
+      def ms(min: Int) = 3600000L * 10 + min * 60000L
+      assert(rows.contains((1L, ms(0), ms(10 + 30), 2L)), s"got $rows")
+      assert(rows.contains((1L, ms(50), ms(50 + 30), 1L)), s"got $rows")
+      assert(rows.contains((2L, ms(5), ms(5 + 30), 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps only the first arrival per key within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
