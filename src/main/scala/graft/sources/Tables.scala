@@ -53,6 +53,15 @@ object Tables {
                schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC source — columnar like parquet (pushdown + pruning apply);
+    * schema passed for the same no-inference discipline even though
+    * ORC is self-describing (a mismatched file fails fast instead of
+    * silently changing dtypes downstream).
+    */
+  def loadOrc(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Rename any alias column to its canonical name; columns absent in
     * the input are simply not produced (caller validates with
     * [[require]]d canonical names if it needs them).

@@ -54,6 +54,10 @@ class SourcesSpec extends SparkSpec {
     assert(fromCsv.as[(Long, String, Double)].collect().toSet == expect)
     assert(fromJson.as[(Long, String, Double)].collect().toSet == expect)
     assert(fromCsv.schema == schema && fromJson.schema == schema)
+    df.write.mode("overwrite").orc("/tmp/graft-test-orc")
+    val fromOrc = Tables.loadOrc(spark, "/tmp/graft-test-orc", schema)
+    assert(fromOrc.as[(Long, String, Double)].collect().toSet == expect)
+    assert(fromOrc.schema == schema)
   }
 
   test("bucketed tables join without a shuffle exchange") {
