@@ -785,6 +785,49 @@ object Analytics {
       |GROUP BY o_orderkey, o_totalprice
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------- funnel
+  /** Ordered conversion funnel per user: first `view`, first `click`
+    * AFTER that view, first `purchase` after that click — the staged
+    * progression query product analytics runs. Three stages, each a
+    * user-keyed equi-join whose left side is O(users) (the per-user
+    * stage timestamps), with the event-type filters pushed to the
+    * scans; users stalled at a stage carry nulls.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("uc"), col("ts").as("tsc"))
+    val c = v.join(clicks, col("uc") === col("user_id") && col("tsc") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("tsc")).as("t_click"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("up"), col("ts").as("tsp"))
+    val p = c.join(purchases, col("up") === col("user_id") && col("tsp") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("tsp")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        fmtTs(col("t_view")).as("t_view"),
+        fmtTs(col("t_click")).as("t_click"),
+        fmtTs(col("t_purchase")).as("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT v.user_id, min(e.ts) AS t_click FROM v JOIN events e
+      |  ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.t_view GROUP BY v.user_id),
+      |p AS (SELECT c.user_id, min(e.ts) AS t_purchase FROM c JOIN events e
+      |  ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY c.user_id)
+      |SELECT v.user_id,
+      |  strftime(v.t_view, '%Y-%m-%d %H:%M:%S.%f') AS t_view,
+      |  strftime(c.t_click, '%Y-%m-%d %H:%M:%S.%f') AS t_click,
+      |  strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S.%f') AS t_purchase
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |LEFT JOIN p ON p.user_id = v.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   // ----------------------------------------- native session windows
   /** Gap sessionization via Spark's NATIVE `session_window` operator —
     * the built-in face beside the explicit lag/cumsum [[sessionize]]
@@ -935,7 +978,8 @@ object Analytics {
     "join_bucketed" -> joinBucketed,
     "agg_salted" -> aggSalted,
     "scan_partitioned" -> scanPartitioned,
-    "events_session_window" -> eventsSessionWindow)
+    "events_session_window" -> eventsSessionWindow,
+    "events_funnel" -> eventsFunnel)
 
   val oracles: Map[String, String] = Map(
     "events_sliding" -> eventsSlidingSql,
@@ -965,5 +1009,6 @@ object Analytics {
     "join_bucketed" -> joinBucketedSql,
     "agg_salted" -> aggSaltedSql,
     "scan_partitioned" -> scanPartitionedSql,
-    "events_session_window" -> eventsSessionWindowSql)
+    "events_session_window" -> eventsSessionWindowSql,
+    "events_funnel" -> eventsFunnelSql)
 }
