@@ -405,6 +405,51 @@ object Dedup {
       |WHERE d.source = 'src0'
       |ORDER BY eval_id""".stripMargin
 
+  // ------------------------------------------- incremental dedup
+  /** Incremental ingest dedup: near-dup pairs of NEW docs (source =
+    * 'src1', standing in for today's crawl batch) against the EXISTING
+    * corpus (every other source) — the nightly shape where only the
+    * delta is shingled against the standing index, not corpus ×
+    * corpus. Same verified-jaccard semantics as [[dedupNgramJaccard]]
+    * restricted to cross-set pairs; the batch side is delta-sized and
+    * broadcasts, the standing corpus streams through.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val g = exploded(s, dir).join(src, "doc_id")
+    val newG = g.filter(col("source") === "src1")
+      .select(col("doc_id").as("new_id"), col("n").as("nn"), col("hg"))
+    val oldG = g.filter(col("source") =!= "src1")
+      .select(col("doc_id").as("old_id"), col("n").as("no"), col("hg").as("hg_o"))
+    broadcast(newG).join(oldG, col("hg") === col("hg_o")
+        && col("no") * 10 >= col("nn") * 3 && col("nn") * 10 >= col("no") * 3)
+      .groupBy(col("new_id"), col("old_id"), col("nn"), col("no"))
+      .agg(count(lit(1)).as("i"))
+      .select(col("new_id"), col("old_id"),
+        (col("i") * 1.0 / (col("nn") + col("no") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, source, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
+      |  FROM w WHERE len(ws) > 2),
+      |gh AS (SELECT doc_id, source,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS hg
+      |  FROM g),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS i
+      |  FROM gh a JOIN gh b ON a.hg = b.hg AND a.source = 'src1' AND b.source <> 'src1'
+      |  JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id
+      |  WHERE zb.n * 10 >= za.n * 3 AND za.n * 10 >= zb.n * 3
+      |  GROUP BY 1, 2)
+      |SELECT new_id, old_id, i * 1.0 / (s1.n + s2.n - i) AS jaccard
+      |FROM inter JOIN sz s1 ON s1.doc_id = new_id JOIN sz s2 ON s2.doc_id = old_id
+      |WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3
+      |ORDER BY new_id, old_id""".stripMargin
+
   // ------------------------------------------- connected components
   /** Duplicate CLUSTERS from the verified near-dup pairs: iterative
     * min-label propagation (each doc's component = smallest doc_id
@@ -593,7 +638,8 @@ object Dedup {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_components" -> dedupComponents,
     "contamination_ngram" -> contaminationNgram,
-    "dedup_minhash_sig" -> dedupMinhashSig)
+    "dedup_minhash_sig" -> dedupMinhashSig,
+    "dedup_incremental" -> dedupIncremental)
 
   /** DuckDB twin of the cosine pairs: sequential left-fold dot, same
     * association order as FloatVectorDot ⇒ bit-identical doubles.
@@ -666,5 +712,6 @@ object Dedup {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_components" -> dedupComponentsSql,
     "contamination_ngram" -> contaminationNgramSql,
-    "dedup_minhash_sig" -> dedupMinhashSigSql)
+    "dedup_minhash_sig" -> dedupMinhashSigSql,
+    "dedup_incremental" -> dedupIncrementalSql)
 }

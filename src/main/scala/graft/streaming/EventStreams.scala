@@ -104,6 +104,16 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-static enrichment: join each streamed event to a STATIC
+    * dimension (user → attribute) — the standard enrich-on-ingest
+    * shape. The static side is broadcast per micro-batch (no stream
+    * state), so at 100 TB/day the stream never shuffles for the dim;
+    * events with no dim row pass through with nulls (left join) so
+    * ingest never drops data on a late dimension.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   // ------------------------------------------------------ sessionize
   private def foldSessions(userId: Long, evs: Iterator[Ev]): Iterator[SessionOut] = {
     val sorted = evs.toVector.sortBy(e => (e.us, e.event_id))

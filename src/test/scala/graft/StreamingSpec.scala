@@ -321,6 +321,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrich joins the broadcast dim and keeps dimension-less events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = EventStreams.enrichStream(events, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new Timestamp(3600000L * 10 + min * 60000L)
+      mem.addData((ts(0), 1L, "click"), (ts(1), 2L, "view"), (ts(2), 7L, "click"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, event_type, tier FROM enriched")
+        .as[(Long, String, Option[String])].collect().toSet
+      assert(rows == Set((1L, "click", Some("gold")), (2L, "view", Some("silver")),
+        (7L, "click", None)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("native session_window stream merges gap-connected events and splits at the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
