@@ -785,6 +785,59 @@ object Analytics {
       |GROUP BY o_orderkey, o_totalprice
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------- mode
+  /** Modal value per group (each user's most frequent event type,
+    * lexicographic tiebreak): grouped count + WindowGroupLimit-planned
+    * row_number — two shuffles on bounded key spaces, no sort of raw
+    * events.
+    */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("modal_type"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val aggModeSql: String =
+    """SELECT user_id, event_type AS modal_type, n_events FROM (
+      |  SELECT user_id, event_type, count(*) AS n_events,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+      |  FROM events GROUP BY user_id, event_type)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------- retention
+  /** Cohort retention matrix: users bucketed by first-activity day,
+    * counted per (cohort day, day offset) — the classic retention
+    * triangle. Two grouped passes over (user, day) distinct pairs;
+    * shuffle keys are bounded (users, then days²/2).
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    d.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(fmtDay(col("cohort_day")).as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val eventsRetentionSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+      |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  date_diff('day', c.cohort_day, d.day) AS day_offset,
+      |  count(DISTINCT d.user_id) AS n_users
+      |FROM d JOIN c ON c.user_id = d.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------- funnel
   /** Ordered conversion funnel per user: first `view`, first `click`
     * AFTER that view, first `purchase` after that click — the staged
@@ -979,7 +1032,9 @@ object Analytics {
     "agg_salted" -> aggSalted,
     "scan_partitioned" -> scanPartitioned,
     "events_session_window" -> eventsSessionWindow,
-    "events_funnel" -> eventsFunnel)
+    "events_funnel" -> eventsFunnel,
+    "agg_mode" -> aggMode,
+    "events_retention" -> eventsRetention)
 
   val oracles: Map[String, String] = Map(
     "events_sliding" -> eventsSlidingSql,
@@ -1010,5 +1065,7 @@ object Analytics {
     "agg_salted" -> aggSaltedSql,
     "scan_partitioned" -> scanPartitionedSql,
     "events_session_window" -> eventsSessionWindowSql,
-    "events_funnel" -> eventsFunnelSql)
+    "events_funnel" -> eventsFunnelSql,
+    "agg_mode" -> aggModeSql,
+    "events_retention" -> eventsRetentionSql)
 }

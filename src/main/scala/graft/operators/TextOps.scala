@@ -216,13 +216,52 @@ object TextOps {
       |  CASE WHEN len(ngs) > 0 THEN (len(ngs) - len(list_distinct(ngs))) * 1.0 / len(ngs) ELSE 0.0 END AS rep_ratio
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- tf-idf
+  /** Top-3 characteristic terms per doc by a RATIONAL tf-idf
+    * (tf · N / df — exact integer product, one IEEE division): log-free
+    * on purpose, because ln implementations differ across engines in
+    * the last ulp while exact-int division is bit-stable. Corpus term
+    * stats (df) come from one distinct pass; the doc-count joins in as
+    * a broadcast single row, never a driver round trip.
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs(s, dir).select(col("doc_id"), explode(words).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", (col("tf") * col("n_docs")) / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val textTfidfSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM w) GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |  CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank FROM sc)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf, rank
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_ngrams" -> textNgrams,
     "text_fingerprint" -> textFingerprint,
-    "text_repetition" -> textRepetition)
+    "text_repetition" -> textRepetition,
+    "text_tfidf" -> textTfidf)
 
   /** DuckDB twin of the rolling fingerprint: left-fold over ascii
     * codes with a 0 seed (list_reduce has no init, so the seed is
@@ -260,5 +299,6 @@ object TextOps {
     "text_ngrams" -> textNgramsSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_langid" -> textLangidSql,
-    "text_repetition" -> textRepetitionSql)
+    "text_repetition" -> textRepetitionSql,
+    "text_tfidf" -> textTfidfSql)
 }
