@@ -126,6 +126,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggs >= 4, s"expected partial/final pairs for both phases:\n$plan")
   }
 
+  test("ann_ivf_indexed searches the persisted index declaratively") {
+    val plan = planOf(operators.Similarity.annIvfIndexed(spark, sf))
+    assert(plan.contains("graft_ivf_index"),
+      s"expected a scan of the postings table:\n$plan")
+    // the search path is pure column math over the index tables — no
+    // typed closures (the inline annIvf assigns via flatMap instead)
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("DeserializeToObject"),
+      s"index search must not use typed closures:\n$plan")
+  }
+
   test("dedup_embedding is distributed: no driver collect, bucket-keyed join") {
     val plan = planOf(operators.Dedup.dedupEmbedding(spark, sf))
     assert(plan.contains("Join"), s"expected a bucket join:\n$plan")
