@@ -25,6 +25,68 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
   }
 
+  test("property: funnel stages match an in-memory model on random events") {
+    val rnd = new scala.util.Random(4242)
+    val base = 1700000000000000L
+    val types = Array("view", "click", "purchase", "signup", "error")
+    val rows = (1 to 2000).map { i =>
+      (rnd.nextInt(40).toLong, i.toLong,
+        base + rnd.nextInt(1 << 30).toLong * 1000L,
+        types(rnd.nextInt(types.length)), 1.0)
+    }
+    rows.toDF("user_id", "event_id", "us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-funnel/events.parquet")
+    val out = Analytics.eventsFunnel(spark, "/tmp/graft-test-funnel")
+      .select("user_id", "t_view", "t_click", "t_purchase")
+      .as[(Long, Option[String], Option[String], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // model: first view, first click strictly after it, first purchase
+    // strictly after that — per user, over raw micros
+    def fmt(us: Long): String = {
+      val i = java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneOffset.UTC).format(i)
+    }
+    val byUser = rows.groupBy(_._1)
+    val model = byUser.flatMap { case (u, es) =>
+      val v = es.filter(_._4 == "view").map(_._3).minOption
+      v.map { tv =>
+        val c = es.filter(e => e._4 == "click" && e._3 > tv).map(_._3).minOption
+        val p = c.flatMap(tc => es.filter(e => e._4 == "purchase" && e._3 > tc).map(_._3).minOption)
+        u -> ((Some(fmt(tv)), c.map(fmt), p.map(fmt)))
+      }
+    }
+    assert(out == model, s"diff keys: ${(out.keySet | model.keySet).filter(k => out.get(k) != model.get(k))}")
+  }
+
+  test("property: retention matrix equals the per-user day-offset model") {
+    val rnd = new scala.util.Random(777)
+    val base = 1700000000000000L
+    val rows = (1 to 1500).map { i =>
+      (rnd.nextInt(30).toLong, i.toLong,
+        base + rnd.nextInt(20).toLong * 86400000000L + rnd.nextInt(86400).toLong * 1000000L,
+        "click", 1.0)
+    }
+    rows.toDF("user_id", "event_id", "us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-ret/events.parquet")
+    val out = Analytics.eventsRetention(spark, "/tmp/graft-test-ret")
+      .select("cohort_day", "day_offset", "n_users")
+      .as[(String, Long, Long)].collect().toSet
+    val dayOf = (us: Long) => us / 86400000000L
+    val cohorts = rows.groupBy(_._1).view.mapValues(es => es.map(e => dayOf(e._3)).min)
+    val model = rows.map(e => (e._1, dayOf(e._3))).distinct
+      .groupBy { case (u, d) => (cohorts(u), d - cohorts(u)) }
+      .map { case ((cd, off), us) =>
+        val date = java.time.LocalDate.ofEpochDay(cd)
+        (date.toString, off, us.map(_._1).distinct.size.toLong)
+      }.toSet
+    assert(out == model, s"extra=${out -- model}\nmissing=${model -- out}")
+  }
+
   test("q1 aggregates are decimal-exact and grouped correctly") {
     val out = Analytics.q1PricingSummary(spark, sf).collect()
     assert(out.nonEmpty)
