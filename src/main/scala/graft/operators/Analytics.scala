@@ -785,6 +785,36 @@ object Analytics {
       |GROUP BY o_orderkey, o_totalprice
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------ unpivot
+  /** Wide→long unpivot (melt): per-priority order aggregates flipped
+    * into (priority, metric, value) rows — the inverse of
+    * [[pivotEvents]], via Spark's native `unpivot` (planned as a
+    * single Expand over the aggregate, no join or union of scans).
+    */
+  def unpivotRevenue(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total_value"),
+        (sum(cents(col("o_totalprice"))) / 100.0 / count(lit(1))).as("avg_value"))
+    agg.unpivot(
+      Array(col("o_orderpriority")),
+      Array(col("n_orders"), col("total_value"), col("avg_value")),
+      "metric", "value")
+      .orderBy(col("o_orderpriority"), col("metric"))
+  }
+
+  val unpivotRevenueSql: String =
+    """WITH a AS (SELECT o_orderpriority,
+      |    CAST(count(*) AS DOUBLE) AS n_orders,
+      |    sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_value,
+      |    sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0/count(*) AS avg_value
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM a
+      |UNION ALL SELECT o_orderpriority, 'total_value', total_value FROM a
+      |UNION ALL SELECT o_orderpriority, 'avg_value', avg_value FROM a
+      |ORDER BY o_orderpriority, metric""".stripMargin
+
   // ------------------------------------------------------- mode
   /** Modal value per group (each user's most frequent event type,
     * lexicographic tiebreak): grouped count + WindowGroupLimit-planned
@@ -1034,7 +1064,8 @@ object Analytics {
     "events_session_window" -> eventsSessionWindow,
     "events_funnel" -> eventsFunnel,
     "agg_mode" -> aggMode,
-    "events_retention" -> eventsRetention)
+    "events_retention" -> eventsRetention,
+    "unpivot_revenue" -> unpivotRevenue)
 
   val oracles: Map[String, String] = Map(
     "events_sliding" -> eventsSlidingSql,
@@ -1067,5 +1098,6 @@ object Analytics {
     "events_session_window" -> eventsSessionWindowSql,
     "events_funnel" -> eventsFunnelSql,
     "agg_mode" -> aggModeSql,
-    "events_retention" -> eventsRetentionSql)
+    "events_retention" -> eventsRetentionSql,
+    "unpivot_revenue" -> unpivotRevenueSql)
 }
