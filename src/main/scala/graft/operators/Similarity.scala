@@ -253,8 +253,15 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Corpora whose persisted IVF index tables exist (same
-    * signature-keyed memo as the codebook itself). */
+  /** Corpora whose persisted IVF index tables exist. Keyed by SESSION
+    * identity + corpus signature (the codebook memo stays
+    * session-independent — it's pure driver data — but these are
+    * catalog tables, which die with their session's catalog): a second
+    * SparkSession in the same JVM re-creates instead of hitting
+    * TABLE_NOT_FOUND, and a memo hit whose tables were dropped
+    * externally self-heals. The table NAME carries the signature hash
+    * so two signatures for one dir never race on a warehouse path.
+    */
   private val ivfIndexReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Materialize the IVF index as TABLES: the 32-row codebook and the
@@ -264,9 +271,15 @@ object Similarity {
     */
   private def ensureIvfIndex(s: SparkSession, dir: String): (String, String) = {
     import s.implicits._
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ck = corpusKey(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Long.toHexString(ck.hashCode.toLong & 0xffffffffL)
     val (cbTbl, idxTbl) = (s"graft_ivf_codebook_$tag", s"graft_ivf_index_$tag")
-    ivfIndexReady.computeIfAbsent(corpusKey(s, dir), _ => {
+    val key = s"${System.identityHashCode(s)}|$ck"
+    if (ivfIndexReady.containsKey(key) &&
+        !(s.catalog.tableExists(cbTbl) && s.catalog.tableExists(idxTbl)))
+      ivfIndexReady.remove(key)
+    ivfIndexReady.computeIfAbsent(key, _ => {
       val hconf = s.sparkContext.hadoopConfiguration
       Seq(cbTbl, idxTbl).foreach { tbl =>
         s.sql(s"DROP TABLE IF EXISTS $tbl")

@@ -38,10 +38,21 @@ case class MmDecode(child: LogicalPlan, out: Seq[AttributeReference])
     copy(child = newChild)
 }
 
+object MmDecodeExec {
+  /** Local-mode test hook: counts vector-set ALLOCATIONS. The columnar
+    * path allocates once per partition and reuses via reset(), so after
+    * a run this equals the partition count, not the batch count
+    * (PropertySpec pins it).
+    */
+  val allocations = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 case class MmDecodeExec(out: Seq[Attribute], child: SparkPlan)
     extends UnaryExecNode {
 
-  private val BATCH = 64
+  private def batchSize: Int =
+    session.sessionState.conf
+      .getConfString("spark.graft.mmDecodeBatch", "64").toInt
 
   override def output: Seq[Attribute] = out
   override def producedAttributes: AttributeSet = AttributeSet(out)
@@ -74,14 +85,27 @@ case class MmDecodeExec(out: Seq[Attribute], child: SparkPlan)
   override protected def doExecuteColumnar(): RDD[ColumnarBatch] = {
     val (idOrd, kindOrd, dataOrd) = (ord("doc_id"), ord("kind"), ord("data"))
     val schema = DataTypeUtils.fromAttributes(output)
-    val batchSize = BATCH
+    val bs = batchSize
     child.execute().mapPartitions { rows =>
+      // ONE vector set per partition, reused across batches: the
+      // consumer contract (same as Spark's vectorized parquet reader)
+      // is that a batch is dead once next() is called again, so the
+      // vectors are reset() and refilled in place. Freeing happens on
+      // task completion — robust to downstream early-exit (limit).
+      val vecs = OnHeapColumnVector.allocateColumns(bs, schema)
+      val batch = new ColumnarBatch(vecs.asInstanceOf[Array[ColumnVector]])
+      MmDecodeExec.allocations.incrementAndGet()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          var i = 0; while (i < vecs.length) { vecs(i).close(); i += 1 }
+        })
       new Iterator[ColumnarBatch] {
         override def hasNext: Boolean = rows.hasNext
         override def next(): ColumnarBatch = {
-          val vecs = OnHeapColumnVector.allocateColumns(batchSize, schema)
+          var i = 0
+          while (i < vecs.length) { vecs(i).reset(); i += 1 }
           var n = 0
-          while (n < batchSize && rows.hasNext) {
+          while (n < bs && rows.hasNext) {
             val r = rows.next()
             val data = r.getBinary(dataOrd)
             val (len, head, tail, cs) = kernel(data)
@@ -93,7 +117,8 @@ case class MmDecodeExec(out: Seq[Attribute], child: SparkPlan)
             vecs(5).putLong(n, cs)
             n += 1
           }
-          new ColumnarBatch(vecs.asInstanceOf[Array[ColumnVector]], n)
+          batch.setNumRows(n)
+          batch
         }
       }
     }

@@ -223,4 +223,18 @@ class AnalyticsSpec extends SparkSpec {
     // anti is w.r.t. urgent orders only; semi is w.r.t. any order
     assert(semiN + antiN >= custN) // every customer is in semi; anti ⊂ semi
   }
+
+  test("bucketed-table memo self-heals after an external DROP (fresh-catalog stand-in)") {
+    // losing the catalog entries while the JVM-global memo survives is
+    // exactly what a SparkSession swap in one JVM produces — the memo
+    // must re-create instead of riding into TABLE_NOT_FOUND
+    val before = Analytics.joinBucketed(spark, sf).collect()
+    val tbls = spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith("graft_orders_") || n.startsWith("graft_lineitem_"))
+    assert(tbls.nonEmpty, "expected bucketed twin tables in the catalog")
+    tbls.foreach(t => spark.sql(s"DROP TABLE $t"))
+    val after = Analytics.joinBucketed(spark, sf).collect()
+    assert(after.map(_.toSeq).toSeq == before.map(_.toSeq).toSeq,
+      "re-created bucketed tables changed the result")
+  }
 }

@@ -141,4 +141,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected a bucket join:\n$plan")
     assert(plan.contains("bucket"), s"expected bucket keys:\n$plan")
   }
+
+  test("q3 rides the bucketed tables: no hash exchange on the fact-fact leg") {
+    val plan = planOf(Analytics.q3ShippingPriority(spark, sf))
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+    // customer arrives via BroadcastExchange; join AND per-order agg
+    // ride the bucket partitioning — zero hash shuffles in the query
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q3 fact-fact leg must not hash-shuffle:\n$plan")
+  }
+
+  test("bench nosort strips the presentation sort through trailing projects") {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    import spark.implicits._
+    def hasGlobalSort(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect { case s: Sort if s.global => s }.nonEmpty
+    val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("id", "s")
+    val sorted = df.orderBy("id")
+    val shaped = sorted.select(org.apache.spark.sql.functions.col("s"))
+    assert(hasGlobalSort(sorted) && hasGlobalSort(shaped))
+    // both the bare Sort and the Project-over-Sort shapes lose the sort
+    assert(!hasGlobalSort(Bench.unsorted(sorted)))
+    assert(!hasGlobalSort(Bench.unsorted(shaped)))
+    // and the stripped frame still evaluates the same rows
+    assert(Bench.unsorted(shaped).collect().map(_.getString(0)).sorted
+      .sameElements(Array("a", "b", "c")))
+    // a Sort under a limit is computation (top-k), not presentation
+    val limited = sorted.limit(2).select(org.apache.spark.sql.functions.col("s"))
+    assert(hasGlobalSort(Bench.unsorted(limited)))
+  }
 }

@@ -140,4 +140,55 @@ class PropertySpec extends SparkSpec {
       .as[Double].collect()
     vals.zip(out).foreach { case (v, rt) => assert(v == rt, s"$v != $rt") }
   }
+
+  test("property: columnar decode allocates one vector set per partition at tiny batch size") {
+    // force 4-row batches over 1000 rows in 3 partitions: reuse means
+    // exactly 3 allocations (one per partition) across ~250 batches
+    // each, and the results still match the pure-Scala kernel model
+    val prev = spark.conf.getOption("spark.graft.mmDecodeBatch")
+    spark.conf.set("spark.graft.mmDecodeBatch", "4")
+    try {
+      val rnd = new Random(7)
+      val rows = (1 to 1000).map { i =>
+        val data = Array.fill(1 + rnd.nextInt(60))(rnd.nextInt(256).toByte)
+        (i.toLong, Seq("image", "audio", "video")(i % 3), data)
+      }
+      // explicit numPartitions: AQE does not coalesce user repartitions
+      val df = rows.toDF("doc_id", "kind", "data").repartition(3)
+      graft.plans.MmDecodeExec.allocations.set(0)
+      val out = graft.plans.MmOps.decode(df).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))))
+        .toMap
+      assert(graft.plans.MmDecodeExec.allocations.get() == 3,
+        s"expected 3 per-partition allocations, got ${graft.plans.MmDecodeExec.allocations.get()}")
+      rows.foreach { case (id, _, data) =>
+        val cs = data.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 997)
+        assert(out(id) == ((data.length, data.head & 0xff, data.last & 0xff, cs)),
+          s"decode mismatch for doc $id")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.mmDecodeBatch", v)
+        case None => spark.conf.unset("spark.graft.mmDecodeBatch")
+      }
+    }
+  }
+
+  test("property: salted agg recombines exactly under extreme single-key skew") {
+    val rnd = new Random(11)
+    // ~90% of 20k rows land on one hot key — the shape that pins a
+    // single reducer in a plain groupBy at scale; values are integer
+    // cents so partial sums recombine exactly however the salt splits
+    val rows = (1 to 20000).map { i =>
+      val k = if (rnd.nextInt(10) < 9) 1L else 2L + rnd.nextInt(50)
+      (k, rnd.nextInt(1000000).toLong)
+    }
+    val df = rows.toDF("user_id", "v")
+    val salted = Analytics.saltedAgg(df, col("user_id"), col("v"), 16)
+      .select("k", "sum_v", "n").as[(Long, Long, Long)].collect().toSet
+    val model = rows.groupBy(_._1).map { case (k, rs) =>
+      (k, rs.map(_._2).sum, rs.size.toLong)
+    }.toSet
+    assert(salted == model, "salted recombination diverged from plain aggregation")
+  }
 }

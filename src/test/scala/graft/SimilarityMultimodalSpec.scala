@@ -98,4 +98,15 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(plan.contains("ColumnarToRow"),
       s"expected a columnar transition above the decode:\n$plan")
   }
+
+  test("ivf index memo self-heals after an external DROP (fresh-catalog stand-in)") {
+    val before = Similarity.annIvfIndexed(spark, sf).collect()
+    val tbls = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_ivf_"))
+    assert(tbls.nonEmpty, "expected persisted IVF index tables in the catalog")
+    tbls.foreach(t => spark.sql(s"DROP TABLE $t"))
+    val after = Similarity.annIvfIndexed(spark, sf).collect()
+    assert(after.map(_.toSeq).toSeq == before.map(_.toSeq).toSeq,
+      "re-created IVF index changed the search result")
+  }
 }
