@@ -716,6 +716,46 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Deterministic exact digest of EXACTLY the multiset
+    * [[aggApproxQuantile]] sketches: per event_type — row count,
+    * integer-cents sum, min/max value. Full hash oracle (SURVEY §9.3):
+    * the t-digest itself has no DuckDB twin, but this pins that the
+    * sketch consumed the right input relation, complementing the
+    * spec's error bound against [[aggPercentile]].
+    */
+  def aggApproxQuantileInputs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_values"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type"))
+
+  val aggApproxQuantileInputsSql: String =
+    """SELECT event_type, count(*) AS n_values,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** HLL twin of [[aggApproxQuantileInputs]]: the exact per-type
+    * distinct-user relation [[aggApproxDistinct]] estimates, with the
+    * key-range digest. Full hash oracle.
+    */
+  def aggApproxDistinctInputs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact_users"),
+        count(lit(1)).as("n_events"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+      .orderBy(col("event_type"))
+
+  val aggApproxDistinctInputsSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact_users,
+      |  count(*) AS n_events, min(user_id) AS min_user, max(user_id) AS max_user
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------- bucketed fact-fact join
   /** Corpora whose bucketed twin tables are already written. Keyed by
     * SESSION identity + corpus FILE SIGNATURE: the saveAsTable
@@ -1092,6 +1132,8 @@ object Analytics {
     "agg_percentile" -> aggPercentile,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_approx_quantile_inputs" -> aggApproxQuantileInputs,
+    "agg_approx_distinct_inputs" -> aggApproxDistinctInputs,
     "join_bucketed" -> joinBucketed,
     "agg_salted" -> aggSalted,
     "scan_partitioned" -> scanPartitioned,
@@ -1109,6 +1151,8 @@ object Analytics {
     "join_range" -> joinRangeSql,
     "filter_bloom" -> filterBloomSql,
     "agg_percentile" -> aggPercentileSql,
+    "agg_approx_quantile_inputs" -> aggApproxQuantileInputsSql,
+    "agg_approx_distinct_inputs" -> aggApproxDistinctInputsSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

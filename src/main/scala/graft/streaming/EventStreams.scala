@@ -339,6 +339,111 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("minhash_sig")
   }
 
+  // ------------------------------------------- retention / funnel faces
+  /** Streaming-face input rows (SURVEY §9.4). */
+  case class RetEv(user_id: Long, ts: java.sql.Timestamp)
+  case class RetState(cohortDay: Int, seenDays: List[Int])
+  case class RetHit(user_id: Long, cohort_day: String, day_offset: Long)
+  case class FunEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                   event_type: String)
+  case class FunState(tView: Long, tClick: Long, tPurchase: Long) // -1 = unset
+  case class FunRow(user_id: Long, t_view: String, t_click: String,
+                    t_purchase: String)
+
+  private def fmtUs(us: Long): String =
+    java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(
+        math.floorDiv(us, 1000000L), math.floorMod(us, 1000000L) * 1000L),
+      java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+  /** Streaming face of events_retention (SURVEY §9.4): update-mode
+    * incremental cohort counters. Stage 1 is a per-user state machine
+    * (flatMapGroupsWithState, Append) that fixes the user's cohort at
+    * the first day OBSERVED and emits one (cohort_day, day_offset) hit
+    * per NEW active day — each (user, day) emits exactly once, so the
+    * downstream count is an incrementally-maintained distinct-user
+    * counter without distinct state. Run with outputMode Update: the
+    * retention triangle's counters tick up in place as batches arrive.
+    * Per-user state is one int + the user's distinct active days
+    * (bounded by the analysis horizon; a production deployment adds an
+    * event-time timeout to retire users idle past the horizon). With
+    * in-order feeds the final counters equal the batch
+    * [[graft.operators.Analytics.eventsRetention]] triangle
+    * (spec-asserted); unbounded out-of-order arrival shifts a cohort
+    * only if a user's very first day arrives late — the same
+    * first-observed semantics every incremental retention system has.
+    */
+  def retentionStream(stream: Dataset[RetEv]): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[RetEv], state: GroupState[RetState]) =>
+          val days = evs.map(e => math.floorDiv(micros(e.ts), 86400000000L).toInt)
+            .toVector.distinct.sorted
+          if (days.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(RetState(days.head, Nil))
+            val out = Vector.newBuilder[RetHit]
+            days.foreach { d =>
+              if (!st.seenDays.contains(d)) {
+                st = st.copy(seenDays = d :: st.seenDays)
+                out += RetHit(uid,
+                  java.time.LocalDate.ofEpochDay(st.cohortDay.toLong).toString,
+                  (d - st.cohortDay).toLong)
+              }
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Streaming face of events_funnel: per-user staged-progression state
+    * machine emitting the user's funnel row whenever a stage advances
+    * (a change-log; the latest row per user is the live funnel). Stage
+    * rules are the batch query's: first view, first click strictly
+    * after it, first purchase strictly after that. State is three
+    * longs per user — fixed size, no event retention. With in-order
+    * feeds the final row per user equals the batch
+    * [[graft.operators.Analytics.eventsFunnel]] output (spec-asserted).
+    */
+  def funnelStream(stream: Dataset[FunEv]): Dataset[FunRow] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunState, FunRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[FunEv], state: GroupState[FunState]) =>
+          val sorted = evs.toVector.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunState(-1L, -1L, -1L))
+          var changed = false
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            e.event_type match {
+              case "view" if st.tView < 0 =>
+                st = st.copy(tView = us); changed = true
+              case "click" if st.tView >= 0 && st.tClick < 0 && us > st.tView =>
+                st = st.copy(tClick = us); changed = true
+              case "purchase" if st.tClick >= 0 && st.tPurchase < 0 && us > st.tClick =>
+                st = st.copy(tPurchase = us); changed = true
+              case _ =>
+            }
+          }
+          state.update(st)
+          if (changed && st.tView >= 0)
+            Iterator.single(FunRow(uid, fmtUs(st.tView),
+              if (st.tClick >= 0) fmtUs(st.tClick) else null,
+              if (st.tPurchase >= 0) fmtUs(st.tPurchase) else null))
+          else Iterator.empty
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize,

@@ -396,4 +396,67 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Double)].collect().toSet
     assert(a == b)
   }
+
+  // micro-second-exact event ordering, so an in-order two-batch feed has
+  // no cross-batch inversions (ms-only ordering could put two same-ms
+  // events on opposite sides of the split in the wrong order)
+  private def usOf(t: Timestamp): (Long, Int) =
+    (t.toInstant.getEpochSecond, t.toInstant.getNano)
+
+  test("streaming retention counters converge to the batch retention triangle") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("timestamp"))
+      .as[(Long, Timestamp)].collect()
+      .map { case (u, t) => EventStreams.RetEv(u, t) }
+      .sortBy(e => usOf(e.ts))
+    val mem = MemoryStream[EventStreams.RetEv]
+    val q = EventStreams.retentionStream(mem.toDS())
+      .writeStream.format("memory").queryName("ret_live")
+      .outputMode("update").start()
+    try {
+      val (a, b) = evs.splitAt(evs.length / 2)
+      mem.addData(a.toSeq: _*); q.processAllAvailable()
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+      // the update sink logs every counter tick; counters only grow, so
+      // the live value per (cohort, offset) is the max logged
+      val live = spark.sql("SELECT cohort_day, day_offset, n_users FROM ret_live")
+        .as[(String, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2))
+        .map { case ((c, o), rs) => (c, o, rs.map(_._3).max) }.toSet
+      val batch = Analytics.eventsRetention(spark, sf)
+        .as[(String, Long, Long)].collect().toSet
+      assert(live == batch,
+        s"stream-only: ${live.diff(batch)}; batch-only: ${batch.diff(live)}")
+    } finally q.stop()
+  }
+
+  test("streaming funnel change-log converges to the batch funnel rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp"),
+        col("event_type"))
+      .as[(Long, Long, Timestamp, String)].collect()
+      .map { case (u, id, t, ty) => EventStreams.FunEv(u, id, t, ty) }
+      .sortBy(e => (usOf(e.ts), e.event_id))
+    val mem = MemoryStream[EventStreams.FunEv]
+    val q = EventStreams.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_live")
+      .outputMode("append").start()
+    try {
+      val (a, b) = evs.splitAt(evs.length / 2)
+      mem.addData(a.toSeq: _*); q.processAllAvailable()
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+      // stages only advance: the live row per user is the one with the
+      // most stages filled (earlier-set stages never change)
+      val live = spark.sql("SELECT user_id, t_view, t_click, t_purchase FROM funnel_live")
+        .as[(Long, String, Option[String], Option[String])].collect()
+        .groupBy(_._1)
+        .map { case (_, rs) => rs.maxBy(r => r._3.size + r._4.size) }.toSet
+      val batch = Analytics.eventsFunnel(spark, sf)
+        .as[(Long, String, Option[String], Option[String])].collect().toSet
+      assert(live == batch,
+        s"stream-only: ${live.diff(batch)}; batch-only: ${batch.diff(live)}")
+    } finally q.stop()
+  }
 }
