@@ -1076,10 +1076,19 @@ object Analytics {
 
   // ------------------------------------------------------ skew helper
   /** Two-phase salted aggregation for skewed keys: spray each hot key
-    * across `salt` partial groups, combine, then merge the partials.
-    * At 100 TB a single hot user/key otherwise pins one reducer; the
-    * salt bounds any reducer's share to ~1/salt of the hot key. AQE
-    * skew handling covers joins; this covers pure aggregations.
+    * across `salt` partial groups, combine, then merge the partials;
+    * the salt bounds any reducer's share to ~1/salt of the hot key.
+    *
+    * Honest scope (r5, measured via graft.DebugSkew): for ALGEBRAIC
+    * aggregates (sum/count/min/max/avg) Spark's map-side partial
+    * aggregation already neutralizes key skew — a hot key reaches the
+    * reducer as at most one partial row per map task — so there this
+    * shape is belt-and-suspenders, not a fix. Salting's real niche is
+    * HOLISTIC aggregation state (collect_list, exact-distinct or
+    * percentile buffers) where the per-key state itself is the
+    * bottleneck. Skewed JOINS are AQE skew-join's job — but note the
+    * DebugSkew finding: the skewed side must reach the join as
+    * Sort(ShuffleStage); an aggregate between them disables the rule.
     */
   def saltedAgg(df: DataFrame, key: Column, value: Column, salt: Int = 16): DataFrame =
     df.select(key.as("k"), value.as("v"))
