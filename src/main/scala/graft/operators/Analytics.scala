@@ -123,20 +123,24 @@ object Analytics {
       |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q5
-  /** 5-way join through region/nation: all dims broadcast, the single
-    * shuffle is orders⋈lineitem on orderkey. Local-supplier condition
-    * c_nationkey = s_nationkey.
+  /** 5-way join through region/nation: all dims broadcast; the
+    * orders⋈lineitem fact-fact leg rides the co-bucketed twin tables
+    * like [[q3ShippingPriority]], so the only hash exchange left is
+    * the O(nations) post-aggregation one (plan-asserted). Local-
+    * supplier condition c_nationkey = s_nationkey. Bucketing is
+    * layout, not semantics: the oracle stays over the plain tables.
     */
   def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
     val lo = lit("1996-01-01").cast("timestamp")
     val hi = lit("1998-01-01").cast("timestamp")
+    val (oTbl, lTbl) = ensureBucketed(s, dir)
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
     val n = t(s, dir, "nation")
     val c = t(s, dir, "customer")
     val sup = t(s, dir, "supplier")
-    val o = t(s, dir, "orders").filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
-    val l = t(s, dir, "lineitem")
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    val o = s.table(oTbl).filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = s.table(lTbl)
+    l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -812,8 +816,8 @@ object Analytics {
           "o_totalprice", "o_orderpriority"),
         oTbl, 8, "o_orderkey", "o_orderkey")
       Tables.writeBucketed(
-        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount",
-          "l_shipdate"),
+        t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice",
+          "l_discount", "l_shipdate"),
         lTbl, 8, "l_orderkey", "l_orderkey")
       tag
     })

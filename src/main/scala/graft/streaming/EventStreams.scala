@@ -404,6 +404,67 @@ object EventStreams {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Production variant of [[retentionStream]] with BOUNDED state: an
+    * event-time timeout retires a user once the watermark passes their
+    * last active day plus `horizonDays`, and the per-user day set is
+    * pruned to the horizon — state is O(horizonDays) ints per ACTIVE
+    * user instead of growing with history. Semantics change exactly as
+    * a bounded-horizon retention system's do: a user returning after
+    * the horizon is counted as a NEW cohort (re-acquisition); inside
+    * the horizon the hits match [[retentionStream]] / the batch
+    * triangle (spec-asserted).
+    *
+    * Returns the per-(user, day) HIT change-log rather than the
+    * aggregated counters: Spark's global-watermark correctness checker
+    * (rightly) refuses a watermarked flatMapGroupsWithState feeding
+    * another stateful aggregation in one query — the supported shape
+    * is hits → sink, with the counter aggregation downstream (exactly
+    * the composition [[retentionStream]] demonstrates).
+    */
+  def retentionStreamEventTime(stream: Dataset[RetEv],
+                               watermarkDelay: String = "1 hour",
+                               horizonDays: Int = 30): Dataset[RetHit] = {
+    import stream.sparkSession.implicits._
+    val dayUs = 86400000000L
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[RetEv], state: GroupState[RetState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed: retire the user entirely
+            Iterator.empty
+          } else {
+            val days = evs.map(e => math.floorDiv(micros(e.ts), dayUs).toInt)
+              .toVector.distinct.sorted
+            if (days.isEmpty) Iterator.empty
+            else {
+              var st = state.getOption.getOrElse(RetState(days.head, Nil))
+              val out = Vector.newBuilder[RetHit]
+              days.foreach { d =>
+                if (!st.seenDays.contains(d)) {
+                  st = st.copy(seenDays = d :: st.seenDays)
+                  out += RetHit(uid,
+                    java.time.LocalDate.ofEpochDay(st.cohortDay.toLong).toString,
+                    (d - st.cohortDay).toLong)
+                }
+              }
+              val maxDay = st.seenDays.max
+              // prune days that can no longer dedup anything inside the
+              // horizon — bounds state at O(horizonDays) per user
+              st = st.copy(seenDays = st.seenDays.filter(_ >= maxDay - horizonDays))
+              state.update(st)
+              val endOfLastDayMs = (maxDay.toLong + 1) * 86400000L
+              state.setTimeoutTimestamp(math.max(
+                endOfLastDayMs + horizonDays.toLong * 86400000L,
+                state.getCurrentWatermarkMs() + 1))
+              out.result().iterator
+            }
+          }
+      }
+  }
+
   /** Streaming face of events_funnel: per-user staged-progression state
     * machine emitting the user's funnel row whenever a stage advances
     * (a change-log; the latest row per user is the live funnel). Stage

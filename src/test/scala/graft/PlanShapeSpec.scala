@@ -26,11 +26,13 @@ class PlanShapeSpec extends SparkSpec {
       s"expected single-column scan, got $readSchemas")
   }
 
-  test("q5 joins all dimensions via broadcast (no sort-merge join at this scale)") {
+  test("q5 joins all dimensions via broadcast around the bucketed fact leg") {
     val plan = planOf(Analytics.q5LocalSupplier(spark, sf))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
-    assert(broadcasts >= 5, s"expected >=5 broadcast joins, got $broadcasts:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+    // supplier, customer, nation, region broadcast; the fifth join is
+    // the orders⋈lineitem leg, which since r5 is a bucketed SMJ (its
+    // shape is pinned by the dedicated q5 bucketed-plan test)
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$plan")
   }
 
   test("as-of join plans as a single window pass, not a join") {
@@ -140,6 +142,18 @@ class PlanShapeSpec extends SparkSpec {
     val plan = planOf(operators.Dedup.dedupEmbedding(spark, sf))
     assert(plan.contains("Join"), s"expected a bucket join:\n$plan")
     assert(plan.contains("bucket"), s"expected bucket keys:\n$plan")
+  }
+
+  test("q5 rides the bucketed tables: only the post-agg nation exchange remains") {
+    val plan = planOf(Analytics.q5LocalSupplier(spark, sf))
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+    // the orderkey shuffle of both fact tables is gone; what remains is
+    // the O(nations) aggregation exchange (and the final sort's range)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected exactly the n_name agg exchange, got $hashEx:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(n_name"),
+      s"the surviving exchange must be the nation agg:\n$plan")
   }
 
   test("q3 rides the bucketed tables: no hash exchange on the fact-fact leg") {

@@ -431,6 +431,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded-horizon retention retires idle users and re-acquires them as new cohorts") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(day: Int, uid: Long) =
+      EventStreams.RetEv(uid, new Timestamp(day * 86400000L + 3600000L))
+    val mem = MemoryStream[EventStreams.RetEv]
+    val qb = EventStreams.retentionStreamEventTime(mem.toDS(),
+        watermarkDelay = "1 hour", horizonDays = 5)
+      .writeStream.format("memory").queryName("ret_bounded")
+      .outputMode("append").start()
+    try {
+      // user 1 active on days 0 and 2 (inside the horizon)
+      mem.addData(ev(0, 1L), ev(2, 1L))
+      qb.processAllAvailable()
+      // user 2's far-future events push the watermark past day 2 + 5d,
+      // timing user 1 out of the state store
+      mem.addData(ev(20, 2L))
+      qb.processAllAvailable()
+      // user 1 returns past the horizon: counted as a NEW cohort at day
+      // 21, not offset 21 of the day-0 cohort
+      mem.addData(ev(21, 1L))
+      qb.processAllAvailable()
+      // fold the hit change-log into counters (the aggregation the
+      // unbounded retentionStream face composes in-query)
+      val hits = spark.sql("SELECT cohort_day, day_offset FROM ret_bounded")
+        .as[(String, Long)].collect()
+        .groupBy(identity).map { case ((c, o), rs) => (c, o, rs.size.toLong) }.toSet
+      assert(hits == Set(
+        ("1970-01-01", 0L, 1L), ("1970-01-01", 2L, 1L), // original cohort, inside horizon
+        ("1970-01-21", 0L, 1L),                          // user 2's own cohort
+        ("1970-01-22", 0L, 1L)),                         // user 1 re-acquired, NOT offset 21
+        s"got $hits")
+    } finally qb.stop()
+  }
+
   test("streaming funnel change-log converges to the batch funnel rows") {
     implicit val sqlCtx = spark.sqlContext
     val evs = graft.sources.Tables.load(spark, sf, "events")
