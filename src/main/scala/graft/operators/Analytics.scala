@@ -1118,7 +1118,105 @@ object Analytics {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ----------------------------------------------------------- registry
+  // -------------------------------------------------- anomaly z-score
+  /** Value-anomaly detection: the 100 events whose value deviates most
+    * from their event-type's mean, in global-σ units. All moments come
+    * from EXACT integer-cents sums (count / Σc / Σc², each an exact
+    * bigint), so μ, σ and every z are reproducible doubles: both
+    * engines evaluate the identical IEEE expression tree on identical
+    * integers. z is emitted in integer micro-units; ordering uses the
+    * raw double with event_id as the tiebreaker.
+    *
+    * == Scale design ==
+    * One grouped pass (5 groups — fully map-side combinable) produces
+    * the moments; the broadcast join back keeps the detector a single
+    * scan + TakeOrdered(100) — no global sort materializes at any SF.
+    */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("cents"))
+    val g = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("ss"))
+    val mu = col("s").cast("double") / col("n")
+    val z = (col("cents").cast("double") - mu) /
+      sqrt(col("ss").cast("double") / col("n") - mu * mu)
+    e.join(broadcast(g), "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        floor(z * 1e6 + 0.5).cast("long").as("z_micro"),
+        abs(z).as("__az"))
+      .orderBy(col("__az").desc, col("event_id"))
+      .limit(100)
+      .drop("__az")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+      |g AS (SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(sum(cents*cents) AS BIGINT) AS ss FROM e GROUP BY event_type),
+      |z AS (SELECT e.event_id, e.event_type, e.cents,
+      |    (CAST(e.cents AS DOUBLE) - CAST(g.s AS DOUBLE)/g.n) /
+      |    sqrt(CAST(g.ss AS DOUBLE)/g.n - (CAST(g.s AS DOUBLE)/g.n)*(CAST(g.s AS DOUBLE)/g.n)) AS zs
+      |  FROM e JOIN g USING (event_type))
+      |SELECT event_id, event_type, cents,
+      |  CAST(floor(zs*1e6 + 0.5) AS BIGINT) AS z_micro
+      |FROM z ORDER BY abs(zs) DESC, event_id LIMIT 100""".stripMargin
+
+  // -------------------------------------------------- salted hot join
+  /** Deliberately hot-keyed join, salted: 70 % of events collapse onto
+    * one join key (the power-law user every real event stream has),
+    * then join a per-key dim. The dim side is replicated × 8 salts and
+    * the fact side picks its deterministic salt (event_id mod 8), so
+    * the hot key's rows spread across 8 reducers instead of one
+    * straggler task owning 70 % of the data. `shuffle_hash` hint keeps
+    * the demo an actual shuffled join at test SF (a 408-row dim would
+    * otherwise broadcast — which IS the right first answer when the
+    * dim fits in memory).
+    *
+    * == Scale design ==
+    * Salting is the no-AQE fallback for big-big skewed joins; the
+    * measured alternative (DebugSkew, SCALING.md) is AQE's
+    * OptimizeSkewedJoin splitting the hot partition for a 2.67×
+    * speedup — but only when the join children are bare
+    * Sort(ShuffleStage) shapes and the payload doesn't compress the
+    * map-output stats below the skew threshold (SURVEY §8d). The
+    * salt column costs ×8 dim replication (dim rows are O(keys),
+    * negligible) and buys per-reducer balance no matter what the
+    * stats say.
+    */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val SALTS = 8
+    val e = events(s, dir).select(
+      when(pmod(col("event_id"), lit(10)) < 7, lit(-1L))
+        .otherwise(pmod(col("user_id"), lit(50))).as("join_key"),
+      pmod(col("event_id"), lit(SALTS)).as("salt"),
+      cents(col("value")).as("vc"))
+    val dim = s.range(-1, 50).select(col("id").as("join_key"),
+      concat(lit("tier"), pmod(col("id") + 50, lit(4))).as("tier"))
+    val salted = dim.crossJoin(s.range(SALTS).select(col("id").as("salt")))
+    e.join(salted.hint("shuffle_hash"), Seq("join_key", "salt"))
+      .groupBy(col("join_key"), col("tier"))
+      .agg(count(lit(1)).as("n_events"), (sum(col("vc")) / 100.0).as("sum_value"))
+      .orderBy(col("join_key"))
+  }
+
+  /** Oracle: the salt is an implementation detail — plain key join. */
+  val joinSkewSaltedSql: String =
+    """WITH e AS (SELECT CASE WHEN event_id % 10 < 7 THEN -1
+      |      ELSE user_id % 50 END AS join_key,
+      |    CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |d AS (SELECT unnest(range(-1, 50)) AS join_key),
+      |d2 AS (SELECT join_key,
+      |    'tier' || CAST((join_key + 50) % 4 AS VARCHAR) AS tier FROM d)
+      |SELECT e.join_key, d2.tier, count(*) AS n_events,
+      |  CAST(sum(vc) AS BIGINT) / 100.0 AS sum_value
+      |FROM e JOIN d2 USING (join_key)
+      |GROUP BY e.join_key, d2.tier ORDER BY e.join_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly" -> eventsAnomaly,
+    "join_skew_salted" -> joinSkewSalted,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -1157,6 +1255,8 @@ object Analytics {
     "unpivot_revenue" -> unpivotRevenue)
 
   val oracles: Map[String, String] = Map(
+    "events_anomaly" -> eventsAnomalySql,
+    "join_skew_salted" -> joinSkewSaltedSql,
     "events_sliding" -> eventsSlidingSql,
     "cube_revenue" -> cubeRevenueSql,
     "topk_per_group_agg" -> topkPerGroupSql,

@@ -184,6 +184,49 @@ object Curate {
       |  count(DISTINCT lang) AS n_langs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- mixture weights
+  /** Temperature-scaled training-mix design: per-source sampling
+    * weights ∝ tokens^0.5 (the standard multi-corpus temperature
+    * trick at T = 2, i.e. α = 1/T — upweights small sources relative
+    * to proportional sampling) plus the per-epoch token/doc allocation
+    * at a 10 M-token budget. α = 0.5 is deliberately sqrt: IEEE sqrt
+    * is correctly rounded on both engines, whereas pow(x, 0.7) is
+    * libm-dependent; weights round to integer ppm before emission so
+    * the one 20-row float sum (the normalizer) cannot hash-drift.
+    *
+    * == Scale design ==
+    * Pass 1 is the map-side-combinable per-source token count (identical
+    * shape to [[corpusStats]]); pass 2 is arithmetic on an
+    * O(#sources)-row relation with the 1-row normalizer broadcast —
+    * nothing here grows with corpus size except the one scan.
+    */
+  def corpusMixture(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"))
+    val denom = st.agg(sum(sqrt(col("tok_sum").cast("double"))).as("denom"))
+    val ppm = floor(lit(1e6) * sqrt(col("tok_sum").cast("double")) / col("denom") + 0.5)
+      .cast("long")
+    st.crossJoin(broadcast(denom))
+      .withColumn("weight_ppm", ppm)
+      .select(col("source"), col("n_docs"), col("tok_sum"), col("weight_ppm"),
+        (col("weight_ppm") * 10).as("alloc_tokens"),
+        expr("(weight_ppm * 10 * n_docs) div tok_sum").as("alloc_docs"))
+      .orderBy(col("source"))
+  }
+
+  val corpusMixtureSql: String =
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(sqrt(CAST(tok_sum AS DOUBLE))) AS DOUBLE) AS denom FROM s)
+      |SELECT source, n_docs, tok_sum,
+      |  CAST(floor(1e6 * sqrt(CAST(tok_sum AS DOUBLE)) / denom + 0.5) AS BIGINT) AS weight_ppm,
+      |  CAST(floor(1e6 * sqrt(CAST(tok_sum AS DOUBLE)) / denom + 0.5) AS BIGINT) * 10 AS alloc_tokens,
+      |  (CAST(floor(1e6 * sqrt(CAST(tok_sum AS DOUBLE)) / denom + 0.5) AS BIGINT) * 10 * n_docs) // tok_sum AS alloc_docs
+      |FROM s, t ORDER BY source""".stripMargin
+
   // -------------------------------------------------- text normalize
   /** Normalization scrub: strip non-[a-z0-9 ] characters, collapse
     * whitespace runs, trim — the canonical-text pass upstream of exact
@@ -326,6 +369,7 @@ object Curate {
     "split_train_val" -> splitTrainVal,
     "split_leakage" -> splitLeakage,
     "corpus_stats" -> corpusStats,
+    "corpus_mixture" -> corpusMixture,
     "text_normalize" -> textNormalize,
     "pack_sequential" -> packSequential,
     "pack_windows" -> packWindows,
@@ -337,6 +381,7 @@ object Curate {
     "split_train_val" -> splitTrainValSql,
     "split_leakage" -> splitLeakageSql,
     "corpus_stats" -> corpusStatsSql,
+    "corpus_mixture" -> corpusMixtureSql,
     "text_normalize" -> textNormalizeSql,
     "pack_sequential" -> packSequentialSql,
     "pack_windows" -> packWindowsSql,

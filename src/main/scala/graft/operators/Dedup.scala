@@ -82,7 +82,7 @@ object Dedup {
     * collide (P ≈ n²/2³¹, symmetric in the oracle by construction)
     * count as shared, exactly as DuckDB replays it.
     */
-  private def exploded(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def exploded(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>

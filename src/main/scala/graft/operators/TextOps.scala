@@ -254,7 +254,69 @@ object TextOps {
       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf, rank
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ----------------------------------------------------- boilerplate
+  /** Corpus-level boilerplate detection (the C4 "repeated lines"
+    * filter re-expressed for a line-less corpus): a word-trigram that
+    * appears in ≥ max(5, 1% of docs) distinct documents is boilerplate
+    * (header/footer/template text in a real crawl); each document
+    * reports how many of its distinct trigrams are boilerplate and the
+    * contaminated fraction in exact ppm.
+    *
+    * == Scale design ==
+    * Rides [[Dedup.exploded]]'s typed-flatMap shingle view (the 45×
+    * explode-over-computed-array trap, SURVEY §8) and joins on the 8-B
+    * polyHash shingle id, not the ~20-B gram string. The doc-frequency
+    * table and the boilerplate set are gram-cardinality relations: at
+    * 100 TB the boilerplate set is NOT broadcastable by construction
+    * (every ≥5-doc gram qualifies), so the hit join stays a shuffled
+    * hash join on the integer key; the per-doc counts then fold
+    * map-side. The 1-row corpus total broadcasts.
+    */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val g = Dedup.exploded(s, dir) // (doc_id, n, hg) — distinct trigram hashes
+    val tot = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val dfreq = g.groupBy(col("hg")).agg(count(lit(1)).as("df"))
+    val boiler = dfreq.crossJoin(broadcast(tot))
+      .filter(col("df") >= greatest(lit(5L), expr("n_docs div 100")))
+      .select(col("hg"), lit(1).as("hit"))
+    val per = g.join(boiler, Seq("hg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+    docs(s, dir).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ppm", when(col("n_grams") === 0, lit(0L))
+        .otherwise(expr("(n_boiler * 1000000) div n_grams")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same shingle→polyHash CTEs as the dedup family, then
+    * doc-frequency threshold and per-doc boilerplate counts.
+    */
+  val textBoilerplateSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
+      |  FROM w WHERE len(ws) > 2),
+      |gh AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS hg
+      |  FROM g),
+      |tot AS (SELECT count(*) AS n_docs FROM documents),
+      |dfreq AS (SELECT hg, count(*) AS df FROM gh GROUP BY hg),
+      |b AS (SELECT hg FROM dfreq, tot WHERE df >= greatest(5, n_docs // 100)),
+      |per AS (SELECT gh.doc_id, count(*) AS n_grams, count(b.hg) AS n_boiler
+      |  FROM gh LEFT JOIN b USING (hg) GROUP BY gh.doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(per.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+      |  COALESCE(per.n_boiler, CAST(0 AS BIGINT)) AS n_boiler,
+      |  CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE (per.n_boiler * 1000000) // per.n_grams END AS boiler_ppm
+      |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> textBoilerplate,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -294,6 +356,7 @@ object TextOps {
       |SELECT doc_id, lang, pred_lang, pred_lang = lang AS label_match FROM p ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_boilerplate" -> textBoilerplateSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_ngrams" -> textNgramsSql,

@@ -224,6 +224,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(semiN + antiN >= custN) // every customer is in semi; anti ⊂ semi
   }
 
+  test("events_anomaly reproduces the exact-moments z-score top-100") {
+    val got = Analytics.eventsAnomaly(spark, sf)
+      .select("event_id", "event_type", "cents", "z_micro")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length == 100)
+    // independent model: collect raw events, exact integer moments,
+    // identical IEEE formula order
+    val raw = graft.sources.Tables.load(spark, sf, "events")
+      .select("event_id", "event_type", "value").as[(Long, String, Double)].collect()
+      .map { case (id, t, v) => (id, t, Math.round(v * 100)) }
+    val moments = raw.groupBy(_._2).map { case (t, rows) =>
+      val n = rows.length.toLong
+      val sSum = rows.map(_._3).sum
+      val ss = rows.map(r => r._3 * r._3).sum
+      t -> ((n, sSum, ss))
+    }
+    val zOf = raw.map { case (id, t, c) =>
+      val (n, sSum, ss) = moments(t)
+      val mu = sSum.toDouble / n
+      (id, (c.toDouble - mu) / math.sqrt(ss.toDouble / n - mu * mu))
+    }.toMap
+    val expectTop = zOf.toSeq.sortBy { case (id, z) => (-math.abs(z), id) }.take(100)
+    assert(got.map(_._1).toSeq == expectTop.map(_._1),
+      "top-100 membership/order differs from the exact model")
+    got.foreach { case (id, _, _, zMicro) =>
+      assert(zMicro == math.floor(zOf(id) * 1e6 + 0.5).toLong, s"z_micro off for $id")
+    }
+  }
+
+  test("join_skew_salted equals the plain unsalted join") {
+    val salted = Analytics.joinSkewSalted(spark, sf)
+      .select("join_key", "tier", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .select(
+        when(pmod(col("event_id"), lit(10)) < 7, lit(-1L))
+          .otherwise(pmod(col("user_id"), lit(50))).as("join_key"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val dim = spark.range(-1, 50).select(col("id").as("join_key"),
+      concat(lit("tier"), pmod(col("id") + 50, lit(4))).as("tier"))
+    val plain = e.join(dim, "join_key")
+      .groupBy(col("join_key"), col("tier"))
+      .agg(count(lit(1)).as("n_events"), (sum(col("vc")) / 100.0).as("sum_value"))
+      .as[(Long, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(salted.toSeq == plain.toSeq, "salting changed the join result")
+    // the hot key really is hot: ~70% of all events
+    val hot = salted.filter(_._1 == -1L).map(_._3).sum
+    val total = salted.map(_._3).sum
+    assert(hot * 10 >= total * 6 && hot * 10 <= total * 8,
+      s"hot key carries $hot of $total events — expected ~70%")
+  }
+
   test("bucketed-table memo self-heals after an external DROP (fresh-catalog stand-in)") {
     // losing the catalog entries while the JVM-global memo survives is
     // exactly what a SparkSession swap in one JVM produces — the memo

@@ -166,6 +166,25 @@ class PlanShapeSpec extends SparkSpec {
       s"q3 fact-fact leg must not hash-shuffle:\n$plan")
   }
 
+  test("join_skew_salted shuffles on (join_key, salt) — no broadcast, no single hot reducer") {
+    val plan = planOf(Analytics.joinSkewSalted(spark, sf))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted demo must stay a shuffled join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"dim side broadcast would bypass the salting demo:\n$plan")
+    val saltedPartitioning = "hashpartitioning\\(join_key[^)]*salt".r
+    assert(saltedPartitioning.findFirstIn(plan).isDefined,
+      s"exchange must partition on the composite (join_key, salt) key:\n$plan")
+  }
+
+  test("events_anomaly takes its top-100 via TakeOrdered, no global sort") {
+    val plan = planOf(Analytics.eventsAnomaly(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered top-k:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"moments must broadcast back over the scan:\n$plan")
+  }
+
   test("bench nosort strips the presentation sort through trailing projects") {
     import org.apache.spark.sql.catalyst.plans.logical.Sort
     import spark.implicits._

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Curate, Dedup, TextOps}
 
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -166,6 +166,57 @@ class TextDedupSpec extends SparkSpec {
     out.foreach { case (t, removed) =>
       assert(removed >= 0)
       assert(t == t.trim.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " "))
+    }
+  }
+
+  test("corpus_mixture ppm weights normalize and upweight small sources") {
+    val rows = Curate.corpusMixture(spark, sf)
+      .select("source", "n_docs", "tok_sum", "weight_ppm", "alloc_tokens", "alloc_docs")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_._4).sum
+    assert(math.abs(wSum - 1000000L) <= rows.length,
+      s"weights sum to $wSum ppm — not a distribution")
+    // sqrt temperature: weight per token strictly favors smaller sources
+    // (cross-multiplied in exact integers, ±1ppm rounding slack per side)
+    for (a <- rows; b <- rows if a._3 < b._3) {
+      assert(a._4 <= b._4 + 1, s"${a._1} smaller than ${b._1} but heavier weight")
+      assert(a._4 * b._3 + (a._3 + b._3) >= b._4 * a._3,
+        s"${a._1} not upweighted per-token vs ${b._1}")
+    }
+    rows.foreach { case (src, nDocs, tok, w, allocT, allocD) =>
+      assert(allocT == w * 10, s"$src alloc_tokens != ppm share of 10M budget")
+      assert(allocD == (w * 10 * nDocs) / tok, s"$src alloc_docs mismatch")
+    }
+  }
+
+  test("text_boilerplate matches a recomputed trigram doc-frequency model") {
+    val dir = "/root/testdata/sf0.01" // sf0.001 has no >=5-doc trigram
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def hash(g: String): Long =
+      g.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
+    def grams(t: String): Seq[Long] = {
+      val ws = t.split(" ", -1)
+      val set = scala.collection.mutable.LinkedHashSet.empty[String]
+      var i = 0
+      while (i + 2 < ws.length) { set += (ws(i) + " " + ws(i + 1) + " " + ws(i + 2)); i += 1 }
+      set.toSeq.map(hash)
+    }
+    val perDoc = texts.map { case (id, t) => id -> grams(t) }.toMap
+    val df = perDoc.values.flatten.groupBy(identity).map { case (h, o) => h -> o.size.toLong }
+    val thresh = math.max(5L, texts.length / 100L)
+    val boiler = df.filter(_._2 >= thresh).keySet
+    assert(boiler.nonEmpty, "test corpus has no boilerplate grams — threshold too high")
+    val got = TextOps.textBoilerplate(spark, dir)
+      .select("doc_id", "n_grams", "n_boiler", "boiler_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == texts.length)
+    got.foreach { case (id, nG, nB, ppm) =>
+      val gs = perDoc(id)
+      assert(nG == gs.length, s"doc $id n_grams")
+      assert(nB == gs.count(boiler), s"doc $id n_boiler")
+      assert(ppm == (if (nG == 0) 0L else nB * 1000000L / nG), s"doc $id ppm")
     }
   }
 
