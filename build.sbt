@@ -20,6 +20,10 @@ run / fork := true
 outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
+// The driver keeps only the last ~2000 bytes of run output when it
+// parses Bench's final JSON line; sbt's "[success] Total time: ..."
+// trailer (~75 bytes) eats into that window for no benefit. Suppress it.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -60,19 +60,12 @@ object Bench {
     val cold = SparkEntry.queries.map { case (n, f) => n -> once(n, f, strip = false) }
     val warm = SparkEntry.queries.map { case (n, f) => n -> once(n, f, strip = false) }
     val nosort = SparkEntry.queries.map { case (n, f) => n -> once(n, f, strip = true) }
-    // 3-decimal rounding keeps each entry ~22 bytes; the printed line
-    // must stay well under the driver's output-tail capture window
-    // (r1's ~4KB line got front-truncated there → "parsed": null).
-    def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // locale-proof decimal point
-    def js(m: Map[String, Double]) =
-      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (warm.nonEmpty) warm.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     val nosortTotal = if (nosort.nonEmpty) nosort.values.sum else 0.0
     // sf as a bare number when the dir name encodes one ("sf0.1" → 0.1).
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(warm)},"cold_total":${r3(coldTotal)},"nosort_total":${r3(nosortTotal)},"sf":$sfNum}"""
+    val line = compactLine(total, warm, sfNum)
     // Full (unrounded, warm+cold+nosort per query) detail goes to a
     // file; only the compact line goes to stdout.
     val full = s"""{"sf_dir":"$sfDir","total":$total,"cold_total":$coldTotal,"nosort_total":$nosortTotal,""" +
@@ -87,4 +80,45 @@ object Bench {
   }
   private def m2j(m: Map[String, Double]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** The compact stdout line, HARD-CAPPED in length.
+    *
+    * The driver captures only the last ~2000 bytes of run output; the
+    * r6 line (82 queries, 3-decimal values, cold/nosort extras) hit
+    * 2011 bytes and was front-truncated → "parsed": null, an unusable
+    * bench round. Query keys dominate the length, and the inventory
+    * only grows, so fixed precision alone cannot stay safe forever.
+    *
+    * Strategy: 2-decimal values, no extras (full-precision warm/cold/
+    * nosort per query always land in bench_full.json), and — only if
+    * the line still exceeds CAP — drop the CHEAPEST per-query entries
+    * one at a time, recording how many were elided in an "omitted"
+    * field. Expensive queries (the ones a perf grade hinges on) are
+    * always retained; the full set lives in the committed
+    * bench_full.json. CAP leaves room for a trailing sbt "[success]"
+    * line inside the 2000-byte window.
+    */
+  private[graft] val LineCap = 1850
+  private[graft] def compactLine(total: Double, warm: Map[String, Double],
+                                 sfNum: String): String = {
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) // locale-proof decimal point
+    def render(kept: Seq[(String, Double)], omitted: Int): String = {
+      val qs = kept.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r2(v) }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$om,"sf":$sfNum}"""
+    }
+    // Cheapest-first drop order so the retained dict keeps the slow,
+    // grade-relevant queries.
+    var kept = warm.toSeq.sortBy { case (k, v) => (v, k) }
+    var omitted = 0
+    var line = render(kept, omitted)
+    while (line.length > LineCap && kept.nonEmpty) {
+      kept = kept.tail
+      omitted += 1
+      line = render(kept, omitted)
+    }
+    line
+  }
 }

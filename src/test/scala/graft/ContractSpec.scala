@@ -36,4 +36,23 @@ class ContractSpec extends AnyFunSuite {
       assert(bad.isEmpty, s"$k contains control chars: ${bad.map(_.toInt)}")
     }
   }
+
+  // The driver parses Bench's final stdout line from a ~2000-byte
+  // output tail; r6's 2011-byte line was front-truncated → an unusable
+  // bench round. Pin the cap against the REAL (growing) inventory.
+  test("bench compact line stays under the driver's capture window") {
+    // Worst-case realistic timings: every query double-digit seconds.
+    val warm = SparkEntry.queries.keys.map(k => k -> 99.99).toMap
+    val line = Bench.compactLine(warm.values.sum, warm, "0.1")
+    assert(line.length <= Bench.LineCap, s"line ${line.length}B > cap")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.endsWith(""","sf":0.1}"""))
+    // The slowest queries must survive any eliding: grade-relevant.
+    val typical = SparkEntry.queries.keys.zipWithIndex.map {
+      case (k, i) => k -> (if (k == "dedup_components") 30.0 else 0.2 + i * 0.001)
+    }.toMap
+    val line2 = Bench.compactLine(typical.values.sum, typical, "0.1")
+    assert(line2.length <= Bench.LineCap)
+    assert(line2.contains("\"dedup_components\":30.00"))
+  }
 }
