@@ -1121,11 +1121,16 @@ object Analytics {
   // -------------------------------------------------- anomaly z-score
   /** Value-anomaly detection: the 100 events whose value deviates most
     * from their event-type's mean, in global-σ units. All moments come
-    * from EXACT integer-cents sums (count / Σc / Σc², each an exact
-    * bigint), so μ, σ and every z are reproducible doubles: both
-    * engines evaluate the identical IEEE expression tree on identical
-    * integers. z is emitted in integer micro-units; ordering uses the
-    * raw double with event_id as the tiebreaker.
+    * from EXACT integer sums — count and Σc as bigint, Σc² accumulated
+    * in DECIMAL(38,0) so it cannot wrap int64 at any realistic SF
+    * (cents² ~1e12 × 1e12 rows = 1e24 ≪ 1e38; DuckDB's HUGEINT sum
+    * covers the same range on the oracle side). μ, σ and every z are
+    * then reproducible doubles: both engines evaluate the identical
+    * IEEE expression tree on identical exact integers. z is emitted in
+    * integer micro-units; ordering uses the raw double with event_id
+    * as the tiebreaker. Degenerate groups (n=1 or all-equal values ⇒
+    * zero variance) define z = 0 rather than 0/0 — guarded identically
+    * in both engines, so no NaN ever reaches the sort or the cast.
     *
     * == Scale design ==
     * One grouped pass (5 groups — fully map-side combinable) produces
@@ -1137,10 +1142,12 @@ object Analytics {
       .select(col("event_id"), col("event_type"), cents(col("value")).as("cents"))
     val g = e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
-        sum(col("cents") * col("cents")).as("ss"))
+        sum(col("cents").cast("decimal(38,0)") * col("cents").cast("decimal(38,0)"))
+          .as("ss"))
     val mu = col("s").cast("double") / col("n")
-    val z = (col("cents").cast("double") - mu) /
-      sqrt(col("ss").cast("double") / col("n") - mu * mu)
+    val variance = col("ss").cast("double") / col("n") - mu * mu
+    val z = when(variance > 0,
+      (col("cents").cast("double") - mu) / sqrt(variance)).otherwise(lit(0.0))
     e.join(broadcast(g), "event_type")
       .select(col("event_id"), col("event_type"), col("cents"),
         floor(z * 1e6 + 0.5).cast("long").as("z_micro"),
@@ -1154,10 +1161,12 @@ object Analytics {
     """WITH e AS (SELECT event_id, event_type,
       |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
       |g AS (SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
-      |    CAST(sum(cents*cents) AS BIGINT) AS ss FROM e GROUP BY event_type),
+      |    sum(cents*cents) AS ss FROM e GROUP BY event_type),
       |z AS (SELECT e.event_id, e.event_type, e.cents,
-      |    (CAST(e.cents AS DOUBLE) - CAST(g.s AS DOUBLE)/g.n) /
-      |    sqrt(CAST(g.ss AS DOUBLE)/g.n - (CAST(g.s AS DOUBLE)/g.n)*(CAST(g.s AS DOUBLE)/g.n)) AS zs
+      |    CASE WHEN CAST(g.ss AS DOUBLE)/g.n - (CAST(g.s AS DOUBLE)/g.n)*(CAST(g.s AS DOUBLE)/g.n) > 0
+      |    THEN (CAST(e.cents AS DOUBLE) - CAST(g.s AS DOUBLE)/g.n) /
+      |    sqrt(CAST(g.ss AS DOUBLE)/g.n - (CAST(g.s AS DOUBLE)/g.n)*(CAST(g.s AS DOUBLE)/g.n))
+      |    ELSE 0.0 END AS zs
       |  FROM e JOIN g USING (event_type))
       |SELECT event_id, event_type, cents,
       |  CAST(floor(zs*1e6 + 0.5) AS BIGINT) AS z_micro

@@ -191,8 +191,15 @@ object Curate {
     * to proportional sampling) plus the per-epoch token/doc allocation
     * at a 10 M-token budget. α = 0.5 is deliberately sqrt: IEEE sqrt
     * is correctly rounded on both engines, whereas pow(x, 0.7) is
-    * libm-dependent; weights round to integer ppm before emission so
-    * the one 20-row float sum (the normalizer) cannot hash-drift.
+    * libm-dependent. The normalizer Σ√tok is the one float sum in the
+    * query, and float addition is order-sensitive — a denominator one
+    * ulp apart between engines could flip floor(x+0.5) at an exact
+    * half-way boundary. So it is NOT a parallel `sum()`: both engines
+    * left-fold the per-source weight list in source order (Spark
+    * `aggregate` over `array_sort(collect_list(struct(source, √tok)))`,
+    * DuckDB `list_reduce` over `list(√tok ORDER BY source)`), the same
+    * IEEE adds in the same order ⇒ bit-equal denominators by
+    * construction, no boundary flakiness.
     *
     * == Scale design ==
     * Pass 1 is the map-side-combinable per-source token count (identical
@@ -205,7 +212,11 @@ object Curate {
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"))
-    val denom = st.agg(sum(sqrt(col("tok_sum").cast("double"))).as("denom"))
+    // Ordered sequential fold, not sum(): see the determinism note above.
+    val denom = st.agg(aggregate(
+      array_sort(collect_list(struct(col("source"),
+        sqrt(col("tok_sum").cast("double")).as("sq")))),
+      lit(0.0), (acc, x) => acc + x.getField("sq")).as("denom"))
     val ppm = floor(lit(1e6) * sqrt(col("tok_sum").cast("double")) / col("denom") + 0.5)
       .cast("long")
     st.crossJoin(broadcast(denom))
@@ -220,7 +231,8 @@ object Curate {
     """WITH s AS (SELECT source, count(*) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum
       |  FROM documents GROUP BY source),
-      |t AS (SELECT CAST(sum(sqrt(CAST(tok_sum AS DOUBLE))) AS DOUBLE) AS denom FROM s)
+      |t AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(sqrt(CAST(tok_sum AS DOUBLE)) ORDER BY source)), (a,b) -> a+b) AS denom FROM s)
       |SELECT source, n_docs, tok_sum,
       |  CAST(floor(1e6 * sqrt(CAST(tok_sum AS DOUBLE)) / denom + 0.5) AS BIGINT) AS weight_ppm,
       |  CAST(floor(1e6 * sqrt(CAST(tok_sum AS DOUBLE)) / denom + 0.5) AS BIGINT) * 10 AS alloc_tokens,

@@ -268,9 +268,13 @@ object TextOps {
     * polyHash shingle id, not the ~20-B gram string. The doc-frequency
     * table and the boilerplate set are gram-cardinality relations: at
     * 100 TB the boilerplate set is NOT broadcastable by construction
-    * (every ≥5-doc gram qualifies), so the hit join stays a shuffled
-    * hash join on the integer key; the per-doc counts then fold
-    * map-side. The 1-row corpus total broadcasts.
+    * (every ≥5-doc gram qualifies), so the hit join carries a
+    * `shuffle_hash` hint pinning it to a shuffled hash join on the
+    * integer key at EVERY scale (plan-asserted in PlanShapeSpec —
+    * without the hint Spark would broadcast the tiny test-SF set and
+    * the claimed plan property would only appear in production); the
+    * per-doc counts then fold map-side. The 1-row corpus total
+    * broadcasts.
     */
   def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
     val g = Dedup.exploded(s, dir) // (doc_id, n, hg) — distinct trigram hashes
@@ -279,7 +283,7 @@ object TextOps {
     val boiler = dfreq.crossJoin(broadcast(tot))
       .filter(col("df") >= greatest(lit(5L), expr("n_docs div 100")))
       .select(col("hg"), lit(1).as("hit"))
-    val per = g.join(boiler, Seq("hg"), "left")
+    val per = g.join(boiler.hint("shuffle_hash"), Seq("hg"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_boiler"))

@@ -177,6 +177,18 @@ class PlanShapeSpec extends SparkSpec {
       s"exchange must partition on the composite (join_key, salt) key:\n$plan")
   }
 
+  test("text_boilerplate's hit join is pinned shuffled-hash, never broadcast") {
+    val plan = planOf(graft.operators.TextOps.textBoilerplate(spark, sf))
+    // At 100 TB the boilerplate set is gram-cardinality — not
+    // broadcastable by construction. The hint makes the production
+    // plan shape visible at test SF instead of only appearing at scale.
+    assert(plan.contains("ShuffledHashJoin"),
+      s"boilerplate hit join must stay shuffled:\n$plan")
+    val hitJoinBroadcast = "BroadcastHashJoin [^\n]*\\bhg\\b".r
+    assert(hitJoinBroadcast.findFirstIn(plan).isEmpty,
+      s"boilerplate set must not broadcast into the hit join:\n$plan")
+  }
+
   test("events_anomaly takes its top-100 via TakeOrdered, no global sort") {
     val plan = planOf(Analytics.eventsAnomaly(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),

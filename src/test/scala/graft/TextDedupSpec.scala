@@ -191,7 +191,8 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("text_boilerplate matches a recomputed trigram doc-frequency model") {
-    val dir = "/root/testdata/sf0.01" // sf0.001 has no >=5-doc trigram
+    val dir = sfMid // sf0.001 has no >=5-doc trigram
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
     val texts = graft.sources.Tables.load(spark, dir, "documents")
       .select("doc_id", "text").as[(Long, String)].collect()
     def hash(g: String): Long =
