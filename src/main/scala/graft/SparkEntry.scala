@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Curate, Dedup, Geo, Multimodal, Similarity, TextOps}
+import graft.operators.{Analytics, Curate, Dedup, Geo, Maintain, Multimodal, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ Geo.queries ++ TextOps.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ EventStreams.queries ++ Curate.queries
+      Similarity.queries ++ Multimodal.queries ++ EventStreams.queries ++
+      Curate.queries ++ Maintain.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ Geo.oracles ++ TextOps.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ EventStreams.oracles ++ Curate.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ EventStreams.oracles ++
+      Curate.oracles ++ Maintain.oracles
 }

@@ -1223,7 +1223,73 @@ object Analytics {
       |FROM e JOIN d2 USING (join_key)
       |GROUP BY e.join_key, d2.tier ORDER BY e.join_key""".stripMargin
 
+  // ----------------------------------------------- count-min sketch
+  /** Heavy hitters via a count-min sketch, exact-verified: a 4×1024
+    * CMS over event user_ids, then the top-20 users by exact count with
+    * their CMS estimate alongside (est ≥ exact always; est_err is the
+    * collision overcount). Unlike the HLL/quantile sketches, CMS is
+    * FULLY deterministic — the cell counts are plain grouped counts
+    * under fixed affine hashes — so the whole sketch replays in the
+    * DuckDB oracle and this query is hash-verified end to end.
+    *
+    * == Scale design ==
+    * The sketch state is 4 lanes × 1024 cells regardless of key
+    * cardinality: after map-side combine the shuffle carries ≤4096
+    * rows per lane-cell, and the estimate join BROADCASTS the whole
+    * sketch. That is the point of CMS at 100 TB — frequency estimates
+    * with state that never grows with the key space, mergeable across
+    * partitions/batches by cell-wise addition. (The exact top-20 here
+    * is the verification harness, not the production path; at scale
+    * candidates come from per-partition local top-k, re-estimated
+    * against the broadcast sketch.)
+    */
+  def aggHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    val W = 1024L
+    val lanes = Seq((1103515245L, 12345L), (1140671485L, 12820163L),
+      (214013L, 2531011L), (69069L, 1L))
+    def cellOf(i: Int, u: Column): Column =
+      pmod(pmod(u * lit(lanes(i)._1) + lit(lanes(i)._2), lit(P)), lit(W))
+    val e = events(s, dir).select(col("user_id").as("u"))
+    val cms = e.select(explode(array(lanes.indices.map(i =>
+        struct(lit(i.toLong).as("lane"), cellOf(i, col("u")).as("cell"))): _*))
+        .as("lc"))
+      .select(col("lc.lane").as("lane"), col("lc.cell").as("cell"))
+      .groupBy(col("lane"), col("cell")).agg(count(lit(1)).as("c"))
+    val top = e.groupBy(col("u")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("u")).limit(20)
+    top.select(col("u"), col("n_exact"), explode(array(lanes.indices.map(i =>
+        struct(lit(i.toLong).as("lane"), cellOf(i, col("u")).as("cell"))): _*))
+        .as("lc"))
+      .select(col("u"), col("n_exact"),
+        col("lc.lane").as("lane"), col("lc.cell").as("cell"))
+      .join(broadcast(cms), Seq("lane", "cell"))
+      .groupBy(col("u"), col("n_exact")).agg(min(col("c")).as("n_est"))
+      .select(col("u").as("user_id"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("est_err"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  val aggHeavyHittersSql: String =
+    """WITH e AS (SELECT user_id AS u FROM events),
+      |l AS (SELECT * FROM (VALUES (0, 1103515245, 12345),
+      |    (1, 1140671485, 12820163), (2, 214013, 2531011),
+      |    (3, 69069, 1)) AS t(lane, a, b)),
+      |cells AS (SELECT lane, ((a*u + b) % 2147483647) % 1024 AS cell,
+      |    count(*) AS c
+      |  FROM e CROSS JOIN l GROUP BY 1, 2),
+      |top AS (SELECT u, count(*) AS n_exact FROM e GROUP BY u
+      |  ORDER BY n_exact DESC, u LIMIT 20)
+      |SELECT t.u AS user_id, t.n_exact, CAST(min(c.c) AS BIGINT) AS n_est,
+      |  CAST(min(c.c) - t.n_exact AS BIGINT) AS est_err
+      |FROM top t CROSS JOIN l
+      |JOIN cells c ON c.lane = l.lane
+      |  AND c.cell = ((l.a*t.u + l.b) % 2147483647) % 1024
+      |GROUP BY t.u, t.n_exact
+      |ORDER BY n_exact DESC, user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_heavy_hitters" -> aggHeavyHitters,
     "events_anomaly" -> eventsAnomaly,
     "join_skew_salted" -> joinSkewSalted,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -1264,6 +1330,7 @@ object Analytics {
     "unpivot_revenue" -> unpivotRevenue)
 
   val oracles: Map[String, String] = Map(
+    "agg_heavy_hitters" -> aggHeavyHittersSql,
     "events_anomaly" -> eventsAnomalySql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "events_sliding" -> eventsSlidingSql,

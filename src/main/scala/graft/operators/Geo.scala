@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -273,7 +273,62 @@ object Geo {
        |  (frame_seq - 1) / 2.0 AS pts_sec
        |FROM seq ORDER BY frame_seq""".stripMargin
 
+  // --------------------------------------------------------- Z-order
+  /** 16-bit Morton spread: interleave-ready bit expansion via the
+    * classic shift-or-mask ladder — pure codegen'd integer ops, and the
+    * identical `<< | &` arithmetic replays in DuckDB.
+    */
+  private def spread16(c: Column): Column =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+      .foldLeft(c.bitwiseAND(lit(0xFFFFL))) { case (e, (sh, m)) =>
+        e.bitwiseOR(shiftleft(e, sh)).bitwiseAND(lit(m))
+      }
+
+  private def spreadSql(e: String): String =
+    Seq((8, "16711935"), (4, "252645135"), (2, "858993459"), (1, "1431655765"))
+      .foldLeft(s"(($e) & 65535)") { case (x, (sh, m)) =>
+        s"((($x) | (($x) << $sh)) & $m)"
+      }
+
+  /** Z-order (Morton) data-layout key over the raster grid: interleave
+    * the bits of (px, py) and roll the raster up by 256×256-cell
+    * Z-tiles (zkey >> 16). The per-tile px/py extents in the output ARE
+    * the point of Z-ordering: every tile is a compact ≤256-wide
+    * rectangle (spec-asserted), so files written in zkey ranges carry
+    * tight min/max column stats for BOTH dimensions and a 2-D bbox
+    * predicate prunes files/row-groups on either axis.
+    *
+    * == Scale design ==
+    * This is the clustering key for the writer:
+    * `repartitionByRange(col("zkey")).sortWithinPartitions("zkey")`
+    * before a parquet write yields the multi-dimensional data-skipping
+    * layout (the Delta OPTIMIZE ZORDER BY equivalent) with one range
+    * shuffle. The key itself is a handful of codegen'd shift/mask ops —
+    * no UDF, no precision loss, monotone in interleaved bit order.
+    */
+  def layoutZorder(s: SparkSession, dir: String): DataFrame =
+    rasterDf(s, dir)
+      .withColumn("zkey", spread16(col("px"))
+        .bitwiseOR(shiftleft(spread16(col("py")), 1)))
+      .withColumn("tile", expr("zkey div 65536"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_points"),
+        min(col("px")).as("px_min"), max(col("px")).as("px_max"),
+        min(col("py")).as("py_min"), max(col("py")).as("py_max"))
+      .orderBy(col("tile"))
+
+  val layoutZorderSql: String = {
+    val z = s"(${spreadSql("px")} | (${spreadSql("py")} << 1))"
+    s"""WITH $pointsCte, $mercCte, $rasterCte,
+       |z AS (SELECT px, py, cnt, $z // 65536 AS tile FROM raster)
+       |SELECT tile, count(*) AS n_cells, CAST(sum(cnt) AS BIGINT) AS n_points,
+       |  min(px) AS px_min, max(px) AS px_max,
+       |  min(py) AS py_min, max(py) AS py_max
+       |FROM z GROUP BY tile ORDER BY tile""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> layoutZorder,
     "geo_mercator" -> geoMercator,
     "geo_bbox_filter" -> geoBboxFilter,
     "geo_rasterize" -> geoRasterize,
@@ -283,6 +338,7 @@ object Geo {
     "reduce_assemble" -> reduceAssemble)
 
   val oracles: Map[String, String] = Map(
+    "layout_zorder" -> layoutZorderSql,
     "geo_mercator" -> geoMercatorSql,
     "geo_bbox_filter" -> geoBboxFilterSql,
     "geo_rasterize" -> geoRasterizeSql,

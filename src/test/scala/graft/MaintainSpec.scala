@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Analytics, Geo, Maintain}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the table-maintenance block + the r7 layout/
+  * sketch additions — each against an independently recomputed model,
+  * not just the DuckDB oracle (which shares the SQL's shape).
+  */
+class MaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge_upsert partitions the dim into K/U/I with exact balances") {
+    val dim = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("key"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+      .as[(Long, Long)].collect().toMap
+    val out = Maintain.mergeUpsert(spark, sf)
+      .select("key", "bal_cents", "op").as[(Long, Long, String)].collect()
+    assert(out.length == dim.size + dim.keys.count(_ % 13 == 0))
+    out.foreach {
+      case (k, bal, "K") => assert(k % 7 != 0 && bal == dim(k))
+      case (k, bal, "U") => assert(k % 7 == 0 && bal == dim(k) + 10000L)
+      case (k, bal, "I") => assert(k < 0 && (-k - 1) % 13 == 0 && bal == dim(-k - 1))
+      case (k, _, op) => fail(s"unexpected op $op for key $k")
+    }
+    // keys unique: inserts can never collide with kept/updated rows
+    assert(out.map(_._1).distinct.length == out.length)
+  }
+
+  test("dim_scd2 versions chain: contiguous validity, one current row") {
+    val rows = Maintain.dimScd2(spark, sf)
+      .select("custkey", "version", "bal_cents", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Long, String, String, Long)].collect()
+    rows.groupBy(_._1).foreach { case (ck, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to vs.length).toSeq, s"$ck versions gap")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, s"$ck v${a._2} valid_to != v${b._2} valid_from")
+          assert(a._3 < b._3, s"$ck running balance must strictly grow")
+        case _ =>
+      }
+      assert(sorted.last._5 == "9999-12-31" && sorted.last._6 == 1L)
+      assert(sorted.count(_._6 == 1L) == 1, s"$ck multiple current versions")
+    }
+  }
+
+  test("compaction_plan conserves bytes and bounds file overshoot") {
+    val groups = Tables.load(spark, sf, "documents")
+      .groupBy("source", "lang").agg(sum("n_chars").as("b"))
+      .select(col("b")).as[Long].collect()
+    val total = groups.sum
+    val target = math.max(65536L, (total + 15) / 16)
+    val files = Maintain.compactionPlan(spark, sf)
+      .select("file_id", "n_groups", "bytes").as[(Long, Long, Long)].collect()
+    assert(files.map(_._3).sum == total, "plan must conserve bytes")
+    assert(files.map(_._2).sum == groups.length, "plan must place every group")
+    // next-fit bound: a file overshoots by at most one group
+    files.foreach { case (f, _, b) =>
+      assert(b <= target + groups.max, s"file $f exceeds target + max group")
+    }
+  }
+
+  test("layout_zorder tiles are compact <=256-wide rectangles") {
+    val tiles = Geo.layoutZorder(spark, sf)
+      .select("tile", "n_points", "px_min", "px_max", "py_min", "py_max")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(tiles.nonEmpty)
+    tiles.foreach { case (t, _, x0, x1, y0, y1) =>
+      assert(x1 - x0 <= 255 && y1 - y0 <= 255,
+        s"tile $t extent (${x1 - x0}, ${y1 - y0}) — Z-tiles must stay compact")
+      // tile id really is the interleaved high bits of its own extent
+      assert(x0 / 256 == x1 / 256 && y0 / 256 == y1 / 256)
+    }
+    val totalPts = Geo.rasterDf(spark, sf).agg(sum("cnt")).as[Long].head()
+    assert(tiles.map(_._2).sum == totalPts, "rollup must conserve points")
+  }
+
+  test("agg_heavy_hitters: CMS estimate dominates the exact count") {
+    val rows = Analytics.aggHeavyHitters(spark, sf)
+      .select("user_id", "n_exact", "n_est", "est_err")
+      .as[(Long, Long, Long, Long)].collect()
+    val exact = Tables.load(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select("user_id", "n").as[(Long, Long)].collect().toMap
+    assert(rows.length == math.min(20, exact.size))
+    rows.foreach { case (u, nx, ne, err) =>
+      assert(nx == exact(u), s"$u exact count drifted")
+      assert(ne >= nx, s"$u CMS estimate below exact — impossible for CMS")
+      assert(err == ne - nx)
+    }
+    // the 20 are THE top-20 by (count desc, user asc)
+    val want = exact.toSeq.sortBy { case (u, n) => (-n, u) }
+      .take(math.min(20, exact.size)).map(_._1)
+    assert(rows.map(_._1).toSeq == want)
+  }
+}
