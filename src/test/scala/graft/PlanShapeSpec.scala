@@ -177,6 +177,30 @@ class PlanShapeSpec extends SparkSpec {
       s"exchange must partition on the composite (join_key, salt) key:\n$plan")
   }
 
+  test("merge_upsert never shuffles the dim: broadcast anti + inner only") {
+    val plan = planOf(graft.operators.Maintain.mergeUpsert(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 2,
+      s"expected exactly the anti+inner broadcast pair:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("Exchange hashpartitioning"),
+      s"dim side must reach the merge without a shuffle:\n$plan")
+  }
+
+  test("dim_scd2's three window functions share one custkey shuffle") {
+    val plan = planOf(graft.operators.Maintain.dimScd2(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"lead/row_number/running-sum must ride ONE partitioning, got $hashExchanges:\n$plan")
+  }
+
+  test("agg_heavy_hitters broadcasts the fixed-size sketch into the estimate join") {
+    val plan = planOf(graft.operators.Analytics.aggHeavyHitters(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=4096-row CMS must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"exact top-20 must be TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("text_boilerplate's hit join is pinned shuffled-hash, never broadcast") {
     val plan = planOf(graft.operators.TextOps.textBoilerplate(spark, sf))
     // At 100 TB the boilerplate set is gram-cardinality — not
