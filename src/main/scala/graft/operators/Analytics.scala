@@ -1243,13 +1243,18 @@ object Analytics {
     * candidates come from per-partition local top-k, re-estimated
     * against the broadcast sketch.)
     */
+  /** CMS geometry shared with the streaming face: 4 affine lanes over
+    * a 1024-cell width, mod the Mersenne prime 2^31−1.
+    */
+  private[graft] val cmsLanes = Seq((1103515245L, 12345L),
+    (1140671485L, 12820163L), (214013L, 2531011L), (69069L, 1L))
+  private[graft] def cmsCell(i: Int, u: Column): Column =
+    pmod(pmod(u * lit(cmsLanes(i)._1) + lit(cmsLanes(i)._2),
+      lit(2147483647L)), lit(1024L))
+
   def aggHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val P = 2147483647L
-    val W = 1024L
-    val lanes = Seq((1103515245L, 12345L), (1140671485L, 12820163L),
-      (214013L, 2531011L), (69069L, 1L))
-    def cellOf(i: Int, u: Column): Column =
-      pmod(pmod(u * lit(lanes(i)._1) + lit(lanes(i)._2), lit(P)), lit(W))
+    val lanes = cmsLanes
+    def cellOf(i: Int, u: Column): Column = cmsCell(i, u)
     val e = events(s, dir).select(col("user_id").as("u"))
     val cms = e.select(explode(array(lanes.indices.map(i =>
         struct(lit(i.toLong).as("lane"), cellOf(i, col("u")).as("cell"))): _*))

@@ -505,6 +505,28 @@ object EventStreams {
       }
   }
 
+  /** Streaming face of the [[graft.operators.Analytics.aggHeavyHitters]]
+    * count-min sketch: the 4×1024 cell table maintained as an
+    * update-mode streaming aggregation over a (user_id) stream. CMS is
+    * mergeable by CELL-WISE ADDITION, so the streaming state IS the
+    * sketch — ≤4096 rows forever, independent of stream length and key
+    * cardinality, no watermark needed (the key space is bounded by
+    * construction, not by time). Frequency estimates read
+    * min-over-lanes off the live cell table at any point; batch and
+    * stream converge to identical cells on the same data
+    * (spec-asserted), which is exactly the property that lets a 100 TB
+    * backfill sketch and a live ingest sketch be unioned cell-wise.
+    */
+  def cmsStream(stream: DataFrame): DataFrame = {
+    import graft.operators.Analytics.{cmsCell, cmsLanes}
+    stream.select(explode(array(cmsLanes.indices.map(i =>
+        struct(lit(i.toLong).as("lane"),
+          cmsCell(i, col("user_id")).as("cell"))): _*)).as("lc"))
+      .select(col("lc.lane").as("lane"), col("lc.cell").as("cell"))
+      .groupBy(col("lane"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize,

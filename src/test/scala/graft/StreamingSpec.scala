@@ -123,6 +123,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS cells converge to the batch sketch on a real corpus feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val users = graft.sources.Tables.load(spark, sf, "events")
+      .select("user_id").as[Long].collect()
+    val (first, second) = users.splitAt(users.length / 2)
+    val mem = MemoryStream[Long]
+    val q = EventStreams.cmsStream(mem.toDF().toDF("user_id"))
+      .writeStream.format("memory").queryName("cms_live")
+      .outputMode("update").start()
+    try {
+      mem.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toSeq: _*)
+      q.processAllAvailable()
+      // update mode re-emits a cell each time it grows; cell counts are
+      // monotone, so the latest value per (lane, cell) is the max
+      val streamed = spark.sql("SELECT lane, cell, max(c) AS c FROM cms_live GROUP BY 1, 2")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = EventStreams.cmsStream(
+          users.toSeq.toDF("user_id"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streaming sketch diverged: ${(streamed diff batch).take(5)} vs ${(batch diff streamed).take(5)}")
+      // the state really is sketch-sized
+      assert(streamed.size <= 4096)
+    } finally q.stop()
+  }
+
   test("decode drops malformed/keyless payloads and zero-fills missing value") {
     val raw = Seq(
       """{"user_id":1,"event_id":10,"ts":"2026-01-01 00:00:00","event_type":"click","value":2.5}""",
