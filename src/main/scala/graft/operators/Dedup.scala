@@ -529,14 +529,24 @@ object Dedup {
       GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
   }
 
-  /** Number of vec_id blocks for the triangle block-pair join. Each
-    * vector is replicated to EMB_BLOCKS buckets, and every pair meets
-    * in exactly one of the EMB_BLOCKS·(EMB_BLOCKS+1)/2 bucket keys, so
-    * per-task memory is bounded at ~2N/EMB_BLOCKS vectors while the
-    * comparison count stays exactly N·(N−1)/2. Tune ≈ sqrt(cluster
-    * cores) upward at larger scale.
+  /** Number of vec_id blocks for the triangle block-pair join, SIZED TO
+    * THE CORPUS: B = ceil(N / 2048) clamped to [8, 256], so a block
+    * stays ~2048 vectors and a bucket (one block×block comparison
+    * tile) stays a ~4M-dot task regardless of N. Each vector is
+    * replicated to B+1 buckets and every pair meets in exactly one of
+    * the B·(B+1)/2 bucket keys: per-task memory is bounded at ~2·2048
+    * vectors while the comparison count stays exactly N·(N−1)/2. A
+    * FIXED B inverts at scale — per-bucket work grows as (N/B)², and
+    * the measured 10x run put 625M-dot tasks on 36 buckets for 32
+    * cores (straggler waves). The one count() job that sizes B is
+    * memoized per corpus dir and is noise next to the O(N²) join.
     */
-  private val EMB_BLOCKS = 8
+  private val embCountMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embBlocks(s: SparkSession, dir: String): Int = {
+    val n: Long = embCountMemo.computeIfAbsent(dir,
+      _ => Tables.load(s, dir, "embeddings").count())
+    math.max(8, math.min(256, math.ceil(n / 2048.0).toInt))
+  }
 
   /** Embedding-cosine near-dup pairs — EXACT all-pairs, distributed.
     *
@@ -558,7 +568,7 @@ object Dedup {
     * as [[dedupEmbeddingBruteForce]] for the spec cross-check only.
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val B = EMB_BLOCKS
+    val B = embBlocks(s, dir)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         sqrt(vdot(col("embedding"), col("embedding"))).as("nrm"),
