@@ -375,7 +375,57 @@ object Curate {
       |WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 80 END
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- importance sampling
+  /** Quality-weighted importance sampling: longer (more informative)
+    * documents keep a higher deterministic acceptance rate —
+    * accept_ppm = 200 000 + 800 000·min(tok,64)/64 in EXACT integer
+    * arithmetic — and acceptance replays from a content hash
+    * ("imp|"-salted polyHash mod 1e6 < accept_ppm), so the sample is
+    * reproducible, join-free and decorrelated from both
+    * [[sampleStratified]] ("smp|") and the train/val split. Each kept
+    * row carries its inverse-propensity weight in integer ppm
+    * (ipw_ppm = 1e12 div accept_ppm), which is what makes the thinned
+    * corpus an unbiased estimator under reweighting.
+    *
+    * == Scale design ==
+    * A single scan-side filter — no shuffle, no state, no reservoir;
+    * the acceptance decision and the weight are per-row column
+    * arithmetic inside whole-stage codegen, and the sample rate is
+    * exact in expectation per quality stratum by construction.
+    */
+  def sampleImportance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("imp|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (h % 1000000L).as("draw"))
+      .withColumn("accept_ppm",
+        expr("200000 + (800000 * least(n_tokens, 64)) div 64"))
+      .filter(col("draw") < col("accept_ppm"))
+      .withColumn("ipw_ppm", expr("1000000000000 div accept_ppm"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("accept_ppm"), col("ipw_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleImportanceSql: String =
+    """WITH f AS (SELECT doc_id, source, lang,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split('imp|' || text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) % 1000000 AS draw
+      |  FROM documents),
+      |a AS (SELECT *, 200000 + (800000 * least(n_tokens, 64)) // 64 AS accept_ppm FROM f)
+      |SELECT doc_id, source, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(accept_ppm AS BIGINT) AS accept_ppm,
+      |  CAST(1000000000000 // accept_ppm AS BIGINT) AS ipw_ppm
+      |FROM a WHERE draw < accept_ppm ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_importance" -> sampleImportance,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_cluster" -> pipelineCurateCluster,
     "split_train_val" -> splitTrainVal,
@@ -397,5 +447,6 @@ object Curate {
     "text_normalize" -> textNormalizeSql,
     "pack_sequential" -> packSequentialSql,
     "pack_windows" -> packWindowsSql,
-    "sample_stratified" -> sampleStratifiedSql)
+    "sample_stratified" -> sampleStratifiedSql,
+    "sample_importance" -> sampleImportanceSql)
 }

@@ -319,7 +319,148 @@ object TextOps {
       |       ELSE (per.n_boiler * 1000000) // per.n_grams END AS boiler_ppm
       |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------- vocabulary
+  /** Tokenizer-style vocabulary construction: one row per distinct
+    * token with occurrence/document frequencies, ids assigned by
+    * (frequency desc, token) rank offset by 256 reserved specials, and
+    * the cumulative corpus-coverage curve in exact integer ppm — the
+    * table a word-level tokenizer trains down to, and the curve that
+    * picks the vocab-size cutoff.
+    *
+    * == Scale design ==
+    * The corpus scan reduces map-side onto vocabulary-bounded keys
+    * (natural-language vocabularies grow ~O(corpus^0.5), Heaps' law),
+    * so the shuffle carries |vocab| rows; the id-assignment window
+    * orders only that relation. A production cap (top-K before id
+    * assignment) keeps the emitted table broadcastable for the encode
+    * join — [[tokenizeIds]] relies on exactly that.
+    */
+  def vocabBuild(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("token"))
+    val run = byFreq.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val total = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    g.select(col("token"), col("n_occ"), col("n_docs"),
+        (row_number().over(byFreq).cast("long") + 255L).as("vocab_id"),
+        sum(col("n_occ")).over(run).as("cum_occ"),
+        sum(col("n_occ")).over(total).as("tot_occ"))
+      .withColumn("cum_ppm", expr("(cum_occ * 1000000) div tot_occ"))
+      .select(col("vocab_id"), col("token"), col("n_occ"), col("n_docs"),
+        col("cum_ppm"))
+      .orderBy(col("vocab_id"))
+  }
+
+  private val vocabCte: String =
+    """vocab AS (
+      |  SELECT token, n_occ, n_docs,
+      |    CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS BIGINT) + 255 AS vocab_id,
+      |    (CAST(sum(n_occ) OVER (ORDER BY n_occ DESC, token
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000)
+      |      // CAST(sum(n_occ) OVER () AS BIGINT) AS cum_ppm
+      |  FROM (SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+      |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |              FROM documents)
+      |        GROUP BY token))""".stripMargin
+
+  val vocabBuildSql: String =
+    s"""WITH $vocabCte
+       |SELECT vocab_id, token, CAST(n_occ AS BIGINT) AS n_occ,
+       |  CAST(n_docs AS BIGINT) AS n_docs, cum_ppm
+       |FROM vocab ORDER BY vocab_id""".stripMargin
+
+  /** Corpus → token-id encoding against [[vocabBuild]]'s table: one row
+    * per (doc, position) with the assigned id — the serialize-to-ids
+    * stage before packing ([[Curate.packSequential]] consumes exactly
+    * this shape's token accounting). Ids outside the 65 792-entry cap
+    * (256 specials + top 65 536) map to UNK = 0.
+    *
+    * == Scale design ==
+    * The vocab is capped ⇒ broadcastable BY CONSTRUCTION; encoding is
+    * a broadcast hash join inside the corpus scan — no shuffle of the
+    * corpus at any scale. (The id table is built once per corpus and
+    * reused; rebuilding it here keeps the query self-contained.)
+    */
+  def tokenizeIds(s: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabBuild(s, dir)
+      .filter(col("vocab_id") < 256L + 65536L)
+      .select(col("token"), col("vocab_id"))
+    docs(s, dir)
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("vocab_id"), lit(0L)).as("vid"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val tokenizeIdsSql: String =
+    s"""WITH $vocabCte,
+       |t AS (SELECT doc_id,
+       |    unnest(range(1, len(string_split(text, ' ')) + 1)) - 1 AS pos,
+       |    unnest(string_split(text, ' ')) AS token
+       |  FROM documents)
+       |SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+       |  coalesce(v.vocab_id, 0) AS vid
+       |FROM t LEFT JOIN (SELECT * FROM vocab WHERE vocab_id < 65792) v
+       |  USING (token)
+       |ORDER BY doc_id, pos""".stripMargin
+
+  // ------------------------------------------------ quality classifier
+  /** Model-based quality filtering: a distilled LINEAR classifier over
+    * the [[textQuality]] features (the fasttext-quality-model pattern —
+    * train offline, deploy the weights as column arithmetic). The logit
+    * is a 4-term IEEE expression over exact rational features, so both
+    * engines agree bitwise; emitted in integer micro-units with the
+    * keep decision. No UDF, no model runtime — the "model" runs inside
+    * whole-stage codegen at scan speed, which is the only way a
+    * learned filter keeps up with a 100 TB scan.
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val meta = docs(s, dir).select(col("doc_id"), col("n_chars"),
+      regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
+    val stopR = col("n_stop") * 1.0 / col("n_tokens")
+    val punctR = col("n_punct") * 1.0 / col("n_chars")
+    val lenSat = least(lit(1.0), col("n_tokens") / 64.0)
+    val logit = lit(-2.0) + stopR * 4.0 - punctR * 8.0 + lenSat * 2.0
+    meta.join(toks, "doc_id")
+      .select(col("doc_id"),
+        floor(logit * 1e6 + 0.5).cast("long").as("logit_micro"),
+        (logit > 0).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityClassifierSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0
+       |      / len(string_split(text, ' ')) AS stop_r,
+       |    len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars AS punct_r,
+       |    least(1.0, len(string_split(text, ' ')) / 64.0) AS len_sat
+       |  FROM documents),
+       |l AS (SELECT doc_id,
+       |    -2.0 + stop_r * 4.0 - punct_r * 8.0 + len_sat * 2.0 AS logit
+       |  FROM f)
+       |SELECT doc_id, CAST(floor(logit * 1e6 + 0.5) AS BIGINT) AS logit_micro,
+       |  CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM l ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_build" -> vocabBuild,
+    "tokenize_ids" -> tokenizeIds,
+    "quality_classifier" -> qualityClassifier,
     "text_boilerplate" -> textBoilerplate,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -360,6 +501,9 @@ object TextOps {
       |SELECT doc_id, lang, pred_lang, pred_lang = lang AS label_match FROM p ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "vocab_build" -> vocabBuildSql,
+    "tokenize_ids" -> tokenizeIdsSql,
+    "quality_classifier" -> qualityClassifierSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

@@ -221,6 +221,74 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("vocab_build ids are dense, frequency-ranked, coverage sums to 1e6") {
+    val v = TextOps.vocabBuild(spark, sf)
+      .select("vocab_id", "token", "n_occ", "cum_ppm")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(v.map(_._1).toSeq == (256L until 256L + v.length).toSeq, "ids not dense from 256")
+    v.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+        s"rank order broken at ${a._2}/${b._2}")
+      case _ =>
+    }
+    assert(v.last._4 == 1000000L, "full vocabulary must cover the corpus")
+    val totalTokens = graft.sources.Tables.load(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long")).as[Long].collect().sum
+    assert(v.map(_._3).sum == totalTokens)
+  }
+
+  test("tokenize_ids round-trips: decoding ids reproduces the original text") {
+    val id2tok = TextOps.vocabBuild(spark, sf)
+      .select("vocab_id", "token").as[(Long, String)].collect().toMap
+    val encoded = TextOps.tokenizeIds(spark, sf)
+      .select("doc_id", "pos", "vid").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (d, rs) =>
+        d -> rs.sortBy(_._2).map(r => id2tok(r._3)).mkString(" ")
+      }
+    val originals = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(encoded.keySet == originals.keySet)
+    encoded.foreach { case (d, txt) => assert(txt == originals(d), s"doc $d decode") }
+  }
+
+  test("quality_classifier logit matches a direct per-doc recompute") {
+    val got = TextOps.qualityClassifier(spark, sf)
+      .select("doc_id", "logit_micro", "keep").as[(Long, Long, Long)].collect()
+      .map { case (d, lm, k) => d -> ((lm, k)) }.toMap
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "n_chars").as[(Long, String, Long)].collect()
+    val stops = TextOps.stopwords.toSet
+    docs.foreach { case (id, text, nChars) =>
+      val ws = text.split(" ", -1)
+      val stopR = ws.count(stops) * 1.0 / ws.length
+      val punctR = text.count(c => !(c.isDigit || c == ' ' || (c >= 'a' && c <= 'z'))) * 1.0 / nChars
+      val lenSat = math.min(1.0, ws.length / 64.0)
+      val logit = -2.0 + stopR * 4.0 - punctR * 8.0 + lenSat * 2.0
+      val (lm, keep) = got(id)
+      assert(lm == math.floor(logit * 1e6 + 0.5).toLong, s"doc $id logit")
+      assert(keep == (if (logit > 0) 1L else 0L))
+    }
+  }
+
+  test("sample_importance thins by quality with exact inverse-propensity weights") {
+    val kept = Curate.sampleImportance(spark, sfMid)
+      .select("doc_id", "n_tokens", "accept_ppm", "ipw_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    kept.foreach { case (id, tok, app, ipw) =>
+      assert(app == 200000L + 800000L * math.min(tok, 64) / 64, s"doc $id rate")
+      assert(ipw == 1000000000000L / app, s"doc $id weight")
+    }
+    // the long-doc stratum must survive at a visibly higher rate than
+    // the accepted-fraction floor: full-length docs accept at 100%
+    val total = graft.sources.Tables.load(spark, sfMid, "documents").count()
+    assert(kept.length < total, "sampling must actually thin")
+    val fullRate = kept.count(_._2 >= 64)
+    val fullTotal = graft.sources.Tables.load(spark, sfMid, "documents")
+      .filter(size(split(col("text"), " ")) >= 64).count()
+    assert(fullRate == fullTotal, "accept_ppm = 1e6 stratum must keep every doc")
+  }
+
   test("embedding triangle block join is bit-identical to the broadcast brute force") {
     // the registered distributed formulation must lose no pair and
     // produce the same doubles as the collect-based baseline (which is
