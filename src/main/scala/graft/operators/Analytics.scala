@@ -1078,6 +1078,48 @@ object Analytics {
       |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------- dynamic partition pruning
+  /** Star-join over the date-partitioned events layout where the day
+    * set is NOT known until runtime: the "hot days" dim (top-3 busiest
+    * days) is computed, broadcast, and — via Spark's dynamic partition
+    * pruning — REUSED as a partition filter on the fact scan, so only
+    * 3 of the ~90 day partitions are read. [[scanPartitioned]] shows
+    * static pruning (literal predicate); this is the runtime
+    * equivalent every star-schema query at 100 TB depends on, where
+    * the pruning predicate comes out of a dim-side subquery the
+    * optimizer cannot constant-fold. Plan-asserted: the fact scan's
+    * PartitionFilters carries a dynamicpruningexpression.
+    */
+  def scanDpp(s: SparkSession, dir: String): DataFrame = {
+    val path = ensurePartitionedEvents(s, dir)
+    val fact = s.read.parquet(path)
+    // The day_n > 0 filter is semantically vacuous (grouped counts are
+    // >= 1) but REQUIRED structurally: PartitionPruning only injects
+    // the dynamic filter when the dim side carries a selective Filter
+    // node — an aggregate + limit alone doesn't qualify.
+    val dim = events(s, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("day_n"))
+      .filter(col("day_n") > 0L)
+      .orderBy(col("day_n").desc, col("event_date")).limit(3)
+    fact.join(broadcast(dim), Seq("event_date"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(fmtDay(col("event_date")).as("day"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  val scanDppSql: String =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS day_n
+      |  FROM events GROUP BY 1 ORDER BY day_n DESC, day LIMIT 3)
+      |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |  count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+      |FROM events WHERE CAST(ts AS DATE) IN (SELECT day FROM d)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ skew helper
   /** Two-phase salted aggregation for skewed keys: spray each hot key
     * across `salt` partial groups, combine, then merge the partials;
@@ -1295,6 +1337,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_heavy_hitters" -> aggHeavyHitters,
+    "scan_dpp" -> scanDpp,
     "events_anomaly" -> eventsAnomaly,
     "join_skew_salted" -> joinSkewSalted,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -1336,6 +1379,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "agg_heavy_hitters" -> aggHeavyHittersSql,
+    "scan_dpp" -> scanDppSql,
     "events_anomaly" -> eventsAnomalySql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "events_sliding" -> eventsSlidingSql,

@@ -177,6 +177,14 @@ class PlanShapeSpec extends SparkSpec {
       s"exchange must partition on the composite (join_key, salt) key:\n$plan")
   }
 
+  test("scan_dpp prunes fact partitions with a runtime dim subquery") {
+    val plan = planOf(Analytics.scanDpp(spark, sf))
+    assert(plan.contains("dynamicpruningexpression"),
+      s"fact scan must carry a dynamic partition filter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 3-day dim must broadcast:\n$plan")
+  }
+
   test("merge_upsert never shuffles the dim: broadcast anti + inner only") {
     val plan = planOf(graft.operators.Maintain.mergeUpsert(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(plan).length == 2,
