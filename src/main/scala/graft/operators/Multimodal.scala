@@ -46,6 +46,40 @@ object Multimodal {
       |  sha256(text) AS sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Content-addressed blob store inventory: blobs keyed by digest,
+    * byte-identical copies collapsing onto the minimum doc_id
+    * regardless of declared modality kind (a content store keys on the
+    * digest, not the label). One row per DISTINCT blob with its copy
+    * count and the bytes dedup elides — the accounting a CAS-backed
+    * 100 TB media lake runs continuously (non-vacuous at every SF:
+    * unique corpora report n_copies = 1 rows; the sf0.1 corpus carries
+    * 8 real byte-identical copies). A single grouped aggregation on
+    * the digest — no join, no window: digest keys cannot skew
+    * (collision-resistance ⇒ uniform) and per-group state is
+    * (min, count, len), all map-side combinable.
+    */
+  def mmDedupBlob(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("sha256"),
+        octet_length(col("text")).cast("long").as("byte_len"))
+      .groupBy(col("sha256"))
+      .agg(min(col("doc_id")).as("canon_id"), count(lit(1)).as("n_copies"),
+        min(col("byte_len")).as("byte_len"))
+      .select(col("canon_id"), col("n_copies"), col("byte_len"),
+        ((col("n_copies") - 1) * col("byte_len")).as("bytes_saved"))
+      .orderBy(col("canon_id"))
+
+  val mmDedupBlobSql: String =
+    """WITH b AS (SELECT doc_id, sha256(text) AS sha, strlen(text) AS byte_len
+      |  FROM documents),
+      |g AS (SELECT sha, min(doc_id) AS canon_id, count(*) AS n_copies,
+      |    min(byte_len) AS byte_len
+      |  FROM b GROUP BY sha)
+      |SELECT canon_id, CAST(n_copies AS BIGINT) AS n_copies,
+      |  CAST(byte_len AS BIGINT) AS byte_len,
+      |  CAST((n_copies - 1) * byte_len AS BIGINT) AS bytes_saved
+      |FROM g ORDER BY canon_id""".stripMargin
+
   /** Stub decoder — deterministic stand-in for the real image/audio
     * codec call (absent in this environment). Consumes a whole batch,
     * like a vectorized decode would.
@@ -141,6 +175,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ingest" -> mmIngest,
+    "mm_dedup_blob" -> mmDedupBlob,
     "mm_batch_extract" -> mmBatchExtract,
     "mm_frame_sample" -> mmFrameSample)
 
@@ -159,6 +194,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_ingest" -> mmIngestSql,
+    "mm_dedup_blob" -> mmDedupBlobSql,
     "mm_batch_extract" -> mmBatchExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql)
 }

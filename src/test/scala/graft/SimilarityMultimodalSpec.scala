@@ -71,6 +71,26 @@ class SimilarityMultimodalSpec extends SparkSpec {
     })
   }
 
+  test("mm blob inventory: one row per distinct blob, dup accounting exact") {
+    // sf0.1 is the one corpus with real byte-identical copies (8);
+    // smaller SFs exercise the all-unique path.
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling")
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val groups = texts.groupBy(_._2).values
+      .map(g => (g.map(_._1).min, g.size.toLong, g.head._2.length.toLong)).toSeq
+    val got = graft.operators.Multimodal.mmDedupBlob(spark, dir)
+      .select("canon_id", "n_copies", "byte_len", "bytes_saved")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == groups.size, "one row per distinct blob")
+    val want = groups.map { case (c, n, l) => c -> ((n, l, (n - 1) * l)) }.toMap
+    got.foreach { case (c, n, l, saved) =>
+      assert(want(c) == ((n, l, saved)), s"canonical $c accounting")
+    }
+    assert(got.count(_._2 > 1) > 0, "sf0.1 must surface its real duplicate groups")
+  }
+
   test("mm batch extract: features match a direct recompute") {
     val out = Multimodal.mmBatchExtract(spark, sf)
       .select("doc_id", "byte_len", "head_byte", "tail_byte", "checksum")
