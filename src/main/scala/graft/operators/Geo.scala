@@ -278,7 +278,7 @@ object Geo {
     * classic shift-or-mask ladder — pure codegen'd integer ops, and the
     * identical `<< | &` arithmetic replays in DuckDB.
     */
-  private def spread16(c: Column): Column =
+  private[graft] def spread16(c: Column): Column =
     Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
       .foldLeft(c.bitwiseAND(lit(0xFFFFL))) { case (e, (sh, m)) =>
         e.bitwiseOR(shiftleft(e, sh)).bitwiseAND(lit(m))

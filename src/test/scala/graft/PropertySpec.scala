@@ -132,6 +132,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Morton spread interleaves losslessly and tiles stay compact") {
+    // pure-Scala model of the shift-or-mask ladder
+    def spread(v: Long): Long =
+      Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+        .foldLeft(v & 0xFFFFL) { case (e, (sh, m)) => (e | (e << sh)) & m }
+    def unspread(z: Long): Long = { // inverse ladder
+      var v = z & 0x55555555L
+      v = (v | (v >> 1)) & 0x33333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FFL
+      (v | (v >> 8)) & 0xFFFFL
+    }
+    val rnd = new Random(41)
+    val cases = Seq.tabulate(4000)(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
+      Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L))
+    // the Column ladder must equal the Scala model on every case
+    val viaSpark = cases.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Geo.spread16(col("x"))
+          .bitwiseOR(shiftleft(graft.operators.Geo.spread16(col("y")), 1)).as("z"))
+      .as[(Long, Long, Long)].collect()
+    viaSpark.foreach { case (x, y, z) =>
+      assert(z == (spread(x) | (spread(y) << 1)), s"column ladder diverges at ($x,$y)")
+      // lossless: both coordinates come back out
+      assert(unspread(z) == x && unspread(z >> 1) == y, s"not invertible at ($x,$y)")
+      // tile compactness: the high interleaved bits pin BOTH axes'
+      // high bits, so any two keys sharing a z>>16 prefix sit in the
+      // same 256x256 rectangle — the data-skipping property
+      assert((unspread(z) >> 8) == (x >> 8) && (unspread(z >> 1) >> 8) == (y >> 8))
+    }
+    // distinct inputs -> distinct keys (bijection on the 32-bit domain)
+    assert(viaSpark.map(_._3).distinct.length == viaSpark.map(t => (t._1, t._2)).distinct.length)
+  }
+
   test("property: integer-cents round-trips 2-decimal doubles exactly") {
     val rnd = new Random(99)
     val vals = (1 to 10000).map(_ => math.round(rnd.nextDouble() * 1e7) / 100.0)
