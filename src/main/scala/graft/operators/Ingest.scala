@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Interchange-format ingest, proven through the oracle gate: the
+  * parquet-native tables round-trip through the text formats a real
+  * lake ingests from (CSV here), and the result must hash-match the
+  * straight-from-parquet oracle — i.e. the schema-explicit text path
+  * loses nothing. The reference pipeline's own input was CSV taxi
+  * data (/root/reference/src/awsbatch-map/main.py:49-57 reads
+  * months.csv manifests); this is that boundary done with explicit
+  * schemas instead of runtime sniffing.
+  */
+object Ingest {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private val csvSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value_cents", LongType),
+    StructField("day", StringType)))
+
+  /** CSV round-trip: a deterministic ~0.1% slice of events is written
+    * as headered CSV (integer cents + formatted day — the lossless
+    * interchange encoding; raw doubles/timestamps in CSV invite
+    * parser drift), read back through [[Tables.loadCsv]]'s
+    * explicit-schema path, and aggregated. The DuckDB oracle computes
+    * the same aggregate straight from parquet, so a hash match proves
+    * the text boundary is bit-lossless.
+    *
+    * == Scale design ==
+    * The write is the slice's size, not the corpus's, and the read is
+    * a schema-explicit scan (no inference pass — at 100 TB schema
+    * inference is a full extra read). Text sources don't carry
+    * min/max stats, so this path is for INGEST; the first job a real
+    * pipeline runs is exactly this shape: text in, columnar out.
+    */
+  def sourceCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.load(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(997)) === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("value_cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_csv_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+    slice.write.mode("overwrite").option("header", "true").csv(path)
+    Tables.loadCsv(s, path, csvSchema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value_cents")) / 100.0).as("sum_value"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val sourceCsvRoundtripSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  min(strftime(ts, '%Y-%m-%d')) AS first_day,
+      |  max(strftime(ts, '%Y-%m-%d')) AS last_day
+      |FROM events WHERE event_id % 997 = 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** JSON-lines twin of [[sourceCsvRoundtrip]] on a disjoint slice
+    * (mod 991): same lossless interchange encoding, same explicit
+    * schema read through [[Tables.loadJson]], same
+    * prove-it-through-the-oracle contract for the second text format
+    * real feeds arrive in.
+    */
+  def sourceJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.load(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(991)) === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("value_cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_json_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+    slice.write.mode("overwrite").json(path)
+    Tables.loadJson(s, path, csvSchema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value_cents")) / 100.0).as("sum_value"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val sourceJsonRoundtripSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  min(strftime(ts, '%Y-%m-%d')) AS first_day,
+      |  max(strftime(ts, '%Y-%m-%d')) AS last_day
+      |FROM events WHERE event_id % 991 = 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_csv_roundtrip" -> sourceCsvRoundtrip,
+    "source_json_roundtrip" -> sourceJsonRoundtrip)
+
+  val oracles: Map[String, String] = Map(
+    "source_csv_roundtrip" -> sourceCsvRoundtripSql,
+    "source_json_roundtrip" -> sourceJsonRoundtripSql)
+}

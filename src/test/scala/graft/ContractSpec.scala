@@ -24,7 +24,8 @@ class ContractSpec extends AnyFunSuite {
       "Multimodal" -> Multimodal.queries.keySet,
       "EventStreams" -> EventStreams.queries.keySet,
       "Curate" -> Curate.queries.keySet,
-      "Maintain" -> Maintain.queries.keySet)
+      "Maintain" -> Maintain.queries.keySet,
+      "Ingest" -> Ingest.queries.keySet)
     val all = blocks.flatMap(_._2.toSeq)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query keys: $dups")
