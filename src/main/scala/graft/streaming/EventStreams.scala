@@ -505,6 +505,46 @@ object EventStreams {
       }
   }
 
+  /** One upsert record: a keyed value stamped with its event time. */
+  case class Upsert(key: Long, us: Long, value: Long)
+  /** One change-log row: the key's new current value + its stamp. */
+  case class UpsertOut(key: Long, us: Long, value: Long)
+  case class UpsertState(us: Long, value: Long)
+
+  /** Streaming SCD1 face — the live twin of [[graft.operators.Maintain
+    * .mergeUpsert]]'s batch MERGE: per-key latest-value state emitting
+    * a change-log row whenever a NEWER record changes the current
+    * value. Out-of-order protection is the SCD1 invariant: a late
+    * record with an older stamp than the current state is discarded
+    * (never regresses the dimension), ties on stamp resolve to the
+    * larger value deterministically. State is one (stamp, value) pair
+    * per key; the change-log is what a downstream table sink applies —
+    * the same "return the change-log, aggregate/apply downstream"
+    * shape the retention face uses, because FMGWS output can't feed
+    * another stateful agg in one query.
+    */
+  def upsertStream(stream: Dataset[Upsert]): Dataset[UpsertOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[UpsertState, UpsertOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, recs: Iterator[Upsert], state: GroupState[UpsertState]) =>
+          // newest-first within the batch; (us, value) total order
+          val best = recs.maxBy(r => (r.us, r.value))
+          val cur = state.getOption
+          val newer = cur.forall(c =>
+            best.us > c.us || (best.us == c.us && best.value > c.value))
+          if (newer && cur.forall(_.value != best.value)) {
+            state.update(UpsertState(best.us, best.value))
+            Iterator.single(UpsertOut(key, best.us, best.value))
+          } else {
+            if (newer) state.update(UpsertState(best.us, best.value))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming face of the [[graft.operators.Analytics.aggHeavyHitters]]
     * count-min sketch: the 4×1024 cell table maintained as an
     * update-mode streaming aggregation over a (user_id) stream. CMS is

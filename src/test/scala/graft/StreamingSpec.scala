@@ -123,6 +123,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert keeps latest-per-key and drops out-of-order regressions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Upsert]
+    val q = EventStreams.upsertStream(mem.toDS())
+      .writeStream.format("memory").queryName("scd1")
+      .outputMode("append").start()
+    try {
+      mem.addData(EventStreams.Upsert(1L, 100L, 10L),
+        EventStreams.Upsert(2L, 100L, 20L))
+      q.processAllAvailable()
+      // key 1: genuine update; key 2: LATE record (older stamp) must be
+      // dropped, not regress the dimension
+      mem.addData(EventStreams.Upsert(1L, 200L, 11L),
+        EventStreams.Upsert(2L, 50L, 99L))
+      q.processAllAvailable()
+      // same stamp, same value -> no change row; newer stamp, same
+      // value -> state advances silently (no spurious change row)
+      mem.addData(EventStreams.Upsert(1L, 300L, 11L))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Upsert(1L, 400L, 12L))
+      q.processAllAvailable()
+      val log = spark.sql("SELECT key, us, value FROM scd1")
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+      assert(log == Seq((1L, 100L, 10L), (1L, 200L, 11L), (1L, 400L, 12L),
+        (2L, 100L, 20L)), s"got $log")
+    } finally q.stop()
+  }
+
   test("streaming CMS cells converge to the batch sketch on a real corpus feed") {
     implicit val sqlCtx = spark.sqlContext
     val users = graft.sources.Tables.load(spark, sf, "events")
