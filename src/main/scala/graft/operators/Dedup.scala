@@ -159,6 +159,52 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM p
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Threshold-tuning curve for the near-dup policy: for each Jaccard
+    * cutoff 0.30..0.90 (integer percent), how many candidate pairs
+    * survive and how many documents the drop-higher-id policy would
+    * remove. The comparison is EXACT integer cross-multiplication
+    * (10·i ≥ t·(nₐ+n_b−i)) — no float boundary can flip a pair in one
+    * engine only. This is the knob-setting query a curation run does
+    * before committing to a threshold.
+    *
+    * == Scale design ==
+    * Rides the same shingle-hash candidate join as
+    * [[dedupNgramJaccard]]; the 7-row threshold relation broadcasts
+    * onto the O(candidate-pairs) relation, and the distinct-doc count
+    * per cutoff groups on 7 keys. Nothing new scales with the corpus
+    * beyond the pair machinery already audited.
+    */
+  def dedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    val g = exploded(s, dir).hint("merge")
+    val a = g.alias("a"); val b = g.alias("b")
+    val inter = a.join(b, col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id")
+        && col("b.n") * 10 >= col("a.n") * 3 && col("a.n") * 10 >= col("b.n") * 3)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
+    val th = broadcast(s.range(3, 10).select(col("id").as("t10")))
+    inter.join(th,
+        col("i") * 10 >= col("t10") * (col("na") + col("nb") - col("i")))
+      .groupBy(col("t10"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+      .select((col("t10") * 10).as("threshold_pct"), col("n_pairs"),
+        col("n_docs_dropped"))
+      .orderBy(col("threshold_pct"))
+  }
+
+  val dedupThresholdCurveSql: String =
+    s"""WITH $pairCtes,
+       |th AS (SELECT unnest(range(3, 10)) AS t10),
+       |hit AS (SELECT th.t10, inter.doc_a, inter.doc_b
+       |  FROM inter JOIN sz s1 ON s1.doc_id = inter.doc_a
+       |  JOIN sz s2 ON s2.doc_id = inter.doc_b
+       |  CROSS JOIN th
+       |  WHERE 10*inter.i >= th.t10*(s1.n + s2.n - inter.i))
+       |SELECT t10*10 AS threshold_pct, count(*) AS n_pairs,
+       |  count(DISTINCT doc_b) AS n_docs_dropped
+       |FROM hit GROUP BY t10 ORDER BY threshold_pct""".stripMargin
+
   // ------------------------------------------------------ minhash-lsh
   private def aCoef(i: Int): Long = (1103515245L * (i + 1)) % P
   private def bCoef(i: Int): Long = (12345L * (i + 1) + 987654321L) % P
@@ -643,6 +689,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_threshold_curve" -> dedupThresholdCurve,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
@@ -717,6 +764,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_threshold_curve" -> dedupThresholdCurveSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -221,6 +221,26 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_threshold_curve is monotone and agrees with the pair query at 0.3") {
+    val curve = Dedup.dedupThresholdCurve(spark, sfMid)
+      .select("threshold_pct", "n_pairs", "n_docs_dropped")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.nonEmpty && curve.head._1 == 30L)
+    curve.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 >= hi._2 && lo._3 >= hi._3,
+          s"curve must be non-increasing: $lo vs $hi")
+      case _ =>
+    }
+    val pairs = Dedup.dedupNgramJaccard(spark, sfMid)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(curve.head._2 == pairs.length, "0.3 cutoff must equal the pair query")
+    assert(curve.head._3 == pairs.map(_._2).distinct.length)
+    // cross-check one interior cutoff against a float recompute
+    val at50 = curve.find(_._1 == 50L).map(_._2).getOrElse(0L)
+    assert(at50 == pairs.count(_._3 >= 0.5), "0.5 cutoff mismatch")
+  }
+
   test("vocab_build ids are dense, frequency-ranked, coverage sums to 1e6") {
     val v = TextOps.vocabBuild(spark, sf)
       .select("vocab_id", "token", "n_occ", "cum_ppm")
