@@ -98,11 +98,44 @@ object Ingest {
       |FROM events WHERE event_id % 991 = 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** ORC twin on a third disjoint slice (mod 983). ORC is columnar
+    * like parquet — pushdown and pruning survive the boundary, so
+    * unlike the text formats this is also a viable at-rest format;
+    * the roundtrip proves the reader/writer pair, not just parsing.
+    */
+  def sourceOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.load(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(983)) === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("value_cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_orc_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+    slice.write.mode("overwrite").orc(path)
+    Tables.loadOrc(s, path, csvSchema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value_cents")) / 100.0).as("sum_value"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val sourceOrcRoundtripSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  min(strftime(ts, '%Y-%m-%d')) AS first_day,
+      |  max(strftime(ts, '%Y-%m-%d')) AS last_day
+      |FROM events WHERE event_id % 983 = 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
-    "source_json_roundtrip" -> sourceJsonRoundtrip)
+    "source_json_roundtrip" -> sourceJsonRoundtrip,
+    "source_orc_roundtrip" -> sourceOrcRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "source_csv_roundtrip" -> sourceCsvRoundtripSql,
-    "source_json_roundtrip" -> sourceJsonRoundtripSql)
+    "source_json_roundtrip" -> sourceJsonRoundtripSql,
+    "source_orc_roundtrip" -> sourceOrcRoundtripSql)
 }
