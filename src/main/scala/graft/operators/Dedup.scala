@@ -536,6 +536,12 @@ object Dedup {
           least(col("l1"), coalesce(col("plabel"), col("l1"))).as("newlabel"),
           col("label"))
         .localCheckpoint()
+      // NOTE (r7, measured): fusing a SECOND doubling hop into this
+      // job to halve the round count made it SLOWER (3.0 s → 5.3 s
+      // warm at sf0.1) — the un-checkpointed hop subtree is referenced
+      // twice by the next self-join, so Spark evaluates it twice and
+      // the duplicated work exceeds the saved driver syncs. One hop
+      // per checkpointed round is the right trade.
       changed = updated.filter(col("newlabel") < col("label")).count()
       labels = updated.select(col("id"), col("newlabel").as("label"))
       rounds += 1
