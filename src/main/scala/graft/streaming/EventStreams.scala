@@ -505,6 +505,27 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join — the live twin of
+    * [[graft.operators.Analytics.joinRange]]'s batch interval join:
+    * attribute each event to purchases by the same user within the
+    * following hour, with BOTH sides watermarked so Spark can bound
+    * the join state (a side's buffered rows are dropped once the other
+    * side's watermark passes the interval; without the time condition
+    * + watermarks the state is unbounded and the query is rejected for
+    * append mode). This is the two-sided stateful operator none of the
+    * single-input faces exercise.
+    */
+  def rangeJoinStream(purchases: DataFrame, events: DataFrame,
+                      watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", watermark)
+    val e = events.withWatermark("e_ts", watermark)
+    p.join(e,
+      expr("""p_user = e_user AND
+              e_ts > p_ts AND e_ts <= p_ts + interval 1 hour"""))
+      .select(col("p_user").as("user_id"), col("p_id"), col("e_id"),
+        col("p_ts"), col("e_ts"))
+  }
+
   /** One upsert record: a keyed value stamped with its event time. */
   case class Upsert(key: Long, us: Long, value: Long)
   /** One change-log row: the key's new current value + its stamp. */

@@ -123,6 +123,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes events within the hour, both sides late-tolerant") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.rangeJoinStream(
+        pMem.toDF().toDF("p_user", "p_id", "p_ts"),
+        eMem.toDF().toDF("e_user", "e_id", "e_ts"))
+      .writeStream.format("memory").queryName("rjoin")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new Timestamp(3600000L * 100 + min * 60000L)
+      pMem.addData((1L, 500L, ts(0)), (2L, 501L, ts(0)))
+      q.processAllAvailable()
+      // events arrive in a LATER batch than their purchase: the
+      // buffered purchase side must still match them
+      eMem.addData((1L, 10L, ts(30)), (1L, 11L, ts(61)), // 11: outside the hour
+        (2L, 12L, ts(59)), (3L, 13L, ts(30)))            // 13: no purchase
+      q.processAllAvailable()
+      // and a purchase arriving AFTER its event: other side buffered too
+      pMem.addData((3L, 502L, ts(25)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, p_id, e_id FROM rjoin")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 500L, 10L), (2L, 501L, 12L), (3L, 502L, 13L)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming upsert keeps latest-per-key and drops out-of-order regressions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Upsert]
