@@ -1078,6 +1078,55 @@ object Analytics {
       |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------ gap filling
+  /** Time-series gap filling: the dense (hour × event_type) grid over
+    * the corpus's observed hour range, zero-filled where no events
+    * occurred and flagged `filled` — the densification step every
+    * downstream window/forecast consumer needs (sparse aggregates make
+    * lag/lead and moving averages silently skip missing periods).
+    *
+    * == Scale design ==
+    * The corpus collapses map-side into the O(hours × types) hourly
+    * relation; the grid is generated from a 1-row bounds aggregate
+    * (`sequence` + explode — no driver loop) and cross-joined with the
+    * tiny type dim, so the fill join touches only grid-sized
+    * relations. Nothing here re-reads events after the first grouped
+    * pass.
+    */
+  def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(date_trunc("hour", col("ts")).as("h"),
+      col("event_type"), cents(col("value")).as("vc"))
+    val hourly = e.groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sc"))
+    val bounds = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = bounds
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      .crossJoin(e.select(col("event_type")).distinct())
+    grid.join(hourly, Seq("h", "event_type"), "left")
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (coalesce(col("sc"), lit(0L)) / 100.0).as("sum_value"),
+        when(col("n_events").isNull, 1L).otherwise(0L).as("filled"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val eventsGapFillSql: String =
+    """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type,
+      |    CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |hourly AS (SELECT h, event_type, count(*) AS n, CAST(sum(vc) AS BIGINT) AS sc
+      |  FROM e GROUP BY 1, 2),
+      |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+      |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+      |g2 AS (SELECT grid.h, t.event_type
+      |  FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM e) t)
+      |SELECT strftime(g2.h, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  g2.event_type AS event_type,
+      |  coalesce(n, 0) AS n_events, coalesce(sc, 0)/100.0 AS sum_value,
+      |  CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+      |FROM g2 LEFT JOIN hourly ON hourly.h = g2.h AND hourly.event_type = g2.event_type
+      |ORDER BY hour, g2.event_type""".stripMargin
+
   // -------------------------------------------- dynamic partition pruning
   /** Star-join over the date-partitioned events layout where the day
     * set is NOT known until runtime: the "hot days" dim (top-3 busiest
@@ -1338,6 +1387,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_heavy_hitters" -> aggHeavyHitters,
     "scan_dpp" -> scanDpp,
+    "events_gap_fill" -> eventsGapFill,
     "events_anomaly" -> eventsAnomaly,
     "join_skew_salted" -> joinSkewSalted,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -1380,6 +1430,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "agg_heavy_hitters" -> aggHeavyHittersSql,
     "scan_dpp" -> scanDppSql,
+    "events_gap_fill" -> eventsGapFillSql,
     "events_anomaly" -> eventsAnomalySql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "events_sliding" -> eventsSlidingSql,

@@ -276,6 +276,25 @@ class AnalyticsSpec extends SparkSpec {
       s"hot key carries $hot of $total events — expected ~70%")
   }
 
+  test("events_gap_fill produces a dense grid with exact zero-fill accounting") {
+    import spark.implicits._
+    val rows = Analytics.eventsGapFill(spark, sf)
+      .select("hour", "event_type", "n_events", "filled")
+      .as[(String, String, Long, Long)].collect()
+    val hours = rows.map(_._1).distinct.sorted
+    val types = rows.map(_._2).distinct
+    assert(rows.length == hours.length * types.length, "grid must be dense")
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    rows.foreach { case (h, t, n, f) =>
+      assert(if (f == 1L) n == 0L else n > 0L, s"($h,$t) fill flag vs count")
+    }
+    // the range is exactly the observed span: first and last hours are real
+    val firstReal = rows.filter(_._1 == hours.head)
+    val lastReal = rows.filter(_._1 == hours.last)
+    assert(firstReal.exists(_._4 == 0L) && lastReal.exists(_._4 == 0L),
+      "bounds hours must contain at least one observed cell")
+  }
+
   test("bucketed-table memo self-heals after an external DROP (fresh-catalog stand-in)") {
     // losing the catalog entries while the JVM-global memo survives is
     // exactly what a SparkSession swap in one JVM produces — the memo
