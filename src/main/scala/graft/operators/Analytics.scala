@@ -1078,6 +1078,36 @@ object Analytics {
       |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------- q6
+  /** TPC-H Q6 (forecast revenue change), completing the q1/q3/q5
+    * family: a tight scan-bound filter-sum — ship year window,
+    * discount band, quantity cap — whose whole point is PUSHDOWN (all
+    * three predicates reach the parquet scan; the query reads 4
+    * columns and aggregates to one row, no shuffle beyond the final
+    * single-partial merge). Revenue = Σ price·discount in exact
+    * integer cents × percent-points (DECIMAL(38,0) accumulator; one
+    * exact 10⁴ division at the end).
+    */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_quantity") < 24)
+    val dc = cents(col("l_discount"))
+    l.filter(dc >= 5 && dc <= 7)
+      .agg(count(lit(1)).as("n_items"),
+        (sum((cents(col("l_extendedprice")) * dc).cast("decimal(38,0)"))
+          .cast("double") / 10000.0).as("revenue"))
+  }
+
+  val q6ForecastRevenueSql: String =
+    """SELECT count(*) AS n_items,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT))/10000.0 AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_quantity < 24
+      |  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin
+
   // ------------------------------------------------------ gap filling
   /** Time-series gap filling: the dense (hour × event_type) grid over
     * the corpus's observed hour range, zero-filled where no events
@@ -1126,6 +1156,65 @@ object Analytics {
       |  CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
       |FROM g2 LEFT JOIN hourly ON hourly.h = g2.h AND hourly.event_type = g2.event_type
       |ORDER BY hour, g2.event_type""".stripMargin
+
+  // ------------------------------------------------------ dyadic EWMA
+  /** Exponentially-weighted moving average of hourly event counts per
+    * type, on the DENSIFIED grid (rides [[eventsGapFill]]'s shape —
+    * EWMA over a sparse series would silently treat a gap as "no time
+    * passed"). α = 1/2 is deliberate: the weights 2⁻ᵏ are exact powers
+    * of two, so the whole recurrence is computed in EXACT integer
+    * arithmetic — ewma_scaled = Σₖ n_{t−k}·2^{24−k} over the trailing
+    * 25 hours (truncation error ≤ 2⁻²⁵ of the oldest term, below the
+    * emitted precision), and the emitted double is that integer divided
+    * by 2²⁴, which is exact dyadic scaling. No libm pow, no float
+    * accumulation order — both engines produce identical bits.
+    *
+    * == Scale design ==
+    * The 25 lag expressions share ONE window spec (single Window
+    * operator, one shuffle on event_type) over the O(hours × types)
+    * grid — corpus-independent after the first grouped pass.
+    */
+  def eventsEwma(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(date_trunc("hour", col("ts")).as("h"),
+      col("event_type"))
+    val hourly = e.groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = bounds
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      .crossJoin(e.select(col("event_type")).distinct())
+      .join(hourly, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val scaled = (0 to 24).map(k =>
+      coalesce(lag(col("n"), k).over(w), lit(0L)) * lit(1L << (24 - k)))
+      .reduce(_ + _)
+    grid.select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n").as("n_events"),
+        scaled.as("ewma_scaled"))
+      .withColumn("ewma", col("ewma_scaled") / 16777216.0)
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val eventsEwmaSql: String = {
+    val terms = (0 to 24).map(k =>
+      s"coalesce(lag(n, $k) OVER w, 0) * ${1L << (24 - k)}").mkString(" + ")
+    s"""WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+       |hourly AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+       |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+       |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+       |g2 AS (SELECT grid.h, t.event_type,
+       |    coalesce(n, 0) AS n
+       |  FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+       |  LEFT JOIN hourly ON hourly.h = grid.h AND hourly.event_type = t.event_type),
+       |sc AS (SELECT h, event_type, n, CAST($terms AS BIGINT) AS ewma_scaled
+       |  FROM g2 WINDOW w AS (PARTITION BY event_type ORDER BY h))
+       |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       |  CAST(n AS BIGINT) AS n_events, ewma_scaled,
+       |  ewma_scaled / 16777216.0 AS ewma
+       |FROM sc ORDER BY hour, event_type""".stripMargin
+  }
 
   // -------------------------------------------- dynamic partition pruning
   /** Star-join over the date-partitioned events layout where the day
@@ -1388,6 +1477,8 @@ object Analytics {
     "agg_heavy_hitters" -> aggHeavyHitters,
     "scan_dpp" -> scanDpp,
     "events_gap_fill" -> eventsGapFill,
+    "events_ewma" -> eventsEwma,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
     "events_anomaly" -> eventsAnomaly,
     "join_skew_salted" -> joinSkewSalted,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -1431,6 +1522,8 @@ object Analytics {
     "agg_heavy_hitters" -> aggHeavyHittersSql,
     "scan_dpp" -> scanDppSql,
     "events_gap_fill" -> eventsGapFillSql,
+    "events_ewma" -> eventsEwmaSql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "events_anomaly" -> eventsAnomalySql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "events_sliding" -> eventsSlidingSql,

@@ -177,6 +177,14 @@ class PlanShapeSpec extends SparkSpec {
       s"exchange must partition on the composite (join_key, salt) key:\n$plan")
   }
 
+  test("q6 pushes shipdate range and quantity cap into the parquet scan") {
+    val plan = planOf(Analytics.q6ForecastRevenue(spark, sf))
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate")
+      && plan.contains("l_quantity"), s"missing pushdown:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q6 is a scan + single final merge, no hash shuffle:\n$plan")
+  }
+
   test("scan_dpp prunes fact partitions with a runtime dim subquery") {
     val plan = planOf(Analytics.scanDpp(spark, sf))
     assert(plan.contains("dynamicpruningexpression"),
