@@ -295,6 +295,24 @@ class AnalyticsSpec extends SparkSpec {
       "bounds hours must contain at least one observed cell")
   }
 
+  test("events_ewma matches a direct integer recompute of the truncated recurrence") {
+    import spark.implicits._
+    val rows = Analytics.eventsEwma(spark, sf)
+      .select("hour", "event_type", "n_events", "ewma_scaled", "ewma")
+      .as[(String, String, Long, Long, Double)].collect()
+    rows.groupBy(_._2).foreach { case (_, series) =>
+      val s = series.sortBy(_._1)
+      val counts = s.map(_._3)
+      s.zipWithIndex.foreach { case ((h, t, _, scaled, ewma), i) =>
+        val want = (0 to 24).map { k =>
+          (if (i - k >= 0) counts(i - k) else 0L) * (1L << (24 - k))
+        }.sum
+        assert(scaled == want, s"($h,$t) scaled recurrence")
+        assert(ewma == want / 16777216.0, s"($h,$t) dyadic scaling must be exact")
+      }
+    }
+  }
+
   test("bucketed-table memo self-heals after an external DROP (fresh-catalog stand-in)") {
     // losing the catalog entries while the JVM-global memo survives is
     // exactly what a SparkSession swap in one JVM produces — the memo
