@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Curate, Dedup, Geo, Ingest, Maintain, Multimodal, Similarity, TextOps}
+import graft.operators.{Analytics, Curate, Dedup, Geo, Ingest, Maintain, Multimodal, Similarity, TextOps, TpcH}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ Geo.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventStreams.queries ++
-      Curate.queries ++ Maintain.queries ++ Ingest.queries
+      Curate.queries ++ Maintain.queries ++ Ingest.queries ++ TpcH.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ Geo.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ EventStreams.oracles ++
-      Curate.oracles ++ Maintain.oracles ++ Ingest.oracles
+      Curate.oracles ++ Maintain.oracles ++ Ingest.oracles ++ TpcH.oracles
 }

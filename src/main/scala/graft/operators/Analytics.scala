@@ -790,11 +790,12 @@ object Analytics {
     * (external DROP, or a memo key that outlived its catalog) is
     * self-healing: the key is dropped and the tables re-created.
     *
-    * Columns cover both consumers: [[joinBucketed]] (totalprice,
-    * priority) and [[q3ShippingPriority]]'s fact-fact leg (custkey,
-    * orderdate, shipdate).
+    * Columns cover every consumer: [[joinBucketed]] (totalprice,
+    * priority), [[q3ShippingPriority]]'s fact-fact leg (custkey,
+    * orderdate, shipdate), and the [[TpcH]] family (quantity,
+    * returnflag).
     */
-  private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
+  private[operators] def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
     val sig = fileSig(s, dir, "orders", "lineitem")
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + java.lang.Long.toHexString(sig.hashCode.toLong & 0xffffffffL)
@@ -817,7 +818,7 @@ object Analytics {
         oTbl, 8, "o_orderkey", "o_orderkey")
       Tables.writeBucketed(
         t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice",
-          "l_discount", "l_shipdate"),
+          "l_discount", "l_shipdate", "l_quantity", "l_returnflag"),
         lTbl, 8, "l_orderkey", "l_orderkey")
       tag
     })
@@ -1403,6 +1404,48 @@ object Analytics {
       |FROM e JOIN d2 USING (join_key)
       |GROUP BY e.join_key, d2.tier ORDER BY e.join_key""".stripMargin
 
+  // -------------------------------------------------- AQE-ready hot join
+  /** The no-salt twin of [[joinSkewSalted]]: the same power-law fact
+    * (70 % of events collapse onto join key 0) joined to a bare
+    * customer-keyed dim, shaped so AQE's OptimizeSkewedJoin — not a
+    * hand salt — owns the skew at scale. The two DebugSkew-measured
+    * preconditions are baked in: the merge hint pins a sort-merge join
+    * whose children reach the exchange as bare Sort(ShuffleStage)
+    * shapes (no aggregate between scan and join on EITHER side — a
+    * groupBy-built dim silently disables the rule), so when a hot
+    * partition exceeds the skew threshold the runtime splits it into
+    * per-split tasks (measured 2.67× on the 10× replica, SCALING.md).
+    * At oracle/bench SF the partitions sit below every threshold and
+    * the plan is a plain SMJ — correctness is threshold-independent,
+    * which is the point: the SAME declarative query self-heals at
+    * 100 TB with zero query changes.
+    */
+  def joinSkewAqe(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(
+      when(pmod(col("event_id"), lit(10)) < 7, lit(0L))
+        .otherwise(pmod(col("user_id"), lit(1000))).as("k"),
+      cents(col("value")).as("vc"))
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("bal"))
+    e.hint("merge").join(dim, Seq("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"), (sum(col("vc")) / 100.0).as("sum_value"),
+        (max(col("bal")) / 100.0).as("acctbal"))
+      .orderBy(col("k"))
+  }
+
+  val joinSkewAqeSql: String =
+    """WITH e AS (SELECT CASE WHEN event_id % 10 < 7 THEN 0
+      |      ELSE user_id % 1000 END AS k,
+      |    CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |d AS (SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal FROM customer)
+      |SELECT e.k, count(*) AS n_events,
+      |  CAST(sum(vc) AS BIGINT)/100.0 AS sum_value,
+      |  CAST(max(bal) AS BIGINT)/100.0 AS acctbal
+      |FROM e JOIN d USING (k)
+      |GROUP BY e.k ORDER BY e.k""".stripMargin
+
   // ----------------------------------------------- count-min sketch
   /** Heavy hitters via a count-min sketch, exact-verified: a 4×1024
     * CMS over event user_ids, then the top-20 users by exact count with
@@ -1481,6 +1524,7 @@ object Analytics {
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "events_anomaly" -> eventsAnomaly,
     "join_skew_salted" -> joinSkewSalted,
+    "join_skew_aqe" -> joinSkewAqe,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -1526,6 +1570,7 @@ object Analytics {
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "events_anomaly" -> eventsAnomalySql,
     "join_skew_salted" -> joinSkewSaltedSql,
+    "join_skew_aqe" -> joinSkewAqeSql,
     "events_sliding" -> eventsSlidingSql,
     "cube_revenue" -> cubeRevenueSql,
     "topk_per_group_agg" -> topkPerGroupSql,

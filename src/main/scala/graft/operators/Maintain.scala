@@ -74,6 +74,68 @@ object Maintain {
       |  FROM dim WHERE key % 13 = 0
       |ORDER BY key""".stripMargin
 
+  // ------------------------------------------------------ merge w/ deletes
+  /** Full MERGE over the customer dimension — the [[mergeUpsert]] shape
+    * extended with DELETE tombstones: updates (+100.00 where custkey ≡
+    * 0 mod 7), deletes (custkey ≡ 0 mod 11; emitted as 'D' rows
+    * carrying the OLD values, so the change-log is replayable), and
+    * inserts (mirrored negative keys where custkey ≡ 0 mod 13). A key
+    * matched by both (≡ 0 mod 77) resolves DELETE-wins — the
+    * precedence rule real MERGE statements make explicit.
+    *
+    * == Scale design ==
+    * Same as [[mergeUpsert]]: the change batch broadcasts (once as the
+    * union of touched keys for the anti-join, once per op class for
+    * the rewrites), the dim is scanned but never shuffled, and the
+    * tombstone emission is an inner broadcast join — no full-outer SMJ
+    * of the 100 TB dim. The streaming twin is
+    * [[graft.streaming.EventStreams.changeLogStream]].
+    */
+  def mergeDelete(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    val dels = dim.filter(pmod(col("key"), lit(11)) === 0).select(col("key"))
+    val upds = dim
+      .filter(pmod(col("key"), lit(7)) === 0 && pmod(col("key"), lit(11)) =!= 0)
+      .select(col("key"), (col("bal_cents") + 10000L).as("new_bal"))
+    val inserts = dim.filter(pmod(col("key"), lit(13)) === 0)
+      .select((-(col("key") + 1)).as("key"),
+        concat(lit("NEW#"), col("key")).as("name"),
+        col("bal_cents"), lit("I").as("op"))
+    val touched = dels.unionByName(upds.select(col("key")))
+    val kept = dim.join(broadcast(touched), Seq("key"), "left_anti")
+      .withColumn("op", lit("K"))
+    val updated = dim.join(broadcast(upds), Seq("key"))
+      .select(col("key"), col("name"), col("new_bal").as("bal_cents"),
+        lit("U").as("op"))
+    val deleted = dim.join(broadcast(dels), Seq("key"))
+      .select(col("key"), col("name"), col("bal_cents"), lit("D").as("op"))
+    kept.select("key", "name", "bal_cents", "op")
+      .unionByName(updated).unionByName(deleted).unionByName(inserts)
+      .orderBy(col("key"))
+  }
+
+  val mergeDeleteSql: String =
+    """WITH dim AS (SELECT c_custkey AS key, c_name AS name,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer),
+      |d AS (SELECT key FROM dim WHERE key % 11 = 0),
+      |u AS (SELECT key, bal_cents + 10000 AS new_bal FROM dim
+      |  WHERE key % 7 = 0 AND key % 11 <> 0)
+      |SELECT dim.key, dim.name, dim.bal_cents, 'K' AS op
+      |  FROM dim LEFT JOIN d USING (key) LEFT JOIN u USING (key)
+      |  WHERE d.key IS NULL AND u.key IS NULL
+      |UNION ALL
+      |SELECT dim.key, dim.name, u.new_bal AS bal_cents, 'U' AS op
+      |  FROM dim JOIN u USING (key)
+      |UNION ALL
+      |SELECT dim.key, dim.name, dim.bal_cents, 'D' AS op
+      |  FROM dim JOIN d USING (key)
+      |UNION ALL
+      |SELECT -(key+1), 'NEW#' || CAST(key AS VARCHAR), bal_cents, 'I' AS op
+      |  FROM dim WHERE key % 13 = 0
+      |ORDER BY key""".stripMargin
+
   // -------------------------------------------------------- SCD2 history
   /** Slowly-changing-dimension (type 2) history: each order opens a new
     * version of its customer's "lifetime spend" attribute — valid_from
@@ -185,11 +247,13 @@ object Maintain {
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> mergeUpsert,
+    "merge_delete" -> mergeDelete,
     "dim_scd2" -> dimScd2,
     "compaction_plan" -> compactionPlan)
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
+    "merge_delete" -> mergeDeleteSql,
     "dim_scd2" -> dimScd2Sql,
     "compaction_plan" -> compactionPlanSql)
 }

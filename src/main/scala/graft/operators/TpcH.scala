@@ -1,0 +1,328 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Extended TPC-H family (Q4/Q10/Q12/Q14/Q18/Q19/Q22 analogs), adapted
+  * to the driver corpus's narrower schema (no commit/receipt dates, no
+  * shipmode/container/phone — see TESTDATA.md). Together with
+  * q1/q3/q5/q6 in [[Analytics]] these cover the classic relational plan
+  * shapes a reference user would expect from a batch analytics engine:
+  * EXISTS-as-semi-join (Q4), multi-dim star join with top-k (Q10),
+  * conditional aggregation over a derived histogram (Q12), a
+  * two-aggregate ratio (Q14), HAVING-subquery join-back (Q18),
+  * disjunctive multi-column predicates (Q19), and a scalar-subquery
+  * threshold with an anti-join (Q22).
+  *
+  * Every fact-fact orders⋈lineitem leg rides the co-bucketed twin
+  * tables ([[Analytics.ensureBucketed]]) — the sort-merge joins and the
+  * per-orderkey aggregations consume the bucketed scan partitioning, so
+  * none of these queries shuffles the fact tables. Dims broadcast.
+  * Money math follows the repo-wide exact-cents contract (integer
+  * cents, DECIMAL(38,0) product accumulators, one final IEEE division).
+  */
+object TpcH {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+  private def fmtDay(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  /** Σ price·(100−disc) in exact integer ten-thousandths → double. */
+  private def revenue: Column =
+    (sum((cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+      .cast("decimal(38,0)")).cast("double") / 10000.0)
+
+  // ---------------------------------------------------------------- q4
+  /** Q4 analog — order-priority checking: orders placed in 1996Q3 with
+    * at least one line item shipped more than 60 days after the order
+    * date (the corpus has no commit/receipt dates; ship-lag is the
+    * equivalent lateness predicate), counted by priority.
+    *
+    * == Scale design ==
+    * The EXISTS compiles to a LEFT SEMI sort-merge join on the bucketed
+    * twins: equi-key l_orderkey = o_orderkey carries the join, the
+    * date lag rides along as a non-equi post-condition, and the semi
+    * form never multiplies rows. Zero hash exchanges before the final
+    * O(priorities) aggregation.
+    */
+  def q4PriorityLate(s: SparkSession, dir: String): DataFrame = {
+    val (oTbl, lTbl) = Analytics.ensureBucketed(s, dir)
+    val o = s.table(oTbl)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = s.table(lTbl)
+    o.join(l.hint("merge"),
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- q10
+  /** Q10 analog — returned-item revenue: the 20 customers who returned
+    * the most revenue in 1996Q1 orders, with their nation.
+    *
+    * == Scale design ==
+    * The returnflag filter prunes the fact scan; the orders⋈lineitem
+    * leg is the bucketed SMJ; customer and nation broadcast. The
+    * per-customer aggregate shuffles only O(matched customers) rows,
+    * and top-20 is TakeOrdered — no global sort materializes.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val (oTbl, lTbl) = Analytics.ensureBucketed(s, dir)
+    val o = s.table(oTbl)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = s.table(lTbl).filter(col("l_returnflag") === "R")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- q12
+  /** Q12 analog — shipping-delay histogram: line items bucketed by
+    * ship-lag months (floor((ship−order)/30d), clamped to [−3, 6]; the
+    * synthetic corpus ships both before and after the order date),
+    * counting high-priority (1-URGENT/2-HIGH) vs lower-priority lines
+    * per bucket — Q12's CASE-aggregation shape over a derived key.
+    *
+    * Bucket arithmetic is floor of a DOUBLE division on both engines
+    * (Spark integer `div` truncates toward zero while DuckDB `//`
+    * floors — they disagree on negative lags, so neither is used).
+    *
+    * == Scale design ==
+    * Bucketed SMJ on the fact leg, then an O(10-bucket) aggregation
+    * that collapses map-side. Nothing here scales with anything but
+    * the scan.
+    */
+  def q12DelayHistogram(s: SparkSession, dir: String): DataFrame = {
+    val (oTbl, lTbl) = Analytics.ensureBucketed(s, dir)
+    val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+    val bucket = greatest(least(floor(lag / 30.0).cast("long"), lit(6L)), lit(-3L))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    s.table(lTbl)
+      .join(s.table(oTbl).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(bucket.as("lag_bucket"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("lag_bucket"))
+  }
+
+  val q12Sql: String =
+    """SELECT greatest(least(CAST(floor(date_diff('day', o_orderdate, l_shipdate) / 30.0) AS BIGINT), 6), -3) AS lag_bucket,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q14
+  /** Q14 analog — promotion revenue share for ship-month 1996-03: one
+    * row, 100·promo/total as the classic two-aggregate ratio. Both
+    * sums are exact integers; the share is a single IEEE division of
+    * two exactly-representable doubles, bit-identical across engines.
+    *
+    * == Scale design ==
+    * The ship-month filter prunes the scan; part broadcasts; the whole
+    * query is scan + broadcast join + one-row aggregate — no shuffle
+    * beyond the final partial merge.
+    */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = t(s, dir, "part")
+    val rev = (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+      .cast("decimal(38,0)")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("promo_rev_x"),
+        sum(rev).as("total_rev_x"), count(lit(1)).as("n_items"))
+      .select(
+        (col("promo_rev_x").cast("double") * 100.0 / col("total_rev_x").cast("double"))
+          .as("promo_share_pct"),
+        (col("promo_rev_x").cast("double") / 10000.0).as("promo_revenue"),
+        (col("total_rev_x").cast("double") / 10000.0).as("total_revenue"),
+        col("n_items"))
+  }
+
+  val q14Sql: String =
+    """WITH x AS (SELECT
+      |    CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)) AS rev,
+      |    p_type
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01')
+      |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE) * 100.0
+      |    / CAST(sum(rev) AS DOUBLE) AS promo_share_pct,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)/10000.0 AS promo_revenue,
+      |  CAST(sum(rev) AS DOUBLE)/10000.0 AS total_revenue,
+      |  count(*) AS n_items
+      |FROM x""".stripMargin
+
+  // --------------------------------------------------------------- q18
+  /** Q18 analog — large-volume orders: orders whose total quantity
+    * exceeds 200, with customer and order detail. HAVING-subquery
+    * join-back, the classic "aggregate then rejoin the fact" shape.
+    *
+    * == Scale design ==
+    * The per-orderkey quantity rollup groups ON the bucket key, so it
+    * reuses the bucketed scan partitioning (no exchange), and the
+    * join back to orders is bucket-co-located too — the whole
+    * fact-side pipeline runs without a single hash exchange; customer
+    * broadcasts at the end.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val (oTbl, lTbl) = Analytics.ensureBucketed(s, dir)
+    val big = s.table(lTbl)
+      .groupBy(col("l_orderkey"))
+      .agg((sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+      .filter(col("sum_qty") > 200.0)
+    val c = t(s, dir, "customer")
+    big.join(s.table(oTbl).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        fmtDay(col("o_orderdate")).as("o_orderdate"),
+        cents(col("o_totalprice")).as("price_cents"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  val q18Sql: String =
+    """WITH big AS (SELECT l_orderkey,
+      |    sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 > 200.0)
+      |SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, sum_qty
+      |FROM big JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY sum_qty DESC, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- q19
+  /** Q19 analog — disjunctive revenue: three OR'd (brand, size-band,
+    * quantity-band) conjunctions, summed to one row. The point is the
+    * predicate shape: Catalyst pushes the common l_partkey join key
+    * and keeps the disjunction as a single codegen'd filter over the
+    * broadcast-joined rows (a naive engine would union three scans).
+    */
+  def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val q = col("l_quantity")
+    val hit =
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) && q.between(1, 20)) ||
+      (col("p_brand") === "Brand#19" && col("p_size").between(10, 30) && q.between(10, 35)) ||
+      (col("p_brand") === "Brand#25" && col("p_size").between(20, 50) && q.between(20, 50))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(hit)
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  // --------------------------------------------------------------- q22
+  /** Q22 analog — dormant high-balance customers: customers whose
+    * balance exceeds the average positive balance and who never placed
+    * an URGENT order (every customer orders in this corpus, so plain
+    * "no orders" is empty at every SF — joinAnti established that),
+    * rolled up by market segment.
+    *
+    * The threshold compare is EXACT: bal_cents·n_pos > Σpos_cents in
+    * integers (cross-multiplied), so no engine ever materializes the
+    * average as a double — the last-ulp coin-flip a float threshold
+    * would risk at the boundary cannot happen.
+    *
+    * == Scale design ==
+    * The 1-row positive-balance aggregate broadcasts back over the dim
+    * scan; the anti join broadcasts the urgent-customer key set
+    * (O(customers) keys — when that outgrows broadcast, the same anti
+    * join shuffles on the key both sides, still no multiplication).
+    */
+  def q22DormantSegments(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    val pos = c.filter(col("bal_cents") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("bal_cents")).as("s_pos"))
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(pos))
+      .filter(col("bal_cents") * col("n_pos") > col("s_pos"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        (sum(col("bal_cents")) / 100.0).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q22Sql: String =
+    """WITH c AS (SELECT c_custkey, c_mktsegment,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer),
+      |pos AS (SELECT count(*) AS n_pos, CAST(sum(bal_cents) AS BIGINT) AS s_pos
+      |  FROM c WHERE bal_cents > 0)
+      |SELECT c_mktsegment, count(*) AS n_custs,
+      |  CAST(sum(bal_cents) AS BIGINT)/100.0 AS total_bal
+      |FROM c, pos
+      |WHERE bal_cents * n_pos > s_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority_late" -> q4PriorityLate,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q12_delay_histogram" -> q12DelayHistogram,
+    "q14_promo_share" -> q14PromoShare,
+    "q18_large_orders" -> q18LargeOrders,
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue,
+    "q22_dormant_segments" -> q22DormantSegments)
+
+  val oracles: Map[String, String] = Map(
+    "q4_priority_late" -> q4Sql,
+    "q10_returned_items" -> q10Sql,
+    "q12_delay_histogram" -> q12Sql,
+    "q14_promo_share" -> q14Sql,
+    "q18_large_orders" -> q18Sql,
+    "q19_disjunctive_revenue" -> q19Sql,
+    "q22_dormant_segments" -> q22Sql)
+}

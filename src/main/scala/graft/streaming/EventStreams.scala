@@ -566,6 +566,56 @@ object EventStreams {
       }
   }
 
+  /** One upstream change record: op 'U' (upsert value) or 'D' (delete). */
+  case class Change(key: Long, us: Long, value: Long, op: String)
+  /** Emitted change-log row: op 'U' (new current value) or 'D' (tombstone). */
+  case class ChangeOut(key: Long, us: Long, value: Long, op: String)
+  case class ChangeState(us: Long, value: Long, alive: Boolean)
+
+  /** Streaming MERGE face — the live twin of [[graft.operators.Maintain
+    * .mergeDelete]]: [[upsertStream]]'s per-key latest-value state
+    * extended with DELETE tombstones. Records rank by the (us, op,
+    * value) total order — an update outranks a same-stamp delete
+    * deterministically — and only a record outranking the one that set
+    * the current state applies; late records with older stamps are
+    * discarded, so a delete can never resurrect-then-drop state out of
+    * order. Emits 'U' rows when the current value changes (including
+    * re-insert after a delete) and one 'D' tombstone when a live key
+    * dies; a delete for an already-dead or never-seen key is silent
+    * (idempotent, exactly what a downstream MERGE applier needs).
+    * State is one (stamp, value, alive) triple per key.
+    */
+  def changeLogStream(stream: Dataset[Change]): Dataset[ChangeOut] = {
+    import stream.sparkSession.implicits._
+    val ord = implicitly[Ordering[(Long, String, Long)]]
+    def rank(us: Long, op: String, value: Long) = (us, op, value)
+    stream
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ChangeState, ChangeOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, recs: Iterator[Change], state: GroupState[ChangeState]) =>
+          val best = recs.maxBy(r => rank(r.us, r.op, r.value))(ord)
+          val cur = state.getOption
+          val newer = cur.forall(c => ord.gt(
+            rank(best.us, best.op, best.value),
+            rank(c.us, if (c.alive) "U" else "D", c.value)))
+          if (!newer) Iterator.empty
+          else if (best.op == "D") {
+            val wasAlive = cur.exists(_.alive)
+            // keep the dead value: it stays the rank tie-breaker for
+            // same-stamp records arriving after the tombstone
+            state.update(ChangeState(best.us, cur.map(_.value).getOrElse(0L), alive = false))
+            if (wasAlive) Iterator.single(ChangeOut(key, best.us, 0L, "D"))
+            else Iterator.empty
+          } else {
+            val changed = cur.forall(c => !c.alive || c.value != best.value)
+            state.update(ChangeState(best.us, best.value, alive = true))
+            if (changed) Iterator.single(ChangeOut(key, best.us, best.value, "U"))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** Streaming face of the [[graft.operators.Analytics.aggHeavyHitters]]
     * count-min sketch: the 4×1024 cell table maintained as an
     * update-mode streaming aggregation over a (user_id) stream. CMS is

@@ -29,6 +29,31 @@ class MaintainSpec extends SparkSpec {
     assert(out.map(_._1).distinct.length == out.length)
   }
 
+  test("merge_delete partitions the dim into K/U/D/I, delete-wins on mod-77 keys") {
+    val dim = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("key"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+      .as[(Long, Long)].collect().toMap
+    val out = Maintain.mergeDelete(spark, sf)
+      .select("key", "bal_cents", "op").as[(Long, Long, String)].collect()
+    assert(out.length == dim.size + dim.keys.count(_ % 13 == 0))
+    out.foreach {
+      case (k, bal, "K") => assert(k % 7 != 0 && k % 11 != 0 && bal == dim(k))
+      case (k, bal, "U") => assert(k % 7 == 0 && k % 11 != 0 && bal == dim(k) + 10000L)
+      case (k, bal, "D") => assert(k % 11 == 0 && bal == dim(k),
+        s"tombstone $k must carry the OLD balance")
+      case (k, bal, "I") => assert(k < 0 && (-k - 1) % 13 == 0 && bal == dim(-k - 1))
+      case (k, _, op) => fail(s"unexpected op $op for key $k")
+    }
+    // delete precedence: every key matched by both update and delete
+    // (mod 77) appears exactly once, as a tombstone
+    val ops = out.groupBy(_._1)
+    dim.keys.filter(_ % 77 == 0).foreach { k =>
+      assert(ops(k).map(_._3).toSeq == Seq("D"), s"$k must resolve delete-wins")
+    }
+    assert(out.map(_._1).distinct.length == out.length)
+  }
+
   test("dim_scd2 versions chain: contiguous validity, one current row") {
     val rows = Maintain.dimScd2(spark, sf)
       .select("custkey", "version", "bal_cents", "valid_from", "valid_to", "is_current")

@@ -193,6 +193,51 @@ class PlanShapeSpec extends SparkSpec {
       s"the 3-day dim must broadcast:\n$plan")
   }
 
+  test("q4's EXISTS plans as a bucketed left-semi SMJ, no hash exchange") {
+    val plan = planOf(operators.TpcH.q4PriorityLate(spark, sf))
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftSemi"),
+      s"EXISTS must compile to a semi SMJ over the bucketed twins:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+    // the only hash exchange allowed is the O(priorities) aggregation
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx <= 1, s"fact legs must ride the buckets, got $hashEx:\n$plan")
+  }
+
+  test("q18's rollup and join-back both ride the bucket partitioning") {
+    val plan = planOf(operators.TpcH.q18LargeOrders(spark, sf))
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+    // groupBy(l_orderkey) ⊇ bucket key and the join-back is co-located:
+    // zero hash exchanges in the whole fact pipeline (customer broadcasts)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q18 fact pipeline must not hash-shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"customer must broadcast:\n$plan")
+  }
+
+  test("join_skew_aqe is a bare-children SMJ — the shape OptimizeSkewedJoin can split") {
+    val plan = planOf(Analytics.joinSkewAqe(spark, sf))
+    assert(plan.contains("SortMergeJoin"),
+      s"skew demo must stay a sort-merge join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"a broadcast would bypass the skew-split path:\n$plan")
+    // the DebugSkew-measured precondition: no aggregate between either
+    // side's exchange and the join (a grouped dim disables the rule).
+    // The plan prints top-down, so the SMJ's whole subtree follows its
+    // line — both children must be bare scan→exchange→sort pipelines.
+    val subtree = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!subtree.contains("HashAggregate"),
+      s"join children must reach the exchange bare:\n$plan")
+  }
+
+  test("merge_delete keeps the dim shuffle-free: broadcasts only") {
+    val plan = planOf(graft.operators.Maintain.mergeDelete(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 3,
+      s"expected the anti + update-inner + delete-inner broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("Exchange hashpartitioning"),
+      s"dim side must reach the merge without a shuffle:\n$plan")
+  }
+
   test("merge_upsert never shuffles the dim: broadcast anti + inner only") {
     val plan = planOf(graft.operators.Maintain.mergeUpsert(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(plan).length == 2,

@@ -179,6 +179,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming change-log applies newest-wins with delete tombstones") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Change
+    val mem = MemoryStream[Change]
+    val q = EventStreams.changeLogStream(mem.toDS())
+      .writeStream.format("memory").queryName("chlog")
+      .outputMode("append").start()
+    try {
+      mem.addData(Change(1L, 100L, 10L, "U"), Change(2L, 100L, 20L, "U"),
+        Change(3L, 100L, 30L, "U"))
+      q.processAllAvailable()
+      // key 1 dies; key 2 gets a LATE delete (older stamp) → dropped;
+      // key 4 gets a delete for a never-seen key → silent
+      mem.addData(Change(1L, 200L, 0L, "D"), Change(2L, 50L, 0L, "D"),
+        Change(4L, 100L, 0L, "D"))
+      q.processAllAvailable()
+      // key 1 re-inserts after its tombstone; key 3 updates in place;
+      // a second delete for dead key 1 arrives LATE → dropped
+      mem.addData(Change(1L, 300L, 11L, "U"), Change(3L, 200L, 31L, "U"),
+        Change(1L, 250L, 0L, "D"))
+      q.processAllAvailable()
+      val log = spark.sql("SELECT key, us, value, op FROM chlog")
+        .as[(Long, Long, Long, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+      assert(log == Seq(
+        (1L, 100L, 10L, "U"), (1L, 200L, 0L, "D"), (1L, 300L, 11L, "U"),
+        (2L, 100L, 20L, "U"),
+        (3L, 100L, 30L, "U"), (3L, 200L, 31L, "U")), s"got $log")
+    } finally q.stop()
+  }
+
+  test("streaming change-log net state converges to the batch mergeDelete dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Change
+    // replay the batch MERGE as a change stream over the real dim:
+    // us=1 initial load, us=2 the update/delete batch (shuffled order)
+    val dim = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    val load = dim.map { case (k, b) => Change(k, 1L, b, "U") }
+    val changes = dim.flatMap { case (k, b) =>
+      if (k % 11 == 0) Some(Change(k, 2L, 0L, "D"))
+      else if (k % 7 == 0) Some(Change(k, 2L, b + 10000L, "U"))
+      else None
+    }
+    val mem = MemoryStream[Change]
+    val q = EventStreams.changeLogStream(mem.toDS())
+      .writeStream.format("memory").queryName("chlog_net")
+      .outputMode("append").start()
+    try {
+      mem.addData(load.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(changes.toSeq): _*)
+      q.processAllAvailable()
+      // fold the log: last op per key wins; D removes the key
+      val net = spark.sql("SELECT key, us, value, op FROM chlog_net")
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.maxBy(r => (r._2, r._4, r._3)))
+        .collect { case (k, (_, _, v, "U")) => k -> v }.toMap
+      // the batch MERGE's surviving K/U rows (inserts are batch-only:
+      // the stream face keys on the dim key, negative mirrors don't flow)
+      val want = graft.operators.Maintain.mergeDelete(spark, sf)
+        .filter(col("op").isin("K", "U"))
+        .select("key", "bal_cents").as[(Long, Long)].collect().toMap
+      assert(net == want,
+        s"diverged: extra=${(net.keySet diff want.keySet).take(5)} missing=${(want.keySet diff net.keySet).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming CMS cells converge to the batch sketch on a real corpus feed") {
     implicit val sqlCtx = spark.sqlContext
     val users = graft.sources.Tables.load(spark, sf, "events")
