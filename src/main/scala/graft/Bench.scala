@@ -90,34 +90,38 @@ object Bench {
     * only grows, so fixed precision alone cannot stay safe forever.
     *
     * Strategy: 2-decimal values, no extras (full-precision warm/cold/
-    * nosort per query always land in bench_full.json), and — only if
-    * the line still exceeds CAP — drop the CHEAPEST per-query entries
-    * one at a time, recording how many were elided in an "omitted"
-    * field. Expensive queries (the ones a perf grade hinges on) are
-    * always retained; the full set lives in the committed
-    * bench_full.json. CAP leaves room for a trailing sbt "[success]"
-    * line inside the 2000-byte window.
+    * nosort per query always land in bench_full.json); if the line
+    * exceeds CAP, first degrade every value to 1 decimal (keeps the
+    * whole inventory visible — ~1 byte per query), and only if it
+    * STILL exceeds CAP drop the CHEAPEST per-query entries one at a
+    * time, recording how many were elided in an "omitted" field.
+    * Expensive queries (the ones a perf grade hinges on) are always
+    * retained; the full set lives in the committed bench_full.json.
+    * CAP leaves room for a trailing sbt "[success]" line inside the
+    * 2000-byte window.
     */
   private[graft] val LineCap = 1850
   private[graft] def compactLine(total: Double, warm: Map[String, Double],
                                  sfNum: String): String = {
-    def r2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) // locale-proof decimal point
-    def render(kept: Seq[(String, Double)], omitted: Int): String = {
-      val qs = kept.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r2(v) }
+    def r(v: Double, dec: Int): String = // locale-proof decimal point
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    def render(kept: Seq[(String, Double)], omitted: Int, dec: Int): String = {
+      val qs = kept.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r(v, dec) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$om,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","queries":$qs$om,"sf":$sfNum}"""
     }
     // Cheapest-first drop order so the retained dict keeps the slow,
     // grade-relevant queries.
     var kept = warm.toSeq.sortBy { case (k, v) => (v, k) }
+    var line = render(kept, 0, 2)
+    var dec = 2
+    if (line.length > LineCap) { dec = 1; line = render(kept, 0, dec) }
     var omitted = 0
-    var line = render(kept, omitted)
     while (line.length > LineCap && kept.nonEmpty) {
       kept = kept.tail
       omitted += 1
-      line = render(kept, omitted)
+      line = render(kept, omitted, dec)
     }
     line
   }

@@ -1404,6 +1404,55 @@ object Analytics {
       |FROM e JOIN d2 USING (join_key)
       |GROUP BY e.join_key, d2.tier ORDER BY e.join_key""".stripMargin
 
+  // ------------------------------------------------- session path analysis
+  /** Markov transition matrix over session paths: for every consecutive
+    * same-session event pair (≤30-min gap, the [[sessionize]] contract),
+    * count (from_type → to_type) transitions and the per-from-state
+    * probability in exact integer ppm — the path-analysis aggregate
+    * behind "what do users do after a view?". Probabilities are
+    * n·10⁶ div Σn (both positive, so floor = truncate and the engines
+    * agree bit-for-bit).
+    *
+    * == Scale design ==
+    * ONE window shuffle on user_id produces the lagged pairs (the same
+    * partitioning every session op rides); the transition aggregate
+    * collapses map-side onto O(types²) ≤ 25 keys, and the row-total
+    * window runs on that tiny relation — nothing after the lag scales
+    * with the corpus.
+    */
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    val GAP = 1800000000L // 30 min in micros
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+    val trans = e
+      .filter(col("from_type").isNotNull && col("us") - col("prev_us") <= GAP)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div row_total").as("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val eventsMarkovSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |f AS (SELECT *,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_type,
+      |    lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      |  FROM e),
+      |t AS (SELECT from_type, event_type AS to_type, count(*) AS n
+      |  FROM f WHERE from_type IS NOT NULL AND us - prev_us <= 1800000000
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+      |FROM t ORDER BY from_type, to_type""".stripMargin
+
   // -------------------------------------------------- AQE-ready hot join
   /** The no-salt twin of [[joinSkewSalted]]: the same power-law fact
     * (70 % of events collapse onto join key 0) joined to a bare
@@ -1525,6 +1574,7 @@ object Analytics {
     "events_anomaly" -> eventsAnomaly,
     "join_skew_salted" -> joinSkewSalted,
     "join_skew_aqe" -> joinSkewAqe,
+    "events_markov" -> eventsMarkov,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -1571,6 +1621,7 @@ object Analytics {
     "events_anomaly" -> eventsAnomalySql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "join_skew_aqe" -> joinSkewAqeSql,
+    "events_markov" -> eventsMarkovSql,
     "events_sliding" -> eventsSlidingSql,
     "cube_revenue" -> cubeRevenueSql,
     "topk_per_group_agg" -> topkPerGroupSql,

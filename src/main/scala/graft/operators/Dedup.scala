@@ -205,6 +205,51 @@ object Dedup {
        |  count(DISTINCT doc_b) AS n_docs_dropped
        |FROM hit GROUP BY t10 ORDER BY threshold_pct""".stripMargin
 
+  /** Edit-distance verify face: the shingle-hash candidate pairs
+    * re-verified by exact Levenshtein distance over the normalized
+    * text, with similarity in exact integer ppm of the longer length —
+    * the "expensive exact metric on cheap candidates only" pipeline
+    * shape (character-level edit distance catches rewrites word-level
+    * Jaccard over-scores, e.g. the same shingle multiset re-ordered).
+    * `levenshtein` is a native codegen'd expression in Spark and a
+    * built-in in DuckDB with identical unit-cost semantics.
+    *
+    * == Scale design ==
+    * Levenshtein is O(|a|·|b|) per pair — the one cost in this module
+    * that is quadratic in DOCUMENT length — so it must only ever run
+    * on the O(candidate-pairs) relation, never the corpus square. The
+    * tiny pair set broadcasts into both document-side joins: the
+    * corpus is scanned twice, shuffled never.
+    */
+  def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val norm = docs(s, dir).select(col("doc_id"),
+      regexp_replace(trim(col("text")), " +", " ").as("t"))
+    val withA = norm.join(broadcast(pairs), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("t").as("ta"))
+    val both = norm.join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ta"), col("t").as("tb"))
+    both
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+      .withColumn("edit_sim_ppm",
+        expr("(max_len - edit_dist) * 1000000 div max_len"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupEditDistanceSql: String =
+    s"""WITH $pairCtes,
+       |nd AS (SELECT doc_id, regexp_replace(trim(text), ' +', ' ', 'g') AS t
+       |  FROM documents)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+       |  CAST(greatest(len(a.t), len(b.t)) AS BIGINT) AS max_len,
+       |  ((greatest(len(a.t), len(b.t)) - levenshtein(a.t, b.t)) * 1000000)
+       |    // greatest(len(a.t), len(b.t)) AS edit_sim_ppm
+       |FROM p JOIN nd a ON a.doc_id = p.doc_a JOIN nd b ON b.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   // ------------------------------------------------------ minhash-lsh
   private def aCoef(i: Int): Long = (1103515245L * (i + 1)) % P
   private def bCoef(i: Int): Long = (12345L * (i + 1) + 987654321L) % P
@@ -695,6 +740,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_edit_distance" -> dedupEditDistance,
     "dedup_threshold_curve" -> dedupThresholdCurve,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
@@ -770,6 +816,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_edit_distance" -> dedupEditDistanceSql,
     "dedup_threshold_curve" -> dedupThresholdCurveSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -183,6 +183,51 @@ object Maintain {
       |WINDOW w AS (PARTITION BY custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY custkey, version""".stripMargin
 
+  // ---------------------------------------------- incremental aggregate
+  /** Incremental view maintenance for a per-(day, type) aggregate:
+    * the standing materialized base (events with event_id ≢ 0 mod 10,
+    * "yesterday's agg") is REFRESHED by merging the late-arriving
+    * delta's partial aggregates — count and cents-sum are algebraic,
+    * so the merge is `sum of partials`, never a recompute of the base.
+    * The oracle is the full recompute: partial-merge and recompute
+    * must agree exactly (they do, because the partials are exact
+    * integers — the same mergeability that makes the streaming CMS
+    * and every map-side combine correct).
+    *
+    * == Scale design ==
+    * At 100 TB this is THE pattern for maintained rollups: the base
+    * aggregate is O(days × types) rows read back from storage, the
+    * delta scan touches only the new files, and the merge shuffles
+    * O(groups), not O(corpus). Here both legs derive from one corpus
+    * scan (the mod-split stands in for "already materialized" vs
+    * "new files"), so the plan shows the two grouped partials and the
+    * O(groups) merge — the recompute-free shape, same result.
+    */
+  def aggIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(to_date(col("ts").cast("timestamp")).as("day"), col("event_type"),
+        cents(col("value")).as("vc"), col("event_id"))
+    def partial(leg: DataFrame): DataFrame = leg
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("pn"), sum(col("vc")).as("ps"))
+    val base = partial(e.filter(pmod(col("event_id"), lit(10)) =!= 0))
+    val delta = partial(e.filter(pmod(col("event_id"), lit(10)) === 0))
+    base.unionByName(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("pn")).as("n_events"), (sum(col("ps")) / 100.0).as("sum_value"))
+      .select(fmtDay(col("day")).as("day"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Oracle: the full recompute the incremental merge must equal. */
+  val aggIncrementalSql: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+      |  count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------- compaction plan
   /** Small-file compaction planner: documents are written in
     * (source, lang) groups; the planner packs those groups, in key
@@ -249,11 +294,13 @@ object Maintain {
     "merge_upsert" -> mergeUpsert,
     "merge_delete" -> mergeDelete,
     "dim_scd2" -> dimScd2,
+    "agg_incremental" -> aggIncremental,
     "compaction_plan" -> compactionPlan)
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
     "merge_delete" -> mergeDeleteSql,
     "dim_scd2" -> dimScd2Sql,
+    "agg_incremental" -> aggIncrementalSql,
     "compaction_plan" -> compactionPlanSql)
 }

@@ -276,6 +276,31 @@ class AnalyticsSpec extends SparkSpec {
       s"hot key carries $hot of $total events — expected ~70%")
   }
 
+  test("events_markov transitions match a direct per-user path recompute") {
+    import spark.implicits._
+    val got = Analytics.eventsMarkov(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+      .map { case (f, t, n, p) => (f, t) -> ((n, p)) }.toMap
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val model = evs.groupBy(_._1).values.flatMap { u =>
+      u.sortBy(r => (r._2, r._3)).sliding(2).collect {
+        case Array(a, b) if b._2 - a._2 <= 1800000000L => (a._4, b._4)
+      }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap == model, "transition counts drifted")
+    // per-from probabilities: floor(n*1e6/total), rows sum to ≤ 1e6
+    got.groupBy(_._1._1).foreach { case (f, rs) =>
+      val total = rs.values.map(_._1).sum
+      rs.foreach { case ((_, _), (n, p)) => assert(p == n * 1000000L / total) }
+      val pSum = rs.values.map(_._2).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.size,
+        s"$f probabilities sum $pSum")
+    }
+  }
+
   test("events_gap_fill produces a dense grid with exact zero-fill accounting") {
     import spark.implicits._
     val rows = Analytics.eventsGapFill(spark, sf)

@@ -25,7 +25,8 @@ class ContractSpec extends AnyFunSuite {
       "EventStreams" -> EventStreams.queries.keySet,
       "Curate" -> Curate.queries.keySet,
       "Maintain" -> Maintain.queries.keySet,
-      "Ingest" -> Ingest.queries.keySet)
+      "Ingest" -> Ingest.queries.keySet,
+      "TpcH" -> TpcH.queries.keySet)
     val all = blocks.flatMap(_._2.toSeq)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query keys: $dups")
@@ -55,6 +56,16 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
     val line2 = Bench.compactLine(typical.values.sum, typical, "0.1")
     assert(line2.length <= Bench.LineCap)
-    assert(line2.contains("\"dedup_components\":30.00"))
+    // precision degrades to 1 decimal before queries are elided — the
+    // slow query must survive either way ("30.0" prefixes "30.00");
+    // at 112 queries the full inventory no longer fits the window, so
+    // the elide path is the steady state and "omitted" must be present
+    // and accurate (keys shown + omitted == inventory)
+    assert(line2.contains("\"dedup_components\":30.0"))
+    val omitted = "\"omitted\":(\\d+)".r.findFirstMatchIn(line2).map(_.group(1).toInt).getOrElse(0)
+    val qDict = line2.substring(line2.indexOf("\"queries\":{") + 11, line2.indexOf("}"))
+    val kept = "\"([a-z0-9_]+)\":".r.findAllIn(qDict).length
+    assert(kept + omitted == SparkEntry.queries.size,
+      s"kept($kept) + omitted($omitted) must cover the inventory (${SparkEntry.queries.size})")
   }
 }

@@ -72,6 +72,27 @@ class MaintainSpec extends SparkSpec {
     }
   }
 
+  test("agg_incremental's partial merge equals the single-pass recompute") {
+    val merged = Maintain.aggIncremental(spark, sf)
+      .select("day", "event_type", "n_events", "sum_value")
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val full = Tables.load(spark, sf, "events")
+      .select(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+        col("event_type"), round(col("value") * 100).cast("long").as("vc"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), (sum(col("vc")) / 100.0).as("sv"))
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(merged.toSeq == full.toSeq,
+      "incremental merge must equal the recompute exactly")
+    // the plan really is two partial legs + an O(groups) merge: three
+    // aggregate pairs (base, delta, merge), the union feeding the last
+    val plan = Maintain.aggIncremental(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).length >= 6,
+      s"expected base/delta/merge aggregate pairs:\n$plan")
+    assert(plan.contains("Union"), s"expected the partial union:\n$plan")
+  }
+
   test("compaction_plan conserves bytes and bounds file overshoot") {
     val groups = Tables.load(spark, sf, "documents")
       .groupBy("source", "lang").agg(sum("n_chars").as("b"))

@@ -241,6 +241,39 @@ class TextDedupSpec extends SparkSpec {
     assert(at50 == pairs.count(_._3 >= 0.5), "0.5 cutoff mismatch")
   }
 
+  test("dedup_edit_distance verifies exactly the candidate pairs with true Levenshtein") {
+    val pairs = Dedup.dedupNgramJaccard(spark, sfMid)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val got = Dedup.dedupEditDistance(spark, sfMid)
+      .select("doc_a", "doc_b", "edit_dist", "max_len", "edit_sim_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == pairs,
+      "edit verify must cover exactly the candidate set")
+    // reference Levenshtein over the same normalized texts
+    val norm = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select(col("doc_id"), regexp_replace(trim(col("text")), " +", " "))
+      .as[(Long, String)].collect().toMap
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val t = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = t
+        }
+      }
+      prev(b.length).toLong
+    }
+    got.foreach { case (a, b, d, m, ppm) =>
+      assert(m == math.max(norm(a).length, norm(b).length).toLong)
+      assert(d == lev(norm(a), norm(b)), s"($a,$b) edit distance drifted")
+      assert(ppm == (m - d) * 1000000L / m)
+      assert(d <= m, s"($a,$b) distance exceeds longer length")
+    }
+  }
+
   test("vocab_build ids are dense, frequency-ranked, coverage sums to 1e6") {
     val v = TextOps.vocabBuild(spark, sf)
       .select("vocab_id", "token", "n_occ", "cum_ppm")
