@@ -619,6 +619,88 @@ object Dedup {
     s"""WITH RECURSIVE $componentCtes
        |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- pagerank
+  private val PR_ITERS = 6
+  private val PR_SCALE = 1000000000000L // picorank units
+
+  /** Integer fixed-point PageRank over the near-dup pair graph: rank
+    * the documents of [[dedupNgramJaccard]]'s pair graph by how central
+    * they are to their duplicate clusters — the "canonical document"
+    * signal a curation pass keeps when collapsing a component (the
+    * highest-rank member is the best keeper: it is the one most pairs
+    * agree duplicates). Standard damped power iteration (d = 0.85,
+    * uniform init 1/N), but computed ENTIRELY in exact integer
+    * arithmetic: ranks live in picorank units (10¹²·rank), every
+    * division is integer division on positive operands (Spark `div`
+    * truncates, DuckDB `//` floors — identical on positives), so after
+    * a FIXED [[PR_ITERS]] unrolled iterations both engines hold
+    * bit-identical bigints. No float sum ordering, no convergence
+    * epsilon to disagree on. The symmetric pair graph has no dangling
+    * nodes (every node has out-degree ≥ 1 by construction), so no
+    * dangling-mass redistribution term is needed; truncation loses at
+    * most deg·iters picoranks per node — far below the emitted unit.
+    *
+    * == Scale design ==
+    * Each iteration is ONE shuffle: edges ⋈ ranks on src (deg rides the
+    * same key), then a map-side-combinable sum keyed by dst. The edge
+    * list is cached once and reused all [[PR_ITERS]] rounds;
+    * `localCheckpoint` truncates the per-round lineage exactly like
+    * [[dedupComponents]]. Iteration count is FIXED (power iteration
+    * contracts by d per round — 6 rounds ≈ rank mass settled to ~0.4%,
+    * and the oracle replays the same 6), so the round count does not
+    * grow with the corpus; per-round cost is O(edges) shuffle bytes.
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    var rank = deg.crossJoin(broadcast(nn))
+      .select(col("src").as("id"), expr(s"${PR_SCALE}L div n_nodes").as("r"))
+    for (_ <- 1 to PR_ITERS) {
+      rank = edges
+        .join(deg, "src")
+        .join(rank, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div deg")).as("inflow"))
+        .crossJoin(broadcast(nn))
+        .select(col("dst").as("id"),
+          (expr(s"(15 * ${PR_SCALE}L) div (100 * n_nodes)")
+            + expr("(85 * inflow) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("id").as("doc_id"), col("r").as("rank_pico"))
+      .orderBy(col("rank_pico").desc, col("doc_id"))
+  }
+
+  /** DuckDB twin: the same 6 iterations UNROLLED as CTEs r0..r6 (the
+    * k-means-replay trick from ann_ivf) over the shared pair graph —
+    * identical integer recurrence, identical bigints out.
+    */
+  val graphPagerankSql: String = {
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back before scaling so
+    // the emitted column stays a bigint like Spark's. MATERIALIZED
+    // pins the shared pair join + degree table to one evaluation each
+    // (inlined, the candidate self-join would replay per iteration).
+    val iters = (1 to PR_ITERS).map { k =>
+      s"r$k AS MATERIALIZED (SELECT e.dst AS id, (15 * $PR_SCALE) // (100 * nn.n)" +
+        s" + (85 * CAST(sum(r${k - 1}.r // deg.deg) AS BIGINT)) // 100 AS r" +
+        s" FROM e JOIN r${k - 1} ON e.src = r${k - 1}.id" +
+        s" JOIN deg ON deg.src = e.src CROSS JOIN nn GROUP BY e.dst, nn.n)"
+    }.mkString(",\n")
+    s"""WITH $pairCtes,
+       |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS id, $PR_SCALE // nn.n AS r FROM deg CROSS JOIN nn),
+       |$iters
+       |SELECT id AS doc_id, r AS rank_pico FROM r$PR_ITERS
+       |ORDER BY rank_pico DESC, doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- embedding
   private def vdot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftshim.GraftSqlShim
@@ -748,7 +830,8 @@ object Dedup {
     "dedup_components" -> dedupComponents,
     "contamination_ngram" -> contaminationNgram,
     "dedup_minhash_sig" -> dedupMinhashSig,
-    "dedup_incremental" -> dedupIncremental)
+    "dedup_incremental" -> dedupIncremental,
+    "graph_pagerank" -> graphPagerank)
 
   /** DuckDB twin of the cosine pairs: sequential left-fold dot, same
     * association order as FloatVectorDot ⇒ bit-identical doubles.
@@ -824,5 +907,6 @@ object Dedup {
     "dedup_components" -> dedupComponentsSql,
     "contamination_ngram" -> contaminationNgramSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
-    "dedup_incremental" -> dedupIncrementalSql)
+    "dedup_incremental" -> dedupIncrementalSql,
+    "graph_pagerank" -> graphPagerankSql)
 }

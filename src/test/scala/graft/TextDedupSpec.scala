@@ -342,6 +342,42 @@ class TextDedupSpec extends SparkSpec {
     assert(fullRate == fullTotal, "accept_ppm = 1e6 stratum must keep every doc")
   }
 
+  test("graph_pagerank matches a direct integer recompute of the 6-round recurrence") {
+    val dir = sfMid // sf0.001's corpus has too few near-dup pairs
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val pairs = Dedup.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assume(pairs.nonEmpty, "corpus has no near-dup pairs — vacuous")
+    val out = edgesModel(pairs)
+    val got = Dedup.graphPagerank(spark, dir)
+      .select("doc_id", "rank_pico").as[(Long, Long)].collect().toMap
+    assert(got == out, "integer pagerank drifted from the direct model")
+    // sanity on the model itself: all ranks positive, total mass close
+    // to SCALE (truncation-only loss), max rank on a max-degree node's
+    // component is plausible — positivity is the load-bearing check
+    assert(out.values.forall(_ > 0))
+  }
+
+  /** Direct single-threaded replay of graphPagerank's exact integer
+    * recurrence (same scale, damping, truncating division, 6 rounds).
+    */
+  private def edgesModel(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.length.toLong }
+    val n = deg.size.toLong
+    val scale = 1000000000000L
+    var rank: Map[Long, Long] = deg.map { case (k, _) => k -> scale / n }
+    for (_ <- 1 to 6) {
+      val inflow = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / deg(u) }.sum
+      }
+      rank = inflow.map { case (v, s) =>
+        v -> ((15L * scale) / (100L * n) + (85L * s) / 100L)
+      }
+    }
+    rank
+  }
+
   test("embedding triangle block join is bit-identical to the broadcast brute force") {
     // the registered distributed formulation must lose no pair and
     // produce the same doubles as the collect-based baseline (which is
