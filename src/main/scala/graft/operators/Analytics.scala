@@ -1565,8 +1565,172 @@ object Analytics {
       |GROUP BY t.u, t.n_exact
       |ORDER BY n_exact DESC, user_id""".stripMargin
 
+  // ------------------------------------------------------------ skyline
+  /** Pareto frontier (skyline) of parts under (minimize price, maximize
+    * size): a part survives iff no other part is at-most-as-expensive
+    * AND at-least-as-large with one strict. The DECLARATIVE definition
+    * is a quadratic NOT EXISTS — that is exactly what the DuckDB oracle
+    * runs — but the registered plan is the O(n log n) sort-prune
+    * formulation: collapse to one max-size row per price level
+    * (map-side combinable groupBy), take a running prefix-max of size
+    * over ascending price on that collapsed relation, and keep levels
+    * whose max strictly beats every cheaper level; parts on a kept
+    * level at exactly the level max are the skyline. Price rides exact
+    * integer cents so no float boundary can flip a level between
+    * engines.
+    *
+    * == Scale design ==
+    * The only full-data operations are the per-level groupBy (shuffle
+    * bounded by DISTINCT PRICE LEVELS, not rows) and the broadcast-join
+    * back. The prefix-max window runs on the collapsed O(levels)
+    * relation — a single small partition by construction (cent-priced
+    * retail domain), not a window over the corpus. If the level
+    * relation itself ever outgrew one partition, the same prefix-max
+    * decomposes into a range-partitioned scan + per-range offset pass;
+    * the quadratic anti-join NEVER runs on the engine side.
+    */
+  def skylinePareto(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("price_cents"),
+        col("p_size"))
+    val lvl = p.groupBy(col("price_cents")).agg(max(col("p_size")).as("lvl_max"))
+    val wPrev = Window.orderBy(col("price_cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = lvl
+      .withColumn("prev_max", max(col("lvl_max")).over(wPrev))
+      .filter(col("prev_max").isNull || col("lvl_max") > col("prev_max"))
+      .select(col("price_cents"), col("lvl_max"))
+    p.join(broadcast(frontier), Seq("price_cents"))
+      .filter(col("p_size") === col("lvl_max"))
+      .select(col("p_partkey"), col("price_cents"), col("p_size"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
+  /** DuckDB oracle: the textbook quadratic NOT EXISTS dominance test —
+    * a genuinely different formulation than the engine's sort-prune
+    * plan, so agreement checks the algorithm, not the transcription.
+    */
+  val skylineParetoSql: String =
+    """WITH p AS (SELECT p_partkey,
+      |    CAST(round(p_retailprice*100) AS BIGINT) AS price_cents, p_size
+      |  FROM part)
+      |SELECT p_partkey, price_cents, p_size FROM p a
+      |WHERE NOT EXISTS (SELECT 1 FROM p b
+      |  WHERE (b.price_cents < a.price_cents AND b.p_size >= a.p_size)
+      |     OR (b.price_cents <= a.price_cents AND b.p_size > a.p_size))
+      |ORDER BY price_cents, p_partkey""".stripMargin
+
+  // ----------------------------------------------- session co-occurrence
+  /** Market-basket co-occurrence over sessions: which event types show
+    * up together in the same session, with support (sessions containing
+    * both) and integer-ppm lift (observed co-rate over the
+    * independence-assumption rate). Session assignment is the same
+    * 30-minute-gap rule as [[sessionize]]. Lift is computed entirely in
+    * integer arithmetic — support·N·10⁶ runs through DECIMAL(38,0)
+    * (HUGEINT on the oracle side) before the integral division, so no
+    * intermediate overflows at any corpus size and both engines emit
+    * the same bigint.
+    *
+    * == Scale design ==
+    * The distinct (session, type) relation is the only corpus-sized
+    * intermediate; the pair join self-joins WITHIN a session key
+    * (user_id, session_id), so its cost is Σ k²  per session over
+    * k ≤ |event-type alphabet| — bounded per session, shuffle keyed by
+    * session. The per-type counts and session total are tiny aggregates
+    * broadcast back onto the O(alphabet²) pair relation.
+    */
+  def eventsCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val GAP = 1800000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > GAP, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .select(col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+      .cache()
+    val tot = sess.select(col("user_id"), col("session_id")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val perType = sess.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
+    sess.as("a")
+      .join(sess.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.session_id") === col("b.session_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("support"))
+      .join(broadcast(perType.select(col("event_type").as("type_a"), col("nt").as("na"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"), col("nt").as("nb"))), Seq("type_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("support"),
+        expr("CAST(support AS DECIMAL(38,0)) * n_sessions * 1000000 div (na * nb)")
+          .as("lift_ppm"))
+      .orderBy(col("support").desc, col("type_a"), col("type_b"))
+  }
+
+  val eventsCooccurrenceSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |f AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM f),
+      |s AS (SELECT DISTINCT user_id, session_id, event_type FROM g),
+      |tot AS (SELECT count(*) AS n_sessions
+      |  FROM (SELECT DISTINCT user_id, session_id FROM s)),
+      |pt AS (SELECT event_type, count(*) AS nt FROM s GROUP BY 1),
+      |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS support
+      |  FROM s a JOIN s b ON a.user_id = b.user_id
+      |    AND a.session_id = b.session_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, support,
+      |  CAST((CAST(support AS HUGEINT) * t.n_sessions * 1000000)
+      |    // (pa.nt * pb.nt) AS BIGINT) AS lift_ppm
+      |FROM pr CROSS JOIN tot t
+      |JOIN pt pa ON pa.event_type = type_a
+      |JOIN pt pb ON pb.event_type = type_b
+      |ORDER BY support DESC, type_a, type_b""".stripMargin
+
+  // -------------------------------------------------------- grouping sets
+  /** Explicit non-hierarchical GROUPING SETS — the face neither
+    * [[rollupRevenue]] nor [[cubeRevenue]] covers: two independent
+    * single-column sets ((l_returnflag), (l_linestatus)) computed in one
+    * pass with a grouping_id discriminator, the way a reporting layer
+    * asks for two marginals without two scans. Spark 4's native
+    * `Dataset.groupingSets` keeps it one declarative aggregate
+    * (internally a single Expand + hash agg — one scan, map-side
+    * partials, shuffle bounded by the union of group keyspaces).
+    */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("revenue"), col("n_items"))
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  val aggGroupingSetsSql: String =
+    """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  l_returnflag, l_linestatus,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_heavy_hitters" -> aggHeavyHitters,
+    "skyline_pareto" -> skylinePareto,
+    "events_cooccurrence" -> eventsCooccurrence,
+    "agg_grouping_sets" -> aggGroupingSets,
     "scan_dpp" -> scanDpp,
     "events_gap_fill" -> eventsGapFill,
     "events_ewma" -> eventsEwma,
@@ -1614,6 +1778,9 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "agg_heavy_hitters" -> aggHeavyHittersSql,
+    "skyline_pareto" -> skylineParetoSql,
+    "events_cooccurrence" -> eventsCooccurrenceSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
     "scan_dpp" -> scanDppSql,
     "events_gap_fill" -> eventsGapFillSql,
     "events_ewma" -> eventsEwmaSql,

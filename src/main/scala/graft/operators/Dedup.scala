@@ -701,6 +701,53 @@ object Dedup {
        |ORDER BY rank_pico DESC, doc_id""".stripMargin
   }
 
+  /** Per-document triangle participation over the near-dup pair graph
+    * — the clustering-density signal dedup policy tuning wants next to
+    * [[graphPagerank]]'s centrality: a doc in many triangles sits in a
+    * tight near-dup clique (template spam), one in none is a chain
+    * link (transitive false positive risk).
+    *
+    * Classic oriented-wedge enumeration: edges stay in their canonical
+    * doc_a < doc_b orientation, wedges (a<b<c) come from joining the
+    * edge list with itself on the middle vertex, and a semi-join
+    * against the closing edge (a,c) keeps exactly the triangles — each
+    * counted ONCE (the orientation makes (a,b,c) with a<b<c the unique
+    * representative). Pure integer counts; no float anywhere.
+    *
+    * == Scale design ==
+    * The ordered orientation is the standard trick that bounds wedge
+    * generation by Σ out-deg² with out-edges only toward HIGHER ids —
+    * on skewed degree sequences this beats undirected wedge counting
+    * by the hub factor. Three shuffles total (wedge join, closing
+    * semi-join, count groupBy with map-side combine); the edge list is
+    * cached once and reused for all three roles. Costs are all
+    * O(edges^1.5) worst-case — the proven bound for this enumeration.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
+    val tri = e.as("x").join(e.as("y"), col("x.doc_b") === col("y.doc_a"))
+      .select(col("x.doc_a").as("a"), col("x.doc_b").as("b"), col("y.doc_b").as("c"))
+      .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")),
+        Seq("a", "c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("doc_id"))
+  }
+
+  /** DuckDB twin: same oriented wedge + EXISTS closure over the shared
+    * pair graph; integer counts are engine-exact by construction.
+    */
+  val graphTrianglesSql: String =
+    s"""WITH $pairCtes,
+       |e AS MATERIALIZED (SELECT doc_a, doc_b FROM p),
+       |tri AS (SELECT x.doc_a AS a, x.doc_b AS b, y.doc_b AS c
+       |  FROM e x JOIN e y ON x.doc_b = y.doc_a
+       |  WHERE EXISTS (SELECT 1 FROM e z WHERE z.doc_a = x.doc_a AND z.doc_b = y.doc_b)),
+       |n AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+       |SELECT doc_id, count(*) AS n_triangles FROM n GROUP BY doc_id
+       |ORDER BY n_triangles DESC, doc_id""".stripMargin
+
   // ------------------------------------------------------- embedding
   private def vdot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftshim.GraftSqlShim
@@ -831,7 +878,8 @@ object Dedup {
     "contamination_ngram" -> contaminationNgram,
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_incremental" -> dedupIncremental,
-    "graph_pagerank" -> graphPagerank)
+    "graph_pagerank" -> graphPagerank,
+    "graph_triangles" -> graphTriangles)
 
   /** DuckDB twin of the cosine pairs: sequential left-fold dot, same
     * association order as FloatVectorDot ⇒ bit-identical doubles.
@@ -908,5 +956,6 @@ object Dedup {
     "contamination_ngram" -> contaminationNgramSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_incremental" -> dedupIncrementalSql,
-    "graph_pagerank" -> graphPagerankSql)
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_triangles" -> graphTrianglesSql)
 }

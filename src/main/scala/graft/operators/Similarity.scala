@@ -336,11 +336,189 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------------------------------- PQ
+  // Product-quantization hyper-parameters, shared with the oracle
+  private val PQ_SUB = 2          // subspaces: dims split in half
+  private val PQ_K = 4            // centroids per subspace
+  private val PQ_ITERS = 2
+  private val HALF = DIM / PQ_SUB
+
+  /** codebook rows (sub, cid, centroid) — train-once model artifact. */
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Long, Array[Float])]]()
+
+  /** Per-subspace L2 k-means codebooks, trained exactly like
+    * [[trainedCodebook]] but on raw (un-normalized) HALF-dim
+    * sub-vectors with L2 assignment — classic PQ. Means accumulate
+    * integer micro-units so partial-aggregation order cannot perturb
+    * the centroid floats, and the DuckDB oracle replays the identical
+    * recurrence (seeds = sub-vectors of vec_id < PQ_K, fixed
+    * [[PQ_ITERS]] rounds, (d, cid) tie order).
+    */
+  private def trainedPqCodebook(s: SparkSession, dir: String): Array[(Int, Long, Array[Float])] = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      dotd(a, a) - 2 * dotd(a, b) + dotd(b, b)
+    val half = HALF // local copy: a closure touching the field would
+    // drag the whole (non-serializable) enclosing object into the task
+    def sub(v: Array[Float], i: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(v, i * half, (i + 1) * half)
+    pqCodebooks.computeIfAbsent(corpusKey(s, dir) + "|pq", _ => {
+      (0 until PQ_SUB).flatMap { sx =>
+        val seeds = e.filter(_._1 < PQ_K).collect().sortBy(_._1)
+          .map { case (id, v) => (id, sub(v, sx)) }
+        require(seeds.nonEmpty,
+          s"ann_pq needs codebook seed vectors (vec_id < $PQ_K) in the embeddings table")
+        var cents = seeds
+        for (_ <- 1 to PQ_ITERS) {
+          val bc = s.sparkContext.broadcast(cents)
+          val agg = e.map { case (_, v) =>
+            val sv = sub(v, sx)
+            var best = -1L; var bd = Double.MaxValue
+            bc.value.foreach { case (cid, cv) => // ascending cid ⇒ low cid wins ties
+              val d = l2(sv, cv)
+              if (d < bd) { bd = d; best = cid }
+            }
+            (best, sv.map(x => math.round(x * 1e6)), 1L)
+          }
+            .groupByKey(_._1)
+            .reduceGroups { (a, b) =>
+              val sums = new Array[Long](math.max(a._2.length, b._2.length))
+              var i = 0
+              while (i < sums.length) {
+                sums(i) = (if (i < a._2.length) a._2(i) else 0L) +
+                  (if (i < b._2.length) b._2(i) else 0L)
+                i += 1
+              }
+              (a._1, sums, a._3 + b._3)
+            }
+            .map(_._2).collect().map(r => r._1 -> (r._2, r._3)).toMap
+          bc.destroy()
+          cents = cents.map { case (cid, oldV) =>
+            agg.get(cid) match {
+              case Some((sums, cnt)) =>
+                (cid, sums.map(x => (x.toDouble / 1e6 / cnt).toFloat))
+              case None => (cid, oldV)
+            }
+          }.sortBy(_._1)
+        }
+        cents.map { case (cid, cv) => (sx, cid, cv) }
+      }.toArray
+    })
+  }
+
+  /** L2 distance as stable column math: ‖a‖² − 2⟨a,b⟩ + ‖b‖², every dot
+    * a sequential [[FloatVectorDot]] fold ⇒ bit-identical cross-engine.
+    */
+  private def l2c(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** ANN via product quantization + asymmetric distance computation —
+    * the memory-bound scale path of the ANN family (brute = exact, LSH
+    * = bucketed, IVF = partitioned, PQ = compressed): each corpus
+    * vector collapses to PQ_SUB small codes, and query-time distance is
+    * a pair of table lookups instead of a 64-dim dot.
+    *
+    * == Scale design ==
+    * Encoding is one scan: the codebook (8 rows) broadcasts, and the
+    * per-(vector, subspace) argmin is a map-side-combinable
+    * `min(struct(d, cid))` — no window over the corpus. The ADC join
+    * streams the encoded corpus once against the broadcast NQ×PQ_K
+    * lookup table, and the per-query top-k runs through the custom
+    * [[graft.plans.TopKPerGroup]] physical operator (per-partition ≤k
+    * heap BEFORE the exchange — the window twin would shuffle all N×NQ
+    * candidate rows to NQ partitions). At 100 TB the 16-byte codes are
+    * the only corpus-sized state after the one encode pass.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val cbDf = trainedPqCodebook(s, dir).toSeq.toDF("sub", "cid", "cv")
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val subs = e.select(col("vec_id"), explode(array(
+        struct(lit(0).as("sub"), slice(col("embedding"), 1, HALF).as("sv")),
+        struct(lit(1).as("sub"), slice(col("embedding"), HALF + 1, HALF).as("sv")))).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    val scored = subs.join(broadcast(cbDf), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"), l2c(col("sv"), col("cv")).as("d"))
+    val enc = scored
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d"), col("cid"))).as("m")) // lexicographic ⇒ (min d, min cid)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("sub") === 0, col("m.cid"))).as("ec0"),
+        max(when(col("sub") === 1, col("m.cid"))).as("ec1"))
+    val lut = subs.filter(col("vec_id") < NQ).join(broadcast(cbDf), "sub")
+      .select(col("vec_id").as("q_id"), col("sub"), col("cid"),
+        l2c(col("sv"), col("cv")).as("d"))
+    val l0 = lut.filter(col("sub") === 0)
+      .select(col("q_id"), col("cid").as("c0"), col("d").as("d0"))
+    val l1 = lut.filter(col("sub") === 1)
+      .select(col("q_id").as("q1"), col("cid").as("c1"), col("d").as("d1"))
+    val adc = enc.join(broadcast(l0), col("ec0") === col("c0"))
+      .join(broadcast(l1), col("q_id") === col("q1") && col("ec1") === col("c1"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        (col("d0") + col("d1")).as("adist"))
+    graft.plans.GraftOps.topKPerGroup(adc, Seq("query_id"),
+        Seq("adist" -> false, "neighbor_id" -> false), k = K, rankName = "rank")
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin: the per-subspace k-means replayed as unrolled CTEs
+    * (the [[annIvfSql]] trick), then encode + ADC with the identical
+    * L2 fold — doubles and ranks bit-identical.
+    */
+  val annPqSql: String = {
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
+    def l2(a: String, b: String): String =
+      s"(${fold(a, a)} - 2*${fold(a, b)} + ${fold(b, b)})"
+    val base = Seq(
+      s"sv AS (SELECT vec_id, 0 AS sub, embedding[1:$HALF] AS sv FROM embeddings" +
+        s" UNION ALL SELECT vec_id, 1, embedding[${HALF + 1}:$DIM] FROM embeddings)",
+      s"b0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < $PQ_K)")
+    val iters = (1 to PQ_ITERS).flatMap { it =>
+      val p = it - 1
+      Seq(
+        s"sc$it AS (SELECT s.vec_id, s.sub, b.cid, ${l2("s.sv", "b.cv")} AS d FROM sv s JOIN b$p b ON b.sub = s.sub)",
+        s"a$it AS (SELECT vec_id, sub, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM sc$it) WHERE rn = 1)",
+        s"c$it AS (SELECT sub, cid, count(*) AS cnt FROM a$it GROUP BY 1, 2)",
+        s"f$it AS (SELECT a.sub, a.cid, t.d, sum(CAST(floor(CAST(s.sv[t.d] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS m" +
+          s" FROM a$it a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub CROSS JOIN range(1, ${HALF + 1}) t(d) GROUP BY 1, 2, 3)",
+        s"m$it AS (SELECT f.sub, f.cid, list(CAST(CAST(f.m AS DOUBLE) / 1e6 / c.cnt AS REAL) ORDER BY f.d) AS cv" +
+          s" FROM f$it f JOIN c$it c ON c.sub = f.sub AND c.cid = f.cid GROUP BY 1, 2)",
+        s"b$it AS (SELECT b.sub, b.cid, COALESCE(m.cv, b.cv) AS cv FROM b$p b LEFT JOIN m$it m ON m.sub = b.sub AND m.cid = b.cid)")
+    }
+    val search = Seq(
+      s"scf AS (SELECT s.vec_id, s.sub, b.cid, ${l2("s.sv", "b.cv")} AS d FROM sv s JOIN b$PQ_ITERS b ON b.sub = s.sub)",
+      "af AS (SELECT vec_id, sub, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM scf) WHERE rn = 1)",
+      "enc AS (SELECT vec_id, max(CASE WHEN sub = 0 THEN cid END) AS ec0, max(CASE WHEN sub = 1 THEN cid END) AS ec1 FROM af GROUP BY 1)",
+      s"lut AS (SELECT vec_id AS q_id, sub, cid, d FROM scf WHERE vec_id < $NQ)",
+      "adc AS (SELECT l0.q_id AS query_id, e.vec_id AS neighbor_id, l0.d + l1.d AS adist" +
+        " FROM enc e JOIN lut l0 ON l0.sub = 0 AND l0.cid = e.ec0" +
+        " JOIN lut l1 ON l1.sub = 1 AND l1.cid = e.ec1 AND l1.q_id = l0.q_id" +
+        " WHERE e.vec_id <> l0.q_id)",
+      "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS BIGINT) AS rank FROM adc)")
+    "WITH " + (base ++ iters ++ search).mkString(",\n") +
+      s"\nSELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
-    "ann_ivf_indexed" -> annIvfIndexed)
+    "ann_ivf_indexed" -> annIvfIndexed,
+    "ann_pq" -> annPq)
 
   /** DuckDB twin of the brute-force path: the dot product is a
     * sequential left-fold over per-element double products — the same
@@ -431,5 +609,6 @@ object Similarity {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     // the index is layout, not semantics: identical result contract
-    "ann_ivf_indexed" -> annIvfSql)
+    "ann_ivf_indexed" -> annIvfSql,
+    "ann_pq" -> annPqSql)
 }

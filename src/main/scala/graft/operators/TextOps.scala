@@ -457,7 +457,54 @@ object TextOps {
        |FROM l ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- surprisal
+  /** Unigram-LM surprisal scoring in EXACT integer "bits": each token
+    * occurrence contributes ⌊log₂ T⌋ − ⌊log₂ c(w)⌋ (corpus total over
+    * this token's corpus count — high for rare tokens, 0 for the single
+    * most common case), and a document's score is the sum. This is the
+    * integer skeleton of cross-entropy scoring used to rank documents
+    * by "unusualness" for curation — computed WITHOUT a float log:
+    * ⌊log₂ n⌋ = len(bin(n)) − 1 on both engines, so every value is a
+    * bit-identical bigint (float log implementations differ across
+    * libms; binary-digit counting cannot).
+    *
+    * == Scale design ==
+    * Two corpus-sized relations: token occurrences and the
+    * occurrence⋈count join keyed on the token. That join is the classic
+    * skew shape (stopwords are hot keys) — at scale AQE's skew-join
+    * split owns it, and the degenerate hottest tokens could ride a
+    * broadcast top-K side-path; the aggregate back to doc_id is
+    * map-side combinable. The 1-row corpus total broadcasts.
+    */
+  def textSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val occ = docs(s, dir).select(col("doc_id"), explode(words).as("w"))
+    val cnts = occ.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("t"))
+    occ.join(cnts, "w")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (length(bin(col("t"))) - length(bin(col("cnt")))).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("total_bits"),
+        expr("total_bits * 1000 div n_tokens").as("bits_per_token_milli"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textSurprisalSql: String =
+    """WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c),
+      |b AS (SELECT occ.doc_id,
+      |    CAST(length(bin(t.t)) - length(bin(c.cnt)) AS BIGINT) AS bits
+      |  FROM occ JOIN c ON occ.tok = c.tok CROSS JOIN t)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(bits) AS BIGINT) AS total_bits,
+      |  (CAST(sum(bits) AS BIGINT) * 1000) // count(*) AS bits_per_token_milli
+      |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_surprisal" -> textSurprisal,
     "vocab_build" -> vocabBuild,
     "tokenize_ids" -> tokenizeIds,
     "quality_classifier" -> qualityClassifier,
@@ -501,6 +548,7 @@ object TextOps {
       |SELECT doc_id, lang, pred_lang, pred_lang = lang AS label_match FROM p ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_surprisal" -> textSurprisalSql,
     "vocab_build" -> vocabBuildSql,
     "tokenize_ids" -> tokenizeIdsSql,
     "quality_classifier" -> qualityClassifierSql,

@@ -338,6 +338,88 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("skyline_pareto equals the quadratic dominance model") {
+    val parts = graft.sources.Tables.load(spark, sf, "part")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("pc"), col("p_size"))
+      .as[(Long, Long, Int)].collect()
+    val model = parts.filter { case (_, pc, sz) =>
+      !parts.exists { case (_, qc, qz) =>
+        (qc < pc && qz >= sz) || (qc <= pc && qz > sz)
+      }
+    }.map { case (k, pc, sz) => (k, pc, sz.toLong) }.toSet
+    val got = Analytics.skylinePareto(spark, sf)
+      .select(col("p_partkey"), col("price_cents"), col("p_size").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSet == model, "sort-prune skyline drifted from the dominance definition")
+    // frontier shape: ascending price must mean strictly ascending size
+    val sorted = got.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((_, pa, sa), (_, pb, sb)) =>
+        assert(pa <= pb && (pa == pb || sa < sb), "frontier must strictly improve")
+      case _ =>
+    }
+  }
+
+  test("events_cooccurrence support and lift match an in-memory session model") {
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    // replay the 30-min-gap sessionizer per user
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      var sid = 0L; var prev = Long.MinValue
+      ordered.map { case (_, _, us, tpe) =>
+        if (prev != Long.MinValue && us - prev > 1800000000L) sid += 1
+        prev = us
+        ((u, sid), tpe)
+      }
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val n = sessions.size.toLong
+    val perType = sessions.values.toSeq.flatMap(_.toSeq).groupBy(identity)
+      .map { case (t, v) => t -> v.size.toLong }
+    val support = sessions.values.toSeq
+      .flatMap(ts => ts.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val got = Analytics.eventsCooccurrence(spark, sf)
+      .select("type_a", "type_b", "support", "lift_ppm")
+      .as[(String, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == support,
+      "support counts drifted from the session model")
+    got.foreach { case (a, b, sup, lift) =>
+      assert(lift == sup * n * 1000000L / (perType(a) * perType(b)),
+        s"($a,$b) lift_ppm")
+      assert(sup <= math.min(perType(a), perType(b)), "support bound")
+    }
+  }
+
+  test("agg_grouping_sets is the union of the two single-column marginals") {
+    val rows = Analytics.aggGroupingSets(spark, sf)
+      .select("gid", "l_returnflag", "l_linestatus", "revenue", "n_items")
+      .as[(Long, Option[String], Option[String], Double, Long)].collect()
+    // gid 1 = linestatus aggregated away, gid 2 = returnflag aggregated away
+    assert(rows.forall(r => r._1 == 1L || r._1 == 2L))
+    val byFlag = rows.filter(_._1 == 1L)
+    val byStatus = rows.filter(_._1 == 2L)
+    assert(byFlag.forall(r => r._2.isDefined && r._3.isEmpty))
+    assert(byStatus.forall(r => r._2.isEmpty && r._3.isDefined))
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * 100).cast("long").as("epc"))
+      .as[(String, String, Long)].collect()
+    def marginal[K](key: ((String, String, Long)) => K): Map[K, (Double, Long)] =
+      li.groupBy(key).map { case (k, v) =>
+        k -> (v.map(_._3).sum / 100.0, v.size.toLong)
+      }
+    assert(byFlag.map(r => r._2.get -> (r._4, r._5)).toMap == marginal(_._1))
+    assert(byStatus.map(r => r._3.get -> (r._4, r._5)).toMap == marginal(_._2))
+    // one pass over the fact: the plan must contain a single scan + Expand
+    val plan = Analytics.aggGroupingSets(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "grouping sets should compile to one Expand, not a union of scans")
+  }
+
   test("bucketed-table memo self-heals after an external DROP (fresh-catalog stand-in)") {
     // losing the catalog entries while the JVM-global memo survives is
     // exactly what a SparkSession swap in one JVM produces — the memo

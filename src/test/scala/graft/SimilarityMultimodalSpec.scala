@@ -62,6 +62,64 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(recall >= 0.85, s"IVF recall@5 regressed below trained baseline: $recall")
   }
 
+  test("PQ ANN equals a single-threaded replay of train + encode + ADC") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      dotd(a, a) - 2 * dotd(a, b) + dotd(b, b)
+    val half = 32
+    def sub(v: Array[Float], i: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(v, i * half, (i + 1) * half)
+    // train: per-subspace 4-centroid L2 k-means, 2 rounds, micro-int means
+    val books = (0 until 2).map { sx =>
+      var cents = emb.filter(_._1 < 4).map { case (id, v) => (id, sub(v, sx)) }
+      for (_ <- 1 to 2) {
+        val assign = emb.map { case (_, v) =>
+          val sv = sub(v, sx)
+          val best = cents.map { case (cid, cv) => (l2(sv, cv), cid) }.min._2
+          (best, sv.map(x => math.round(x * 1e6)))
+        }
+        val agg = assign.groupBy(_._1).map { case (cid, rows) =>
+          cid -> (rows.map(_._2).transpose.map(_.sum).toArray, rows.length)
+        }
+        cents = cents.map { case (cid, old) =>
+          agg.get(cid) match {
+            case Some((sums, cnt)) => (cid, sums.map(x => (x.toDouble / 1e6 / cnt).toFloat))
+            case None => (cid, old)
+          }
+        }
+      }
+      cents.toMap
+    }
+    val enc = emb.map { case (id, v) =>
+      id -> (0 until 2).map { sx =>
+        books(sx).toSeq.sortBy(_._1).map { case (cid, cv) => (l2(sub(v, sx), cv), cid) }.min._2
+      }
+    }.toMap
+    val model = emb.filter(_._1 < 10).flatMap { case (q, qv) =>
+      val lut = (0 until 2).map(sx => books(sx).map { case (cid, cv) => cid -> l2(sub(qv, sx), cv) })
+      emb.filter(_._1 != q).map { case (v, _) =>
+        (q, v, lut(0)(enc(v)(0)) + lut(1)(enc(v)(1)))
+      }.sortBy { case (_, v, d) => (d, v) }.take(5).zipWithIndex
+        .map { case ((qq, v, d), i) => (qq, i + 1L) -> ((v, d)) }
+    }.toMap
+    val got = Similarity.annPq(spark, sf)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.sortBy(_._2).map(_._2).toSeq == (1L to rows.length.toLong))
+    }
+    assert(got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap == model,
+      "PQ pipeline drifted from the single-threaded replay")
+  }
+
   test("mm ingest kinds cycle by doc_id and sha256 is 64 hex chars") {
     val out = Multimodal.mmIngest(spark, sf)
       .select("doc_id", "kind", "sha256").as[(Long, String, String)].collect()

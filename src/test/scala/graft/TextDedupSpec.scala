@@ -378,6 +378,47 @@ class TextDedupSpec extends SparkSpec {
     rank
   }
 
+  test("graph_triangles matches a direct closed-wedge enumeration") {
+    val dir = sfMid // sf0.001's corpus has too few near-dup pairs
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val pairs = Dedup.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assume(pairs.nonEmpty, "corpus has no near-dup pairs — vacuous")
+    val es = pairs.toSet
+    val tris = for {
+      (a, b) <- pairs.toSeq
+      (b2, c) <- pairs.toSeq if b2 == b && es.contains((a, c))
+    } yield (a, b, c)
+    val model = tris.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Dedup.graphTriangles(spark, dir)
+      .select("doc_id", "n_triangles").as[(Long, Long)].collect().toMap
+    assert(got == model, "triangle counts drifted from the direct enumeration")
+    // orientation uniqueness: every triangle counted exactly once means
+    // total participation is 3 × triangle count
+    assert(got.values.sum == 3L * tris.size)
+  }
+
+  test("text_surprisal bits equal the floor-log2 cross-entropy model") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val occ = docs.flatMap { case (id, t) => t.split(" ", -1).map(id -> _) }
+    val cnt = occ.groupBy(_._2).map { case (w, v) => w -> v.size.toLong }
+    val total = cnt.values.sum
+    def flog2(n: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val model = occ.groupBy(_._1).map { case (id, toks) =>
+      val bits = toks.map { case (_, w) => flog2(total) - flog2(cnt(w)) }.sum
+      id -> (toks.length.toLong, bits, bits * 1000 / toks.length)
+    }
+    val rows = graft.operators.TextOps.textSurprisal(spark, sf)
+      .select("doc_id", "n_tokens", "total_bits", "bits_per_token_milli")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap == model,
+      "surprisal drifted from the floor-log2 model")
+    // rare tokens must cost more bits than the modal token anywhere
+    assert(rows.exists(_._3 > 0), "some document must carry nonzero surprisal")
+  }
+
   test("embedding triangle block join is bit-identical to the broadcast brute force") {
     // the registered distributed formulation must lose no pair and
     // produce the same doubles as the collect-based baseline (which is
