@@ -1694,6 +1694,49 @@ object Analytics {
       |JOIN pt pb ON pb.event_type = type_b
       |ORDER BY support DESC, type_a, type_b""".stripMargin
 
+  // -------------------------------------------- distribution window faces
+  /** The ranking-distribution window family in one face: percent_rank
+    * (exact rational (rank−1)/(n−1)), cume_dist, and quartile ntile
+    * over order value within each priority class. percent_rank and
+    * cume_dist are tie-stable (equal prices share a rank), but ntile
+    * assigns by ROW POSITION, so its window adds the o_orderkey
+    * tiebreak — without it two engines could legally deal ties into
+    * different quartiles. Both doubles are single divisions of exact
+    * integers, so bit-identical cross-engine.
+    *
+    * == Scale design ==
+    * Partitioned by the 5-value priority alphabet, so each partition is
+    * corpus/5 — the honest cost of a per-group total ranking. At 100 TB
+    * the same statistics decompose into a two-phase range-partitioned
+    * rank (per-range local rank + broadcast per-range offsets); the
+    * declarative window here is the semantics contract that
+    * decomposition must reproduce.
+    */
+  def windowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val tp = cents(col("o_totalprice"))
+    val wTie = Window.partitionBy(col("o_orderpriority")).orderBy(col("tpc"))
+    val wRow = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("tpc"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), tp.as("tpc"))
+      .withColumn("pct_rank", percent_rank().over(wTie))
+      .withColumn("cume", cume_dist().over(wTie))
+      .withColumn("quartile", ntile(4).over(wRow).cast("long"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("tpc") / 100.0).as("totalprice"),
+        col("pct_rank"), col("cume"), col("quartile"))
+      .orderBy(col("o_orderpriority"), col("tpc"), col("o_orderkey"))
+  }
+
+  val windowDistributionSql: String =
+    """WITH o AS (SELECT o_orderkey, o_orderpriority,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS tpc FROM orders)
+      |SELECT o_orderkey, o_orderpriority, tpc/100.0 AS totalprice,
+      |  percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY tpc) AS pct_rank,
+      |  cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY tpc) AS cume,
+      |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY tpc, o_orderkey) AS BIGINT) AS quartile
+      |FROM o ORDER BY o_orderpriority, tpc, o_orderkey""".stripMargin
+
   // -------------------------------------------------------- grouping sets
   /** Explicit non-hierarchical GROUPING SETS — the face neither
     * [[rollupRevenue]] nor [[cubeRevenue]] covers: two independent
@@ -1731,6 +1774,7 @@ object Analytics {
     "skyline_pareto" -> skylinePareto,
     "events_cooccurrence" -> eventsCooccurrence,
     "agg_grouping_sets" -> aggGroupingSets,
+    "window_distribution" -> windowDistribution,
     "scan_dpp" -> scanDpp,
     "events_gap_fill" -> eventsGapFill,
     "events_ewma" -> eventsEwma,
@@ -1781,6 +1825,7 @@ object Analytics {
     "skyline_pareto" -> skylineParetoSql,
     "events_cooccurrence" -> eventsCooccurrenceSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
+    "window_distribution" -> windowDistributionSql,
     "scan_dpp" -> scanDppSql,
     "events_gap_fill" -> eventsGapFillSql,
     "events_ewma" -> eventsEwmaSql,

