@@ -1694,6 +1694,59 @@ object Analytics {
       |JOIN pt pb ON pb.event_type = type_b
       |ORDER BY support DESC, type_a, type_b""".stripMargin
 
+  // ------------------------------------------------------ HLL replay
+  /** A HyperLogLog whose ESTIMATE is hash-checkable: 64 registers over
+    * an affine hash (the [[aggHeavyHitters]] lane family), register
+    * rank from binary-digit counting, and the harmonic mean computed
+    * EXACTLY — Σ 2^(−M[j]) is held as the integer Σ 2^(26−M[j]) over
+    * the common denominator 2²⁶, so the α·m² correction is one integer
+    * division and both engines emit the same bigint milli-estimate.
+    * This is the full-replay complement to the native
+    * `approx_count_distinct` sketch (declared rows-only): same sketch
+    * idea, zero opaque state. The empty-register count v_empty is
+    * emitted alongside so a consumer can apply the standard
+    * linear-counting small-range correction (m·ln(m/V) — a float step
+    * that deliberately stays OUT of the hash-checked contract).
+    *
+    * == Scale design ==
+    * The register table is 64 rows built by one map-side-combinable
+    * max-aggregation over the distinct-user relation; everything after
+    * is O(m). State is fixed at any corpus size — the whole point of
+    * the sketch. (The affine hash wraps past ~10⁹ user ids — same
+    * stated bound as the CMS face.)
+    */
+  def aggHllReplay(s: SparkSession, dir: String): DataFrame = {
+    val u = events(s, dir).select(col("user_id").as("u")).distinct()
+    val r = u
+      .select(((lit(1103515245L) * col("u") + 12345L) % 2147483647L).as("h"))
+      .select((col("h") % 64).as("j"),
+        (lit(26) - length(bin(expr("h div 64") + 1))).cast("long").as("rho"))
+    val m = r.groupBy(col("j")).agg(max(col("rho")).as("mj"))
+    val regs = s.range(64).toDF("j").join(m, Seq("j"), "left_outer")
+      .select(coalesce(col("mj"), lit(0L)).as("mj"))
+    val sums = regs.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - mj AS INT))")).as("s"),
+      sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val exact = events(s, dir).agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.crossJoin(broadcast(sums))
+      .select(col("n_exact"), col("v_zero"),
+        expr("(709 * 4096 * shiftleft(CAST(1 AS BIGINT), 26)) div s").as("est_milli"))
+  }
+
+  val aggHllReplaySql: String =
+    """WITH u AS (SELECT DISTINCT user_id AS u FROM events),
+      |h AS (SELECT ((1103515245*u + 12345) % 2147483647) AS h FROM u),
+      |r AS (SELECT h % 64 AS j, 26 - length(bin((h // 64) + 1)) AS rho FROM h),
+      |m AS (SELECT j, max(rho) AS mj FROM r GROUP BY 1),
+      |regs AS (SELECT t.j, COALESCE(m.mj, 0) AS mj
+      |  FROM range(0, 64) t(j) LEFT JOIN m ON m.j = t.j),
+      |s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(26 - mj AS INT)) AS BIGINT) AS s,
+      |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |  FROM regs)
+      |SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
+      |  v_zero, (709 * 4096 * (CAST(1 AS BIGINT) << 26)) // s AS est_milli
+      |FROM s""".stripMargin
+
   // -------------------------------------------- distribution window faces
   /** The ranking-distribution window family in one face: percent_rank
     * (exact rational (rank−1)/(n−1)), cume_dist, and quartile ntile
@@ -1775,6 +1828,7 @@ object Analytics {
     "events_cooccurrence" -> eventsCooccurrence,
     "agg_grouping_sets" -> aggGroupingSets,
     "window_distribution" -> windowDistribution,
+    "agg_hll_replay" -> aggHllReplay,
     "scan_dpp" -> scanDpp,
     "events_gap_fill" -> eventsGapFill,
     "events_ewma" -> eventsEwma,
@@ -1826,6 +1880,7 @@ object Analytics {
     "events_cooccurrence" -> eventsCooccurrenceSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "window_distribution" -> windowDistributionSql,
+    "agg_hll_replay" -> aggHllReplaySql,
     "scan_dpp" -> scanDppSql,
     "events_gap_fill" -> eventsGapFillSql,
     "events_ewma" -> eventsEwmaSql,

@@ -424,7 +424,57 @@ object Curate {
       |  CAST(1000000000000 // accept_ppm AS BIGINT) AS ipw_ppm
       |FROM a WHERE draw < accept_ppm ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- chi-square cells
+  /** Pearson χ² independence cells for the lang × source contingency
+    * table — the "is my corpus mix confounded" diagnostic a curation
+    * run consults before stratified sampling. Every cell emits its
+    * observed count, expected count in integer micro-docs, and χ²
+    * contribution in integer micro-units:
+    * chi2_micro = 10⁶·(O·N − r·c)² / (N·r·c), computed entirely in
+    * DECIMAL(38,0) / HUGEINT — the expected value never exists as a
+    * float, and per-cell output means no cross-cell float summation
+    * anywhere (the analyst sums exact integers). Exact while
+    * (O·N − r·c)² < 10³⁸, i.e. corpora to ~10⁹ docs; past that the
+    * contract would move to a double contribution per cell.
+    *
+    * == Scale design ==
+    * One corpus scan feeds the cell/row/column counts (all map-side
+    * combinable); the O(langs) and O(sources) marginals and the 1-row
+    * total broadcast back onto the O(cells) relation. Nothing beyond
+    * the first grouped pass touches corpus-sized data.
+    */
+  def corpusChisq(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.load(s, dir, "documents").select(col("lang"), col("source"))
+    val cell = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_obs"))
+    val rt = d.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
+    val ct = d.groupBy(col("source")).agg(count(lit(1)).as("ct"))
+    val n = d.agg(count(lit(1)).as("n"))
+    cell.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("n_obs"),
+        expr("CAST(rt AS DECIMAL(38,0)) * ct * 1000000 div n").as("expected_micro"),
+        expr("1000000 * (CAST(n_obs AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)" +
+          " * (CAST(n_obs AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)" +
+          " div (CAST(n AS DECIMAL(38,0)) * rt * ct)").as("chi2_micro"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val corpusChisqSql: String =
+    """WITH d AS (SELECT lang, source FROM documents),
+      |cell AS (SELECT lang, source, count(*) AS n_obs FROM d GROUP BY 1, 2),
+      |r AS (SELECT lang, count(*) AS rt FROM d GROUP BY 1),
+      |c AS (SELECT source, count(*) AS ct FROM d GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM d)
+      |SELECT cell.lang, cell.source, n_obs,
+      |  CAST((CAST(rt AS HUGEINT) * ct * 1000000) // n AS BIGINT) AS expected_micro,
+      |  CAST((1000000 * (CAST(n_obs AS HUGEINT)*n - CAST(rt AS HUGEINT)*ct)
+      |    * (CAST(n_obs AS HUGEINT)*n - CAST(rt AS HUGEINT)*ct))
+      |    // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT) AS chi2_micro
+      |FROM cell JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_chisq" -> corpusChisq,
     "sample_importance" -> sampleImportance,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_cluster" -> pipelineCurateCluster,
@@ -438,6 +488,7 @@ object Curate {
     "sample_stratified" -> sampleStratified)
 
   val oracles: Map[String, String] = Map(
+    "corpus_chisq" -> corpusChisqSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_cluster" -> pipelineCurateClusterSql,
     "split_train_val" -> splitTrainValSql,

@@ -420,6 +420,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("Expand"), "grouping sets should compile to one Expand, not a union of scans")
   }
 
+  test("agg_hll_replay registers and estimate match a direct sketch replay") {
+    val users = graft.sources.Tables.load(spark, sf, "events")
+      .select("user_id").as[Long].collect().distinct
+    def bits(n: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val regs = Array.fill(64)(0L)
+    users.foreach { u =>
+      val h = (1103515245L * u + 12345L) % 2147483647L
+      val j = (h % 64).toInt
+      val rho = 26L - bits(h / 64 + 1)
+      if (rho > regs(j)) regs(j) = rho
+    }
+    val sSum = regs.map(m => 1L << (26 - m)).sum
+    val est = 709L * 4096L * (1L << 26) / sSum
+    val vZero = regs.count(_ == 0L).toLong
+    val got = Analytics.aggHllReplay(spark, sf)
+      .select("n_exact", "v_zero", "est_milli").as[(Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (nExact, v, e) = got.head
+    assert(nExact == users.length.toLong)
+    assert(v == vZero, "empty-register count drifted")
+    assert(e == est, "estimate drifted from the direct sketch replay")
+    // the sketch must actually estimate: apply the documented consumer
+    // contract — linear counting from v_zero in the small range (raw
+    // HLL over-estimates by design when n ≪ m), raw HLL otherwise —
+    // and require the corrected estimate inside the ±35% envelope
+    val corrected =
+      if (e / 1000.0 <= 2.5 * 64 && v > 0) 64.0 * math.log(64.0 / v)
+      else e / 1000.0
+    assert(math.abs(corrected - nExact) <= 0.35 * nExact,
+      s"corrected estimate $corrected implausibly far from $nExact")
+  }
+
   test("bucketed-table memo self-heals after an external DROP (fresh-catalog stand-in)") {
     // losing the catalog entries while the JVM-global memo survives is
     // exactly what a SparkSession swap in one JVM produces — the memo

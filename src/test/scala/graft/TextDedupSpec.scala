@@ -378,6 +378,29 @@ class TextDedupSpec extends SparkSpec {
     rank
   }
 
+  test("corpus_chisq cells match an exact BigInt recompute and sum to the χ² identity") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("lang", "source").as[(String, String)].collect()
+    val n = BigInt(docs.length)
+    val rt = docs.groupBy(_._1).map { case (k, v) => k -> BigInt(v.length) }
+    val ct = docs.groupBy(_._2).map { case (k, v) => k -> BigInt(v.length) }
+    val model = docs.groupBy(identity).map { case ((l, src), v) =>
+      val o = BigInt(v.length)
+      val delta = o * n - rt(l) * ct(src)
+      (l, src) -> ((v.length.toLong,
+        (rt(l) * ct(src) * 1000000 / n).toLong,
+        (BigInt(1000000) * delta * delta / (n * rt(l) * ct(src))).toLong))
+    }
+    val got = Curate.corpusChisq(spark, sf)
+      .select("lang", "source", "n_obs", "expected_micro", "chi2_micro")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap == model,
+      "chi-square cells drifted from the BigInt model")
+    // observed totals must reproduce the marginals (cell partition sanity)
+    assert(got.map(_._3).sum == docs.length.toLong)
+  }
+
   test("graph_triangles matches a direct closed-wedge enumeration") {
     val dir = sfMid // sf0.001's corpus has too few near-dup pairs
     assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
