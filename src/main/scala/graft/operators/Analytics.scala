@@ -1715,12 +1715,21 @@ object Analytics {
     * the sketch. (The affine hash wraps past ~10⁹ user ids — same
     * stated bound as the CMS face.)
     */
+  /** (register index, rank) pair for one user id — shared between the
+    * batch replay and [[graft.streaming.EventStreams.hllRegisterStream]]
+    * so the two sketches are the same function of the data. h ≥ 0, so
+    * `% 64` and `>> 6` are the mod/div pair exactly.
+    */
+  private[graft] def hllRegister(u: Column): Column = {
+    val h = (lit(1103515245L) * u + 12345L) % 2147483647L
+    struct((h % 64).as("j"),
+      (lit(26) - length(bin(shiftright(h, 6) + 1))).cast("long").as("rho"))
+  }
+
   def aggHllReplay(s: SparkSession, dir: String): DataFrame = {
     val u = events(s, dir).select(col("user_id").as("u")).distinct()
-    val r = u
-      .select(((lit(1103515245L) * col("u") + 12345L) % 2147483647L).as("h"))
-      .select((col("h") % 64).as("j"),
-        (lit(26) - length(bin(expr("h div 64") + 1))).cast("long").as("rho"))
+    val r = u.select(hllRegister(col("u")).as("r"))
+      .select(col("r.j").as("j"), col("r.rho").as("rho"))
     val m = r.groupBy(col("j")).agg(max(col("rho")).as("mj"))
     val regs = s.range(64).toDF("j").join(m, Seq("j"), "left_outer")
       .select(coalesce(col("mj"), lit(0L)).as("mj"))

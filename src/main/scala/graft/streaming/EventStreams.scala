@@ -638,6 +638,23 @@ object EventStreams {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Streaming face of [[graft.operators.Analytics.aggHllReplay]]'s
+    * register table: a live distinct-user sketch as an update-mode
+    * 64-key max aggregation. No upstream dropDuplicates is needed —
+    * max over register ranks is DUPLICATE-INSENSITIVE (re-observing a
+    * user re-derives the same (j, rho) and max absorbs it), which is
+    * exactly why HLL is the streaming cardinality sketch: state is 64
+    * longs forever, no watermark, no per-user state, and the register
+    * table equals the batch sketch after any prefix of the feed.
+    */
+  def hllRegisterStream(stream: DataFrame): DataFrame = {
+    import graft.operators.Analytics.hllRegister
+    stream.select(hllRegister(col("user_id")).as("r"))
+      .select(col("r.j").as("j"), col("r.rho").as("rho"))
+      .groupBy(col("j"))
+      .agg(max(col("rho")).as("mj"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize,

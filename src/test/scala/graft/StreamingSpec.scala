@@ -275,6 +275,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers equal the batch sketch after a duplicate-heavy feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val users = graft.sources.Tables.load(spark, sf, "events")
+      .select("user_id").as[Long].collect()
+    val (first, second) = users.splitAt(users.length / 2)
+    val mem = MemoryStream[Long]
+    val q = EventStreams.hllRegisterStream(mem.toDF().toDF("user_id"))
+      .writeStream.format("memory").queryName("hll_live")
+      .outputMode("update").start()
+    try {
+      // feed the raw event stream WITH duplicates, plus a replayed
+      // batch — max-based registers must absorb both without dedup
+      mem.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toSeq: _*)
+      mem.addData(first.take(20).toSeq: _*) // replay: re-delivery is a no-op
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT j, max(mj) AS mj FROM hll_live GROUP BY 1")
+        .as[(Long, Long)].collect().toSet
+      val batch = EventStreams.hllRegisterStream(users.toSeq.toDF("user_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch, "streaming registers diverged from the batch sketch")
+      assert(streamed.size <= 64, "state must stay register-bounded")
+    } finally q.stop()
+  }
+
   test("decode drops malformed/keyless payloads and zero-fills missing value") {
     val raw = Seq(
       """{"user_id":1,"event_id":10,"ts":"2026-01-01 00:00:00","event_type":"click","value":2.5}""",
