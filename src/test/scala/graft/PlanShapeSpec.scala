@@ -301,4 +301,25 @@ class PlanShapeSpec extends SparkSpec {
     val limited = sorted.limit(2).select(org.apache.spark.sql.functions.col("s"))
     assert(hasGlobalSort(Bench.unsorted(limited)))
   }
+
+  test("ann_pq ranks through partial-before-exchange TopKPerGroup, no corpus window") {
+    val plan = planOf(operators.Similarity.annPq(spark, sf))
+    assert("TopKPerGroup".r.findAllIn(plan).length == 2,
+      s"expected the partial+final TopKPerGroup pair:\n$plan")
+    assert(!plan.contains("Window"),
+      s"pq must not rank via a window over the candidates:\n$plan")
+  }
+
+  test("skyline's prefix-max window runs above the level collapse, not the corpus") {
+    // tree strings print children BELOW their parent: the Window line
+    // must come before the level-collapse HashAggregate pair, i.e. the
+    // window consumes the aggregated O(levels) relation, and no window
+    // may appear under a bare corpus scan (the plan's only aggregates
+    // ARE the level collapse)
+    val plan = planOf(Analytics.skylinePareto(spark, sf))
+    val w = plan.indexOf("Window")
+    val a = plan.indexOf("HashAggregate")
+    assert(w >= 0, s"expected a Window in the skyline plan:\n$plan")
+    assert(a > w, s"window must sit above the level-collapse aggregate:\n$plan")
+  }
 }
