@@ -173,9 +173,80 @@ object Multimodal {
       |    (a, b) -> (a * 31 + b) % 997) AS frame_checksum
       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------- CDC chunk dedup
+  /** Sub-blob dedup accounting via content-defined chunking: every blob
+    * splits at Rabin-style rolling-hash boundaries
+    * ([[graft.functions.CdcKernel]] — codegen'd, one kernel call per
+    * row), and byte-identical CHUNKS shared across different blobs are
+    * counted with the bytes a chunk store would elide. This is the
+    * finer-grained sibling of [[mmDedupBlob]]: whole-blob dedup misses
+    * near-identical media (same content, shifted bytes); CDC boundaries
+    * re-align after an edit within one 8-byte window, so shared runs
+    * still collapse.
+    *
+    * == Scale design ==
+    * One corpus scan; the kernel emits packed (hash·2²⁰+len) longs so
+    * the explode carries a primitive array, and the accounting is a
+    * single map-side-combinable groupBy on the descriptor. Hash keys
+    * are uniform by construction (no skew). The DuckDB oracle replays
+    * the splitter DECLARATIVELY — one row per byte, window-hash
+    * per position, prefix-sum chunk ids — the formulation the codegen
+    * kernel exists to avoid at scale, and the two must agree exactly.
+    */
+  def mmCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val ch = GraftSqlShim.column(
+      graft.functions.CdcChunks(GraftSqlShim.expression(col("text"))))
+    docs(s, dir)
+      .select(explode(ch).as("d"))
+      .select(shiftright(col("d"), 20).as("chunk_hash"),
+        col("d").bitwiseAND(lit(1048575L)).as("chunk_len"))
+      .groupBy(col("chunk_hash"), col("chunk_len"))
+      .agg(count(lit(1)).as("n_refs"))
+      .filter(col("n_refs") >= 2)
+      .select(col("chunk_hash"), col("chunk_len"), col("n_refs"),
+        ((col("n_refs") - 1) * col("chunk_len")).as("bytes_saved"))
+      .orderBy(col("n_refs").desc, col("chunk_hash"), col("chunk_len"))
+  }
+
+  /** DuckDB twin: the declarative splitter — per-byte rows, an 8-byte
+    * window fold per position, boundary prefix-sums as chunk ids, and
+    * an ordered per-chunk byte fold. Corpus is pure ASCII so character
+    * folds equal the kernel's byte folds.
+    */
+  val mmCdcChunksSql: String =
+    """WITH pos AS (SELECT doc_id, text,
+      |    unnest(range(1, strlen(text)+1)) AS i FROM documents),
+      |b AS (SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) AS byte,
+      |    CASE WHEN i >= 8 THEN
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(CAST(i-7 AS INT), CAST(i+1 AS INT)),
+      |          j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+      |        (a, c) -> (a*31 + c) % 2147483647)
+      |    ELSE NULL END AS w
+      |  FROM pos),
+      |m AS (SELECT doc_id, i, byte,
+      |    CASE WHEN w IS NOT NULL AND w % 64 = 0 THEN 1 ELSE 0 END AS bnd
+      |  FROM b),
+      |c AS (SELECT doc_id, i, byte,
+      |    COALESCE(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      |  FROM m),
+      |ch AS (SELECT doc_id, cid,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list(CAST(byte AS BIGINT) ORDER BY i)),
+      |      (a, x) -> (a*31 + x) % 2147483647) AS hash,
+      |    count(*) AS len
+      |  FROM c GROUP BY 1, 2)
+      |SELECT hash AS chunk_hash, len AS chunk_len, count(*) AS n_refs,
+      |  (count(*) - 1) * len AS bytes_saved
+      |FROM ch GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY n_refs DESC, chunk_hash, chunk_len""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ingest" -> mmIngest,
     "mm_dedup_blob" -> mmDedupBlob,
+    "mm_cdc_chunks" -> mmCdcChunks,
     "mm_batch_extract" -> mmBatchExtract,
     "mm_frame_sample" -> mmFrameSample)
 
@@ -195,6 +266,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_ingest" -> mmIngestSql,
     "mm_dedup_blob" -> mmDedupBlobSql,
+    "mm_cdc_chunks" -> mmCdcChunksSql,
     "mm_batch_extract" -> mmBatchExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql)
 }

@@ -120,6 +120,45 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "PQ pipeline drifted from the single-threaded replay")
   }
 
+  test("cdc chunks reassemble blobs exactly and boundaries are shift-tolerant") {
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select("text").as[String].collect()
+    texts.foreach { t =>
+      val cs = graft.functions.CdcKernel.chunkArray(t.getBytes("UTF-8"))
+      val lens = cs.map(_ & 1048575L)
+      // chunks tile the blob exactly
+      assert(lens.sum == t.getBytes("UTF-8").length.toLong, "chunk lengths must tile the blob")
+      // every packed hash is mod-P and lengths positive
+      assert(cs.forall(d => (d >> 20) < 2147483647L && (d & 1048575L) > 0))
+    }
+    // shift tolerance: prepending bytes re-aligns within a window — the
+    // tail chunks of the shifted blob match the original's tail chunks
+    val t = texts.maxBy(_.length)
+    val orig = graft.functions.CdcKernel.chunkArray(t.getBytes("UTF-8"))
+    val shifted = graft.functions.CdcKernel.chunkArray(("zq! " + t).getBytes("UTF-8"))
+    assume(orig.length >= 4, "need a multi-chunk blob to observe re-alignment")
+    val sharedTail = orig.reverse.zip(shifted.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(sharedTail >= orig.length - 2,
+      s"CDC must re-align after an edit: only $sharedTail of ${orig.length} tail chunks survived a 4-byte prepend")
+  }
+
+  test("mm_cdc_chunks accounting matches a direct kernel replay") {
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select("text").as[String].collect()
+    val refs = texts.flatMap(t => graft.functions.CdcKernel.chunkArray(t.getBytes("UTF-8")))
+      .groupBy(identity).map { case (d, v) => d -> v.length.toLong }
+      .filter(_._2 >= 2)
+    val model = refs.map { case (d, n) =>
+      (d >> 20, d & 1048575L) -> ((n, (n - 1) * (d & 1048575L)))
+    }
+    val got = Multimodal.mmCdcChunks(spark, sf)
+      .select("chunk_hash", "chunk_len", "n_refs", "bytes_saved")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty, "corpus must produce duplicated chunks (non-vacuous)")
+    assert(got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap == model,
+      "chunk accounting drifted from the kernel replay")
+  }
+
   test("mm ingest kinds cycle by doc_id and sha256 is 64 hex chars") {
     val out = Multimodal.mmIngest(spark, sf)
       .select("doc_id", "kind", "sha256").as[(Long, String, String)].collect()
