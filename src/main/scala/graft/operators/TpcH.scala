@@ -421,8 +421,122 @@ object TpcH {
       |FROM l JOIN st ON l_partkey = sp
       |WHERE qc * 5 * n < sum_qc""".stripMargin
 
+  // ---------------------------------------------------------------- q7
+  /** Q7 analog — volume shipping between two nations: revenue flowing
+    * supplier-nation → customer-nation for the NATION_1/NATION_2 pair,
+    * by ship year and direction. With both dims pre-filtered to the two
+    * nations, the classic pair disjunction reduces to
+    * `supp_nation ≠ cust_nation` — same result, half the predicate.
+    *
+    * == Scale design ==
+    * The orders⋈lineitem leg rides the bucketed twins (zero fact hash
+    * exchanges); supplier/customer arrive ALREADY nation-filtered as
+    * broadcasts, so the fact stream is pruned by two tiny hash probes
+    * before the O(2·years) aggregation.
+    */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val (oTbl, lTbl) = Analytics.ensureBucketed(s, dir)
+    val nations = Seq("NATION_1", "NATION_2")
+    val sup = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    s.table(lTbl)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .hint("merge")
+      .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount*100) AS BIGINT)) AS HUGEINT)) AS DOUBLE)/10000.0 AS revenue
+      |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND o_custkey = c_custkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  /** Q8 analog — market share: NATION_1 suppliers' share of all revenue
+    * shipped to EUROPE-region customers, per ship year (the corpus has
+    * no part types, so the classic part filter is elided). The share is
+    * a per-year two-sum ratio, both sums exact DECIMAL(38,0)
+    * ten-thousandths; the ppm column is an integral division of the
+    * exact accumulators (Q14's ratio pattern, per group).
+    *
+    * == Scale design ==
+    * Same bucketed fact leg; customers arrive region-filtered via the
+    * broadcast nation⋈region dim chain; the conditional numerator is a
+    * CASE inside one aggregation — one pass, no second join or union.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val (oTbl, lTbl) = Analytics.ensureBucketed(s, dir)
+    val sup = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("c_custkey"))
+    val volNum = (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+      .cast("decimal(38,0)")
+    s.table(lTbl).hint("merge")
+      .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1", volNum)
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("num_i"),
+        sum(volNum).as("den_i"))
+      .select(col("l_year"),
+        (col("num_i").cast("double") / 10000.0).as("nation_volume"),
+        (col("den_i").cast("double") / 10000.0).as("total_volume"),
+        expr("num_i * 1000000 div den_i").as("share_ppm"))
+      .orderBy(col("l_year"))
+  }
+
+  val q8Sql: String =
+    """WITH v AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    n1.n_name AS supp_nation,
+      |    CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS HUGEINT) AS vol
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2, region
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n2.n_regionkey = r_regionkey AND r_name = 'EUROPE')
+      |SELECT l_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END) AS DOUBLE)/10000.0 AS nation_volume,
+      |  CAST(sum(vol) AS DOUBLE)/10000.0 AS total_volume,
+      |  CAST((sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END) * 1000000)
+      |    // sum(vol) AS BIGINT) AS share_ppm
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_nation_volume" -> q7NationVolume,
+    "q8_market_share" -> q8MarketShare,
     "q13_custdist" -> q13CustDist,
     "q15_top_supplier" -> q15TopSupplier,
     "q17_small_quantity" -> q17SmallQuantity,
@@ -435,6 +549,8 @@ object TpcH {
     "q22_dormant_segments" -> q22DormantSegments)
 
   val oracles: Map[String, String] = Map(
+    "q7_nation_volume" -> q7Sql,
+    "q8_market_share" -> q8Sql,
     "q13_custdist" -> q13Sql,
     "q15_top_supplier" -> q15Sql,
     "q17_small_quantity" -> q17Sql,

@@ -141,6 +141,64 @@ class TpcHSpec extends SparkSpec {
     assert(got == modelSum / 700.0, "integer cut drifted from the float-average cut")
   }
 
+  test("q7 directional volumes match an in-memory join and cover both directions") {
+    // sf0.001 has no NATION_1<->NATION_2 trades in the window; the
+    // driver's correctness scale exercises both directions
+    val dir = sfMid
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val nk = Tables.load(spark, dir, "nation")
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    val sup = Tables.load(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey").as[(Long, Long)].collect()
+      .map { case (k, n) => k -> nk(n) }.toMap
+    val cust = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey").as[(Long, Long)].collect()
+      .map { case (k, n) => k -> nk(n) }.toMap
+    val ordCust = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        year(col("l_shipdate")), col("l_shipdate").cast("string"))
+      .as[(Long, Long, Long, Long, Int, String)].collect()
+    val pair = Set("NATION_1", "NATION_2")
+    val model = li.filter(r => r._6 >= "1996-01-01" && r._6 < "1998-01-01")
+      .flatMap { case (ok, sk, ep, d, yr, _) =>
+        val sn = sup(sk); val cn = cust(ordCust(ok))
+        if (pair(sn) && pair(cn) && sn != cn)
+          Some((sn, cn, yr.toLong) -> (BigInt(ep) * (100 - d))) else None
+      }
+      .groupBy(_._1).map { case (k, v) =>
+        k -> (v.map(_._2).sum.toDouble / 10000.0)
+      }
+    val got = TpcH.q7NationVolume(spark, dir)
+      .select("supp_nation", "cust_nation", "l_year", "revenue")
+      .as[(String, String, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2, r._3) -> r._4).toMap == model, "q7 volumes drifted")
+    // both trade directions must be exercised, not vacuous
+    assert(got.map(_._1).toSet == pair, s"expected both directions, got ${got.toSeq}")
+  }
+
+  test("q8 share_ppm is the exact integral ratio of the emitted volumes") {
+    // NATION_1 holds no EUROPE-bound share in the tiny sf0.001 slice
+    val dir = sfMid
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val got = TpcH.q8MarketShare(spark, dir)
+      .select("l_year", "nation_volume", "total_volume", "share_ppm")
+      .as[(Long, Double, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (y, num, den, ppm) =>
+      assert(num >= 0 && num <= den, s"year $y: numerator outside [0, total]")
+      // reconstruct the exact integer accumulators from the doubles
+      // (both are integer ten-thousandths scaled down, exact in double)
+      val numI = BigInt(math.round(num * 10000))
+      val denI = BigInt(math.round(den * 10000))
+      assert(ppm == (numI * 1000000 / denI).toLong, s"year $y: ppm mismatch")
+    }
+    assert(got.exists(_._4 > 0), "NATION_1 must hold some share somewhere")
+  }
+
   test("window_distribution quartiles partition each priority class near-evenly") {
     val got = graft.operators.Analytics.windowDistribution(spark, sf)
       .select("o_orderpriority", "pct_rank", "cume", "quartile")
