@@ -1799,6 +1799,93 @@ object Analytics {
       |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY tpc, o_orderkey) AS BIGINT) AS quartile
       |FROM o ORDER BY o_orderpriority, tpc, o_orderkey""".stripMargin
 
+  // ------------------------------------------------- co-occurrence drift
+  /** Association drift: [[eventsCooccurrence]]'s lift re-computed per
+    * DAY (sessions bounded to their calendar day) with each pair's
+    * day-over-day change — the "did this behavioral association shift"
+    * monitor a pipeline runs between snapshots. The delta compares
+    * against the pair's previous OBSERVED day (lag over observed rows,
+    * not a dense calendar); the first observation emits null prev/delta.
+    * All lift math stays exact integer ppm through DECIMAL(38,0) /
+    * HUGEINT as in the parent face.
+    *
+    * == Scale design ==
+    * The session window gains `day` in its partition key (finer
+    * partitions than the parent — strictly better parallelism); all
+    * per-day marginals group the distinct (day, session, type) relation
+    * and broadcast back onto the O(days · alphabet²) pair relation, and
+    * the drift lag windows over THAT bounded relation, never the
+    * corpus.
+    */
+  def eventsCooccurrenceDrift(s: SparkSession, dir: String): DataFrame = {
+    val GAP = 1800000000L
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), fmtDay(col("ts")).as("day"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > GAP, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .select(col("day"), col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+      .cache()
+    val tot = sess.select(col("day"), col("user_id"), col("session_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_sessions"))
+    val perType = sess.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("nt"))
+    val lift = sess.as("a")
+      .join(sess.as("b"),
+        col("a.day") === col("b.day")
+          && col("a.user_id") === col("b.user_id")
+          && col("a.session_id") === col("b.session_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.day").as("day"),
+        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("support"))
+      .join(broadcast(perType.select(col("day"), col("event_type").as("type_a"),
+        col("nt").as("na"))), Seq("day", "type_a"))
+      .join(broadcast(perType.select(col("day"), col("event_type").as("type_b"),
+        col("nt").as("nb"))), Seq("day", "type_b"))
+      .join(broadcast(tot), Seq("day"))
+      .select(col("day"), col("type_a"), col("type_b"), col("support"),
+        expr("CAST(support AS DECIMAL(38,0)) * n_sessions * 1000000 div (na * nb)")
+          .as("lift_ppm"))
+    val wDrift = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("day"))
+    lift
+      .withColumn("prev_lift_ppm", lag(col("lift_ppm"), 1).over(wDrift))
+      .withColumn("delta_ppm", col("lift_ppm") - col("prev_lift_ppm"))
+      .orderBy(col("type_a"), col("type_b"), col("day"))
+  }
+
+  val eventsCooccurrenceDriftSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    strftime(ts, '%Y-%m-%d') AS day FROM events),
+      |f AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id, day ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id, day ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM f),
+      |s AS (SELECT DISTINCT day, user_id, session_id, event_type FROM g),
+      |tot AS (SELECT day, count(*) AS n_sessions
+      |  FROM (SELECT DISTINCT day, user_id, session_id FROM s) GROUP BY 1),
+      |pt AS (SELECT day, event_type, count(*) AS nt FROM s GROUP BY 1, 2),
+      |pr AS (SELECT a.day, a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS support
+      |  FROM s a JOIN s b ON a.day = b.day AND a.user_id = b.user_id
+      |    AND a.session_id = b.session_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2, 3),
+      |lf AS (SELECT pr.day, type_a, type_b, support,
+      |    CAST((CAST(support AS HUGEINT) * t.n_sessions * 1000000)
+      |      // (pa.nt * pb.nt) AS BIGINT) AS lift_ppm
+      |  FROM pr JOIN tot t ON t.day = pr.day
+      |  JOIN pt pa ON pa.day = pr.day AND pa.event_type = type_a
+      |  JOIN pt pb ON pb.day = pr.day AND pb.event_type = type_b)
+      |SELECT day, type_a, type_b, support, lift_ppm,
+      |  lag(lift_ppm) OVER (PARTITION BY type_a, type_b ORDER BY day) AS prev_lift_ppm,
+      |  lift_ppm - lag(lift_ppm) OVER (PARTITION BY type_a, type_b ORDER BY day) AS delta_ppm
+      |FROM lf ORDER BY type_a, type_b, day""".stripMargin
+
   // -------------------------------------------------------- grouping sets
   /** Explicit non-hierarchical GROUPING SETS — the face neither
     * [[rollupRevenue]] nor [[cubeRevenue]] covers: two independent
@@ -1835,6 +1922,7 @@ object Analytics {
     "agg_heavy_hitters" -> aggHeavyHitters,
     "skyline_pareto" -> skylinePareto,
     "events_cooccurrence" -> eventsCooccurrence,
+    "events_cooccurrence_drift" -> eventsCooccurrenceDrift,
     "agg_grouping_sets" -> aggGroupingSets,
     "window_distribution" -> windowDistribution,
     "agg_hll_replay" -> aggHllReplay,
@@ -1887,6 +1975,7 @@ object Analytics {
     "agg_heavy_hitters" -> aggHeavyHittersSql,
     "skyline_pareto" -> skylineParetoSql,
     "events_cooccurrence" -> eventsCooccurrenceSql,
+    "events_cooccurrence_drift" -> eventsCooccurrenceDriftSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "window_distribution" -> windowDistributionSql,
     "agg_hll_replay" -> aggHllReplaySql,

@@ -420,6 +420,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("Expand"), "grouping sets should compile to one Expand, not a union of scans")
   }
 
+  test("cooccurrence drift lags are internally consistent per pair") {
+    val rows = Analytics.eventsCooccurrenceDrift(spark, sf)
+      .select("day", "type_a", "type_b", "lift_ppm", "prev_lift_ppm", "delta_ppm")
+      .as[(String, String, String, Long, Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._2, r._3)).values.foreach { series =>
+      val s = series.sortBy(_._1)
+      // first observed day has no previous; later days chain exactly
+      assert(s.head._5.isEmpty && s.head._6.isEmpty, "first observation must have null prev")
+      s.sliding(2).foreach {
+        case Array(p, c) =>
+          assert(c._5.contains(p._4), s"(${c._2},${c._3}) ${c._1}: prev must be last observed lift")
+          assert(c._6.contains(c._4 - p._4), "delta must be lift - prev")
+        case _ =>
+      }
+    }
+    // drift must actually move somewhere (non-vacuous monitor)
+    assert(rows.exists(_._6.exists(_ != 0L)), "no pair ever changed lift")
+  }
+
   test("agg_hll_replay registers and estimate match a direct sketch replay") {
     val users = graft.sources.Tables.load(spark, sf, "events")
       .select("user_id").as[Long].collect().distinct
