@@ -1756,6 +1756,52 @@ object Analytics {
       |  v_zero, (709 * 4096 * (CAST(1 AS BIGINT) << 26)) // s AS est_milli
       |FROM s""".stripMargin
 
+  /** Grouped twin of [[aggHllReplay]]: one 64-register sketch PER
+    * EVENT TYPE — the per-segment distinct-count shape production
+    * pipelines actually run (state = 64 longs × |alphabet|, mergeable
+    * per group). Registers densify via an alphabet × range(64) frame so
+    * empty registers count as rank 0 in every group's harmonic mean;
+    * the estimate stays one exact integer division per group.
+    */
+  def aggHllGrouped(s: SparkSession, dir: String): DataFrame = {
+    val r = events(s, dir).select(col("event_type"), col("user_id").as("u")).distinct()
+      .select(col("event_type"), hllRegister(col("u")).as("r"))
+      .select(col("event_type"), col("r.j").as("j"), col("r.rho").as("rho"))
+    val m = r.groupBy(col("event_type"), col("j")).agg(max(col("rho")).as("mj"))
+    val regs = m.select(col("event_type")).distinct()
+      .crossJoin(s.range(64).toDF("j"))
+      .join(m, Seq("event_type", "j"), "left_outer")
+      .select(col("event_type"), coalesce(col("mj"), lit(0L)).as("mj"))
+    val sums = regs.groupBy(col("event_type"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - mj AS INT))")).as("s"))
+    events(s, dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .join(broadcast(sums), "event_type")
+      .select(col("event_type"), col("n_exact"),
+        expr("(709 * 4096 * shiftleft(CAST(1 AS BIGINT), 26)) div s").as("est_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggHllGroupedSql: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id AS u FROM events),
+      |h AS (SELECT event_type, ((1103515245*u + 12345) % 2147483647) AS h FROM u),
+      |r AS (SELECT event_type, h % 64 AS j,
+      |    26 - length(bin((h // 64) + 1)) AS rho FROM h),
+      |m AS (SELECT event_type, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+      |ty AS (SELECT DISTINCT event_type FROM m),
+      |regs AS (SELECT ty.event_type, t.j, COALESCE(m.mj, 0) AS mj
+      |  FROM ty CROSS JOIN range(0, 64) t(j)
+      |  LEFT JOIN m ON m.event_type = ty.event_type AND m.j = t.j),
+      |s AS (SELECT event_type,
+      |    CAST(sum(CAST(1 AS BIGINT) << CAST(26 - mj AS INT)) AS BIGINT) AS s
+      |  FROM regs GROUP BY 1),
+      |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      |  FROM events GROUP BY 1)
+      |SELECT ex.event_type, ex.n_exact,
+      |  (709 * 4096 * (CAST(1 AS BIGINT) << 26)) // s.s AS est_milli
+      |FROM ex JOIN s ON s.event_type = ex.event_type
+      |ORDER BY ex.event_type""".stripMargin
+
   // -------------------------------------------- distribution window faces
   /** The ranking-distribution window family in one face: percent_rank
     * (exact rational (rank−1)/(n−1)), cume_dist, and quartile ntile
@@ -1926,6 +1972,7 @@ object Analytics {
     "agg_grouping_sets" -> aggGroupingSets,
     "window_distribution" -> windowDistribution,
     "agg_hll_replay" -> aggHllReplay,
+    "agg_hll_grouped" -> aggHllGrouped,
     "scan_dpp" -> scanDpp,
     "events_gap_fill" -> eventsGapFill,
     "events_ewma" -> eventsEwma,
@@ -1979,6 +2026,7 @@ object Analytics {
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "window_distribution" -> windowDistributionSql,
     "agg_hll_replay" -> aggHllReplaySql,
+    "agg_hll_grouped" -> aggHllGroupedSql,
     "scan_dpp" -> scanDppSql,
     "events_gap_fill" -> eventsGapFillSql,
     "events_ewma" -> eventsEwmaSql,

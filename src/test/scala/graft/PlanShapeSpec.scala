@@ -302,6 +302,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(hasGlobalSort(Bench.unsorted(limited)))
   }
 
+  test("q7 and q8 fact legs ride the buckets with pre-filtered broadcast dims") {
+    for ((name, df) <- Seq(
+        "q7" -> operators.TpcH.q7NationVolume(spark, sf),
+        "q8" -> operators.TpcH.q8MarketShare(spark, sf))) {
+      val plan = planOf(df)
+      assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"),
+        s"$name: expected bucketed fact SMJ:\n$plan")
+      // dims broadcast; the only hash exchange allowed is the final
+      // O(groups) aggregation
+      assert(plan.contains("BroadcastHashJoin"), s"$name: dims must broadcast:\n$plan")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx <= 1, s"$name: fact legs must ride the buckets, got $hashEx:\n$plan")
+    }
+  }
+
   test("ann_pq ranks through partial-before-exchange TopKPerGroup, no corpus window") {
     val plan = planOf(operators.Similarity.annPq(spark, sf))
     assert("TopKPerGroup".r.findAllIn(plan).length == 2,

@@ -226,4 +226,33 @@ class PropertySpec extends SparkSpec {
     }.toSet
     assert(salted == model, "salted recombination diverged from plain aggregation")
   }
+
+  test("property: CDC chunks tile any input and are locally shift-stable") {
+    val rnd = new Random(777)
+    val P = 2147483647L
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(2000)
+      val b = Array.fill(n)((rnd.nextInt(95) + 32).toByte) // printable ascii
+      val cs = graft.functions.CdcKernel.chunkArray(b)
+      // tiling: lengths sum to input size; empty input → no chunks
+      assert(cs.map(_ & 1048575L).sum == n.toLong, "chunks must tile the input")
+      if (n == 0) assert(cs.isEmpty)
+      // descriptors well-formed
+      assert(cs.forall(d => (d >> 20) >= 0 && (d >> 20) < P && (d & 1048575L) > 0))
+      // determinism
+      assert(cs.sameElements(graft.functions.CdcKernel.chunkArray(b)))
+      if (n > 64) {
+        // local shift-stability: a single-byte edit at the FRONT leaves
+        // every boundary beyond the first window unchanged, so all
+        // chunks after the first post-edit boundary are identical
+        val edited = b.clone(); edited(0) = (edited(0) ^ 1).toByte
+        val cs2 = graft.functions.CdcKernel.chunkArray(edited)
+        val tail = cs.reverse.zip(cs2.reverse).takeWhile { case (a, c) => a == c }.length
+        // both splits share all chunks except possibly the first one
+        // on each side of the edit (the window covers only 8 bytes)
+        assert(tail >= math.min(cs.length, cs2.length) - 1,
+          s"front edit must not move downstream boundaries (tail=$tail of ${cs.length})")
+      }
+    }
+  }
 }
