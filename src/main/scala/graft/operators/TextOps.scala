@@ -503,8 +503,51 @@ object TextOps {
       |  (CAST(sum(bits) AS BIGINT) * 1000) // count(*) AS bits_per_token_milli
       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ feature hashing
+  /** The hashing trick: every token lands in one of 1024 feature
+    * buckets via the codegen'd poly_hash, with a hash-derived ±1 sign
+    * (the Weinberger signed variant — collisions cancel in expectation
+    * instead of biasing upward). Emits the sparse (doc, idx, value)
+    * triplets a linear model or sketch consumer trains on — no
+    * vocabulary pass, no fit state, fixed dimensionality at any corpus
+    * size; exact integer counts so the feature matrix is
+    * engine-reproducible bit-for-bit.
+    *
+    * == Scale design ==
+    * One scan → explode → two-phase groupBy on (doc, idx): map-side
+    * combine absorbs token multiplicity; output is bounded by
+    * docs × 1024, independent of token volume. The fixed feature space
+    * is the point of the trick — state never grows with the vocabulary.
+    */
+  def mlFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    def ph(c: Column): Column = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(c), GraftSqlShim.expression(lit(2147483647L))))
+    docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .select(col("doc_id"), ph(col("w")).as("h"))
+      .select(col("doc_id"), (col("h") % 1024).as("feature_idx"),
+        (lit(1L) - shiftright(col("h"), 10) % 2 * 2).as("sgn"))
+      .groupBy(col("doc_id"), col("feature_idx"))
+      .agg(sum(col("sgn")).as("value"))
+      .filter(col("value") =!= 0)
+      .orderBy(col("doc_id"), col("feature_idx"))
+  }
+
+  val mlFeatureHashSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |h AS (SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a*31 + b) % 2147483647) AS h
+      |  FROM w),
+      |f AS (SELECT doc_id, h % 1024 AS feature_idx,
+      |    1 - ((h // 1024) % 2) * 2 AS sgn FROM h)
+      |SELECT doc_id, feature_idx, CAST(sum(sgn) AS BIGINT) AS value
+      |FROM f GROUP BY 1, 2 HAVING sum(sgn) <> 0
+      |ORDER BY doc_id, feature_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_surprisal" -> textSurprisal,
+    "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
     "tokenize_ids" -> tokenizeIds,
     "quality_classifier" -> qualityClassifier,
@@ -549,6 +592,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_surprisal" -> textSurprisalSql,
+    "ml_feature_hash" -> mlFeatureHashSql,
     "vocab_build" -> vocabBuildSql,
     "tokenize_ids" -> tokenizeIdsSql,
     "quality_classifier" -> qualityClassifierSql,

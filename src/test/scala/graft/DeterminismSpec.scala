@@ -1,0 +1,35 @@
+package graft
+
+/** Run-to-run determinism guard for the float-emitting queries.
+  *
+  * The oracle contract (README "Determinism contract") claims doubles
+  * are bit-identical across shuffle orders and AQE re-plans because
+  * every float is a single division / fixed-order fold over exact
+  * integers. That claim must hold not just Spark-vs-DuckDB but
+  * Spark-vs-ITSELF: a second evaluation re-plans under AQE with
+  * different partition sizes and task orders, so any hidden
+  * accumulation-order dependence shows up as a flipped low bit here
+  * before it ever reaches the driver's hash gate.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  // the queries whose output carries doubles produced near float
+  // hazards: cosine folds, k-means codebooks, ratio divisions,
+  // variance z-scores, percentile interpolation, sqrt normalizers
+  private val risky = Seq(
+    "dedup_embedding", "ann_pq", "ann_ivf", "ann_bruteforce",
+    "corpus_mixture", "q8_market_share", "events_anomaly",
+    "agg_percentile", "events_ewma")
+
+  test("float-emitting queries are bit-identical across two evaluations") {
+    val dir = sfMid
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    risky.foreach { name =>
+      val a = SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq).toSeq
+      val b = SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq).toSeq
+      assert(a == b, s"$name: two evaluations diverged — a float is " +
+        "accumulation-order dependent")
+      assert(a.nonEmpty, s"$name: vacuous determinism check")
+    }
+  }
+}
