@@ -1665,9 +1665,12 @@ object Analytics {
       .join(broadcast(perType.select(col("event_type").as("type_a"), col("nt").as("na"))), Seq("type_a"))
       .join(broadcast(perType.select(col("event_type").as("type_b"), col("nt").as("nb"))), Seq("type_b"))
       .crossJoin(broadcast(tot))
+      // divisor widened too: na·nb in bare LONG wraps past ~3·10⁹
+      // sessions per type (Spark wraps silently, DuckDB errors — the
+      // one divergence class the exact-integer contract must avoid)
       .select(col("type_a"), col("type_b"), col("support"),
-        expr("CAST(support AS DECIMAL(38,0)) * n_sessions * 1000000 div (na * nb)")
-          .as("lift_ppm"))
+        expr("CAST(support AS DECIMAL(38,0)) * n_sessions * 1000000" +
+          " div (CAST(na AS DECIMAL(38,0)) * nb)").as("lift_ppm"))
       .orderBy(col("support").desc, col("type_a"), col("type_b"))
   }
 
@@ -1688,7 +1691,7 @@ object Analytics {
       |  GROUP BY 1, 2)
       |SELECT type_a, type_b, support,
       |  CAST((CAST(support AS HUGEINT) * t.n_sessions * 1000000)
-      |    // (pa.nt * pb.nt) AS BIGINT) AS lift_ppm
+      |    // (CAST(pa.nt AS HUGEINT) * pb.nt) AS BIGINT) AS lift_ppm
       |FROM pr CROSS JOIN tot t
       |JOIN pt pa ON pa.event_type = type_a
       |JOIN pt pb ON pb.event_type = type_b
@@ -1896,8 +1899,8 @@ object Analytics {
         col("nt").as("nb"))), Seq("day", "type_b"))
       .join(broadcast(tot), Seq("day"))
       .select(col("day"), col("type_a"), col("type_b"), col("support"),
-        expr("CAST(support AS DECIMAL(38,0)) * n_sessions * 1000000 div (na * nb)")
-          .as("lift_ppm"))
+        expr("CAST(support AS DECIMAL(38,0)) * n_sessions * 1000000" +
+          " div (CAST(na AS DECIMAL(38,0)) * nb)").as("lift_ppm"))
     val wDrift = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("day"))
     lift
       .withColumn("prev_lift_ppm", lag(col("lift_ppm"), 1).over(wDrift))
@@ -1923,7 +1926,7 @@ object Analytics {
       |  GROUP BY 1, 2, 3),
       |lf AS (SELECT pr.day, type_a, type_b, support,
       |    CAST((CAST(support AS HUGEINT) * t.n_sessions * 1000000)
-      |      // (pa.nt * pb.nt) AS BIGINT) AS lift_ppm
+      |      // (CAST(pa.nt AS HUGEINT) * pb.nt) AS BIGINT) AS lift_ppm
       |  FROM pr JOIN tot t ON t.day = pr.day
       |  JOIN pt pa ON pa.day = pr.day AND pa.event_type = type_a
       |  JOIN pt pb ON pb.day = pr.day AND pb.event_type = type_b)
