@@ -97,6 +97,10 @@ object GraftFunctions {
       exprs => FloatVectorDot(exprs(0), exprs(1)))
     GraftSqlShim.registerFunction(spark, "poly_hash",
       exprs => StringPolyHash(exprs(0), exprs(1)))
+    GraftSqlShim.registerFunction(spark, "minhash_sig",
+      exprs => StringMinHashSig(exprs(0)))
+    GraftSqlShim.registerFunction(spark, "cdc_chunks",
+      exprs => CdcChunks(exprs(0)))
     registerBloom(spark)
   }
 
@@ -144,6 +148,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[StringMinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => StringMinHashSig(exprs(0))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_chunks"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CdcChunks].getName, "cdc_chunks"),
+      (exprs: Seq[Expression]) => CdcChunks(exprs(0))))
     // whole-operator top-k-per-group (graft.plans): logical node →
     // partial/final physical pair
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -227,6 +227,18 @@ class PropertySpec extends SparkSpec {
     assert(salted == model, "salted recombination diverged from plain aggregation")
   }
 
+  test("cdc_chunks and minhash_sig are SQL-callable after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val text = "the quick brown fox jumps over the lazy dog"
+    val r = spark.sql(
+      s"SELECT cdc_chunks('$text') AS c, minhash_sig('$text') AS m").collect().head
+    assert(r.getSeq[Long](0) ==
+      graft.functions.CdcKernel.chunkArray(text.getBytes("UTF-8")).toSeq,
+      "SQL-path cdc_chunks must equal the kernel")
+    assert(r.getLong(1) == graft.functions.MinHashKernel.signature(text),
+      "SQL-path minhash_sig must equal the kernel")
+  }
+
   test("property: CDC chunks tile any input and are locally shift-stable") {
     val rnd = new Random(777)
     val P = 2147483647L
