@@ -72,6 +72,43 @@ object CdcKernel {
     if (start < b.length) out += ch * 1048576L + (b.length - start).toLong
     out.toArray
   }
+
+  /** The CLAMPED variant real chunk stores ship (min/max chunk bounds
+    * kill the 1-byte and unbounded tails) — kept SPEC-ONLY, never
+    * registered: once a boundary is suppressed inside `minLen` of the
+    * previous cut or forced at `maxLen`, every later boundary depends
+    * on the previous one. That sequential state is exactly what the
+    * per-position declarative oracle (window hash + prefix-sum) cannot
+    * express, so the registered contract stays the pure splitter and
+    * this twin documents the trade and its measured edge behavior.
+    */
+  def chunkArrayClamped(b: Array[Byte], minLen: Int, maxLen: Int): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var start = 0
+    var ch = 0L
+    var w = 0L
+    var i = 0
+    while (i < b.length) {
+      val x = (b(i) & 0xff).toLong
+      ch = (ch * 31L + x) % P
+      w =
+        if (i < W) (w * 31L + x) % P
+        else {
+          val outByte = (b(i - W) & 0xff).toLong
+          (((w + P * 256L - outByte * POW) % P) * 31L + x) % P
+        }
+      val len = i - start + 1
+      val contentCut = i >= W - 1 && w % MASK == 0L && len >= minLen
+      if (contentCut || len >= maxLen) {
+        out += ch * 1048576L + len.toLong
+        start = i + 1
+        ch = 0L
+      }
+      i += 1
+    }
+    if (start < b.length) out += ch * 1048576L + (b.length - start).toLong
+    out.toArray
+  }
 }
 
 /** `cdc_chunks(text)`: the per-blob CDC chunk descriptors as one

@@ -239,6 +239,36 @@ class PropertySpec extends SparkSpec {
       "SQL-path minhash_sig must equal the kernel")
   }
 
+  test("property: clamped CDC bounds lengths but carries sequential state") {
+    val rnd = new Random(4242)
+    var sequentialObserved = false
+    for (_ <- 1 to 100) {
+      val n = rnd.nextInt(3000) + 64
+      val b = Array.fill(n)((rnd.nextInt(95) + 32).toByte)
+      val cs = graft.functions.CdcKernel.chunkArrayClamped(b, 16, 256)
+      val lens = cs.map(_ & 1048575L)
+      assert(lens.sum == n.toLong, "clamped chunks must still tile")
+      // every chunk honors the clamp except the final remainder
+      assert(lens.dropRight(1).forall(l => l >= 16 && l <= 256),
+        s"interior chunk lengths must sit in [16,256]: ${lens.mkString(",")}")
+      assert(lens.last <= 256)
+      // sequential dependence, demonstrated: wherever the PURE splitter
+      // emits a chunk under minLen, the clamp must suppress that cut —
+      // so the clamped split differs, and the suppression point depends
+      // on the PREVIOUS cut (state), not on the local window alone
+      val pure = graft.functions.CdcKernel.chunkArray(b)
+      if (pure.dropRight(1).exists(d => (d & 1048575L) < 16)) {
+        assert(!cs.sameElements(pure),
+          "a sub-min pure chunk must force the clamped split to diverge")
+        sequentialObserved = true
+      }
+    }
+    // the corpus of random inputs must actually exercise the divergence
+    // (pure CDC produces sub-16-byte chunks routinely at mask 64)
+    assert(sequentialObserved,
+      "no input exercised min-length suppression — probe is vacuous")
+  }
+
   test("property: CDC chunks tile any input and are locally shift-stable") {
     val rnd = new Random(777)
     val P = 2147483647L
