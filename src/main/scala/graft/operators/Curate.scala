@@ -375,6 +375,45 @@ object Curate {
       |WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 80 END
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- fixed-k uniform sample
+  /** Exact-k uniform sample without replacement, deterministic: rank
+    * every doc by a content-seeded hash and keep the k smallest — the
+    * distributed answer to "give me exactly 1000 random docs,
+    * reproducibly" (rate-based samplers like [[sampleStratified]] give
+    * a BINOMIAL count, not an exact k). The hash makes the permutation;
+    * the top-k makes the cut; re-running on the same corpus returns the
+    * same sample bit-for-bit.
+    *
+    * == Scale design ==
+    * Rides the custom TopKPerGroup operator with a constant group key:
+    * every partition forwards at most k rows into the single merge (a
+    * k-item heap per partition) — no global sort, no full shuffle,
+    * O(k) final state. The rank column then re-ranks the survivors
+    * 1..k for a stable output contract.
+    */
+  def sampleUniformK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val K = 100
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("unif|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val ranked = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        h.as("h"), lit(1).as("g"))
+    graft.plans.GraftOps.topKPerGroup(ranked, Seq("g"),
+        Seq("h" -> false, "doc_id" -> false), k = K, rankName = "sample_rank")
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_rank"))
+      .orderBy(col("sample_rank"))
+  }
+
+  val sampleUniformKSql: String =
+    """WITH f AS (SELECT doc_id, lang, source,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('unif|' || text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM documents)
+      |SELECT doc_id, lang, source,
+      |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+      |FROM f ORDER BY h, doc_id LIMIT 100""".stripMargin
+
   // --------------------------------------------- importance sampling
   /** Quality-weighted importance sampling: longer (more informative)
     * documents keep a higher deterministic acceptance rate —
@@ -475,6 +514,7 @@ object Curate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_chisq" -> corpusChisq,
+    "sample_uniform_k" -> sampleUniformK,
     "sample_importance" -> sampleImportance,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_cluster" -> pipelineCurateCluster,
@@ -489,6 +529,7 @@ object Curate {
 
   val oracles: Map[String, String] = Map(
     "corpus_chisq" -> corpusChisqSql,
+    "sample_uniform_k" -> sampleUniformKSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_cluster" -> pipelineCurateClusterSql,
     "split_train_val" -> splitTrainValSql,

@@ -378,6 +378,28 @@ class TextDedupSpec extends SparkSpec {
     rank
   }
 
+  test("sample_uniform_k returns exactly k hash-smallest docs, reproducibly") {
+    def ph(t: String): Long = {
+      var h = 0L
+      t.foreach(c => h = (h * 31 + c.toLong) % 1000000007L)
+      h
+    }
+    val docs = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val model = docs.map { case (id, t) => (ph("unif|" + t), id) }
+      .sorted.take(100).zipWithIndex
+      .map { case ((_, id), i) => id -> (i + 1).toLong }.toMap
+    val got = Curate.sampleUniformK(spark, sfMid)
+      .select("doc_id", "sample_rank").as[(Long, Long)].collect()
+    assert(got.length == 100, "must return exactly k rows")
+    assert(got.map(r => r._1 -> r._2).toMap == model,
+      "sample membership/ranks drifted from the hash-order model")
+    // reproducibility: a second run is bit-identical (no RNG anywhere)
+    val again = Curate.sampleUniformK(spark, sfMid)
+      .select("doc_id", "sample_rank").as[(Long, Long)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("corpus_chisq cells match an exact BigInt recompute and sum to the χ² identity") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("lang", "source").as[(String, String)].collect()
