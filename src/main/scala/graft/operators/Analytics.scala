@@ -793,10 +793,14 @@ object Analytics {
     * Columns cover every consumer: [[joinBucketed]] (totalprice,
     * priority), [[q3ShippingPriority]]'s fact-fact leg (custkey,
     * orderdate, shipdate), and the [[TpcH]] family (quantity,
-    * returnflag).
+    * returnflag, partkey for q9's part join, orderstatus for q21).
     */
   private[operators] def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
-    val sig = fileSig(s, dir, "orders", "lineitem")
+    // v2 layout: + o_orderstatus (TpcH q21) and l_partkey (TpcH q9).
+    // The version participates in the signature (and thus the table
+    // name), so a warehouse left behind by an older layout can never
+    // satisfy a newer consumer's column set.
+    val sig = "v2|" + fileSig(s, dir, "orders", "lineitem")
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + java.lang.Long.toHexString(sig.hashCode.toLong & 0xffffffffL)
     val (oTbl, lTbl) = (s"graft_orders_$tag", s"graft_lineitem_$tag")
@@ -814,11 +818,12 @@ object Analytics {
       }
       Tables.writeBucketed(
         t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate",
-          "o_totalprice", "o_orderpriority"),
+          "o_totalprice", "o_orderpriority", "o_orderstatus"),
         oTbl, 8, "o_orderkey", "o_orderkey")
       Tables.writeBucketed(
-        t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice",
-          "l_discount", "l_shipdate", "l_quantity", "l_returnflag"),
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount", "l_shipdate", "l_quantity",
+          "l_returnflag"),
         lTbl, 8, "l_orderkey", "l_orderkey")
       tag
     })

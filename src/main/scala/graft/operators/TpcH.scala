@@ -533,8 +533,304 @@ object TpcH {
       |    // sum(vol) AS BIGINT) AS share_ppm
       |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q2
+  /** Q2 analog — minimum-cost supplier: for each MEDIUM size-25 part,
+    * the supplier(s) whose cheapest observed shipment total is the
+    * part's global minimum (the corpus has no partsupp relation, so
+    * supply cost is derived from lineitem history). Q2's correlated
+    * `cost = (SELECT min(cost) …)` compiles to an aggregate join-back.
+    *
+    * == Scale design ==
+    * The part filter broadcasts into the fact scan, so the offers
+    * relation is O(matched parts × suppliers) — fact-sized input, tiny
+    * output. The min join-back is an equi-join between two aggregates
+    * of that same small relation, and every dim joins as a broadcast.
+    * Cost is exact integer cents end-to-end; the only float is the
+    * presentation division.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .filter(col("p_size") === 25 && col("p_type") === "MEDIUM")
+      .select(col("p_partkey"), col("p_brand"))
+    val offers = t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("p_brand"), col("l_suppkey"))
+      .agg(min(cents(col("l_extendedprice"))).as("cost_c"))
+    val best = offers.groupBy(col("l_partkey").as("bp"))
+      .agg(min(col("cost_c")).as("best_c"))
+    offers
+      .join(best, col("l_partkey") === col("bp") && col("cost_c") === col("best_c"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_brand"),
+        (col("cost_c") / 100.0).as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2Sql: String =
+    """WITH p AS (SELECT p_partkey, p_brand FROM part
+      |  WHERE p_size = 25 AND p_type = 'MEDIUM'),
+      |offers AS (SELECT l_partkey, p_brand, l_suppkey,
+      |    min(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_c
+      |  FROM lineitem JOIN p ON l_partkey = p_partkey GROUP BY 1, 2, 3),
+      |best AS (SELECT l_partkey AS bp, min(cost_c) AS best_c
+      |  FROM offers GROUP BY 1)
+      |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_brand,
+      |  cost_c/100.0 AS cost
+      |FROM offers JOIN best ON l_partkey = bp AND cost_c = best_c
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  /** Q9 analog — product-type profit by supplier nation and order
+    * year, for parts named like '%red%'. With no partsupp supply cost
+    * in the corpus, cost is proxied by p_retailprice × quantity, so
+    * profit = Σ (price·(100−disc) − retail·qty) — every term an exact
+    * integer ten-thousandth of a dollar, summed in DECIMAL(38,0).
+    *
+    * == Scale design ==
+    * The orders⋈lineitem leg rides the bucketed twins (the v2 layout
+    * carries l_partkey precisely for this query); part and
+    * supplier-nation arrive as broadcast prunes. One pass, one
+    * O(nations × years) aggregation exchange.
+    */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val (oTbl, lTbl) = Analytics.ensureBucketed(s, dir)
+    val p = t(s, dir, "part").filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("rc"))
+    val sup = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    s.table(lTbl).hint("merge")
+      .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum((cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))
+          - col("rc") * cents(col("l_quantity")))
+        .cast("decimal(38,0)")).cast("double") / 10000.0).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount*100) AS BIGINT))
+      |      - CAST(round(p_retailprice*100) AS BIGINT)
+      |      * CAST(round(l_quantity*100) AS BIGINT) AS HUGEINT))
+      |    AS DOUBLE)/10000.0 AS profit
+      |FROM lineitem, orders, part, supplier, nation
+      |WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  // --------------------------------------------------------------- q11
+  /** Q11 analog — important parts: parts whose NATION_1-supplied value
+    * exceeds 1.2× the per-part average (Q11's scalar-subquery HAVING
+    * threshold, made corpus-size-invariant: a fixed fraction of the
+    * grand total would select everything or nothing as the part count
+    * scales). The cut `value · n_parts · 5 > total · 6` is exact
+    * integer cross-multiplication — no float threshold anywhere.
+    *
+    * == Scale design ==
+    * One fact pass pruned by a broadcast supplier filter, one
+    * O(parts) aggregation; the grand total is a one-row aggregate
+    * broadcast back over the per-part relation (the [[TextOps]] tf-idf
+    * corpus-count pattern). Nothing fact-sized crosses the driver.
+    */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val sup1 = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_1")
+      .select(col("s_suppkey"))
+    val vals = t(s, dir, "lineitem")
+      .join(broadcast(sup1), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(cents(col("l_extendedprice")).cast("decimal(38,0)")).as("value_c"))
+    val tot = vals.agg(sum(col("value_c")).as("total_c"),
+      count(lit(1)).as("n_parts"))
+    vals.crossJoin(broadcast(tot))
+      .filter(col("value_c") * col("n_parts") * 5 > col("total_c") * 6)
+      .select(col("p_partkey"),
+        (col("value_c").cast("double") / 100.0).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  val q11Sql: String =
+    """WITH v AS (SELECT l_partkey AS p_partkey,
+      |    sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS value_c
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name = 'NATION_1'
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(value_c) AS total_c, count(*) AS n_parts FROM v)
+      |SELECT p_partkey, CAST(value_c AS DOUBLE)/100.0 AS value
+      |FROM v, tot WHERE value_c * n_parts * 5 > total_c * 6
+      |ORDER BY value DESC, p_partkey""".stripMargin
+
+  // --------------------------------------------------------------- q16
+  /** Q16 analog — parts/supplier relationship: how many distinct
+    * suppliers (excluding overdrawn ones — the corpus's stand-in for
+    * Q16's complaint filter) ship each surviving (brand, type, size)
+    * combination. Q16's NOT IN compiles to a broadcast anti-join
+    * against the tiny excluded-supplier set.
+    *
+    * == Scale design ==
+    * Both filters broadcast into the single fact pass; the distinct
+    * aggregation shuffles the deduplicated (brand, type, size,
+    * suppkey) relation — bounded by |parts|×|suppliers|, not by the
+    * fact table. count(DISTINCT) over pre-pruned keys is the
+    * map-side-combinable form.
+    */
+  def q16SupplierParts(s: SparkSession, dir: String): DataFrame = {
+    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_key"))
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#12" && col("p_type") =!= "MEDIUM"
+        && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    t(s, dir, "lineitem")
+      .join(broadcast(bad), col("l_suppkey") === col("bad_key"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND p_brand <> 'Brand#12' AND p_type <> 'MEDIUM'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // --------------------------------------------------------------- q20
+  /** Q20 analog — majority shippers: NATION_1 suppliers who shipped
+    * more than half of some red part's total 1996 volume (the corpus
+    * has no availqty, so Q20's excess-stock test becomes a majority-
+    * share test over shipped quantity — same nested semi-join chain).
+    * The half test is exact: 2·supplier_qty > part_qty in integer
+    * quantity-cents.
+    *
+    * == Scale design ==
+    * One filtered fact pass → O(parts × suppliers) aggregate; the
+    * per-part total joins back on the aggregate's own key (exchange
+    * reuse); the final supplier probe is a semi-join against a
+    * distinct key set that is at most |suppliers| — broadcast-sized
+    * by construction.
+    */
+  def q20ExcessShippers(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val shipped = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(cents(col("l_quantity")).cast("decimal(38,0)")).as("sq"))
+    val totals = shipped.groupBy(col("l_partkey").as("tp"))
+      .agg(sum(col("sq")).as("tq"))
+    val excess = shipped
+      .join(totals, col("l_partkey") === col("tp") && col("sq") * 2 > col("tq"))
+      .select(col("l_suppkey")).distinct()
+    t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_1")
+      .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20Sql: String =
+    """WITH p AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+      |sh AS (SELECT l_partkey, l_suppkey,
+      |    sum(CAST(CAST(round(l_quantity*100) AS BIGINT) AS HUGEINT)) AS sq
+      |  FROM lineitem JOIN p ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT l_partkey AS tp, sum(sq) AS tq FROM sh GROUP BY 1)
+      |SELECT s_name, s_acctbal FROM supplier, nation
+      |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_1'
+      |  AND s_suppkey IN (SELECT l_suppkey FROM sh
+      |    JOIN tot ON l_partkey = tp AND sq*2 > tq)
+      |ORDER BY s_name""".stripMargin
+
+  // --------------------------------------------------------------- q21
+  /** Q21 analog — suppliers who kept orders waiting: NATION_1
+    * suppliers whose line shipped >60 days after the order date on a
+    * finished ('F') order that involved at least one other supplier,
+    * where no OTHER supplier shipped late. Q21's EXISTS / NOT EXISTS
+    * pair compiles to a semi-join and an anti-join on the same order
+    * key, counted per l1 line like the classic query.
+    *
+    * == Scale design ==
+    * Every join in the chain — late⋈orders, the EXISTS semi, the NOT
+    * EXISTS anti — is keyed on l_orderkey, so all three legs consume
+    * the bucketed twins' scan partitioning: zero fact hash exchanges
+    * (plan-asserted in PlanShapeSpec). The NATION_1 supplier probe
+    * broadcasts. The only exchange is the final O(suppliers)
+    * aggregation.
+    */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val (oTbl, lTbl) = Analytics.ensureBucketed(s, dir)
+    val sup1 = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_1")
+      .select(col("s_suppkey"), col("s_name"))
+    val late = s.table(lTbl).hint("merge")
+      .join(s.table(oTbl).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l1 = late.join(broadcast(sup1), col("l_suppkey") === col("s_suppkey"))
+    val others = s.table(lTbl)
+      .select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("s2_key"))
+    val lateOthers = late
+      .select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("s3_key"))
+    l1.join(others.hint("merge"),
+        col("l_orderkey") === col("o2_key") && col("s2_key") =!= col("l_suppkey"),
+        "left_semi")
+      .join(lateOthers.hint("merge"),
+        col("l_orderkey") === col("o3_key") && col("s3_key") =!= col("l_suppkey"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """WITH late AS (SELECT l_orderkey, l_suppkey FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |SELECT s_name, count(*) AS numwait
+      |FROM late l1, supplier, nation
+      |WHERE l1.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_1'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q9_product_profit" -> q9ProductProfit,
+    "q11_important_parts" -> q11ImportantParts,
+    "q16_supplier_parts" -> q16SupplierParts,
+    "q20_excess_shippers" -> q20ExcessShippers,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers,
     "q7_nation_volume" -> q7NationVolume,
     "q8_market_share" -> q8MarketShare,
     "q13_custdist" -> q13CustDist,
@@ -549,6 +845,12 @@ object TpcH {
     "q22_dormant_segments" -> q22DormantSegments)
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2Sql,
+    "q9_product_profit" -> q9Sql,
+    "q11_important_parts" -> q11Sql,
+    "q16_supplier_parts" -> q16Sql,
+    "q20_excess_shippers" -> q20Sql,
+    "q21_waiting_suppliers" -> q21Sql,
     "q7_nation_volume" -> q7Sql,
     "q8_market_share" -> q8Sql,
     "q13_custdist" -> q13Sql,

@@ -203,6 +203,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx <= 1, s"fact legs must ride the buckets, got $hashEx:\n$plan")
   }
 
+  test("q21's EXISTS semi and NOT-EXISTS anti both ride the bucket partitioning") {
+    val plan = planOf(operators.TpcH.q21WaitingSuppliers(spark, sf))
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"EXISTS/NOT EXISTS must compile to semi+anti joins:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+    // late⋈orders, the semi, and the anti are all keyed on l_orderkey:
+    // every fact leg consumes the bucketed partitioning, so the only
+    // hash exchange left is the final O(suppliers) aggregation
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx <= 1, s"fact legs must ride the buckets, got $hashEx:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"NATION_1 probe must broadcast:\n$plan")
+  }
+
   test("q18's rollup and join-back both ride the bucket partitioning") {
     val plan = planOf(operators.TpcH.q18LargeOrders(spark, sf))
     assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")

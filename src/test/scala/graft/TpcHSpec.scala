@@ -218,4 +218,184 @@ class TpcHSpec extends SparkSpec {
       assert(byRank.values.map(_.size).sum == n)
     }
   }
+
+  test("q2 returns exactly the suppliers achieving each part's minimum cost") {
+    val parts = Tables.load(spark, sf, "part")
+      .filter(col("p_size") === 25 && col("p_type") === "MEDIUM")
+      .select("p_partkey").as[Long].collect().toSet
+    val offers = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_partkey").isin(parts.toSeq: _*))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).map { case (k, rs) => k -> rs.map(_._3).min }
+    val best = offers.groupBy(_._1._1).map { case (p, os) => p -> os.values.min }
+    val model = offers.collect {
+      case ((p, sk), c) if c == best(p) => (p, sk, c / 100.0)
+    }.toSet
+    val got = TpcH.q2MinCostSupplier(spark, sf)
+      .select("p_partkey", "cost").as[(Long, Double)].collect()
+    // at this SF the full answer fits under the LIMIT, so the spec can
+    // demand the complete min-achiever set, not a prefix of it
+    assert(model.size <= 100, "fixture drifted: answer no longer fits the limit")
+    assert(got.length == model.size, "row count drifted")
+    assert(got.toSet == model.map(m => (m._1, m._3)),
+      "(part, cost) pairs must be exactly the per-part minima")
+    got.groupBy(_._1).foreach { case (p, rs) =>
+      rs.foreach { case (_, c) => assert(c == best(p) / 100.0) }
+    }
+  }
+
+  test("q11's cross-multiplied threshold equals the 1.2x-average float cut") {
+    // the driver correctness scale: sf0.001 selects an empty set
+    // for this query's filters, which would make the spec vacuous
+    val dir = sfMid
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val sup1 = Tables.load(spark, dir, "supplier")
+      .join(Tables.load(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_1")
+      .select("s_suppkey").as[Long].collect().toSet
+    val vals = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_suppkey").isin(sup1.toSeq: _*))
+      .select(col("l_partkey"), round(col("l_extendedprice") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).map(BigInt(_)).sum }
+    val (total, n) = (vals.values.sum, vals.size)
+    val modelKeys = vals.filter { case (_, v) => v * n * 5 > total * 6 }.keySet
+    // the integer cut is the float 1.2x-average cut (no boundary case
+    // can differ: both sides of the comparison are exact integers)
+    val floatKeys = vals.filter { case (_, v) =>
+      v.toDouble > 1.2 * (total.toDouble / n) }.keySet
+    val got = TpcH.q11ImportantParts(spark, dir)
+      .select("p_partkey").as[Long].collect()
+    assert(got.toSet == modelKeys && got.length == modelKeys.size)
+    assert(modelKeys == floatKeys, "integer and float cuts must agree here")
+    assert(modelKeys.nonEmpty && modelKeys.size < vals.size,
+      "threshold must be selective, not vacuous")
+  }
+
+  test("q16 never counts an overdrawn supplier and counts each at most once") {
+    // the driver correctness scale: sf0.001 selects an empty set
+    // for this query's filters, which would make the spec vacuous
+    val dir = sfMid
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val bad = Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey").as[Long].collect().toSet
+    assert(bad.nonEmpty, "fixture drifted: no overdrawn suppliers to exclude")
+    val pmeta = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#12" && col("p_type") =!= "MEDIUM"
+        && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+      .as[(Long, String, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val model = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").as[(Long, Long)].collect()
+      .filter { case (p, sk) => pmeta.contains(p) && !bad(sk) }
+      .map { case (p, sk) => (pmeta(p), sk) }.distinct
+      .groupBy(_._1).map { case (k, rs) => k -> rs.length.toLong }
+    val got = TpcH.q16SupplierParts(spark, dir)
+      .as[(String, String, Int, Long)].collect()
+      .map { case (b, t, sz, c) => (b, t, sz) -> c }.toMap
+    assert(got == model, "distinct supplier counts drifted")
+  }
+
+  test("q20 returns exactly the NATION_1 majority shippers of some red part") {
+    // the driver correctness scale: sf0.001 selects an empty set
+    // for this query's filters, which would make the spec vacuous
+    val dir = sfMid
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val red = Tables.load(spark, dir, "part")
+      .filter(col("p_name").like("red%")).select("p_partkey")
+      .as[Long].collect().toSet
+    val sh = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect().filter(r => red(r._1))
+      .groupBy(r => (r._1, r._2)).map { case (k, rs) => k -> rs.map(_._3).sum }
+    val tot = sh.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val majority = sh.collect {
+      case ((p, sk), q) if 2 * q > tot(p) => sk
+    }.toSet
+    val n1names = Tables.load(spark, dir, "supplier")
+      .join(Tables.load(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_1")
+      .select("s_suppkey", "s_name").as[(Long, String)].collect()
+    val model = n1names.filter(r => majority(r._1)).map(_._2).sorted
+    val got = TpcH.q20ExcessShippers(spark, dir).select("s_name")
+      .as[String].collect()
+    assert(got.toSeq == model.toSeq, s"got ${got.toList} expected ${model.toList}")
+    assert(got.nonEmpty, "fixture drifted: no majority shipper left")
+  }
+
+  test("q21 counts late lines on multi-supplier F orders with no other late supplier") {
+    // the driver correctness scale: sf0.001 selects an empty set
+    // for this query's filters, which would make the spec vacuous
+    val dir = sfMid
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val lines = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("o_orderstatus"),
+        datediff(col("l_shipdate"), col("o_orderdate")))
+      .as[(Long, Long, String, Int)].collect()
+    val suppsByOrder = lines.groupBy(_._1)
+      .map { case (o, rs) => o -> rs.map(_._2).toSet }
+    // timestamps are day-aligned (asserted below), so the interval
+    // predicate l_shipdate > o_orderdate + 60d is exactly datediff > 60
+    val late = lines.filter(r => r._3 == "F" && r._4 > 60)
+    val lateByOrder = late.groupBy(_._1)
+      .map { case (o, rs) => o -> rs.map(_._2).toSet }
+    val n1 = Tables.load(spark, dir, "supplier")
+      .join(Tables.load(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_1")
+      .select("s_suppkey", "s_name").as[(Long, String)].collect().toMap
+    val model = late
+      .filter { case (o, sk, _, _) => n1.contains(sk) &&
+        (suppsByOrder(o) - sk).nonEmpty && (lateByOrder(o) - sk).isEmpty }
+      .groupBy(r => n1(r._2)).map { case (nm, rs) => nm -> rs.length.toLong }
+    val got = TpcH.q21WaitingSuppliers(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == model, s"got $got expected $model")
+    assert(model.nonEmpty, "fixture drifted: no waiting supplier left")
+    val misaligned = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") =!= date_trunc("day", col("l_shipdate"))).count()
+    assert(misaligned == 0, "shipdates gained a time component; datediff model invalid")
+  }
+
+  test("q9 profit is the exact revenue-minus-retail-cost recompute") {
+    val red = Tables.load(spark, sf, "part")
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), round(col("p_retailprice") * 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val supNation = Tables.load(spark, sf, "supplier")
+      .join(Tables.load(spark, sf, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name").as[(Long, String)].collect().toMap
+    val oyear = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val model = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_quantity") * 100).cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .filter(r => red.contains(r._2))
+      .groupBy(r => (supNation(r._3), oyear(r._1)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => BigInt(r._4) * (100 - r._5) - BigInt(red(r._2)) * r._6).sum
+      }
+    val got = TpcH.q9ProductProfit(spark, sf)
+      .as[(String, Long, Double)].collect()
+      .map { case (n, y, p) => (n, y) -> p }.toMap
+    assert(got.keySet == model.keySet)
+    got.foreach { case (k, p) =>
+      assert(p == (BigDecimal(model(k)) / 10000).toDouble, s"profit drifted at $k")
+    }
+  }
 }
