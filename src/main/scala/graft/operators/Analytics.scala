@@ -2040,7 +2040,72 @@ object Analytics {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ------------------------------------------- semi-structured props
+  /** Scan-side JSON path extraction over the events `props` column —
+    * the semi-structured face every log pipeline needs: pull `$.k`
+    * out of the JSON blob at scan time, then aggregate it exactly
+    * (all-integer stats, so the oracle hash-matches bit-for-bit).
+    *
+    * == Scale design ==
+    * `get_json_object` is a codegen'd expression evaluated inside the
+    * scan's projection — the JSON never survives past the map side,
+    * and the aggregation state is O(event types). At 100 TB the blob
+    * parse is the dominant cost and it is embarrassingly parallel;
+    * nothing here shuffles more than the final tiny exchange.
+    */
+  def eventsPropsJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_with_k"),
+        sum(col("k")).as("k_sum"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
+  val eventsPropsJsonSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------- equi-width histogram
+  /** Equi-width value histogram: 50-dollar buckets over the event
+    * value, bucket id by EXACT integer division of cents (values are
+    * non-negative, so long division IS floor — no float boundary can
+    * misfile a row, unlike width_bucket on doubles).
+    *
+    * == Scale design ==
+    * The canonical map-side-combinable shape: per-partition partial
+    * counts over O(buckets) cells, one tiny final exchange. This is
+    * the histogram you compute over 100 TB without thinking about it;
+    * the exact-cents bucket key is what keeps the cross-engine hash
+    * stable.
+    */
+  def eventsValueHistogram(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(expr("CAST(round(value*100) AS BIGINT) div 5000").as("bucket"),
+        cents(col("value")).as("vc"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("vc").cast("decimal(38,0)")).cast("double") / 100.0).as("value_sum"),
+        (min(col("vc")) / 100.0).as("value_min"),
+        (max(col("vc")) / 100.0).as("value_max"))
+      .orderBy(col("bucket"))
+
+  val eventsValueHistogramSql: String =
+    """SELECT CAST(round(value*100) AS BIGINT) // 5000 AS bucket,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT)) AS DOUBLE)/100.0 AS value_sum,
+      |  min(CAST(round(value*100) AS BIGINT))/100.0 AS value_min,
+      |  max(CAST(round(value*100) AS BIGINT))/100.0 AS value_max
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_props_json" -> eventsPropsJson,
+    "events_value_histogram" -> eventsValueHistogram,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "skyline_pareto" -> skylinePareto,
     "events_cooccurrence" -> eventsCooccurrence,
@@ -2096,6 +2161,8 @@ object Analytics {
     "unpivot_revenue" -> unpivotRevenue)
 
   val oracles: Map[String, String] = Map(
+    "events_props_json" -> eventsPropsJsonSql,
+    "events_value_histogram" -> eventsValueHistogramSql,
     "agg_heavy_hitters" -> aggHeavyHittersSql,
     "skyline_pareto" -> skylineParetoSql,
     "events_cooccurrence" -> eventsCooccurrenceSql,

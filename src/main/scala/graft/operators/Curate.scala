@@ -512,9 +512,49 @@ object Curate {
       |FROM cell JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
       |ORDER BY lang, source""".stripMargin
 
+  // -------------------------------------- per-group fixed-k sample
+  /** Exact-k uniform sample PER SOURCE, deterministic — the per-group
+    * face of [[sampleUniformK]]: cap every source at k docs chosen by
+    * a content-seeded hash order (the standard "at most N documents
+    * per domain" curation rule, reproducible across runs). Groups
+    * smaller than k keep everything.
+    *
+    * == Scale design ==
+    * The same custom TopKPerGroup physical operator, now with a real
+    * group key: per-partition k-item heaps PER GROUP flow into one
+    * grouped merge — no per-group global sort, no window over the
+    * whole corpus, per-task state O(groups_in_partition × k). The
+    * "g|"-distinct hash salt decorrelates this cut from every other
+    * sampler's.
+    */
+  def sampleGroupK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val K = 10
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("grpk|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val ranked = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), h.as("h"))
+    graft.plans.GraftOps.topKPerGroup(ranked, Seq("source"),
+        Seq("h" -> false, "doc_id" -> false), k = K, rankName = "sample_rank")
+      .select(col("source"), col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  val sampleGroupKSql: String =
+    """WITH f AS (SELECT doc_id, lang, source,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('grpk|' || text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM documents)
+      |SELECT source, doc_id, lang,
+      |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+      |FROM f
+      |QUALIFY sample_rank <= 10
+      |ORDER BY source, sample_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_chisq" -> corpusChisq,
     "sample_uniform_k" -> sampleUniformK,
+    "sample_group_k" -> sampleGroupK,
     "sample_importance" -> sampleImportance,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_cluster" -> pipelineCurateCluster,
@@ -530,6 +570,7 @@ object Curate {
   val oracles: Map[String, String] = Map(
     "corpus_chisq" -> corpusChisqSql,
     "sample_uniform_k" -> sampleUniformKSql,
+    "sample_group_k" -> sampleGroupKSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_cluster" -> pipelineCurateClusterSql,
     "split_train_val" -> splitTrainValSql,

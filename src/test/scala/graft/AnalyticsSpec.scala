@@ -515,4 +515,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(after.map(_.toSeq).toSeq == before.map(_.toSeq).toSeq,
       "re-created bucketed tables changed the result")
   }
+
+  test("events_props_json matches a regex-extracted model of the JSON blobs") {
+    import spark.implicits._
+    val rows = graft.sources.Tables.load(spark, sf, "events")
+      .select("event_type", "props").as[(String, String)].collect()
+    val kOf = """"k"\s*:\s*(-?\d+)""".r
+    val ks = rows.map { case (t, p) =>
+      (t, kOf.findFirstMatchIn(p).map(_.group(1).toLong))
+    }
+    val model = ks.groupBy(_._1).map { case (t, v) =>
+      val kv = v.flatMap(_._2)
+      t -> ((v.length.toLong, kv.length.toLong, kv.sum, kv.min, kv.max))
+    }
+    val got = Analytics.eventsPropsJson(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == model, s"got $got expected $model")
+    // the extraction must be exercised, not vacuously null
+    assert(model.values.forall { case (n, nk, _, _, _) => nk == n && n > 0 },
+      "every event row must carry a k prop in this corpus")
+  }
+
+  test("events_value_histogram buckets partition the corpus exactly") {
+    import spark.implicits._
+    val cents = graft.sources.Tables.load(spark, sf, "events")
+      .select(round(col("value") * 100).cast("long")).as[Long].collect()
+    val model = cents.groupBy(_ / 5000).map { case (b, vs) =>
+      b -> ((vs.length.toLong, vs.map(BigInt(_)).sum, vs.min, vs.max))
+    }
+    val got = Analytics.eventsValueHistogram(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSet == model.keySet, "bucket key set drifted")
+    got.foreach { case (b, n, sum, mn, mx) =>
+      val (en, esum, emn, emx) = model(b)
+      assert(n == en && sum == (BigDecimal(esum) / 100).toDouble
+        && mn == emn / 100.0 && mx == emx / 100.0, s"bucket $b drifted")
+      // integer-division bucketing can never misfile a row
+      assert(mn >= b * 50.0 && mx < (b + 1) * 50.0, s"bucket $b bounds violated")
+    }
+    assert(got.map(_._2).sum == cents.length, "buckets must partition all rows")
+  }
 }

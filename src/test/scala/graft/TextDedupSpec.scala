@@ -400,6 +400,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("sample_group_k caps every source at its k hash-smallest docs") {
+    def ph(t: String): Long = {
+      var h = 0L
+      t.foreach(c => h = (h * 31 + c.toLong) % 1000000007L)
+      h
+    }
+    val docs = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val model = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.map(r => (ph("grpk|" + r._3), r._1)).sorted.take(10)
+        .zipWithIndex.map { case ((_, id), i) => (src, id) -> (i + 1).toLong }
+    }.toMap
+    val got = Curate.sampleGroupK(spark, sfMid)
+      .select("source", "doc_id", "sample_rank")
+      .as[(String, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == model,
+      "per-source membership/ranks drifted from the hash-order model")
+    // every source is capped at min(k, |source|) — exercised non-vacuously
+    val perSrc = got.groupBy(_._1).map { case (s, rs) => s -> rs.length }
+    val srcSizes = docs.groupBy(_._2).map { case (s, rs) => s -> rs.length }
+    perSrc.foreach { case (s, n) => assert(n == math.min(10, srcSizes(s))) }
+    assert(srcSizes.values.exists(_ > 10), "cap must actually bite somewhere")
+    // the "grpk|" salt decorrelates this cut from sample_uniform_k's
+    val unif = Curate.sampleUniformK(spark, sfMid)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._2).toSet != unif, "salted orders must differ")
+  }
+
   test("corpus_chisq cells match an exact BigInt recompute and sum to the χ² identity") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("lang", "source").as[(String, String)].collect()
