@@ -655,6 +655,24 @@ object EventStreams {
       .agg(max(col("rho")).as("mj"))
   }
 
+  /** Streaming face of
+    * [[graft.operators.Analytics.eventsValueHistogram]]: the live
+    * equi-width histogram as an update-mode O(buckets) aggregation
+    * over exact integer cents (bucket = vc div 5000 — integer
+    * division, same key as the batch face). Counts and sums are
+    * ADDITIVE per cell, so a 100 TB backfill histogram and a live
+    * ingest histogram union by summing per-bucket cells; state is
+    * O(buckets) forever, no watermark and no per-key eviction needed.
+    * Batch and stream converge to identical cells on the same data
+    * (spec-asserted), the same contract as [[cmsStream]].
+    */
+  def histogramStream(stream: DataFrame): DataFrame =
+    stream.select(expr("vc div 5000").as("bucket"), col("vc"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("vc").cast("decimal(38,0)")).as("vc_sum"),
+        min(col("vc")).as("vc_min"), max(col("vc")).as("vc_max"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize,

@@ -516,6 +516,23 @@ class AnalyticsSpec extends SparkSpec {
       "re-created bucketed tables changed the result")
   }
 
+  test("bucketed twins carry the v2 column set every consumer needs") {
+    Analytics.joinBucketed(spark, sf).collect() // force twin creation
+    val names = spark.catalog.listTables().collect().map(_.name)
+    val oTbl = names.filter(_.startsWith("graft_orders_"))
+    val lTbl = names.filter(_.startsWith("graft_lineitem_"))
+    assert(oTbl.nonEmpty && lTbl.nonEmpty, "twins missing from the catalog")
+    // v2 additions: q21 filters order status, q9 joins part on the fact
+    oTbl.foreach { t =>
+      assert(spark.table(t).columns.contains("o_orderstatus"),
+        s"orders twin $t missing o_orderstatus")
+    }
+    lTbl.foreach { t =>
+      assert(spark.table(t).columns.contains("l_partkey"),
+        s"lineitem twin $t missing l_partkey")
+    }
+  }
+
   test("events_props_json matches a regex-extracted model of the JSON blobs") {
     import spark.implicits._
     val rows = graft.sources.Tables.load(spark, sf, "events")

@@ -301,6 +301,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram cells converge to the batch histogram on a split feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val cents = graft.sources.Tables.load(spark, sf, "events")
+      .select(round(col("value") * 100).cast("long")).as[Long].collect()
+    val (first, second) = cents.splitAt(cents.length / 2)
+    val mem = MemoryStream[Long]
+    val q = EventStreams.histogramStream(mem.toDF().toDF("vc"))
+      .writeStream.format("memory").queryName("hist_live")
+      .outputMode("update").start()
+    try {
+      mem.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toSeq: _*)
+      q.processAllAvailable()
+      // update mode re-emits a growing cell per batch; counts and sums
+      // are monotone, min/max monotone in their own directions — the
+      // converged value per bucket is the extremum of each column
+      val streamed = spark.sql("""SELECT bucket, max(n_events), max(vc_sum),
+          min(vc_min), max(vc_max) FROM hist_live GROUP BY 1""")
+        .as[(Long, Long, java.math.BigDecimal, Long, Long)].collect()
+        .map(r => (r._1, r._2, BigInt(r._3.toBigInteger), r._4, r._5)).toSet
+      val batch = EventStreams.histogramStream(cents.toSeq.toDF("vc"))
+        .as[(Long, Long, java.math.BigDecimal, Long, Long)].collect()
+        .map(r => (r._1, r._2, BigInt(r._3.toBigInteger), r._4, r._5)).toSet
+      assert(streamed == batch, "streaming histogram diverged from batch")
+      assert(streamed.size <= 16, "state must stay O(buckets)")
+    } finally q.stop()
+  }
+
   test("decode drops malformed/keyless payloads and zero-fills missing value") {
     val raw = Seq(
       """{"user_id":1,"event_id":10,"ts":"2026-01-01 00:00:00","event_type":"click","value":2.5}""",
