@@ -19,7 +19,9 @@ class DeterminismSpec extends SparkSpec {
   private val risky = Seq(
     "dedup_embedding", "ann_pq", "ann_ivf", "ann_bruteforce",
     "corpus_mixture", "q8_market_share", "events_anomaly",
-    "agg_percentile", "events_ewma")
+    "agg_percentile", "events_ewma",
+    // r7d: profit/value doubles divided off DECIMAL(38,0) accumulators
+    "q9_product_profit", "q11_important_parts", "events_value_histogram")
 
   test("float-emitting queries are bit-identical across two evaluations") {
     val dir = sfMid
