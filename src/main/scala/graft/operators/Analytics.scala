@@ -1878,6 +1878,92 @@ object Analytics {
       |FROM ex JOIN s ON s.event_type = ex.event_type
       |ORDER BY ex.event_type""".stripMargin
 
+  /** Sketch ALGEBRA on the per-type HLL register tables — the property
+    * that justifies sketches at 100 TB made oracle-checkable: for every
+    * event-type pair, the union sketch is the register-wise max of the
+    * two (what a backfill∪live or cross-segment merge computes without
+    * touching raw data), its estimate comes from the same exact
+    * integer-division trick as [[aggHllReplay]], and the intersection
+    * estimate is inclusion-exclusion on three integer estimates —
+    * printed next to the EXACT pairwise user overlap for honesty.
+    *
+    * == Scale design ==
+    * Raw data is touched exactly once (the distinct (type,user) pass);
+    * everything after runs on O(types × 64) registers — merge of any
+    * number of segment sketches costs register-table size, never a
+    * re-scan. The exact-overlap leg shuffles the distinct relation on
+    * user once; at 100 TB you'd drop that leg and keep the sketch side
+    * unchanged — it exists here as the ground-truth column.
+    */
+  def aggHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val tu = events(s, dir).select(col("event_type"), col("user_id").as("u")).distinct()
+    val r = tu.select(col("event_type"), hllRegister(col("u")).as("r"))
+      .select(col("event_type"), col("r.j").as("j"), col("r.rho").as("rho"))
+    val m = r.groupBy(col("event_type"), col("j")).agg(max(col("rho")).as("mj"))
+    val regs = m.select(col("event_type")).distinct()
+      .crossJoin(s.range(64).toDF("j"))
+      .join(m, Seq("event_type", "j"), "left_outer")
+      .select(col("event_type"), col("j"), coalesce(col("mj"), lit(0L)).as("mj"))
+    def estOf(sumCol: String): Column =
+      expr(s"(709 * 4096 * shiftleft(CAST(1 AS BIGINT), 26)) div $sumCol")
+    val est = regs.groupBy(col("event_type"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - mj AS INT))")).as("s1"))
+      .select(col("event_type"), estOf("s1").as("est_milli"))
+    val a = regs.select(col("event_type").as("type_a"), col("j"), col("mj").as("ma"))
+    val b = regs.select(col("event_type").as("type_b"), col("j"), col("mj").as("mb"))
+    val pairEst = a.join(b, "j").filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), greatest(col("ma"), col("mb")).as("mu"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - mu AS INT))")).as("su"))
+      .select(col("type_a"), col("type_b"), estOf("su").as("est_union_milli"))
+    val x = tu.select(col("event_type").as("type_a"), col("u"))
+    val y = tu.select(col("event_type").as("type_b"), col("u"))
+    val exact = x.join(y, "u").filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    pairEst
+      .join(broadcast(est.select(col("event_type").as("type_a"), col("est_milli").as("est_a_milli"))), "type_a")
+      .join(broadcast(est.select(col("event_type").as("type_b"), col("est_milli").as("est_b_milli"))), "type_b")
+      .join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("est_a_milli"), col("est_b_milli"),
+        col("est_union_milli"),
+        (col("est_a_milli") + col("est_b_milli") - col("est_union_milli")).as("est_inter_milli"),
+        col("n_exact_inter"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val aggHllUnionSql: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id AS u FROM events),
+      |h AS (SELECT event_type, ((1103515245*u + 12345) % 2147483647) AS h FROM u),
+      |r AS (SELECT event_type, h % 64 AS j,
+      |    26 - length(bin((h // 64) + 1)) AS rho FROM h),
+      |m AS (SELECT event_type, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+      |ty AS (SELECT DISTINCT event_type FROM m),
+      |regs AS (SELECT ty.event_type, t.j, COALESCE(m.mj, 0) AS mj
+      |  FROM ty CROSS JOIN range(0, 64) t(j)
+      |  LEFT JOIN m ON m.event_type = ty.event_type AND m.j = t.j),
+      |est AS (SELECT event_type,
+      |    (709 * 4096 * (CAST(1 AS BIGINT) << 26))
+      |      // CAST(sum(CAST(1 AS BIGINT) << CAST(26 - mj AS INT)) AS BIGINT) AS est_milli
+      |  FROM regs GROUP BY 1),
+      |pe AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    (709 * 4096 * (CAST(1 AS BIGINT) << 26))
+      |      // CAST(sum(CAST(1 AS BIGINT) << CAST(26 - greatest(a.mj, b.mj) AS INT)) AS BIGINT) AS est_union_milli
+      |  FROM regs a JOIN regs b ON a.j = b.j AND a.event_type < b.event_type
+      |  GROUP BY 1, 2),
+      |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_exact_inter
+      |  FROM u a JOIN u b ON a.u = b.u AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT pe.type_a, pe.type_b, ea.est_milli AS est_a_milli,
+      |  eb.est_milli AS est_b_milli, pe.est_union_milli,
+      |  ea.est_milli + eb.est_milli - pe.est_union_milli AS est_inter_milli,
+      |  ex.n_exact_inter
+      |FROM pe JOIN est ea ON ea.event_type = pe.type_a
+      |JOIN est eb ON eb.event_type = pe.type_b
+      |JOIN ex ON ex.type_a = pe.type_a AND ex.type_b = pe.type_b
+      |ORDER BY pe.type_a, pe.type_b""".stripMargin
+
   // -------------------------------------------- distribution window faces
   /** The ranking-distribution window family in one face: percent_rank
     * (exact rational (rank−1)/(n−1)), cume_dist, and quartile ntile
@@ -2114,6 +2200,7 @@ object Analytics {
     "window_distribution" -> windowDistribution,
     "agg_hll_replay" -> aggHllReplay,
     "agg_hll_grouped" -> aggHllGrouped,
+    "agg_hll_union" -> aggHllUnion,
     "scan_dpp" -> scanDpp,
     "events_gap_fill" -> eventsGapFill,
     "events_ewma" -> eventsEwma,
@@ -2171,6 +2258,7 @@ object Analytics {
     "window_distribution" -> windowDistributionSql,
     "agg_hll_replay" -> aggHllReplaySql,
     "agg_hll_grouped" -> aggHllGroupedSql,
+    "agg_hll_union" -> aggHllUnionSql,
     "scan_dpp" -> scanDppSql,
     "events_gap_fill" -> eventsGapFillSql,
     "events_ewma" -> eventsEwmaSql,

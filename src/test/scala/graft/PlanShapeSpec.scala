@@ -338,6 +338,34 @@ class PlanShapeSpec extends SparkSpec {
       s"pq must not rank via a window over the candidates:\n$plan")
   }
 
+  test("runtime bloom filter reduces the fact scan when 100TB thresholds are met") {
+    // At bench SF every scan sits under the injection thresholds and
+    // dims broadcast, so the production plans never show the rule; at
+    // cluster scale (scan >> applicationSideScanSizeThreshold, shuffle
+    // join) Spark 4's InjectRuntimeFilter adds a creation-side bloom
+    // probe to the fact scan — semi-join reduction without a code
+    // change. An isolated session (own SQLConf, shared context) proves
+    // the engine's join shapes pick it up, without perturbing the 142
+    // registered plans.
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions.col
+    val l = graft.sources.Tables.load(iso, sf, "lineitem")
+    val o = graft.sources.Tables.load(iso, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plan = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      s"expected an injected runtime bloom filter on the fact side:\n$plan")
+    // and the registered default-config q3 plan stays bloom-free
+    val prod = planOf(operators.Analytics.q3ShippingPriority(spark, sf))
+    assert(!prod.contains("might_contain"),
+      "production plans must not change at bench SF")
+  }
+
   test("skyline's prefix-max window runs above the level collapse, not the corpus") {
     // tree strings print children BELOW their parent: the Window line
     // must come before the level-collapse HashAggregate pair, i.e. the
