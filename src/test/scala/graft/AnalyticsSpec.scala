@@ -533,6 +533,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("hll union algebra holds its sketch invariants against exact overlaps") {
+    import spark.implicits._
+    // sf0.001 has ~85 users per pair-union over 64 registers — the raw
+    // estimator's biased n~m regime; the driver correctness scale is
+    // dense enough (n >> m) for the error bound to be meaningful
+    val dir = sfMid
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val got = Analytics.aggHllUnion(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 10, "5 event types must yield 10 unordered pairs")
+    got.foreach { case (a, b, ea, eb, eu, ei, nx) =>
+      assert(a < b, "pairs must be canonically ordered")
+      // THEOREM: register-wise max only shrinks the 2^(26-m) terms, so
+      // the union estimate dominates each side
+      assert(eu >= math.max(ea, eb), s"($a,$b): union estimate below a side")
+      // inclusion-exclusion differences three noisy estimates, so its
+      // error scales with the UNION magnitude, not the (possibly tiny)
+      // intersection: 3 sketches x ~13% (1.04/sqrt(64)) ~ 40% of the
+      // union; 50% + floor is non-vacuous (a min-merge bug lands far
+      // outside it) without flaking on small overlaps
+      assert(math.abs(ei - 1000L * nx) <= (0.5 * eu).toLong.max(2000L),
+        s"($a,$b): intersection estimate $ei vs exact ${1000L * nx}, union $eu")
+    }
+  }
+
   test("events_props_json matches a regex-extracted model of the JSON blobs") {
     import spark.implicits._
     val rows = graft.sources.Tables.load(spark, sf, "events")
