@@ -129,13 +129,55 @@ object Ingest {
       |FROM events WHERE event_id % 983 = 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Schema evolution at the lake boundary: an "old-epoch" slice
+    * written BEFORE the event_type column existed and a "new-epoch"
+    * slice carrying it land under one root; `mergeSchema` unifies the
+    * footers and the missing column surfaces as NULL, folded into an
+    * explicit 'unknown' bucket. The oracle replays the epoch split
+    * declaratively from the raw table, so the hash match proves the
+    * evolved read loses no rows and misfiles no epoch.
+    *
+    * == Scale design ==
+    * mergeSchema costs a parallel footer pass over the file listing —
+    * the MIGRATION read. A production lake pins the unified schema in
+    * a catalog after the first such pass instead of re-merging per
+    * query; the epoch directories double as partition discovery
+    * (v=1/v=2 become a partition column, pruned like any other).
+    */
+  def sourceSchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "events")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_evo_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+    base.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("event_id"), col("user_id"), cents(col("value")).as("value_cents"))
+      .write.mode("overwrite").parquet(root + "/v=1")
+    base.filter(pmod(col("event_id"), lit(2)) === 1)
+      .select(col("event_id"), col("user_id"), cents(col("value")).as("value_cents"),
+        col("event_type"))
+      .write.mode("overwrite").parquet(root + "/v=2")
+    s.read.option("mergeSchema", "true").parquet(root)
+      .groupBy(coalesce(col("event_type"), lit("unknown")).as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value_cents")) / 100.0).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val sourceSchemaMergeSql: String =
+    """SELECT CASE WHEN event_id % 2 = 0 THEN 'unknown' ELSE event_type END AS event_type,
+      |  count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
     "source_json_roundtrip" -> sourceJsonRoundtrip,
-    "source_orc_roundtrip" -> sourceOrcRoundtrip)
+    "source_orc_roundtrip" -> sourceOrcRoundtrip,
+    "source_schema_merge" -> sourceSchemaMerge)
 
   val oracles: Map[String, String] = Map(
     "source_csv_roundtrip" -> sourceCsvRoundtripSql,
     "source_json_roundtrip" -> sourceJsonRoundtripSql,
-    "source_orc_roundtrip" -> sourceOrcRoundtripSql)
+    "source_orc_roundtrip" -> sourceOrcRoundtripSql,
+    "source_schema_merge" -> sourceSchemaMergeSql)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -543,10 +544,13 @@ object TpcH {
     * == Scale design ==
     * The part filter broadcasts into the fact scan, so the offers
     * relation is O(matched parts × suppliers) — fact-sized input, tiny
-    * output. The min join-back is an equi-join between two aggregates
-    * of that same small relation, and every dim joins as a broadcast.
-    * Cost is exact integer cents end-to-end; the only float is the
-    * presentation division.
+    * output. The correlated min is an unbounded window-min over the
+    * offers aggregation's own partitioning — ONE exchange for the agg
+    * plus the window's partkey repartition, no second aggregate and no
+    * join-back (the oracle keeps the textbook aggregate-join
+    * formulation, deliberately different). Every dim joins as a
+    * broadcast. Cost is exact integer cents end-to-end; the only float
+    * is the presentation division.
     */
   def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part")
@@ -556,10 +560,10 @@ object TpcH {
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("p_brand"), col("l_suppkey"))
       .agg(min(cents(col("l_extendedprice"))).as("cost_c"))
-    val best = offers.groupBy(col("l_partkey").as("bp"))
-      .agg(min(col("cost_c")).as("best_c"))
+    val w = Window.partitionBy(col("l_partkey"))
     offers
-      .join(best, col("l_partkey") === col("bp") && col("cost_c") === col("best_c"))
+      .withColumn("best_c", min(col("cost_c")).over(w))
+      .filter(col("cost_c") === col("best_c"))
       .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
