@@ -12,7 +12,13 @@ object Verify {
     // parallel; each query writes its own directory so this is safe
     // and roughly halves the wall time of the correctness gate.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the dump to a comma-separated
+    // subset — the local fast path while iterating on one operator
+    // (the driver never sets it, so the gate always runs everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val tasks = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

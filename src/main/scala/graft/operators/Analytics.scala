@@ -2189,7 +2189,207 @@ object Analytics {
       |  max(CAST(round(value*100) AS BIGINT))/100.0 AS value_max
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------- last-touch attribution
+  /** Last-touch conversion attribution: each purchase is credited to
+    * the user's most recent PRECEDING click or view (ties broken by
+    * event_id), or "direct" when no touch precedes it. The canonical
+    * marketing-analytics shape: one windowed pass tags every event with
+    * its running last touch, then only purchases survive into a tiny
+    * grouped rollup (credited purchases, exact-cents value, distinct
+    * users per channel).
+    *
+    * == Scale design ==
+    * ONE shuffle on user_id feeds the window (running `last` over an
+    * UNBOUNDED PRECEDING..1 PRECEDING frame is O(1) state per row —
+    * no frame rescans), and the rollup that follows is
+    * map-side-combinable into O(channels)=3 rows. No self-join of
+    * events against events, which is the naive formulation that
+    * explodes quadratically on power users at 100 TB.
+    */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+    events(s, dir)
+      .withColumn("attributed",
+        coalesce(last(touch, ignoreNulls = true).over(w), lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("attributed"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(cents(col("value")).cast("decimal(38,0)")).cast("double") / 100.0)
+          .as("attributed_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("attributed"))
+  }
+
+  /** DuckDB twin: `last_value(x IGNORE NULLS)` over the identical
+    * frame; the (ts, event_id) tiebreak makes the running last touch
+    * engine-exact even under equal timestamps.
+    */
+  val eventsAttributionSql: String =
+    """WITH tagged AS (
+      |  SELECT event_type, user_id, CAST(round(value*100) AS BIGINT) AS vc,
+      |    coalesce(last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'direct') AS attributed
+      |  FROM events)
+      |SELECT attributed, count(*) AS n_purchases,
+      |  CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE)/100.0 AS attributed_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM tagged WHERE event_type = 'purchase'
+      |GROUP BY attributed ORDER BY attributed""".stripMargin
+
+  // ----------------------------------------------------- RFM segments
+  /** RFM user segmentation: recency (calendar days from the user's
+    * last event to the corpus max, both cast to DATE so day counting
+    * is integer on both engines), frequency (purchase count) and
+    * monetary (exact purchase cents) quintile-scored with ntile(5)
+    * under fully tiebroken total orders, concatenated into the classic
+    * "545"-style segment label.
+    *
+    * == Scale design ==
+    * One grouped pass over events (map-side combinable into one row
+    * per user), a broadcast of the single-row max-ts anchor, then
+    * three ntile windows over the USER table — which is orders of
+    * magnitude smaller than the event log, so the three sorts are on
+    * the cheap side of the pipeline. The (metric, user_id) tiebreaks
+    * make every quintile boundary deterministic cross-engine.
+    */
+  def eventsRfm(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val anchor = e.agg(max(col("ts")).as("t_max"))
+    val per = e.groupBy(col("user_id")).agg(
+      max(col("ts")).as("t_last"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("frequency"),
+      sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(0L))
+        .as("monetary_c"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        datediff(col("t_max").cast("date"), col("t_last").cast("date"))
+          .cast("long").as("recency_days"),
+        col("frequency"), col("monetary_c"))
+    per
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days").desc, col("user_id"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("frequency"), col("user_id"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monetary_c"), col("user_id"))))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        (col("monetary_c") / 100.0).as("monetary"),
+        col("r_score").cast("long").as("r_score"),
+        col("f_score").cast("long").as("f_score"),
+        col("m_score").cast("long").as("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB twin: ntile is SQL-standard positional bucketing, so with
+    * the same tiebroken ORDER BY both engines cut the quintiles at the
+    * same rows.
+    */
+  val eventsRfmSql: String =
+    """WITH anchor AS (SELECT max(ts) AS t_max FROM events),
+      |per AS (
+      |  SELECT user_id,
+      |    date_diff('day', CAST(max(ts) AS DATE), CAST((SELECT t_max FROM anchor) AS DATE)) AS recency_days,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS frequency,
+      |    sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS monetary_c
+      |  FROM events GROUP BY user_id),
+      |scored AS (
+      |  SELECT user_id, recency_days, frequency, monetary_c,
+      |    ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+      |    ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+      |    ntile(5) OVER (ORDER BY monetary_c, user_id) AS m_score
+      |  FROM per)
+      |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+      |  CAST(frequency AS BIGINT) AS frequency,
+      |  CAST(monetary_c AS BIGINT)/100.0 AS monetary,
+      |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+      |FROM scored ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------ Count-Min sketch
+  /** Count-Min frequency sketch, the mergeable-state companion to the
+    * HLL family ([[aggHllGrouped]]): d=4 hash rows × w=64 counters
+    * over event user_ids, then every distinct user probed back through
+    * the sketch — est = min over rows of its counter. The output
+    * carries the exact count next to the estimate, and the CMS
+    * guarantee (est ≥ exact, always) is visible in the overcount
+    * column, which the spec asserts is non-negative everywhere.
+    *
+    * Hash family: the engine-portable poly_hash over "cm{r}|{user}",
+    * replayed fold-for-fold by the oracle, so both engines fill
+    * byte-identical counter grids.
+    *
+    * == Scale design ==
+    * The sketch build is ONE pass with a posexplode fan-out of d=4
+    * cells per row and a map-side-combinable count into O(d·w)=256
+    * cells — constant state regardless of corpus size, the whole
+    * point of a sketch. The probe side joins the tiny counter grid
+    * BROADCAST against the per-user exact counts, so no second
+    * shuffle of the event log. Counter grids from disjoint segments
+    * merge by cell-wise ADD (vs the HLL register max) — the
+    * streaming/backfill merge story is the same tiny fixed state.
+    */
+  def aggCountMin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    def ph(c: Column): Column = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(c), GraftSqlShim.expression(lit(1000000007L))))
+    val e = events(s, dir).select(col("user_id").cast("string").as("u"))
+    val cells = e.select(posexplode(array((0 until 4).map(r =>
+        ph(concat(lit(s"cm$r|"), col("u"))) % 64L): _*)).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val users = events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    users
+      .select(col("user_id"), col("n_exact"),
+        posexplode(array((0 until 4).map(r =>
+          ph(concat(lit(s"cm$r|"), col("user_id").cast("string"))) % 64L): _*))
+          .as(Seq("r", "bucket")))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("est"))
+      .select(col("user_id"), col("n_exact"), col("est"),
+        (col("est") - col("n_exact")).as("overcount"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB twin: the d=4 cell fan-out is an explicit UNION ALL (the
+    * oracle keeps the textbook form), the probe the same min-over-rows
+    * join; poly_hash replays via the shared list_reduce fold.
+    */
+  val aggCountMinSql: String = {
+    def phSql(prefix: String, col: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('$prefix' || $col, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 64"
+    val cellRows = (0 until 4).map(r =>
+      s"SELECT $r AS r, ${phSql(s"cm$r|", "CAST(user_id AS VARCHAR)")} AS bucket FROM events")
+      .mkString("\n  UNION ALL ")
+    val probeRows = (0 until 4).map(r =>
+      s"SELECT user_id, $r AS r, ${phSql(s"cm$r|", "CAST(user_id AS VARCHAR)")} AS bucket FROM u")
+      .mkString("\n  UNION ALL ")
+    s"""WITH raw AS (
+       |  $cellRows),
+       |cells AS (SELECT r, bucket, count(*) AS cnt FROM raw GROUP BY r, bucket),
+       |u AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id),
+       |probes AS (
+       |  $probeRows),
+       |est AS (
+       |  SELECT p.user_id, min(c.cnt) AS est FROM probes p
+       |  JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+       |  GROUP BY p.user_id)
+       |SELECT u.user_id, u.n_exact, est.est, est.est - u.n_exact AS overcount
+       |FROM u JOIN est ON est.user_id = u.user_id
+       |ORDER BY u.user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> eventsAttribution,
+    "events_rfm" -> eventsRfm,
+    "agg_countmin" -> aggCountMin,
     "events_props_json" -> eventsPropsJson,
     "events_value_histogram" -> eventsValueHistogram,
     "agg_heavy_hitters" -> aggHeavyHitters,
@@ -2248,6 +2448,9 @@ object Analytics {
     "unpivot_revenue" -> unpivotRevenue)
 
   val oracles: Map[String, String] = Map(
+    "events_attribution" -> eventsAttributionSql,
+    "events_rfm" -> eventsRfmSql,
+    "agg_countmin" -> aggCountMinSql,
     "events_props_json" -> eventsPropsJsonSql,
     "events_value_histogram" -> eventsValueHistogramSql,
     "agg_heavy_hitters" -> aggHeavyHittersSql,

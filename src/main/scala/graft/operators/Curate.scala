@@ -463,6 +463,70 @@ object Curate {
       |  CAST(1000000000000 // accept_ppm AS BIGINT) AS ipw_ppm
       |FROM a WHERE draw < accept_ppm ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- temperature sampling
+  /** Temperature-flattened mixture sampling (the mT5/data-mixture
+    * α=0.5 schedule): each source keeps docs with probability
+    * ∝ n_g^(−1/2), so the EXPECTED sample per source is √n_g —
+    * big sources are flattened toward the small ones instead of
+    * swamping them. Unlike [[corpusMixture]] (which only REPORTS the
+    * flattened weights), this op actually draws the sample, via the
+    * same deterministic "tmp|"-salted content-hash Bernoulli as
+    * [[sampleImportance]].
+    *
+    * √n_g is computed as an EXACT integer square root: the float
+    * sqrt seed is corrected by ±1 against the integer squares, so no
+    * correctly-rounded-at-k²±1 edge case can diverge between engines
+    * (the failure mode the ADVICE ledger flagged on corpusMixture's
+    * float normalizer — there is no float sum here at all).
+    *
+    * == Scale design ==
+    * The group-size table is O(sources) and broadcast back; the
+    * accept decision is per-row codegen'd column arithmetic on the
+    * scan — no shuffle of the corpus, no reservoir state. Rates adapt
+    * per-partition-free: a source growing 100× sees its rate fall 10×
+    * with no re-tuning.
+    */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("tmp|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val docs = graft.sources.Tables.load(s, dir, "documents")
+    val grp = docs.groupBy(col("source")).agg(count(lit(1)).as("n_group"))
+      .withColumn("r0", expr("CAST(floor(sqrt(CAST(n_group AS DOUBLE))) AS BIGINT)"))
+      .withColumn("isqrt", expr(
+        "CASE WHEN r0*r0 > n_group THEN r0-1 " +
+          "WHEN (r0+1)*(r0+1) <= n_group THEN r0+1 ELSE r0 END"))
+      .select(col("source"), col("n_group"),
+        expr("least(1000000L, (1000000 * isqrt) div n_group)").as("rate_ppm"))
+    docs.join(broadcast(grp), "source")
+      .withColumn("draw", h % 1000000L)
+      .filter(col("draw") < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_group"), col("rate_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: identical ±1-corrected integer sqrt and hash
+    * Bernoulli; every emitted column is an exact integer.
+    */
+  val sampleTemperatureSql: String =
+    """WITH g AS (
+      |  SELECT source, count(*) AS n_group,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS r0
+      |  FROM documents GROUP BY source),
+      |rates AS (
+      |  SELECT source, n_group,
+      |    least(1000000, (1000000 * (CASE WHEN r0*r0 > n_group THEN r0-1
+      |      WHEN (r0+1)*(r0+1) <= n_group THEN r0+1 ELSE r0 END)) // n_group) AS rate_ppm
+      |  FROM g)
+      |SELECT d.doc_id, d.source, d.lang, r.n_group, r.rate_ppm
+      |FROM documents d JOIN rates r ON r.source = d.source
+      |WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split('tmp|' || d.text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) % 1000000 < r.rate_ppm
+      |ORDER BY d.doc_id""".stripMargin
+
   // --------------------------------------------------- chi-square cells
   /** Pearson χ² independence cells for the lang × source contingency
     * table — the "is my corpus mix confounded" diagnostic a curation
@@ -556,6 +620,7 @@ object Curate {
     "sample_uniform_k" -> sampleUniformK,
     "sample_group_k" -> sampleGroupK,
     "sample_importance" -> sampleImportance,
+    "sample_temperature" -> sampleTemperature,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_cluster" -> pipelineCurateCluster,
     "split_train_val" -> splitTrainVal,
@@ -581,5 +646,6 @@ object Curate {
     "pack_sequential" -> packSequentialSql,
     "pack_windows" -> packWindowsSql,
     "sample_stratified" -> sampleStratifiedSql,
-    "sample_importance" -> sampleImportanceSql)
+    "sample_importance" -> sampleImportanceSql,
+    "sample_temperature" -> sampleTemperatureSql)
 }

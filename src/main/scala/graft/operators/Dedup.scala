@@ -748,6 +748,88 @@ object Dedup {
        |SELECT doc_id, count(*) AS n_triangles FROM n GROUP BY doc_id
        |ORDER BY n_triangles DESC, doc_id""".stripMargin
 
+  /** Link prediction over the WEAK-similarity graph: doc pairs whose
+    * trigram Jaccard clears 0.02 (well below the 0.3 near-dup cut —
+    * the corpus's similarity distribution is bimodal, ≥0.9 planted
+    * dups vs a ≤0.07 shared-vocabulary web, and link prediction is
+    * only meaningful on the dense web). For every NON-adjacent pair
+    * sharing ≥1 neighbor: the common-neighbor count and the
+    * neighbor-Jaccard (|N∩N| / |N∪N| in exact ppm by integer
+    * cross-multiplication). These rank the "likely related but never
+    * directly paired" frontier a curation pass reviews before
+    * widening its dedup threshold.
+    *
+    * The 0.02 cut is an EXACT integer comparison (100·i ≥ 2·union),
+    * so no float boundary can flip an edge in one engine only.
+    * Wedges come from the symmetric edge list joined on the middle
+    * vertex with the a<c canonicalization (each unordered candidate
+    * counted once per shared neighbor); an anti-join against the
+    * canonical edge list removes already-adjacent pairs; degrees ride
+    * in by broadcast for the exact-integer Jaccard.
+    *
+    * == Scale design ==
+    * Same Σdeg² wedge bound as [[graphTriangles]]; the wedge join,
+    * the anti-join and the grouped count are the only shuffles, each
+    * O(wedges) ≤ O(edges^1.5). Degree join-back is a broadcast (the
+    * degree table is O(nodes), tiny next to the wedge stream).
+    * Nothing materializes the quadratic non-edge space — only pairs
+    * with an actual witness neighbor ever exist, and the edge list
+    * itself rides the size-compat-pruned shingle join every other
+    * pair consumer already amortizes.
+    */
+  def graphLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val g = exploded(s, dir).hint("merge")
+    val a = g.alias("a"); val b = g.alias("b")
+    val pairs = a.join(b, col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id")
+        && col("b.n") * 10 >= col("a.n") * 3 && col("a.n") * 10 >= col("b.n") * 3)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .filter(col("i") * 100 >= (col("na") + col("nb") - col("i")) * 2)
+      .select(col("doc_a"), col("doc_b"))
+    val e = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val cn = e.as("x").join(e.as("y"),
+        col("x.dst") === col("y.src") && col("x.src") < col("y.dst"))
+      .select(col("x.src").as("a"), col("y.dst").as("c"))
+      .groupBy(col("a"), col("c")).agg(count(lit(1)).as("cn"))
+    cn.join(pairs.select(col("doc_a").as("a"), col("doc_b").as("c")),
+        Seq("a", "c"), "left_anti")
+      .join(broadcast(deg.select(col("src").as("a"), col("deg").as("deg_a"))), "a")
+      .join(broadcast(deg.select(col("src").as("c"), col("deg").as("deg_c"))), "c")
+      .select(col("a").as("doc_a"), col("c").as("doc_b"), col("cn"),
+        expr("(1000000 * cn) div (deg_a + deg_c - cn)").as("jaccard_ppm"))
+      .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin: the weak graph re-cuts the shared `inter` candidate
+    * relation at the exact-integer 0.02 line, then the identical
+    * wedge + anti-join; counts and the cross-multiplied ppm are
+    * engine-exact integers. Every multiply-referenced CTE is
+    * MATERIALIZED so the shingle join evaluates once.
+    */
+  val graphLinkPredictSql: String =
+    s"""WITH $pairCtes,
+       |p2 AS MATERIALIZED (SELECT doc_a, doc_b FROM inter
+       |  JOIN sz s1 ON s1.doc_id = inter.doc_a
+       |  JOIN sz s2 ON s2.doc_id = inter.doc_b
+       |  WHERE 100 * i >= 2 * (s1.n + s2.n - i)),
+       |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p2
+       |  UNION ALL SELECT doc_b, doc_a FROM p2),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |cn AS MATERIALIZED (SELECT x.src AS a, y.dst AS c, count(*) AS cn
+       |  FROM e x JOIN e y ON x.dst = y.src AND x.src < y.dst
+       |  GROUP BY x.src, y.dst),
+       |cand AS (SELECT cn.a, cn.c, cn.cn FROM cn
+       |  LEFT JOIN p2 ON p2.doc_a = cn.a AND p2.doc_b = cn.c
+       |  WHERE p2.doc_a IS NULL)
+       |SELECT cand.a AS doc_a, cand.c AS doc_b, cand.cn,
+       |  (1000000 * cand.cn) // (da.deg + dc.deg - cand.cn) AS jaccard_ppm
+       |FROM cand JOIN deg da ON da.src = cand.a JOIN deg dc ON dc.src = cand.c
+       |ORDER BY cand.cn DESC, jaccard_ppm DESC, doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------- embedding
   private def vdot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftshim.GraftSqlShim
@@ -879,7 +961,8 @@ object Dedup {
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_incremental" -> dedupIncremental,
     "graph_pagerank" -> graphPagerank,
-    "graph_triangles" -> graphTriangles)
+    "graph_triangles" -> graphTriangles,
+    "graph_link_predict" -> graphLinkPredict)
 
   /** DuckDB twin of the cosine pairs: sequential left-fold dot, same
     * association order as FloatVectorDot ⇒ bit-identical doubles.
@@ -957,5 +1040,6 @@ object Dedup {
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "graph_pagerank" -> graphPagerankSql,
-    "graph_triangles" -> graphTrianglesSql)
+    "graph_triangles" -> graphTrianglesSql,
+    "graph_link_predict" -> graphLinkPredictSql)
 }

@@ -598,4 +598,88 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(got.map(_._2).sum == cents.length, "buckets must partition all rows")
   }
+
+  test("events_attribution credits the most recent preceding touch, else direct") {
+    // user 1: view, click, purchase        -> click (latest touch wins)
+    // user 2: purchase with no prior touch -> direct
+    // user 3: view, purchase               -> view
+    // user 1 again: second purchase after an error (non-touch) keeps click
+    val base = 1700000000000000L
+    val m = 60L * 1000000
+    Seq(
+      (1L, 1L, base, "view", 1.0), (1L, 2L, base + m, "click", 2.0),
+      (1L, 3L, base + 2 * m, "purchase", 10.0),
+      (1L, 4L, base + 3 * m, "error", 0.0),
+      (1L, 5L, base + 4 * m, "purchase", 20.0),
+      (2L, 6L, base, "purchase", 5.0),
+      (3L, 7L, base, "view", 1.0), (3L, 8L, base + m, "purchase", 7.5))
+      .toDF("user_id", "event_id", "us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-attr/events.parquet")
+    val got = Analytics.eventsAttribution(spark, "/tmp/graft-test-attr")
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(got == Set(("click", 2L, 30.0, 1L), ("direct", 1L, 5.0, 1L),
+      ("view", 1L, 7.5, 1L)), s"attribution drifted: $got")
+  }
+
+  test("events_rfm quintiles match the positional ntile model on real events") {
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("timestamp"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .as[(Long, java.sql.Timestamp, String, Long)].collect()
+    val tMax = e.map(_._2.getTime).max
+    def days(a: Long, b: Long): Long = { // calendar-day diff, UTC dates
+      val d = java.time.temporal.ChronoUnit.DAYS
+      d.between(java.time.Instant.ofEpochMilli(a).atZone(java.time.ZoneOffset.UTC).toLocalDate,
+        java.time.Instant.ofEpochMilli(b).atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    }
+    val per = e.groupBy(_._1).map { case (u, es) =>
+      (u, days(es.map(_._2.getTime).max, tMax),
+        es.count(_._3 == "purchase").toLong,
+        es.filter(_._3 == "purchase").map(_._4).sum)
+    }.toArray
+    // positional ntile: first (n mod 5) buckets get ceil(n/5) rows
+    def ntile5[A](sorted: Array[A]): Map[A, Long] = {
+      val n = sorted.length; val q = n / 5; val r = n % 5
+      sorted.zipWithIndex.map { case (a, i) =>
+        val big = (q + 1) * r
+        a -> (if (i < big) i / (q + 1) + 1 else (i - big) / q + r + 1).toLong
+      }.toMap
+    }
+    val rModel = ntile5(per.sortBy(p => (-p._2, p._1)).map(_._1))
+    val fModel = ntile5(per.sortBy(p => (p._3, p._1)).map(_._1))
+    val mModel = ntile5(per.sortBy(p => (p._4, p._1)).map(_._1))
+    val got = Analytics.eventsRfm(spark, sf)
+      .select("user_id", "r_score", "f_score", "m_score", "segment")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got.length == per.length, "one row per active user")
+    got.foreach { case (u, r, f, m, seg) =>
+      assert(r == rModel(u) && f == fModel(u) && m == mModel(u),
+        s"user $u scores ($r,$f,$m) != model (${rModel(u)},${fModel(u)},${mModel(u)})")
+      assert(seg == s"$r$f$m", "segment label must concatenate the scores")
+    }
+  }
+
+  test("agg_countmin matches an in-memory sketch replay and never undercounts") {
+    def poly(str: String): Long =
+      str.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    val users = graft.sources.Tables.load(spark, sf, "events")
+      .select("user_id").as[Long].collect()
+    val grid = Array.ofDim[Long](4, 64)
+    users.foreach { u =>
+      (0 until 4).foreach(r => grid(r)((poly(s"cm$r|$u") % 64).toInt) += 1)
+    }
+    val exact = users.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Analytics.aggCountMin(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == exact.size, "one probe row per distinct user")
+    got.foreach { case (u, n, est, over) =>
+      val expected = (0 until 4).map(r => grid(r)((poly(s"cm$r|$u") % 64).toInt)).min
+      assert(n == exact(u), s"user $u exact count drifted")
+      assert(est == expected, s"user $u estimate != sketch replay")
+      assert(over == est - n && over >= 0,
+        s"user $u violates the CMS no-undercount guarantee")
+    }
+  }
 }

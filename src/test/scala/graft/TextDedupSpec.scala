@@ -504,4 +504,67 @@ class TextDedupSpec extends SparkSpec {
       assert(a == b, s"block join != brute force at $dir")
     }
   }
+
+  test("graph_link_predict matches the full in-memory wedge model on the weak graph") {
+    def poly(str: String, mod: Long): Long =
+      str.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % mod)
+    val docs = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // replicate the shingle machinery: distinct trigram hashes per doc
+    val tri = docs.map { case (id, text) =>
+      id -> text.split(" ").sliding(3).filter(_.length == 3)
+        .map(w => poly(w.mkString(" "), 2147483647L)).toArray.distinct.toSet
+    }.filter(_._2.nonEmpty).toMap
+    val ids = tri.keys.toArray.sorted
+    val edges = (for {
+      ai <- ids.indices.iterator; bi <- (ai + 1) until ids.length
+      a = ids(ai); b = ids(bi)
+      na = tri(a).size.toLong; nb = tri(b).size.toLong
+      if nb * 10 >= na * 3 && na * 10 >= nb * 3
+      i = (tri(a) & tri(b)).size.toLong
+      if i > 0 && 100 * i >= 2 * (na + nb - i)
+    } yield (a, b)).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val model = (for {
+      (a, na) <- adj.toSeq; c <- na.flatMap(adj(_)) if a < c
+      if !edges.contains((a, c))
+      cn = (na & adj(c)).size.toLong if cn > 0
+    } yield (a, c, cn,
+      1000000L * cn / (na.size + adj(c).size - cn))).distinct.toSet
+    val got = Dedup.graphLinkPredict(spark, sfMid)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(model.nonEmpty, "the weak graph must yield candidates at sf0.01")
+    assert(got == model, s"link-predict drifted: ${got.size} vs model ${model.size}")
+  }
+
+  test("sample_temperature rates follow the exact isqrt schedule and the hash draw") {
+    def poly(str: String): Long =
+      str.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    def isqrt(n: Long): Long = { // exact integer sqrt by Newton + correction
+      var r = math.sqrt(n.toDouble).toLong
+      while (r * r > n) r -= 1
+      while ((r + 1) * (r + 1) <= n) r += 1
+      r
+    }
+    val docs = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val nBySrc = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val rate = nBySrc.map { case (src, n) =>
+      src -> math.min(1000000L, 1000000L * isqrt(n) / n)
+    }
+    val expected = docs.filter { case (_, src, text) =>
+      poly("tmp|" + text) % 1000000L < rate(src)
+    }.map(_._1).toSet
+    val got = Curate.sampleTemperature(spark, sfMid)
+      .select("doc_id", "source", "n_group", "rate_ppm")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.map(_._1).toSet == expected, "kept set drifted from the hash model")
+    got.foreach { case (id, src, n, r) =>
+      assert(n == nBySrc(src) && r == rate(src), s"doc $id group stats drifted")
+    }
+    // the sample must thin (flattening is vacuous if everything is kept)
+    assert(expected.nonEmpty && expected.size < docs.length,
+      s"sample kept ${expected.size} of ${docs.length}")
+  }
 }
