@@ -16,6 +16,16 @@ object Verify {
     // subset — the local fast path while iterating on one operator
     // (the driver never sets it, so the gate always runs everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A restricted run must be VISIBLY partial: a stale export in a
+    // CI/shell environment would otherwise shrink the gate silently
+    // (query_keys.json below still lists every key, so the skipped
+    // queries also count as failures downstream — but say it loudly).
+    only.foreach { set =>
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY is set — dumping ONLY " +
+          s"${set.toSeq.sorted.mkString(", ")} (${set.size} of " +
+          s"${SparkEntry.queries.size} queries). This is a PARTIAL gate run.")
+    }
     val tasks = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

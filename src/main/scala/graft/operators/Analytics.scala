@@ -1965,36 +1965,115 @@ object Analytics {
       |ORDER BY pe.type_a, pe.type_b""".stripMargin
 
   // -------------------------------------------- distribution window faces
+  // -------------------------------------- two-phase distributed ranking
+  /** Global 1-based row position (within each `partKeys` group) under a
+    * total `order`, WITHOUT sorting any group in a single task:
+    *
+    *   phase 1  range-repartition on (partKeys ++ order): each of the
+    *            P range tasks owns a contiguous slice of the total
+    *            order, so a task-local row_number is globally
+    *            consistent once offset;
+    *   phase 2  per-(range-slice, group) counts — a map-side-combinable
+    *            O(P·G) ledger — self-joined triangularly
+    *            (`b.slice < a.slice`) into per-slice start offsets,
+    *            broadcast back onto the rows; global position =
+    *            slice offset + local row number.
+    *
+    * No unpartitioned Window anywhere (the offset ledger is built by a
+    * bounded join+agg, not a window) and no collect: parallelism is P
+    * regardless of the group alphabet, so the plan survives a 5-value
+    * partition alphabet — or no partition key at all — over 100 TB,
+    * where `Window.partitionBy(lowCardinality).orderBy(...)` would
+    * funnel corpus/G rows into one sort task. Costs one extra hash
+    * shuffle (the local row_number re-clusters by slice id) on top of
+    * the range exchange; both shuffles are ~evenly spread by
+    * construction. Range boundaries come from Spark's seeded
+    * reservoir sample — deterministic for a fixed input, and position
+    * values are boundary-independent anyway (ties are broken inside
+    * `order`, which must be a total order).
+    */
+  private def globalRowPos(df: DataFrame, partKeys: Seq[String],
+      order: Seq[Column], pos: String, total: String): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val pid = s"__slice_$pos"
+    val lrow = s"__lrow_$pos"
+    val ranged = df
+      .repartitionByRange(p, partKeys.map(col) ++ order: _*)
+      .withColumn(pid, spark_partition_id())
+    val wLoc = Window.partitionBy((pid +: partKeys).map(col): _*)
+      .orderBy(order: _*)
+    val local = ranged.withColumn(lrow, row_number().over(wLoc))
+    val cnt = ranged.groupBy((pid +: partKeys).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val tot = cnt.groupBy(partKeys.map(col): _*)
+      .agg(sum(col("__cnt")).as(total))
+    val offCond = partKeys
+      .map(k => col(s"a.$k") === col(s"b.$k"))
+      .foldLeft(col(s"b.$pid") < col(s"a.$pid"))(_ && _)
+    val off = cnt.as("a").join(cnt.as("b"), offCond, "left_outer")
+      .groupBy((pid +: partKeys).map(k => col(s"a.$k")): _*)
+      .agg(coalesce(sum(col(s"b.__cnt")), lit(0L)).as("__off"))
+    val ledger =
+      if (partKeys.isEmpty) off.crossJoin(tot)
+      else off.join(tot, partKeys)
+    local.join(broadcast(ledger), pid +: partKeys)
+      .withColumn(pos, col("__off") + col(lrow))
+      .drop(pid, lrow, "__off")
+  }
+
+  /** SQL-standard `ntile(k)` reconstructed arithmetically from a global
+    * row position and group size n: the first (n mod k) buckets carry
+    * ceil(n/k) rows, the rest floor(n/k). Pure integer `div`/`%` —
+    * no doubles, so no floor-of-almost-integer hazard — cross-engine
+    * exact at any n.
+    */
+  private def ntileAt(pos: String, total: String, k: Int): Column =
+    expr(
+      s"""CASE WHEN $pos <= ($total % $k) * (($total div $k) + 1)
+         |THEN (($pos - 1) div (($total div $k) + 1)) + 1
+         |ELSE ($total % $k)
+         |  + (($pos - ($total % $k) * (($total div $k) + 1) - 1) div ($total div $k)) + 1
+         |END""".stripMargin)
+
   /** The ranking-distribution window family in one face: percent_rank
     * (exact rational (rank−1)/(n−1)), cume_dist, and quartile ntile
     * over order value within each priority class. percent_rank and
     * cume_dist are tie-stable (equal prices share a rank), but ntile
-    * assigns by ROW POSITION, so its window adds the o_orderkey
-    * tiebreak — without it two engines could legally deal ties into
-    * different quartiles. Both doubles are single divisions of exact
-    * integers, so bit-identical cross-engine.
+    * assigns by ROW POSITION, so its position order adds the
+    * o_orderkey tiebreak — without it two engines could legally deal
+    * ties into different quartiles. Both doubles are single divisions
+    * of exact integers, so bit-identical cross-engine.
     *
     * == Scale design ==
-    * Partitioned by the 5-value priority alphabet, so each partition is
-    * corpus/5 — the honest cost of a per-group total ranking. At 100 TB
-    * the same statistics decompose into a two-phase range-partitioned
-    * rank (per-range local rank + broadcast per-range offsets); the
-    * declarative window here is the semantics contract that
-    * decomposition must reproduce.
+    * The naive formulation (`Window.partitionBy(o_orderpriority)`)
+    * caps parallelism at the 5-value priority alphabet — corpus/5 rows
+    * into ONE sort task each at 100 TB. Implemented instead as the
+    * two-phase range-partitioned rank ([[globalRowPos]]): P-way range
+    * slices + broadcast O(P·5) offset ledger give the unique global
+    * position; the tie-aware statistics are then pure arithmetic —
+    * rank = min(position) over the (priority, price) tie group (a
+    * fine-grained, high-cardinality window), percent_rank =
+    * (rank−1)/(n−1), cume_dist = max(position)/n, quartile =
+    * [[ntileAt]] bucket arithmetic. The ntile window SQL stays as the
+    * oracle: same hashes, but no plan node sorts more than ~corpus/P.
     */
   def windowDistribution(s: SparkSession, dir: String): DataFrame = {
     val tp = cents(col("o_totalprice"))
-    val wTie = Window.partitionBy(col("o_orderpriority")).orderBy(col("tpc"))
-    val wRow = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("tpc"), col("o_orderkey"))
-    t(s, dir, "orders")
+    val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"), tp.as("tpc"))
-      .withColumn("pct_rank", percent_rank().over(wTie))
-      .withColumn("cume", cume_dist().over(wTie))
-      .withColumn("quartile", ntile(4).over(wRow).cast("long"))
+    val posd = globalRowPos(base, Seq("o_orderpriority"),
+      Seq(col("tpc"), col("o_orderkey")), "__pos", "__n")
+    val wTie = Window.partitionBy(col("o_orderpriority"), col("tpc"))
+    posd
+      .withColumn("__rnk", min(col("__pos")).over(wTie))
+      .withColumn("__mx", max(col("__pos")).over(wTie))
       .select(col("o_orderkey"), col("o_orderpriority"),
         (col("tpc") / 100.0).as("totalprice"),
-        col("pct_rank"), col("cume"), col("quartile"))
+        when(col("__n") === 1, lit(0.0)).otherwise(
+          (col("__rnk") - 1).cast("double") / (col("__n") - 1).cast("double"))
+          .as("pct_rank"),
+        (col("__mx").cast("double") / col("__n").cast("double")).as("cume"),
+        ntileAt("__pos", "__n", 4).cast("long").as("quartile"))
       .orderBy(col("o_orderpriority"), col("tpc"), col("o_orderkey"))
   }
 
@@ -2251,10 +2330,16 @@ object Analytics {
     * == Scale design ==
     * One grouped pass over events (map-side combinable into one row
     * per user), a broadcast of the single-row max-ts anchor, then
-    * three ntile windows over the USER table — which is orders of
-    * magnitude smaller than the event log, so the three sorts are on
-    * the cheap side of the pipeline. The (metric, user_id) tiebreaks
-    * make every quintile boundary deterministic cross-engine.
+    * three quintile scorings of the USER table. The user table is much
+    * smaller than the event log but NOT bounded (~10⁸ users at 100 TB
+    * of events), so a global `ntile(5)` window — which funnels every
+    * user into ONE sort task, three times over — is replaced by the
+    * two-phase range-partitioned rank ([[globalRowPos]], no partition
+    * key): P-way range slices + a broadcast O(P) offset ledger give
+    * each user its unique global position per metric, and the quintile
+    * is [[ntileAt]] bucket arithmetic on (position, n). The ntile SQL
+    * stays as the oracle. The (metric, user_id) tiebreaks make every
+    * quintile boundary deterministic cross-engine.
     */
   def eventsRfm(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
@@ -2269,18 +2354,18 @@ object Analytics {
         datediff(col("t_max").cast("date"), col("t_last").cast("date"))
           .cast("long").as("recency_days"),
         col("frequency"), col("monetary_c"))
-    per
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("recency_days").desc, col("user_id"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("frequency"), col("user_id"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("monetary_c"), col("user_id"))))
+    val scored = Seq[(String, String, Seq[Column])](
+      ("__rp", "__rn", Seq(col("recency_days").desc, col("user_id"))),
+      ("__fp", "__fn", Seq(col("frequency"), col("user_id"))),
+      ("__mp", "__mn", Seq(col("monetary_c"), col("user_id"))))
+      .foldLeft(per) { case (d, (p, n, ord)) => globalRowPos(d, Nil, ord, p, n) }
+      .withColumn("r_score", ntileAt("__rp", "__rn", 5).cast("long"))
+      .withColumn("f_score", ntileAt("__fp", "__fn", 5).cast("long"))
+      .withColumn("m_score", ntileAt("__mp", "__mn", 5).cast("long"))
+    scored
       .select(col("user_id"), col("recency_days"), col("frequency"),
         (col("monetary_c") / 100.0).as("monetary"),
-        col("r_score").cast("long").as("r_score"),
-        col("f_score").cast("long").as("f_score"),
-        col("m_score").cast("long").as("m_score"),
+        col("r_score"), col("f_score"), col("m_score"),
         concat(col("r_score").cast("string"), col("f_score").cast("string"),
           col("m_score").cast("string")).as("segment"))
       .orderBy(col("user_id"))

@@ -378,4 +378,74 @@ class PlanShapeSpec extends SparkSpec {
     assert(w >= 0, s"expected a Window in the skyline plan:\n$plan")
     assert(a > w, s"window must sit above the level-collapse aggregate:\n$plan")
   }
+
+  // Collect every WindowExec of the pre-AQE physical plan with the
+  // attribute names its partitionSpec clusters on.
+  private def windowPartitionSpecs(
+      df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+    df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.flatMap(_.references.map(_.name).toSeq)
+    }
+
+  test("events_rfm has no unpartitioned Window: quintiles via two-phase rank") {
+    // The old shape was three GLOBAL ntile windows over the user table
+    // — every user into one sort task, thrice. The rewrite assigns
+    // quintiles from globalRowPos (range slices + broadcast offset
+    // ledger), so every WindowExec left in the plan must partition by a
+    // range-slice id, never run partition-less.
+    val specs = windowPartitionSpecs(Analytics.eventsRfm(spark, sf))
+    assert(specs.nonEmpty, "expected the slice-local row_number windows")
+    assert(specs.forall(_.nonEmpty),
+      s"unpartitioned Window found; partitionSpecs were:\n$specs")
+    assert(specs.forall(_.exists(_.startsWith("__slice"))),
+      s"every window must cluster on a range-slice id, got:\n$specs")
+  }
+
+  test("window_distribution never windows on the bare 5-value priority alphabet") {
+    // Parallelism must not be capped by the priority alphabet: local
+    // row_number windows cluster on (slice, priority); the tie-stat
+    // window clusters on (priority, price) — high cardinality. No
+    // WindowExec may partition by o_orderpriority alone, and none may
+    // be unpartitioned.
+    val specs = windowPartitionSpecs(Analytics.windowDistribution(spark, sf))
+    assert(specs.nonEmpty, "expected slice-local and tie-group windows")
+    assert(specs.forall(_.nonEmpty),
+      s"unpartitioned Window found; partitionSpecs were:\n$specs")
+    assert(specs.forall(s => s != Seq("o_orderpriority")),
+      s"window partitioned by the bare priority alphabet:\n$specs")
+  }
+
+  test("two-phase rank quintiles agree with a literal ntile window (rfm)") {
+    // Semantics pin: the arithmetic ntileAt + globalRowPos path must
+    // reproduce SQL ntile exactly, verified here against Spark's own
+    // ntile on the same per-user relation (the DuckDB oracle pins the
+    // cross-engine face; this pins the in-engine equivalence).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = Analytics.eventsRfm(spark, sf)
+      .select("user_id", "r_score", "f_score", "m_score")
+    val per = got.sparkSession.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(col("user_id")).agg(
+        max(col("ts")).as("t_last"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("monetary_c"))
+    val anchor = per.agg(max(col("t_last")).as("t_max"))
+    val want = per.crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        datediff(col("t_max").cast("date"), col("t_last").cast("date"))
+          .cast("long").as("recency_days"),
+        col("frequency"), col("monetary_c"))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days").desc, col("user_id"))).cast("long"))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("frequency"), col("user_id"))).cast("long"))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monetary_c"), col("user_id"))).cast("long"))
+      .select("user_id", "r_score", "f_score", "m_score")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "two-phase quintiles diverge from the ntile window model")
+  }
 }
