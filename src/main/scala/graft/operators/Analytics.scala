@@ -1987,13 +1987,29 @@ object Analytics {
     * funnel corpus/G rows into one sort task. Costs one extra hash
     * shuffle (the local row_number re-clusters by slice id) on top of
     * the range exchange; both shuffles are ~evenly spread by
-    * construction. Range boundaries come from Spark's seeded
-    * reservoir sample — deterministic for a fixed input, and position
-    * values are boundary-independent anyway (ties are broken inside
-    * `order`, which must be a total order).
+    * construction. Position values are boundary-independent (ties are
+    * broken inside `order`, which must be a total order), so WHERE the
+    * sampled range boundaries land never changes the result — but all
+    * three consumers of `ranged` below (the local row_number, the count
+    * ledger, and its triangular self-join) must observe the SAME
+    * boundaries. That holds because the three subtrees canonicalize
+    * equal and exchange reuse (AQE stage cache / ReuseExchange)
+    * materializes the range shuffle ONCE; RangePartitioner's reservoir
+    * seed incorporates the RDD id, so without reuse each branch could
+    * draw different boundaries and positions would silently corrupt.
+    * The dependency is asserted eagerly here (conf check below) and
+    * structurally in PlanShapeSpec ("globalRowPos range exchange is
+    * materialized once"), which pins reuse actually firing. Persisting
+    * `ranged` instead would duplicate what the shuffle files already
+    * give for free at 100 TB.
     */
   private def globalRowPos(df: DataFrame, partKeys: Seq[String],
       order: Seq[Column], pos: String, total: String): DataFrame = {
+    // Correctness precondition, not a tuning knob: see Scaladoc above.
+    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
+      "globalRowPos requires spark.sql.exchange.reuse=true: its three " +
+        "plan branches must observe one materialization of the range " +
+        "exchange or slice assignments can diverge")
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val pid = s"__slice_$pos"
     val lrow = s"__lrow_$pos"
@@ -2026,6 +2042,14 @@ object Analytics {
     * ceil(n/k) rows, the rest floor(n/k). Pure integer `div`/`%` —
     * no doubles, so no floor-of-almost-integer hazard — cross-engine
     * exact at any n.
+    *
+    * Division-by-zero safety when total < k rests on CASE's LAZY
+    * evaluation: total < k implies pos <= total <= (total % k), so the
+    * WHEN branch (whose divisor `(total div k) + 1` is always >= 1)
+    * is taken and the ELSE branch's `div (total div k)` — zero in that
+    * regime — is never evaluated. A refactor to eager arithmetic
+    * (e.g. least/greatest over both branches) would reintroduce the
+    * divide-by-zero; keep the guard structural.
     */
   private def ntileAt(pos: String, total: String, k: Int): Column =
     expr(
@@ -2228,12 +2252,16 @@ object Analytics {
         max(col("k")).as("k_max"))
       .orderBy(col("event_type"))
 
+  // TRY_CAST, not CAST: Spark's non-ANSI cast yields NULL on a
+  // non-numeric `$.k`, so the oracle must null-on-invalid too — strict
+  // CAST would error where the operator quietly skips, and the two
+  // would diverge on the first malformed blob.
   val eventsPropsJsonSql: String =
     """SELECT event_type, count(*) AS n_events,
-      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      |  count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+      |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // ------------------------------------------- equi-width histogram

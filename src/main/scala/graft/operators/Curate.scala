@@ -536,9 +536,15 @@ object Curate {
     * chi2_micro = 10⁶·(O·N − r·c)² / (N·r·c), computed entirely in
     * DECIMAL(38,0) / HUGEINT — the expected value never exists as a
     * float, and per-cell output means no cross-cell float summation
-    * anywhere (the analyst sums exact integers). Exact while
-    * (O·N − r·c)² < 10³⁸, i.e. corpora to ~10⁹ docs; past that the
-    * contract would move to a double contribution per cell.
+    * anywhere (the analyst sums exact integers). Exact while the full
+    * numerator 10⁶·(O·N − r·c)² < 10³⁸ — i.e. |O·N − r·c| < 10¹⁶,
+    * corpora to ~10⁸ docs (the 10⁶ micro factor eats six digits of the
+    * 38-digit budget); past that the contract would move to a double
+    * contribution per cell. Overflow behavior is ASYMMETRIC across
+    * engines: Spark's non-ANSI decimal arithmetic NULLs the cell on
+    * overflow while DuckDB's HUGEINT raises — so past the bound the
+    * gate fails loudly (oracle error / hash mismatch) rather than
+    * agreeing on wrong values.
     *
     * == Scale design ==
     * One corpus scan feeds the cell/row/column counts (all map-side

@@ -144,18 +144,30 @@ object Ingest {
     * query; the epoch directories double as partition discovery
     * (v=1/v=2 become a partition column, pruned like any other).
     */
+  // The two-epoch fixture is materialized under a root UNIQUE PER JVM
+  // (and written once per (jvm, dir)): a fixed path would let
+  // concurrent Verify/Bench JVMs overwrite each other mid-read, and a
+  // per-call rewrite would make every bench iteration time two
+  // side-effect parquet writes instead of the merge-read under test.
+  private val evoRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def sourceSchemaMerge(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.load(s, dir, "events")
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_evo_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
-    base.filter(pmod(col("event_id"), lit(2)) === 0)
-      .select(col("event_id"), col("user_id"), cents(col("value")).as("value_cents"))
-      .write.mode("overwrite").parquet(root + "/v=1")
-    base.filter(pmod(col("event_id"), lit(2)) === 1)
-      .select(col("event_id"), col("user_id"), cents(col("value")).as("value_cents"),
-        col("event_type"))
-      .write.mode("overwrite").parquet(root + "/v=2")
+    val root = evoRoots.computeIfAbsent(dir, d => {
+      val base = Tables.load(s, d, "events")
+      val r = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_evo_" + java.util.UUID.randomUUID().toString.take(8) +
+          "_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      base.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), col("user_id"), cents(col("value")).as("value_cents"))
+        .write.mode("overwrite").parquet(r + "/v=1")
+      base.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("user_id"), cents(col("value")).as("value_cents"),
+          col("event_type"))
+        .write.mode("overwrite").parquet(r + "/v=2")
+      r
+    })
     s.read.option("mergeSchema", "true").parquet(root)
       .groupBy(coalesce(col("event_type"), lit("unknown")).as("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -188,7 +188,22 @@ object Multimodal {
     * One corpus scan; the kernel emits packed (hash·2²⁰+len) longs so
     * the explode carries a primitive array, and the accounting is a
     * single map-side-combinable groupBy on the descriptor. Hash keys
-    * are uniform by construction (no skew). The DuckDB oracle replays
+    * are uniform by construction (no skew).
+    *
+    * ACCOUNTING BOUND: chunk identity here is the (31-bit rolling
+    * hash, 20-bit length) descriptor, NOT the chunk bytes — two
+    * different chunks of equal length collide with p≈2⁻³¹, so by the
+    * birthday bound the expected first false "shared chunk" appears
+    * around ~2¹⁵ distinct chunks per length class and the saved-bytes
+    * estimate OVERSTATES dedup beyond that. This face is the
+    * accounting ESTIMATE; a production chunk store keyed on these
+    * descriptors would widen identity to a cryptographic digest of the
+    * chunk bytes (exactly what [[mmDedupBlob]] does per blob), turning
+    * collisions from silent overcounts into impossibilities. The DuckDB
+    * oracle replays the same descriptor identity, so the hash match
+    * verifies the splitter, not the collision-freeness.
+    *
+    * The DuckDB oracle replays
     * the splitter DECLARATIVELY — one row per byte, window-hash
     * per position, prefix-sum chunk ids — the formulation the codegen
     * kernel exists to avoid at scale, and the two must agree exactly.

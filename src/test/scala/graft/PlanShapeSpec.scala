@@ -416,6 +416,24 @@ class PlanShapeSpec extends SparkSpec {
       s"window partitioned by the bare priority alphabet:\n$specs")
   }
 
+  test("globalRowPos range exchange is materialized once (reuse fires)") {
+    // globalRowPos is only CORRECT if all three consumers of its ranged
+    // relation observe one materialization of the range shuffle (the
+    // reservoir seed incorporates the RDD id, so independent
+    // re-executions could draw different slice boundaries — see the
+    // globalRowPos Scaladoc). The conf precondition is require()d in
+    // the operator; this pins the structural half: exchange reuse
+    // actually fires in the executed adaptive plan. A regression here
+    // (an optimizer rule differentiating the subtrees) would corrupt
+    // positions silently, with no unreused-exchange error to catch it.
+    val df = Analytics.eventsRfm(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "no reused exchange in the final adaptive plan of events_rfm — " +
+        "globalRowPos branches are re-executing the range shuffle")
+  }
+
   test("two-phase rank quintiles agree with a literal ntile window (rfm)") {
     // Semantics pin: the arithmetic ntileAt + globalRowPos path must
     // reproduce SQL ntile exactly, verified here against Spark's own
@@ -425,8 +443,12 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val got = Analytics.eventsRfm(spark, sf)
       .select("user_id", "r_score", "f_score", "m_score")
+    // The fixture's ts is a raw long of NANOseconds (nanosAsLong read);
+    // a bare cast("timestamp") would read it as SECONDS and saturate
+    // every t_last to year +294247, collapsing recency — SURVEY §8's
+    // documented pitfall. Convert explicitly via micros.
     val per = got.sparkSession.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .groupBy(col("user_id")).agg(
         max(col("ts")).as("t_last"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("frequency"),
