@@ -2357,17 +2357,26 @@ object Analytics {
     *
     * == Scale design ==
     * One grouped pass over events (map-side combinable into one row
-    * per user), a broadcast of the single-row max-ts anchor, then
-    * three quintile scorings of the USER table. The user table is much
+    * per user), a broadcast of the single-row max-ts anchor, then ONE
+    * quintile scoring of the USER table. The user table is much
     * smaller than the event log but NOT bounded (~10⁸ users at 100 TB
     * of events), so a global `ntile(5)` window — which funnels every
     * user into ONE sort task, three times over — is replaced by the
-    * two-phase range-partitioned rank ([[globalRowPos]], no partition
-    * key): P-way range slices + a broadcast O(P) offset ledger give
-    * each user its unique global position per metric, and the quintile
-    * is [[ntileAt]] bucket arithmetic on (position, n). The ntile SQL
-    * stays as the oracle. The (metric, user_id) tiebreaks make every
-    * quintile boundary deterministic cross-engine.
+    * two-phase range-partitioned rank ([[globalRowPos]]). Rather than
+    * three chained rank passes (whose ~4 shuffle stages each would
+    * SERIALIZE into a 12-stage critical path), the per-user relation
+    * is melted into one row per (user, metric) — recency negated so
+    * all three orders read ascending — and a single [[globalRowPos]]
+    * with `partKeys = __metric` ranks all three metrics in one
+    * range pass: slices span metric boundaries freely because the
+    * offset ledger is keyed per (slice, metric). Quintiles are then
+    * [[ntileAt]] bucket arithmetic on (position, n) and a groupBy
+    * pivot folds the three scores back to one row per user. Critical
+    * path = ONE rank pass regardless of metric count; the melt
+    * triples the ranked relation (3U rows) but every stage stays
+    * P-way parallel. The ntile SQL stays as the oracle. The
+    * (metric, value, user_id) tiebreaks make every quintile boundary
+    * deterministic cross-engine.
     */
   def eventsRfm(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
@@ -2382,15 +2391,22 @@ object Analytics {
         datediff(col("t_max").cast("date"), col("t_last").cast("date"))
           .cast("long").as("recency_days"),
         col("frequency"), col("monetary_c"))
-    val scored = Seq[(String, String, Seq[Column])](
-      ("__rp", "__rn", Seq(col("recency_days").desc, col("user_id"))),
-      ("__fp", "__fn", Seq(col("frequency"), col("user_id"))),
-      ("__mp", "__mn", Seq(col("monetary_c"), col("user_id"))))
-      .foldLeft(per) { case (d, (p, n, ord)) => globalRowPos(d, Nil, ord, p, n) }
-      .withColumn("r_score", ntileAt("__rp", "__rn", 5).cast("long"))
-      .withColumn("f_score", ntileAt("__fp", "__fn", 5).cast("long"))
-      .withColumn("m_score", ntileAt("__mp", "__mn", 5).cast("long"))
-    scored
+    // Melt to (user, metric, sort value); recency quintiles order DESC,
+    // so its sort value is negated (safe: day counts never reach
+    // Long.MinValue) to share the one ascending range pass.
+    val melted = per.select(col("user_id"), explode(array(
+        struct(lit("r").as("m"), (-col("recency_days")).as("v")),
+        struct(lit("f").as("m"), col("frequency").as("v")),
+        struct(lit("m").as("m"), col("monetary_c").as("v")))).as("x"))
+      .select(col("user_id"), col("x.m").as("__metric"), col("x.v").as("__v"))
+    val scores = globalRowPos(melted, Seq("__metric"),
+        Seq(col("__v"), col("user_id")), "__p", "__n")
+      .withColumn("__s", ntileAt("__p", "__n", 5).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("__metric") === "r", col("__s"))).as("r_score"),
+        max(when(col("__metric") === "f", col("__s"))).as("f_score"),
+        max(when(col("__metric") === "m", col("__s"))).as("m_score"))
+    per.join(scores, "user_id")
       .select(col("user_id"), col("recency_days"), col("frequency"),
         (col("monetary_c") / 100.0).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
