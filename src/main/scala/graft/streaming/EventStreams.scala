@@ -114,6 +114,32 @@ object EventStreams {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Batch face of [[enrichStream]] (registered as `stream_enrich`):
+    * the SAME function applied to the batch event log and the customer
+    * dimension — `enrichStream` is mode-agnostic, so the oracle-checked
+    * batch plan (BroadcastHashJoin LeftOuter, zero stream-side
+    * exchanges) is literally the per-micro-batch plan the streaming
+    * face executes. Left semantics keep dimension-less events.
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_name"),
+        col("c_mktsegment"), col("c_nationkey"))
+    enrichStream(
+      events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value")),
+      dim)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_name"), col("c_mktsegment"), col("c_nationkey"))
+      .orderBy(col("event_id"))
+  }
+
+  val streamEnrichSql: String =
+    """SELECT e.event_id, e.user_id, e.event_type, e.value,
+      |  c.c_name, c.c_mktsegment, c.c_nationkey
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
   // ------------------------------------------------------ sessionize
   private def foldSessions(userId: Long, evs: Iterator[Ev]): Iterator[SessionOut] = {
     val sorted = evs.toVector.sortBy(e => (e.us, e.event_id))
@@ -465,6 +491,39 @@ object EventStreams {
       }
   }
 
+  /** Batch face of the retention HIT change-log (registered as
+    * `stream_retention`): one row per distinct (user, active day),
+    * carrying the user's cohort day and offset — exactly what
+    * [[retentionStreamEventTime]] emits (and [[retentionStream]]
+    * aggregates in-query) given in-order feeds, since cohort = first
+    * observed = min day. The aggregate triangle face is
+    * `events_retention`; THIS face pins the user-level emission
+    * contract a downstream counter sink applies.
+    *
+    * Scale: the distinct is a map-side-combinable (user, day) partial;
+    * the cohort is a user-keyed window (per-user state is O(active
+    * days), bounded by the analysis horizon — high key cardinality, no
+    * alphabet funnel).
+    */
+  def streamRetention(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    d.withColumn("cohort", min(col("day")).over(w))
+      .select(col("user_id"),
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .orderBy(col("user_id"), col("day_offset"))
+  }
+
+  val streamRetentionSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort FROM d)
+      |SELECT user_id, strftime(cohort, '%Y-%m-%d') AS cohort_day,
+      |  date_diff('day', cohort, day) AS day_offset
+      |FROM c ORDER BY user_id, day_offset""".stripMargin
+
   /** Streaming face of events_funnel: per-user staged-progression state
     * machine emitting the user's funnel row whenever a stage advances
     * (a change-log; the latest row per user is the live funnel). Stage
@@ -676,7 +735,9 @@ object EventStreams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize,
-    "stream_dedup" -> streamDedup)
+    "stream_dedup" -> streamDedup,
+    "stream_enrich" -> streamEnrich,
+    "stream_retention" -> streamRetention)
 
   /** DuckDB twin of the flatMapGroups fold: the window-function
     * formulation produces the same sessions, so the stateful batch
@@ -697,5 +758,7 @@ object EventStreams {
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
     "stream_sessionize" -> streamSessionizeSql,
-    "stream_dedup" -> streamDedupSql)
+    "stream_dedup" -> streamDedupSql,
+    "stream_enrich" -> streamEnrichSql,
+    "stream_retention" -> streamRetentionSql)
 }

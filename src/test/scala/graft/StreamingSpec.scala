@@ -638,6 +638,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention hit change-log equals the stream_retention batch face") {
+    // The hit-level contract: with an in-order feed and a horizon wider
+    // than the data span, retentionStreamEventTime emits exactly one
+    // (user, cohort_day, day_offset) row per distinct active day — the
+    // rows the registered batch face computes declaratively.
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("timestamp"))
+      .as[(Long, Timestamp)].collect()
+      .map { case (u, t) => EventStreams.RetEv(u, t) }
+      .sortBy(e => usOf(e.ts))
+    val mem = MemoryStream[EventStreams.RetEv]
+    val q = EventStreams.retentionStreamEventTime(mem.toDS(),
+        watermarkDelay = "1 hour", horizonDays = 100000)
+      .writeStream.format("memory").queryName("ret_hits")
+      .outputMode("append").start()
+    try {
+      val (a, b) = evs.splitAt(evs.length / 2)
+      mem.addData(a.toSeq: _*); q.processAllAvailable()
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+      val live = spark.sql("SELECT user_id, cohort_day, day_offset FROM ret_hits")
+        .as[(Long, String, Long)].collect().toSet
+      val batch = EventStreams.streamRetention(spark, sf)
+        .as[(Long, String, Long)].collect().toSet
+      assert(live == batch,
+        s"stream-only: ${live.diff(batch)}; batch-only: ${batch.diff(live)}")
+    } finally q.stop()
+  }
+
+  test("streaming enrich over the replayed event log equals the stream_enrich batch face") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)].collect()
+    val dim = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_name"),
+        col("c_mktsegment"), col("c_nationkey"))
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = EventStreams.enrichStream(
+        mem.toDF().toDF("event_id", "user_id", "event_type", "value"), dim)
+      .writeStream.format("memory").queryName("enrich_replay")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs.toSeq: _*)
+      q.processAllAvailable()
+      val live = spark.sql(
+        """SELECT event_id, user_id, event_type, value,
+          |  c_name, c_mktsegment, c_nationkey FROM enrich_replay""".stripMargin)
+        .as[(Long, Long, String, Double, String, String, Long)].collect().toSet
+      val batch = EventStreams.streamEnrich(spark, sf)
+        .as[(Long, Long, String, Double, String, String, Long)].collect().toSet
+      assert(live == batch, s"sizes: live=${live.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
   test("bounded-horizon retention retires idle users and re-acquires them as new cohorts") {
     implicit val sqlCtx = spark.sqlContext
     def ev(day: Int, uid: Long) =
