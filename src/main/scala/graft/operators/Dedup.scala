@@ -642,8 +642,10 @@ object Dedup {
     *
     * == Scale design ==
     * Each iteration is ONE shuffle: edges ⋈ ranks on src (deg rides the
-    * same key), then a map-side-combinable sum keyed by dst. The edge
-    * list is cached once and reused all [[PR_ITERS]] rounds;
+    * same key), then a map-side-combinable sum keyed by dst. The
+    * edges ⋈ deg relation is LOOP-INVARIANT, so it is joined once and
+    * cached — each round then runs a single join + agg instead of
+    * re-deriving the degree join [[PR_ITERS]] times;
     * `localCheckpoint` truncates the per-round lineage exactly like
     * [[dedupComponents]]. Iteration count is FIXED (power iteration
     * contracts by d per round — 6 rounds ≈ rank mass settled to ~0.4%,
@@ -657,11 +659,11 @@ object Dedup {
       .toDF("src", "dst").cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val edeg = edges.join(deg, "src").cache()
     var rank = deg.crossJoin(broadcast(nn))
       .select(col("src").as("id"), expr(s"${PR_SCALE}L div n_nodes").as("r"))
     for (_ <- 1 to PR_ITERS) {
-      rank = edges
-        .join(deg, "src")
+      rank = edeg
         .join(rank, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div deg")).as("inflow"))
