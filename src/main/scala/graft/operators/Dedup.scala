@@ -782,6 +782,9 @@ object Dedup {
   def graphLinkPredict(s: SparkSession, dir: String): DataFrame = {
     val g = exploded(s, dir).hint("merge")
     val a = g.alias("a"); val b = g.alias("b")
+    // cached: referenced by BOTH the edge-list union and the anti-join
+    // below — without the cache the shingle pair join (the expensive
+    // subtree) re-executes for the anti-join branch
     val pairs = a.join(b, col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id")
         && col("b.n") * 10 >= col("a.n") * 3 && col("a.n") * 10 >= col("b.n") * 3)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -789,6 +792,7 @@ object Dedup {
       .agg(count(lit(1)).as("i"))
       .filter(col("i") * 100 >= (col("na") + col("nb") - col("i")) * 2)
       .select(col("doc_a"), col("doc_b"))
+      .cache()
     val e = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
