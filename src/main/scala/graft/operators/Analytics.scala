@@ -1389,7 +1389,10 @@ object Analytics {
           when(col("rn") === expr("(n+1) div 2"), col(v)).otherwise(0L)
             + when(col("rn") === expr("(n+2) div 2"), col(v)).otherwise(0L))
           .as(s"med2_$v"))
-    val med = med2Of(e, "c").withColumnRenamed("med2_c", "med2")
+    // cached: `d` is re-derived by BOTH the MAD branch and the final
+    // scoring join, and each re-derivation would otherwise replay the
+    // full median window pass — the cache is O(event types) rows
+    val med = med2Of(e, "c").withColumnRenamed("med2_c", "med2").cache()
     val d = e.join(broadcast(med), "event_type")
       .withColumn("d", abs(col("c") * 2 - col("med2")))
     val mad = med2Of(d, "d").withColumnRenamed("med2_d", "mad2")
