@@ -220,15 +220,18 @@ object TextOps {
   /** Top-3 characteristic terms per doc by a RATIONAL tf-idf
     * (tf · N / df — exact integer product, one IEEE division): log-free
     * on purpose, because ln implementations differ across engines in
-    * the last ulp while exact-int division is bit-stable. Corpus term
-    * stats (df) come from one distinct pass; the doc-count joins in as
-    * a broadcast single row, never a driver round trip.
+    * the last ulp while exact-int division is bit-stable. df derives
+    * from the tf aggregate (every tf row IS a distinct (doc, term)
+    * pair), so the corpus is tokenized ONCE and exchange reuse shares
+    * the one (doc_id, term) shuffle between both consumers; the
+    * doc-count joins in as a broadcast single row, never a driver
+    * round trip.
     */
   def textTfidf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = docs(s, dir).select(col("doc_id"), explode(words).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
