@@ -82,9 +82,18 @@ object Dedup {
     * collide (P ≈ n²/2³¹, symmetric in the oracle by construction)
     * count as shared, exactly as DuckDB replays it.
     */
-  private[operators] def exploded(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def exploded(s: SparkSession, dir: String): DataFrame =
+    explodedOf(docs(s, dir))
+
+  /** [[exploded]] over an arbitrary (doc_id, text, ...) relation — lets
+    * source-restricted consumers (contamination, incremental dedup)
+    * push their filter BELOW the shingle explode so only the docs they
+    * actually join ever get shingled.
+    */
+  private[operators] def explodedOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
     import s.implicits._
-    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    d.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         val ngs = trigrams(t)
         ngs.iterator.map(ng => (id, ngs.length, polyHash(ng)))
@@ -457,11 +466,13 @@ object Dedup {
     * unbuffered.
     */
   def contaminationNgram(s: SparkSession, dir: String): DataFrame = {
-    val src = docs(s, dir).select(col("doc_id"), col("source"))
-    val g = exploded(s, dir).join(src, "doc_id")
-    val eval_ = g.filter(col("source") === "src0")
+    // source filters pushed BELOW the explode ([[explodedOf]]): each
+    // side shingles only its own partition of the corpus, instead of
+    // shingling everything twice and joining the source column on
+    val d = docs(s, dir)
+    val eval_ = explodedOf(d.filter(col("source") === "src0"))
       .select(col("doc_id").as("eval_id"), col("hg"))
-    val train = g.filter(col("source") =!= "src0")
+    val train = explodedOf(d.filter(col("source") =!= "src0"))
       .select(col("doc_id").as("train_id"), col("hg").as("hg_t"))
     val hits = broadcast(eval_).join(train, col("hg") === col("hg_t"))
       .groupBy(col("eval_id"))
@@ -506,11 +517,13 @@ object Dedup {
     * broadcasts, the standing corpus streams through.
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val src = docs(s, dir).select(col("doc_id"), col("source"))
-    val g = exploded(s, dir).join(src, "doc_id")
-    val newG = g.filter(col("source") === "src1")
+    // source filters pushed BELOW the explode ([[explodedOf]]): the
+    // delta and the standing corpus each shingle once, instead of
+    // shingling everything twice and joining the source column on
+    val d = docs(s, dir)
+    val newG = explodedOf(d.filter(col("source") === "src1"))
       .select(col("doc_id").as("new_id"), col("n").as("nn"), col("hg"))
-    val oldG = g.filter(col("source") =!= "src1")
+    val oldG = explodedOf(d.filter(col("source") =!= "src1"))
       .select(col("doc_id").as("old_id"), col("n").as("no"), col("hg").as("hg_o"))
     broadcast(newG).join(oldG, col("hg") === col("hg_o")
         && col("no") * 10 >= col("nn") * 3 && col("nn") * 10 >= col("no") * 3)
