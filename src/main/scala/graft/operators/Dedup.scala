@@ -554,6 +554,120 @@ object Dedup {
       |WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3
       |ORDER BY new_id, old_id""".stripMargin
 
+  // ---------------------------------------------- span-level dedup
+  private val SPAN_K = 8
+
+  /** Per-doc (doc_id, span) rows for every [[SPAN_K]]-word window of
+    * the whitespace token stream, fully codegen'd (split → guarded
+    * sequence → slice/array_join → explode; no UDF). Spans are keyed
+    * by the SPAN STRING, not a hash: unlike the trigram family (whose
+    * 31-bit polyHash is replayed symmetrically by the oracle), the
+    * whole point of the span faces is EXACT verbatim-substring
+    * semantics, so the key carries no collision caveat. At 100 TB the
+    * same plan would pre-hash spans to 128 bits to narrow the
+    * exchange (collision odds ~n²/2¹²⁹ — immaterial); the string key
+    * is the correctness contract, the wide-hash the scale path.
+    */
+  private def spanRows(d: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val spans = when(size(ws) >= SPAN_K,
+      transform(sequence(lit(1), size(ws) - lit(SPAN_K - 1)),
+        i => array_join(slice(ws, i, lit(SPAN_K)), " ")))
+      .otherwise(array())
+    d.select(col("doc_id"), explode(spans).as("span"))
+  }
+
+  /** Span-level exact substring dedup — the "how much of this document
+    * is verbatim-copied elsewhere" signal of suffix-array training-data
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"), restated as relational algebra: for each
+    * document, the number of its [[SPAN_K]]-word spans that appear
+    * verbatim in ≥1 OTHER document, plus an integer-permille coverage
+    * ratio (the usual drop/trim threshold input). Reference scope:
+    * rtkelly13/AWSBatch-MapReduce has no text ops; this is part of the
+    * LLM-curation surface the brief adds.
+    *
+    * == Scale design ==
+    * One corpus scan → explode → two map-side-combinable aggregates
+    * ((doc, span) then (span)) → shuffle-keyed join back on span →
+    * per-doc sum. No windows, no driver state; the (doc, span)
+    * aggregate subtree feeds both the duplicated-span ledger and the
+    * join probe, and canonicalizes identically in both consumers so
+    * exchange reuse evaluates it once (same contract text_tfidf
+    * relies on). The duplicated-span ledger is corpus-sized, so it
+    * stays a shuffle join, deliberately NOT a broadcast.
+    */
+  def dedupSpanExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = spanRows(d).groupBy(col("doc_id"), col("span"))
+      .agg(count(lit(1)).as("c"))
+    // docs_with derives from the (doc, span) aggregate — rows there are
+    // distinct (doc, span) pairs, so count(*) per span IS the distinct
+    // document frequency (the text_tfidf derivation, reused).
+    val shared = a.groupBy(col("span"))
+      .agg(count(lit(1)).as("docs_with"))
+      .filter(col("docs_with") >= 2)
+      .select(col("span").as("span_s"))
+    val dup = a.join(shared, col("span") === col("span_s"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup"))
+    val base = d.select(col("doc_id"),
+      greatest(size(split(col("text"), " ")) - lit(SPAN_K - 1), lit(0))
+        .cast("long").as("n_spans"))
+    base.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup"), lit(0L)).as("dup_spans"))
+      // integer permille: Spark `div` truncates, DuckDB `//` floors —
+      // identical on the non-negative operands here.
+      .withColumn("dup_permille",
+        when(col("n_spans") > lit(0L),
+          expr("dup_spans * 1000 div n_spans")).otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSpanExactSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sp AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS span
+      |  FROM w, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
+      |a AS (SELECT doc_id, span, count(*) AS c FROM sp GROUP BY 1, 2),
+      |d AS (SELECT span FROM a GROUP BY span HAVING count(*) >= 2),
+      |dup AS (SELECT a.doc_id, sum(a.c) AS dup FROM a JOIN d USING (span) GROUP BY 1),
+      |base AS (SELECT doc_id, CAST(greatest(len(string_split(text,' ')) - 7, 0) AS BIGINT) AS n_spans FROM documents)
+      |SELECT b.doc_id, b.n_spans, CAST(coalesce(dup.dup, 0) AS BIGINT) AS dup_spans,
+      |  CASE WHEN b.n_spans > 0 THEN CAST(coalesce(dup.dup, 0) * 1000 // b.n_spans AS BIGINT) ELSE CAST(0 AS BIGINT) END AS dup_permille
+      |FROM base b LEFT JOIN dup ON dup.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
+  /** The memorization-hotspot report over the same span relation: the
+    * top-20 spans shared by the most documents (ties broken by total
+    * occurrence count, then span text — a total order, so the LIMIT
+    * boundary is deterministic). This is the "what verbatim text is
+    * the corpus full of" triage view a curation pass reads before
+    * picking the [[dedupSpanExact]] drop threshold.
+    *
+    * == Scale design ==
+    * Same single-scan explode + (doc, span) aggregate as
+    * [[dedupSpanExact]]; the top-k lands in TakeOrderedAndProject
+    * (per-partition heaps, no global sort materialization).
+    */
+  def dedupSpanHot(s: SparkSession, dir: String): DataFrame = {
+    val a = spanRows(docs(s, dir)).groupBy(col("doc_id"), col("span"))
+      .agg(count(lit(1)).as("c"))
+    a.groupBy(col("span"))
+      .agg(count(lit(1)).as("docs_with"), sum(col("c")).as("occurrences"))
+      .filter(col("docs_with") >= 2)
+      .orderBy(col("docs_with").desc, col("occurrences").desc, col("span"))
+      .limit(20)
+  }
+
+  val dedupSpanHotSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sp AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS span
+      |  FROM w, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
+      |a AS (SELECT doc_id, span, count(*) AS c FROM sp GROUP BY 1, 2)
+      |SELECT span, count(*) AS docs_with, CAST(sum(c) AS BIGINT) AS occurrences
+      |FROM a GROUP BY span HAVING count(*) >= 2
+      |ORDER BY docs_with DESC, occurrences DESC, span LIMIT 20""".stripMargin
+
   // ------------------------------------------- connected components
   /** Duplicate CLUSTERS from the verified near-dup pairs: iterative
     * min-label propagation (each doc's component = smallest doc_id
@@ -979,6 +1093,8 @@ object Dedup {
     "contamination_ngram" -> contaminationNgram,
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_span_exact" -> dedupSpanExact,
+    "dedup_span_hot" -> dedupSpanHot,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_link_predict" -> graphLinkPredict)
@@ -1058,6 +1174,8 @@ object Dedup {
     "contamination_ngram" -> contaminationNgramSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_span_exact" -> dedupSpanExactSql,
+    "dedup_span_hot" -> dedupSpanHotSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_link_predict" -> graphLinkPredictSql)

@@ -57,6 +57,30 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((5L, 2L), (7L, 1L)))
   }
 
+  test("span dedup counts cross-doc verbatim spans, not within-doc repeats") {
+    val df = docsDf(Seq(
+      (1L, "a b c d e f g h i j", "en"),
+      (2L, "a b c d e f g h i j", "en"),
+      (3L, "a b c d e f g h x y", "en"),
+      (4L, "short text", "en"),
+      (5L, "p q r s t u v w p q r s t u v w", "en")))
+    df.write.mode("overwrite").parquet("/tmp/graft-test-span/documents.parquet")
+    val out = Dedup.dedupSpanExact(spark, "/tmp/graft-test-span")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 3L, 3L, 1000L), // full verbatim copy of doc 2
+      (2L, 3L, 3L, 1000L),
+      (3L, 3L, 1L, 333L),  // shares only its first 8-gram with 1/2
+      (4L, 0L, 0L, 0L),    // under 8 words: no spans at all
+      (5L, 9L, 0L, 0L)))   // self-repeated 8-gram is NOT a cross-doc dup
+    val hot = Dedup.dedupSpanHot(spark, "/tmp/graft-test-span")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(hot == Seq(
+      ("a b c d e f g h", 3L, 3L),
+      ("b c d e f g h i", 2L, 2L),
+      ("c d e f g h i j", 2L, 2L)))
+  }
+
   test("minhash-lsh achieves full recall of exact jaccard pairs on sf0.001") {
     val exact = Dedup.dedupNgramJaccard(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
