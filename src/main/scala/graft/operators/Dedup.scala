@@ -588,27 +588,27 @@ object Dedup {
     * LLM-curation surface the brief adds.
     *
     * == Scale design ==
-    * One corpus scan → explode → two map-side-combinable aggregates
-    * ((doc, span) then (span)) → shuffle-keyed join back on span →
-    * per-doc sum. No windows, no driver state; the (doc, span)
-    * aggregate subtree feeds both the duplicated-span ledger and the
-    * join probe, and canonicalizes identically in both consumers so
-    * exchange reuse evaluates it once (same contract text_tfidf
-    * relies on). The duplicated-span ledger is corpus-sized, so it
-    * stays a shuffle join, deliberately NOT a broadcast.
+    * ONE corpus scan → explode → map-side-combinable (doc, span)
+    * aggregate → window keyed by the HIGH-CARDINALITY span (count of
+    * rows in the aggregate per span IS the distinct document
+    * frequency — the text_tfidf derivation) → per-doc sum. The window
+    * formulation is deliberate: a self-join against a "shared spans"
+    * ledger re-explodes the corpus (the outer join pushes an
+    * isnotnull(doc_id) only into one subtree, so the twin aggregates
+    * canonicalize differently and exchange reuse cannot collapse them
+    * — measured in the pre-AQE plan), while the window reuses the one
+    * aggregate with a single extra exchange on span. Partition key
+    * cardinality ≈ distinct spans, so the window is skew-free at any
+    * scale — this is NOT a bare-alphabet window.
     */
   def dedupSpanExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     val a = spanRows(d).groupBy(col("doc_id"), col("span"))
       .agg(count(lit(1)).as("c"))
-    // docs_with derives from the (doc, span) aggregate — rows there are
-    // distinct (doc, span) pairs, so count(*) per span IS the distinct
-    // document frequency (the text_tfidf derivation, reused).
-    val shared = a.groupBy(col("span"))
-      .agg(count(lit(1)).as("docs_with"))
-      .filter(col("docs_with") >= 2)
-      .select(col("span").as("span_s"))
-    val dup = a.join(shared, col("span") === col("span_s"))
+    val w = a.withColumn("docs_with",
+      count(lit(1)).over(Window.partitionBy(col("span"))))
+    val dup = w.filter(col("docs_with") >= 2)
       .groupBy(col("doc_id")).agg(sum(col("c")).as("dup"))
     val base = d.select(col("doc_id"),
       greatest(size(split(col("text"), " ")) - lit(SPAN_K - 1), lit(0))
