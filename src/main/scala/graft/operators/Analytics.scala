@@ -947,6 +947,69 @@ object Analytics {
       |FROM d JOIN c ON c.user_id = d.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------- growth accounting
+  /** Daily growth accounting — the new / retained / resurrected /
+    * churned decomposition of the active-user curve (the standard
+    * DAU-quality report): per calendar day, how many active users are
+    * first-ever-seen (`n_new`), were active yesterday (`n_retained`),
+    * return after a gap (`n_resurrected`); `n_churned(d)` counts users
+    * active on d−1 but not d, so each day's identity
+    * `active(d) = active(d−1) + new + resurrected − churned` holds.
+    * The final day's drop-off lands on max_day+1 — a churn-only row.
+    *
+    * == Scale design ==
+    * distinct (user, day) is one map-side-combinable shuffle; the
+    * lag/lead classification windows partition on user_id —
+    * high-cardinality, skew-free, never a global sort; the day rollup
+    * is a bounded-alphabet aggregate (O(days) rows). One event scan
+    * feeds everything.
+    */
+  def eventsUserLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val x = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+    val act = x.groupBy(col("day")).agg(
+      sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(datediff(col("day"), col("prev_day")) === 1, 1L)
+        .otherwise(0L)).as("n_retained"),
+      sum(when(col("prev_day").isNotNull
+          && datediff(col("day"), col("prev_day")) > 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val churn = x
+      .filter(col("next_day").isNull
+        || datediff(col("next_day"), col("day")) > 1)
+      .groupBy(date_add(col("day"), 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("day"), "full_outer")
+      .select(fmtDay(col("day")).as("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  val eventsUserLifecycleSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |x AS (SELECT user_id, day,
+      |  lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+      |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day FROM d),
+      |a AS (SELECT day,
+      |  CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN date_diff('day', prev_day, day) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |  CAST(sum(CASE WHEN prev_day IS NOT NULL AND date_diff('day', prev_day, day) > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM x GROUP BY day),
+      |c AS (SELECT day + 1 AS day, count(*) AS n_churned FROM x
+      |  WHERE next_day IS NULL OR date_diff('day', day, next_day) > 1 GROUP BY 1)
+      |SELECT strftime(coalesce(a.day, c.day), '%Y-%m-%d') AS day,
+      |  coalesce(n_new, 0) AS n_new, coalesce(n_retained, 0) AS n_retained,
+      |  coalesce(n_resurrected, 0) AS n_resurrected,
+      |  coalesce(n_churned, 0) AS n_churned
+      |FROM a FULL OUTER JOIN c ON a.day = c.day
+      |ORDER BY day""".stripMargin
+
   // ------------------------------------------------------- funnel
   /** Ordered conversion funnel per user: first `view`, first `click`
     * AFTER that view, first `purchase` after that click — the staged
@@ -2577,6 +2640,7 @@ object Analytics {
     "events_funnel" -> eventsFunnel,
     "agg_mode" -> aggMode,
     "events_retention" -> eventsRetention,
+    "events_user_lifecycle" -> eventsUserLifecycle,
     "unpivot_revenue" -> unpivotRevenue)
 
   val oracles: Map[String, String] = Map(
@@ -2636,5 +2700,6 @@ object Analytics {
     "events_funnel" -> eventsFunnelSql,
     "agg_mode" -> aggModeSql,
     "events_retention" -> eventsRetentionSql,
+    "events_user_lifecycle" -> eventsUserLifecycleSql,
     "unpivot_revenue" -> unpivotRevenueSql)
 }

@@ -568,13 +568,13 @@ object Dedup {
     * exchange (collision odds ~n²/2¹²⁹ — immaterial); the string key
     * is the correctness contract, the wide-hash the scale path.
     */
-  private def spanRows(d: DataFrame): DataFrame = {
+  private def spanRows(d: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val ws = split(col("text"), " ")
     val spans = when(size(ws) >= SPAN_K,
       transform(sequence(lit(1), size(ws) - lit(SPAN_K - 1)),
         i => array_join(slice(ws, i, lit(SPAN_K)), " ")))
       .otherwise(array())
-    d.select(col("doc_id"), explode(spans).as("span"))
+    d.select(col("doc_id") +: keep.map(col) :+ explode(spans).as("span"): _*)
   }
 
   /** Span-level exact substring dedup — the "how much of this document
@@ -667,6 +667,114 @@ object Dedup {
       |SELECT span, count(*) AS docs_with, CAST(sum(c) AS BIGINT) AS occurrences
       |FROM a GROUP BY span HAVING count(*) >= 2
       |ORDER BY docs_with DESC, occurrences DESC, span LIMIT 20""".stripMargin
+
+  // ------------------------------- corpus growth / provenance overlap
+  /** Dedup saturation curve — the marginal-value-of-data report a
+    * corpus build reads before ingesting the next shard: the corpus is
+    * cut into 10 arrival shards by doc_id decile, and each shard
+    * reports how many of its [[SPAN_K]]-word spans were never seen in
+    * an earlier shard (`n_new_spans`), the cumulative unique-span
+    * mass, and the integer-permille novelty rate. Span identity (not
+    * whole-document) is deliberate: it is the token-level novelty that
+    * predicts training value (the [[dedupSpanExact]] Lee-et-al.
+    * identity), and it keeps the curve informative even when no two
+    * documents are byte-identical. A flattening curve says the next
+    * shard buys mostly re-crawled text — the dedup-ROI knob.
+    *
+    * == Scale design ==
+    * The max(doc_id) fixing the decile width is a 1-row aggregate
+    * cross-joined back (broadcast by construction — no shuffle);
+    * first-seen shard is ONE map-side-combinable min per span key
+    * (high-cardinality, skew-free); everything after operates on
+    * ≤10 rows, so the unpartitioned cumulative window is a
+    * bounded-relation face, not a corpus sort.
+    */
+  def dedupGrowthCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val mx = d.agg(max(col("doc_id")).as("mx"))
+    val sp = spanRows(
+      d.crossJoin(broadcast(mx))
+        .withColumn("shard", expr("doc_id * 10 div (mx + 1)")),
+      keep = Seq("shard"))
+    val perShard = sp.groupBy(col("shard")).agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_spans"))
+    val firstSeen = sp.groupBy(col("span"))
+      .agg(min(col("shard")).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_new"))
+    // 10-row relation from here on: the global window is bounded.
+    val cum = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perShard.join(firstSeen, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"), col("n_spans"),
+        coalesce(col("n_new"), lit(0L)).as("n_new_spans"))
+      .withColumn("cum_unique_spans", sum(col("n_new_spans")).over(cum))
+      // non-negative operands: Spark `div` (truncate) ≡ DuckDB `//` (floor)
+      .withColumn("new_permille", expr("n_new_spans * 1000 div n_spans"))
+      .orderBy(col("shard"))
+  }
+
+  val dedupGrowthCurveSql: String =
+    """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+      |w AS (SELECT doc_id, (doc_id * 10) // (mx + 1) AS shard, string_split(text,' ') AS ws FROM documents, m),
+      |sp AS (SELECT doc_id, shard, array_to_string(ws[i:i+7], ' ') AS span
+      |  FROM w, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
+      |ps AS (SELECT shard, count(DISTINCT doc_id) AS n_docs, count(*) AS n_spans FROM sp GROUP BY shard),
+      |fs AS (SELECT min(shard) AS shard FROM sp GROUP BY span),
+      |nu AS (SELECT shard, count(*) AS n_new FROM fs GROUP BY shard)
+      |SELECT ps.shard, ps.n_docs, ps.n_spans, CAST(coalesce(nu.n_new, 0) AS BIGINT) AS n_new_spans,
+      |  CAST(sum(coalesce(nu.n_new, 0)) OVER (ORDER BY ps.shard) AS BIGINT) AS cum_unique_spans,
+      |  CAST(coalesce(nu.n_new, 0) * 1000 // ps.n_spans AS BIGINT) AS new_permille
+      |FROM ps LEFT JOIN nu USING (shard)
+      |ORDER BY ps.shard""".stripMargin
+
+  /** Cross-source duplication matrix — which provenance pairs ship the
+    * same text: for every source pair (a < b), the number of distinct
+    * [[SPAN_K]]-word spans present verbatim in BOTH, plus that count
+    * as an integer permille of the smaller side's unique-span mass.
+    * The curation read: a high-permille pair means one source largely
+    * mirrors the other and its acquisition budget is mostly buying
+    * re-crawls of text already owned.
+    *
+    * == Scale design ==
+    * distinct(source, span) is one map-side-combinable shuffle on the
+    * span key; the pair join meets only within a span's source set
+    * (≤ |sources| rows — the alphabet, not the corpus), so per-span
+    * fan-out is bounded and the output is at most |sources|² rows.
+    * Per-source unique counts broadcast back. At 100 TB the join key
+    * becomes a 128-bit span digest (the [[spanRows]] wide-hash note);
+    * the string key keeps the oracle exactly replayable.
+    */
+  def dedupSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = spanRows(docs(s, dir), keep = Seq("source"))
+      .select(col("source"), col("span")).distinct()
+    val u = d.groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+    d.as("a").join(d.as("b"),
+        col("a.span") === col("b.span") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(u.select(col("source").as("source_a"),
+        col("n_unique").as("ua"))), "source_a")
+      .join(broadcast(u.select(col("source").as("source_b"),
+        col("n_unique").as("ub"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("n_shared * 1000 div least(ua, ub)").as("share_permille"))
+      .orderBy(col("n_shared").desc, col("source_a"), col("source_b"))
+  }
+
+  val dedupSourceOverlapSql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents),
+      |sp AS (SELECT DISTINCT source, array_to_string(ws[i:i+7], ' ') AS span
+      |  FROM w, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
+      |u AS (SELECT source, count(*) AS n_unique FROM sp GROUP BY source),
+      |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      |  FROM sp a JOIN sp b ON a.span = b.span AND a.source < b.source GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b, p.n_shared,
+      |  CAST(p.n_shared * 1000 // least(ua.n_unique, ub.n_unique) AS BIGINT) AS share_permille
+      |FROM p JOIN u ua ON ua.source = p.source_a
+      |JOIN u ub ON ub.source = p.source_b
+      |ORDER BY p.n_shared DESC, p.source_a, p.source_b""".stripMargin
 
   // ------------------------------------------- connected components
   /** Duplicate CLUSTERS from the verified near-dup pairs: iterative
@@ -1095,6 +1203,8 @@ object Dedup {
     "dedup_incremental" -> dedupIncremental,
     "dedup_span_exact" -> dedupSpanExact,
     "dedup_span_hot" -> dedupSpanHot,
+    "dedup_growth_curve" -> dedupGrowthCurve,
+    "dedup_source_overlap" -> dedupSourceOverlap,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_link_predict" -> graphLinkPredict)
@@ -1176,6 +1286,8 @@ object Dedup {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_span_exact" -> dedupSpanExactSql,
     "dedup_span_hot" -> dedupSpanHotSql,
+    "dedup_growth_curve" -> dedupGrowthCurveSql,
+    "dedup_source_overlap" -> dedupSourceOverlapSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_link_predict" -> graphLinkPredictSql)

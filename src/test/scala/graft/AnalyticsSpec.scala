@@ -87,6 +87,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == model, s"extra=${out -- model}\nmissing=${model -- out}")
   }
 
+  test("lifecycle decomposes daily actives into new/retained/resurrected and balances churn") {
+    // u1: days 0,1,2  u2: days 0,2 (gap)  u3: day 1 only
+    val userDays = Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (2L, 2L), (3L, 1L))
+    userDays.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, d * 86400000000L + u * 1000000L, u, "click", 1.0)
+    }.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-lc/events.parquet")
+    val out = Analytics.eventsUserLifecycle(spark, "/tmp/graft-test-lc")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("1970-01-01", 2L, 0L, 0L, 0L),
+      ("1970-01-02", 1L, 1L, 0L, 1L),
+      ("1970-01-03", 0L, 1L, 1L, 1L),
+      ("1970-01-04", 0L, 0L, 0L, 2L)))
+    // growth-accounting identity on every consecutive day pair:
+    // active(d) = active(d-1) + new(d) + resurrected(d) - churned(d)
+    val active = userDays.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    out.sliding(2).foreach {
+      case Seq((_, _, _, _, _), (d, nw, rt, rs, ch)) =>
+        val day = java.time.LocalDate.parse(d).toEpochDay
+        assert(active.getOrElse(day, 0L) ==
+          active.getOrElse(day - 1, 0L) + nw + rs - ch)
+      case _ =>
+    }
+  }
+
   test("q1 aggregates are decimal-exact and grouped correctly") {
     val out = Analytics.q1PricingSummary(spark, sf).collect()
     assert(out.nonEmpty)

@@ -81,6 +81,43 @@ class TextDedupSpec extends SparkSpec {
       ("c d e f g h i j", 2L, 2L)))
   }
 
+  // one 8-word doc ⇒ exactly one span, tagged by its first word
+  private def spanText(tag: String) = s"$tag w w w w w w w"
+
+  test("growth curve charges each span to its first-arrival shard") {
+    // ids 0..9 with max=9 ⇒ shard = doc_id (one doc per decile);
+    // span tags: A B A C B D A E F D ⇒ new at shards 0,1,3,5,7,8
+    val tags = Seq("a", "b", "a", "c", "b", "d", "a", "e", "f", "d")
+    val df = docsDf(tags.zipWithIndex.map { case (t, i) =>
+      (i.toLong, spanText(t), "en")
+    })
+    df.write.mode("overwrite").parquet("/tmp/graft-test-gc/documents.parquet")
+    val out = Dedup.dedupGrowthCurve(spark, "/tmp/graft-test-gc")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val newU = Seq(1L, 1L, 0L, 1L, 0L, 1L, 0L, 1L, 1L, 0L)
+    val model = newU.zipWithIndex.map { case (n, i) =>
+      (i.toLong, 1L, 1L, n, newU.take(i + 1).sum, n * 1000L)
+    }
+    assert(out == model)
+  }
+
+  test("source overlap counts distinct spans shared per source pair") {
+    // srcA {P,Q}, srcB {P}, srcC {Q,R}: A∩B={P}, A∩C={Q}, B∩C=∅
+    val df = Seq(
+      (1L, spanText("p"), "srcA"), (2L, spanText("q"), "srcA"),
+      (3L, spanText("p"), "srcB"), (4L, spanText("q"), "srcC"),
+      (5L, spanText("r"), "srcC"), (6L, spanText("q"), "srcA"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    df.write.mode("overwrite").parquet("/tmp/graft-test-so/documents.parquet")
+    val out = Dedup.dedupSourceOverlap(spark, "/tmp/graft-test-so")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("srcA", "srcB", 1L, 1000L),  // 1 shared / min(2,1) uniques
+      ("srcA", "srcC", 1L, 500L))) // 1 shared / min(2,2) uniques
+  }
+
   test("minhash-lsh achieves full recall of exact jaccard pairs on sf0.001") {
     val exact = Dedup.dedupNgramJaccard(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
