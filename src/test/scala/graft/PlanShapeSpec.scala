@@ -428,10 +428,33 @@ class PlanShapeSpec extends SparkSpec {
     // positions silently, with no unreused-exchange error to catch it.
     val df = Analytics.eventsRfm(spark, sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      "no reused exchange in the final adaptive plan of events_rfm — " +
-        "globalRowPos branches are re-executing the range shuffle")
+    // A bare plan.contains("ReusedExchange") is too weak: events_rfm
+    // has other reusable exchanges (the per-user aggregate feeds two
+    // branches), so that string can be present while the RANGE
+    // exchange specifically re-executes per branch. Walk the executed
+    // adaptive plan (descending into query stages) and require the
+    // reused exchanges to include range-partitioned ones — one per
+    // globalRowPos pass (r/f/m = 3).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    def reused(p: SparkPlan): Seq[ReusedExchangeExec] = {
+      val deeper = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      (p match { case r: ReusedExchangeExec => Seq(r); case _ => Nil }) ++
+        deeper.flatMap(reused)
+    }
+    val rs = reused(df.queryExecution.executedPlan)
+    val ranged = rs.filter(_.outputPartitioning.isInstanceOf[RangePartitioning])
+    assert(ranged.size >= 3,
+      s"expected >=3 range-partitioned ReusedExchange nodes (one per " +
+        s"globalRowPos pass) in the final adaptive plan of events_rfm; " +
+        s"found ${ranged.size} of ${rs.size} reused exchanges — " +
+        "a globalRowPos branch is re-executing its range shuffle")
   }
 
   test("two-phase rank quintiles agree with a literal ntile window (rfm)") {
@@ -443,12 +466,11 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val got = Analytics.eventsRfm(spark, sf)
       .select("user_id", "r_score", "f_score", "m_score")
-    // The fixture's ts is a raw long of NANOseconds (nanosAsLong read);
-    // a bare cast("timestamp") would read it as SECONDS and saturate
-    // every t_last to year +294247, collapsing recency — SURVEY §8's
-    // documented pitfall. Convert explicitly via micros.
+    // The fixture's ts is parquet timestamp[us] (NTZ) — normalize to
+    // session-TZ TIMESTAMP exactly as Analytics.events does, so the
+    // model's recency arithmetic sees the same instants as the engine.
     val per = got.sparkSession.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
       .groupBy(col("user_id")).agg(
         max(col("ts")).as("t_last"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("frequency"),
