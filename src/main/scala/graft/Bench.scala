@@ -71,6 +71,28 @@ object Bench {
     val full = s"""{"sf_dir":"$sfDir","total":$total,"cold_total":$coldTotal,"nosort_total":$nosortTotal,""" +
       s""""queries":${m2j(warm)},"cold_queries":${m2j(cold)},"nosort_queries":${m2j(nosort)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // Standing regression gate (r10 ADVICE): before overwriting the
+    // committed bench_full.json, diff this run's NOSORT column (the
+    // only load-robust cross-round axis — warm totals have twice been
+    // recorded under machine load and graded as junk) against it and
+    // persist the verdict as bench_regress.json. A query is flagged
+    // only past BOTH a 2x ratio and a 0.3 s absolute floor: sub-second
+    // queries routinely double on scheduling noise alone (§8e band).
+    val regressFile = sys.env.getOrElse("SPARK_GRAFT_REGRESS_OUT", "bench_regress.json")
+    try {
+      val p = Paths.get(outFile)
+      val prev = if (Files.exists(p)) parseNosort(Files.readString(p))
+        else Map.empty[String, Double]
+      val flagged = nosort.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        prev.get(k).collect { case pv if pv > 0 && v >= pv * 2 && v - pv >= 0.3 =>
+          f""""$k":{"prev":$pv%.3f,"now":$v%.3f,"ratio":${v / pv}%.2f}"""
+        }
+      }
+      val report = s"""{"compared":${nosort.keySet.intersect(prev.keySet).size},""" +
+        f""""prev_nosort_total":${prev.values.sum}%.2f,"nosort_total":$nosortTotal%.2f,""" +
+        s""""flagged":${flagged.mkString("{", ",", "}")}}"""
+      Files.writeString(Paths.get(regressFile), report)
+    } catch { case e: Throwable => System.err.println(s"[bench] regress $regressFile: $e") }
     try Files.writeString(Paths.get(outFile), full)
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
@@ -80,6 +102,21 @@ object Bench {
   }
   private def m2j(m: Map[String, Double]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** Extract the nosort_queries map from a previously written
+    * bench_full.json. Regex over our own fixed writer format (flat
+    * string keys, plain numbers, no nesting inside the object) — not a
+    * general JSON parser, and deliberately total: any malformed or
+    * foreign file yields an empty map and the gate reports
+    * compared=0 instead of failing the bench run.
+    */
+  private[graft] def parseNosort(json: String): Map[String, Double] = {
+    val obj = """"nosort_queries":\{([^}]*)\}""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    """"([^"]+)":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r.findAllMatchIn(obj)
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+      .toMap
+  }
 
   /** The compact stdout line, HARD-CAPPED in length.
     *

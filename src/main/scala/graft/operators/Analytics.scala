@@ -1452,10 +1452,15 @@ object Analytics {
           when(col("rn") === expr("(n+1) div 2"), col(v)).otherwise(0L)
             + when(col("rn") === expr("(n+2) div 2"), col(v)).otherwise(0L))
           .as(s"med2_$v"))
-    // cached: `d` is re-derived by BOTH the MAD branch and the final
-    // scoring join, and each re-derivation would otherwise replay the
-    // full median window pass — the cache is O(event types) rows
-    val med = med2Of(e, "c").withColumnRenamed("med2_c", "med2").cache()
+    // checkpointed: `d` is re-derived by BOTH the MAD branch and the
+    // final scoring join, and each re-derivation would otherwise
+    // replay the full median window pass. Eager localCheckpoint (not
+    // .cache()) so the O(event types) relation materializes once and
+    // its blocks are freed by ContextCleaner when this DataFrame is
+    // GC'd — a CacheManager entry would outlive every consumer (r9
+    // ADVICE: caches never unpersisted).
+    val med = med2Of(e, "c").withColumnRenamed("med2_c", "med2")
+      .localCheckpoint(eager = true)
     val d = e.join(broadcast(med), "event_type")
       .withColumn("d", abs(col("c") * 2 - col("med2")))
     val mad = med2Of(d, "d").withColumnRenamed("med2_d", "mad2")
@@ -1790,7 +1795,11 @@ object Analytics {
       .withColumn("session_id", sum(col("new_s")).over(wRun))
       .select(col("user_id"), col("session_id"), col("event_type"))
       .distinct()
-      .cache()
+      // eager localCheckpoint, not .cache(): four consumers (tot,
+      // perType, both self-join sides) share one materialization and
+      // ContextCleaner frees the blocks when the plan is GC'd — no
+      // CacheManager entry to leak across an inventory replay
+      .localCheckpoint(eager = true)
     val tot = sess.select(col("user_id"), col("session_id")).distinct()
       .agg(count(lit(1)).as("n_sessions"))
     val perType = sess.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
@@ -2058,30 +2067,41 @@ object Analytics {
     * sampled range boundaries land never changes the result — but all
     * three consumers of `ranged` below (the local row_number, the count
     * ledger, and its triangular self-join) must observe the SAME
-    * boundaries. That holds because the three subtrees canonicalize
-    * equal and exchange reuse (AQE stage cache / ReuseExchange)
-    * materializes the range shuffle ONCE; RangePartitioner's reservoir
-    * seed incorporates the RDD id, so without reuse each branch could
-    * draw different boundaries and positions would silently corrupt.
-    * The dependency is asserted eagerly here (conf check below) and
-    * structurally in PlanShapeSpec ("globalRowPos range exchange is
-    * materialized once"), which pins reuse actually firing. Persisting
-    * `ranged` instead would duplicate what the shuffle files already
-    * give for free at 100 TB.
+    * boundaries. RangePartitioner's reservoir seed incorporates the
+    * RDD id, so three INDEPENDENT executions of the range exchange
+    * could draw different boundaries and positions would silently
+    * corrupt. Through round 10 that single-materialization guarantee
+    * was delegated to exchange reuse (AQE stage cache / ReuseExchange)
+    * plus a conf `require` — an optimizer best-effort, not a
+    * contract: any rule that differentiates the three subtrees before
+    * canonicalization breaks it with no error, only wrong answers.
+    * Now the guarantee is STRUCTURAL: `ranged` (with its slice id
+    * already stamped) is eagerly local-checkpointed, so the range
+    * shuffle + boundary draw run exactly once and every consumer scans
+    * the one materialized RDD — `spark.sql.exchange.reuse` can be OFF
+    * and positions stay correct (PlanShapeSpec pins both the shared-RDD
+    * plan shape and reuse-off equivalence). Cost: the checkpoint
+    * stores the sliced relation once in executor block storage —
+    * the same order of I/O the reused shuffle files already paid, and
+    * both call sites feed globalRowPos an already-aggregated relation
+    * (per-user / per-order rows, not the raw corpus), so the stored
+    * footprint is corpus-sublinear. ContextCleaner frees the blocks
+    * when the DataFrame is GC'd — no unpersist bookkeeping. Trade-off
+    * (documented, accepted): localCheckpoint truncates lineage, so an
+    * executor loss during downstream stages fails the job instead of
+    * recomputing — acceptable for a deterministic batch operator whose
+    * retry is the job itself; a CacheManager persist would keep
+    * lineage but leak storage with no structural unpersist point.
     */
   private def globalRowPos(df: DataFrame, partKeys: Seq[String],
       order: Seq[Column], pos: String, total: String): DataFrame = {
-    // Correctness precondition, not a tuning knob: see Scaladoc above.
-    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
-      "globalRowPos requires spark.sql.exchange.reuse=true: its three " +
-        "plan branches must observe one materialization of the range " +
-        "exchange or slice assignments can diverge")
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val pid = s"__slice_$pos"
     val lrow = s"__lrow_$pos"
     val ranged = df
       .repartitionByRange(p, partKeys.map(col) ++ order: _*)
       .withColumn(pid, spark_partition_id())
+      .localCheckpoint(eager = true)
     val wLoc = Window.partitionBy((pid +: partKeys).map(col): _*)
       .orderBy(order: _*)
     val local = ranged.withColumn(lrow, row_number().over(wLoc))
@@ -2207,7 +2227,9 @@ object Analytics {
       .withColumn("session_id", sum(col("new_s")).over(wRun))
       .select(col("day"), col("user_id"), col("session_id"), col("event_type"))
       .distinct()
-      .cache()
+      // eager localCheckpoint, not .cache() — same leak-free sharing
+      // rationale as the parent co-occurrence face
+      .localCheckpoint(eager = true)
     val tot = sess.select(col("day"), col("user_id"), col("session_id")).distinct()
       .groupBy(col("day")).agg(count(lit(1)).as("n_sessions"))
     val perType = sess.groupBy(col("day"), col("event_type"))

@@ -693,41 +693,54 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     val mx = d.agg(max(col("doc_id")).as("mx"))
-    val sp = spanRows(
-      d.crossJoin(broadcast(mx))
-        .withColumn("shard", expr("doc_id * 10 div (mx + 1)")),
-      keep = Seq("shard"))
-    val perShard = sp.groupBy(col("shard")).agg(
-      countDistinct(col("doc_id")).as("n_docs"),
-      count(lit(1)).as("n_spans"))
+    val sharded = d.crossJoin(broadcast(mx))
+      .withColumn("shard", expr("doc_id * 10 div (mx + 1)"))
+    // Shard presence and n_docs come from DOCUMENTS, not the exploded
+    // span relation: a shard whose docs are all shorter than SPAN_K
+    // words contributes zero spans but must still report (n_docs > 0,
+    // n_spans = 0) — deriving the spine from spans would silently drop
+    // it from the curve (r9 ADVICE contract nit).
+    val shards = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"))
+    val sp = spanRows(sharded, keep = Seq("shard"))
+    val perShard = sp.groupBy(col("shard")).agg(count(lit(1)).as("n_spans"))
     val firstSeen = sp.groupBy(col("span"))
       .agg(min(col("shard")).as("shard"))
       .groupBy(col("shard")).agg(count(lit(1)).as("n_new"))
     // 10-row relation from here on: the global window is bounded.
     val cum = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perShard.join(firstSeen, Seq("shard"), "left")
-      .select(col("shard"), col("n_docs"), col("n_spans"),
+    shards.join(perShard, Seq("shard"), "left")
+      .join(firstSeen, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_new"), lit(0L)).as("n_new_spans"))
       .withColumn("cum_unique_spans", sum(col("n_new_spans")).over(cum))
-      // non-negative operands: Spark `div` (truncate) ≡ DuckDB `//` (floor)
-      .withColumn("new_permille", expr("n_new_spans * 1000 div n_spans"))
+      // non-negative operands: Spark `div` (truncate) ≡ DuckDB `//`
+      // (floor); NULL (not a fake 0‰) when the shard has no spans —
+      // a novelty RATE over zero spans is undefined, and 0 would read
+      // as "fully redundant shard"
+      .withColumn("new_permille",
+        when(col("n_spans") > 0, expr("n_new_spans * 1000 div n_spans")))
       .orderBy(col("shard"))
   }
 
   val dedupGrowthCurveSql: String =
     """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
       |w AS (SELECT doc_id, (doc_id * 10) // (mx + 1) AS shard, string_split(text,' ') AS ws FROM documents, m),
+      |sh AS (SELECT shard, count(*) AS n_docs FROM w GROUP BY shard),
       |sp AS (SELECT doc_id, shard, array_to_string(ws[i:i+7], ' ') AS span
       |  FROM w, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
-      |ps AS (SELECT shard, count(DISTINCT doc_id) AS n_docs, count(*) AS n_spans FROM sp GROUP BY shard),
+      |ps AS (SELECT shard, count(*) AS n_spans FROM sp GROUP BY shard),
       |fs AS (SELECT min(shard) AS shard FROM sp GROUP BY span),
       |nu AS (SELECT shard, count(*) AS n_new FROM fs GROUP BY shard)
-      |SELECT ps.shard, ps.n_docs, ps.n_spans, CAST(coalesce(nu.n_new, 0) AS BIGINT) AS n_new_spans,
-      |  CAST(sum(coalesce(nu.n_new, 0)) OVER (ORDER BY ps.shard) AS BIGINT) AS cum_unique_spans,
-      |  CAST(coalesce(nu.n_new, 0) * 1000 // ps.n_spans AS BIGINT) AS new_permille
-      |FROM ps LEFT JOIN nu USING (shard)
-      |ORDER BY ps.shard""".stripMargin
+      |SELECT sh.shard, sh.n_docs, CAST(coalesce(ps.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(nu.n_new, 0) AS BIGINT) AS n_new_spans,
+      |  CAST(sum(coalesce(nu.n_new, 0)) OVER (ORDER BY sh.shard) AS BIGINT) AS cum_unique_spans,
+      |  CASE WHEN coalesce(ps.n_spans, 0) > 0
+      |    THEN CAST(coalesce(nu.n_new, 0) * 1000 // ps.n_spans AS BIGINT) END AS new_permille
+      |FROM sh LEFT JOIN ps USING (shard) LEFT JOIN nu USING (shard)
+      |ORDER BY sh.shard""".stripMargin
 
   /** Cross-source duplication matrix — which provenance pairs ship the
     * same text: for every source pair (a < b), the number of distinct
@@ -889,12 +902,18 @@ object Dedup {
     */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    // eager localCheckpoint, not .cache(): the expensive shingle pair
+    // join materializes once, every iteration scans the blocks, and
+    // ContextCleaner frees them when the loop's DataFrames are GC'd
+    // (a CacheManager entry would never be evicted — r9 ADVICE)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint(eager = true)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
-    val edeg = edges.join(deg, "src").cache()
+    // the loop-invariant edge⋈degree join, hoisted and materialized
+    // once for all PR_ITERS rounds
+    val edeg = edges.join(deg, "src").localCheckpoint(eager = true)
     var rank = deg.crossJoin(broadcast(nn))
       .select(col("src").as("id"), expr(s"${PR_SCALE}L div n_nodes").as("r"))
     for (_ <- 1 to PR_ITERS) {
@@ -961,7 +980,11 @@ object Dedup {
     * O(edges^1.5) worst-case — the proven bound for this enumeration.
     */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val e = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
+    // eager localCheckpoint, not .cache(): three roles (wedge x/y legs
+    // and the closing semi-join) scan one materialization; blocks are
+    // ContextCleaner-freed, no CacheManager leak
+    val e = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = true)
     val tri = e.as("x").join(e.as("y"), col("x.doc_b") === col("y.doc_a"))
       .select(col("x.doc_a").as("a"), col("x.doc_b").as("b"), col("y.doc_b").as("c"))
       .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")),
@@ -1017,9 +1040,11 @@ object Dedup {
   def graphLinkPredict(s: SparkSession, dir: String): DataFrame = {
     val g = exploded(s, dir).hint("merge")
     val a = g.alias("a"); val b = g.alias("b")
-    // cached: referenced by BOTH the edge-list union and the anti-join
-    // below — without the cache the shingle pair join (the expensive
-    // subtree) re-executes for the anti-join branch
+    // checkpointed: referenced by BOTH the edge-list union and the
+    // anti-join below — without the materialization the shingle pair
+    // join (the expensive subtree) re-executes for the anti-join
+    // branch. Eager localCheckpoint rather than .cache() so the blocks
+    // are ContextCleaner-freed instead of pinned in the CacheManager.
     val pairs = a.join(b, col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id")
         && col("b.n") * 10 >= col("a.n") * 3 && col("a.n") * 10 >= col("b.n") * 3)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -1027,10 +1052,10 @@ object Dedup {
       .agg(count(lit(1)).as("i"))
       .filter(col("i") * 100 >= (col("na") + col("nb") - col("i")) * 2)
       .select(col("doc_a"), col("doc_b"))
-      .cache()
+      .localCheckpoint(eager = true)
     val e = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint(eager = true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val cn = e.as("x").join(e.as("y"),
         col("x.dst") === col("y.src") && col("x.src") < col("y.dst"))

@@ -145,20 +145,42 @@ object Ingest {
     * (v=1/v=2 become a partition column, pruned like any other).
     */
   // The two-epoch fixture is materialized under a root UNIQUE PER JVM
-  // (and written once per (jvm, dir)): a fixed path would let
-  // concurrent Verify/Bench JVMs overwrite each other mid-read, and a
-  // per-call rewrite would make every bench iteration time two
-  // side-effect parquet writes instead of the merge-read under test.
+  // (and written once per (jvm, dir, source-mtime)): a fixed path
+  // would let concurrent Verify/Bench JVMs overwrite each other
+  // mid-read, and a per-call rewrite would make every bench iteration
+  // time two side-effect parquet writes instead of the merge-read
+  // under test. The source table's mtime rides in the cache key so a
+  // regenerated testdata dir invalidates the fixture (pre-r11 the
+  // first build was pinned for the JVM's life). All roots are removed
+  // by one JVM shutdown hook.
   private val evoRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      evoRoots.values().forEach(r => deleteRecursively(new java.io.File(r)))))
+  }
+
   def sourceSchemaMerge(s: SparkSession, dir: String): DataFrame = {
-    val root = evoRoots.computeIfAbsent(dir, d => {
-      val base = Tables.load(s, d, "events")
+    val key = dir + "@" + new java.io.File(dir, "events.parquet").lastModified()
+    val cached = evoRoots.get(key)
+    // Build OUTSIDE the map: computeIfAbsent would run two Spark write
+    // jobs while holding the bin lock (blocking unrelated lookups, and
+    // a second thread's identical build would deadlock-prone pile up
+    // behind it). A lost putIfAbsent race just deletes the loser's
+    // UUID-fresh root.
+    val root = if (cached != null) cached else {
+      val base = Tables.load(s, dir, "events")
       val r = new java.io.File(
         sys.props("java.io.tmpdir"),
         "graft_evo_" + java.util.UUID.randomUUID().toString.take(8) +
-          "_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+          "_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
       base.filter(pmod(col("event_id"), lit(2)) === 0)
         .select(col("event_id"), col("user_id"), cents(col("value")).as("value_cents"))
         .write.mode("overwrite").parquet(r + "/v=1")
@@ -166,8 +188,9 @@ object Ingest {
         .select(col("event_id"), col("user_id"), cents(col("value")).as("value_cents"),
           col("event_type"))
         .write.mode("overwrite").parquet(r + "/v=2")
-      r
-    })
+      val prev = evoRoots.putIfAbsent(key, r)
+      if (prev != null) { deleteRecursively(new java.io.File(r)); prev } else r
+    }
     s.read.option("mergeSchema", "true").parquet(root)
       .groupBy(coalesce(col("event_type"), lit("unknown")).as("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -710,4 +710,30 @@ class AnalyticsSpec extends SparkSpec {
         s"user $u violates the CMS no-undercount guarantee")
     }
   }
+
+  test("shared-subtree operators leave no CacheManager entries behind") {
+    // r9 ADVICE: operators that materialize a shared subtree must not
+    // leak storage across an inventory replay. They now use eager
+    // localCheckpoint (RDD blocks freed by ContextCleaner on GC)
+    // instead of .cache() (a CacheManager entry no action ever
+    // evicts). Pin the mechanism: after running every face that
+    // formerly cached, a FRESH build of each must not be intercepted
+    // by a lingering InMemoryRelation — the visible face of a leaked
+    // CacheManager entry.
+    spark.catalog.clearCache()
+    Analytics.eventsAnomalyRobust(spark, sf).collect()
+    Analytics.eventsCooccurrence(spark, sf).collect()
+    Analytics.eventsCooccurrenceDrift(spark, sf).collect()
+    graft.operators.Dedup.graphTriangles(spark, sfMid).collect()
+    Seq(
+      "events_anomaly_robust" -> Analytics.eventsAnomalyRobust(spark, sf),
+      "events_cooccurrence" -> Analytics.eventsCooccurrence(spark, sf),
+      "events_cooccurrence_drift" -> Analytics.eventsCooccurrenceDrift(spark, sf),
+      "graph_triangles" -> graft.operators.Dedup.graphTriangles(spark, sfMid)
+    ).foreach { case (name, df) =>
+      assert(!df.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
+        s"$name left a CacheManager entry behind: a replay plans " +
+          "against leaked cached storage")
+    }
+  }
 }

@@ -40,6 +40,20 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("bench regression gate parses its own writer format and nothing else") {
+    val full = """{"sf_dir":"/x/sf0.1","total":12.5,"cold_total":40.1,""" +
+      """"nosort_total":9.25,"queries":{"q1":0.5,"q2":1.75},""" +
+      """"cold_queries":{"q1":5.0,"q2":9.9},""" +
+      """"nosort_queries":{"q1":0.25,"q2":1.5,"q3":2.0E-1}}"""
+    assert(Bench.parseNosort(full) ==
+      Map("q1" -> 0.25, "q2" -> 1.5, "q3" -> 0.2))
+    // warm "queries" must NOT leak into the nosort baseline
+    assert(Bench.parseNosort(full)("q1") != 0.5)
+    // malformed / foreign files degrade to an empty baseline, never throw
+    assert(Bench.parseNosort("not json at all").isEmpty)
+    assert(Bench.parseNosort("""{"queries":{"q1":0.5}}""").isEmpty)
+  }
+
   // The driver parses Bench's final stdout line from a ~2000-byte
   // output tail; r6's 2011-byte line was front-truncated → an unusable
   // bench round. Pin the cap against the REAL (growing) inventory.

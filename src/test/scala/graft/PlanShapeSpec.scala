@@ -416,45 +416,64 @@ class PlanShapeSpec extends SparkSpec {
       s"window partitioned by the bare priority alphabet:\n$specs")
   }
 
-  test("globalRowPos range exchange is materialized once (reuse fires)") {
-    // globalRowPos is only CORRECT if all three consumers of its ranged
-    // relation observe one materialization of the range shuffle (the
-    // reservoir seed incorporates the RDD id, so independent
-    // re-executions could draw different slice boundaries — see the
-    // globalRowPos Scaladoc). The conf precondition is require()d in
-    // the operator; this pins the structural half: exchange reuse
-    // actually fires in the executed adaptive plan. A regression here
-    // (an optimizer rule differentiating the subtrees) would corrupt
-    // positions silently, with no unreused-exchange error to catch it.
+  test("globalRowPos ranged relation is one shared checkpointed RDD") {
+    // globalRowPos is only CORRECT if every consumer of its ranged
+    // relation (the local row_number, the count ledger, the ledger's
+    // triangular self-join) observes ONE draw of the range boundaries
+    // (the reservoir seed incorporates the RDD id, so independent
+    // re-executions could slice rows differently — see the
+    // globalRowPos Scaladoc). Since r11 the guarantee is structural:
+    // the sliced relation is eagerly local-checkpointed, so all
+    // consumer branches must plan as scans of the SAME materialized
+    // RDD — not as per-branch range exchanges that merely happen to be
+    // deduplicated by ReuseExchange. Identify those scans by the
+    // operator's slice-id column and require a single underlying RDD
+    // id across them.
     val df = Analytics.eventsRfm(spark, sf)
     df.collect()
-    // A bare plan.contains("ReusedExchange") is too weak: events_rfm
-    // has other reusable exchanges (the per-user aggregate feeds two
-    // branches), so that string can be present while the RANGE
-    // exchange specifically re-executes per branch. Walk the executed
-    // adaptive plan (descending into query stages) and require the
-    // reused exchanges to include range-partitioned ones — one per
-    // globalRowPos pass (r/f/m = 3).
-    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
-    def reused(p: SparkPlan): Seq[ReusedExchangeExec] = {
+    def scans(p: SparkPlan): Seq[RDDScanExec] = {
       val deeper = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
         case _ => p.children
       }
-      (p match { case r: ReusedExchangeExec => Seq(r); case _ => Nil }) ++
-        deeper.flatMap(reused)
+      (p match { case r: RDDScanExec => Seq(r); case _ => Nil }) ++
+        deeper.flatMap(scans)
     }
-    val rs = reused(df.queryExecution.executedPlan)
-    val ranged = rs.filter(_.outputPartitioning.isInstanceOf[RangePartitioning])
-    assert(ranged.size >= 3,
-      s"expected >=3 range-partitioned ReusedExchange nodes (one per " +
-        s"globalRowPos pass) in the final adaptive plan of events_rfm; " +
-        s"found ${ranged.size} of ${rs.size} reused exchanges — " +
-        "a globalRowPos branch is re-executing its range shuffle")
+    val sliced = scans(df.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name.startsWith("__slice_")))
+    assert(sliced.size >= 2,
+      s"expected >=2 scans of the checkpointed slice relation (the " +
+        s"row_number branch and the count ledger) in events_rfm's " +
+        s"executed plan; found ${sliced.size} — globalRowPos no longer " +
+        "routes its consumers through the checkpointed relation")
+    val ids = sliced.map(_.rdd.id).distinct
+    assert(ids.size == 1,
+      s"globalRowPos consumers scan ${ids.size} distinct RDDs ($ids); " +
+        "slice boundaries can diverge between branches")
+  }
+
+  test("globalRowPos positions survive spark.sql.exchange.reuse=false") {
+    // The r10 design leaned on ReuseExchange to materialize the range
+    // shuffle once; the r11 checkpoint makes determinism structural.
+    // Pin that: with exchange reuse OFF entirely, events_rfm must
+    // produce the identical relation (same quintiles, same segments).
+    val before = spark.conf.get("spark.sql.exchange.reuse", "true")
+    val on =
+      try {
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+        Analytics.eventsRfm(spark, sf).collect().toSet
+      } finally spark.conf.set("spark.sql.exchange.reuse", before)
+    val off =
+      try {
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        Analytics.eventsRfm(spark, sf).collect().toSet
+      } finally spark.conf.set("spark.sql.exchange.reuse", before)
+    assert(on == off,
+      s"events_rfm diverges when exchange reuse is disabled: " +
+        s"${(on diff off).take(3)} vs ${(off diff on).take(3)}")
   }
 
   test("two-phase rank quintiles agree with a literal ntile window (rfm)") {

@@ -60,6 +60,30 @@ class SourcesSpec extends SparkSpec {
     assert(fromOrc.schema == schema)
   }
 
+  test("schema-merge fixture is reused within a JVM yet tracks a regenerated dir") {
+    import org.apache.spark.sql.functions._
+    def writeEvents(dir: String, values: Seq[Double]): Unit =
+      values.zipWithIndex.map { case (v, i) =>
+        (i.toLong, 100L + i, s"t$i", v,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      }.toDF("event_id", "user_id", "event_type", "value", "ts")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+    val dir = "/tmp/graft-test-evo"
+    writeEvents(dir, Seq(1.0, 2.0, 3.0, 4.0))
+    def total() = graft.operators.Ingest.sourceSchemaMerge(spark, dir)
+      .agg(sum(col("sum_value"))).as[Double].head()
+    assert(total() == 10.0)
+    assert(total() == 10.0) // second call reuses the cached root
+    // Regenerate the source dir: the mtime-keyed cache must rebuild
+    // the two-epoch fixture instead of serving the stale root for the
+    // JVM's remaining life (the pre-r11 behavior).
+    Thread.sleep(1100) // parquet dir mtime granularity can be 1s
+    writeEvents(dir, Seq(10.0, 20.0, 30.0, 40.0))
+    assert(total() == 100.0,
+      "regenerated events.parquet still served the stale evo fixture")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Seq("orders_b", "lineitem_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")

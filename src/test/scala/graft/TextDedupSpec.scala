@@ -101,6 +101,33 @@ class TextDedupSpec extends SparkSpec {
     assert(out == model)
   }
 
+  test("growth curve reports shards whose docs are all shorter than a span") {
+    // ids 0..9, max=9 ⇒ shard = doc_id. Shard 3's only doc is 2 words
+    // (< SPAN_K = 8) — it contributes zero spans but must still appear
+    // on the curve with its doc count, a NULL novelty rate (a permille
+    // of zero spans is undefined, not 0‰), and no effect on the
+    // cumulative unique-span mass. Deriving the shard spine from the
+    // exploded spans (the pre-r11 shape) dropped the row entirely.
+    val tags = Seq("a", "b", "a", null, "b", "d", "a", "e", "f", "d")
+    val df = docsDf(tags.zipWithIndex.map { case (t, i) =>
+      (i.toLong, if (t == null) "too short" else spanText(t), "en")
+    })
+    df.write.mode("overwrite").parquet("/tmp/graft-test-gc2/documents.parquet")
+    val out = Dedup.dedupGrowthCurve(spark, "/tmp/graft-test-gc2")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(out.length == 10, s"expected all 10 shards on the curve, got $out")
+    assert(out(3) == (3L, 1L, 0L, 0L, 2L, None),
+      s"all-short-docs shard misreported: ${out(3)}")
+    // new spans arrive at shards 0(a),1(b),5(d),7(e),8(f)
+    val newU = Seq(1L, 1L, 0L, 0L, 0L, 1L, 0L, 1L, 1L, 0L)
+    out.zipWithIndex.foreach { case ((sh, nd, ns, nn, cum, pm), i) =>
+      assert(sh == i.toLong && nd == 1L && nn == newU(i)
+          && cum == newU.take(i + 1).sum
+          && pm == (if (ns > 0) Some(nn * 1000L / ns) else None),
+        s"shard $i row mismatch: ${out(i)}")
+    }
+  }
+
   test("source overlap counts distinct spans shared per source pair") {
     // srcA {P,Q}, srcB {P}, srcC {Q,R}: A∩B={P}, A∩C={Q}, B∩C=∅
     val df = Seq(
