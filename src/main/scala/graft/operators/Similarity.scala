@@ -253,6 +253,70 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cell-bucketed embedding near-dup pairs — the REGISTERED scale
+    * path for embedding dedup (SemDeDup-shaped: cluster first, compare
+    * only within clusters). [[Dedup.dedupEmbedding]] keeps the exact
+    * all-pairs contract as the by-construction-complete face; this
+    * operator is what actually runs at corpus scale: every vector is
+    * indexed in its [[IVF_ASSIGN]] nearest trained cells (the same
+    * redundant assignment [[annIvf]] uses — boundary pairs whose
+    * members straddle a cell edge still meet through the overlap),
+    * candidate pairs meet in a cell-equality self-join, and the exact
+    * cosine ≥ 0.45 verify lives in the join condition so non-pairs
+    * never materialize a join row. Pairs found in both shared cells
+    * collapse in the distinct (identical cosine).
+    *
+    * APPROXIMATE BY CONTRACT: a true pair assigned to disjoint cells
+    * is missed — recall against the exact face is measured (spec pins
+    * ≥ 0.9 on the planted near-dups) and the DuckDB oracle replays the
+    * IDENTICAL approximation, so the hash check stays exact.
+    *
+    * == Scale design ==
+    * Comparisons drop from N²/2 to Σ|cell|² ≈ N²·ASSIGN²/CELLS with
+    * BALANCED trained cells (the annIvf tuning note — uniform shuffle
+    * keys, predictable task sizes); CELLS grows ~√N at corpus scale,
+    * so per-cell work stays bounded while the cross join never exists.
+    * Only the 32×64 codebook reaches the driver. Each join leg
+    * re-derives the cell assignment from its own corpus scan — a
+    * deliberate trade: 32 codebook dots per vector is cheaper at any
+    * scale than materializing the doubled (embedding-carrying)
+    * relation, and the assignment is a pure function of (vector,
+    * broadcast codebook) so the legs cannot diverge. A pathological
+    * giant cell composes with [[Dedup.dedupEmbedding]]'s block
+    * sub-bucketing; on this corpus the trained cells are measured
+    * balanced.
+    */
+  def dedupEmbeddingIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
+    val assigned = e.flatMap { case (id, v) =>
+      val n = math.sqrt(dotd(v, v))
+      codebook.value
+        .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(IVF_ASSIGN).map { case (cell, _) => (id, v, n, cell) }
+    }.toDF("vec_id", "embedding", "nrm", "cell")
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+    a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b")
+        && cos >= 0.45)
+      .select(col("vec_a"), col("vec_b"), cos.as("cosine"))
+      .distinct()
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Corpora whose persisted IVF index tables exist. Keyed by SESSION
     * identity + corpus signature (the codebook memo stays
     * session-independent — it's pure driver data — but these are
@@ -518,7 +582,8 @@ object Similarity {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_ivf_indexed" -> annIvfIndexed,
-    "ann_pq" -> annPq)
+    "ann_pq" -> annPq,
+    "dedup_embedding_ivf" -> dedupEmbeddingIvf)
 
   /** DuckDB twin of the brute-force path: the dot product is a
     * sequential left-fold over per-element double products — the same
@@ -574,9 +639,15 @@ object Similarity {
     * ranks are all bit-identical — a full hash oracle for an operator
     * whose output depends on trained model state.
     */
-  val annIvfSql: String = {
-    def fold(a: String, b: String): String =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
+  private def ivfFold(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  /** The k-means-replay CTE chain shared by every IVF oracle: codebook
+    * training unrolled per iteration, then the final assignment rank
+    * `rk` and the redundant top-[[IVF_ASSIGN]] cell index `asg`.
+    */
+  private val ivfCodebookCtes: Seq[String] = {
+    def fold(a: String, b: String): String = ivfFold(a, b)
     val base = Seq(
       s"n AS (SELECT vec_id, embedding, sqrt(${fold("embedding", "embedding")}) AS nrm FROM embeddings)",
       s"b0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $IVF_CELLS)")
@@ -591,17 +662,35 @@ object Similarity {
         s"m$it AS (SELECT f.cell, list(CAST(CAST(f.s AS DOUBLE) / 1e6 / c.cnt AS REAL) ORDER BY f.d) AS cv FROM f$it f JOIN c$it c ON c.cell = f.cell GROUP BY f.cell)",
         s"b$it AS (SELECT b.cid, COALESCE(m.cv, b.cv) AS cv FROM b$p b LEFT JOIN m$it m ON m.cell = b.cid)")
     }
-    val search = Seq(
+    val index = Seq(
       s"bk AS (SELECT cid, cv, sqrt(${fold("cv", "cv")}) AS cn FROM b$IVF_ITERS)",
       s"sc AS (SELECT n.vec_id, b.cid, ${fold("n.embedding", "b.cv")} / (n.nrm * b.cn) AS cos FROM n CROSS JOIN bk b)",
       "rk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc)",
-      s"asg AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= $IVF_ASSIGN)",
+      s"asg AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= $IVF_ASSIGN)")
+    base ++ iters ++ index
+  }
+
+  val annIvfSql: String = {
+    val search = Seq(
       s"prb AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= $IVF_NPROBE AND vec_id < $NQ)",
       "cand AS (SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id FROM prb q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.vec_id)",
-      s"p AS (SELECT c.query_id, c.neighbor_id, ${fold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine FROM cand c JOIN n nq ON nq.vec_id = c.query_id JOIN n nc ON nc.vec_id = c.neighbor_id)",
+      s"p AS (SELECT c.query_id, c.neighbor_id, ${ivfFold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine FROM cand c JOIN n nq ON nq.vec_id = c.query_id JOIN n nc ON nc.vec_id = c.neighbor_id)",
       "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM p)")
-    "WITH " + (base ++ iters ++ search).mkString(",\n") +
+    "WITH " + (ivfCodebookCtes ++ search).mkString(",\n") +
       s"\nSELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
+  }
+
+  /** DuckDB twin of the cell-bucketed embedding dedup: the identical
+    * codebook replay and assign-2 index, candidate pairs from shared
+    * cells, the same sequential-fold cosine and 0.45 threshold — pair
+    * set and cosines bit-identical.
+    */
+  val dedupEmbeddingIvfSql: String = {
+    val search = Seq(
+      "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM asg a JOIN asg b ON b.cell = a.cell AND a.vec_id < b.vec_id)",
+      s"p AS (SELECT c.vec_a, c.vec_b, ${ivfFold("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine FROM cand c JOIN n na ON na.vec_id = c.vec_a JOIN n nb ON nb.vec_id = c.vec_b)")
+    "WITH " + (ivfCodebookCtes ++ search).mkString(",\n") +
+      "\nSELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45 ORDER BY vec_a, vec_b"
   }
 
   val oracles: Map[String, String] = Map(
@@ -610,5 +699,6 @@ object Similarity {
     "ann_ivf" -> annIvfSql,
     // the index is layout, not semantics: identical result contract
     "ann_ivf_indexed" -> annIvfSql,
-    "ann_pq" -> annPqSql)
+    "ann_pq" -> annPqSql,
+    "dedup_embedding_ivf" -> dedupEmbeddingIvfSql)
 }

@@ -62,6 +62,33 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(recall >= 0.85, s"IVF recall@5 regressed below trained baseline: $recall")
   }
 
+  test("cell-bucketed embedding dedup is an exact-subset with high recall") {
+    import graft.operators.Dedup
+    val ivf = Similarity.dedupEmbeddingIvf(spark, sf)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
+    val exact = Dedup.dedupEmbedding(spark, sf)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
+    val exactPairs = exact.map(r => (r._1, r._2)).toSet
+    assert(exact.nonEmpty, "expected planted embedding near-dup pairs")
+    // PRECISION is structural (the exact cosine verify sits in the
+    // join): every reported pair must be a true pair with the same
+    // cosine the exact face computes.
+    val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (a, b, c) =>
+      assert(a < b && exactCos.get((a, b)).contains(c),
+        s"($a,$b,$c) not in / differing from the exact pair set")
+    }
+    // RECALL is the approximation under test: a pair is missed only
+    // when both members land in disjoint assign-2 cell sets. Planted
+    // near-dups (cosine >= 0.45 on 64-dim noise) are near-parallel, so
+    // their top-cells almost always overlap; 0.9 leaves slack for
+    // testdata regeneration.
+    val recall = ivf.map(r => (r._1, r._2)).count(exactPairs.contains)
+      .toDouble / exactPairs.size
+    info(s"cell-bucketed dedup recall vs exact: $recall")
+    assert(recall >= 0.9, s"cell-bucketed dedup recall regressed: $recall")
+  }
+
   test("PQ ANN equals a single-threaded replay of train + encode + ADC") {
     val emb = graft.sources.Tables.load(spark, sf, "embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
