@@ -57,11 +57,19 @@ object DebugReplicate {
       (if (i == 0) df
        else df.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1x" + i)))
         .withColumn("doc_id", col("doc_id") + lit(i * DOC)))
-    rep("embeddings")((df, i) =>
-      (if (i == 0) df
+    // rotation amount wraps mod 63 (1..63 shift positions on the
+    // 64-dim vectors): a raw `i` shift goes NEGATIVE-length past
+    // i = 64 and silently produced an EMPTY embeddings table at
+    // k = 100 (r11). Copies at i ≡ 0 (mod 63) keep rotation 0 — their
+    // vec_ids still shift, and 1-in-63 shared orientations don't
+    // create threshold-crossing pairs on isotropic noise.
+    rep("embeddings")((df, i) => {
+      val r = i % 63
+      (if (r == 0) df
        else df.withColumn("embedding",
-         concat(slice(col("embedding"), i + 1, 64 - i), slice(col("embedding"), 1, i))))
-        .withColumn("vec_id", col("vec_id") + lit(i * VEC)))
+         concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r))))
+        .withColumn("vec_id", col("vec_id") + lit(i * VEC))
+    })
     spark.stop()
   }
 }
