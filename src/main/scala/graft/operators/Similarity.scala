@@ -160,8 +160,14 @@ object Similarity {
     // Train-once semantics: the codebook is a model artifact (in a real
     // deployment it would be persisted beside the index), so per-corpus
     // training runs once per JVM and later invocations reuse it —
-    // unless the files at the path changed (signature key).
-    ivfCodebooks.computeIfAbsent(corpusKey(s, dir), _ => {
+    // unless the files at the path changed (signature key). Training
+    // runs OUTSIDE the map (computeIfAbsent would hold the bin lock
+    // across ITERS Spark jobs — the Ingest fixture lesson, r11); a
+    // lost putIfAbsent race just discards one redundant training run.
+    val memoKey = corpusKey(s, dir)
+    val cached = ivfCodebooks.get(memoKey)
+    if (cached != null) return cached
+    val trained = {
     val seeds = e.filter(_._1 < CELLS).collect().sortBy(_._1)
       .map { case (id, v) => (id, v, nrm(v)) }
     require(seeds.nonEmpty,
@@ -207,7 +213,9 @@ object Similarity {
       }.sortBy(_._1)
     }
     centroids
-    })
+    }
+    val prev = ivfCodebooks.putIfAbsent(memoKey, trained)
+    if (prev != null) prev else trained
   }
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
@@ -343,6 +351,9 @@ object Similarity {
     if (ivfIndexReady.containsKey(key) &&
         !(s.catalog.tableExists(cbTbl) && s.catalog.tableExists(idxTbl)))
       ivfIndexReady.remove(key)
+    // computeIfAbsent kept DELIBERATELY here (unlike the model memos):
+    // the guarded work is catalog DDL on fixed table names, and the bin
+    // lock is what serializes two threads racing the same CTAS.
     ivfIndexReady.computeIfAbsent(key, _ => {
       val hconf = s.sparkContext.hadoopConfiguration
       Seq(cbTbl, idxTbl).foreach { tbl =>
@@ -435,7 +446,12 @@ object Similarity {
     // drag the whole (non-serializable) enclosing object into the task
     def sub(v: Array[Float], i: Int): Array[Float] =
       java.util.Arrays.copyOfRange(v, i * half, (i + 1) * half)
-    pqCodebooks.computeIfAbsent(corpusKey(s, dir) + "|pq", _ => {
+    // Train outside the map + putIfAbsent install — same bin-lock
+    // rationale as trainedCodebook; a lost race wastes one training.
+    val memoKey = corpusKey(s, dir) + "|pq"
+    val cached = pqCodebooks.get(memoKey)
+    if (cached != null) return cached
+    val trained = {
       (0 until PQ_SUB).flatMap { sx =>
         val seeds = e.filter(_._1 < PQ_K).collect().sortBy(_._1)
           .map { case (id, v) => (id, sub(v, sx)) }
@@ -476,7 +492,9 @@ object Similarity {
         }
         cents.map { case (cid, cv) => (sx, cid, cv) }
       }.toArray
-    })
+    }
+    val prev = pqCodebooks.putIfAbsent(memoKey, trained)
+    if (prev != null) prev else trained
   }
 
   /** L2 distance as stable column math: ‖a‖² − 2⟨a,b⟩ + ‖b‖², every dot
