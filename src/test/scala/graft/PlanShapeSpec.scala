@@ -144,6 +144,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("bucket"), s"expected bucket keys:\n$plan")
   }
 
+  test("dedup_embedding_ivf joins on trained cells, never cross joins") {
+    // The scale path's whole point is replacing the N²/2 pair space
+    // with a cell-equality join; a regression to a nested-loop or
+    // cartesian shape would silently reintroduce the quadratic scan.
+    val plan = planOf(operators.Similarity.dedupEmbeddingIvf(spark, sf))
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell-bucketed dedup must not plan a cross join:\n$plan")
+    assert(plan.contains("cell"), s"expected the cell join key:\n$plan")
+  }
+
   test("q5 rides the bucketed tables: only the post-agg nation exchange remains") {
     val plan = planOf(Analytics.q5LocalSupplier(spark, sf))
     assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
