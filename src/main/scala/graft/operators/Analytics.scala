@@ -2093,7 +2093,7 @@ object Analytics {
     * retry is the job itself; a CacheManager persist would keep
     * lineage but leak storage with no structural unpersist point.
     */
-  private def globalRowPos(df: DataFrame, partKeys: Seq[String],
+  private[operators] def globalRowPos(df: DataFrame, partKeys: Seq[String],
       order: Seq[Column], pos: String, total: String): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val pid = s"__slice_$pos"

@@ -621,7 +621,48 @@ object Curate {
       |QUALIFY sample_rank <= 10
       |ORDER BY source, sample_rank""".stripMargin
 
+  /** Deterministic reproducible corpus shuffle — the epoch-ordering op
+    * a training run needs before sharding: every doc gets a global
+    * 1-based position under a salted content-independent hash order
+    * (poly_hash of "shf0|" + doc_id; an epoch-k shuffle changes the
+    * salt). Replayable by construction — re-running yields the same
+    * permutation, unlike rand()-ordered shuffles whose seed is
+    * partition-layout-dependent.
+    *
+    * == Scale design ==
+    * The position comes from [[Analytics.globalRowPos]] — the
+    * two-phase range-partitioned rank (no partition key at all here:
+    * the whole corpus is ONE ordered sequence, the case a bare
+    * `Window.orderBy` would funnel into a single sort task). The
+    * ranked relation is projected THIN first (doc_id + 8-byte hash —
+    * never the text), so the checkpoint inside globalRowPos stores
+    * ~16 bytes/doc regardless of document size: at 100 TB of text
+    * that's a few hundred GB of positions, the same order as the
+    * shuffle files any global sort would write.
+    */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("shf0|"), col("doc_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val keyed = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), h.as("hk"))
+    Analytics.globalRowPos(keyed, Seq.empty,
+        Seq(col("hk"), col("doc_id")), "shuffle_pos", "__n")
+      .select(col("doc_id"), col("hk"), col("shuffle_pos"))
+      .orderBy(col("shuffle_pos"))
+  }
+
+  /** DuckDB twin: the same salted fold hash, one ordered row_number. */
+  val corpusShuffleSql: String =
+    """WITH h AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('shf0|' || CAST(doc_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS hk
+      |  FROM documents)
+      |SELECT doc_id, hk, CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS shuffle_pos
+      |FROM h ORDER BY shuffle_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shuffle" -> corpusShuffle,
     "corpus_chisq" -> corpusChisq,
     "sample_uniform_k" -> sampleUniformK,
     "sample_group_k" -> sampleGroupK,
@@ -639,6 +680,7 @@ object Curate {
     "sample_stratified" -> sampleStratified)
 
   val oracles: Map[String, String] = Map(
+    "corpus_shuffle" -> corpusShuffleSql,
     "corpus_chisq" -> corpusChisqSql,
     "sample_uniform_k" -> sampleUniformKSql,
     "sample_group_k" -> sampleGroupKSql,

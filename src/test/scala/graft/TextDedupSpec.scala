@@ -221,6 +221,20 @@ class TextDedupSpec extends SparkSpec {
     assert(out.forall { case (a, b, c) => a < b && c >= 0.45 && c <= 1.0 + 1e-9 })
   }
 
+  test("corpus shuffle is a replayable permutation and not doc_id order") {
+    val a = Curate.corpusShuffle(spark, sf)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    assert(a.map(_._2).sorted.toSeq == (1L to a.length.toLong),
+      "shuffle positions must be an exact 1..N permutation")
+    val b = Curate.corpusShuffle(spark, sf)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    assert(a.toSeq == b.toSeq, "shuffle must replay identically")
+    // the salted hash order must actually shuffle: on ~hundreds of
+    // docs the probability that hash order equals id order is ~0
+    assert(a.sortBy(_._1).map(_._2).toSeq != (1L to a.length.toLong),
+      "hash order degenerated to identity")
+  }
+
   test("content-hash split is deterministic and keeps exact duplicates together") {
     import graft.operators.Curate
     val a = Curate.splitTrainVal(spark, sf).collect()
