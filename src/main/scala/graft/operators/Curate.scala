@@ -661,7 +661,55 @@ object Curate {
       |SELECT doc_id, hk, CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS shuffle_pos
       |FROM h ORDER BY shuffle_pos""".stripMargin
 
+  /** Epoch shard manifest over the [[corpusShuffle]] order: the
+    * shuffled corpus cut into 16 contiguous position ranges, each
+    * shard reporting its doc count, summed whitespace tokens, and
+    * position bounds — the work-list a training run hands its data
+    * loaders (shard k = one reader's slice of epoch 0). Same salt as
+    * corpus_shuffle, so the manifest describes exactly that
+    * permutation.
+    *
+    * == Scale design ==
+    * Same thin (doc_id, hash, token-count) projection through the
+    * two-phase rank — the token count rides the rank's checkpoint as
+    * one extra long, text never shuffles. Shard id is pure arithmetic
+    * on (position, total): `(pos−1)·16 div N` yields contiguous
+    * ±1-balanced ranges with no extra pass; the manifest aggregate is
+    * 16 rows via one map-side-combinable groupBy.
+    */
+  def corpusShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("shf0|"), col("doc_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val keyed = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), h.as("hk"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    Analytics.globalRowPos(keyed, Seq.empty,
+        Seq(col("hk"), col("doc_id")), "pos", "__n")
+      // non-negative operands: truncating div ≡ DuckDB's floor //
+      .withColumn("shard", expr("(pos - 1) * 16 div `__n`"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+      .orderBy(col("shard"))
+  }
+
+  /** DuckDB twin: same hash order, one windowed position + count. */
+  val corpusShardsSql: String =
+    """WITH h AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('shf0|' || CAST(doc_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS hk,
+      |  len(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |p AS (SELECT doc_id, tok, row_number() OVER (ORDER BY hk, doc_id) AS pos,
+      |  count(*) OVER () AS n FROM h)
+      |SELECT (pos - 1) * 16 // n AS shard, count(*) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+      |  CAST(min(pos) AS BIGINT) AS first_pos, CAST(max(pos) AS BIGINT) AS last_pos
+      |FROM p GROUP BY 1 ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shards" -> corpusShards,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_chisq" -> corpusChisq,
     "sample_uniform_k" -> sampleUniformK,
@@ -680,6 +728,7 @@ object Curate {
     "sample_stratified" -> sampleStratified)
 
   val oracles: Map[String, String] = Map(
+    "corpus_shards" -> corpusShardsSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "corpus_chisq" -> corpusChisqSql,
     "sample_uniform_k" -> sampleUniformKSql,

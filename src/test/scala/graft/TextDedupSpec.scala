@@ -235,6 +235,28 @@ class TextDedupSpec extends SparkSpec {
       "hash order degenerated to identity")
   }
 
+  test("corpus shards tile the shuffle into contiguous ±1-balanced ranges") {
+    val rows = Curate.corpusShards(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val n = rows.map(_._2).sum
+    assert(rows.map(_._1) == (0L until 16L), "expected 16 shards in order")
+    rows.foreach { case (sh, nd, tok, fp, lp) =>
+      assert(lp - fp + 1 == nd, s"shard $sh positions not contiguous")
+      assert(nd == n / 16 || nd == n / 16 + 1, s"shard $sh unbalanced: $nd")
+      assert(tok > 0, s"shard $sh token sum missing")
+    }
+    // ranges tile 1..N with no gap or overlap
+    assert(rows.head._4 == 1L && rows.last._5 == n)
+    rows.sliding(2).foreach { w =>
+      assert(w(1)._4 == w(0)._5 + 1,
+        s"gap between shards ${w(0)._1} and ${w(1)._1}")
+    }
+    // manifest describes the corpus_shuffle permutation (same salt)
+    val pos = Curate.corpusShuffle(spark, sf)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    assert(pos.length == n)
+  }
+
   test("content-hash split is deterministic and keeps exact duplicates together") {
     import graft.operators.Curate
     val a = Curate.splitTrainVal(spark, sf).collect()
