@@ -34,4 +34,29 @@ class DeterminismSpec extends SparkSpec {
       assert(a.nonEmpty, s"$name: vacuous determinism check")
     }
   }
+
+  test("rank positions are partition-count independent (boundary independence)") {
+    // globalRowPos's Scaladoc claims positions are boundary-independent
+    // (ties broken inside the total order), so WHERE the sampled range
+    // boundaries land — and therefore HOW MANY slices exist — must
+    // never change the result. Pin it: the same rank-backed queries
+    // under a deliberately different (and prime) shuffle-partition
+    // count must produce byte-identical relations. A regression here
+    // means a consumer leaked slice-relative state into the output.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
+    Seq("corpus_shuffle", "events_rfm", "window_distribution").foreach { name =>
+      val at32 = run(name)
+      val at7 =
+        try {
+          spark.conf.set("spark.sql.shuffle.partitions", "7")
+          run(name)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+      assert(at32.nonEmpty, s"$name: vacuous partition-independence check")
+      assert(at32 == at7,
+        s"$name: output depends on the shuffle-partition count — " +
+          "a slice boundary leaked into the result")
+    }
+  }
 }
