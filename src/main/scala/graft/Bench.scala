@@ -83,13 +83,18 @@ object Bench {
       val p = Paths.get(outFile)
       val prev = if (Files.exists(p)) parseNosort(Files.readString(p))
         else Map.empty[String, Double]
+      // Locale-pinned formatting: the f-interpolator honors the JVM
+      // default locale, so under a comma-decimal locale the report
+      // would be malformed JSON ("0,250"). Locale.ROOT always dots.
+      def n3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      def n2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
       val flagged = nosort.toSeq.sortBy(_._1).flatMap { case (k, v) =>
         prev.get(k).collect { case pv if pv > 0 && v >= pv * 2 && v - pv >= 0.3 =>
-          f""""$k":{"prev":$pv%.3f,"now":$v%.3f,"ratio":${v / pv}%.2f}"""
+          s""""$k":{"prev":${n3(pv)},"now":${n3(v)},"ratio":${n2(v / pv)}}"""
         }
       }
       val report = s"""{"compared":${nosort.keySet.intersect(prev.keySet).size},""" +
-        f""""prev_nosort_total":${prev.values.sum}%.2f,"nosort_total":$nosortTotal%.2f,""" +
+        s""""prev_nosort_total":${n2(prev.values.sum)},"nosort_total":${n2(nosortTotal)},""" +
         s""""flagged":${flagged.mkString("{", ",", "}")}}"""
       Files.writeString(Paths.get(regressFile), report)
     } catch { case e: Throwable => System.err.println(s"[bench] regress $regressFile: $e") }

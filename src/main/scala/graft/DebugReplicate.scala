@@ -60,14 +60,22 @@ object DebugReplicate {
     // rotation amount wraps mod 63 (1..63 shift positions on the
     // 64-dim vectors): a raw `i` shift goes NEGATIVE-length past
     // i = 64 and silently produced an EMPTY embeddings table at
-    // k = 100 (r11). Copies at i ≡ 0 (mod 63) keep rotation 0 — their
-    // vec_ids still shift, and 1-in-63 shared orientations don't
-    // create threshold-crossing pairs on isotropic noise.
+    // k = 100 (r11). A bare wrap left copies 63 apart (i and i+63)
+    // BIT-IDENTICAL — every source vector gained one cosine-1.0
+    // planted pair per wrap, inflating dedup pair counts at k >= 64
+    // (r11 ADVICE). Odd wraps now also NEGATE the vector: same-source
+    // copies across adjacent wraps land at cosine −1, which no
+    // positive near-dup threshold crosses. Distinct-wrap copies repeat
+    // an orientation only at wrap distance 2 (i and i+126): decade
+    // measurements stay planted-pair-free through k = 126.
     rep("embeddings")((df, i) => {
       val r = i % 63
-      (if (r == 0) df
-       else df.withColumn("embedding",
-         concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r))))
+      val rot = if (r == 0) df
+        else df.withColumn("embedding",
+          concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r)))
+      (if ((i / 63) % 2 == 0) rot
+       else rot.withColumn("embedding",
+         transform(col("embedding"), x => -x)))
         .withColumn("vec_id", col("vec_id") + lit(i * VEC))
     })
     spark.stop()

@@ -2092,6 +2092,12 @@ object Analytics {
     * recomputing — acceptable for a deterministic batch operator whose
     * retry is the job itself; a CacheManager persist would keep
     * lineage but leak storage with no structural unpersist point.
+    * NOTE the eager checkpoint makes DataFrame CONSTRUCTION itself run
+    * the upstream Spark jobs: merely building a rank-backed query (for
+    * plan inspection, explain, oracle-only paths) executes work, and
+    * bench timing attribution shifts from first action to plan build.
+    * Plan-only tooling should introspect with planOf-style helpers
+    * aware that the subtree below the checkpoint is already spent.
     */
   private[operators] def globalRowPos(df: DataFrame, partKeys: Seq[String],
       order: Seq[Column], pos: String, total: String): DataFrame = {

@@ -168,7 +168,12 @@ object Ingest {
   }
 
   def sourceSchemaMerge(s: SparkSession, dir: String): DataFrame = {
-    val key = dir + "@" + new java.io.File(dir, "events.parquet").lastModified()
+    val srcMtime = new java.io.File(dir, "events.parquet").lastModified()
+    // lastModified() == 0 means "no such file": fail now with a clear
+    // message rather than caching a fixture keyed to a phantom source
+    // (the downstream Tables.load error would point at the wrong path).
+    require(srcMtime != 0L, s"sourceSchemaMerge: no events.parquet under $dir")
+    val key = dir + "@" + srcMtime
     val cached = evoRoots.get(key)
     // Build OUTSIDE the map: computeIfAbsent would run two Spark write
     // jobs while holding the bin lock (blocking unrelated lookups, and
@@ -189,7 +194,22 @@ object Ingest {
           col("event_type"))
         .write.mode("overwrite").parquet(r + "/v=2")
       val prev = evoRoots.putIfAbsent(key, r)
-      if (prev != null) { deleteRecursively(new java.io.File(r)); prev } else r
+      if (prev != null) { deleteRecursively(new java.io.File(r)); prev }
+      else {
+        // GC superseded fixtures for the SAME source dir (older mtime
+        // keys): a long bench/test loop that regenerates testdata
+        // would otherwise accumulate one orphaned parquet tree per
+        // regeneration until JVM shutdown. Only this dir's stale keys
+        // are touched; a concurrent reader of a superseded root races
+        // only with a fixture whose source data is already gone.
+        val stale = scala.jdk.CollectionConverters.SetHasAsScala(evoRoots.keySet())
+          .asScala.filter(k => k.startsWith(dir + "@") && k != key).toList
+        stale.foreach { k =>
+          val old = evoRoots.remove(k)
+          if (old != null) deleteRecursively(new java.io.File(old))
+        }
+        r
+      }
     }
     s.read.option("mergeSchema", "true").parquet(root)
       .groupBy(coalesce(col("event_type"), lit("unknown")).as("event_type"))
