@@ -235,6 +235,53 @@ class TextDedupSpec extends SparkSpec {
       "hash order degenerated to identity")
   }
 
+  test("epoch-1 shuffle is a decorrelated permutation of epoch 0") {
+    val e0 = Curate.corpusShuffle(spark, sf)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val e1 = Curate.corpusShuffleE1(spark, sf)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val n = e0.size
+    assert(e1.size == n, "epochs must cover the same corpus")
+    assert(e1.values.toSeq.sorted == (1L to n.toLong),
+      "epoch-1 positions must be an exact 1..N permutation")
+    assert(e0.exists { case (id, p) => e1(id) != p },
+      "epoch salts produced the identical permutation")
+    // Spearman rank correlation between the two epochs' positions:
+    // decorrelated salts should land near 0. On N ~ hundreds the
+    // null-distribution stddev is 1/sqrt(N-1) ~ 0.04; |rho| < 0.2 is
+    // a 5-sigma band — tight enough to reject a rotated/offset salt
+    // (|rho| ~ 1) while never flaking on a true reshuffle.
+    val pairs = e0.keys.toSeq.map(id => (e0(id).toDouble, e1(id).toDouble))
+    val mean = (n + 1) / 2.0
+    val num = pairs.map { case (a, b) => (a - mean) * (b - mean) }.sum
+    val den = pairs.map { case (a, _) => (a - mean) * (a - mean) }.sum
+    val rho = num / den
+    assert(math.abs(rho) < 0.2, s"epoch permutations correlate: rho=$rho")
+  }
+
+  test("shuffled packing equals a model pack over the replayed permutation") {
+    val out = Curate.packShuffled(spark, sf)
+      .select("doc_id", "shuffle_pos", "n_tokens", "tok_offset", "bin_id")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    // positions are the corpus_shuffle permutation
+    val pos = Curate.corpusShuffle(spark, sf)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    out.foreach { case (id, p, _, _, _) =>
+      assert(pos(id) == p, s"doc $id packed at $p but shuffled to ${pos(id)}") }
+    // model pack: fold the docs in shuffle order, accumulating offsets
+    var expect = 0L
+    out.foreach { case (id, p, n, off, bin) =>
+      assert(off == expect, s"doc $id (pos $p): offset $off, expected $expect")
+      assert(bin == off / 2048, s"doc $id bin mismatch")
+      expect += n
+    }
+    // and the token counts are the same ledger packSequential uses
+    val seqTok = Curate.packSequential(spark, sf)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    out.foreach { case (id, _, n, _, _) =>
+      assert(seqTok(id) == n, s"doc $id token count drifted") }
+  }
+
   test("corpus shards tile the shuffle into contiguous ±1-balanced ranges") {
     val rows = Curate.corpusShards(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
