@@ -585,6 +585,46 @@ object EventStreams {
         col("p_ts"), col("e_ts"))
   }
 
+  /** Batch face of [[rangeJoinStream]] (registered as
+    * `stream_interval_join`): the SAME mode-agnostic function applied
+    * to the batch event log — `withWatermark` collapses to a no-op on
+    * a batch Dataset (EliminateEventTimeWatermark), so the
+    * oracle-checked batch plan IS the per-pair logic the streaming
+    * query evaluates against its watermark-bounded buffers. Purchases
+    * attribute the same user's events in the following hour; micros
+    * longs out (exact cross-engine, same convention as `join_range`,
+    * whose bucketized batch twin this face's live operator replaces).
+    *
+    * == Scale design ==
+    * In batch the condition plans as a user-keyed equi-join with the
+    * time bound as a post-condition — hash/SMJ on user_id, never BNL.
+    * In streaming the same condition lets Spark bound BOTH sides'
+    * state: a buffered purchase dies once the event-side watermark
+    * passes its hour, a buffered event once the purchase side passes
+    * it — state O(window × rate), independent of stream length.
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val e = ev.select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+      col("ts").as("e_ts"))
+    rangeJoinStream(p, e)
+      .select(col("user_id"), col("p_id"), col("e_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("e_ts")).as("e_us"))
+      .orderBy(col("user_id"), col("p_id"), col("e_id"))
+  }
+
+  val streamIntervalJoinSql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS p_id, e.event_id AS e_id,
+      |  epoch_us(p.ts) AS p_us, epoch_us(e.ts) AS e_us
+      |FROM events p JOIN events e
+      |  ON p.event_type = 'purchase' AND e.user_id = p.user_id
+      |  AND epoch_us(e.ts) > epoch_us(p.ts)
+      |  AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000
+      |ORDER BY user_id, p_id, e_id""".stripMargin
+
   /** One upsert record: a keyed value stamped with its event time. */
   case class Upsert(key: Long, us: Long, value: Long)
   /** One change-log row: the key's new current value + its stamp. */
@@ -737,7 +777,8 @@ object EventStreams {
     "stream_sessionize" -> streamSessionize,
     "stream_dedup" -> streamDedup,
     "stream_enrich" -> streamEnrich,
-    "stream_retention" -> streamRetention)
+    "stream_retention" -> streamRetention,
+    "stream_interval_join" -> streamIntervalJoin)
 
   /** DuckDB twin of the flatMapGroups fold: the window-function
     * formulation produces the same sessions, so the stateful batch
@@ -760,5 +801,6 @@ object EventStreams {
     "stream_sessionize" -> streamSessionizeSql,
     "stream_dedup" -> streamDedupSql,
     "stream_enrich" -> streamEnrichSql,
-    "stream_retention" -> streamRetentionSql)
+    "stream_retention" -> streamRetentionSql,
+    "stream_interval_join" -> streamIntervalJoinSql)
 }

@@ -148,6 +148,17 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet
       assert(rows == Set((1L, 500L, 10L), (2L, 501L, 12L), (3L, 502L, 13L)),
         s"got $rows")
+      // the SAME function in batch mode (watermarks no-op) attributes
+      // identically — the contract the registered stream_interval_join
+      // batch face rides on
+      val pB = Seq((1L, 500L, ts(0)), (2L, 501L, ts(0)), (3L, 502L, ts(25)))
+        .toDF("p_user", "p_id", "p_ts")
+      val eB = Seq((1L, 10L, ts(30)), (1L, 11L, ts(61)),
+        (2L, 12L, ts(59)), (3L, 13L, ts(30))).toDF("e_user", "e_id", "e_ts")
+      val batch = EventStreams.rangeJoinStream(pB, eB)
+        .select("user_id", "p_id", "e_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batch == rows, s"batch face diverged: $batch vs $rows")
     } finally q.stop()
   }
 
