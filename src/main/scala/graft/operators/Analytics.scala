@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.plans.Checkpoints.StableSyntax
 
 /** Relational analytics operators (SURVEY.md §2, "Relational analytics").
   *
@@ -1460,7 +1461,7 @@ object Analytics {
     // GC'd — a CacheManager entry would outlive every consumer (r9
     // ADVICE: caches never unpersisted).
     val med = med2Of(e, "c").withColumnRenamed("med2_c", "med2")
-      .localCheckpoint(eager = true)
+      .stableCheckpoint()
     val d = e.join(broadcast(med), "event_type")
       .withColumn("d", abs(col("c") * 2 - col("med2")))
     val mad = med2Of(d, "d").withColumnRenamed("med2_d", "mad2")
@@ -1799,7 +1800,7 @@ object Analytics {
       // perType, both self-join sides) share one materialization and
       // ContextCleaner frees the blocks when the plan is GC'd — no
       // CacheManager entry to leak across an inventory replay
-      .localCheckpoint(eager = true)
+      .stableCheckpoint()
     val tot = sess.select(col("user_id"), col("session_id")).distinct()
       .agg(count(lit(1)).as("n_sessions"))
     val perType = sess.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
@@ -2092,6 +2093,11 @@ object Analytics {
     * recomputing — acceptable for a deterministic batch operator whose
     * retry is the job itself; a CacheManager persist would keep
     * lineage but leak storage with no structural unpersist point.
+    * On clusters where executor loss is routine, set
+    * `spark.graft.checkpointDir` to a durable path and every stable
+    * checkpoint (here and in the graph family) routes through
+    * reliable `checkpoint()` instead — see [[graft.plans.Checkpoints]];
+    * results are bit-identical either way (spec-pinned).
     * NOTE the eager checkpoint makes DataFrame CONSTRUCTION itself run
     * the upstream Spark jobs: merely building a rank-backed query (for
     * plan inspection, explain, oracle-only paths) executes work, and
@@ -2107,7 +2113,7 @@ object Analytics {
     val ranged = df
       .repartitionByRange(p, partKeys.map(col) ++ order: _*)
       .withColumn(pid, spark_partition_id())
-      .localCheckpoint(eager = true)
+      .stableCheckpoint()
     val wLoc = Window.partitionBy((pid +: partKeys).map(col): _*)
       .orderBy(order: _*)
     val local = ranged.withColumn(lrow, row_number().over(wLoc))
@@ -2235,7 +2241,7 @@ object Analytics {
       .distinct()
       // eager localCheckpoint, not .cache() — same leak-free sharing
       // rationale as the parent co-occurrence face
-      .localCheckpoint(eager = true)
+      .stableCheckpoint()
     val tot = sess.select(col("day"), col("user_id"), col("session_id")).distinct()
       .groupBy(col("day")).agg(count(lit(1)).as("n_sessions"))
     val perType = sess.groupBy(col("day"), col("event_type"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.plans.Checkpoints.StableSyntax
 
 /** Deduplication operators over `documents` / `embeddings`
   * (SURVEY.md §2). Exact + four near-dup families, all as declarative
@@ -828,7 +829,7 @@ object Dedup {
         .select(col("id"),
           least(col("l1"), coalesce(col("plabel"), col("l1"))).as("newlabel"),
           col("label"))
-        .localCheckpoint()
+        .stableCheckpoint()
       // NOTE (r7, measured): fusing a SECOND doubling hop into this
       // job to halve the round count made it SLOWER (3.0 s → 5.3 s
       // warm at sf0.1) — the un-checkpointed hop subtree is referenced
@@ -908,12 +909,12 @@ object Dedup {
     // (a CacheManager entry would never be evicted — r9 ADVICE)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").localCheckpoint(eager = true)
+      .toDF("src", "dst").stableCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     // the loop-invariant edge⋈degree join, hoisted and materialized
     // once for all PR_ITERS rounds
-    val edeg = edges.join(deg, "src").localCheckpoint(eager = true)
+    val edeg = edges.join(deg, "src").stableCheckpoint()
     var rank = deg.crossJoin(broadcast(nn))
       .select(col("src").as("id"), expr(s"${PR_SCALE}L div n_nodes").as("r"))
     for (_ <- 1 to PR_ITERS) {
@@ -925,7 +926,7 @@ object Dedup {
         .select(col("dst").as("id"),
           (expr(s"(15 * ${PR_SCALE}L) div (100 * n_nodes)")
             + expr("(85 * inflow) div 100")).as("r"))
-        .localCheckpoint()
+        .stableCheckpoint()
     }
     rank.select(col("id").as("doc_id"), col("r").as("rank_pico"))
       .orderBy(col("rank_pico").desc, col("doc_id"))
@@ -984,7 +985,7 @@ object Dedup {
     // and the closing semi-join) scan one materialization; blocks are
     // ContextCleaner-freed, no CacheManager leak
     val e = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(eager = true)
+      .stableCheckpoint()
     val tri = e.as("x").join(e.as("y"), col("x.doc_b") === col("y.doc_a"))
       .select(col("x.doc_a").as("a"), col("x.doc_b").as("b"), col("y.doc_b").as("c"))
       .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")),
@@ -1052,10 +1053,10 @@ object Dedup {
       .agg(count(lit(1)).as("i"))
       .filter(col("i") * 100 >= (col("na") + col("nb") - col("i")) * 2)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(eager = true)
+      .stableCheckpoint()
     val e = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").localCheckpoint(eager = true)
+      .toDF("src", "dst").stableCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val cn = e.as("x").join(e.as("y"),
         col("x.dst") === col("y.src") && col("x.src") < col("y.dst"))

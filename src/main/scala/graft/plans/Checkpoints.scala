@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Checkpoint materialization policy for the operators that must pin a
+  * relation to EXACTLY ONE execution (the two-phase rank's range
+  * boundaries, the graph family's iterated edge relations).
+  *
+  * Default: `localCheckpoint(eager = true)` — executor-block storage,
+  * freed by ContextCleaner when the DataFrame is GC'd, no directory to
+  * manage. The documented trade is durability: blocks are UNREPLICATED,
+  * so on a real cluster losing any executor mid-job fails the job
+  * instead of recomputing (acceptable for a deterministic batch
+  * operator whose retry is the job itself — but on a 1000-executor run
+  * where single-node loss is routine, retrying a multi-hour job is
+  * not).
+  *
+  * Escape hatch: set `spark.graft.checkpointDir` to a durable path
+  * (HDFS/S3 on a cluster) and every stable checkpoint routes through
+  * reliable `checkpoint()` instead — files survive executor loss and
+  * downstream stages recover by re-reading, at the cost of one
+  * filesystem round-trip per materialization. Results are
+  * bit-identical either way (spec-pinned): the checkpoint is pure
+  * materialization, never semantics.
+  *
+  * Operational notes: the FIRST stable checkpoint pins the
+  * SparkContext's checkpoint location (checkpoint dirs are
+  * context-global; changing the conf mid-session does not move it),
+  * and Spark only deletes reliable checkpoint files on context
+  * shutdown when `spark.cleaner.referenceTracking.cleanCheckpoints`
+  * is set — point the conf at a job-scoped directory the job's
+  * teardown removes.
+  */
+object Checkpoints {
+  val ConfKey = "spark.graft.checkpointDir"
+
+  /** Materialize `df` once, per the session's checkpoint policy. */
+  def stable(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = s.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+  }
+
+  /** Chain-position syntax: `df.transform(...).stableCheckpoint()`. */
+  implicit class StableSyntax(private val df: DataFrame) extends AnyVal {
+    def stableCheckpoint(): DataFrame = stable(df)
+  }
+}

@@ -59,4 +59,36 @@ class DeterminismSpec extends SparkSpec {
           "a slice boundary leaked into the result")
     }
   }
+
+  test("reliable-checkpoint escape hatch is result-identical and actually durable") {
+    // spark.graft.checkpointDir routes every stable checkpoint (the
+    // rank's range materialization, the graph family's edge relations)
+    // through reliable checkpoint() instead of executor-local blocks.
+    // The hatch must be pure materialization: byte-identical results
+    // with the conf set, and real files under the durable dir proving
+    // the routing happened (not a silent fallback to local blocks).
+    def run(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
+    val names = Seq("corpus_shuffle", "dedup_components")
+    val base = names.map(n => n -> run(n)).toMap
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    try {
+      spark.conf.set(graft.plans.Checkpoints.ConfKey, ckpt.toString)
+      names.foreach { n =>
+        assert(base(n).nonEmpty, s"$n: vacuous checkpoint-hatch check")
+        assert(run(n) == base(n), s"$n changed under reliable checkpointing")
+      }
+      def hasFile(f: java.io.File): Boolean = {
+        val c = f.listFiles()
+        c != null && c.exists(x => x.isFile || hasFile(x))
+      }
+      assert(hasFile(ckpt), "conf set but no reliable checkpoint files written")
+    } finally {
+      spark.conf.unset(graft.plans.Checkpoints.ConfKey)
+      def rm(f: java.io.File): Unit = {
+        val c = f.listFiles(); if (c != null) c.foreach(rm); f.delete(); ()
+      }
+      rm(ckpt)
+    }
+  }
 }
