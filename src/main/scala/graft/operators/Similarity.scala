@@ -144,9 +144,10 @@ object Similarity {
     * scaladoc for the determinism story. Shared by the inline-search
     * query and the persisted-index builder.
     */
-  private def trainedCodebook(s: SparkSession, dir: String): Array[(Long, Array[Float], Double)] = {
+  private def trainedCodebook(s: SparkSession, dir: String,
+      cells: Int = IVF_CELLS): Array[(Long, Array[Float], Double)] = {
     import s.implicits._
-    val CELLS = IVF_CELLS
+    val CELLS = cells
     val ITERS = IVF_ITERS
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -164,7 +165,7 @@ object Similarity {
     // runs OUTSIDE the map (computeIfAbsent would hold the bin lock
     // across ITERS Spark jobs — the Ingest fixture lesson, r11); a
     // lost putIfAbsent race just discards one redundant training run.
-    val memoKey = corpusKey(s, dir)
+    val memoKey = corpusKey(s, dir) + "|cells=" + cells
     val cached = ivfCodebooks.get(memoKey)
     if (cached != null) return cached
     val trained = {
@@ -323,6 +324,69 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cos.as("cosine"))
       .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Precision/cost curve for the cell-bucketed embedding dedup — the
+    * (CELLS, ASSIGN) trade as an ORACLE-CHECKED artifact instead of a
+    * spec constant (the same move [[Dedup.dedupThresholdCurve]] makes
+    * for the Jaccard threshold): for each configuration, retrain the
+    * codebook at that cell count, index every vector in its ASSIGN
+    * nearest cells, and report how many candidate pairs the cell
+    * buckets generate (the COST: Σ|cell|² comparisons) next to how
+    * many verified near-dup pairs survive the exact cosine ≥ 0.45
+    * check (the YIELD). Reading the curve: n_pairs at (32, 2) vs the
+    * cheaper configurations shows what recall the extra cells/assign
+    * actually buy on this corpus; n_candidates shows what they cost.
+    *
+    * == Scale design ==
+    * Each configuration is the same bucketed join as
+    * [[dedupEmbeddingIvf]] (never all-pairs; candidates ≈
+    * N²·ASSIGN²/CELLS with balanced trained cells), aggregated to ONE
+    * row before the tiny 6-row union. Codebooks memoize per (corpus,
+    * cells), so the three trainings run once per JVM; only 8/16/32-row
+    * models ever reach the driver. The exact cosine here is computed
+    * per CANDIDATE (not gated into the join condition as the
+    * production face does) because the candidate count IS the metric.
+    */
+  def dedupEmbeddingIvfCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val rows = for {
+      cells <- Seq(8, 16, 32)
+      assign <- Seq(1, 2)
+    } yield {
+      val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir, cells))
+      val assigned = e.flatMap { case (id, v) =>
+        val n = math.sqrt(dotd(v, v))
+        codebook.value
+          .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .take(assign).map { case (cell, _) => (id, v, n, cell) }
+      }.toDF("vec_id", "embedding", "nrm", "cell")
+      val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val cand = a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+        .distinct()
+      cand.agg(
+          count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("cosine") >= 0.45, 1L).otherwise(0L)), lit(0L))
+            .as("n_pairs"))
+        .select(lit(cells.toLong).as("cells"), lit(assign.toLong).as("assign_k"),
+          col("n_candidates"), col("n_pairs"))
+    }
+    rows.reduce(_ unionAll _).orderBy(col("cells"), col("assign_k"))
   }
 
   /** Corpora whose persisted IVF index tables exist. Keyed by SESSION
@@ -601,7 +665,8 @@ object Similarity {
     "ann_ivf" -> annIvf,
     "ann_ivf_indexed" -> annIvfIndexed,
     "ann_pq" -> annPq,
-    "dedup_embedding_ivf" -> dedupEmbeddingIvf)
+    "dedup_embedding_ivf" -> dedupEmbeddingIvf,
+    "dedup_embedding_ivf_curve" -> dedupEmbeddingIvfCurve)
 
   /** DuckDB twin of the brute-force path: the dot product is a
     * sequential left-fold over per-element double products — the same
@@ -664,29 +729,35 @@ object Similarity {
     * training unrolled per iteration, then the final assignment rank
     * `rk` and the redundant top-[[IVF_ASSIGN]] cell index `asg`.
     */
-  private val ivfCodebookCtes: Seq[String] = {
+  /** The k-means-replay chain, parameterized by cell count with every
+    * CTE name prefixed — so three differently-sized codebooks can be
+    * replayed side by side in one statement (the curve oracle).
+    */
+  private def ivfCodebookCtesAt(p: String, cells: Int): Seq[String] = {
     def fold(a: String, b: String): String = ivfFold(a, b)
     val base = Seq(
-      s"n AS (SELECT vec_id, embedding, sqrt(${fold("embedding", "embedding")}) AS nrm FROM embeddings)",
-      s"b0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $IVF_CELLS)")
+      s"${p}n AS (SELECT vec_id, embedding, sqrt(${fold("embedding", "embedding")}) AS nrm FROM embeddings)",
+      s"${p}b0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $cells)")
     val iters = (1 to IVF_ITERS).flatMap { it =>
-      val p = it - 1
+      val pv = it - 1
       Seq(
-        s"bn$it AS (SELECT cid, cv, sqrt(${fold("cv", "cv")}) AS cn FROM b$p)",
-        s"sc$it AS (SELECT n.vec_id, b.cid, ${fold("n.embedding", "b.cv")} / (n.nrm * b.cn) AS cos FROM n CROSS JOIN bn$it b)",
-        s"a$it AS (SELECT s.vec_id, s.cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc$it) s WHERE s.rn = 1)",
-        s"c$it AS (SELECT cell, count(*) AS cnt FROM a$it GROUP BY cell)",
-        s"f$it AS (SELECT a.cell, t.d, sum(CAST(floor(CAST(n.embedding[t.d] AS DOUBLE) / n.nrm * 1e6 + 0.5) AS BIGINT)) AS s FROM a$it a JOIN n ON n.vec_id = a.vec_id CROSS JOIN range(1, $DIM + 1) t(d) GROUP BY a.cell, t.d)",
-        s"m$it AS (SELECT f.cell, list(CAST(CAST(f.s AS DOUBLE) / 1e6 / c.cnt AS REAL) ORDER BY f.d) AS cv FROM f$it f JOIN c$it c ON c.cell = f.cell GROUP BY f.cell)",
-        s"b$it AS (SELECT b.cid, COALESCE(m.cv, b.cv) AS cv FROM b$p b LEFT JOIN m$it m ON m.cell = b.cid)")
+        s"${p}bn$it AS (SELECT cid, cv, sqrt(${fold("cv", "cv")}) AS cn FROM ${p}b$pv)",
+        s"${p}sc$it AS (SELECT n.vec_id, b.cid, ${fold("n.embedding", "b.cv")} / (n.nrm * b.cn) AS cos FROM ${p}n n CROSS JOIN ${p}bn$it b)",
+        s"${p}a$it AS (SELECT s.vec_id, s.cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM ${p}sc$it) s WHERE s.rn = 1)",
+        s"${p}c$it AS (SELECT cell, count(*) AS cnt FROM ${p}a$it GROUP BY cell)",
+        s"${p}f$it AS (SELECT a.cell, t.d, sum(CAST(floor(CAST(n.embedding[t.d] AS DOUBLE) / n.nrm * 1e6 + 0.5) AS BIGINT)) AS s FROM ${p}a$it a JOIN ${p}n n ON n.vec_id = a.vec_id CROSS JOIN range(1, $DIM + 1) t(d) GROUP BY a.cell, t.d)",
+        s"${p}m$it AS (SELECT f.cell, list(CAST(CAST(f.s AS DOUBLE) / 1e6 / c.cnt AS REAL) ORDER BY f.d) AS cv FROM ${p}f$it f JOIN ${p}c$it c ON c.cell = f.cell GROUP BY f.cell)",
+        s"${p}b$it AS (SELECT b.cid, COALESCE(m.cv, b.cv) AS cv FROM ${p}b$pv b LEFT JOIN ${p}m$it m ON m.cell = b.cid)")
     }
     val index = Seq(
-      s"bk AS (SELECT cid, cv, sqrt(${fold("cv", "cv")}) AS cn FROM b$IVF_ITERS)",
-      s"sc AS (SELECT n.vec_id, b.cid, ${fold("n.embedding", "b.cv")} / (n.nrm * b.cn) AS cos FROM n CROSS JOIN bk b)",
-      "rk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc)",
-      s"asg AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= $IVF_ASSIGN)")
+      s"${p}bk AS (SELECT cid, cv, sqrt(${fold("cv", "cv")}) AS cn FROM ${p}b$IVF_ITERS)",
+      s"${p}sc AS (SELECT n.vec_id, b.cid, ${fold("n.embedding", "b.cv")} / (n.nrm * b.cn) AS cos FROM ${p}n n CROSS JOIN ${p}bk b)",
+      s"${p}rk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM ${p}sc)",
+      s"${p}asg AS (SELECT vec_id, cid AS cell FROM ${p}rk WHERE rn <= $IVF_ASSIGN)")
     base ++ iters ++ index
   }
+
+  private val ivfCodebookCtes: Seq[String] = ivfCodebookCtesAt("", IVF_CELLS)
 
   val annIvfSql: String = {
     val search = Seq(
@@ -711,6 +782,28 @@ object Similarity {
       "\nSELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45 ORDER BY vec_a, vec_b"
   }
 
+  /** DuckDB twin of the curve: three prefixed codebook replays (one
+    * per cell count), each probed at assign 1 and 2 — the same
+    * distinct candidate set, sequential-fold cosines, and 0.45 verify,
+    * folded to the identical 6-row ledger.
+    */
+  val dedupEmbeddingIvfCurveSql: String = {
+    val chains = Seq(8, 16, 32).flatMap(c => ivfCodebookCtesAt(s"c${c}_", c))
+    val rows = for { c <- Seq(8, 16, 32); k <- Seq(1, 2) } yield
+      s"""SELECT CAST($c AS BIGINT) AS cells, CAST($k AS BIGINT) AS assign_k,
+         |  count(*) AS n_candidates,
+         |  CAST(COALESCE(sum(CASE WHEN cosine >= 0.45 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+         |FROM (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${ivfFold("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine
+         |  FROM (SELECT vec_id, cid AS cell FROM c${c}_rk WHERE rn <= $k) a
+         |  JOIN (SELECT vec_id, cid AS cell FROM c${c}_rk WHERE rn <= $k) b
+         |    ON b.cell = a.cell AND a.vec_id < b.vec_id
+         |  JOIN c${c}_n na ON na.vec_id = a.vec_id
+         |  JOIN c${c}_n nb ON nb.vec_id = b.vec_id)""".stripMargin
+    "WITH " + chains.mkString(",\n") + "\n" +
+      rows.mkString("\nUNION ALL\n") + "\nORDER BY cells, assign_k"
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
@@ -718,5 +811,6 @@ object Similarity {
     // the index is layout, not semantics: identical result contract
     "ann_ivf_indexed" -> annIvfSql,
     "ann_pq" -> annPqSql,
-    "dedup_embedding_ivf" -> dedupEmbeddingIvfSql)
+    "dedup_embedding_ivf" -> dedupEmbeddingIvfSql,
+    "dedup_embedding_ivf_curve" -> dedupEmbeddingIvfCurveSql)
 }

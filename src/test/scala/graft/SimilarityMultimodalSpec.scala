@@ -243,6 +243,32 @@ class SimilarityMultimodalSpec extends SparkSpec {
       s"expected a columnar transition above the decode:\n$plan")
   }
 
+  test("ivf curve: cost falls with cells, yield rises with assign, production point consistent") {
+    import spark.implicits._
+    val curve = Similarity.dedupEmbeddingIvfCurve(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (c, k, cand, pairs) => (c, k) -> ((cand, pairs)) }.toMap
+    assert(curve.keySet == Set((8L, 1L), (8L, 2L), (16L, 1L), (16L, 2L), (32L, 1L), (32L, 2L)))
+    curve.foreach { case ((c, k), (cand, pairs)) =>
+      assert(pairs <= cand, s"($c,$k): more verified pairs than candidates") }
+    // more cells ⇒ smaller buckets ⇒ fewer candidate comparisons
+    Seq(1L, 2L).foreach { k =>
+      assert(curve((8L, k))._1 > curve((16L, k))._1 &&
+        curve((16L, k))._1 > curve((32L, k))._1,
+        s"candidate cost not monotone in cells at assign=$k") }
+    // redundant assignment can only widen the candidate set ⇒ yield
+    // (and cost) never drop when assign grows
+    Seq(8L, 16L, 32L).foreach { c =>
+      assert(curve((c, 2L))._2 >= curve((c, 1L))._2 &&
+        curve((c, 2L))._1 >= curve((c, 1L))._1,
+        s"assign=2 lost pairs or candidates at cells=$c") }
+    // the curve's production point reports exactly the registered
+    // dedup_embedding_ivf pair count (same codebook, same verify)
+    val prod = Similarity.dedupEmbeddingIvf(spark, sf).count()
+    assert(curve((32L, 2L))._2 == prod,
+      s"curve (32,2) = ${curve((32L, 2L))._2} but production face found $prod")
+  }
+
   test("ivf index memo self-heals after an external DROP (fresh-catalog stand-in)") {
     val before = Similarity.annIvfIndexed(spark, sf).collect()
     val tbls = spark.catalog.listTables().collect().map(_.name)
