@@ -754,6 +754,53 @@ object Curate {
       |  CAST(min(pos) AS BIGINT) AS first_pos, CAST(max(pos) AS BIGINT) AS last_pos
       |FROM p GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** The shard CONSUMER's read path — what one data loader actually
+    * executes given the [[corpusShards]] manifest: resolve its shard's
+    * position range over the thin rank relation, then fetch the
+    * payload for exactly those docs with a doc_id equi-join back into
+    * the corpus. Registered over shard 5 of 16 (an interior shard —
+    * both range endpoints are cut by the manifest arithmetic, not the
+    * corpus bounds). Emits the loader's feed: epoch position, doc id,
+    * language, token count, in position order.
+    *
+    * == Scale design ==
+    * The TEXT-CARRYING corpus scan is touched exactly once, AFTER the
+    * 1/16 shard filter — the rank side reads only (doc_id, hash), so
+    * at 100 TB the rank's checkpoint stays ~16 bytes/doc and the
+    * payload I/O is proportional to the SHARD, not the corpus
+    * (plan-asserted: one parquet scan of documents in the executed
+    * plan; the rank side scans the already-materialized checkpoint
+    * RDD). The join is a doc_id equi-join — shard-sized ⋈ corpus,
+    * shuffle-partitioned on the id, no broadcast assumption needed.
+    */
+  def corpusShardRead(s: SparkSession, dir: String): DataFrame = {
+    val SHARD = 5L
+    val keyed = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), epochHash(0).as("hk"))
+    val ranked = Analytics.globalRowPos(keyed, Seq.empty,
+        Seq(col("hk"), col("doc_id")), "shuffle_pos", "__n")
+      .filter(expr("(shuffle_pos - 1) * 16 div `__n`") === SHARD)
+      .select(col("doc_id"), col("shuffle_pos"))
+    val payload = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    ranked.join(payload, "doc_id")
+      .select(col("shuffle_pos"), col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy(col("shuffle_pos"))
+  }
+
+  /** DuckDB twin: same hash order, shard arithmetic, and join-back. */
+  val corpusShardReadSql: String =
+    s"""WITH h AS (SELECT doc_id, ${epochHashSql(0)} AS hk FROM documents),
+      |p AS (SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS pos,
+      |  count(*) OVER () AS n FROM h),
+      |sh AS (SELECT doc_id, CAST(pos AS BIGINT) AS shuffle_pos FROM p
+      |  WHERE (pos - 1) * 16 // n = 5)
+      |SELECT sh.shuffle_pos, d.doc_id, d.lang,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      |FROM sh JOIN documents d USING (doc_id)
+      |ORDER BY shuffle_pos""".stripMargin
+
   /** Sequence packing in EPOCH order — the packing a pretraining run
     * actually performs: [[packSequential]] chunks the corpus in doc_id
     * order, but the data loader consumes documents in the
@@ -816,6 +863,7 @@ object Curate {
     "corpus_shards" -> corpusShards,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_shuffle_e1" -> corpusShuffleE1,
+    "corpus_shard_read" -> corpusShardRead,
     "pack_shuffled" -> packShuffled,
     "corpus_chisq" -> corpusChisq,
     "sample_uniform_k" -> sampleUniformK,
@@ -837,6 +885,7 @@ object Curate {
     "corpus_shards" -> corpusShardsSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "corpus_shuffle_e1" -> corpusShuffleE1Sql,
+    "corpus_shard_read" -> corpusShardReadSql,
     "pack_shuffled" -> packShuffledSql,
     "corpus_chisq" -> corpusChisqSql,
     "sample_uniform_k" -> sampleUniformKSql,

@@ -522,4 +522,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty,
       "two-phase quintiles diverge from the ntile window model")
   }
+
+  test("corpus_shard_read touches one corpus scan plus the materialized rank") {
+    // The shard consumer's contract: payload I/O proportional to the
+    // SHARD, not the corpus. In the executed plan that means exactly
+    // one parquet scan of documents (the text-carrying payload leg,
+    // joined AFTER the 1/16 position filter) — the rank side must scan
+    // the already-checkpointed slice relation, not re-scan the corpus.
+    val df = operators.Curate.corpusShardRead(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val deeper = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: deeper.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val fileScans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(fileScans.size == 1,
+      s"expected ONE parquet scan (the payload leg); got ${fileScans.size}: " +
+        fileScans.map(_.schema.fieldNames.mkString("[", ",", "]")).mkString(" "))
+    assert(fileScans.head.schema.fieldNames.contains("text"),
+      "the single corpus scan must be the text-carrying payload leg")
+    val rankScans = nodes.collect { case r: RDDScanExec => r }
+      .filter(_.output.exists(_.name.startsWith("__slice_")))
+    assert(rankScans.nonEmpty,
+      "rank side must read the checkpointed slice relation")
+  }
 }
