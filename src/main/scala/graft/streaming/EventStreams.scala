@@ -665,6 +665,48 @@ object EventStreams {
       }
   }
 
+  /** Batch face of [[upsertStream]] (registered as `stream_scd1`): the
+    * in-order replay of the SCD1 change-log over a deterministic
+    * upsert feed derived from the event log (key = user, stamp =
+    * event-time micros, value = exact cents). Replayed in the state
+    * machine's own (us, value) total order, the per-key state after
+    * record k is simply record k's value — so the emitted change-log
+    * is "rows whose value differs from the previous record's" (first
+    * row always emits), one lag window per key. Exactly what the
+    * streaming face emits when fed in rank order: a same-(us,value)
+    * duplicate is not-newer (no emit, no state move) and lag compares
+    * the duplicate's value identically; a newer same-value record
+    * advances state silently in both. The spec replays the REAL corpus
+    * feed through MemoryStream in per-key rank batches and pins
+    * equality row-for-row.
+    *
+    * == Scale design ==
+    * One user-keyed window (high-cardinality partition key, O(1)
+    * state/row) — the same single-shuffle shape as sessionize; at
+    * 100 TB the change-log compaction is exactly this plan. The
+    * streaming face holds one (stamp, value) pair per key in the state
+    * store — the live twin never re-reads history.
+    */
+  def streamScd1(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("us"), col("value"))
+    events(s, dir)
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("value"))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .filter(col("pv").isNull || col("value") =!= col("pv"))
+      .select(col("key"), col("us"), col("value"))
+      .orderBy(col("key"), col("us"), col("value"))
+  }
+
+  val streamScd1Sql: String =
+    """WITH u AS (SELECT user_id AS key, epoch_us(ts) AS us,
+      |    CAST(round(value*100) AS BIGINT) AS value FROM events),
+      |r AS (SELECT key, us, value,
+      |    lag(value) OVER (PARTITION BY key ORDER BY us, value) AS pv FROM u)
+      |SELECT key, us, value FROM r WHERE pv IS NULL OR value <> pv
+      |ORDER BY key, us, value""".stripMargin
+
   /** One upstream change record: op 'U' (upsert value) or 'D' (delete). */
   case class Change(key: Long, us: Long, value: Long, op: String)
   /** Emitted change-log row: op 'U' (new current value) or 'D' (tombstone). */
@@ -778,7 +820,8 @@ object EventStreams {
     "stream_dedup" -> streamDedup,
     "stream_enrich" -> streamEnrich,
     "stream_retention" -> streamRetention,
-    "stream_interval_join" -> streamIntervalJoin)
+    "stream_interval_join" -> streamIntervalJoin,
+    "stream_scd1" -> streamScd1)
 
   /** DuckDB twin of the flatMapGroups fold: the window-function
     * formulation produces the same sessions, so the stateful batch
@@ -802,5 +845,6 @@ object EventStreams {
     "stream_dedup" -> streamDedupSql,
     "stream_enrich" -> streamEnrichSql,
     "stream_retention" -> streamRetentionSql,
-    "stream_interval_join" -> streamIntervalJoinSql)
+    "stream_interval_join" -> streamIntervalJoinSql,
+    "stream_scd1" -> streamScd1Sql)
 }
