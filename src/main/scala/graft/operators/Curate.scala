@@ -801,6 +801,92 @@ object Curate {
       |FROM sh JOIN documents d USING (doc_id)
       |ORDER BY shuffle_pos""".stripMargin
 
+  /** Packing-efficiency ledger: for each candidate context width
+    * (512/1024/2048/4096 tokens), the corpus token mass, the window
+    * count under PADDED loading (each doc rounded up to whole
+    * windows — the no-packing baseline) with its exact integer-ppm
+    * fill ratio, and the window count under DENSE packing (the
+    * [[packShuffled]] consumer) — the measurement that justifies
+    * running a packer at all, and the width-selection input a
+    * pretraining config needs. All integer arithmetic (`div`,
+    * DECIMAL(38,0) for the ppm product), bit-exact cross-engine.
+    *
+    * == Scale design ==
+    * One corpus scan; each doc contributes 4 (width, tokens) rows to a
+    * map-side-combinable 4-group aggregate — O(widths) state, no
+    * shuffle beyond the 4-row exchange, no window anywhere.
+    */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val widths = array(Seq(512, 1024, 2048, 4096).map(w => lit(w.toLong)): _*)
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("tok"))
+      .select(explode(widths).as("window_tokens"), col("tok"))
+      .groupBy(col("window_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("corpus_tokens"),
+        sum(expr("(tok + window_tokens - 1) div window_tokens")).as("padded_windows"))
+      .select(col("window_tokens"), col("n_docs"), col("corpus_tokens"),
+        col("padded_windows"),
+        expr("CAST(1000000 * CAST(corpus_tokens AS DECIMAL(38,0)) div (CAST(padded_windows AS DECIMAL(38,0)) * window_tokens) AS BIGINT)")
+          .as("padded_fill_ppm"),
+        expr("(corpus_tokens + window_tokens - 1) div window_tokens").as("packed_windows"))
+      .orderBy(col("window_tokens"))
+  }
+
+  val packEfficiencySql: String =
+    """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+      |x AS (SELECT w.window_tokens, d.tok FROM d
+      |  CROSS JOIN (SELECT unnest([512, 1024, 2048, 4096]) AS window_tokens) w),
+      |g AS (SELECT window_tokens, count(*) AS n_docs,
+      |    CAST(sum(tok) AS BIGINT) AS corpus_tokens,
+      |    CAST(sum((tok + window_tokens - 1) // window_tokens) AS BIGINT) AS padded_windows
+      |  FROM x GROUP BY window_tokens)
+      |SELECT CAST(window_tokens AS BIGINT) AS window_tokens, n_docs, corpus_tokens, padded_windows,
+      |  CAST(1000000 * CAST(corpus_tokens AS HUGEINT) // (CAST(padded_windows AS HUGEINT) * window_tokens) AS BIGINT) AS padded_fill_ppm,
+      |  (corpus_tokens + window_tokens - 1) // window_tokens AS packed_windows
+      |FROM g ORDER BY window_tokens""".stripMargin
+
+  /** Cross-epoch shard mixing matrix — the operational proof that the
+    * [[epochHash]] schedule actually re-deals the data loaders' hands:
+    * every (epoch-0 shard, epoch-1 shard) cell with its doc count.
+    * Decorrelated epochs spread each epoch-0 shard's docs ~uniformly
+    * across all 16 epoch-1 shards (cells ≈ N/256); the r11 broken
+    * salt would have put the whole diagonal at N/16 and zero
+    * elsewhere. The curve-style companion to the spec's rank
+    * correlation: the mixing is now an oracle-checked artifact.
+    *
+    * == Scale design ==
+    * Both epoch positions ride the SAME thin (doc_id, h0, h1)
+    * projection through two chained two-phase ranks — the second rank
+    * re-ranges the first's output, so text never shuffles and no join
+    * reunites the epochs; the 256-cell aggregate is map-side
+    * combinable.
+    */
+  def corpusEpochMix(s: SparkSession, dir: String): DataFrame = {
+    val keyed = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), epochHash(0).as("h0"), epochHash(1).as("h1"))
+    val r0 = Analytics.globalRowPos(keyed, Seq.empty,
+      Seq(col("h0"), col("doc_id")), "p0", "__n0")
+    val r1 = Analytics.globalRowPos(r0, Seq.empty,
+      Seq(col("h1"), col("doc_id")), "p1", "__n1")
+    r1.select(expr("(p0 - 1) * 16 div `__n0`").as("shard_e0"),
+        expr("(p1 - 1) * 16 div `__n1`").as("shard_e1"))
+      .groupBy(col("shard_e0"), col("shard_e1"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("shard_e0"), col("shard_e1"))
+  }
+
+  val corpusEpochMixSql: String =
+    s"""WITH h AS (SELECT doc_id, ${epochHashSql(0)} AS h0, ${epochHashSql(1)} AS h1
+      |  FROM documents),
+      |p AS (SELECT doc_id,
+      |  row_number() OVER (ORDER BY h0, doc_id) AS p0,
+      |  row_number() OVER (ORDER BY h1, doc_id) AS p1,
+      |  count(*) OVER () AS n FROM h)
+      |SELECT (p0 - 1) * 16 // n AS shard_e0, (p1 - 1) * 16 // n AS shard_e1,
+      |  count(*) AS n_docs
+      |FROM p GROUP BY 1, 2 ORDER BY shard_e0, shard_e1""".stripMargin
+
   /** Sequence packing in EPOCH order — the packing a pretraining run
     * actually performs: [[packSequential]] chunks the corpus in doc_id
     * order, but the data loader consumes documents in the
@@ -864,7 +950,9 @@ object Curate {
     "corpus_shuffle" -> corpusShuffle,
     "corpus_shuffle_e1" -> corpusShuffleE1,
     "corpus_shard_read" -> corpusShardRead,
+    "corpus_epoch_mix" -> corpusEpochMix,
     "pack_shuffled" -> packShuffled,
+    "pack_efficiency" -> packEfficiency,
     "corpus_chisq" -> corpusChisq,
     "sample_uniform_k" -> sampleUniformK,
     "sample_group_k" -> sampleGroupK,
@@ -886,7 +974,9 @@ object Curate {
     "corpus_shuffle" -> corpusShuffleSql,
     "corpus_shuffle_e1" -> corpusShuffleE1Sql,
     "corpus_shard_read" -> corpusShardReadSql,
+    "corpus_epoch_mix" -> corpusEpochMixSql,
     "pack_shuffled" -> packShuffledSql,
+    "pack_efficiency" -> packEfficiencySql,
     "corpus_chisq" -> corpusChisqSql,
     "sample_uniform_k" -> sampleUniformKSql,
     "sample_group_k" -> sampleGroupKSql,

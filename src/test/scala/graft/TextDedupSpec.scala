@@ -282,6 +282,48 @@ class TextDedupSpec extends SparkSpec {
       assert(seqTok(id) == n, s"doc $id token count drifted") }
   }
 
+  test("pack efficiency ledger is internally consistent across widths") {
+    val rows = Curate.packEfficiency(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(512L, 1024L, 2048L, 4096L))
+    val toks = rows.map(_._3).distinct
+    assert(toks.length == 1 && toks.head > 0,
+      "corpus token mass must be width-independent")
+    rows.foreach { case (w, nd, tok, padded, ppm, packed) =>
+      assert(nd > 0 && padded >= nd || padded >= (tok + w - 1) / w,
+        s"w=$w: padded windows below the per-doc floor")
+      // dense packing can only use fewer (or equal) windows
+      assert(packed == (tok + w - 1) / w, s"w=$w packed window count wrong")
+      assert(packed <= padded, s"w=$w: packing used MORE windows than padding")
+      // the ppm is exactly the integer ratio of the reported columns
+      assert(ppm == 1000000L * tok / (padded * w), s"w=$w fill ppm inconsistent")
+      assert(ppm <= 1000000L, s"w=$w fill over 100%")
+    }
+    // wider windows can only waste more under padding: fill monotone down
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 >= b._5, "padded fill must fall as windows widen")
+    case _ => }
+  }
+
+  test("epoch mix matrix spreads every epoch-0 shard across epoch-1 shards") {
+    val cells = Curate.corpusEpochMix(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val n = cells.map(_._3).sum
+    val pos = Curate.corpusShuffle(spark, sf).count()
+    assert(n == pos, "mix matrix must cover every doc exactly once")
+    // decorrelated epochs: each epoch-0 shard's ~N/16 docs re-deal
+    // across many epoch-1 shards (correlated salts → 1-2); and no cell
+    // hoards — expected N/256 docs/cell, bound at 10x expected
+    val byE0 = cells.groupBy(_._1)
+    assert(byE0.keySet == (0L until 16L).toSet)
+    byE0.foreach { case (s0, cs) =>
+      assert(cs.length >= 8, s"epoch-0 shard $s0 re-dealt into only ${cs.length} shards")
+    }
+    val bound = math.max(10L * n / 256, 10L)
+    cells.foreach { case (s0, s1, c) =>
+      assert(c <= bound, s"cell ($s0,$s1) hoards $c docs (bound $bound)") }
+  }
+
   test("corpus shards tile the shuffle into contiguous ±1-balanced ranges") {
     val rows = Curate.corpusShards(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
