@@ -707,6 +707,53 @@ object EventStreams {
       |SELECT key, us, value FROM r WHERE pv IS NULL OR value <> pv
       |ORDER BY key, us, value""".stripMargin
 
+  /** Batch face of [[changeLogStream]] (registered as
+    * `stream_merge_delete`): the SCD1 replay of [[streamScd1]] extended
+    * with DELETE tombstones — the full CDC ingest shape. The change
+    * feed is the corpus upsert log plus one tombstone per key ≡ 0
+    * (mod 5), stamped strictly after that key's last upsert (the same
+    * derive-the-mutation-feed-from-the-corpus move the batch MERGE
+    * faces make with their %7 updates and %13 inserts). In rank order
+    * the tombstone is each deleted key's final record and the key is
+    * live when it lands, so the replayed log is exactly the scd1
+    * value-change rows plus one trailing 'D' (value 0) per deleted
+    * key — which is what [[changeLogStream]] emits fed in order
+    * (spec-pinned on the real corpus feed).
+    *
+    * == Scale design ==
+    * Same single user-keyed window as [[streamScd1]] plus an
+    * O(users) tombstone aggregate — both map-side-combinable /
+    * single-shuffle; the streaming face's state stays one
+    * (stamp, value, alive) triple per key.
+    */
+  def streamMergeDelete(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("us"), col("value"))
+    val ups = events(s, dir)
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("value"))
+    val uLog = ups.withColumn("pv", lag(col("value"), 1).over(w))
+      .filter(col("pv").isNull || col("value") =!= col("pv"))
+      .select(col("key"), col("us"), col("value"), lit("U").as("op"))
+    val dels = ups.groupBy(col("key"))
+      .agg((max(col("us")) + 1).as("us"))
+      .filter(pmod(col("key"), lit(5)) === 0)
+      .select(col("key"), col("us"), lit(0L).as("value"), lit("D").as("op"))
+    uLog.unionByName(dels)
+      .orderBy(col("key"), col("us"), col("value"))
+  }
+
+  val streamMergeDeleteSql: String =
+    """WITH u AS (SELECT user_id AS key, epoch_us(ts) AS us,
+      |    CAST(round(value*100) AS BIGINT) AS value FROM events),
+      |r AS (SELECT key, us, value,
+      |    lag(value) OVER (PARTITION BY key ORDER BY us, value) AS pv FROM u),
+      |ul AS (SELECT key, us, value, 'U' AS op FROM r WHERE pv IS NULL OR value <> pv),
+      |d AS (SELECT key, max(us) + 1 AS us, CAST(0 AS BIGINT) AS value, 'D' AS op
+      |  FROM u GROUP BY key HAVING key % 5 = 0)
+      |SELECT key, us, value, op FROM (SELECT * FROM ul UNION ALL SELECT * FROM d)
+      |ORDER BY key, us, value""".stripMargin
+
   /** One upstream change record: op 'U' (upsert value) or 'D' (delete). */
   case class Change(key: Long, us: Long, value: Long, op: String)
   /** Emitted change-log row: op 'U' (new current value) or 'D' (tombstone). */
@@ -821,7 +868,8 @@ object EventStreams {
     "stream_enrich" -> streamEnrich,
     "stream_retention" -> streamRetention,
     "stream_interval_join" -> streamIntervalJoin,
-    "stream_scd1" -> streamScd1)
+    "stream_scd1" -> streamScd1,
+    "stream_merge_delete" -> streamMergeDelete)
 
   /** DuckDB twin of the flatMapGroups fold: the window-function
     * formulation produces the same sessions, so the stateful batch
@@ -846,5 +894,6 @@ object EventStreams {
     "stream_enrich" -> streamEnrichSql,
     "stream_retention" -> streamRetentionSql,
     "stream_interval_join" -> streamIntervalJoinSql,
-    "stream_scd1" -> streamScd1Sql)
+    "stream_scd1" -> streamScd1Sql,
+    "stream_merge_delete" -> streamMergeDeleteSql)
 }

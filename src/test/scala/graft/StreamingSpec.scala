@@ -226,6 +226,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("merge-delete batch face equals the streamed change-log with tombstones") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{Change, ChangeOut}
+    val batchFace = EventStreams.streamMergeDelete(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val raw = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id"), unix_micros(col("ts")), round(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, us, v) => Change(k, us, v, "U") }
+    val byKey = raw.groupBy(_.key).view
+      .mapValues(_.sortBy(r => (r.us, r.value)).toVector).toMap
+    val rounds = byKey.values.map(_.length).max
+    val mem = MemoryStream[Change]
+    val q = EventStreams.changeLogStream(mem.toDS())
+      .writeStream.format("memory").queryName("chlog_replay")
+      .outputMode("append").start()
+    try {
+      (0 until rounds).foreach { i =>
+        val batch = byKey.values.flatMap(_.lift(i)).toSeq
+        if (batch.nonEmpty) { mem.addData(batch: _*); q.processAllAvailable() }
+      }
+      // the tombstone round: one delete per key % 5 == 0, stamped
+      // after that key's last upsert — the batch face's feed
+      val dels = byKey.collect { case (k, rs) if k % 5 == 0 =>
+        Change(k, rs.last.us + 1, 0L, "D") }.toSeq
+      if (dels.nonEmpty) { mem.addData(dels: _*); q.processAllAvailable() }
+      val streamed = spark.sql("SELECT key, us, value, op FROM chlog_replay")
+        .as[(Long, Long, Long, String)].collect().toSeq
+        .sortBy(r => (r._1, r._2, r._3))
+      assert(batchFace.exists(_._4 == "D"), "vacuous: no tombstones in feed")
+      assert(streamed == batchFace,
+        s"batch face diverged: stream ${streamed.size} rows vs batch ${batchFace.size}")
+    } finally q.stop()
+  }
+
   test("streaming change-log applies newest-wins with delete tombstones") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.Change
