@@ -235,6 +235,27 @@ class TextDedupSpec extends SparkSpec {
       "hash order degenerated to identity")
   }
 
+  test("corpus growth preserves the relative shuffle order of existing docs") {
+    // The shuffle key is a pure function of doc_id, so growing the
+    // corpus can only INTERLEAVE new docs into the existing order —
+    // never reorder old ones. This is what makes the epoch order
+    // replayable on a live corpus: a resumed run whose corpus gained
+    // documents keeps every previously-assigned relative position.
+    // (A rand()-ordered shuffle re-deals everything on every change.)
+    val full = Curate.corpusShuffle(spark, sf)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    val half = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 2 === 0)
+    half.write.mode("overwrite").parquet("/tmp/graft-test-grow/documents.parquet")
+    val sub = Curate.corpusShuffle(spark, "/tmp/graft-test-grow")
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    assert(sub.nonEmpty && sub.length < full.length, "vacuous growth check")
+    val fullOrder = full.sortBy(_._2).map(_._1).filter(_ % 2 == 0).toSeq
+    val subOrder = sub.sortBy(_._2).map(_._1).toSeq
+    assert(subOrder == fullOrder,
+      "growing the corpus reordered previously-positioned docs")
+  }
+
   test("epoch-1 shuffle is a decorrelated permutation of epoch 0") {
     val e0 = Curate.corpusShuffle(spark, sf)
       .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
