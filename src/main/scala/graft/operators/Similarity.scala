@@ -347,6 +347,14 @@ object Similarity {
     * models ever reach the driver. The exact cosine here is computed
     * per CANDIDATE (not gated into the join condition as the
     * production face does) because the candidate count IS the metric.
+    *
+    * SAMPLE-BOUND BY CONTRACT: sweeping FIXED cell counts is
+    * quadratic in corpus size (the cells=8/assign=2 config is within
+    * 2× of all-pairs — measured 14× wall for 10× vectors, SCALING.md
+    * r12), which is how parameter tuning actually runs: on a bounded
+    * sample whose pair statistics transfer, never on the corpus. The
+    * corpus-scale path stays [[dedupEmbeddingIvf]], whose cell count
+    * grows ~√N; this face chooses that config's parameters.
     */
   def dedupEmbeddingIvfCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
