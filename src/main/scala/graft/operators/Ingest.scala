@@ -155,6 +155,14 @@ object Ingest {
   // by one JVM shutdown hook.
   private val evoRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // Superseded roots are not deleted inline: a lazy DataFrame handed
+  // out before a source regeneration may still be reading its (old)
+  // fixture. They queue here and are swept at the START of a later
+  // call — mark-and-sweep, one-call grace — so the narrow
+  // delete-under-reader race of the r12 inline GC is gone for every
+  // caller that materializes before invoking the operator again.
+  private val evoPendingGc =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
@@ -163,11 +171,23 @@ object Ingest {
   }
 
   locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      evoRoots.values().forEach(r => deleteRecursively(new java.io.File(r)))))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      evoRoots.values().forEach(r => deleteRecursively(new java.io.File(r)))
+      var p = evoPendingGc.poll()
+      while (p != null) { deleteRecursively(new java.io.File(p)); p = evoPendingGc.poll() }
+    }))
   }
 
+  // The mtime rides after the last '@' in each cache key ("dir@mtime").
+  private def keyMtime(k: String): Long =
+    try k.substring(k.lastIndexOf('@') + 1).toLong catch { case _: NumberFormatException => Long.MaxValue }
+
   def sourceSchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    // Sweep roots superseded by an EARLIER call (one-call grace; see
+    // evoPendingGc). Entries queued during THIS call are not visible
+    // here — they wait for the next invocation or the shutdown hook.
+    var gc = evoPendingGc.poll()
+    while (gc != null) { deleteRecursively(new java.io.File(gc)); gc = evoPendingGc.poll() }
     val srcMtime = new java.io.File(dir, "events.parquet").lastModified()
     // lastModified() == 0 means "no such file": fail now with a clear
     // message rather than caching a fixture keyed to a phantom source
@@ -196,17 +216,20 @@ object Ingest {
       val prev = evoRoots.putIfAbsent(key, r)
       if (prev != null) { deleteRecursively(new java.io.File(r)); prev }
       else {
-        // GC superseded fixtures for the SAME source dir (older mtime
-        // keys): a long bench/test loop that regenerates testdata
-        // would otherwise accumulate one orphaned parquet tree per
-        // regeneration until JVM shutdown. Only this dir's stale keys
-        // are touched; a concurrent reader of a superseded root races
-        // only with a fixture whose source data is already gone.
+        // GC superseded fixtures for the SAME source dir: a long
+        // bench/test loop that regenerates testdata would otherwise
+        // accumulate one orphaned parquet tree per regeneration until
+        // JVM shutdown. Strictly-OLDER mtimes only — a delayed thread
+        // that lost the clock race must never unregister a NEWER
+        // fixture another thread just published. Deletion itself is
+        // deferred (queued; swept above on a later call) so a lazy
+        // reader of the superseded root finishes before the files go.
+        val myM = keyMtime(key)
         val stale = scala.jdk.CollectionConverters.SetHasAsScala(evoRoots.keySet())
-          .asScala.filter(k => k.startsWith(dir + "@") && k != key).toList
+          .asScala.filter(k => k.startsWith(dir + "@") && keyMtime(k) < myM).toList
         stale.foreach { k =>
           val old = evoRoots.remove(k)
-          if (old != null) deleteRecursively(new java.io.File(old))
+          if (old != null) evoPendingGc.add(old)
         }
         r
       }

@@ -23,16 +23,23 @@ import org.apache.spark.sql.DataFrame
   * bit-identical either way (spec-pinned): the checkpoint is pure
   * materialization, never semantics.
   *
-  * Operational notes: the FIRST stable checkpoint pins the
-  * SparkContext's checkpoint location (checkpoint dirs are
-  * context-global; changing the conf mid-session does not move it),
-  * and Spark only deletes reliable checkpoint files on context
-  * shutdown when `spark.cleaner.referenceTracking.cleanCheckpoints`
-  * is set — point the conf at a job-scoped directory the job's
-  * teardown removes.
+  * Operational notes: the SparkContext checkpoint location is
+  * context-global; `stable` RE-PINS it whenever the conf value
+  * changes (so a later caller pointing the conf at a new path gets
+  * its checkpoints there, not silently into the previous — possibly
+  * deleted — location). Spark only deletes reliable checkpoint files
+  * on context shutdown when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` is set — point
+  * the conf at a job-scoped directory the job's teardown removes.
   */
 object Checkpoints {
   val ConfKey = "spark.graft.checkpointDir"
+
+  // The conf value the context's checkpoint dir was last pinned for.
+  // sc.getCheckpointDir can't be compared to the conf directly (Spark
+  // appends a UUID child and scheme-qualifies the path), so remember
+  // what we pinned; a conf change re-pins on the next stable() call.
+  @volatile private var pinnedFor: Option[String] = None
 
   /** Materialize `df` once, per the session's checkpoint policy. */
   def stable(df: DataFrame): DataFrame = {
@@ -40,7 +47,10 @@ object Checkpoints {
     s.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = s.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        if (sc.getCheckpointDir.isEmpty || !pinnedFor.contains(dir)) {
+          sc.setCheckpointDir(dir)
+          pinnedFor = Some(dir)
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

@@ -83,6 +83,23 @@ class DeterminismSpec extends SparkSpec {
         c != null && c.exists(x => x.isFile || hasFile(x))
       }
       assert(hasFile(ckpt), "conf set but no reliable checkpoint files written")
+      // Re-pointing the conf must MOVE the context-global checkpoint
+      // location (Checkpoints.stable re-pins on conf change) — later
+      // same-JVM code must never silently checkpoint into this test's
+      // deleted temp dir.
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ckpt2").toFile
+      try {
+        spark.conf.set(graft.plans.Checkpoints.ConfKey, ckpt2.toString)
+        assert(run(names.head) == base(names.head),
+          s"${names.head} changed after re-pointing the checkpoint dir")
+        assert(hasFile(ckpt2),
+          "conf re-pointed but checkpoints still land in the old dir")
+      } finally {
+        def rm2(f: java.io.File): Unit = {
+          val c = f.listFiles(); if (c != null) c.foreach(rm2); f.delete(); ()
+        }
+        rm2(ckpt2)
+      }
     } finally {
       spark.conf.unset(graft.plans.Checkpoints.ConfKey)
       def rm(f: java.io.File): Unit = {

@@ -244,16 +244,27 @@ class TextDedupSpec extends SparkSpec {
     // (A rand()-ordered shuffle re-deals everything on every change.)
     val full = Curate.corpusShuffle(spark, sf)
       .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
-    val half = spark.read.parquet(s"$sf/documents.parquet")
-      .filter(col("doc_id") % 2 === 0)
-    half.write.mode("overwrite").parquet("/tmp/graft-test-grow/documents.parquet")
-    val sub = Curate.corpusShuffle(spark, "/tmp/graft-test-grow")
-      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
-    assert(sub.nonEmpty && sub.length < full.length, "vacuous growth check")
-    val fullOrder = full.sortBy(_._2).map(_._1).filter(_ % 2 == 0).toSeq
-    val subOrder = sub.sortBy(_._2).map(_._1).toSeq
-    assert(subOrder == fullOrder,
-      "growing the corpus reordered previously-positioned docs")
+    // Fresh per-run temp dir (not a fixed /tmp path): concurrent CI
+    // runs on one machine must not interleave writes, and the suite
+    // must not leak the directory.
+    val growDir = java.nio.file.Files.createTempDirectory("graft-test-grow")
+    try {
+      val half = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("doc_id") % 2 === 0)
+      half.write.mode("overwrite").parquet(s"$growDir/documents.parquet")
+      val sub = Curate.corpusShuffle(spark, growDir.toString)
+        .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+      assert(sub.nonEmpty && sub.length < full.length, "vacuous growth check")
+      val fullOrder = full.sortBy(_._2).map(_._1).filter(_ % 2 == 0).toSeq
+      val subOrder = sub.sortBy(_._2).map(_._1).toSeq
+      assert(subOrder == fullOrder,
+        "growing the corpus reordered previously-positioned docs")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(growDir.toFile)
+    }
   }
 
   test("epoch-1 shuffle is a decorrelated permutation of epoch 0") {
@@ -311,8 +322,12 @@ class TextDedupSpec extends SparkSpec {
     assert(toks.length == 1 && toks.head > 0,
       "corpus token mass must be width-independent")
     rows.foreach { case (w, nd, tok, padded, ppm, packed) =>
-      assert(nd > 0 && padded >= nd || padded >= (tok + w - 1) / w,
-        s"w=$w: padded windows below the per-doc floor")
+      // Both floors hold unconditionally (separate asserts: `&&`/`||`
+      // precedence in the old combined form let a zero-doc row pass).
+      assert(nd > 0, s"w=$w: empty ledger row")
+      assert(padded >= nd, s"w=$w: padded windows below the per-doc floor")
+      assert(padded >= (tok + w - 1) / w,
+        s"w=$w: padded windows below the token-mass floor")
       // dense packing can only use fewer (or equal) windows
       assert(packed == (tok + w - 1) / w, s"w=$w packed window count wrong")
       assert(packed <= padded, s"w=$w: packing used MORE windows than padding")
