@@ -713,6 +713,49 @@ object Curate {
   val corpusShuffleSql: String = corpusShuffleSqlEpoch(0)
   val corpusShuffleE1Sql: String = corpusShuffleSqlEpoch(1)
 
+  /** Grown-corpus shuffle stability — the registered face of the r12
+    * spec pin: the epoch order REPLAYED after the corpus gains
+    * documents. "Before" is the even-doc_id half of the corpus,
+    * "after" is the full corpus (the appended docs are the odd ids;
+    * because [[epochHash]] is a pure function of doc_id, where the
+    * new ids fall in id-space is irrelevant to the order). Each
+    * surviving doc carries its position in both orders; the map is
+    * MONOTONE — growth can only interleave new docs, never reorder
+    * existing ones — which is what lets a resumed training run keep
+    * every previously-assigned relative position on a live corpus.
+    * (A rand()-ordered shuffle re-deals everything on every append.)
+    *
+    * == Scale design ==
+    * Two thin (doc_id, hash) rank passes — the same two-phase
+    * range-partitioned [[Analytics.globalRowPos]] as corpus_shuffle,
+    * text never shuffles — then one hash join of the two position
+    * relations (~16 bytes/doc each side) on doc_id.
+    */
+  def corpusShuffleGrown(s: SparkSession, dir: String): DataFrame = {
+    val before = graft.sources.Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), epochHash(0).as("hk"))
+    val posBefore = Analytics.globalRowPos(before, Seq.empty,
+        Seq(col("hk"), col("doc_id")), "pos_before", "__n")
+      .select(col("doc_id"), col("pos_before"))
+    val posAfter = corpusShuffle(s, dir)
+      .select(col("doc_id"), col("shuffle_pos").as("pos_after"))
+    posBefore.join(posAfter, "doc_id")
+      .select(col("doc_id"), col("pos_before"), col("pos_after"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: one hash CTE, two row_number ranks (filtered /
+    * full), joined on doc_id. */
+  val corpusShuffleGrownSql: String =
+    s"""WITH h AS (SELECT doc_id, ${epochHashSql(0)} AS hk FROM documents),
+      |b AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS pos_before
+      |  FROM h WHERE doc_id % 2 = 0),
+      |a AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS pos_after
+      |  FROM h)
+      |SELECT doc_id, pos_before, pos_after
+      |FROM b JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Epoch shard manifest over the [[corpusShuffle]] order: the
     * shuffled corpus cut into 16 contiguous position ranges, each
     * shard reporting its doc count, summed whitespace tokens, and
@@ -959,6 +1002,7 @@ object Curate {
     "corpus_shards" -> corpusShards,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_shuffle_e1" -> corpusShuffleE1,
+    "corpus_shuffle_grown" -> corpusShuffleGrown,
     "corpus_shard_read" -> corpusShardRead,
     "corpus_epoch_mix" -> corpusEpochMix,
     "pack_shuffled" -> packShuffled,
@@ -983,6 +1027,7 @@ object Curate {
     "corpus_shards" -> corpusShardsSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "corpus_shuffle_e1" -> corpusShuffleE1Sql,
+    "corpus_shuffle_grown" -> corpusShuffleGrownSql,
     "corpus_shard_read" -> corpusShardReadSql,
     "corpus_epoch_mix" -> corpusEpochMixSql,
     "pack_shuffled" -> packShuffledSql,

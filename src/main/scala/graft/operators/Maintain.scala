@@ -290,17 +290,84 @@ object Maintain {
       |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // --------------------------------------------------- snapshot diff
+  /** Time-travel snapshot diff — the Iceberg/Delta "what changed
+    * between snapshot s0 and s1" read face. Snapshot 0 is the
+    * customer dim as-is; snapshot 1 is the POST-image of exactly the
+    * [[mergeDelete]] change batch (same %-rules), so the diff must
+    * recover that batch's U/D/I rows — and ONLY those — from the two
+    * table states alone, with no access to the change log. Emitted as
+    * a change-log: `D` rows carry the s0 image, `U`/`I` rows the s1
+    * image; unchanged rows are NOT emitted (at 100 TB the delta is
+    * the product — re-emitting the full table would defeat the point
+    * of a diff).
+    *
+    * == Scale design ==
+    * One full-outer join on the snapshot key. Two same-table scans
+    * here; in a real lake the two snapshots share bucketed layout on
+    * the merge key, so the join is co-partitioned and shuffle-free —
+    * the diff streams both manifests partition-aligned. The
+    * changed-row filter runs inside the join's projection, so only
+    * delta rows survive to the exchange feeding the output sort.
+    */
+  def tableSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    val post = dim.filter(pmod(col("key"), lit(11)) =!= 0)
+      .select(col("key"), col("name"),
+        when(pmod(col("key"), lit(7)) === 0, col("bal_cents") + 10000L)
+          .otherwise(col("bal_cents")).as("bal_cents"))
+      .unionByName(dim.filter(pmod(col("key"), lit(13)) === 0)
+        .select((-(col("key") + 1)).as("key"),
+          concat(lit("NEW#"), col("key")).as("name"), col("bal_cents")))
+    dim.alias("a").join(post.alias("b"), col("a.key") === col("b.key"), "full_outer")
+      .select(
+        coalesce(col("a.key"), col("b.key")).as("key"),
+        coalesce(col("b.name"), col("a.name")).as("name"),
+        coalesce(col("b.bal_cents"), col("a.bal_cents")).as("bal_cents"),
+        when(col("b.key").isNull, lit("D"))
+          .when(col("a.key").isNull, lit("I"))
+          .when(col("a.name") =!= col("b.name") ||
+            col("a.bal_cents") =!= col("b.bal_cents"), lit("U"))
+          .as("op"))
+      .filter(col("op").isNotNull)
+      .orderBy(col("key"))
+  }
+
+  val tableSnapshotDiffSql: String =
+    """WITH dim AS (SELECT c_custkey AS key, c_name AS name,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer),
+      |post AS (SELECT key, name,
+      |    CASE WHEN key % 7 = 0 THEN bal_cents + 10000 ELSE bal_cents END AS bal_cents
+      |  FROM dim WHERE key % 11 <> 0
+      |  UNION ALL
+      |  SELECT -(key+1), 'NEW#' || CAST(key AS VARCHAR), bal_cents
+      |  FROM dim WHERE key % 13 = 0),
+      |d AS (SELECT COALESCE(a.key, b.key) AS key,
+      |    COALESCE(b.name, a.name) AS name,
+      |    COALESCE(b.bal_cents, a.bal_cents) AS bal_cents,
+      |    CASE WHEN b.key IS NULL THEN 'D'
+      |         WHEN a.key IS NULL THEN 'I'
+      |         WHEN a.name <> b.name OR a.bal_cents <> b.bal_cents THEN 'U'
+      |    END AS op
+      |  FROM dim a FULL JOIN post b ON b.key = a.key)
+      |SELECT key, name, bal_cents, op FROM d WHERE op IS NOT NULL
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> mergeUpsert,
     "merge_delete" -> mergeDelete,
     "dim_scd2" -> dimScd2,
     "agg_incremental" -> aggIncremental,
-    "compaction_plan" -> compactionPlan)
+    "compaction_plan" -> compactionPlan,
+    "table_snapshot_diff" -> tableSnapshotDiff)
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
     "merge_delete" -> mergeDeleteSql,
     "dim_scd2" -> dimScd2Sql,
     "agg_incremental" -> aggIncrementalSql,
-    "compaction_plan" -> compactionPlanSql)
+    "compaction_plan" -> compactionPlanSql,
+    "table_snapshot_diff" -> tableSnapshotDiffSql)
 }

@@ -548,7 +548,78 @@ object TextOps {
       |FROM f GROUP BY 1, 2 HAVING sum(sgn) <> 0
       |ORDER BY doc_id, feature_idx""".stripMargin
 
+  // ---------------------------------------------------- PII redaction
+  /** The three redaction classes, in application order, as PORTABLE
+    * character-class regexes (Java regex and RE2 agree on every
+    * construct used: classes, bounded repeats, `\b` over ASCII).
+    * Class k is counted and replaced on the text with classes 1..k−1
+    * already redacted, so a span can only ever belong to one class.
+    */
+  private val redactClasses: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    ("\\b[0-9]{6,}\\b", "<ID>"))
+
+  /** PII/sensitive-span scrub with per-class removed accounting — the
+    * curation gate every production corpus pipeline runs before
+    * training (emails, phone-shaped numbers, long numeric ids →
+    * class tokens). The corpus is synthetic prose with no organic PII,
+    * so each doc is first AUGMENTED with deterministic planted spans
+    * derived from doc_id (an email, a phone, a 6+-digit id) — the
+    * operator under test is the scrub, and the plant makes its effect
+    * non-vacuous and oracle-checkable at every scale factor. Output:
+    * the redacted text plus exact per-class match counts.
+    *
+    * == Scale design ==
+    * One codegen'd corpus scan — three regexp_replace/extract_all
+    * pairs composed as column expressions, no shuffle at all until
+    * the (display-only) orderBy. At 100 TB this is the embarrassingly
+    * parallel map pass it should be; the per-class counts aggregate
+    * downstream as plain longs if a corpus-level audit total is
+    * needed.
+    */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" mail user"), col("doc_id").cast("string"),
+      lit("@ex"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".org"),
+      lit(" code "), (col("doc_id") * 7919L + 100000L).cast("string"),
+      lit(" tel 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val (redacted, counts) = redactClasses
+      .foldLeft((planted, Seq.empty[Column])) {
+        case ((txt, cs), (re, tok)) =>
+          val n = size(regexp_extract_all(txt, lit(re), lit(0)))
+            .cast("long").as(s"n_${tok.toLowerCase.filter(_.isLetter)}")
+          (regexp_replace(txt, re, tok), cs :+ n)
+      }
+    docs(s, dir).select(
+        col("doc_id") +: redacted.as("redacted") +: counts: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: same plant, same regexes with the 'g' flag (DuckDB
+    * regexp_replace is first-match-only by default), counts via
+    * regexp_extract_all on the progressively redacted text.
+    */
+  val textRedactSql: String = {
+    val planted =
+      """text || ' mail user' || CAST(doc_id AS VARCHAR)
+        | || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+        | || ' code ' || CAST(doc_id * 7919 + 100000 AS VARCHAR)
+        | || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"""
+        .stripMargin.replace("\n", "")
+    val (expr, counts) = redactClasses.foldLeft((s"($planted)", Seq.empty[String])) {
+      case ((txt, cs), (re, tok)) =>
+        val name = "n_" + tok.toLowerCase.filter(_.isLetter)
+        val n = s"CAST(len(regexp_extract_all($txt, '$re', 0)) AS BIGINT) AS $name"
+        (s"regexp_replace($txt, '$re', '$tok', 'g')", cs :+ n)
+    }
+    s"""SELECT doc_id, $expr AS redacted,
+       |  ${counts.mkString(",\n  ")}
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact" -> textRedact,
     "text_surprisal" -> textSurprisal,
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
@@ -604,6 +675,7 @@ object TextOps {
     "text_quality" -> textQualitySql,
     "text_ngrams" -> textNgramsSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_redact" -> textRedactSql,
     "text_langid" -> textLangidSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql)

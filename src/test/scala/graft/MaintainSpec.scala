@@ -54,6 +54,24 @@ class MaintainSpec extends SparkSpec {
     assert(out.map(_._1).distinct.length == out.length)
   }
 
+  test("table_snapshot_diff recovers exactly merge_delete's change rows from the two states") {
+    // The diff sees only the two snapshots (pre/post), never the
+    // change batch — recovering the batch's U/D/I rows (and nothing
+    // else) is the whole time-travel-diff contract.
+    val diff = Maintain.tableSnapshotDiff(spark, sf)
+      .select("key", "name", "bal_cents", "op")
+      .as[(Long, String, Long, String)].collect().toSet
+    val batch = Maintain.mergeDelete(spark, sf)
+      .select("key", "name", "bal_cents", "op")
+      .as[(Long, String, Long, String)].collect()
+      .filter(_._4 != "K").toSet
+    assert(diff.nonEmpty, "vacuous diff check")
+    assert(diff == batch,
+      "snapshot diff must equal the merge batch's non-K change rows")
+    // and no unchanged row leaks through as a spurious U
+    assert(diff.forall(r => Set("U", "D", "I").contains(r._4)))
+  }
+
   test("dim_scd2 versions chain: contiguous validity, one current row") {
     val rows = Maintain.dimScd2(spark, sf)
       .select("custkey", "version", "bal_cents", "valid_from", "valid_to", "is_current")

@@ -267,6 +267,48 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("corpus_shuffle_grown: growth interleaves, never reorders (registered face)") {
+    val rows = Curate.corpusShuffleGrown(spark, sf)
+      .select("doc_id", "pos_before", "pos_after")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "vacuous grown-shuffle check")
+    // pos_before is an exact 1..N permutation of the surviving docs
+    assert(rows.map(_._2).sorted.toSeq == (1L to rows.length.toLong),
+      "before-positions must be a dense 1..N permutation")
+    // the before→after position map is strictly monotone: sorting by
+    // either column yields the same doc order, so appended docs only
+    // ever INTERLEAVE into the existing epoch order
+    val byBefore = rows.sortBy(_._2).map(_._1).toSeq
+    val byAfter = rows.sortBy(_._3).map(_._1).toSeq
+    assert(byBefore == byAfter,
+      "growing the corpus reordered previously-positioned docs")
+    // after-positions are a strict subsequence of a larger order
+    assert(rows.map(_._3).max > rows.length.toLong,
+      "after-order must actually contain the appended docs")
+  }
+
+  test("text_redact scrubs every planted span and counts per class") {
+    val out = TextOps.textRedact(spark, sf)
+      .select("doc_id", "redacted", "n_email", "n_phone", "n_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty, "vacuous redact check")
+    out.foreach { case (id, red, ne, np, ni) =>
+      // each doc carries at least its planted span per class
+      assert(ne >= 1, s"doc $id: planted email not counted")
+      assert(np >= 1, s"doc $id: planted phone not counted")
+      assert(ni >= 1, s"doc $id: planted id not counted")
+      // the scrub is complete: no class pattern survives in the output
+      assert(!red.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"),
+        s"doc $id: email survived redaction")
+      assert(!"\\b[0-9]{3}-[0-9]{4}\\b".r.findFirstIn(red).isDefined,
+        s"doc $id: phone survived redaction")
+      assert(!"\\b[0-9]{6,}\\b".r.findFirstIn(red).isDefined,
+        s"doc $id: long id survived redaction")
+      // and the class tokens landed
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<ID>"))
+    }
+  }
+
   test("epoch-1 shuffle is a decorrelated permutation of epoch 0") {
     val e0 = Curate.corpusShuffle(spark, sf)
       .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
