@@ -548,6 +548,115 @@ object TextOps {
       |FROM f GROUP BY 1, 2 HAVING sum(sgn) <> 0
       |ORDER BY doc_id, feature_idx""".stripMargin
 
+  // ---------------------------------------------------- BPE training
+  /** Fixed merge budget shared by the Spark trainer, its DuckDB
+    * unrolled replay, and the spec's in-memory model. */
+  private val BPE_MERGES = 16
+
+  /** Iterative BPE merge training — the operator that turns a word
+    * frequency table into a subword tokenizer (Sennrich et al. 2016,
+    * the algorithm GPT-2/RoBERTa-class vocabularies are trained
+    * with). Words split into characters plus a `</w>` end-of-word
+    * marker; each round counts ALL adjacent symbol pairs weighted by
+    * word frequency, merges the most frequent pair everywhere
+    * (greedy left-to-right, ties broken by (left, right) string
+    * order), and repeats for [[BPE_MERGES]] fixed rounds. Output is
+    * the trained merge table — rank, pair, merged symbol, and the
+    * pair's frequency at merge time.
+    *
+    * Symbol sequences ride in ONE delimited string per word:
+    * `⎵sym⎵⎵sym⎵…` (every symbol wrapped in single spaces — legal
+    * because words are whitespace-split, so no symbol can contain a
+    * space). Applying a merge is then a literal
+    * `replace(seq, " l  r ", " lr ")`: left-to-right non-overlapping
+    * replacement IS the greedy BPE merge, and the wrapping makes a
+    * cross-boundary false match impossible (a match's interior `⎵⎵`
+    * must align to a symbol boundary, so `l` and `r` are always
+    * complete symbols). Both engines' `replace` share these
+    * semantics, which is what lets the DuckDB oracle replay training
+    * bit-for-bit as [[BPE_MERGES]] unrolled CTE rounds.
+    *
+    * == Scale design ==
+    * The corpus is scanned ONCE (map-side-combined word counts onto
+    * Heaps-law vocabulary keys — the [[vocabBuild]] shuffle shape);
+    * every training round after that touches only the vocab relation:
+    * one pair-explode + groupBy (O(vocab · word_len) rows, map-side
+    * combinable) and a single-row collect of the winning pair. That
+    * is exactly how production BPE trainers work at corpus scale —
+    * the corpus contributes frequencies, the loop runs on the
+    * dictionary. The vocab relation is cached once; each round's
+    * merge is a narrow column rewrite on top of it.
+    */
+  def tokenizeBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seq0 = concat(lit(" "),
+      array_join(concat(split(col("w"), ""), array(lit("</w>"))), "  "),
+      lit(" "))
+    val vocab = docs(s, dir)
+      .select(explode(words).as("w")).filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(seq0.as("seq"), col("freq"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    try {
+      var cur = vocab.select(col("seq"), col("freq"))
+      var k = 1
+      var exhausted = false
+      while (k <= BPE_MERGES && !exhausted) {
+        val best = cur
+          .select(split(trim(col("seq")), "  ").as("s"), col("freq"))
+          .filter(size(col("s")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(s)-2), i -> struct(s[i] as l, s[i+1] as r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).as[(String, String, Long)].collect()
+        best.headOption match {
+          case Some((l, r, cnt)) =>
+            merges += ((k.toLong, l, r, l + r, cnt))
+            cur = cur.withColumn("seq", call_function("replace", col("seq"),
+              lit(s" $l  $r "), lit(s" $l$r ")))
+            k += 1
+          case None => exhausted = true // vocab fully merged before the budget
+        }
+      }
+    } finally vocab.unpersist()
+    merges.toSeq
+      .toDF("rank", "left_sym", "right_sym", "merged", "pair_freq")
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB twin: training unrolled — per round, a pair-count CTE, a
+    * LIMIT 1 winner, and the delimited-string replace; MATERIALIZED
+    * because each round references the previous twice (winner +
+    * rewrite) and inlining would make the chain exponential.
+    */
+  val tokenizeBpeSql: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """w0 AS MATERIALIZED (
+        |  SELECT ' ' || array_to_string(list_append(string_split(w, ''), '</w>'), '  ') || ' ' AS seq,
+        |         CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1)""".stripMargin)
+    for (k <- 1 to BPE_MERGES) {
+      val p = k - 1
+      ctes += s"""p$k AS MATERIALIZED (
+        |  SELECT s[i] AS l, s[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(seq), '  ') AS s, freq FROM w$p),
+        |       unnest(range(1, len(s))) t(i)
+        |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)"
+      ctes += s"""w$k AS MATERIALIZED (
+        |  SELECT replace(seq, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS seq, freq
+        |  FROM w$p CROSS JOIN b$k)""".stripMargin
+    }
+    val sel = (1 to BPE_MERGES).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS pair_freq FROM b$k")
+      .mkString("\nUNION ALL\n")
+    "WITH " + ctes.mkString(",\n") + "\n" + sel + "\nORDER BY rank"
+  }
+
   // ---------------------------------------------------- PII redaction
   /** The three redaction classes, in application order, as PORTABLE
     * character-class regexes (Java regex and RE2 agree on every
@@ -620,6 +729,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_redact" -> textRedact,
+    "tokenize_bpe" -> tokenizeBpe,
     "text_surprisal" -> textSurprisal,
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
@@ -676,6 +786,7 @@ object TextOps {
     "text_ngrams" -> textNgramsSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_redact" -> textRedactSql,
+    "tokenize_bpe" -> tokenizeBpeSql,
     "text_langid" -> textLangidSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql)

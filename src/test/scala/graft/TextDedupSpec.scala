@@ -287,6 +287,57 @@ class TextDedupSpec extends SparkSpec {
       "after-order must actually contain the appended docs")
   }
 
+  test("tokenize_bpe matches an independent in-memory BPE trainer") {
+    // Word counts straight off the corpus — the only shared input.
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .as[(String, Long)].collect()
+    // Reference trainer: the Sennrich merge loop over a char-split
+    // vocab — plain Scala collections, no Spark, no shared code with
+    // the operator's delimited-string representation.
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }.toMap
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= 16 && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        expect += ((k.toLong, l, r, l + r, cnt))
+        vocab = vocab.toSeq.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), f)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        k += 1
+      }
+    }
+    val got = TextOps.tokenizeBpe(spark, sf)
+      .select("rank", "left_sym", "right_sym", "merged", "pair_freq")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got.nonEmpty, "vacuous BPE check")
+    assert(got == expect.toSeq,
+      "Spark BPE training diverged from the in-memory reference trainer")
+    // merge ranks are dense and pair frequencies can only be produced
+    // by pairs that existed at merge time
+    assert(got.map(_._1) == (1L to got.length.toLong))
+    assert(got.forall(_._5 > 0))
+  }
+
   test("text_redact scrubs every planted span and counts per class") {
     val out = TextOps.textRedact(spark, sf)
       .select("doc_id", "redacted", "n_email", "n_phone", "n_id")
