@@ -489,6 +489,16 @@ object Similarity {
   private val PQ_K = 4            // centroids per subspace
   private val PQ_ITERS = 2
   private val HALF = DIM / PQ_SUB
+  private val IVFPQ_POOL = 40     // ADC pool size fed to the exact rerank
+  // IVFPQ trains a FINER per-subspace codebook than the standalone PQ
+  // face: 16 centroids → 256 distinct code pairs. With PQ_K=4 (16
+  // pairs for 500 vectors) the ADC collapses candidates into so few
+  // distance levels that the pool cut degenerates to id order
+  // (measured recall@5 0.38 at pool 20); 16² codes lift it to 0.66,
+  // and pool 40 over the ~94 probed candidates restores IVF-level
+  // recall (0.90 vs the IVF face's 0.94). FAISS ships 256 centroids
+  // per subspace for the same discrimination reason.
+  private val IVFPQ_K = 16
 
   /** codebook rows (sub, cid, centroid) — train-once model artifact. */
   private val pqCodebooks =
@@ -502,7 +512,8 @@ object Similarity {
     * recurrence (seeds = sub-vectors of vec_id < PQ_K, fixed
     * [[PQ_ITERS]] rounds, (d, cid) tie order).
     */
-  private def trainedPqCodebook(s: SparkSession, dir: String): Array[(Int, Long, Array[Float])] = {
+  private def trainedPqCodebook(s: SparkSession, dir: String,
+      k: Int = PQ_K): Array[(Int, Long, Array[Float])] = {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -520,15 +531,15 @@ object Similarity {
       java.util.Arrays.copyOfRange(v, i * half, (i + 1) * half)
     // Train outside the map + putIfAbsent install — same bin-lock
     // rationale as trainedCodebook; a lost race wastes one training.
-    val memoKey = corpusKey(s, dir) + "|pq"
+    val memoKey = corpusKey(s, dir) + s"|pq$k"
     val cached = pqCodebooks.get(memoKey)
     if (cached != null) return cached
     val trained = {
       (0 until PQ_SUB).flatMap { sx =>
-        val seeds = e.filter(_._1 < PQ_K).collect().sortBy(_._1)
+        val seeds = e.filter(_._1 < k).collect().sortBy(_._1)
           .map { case (id, v) => (id, sub(v, sx)) }
         require(seeds.nonEmpty,
-          s"ann_pq needs codebook seed vectors (vec_id < $PQ_K) in the embeddings table")
+          s"ann_pq needs codebook seed vectors (vec_id < $k) in the embeddings table")
         var cents = seeds
         for (_ <- 1 to PQ_ITERS) {
           val bc = s.sparkContext.broadcast(cents)
@@ -592,27 +603,41 @@ object Similarity {
     * candidate rows to NQ partitions). At 100 TB the 16-byte codes are
     * the only corpus-sized state after the one encode pass.
     */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
+  /** (vec_id, sub, cid, d): every vector's HALF-dim sub-vectors scored
+    * (L2) against the broadcast PQ codebook — the relation both the
+    * encode argmin and the query LUT project from. Shared by [[annPq]]
+    * and the [[annIvfPq]] composition.
+    */
+  private def pqScored(s: SparkSession, dir: String, k: Int = PQ_K): DataFrame = {
     import s.implicits._
-    val cbDf = trainedPqCodebook(s, dir).toSeq.toDF("sub", "cid", "cv")
+    GraftFunctions.register(s)
+    val cbDf = trainedPqCodebook(s, dir, k).toSeq.toDF("sub", "cid", "cv")
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val subs = e.select(col("vec_id"), explode(array(
         struct(lit(0).as("sub"), slice(col("embedding"), 1, HALF).as("sv")),
         struct(lit(1).as("sub"), slice(col("embedding"), HALF + 1, HALF).as("sv")))).as("x"))
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
-    val scored = subs.join(broadcast(cbDf), "sub")
+    subs.join(broadcast(cbDf), "sub")
       .select(col("vec_id"), col("sub"), col("cid"), l2c(col("sv"), col("cv")).as("d"))
-    val enc = scored
+  }
+
+  /** PQ codes (vec_id, ec0, ec1) from the scored relation: per-(vector,
+    * subspace) argmin as a map-side-combinable `min(struct(d, cid))`.
+    */
+  private def pqEncoded(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d"), col("cid"))).as("m")) // lexicographic ⇒ (min d, min cid)
       .groupBy(col("vec_id"))
       .agg(max(when(col("sub") === 0, col("m.cid"))).as("ec0"),
         max(when(col("sub") === 1, col("m.cid"))).as("ec1"))
-    val lut = subs.filter(col("vec_id") < NQ).join(broadcast(cbDf), "sub")
-      .select(col("vec_id").as("q_id"), col("sub"), col("cid"),
-        l2c(col("sv"), col("cv")).as("d"))
+
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val scored = pqScored(s, dir)
+    val enc = pqEncoded(scored)
+    val lut = scored.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("sub"), col("cid"), col("d"))
     val l0 = lut.filter(col("sub") === 0)
       .select(col("q_id"), col("cid").as("c0"), col("d").as("d0"))
     val l1 = lut.filter(col("sub") === 1)
@@ -628,43 +653,146 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF + PQ composed — the FAISS-IVFPQ production search shape, and
+    * the query a 100 TB embedding store actually runs: the coarse
+    * quantizer ([[trainedCodebook]], the annIvf cells) prunes the
+    * corpus to the [[IVF_NPROBE]] probed cells' postings, ADC over the
+    * PQ codes ranks those candidates byte-cheaply, and only the
+    * [[IVFPQ_POOL]] best approximate hits pay for an exact cosine —
+    * the final top-[[K]] is exact ON THE POOL. Both model halves are
+    * the already-trained artifacts ([[annIvf]]'s cells, [[annPq]]'s
+    * subspace codebooks), so this operator is pure composition: probe,
+    * ADC-rank, rerank.
+    *
+    * == Scale design ==
+    * The cell pruning bounds the ADC join to nprobe/cells of the
+    * corpus; ADC itself touches only (candidate, code) pairs against a
+    * broadcast NQ×PQ_K LUT — no full-dim math until the pool. Both
+    * top-k cuts run through [[graft.plans.TopKPerGroup]] (per-partition
+    * ≤k heaps BEFORE any exchange), and the exact rerank reads full
+    * vectors for only pool·NQ rows. At scale the expensive full-dim
+    * pass is O(NQ · pool), independent of corpus size.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val cb = trainedCodebook(s, dir).toSeq.toDF("cid", "cv", "cn")
+    val e = emb(s, dir)
+    // redundant corpus assignment + query probes — declarative ranks
+    // against the broadcast codebook table (the annIvfIndexed shape)
+    val wa = Window.partitionBy(col("vec_id")).orderBy(col("acos").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cb))
+      .withColumn("acos", dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= IVF_ASSIGN)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cb))
+      .withColumn("pcos", dot(col("q_emb"), col("cv")) / (col("q_nrm") * col("cn")))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= IVF_NPROBE)
+      .select(col("q_id"), col("cid").as("cell"))
+    val cand = broadcast(probes).join(assigned,
+        probes("cell") === assigned("cell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    // ADC rank within the probed candidates (finer IVFPQ_K codebook)
+    val scored = pqScored(s, dir, IVFPQ_K)
+    val enc = pqEncoded(scored)
+    val lut = scored.filter(col("vec_id") < NQ)
+    val l0 = lut.filter(col("sub") === 0)
+      .select(col("vec_id").as("ql0"), col("cid").as("c0"), col("d").as("d0"))
+    val l1 = lut.filter(col("sub") === 1)
+      .select(col("vec_id").as("ql1"), col("cid").as("c1"), col("d").as("d1"))
+    val adc = cand.join(enc, cand("neighbor_id") === enc("vec_id"))
+      .join(broadcast(l0), col("query_id") === col("ql0") && col("ec0") === col("c0"))
+      .join(broadcast(l1), col("query_id") === col("ql1") && col("ec1") === col("c1"))
+      .select(col("query_id"), col("neighbor_id"), (col("d0") + col("d1")).as("adist"))
+    val pool = graft.plans.GraftOps.topKPerGroup(adc, Seq("query_id"),
+        Seq("adist" -> false, "neighbor_id" -> false), k = IVFPQ_POOL, rankName = "arank")
+      .select(col("query_id"), col("neighbor_id"))
+    // exact cosine rerank on the pool only
+    val exact = broadcast(pool)
+      .join(e, pool("neighbor_id") === e("vec_id"))
+      .join(broadcast(q), col("query_id") === col("q_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+    graft.plans.GraftOps.topKPerGroup(exact, Seq("query_id"),
+        Seq("cosine" -> true, "neighbor_id" -> false), k = K, rankName = "rank")
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** DuckDB twin: the per-subspace k-means replayed as unrolled CTEs
     * (the [[annIvfSql]] trick), then encode + ADC with the identical
     * L2 fold — doubles and ranks bit-identical.
     */
-  val annPqSql: String = {
-    def fold(a: String, b: String): String =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
+  /** The PQ-training replay chain, prefix-parameterized like
+    * [[ivfCodebookCtesAt]] so it can share one statement with the IVF
+    * chain (the [[annIvfPqSql]] composition). Ends with the encoded
+    * corpus (`${p}enc`) and the query LUT (`${p}lut`).
+    */
+  private def pqCodebookCtesAt(p: String, k: Int = PQ_K): Seq[String] = {
     def l2(a: String, b: String): String =
-      s"(${fold(a, a)} - 2*${fold(a, b)} + ${fold(b, b)})"
+      s"(${ivfFold(a, a)} - 2*${ivfFold(a, b)} + ${ivfFold(b, b)})"
     val base = Seq(
-      s"sv AS (SELECT vec_id, 0 AS sub, embedding[1:$HALF] AS sv FROM embeddings" +
+      s"${p}sv AS (SELECT vec_id, 0 AS sub, embedding[1:$HALF] AS sv FROM embeddings" +
         s" UNION ALL SELECT vec_id, 1, embedding[${HALF + 1}:$DIM] FROM embeddings)",
-      s"b0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < $PQ_K)")
+      s"${p}b0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM ${p}sv WHERE vec_id < $k)")
     val iters = (1 to PQ_ITERS).flatMap { it =>
-      val p = it - 1
+      val pv = it - 1
       Seq(
-        s"sc$it AS (SELECT s.vec_id, s.sub, b.cid, ${l2("s.sv", "b.cv")} AS d FROM sv s JOIN b$p b ON b.sub = s.sub)",
-        s"a$it AS (SELECT vec_id, sub, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM sc$it) WHERE rn = 1)",
-        s"c$it AS (SELECT sub, cid, count(*) AS cnt FROM a$it GROUP BY 1, 2)",
-        s"f$it AS (SELECT a.sub, a.cid, t.d, sum(CAST(floor(CAST(s.sv[t.d] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS m" +
-          s" FROM a$it a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub CROSS JOIN range(1, ${HALF + 1}) t(d) GROUP BY 1, 2, 3)",
-        s"m$it AS (SELECT f.sub, f.cid, list(CAST(CAST(f.m AS DOUBLE) / 1e6 / c.cnt AS REAL) ORDER BY f.d) AS cv" +
-          s" FROM f$it f JOIN c$it c ON c.sub = f.sub AND c.cid = f.cid GROUP BY 1, 2)",
-        s"b$it AS (SELECT b.sub, b.cid, COALESCE(m.cv, b.cv) AS cv FROM b$p b LEFT JOIN m$it m ON m.sub = b.sub AND m.cid = b.cid)")
+        s"${p}sc$it AS (SELECT s.vec_id, s.sub, b.cid, ${l2("s.sv", "b.cv")} AS d FROM ${p}sv s JOIN ${p}b$pv b ON b.sub = s.sub)",
+        s"${p}a$it AS (SELECT vec_id, sub, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM ${p}sc$it) WHERE rn = 1)",
+        s"${p}c$it AS (SELECT sub, cid, count(*) AS cnt FROM ${p}a$it GROUP BY 1, 2)",
+        s"${p}f$it AS (SELECT a.sub, a.cid, t.d, sum(CAST(floor(CAST(s.sv[t.d] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS m" +
+          s" FROM ${p}a$it a JOIN ${p}sv s ON s.vec_id = a.vec_id AND s.sub = a.sub CROSS JOIN range(1, ${HALF + 1}) t(d) GROUP BY 1, 2, 3)",
+        s"${p}m$it AS (SELECT f.sub, f.cid, list(CAST(CAST(f.m AS DOUBLE) / 1e6 / c.cnt AS REAL) ORDER BY f.d) AS cv" +
+          s" FROM ${p}f$it f JOIN ${p}c$it c ON c.sub = f.sub AND c.cid = f.cid GROUP BY 1, 2)",
+        s"${p}b$it AS (SELECT b.sub, b.cid, COALESCE(m.cv, b.cv) AS cv FROM ${p}b$pv b LEFT JOIN ${p}m$it m ON m.sub = b.sub AND m.cid = b.cid)")
     }
+    val index = Seq(
+      s"${p}scf AS (SELECT s.vec_id, s.sub, b.cid, ${l2("s.sv", "b.cv")} AS d FROM ${p}sv s JOIN ${p}b$PQ_ITERS b ON b.sub = s.sub)",
+      s"${p}af AS (SELECT vec_id, sub, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM ${p}scf) WHERE rn = 1)",
+      s"${p}enc AS (SELECT vec_id, max(CASE WHEN sub = 0 THEN cid END) AS ec0, max(CASE WHEN sub = 1 THEN cid END) AS ec1 FROM ${p}af GROUP BY 1)",
+      s"${p}lut AS (SELECT vec_id AS q_id, sub, cid, d FROM ${p}scf WHERE vec_id < $NQ)")
+    base ++ iters ++ index
+  }
+
+  val annPqSql: String = {
     val search = Seq(
-      s"scf AS (SELECT s.vec_id, s.sub, b.cid, ${l2("s.sv", "b.cv")} AS d FROM sv s JOIN b$PQ_ITERS b ON b.sub = s.sub)",
-      "af AS (SELECT vec_id, sub, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM scf) WHERE rn = 1)",
-      "enc AS (SELECT vec_id, max(CASE WHEN sub = 0 THEN cid END) AS ec0, max(CASE WHEN sub = 1 THEN cid END) AS ec1 FROM af GROUP BY 1)",
-      s"lut AS (SELECT vec_id AS q_id, sub, cid, d FROM scf WHERE vec_id < $NQ)",
       "adc AS (SELECT l0.q_id AS query_id, e.vec_id AS neighbor_id, l0.d + l1.d AS adist" +
         " FROM enc e JOIN lut l0 ON l0.sub = 0 AND l0.cid = e.ec0" +
         " JOIN lut l1 ON l1.sub = 1 AND l1.cid = e.ec1 AND l1.q_id = l0.q_id" +
         " WHERE e.vec_id <> l0.q_id)",
       "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS BIGINT) AS rank FROM adc)")
-    "WITH " + (base ++ iters ++ search).mkString(",\n") +
+    "WITH " + (pqCodebookCtesAt("") ++ search).mkString(",\n") +
       s"\nSELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
+  }
+
+  /** DuckDB twin of the composition: the IVF chain (probes +
+    * redundant assignment) and a `q`-prefixed PQ chain (codes + LUT)
+    * replayed side by side, candidates from probed cells, ADC pool of
+    * [[IVFPQ_POOL]], exact sequential-fold cosine on the pool only —
+    * pool membership, cosines, and ranks bit-identical.
+    */
+  // lazy: textually precedes the ivfCodebookCtes definition it splices
+  lazy val annIvfPqSql: String = {
+    val search = Seq(
+      s"prb AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= $IVF_NPROBE AND vec_id < $NQ)",
+      "cand AS (SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id FROM prb q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.vec_id)",
+      "adc AS (SELECT c.query_id, c.neighbor_id, l0.d + l1.d AS adist" +
+        " FROM cand c JOIN qenc e ON e.vec_id = c.neighbor_id" +
+        " JOIN qlut l0 ON l0.q_id = c.query_id AND l0.sub = 0 AND l0.cid = e.ec0" +
+        " JOIN qlut l1 ON l1.q_id = c.query_id AND l1.sub = 1 AND l1.cid = e.ec1)",
+      s"pool AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS arn FROM adc) WHERE arn <= $IVFPQ_POOL)",
+      s"px AS (SELECT p.query_id, p.neighbor_id, ${ivfFold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine" +
+        " FROM pool p JOIN n nq ON nq.vec_id = p.query_id JOIN n nc ON nc.vec_id = p.neighbor_id)",
+      "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM px)")
+    "WITH " + (ivfCodebookCtes ++ pqCodebookCtesAt("q", IVFPQ_K) ++ search).mkString(",\n") +
+      s"\nSELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -673,6 +801,7 @@ object Similarity {
     "ann_ivf" -> annIvf,
     "ann_ivf_indexed" -> annIvfIndexed,
     "ann_pq" -> annPq,
+    "ann_ivf_pq" -> annIvfPq,
     "dedup_embedding_ivf" -> dedupEmbeddingIvf,
     "dedup_embedding_ivf_curve" -> dedupEmbeddingIvfCurve)
 
@@ -819,6 +948,7 @@ object Similarity {
     // the index is layout, not semantics: identical result contract
     "ann_ivf_indexed" -> annIvfSql,
     "ann_pq" -> annPqSql,
+    "ann_ivf_pq" -> annIvfPqSql,
     "dedup_embedding_ivf" -> dedupEmbeddingIvfSql,
     "dedup_embedding_ivf_curve" -> dedupEmbeddingIvfCurveSql)
 }

@@ -62,6 +62,45 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(recall >= 0.85, s"IVF recall@5 regressed below trained baseline: $recall")
   }
 
+  test("IVFPQ composition: exact cosines on the pool, recall at least IVF's pool floor") {
+    val out = Similarity.annIvfPq(spark, sf)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    // ranks dense per query, cosines non-increasing in rank
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to rows.length.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3, "cosine must fall with rank")
+        case _ =>
+      }
+    }
+    // the REPORTED cosine is the exact one: recompute brute-force
+    // cosine for every returned pair and require bit-equality —
+    // the rerank leg must not leak the ADC approximation
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    out.foreach { case (q, nb, c, _) =>
+      assert(math.abs(cos(e(q), e(nb)) - c) < 1e-9,
+        s"query $q neighbor $nb: reported cosine is not the exact cosine")
+    }
+    // recall@5 vs brute force: the ADC pool (40 of the ~94 probed
+    // candidates, 16-centroid subspace codebooks) keeps recall near
+    // the IVF face's (measured 0.90 here vs IVF's 0.94; 0.8 leaves
+    // regeneration slack)
+    val bf = Similarity.annBruteforce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = out.map(r => (r._1, r._2)).count(bf.contains).toDouble / bf.size
+    info(s"IVFPQ recall@5 vs brute force: $recall")
+    assert(recall >= 0.8, s"IVFPQ recall@5 regressed: $recall")
+  }
+
   test("cell-bucketed embedding dedup is an exact-subset with high recall") {
     import graft.operators.Dedup
     val ivf = Similarity.dedupEmbeddingIvf(spark, sf)
