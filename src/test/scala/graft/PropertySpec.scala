@@ -269,6 +269,26 @@ class PropertySpec extends SparkSpec {
       "no input exercised min-length suppression — probe is vacuous")
   }
 
+  test("property: clamped CDC max bound forces cuts the pure splitter never makes") {
+    // A constant input has ONE rolling-window value everywhere: either
+    // the pure splitter cuts at every position (w%64==0) or never.
+    // Pick a byte whose window hash is not ≡ 0 (mod 64) — the pure
+    // split is then a single unbounded chunk, and the clamp must cut
+    // at EXACTLY maxLen intervals: pure sequential state (each cut is
+    // previous-cut + maxLen), the declarative replay's impossibility
+    // case documented by the kernel's Scaladoc.
+    val b = Array.fill(1000)('x'.toByte)
+    val pure = graft.functions.CdcKernel.chunkArray(b)
+    assert(pure.length == 1 && (pure.head & 1048575L) == 1000L,
+      "probe byte unexpectedly content-cuts; pick another constant")
+    val cs = graft.functions.CdcKernel.chunkArrayClamped(b, 16, 256)
+    val lens = cs.map(_ & 1048575L)
+    assert(lens.dropRight(1).forall(_ == 256L),
+      s"max clamp must cut at exactly maxLen: ${lens.mkString(",")}")
+    assert(lens.last == 1000L % 256L && lens.sum == 1000L,
+      "forced cuts must tile with the remainder last")
+  }
+
   test("property: CDC chunks tile any input and are locally shift-stable") {
     val rnd = new Random(777)
     val P = 2147483647L
