@@ -1,20 +1,24 @@
 package graft
 
-/** Ad-hoc profiling entry: times a named query N times in one session
-  * (cold vs warm separates janino/codegen overhead from data time).
-  * Usage: runMain graft.DebugTime <sfDir> <queryName> [reps]
+/** Ad-hoc profiling entry: times named queries N times each in one
+  * session (cold vs warm separates janino/codegen overhead from data
+  * time). Accepts a comma-separated query list so a scaling sweep
+  * pays the JVM/session startup once per scale, not per query.
+  * Usage: runMain graft.DebugTime <sfDir> <query>[,<query>...] [reps]
   */
 object DebugTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val name = args(1)
+    val names = args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = GraftSession.local()
-    (1 to reps).foreach { r =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      println(f"[debugtime] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    names.foreach { name =>
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[debugtime] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

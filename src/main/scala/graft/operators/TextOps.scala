@@ -587,16 +587,44 @@ object TextOps {
     * dictionary. The vocab relation is cached once; each round's
     * merge is a narrow column rewrite on top of it.
     */
-  def tokenizeBpe(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Trained-merge memo (train-once model artifact, like the ANN
+    * codebooks): keyed by the documents table's file signature so a
+    * regenerated corpus retrains instead of serving stale merges.
+    */
+  private val bpeMerges = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, String, Long)]]()
+
+  private def bpeCorpusKey(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      try fs.listStatus(path).map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+      catch { case _: java.io.FileNotFoundException => Array(s"$dir:missing") }
+    dir + "|" + stats.sorted.mkString(",")
+  }
+
+  /** The word vocab as (w, freq, seq) with seq in the delimited-string
+    * symbol representation (see [[tokenizeBpe]]). */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
     val seq0 = concat(lit(" "),
       array_join(concat(split(col("w"), ""), array(lit("</w>"))), "  "),
       lit(" "))
-    val vocab = docs(s, dir)
+    docs(s, dir)
       .select(explode(words).as("w")).filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(seq0.as("seq"), col("freq"))
-      .cache()
+      .select(col("w"), col("freq"), seq0.as("seq"))
+  }
+
+  /** Run (or reuse) the merge training loop; returns the ranked merge
+    * list. Training is [[BPE_MERGES]] rounds of pair-count + 1-row
+    * winner collect over the cached vocab relation.
+    */
+  private def trainedBpeMerges(s: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] = {
+    import s.implicits._
+    val memoKey = bpeCorpusKey(s, dir)
+    val cached = bpeMerges.get(memoKey)
+    if (cached != null) return cached
+    val vocab = bpeVocab(s, dir).cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     try {
       var cur = vocab.select(col("seq"), col("freq"))
@@ -622,9 +650,45 @@ object TextOps {
         }
       }
     } finally vocab.unpersist()
-    merges.toSeq
+    val trained = merges.toSeq
+    val prev = bpeMerges.putIfAbsent(memoKey, trained)
+    if (prev != null) prev else trained
+  }
+
+  def tokenizeBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainedBpeMerges(s, dir)
       .toDF("rank", "left_sym", "right_sym", "merged", "pair_freq")
       .orderBy(col("rank"))
+  }
+
+  /** The trained tokenizer APPLIED: every vocab word's final subword
+    * segmentation after replaying the ranked merges in order — the
+    * segment table an encoder joins the corpus against (the same
+    * broadcast-encode shape as [[tokenizeIds]], but subword). Replay
+    * is the same chained literal replace as training, so segmentation
+    * semantics are greedy-by-merge-rank exactly like the trainer; the
+    * oracle reads the training chain's FINAL vocab state, which is
+    * this table by construction.
+    *
+    * == Scale design ==
+    * One corpus scan for the Heaps-law word counts, then the merge
+    * replay is [[BPE_MERGES]] narrow column rewrites over the vocab
+    * relation — no shuffle after the count; the emitted table is
+    * capped-vocab-sized, broadcastable to any encode join.
+    */
+  def tokenizeBpeSegments(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedBpeMerges(s, dir)
+    val seqFinal = merges.foldLeft(col("seq")) { case (c, (_, l, r, _, _)) =>
+      call_function("replace", c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    bpeVocab(s, dir)
+      .select(col("w").as("word"), col("freq"),
+        split(trim(seqFinal), "  ").as("syms"))
+      .select(col("word"), col("freq"),
+        size(col("syms")).cast("long").as("n_syms"),
+        array_join(col("syms"), " ").as("segmented"))
+      .orderBy(col("word"))
   }
 
   /** DuckDB twin: training unrolled — per round, a pair-count CTE, a
@@ -632,13 +696,15 @@ object TextOps {
     * because each round references the previous twice (winner +
     * rewrite) and inlining would make the chain exponential.
     */
-  val tokenizeBpeSql: String = {
+  /** The unrolled training chain (word column rides along so the final
+    * state doubles as the segment table). */
+  private val bpeTrainCtes: Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       """w0 AS MATERIALIZED (
-        |  SELECT ' ' || array_to_string(list_append(string_split(w, ''), '</w>'), '  ') || ' ' AS seq,
-        |         CAST(count(*) AS BIGINT) AS freq
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+        |         ' ' || array_to_string(list_append(string_split(w, ''), '</w>'), '  ') || ' ' AS seq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE w <> '' GROUP BY 1)""".stripMargin)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin)
     for (k <- 1 to BPE_MERGES) {
       val p = k - 1
       ctes += s"""p$k AS MATERIALIZED (
@@ -648,14 +714,27 @@ object TextOps {
         |  GROUP BY 1, 2)""".stripMargin
       ctes += s"b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)"
       ctes += s"""w$k AS MATERIALIZED (
-        |  SELECT replace(seq, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS seq, freq
+        |  SELECT word, freq, replace(seq, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS seq
         |  FROM w$p CROSS JOIN b$k)""".stripMargin
     }
+    ctes.toSeq
+  }
+
+  val tokenizeBpeSql: String = {
     val sel = (1 to BPE_MERGES).map(k =>
       s"SELECT CAST($k AS BIGINT) AS rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS pair_freq FROM b$k")
       .mkString("\nUNION ALL\n")
-    "WITH " + ctes.mkString(",\n") + "\n" + sel + "\nORDER BY rank"
+    "WITH " + bpeTrainCtes.mkString(",\n") + "\n" + sel + "\nORDER BY rank"
   }
+
+  /** DuckDB twin of the applied tokenizer: the training chain's final
+    * vocab state, split back into symbols. */
+  val tokenizeBpeSegmentsSql: String =
+    "WITH " + bpeTrainCtes.mkString(",\n") + s"""
+      |SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_syms,
+      |  array_to_string(syms, ' ') AS segmented
+      |FROM (SELECT word, freq, string_split(trim(seq), '  ') AS syms FROM w$BPE_MERGES)
+      |ORDER BY word""".stripMargin
 
   // ---------------------------------------------------- PII redaction
   /** The three redaction classes, in application order, as PORTABLE
@@ -730,6 +809,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_redact" -> textRedact,
     "tokenize_bpe" -> tokenizeBpe,
+    "tokenize_bpe_segments" -> tokenizeBpeSegments,
     "text_surprisal" -> textSurprisal,
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
@@ -787,6 +867,7 @@ object TextOps {
     "text_fingerprint" -> textFingerprintSql,
     "text_redact" -> textRedactSql,
     "tokenize_bpe" -> tokenizeBpeSql,
+    "tokenize_bpe_segments" -> tokenizeBpeSegmentsSql,
     "text_langid" -> textLangidSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql)

@@ -338,6 +338,33 @@ class TextDedupSpec extends SparkSpec {
     assert(got.forall(_._5 > 0))
   }
 
+  test("tokenize_bpe_segments: segmentations tile each word and use only trained symbols") {
+    val merges = TextOps.tokenizeBpe(spark, sf)
+      .select("merged").as[String].collect().toSet
+    val segs = TextOps.tokenizeBpeSegments(spark, sf)
+      .select("word", "freq", "n_syms", "segmented")
+      .as[(String, Long, Long, String)].collect()
+    assert(segs.nonEmpty, "vacuous segments check")
+    segs.foreach { case (w, f, n, seg) =>
+      val syms = seg.split(" ").toSeq
+      assert(syms.length.toLong == n, s"$w: n_syms miscounts")
+      assert(f > 0)
+      // lossless: symbols concatenate back to the marked word
+      assert(syms.mkString == w + "</w>",
+        s"$w: segmentation does not tile the word: $seg")
+      // closed over the trained model: every multi-char symbol is either
+      // the end-of-word marker or the product of a trained merge
+      syms.foreach { sym =>
+        assert(sym.length == 1 || sym == "</w>" || merges.contains(sym),
+          s"$w: symbol '$sym' is not single-char, marker, or a trained merge")
+      }
+    }
+    // training actually compressed something: at least one word ends up
+    // in fewer symbols than characters+marker
+    assert(segs.exists { case (w, _, n, _) => n < w.length + 1 },
+      "no word was compressed by the trained merges")
+  }
+
   test("text_redact scrubs every planted span and counts per class") {
     val out = TextOps.textRedact(spark, sf)
       .select("doc_id", "redacted", "n_email", "n_phone", "n_id")
