@@ -736,7 +736,71 @@ object TextOps {
       |FROM (SELECT word, freq, string_split(trim(seq), '  ') AS syms FROM w$BPE_MERGES)
       |ORDER BY word""".stripMargin
 
-  // ---------------------------------------------------- PII redaction
+  /** Corpus → SUBWORD-id encoding — the full BPE tokenizer output an
+    * LLM pipeline feeds to training (train → segment → encode): each
+    * document's words replaced by their trained segmentations, every
+    * subword assigned a dense frequency-ranked id (256 specials
+    * reserved, the [[vocabBuild]] id convention), one row per
+    * (doc, subword position). Positions are GLOBAL within the doc: a
+    * per-doc running offset of segment lengths places each word's
+    * subwords after all preceding words'.
+    *
+    * == Scale design ==
+    * The segment table and the subword vocab are both capped-vocab-
+    * sized ⇒ broadcast by construction; the corpus scan joins against
+    * them map-side (the [[tokenizeIds]] shape, subword edition). The
+    * only corpus-keyed operator is the per-doc offset window —
+    * partitioned on doc_id (high-cardinality, P-way parallel at any
+    * scale), one shuffle of the thin (doc, word, len) relation.
+    */
+  def tokenizeBpeIds(s: SparkSession, dir: String): DataFrame = {
+    val segs = tokenizeBpeSegments(s, dir)
+      .select(col("word"), col("freq"), split(col("segmented"), " ").as("syms"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("sym"))
+    val symVocab = segs
+      .select(explode(col("syms")).as("sym"), col("freq"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("n_occ"))
+      .select(col("sym"), (row_number().over(byFreq).cast("long") + 255L).as("sym_id"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(words).as(Seq("wpos", "word")))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("wpos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks.join(broadcast(segs.select(col("word"), col("syms"))), "word")
+      .withColumn("base", coalesce(sum(size(col("syms"))).over(wdoc), lit(0)).cast("long"))
+      .select(col("doc_id"), col("base"), posexplode(col("syms")).as(Seq("sp", "sym")))
+      .join(broadcast(symVocab), "sym")
+      .select(col("doc_id"), (col("base") + col("sp")).cast("long").as("pos"), col("sym_id"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** DuckDB twin: the training chain's final state split to segments,
+    * subword vocab ranked the same way, per-doc offsets via the same
+    * running window, parallel-unnest for subword positions.
+    */
+  val tokenizeBpeIdsSql: String =
+    "WITH " + bpeTrainCtes.mkString(",\n") + s""",
+      |sv AS (SELECT word, freq, string_split(trim(seq), '  ') AS syms FROM w$BPE_MERGES),
+      |sc AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occ
+      |  FROM (SELECT unnest(syms) AS sym, freq FROM sv) GROUP BY sym),
+      |symv AS (SELECT sym,
+      |    CAST(row_number() OVER (ORDER BY n_occ DESC, sym) AS BIGINT) + 255 AS sym_id
+      |  FROM sc),
+      |t AS (SELECT doc_id,
+      |    unnest(range(1, len(string_split(text, ' ')) + 1)) - 1 AS wpos,
+      |    unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |j AS (SELECT t.doc_id, t.wpos, sv.syms FROM t JOIN sv ON sv.word = t.word),
+      |b AS (SELECT doc_id, wpos, syms,
+      |    COALESCE(sum(len(syms)) OVER (PARTITION BY doc_id ORDER BY wpos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+      |  FROM j),
+      |x AS (SELECT doc_id, CAST(base + i - 1 AS BIGINT) AS pos, syms[i] AS sym
+      |  FROM b, unnest(range(1, len(syms) + 1)) u(i))
+      |SELECT x.doc_id, x.pos, v.sym_id
+      |FROM x JOIN symv v USING (sym)
+      |ORDER BY doc_id, pos""".stripMargin
   /** The three redaction classes, in application order, as PORTABLE
     * character-class regexes (Java regex and RE2 agree on every
     * construct used: classes, bounded repeats, `\b` over ASCII).
@@ -810,6 +874,7 @@ object TextOps {
     "text_redact" -> textRedact,
     "tokenize_bpe" -> tokenizeBpe,
     "tokenize_bpe_segments" -> tokenizeBpeSegments,
+    "tokenize_bpe_ids" -> tokenizeBpeIds,
     "text_surprisal" -> textSurprisal,
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
@@ -868,6 +933,7 @@ object TextOps {
     "text_redact" -> textRedactSql,
     "tokenize_bpe" -> tokenizeBpeSql,
     "tokenize_bpe_segments" -> tokenizeBpeSegmentsSql,
+    "tokenize_bpe_ids" -> tokenizeBpeIdsSql,
     "text_langid" -> textLangidSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql)

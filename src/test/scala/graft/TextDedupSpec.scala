@@ -365,6 +365,41 @@ class TextDedupSpec extends SparkSpec {
       "no word was compressed by the trained merges")
   }
 
+  test("tokenize_bpe_ids round-trips: decoding subword ids reproduces each document") {
+    // invert the id table, decode every doc, compare to the raw text
+    val segs = TextOps.tokenizeBpeSegments(spark, sf)
+      .select("word", "segmented").as[(String, String)].collect()
+    val id2sym = {
+      // rebuild the same freq-ranked id assignment independently
+      val freq = spark.read.parquet(s"$sf/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").groupBy("w").count()
+        .as[(String, Long)].collect().toMap
+      val occ = scala.collection.mutable.Map.empty[String, Long]
+      segs.foreach { case (w, seg) =>
+        seg.split(" ").foreach(s => occ(s) = occ.getOrElse(s, 0L) + freq(w)) }
+      occ.toSeq.sortBy { case (s, n) => (-n, s) }.zipWithIndex
+        .map { case ((s, _), i) => (i.toLong + 256L) -> s }.toMap
+    }
+    val decoded = TextOps.tokenizeBpeIds(spark, sf)
+      .select("doc_id", "pos", "sym_id").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (d, rows) =>
+        val sorted = rows.sortBy(_._2)
+        // positions dense from 0
+        assert(sorted.map(_._2).toSeq == (0L until rows.length.toLong),
+          s"doc $d: subword positions not dense")
+        d -> sorted.map(r => id2sym(r._3)).mkString
+      }
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(decoded.nonEmpty, "vacuous bpe-ids check")
+    decoded.foreach { case (d, dec) =>
+      val expect = texts(d).split(" ").filter(_.nonEmpty)
+        .map(_ + "</w>").mkString
+      assert(dec == expect, s"doc $d: decoded stream diverges from the text")
+    }
+  }
+
   test("text_redact scrubs every planted span and counts per class") {
     val out = TextOps.textRedact(spark, sf)
       .select("doc_id", "redacted", "n_email", "n_phone", "n_id")
