@@ -623,15 +623,19 @@ object Similarity {
   }
 
   /** PQ codes (vec_id, ec0, ec1) from the scored relation: per-(vector,
-    * subspace) argmin as a map-side-combinable `min(struct(d, cid))`.
+    * subspace) argmin as a map-side-combinable `min(struct(d, cid))`
+    * (lexicographic ⇒ (min d, min cid)), both subspaces folded in ONE
+    * vec_id-keyed aggregate — the conditional min ignores the other
+    * subspace's null rows, so the encode costs a single corpus shuffle
+    * (the r13 plan audit found the former two-stage groupBy paying a
+    * second exchange for nothing).
     */
   private def pqEncoded(scored: DataFrame): DataFrame =
     scored
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("d"), col("cid"))).as("m")) // lexicographic ⇒ (min d, min cid)
       .groupBy(col("vec_id"))
-      .agg(max(when(col("sub") === 0, col("m.cid"))).as("ec0"),
-        max(when(col("sub") === 1, col("m.cid"))).as("ec1"))
+      .agg(min(when(col("sub") === 0, struct(col("d"), col("cid")))).as("m0"),
+        min(when(col("sub") === 1, struct(col("d"), col("cid")))).as("m1"))
+      .select(col("vec_id"), col("m0.cid").as("ec0"), col("m1.cid").as("ec1"))
 
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val scored = pqScored(s, dir)
