@@ -355,13 +355,142 @@ object Maintain {
       |SELECT key, name, bal_cents, op FROM d WHERE op IS NOT NULL
       |ORDER BY key""".stripMargin
 
+  // ------------------------------------------------- data quality
+  /** Deequ-style table profiling: one row per column of the event log
+    * with row count, null count, exact distinct count, and min/max in
+    * a deterministic string representation (longs as decimal strings,
+    * money in integer cents, timestamps in the micros format the rest
+    * of the suite uses, strings by binary order — both engines
+    * collate binary, so the reprs hash-match). The table a pipeline
+    * publishes beside every dataset version.
+    *
+    * == Scale design ==
+    * ONE corpus scan: every metric is an aggregate in a single pass
+    * (the 6 exact distincts plan as one Expand ×6 — still one scan,
+    * map-side partial); the per-column rows come from unpivoting the
+    * single aggregate row, so post-scan state is O(columns). At
+    * 100 TB you'd swap the exact distincts for approx_count_distinct
+    * and keep the identical shape — exact here because the oracle
+    * hash-compares.
+    */
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val tsRepr = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val reprs: Seq[(String, Column, Column => Column)] = Seq(
+      ("event_id", col("event_id"), (c: Column) => c.cast("string")),
+      ("event_type", col("event_type"), (c: Column) => c),
+      ("props", col("props"), (c: Column) => c),
+      ("ts", col("ts"), tsRepr),
+      ("user_id", col("user_id"), (c: Column) => c.cast("string")),
+      ("value", cents(col("value")), (c: Column) => c.cast("string")))
+    val aggs = reprs.flatMap { case (n, c, repr) => Seq(
+      count(c).as(s"nn_$n"),
+      countDistinct(c).as(s"nd_$n"),
+      repr(min(c)).as(s"mn_$n"),
+      repr(max(c)).as(s"mx_$n"))
+    }
+    val stackArgs = reprs.map { case (n, _, _) =>
+      s"'$n', nn_$n, nd_$n, mn_$n, mx_$n"
+    }.mkString(", ")
+    e.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${reprs.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_repr, max_repr)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+        col("n_distinct"), col("min_repr"), col("max_repr"))
+      .orderBy(col("col_name"))
+  }
+
+  val tableProfileSql: String = {
+    val rows = Seq(
+      ("event_id", "event_id", "CAST(min(event_id) AS VARCHAR)", "CAST(max(event_id) AS VARCHAR)"),
+      ("event_type", "event_type", "min(event_type)", "max(event_type)"),
+      ("props", "props", "min(props)", "max(props)"),
+      ("ts", "ts", "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')", "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')"),
+      ("user_id", "user_id", "CAST(min(user_id) AS VARCHAR)", "CAST(max(user_id) AS VARCHAR)"),
+      ("value", "CAST(round(value*100) AS BIGINT)", // integer-cents repr
+        "CAST(min(CAST(round(value*100) AS BIGINT)) AS VARCHAR)",
+        "CAST(max(CAST(round(value*100) AS BIGINT)) AS VARCHAR)"))
+      .map { case (n, c, mn, mx) =>
+        s"""SELECT '$n' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct, $mn AS min_repr, $mx AS max_repr
+           |FROM events""".stripMargin
+      }
+    rows.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+  }
+
+  /** Rule-based data-quality validation (the Deequ/Great-Expectations
+    * constraint suite): completeness, key uniqueness, domain, range,
+    * and freshness checks over the event log, each emitting its exact
+    * integer-ppm metric and a pass flag (pass ⇔ ppm = 10⁶). One rule
+    * (`value_under_100`) is deliberately strict enough to FAIL on
+    * this data so the fail accounting is exercised, not just the
+    * happy path.
+    *
+    * == Scale design ==
+    * All rules fold into ONE aggregate pass over the scan (conditional
+    * counts + one distinct); the emitted relation is O(rules). This is
+    * the gate a 100 TB ingest runs before publishing a partition —
+    * fail-fast, no second scan.
+    */
+  def dqRules(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val ppm = (c: Column) => expr("1000000") * c / col("n_rows")
+    val agg = e.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("value")).as("c_value"),
+      count(col("event_type")).as("c_type"),
+      countDistinct(col("event_id")).as("d_eid"),
+      count(when(col("value") >= 0, 1)).as("c_nonneg"),
+      count(when(col("value") <= 100.0, 1)).as("c_under100"),
+      count(when(col("event_type").isin("click", "error", "purchase", "signup", "view"), 1)).as("c_known"),
+      count(when(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts") < lit("2026-01-01").cast("timestamp"), 1)).as("c_fresh"))
+    val rules = Seq(
+      ("complete_value", "c_value"), ("complete_type", "c_type"),
+      ("unique_event_id", "d_eid"), ("nonneg_value", "c_nonneg"),
+      ("value_under_100", "c_under100"), ("known_type", "c_known"),
+      ("ts_in_range", "c_fresh"))
+    val stackArgs = rules.map { case (r, c) =>
+      s"'$r', 1000000 * $c div n_rows"
+    }.mkString(", ")
+    agg.select(expr(
+        s"stack(${rules.size}, $stackArgs) AS (rule, metric_ppm)"))
+      .select(col("rule"), col("metric_ppm"),
+        (col("metric_ppm") === 1000000L).as("pass"))
+      .orderBy(col("rule"))
+  }
+
+  val dqRulesSql: String =
+    """WITH a AS (SELECT count(*) AS n_rows,
+      |    count(value) AS c_value, count(event_type) AS c_type,
+      |    count(DISTINCT event_id) AS d_eid,
+      |    count(CASE WHEN value >= 0 THEN 1 END) AS c_nonneg,
+      |    count(CASE WHEN value <= 100.0 THEN 1 END) AS c_under100,
+      |    count(CASE WHEN event_type IN ('click','error','purchase','signup','view') THEN 1 END) AS c_known,
+      |    count(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2026-01-01' THEN 1 END) AS c_fresh
+      |  FROM events),
+      |r AS (
+      |  SELECT 'complete_value' AS rule, 1000000 * c_value // n_rows AS metric_ppm FROM a
+      |  UNION ALL SELECT 'complete_type', 1000000 * c_type // n_rows FROM a
+      |  UNION ALL SELECT 'unique_event_id', 1000000 * d_eid // n_rows FROM a
+      |  UNION ALL SELECT 'nonneg_value', 1000000 * c_nonneg // n_rows FROM a
+      |  UNION ALL SELECT 'value_under_100', 1000000 * c_under100 // n_rows FROM a
+      |  UNION ALL SELECT 'known_type', 1000000 * c_known // n_rows FROM a
+      |  UNION ALL SELECT 'ts_in_range', 1000000 * c_fresh // n_rows FROM a)
+      |SELECT rule, metric_ppm, metric_ppm = 1000000 AS pass FROM r
+      |ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> mergeUpsert,
     "merge_delete" -> mergeDelete,
     "dim_scd2" -> dimScd2,
     "agg_incremental" -> aggIncremental,
     "compaction_plan" -> compactionPlan,
-    "table_snapshot_diff" -> tableSnapshotDiff)
+    "table_snapshot_diff" -> tableSnapshotDiff,
+    "table_profile" -> tableProfile,
+    "dq_rules" -> dqRules)
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
@@ -369,5 +498,7 @@ object Maintain {
     "dim_scd2" -> dimScd2Sql,
     "agg_incremental" -> aggIncrementalSql,
     "compaction_plan" -> compactionPlanSql,
-    "table_snapshot_diff" -> tableSnapshotDiffSql)
+    "table_snapshot_diff" -> tableSnapshotDiffSql,
+    "table_profile" -> tableProfileSql,
+    "dq_rules" -> dqRulesSql)
 }

@@ -72,6 +72,55 @@ class MaintainSpec extends SparkSpec {
     assert(diff.forall(r => Set("U", "D", "I").contains(r._4)))
   }
 
+  test("table_profile matches a direct per-column recompute") {
+    val rows = Maintain.tableProfile(spark, sf)
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet ==
+      Set("event_id", "event_type", "props", "ts", "user_id", "value"))
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, String, Long)].collect()
+    val n = ev.length.toLong
+    rows.values.foreach { r =>
+      assert(r._2 == n, s"${r._1}: n_rows wrong")
+      assert(r._3 == 0L, s"${r._1}: synthetic data has no nulls")
+    }
+    assert(rows("event_id")._4 == ev.map(_._1).distinct.length.toLong)
+    assert(rows("event_id")._5 == ev.map(_._1).min.toString)
+    assert(rows("event_id")._6 == ev.map(_._1).max.toString)
+    assert(rows("event_type")._4 == ev.map(_._2).distinct.length.toLong)
+    assert(rows("value")._5 == ev.map(_._3).min.toString,
+      "value min must be the integer-cents repr")
+    assert(rows("value")._6 == ev.map(_._3).max.toString)
+  }
+
+  test("dq_rules: exact ppm metrics, and the strict rule actually fails") {
+    val rules = Maintain.dqRules(spark, sf)
+      .select("rule", "metric_ppm", "pass")
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(rules.size == 7)
+    // pass ⇔ ppm = 1e6, for every rule
+    rules.values.foreach { case (r, ppm, pass) =>
+      assert(pass == (ppm == 1000000L), s"$r: pass flag inconsistent with ppm")
+      assert(ppm >= 0L && ppm <= 1000000L, s"$r: ppm out of range")
+    }
+    // the clean-data rules hold; the deliberately strict one fails
+    Seq("complete_value", "complete_type", "unique_event_id",
+      "nonneg_value", "known_type", "ts_in_range").foreach { r =>
+      assert(rules(r)._3, s"$r should pass on the synthetic log")
+    }
+    assert(!rules("value_under_100")._3,
+      "the strict range rule must fail — fail accounting untested otherwise")
+    // and its metric is the exact integer ratio
+    val ev = Tables.load(spark, sf, "events").select(col("value"))
+      .as[Double].collect()
+    val expect = 1000000L * ev.count(_ <= 100.0) / ev.length
+    assert(rules("value_under_100")._2 == expect)
+  }
+
   test("dim_scd2 versions chain: contiguous validity, one current row") {
     val rows = Maintain.dimScd2(spark, sf)
       .select("custkey", "version", "bal_cents", "valid_from", "valid_to", "is_current")
