@@ -127,6 +127,51 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Resize planning over image blobs — the preprocessing math every
+    * vision pipeline runs before the model: stub-decoded source
+    * dimensions (content-derived from the byte length, standing in
+    * for the codec's header read), aspect-preserving fit into the
+    * 224×224 model input box, never upscaled. All EXACT integer
+    * arithmetic (scale in ppm, floor divisions) so both engines emit
+    * identical plans; the actual pixel resample is the stubbed codec
+    * step — the Spark-side schema, scan shape, and scale math are the
+    * real plumbing.
+    *
+    * == Scale design ==
+    * Pure column math inside whole-stage codegen over one
+    * kind-filtered scan — embarrassingly parallel at any scale, the
+    * shape you'd hand `mapInPandas` batches to when the real decoder
+    * exists.
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    val w = (lit(160L) + pmod(octet_length(col("text")).cast("long"), lit(1760L))).as("w")
+    val h = (lit(120L) + pmod(octet_length(col("text")).cast("long") * 7L, lit(960L))).as("h")
+    docs(s, dir)
+      .filter(col("doc_id") % 3 === 0) // 'image' kind
+      .select(col("doc_id"), w, h)
+      .withColumn("scale_ppm",
+        least(lit(1000000L), expr("224000000 div w"), expr("224000000 div h")))
+      .select(col("doc_id"), col("w"), col("h"),
+        expr("w * scale_ppm div 1000000").as("out_w"),
+        expr("h * scale_ppm div 1000000").as("out_h"),
+        col("scale_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmResizeSql: String =
+    """WITH i AS (SELECT doc_id,
+      |    160 + strlen(text) % 1760 AS w,
+      |    120 + (strlen(text) * 7) % 960 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |s AS (SELECT doc_id, w, h,
+      |    least(1000000, 224000000 // w, 224000000 // h) AS scale_ppm
+      |  FROM i)
+      |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+      |  CAST(w * scale_ppm // 1000000 AS BIGINT) AS out_w,
+      |  CAST(h * scale_ppm // 1000000 AS BIGINT) AS out_h,
+      |  CAST(scale_ppm AS BIGINT) AS scale_ppm
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** One sampled frame of a "video" blob. */
   case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long,
                    frame_checksum: Long)
@@ -263,7 +308,8 @@ object Multimodal {
     "mm_dedup_blob" -> mmDedupBlob,
     "mm_cdc_chunks" -> mmCdcChunks,
     "mm_batch_extract" -> mmBatchExtract,
-    "mm_frame_sample" -> mmFrameSample)
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_resize" -> mmResize)
 
   /** DuckDB twin of the stub decoder: the corpus is pure ASCII, so
     * byte-level features equal character-level ones and the rolling
@@ -283,5 +329,6 @@ object Multimodal {
     "mm_dedup_blob" -> mmDedupBlobSql,
     "mm_cdc_chunks" -> mmCdcChunksSql,
     "mm_batch_extract" -> mmBatchExtractSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_resize" -> mmResizeSql)
 }

@@ -254,6 +254,28 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got.count(_._2 > 1) > 0, "sf0.1 must surface its real duplicate groups")
   }
 
+  test("mm_resize: aspect-preserving fit into 224 with no upscale") {
+    val rows = Multimodal.mmResize(spark, sf)
+      .select("doc_id", "w", "h", "out_w", "out_h", "scale_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, h, ow, oh, sp) =>
+      assert(id % 3 == 0, "only image-kind blobs are resized")
+      // the scale is exactly the integer fit rule
+      assert(sp == math.min(1000000L, math.min(224000000L / w, 224000000L / h)),
+        s"doc $id: scale_ppm wrong")
+      assert(ow == w * sp / 1000000L && oh == h * sp / 1000000L,
+        s"doc $id: output dims not the floored scale")
+      assert(ow <= 224 && oh <= 224, s"doc $id: exceeded the model box")
+      assert(sp <= 1000000L, s"doc $id: upscaled")
+      // aspect preserved within one floor step
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.05,
+        s"doc $id: aspect drifted")
+    }
+    // the rule actually downsizes something on this corpus
+    assert(rows.exists(_._6 < 1000000L), "no blob exercised the downscale path")
+  }
+
   test("mm batch extract: features match a direct recompute") {
     val out = Multimodal.mmBatchExtract(spark, sf)
       .select("doc_id", "byte_len", "head_byte", "tail_byte", "checksum")
