@@ -113,6 +113,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
   }
 
+  test("text_redact is one codegen'd scan: no shuffle below the presentation sort") {
+    val plan = planOf(graft.operators.TextOps.textRedact(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"redaction must not shuffle — it is a pure map pass:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("SQLFunction"),
+      s"redaction must stay native column regex, no UDF:\n$plan")
+    // exactly one data scan feeds the whole pipeline
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"expected a single documents scan:\n$plan")
+  }
+
+  test("mm_resize is one kind-filtered codegen scan") {
+    val plan = planOf(graft.operators.Multimodal.mmResize(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"resize planning must not shuffle:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"expected a single documents scan:\n$plan")
+  }
+
+  test("tokenize_bpe_ids: broadcast encode joins, one doc-keyed exchange") {
+    val plan = planOf(graft.operators.TextOps.tokenizeBpeIds(spark, sf))
+    // segment table and subword vocab reach the corpus via broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"segments + subword vocab must broadcast into the corpus scan:\n$plan")
+    // the only corpus-keyed shuffle is the per-doc offset window
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length == 1,
+      s"expected exactly one doc_id-keyed exchange (the offset window):\n$plan")
+  }
+
   test("scan_partitioned prunes to one day-partition via PartitionFilters") {
     val plan = planOf(Analytics.scanPartitioned(spark, sf))
     assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
