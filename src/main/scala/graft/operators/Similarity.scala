@@ -729,6 +729,62 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN recall evaluation — the harness a production vector store
+    * runs after every reindex/retune: each approximate face's top-K
+    * (LSH, IVF, IVFPQ) scored against the exact brute-force top-K,
+    * per (face, query): hit count, returned count, exact integer-ppm
+    * recall. This is the measurement behind every recall floor the
+    * specs pin — registered so the evaluation itself is oracle-checked
+    * instead of living only in test code.
+    *
+    * == Scale design ==
+    * The ground truth is brute force over the (small, broadcast)
+    * query set — O(Q·N) once, the price of an eval; each face then
+    * joins its K·Q result rows against the K·Q truth via a broadcast
+    * hash join, so the eval overhead beyond running the searches is
+    * negligible at any corpus size. In production the truth set is
+    * computed once per corpus version and persisted.
+    */
+  def annRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteforce(s, dir).select(col("query_id"), col("neighbor_id"))
+    val faces = Seq(
+      ("ivf", annIvf(s, dir)),
+      ("ivf_pq", annIvfPq(s, dir)),
+      ("lsh", annLsh(s, dir)))
+    val tagged = faces.map { case (n, df) =>
+      df.select(lit(n).as("face"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    tagged.alias("a")
+      .join(broadcast(bf.alias("t")),
+        col("a.query_id") === col("t.query_id") &&
+          col("a.neighbor_id") === col("t.neighbor_id"), "left")
+      .groupBy(col("face"), col("a.query_id").as("query_id"))
+      .agg(count(col("t.query_id")).as("n_hits"), count(lit(1)).as("n_returned"))
+      .select(col("face"), col("query_id"), col("n_hits"), col("n_returned"),
+        expr(s"1000000 * n_hits div $K").as("recall_ppm"))
+      .orderBy(col("face"), col("query_id"))
+  }
+
+  /** DuckDB twin: each face's full oracle statement inlined as a
+    * derived table (their WITH scopes stay local, so the three CTE
+    * chains cannot collide), left-joined to the brute-force truth.
+    */
+  lazy val annRecallEvalSql: String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($annBruteforceSql)),
+       |apx AS (
+       |  SELECT 'ivf' AS face, query_id, neighbor_id FROM ($annIvfSql)
+       |  UNION ALL
+       |  SELECT 'ivf_pq', query_id, neighbor_id FROM ($annIvfPqSql)
+       |  UNION ALL
+       |  SELECT 'lsh', query_id, neighbor_id FROM ($annLshSql))
+       |SELECT a.face, a.query_id,
+       |  count(bf.query_id) AS n_hits, count(*) AS n_returned,
+       |  1000000 * count(bf.query_id) // $K AS recall_ppm
+       |FROM apx a LEFT JOIN bf
+       |  ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+       |GROUP BY a.face, a.query_id
+       |ORDER BY a.face, a.query_id""".stripMargin
+
   /** DuckDB twin: the per-subspace k-means replayed as unrolled CTEs
     * (the [[annIvfSql]] trick), then encode + ADC with the identical
     * L2 fold — doubles and ranks bit-identical.
@@ -806,6 +862,7 @@ object Similarity {
     "ann_ivf_indexed" -> annIvfIndexed,
     "ann_pq" -> annPq,
     "ann_ivf_pq" -> annIvfPq,
+    "ann_recall_eval" -> annRecallEval,
     "dedup_embedding_ivf" -> dedupEmbeddingIvf,
     "dedup_embedding_ivf_curve" -> dedupEmbeddingIvfCurve)
 
@@ -953,6 +1010,7 @@ object Similarity {
     "ann_ivf_indexed" -> annIvfSql,
     "ann_pq" -> annPqSql,
     "ann_ivf_pq" -> annIvfPqSql,
+    "ann_recall_eval" -> annRecallEvalSql,
     "dedup_embedding_ivf" -> dedupEmbeddingIvfSql,
     "dedup_embedding_ivf_curve" -> dedupEmbeddingIvfCurveSql)
 }

@@ -101,6 +101,38 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVFPQ recall@5 regressed: $recall")
   }
 
+  test("ann_recall_eval scores every face against an independent truth join") {
+    val rows = Similarity.annRecallEval(spark, sf)
+      .select("face", "query_id", "n_hits", "n_returned", "recall_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == Set("ivf", "ivf_pq", "lsh"))
+    // arithmetic invariants
+    rows.foreach { case (f, q, h, r, ppm) =>
+      assert(h <= r && r <= 5, s"$f/$q: hits/returned out of range")
+      assert(ppm == 1000000L * h / 5, s"$f/$q: ppm not the exact ratio")
+    }
+    // the scores must equal an independent in-memory join of the faces
+    val truth = Similarity.annBruteforce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def score(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ps) =>
+          q -> ps.count(truth.contains).toLong }
+    val expect = Map(
+      "ivf" -> score(Similarity.annIvf(spark, sf)),
+      "ivf_pq" -> score(Similarity.annIvfPq(spark, sf)),
+      "lsh" -> score(Similarity.annLsh(spark, sf)))
+    rows.foreach { case (f, q, h, _, _) =>
+      assert(expect(f).getOrElse(q, 0L) == h, s"$f/$q: hit count diverges")
+    }
+    // the eval reproduces the spec floors the faces already carry
+    def meanRecall(f: String) = {
+      val fr = rows.filter(_._1 == f)
+      fr.map(_._3).sum.toDouble / (5.0 * fr.length)
+    }
+    assert(meanRecall("ivf") >= 0.85 && meanRecall("ivf_pq") >= 0.8)
+  }
+
   test("cell-bucketed embedding dedup is an exact-subset with high recall") {
     import graft.operators.Dedup
     val ivf = Similarity.dedupEmbeddingIvf(spark, sf)
