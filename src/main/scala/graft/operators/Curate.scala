@@ -125,6 +125,46 @@ object Curate {
       |  CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** K-fold cross-validation assignment (k=5): every doc lands in
+    * exactly one fold by salted content hash — deterministic,
+    * replayable, and exact duplicates land in the SAME fold (the
+    * leakage property [[splitTrainVal]] establishes, extended to CV).
+    * The "cv|" salt decorrelates fold boundaries from the train/val
+    * bucket so the two splits can be used together without their
+    * boundaries aligning. Per-doc assignment rides with per-fold
+    * doc/token accounting columns so a consumer can weight folds
+    * exactly.
+    *
+    * == Scale design ==
+    * Assignment is scan-side column math (no shuffle); the per-fold
+    * totals are one 5-group map-side-combinable aggregate broadcast
+    * back onto the assignment — O(k) state, corpus never reshuffles.
+    */
+  def splitKfold(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val fp = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("cv|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val assigned = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), (fp % 5L).as("fold"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val totals = assigned.groupBy(col("fold"))
+      .agg(count(lit(1)).as("fold_docs"), sum(col("tok")).as("fold_tokens"))
+    assigned.join(broadcast(totals), "fold")
+      .select(col("doc_id"), col("fold"), col("fold_docs"), col("fold_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitKfoldSql: String =
+    """WITH a AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('cv|' || text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 5 AS fold,
+      |  len(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |t AS (SELECT fold, count(*) AS fold_docs, CAST(sum(tok) AS BIGINT) AS fold_tokens
+      |  FROM a GROUP BY fold)
+      |SELECT a.doc_id, a.fold, t.fold_docs, t.fold_tokens
+      |FROM a JOIN t USING (fold) ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------- split leakage check
   /** Train/val CONTAMINATION check: verified near-dup pairs (n-gram
     * Jaccard ≥ 0.3) that STRADDLE the content-hash split — the val
@@ -1015,6 +1055,7 @@ object Curate {
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_cluster" -> pipelineCurateCluster,
     "split_train_val" -> splitTrainVal,
+    "split_kfold" -> splitKfold,
     "split_leakage" -> splitLeakage,
     "corpus_stats" -> corpusStats,
     "corpus_mixture" -> corpusMixture,
@@ -1038,6 +1079,7 @@ object Curate {
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_cluster" -> pipelineCurateClusterSql,
     "split_train_val" -> splitTrainValSql,
+    "split_kfold" -> splitKfoldSql,
     "split_leakage" -> splitLeakageSql,
     "corpus_stats" -> corpusStatsSql,
     "corpus_mixture" -> corpusMixtureSql,

@@ -551,6 +551,39 @@ class TextDedupSpec extends SparkSpec {
     assert(m(1L) == m(2L), "identical texts split apart")
   }
 
+  test("split_kfold: complete partition, duplicate-safe, exact fold ledger") {
+    val rows = Curate.splitKfold(spark, sf)
+      .select("doc_id", "fold", "fold_docs", "fold_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // complete: every doc in exactly one fold, folds in 0..4
+    assert(rows.length == docs.length)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 5))
+    // the ledger columns are the exact per-fold totals
+    val byFold = rows.groupBy(_._2)
+    byFold.foreach { case (f, rs) =>
+      assert(rs.forall(_._3 == rs.length.toLong), s"fold $f: doc total wrong")
+    }
+    // content-hash assignment ⇒ byte-identical docs share a fold
+    val foldOf = rows.map(r => r._1 -> r._2).toMap
+    docs.groupBy(_._2).values.filter(_.length > 1).foreach { dups =>
+      assert(dups.map(d => foldOf(d._1)).distinct.length == 1,
+        "exact duplicates were split across folds")
+    }
+    // no fold is empty (balance within hash variance on 500 docs)
+    assert(byFold.size == 5, "a fold came up empty")
+    // and the fold boundary is decorrelated from the train/val bucket:
+    // both splits exist inside every fold
+    val tv = Curate.splitTrainVal(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    byFold.foreach { case (f, rs) =>
+      assert(rs.map(r => tv(r._1)).toSet == Set("train", "val"),
+        s"fold $f aligned with the train/val boundary")
+    }
+  }
+
   test("split leakage reports only cross-split near-dup pairs") {
     import graft.operators.Curate
     val splits = Curate.splitTrainVal(spark, sf)
