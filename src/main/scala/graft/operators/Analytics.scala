@@ -2615,7 +2615,187 @@ object Analytics {
        |ORDER BY u.user_id""".stripMargin
   }
 
+  // ----------------------------------------------- target encoding
+  /** Leave-one-out smoothed target encoding — the feature-engineering
+    * transform that replaces a categorical column with the target mean
+    * of its category, computed WITHOUT the row's own target (leave-one-
+    * out) and shrunk toward the global mean with prior weight m=10
+    * (the standard high-cardinality encoder; LOO is what prevents the
+    * feature from leaking the row's own label into training). Category
+    * = the customer's market segment, target = order total in exact
+    * integer cents; all divisions are integer floor so both engines
+    * agree bit-for-bit.
+    *
+    * == Scale design ==
+    * The fact table scans once; the segment dimension broadcasts into
+    * the fact join; category statistics are one map-side-combinable
+    * groupBy on O(categories) keys whose result broadcasts back. No
+    * fact-sized shuffle anywhere — at 100 TB this is a scan with two
+    * broadcast hash joins and O(categories) aggregate state.
+    */
+  def mlTargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val seg = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("target_cents"))
+      .join(broadcast(seg), Seq("o_custkey"))
+    val catStats = o.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_cat"), sum(col("target_cents")).as("sum_cat"))
+    val globalMean = o.agg(
+      expr("sum(target_cents) div count(1)").as("global_mean_cents"))
+    o.join(broadcast(catStats), Seq("segment"))
+      .crossJoin(broadcast(globalMean))
+      .select(col("o_orderkey"), col("segment"), col("target_cents"), col("n_cat"),
+        expr("(sum_cat - target_cents) div (n_cat - 1)").as("loo_mean_cents"),
+        expr("(sum_cat - target_cents + 10 * global_mean_cents) div (n_cat - 1 + 10)")
+          .as("enc_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** DuckDB twin: same integer-cents stats, same floor divisions. */
+  val mlTargetEncodeSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, c_mktsegment AS segment,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS target_cents
+      |  FROM orders JOIN customer ON c_custkey = o_custkey),
+      |cs AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_cat,
+      |    CAST(sum(target_cents) AS BIGINT) AS sum_cat
+      |  FROM o GROUP BY segment),
+      |g AS (SELECT CAST(sum(target_cents) AS BIGINT) // count(*) AS global_mean_cents FROM o)
+      |SELECT o_orderkey, segment, target_cents, n_cat,
+      |  (sum_cat - target_cents) // (n_cat - 1) AS loo_mean_cents,
+      |  (sum_cat - target_cents + 10 * global_mean_cents) // (n_cat - 1 + 10) AS enc_cents
+      |FROM o JOIN cs USING (segment) CROSS JOIN g
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------- A/B experiment
+  /** A/B experiment readout — deterministic hash-bucket arm assignment
+    * over users ("ab|"-salted content hash, the engine's split-family
+    * convention, so arms are decorrelated from every sampling salt),
+    * per-arm user/conversion counts (conversion = any `purchase`
+    * event), rates and lift in exact integer ppm, and the two-
+    * proportion pooled z statistic in milli-units. The z² is computed
+    * as STAGED integer floor divisions (documented order, identical on
+    * both engines; accurate to ~3 significant digits which is all a
+    * launch gate reads) and rooted with the ±1-corrected exact integer
+    * sqrt. One row out — the experiment dashboard's headline.
+    *
+    * == Scale design ==
+    * One events scan folded to per-user conversion flags (map-side
+    * combinable on the natural user key), then a single 4-long global
+    * aggregate; nothing downstream exceeds one row. At 100 TB this is
+    * scan + two combine stages with O(1) state.
+    */
+  def eventsAbLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("ab|"), col("user_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(col("user_id"), col("conv"), (h % 2L).as("armn"))
+      .agg(
+        sum(when(col("armn") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("armn") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("armn") === 0L, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("armn") === 1L, col("conv")).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        expr("(1000000 * conv_a) div n_a").as("rate_a_ppm"),
+        expr("(1000000 * conv_b) div n_b").as("rate_b_ppm"),
+        expr("(1000000 * conv_b) div n_b - (1000000 * conv_a) div n_a").as("lift_ppm"),
+        expr("""CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0
+                ELSE ((conv_b * n_a - conv_a * n_b) * (conv_b * n_a - conv_a * n_b)
+                      div (n_a * n_b)) * 1000000 * (n_a + n_b)
+                      div ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) END""")
+          .as("z2_micro"))
+      .withColumn("r0", expr("CAST(floor(sqrt(CAST(z2_micro AS DOUBLE))) AS BIGINT)"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("rate_a_ppm"), col("rate_b_ppm"), col("lift_ppm"),
+        expr("""CASE WHEN r0*r0 > z2_micro THEN r0-1
+                WHEN (r0+1)*(r0+1) <= z2_micro THEN r0+1 ELSE r0 END""").as("z_milli"))
+  }
+
+  /** DuckDB twin: same salted-hash arms, same staged floor z². */
+  val eventsAbLiftSql: String =
+    """WITH u AS (
+      |  SELECT user_id, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('ab|' || CAST(user_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 2 AS armn
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT
+      |    CAST(sum(CASE WHEN armn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN armn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN armn = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN armn = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM u),
+      |z AS (SELECT *,
+      |    (1000000 * conv_a) // n_a AS rate_a_ppm,
+      |    (1000000 * conv_b) // n_b AS rate_b_ppm,
+      |    (1000000 * conv_b) // n_b - (1000000 * conv_a) // n_a AS lift_ppm,
+      |    CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0
+      |      ELSE ((conv_b * n_a - conv_a * n_b) * (conv_b * n_a - conv_a * n_b)
+      |            // (n_a * n_b)) * 1000000 * (n_a + n_b)
+      |            // ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) END AS z2_micro
+      |  FROM a),
+      |r AS (SELECT *, CAST(floor(sqrt(CAST(z2_micro AS DOUBLE))) AS BIGINT) AS r0 FROM z)
+      |SELECT n_a, n_b, conv_a, conv_b, rate_a_ppm, rate_b_ppm, lift_ppm,
+      |  CASE WHEN r0*r0 > z2_micro THEN r0-1
+      |       WHEN (r0+1)*(r0+1) <= z2_micro THEN r0+1 ELSE r0 END AS z_milli
+      |FROM r""".stripMargin
+
+  // ------------------------------------------------ late-data audit
+  /** Late-arrival accounting — the watermark-sizing audit a streaming
+    * ingest runs over its own history: replay each user's events in
+    * ARRIVAL order (event_id, the monotone ingest sequence) and flag
+    * every event whose event time lags the maximum event time already
+    * seen for that user by more than the 10-minute tolerance — exactly
+    * the rows a `withWatermark("ts", "10 minutes")` pipeline keyed by
+    * user would drop. Output per user: event count, late count, and
+    * the worst observed disorder in exact micros — the number that
+    * tells you what watermark delay the topology actually needs.
+    *
+    * == Scale design ==
+    * One shuffle on the natural user key, then a per-user sort inside
+    * each partition (the running max is a rows-frame window — no
+    * global ordering anywhere), folded straight into an O(users)
+    * aggregate. High-cardinality key ⇒ P-way parallel at any scale.
+    */
+  def eventsLateData(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("hwm", max(col("us")).over(w))
+      .withColumn("late_by",
+        when(col("hwm") - col("us") > 600000000L, col("hwm") - col("us"))
+          .otherwise(lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_by") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_by")).as("max_lateness_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB twin: same arrival-order window, same 10-minute cut. */
+  val eventsLateDataSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |h AS (SELECT user_id, us,
+      |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM e),
+      |l AS (SELECT user_id,
+      |    CASE WHEN hwm - us > 600000000 THEN hwm - us ELSE 0 END AS late_by
+      |  FROM h)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(max(late_by) AS BIGINT) AS max_lateness_us
+      |FROM l GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_target_encode" -> mlTargetEncode,
+    "events_ab_lift" -> eventsAbLift,
+    "events_late_data" -> eventsLateData,
     "events_attribution" -> eventsAttribution,
     "events_rfm" -> eventsRfm,
     "agg_countmin" -> aggCountMin,
@@ -2678,6 +2858,9 @@ object Analytics {
     "unpivot_revenue" -> unpivotRevenue)
 
   val oracles: Map[String, String] = Map(
+    "ml_target_encode" -> mlTargetEncodeSql,
+    "events_ab_lift" -> eventsAbLiftSql,
+    "events_late_data" -> eventsLateDataSql,
     "events_attribution" -> eventsAttributionSql,
     "events_rfm" -> eventsRfmSql,
     "agg_countmin" -> aggCountMinSql,

@@ -801,6 +801,58 @@ object TextOps {
       |SELECT x.doc_id, x.pos, v.sym_id
       |FROM x JOIN symv v USING (sym)
       |ORDER BY doc_id, pos""".stripMargin
+
+  /** Tokenizer-coverage evaluation — the readout every tokenizer
+    * training run reports before the vocabulary ships: per corpus
+    * source, the exact word/character/subword mass under the trained
+    * BPE model and the compression ratio (characters per emitted
+    * subword, integer ppm). A vocabulary that compresses one slice of
+    * the mixture much worse than another (code vs prose, language A
+    * vs B) inflates that slice's training cost; this is the gate that
+    * catches it. `n_subwords` counts the `</w>` markers too (they are
+    * symbols the encoder emits), so ppm is over the true emitted
+    * stream.
+    *
+    * == Scale design ==
+    * One corpus scan folded to per-(source, word) counts (map-side
+    * combinable, Heaps-law-bounded keys), one broadcast join against
+    * the capped-vocab segment table (reused from the training memo —
+    * zero retraining), one O(sources) aggregate. The corpus never
+    * shuffles; at 100 TB this is a scan plus dictionary-sized work.
+    */
+  def tokenizeCoverage(s: SparkSession, dir: String): DataFrame = {
+    val segs = tokenizeBpeSegments(s, dir)
+      .select(col("word").as("w"), col("n_syms"))
+    docs(s, dir)
+      .select(col("source"), explode(words).as("w")).filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("occ"))
+      .join(broadcast(segs), Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("occ") * length(col("w"))).as("n_chars"),
+        sum(col("occ") * col("n_syms")).as("n_subwords"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_subwords"),
+        expr("(n_chars * 1000000) div n_subwords").as("chars_per_subword_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin: the training chain's final vocab state as the
+    * segment table, joined to per-(source, word) counts. */
+  val tokenizeCoverageSql: String =
+    "WITH " + bpeTrainCtes.mkString(",\n") + s""",
+      |sv AS (SELECT word, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_syms FROM w$BPE_MERGES),
+      |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS occ
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY source, w)
+      |SELECT source,
+      |  CAST(sum(occ) AS BIGINT) AS n_words,
+      |  CAST(sum(occ * len(w)) AS BIGINT) AS n_chars,
+      |  CAST(sum(occ * n_syms) AS BIGINT) AS n_subwords,
+      |  (CAST(sum(occ * len(w)) AS BIGINT) * 1000000) // CAST(sum(occ * n_syms) AS BIGINT) AS chars_per_subword_ppm
+      |FROM wc JOIN sv ON sv.word = wc.w
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** The three redaction classes, in application order, as PORTABLE
     * character-class regexes (Java regex and RE2 agree on every
     * construct used: classes, bounded repeats, `\b` over ASCII).
@@ -875,6 +927,7 @@ object TextOps {
     "tokenize_bpe" -> tokenizeBpe,
     "tokenize_bpe_segments" -> tokenizeBpeSegments,
     "tokenize_bpe_ids" -> tokenizeBpeIds,
+    "tokenize_coverage" -> tokenizeCoverage,
     "text_surprisal" -> textSurprisal,
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
@@ -934,6 +987,7 @@ object TextOps {
     "tokenize_bpe" -> tokenizeBpeSql,
     "tokenize_bpe_segments" -> tokenizeBpeSegmentsSql,
     "tokenize_bpe_ids" -> tokenizeBpeIdsSql,
+    "tokenize_coverage" -> tokenizeCoverageSql,
     "text_langid" -> textLangidSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql)

@@ -736,4 +736,75 @@ class AnalyticsSpec extends SparkSpec {
           "against leaked cached storage")
     }
   }
+
+  test("ml_target_encode matches an in-memory leave-one-out model") {
+    val seg = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_mktsegment").as[(Long, String)].collect().toMap
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .as[(Long, Long, Double)].collect()
+      .map { case (ok, ck, tp) => (ok, seg(ck), math.round(tp * 100)) }
+    val bySeg = orders.groupBy(_._2).map { case (sg, rows) =>
+      sg -> (rows.length.toLong, rows.map(_._3).sum)
+    }
+    val gMean = orders.map(_._3).sum / orders.length
+    val expected = orders.map { case (ok, sg, tc) =>
+      val (n, sum) = bySeg(sg)
+      (ok, sg, tc, n,
+        Math.floorDiv(sum - tc, n - 1),
+        Math.floorDiv(sum - tc + 10 * gMean, n - 1 + 10))
+    }.toSet
+    val got = Analytics.mlTargetEncode(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("events_ab_lift arms partition the users and z is the rooted staged z-square") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_type").as[(Long, String)].collect()
+    val conv = events.groupBy(_._1).map { case (u, es) =>
+      u -> (if (es.exists(_._2 == "purchase")) 1L else 0L)
+    }
+    val armOf = (u: Long) =>
+      graft.functions.MinHashKernel.polyHash("ab|" + u) % 2
+    val (as0, bs) = conv.partition { case (u, _) => armOf(u) == 0L }
+    val (nA, nB) = (as0.size.toLong, bs.size.toLong)
+    val (cA, cB) = (as0.values.sum, bs.values.sum)
+    val row = Analytics.eventsAbLift(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(row._1 == nA)
+    assert(row._2 == nB)
+    assert(row._3 == cA)
+    assert(row._4 == cB)
+    assert(row._5 == 1000000 * cA / nA)
+    assert(row._6 == 1000000 * cB / nB)
+    // the staged z-square, replayed from first principles
+    val d = cB * nA - cA * nB
+    val c = cA + cB; val n = nA + nB
+    val z2 = if (c == 0 || c == n) 0L
+      else d * d / (nA * nB) * 1000000 * n / (c * (n - c))
+    val z = row._8
+    assert(z * z <= z2)
+    assert((z + 1) * (z + 1) > z2)
+  }
+
+  test("events_late_data matches an in-memory arrival-order watermark replay") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long, Long)].collect()
+    val expected = events.groupBy(_._1).map { case (u, es) =>
+      var hwm = Long.MinValue
+      var late = 0L; var worst = 0L
+      es.sortBy(_._2).foreach { case (_, _, us) =>
+        if (hwm != Long.MinValue && hwm - us > 600000000L) {
+          late += 1; worst = math.max(worst, hwm - us)
+        }
+        hwm = math.max(hwm, us)
+      }
+      (u, es.length.toLong, late, worst)
+    }.toSet
+    val got = Analytics.eventsLateData(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
 }

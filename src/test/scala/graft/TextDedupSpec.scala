@@ -1004,4 +1004,32 @@ class TextDedupSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size < docs.length,
       s"sample kept ${expected.size} of ${docs.length}")
   }
+
+  test("tokenize_coverage matches the segment table's per-source mass exactly") {
+    import spark.implicits._
+    val nSyms = TextOps.tokenizeBpeSegments(spark, sf)
+      .select("word", "n_syms").as[(String, Long)].collect().toMap
+    val occ = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+      .flatMap { case (src, text) =>
+        text.split(" ").filter(_.nonEmpty).map(w => (src, w))
+      }
+      .groupBy(identity).map { case ((src, w), hits) => (src, w, hits.length.toLong) }
+    val expected = occ.groupBy(_._1).map { case (src, rows) =>
+      val nWords = rows.map(_._3).sum
+      val nChars = rows.map { case (_, w, n) => n * w.length }.sum
+      val nSub = rows.map { case (_, w, n) => n * nSyms(w) }.sum
+      (src, nWords, nChars, nSub, nChars * 1000000L / nSub)
+    }.toSet
+    val got = TextOps.tokenizeCoverage(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // floors, asserted separately: a subword stream can never be
+    // shorter than its word stream, nor chars shorter than words
+    got.foreach { case (src, nWords, nChars, nSub, _) =>
+      assert(nWords > 0, src)
+      assert(nSub >= nWords, src)
+      assert(nChars >= nWords, src)
+    }
+  }
 }
