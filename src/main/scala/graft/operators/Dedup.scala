@@ -1009,6 +1009,79 @@ object Dedup {
        |SELECT doc_id, count(*) AS n_triangles FROM n GROUP BY doc_id
        |ORDER BY n_triangles DESC, doc_id""".stripMargin
 
+  // ------------------------------------------- label propagation
+  private val LP_ITERS = 4
+
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al. 2007) over the near-dup similarity graph: every node
+    * starts labeled with its own id; each of [[LP_ITERS]] fixed rounds
+    * relabels every node with the label MOST FREQUENT among its
+    * neighbors (ties → smallest label), all nodes updating from the
+    * previous round's labels simultaneously. Where connected
+    * components answers "what is reachable", LPA answers "what is
+    * densely together" — the community structure a curation pass
+    * reviews before picking per-cluster exemplars. Fixed synchronous
+    * rounds (not run-to-convergence) keep the computation a finite
+    * deterministic unroll both engines replay identically.
+    *
+    * == Scale design ==
+    * Per round: one join of the edge list against the O(nodes) label
+    * relation, a map-side-combinable (node, label) count, and a
+    * per-node argmax window partitioned on the node key — O(E) work,
+    * one shuffle each, no global ordering. The edge list (the
+    * expensive shingle pair join) materializes ONCE via
+    * stableCheckpoint and every round scans the blocks; per-round
+    * results checkpoint so the lineage stays flat (the
+    * [[dedupComponents]] iteration discipline).
+    */
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").stableCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    val byVote = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cnt").desc, col("lbl"))
+    for (_ <- 1 to LP_ITERS) {
+      labels = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .select(col("dst").as("id"), col("lbl"), col("cnt"))
+        .withColumn("rn", row_number().over(byVote))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lbl"))
+        .stableCheckpoint()
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(broadcast(sizes), Seq("lbl"))
+      .select(col("id").as("doc_id"), col("lbl").as("label"), col("community_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: the [[LP_ITERS]] synchronous rounds unrolled as
+    * CTEs, the same row_number argmax via QUALIFY. */
+  val graphLabelPropSql: String = {
+    val rounds = (1 to LP_ITERS).map { k =>
+      val p = k - 1
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS id, l$p.lbl, count(*) AS cnt
+         |  FROM e JOIN l$p ON l$p.id = e.src GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (SELECT id, lbl FROM c$k
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairCtes,
+       |e AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |l0 AS (SELECT id, id AS lbl FROM (SELECT DISTINCT src AS id FROM e)),
+       |$rounds,
+       |lsz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+       |  FROM l$LP_ITERS GROUP BY lbl)
+       |SELECT l.id AS doc_id, l.lbl AS label, lsz.community_size
+       |FROM l$LP_ITERS l JOIN lsz USING (lbl)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Link prediction over the WEAK-similarity graph: doc pairs whose
     * trigram Jaccard clears 0.02 (well below the 0.3 near-dup cut —
     * the corpus's similarity distribution is bimodal, ≥0.9 planted
@@ -1233,6 +1306,7 @@ object Dedup {
     "dedup_source_overlap" -> dedupSourceOverlap,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
+    "graph_label_prop" -> graphLabelProp,
     "graph_link_predict" -> graphLinkPredict)
 
   /** DuckDB twin of the cosine pairs: sequential left-fold dot, same
@@ -1316,5 +1390,6 @@ object Dedup {
     "dedup_source_overlap" -> dedupSourceOverlapSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_label_prop" -> graphLabelPropSql,
     "graph_link_predict" -> graphLinkPredictSql)
 }

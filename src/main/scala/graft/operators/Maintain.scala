@@ -482,6 +482,75 @@ object Maintain {
       |SELECT rule, metric_ppm, metric_ppm = 1000000 AS pass FROM r
       |ORDER BY rule""".stripMargin
 
+  /** Distribution-drift monitor between two epochs of the event log —
+    * the check a production pipeline runs when a new data drop lands:
+    * the first half of the month is the REFERENCE window, the rest is
+    * CURRENT, and for every bucket of two features (the event-type
+    * alphabet and six fixed value bands in integer cents) the monitor
+    * reports both windows' counts, shares in exact integer ppm, and
+    * the absolute share shift. Per feature, Σ drift_ppm / 2 is the
+    * total-variation distance — the alarm threshold number. All-
+    * integer (no PSI logarithm), so both engines agree bit-for-bit.
+    *
+    * == Scale design ==
+    * ONE scan: each event contributes one row per feature via a
+    * 2-row stack (conditional on the window), folded map-side onto
+    * O(buckets) keys; window totals ride a broadcast 1-row aggregate.
+    * At 100 TB this is a scan plus O(buckets) state — the same shape
+    * as [[dqRules]], pointed at two time windows.
+    */
+  def dqDrift(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val e = Tables.load(s, dir, "events")
+      .withColumn("cents", cents(col("value")))
+      .withColumn("band",
+        when(col("cents") < 1000, "v0").when(col("cents") < 2500, "v1")
+          .when(col("cents") < 5000, "v2").when(col("cents") < 7500, "v3")
+          .when(col("cents") < 10000, "v4").otherwise("v5"))
+      .withColumn("is_ref", (col("ts") < cut).cast("long"))
+      .select(col("is_ref"), expr(
+        "stack(2, 'event_type', event_type, 'value_band', band) AS (feature, bucket)"))
+    val totals = e.filter(col("feature") === "event_type").agg(
+      sum(col("is_ref")).as("ref_total"),
+      sum(lit(1L) - col("is_ref")).as("cur_total"))
+    e.groupBy(col("feature"), col("bucket"))
+      .agg(sum(col("is_ref")).as("ref_n"),
+        sum(lit(1L) - col("is_ref")).as("cur_n"))
+      .crossJoin(broadcast(totals))
+      .select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
+        expr("(1000000 * ref_n) div ref_total").as("ref_ppm"),
+        expr("(1000000 * cur_n) div cur_total").as("cur_ppm"),
+        expr("abs((1000000 * ref_n) div ref_total - (1000000 * cur_n) div cur_total)")
+          .as("drift_ppm"))
+      .orderBy(col("feature"), col("bucket"))
+  }
+
+  /** DuckDB twin: same two stacked features, same integer shares. */
+  val dqDriftSql: String =
+    """WITH b AS (SELECT
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref,
+      |    event_type,
+      |    CASE WHEN round(value*100) < 1000 THEN 'v0'
+      |         WHEN round(value*100) < 2500 THEN 'v1'
+      |         WHEN round(value*100) < 5000 THEN 'v2'
+      |         WHEN round(value*100) < 7500 THEN 'v3'
+      |         WHEN round(value*100) < 10000 THEN 'v4' ELSE 'v5' END AS band
+      |  FROM events),
+      |e AS (SELECT is_ref, 'event_type' AS feature, event_type AS bucket FROM b
+      |  UNION ALL SELECT is_ref, 'value_band', band FROM b),
+      |t AS (SELECT CAST(sum(is_ref) AS BIGINT) AS ref_total,
+      |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_total
+      |  FROM e WHERE feature = 'event_type'),
+      |g AS (SELECT feature, bucket, CAST(sum(is_ref) AS BIGINT) AS ref_n,
+      |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_n
+      |  FROM e GROUP BY feature, bucket)
+      |SELECT feature, bucket, ref_n, cur_n,
+      |  (1000000 * ref_n) // ref_total AS ref_ppm,
+      |  (1000000 * cur_n) // cur_total AS cur_ppm,
+      |  abs((1000000 * ref_n) // ref_total - (1000000 * cur_n) // cur_total) AS drift_ppm
+      |FROM g CROSS JOIN t
+      |ORDER BY feature, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> mergeUpsert,
     "merge_delete" -> mergeDelete,
@@ -490,7 +559,8 @@ object Maintain {
     "compaction_plan" -> compactionPlan,
     "table_snapshot_diff" -> tableSnapshotDiff,
     "table_profile" -> tableProfile,
-    "dq_rules" -> dqRules)
+    "dq_rules" -> dqRules,
+    "dq_drift" -> dqDrift)
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
@@ -500,5 +570,6 @@ object Maintain {
     "compaction_plan" -> compactionPlanSql,
     "table_snapshot_diff" -> tableSnapshotDiffSql,
     "table_profile" -> tableProfileSql,
-    "dq_rules" -> dqRulesSql)
+    "dq_rules" -> dqRulesSql,
+    "dq_drift" -> dqDriftSql)
 }

@@ -209,4 +209,40 @@ class MaintainSpec extends SparkSpec {
       .take(math.min(20, exact.size)).map(_._1)
     assert(rows.map(_._1).toSeq == want)
   }
+
+  test("dq_drift matches an in-memory two-window replay and shares sum to ~1e6") {
+    val cut = 1705363200000000L // 2024-01-16T00:00:00Z in epoch micros
+    val ev = Tables.load(spark, sf, "events")
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+    def band(v: Double): String = {
+      val c = math.round(v * 100)
+      if (c < 1000) "v0" else if (c < 2500) "v1" else if (c < 5000) "v2"
+      else if (c < 7500) "v3" else if (c < 10000) "v4" else "v5"
+    }
+    val rows = ev.flatMap { case (us, et, v) =>
+      val ref = us < cut
+      Seq((ref, "event_type", et), (ref, "value_band", band(v)))
+    }
+    val refT = rows.count { case (r, f, _) => r && f == "event_type" }.toLong
+    val curT = rows.count { case (r, f, _) => !r && f == "event_type" }.toLong
+    assert(refT > 0 && curT > 0, "both windows must be populated")
+    val expected = rows.groupBy { case (_, f, b) => (f, b) }.map { case ((f, b), hits) =>
+      val rn = hits.count(_._1).toLong
+      val cn = hits.count(!_._1).toLong
+      val rp = 1000000L * rn / refT
+      val cp = 1000000L * cn / curT
+      (f, b, rn, cn, rp, cp, math.abs(rp - cp))
+    }.toSet
+    val got = Maintain.dqDrift(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected)
+    // per feature, each window's shares must total 1e6 up to floor loss
+    got.groupBy(_._1).values.foreach { fr =>
+      val sumRef = fr.map(_._5).sum
+      val sumCur = fr.map(_._6).sum
+      assert(sumRef <= 1000000L && sumRef > 1000000L - fr.length)
+      assert(sumCur <= 1000000L && sumCur > 1000000L - fr.length)
+    }
+  }
 }

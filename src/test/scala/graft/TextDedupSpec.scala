@@ -795,6 +795,36 @@ class TextDedupSpec extends SparkSpec {
     assert(out.values.forall(_ > 0))
   }
 
+  test("graph_label_prop matches an in-memory synchronous LPA replay") {
+    val dir = sfMid // sf0.001's corpus has too few near-dup pairs
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val pairs = Dedup.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assume(pairs.nonEmpty, "corpus has no near-dup pairs — vacuous")
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val byNode = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var labels = byNode.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      labels = byNode.map { case (n, nbrs) =>
+        val votes = nbrs.groupBy(labels).map { case (l, hits) => (l, hits.length) }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = labels.values.groupBy(identity).map { case (l, ls) => l -> ls.size.toLong }
+    val expected = labels.map { case (n, l) => (n, l, sizes(l)) }.toSet
+    val got = Dedup.graphLabelProp(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, "LPA labels drifted from the synchronous model")
+    // communities refine reachability: every LPA community must sit
+    // inside one connected component (labels can split, never bridge)
+    val comp = Dedup.dedupComponents(spark, dir)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    labels.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(comp).toSet.size == 1,
+        "an LPA community crossed a connected component")
+    }
+  }
+
   /** Direct single-threaded replay of graphPagerank's exact integer
     * recurrence (same scale, damping, truncating division, 6 rounds).
     */
