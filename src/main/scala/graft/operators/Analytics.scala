@@ -2792,7 +2792,67 @@ object Analytics {
       |FROM l GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // --------------------------------------- point-in-time features
+  /** The four observation dates the PIT backfill materializes features
+    * as-of (a weekly training-snapshot cadence over the event month).
+    */
+  private val pitCutoffs = Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+
+  /** Point-in-time-correct feature backfill — the feature-store query
+    * that builds a training matrix without future leakage: for every
+    * (entity, observation date, feature) triple, the feature's value
+    * AS OF that date — events strictly before the cutoff only, the
+    * latest by (event time, arrival id) — plus the running event
+    * count. Emitted in the long (entity, ts, feature, value) layout
+    * feature stores materialize; a trainer pivots downstream. Using
+    * tomorrow's click to predict today is the classic silent model
+    * bug; this operator is the guard.
+    *
+    * == Scale design ==
+    * The scan fans out ×|cutoffs| (bounded, broadcast literal array —
+    * the standard PIT backfill shape), then ONE shuffle on the natural
+    * (entity, cutoff, feature) key: the latest-row pick and the count
+    * share a single window partition. No self-join per cutoff, no
+    * global sort. At 100 TB with weekly snapshots this is scan ×4 +
+    * one high-cardinality-keyed exchange.
+    */
+  def mlPitFeatures(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("cutoff"), col("event_type"))
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), cents(col("value")).as("vc"))
+      .select(col("*"),
+        explode(array(pitCutoffs.map(lit(_)): _*)).as("cutoff"))
+      .filter(col("us") < unix_micros(col("cutoff").cast("timestamp")))
+    e.withColumn("rn", row_number().over(w.orderBy(col("us").desc, col("event_id").desc)))
+      .withColumn("n_so_far", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("cutoff"), col("event_type"),
+        col("n_so_far"), col("vc").as("last_value_cents"), col("us").as("last_us"))
+      .orderBy(col("user_id"), col("cutoff"), col("event_type"))
+  }
+
+  /** DuckDB twin: same cutoff fan-out, same single window partition. */
+  val mlPitFeaturesSql: String = {
+    val cuts = pitCutoffs.map(c => s"'$c'").mkString(", ")
+    s"""WITH c AS (SELECT unnest([$cuts]) AS cutoff),
+       |e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+       |x AS (SELECT e.*, c.cutoff FROM e CROSS JOIN c
+       |  WHERE e.us < epoch_us(CAST(c.cutoff AS TIMESTAMP))),
+       |r AS (SELECT user_id, cutoff, event_type, us, event_id, vc,
+       |    row_number() OVER (PARTITION BY user_id, cutoff, event_type
+       |      ORDER BY us DESC, event_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY user_id, cutoff, event_type) AS n_so_far
+       |  FROM x)
+       |SELECT user_id, cutoff, event_type, CAST(n_so_far AS BIGINT) AS n_so_far,
+       |  vc AS last_value_cents, us AS last_us
+       |FROM r WHERE rn = 1
+       |ORDER BY user_id, cutoff, event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_pit_features" -> mlPitFeatures,
     "ml_target_encode" -> mlTargetEncode,
     "events_ab_lift" -> eventsAbLift,
     "events_late_data" -> eventsLateData,
@@ -2858,6 +2918,7 @@ object Analytics {
     "unpivot_revenue" -> unpivotRevenue)
 
   val oracles: Map[String, String] = Map(
+    "ml_pit_features" -> mlPitFeaturesSql,
     "ml_target_encode" -> mlTargetEncodeSql,
     "events_ab_lift" -> eventsAbLiftSql,
     "events_late_data" -> eventsLateDataSql,

@@ -309,7 +309,8 @@ object Multimodal {
     "mm_cdc_chunks" -> mmCdcChunks,
     "mm_batch_extract" -> mmBatchExtract,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_resize" -> mmResize)
+    "mm_resize" -> mmResize,
+    "mm_audio_chunks" -> mmAudioChunks)
 
   /** DuckDB twin of the stub decoder: the corpus is pure ASCII, so
     * byte-level features equal character-level ones and the rolling
@@ -324,11 +325,64 @@ object Multimodal {
       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 997) AS checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Audio segmentation planning — the chunker an ASR/audio-embedding
+    * pipeline runs before decode: each audio blob is split into
+    * 30-second analysis windows advanced by a 20-second hop (10 s
+    * overlap, the common ASR chunking), planned in EXACT integer
+    * sample arithmetic from the stream's sample rate so chunk
+    * boundaries are bit-reproducible. Source params (sample rate ∈
+    * {8, 12, 16} kHz, stream length) are stub-decoded from the blob —
+    * content-derived stand-ins for the codec header read, which is
+    * the one step this container cannot run. The final chunk is
+    * truncated at the stream end, never padded.
+    *
+    * == Scale design ==
+    * Kind-filtered scan + a bounded per-row `sequence` explode (fan-out
+    * = chunks per blob, duration-bounded) — pure codegen column math,
+    * no shuffle until the display orderBy. Embarrassingly parallel at
+    * any corpus size.
+    */
+  def mmAudioChunks(s: SparkSession, dir: String): DataFrame = {
+    val rate = (lit(8000L) + pmod(col("doc_id"), lit(3)) * 4000L).as("sample_rate")
+    val nSamples = (octet_length(col("text")).cast("long") * 64L).as("n_samples")
+    docs(s, dir)
+      .filter(col("doc_id") % 3 === 1) // 'audio' kind
+      .select(col("doc_id"), rate, nSamples)
+      .withColumn("hop", col("sample_rate") * 20L)
+      .withColumn("chunk_idx",
+        explode(expr("sequence(0L, (n_samples - 1) div hop)")))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"), col("chunk_idx"),
+        (col("chunk_idx") * col("hop")).as("start_sample"),
+        least(col("chunk_idx") * col("hop") + col("sample_rate") * 30L,
+          col("n_samples")).as("end_sample"))
+      .withColumn("start_ms", expr("start_sample * 1000 div sample_rate"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** DuckDB twin: same stub params, same integer chunk plan. */
+  val mmAudioChunksSql: String =
+    """WITH a AS (SELECT doc_id,
+      |    8000 + (doc_id % 3) * 4000 AS sample_rate,
+      |    strlen(text) * 64 AS n_samples
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |h AS (SELECT *, sample_rate * 20 AS hop FROM a),
+      |x AS (SELECT doc_id, sample_rate, n_samples,
+      |    unnest(range(0, (n_samples - 1) // hop + 1)) AS chunk_idx, hop
+      |  FROM h)
+      |SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+      |  CAST(n_samples AS BIGINT) AS n_samples,
+      |  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(chunk_idx * hop AS BIGINT) AS start_sample,
+      |  CAST(least(chunk_idx * hop + sample_rate * 30, n_samples) AS BIGINT) AS end_sample,
+      |  CAST((chunk_idx * hop) * 1000 // sample_rate AS BIGINT) AS start_ms
+      |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm_ingest" -> mmIngestSql,
     "mm_dedup_blob" -> mmDedupBlobSql,
     "mm_cdc_chunks" -> mmCdcChunksSql,
     "mm_batch_extract" -> mmBatchExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_resize" -> mmResizeSql)
+    "mm_resize" -> mmResizeSql,
+    "mm_audio_chunks" -> mmAudioChunksSql)
 }

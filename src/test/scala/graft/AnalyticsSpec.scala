@@ -788,6 +788,34 @@ class AnalyticsSpec extends SparkSpec {
     assert((z + 1) * (z + 1) > z2)
   }
 
+  test("ml_pit_features: as-of values match an in-memory replay and never leak the future") {
+    val cutUs = Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+      .map { d =>
+        d -> java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli * 1000L
+      }
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"), expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+      .as[(Long, Long, Long, String, Long)].collect()
+    val expected = (for {
+      (cut, us0) <- cutUs
+      ((u, et), rows) <- ev.filter(_._3 < us0).groupBy(r => (r._1, r._4))
+    } yield {
+      val last = rows.maxBy(r => (r._3, r._2))
+      (u, cut, et, rows.length.toLong, last._5, last._3)
+    }).toSet
+    val got = Analytics.mlPitFeatures(spark, sf)
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    assert(got.toSet == expected)
+    // the leakage guard itself: no feature row may see its cutoff
+    val cutMap = cutUs.toMap
+    got.foreach { r =>
+      assert(r._6 < cutMap(r._2), s"feature at ${r._2} leaks a future event")
+    }
+  }
+
   test("events_late_data matches an in-memory arrival-order watermark replay") {
     val events = spark.read.parquet(s"$sf/events.parquet")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))

@@ -372,4 +372,28 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(after.map(_.toSeq).toSeq == before.map(_.toSeq).toSeq,
       "re-created IVF index changed the search result")
   }
+
+  test("mm_audio_chunks: 30s windows on a 20s hop tile every stream exactly") {
+    import spark.implicits._
+    val rows = Multimodal.mmAudioChunks(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._4)
+      val (rate, n) = (sorted.head._2, sorted.head._3)
+      assert(Set(8000L, 12000L, 16000L).contains(rate), s"doc $id rate")
+      // indices are dense from 0; starts advance by exactly one hop
+      sorted.zipWithIndex.foreach { case ((_, _, _, idx, st, en, ms), i) =>
+        assert(idx == i, s"doc $id chunk index gap")
+        assert(st == idx * rate * 20, s"doc $id start off-hop")
+        assert(en == math.min(st + rate * 30, n), s"doc $id end")
+        assert(en > st, s"doc $id empty chunk")
+        assert(ms == st * 1000 / rate, s"doc $id start_ms")
+      }
+      // the plan covers the stream end and never plans past it
+      assert(sorted.last._6 == n, s"doc $id tail uncovered")
+      assert(sorted.last._5 < n, s"doc $id chunk planned past the end")
+      assert(sorted.length == (n - 1) / (rate * 20) + 1, s"doc $id chunk count")
+    }
+  }
 }
