@@ -2627,11 +2627,14 @@ object Analytics {
     * agree bit-for-bit.
     *
     * == Scale design ==
-    * The fact table scans once; the segment dimension broadcasts into
-    * the fact join; category statistics are one map-side-combinable
-    * groupBy on O(categories) keys whose result broadcasts back. No
-    * fact-sized shuffle anywhere — at 100 TB this is a scan with two
-    * broadcast hash joins and O(categories) aggregate state.
+    * Two fact scans (one folded map-side into the O(categories) stats,
+    * one for the encode itself) and zero fact-sized shuffles: the
+    * segment dimension broadcasts into both fact joins, the category
+    * stats broadcast back, and the global mean derives from the stats
+    * relation (Σsum ÷ Σn), not a third scan. A window formulation
+    * would reach one scan but at the price of a full fact shuffle —
+    * the re-scan is the cheaper side of that trade on columnar
+    * storage.
     */
   def mlTargetEncode(s: SparkSession, dir: String): DataFrame = {
     val seg = t(s, dir, "customer")
@@ -2639,10 +2642,15 @@ object Analytics {
     val o = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("target_cents"))
       .join(broadcast(seg), Seq("o_custkey"))
+    // the O(categories) stats materialize ONCE (eager checkpoint) and
+    // feed both the broadcast-back join and the global mean — deriving
+    // the global mean from the category sums (Σsum ÷ Σn ≡ the all-rows
+    // mean) saves a third full fact scan
     val catStats = o.groupBy(col("segment"))
       .agg(count(lit(1)).as("n_cat"), sum(col("target_cents")).as("sum_cat"))
-    val globalMean = o.agg(
-      expr("sum(target_cents) div count(1)").as("global_mean_cents"))
+      .stableCheckpoint()
+    val globalMean = catStats.agg(
+      expr("sum(sum_cat) div sum(n_cat)").as("global_mean_cents"))
     o.join(broadcast(catStats), Seq("segment"))
       .crossJoin(broadcast(globalMean))
       .select(col("o_orderkey"), col("segment"), col("target_cents"), col("n_cat"),
@@ -2661,7 +2669,7 @@ object Analytics {
       |cs AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_cat,
       |    CAST(sum(target_cents) AS BIGINT) AS sum_cat
       |  FROM o GROUP BY segment),
-      |g AS (SELECT CAST(sum(target_cents) AS BIGINT) // count(*) AS global_mean_cents FROM o)
+      |g AS (SELECT CAST(sum(sum_cat) AS BIGINT) // CAST(sum(n_cat) AS BIGINT) AS global_mean_cents FROM cs)
       |SELECT o_orderkey, segment, target_cents, n_cat,
       |  (sum_cat - target_cents) // (n_cat - 1) AS loo_mean_cents,
       |  (sum_cat - target_cents + 10 * global_mean_cents) // (n_cat - 1 + 10) AS enc_cents

@@ -510,13 +510,16 @@ object Maintain {
       .withColumn("is_ref", (col("ts") < cut).cast("long"))
       .select(col("is_ref"), expr(
         "stack(2, 'event_type', event_type, 'value_band', band) AS (feature, bucket)"))
-    val totals = e.filter(col("feature") === "event_type").agg(
-      sum(col("is_ref")).as("ref_total"),
-      sum(lit(1L) - col("is_ref")).as("cur_total"))
+    // window totals over the O(buckets) grouped relation — every
+    // feature partitions the same events, so its bucket sums ARE the
+    // window totals; this keeps the plan at ONE scan (a separate
+    // totals aggregate would re-read the table)
+    val perFeature = Window.partitionBy(col("feature"))
     e.groupBy(col("feature"), col("bucket"))
       .agg(sum(col("is_ref")).as("ref_n"),
         sum(lit(1L) - col("is_ref")).as("cur_n"))
-      .crossJoin(broadcast(totals))
+      .withColumn("ref_total", sum(col("ref_n")).over(perFeature))
+      .withColumn("cur_total", sum(col("cur_n")).over(perFeature))
       .select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
         expr("(1000000 * ref_n) div ref_total").as("ref_ppm"),
         expr("(1000000 * cur_n) div cur_total").as("cur_ppm"),
