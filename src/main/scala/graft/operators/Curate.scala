@@ -455,6 +455,52 @@ object Curate {
       |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS sample_rank
       |FROM f ORDER BY h, doc_id LIMIT 100""".stripMargin
 
+  /** Exact-k WEIGHTED sample without replacement — the integer
+    * Efraimidis–Spirakis surrogate: each doc draws a "wk|"-salted
+    * content hash h (uniform on [0, P)) and ranks by
+    * priority = ⌊h / weight⌋ with weight = its token count; the k
+    * smallest priorities win. P(priority < t) = P(h < t·w) grows
+    * linearly with w in the selection tail, so selection probability
+    * scales with document weight exactly as the float u^(1/w) key
+    * does — but in pure integer arithmetic both engines replay
+    * bit-for-bit (the float key would hash-mismatch). Deterministic,
+    * replayable, duplicate-stable, like the whole sample family.
+    *
+    * == Scale design ==
+    * Scan-side hash + one integer division per row, then the same
+    * [[graft.plans.TopKPerGroup]] global top-k as [[sampleUniformK]]:
+    * per-partition k-heaps, O(k) per task, no global sort of the
+    * corpus.
+    */
+  def sampleWeightedK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val K = 100
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("wk|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val ranked = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("weight"), h.as("h"),
+        lit(1).as("g"))
+      .withColumn("priority", expr("h div weight"))
+    graft.plans.GraftOps.topKPerGroup(ranked, Seq("g"),
+        Seq("priority" -> false, "doc_id" -> false), k = K, rankName = "sample_rank")
+      .select(col("doc_id"), col("source"), col("weight"), col("priority"),
+        col("sample_rank"))
+      .orderBy(col("sample_rank"))
+  }
+
+  val sampleWeightedKSql: String =
+    """WITH f AS (SELECT doc_id, source,
+      |  len(string_split(text, ' ')) AS weight,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('wk|' || text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM documents),
+      |p AS (SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
+      |    h // weight AS priority FROM f)
+      |SELECT doc_id, source, weight, priority,
+      |  CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
+      |FROM p ORDER BY priority, doc_id LIMIT 100""".stripMargin
+
   // --------------------------------------------- importance sampling
   /** Quality-weighted importance sampling: longer (more informative)
     * documents keep a higher deterministic acceptance rate —
@@ -1049,6 +1095,7 @@ object Curate {
     "pack_efficiency" -> packEfficiency,
     "corpus_chisq" -> corpusChisq,
     "sample_uniform_k" -> sampleUniformK,
+    "sample_weighted_k" -> sampleWeightedK,
     "sample_group_k" -> sampleGroupK,
     "sample_importance" -> sampleImportance,
     "sample_temperature" -> sampleTemperature,
@@ -1075,6 +1122,7 @@ object Curate {
     "pack_efficiency" -> packEfficiencySql,
     "corpus_chisq" -> corpusChisqSql,
     "sample_uniform_k" -> sampleUniformKSql,
+    "sample_weighted_k" -> sampleWeightedKSql,
     "sample_group_k" -> sampleGroupKSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_cluster" -> pipelineCurateClusterSql,

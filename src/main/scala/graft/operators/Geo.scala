@@ -327,7 +327,113 @@ object Geo {
        |FROM z GROUP BY tile ORDER BY tile""".stripMargin
   }
 
+  /** The four fixed pixel-space query boxes the skipping audit probes
+    * (box_id, x0, y0, x1, y1) — a quarter, a wide band, the center,
+    * and a small corner. */
+  private val skipBoxes =
+    "stack(4, 0L,0L,0L,349L,249L, 1L,700L,0L,1399L,499L, " +
+      "2L,350L,250L,1049L,749L, 3L,1200L,800L,1399L,999L) " +
+      "AS (box_id, bx0, by0, bx1, by1)"
+
+  /** Data-skipping effectiveness audit — the measurement that justifies
+    * a layout rewrite before anyone pays for it: the raster cells are
+    * laid out into 256-cell files two ways (row-major `linear` vs
+    * Morton `zorder`), each file keeps min/max zone-map stats on both
+    * axes (exactly what parquet row-group stats give a 2-D predicate),
+    * and four fixed query boxes are planned against each layout. Per
+    * (layout, box): files touched vs total, cells scanned vs actually
+    * matching, and the read amplification in exact ppm. Z-order files
+    * are compact rectangles so boxes prune on BOTH axes; linear files
+    * span full rows and only prune on y — the ppm gap between the two
+    * rows is the business case for [[layoutZorder]].
+    *
+    * == Scale design ==
+    * The ranking relation is the CANVAS-BOUNDED cell grid (≤1.4M
+    * cells), not the point corpus — the events scan folds map-side
+    * into it once ([[rasterDf]], checkpointed here since two consumers
+    * read it). The per-layout row_number is over that bounded
+    * relation; file summaries (≤342 files/layout) and the 4-box probe
+    * are broadcast-sized. At 100 TB of points this stays grid-sized
+    * after the one rasterize pass.
+    */
+  def layoutSkippingEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val F = 256L
+    val raster = rasterDf(s, dir).stableCheckpoint()
+    val zkey = spread16(col("px")).bitwiseOR(shiftleft(spread16(col("py")), 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("layout")).orderBy(col("okey"))
+    val files = raster
+      .select(col("px"), col("py"), col("cnt"),
+        explode(array(lit("linear"), lit("zorder"))).as("layout"))
+      .withColumn("okey", when(col("layout") === "linear",
+        col("py") * 2048L + col("px")).otherwise(zkey))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("file_id", expr(s"(rn - 1) div $F"))
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_points"),
+        min(col("px")).as("fx0"), max(col("px")).as("fx1"),
+        min(col("py")).as("fy0"), max(col("py")).as("fy1"))
+    val boxes = s.range(1).select(expr(skipBoxes))
+    val matching = raster.crossJoin(broadcast(boxes))
+      .filter(col("px") >= col("bx0") && col("px") <= col("bx1") &&
+        col("py") >= col("by0") && col("py") <= col("by1"))
+      .groupBy(col("box_id"))
+      .agg(count(lit(1)).as("cells_matching"), sum(col("cnt")).as("points_matching"))
+    files.crossJoin(broadcast(boxes))
+      .withColumn("files_total", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("layout"), col("box_id"))))
+      .filter(col("fx1") >= col("bx0") && col("fx0") <= col("bx1") &&
+        col("fy1") >= col("by0") && col("fy0") <= col("by1"))
+      .groupBy(col("layout"), col("box_id"), col("files_total"))
+      .agg(count(lit(1)).as("files_touched"),
+        sum(col("n_cells")).as("cells_scanned"))
+      .join(broadcast(matching), Seq("box_id"))
+      .select(col("layout"), col("box_id"), col("files_total"),
+        col("files_touched"), col("cells_scanned"), col("cells_matching"),
+        expr("(1000000 * cells_scanned) div greatest(cells_matching, 1)")
+          .as("read_amp_ppm"))
+      .orderBy(col("layout"), col("box_id"))
+  }
+
+  /** DuckDB twin: same bounded ranking, same zone-map intersection. */
+  val layoutSkippingEvalSql: String = {
+    val z = s"(${spreadSql("px")} | (${spreadSql("py")} << 1))"
+    s"""WITH $pointsCte, $mercCte, $rasterCte,
+       |l AS (
+       |  SELECT px, py, cnt, 'linear' AS layout, py * 2048 + px AS okey FROM raster
+       |  UNION ALL
+       |  SELECT px, py, cnt, 'zorder', $z FROM raster),
+       |r AS (SELECT layout, cnt, px, py,
+       |    (row_number() OVER (PARTITION BY layout ORDER BY okey) - 1) // 256 AS file_id
+       |  FROM l),
+       |files AS (SELECT layout, file_id, count(*) AS n_cells,
+       |    min(px) AS fx0, max(px) AS fx1, min(py) AS fy0, max(py) AS fy1
+       |  FROM r GROUP BY 1, 2),
+       |boxes AS (SELECT * FROM (VALUES (0, 0, 0, 349, 249), (1, 700, 0, 1399, 499),
+       |    (2, 350, 250, 1049, 749), (3, 1200, 800, 1399, 999))
+       |  AS t(box_id, bx0, by0, bx1, by1)),
+       |m AS (SELECT box_id, count(*) AS cells_matching
+       |  FROM raster CROSS JOIN boxes
+       |  WHERE px >= bx0 AND px <= bx1 AND py >= by0 AND py <= by1
+       |  GROUP BY box_id),
+       |ft AS (SELECT layout, count(*) AS files_total FROM files GROUP BY layout),
+       |hit AS (SELECT layout, box_id, count(*) AS files_touched,
+       |    CAST(sum(n_cells) AS BIGINT) AS cells_scanned
+       |  FROM files CROSS JOIN boxes
+       |  WHERE fx1 >= bx0 AND fx0 <= bx1 AND fy1 >= by0 AND fy0 <= by1
+       |  GROUP BY 1, 2)
+       |SELECT hit.layout, CAST(hit.box_id AS BIGINT) AS box_id,
+       |  CAST(ft.files_total AS BIGINT) AS files_total,
+       |  CAST(files_touched AS BIGINT) AS files_touched, cells_scanned,
+       |  CAST(cells_matching AS BIGINT) AS cells_matching,
+       |  (1000000 * cells_scanned) // greatest(cells_matching, 1) AS read_amp_ppm
+       |FROM hit JOIN ft USING (layout) JOIN m USING (box_id)
+       |ORDER BY layout, box_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_skipping_eval" -> layoutSkippingEval,
     "layout_zorder" -> layoutZorder,
     "geo_mercator" -> geoMercator,
     "geo_bbox_filter" -> geoBboxFilter,
@@ -338,6 +444,7 @@ object Geo {
     "reduce_assemble" -> reduceAssemble)
 
   val oracles: Map[String, String] = Map(
+    "layout_skipping_eval" -> layoutSkippingEvalSql,
     "layout_zorder" -> layoutZorderSql,
     "geo_mercator" -> geoMercatorSql,
     "geo_bbox_filter" -> geoBboxFilterSql,

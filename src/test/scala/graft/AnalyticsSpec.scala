@@ -765,8 +765,10 @@ class AnalyticsSpec extends SparkSpec {
     val conv = events.groupBy(_._1).map { case (u, es) =>
       u -> (if (es.exists(_._2 == "purchase")) 1L else 0L)
     }
+    // the split-family hash: char fold mod 1e9+7 (NOT MinHashKernel's
+    // 2^31-1 shingle modulus — parities diverge for multi-digit ids)
     val armOf = (u: Long) =>
-      graft.functions.MinHashKernel.polyHash("ab|" + u) % 2
+      ("ab|" + u).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 2
     val (as0, bs) = conv.partition { case (u, _) => armOf(u) == 0L }
     val (nA, nB) = (as0.size.toLong, bs.size.toLong)
     val (cA, cB) = (as0.values.sum, bs.values.sum)

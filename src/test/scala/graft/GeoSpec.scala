@@ -50,4 +50,27 @@ class GeoSpec extends SparkSpec {
     assert(lastCum == frames.map(_.getAs[Long]("n_points")).sum)
     assert(manifest.head.getAs[Long]("total_frames") == frames.length)
   }
+
+  test("layout_skipping_eval: consistent accounting, and z-order prunes the corner boxes harder") {
+    val rows = Geo.layoutSkippingEval(spark, sfMid)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 8, "2 layouts x 4 boxes")
+    rows.foreach { case (ly, box, total, touched, scanned, matching, amp) =>
+      assert(touched >= 1 && touched <= total, s"$ly/$box files")
+      assert(scanned >= matching, s"$ly/$box must scan at least the matches")
+      assert(amp == 1000000L * scanned / math.max(matching, 1L), s"$ly/$box amp")
+    }
+    // matching cells are layout-independent
+    rows.groupBy(_._2).values.foreach { bs =>
+      assert(bs.map(_._6).toSet.size == 1, "cells_matching differs by layout")
+    }
+    // the designed advantage: on the axis-aligned corner boxes (0 and
+    // 3) Morton files are compact rectangles and must touch no more
+    // files than the row-major layout
+    val byKey = rows.map(r => (r._1, r._2) -> r._4).toMap
+    Seq(0L, 3L).foreach { b =>
+      assert(byKey(("zorder", b)) <= byKey(("linear", b)),
+        s"z-order lost the corner-box pruning on box $b")
+    }
+  }
 }

@@ -1035,6 +1035,30 @@ class TextDedupSpec extends SparkSpec {
       s"sample kept ${expected.size} of ${docs.length}")
   }
 
+  test("sample_weighted_k matches the in-memory E-S surrogate and favors heavy docs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfMid/documents.parquet")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    // the split-family hash: char fold mod 1e9+7 (NOT MinHashKernel's
+    // 2^31-1 shingle modulus)
+    def ph(t: String): Long = t.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val scored = docs.map { case (id, src, text) =>
+      val w = text.split(" ", -1).length.toLong
+      (id, src, w, ph("wk|" + text) / w)
+    }
+    val expected = scored.sortBy { case (id, _, _, p) => (p, id) }.take(100)
+      .zipWithIndex.map { case ((id, src, w, p), i) => (id, src, w, p, i + 1L) }.toSet
+    val got = graft.operators.Curate.sampleWeightedK(spark, sfMid)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // the weighting must be non-vacuous: kept docs are heavier on
+    // average than the corpus (P(select) grows with weight)
+    val keptMean = got.toSeq.map(_._3).sum.toDouble / got.size
+    val allMean = scored.map(_._3).sum.toDouble / scored.length
+    assert(keptMean > allMean,
+      s"weighted sample not heavier than corpus: $keptMean <= $allMean")
+  }
+
   test("tokenize_coverage matches the segment table's per-source mass exactly") {
     import spark.implicits._
     val nSyms = TextOps.tokenizeBpeSegments(spark, sf)
