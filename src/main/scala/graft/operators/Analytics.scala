@@ -2756,11 +2756,20 @@ object Analytics {
     * ingest runs over its own history: replay each user's events in
     * ARRIVAL order (event_id, the monotone ingest sequence) and flag
     * every event whose event time lags the maximum event time already
-    * seen for that user by more than the 10-minute tolerance — exactly
-    * the rows a `withWatermark("ts", "10 minutes")` pipeline keyed by
-    * user would drop. Output per user: event count, late count, and
+    * seen for that user by more than the 24-hour allowed lateness —
+    * exactly the rows a `withWatermark("ts", "1 day")` daily-batch
+    * pipeline keyed by user would drop. Output per user: event count, late count, and
     * the worst observed disorder in exact micros — the number that
     * tells you what watermark delay the topology actually needs.
+    *
+    * The synthetic log is ingest-ordered (event_id follows event
+    * time), so disorder is PLANTED deterministically — every 17th
+    * event's event time is backdated by (event_id % 5 + 1)·2 days
+    * (2–10 days — sized to the log's multi-day per-user event gaps,
+    * so ~6% of events land genuinely late at every scale factor) — the same planted-fixture move as
+    * [[TextOps.textRedact]]: the operator under test is the
+    * watermark accounting, and the plant makes it non-vacuous and
+    * oracle-checkable at every scale factor.
     *
     * == Scale design ==
     * One shuffle on the natural user key, then a per-user sort inside
@@ -2772,10 +2781,12 @@ object Analytics {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     events(s, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us0"))
+      .withColumn("us", expr(
+        "us0 - CASE WHEN event_id % 17 = 0 THEN (event_id % 5 + 1) * 172800000000 ELSE 0 END"))
       .withColumn("hwm", max(col("us")).over(w))
       .withColumn("late_by",
-        when(col("hwm") - col("us") > 600000000L, col("hwm") - col("us"))
+        when(col("hwm") - col("us") > 86400000000L, col("hwm") - col("us"))
           .otherwise(lit(0L)))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -2784,15 +2795,17 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
-  /** DuckDB twin: same arrival-order window, same 10-minute cut. */
+  /** DuckDB twin: same plant, same arrival-order window, same cut. */
   val eventsLateDataSql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch_us(ts) - CASE WHEN event_id % 17 = 0 THEN (event_id % 5 + 1) * 172800000000 ELSE 0 END AS us
+      |  FROM events),
       |h AS (SELECT user_id, us,
       |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
       |  FROM e),
       |l AS (SELECT user_id,
-      |    CASE WHEN hwm - us > 600000000 THEN hwm - us ELSE 0 END AS late_by
+      |    CASE WHEN hwm - us > 86400000000 THEN hwm - us ELSE 0 END AS late_by
       |  FROM h)
       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
       |  CAST(sum(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,

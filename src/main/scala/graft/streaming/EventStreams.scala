@@ -861,7 +861,87 @@ object EventStreams {
         sum(col("vc").cast("decimal(38,0)")).as("vc_sum"),
         min(col("vc")).as("vc_min"), max(col("vc")).as("vc_max"))
 
+  /** One arriving event for the late-data monitor. */
+  case class LateEv(user: Long, eventId: Long, us: Long)
+  /** Emitted late-event row: how far behind the key's high-water mark. */
+  case class LateOut(user_id: Long, event_id: Long, us: Long, late_by_us: Long)
+  case class HwmState(hwm: Long)
+
+  /** Live late-data monitor — the streaming twin of the
+    * [[graft.operators.Analytics.eventsLateData]] audit: per user
+    * (keyed FMGWS state = ONE high-water-mark long), every arriving
+    * event whose event time lags the key's max-seen event time by more
+    * than the 24-hour allowed lateness is emitted to the late-event
+    * change-log as it happens — the rows a `withWatermark` pipeline
+    * would silently drop, surfaced as a monitorable stream. Records
+    * are folded in arrival order (event_id) within each batch, so fed
+    * in order the emitted log is exactly the batch face's relation.
+    */
+  def lateDataStream(stream: Dataset[LateEv],
+                     toleranceUs: Long = 86400000000L): Dataset[LateOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[HwmState, LateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, recs: Iterator[LateEv], state: GroupState[HwmState]) =>
+          var hwm = state.getOption.map(_.hwm).getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[LateOut]
+          recs.toSeq.sortBy(_.eventId).foreach { r =>
+            if (hwm != Long.MinValue && hwm - r.us > toleranceUs)
+              out += LateOut(user, r.eventId, r.us, hwm - r.us)
+            if (r.us > hwm) hwm = r.us
+          }
+          state.update(HwmState(hwm))
+          out.iterator
+      }
+  }
+
+  /** Batch face of [[lateDataStream]] (registered as
+    * `stream_late_data`): the in-order replay of the late-event
+    * change-log — one row per event arriving >24 h behind its
+    * user's running event-time high-water mark, with the exact micros
+    * disorder. This is [[graft.operators.Analytics.eventsLateData]]
+    * BEFORE its per-user rollup: the audit aggregates it, the live
+    * face streams it, and the spec pins the streamed log equal to
+    * this relation on the real corpus feed.
+    *
+    * == Scale design ==
+    * One user-keyed shuffle + per-partition rows-frame window (same
+    * plan as the audit face); the streaming twin holds ONE long per
+    * key in the state store.
+    */
+  def streamLateData(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us0"))
+      // the eventsLateData planted-disorder fixture (every 17th event
+      // backdated 2-10 days) — the synthetic log is otherwise in order
+      .withColumn("us", expr(
+        "us0 - CASE WHEN event_id % 17 = 0 THEN (event_id % 5 + 1) * 172800000000 ELSE 0 END"))
+      .withColumn("hwm", max(col("us")).over(w))
+      .withColumn("late_by_us", col("hwm") - col("us"))
+      .filter(col("late_by_us") > 86400000000L)
+      .select(col("user_id"), col("event_id"), col("us"), col("late_by_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val streamLateDataSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch_us(ts) - CASE WHEN event_id % 17 = 0 THEN (event_id % 5 + 1) * 172800000000 ELSE 0 END AS us
+      |  FROM events),
+      |h AS (SELECT user_id, event_id, us,
+      |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM e)
+      |SELECT user_id, event_id, us, hwm - us AS late_by_us
+      |FROM h WHERE hwm - us > 86400000000
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_late_data" -> streamLateData,
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize,
     "stream_dedup" -> streamDedup,
@@ -888,6 +968,7 @@ object EventStreams {
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_late_data" -> streamLateDataSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_dedup" -> streamDedupSql,

@@ -822,11 +822,15 @@ class AnalyticsSpec extends SparkSpec {
     val events = spark.read.parquet(s"$sf/events.parquet")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
       .as[(Long, Long, Long)].collect()
+      .map { case (u, id, us0) =>
+        // the operator's planted-disorder fixture, replayed here
+        (u, id, us0 - (if (id % 17 == 0) (id % 5 + 1) * 172800000000L else 0L))
+      }
     val expected = events.groupBy(_._1).map { case (u, es) =>
       var hwm = Long.MinValue
       var late = 0L; var worst = 0L
       es.sortBy(_._2).foreach { case (_, _, us) =>
-        if (hwm != Long.MinValue && hwm - us > 600000000L) {
+        if (hwm != Long.MinValue && hwm - us > 86400000000L) {
           late += 1; worst = math.max(worst, hwm - us)
         }
         hwm = math.max(hwm, us)
@@ -836,5 +840,7 @@ class AnalyticsSpec extends SparkSpec {
     val got = Analytics.eventsLateData(spark, sf)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == expected)
+    // the plant must make the audit non-vacuous at this sf
+    assert(got.exists(_._3 > 0), "no late events — the audit is vacuous")
   }
 }

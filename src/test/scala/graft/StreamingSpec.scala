@@ -838,4 +838,40 @@ class StreamingSpec extends SparkSpec {
         s"stream-only: ${live.diff(batch)}; batch-only: ${batch.diff(live)}")
     } finally q.stop()
   }
+
+  test("late-data stream equals the batch face fed in per-user arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.LateEv
+    val raw = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, id, us0) =>
+        // the shared planted-disorder fixture (see streamLateData)
+        val us = us0 - (if (id % 17 == 0) (id % 5 + 1) * 172800000000L else 0L)
+        LateEv(u, id, us)
+      }
+    // batch i carries every user's i-th event in arrival (event_id)
+    // order — each key's records arrive strictly in ingest order,
+    // split across MANY batches so state genuinely carries over
+    val byKey = raw.groupBy(_.user).view.mapValues(_.sortBy(_.eventId).toVector).toMap
+    val rounds = byKey.values.map(_.length).max
+    val mem = MemoryStream[LateEv]
+    val q = EventStreams.lateDataStream(mem.toDS())
+      .writeStream.format("memory").queryName("late_live")
+      .outputMode("append").start()
+    try {
+      (0 until rounds).foreach { i =>
+        val batch = byKey.values.flatMap(_.lift(i)).toSeq
+        if (batch.nonEmpty) { mem.addData(batch: _*); q.processAllAvailable() }
+      }
+      val live = spark.sql("SELECT user_id, event_id, us, late_by_us FROM late_live")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batchFace = EventStreams.streamLateData(spark, sf)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(live.nonEmpty, "no late events in the corpus feed — vacuous")
+      assert(live == batchFace,
+        s"stream-only: ${live.diff(batchFace).take(3)}; batch-only: ${batchFace.diff(live).take(3)}")
+    } finally q.stop()
+  }
 }
