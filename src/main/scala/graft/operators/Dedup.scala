@@ -452,6 +452,67 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------- recall/precision eval
+  /** Dedup-quality evaluation harness — the post-tuning gate a corpus
+    * pipeline runs before trusting an approximate dedup pass: each
+    * approximate face's candidate pairs (MinHash-LSH, SimHash) scored
+    * against the exact trigram-Jaccard ≥ 0.3 truth — truth size,
+    * returned pairs, hits, and exact integer-ppm recall AND precision
+    * per face (LSH trades a little recall for tight precision; SimHash
+    * is the loose wide net that needs a verify stage — the two numbers
+    * that tell you which to deploy where). The ANN counterpart is
+    * [[Similarity]]'s `ann_recall_eval`; registering the measurement
+    * makes the evaluation itself oracle-checked.
+    *
+    * == Scale design ==
+    * The truth relation is the (tiny) verified near-dup pair set —
+    * checkpointed once, broadcast into the probe join; each face runs
+    * its own already-audited plan; the scoring is one O(faces)
+    * aggregate. At 100 TB the truth side would be a SAMPLE's exact
+    * pairs — the harness shape is unchanged.
+    */
+  def dedupRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      .stableCheckpoint()
+    val faces = Seq(
+      ("minhash_lsh", dedupMinhashLsh(s, dir)),
+      ("simhash", dedupSimhash(s, dir)))
+    val tagged = faces.map { case (n, df) =>
+      df.select(lit(n).as("face"), col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _)
+    val nTruth = truth.agg(count(lit(1)).as("truth_pairs"))
+    tagged.alias("a")
+      .join(broadcast(truth.alias("t")),
+        col("a.doc_a") === col("t.doc_a") && col("a.doc_b") === col("t.doc_b"),
+        "left")
+      .groupBy(col("face"))
+      .agg(count(lit(1)).as("returned"), count(col("t.doc_a")).as("hits"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("face"), col("truth_pairs"), col("returned"), col("hits"),
+        expr("1000000 * hits div truth_pairs").as("recall_ppm"),
+        expr("1000000 * hits div returned").as("precision_ppm"))
+      .orderBy(col("face"))
+  }
+
+  /** DuckDB twin: each face's full oracle statement inlined as a
+    * derived table (WITH scopes stay local — the ann_recall_eval
+    * composition trick), same left-join scoring. */
+  lazy val dedupRecallEvalSql: String =
+    s"""WITH t AS (SELECT doc_a, doc_b FROM ($dedupNgramJaccardSql)),
+       |apx AS (
+       |  SELECT 'minhash_lsh' AS face, doc_a, doc_b FROM ($dedupMinhashLshSql)
+       |  UNION ALL
+       |  SELECT 'simhash', doc_a, doc_b FROM ($dedupSimhashSql)),
+       |n AS (SELECT count(*) AS truth_pairs FROM t)
+       |SELECT apx.face, n.truth_pairs,
+       |  count(*) AS returned, count(t.doc_a) AS hits,
+       |  1000000 * count(t.doc_a) // n.truth_pairs AS recall_ppm,
+       |  1000000 * count(t.doc_a) // count(*) AS precision_ppm
+       |FROM apx LEFT JOIN t ON t.doc_a = apx.doc_a AND t.doc_b = apx.doc_b
+       |CROSS JOIN n
+       |GROUP BY apx.face, n.truth_pairs
+       |ORDER BY apx.face""".stripMargin
+
   // ------------------------------------------- contamination check
   /** Benchmark decontamination report: for every EVAL doc (source =
     * 'src0', standing in for a held-out benchmark) count the TRAIN
@@ -1294,6 +1355,7 @@ object Dedup {
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_threshold_curve" -> dedupThresholdCurve,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_recall_eval" -> dedupRecallEval,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_components" -> dedupComponents,
@@ -1379,6 +1441,7 @@ object Dedup {
     "dedup_threshold_curve" -> dedupThresholdCurveSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_recall_eval" -> dedupRecallEvalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_components" -> dedupComponentsSql,
     "contamination_ngram" -> contaminationNgramSql,

@@ -1035,6 +1035,36 @@ class TextDedupSpec extends SparkSpec {
       s"sample kept ${expected.size} of ${docs.length}")
   }
 
+  test("dedup_recall_eval scores the approximate faces against the exact pair truth") {
+    val dir = sfMid
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val truth = Dedup.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assume(truth.nonEmpty, "no near-dup pairs — vacuous")
+    val faces = Map(
+      "minhash_lsh" -> Dedup.dedupMinhashLsh(spark, dir)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect(),
+      "simhash" -> Dedup.dedupSimhash(spark, dir)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect())
+    val got = Dedup.dedupRecallEval(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == faces.keySet)
+    faces.foreach { case (face, pairs) =>
+      val (_, tp, ret, hits, rec, prec) = got(face)
+      assert(tp == truth.size.toLong, face)
+      assert(ret == pairs.length.toLong, face)
+      assert(hits == pairs.count(truth).toLong, face)
+      assert(rec == 1000000L * hits / tp, face)
+      assert(prec == 1000000L * hits / ret, face)
+    }
+    // the harness must be non-vacuous in BOTH directions: at least one
+    // face misses truth or over-returns, else the eval distinguishes
+    // nothing (simhash's wide net guarantees this on the real corpus)
+    assert(got.values.exists(r => r._4 < r._2 || r._3 > r._2),
+      "every face returned exactly the truth — eval is vacuous")
+  }
+
   test("sample_weighted_k matches the in-memory E-S surrogate and favors heavy docs") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfMid/documents.parquet")
