@@ -482,6 +482,57 @@ object Maintain {
       |SELECT rule, metric_ppm, metric_ppm = 1000000 AS pass FROM r
       |ORDER BY rule""".stripMargin
 
+  /** The fixed as-of probe dates the SCD2 lookup resolves (one per
+    * mid-year across the order history). */
+  private val scd2Probes: Seq[String] =
+    (1995 to 2001).map(y => s"$y-07-01")
+
+  /** Point-in-time lookup against the SCD2 dimension — the read side
+    * of [[dimScd2]]: for every dimension key and each of seven fixed
+    * mid-year as-of dates, the version whose [valid_from, valid_to)
+    * interval covers the date, with its running balance — "what did
+    * this customer's row say on 1998-07-01?", the query every
+    * versioned-dimension consumer (fact enrichment, audit, ML
+    * training-matrix build) runs. Validity bounds are ISO-date
+    * strings, so the interval predicate is a lexicographic range both
+    * engines compare identically (the `9999-12-31` open sentinel
+    * included); probes before a customer's first version correctly
+    * resolve to nothing.
+    *
+    * == Scale design ==
+    * Probes derive from the dimension's own key set (×7 bounded
+    * fan-out); the interval join is EQUALITY on the dimension key
+    * plus a range predicate within the key's own few versions — a
+    * partitioned range join with per-key cost O(versions), never a
+    * cross product. At 100 TB the dim key partitions P-way and each
+    * probe touches one partition.
+    */
+  def dimScd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val dim = dimScd2(s, dir)
+    val probes = dim.select(col("custkey")).distinct()
+      .select(col("custkey"),
+        explode(array(scd2Probes.map(lit(_)): _*)).as("asof_date"))
+    probes.join(dim, Seq("custkey"))
+      .filter(col("valid_from") <= col("asof_date") &&
+        col("asof_date") < col("valid_to"))
+      .select(col("custkey"), col("asof_date"), col("version"),
+        col("bal_cents"), col("is_current"))
+      .orderBy(col("custkey"), col("asof_date"))
+  }
+
+  /** DuckDB twin: the dimension CTE replayed, same probe fan-out and
+    * lexicographic interval predicate. */
+  lazy val dimScd2AsofSql: String = {
+    val probes = scd2Probes.map(p => s"'$p'").mkString(", ")
+    s"""WITH dim AS (SELECT * FROM ($dimScd2Sql)),
+       |p AS (SELECT custkey, unnest([$probes]) AS asof_date
+       |  FROM (SELECT DISTINCT custkey FROM dim))
+       |SELECT p.custkey, p.asof_date, dim.version, dim.bal_cents, dim.is_current
+       |FROM p JOIN dim ON dim.custkey = p.custkey
+       |WHERE dim.valid_from <= p.asof_date AND p.asof_date < dim.valid_to
+       |ORDER BY p.custkey, p.asof_date""".stripMargin
+  }
+
   /** Distribution-drift monitor between two epochs of the event log —
     * the check a production pipeline runs when a new data drop lands:
     * the first half of the month is the REFERENCE window, the rest is
@@ -558,6 +609,7 @@ object Maintain {
     "merge_upsert" -> mergeUpsert,
     "merge_delete" -> mergeDelete,
     "dim_scd2" -> dimScd2,
+    "dim_scd2_asof" -> dimScd2Asof,
     "agg_incremental" -> aggIncremental,
     "compaction_plan" -> compactionPlan,
     "table_snapshot_diff" -> tableSnapshotDiff,
@@ -569,6 +621,7 @@ object Maintain {
     "merge_upsert" -> mergeUpsertSql,
     "merge_delete" -> mergeDeleteSql,
     "dim_scd2" -> dimScd2Sql,
+    "dim_scd2_asof" -> dimScd2AsofSql,
     "agg_incremental" -> aggIncrementalSql,
     "compaction_plan" -> compactionPlanSql,
     "table_snapshot_diff" -> tableSnapshotDiffSql,

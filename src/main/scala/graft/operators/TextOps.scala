@@ -506,6 +506,105 @@ object TextOps {
       |  (CAST(sum(bits) AS BIGINT) * 1000) // count(*) AS bits_per_token_milli
       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM surprisal — the conditional twin of [[textSurprisal]]:
+    * each adjacent token pair contributes
+    * ⌊log₂ c(w₁·)⌋ − ⌊log₂ c(w₁,w₂)⌋ bits (the integer skeleton of
+    * −log₂ P(w₂|w₁), with c(w₁·) the count of bigrams starting w₁ —
+    * the proper conditional denominator). Documents whose TRANSITIONS
+    * are unusual score high even when every individual word is common
+    * — the signal the unigram face cannot see, and the next rung on
+    * the cross-entropy curation ladder. Same float-log-free
+    * binary-digit counting, so every value is a bit-identical bigint.
+    *
+    * == Scale design ==
+    * One corpus scan explodes to bigram occurrences; the pair-count
+    * relation is vocab²-bounded (Heaps-law squared, still ≪ corpus)
+    * and the left-context counts DERIVE from it (one more tiny agg,
+    * no second corpus pass). The occurrence⋈count join is the same
+    * hot-key skew shape as the unigram face — AQE skew-split owns it
+    * at scale; the doc rollup is map-side combinable.
+    */
+  def textSurprisalBigram(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .filter(size(words) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2), " +
+          "i -> struct(split(text, ' ')[i] AS w1, split(text, ' ')[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
+    val lc = bc.groupBy(col("w1")).agg(sum(col("cnt2")).as("cnt1"))
+    bg.join(bc, Seq("w1", "w2")).join(lc, Seq("w1"))
+      .select(col("doc_id"),
+        (length(bin(col("cnt1"))) - length(bin(col("cnt2")))).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        expr("total_bits * 1000 div n_bigrams").as("bits_per_bigram_milli"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textSurprisalBigramSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM w, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+      |bc AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY 1, 2),
+      |lc AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM bc GROUP BY 1),
+      |b AS (SELECT bg.doc_id,
+      |    CAST(length(bin(lc.cnt1)) - length(bin(bc.cnt2)) AS BIGINT) AS bits
+      |  FROM bg JOIN bc USING (w1, w2) JOIN lc USING (w1))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(bits) AS BIGINT) AS total_bits,
+      |  (CAST(sum(bits) AS BIGINT) * 1000) // count(*) AS bits_per_bigram_milli
+      |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Classifier-evaluation harness over the language-ID face — the
+    * confusion accounting every model gate reports: per class (union
+    * of true labels and predictions, `und` included), the true count,
+    * predicted count, true positives, and exact integer-ppm precision
+    * and recall. Registering the measurement makes the evaluation
+    * itself oracle-checked — the ann_recall_eval / dedup_recall_eval
+    * pattern applied to a classifier.
+    *
+    * == Scale design ==
+    * Rides [[textLangid]]'s one scan; the three class rollups are
+    * O(classes) map-side-combinable aggs full-outer-merged on the
+    * class key. At 100 TB the eval is scan + O(classes) state.
+    */
+  def mlEvalLangid(s: SparkSession, dir: String): DataFrame = {
+    val lg = textLangid(s, dir).select(col("lang"), col("pred_lang"))
+    val byTrue = lg.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_true"))
+    val byPred = lg.groupBy(col("pred_lang").as("cls")).agg(count(lit(1)).as("n_pred"))
+    val tp = lg.filter(col("lang") === col("pred_lang"))
+      .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("tp"))
+    byTrue.join(byPred, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left_outer")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+        expr("1000000 * tp div greatest(n_pred, 1)").as("precision_ppm"),
+        expr("1000000 * tp div greatest(n_true, 1)").as("recall_ppm"))
+      .orderBy(col("cls"))
+  }
+
+  /** DuckDB twin: the langid oracle inlined as a derived table, same
+    * three rollups full-outer-merged. */
+  lazy val mlEvalLangidSql: String =
+    s"""WITH lg AS (SELECT lang, pred_lang FROM ($textLangidSql)),
+       |bt AS (SELECT lang AS cls, count(*) AS n_true FROM lg GROUP BY 1),
+       |bp AS (SELECT pred_lang AS cls, count(*) AS n_pred FROM lg GROUP BY 1),
+       |tpc AS (SELECT lang AS cls, count(*) AS tp FROM lg WHERE lang = pred_lang GROUP BY 1),
+       |m AS (SELECT cls,
+       |    COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+       |    COALESCE(tp, 0) AS tp
+       |  FROM bt FULL OUTER JOIN bp USING (cls) LEFT JOIN tpc USING (cls))
+       |SELECT cls, CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+       |  1000000 * tp // greatest(n_pred, 1) AS precision_ppm,
+       |  1000000 * tp // greatest(n_true, 1) AS recall_ppm
+       |FROM m ORDER BY cls""".stripMargin
+
   // ------------------------------------------------------ feature hashing
   /** The hashing trick: every token lands in one of 1024 feature
     * buckets via the codegen'd poly_hash, with a hash-derived ±1 sign
@@ -929,6 +1028,8 @@ object TextOps {
     "tokenize_bpe_ids" -> tokenizeBpeIds,
     "tokenize_coverage" -> tokenizeCoverage,
     "text_surprisal" -> textSurprisal,
+    "text_surprisal_bigram" -> textSurprisalBigram,
+    "ml_eval_langid" -> mlEvalLangid,
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
     "tokenize_ids" -> tokenizeIds,
@@ -974,6 +1075,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_surprisal" -> textSurprisalSql,
+    "text_surprisal_bigram" -> textSurprisalBigramSql,
+    "ml_eval_langid" -> mlEvalLangidSql,
     "ml_feature_hash" -> mlFeatureHashSql,
     "vocab_build" -> vocabBuildSql,
     "tokenize_ids" -> tokenizeIdsSql,

@@ -210,6 +210,32 @@ class MaintainSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == want)
   }
 
+  test("dim_scd2_asof resolves exactly one version per covered probe, none before history") {
+    val dim = Maintain.dimScd2(spark, sf)
+      .select("custkey", "version", "valid_from", "valid_to", "bal_cents")
+      .as[(Long, Long, String, String, Long)].collect()
+    val got = Maintain.dimScd2Asof(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    // at most one version resolves per (key, probe) — SCD2 intervals
+    // partition the timeline
+    val dup = got.groupBy(r => (r._1, r._2)).filter(_._2.length > 1)
+    assert(dup.isEmpty, s"overlapping versions: ${dup.keys.take(3)}")
+    // every row matches the in-memory interval lookup, and every
+    // covered (key, probe) pair is present
+    val byKey = dim.groupBy(_._1)
+    val probes = (1995 to 2001).map(y => s"$y-07-01")
+    val expected = (for {
+      (k, vs) <- byKey.toSeq
+      p <- probes
+      v <- vs.find(v => v._3 <= p && p < v._4)
+    } yield (k, p, v._2, v._5)).toSet
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSet == expected)
+    // non-vacuous both ways: some probes resolve, some precede history
+    assert(expected.nonEmpty)
+    assert(expected.size < byKey.size * probes.size,
+      "every probe resolved — the before-history case is untested")
+  }
+
   test("dq_drift matches an in-memory two-window replay and shares sum to ~1e6") {
     val cut = 1705363200000000L // 2024-01-16T00:00:00Z in epoch micros
     val ev = Tables.load(spark, sf, "events")

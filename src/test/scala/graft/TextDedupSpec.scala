@@ -1035,6 +1035,48 @@ class TextDedupSpec extends SparkSpec {
       s"sample kept ${expected.size} of ${docs.length}")
   }
 
+  test("text_surprisal_bigram matches an in-memory conditional-bits model") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def bigrams(t: String): Seq[(String, String)] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 2) Seq.empty else ws.zip(ws.tail).toSeq
+    }
+    val all = docs.flatMap { case (id, t) => bigrams(t).map(b => (id, b)) }
+    val cnt2 = all.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cnt1 = all.groupBy(_._2._1).view.mapValues(_.length.toLong).toMap
+    def lg(n: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val expected = all.groupBy(_._1).map { case (id, bs) =>
+      val bits = bs.map { case (_, b) => lg(cnt1(b._1)) - lg(cnt2(b)) }.sum
+      (id, bs.length.toLong, bits, bits * 1000 / bs.length)
+    }.toSet
+    val got = TextOps.textSurprisalBigram(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("ml_eval_langid: confusion accounting is exact and globally consistent") {
+    import spark.implicits._
+    val lg = TextOps.textLangid(spark, sf)
+      .select("lang", "pred_lang").as[(String, String)].collect()
+    val classes = (lg.map(_._1) ++ lg.map(_._2)).toSet
+    val got = TextOps.mlEvalLangid(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == classes)
+    got.foreach { case (c, nt, np, tp, prec, rec) =>
+      assert(nt == lg.count(_._1 == c), c)
+      assert(np == lg.count(_._2 == c), c)
+      assert(tp == lg.count(r => r._1 == c && r._2 == c), c)
+      assert(prec == 1000000L * tp / math.max(np, 1L), c)
+      assert(rec == 1000000L * tp / math.max(nt, 1L), c)
+    }
+    // global balance: Σ n_true = Σ n_pred = corpus docs; Σ tp ≤ both
+    assert(got.map(_._2).sum == lg.length)
+    assert(got.map(_._3).sum == lg.length)
+    assert(got.map(_._4).sum <= lg.length)
+  }
+
   test("dedup_recall_eval scores the approximate faces against the exact pair truth") {
     val dir = sfMid
     assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
