@@ -2813,6 +2813,134 @@ object Analytics {
       |FROM l GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------ lag features
+  /** Time-series feature engineering on the dense per-user day grid —
+    * the lag/rolling block every churn/forecast training matrix
+    * carries: daily spend and event count per user over the complete
+    * calendar span (absent days ZERO-filled — a lag over observed
+    * rows only would silently compare non-adjacent days), then
+    * lag-1, lag-7 and the trailing 7-day sum in exact integer cents.
+    * Grid-edge lags coalesce to 0 (a fixed training-matrix encoding,
+    * not a null to impute downstream).
+    *
+    * == Scale design ==
+    * One scan folds to the (user, day) daily relation (map-side
+    * combinable); the grid is users × bounded day span with the
+    * 1-row bounds broadcast; one user-keyed shuffle serves the join
+    * and all three window features (same partition key, per-key
+    * state O(7)). At 100 TB of events the grid is users × days —
+    * orders of magnitude smaller than the input.
+    */
+  def mlLagFeatures(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      cents(col("value")).as("vc"))
+    val daily = e.groupBy(col("user_id"), col("day"))
+      .agg(sum(col("vc")).as("cents"), count(lit(1)).as("n_events"))
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = e.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("cents"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .withColumn("lag1_cents", coalesce(lag(col("cents"), 1).over(w), lit(0L)))
+      .withColumn("lag7_cents", coalesce(lag(col("cents"), 7).over(w), lit(0L)))
+      .withColumn("roll7_cents", sum(col("cents")).over(w.rowsBetween(-6, 0)))
+      .select(col("user_id"),
+        date_format(date_add(to_date(lit("1970-01-01")), col("day").cast("int")),
+          "yyyy-MM-dd").as("day"),
+        col("cents"), col("n_events"),
+        col("lag1_cents"), col("lag7_cents"), col("roll7_cents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** DuckDB twin: same dense grid, same zero-fill and windows. */
+  val mlLagFeaturesSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |daily AS (SELECT user_id, day, CAST(sum(vc) AS BIGINT) AS cents,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM e GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      |grid AS (SELECT u.user_id, d0 + i AS day
+      |  FROM (SELECT DISTINCT user_id FROM e) u
+      |  CROSS JOIN b, unnest(range(0, d1 - d0 + 1)) t(i)),
+      |f AS (SELECT g.user_id, g.day,
+      |    COALESCE(daily.cents, 0) AS cents,
+      |    COALESCE(daily.n_events, 0) AS n_events
+      |  FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.day = g.day),
+      |l AS (SELECT user_id, day, cents, n_events,
+      |    COALESCE(lag(cents, 1) OVER w, 0) AS lag1_cents,
+      |    COALESCE(lag(cents, 7) OVER w, 0) AS lag7_cents,
+      |    CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_cents
+      |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY day))
+      |SELECT user_id, strftime(DATE '1970-01-01' + CAST(day AS INT), '%Y-%m-%d') AS day,
+      |  cents, n_events, lag1_cents, lag7_cents, roll7_cents
+      |FROM l ORDER BY user_id, day""".stripMargin
+
+  // --------------------------------------------- nearest as-of join
+  /** Nearest-event attribution — the NEAREST variant of [[joinAsof]]
+    * (pandas `merge_asof(direction='nearest')`): each event resolves
+    * to its user's closest signup in time, whichever side it falls
+    * on, ties to the earlier (backward) one. Both candidates ride ONE
+    * interleaved window pass over the event stream — a backward
+    * running max and a forward running min of signup times in the
+    * same user-keyed sort — so there is no join at all, which is the
+    * trick that makes nearest-as-of cheap at scale (two sorted-merge
+    * passes over one shuffle, vs. the naive per-event range join).
+    * Users with no signup keep nulls.
+    *
+    * == Scale design ==
+    * One shuffle on the user key; both window frames share the single
+    * per-partition sort. O(1) state per row, P-way parallel.
+    */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("us"), col("event_id"))
+    val back = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_signup_us",
+        max(when(col("event_type") === "signup", col("us"))).over(back))
+      .withColumn("next_signup_us",
+        min(when(col("event_type") === "signup", col("us"))).over(fwd))
+      .withColumn("nearest_signup_us", expr(
+        """CASE WHEN prev_signup_us IS NULL THEN next_signup_us
+          |     WHEN next_signup_us IS NULL THEN prev_signup_us
+          |     WHEN us - prev_signup_us <= next_signup_us - us THEN prev_signup_us
+          |     ELSE next_signup_us END""".stripMargin))
+      .withColumn("delta_us", abs(col("us") - col("nearest_signup_us")))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  /** DuckDB twin: identical two-frame window formulation. */
+  val joinAsofNearestSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |f AS (SELECT event_id, user_id, event_type, us,
+      |    max(CASE WHEN event_type = 'signup' THEN us END) OVER
+      |      (PARTITION BY user_id ORDER BY us, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_signup_us,
+      |    min(CASE WHEN event_type = 'signup' THEN us END) OVER
+      |      (PARTITION BY user_id ORDER BY us, event_id
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup_us
+      |  FROM e),
+      |n AS (SELECT *,
+      |    CASE WHEN prev_signup_us IS NULL THEN next_signup_us
+      |         WHEN next_signup_us IS NULL THEN prev_signup_us
+      |         WHEN us - prev_signup_us <= next_signup_us - us THEN prev_signup_us
+      |         ELSE next_signup_us END AS nearest_signup_us
+      |  FROM f)
+      |SELECT event_id, user_id, event_type, us, prev_signup_us, next_signup_us,
+      |  nearest_signup_us, abs(us - nearest_signup_us) AS delta_us
+      |FROM n ORDER BY user_id, us, event_id""".stripMargin
+
   // --------------------------------------- point-in-time features
   /** The four observation dates the PIT backfill materializes features
     * as-of (a weekly training-snapshot cadence over the event month).
@@ -2873,6 +3001,8 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_lag_features" -> mlLagFeatures,
+    "join_asof_nearest" -> joinAsofNearest,
     "ml_pit_features" -> mlPitFeatures,
     "ml_target_encode" -> mlTargetEncode,
     "events_ab_lift" -> eventsAbLift,
@@ -2939,6 +3069,8 @@ object Analytics {
     "unpivot_revenue" -> unpivotRevenue)
 
   val oracles: Map[String, String] = Map(
+    "ml_lag_features" -> mlLagFeaturesSql,
+    "join_asof_nearest" -> joinAsofNearestSql,
     "ml_pit_features" -> mlPitFeaturesSql,
     "ml_target_encode" -> mlTargetEncodeSql,
     "events_ab_lift" -> eventsAbLiftSql,

@@ -790,6 +790,55 @@ class AnalyticsSpec extends SparkSpec {
     assert((z + 1) * (z + 1) > z2)
   }
 
+  test("ml_lag_features matches an in-memory dense-grid lag model") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+      .as[(Long, Long, Long)].collect()
+    val d0 = ev.map(_._2).min; val d1 = ev.map(_._2).max
+    val daily = ev.groupBy(r => (r._1, r._2)).view
+      .mapValues(rs => (rs.map(_._3).sum, rs.length.toLong)).toMap
+    val expected = ev.map(_._1).distinct.flatMap { u =>
+      val series = (d0 to d1).map(d => daily.getOrElse((u, d), (0L, 0L)))
+      series.zipWithIndex.map { case ((c, n), i) =>
+        val lag1 = if (i >= 1) series(i - 1)._1 else 0L
+        val lag7 = if (i >= 7) series(i - 7)._1 else 0L
+        val roll7 = series.slice(math.max(0, i - 6), i + 1).map(_._1).sum
+        (u, java.time.LocalDate.ofEpochDay(d0 + i).toString, c, n, lag1, lag7, roll7)
+      }
+    }.toSet
+    val got = Analytics.mlLagFeatures(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("join_asof_nearest picks the closest signup, ties to the earlier side") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val signups = ev.filter(_._3 == "signup").groupBy(_._1).view
+      .mapValues(_.map(_._4).sorted).toMap
+    val got = Analytics.joinAsofNearest(spark, sf)
+      .select("event_id", "user_id", "us", "nearest_signup_us", "delta_us")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    got.foreach { case (eid, u, us, nearest, delta) =>
+      signups.get(u) match {
+        case None =>
+          assert(nearest.isEmpty && delta.isEmpty, s"event $eid: no-signup user")
+        case Some(ss) =>
+          val best = ss.minBy(t => (math.abs(t - us), t))
+          assert(nearest.contains(best), s"event $eid: $nearest != $best")
+          assert(delta.contains(math.abs(best - us)), s"event $eid delta")
+      }
+    }
+    // non-vacuous: both sides must win somewhere
+    val sided = got.flatMap { case (_, u, us, n, _) => n.map(v => (us, v)) }
+    assert(sided.exists { case (us, v) => v <= us })
+    assert(sided.exists { case (us, v) => v > us })
+  }
+
   test("ml_pit_features: as-of values match an in-memory replay and never leak the future") {
     val cutUs = Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
       .map { d =>
