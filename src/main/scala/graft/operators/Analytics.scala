@@ -2882,6 +2882,87 @@ object Analytics {
       |  cents, n_events, lag1_cents, lag7_cents, roll7_cents
       |FROM l ORDER BY user_id, day""".stripMargin
 
+  // --------------------------------------------------------- CUSUM
+  /** CUSUM change-point monitor over the per-type daily value series —
+    * the sequential drift detector (Page 1954) that catches a
+    * sustained small shift long before a per-point z-score fires. The
+    * textbook recurrence s_k = max(0, s_{k-1} + dev_k) looks
+    * iterative, but it has a closed windowed form:
+    * s_k = P_k − min(0, min_{j≤k} P_j) with P the running deviation
+    * prefix — a cumulative sum and a running min over ONE sorted
+    * window pass, which is what makes exact CUSUM distributable (the
+    * naive fold would serialize the whole series through one task).
+    * Deviations are against the type's own mean daily cents (integer
+    * floor); a day alarms when the accumulated excess exceeds one
+    * full target day. Dense day grid: absent days contribute their
+    * full negative deviation, as they should.
+    *
+    * == Scale design ==
+    * One scan folds to the O(types × days) daily relation; the grid
+    * and per-type targets are broadcast-sized; both window functions
+    * share a single (type)-keyed sort. Exact integer cents
+    * throughout — no float drift across engines.
+    */
+  def eventsCusum(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      cents(col("value")).as("vc"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vc")).as("cents"))
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val target = dense.groupBy(col("event_type"))
+      .agg(expr("sum(cents) div count(1)").as("target_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(broadcast(target), Seq("event_type"))
+      .withColumn("dev_cents", col("cents") - col("target_cents"))
+      .withColumn("prefix", sum(col("dev_cents")).over(w))
+      .withColumn("cusum_cents",
+        col("prefix") - least(lit(0L), min(col("prefix")).over(w)))
+      .select(col("event_type"),
+        date_format(date_add(to_date(lit("1970-01-01")), col("day").cast("int")),
+          "yyyy-MM-dd").as("day"),
+        col("cents"), col("target_cents"), col("dev_cents"), col("cusum_cents"),
+        (col("cusum_cents") > col("target_cents")).as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB twin: same closed-form prefix/running-min CUSUM. */
+  val eventsCusumSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |daily AS (SELECT event_type, day, CAST(sum(vc) AS BIGINT) AS cents
+      |  FROM e GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      |grid AS (SELECT t.event_type, d0 + i AS day
+      |  FROM (SELECT DISTINCT event_type FROM e) t
+      |  CROSS JOIN b, unnest(range(0, d1 - d0 + 1)) u(i)),
+      |dense AS (SELECT g.event_type, g.day, COALESCE(daily.cents, 0) AS cents
+      |  FROM grid g LEFT JOIN daily ON daily.event_type = g.event_type AND daily.day = g.day),
+      |tgt AS (SELECT event_type, CAST(sum(cents) AS BIGINT) // count(*) AS target_cents
+      |  FROM dense GROUP BY 1),
+      |p1 AS (SELECT d.event_type, d.day, d.cents, tgt.target_cents,
+      |    d.cents - tgt.target_cents AS dev_cents,
+      |    CAST(sum(d.cents - tgt.target_cents) OVER w AS BIGINT) AS prefix
+      |  FROM dense d JOIN tgt USING (event_type)
+      |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |p AS (SELECT *, CAST(min(prefix) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS minp
+      |  FROM p1)
+      |SELECT event_type,
+      |  strftime(DATE '1970-01-01' + CAST(day AS INT), '%Y-%m-%d') AS day,
+      |  cents, target_cents, dev_cents,
+      |  prefix - least(0, minp) AS cusum_cents,
+      |  prefix - least(0, minp) > target_cents AS alarm
+      |FROM p ORDER BY event_type, day""".stripMargin
+
   // --------------------------------------------- nearest as-of join
   /** Nearest-event attribution — the NEAREST variant of [[joinAsof]]
     * (pandas `merge_asof(direction='nearest')`): each event resolves
@@ -3003,6 +3084,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_lag_features" -> mlLagFeatures,
     "join_asof_nearest" -> joinAsofNearest,
+    "events_cusum" -> eventsCusum,
     "ml_pit_features" -> mlPitFeatures,
     "ml_target_encode" -> mlTargetEncode,
     "events_ab_lift" -> eventsAbLift,
@@ -3071,6 +3153,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "ml_lag_features" -> mlLagFeaturesSql,
     "join_asof_nearest" -> joinAsofNearestSql,
+    "events_cusum" -> eventsCusumSql,
     "ml_pit_features" -> mlPitFeaturesSql,
     "ml_target_encode" -> mlTargetEncodeSql,
     "events_ab_lift" -> eventsAbLiftSql,

@@ -790,6 +790,34 @@ class AnalyticsSpec extends SparkSpec {
     assert((z + 1) * (z + 1) > z2)
   }
 
+  test("events_cusum equals the sequential max(0,.) recurrence replayed in memory") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+      .as[(String, Long, Long)].collect()
+    val d0 = ev.map(_._2).min; val d1 = ev.map(_._2).max
+    val daily = ev.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    val expected = ev.map(_._1).distinct.flatMap { t =>
+      val series = (d0 to d1).map(d => daily.getOrElse((t, d), 0L))
+      val target = series.sum / series.length
+      // the TEXTBOOK recurrence — deliberately not the closed form the
+      // operator uses, so the identity itself is what's being tested
+      var s = 0L
+      series.zipWithIndex.map { case (c, i) =>
+        s = math.max(0L, s + (c - target))
+        (t, java.time.LocalDate.ofEpochDay(d0 + i).toString, c, target,
+          c - target, s, s > target)
+      }
+    }.toSet
+    val got = Analytics.eventsCusum(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == expected)
+    // non-vacuous: the detector must both rest and fire somewhere
+    assert(got.exists(_._7) && got.exists(!_._7),
+      "CUSUM never fired (or never rested) — threshold is mis-sized")
+  }
+
   test("ml_lag_features matches an in-memory dense-grid lag model") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select(col("user_id"),
