@@ -344,6 +344,66 @@ object Curate {
       .withColumn("bin_id", expr("tok_offset div 2048"))
       .orderBy(col("doc_id"))
 
+  /** Sequence packing by TRUE subword counts — the tokenizer and the
+    * packer composed: each document's length is its trained-BPE
+    * subword count (words broadcast-joined against the memoized
+    * segment table — the same mass [[graft.operators.TextOps
+    * .tokenizeBpeIds]] emits), streamed into 2048-SUBWORD context
+    * windows in doc order. The whitespace-token faces
+    * ([[packSequential]] etc.) size windows by an approximation; a
+    * real training run packs by what the model actually consumes,
+    * and the two disagree exactly where the vocabulary compresses
+    * badly — comparing this face's bin count against
+    * [[packSequential]]'s is the packing-side view of
+    * `tokenize_coverage`.
+    *
+    * == Scale design ==
+    * One corpus scan → per-doc subword mass (broadcast segment join,
+    * map-side doc rollup), then the SAME two-phase range-partitioned
+    * prefix sum as [[packedOffsets]] (bucketed intra-sums + broadcast
+    * bucket prefixes — no single-task global window). Docs with no
+    * tokens pack nothing and are dropped (both engines replay the
+    * same filter).
+    */
+  def packSubword(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = TextOps.tokenizeBpeSegments(s, dir)
+      .select(col("word").as("w"), col("n_syms"))
+    val d = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(segs), Seq("w"))
+      .groupBy(col("doc_id")).agg(sum(col("n_syms")).as("n_subwords"))
+      .withColumn("bkt", expr("doc_id div 64"))
+    val intra = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.withColumn("cum_in", sum(col("n_subwords")).over(intra))
+    val bktTotals = d.groupBy(col("bkt")).agg(sum(col("n_subwords")).as("bt"))
+    val over = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bktTotals
+      .withColumn("bp", coalesce(sum(col("bt")).over(over), lit(0L)))
+      .select(col("bkt"), col("bp"))
+    cum.join(broadcast(prefixes), "bkt")
+      .select(col("doc_id"), col("n_subwords"),
+        (col("bp") + col("cum_in") - col("n_subwords")).as("sub_offset"))
+      .withColumn("bin_id", expr("sub_offset div 2048"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: the segment oracle inlined as a derived table (its
+    * training CTE chain stays scoped), same streaming offsets. */
+  lazy val packSubwordSql: String =
+    s"""WITH sv AS (SELECT word, n_syms FROM (${TextOps.tokenizeBpeSegmentsSql})),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dc AS (SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_subwords
+       |  FROM dw JOIN sv ON sv.word = dw.w WHERE w <> '' GROUP BY doc_id),
+       |c AS (SELECT doc_id, n_subwords,
+       |  CAST(sum(n_subwords) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_subwords AS BIGINT) AS sub_offset
+       |  FROM dc)
+       |SELECT doc_id, n_subwords, sub_offset, sub_offset // 2048 AS bin_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val packSequentialSql: String =
     """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
       |c AS (SELECT doc_id, n_tokens,
@@ -1108,6 +1168,7 @@ object Curate {
     "corpus_mixture" -> corpusMixture,
     "text_normalize" -> textNormalize,
     "pack_sequential" -> packSequential,
+    "pack_subword" -> packSubword,
     "pack_windows" -> packWindows,
     "sample_stratified" -> sampleStratified)
 
@@ -1133,6 +1194,7 @@ object Curate {
     "corpus_mixture" -> corpusMixtureSql,
     "text_normalize" -> textNormalizeSql,
     "pack_sequential" -> packSequentialSql,
+    "pack_subword" -> packSubwordSql,
     "pack_windows" -> packWindowsSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_importance" -> sampleImportanceSql,

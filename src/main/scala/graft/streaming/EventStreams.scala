@@ -861,6 +861,105 @@ object EventStreams {
         sum(col("vc").cast("decimal(38,0)")).as("vc_sum"),
         min(col("vc")).as("vc_min"), max(col("vc")).as("vc_max"))
 
+  /** One closed day of a metric series for the CUSUM monitor. */
+  case class CusumEv(etype: String, day: Long, cents: Long, target: Long)
+  /** Emitted per-day CUSUM state row. */
+  case class CusumOut(event_type: String, day: Long, cents: Long,
+                      target_cents: Long, dev_cents: Long,
+                      cusum_cents: Long, alarm: Boolean)
+  case class CusumState(s: Long)
+
+  /** Live CUSUM drift monitor — the streaming twin of
+    * [[graft.operators.Analytics.eventsCusum]]: per metric key, the
+    * TEXTBOOK sequential recurrence s ← max(0, s + dev) carried as one
+    * long of state, one output row per closed day. Where the batch
+    * face distributes the recurrence through its closed windowed form
+    * (prefix − clamped running min), the live face just folds it —
+    * the MemoryStream spec pins the two implementations equal on the
+    * real series, so the closed-form identity is re-proven end to end
+    * across both execution modes.
+    */
+  def cusumStream(stream: Dataset[CusumEv]): Dataset[CusumOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, recs: Iterator[CusumEv], state: GroupState[CusumState]) =>
+          var s = state.getOption.map(_.s).getOrElse(0L)
+          val out = recs.toSeq.sortBy(_.day).map { r =>
+            s = math.max(0L, s + (r.cents - r.target))
+            CusumOut(etype, r.day, r.cents, r.target, r.cents - r.target,
+              s, s > r.target)
+          }
+          state.update(CusumState(s))
+          out.iterator
+      }
+  }
+
+  /** Batch face of [[cusumStream]] (registered as `stream_cusum`): the
+    * closed-form CUSUM relation with the day as an epoch-day long (the
+    * feed's own key — the streaming face never formats dates). The
+    * spec replays the daily series through MemoryStream in day-order
+    * batches and pins row-for-row equality: sequential fold (stream)
+    * == windowed closed form (batch).
+    */
+  def streamCusum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir).select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vc")).as("cents"))
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val target = dense.groupBy(col("event_type"))
+      .agg(expr("sum(cents) div count(1)").as("target_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(broadcast(target), Seq("event_type"))
+      .withColumn("dev_cents", col("cents") - col("target_cents"))
+      .withColumn("prefix", sum(col("dev_cents")).over(w))
+      .withColumn("cusum_cents",
+        col("prefix") - least(lit(0L), min(col("prefix")).over(w)))
+      .select(col("event_type"), col("day"), col("cents"), col("target_cents"),
+        col("dev_cents"), col("cusum_cents"),
+        (col("cusum_cents") > col("target_cents")).as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val streamCusumSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |daily AS (SELECT event_type, day, CAST(sum(vc) AS BIGINT) AS cents
+      |  FROM e GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      |grid AS (SELECT t.event_type, d0 + i AS day
+      |  FROM (SELECT DISTINCT event_type FROM e) t
+      |  CROSS JOIN b, unnest(range(0, d1 - d0 + 1)) u(i)),
+      |dense AS (SELECT g.event_type, g.day, COALESCE(daily.cents, 0) AS cents
+      |  FROM grid g LEFT JOIN daily ON daily.event_type = g.event_type AND daily.day = g.day),
+      |tgt AS (SELECT event_type, CAST(sum(cents) AS BIGINT) // count(*) AS target_cents
+      |  FROM dense GROUP BY 1),
+      |p1 AS (SELECT d.event_type, d.day, d.cents, tgt.target_cents,
+      |    d.cents - tgt.target_cents AS dev_cents,
+      |    CAST(sum(d.cents - tgt.target_cents) OVER w AS BIGINT) AS prefix
+      |  FROM dense d JOIN tgt USING (event_type)
+      |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |p AS (SELECT *, CAST(min(prefix) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS minp
+      |  FROM p1)
+      |SELECT event_type, CAST(day AS BIGINT) AS day, cents, target_cents, dev_cents,
+      |  prefix - least(0, minp) AS cusum_cents,
+      |  prefix - least(0, minp) > target_cents AS alarm
+      |FROM p ORDER BY event_type, day""".stripMargin
+
   /** One arriving event for the late-data monitor. */
   case class LateEv(user: Long, eventId: Long, us: Long)
   /** Emitted late-event row: how far behind the key's high-water mark. */
@@ -942,6 +1041,7 @@ object EventStreams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_late_data" -> streamLateData,
+    "stream_cusum" -> streamCusum,
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize,
     "stream_dedup" -> streamDedup,
@@ -969,6 +1069,7 @@ object EventStreams {
 
   val oracles: Map[String, String] = Map(
     "stream_late_data" -> streamLateDataSql,
+    "stream_cusum" -> streamCusumSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_dedup" -> streamDedupSql,

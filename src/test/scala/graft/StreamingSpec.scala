@@ -839,6 +839,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed sequential CUSUM equals the batch closed form on the real series") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.CusumEv
+    // the batch face's own dense daily series, with targets
+    val series = EventStreams.streamCusum(spark, sf)
+      .select("event_type", "day", "cents", "target_cents")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (t, d, c, tg) => CusumEv(t, d, c, tg) }
+    val byDay = series.groupBy(_.day).toSeq.sortBy(_._1)
+    val mem = MemoryStream[CusumEv]
+    val q = EventStreams.cusumStream(mem.toDS())
+      .writeStream.format("memory").queryName("cusum_live")
+      .outputMode("append").start()
+    try {
+      // one batch per closed day — the cadence a daily monitor runs
+      byDay.foreach { case (_, rows) =>
+        mem.addData(rows.toSeq: _*); q.processAllAvailable()
+      }
+      val live = spark.sql(
+        "SELECT event_type, day, cents, target_cents, dev_cents, cusum_cents, alarm FROM cusum_live")
+        .as[(String, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+      val batch = EventStreams.streamCusum(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(live == batch,
+        s"fold vs closed form: stream-only ${live.diff(batch).take(3)}; " +
+          s"batch-only ${batch.diff(live).take(3)}")
+    } finally q.stop()
+  }
+
   test("late-data stream equals the batch face fed in per-user arrival order") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.LateEv

@@ -1035,6 +1035,34 @@ class TextDedupSpec extends SparkSpec {
       s"sample kept ${expected.size} of ${docs.length}")
   }
 
+  test("pack_subword: offsets stream the true subword mass in doc order") {
+    import spark.implicits._
+    val nSyms = TextOps.tokenizeBpeSegments(spark, sf)
+      .select("word", "n_syms").as[(String, Long)].collect().toMap
+    val expectedMass = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).map(nSyms).sum
+      }.filter(_._2 > 0).sortBy(_._1)
+    val got = graft.operators.Curate.packSubword(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)).toSeq == expectedMass.toSeq)
+    // offsets are the exclusive running sum; bins are offset div 2048
+    var off = 0L
+    got.foreach { case (id, n, o, b) =>
+      assert(o == off, s"doc $id offset")
+      assert(b == o / 2048, s"doc $id bin")
+      off += n
+    }
+    // the subword mass must differ from the whitespace mass somewhere,
+    // else this face adds nothing over pack_sequential
+    val ws = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    assert(got.exists { case (id, n, _, _) => ws(id) != n },
+      "subword mass identical to whitespace mass — vacuous")
+  }
+
   test("text_surprisal_bigram matches an in-memory conditional-bits model") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
