@@ -582,4 +582,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(rankScans.nonEmpty,
       "rank side must read the checkpointed slice relation")
   }
+
+  test("dq_drift is one events scan feeding O(buckets) state") {
+    val plan = planOf(graft.operators.Maintain.dqDrift(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one scan, got $scans:\n$plan")
+  }
+
+  test("ml_target_encode: every join is broadcast, no fact-sized shuffle join") {
+    val plan = planOf(Analytics.mlTargetEncode(spark, sf))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"fact must only meet broadcasts:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"expected the dim + stats broadcasts:\n$plan")
+  }
+
+  test("join_asof_nearest is join-free: both frames ride one window sort") {
+    val plan = planOf(Analytics.joinAsofNearest(spark, sf))
+    assert(!plan.contains("Join"), s"nearest-as-of should be join-free:\n$plan")
+    // both frames share the user-keyed sort: exactly one exchange
+    // below the presentation sort
+    val body = plan.split("TakeOrderedAndProject|Sort \\[user_id").last
+    assert("Exchange hashpartitioning".r.findAllIn(body).length <= 1,
+      s"both frames must share one user-keyed exchange:\n$plan")
+  }
+
+  test("ml_pit_features: the cutoff fan-out is a Generate, not a join per cutoff") {
+    val plan = planOf(Analytics.mlPitFeatures(spark, sf))
+    assert(plan.contains("Generate explode"),
+      s"expected the bounded explode fan-out:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$plan")
+  }
 }
