@@ -906,6 +906,80 @@ object TextOps {
       |FROM x JOIN symv v USING (sym)
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** BPE-dropout segmentation (Provilkov et al. 2020) — the
+    * subword-regularization face: during merge REPLAY (training is
+    * untouched), each (word, merge-rank) pair deterministically skips
+    * its merge with probability 1/10 (a "bd|word|rank"-salted content
+    * hash — the stochastic dropout made replayable, so both engines
+    * and every epoch-0 run agree bit-for-bit while still exposing the
+    * model to alternative segmentations). Output per vocab word: the
+    * baseline and dropout symbol counts and the inflation in exact
+    * ppm — dropout can only ever SPLIT FINER (spec-pinned), and the
+    * inflation distribution is the knob's effect size.
+    *
+    * == Scale design ==
+    * Rides the memoized trained merges; both replays are chained
+    * narrow column rewrites over the vocab relation (the dropout arm
+    * adds one hash + CASE per round). Corpus-independent after the
+    * one word-count scan.
+    */
+  def tokenizeBpeDropout(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    def ph(c: Column): Column = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(c), GraftSqlShim.expression(lit(1000000007L))))
+    val merges = trainedBpeMerges(s, dir)
+    val seqBase = merges.foldLeft(col("seq")) { case (c, (_, l, r, _, _)) =>
+      call_function("replace", c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    // the dropout arm MUST advance through a materialized column per
+    // round: its CASE references the previous state twice (keep vs
+    // rewrite), so an expression fold would duplicate the subtree
+    // 2^rounds times — the same exponential trap the oracle's
+    // MATERIALIZED CTEs guard against. CollapseProject keeps the
+    // stacked projections apart (the doubly-referenced alias is not
+    // cheap), so the plan stays linear in the merge count.
+    val dropped = merges.foldLeft(
+      bpeVocab(s, dir).withColumn("dseq", col("seq"))) {
+      case (df, (k, l, r, _, _)) =>
+        df.withColumn("dseq",
+          when(ph(concat(lit("bd|"), col("w"), lit(s"|$k"))) % 10 === 0, col("dseq"))
+            .otherwise(call_function("replace", col("dseq"),
+              lit(s" $l  $r "), lit(s" $l$r "))))
+    }
+    dropped
+      .select(col("w").as("word"), col("freq"),
+        size(split(trim(seqBase), "  ")).cast("long").as("n_syms_base"),
+        size(split(trim(col("dseq")), "  ")).cast("long").as("n_syms_drop"))
+      .withColumn("inflation_ppm",
+        expr("(1000000 * (n_syms_drop - n_syms_base)) div n_syms_base"))
+      .orderBy(col("word"))
+  }
+
+  /** DuckDB twin: the training chain plus a parallel dropout-replay
+    * chain (each round a CASE on the salted hash before the same
+    * literal replace). */
+  lazy val tokenizeBpeDropoutSql: String = {
+    def phSql(e: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)"
+    val drops = (1 to BPE_MERGES).map { k =>
+      val p = k - 1
+      s"""d$k AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    CASE WHEN ${phSql(s"'bd|' || word || '|$k'")} % 10 = 0 THEN dseq
+         |      ELSE replace(dseq, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') END AS dseq
+         |  FROM d$p CROSS JOIN b$k)""".stripMargin
+    }.mkString(",\n")
+    "WITH " + bpeTrainCtes.mkString(",\n") + s""",
+      |d0 AS (SELECT word, freq, seq AS dseq FROM w0),
+      |$drops
+      |SELECT w.word, w.freq,
+      |  CAST(len(string_split(trim(w.seq), '  ')) AS BIGINT) AS n_syms_base,
+      |  CAST(len(string_split(trim(d.dseq), '  ')) AS BIGINT) AS n_syms_drop,
+      |  (1000000 * (CAST(len(string_split(trim(d.dseq), '  ')) AS BIGINT) - len(string_split(trim(w.seq), '  ')))) // CAST(len(string_split(trim(w.seq), '  ')) AS BIGINT) AS inflation_ppm
+      |FROM w$BPE_MERGES w JOIN d$BPE_MERGES d USING (word)
+      |ORDER BY w.word""".stripMargin
+  }
+
   /** Tokenizer-coverage evaluation — the readout every tokenizer
     * training run reports before the vocabulary ships: per corpus
     * source, the exact word/character/subword mass under the trained
@@ -1032,6 +1106,7 @@ object TextOps {
     "tokenize_bpe_segments" -> tokenizeBpeSegments,
     "tokenize_bpe_ids" -> tokenizeBpeIds,
     "tokenize_coverage" -> tokenizeCoverage,
+    "tokenize_bpe_dropout" -> tokenizeBpeDropout,
     "text_surprisal" -> textSurprisal,
     "text_surprisal_bigram" -> textSurprisalBigram,
     "ml_eval_langid" -> mlEvalLangid,
@@ -1096,6 +1171,7 @@ object TextOps {
     "tokenize_bpe_segments" -> tokenizeBpeSegmentsSql,
     "tokenize_bpe_ids" -> tokenizeBpeIdsSql,
     "tokenize_coverage" -> tokenizeCoverageSql,
+    "tokenize_bpe_dropout" -> tokenizeBpeDropoutSql,
     "text_langid" -> textLangidSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql)

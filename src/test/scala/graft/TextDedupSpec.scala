@@ -1035,6 +1035,29 @@ class TextDedupSpec extends SparkSpec {
       s"sample kept ${expected.size} of ${docs.length}")
   }
 
+  test("tokenize_bpe_dropout: masked replay in memory, dropout only splits finer") {
+    import spark.implicits._
+    val merges = TextOps.tokenizeBpe(spark, sf)
+      .select("rank", "left_sym", "right_sym").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    def ph(t: String): Long = t.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val got = TextOps.tokenizeBpeDropout(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (word, _, base, drop, infl) =>
+      val seq0 = " " + (word.split("").toSeq :+ "</w>").mkString("  ") + " "
+      val dseq = merges.foldLeft(seq0) { case (sq, (k, l, r)) =>
+        if (ph(s"bd|$word|$k") % 10 == 0) sq
+        else sq.replace(s" $l  $r ", s" $l$r ")
+      }
+      assert(drop == dseq.trim.split("  ").length.toLong, s"$word drop arm")
+      assert(drop >= base, s"$word: dropout merged finer than baseline?!")
+      assert(infl == 1000000L * (drop - base) / base, s"$word inflation")
+    }
+    // the mask must actually fire somewhere at this vocab size
+    assert(got.exists(r => r._4 > r._3), "no word inflated — dropout vacuous")
+  }
+
   test("pack_subword: offsets stream the true subword mass in doc order") {
     import spark.implicits._
     val nSyms = TextOps.tokenizeBpeSegments(spark, sf)
