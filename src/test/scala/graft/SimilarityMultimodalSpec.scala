@@ -373,6 +373,31 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "re-created IVF index changed the search result")
   }
 
+  test("mm_phash/mm_dedup_phash: 60-bit sigs; pair face is exact vs the signature brute force") {
+    val sigs = Multimodal.mmPhash(spark, sfMid).as[(Long, Long)].collect()
+    assert(sigs.nonEmpty)
+    assert(sigs.forall { case (_, p) => p >= 0L && p < (1L << 60) },
+      "phash escaped the 60-bit range")
+    // all-pairs truth over the collected signature relation (tiny at
+    // spec SF): every emitted pair must be a true <=10 pair with the
+    // exact Hamming (precision 1.0 by construction -- banding only
+    // prunes, the verify filter is exact)
+    val brute = (for {
+      (ia, pa) <- sigs; (ib, pb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= 10
+    } yield (ia, ib, h)).toSet
+    val pairs = Multimodal.mmDedupPhash(spark, sfMid)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.nonEmpty, "pair face vacuous at spec SF")
+    assert(pairs.forall(brute.contains),
+      "pair face emitted a non-pair or a wrong Hamming")
+    // pigeonhole: below 4 differing bits a clean band is guaranteed,
+    // so banding MUST recover every such pair
+    val guaranteed = brute.filter(_._3 < 4)
+    assert(guaranteed.subsetOf(pairs),
+      "banding lost a pair inside the pigeonhole-lossless range")
+  }
+
   test("mm_audio_chunks: 30s windows on a 20s hop tile every stream exactly") {
     import spark.implicits._
     val rows = Multimodal.mmAudioChunks(spark, sf)
