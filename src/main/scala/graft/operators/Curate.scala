@@ -198,6 +198,66 @@ object Curate {
        |WHERE sa.split <> sb.split
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------ dedup-aware split
+  /** Leakage-PROOF train/val split — the prevention face of
+    * [[splitLeakage]]'s detection: every verified near-dup component
+    * ([[Dedup.dedupComponents]] over the n-gram-Jaccard pair graph)
+    * is assigned WHOLE to one side, decided by its representative's
+    * (the component's min doc_id) content-hash bucket; documents in
+    * no component keep their own [[splitTrainVal]] bucket. By
+    * construction no verified near-dup pair can straddle the
+    * boundary — the property the spec re-checks by running the
+    * leakage detector against this split and requiring zero rows.
+    *
+    * == Scale design ==
+    * The corpus-sized relation is touched by exactly one scan (the
+    * per-doc bucket hash, scan-side column math). Components exist
+    * only for paired docs — a tiny relation at any scale (near-dup
+    * pairs, not the corpus) — so both the component map and the
+    * representative-bucket map BROADCAST into the scan; no corpus
+    * shuffle anywhere before the display sort.
+    */
+  def splitDedupAware(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val fp = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(col("text")),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val own = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), (fp % 100L).as("own_bucket"))
+    val comp = Dedup.dedupComponents(s, dir)
+      .select(col("doc_id"), col("component"))
+    // representative bucket: the component label IS a doc_id, so its
+    // bucket comes from the same scan relation (tiny join, broadcast)
+    val repBuckets = comp.select(col("component")).distinct()
+      .join(own.select(col("doc_id").as("component"),
+        col("own_bucket").as("rep_bucket")), "component")
+    val eff = own
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .join(broadcast(repBuckets), Seq("component"), "left")
+      .withColumn("bucket", coalesce(col("rep_bucket"), col("own_bucket")))
+    eff.select(col("doc_id"), col("component"), col("bucket"),
+        when(col("bucket") < 90, "train").otherwise("val").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the SHARED recursive component CTE + the same bucket
+    * hash, representative bucket resolved through the component
+    * label. */
+  val splitDedupAwareSql: String =
+    s"""WITH RECURSIVE ${Dedup.componentCtes},
+       |f AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 100 AS own_bucket
+       |  FROM documents),
+       |eff AS (SELECT f.doc_id,
+       |    coalesce(comp.component, f.doc_id) AS component,
+       |    coalesce(rf.own_bucket, f.own_bucket) AS bucket
+       |  FROM f LEFT JOIN comp ON comp.doc_id = f.doc_id
+       |  LEFT JOIN f rf ON rf.doc_id = comp.component)
+       |SELECT doc_id, component, bucket,
+       |  CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+       |FROM eff ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------- corpus stats
   /** Per-source corpus accounting: the ledger a curation run reports —
     * doc counts, token/char volume, length spread, language breadth.
@@ -1164,6 +1224,7 @@ object Curate {
     "split_train_val" -> splitTrainVal,
     "split_kfold" -> splitKfold,
     "split_leakage" -> splitLeakage,
+    "split_dedup_aware" -> splitDedupAware,
     "corpus_stats" -> corpusStats,
     "corpus_mixture" -> corpusMixture,
     "text_normalize" -> textNormalize,
@@ -1190,6 +1251,7 @@ object Curate {
     "split_train_val" -> splitTrainValSql,
     "split_kfold" -> splitKfoldSql,
     "split_leakage" -> splitLeakageSql,
+    "split_dedup_aware" -> splitDedupAwareSql,
     "corpus_stats" -> corpusStatsSql,
     "corpus_mixture" -> corpusMixtureSql,
     "text_normalize" -> textNormalizeSql,

@@ -596,6 +596,33 @@ class TextDedupSpec extends SparkSpec {
       }
   }
 
+  test("split_dedup_aware: no verified pair straddles; singletons keep the content split") {
+    import graft.operators.{Curate, Dedup}
+    val sda = Curate.splitDedupAware(spark, sfMid)
+      .select("doc_id", "component", "split").as[(Long, Long, String)].collect()
+    val splitOf = sda.map(r => r._1 -> r._3).toMap
+    val pairs = Dedup.dedupNgramJaccard(spark, sfMid)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "need near-dup pairs for a non-vacuous check")
+    // the property splitLeakage detects is impossible here by design
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b),
+        s"pair ($a,$b) straddles the dedup-aware split")
+    }
+    // every component rides one side; unpaired docs keep their own
+    // splitTrainVal assignment (the split changes ONLY where dedup
+    // demands it)
+    val byComp = sda.groupBy(_._2)
+    byComp.values.foreach(ms =>
+      assert(ms.map(_._3).distinct.length == 1, "component split apart"))
+    val tv = Curate.splitTrainVal(spark, sfMid)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    sda.foreach { case (id, c, sp) =>
+      if (c == id && byComp(c).length == 1)
+        assert(sp == tv(id), s"singleton $id moved sides")
+    }
+  }
+
   test("text normalize is idempotent and accounts removed chars") {
     import graft.operators.Curate
     val out = Curate.textNormalize(spark, sf)
