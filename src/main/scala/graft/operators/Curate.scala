@@ -828,6 +828,85 @@ object Curate {
       |QUALIFY sample_rank <= 10
       |ORDER BY source, sample_rank""".stripMargin
 
+  /** Quota sampling to a target mixture — the "data recipe" executor:
+    * a global budget of [[QUOTA_N]] docs apportioned across sources by
+    * the LARGEST-REMAINDER (Hamilton) method over
+    * [[corpusMixture]]'s temperature weights (base = ⌊N·w⌋ seats,
+    * leftover seats to the largest fractional remainders, source-name
+    * tiebreak), each quota capped at the source's own doc count, then
+    * filled by an exact deterministic per-source hash-order sample
+    * ("quota|" salt, decorrelated from every other sampler's cut).
+    * Apportionment is exact integer arithmetic on ppm weights — the
+    * sole float (the mixture's √tok normalizer) reuses corpusMixture's
+    * order-pinned fold, so both engines hold identical quotas.
+    *
+    * == Scale design ==
+    * The quota ledger lives on the O(#sources) mixture relation (the
+    * one tiny single-partition window is over sources, not the
+    * corpus); selection is the same TopKPerGroup physical operator as
+    * [[sampleGroupK]] — per-partition per-group heaps capped at
+    * [[QUOTA_N]], one grouped merge, no corpus-wide sort — with the
+    * per-source quota broadcast in for the final cut.
+    */
+  def sampleQuota(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val N = QUOTA_N
+    val q0 = corpusMixture(s, dir)
+      .select(col("source"), col("n_docs"), col("weight_ppm"))
+      .withColumn("base", expr(s"(weight_ppm * $N) div 1000000"))
+      .withColumn("rem", expr(s"(weight_ppm * $N) % 1000000"))
+    val tb = q0.agg(sum(col("base")).as("tb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    val quotas = q0.crossJoin(broadcast(tb))
+      .withColumn("rr", row_number().over(w))
+      .withColumn("quota",
+        least(col("base") + when(col("rr") <= lit(N) - col("tb"), 1L)
+          .otherwise(0L), col("n_docs")))
+      .select(col("source"), col("quota"))
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("quota|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val ranked = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), h.as("h"))
+    graft.plans.GraftOps.topKPerGroup(ranked, Seq("source"),
+        Seq("h" -> false, "doc_id" -> false), k = N.toInt,
+        rankName = "sample_rank")
+      .join(broadcast(quotas), "source")
+      .filter(col("sample_rank") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("sample_rank"), col("quota"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  private val QUOTA_N = 100L
+
+  val sampleQuotaSql: String =
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(sqrt(CAST(tok_sum AS DOUBLE)) ORDER BY source)), (a,b) -> a+b) AS denom FROM s),
+      |w AS (SELECT source, n_docs,
+      |    CAST(floor(1e6 * sqrt(CAST(tok_sum AS DOUBLE)) / denom + 0.5) AS BIGINT) AS weight_ppm
+      |  FROM s, t),
+      |q0 AS (SELECT *, (weight_ppm * 100) // 1000000 AS base,
+      |    (weight_ppm * 100) % 1000000 AS rem FROM w),
+      |tb AS (SELECT sum(base) AS tb FROM q0),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr FROM q0),
+      |q AS (SELECT source,
+      |    least(base + CASE WHEN rr <= 100 - tb THEN 1 ELSE 0 END, n_docs) AS quota
+      |  FROM r, tb),
+      |f AS (SELECT doc_id, source,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('quota|' || text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM documents),
+      |rk AS (SELECT source, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+      |  FROM f)
+      |SELECT rk.source, rk.doc_id, rk.sample_rank, CAST(q.quota AS BIGINT) AS quota
+      |FROM rk JOIN q USING (source)
+      |WHERE sample_rank <= quota
+      |ORDER BY source, sample_rank""".stripMargin
+
   /** Deterministic reproducible corpus shuffle — the epoch-ordering op
     * a training run needs before sharding: every doc gets a global
     * 1-based position under a salted content-independent hash order
@@ -1225,6 +1304,7 @@ object Curate {
     "split_kfold" -> splitKfold,
     "split_leakage" -> splitLeakage,
     "split_dedup_aware" -> splitDedupAware,
+    "sample_quota" -> sampleQuota,
     "corpus_stats" -> corpusStats,
     "corpus_mixture" -> corpusMixture,
     "text_normalize" -> textNormalize,
@@ -1252,6 +1332,7 @@ object Curate {
     "split_kfold" -> splitKfoldSql,
     "split_leakage" -> splitLeakageSql,
     "split_dedup_aware" -> splitDedupAwareSql,
+    "sample_quota" -> sampleQuotaSql,
     "corpus_stats" -> corpusStatsSql,
     "corpus_mixture" -> corpusMixtureSql,
     "text_normalize" -> textNormalizeSql,

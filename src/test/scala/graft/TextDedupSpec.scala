@@ -623,6 +623,45 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("sample_quota: largest-remainder apportionment fills the budget exactly") {
+    import graft.operators.Curate
+    val rows = Curate.sampleQuota(spark, sfMid)
+      .select("source", "doc_id", "sample_rank", "quota")
+      .as[(String, Long, Long, Long)].collect()
+    // the budget is met exactly when no per-source cap binds (every
+    // source here holds more docs than its quota)
+    assert(rows.length == 100, s"selected ${rows.length}, budget 100")
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val q = rs.head._4
+      assert(rs.forall(_._4 == q), s"$src: quota not constant")
+      assert(rs.length == q, s"$src: selected ${rs.length} of quota $q")
+      assert(rs.map(_._3).sorted.toSeq == (1L to q), s"$src: ranks not dense")
+    }
+    // Hamilton guarantee: each quota is within one seat of the exact
+    // proportional share N*w
+    val mix = Curate.corpusMixture(spark, sfMid)
+      .select("source", "weight_ppm").as[(String, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val exact = 100.0 * mix(src) / 1e6
+      assert(math.abs(rs.head._4 - exact) < 1.0,
+        s"$src: quota ${rs.head._4} more than a seat from share $exact")
+    }
+    // when the budget exceeds the corpus, the caps bind and quota
+    // sampling degrades to taking everything
+    val dir = java.nio.file.Files.createTempDirectory("graft-quota").toString
+    try {
+      docsDf(Seq((1L, "alpha beta gamma", "en"), (2L, "delta epsilon", "en"),
+        (3L, "zeta eta theta iota", "en")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val small = Curate.sampleQuota(spark, dir).collect()
+      assert(small.length == 3,
+        s"capped quotas should select all 3 docs, got ${small.length}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("text normalize is idempotent and accounts removed chars") {
     import graft.operators.Curate
     val out = Curate.textNormalize(spark, sf)
