@@ -960,6 +960,68 @@ object EventStreams {
       |  prefix - least(0, minp) > target_cents AS alarm
       |FROM p ORDER BY event_type, day""".stripMargin
 
+  /** One arriving event for the daily top-k leaderboard. */
+  case class TopkEv(day: Long, etype: String)
+  /** One emitted leaderboard row (a snapshot per processed batch). */
+  case class TopkOut(day: Long, event_type: String, n_events: Long, rnk: Long)
+
+  /** Live daily heavy-hitters leaderboard — the streaming twin of the
+    * `stream_topk` batch face: keyed by closed day, the per-type count
+    * map is the FMGWS state (bounded by event-type cardinality, NOT
+    * event volume), and every processed batch emits the day's current
+    * top-k snapshot — a leaderboard CHANGELOG in append mode. Fed one
+    * batch per closed day (the monitor's cadence), the emitted rows
+    * are exactly the batch face's relation; fed finer batches, the
+    * final snapshot per day still converges to it (counts only grow).
+    */
+  def topkStream(stream: Dataset[TopkEv], k: Int = 3): Dataset[TopkOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.day)
+      .flatMapGroupsWithState[Map[String, Long], TopkOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (day: Long, recs: Iterator[TopkEv], state: GroupState[Map[String, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          recs.foreach { r =>
+            m = m.updated(r.etype, m.getOrElse(r.etype, 0L) + 1L)
+          }
+          state.update(m)
+          m.toSeq.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex
+            .map { case ((t, n), i) => TopkOut(day, t, n, i + 1L) }
+            .iterator
+      }
+  }
+
+  /** Batch face of [[topkStream]] (registered as `stream_topk`): the
+    * per-day top-3 event types by exact count, (count desc, type asc)
+    * tiebreak. The ranking runs on the (days × types) daily aggregate
+    * — already tiny at any scale after the map-side-combinable count
+    * — through the same TopKPerGroup physical operator the samplers
+    * use (per-partition per-group heaps, no corpus-wide window).
+    */
+  def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.plans.GraftOps.topKPerGroup(daily, Seq("day"),
+        Seq("n_events" -> true, "event_type" -> false), k = 3,
+        rankName = "rnk")
+      .select(col("day"), col("event_type"), col("n_events"), col("rnk"))
+      .orderBy(col("day"), col("rnk"))
+  }
+
+  val streamTopkSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+      |    FROM events),
+      |d AS (SELECT day, event_type, count(*) AS n_events FROM e GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY day
+      |    ORDER BY n_events DESC, event_type) AS rnk FROM d)
+      |SELECT CAST(day AS BIGINT) AS day, event_type,
+      |  CAST(n_events AS BIGINT) AS n_events, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 3 ORDER BY day, rnk""".stripMargin
+
   /** One arriving event for the late-data monitor. */
   case class LateEv(user: Long, eventId: Long, us: Long)
   /** Emitted late-event row: how far behind the key's high-water mark. */
@@ -1042,6 +1104,7 @@ object EventStreams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_late_data" -> streamLateData,
     "stream_cusum" -> streamCusum,
+    "stream_topk" -> streamTopk,
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize,
     "stream_dedup" -> streamDedup,
@@ -1070,6 +1133,7 @@ object EventStreams {
   val oracles: Map[String, String] = Map(
     "stream_late_data" -> streamLateDataSql,
     "stream_cusum" -> streamCusumSql,
+    "stream_topk" -> streamTopkSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_dedup" -> streamDedupSql,

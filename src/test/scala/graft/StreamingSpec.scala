@@ -868,6 +868,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed daily top-k leaderboard equals the batch face at daily cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.TopkEv
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(expr("unix_micros(ts) div 86400000000"), col("event_type"))
+      .as[(Long, String)].collect()
+      .map { case (d, t) => TopkEv(d, t) }
+    val byDay = evs.groupBy(_.day).toSeq.sortBy(_._1)
+    val mem = MemoryStream[TopkEv]
+    val q = EventStreams.topkStream(mem.toDS())
+      .writeStream.format("memory").queryName("topk_live")
+      .outputMode("append").start()
+    try {
+      // one batch per closed day — each day's leaderboard emits once
+      byDay.foreach { case (_, rows) =>
+        mem.addData(rows.toSeq: _*); q.processAllAvailable()
+      }
+      val live = spark.sql(
+        "SELECT day, event_type, n_events, rnk FROM topk_live")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val batch = EventStreams.streamTopk(spark, sf)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(live == batch,
+        s"stream-only ${live.diff(batch).take(3)}; batch-only ${batch.diff(live).take(3)}")
+    } finally q.stop()
+  }
+
   test("late-data stream equals the batch face fed in per-user arrival order") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.LateEv
