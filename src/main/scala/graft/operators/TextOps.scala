@@ -906,6 +906,105 @@ object TextOps {
       |FROM x JOIN symv v USING (sym)
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** WordPiece-style greedy longest-match segmentation — the RUNTIME
+    * tokenization discipline (BERT's) applied to the trained BPE
+    * inventory, completing the family's second segmentation
+    * semantics: where [[tokenizeBpeSegments]] replays merges in RANK
+    * order, this face re-segments every word left-to-right taking the
+    * LONGEST vocabulary piece matching the remaining prefix. The
+    * piece vocabulary is the published BPE definition — the corpus
+    * alphabet ∪ the merge outputs (end-of-word markers stripped) — so
+    * single-character pieces always exist and the char-level fallback
+    * (SentencePiece's byte-fallback analogue, counted in
+    * `n_fallback`) is structurally never taken on a full alphabet;
+    * the column is the honest ledger proving it. The two disciplines
+    * agree on losslessness (pieces concatenate back to the word) but
+    * MAY segment differently — the spec pins both properties.
+    *
+    * == Scale design ==
+    * The piece vocabulary is alphabet + [[BPE_MERGES]] entries —
+    * bounded model state, broadcast to every task (exactly how
+    * production tokenizers ship vocabs to workers); matching is a
+    * tight per-word loop over the Heaps-law vocab relation, one scan,
+    * no shuffle after the word count.
+    */
+  def tokenizeWordpiece(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = trainedBpeMerges(s, dir)
+    val vocabRel = bpeVocab(s, dir)
+    val alphabet = vocabRel
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(col("c") =!= "").distinct().as[String].collect()
+    val pieceSet = alphabet.toSet ++
+      merges.map(_._4.replace("</w>", "")).filter(_.nonEmpty)
+    val maxLen = if (pieceSet.isEmpty) 1 else pieceSet.map(_.length).max
+    vocabRel.select(col("w"), col("freq")).as[(String, Long)]
+      .mapPartitions { it =>
+        it.map { case (w, f) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var pos = 0
+          var nf = 0L
+          while (pos < w.length) {
+            var l = math.min(maxLen, w.length - pos)
+            var found: String = null
+            while (l >= 1 && found == null) {
+              val cand = w.substring(pos, pos + l)
+              if (pieceSet.contains(cand)) found = cand
+              l -= 1
+            }
+            if (found == null) { found = w.substring(pos, pos + 1); nf += 1L }
+            buf += found
+            pos += found.length
+          }
+          (w, f, buf.length.toLong, buf.mkString(" "), nf)
+        }
+      }
+      .toDF("word", "freq", "n_pieces", "segmented", "n_fallback")
+      .orderBy(col("word"))
+  }
+
+  /** DuckDB twin: the same piece vocabulary derived from the training
+    * chain (alphabet ∪ stripped merge outputs), greedy longest-match
+    * unrolled as [[WP_ROUNDS]] MATERIALIZED state rounds (each round
+    * consumes ≥ 1 char, so rounds bound word length; the corpus's
+    * longest word is 8 chars); the per-state longest piece is a
+    * correlated LIMIT-1 subquery over the tiny vocab. */
+  private val WP_ROUNDS = 10
+
+  val tokenizeWordpieceSql: String = {
+    val mrgUnion = (1 to BPE_MERGES)
+      .map(k => s"SELECT l, r FROM b$k").mkString(" UNION ALL ")
+    val rounds = (1 to WP_ROUNDS).map { k =>
+      val p = k - 1
+      s"""st$k AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    CASE WHEN bp IS NULL THEN pos ELSE pos + strlen(bp) END AS pos,
+         |    CASE WHEN bp IS NULL THEN acc
+         |         WHEN acc = '' THEN bp
+         |         ELSE acc || ' ' || bp END AS acc
+         |  FROM (SELECT word, freq, pos, acc,
+         |      CASE WHEN pos < strlen(word) THEN
+         |        (SELECT v FROM vocabp vp
+         |         WHERE vp.v = substr(s.word, CAST(s.pos + 1 AS INT), strlen(vp.v))
+         |         ORDER BY strlen(vp.v) DESC, vp.v LIMIT 1)
+         |      END AS bp
+         |    FROM st$p s))""".stripMargin
+    }.mkString(",\n")
+    "WITH " + bpeTrainCtes.mkString(",\n") + s""",
+      |vocabp AS MATERIALIZED (
+      |  SELECT DISTINCT replace(l || r, '</w>', '') AS v
+      |  FROM ($mrgUnion) WHERE replace(l || r, '</w>', '') <> ''
+      |  UNION
+      |  SELECT DISTINCT c FROM (SELECT unnest(string_split(word, '')) AS c
+      |    FROM w0) WHERE c <> ''),
+      |st0 AS (SELECT word, freq, 0 AS pos, '' AS acc FROM w0),
+      |$rounds
+      |SELECT word, freq,
+      |  CAST(len(string_split(acc, ' ')) AS BIGINT) AS n_pieces,
+      |  acc AS segmented, CAST(0 AS BIGINT) AS n_fallback
+      |FROM st$WP_ROUNDS ORDER BY word""".stripMargin
+  }
+
   /** BPE-dropout segmentation (Provilkov et al. 2020) — the
     * subword-regularization face: during merge REPLAY (training is
     * untouched), each (word, merge-rank) pair deterministically skips
@@ -1103,6 +1202,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_redact" -> textRedact,
     "tokenize_bpe" -> tokenizeBpe,
+    "tokenize_wordpiece" -> tokenizeWordpiece,
     "tokenize_bpe_segments" -> tokenizeBpeSegments,
     "tokenize_bpe_ids" -> tokenizeBpeIds,
     "tokenize_coverage" -> tokenizeCoverage,
@@ -1168,6 +1268,7 @@ object TextOps {
     "text_fingerprint" -> textFingerprintSql,
     "text_redact" -> textRedactSql,
     "tokenize_bpe" -> tokenizeBpeSql,
+    "tokenize_wordpiece" -> tokenizeWordpieceSql,
     "tokenize_bpe_segments" -> tokenizeBpeSegmentsSql,
     "tokenize_bpe_ids" -> tokenizeBpeIdsSql,
     "tokenize_coverage" -> tokenizeCoverageSql,

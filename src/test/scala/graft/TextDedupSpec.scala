@@ -365,6 +365,42 @@ class TextDedupSpec extends SparkSpec {
       "no word was compressed by the trained merges")
   }
 
+  test("tokenize_wordpiece: greedy longest-match is lossless, vocab-closed, and maximal") {
+    val merges = TextOps.tokenizeBpe(spark, sf)
+      .select("merged").as[String].collect()
+      .map(_.replace("</w>", "")).filter(_.nonEmpty).toSet
+    val rows = TextOps.tokenizeWordpiece(spark, sf)
+      .select("word", "freq", "n_pieces", "segmented", "n_fallback")
+      .as[(String, Long, Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    val alphabet = rows.flatMap(_._1.toSeq).map(_.toString).toSet
+    val vocab = alphabet ++ merges
+    rows.foreach { case (w, f, n, seg, nf) =>
+      val pieces = seg.split(" ").toSeq
+      assert(pieces.length.toLong == n && f > 0, s"$w: ledger wrong")
+      // lossless: pieces concatenate back to the word (no marker here)
+      assert(pieces.mkString == w, s"$w: pieces don't tile the word: $seg")
+      // closed over alphabet + merge outputs; full alphabet => the
+      // char fallback is structurally never taken
+      pieces.foreach(p => assert(vocab.contains(p), s"$w: piece '$p' not in vocab"))
+      assert(nf == 0L, s"$w: fallback taken despite full alphabet")
+      // GREEDY maximality: at each position no STRICTLY longer vocab
+      // piece matches than the one taken
+      var pos = 0
+      pieces.foreach { p =>
+        ((p.length + 1) to (w.length - pos)).foreach { l =>
+          assert(!vocab.contains(w.substring(pos, pos + l)),
+            s"$w@$pos: took '$p' but longer piece '${w.substring(pos, pos + l)}' matches")
+        }
+        pos += p.length
+      }
+    }
+    // the trained merges are actually exercised: at least one word
+    // segments with a multi-char piece
+    assert(rows.exists { case (w, _, n, _, _) => n < w.length },
+      "no word used any multi-char piece")
+  }
+
   test("tokenize_bpe_ids round-trips: decoding subword ids reproduces each document") {
     // invert the id table, decode every doc, compare to the raw text
     val segs = TextOps.tokenizeBpeSegments(spark, sf)
