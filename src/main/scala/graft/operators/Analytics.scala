@@ -2751,6 +2751,60 @@ object Analytics {
       |       WHEN (r0+1)*(r0+1) <= z2_micro THEN r0+1 ELSE r0 END AS z_milli
       |FROM r""".stripMargin
 
+  // ------------------------------------------- sample-ratio mismatch
+  /** A/B sample-ratio-mismatch monitor — the assignment-integrity gate
+    * every experiment dashboard runs beside [[eventsAbLift]]'s effect
+    * readout: per day, the DISTINCT active users in each hash arm
+    * (same "ab|" salted assignment as the lift face) checked against
+    * the designed 50/50 ratio by an exact one-degree chi-square,
+    * χ² = (n_a−n_b)²/(n_a+n_b), in integer micro units; `srm_flag`
+    * fires above the 0.05 critical value (3.841459 → 3 841 459 μ).
+    * A firing SRM means the ASSIGNMENT is broken (bot traffic,
+    * logging loss, biased bucketing) and the lift number cannot be
+    * trusted — which is why the two ship together. On this corpus the
+    * hash assignment is healthy and every day reads green; the spec
+    * proves the gate non-vacuous by planting a skewed assignment.
+    *
+    * == Scale design ==
+    * One scan → per-(day, user) dedup → per-day conditional distinct
+    * counts (map-side combinable after the dedup shuffle on the
+    * high-cardinality (day, user) key); the χ² arithmetic runs on the
+    * O(days) relation.
+    */
+  def eventsAbSrm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("ab|"), col("user_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"), (h % 2L).as("armn"))
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(when(col("armn") === 0L, col("user_id"))).as("n_a"),
+        countDistinct(when(col("armn") === 1L, col("user_id"))).as("n_b"))
+      .select(col("day"), col("n_a"), col("n_b"),
+        expr("1000000 * (n_a - n_b) * (n_a - n_b) div (n_a + n_b)")
+          .as("chi2_micro"),
+        expr("1000000 * (n_a - n_b) * (n_a - n_b) div (n_a + n_b) > 3841459")
+          .as("srm_flag"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: same salted arms, same exact integer χ². */
+  val eventsAbSrmSql: String =
+    """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('ab|' || CAST(user_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 2 AS armn
+      |  FROM events),
+      |d AS (SELECT day,
+      |    CAST(count(DISTINCT CASE WHEN armn = 0 THEN user_id END) AS BIGINT) AS n_a,
+      |    CAST(count(DISTINCT CASE WHEN armn = 1 THEN user_id END) AS BIGINT) AS n_b
+      |  FROM e GROUP BY day)
+      |SELECT CAST(day AS BIGINT) AS day, n_a, n_b,
+      |  1000000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b) AS chi2_micro,
+      |  1000000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b) > 3841459 AS srm_flag
+      |FROM d ORDER BY day""".stripMargin
+
   // ------------------------------------------------ late-data audit
   /** Late-arrival accounting — the watermark-sizing audit a streaming
     * ingest runs over its own history: replay each user's events in
@@ -3088,6 +3142,7 @@ object Analytics {
     "ml_pit_features" -> mlPitFeatures,
     "ml_target_encode" -> mlTargetEncode,
     "events_ab_lift" -> eventsAbLift,
+    "events_ab_srm" -> eventsAbSrm,
     "events_late_data" -> eventsLateData,
     "events_attribution" -> eventsAttribution,
     "events_rfm" -> eventsRfm,
@@ -3157,6 +3212,7 @@ object Analytics {
     "ml_pit_features" -> mlPitFeaturesSql,
     "ml_target_encode" -> mlTargetEncodeSql,
     "events_ab_lift" -> eventsAbLiftSql,
+    "events_ab_srm" -> eventsAbSrmSql,
     "events_late_data" -> eventsLateDataSql,
     "events_attribution" -> eventsAttributionSql,
     "events_rfm" -> eventsRfmSql,

@@ -790,6 +790,41 @@ class AnalyticsSpec extends SparkSpec {
     assert((z + 1) * (z + 1) > z2)
   }
 
+  test("events_ab_srm: green on the healthy assignment, fires on a planted skew") {
+    val rows = Analytics.eventsAbSrm(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, na, nb, chi, flag) =>
+      assert(chi == 1000000L * (na - nb) * (na - nb) / (na + nb),
+        "chi2 is not the exact integer form")
+      assert(flag == (chi > 3841459L), "flag diverges from the threshold")
+      assert(!flag, s"healthy hash assignment flagged SRM ($na vs $nb)")
+    }
+    // plant a broken assignment: users cherry-picked (by replaying the
+    // arm hash) to ALL land in arm 0 — the gate must fire
+    val armOf = (u: Long) =>
+      ("ab|" + u).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 2
+    val skewUsers = (1L to 1000L).filter(armOf(_) == 0L).take(20)
+    assert(skewUsers.length == 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft-srm").toString
+    try {
+      skewUsers.zipWithIndex.map { case (u, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          u, "view", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = Analytics.eventsAbSrm(spark, dir)
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+      assert(out.length == 1)
+      val (_, na, nb, chi, flag) = out.head
+      assert(na == 20L && nb == 0L && chi == 1000000L * 400 / 20 && flag,
+        s"planted all-arm-0 day did not fire SRM ($na/$nb chi=$chi)")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("events_cusum equals the sequential max(0,.) recurrence replayed in memory") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select(col("event_type"),
