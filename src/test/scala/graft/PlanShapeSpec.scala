@@ -614,4 +614,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"no cartesian product allowed:\n$plan")
   }
+
+  test("sample_quota: the quota ledger broadcasts, ranking is TopKPerGroup") {
+    val plan = planOf(operators.Curate.sampleQuota(spark, sf))
+    assert(plan.contains("TopKPerGroup"),
+      s"expected the custom top-k operator, not a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quota ledger must broadcast into the cut:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join belongs here:\n$plan")
+  }
+
+  test("stream_topk ranks the daily aggregate via TopKPerGroup, no global window") {
+    val plan = planOf(graft.streaming.EventStreams.streamTopk(spark, sf))
+    assert(plan.contains("TopKPerGroup"), s"expected TopKPerGroup:\n$plan")
+    assert(!plan.contains("RunningWindowFunction"),
+      s"no window rank over the aggregate:\n$plan")
+  }
+
+  test("split_dedup_aware: both component-map joins broadcast into the scan") {
+    val plan = planOf(operators.Curate.splitDedupAware(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2,
+      s"component and rep-bucket maps must both broadcast, got $broadcasts:\n$plan")
+  }
+
+  test("mm_phash is one scan with no exchange before the display sort") {
+    val plan = planOf(operators.Multimodal.mmPhash(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // exactly the range-partition exchange of the display orderBy
+    assert(exchanges <= 1, s"expected at most the sort exchange:\n$plan")
+  }
 }
