@@ -929,6 +929,41 @@ object Dedup {
     s"""WITH RECURSIVE $componentCtes
        |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- cluster-size stats
+  /** Dedup-cluster size distribution — the report a curation run reads
+    * before choosing a collapse policy: [[dedupComponents]]'s labels
+    * rolled up to a (cluster_size → n_clusters, n_docs, docs_removed)
+    * histogram, where `docs_removed` is what keep-one-exemplar dedup
+    * would drop from clusters of that size. Large-cluster mass is the
+    * number that decides between exemplar-keep and full-drop policies
+    * (boilerplate farms show up as one giant component).
+    *
+    * == Scale design ==
+    * Two map-side-combinable aggregations over the component label
+    * relation (which holds only PAIRED docs — tiny at any corpus
+    * size); the histogram itself is O(distinct sizes).
+    */
+  def dedupClusterStats(s: SparkSession, dir: String): DataFrame =
+    dedupComponents(s, dir)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removed"))
+      .orderBy(col("cluster_size"))
+
+  /** Oracle: the shared recursive component CTE rolled up twice. */
+  val dedupClusterStatsSql: String =
+    s"""WITH RECURSIVE $componentCtes,
+       |cs AS (SELECT component, count(*) AS cluster_size
+       |  FROM comp GROUP BY component)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
+       |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   // -------------------------------------------------------- pagerank
   private val PR_ITERS = 6
   private val PR_SCALE = 1000000000000L // picorank units
@@ -1359,6 +1394,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_components" -> dedupComponents,
+    "dedup_cluster_stats" -> dedupClusterStats,
     "contamination_ngram" -> contaminationNgram,
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_incremental" -> dedupIncremental,
@@ -1444,6 +1480,7 @@ object Dedup {
     "dedup_recall_eval" -> dedupRecallEvalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_components" -> dedupComponentsSql,
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
     "contamination_ngram" -> contaminationNgramSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_incremental" -> dedupIncrementalSql,

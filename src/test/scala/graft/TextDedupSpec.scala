@@ -659,6 +659,28 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_cluster_stats: histogram ties out against the component labels") {
+    import graft.operators.Dedup
+    val comp = Dedup.dedupComponents(spark, sfMid)
+      .select("doc_id", "component").as[(Long, Long)].collect()
+    val hist = Dedup.dedupClusterStats(spark, sfMid)
+      .select("cluster_size", "n_clusters", "n_docs", "docs_removed")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(hist.nonEmpty)
+    // every component holds >= 2 paired docs by construction
+    assert(hist.forall(_._1 >= 2), "singleton cluster in the pair graph")
+    // ledger identities
+    hist.foreach { case (sz, nc, nd, rem) =>
+      assert(nd == sz * nc && rem == (sz - 1) * nc, s"ledger wrong at size $sz")
+    }
+    // the histogram is exactly the label relation's size distribution
+    val sizes = comp.groupBy(_._2).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    assert(hist.map(h => h._1 -> h._2).toMap == sizes,
+      "histogram diverges from the labels")
+    assert(hist.map(_._3).sum == comp.length.toLong, "doc mass lost")
+  }
+
   test("sample_quota: largest-remainder apportionment fills the budget exactly") {
     import graft.operators.Curate
     val rows = Curate.sampleQuota(spark, sfMid)
