@@ -459,6 +459,55 @@ object Similarity {
     * closures in the search path); results identical to [[annIvf]],
     * so it shares the unrolled-k-means oracle.
     */
+  /** Incremental index maintenance with a FROZEN codebook — the
+    * production ingest path (FAISS `add()` without `train()`): the
+    * arriving batch (every 5th vector, a deterministic 20% stand-in
+    * for a day's ingest) is assigned to its [[IVF_ASSIGN]] nearest
+    * existing cells without retraining, and the operator emits the
+    * per-cell growth ledger — base/new/total counts, exact
+    * growth_ppm, and a `retrain_flag` that fires when a cell grows at
+    * more than twice the batch's global 20/80 ratio (500 000 ppm):
+    * disproportionate growth means the arriving distribution has
+    * drifted off the trained centroids, the signal a production store
+    * uses to schedule retraining.
+    *
+    * == Scale design ==
+    * The codebook is O(CELLS) broadcast model state; assignment is
+    * one scan with a per-row top-k over the broadcast (exactly the
+    * [[annIvf]] index leg); the ledger is one map-side-combinable
+    * grouped count on cell keys that cannot skew more than the index
+    * itself does — which is precisely what the ledger measures.
+    */
+  def annIndexUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    def nrm(v: Array[Float]): Double = math.sqrt(dotd(v, v))
+    val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
+    val assigned = e.flatMap { case (id, v) =>
+      val n = nrm(v)
+      codebook.value
+        .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(IVF_ASSIGN).map(t => (id, t._1))
+    }.toDF("vec_id", "cell")
+    assigned.groupBy(col("cell"))
+      .agg(
+        sum(when(col("vec_id") % 5 =!= 4, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("vec_id") % 5 === 4, 1L).otherwise(0L)).as("n_new"))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        (col("n_base") + col("n_new")).as("n_total"),
+        expr("1000000 * n_new div greatest(n_base, 1)").as("growth_ppm"))
+      .withColumn("retrain_flag", col("growth_ppm") > 500000L)
+      .orderBy(col("cell"))
+  }
+
   def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val (cbTbl, idxTbl) = ensureIvfIndex(s, dir)
     val cb = s.table(cbTbl)
@@ -860,6 +909,7 @@ object Similarity {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_ivf_indexed" -> annIvfIndexed,
+    "ann_index_upsert" -> annIndexUpsert,
     "ann_pq" -> annPq,
     "ann_ivf_pq" -> annIvfPq,
     "ann_recall_eval" -> annRecallEval,
@@ -1002,8 +1052,22 @@ object Similarity {
       rows.mkString("\nUNION ALL\n") + "\nORDER BY cells, assign_k"
   }
 
+  /** DuckDB twin of the upsert ledger: the shared codebook replay's
+    * assign-2 index rolled up with the same modular batch split. */
+  val annIndexUpsertSql: String =
+    "WITH " + ivfCodebookCtes.mkString(",\n") + """,
+      |led AS (SELECT cell,
+      |    CAST(sum(CASE WHEN vec_id % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |    CAST(sum(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM asg GROUP BY cell)
+      |SELECT cell, n_base, n_new, n_base + n_new AS n_total,
+      |  1000000 * n_new // greatest(n_base, 1) AS growth_ppm,
+      |  1000000 * n_new // greatest(n_base, 1) > 500000 AS retrain_flag
+      |FROM led ORDER BY cell""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
+    "ann_index_upsert" -> annIndexUpsertSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     // the index is layout, not semantics: identical result contract

@@ -373,6 +373,28 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "re-created IVF index changed the search result")
   }
 
+  test("ann_index_upsert: assign-2 mass conserved, ledger exact, flags match the ratio") {
+    val rows = Similarity.annIndexUpsert(spark, sf)
+      .select("cell", "n_base", "n_new", "n_total", "growth_ppm", "retrain_flag")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    // every vector indexed in exactly ASSIGN=2 cells: total mass 2N,
+    // new mass = 2 * the modular 20% batch
+    assert(rows.map(_._4).sum == 2 * nVecs, "assign-2 index mass lost")
+    assert(rows.map(_._3).sum == 2 * (0L until nVecs).count(_ % 5 == 4),
+      "arriving-batch mass wrong")
+    rows.foreach { case (c, b, n, t, g, f) =>
+      assert(t == b + n, s"cell $c: total != base+new")
+      assert(g == 1000000L * n / math.max(b, 1L), s"cell $c: growth_ppm wrong")
+      assert(f == (g > 500000L), s"cell $c: flag diverges from threshold")
+    }
+    // the healthy corpus has SOME growth everywhere but most cells
+    // under the 2x-ratio flag (the batch is an iid 20% slice)
+    assert(rows.count(_._6) < rows.length / 2,
+      "an iid batch should not flag most cells")
+  }
+
   test("mm_phash/mm_dedup_phash: 60-bit sigs; pair face is exact vs the signature brute force") {
     val sigs = Multimodal.mmPhash(spark, sfMid).as[(Long, Long)].collect()
     assert(sigs.nonEmpty)
