@@ -2751,6 +2751,63 @@ object Analytics {
       |       WHEN (r0+1)*(r0+1) <= z2_micro THEN r0+1 ELSE r0 END AS z_milli
       |FROM r""".stripMargin
 
+  // ----------------------------------------------- weekly seasonality
+  /** Day-of-week seasonality profile — the baseline a monitoring stack
+    * subtracts before calling anything an anomaly: per event type and
+    * weekday (0 = Monday; epoch day + 3 mod 7, since 1970-01-01 was a
+    * Thursday), total events and exact cents, plus the weekday's
+    * deviation from the type's own all-week daily mean in signed ppm —
+    * integer arithmetic end to end. The deviation column IS the
+    * seasonal index: a type with a real weekly cycle shows stable
+    * nonzero entries, and a detector that ignores it pages on every
+    * weekend.
+    *
+    * == Scale design ==
+    * One scan → one (type, weekday) map-side-combinable aggregate
+    * (35 groups here, O(types·7) anywhere); the mean join-back is on
+    * the O(types) rollup, broadcast.
+    */
+  def eventsSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("cents"))
+    val byDow = daily
+      .select(col("event_type"), pmod(col("day") + 3, lit(7)).as("dow"),
+        col("n"), col("cents"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("n_events"), sum(col("cents")).as("cents_sum"),
+        count(lit(1)).as("n_days"))
+    val mean = byDow.groupBy(col("event_type"))
+      .agg(expr("sum(n_events) div sum(n_days)").as("mean_per_day"))
+    byDow.join(broadcast(mean), "event_type")
+      .select(col("event_type"), col("dow"), col("n_events"),
+        col("cents_sum"),
+        expr("1000000 * (n_events div n_days - mean_per_day) div greatest(mean_per_day, 1)")
+          .as("dev_ppm"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** DuckDB twin: same weekday fold, same integer deviation. */
+  val eventsSeasonalitySql: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |bd AS (SELECT event_type, (day + 3) % 7 AS dow,
+      |    CAST(sum(n) AS BIGINT) AS n_events,
+      |    CAST(sum(cents) AS BIGINT) AS cents_sum,
+      |    count(*) AS n_days
+      |  FROM daily GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) // sum(n_days) AS mean_per_day
+      |  FROM bd GROUP BY 1)
+      |SELECT bd.event_type, CAST(dow AS BIGINT) AS dow, n_events, cents_sum,
+      |  CAST(1000000 * (n_events // n_days - mean_per_day)
+      |    // greatest(mean_per_day, 1) AS BIGINT) AS dev_ppm
+      |FROM bd JOIN m USING (event_type)
+      |ORDER BY event_type, dow""".stripMargin
+
   // ------------------------------------------- sample-ratio mismatch
   /** A/B sample-ratio-mismatch monitor — the assignment-integrity gate
     * every experiment dashboard runs beside [[eventsAbLift]]'s effect
@@ -3143,6 +3200,7 @@ object Analytics {
     "ml_target_encode" -> mlTargetEncode,
     "events_ab_lift" -> eventsAbLift,
     "events_ab_srm" -> eventsAbSrm,
+    "events_seasonality" -> eventsSeasonality,
     "events_late_data" -> eventsLateData,
     "events_attribution" -> eventsAttribution,
     "events_rfm" -> eventsRfm,
@@ -3213,6 +3271,7 @@ object Analytics {
     "ml_target_encode" -> mlTargetEncodeSql,
     "events_ab_lift" -> eventsAbLiftSql,
     "events_ab_srm" -> eventsAbSrmSql,
+    "events_seasonality" -> eventsSeasonalitySql,
     "events_late_data" -> eventsLateDataSql,
     "events_attribution" -> eventsAttributionSql,
     "events_rfm" -> eventsRfmSql,

@@ -825,6 +825,38 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("events_seasonality: weekday fold conserves mass and the deviation is exact") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+      .as[(String, Long)].collect()
+    val rows = Analytics.eventsSeasonality(spark, sf)
+      .select("event_type", "dow", "n_events", "cents_sum", "dev_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 7))
+    // 1970-01-05 was a Monday: epoch day 4 -> dow 0
+    assert((4L + 3) % 7 == 0)
+    // mass conservation per type
+    val byType = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.map(_._3).sum == byType(t), s"$t: weekday mass lost")
+    }
+    // deviation identity replayed from the raw (type, day) counts
+    val daily = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val days = daily.keys.filter(_._1 == t).map(_._2).toSeq
+      val nDaysByDow = days.groupBy(d => (d + 3) % 7).view.mapValues(_.length.toLong)
+      val totalN = byType(t); val totalDays = days.length.toLong
+      val mean = totalN / totalDays
+      rs.foreach { case (_, dow, n, _, dev) =>
+        val nd = nDaysByDow((dow))
+        assert(dev == 1000000L * (n / nd - mean) / math.max(mean, 1L),
+          s"$t dow $dow: deviation wrong")
+      }
+    }
+  }
+
   test("events_cusum equals the sequential max(0,.) recurrence replayed in memory") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select(col("event_type"),
