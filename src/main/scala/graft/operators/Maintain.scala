@@ -605,6 +605,59 @@ object Maintain {
       |FROM g CROSS JOIN t
       |ORDER BY feature, bucket""".stripMargin
 
+  // ------------------------------------------ referential integrity
+  /** Referential-integrity gate — the cross-table DQ rule
+    * [[dqRules]]'s single-table pass cannot express: each foreign-key
+    * edge of the star schema (lineitem→orders on orderkey,
+    * orders→customer on custkey) audited for ORPHAN children whose
+    * parent key does not exist, with exact ppm accounting. A publish
+    * gate runs this after every load: orphans mean a partial parent
+    * load or a broken CDC feed, and every join downstream silently
+    * drops those rows. This corpus is referentially clean (both edges
+    * read 0 — the green the gate certifies); the spec proves the gate
+    * non-vacuous by planting an orphaned child fixture.
+    *
+    * == Scale design ==
+    * One LEFT ANTI join per edge shuffled on the join key — the same
+    * key the downstream joins use, so any skew here is skew they'd
+    * hit too — folded to one count; the parent side could broadcast
+    * for dimension-sized parents (customer) and shuffle for
+    * fact-sized ones (orders), which is exactly what AQE picks.
+    */
+  def dqReferential(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+             parent: org.apache.spark.sql.DataFrame, pk: String) =
+      child.select(col(ck).as("ck"))
+        .join(parent.select(col(pk).as("pk")).distinct(),
+          col("ck") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          count(when(col("pk").isNull, 1)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
+          expr("1000000 * n_orphans div n_child").as("orphan_ppm"),
+          (col("n_orphans") === 0L).as("pass"))
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    val cust = Tables.load(s, dir, "customer")
+    edge("lineitem_orders", li, "l_orderkey", ord, "o_orderkey")
+      .union(edge("orders_customer", ord, "o_custkey", cust, "c_custkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  val dqReferentialSql: String =
+    """WITH e1 AS (SELECT count(*) AS n_child,
+      |    count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_orphans
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |e2 AS (SELECT count(*) AS n_child,
+      |    count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_orphans
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+      |SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
+      |  CAST(n_orphans AS BIGINT) AS n_orphans,
+      |  CAST(1000000 * n_orphans // n_child AS BIGINT) AS orphan_ppm,
+      |  n_orphans = 0 AS pass
+      |FROM (SELECT 'lineitem_orders' AS fk_edge, * FROM e1
+      |      UNION ALL SELECT 'orders_customer', * FROM e2)
+      |ORDER BY fk_edge""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> mergeUpsert,
     "merge_delete" -> mergeDelete,
@@ -615,7 +668,8 @@ object Maintain {
     "table_snapshot_diff" -> tableSnapshotDiff,
     "table_profile" -> tableProfile,
     "dq_rules" -> dqRules,
-    "dq_drift" -> dqDrift)
+    "dq_drift" -> dqDrift,
+    "dq_referential" -> dqReferential)
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
@@ -627,5 +681,6 @@ object Maintain {
     "table_snapshot_diff" -> tableSnapshotDiffSql,
     "table_profile" -> tableProfileSql,
     "dq_rules" -> dqRulesSql,
-    "dq_drift" -> dqDriftSql)
+    "dq_drift" -> dqDriftSql,
+    "dq_referential" -> dqReferentialSql)
 }

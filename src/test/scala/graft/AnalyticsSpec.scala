@@ -825,6 +825,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("join_asof_tolerance: fresh/stale/no-match all exercised, states exact vs the plain as-of") {
+    val plain = Analytics.joinAsof(spark, sf)
+      .select("event_id", "asof_signup_us").as[(Long, Option[Long])]
+      .collect().toMap
+    val rows = Analytics.joinAsofTolerance(spark, sf)
+      .select("event_id", "us", "asof_us", "gap_us", "stale")
+      .as[(Long, Long, Option[Long], Option[Long], Boolean)].collect()
+    val TOL = 7L * 86400L * 1000000L
+    assert(rows.exists(r => r._3.isDefined), "no fresh matches")
+    assert(rows.exists(_._5), "no stale matches — tolerance untested")
+    assert(rows.exists(r => r._3.isEmpty && !r._5), "no never-matched rows")
+    rows.foreach { case (id, us, asof, gap, stale) =>
+      plain(id) match {
+        case None =>
+          assert(asof.isEmpty && gap.isEmpty && !stale, s"$id: no-match state wrong")
+        case Some(raw) if us - raw <= TOL =>
+          assert(asof.contains(raw) && gap.contains(us - raw) && !stale,
+            s"$id: fresh state wrong")
+        case Some(_) =>
+          assert(asof.isEmpty && gap.isEmpty && stale, s"$id: stale state wrong")
+      }
+    }
+  }
+
   test("events_seasonality: weekday fold conserves mass and the deviation is exact") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select(col("event_type"),

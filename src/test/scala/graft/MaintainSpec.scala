@@ -271,4 +271,39 @@ class MaintainSpec extends SparkSpec {
       assert(sumCur <= 1000000L && sumCur > 1000000L - fr.length)
     }
   }
+
+  test("dq_referential: green on the clean corpus, fires on a planted orphan") {
+    val rows = Maintain.dqReferential(spark, sf)
+      .select("fk_edge", "n_child", "n_orphans", "orphan_ppm", "pass")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("lineitem_orders", "orders_customer"))
+    rows.foreach { case (e, nc, no, ppm, pass) =>
+      assert(nc > 0, s"$e: empty child side")
+      assert(ppm == 1000000L * no / nc, s"$e: ppm not exact")
+      assert(no == 0L && pass, s"$e: clean corpus reported orphans")
+    }
+    // plant one orphaned lineitem (orderkey with no parent order) and
+    // one orphaned order (custkey with no parent customer)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ref").toString
+    try {
+      Seq((1L, 10L), (2L, 999L)).toDF("l_linenumber", "l_orderkey")
+        .write.parquet(s"$dir/lineitem.parquet")
+      Seq((10L, 5L), (11L, 888L)).toDF("o_orderkey", "o_custkey")
+        .write.parquet(s"$dir/orders.parquet")
+      Seq(Tuple1(5L)).toDF("c_custkey")
+        .write.parquet(s"$dir/customer.parquet")
+      val m = Maintain.dqReferential(spark, dir)
+        .select("fk_edge", "n_orphans", "pass")
+        .as[(String, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(m("lineitem_orders") == ((1L, false)),
+        "planted lineitem orphan not caught")
+      assert(m("orders_customer") == ((1L, false)),
+        "planted order orphan not caught")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
