@@ -1083,6 +1083,40 @@ object Curate {
       |  CAST(min(pos) AS BIGINT) AS first_pos, CAST(max(pos) AS BIGINT) AS last_pos
       |FROM p GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** Shard-balance audit — the straggler check a training launch runs
+    * over the [[corpusShards]] manifest: shards are equal in DOC count
+    * by construction (range split of the hash order), but the step
+    * time of a data-parallel epoch is gated by the heaviest shard's
+    * TOKEN mass, so the audit reports each shard's signed ppm
+    * deviation from the mean token load and flags stragglers more
+    * than 5% over it. All exact integer arithmetic on the O(shards)
+    * manifest relation.
+    */
+  def corpusShardSkew(s: SparkSession, dir: String): DataFrame = {
+    val shards = corpusShards(s, dir).select(col("shard"), col("n_tokens"))
+    val mean = shards.agg(expr("sum(n_tokens) div count(1)").as("mean_tokens"))
+    shards.crossJoin(broadcast(mean))
+      .select(col("shard"), col("n_tokens"), col("mean_tokens"),
+        expr("1000000 * (n_tokens - mean_tokens) div mean_tokens").as("dev_ppm"),
+        (col("n_tokens") * 1000000L > col("mean_tokens") * 1050000L)
+          .as("straggler"))
+      .orderBy(col("shard"))
+  }
+
+  val corpusShardSkewSql: String =
+    s"""WITH h AS (SELECT doc_id, ${epochHashSql(0)} AS hk,
+      |  len(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |p AS (SELECT doc_id, tok, row_number() OVER (ORDER BY hk, doc_id) AS pos,
+      |  count(*) OVER () AS n FROM h),
+      |sh AS (SELECT (pos - 1) * 16 // n AS shard,
+      |  CAST(sum(tok) AS BIGINT) AS n_tokens FROM p GROUP BY 1),
+      |m AS (SELECT CAST(sum(n_tokens) AS BIGINT) // count(*) AS mean_tokens FROM sh)
+      |SELECT shard, n_tokens, mean_tokens,
+      |  CAST(1000000 * (n_tokens - mean_tokens) // mean_tokens AS BIGINT) AS dev_ppm,
+      |  n_tokens * 1000000 > mean_tokens * 1050000 AS straggler
+      |FROM sh CROSS JOIN m ORDER BY shard""".stripMargin
+
   /** The shard CONSUMER's read path — what one data loader actually
     * executes given the [[corpusShards]] manifest: resolve its shard's
     * position range over the thin rank relation, then fetch the
@@ -1285,6 +1319,7 @@ object Curate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_shards" -> corpusShards,
+    "corpus_shard_skew" -> corpusShardSkew,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_shuffle_e1" -> corpusShuffleE1,
     "corpus_shuffle_grown" -> corpusShuffleGrown,
@@ -1315,6 +1350,7 @@ object Curate {
 
   val oracles: Map[String, String] = Map(
     "corpus_shards" -> corpusShardsSql,
+    "corpus_shard_skew" -> corpusShardSkewSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "corpus_shuffle_e1" -> corpusShuffleE1Sql,
     "corpus_shuffle_grown" -> corpusShuffleGrownSql,

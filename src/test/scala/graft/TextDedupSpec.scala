@@ -659,6 +659,26 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("corpus_shard_skew: deviations tie out against the manifest, flags match") {
+    import graft.operators.Curate
+    val manifest = Curate.corpusShards(spark, sf)
+      .select("shard", "n_tokens").as[(Long, Long)].collect().toMap
+    val rows = Curate.corpusShardSkew(spark, sf)
+      .select("shard", "n_tokens", "mean_tokens", "dev_ppm", "straggler")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length == manifest.size)
+    val mean = manifest.values.sum / manifest.size
+    rows.foreach { case (sh, n, m, dev, st) =>
+      assert(n == manifest(sh), s"shard $sh token mass diverges")
+      assert(m == mean, s"shard $sh mean wrong")
+      assert(dev == 1000000L * (n - mean) / mean, s"shard $sh dev_ppm wrong")
+      assert(st == (n * 1000000L > mean * 1050000L), s"shard $sh flag wrong")
+    }
+    // deviations are centered: both signs present on a hash split
+    assert(rows.exists(_._4 > 0) && rows.exists(_._4 < 0),
+      "hash-split token deviations should straddle the mean")
+  }
+
   test("dedup_cluster_stats: histogram ties out against the component labels") {
     import graft.operators.Dedup
     val comp = Dedup.dedupComponents(spark, sfMid)
