@@ -2693,7 +2693,11 @@ object Analytics {
     o.join(broadcast(catStats), Seq("segment"))
       .crossJoin(broadcast(globalMean))
       .select(col("o_orderkey"), col("segment"), col("target_cents"), col("n_cat"),
-        expr("(sum_cat - target_cents) div (n_cat - 1)").as("loo_mean_cents"),
+        // n_cat = 1 leaves no other row to average: the standard LOO
+        // fallback is the smoothed global mean (a bare div would be
+        // NULL here but a hard error in DuckDB's //)
+        expr("CASE WHEN n_cat = 1 THEN global_mean_cents" +
+          " ELSE (sum_cat - target_cents) div (n_cat - 1) END").as("loo_mean_cents"),
         expr("(sum_cat - target_cents + 10 * global_mean_cents) div (n_cat - 1 + 10)")
           .as("enc_cents"))
       .orderBy(col("o_orderkey"))
@@ -2710,7 +2714,8 @@ object Analytics {
       |  FROM o GROUP BY segment),
       |g AS (SELECT CAST(sum(sum_cat) AS BIGINT) // CAST(sum(n_cat) AS BIGINT) AS global_mean_cents FROM cs)
       |SELECT o_orderkey, segment, target_cents, n_cat,
-      |  (sum_cat - target_cents) // (n_cat - 1) AS loo_mean_cents,
+      |  CASE WHEN n_cat = 1 THEN global_mean_cents
+      |       ELSE (sum_cat - target_cents) // (n_cat - 1) END AS loo_mean_cents,
       |  (sum_cat - target_cents + 10 * global_mean_cents) // (n_cat - 1 + 10) AS enc_cents
       |FROM o JOIN cs USING (segment) CROSS JOIN g
       |ORDER BY o_orderkey""".stripMargin
@@ -2751,8 +2756,13 @@ object Analytics {
         expr("(1000000 * conv_a) div n_a").as("rate_a_ppm"),
         expr("(1000000 * conv_b) div n_b").as("rate_b_ppm"),
         expr("(1000000 * conv_b) div n_b - (1000000 * conv_a) div n_a").as("lift_ppm"),
+        // the cross-product d = conv_b*n_a - conv_a*n_b reaches ~1e18
+        // at ~1e9 per-arm counts and its square would wrap int64
+        // silently: promote d to DECIMAL(38,0) so d*d is exact (Spark's
+        // div on decimals still returns the BIGINT floor quotient)
         expr("""CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0
-                ELSE ((conv_b * n_a - conv_a * n_b) * (conv_b * n_a - conv_a * n_b)
+                ELSE ((CAST(conv_b AS DECIMAL(38,0)) * n_a - CAST(conv_a AS DECIMAL(38,0)) * n_b)
+                      * (CAST(conv_b AS DECIMAL(38,0)) * n_a - CAST(conv_a AS DECIMAL(38,0)) * n_b)
                       div (n_a * n_b)) * 1000000 * (n_a + n_b)
                       div ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) END""")
           .as("z2_micro"))
@@ -2780,9 +2790,10 @@ object Analytics {
       |    (1000000 * conv_b) // n_b AS rate_b_ppm,
       |    (1000000 * conv_b) // n_b - (1000000 * conv_a) // n_a AS lift_ppm,
       |    CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0
-      |      ELSE ((conv_b * n_a - conv_a * n_b) * (conv_b * n_a - conv_a * n_b)
+      |      ELSE CAST(((CAST(conv_b AS HUGEINT) * n_a - CAST(conv_a AS HUGEINT) * n_b)
+      |            * (CAST(conv_b AS HUGEINT) * n_a - CAST(conv_a AS HUGEINT) * n_b)
       |            // (n_a * n_b)) * 1000000 * (n_a + n_b)
-      |            // ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) END AS z2_micro
+      |            // ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) AS BIGINT) END AS z2_micro
       |  FROM a),
       |r AS (SELECT *, CAST(floor(sqrt(CAST(z2_micro AS DOUBLE))) AS BIGINT) AS r0 FROM z)
       |SELECT n_a, n_b, conv_a, conv_b, rate_a_ppm, rate_b_ppm, lift_ppm,

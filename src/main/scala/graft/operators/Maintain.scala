@@ -592,9 +592,9 @@ object Maintain {
       |  FROM events),
       |e AS (SELECT is_ref, 'event_type' AS feature, event_type AS bucket FROM b
       |  UNION ALL SELECT is_ref, 'value_band', band FROM b),
-      |t AS (SELECT CAST(sum(is_ref) AS BIGINT) AS ref_total,
+      |t AS (SELECT feature, CAST(sum(is_ref) AS BIGINT) AS ref_total,
       |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_total
-      |  FROM e WHERE feature = 'event_type'),
+      |  FROM e GROUP BY feature),
       |g AS (SELECT feature, bucket, CAST(sum(is_ref) AS BIGINT) AS ref_n,
       |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_n
       |  FROM e GROUP BY feature, bucket)
@@ -602,7 +602,7 @@ object Maintain {
       |  (1000000 * ref_n) // ref_total AS ref_ppm,
       |  (1000000 * cur_n) // cur_total AS cur_ppm,
       |  abs((1000000 * ref_n) // ref_total - (1000000 * cur_n) // cur_total) AS drift_ppm
-      |FROM g CROSS JOIN t
+      |FROM g JOIN t USING (feature)
       |ORDER BY feature, bucket""".stripMargin
 
   // ------------------------------------------ referential integrity

@@ -496,6 +496,9 @@ object Multimodal {
     val nSamples = (octet_length(col("text")).cast("long") * 64L).as("n_samples")
     docs(s, dir)
       .filter(col("doc_id") % 3 === 1) // 'audio' kind
+      // a zero-length blob has no samples to chunk — without the guard
+      // it would emit one degenerate start=end=0 chunk (mmPhash's rule)
+      .filter(octet_length(col("text")) > 0)
       .select(col("doc_id"), rate, nSamples)
       .withColumn("hop", col("sample_rate") * 20L)
       .withColumn("chunk_idx",
@@ -513,7 +516,7 @@ object Multimodal {
     """WITH a AS (SELECT doc_id,
       |    8000 + (doc_id % 3) * 4000 AS sample_rate,
       |    strlen(text) * 64 AS n_samples
-      |  FROM documents WHERE doc_id % 3 = 1),
+      |  FROM documents WHERE doc_id % 3 = 1 AND strlen(text) > 0),
       |h AS (SELECT *, sample_rate * 20 AS hop FROM a),
       |x AS (SELECT doc_id, sample_rate, n_samples,
       |    unnest(range(0, (n_samples - 1) // hop + 1)) AS chunk_idx, hop
