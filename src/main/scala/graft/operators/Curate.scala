@@ -1317,7 +1317,157 @@ object Curate {
       |SELECT doc_id, shuffle_pos, n_tokens, tok_offset, tok_offset // 2048 AS bin_id
       |FROM c ORDER BY shuffle_pos""".stripMargin
 
+  // ------------------------------------- end-to-end pretraining build
+  /** The engine's `main()`: the COMPOSED production DAG a pretraining
+    * data build runs, wired end to end from the verified stage
+    * operators and emitting the final per-shard training-data ledger.
+    * Stages (each one's registered face is the contract):
+    *
+    *   1. quality gate — [[TextOps.textQuality]]'s score ≥ 0.5 filter;
+    *   2. per-cluster exemplar drop — [[pipelineCurateCluster]]'s
+    *      policy: every non-representative member of a verified
+    *      near-dup component ([[Dedup.dedupComponents]]) is dropped;
+    *   3. dedup-aware TRAIN split — [[splitDedupAware]]'s rule. The
+    *      survivors of stage 2 are exactly the component
+    *      representatives and the singletons, for whom the effective
+    *      bucket IS their own content-hash bucket (the representative
+    *      of a component is the doc the rep-bucket rule points at), so
+    *      the whole-component guarantee costs one `< 90` filter here;
+    *   4. subword mass — [[packSubword]]'s measure: each surviving
+    *      doc's length in trained-BPE subwords (the broadcast-joined
+    *      memoized segment table), the unit the model actually trains
+    *      on;
+    *   5. epoch-0 shuffle — [[corpusShuffle]]'s decorrelated hash rank
+    *      over the SURVIVORS (the production order: shuffle what you
+    *      train on, not the raw corpus);
+    *   6. context-window packing — the two-phase prefix sum streams
+    *      the shuffled survivors into 2048-subword windows;
+    *   7. shard manifest + skew gate — [[corpusShards]]' 16-way range
+    *      split of the shuffled order with [[corpusShardSkew]]'s
+    *      straggler audit, per shard: docs, subword mass, windows
+    *      touched, position bounds, signed-ppm deviation, flag.
+    *
+    * Empty-text survivors pack nothing and drop at stage 4 (the
+    * [[packSubword]] rule, replayed by both engines).
+    *
+    * == Scale design ==
+    * Text-carrying scans stay O(stages): the gate scan, the bucket
+    * scan, and the subword scan each read the parquet once and emit
+    * THIN relations (≤16 bytes/doc); the component map and segment
+    * vocab broadcast; stages 5-7 ride the two-phase range-partitioned
+    * rank ([[Analytics.globalRowPos]]) over ~24-byte rows. Text is
+    * never shuffled and never carried past its own scan — the plan pin
+    * in the spec counts the text-projecting scans. The subword rollup
+    * runs pre-gate (operator reuse keeps [[packSubword]]'s face
+    * intact) and the gate applies as a thin id join; a tuned 100 TB
+    * build would push the gate predicate into the tokenizing scan,
+    * which changes cost, not results.
+    */
+  def pipelinePretrainBuild(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    // [1] quality gate
+    val gate = TextOps.textQuality(s, dir)
+      .filter(col("quality_score") >= 0.5).select(col("doc_id"))
+    // [2] exemplar drop — non-representatives of verified components
+    val nonExemplar = Dedup.dedupComponents(s, dir)
+      .filter(col("component") =!= col("doc_id")).select(col("doc_id"))
+    // [3] dedup-aware train side: survivors are reps/singletons, so
+    // the effective (component-representative) bucket = own bucket
+    val fp = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(col("text")),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val own = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), (fp % 100L).as("own_bucket"))
+    val keep = gate
+      .join(broadcast(nonExemplar), Seq("doc_id"), "left_anti")
+      .join(own, Seq("doc_id"))
+      .filter(col("own_bucket") < 90)
+      .select(col("doc_id"))
+    // [4] per-doc subword mass over the trained-BPE segment table
+    val segs = TextOps.tokenizeBpeSegments(s, dir)
+      .select(col("word").as("w"), col("n_syms"))
+    val mass = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(segs), Seq("w"))
+      .groupBy(col("doc_id")).agg(sum(col("n_syms")).as("n_subwords"))
+    // [5] epoch-0 shuffle rank over the survivors (thin relation)
+    val keyed = keep.join(mass, Seq("doc_id"))
+      .select(col("doc_id"), epochHash(0).as("hk"), col("n_subwords"))
+    val pos = Analytics.globalRowPos(keyed, Seq.empty,
+      Seq(col("hk"), col("doc_id")), "pos", "__n")
+    // [6] two-phase prefix sum in SHUFFLE order → 2048-subword windows
+    val bktd = pos.withColumn("bkt", expr("(pos - 1) div 64"))
+    val intra = Window.partitionBy(col("bkt")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bktd.withColumn("cum_in", sum(col("n_subwords")).over(intra))
+    val bktTotals = bktd.groupBy(col("bkt")).agg(sum(col("n_subwords")).as("bt"))
+    val over = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bktTotals
+      .withColumn("bp", coalesce(sum(col("bt")).over(over), lit(0L)))
+      .select(col("bkt"), col("bp"))
+    val packed = cum.join(broadcast(prefixes), "bkt")
+      .withColumn("sub_offset", col("bp") + col("cum_in") - col("n_subwords"))
+      .withColumn("bin_id", expr("sub_offset div 2048"))
+      .withColumn("shard", expr("(pos - 1) * 16 div `__n`"))
+    // [7] shard ledger + skew gate
+    val ledger = packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("n_subwords"),
+        countDistinct(col("bin_id")).as("n_bins"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+    val mean = ledger.agg(expr("sum(n_subwords) div count(1)").as("mean_subwords"))
+    ledger.crossJoin(broadcast(mean))
+      .select(col("shard"), col("n_docs"), col("n_subwords"), col("n_bins"),
+        col("first_pos"), col("last_pos"), col("mean_subwords"),
+        expr("1000000 * (n_subwords - mean_subwords) div mean_subwords").as("dev_ppm"),
+        (col("n_subwords") * 1000000L > col("mean_subwords") * 1050000L)
+          .as("straggler"))
+      .orderBy(col("shard"))
+  }
+
+  /** DuckDB twin: the stage oracles chained as CTEs — the SHARED
+    * recursive component CTE, the SHARED quality CTE, the segment
+    * oracle as a derived table, then the same keep-filter → hash rank
+    * → prefix sum → shard rollup. */
+  lazy val pipelinePretrainBuildSql: String =
+    s"""WITH RECURSIVE ${Dedup.componentCtes},
+       |$qualityCte,
+       |sv AS (SELECT word, n_syms FROM (${TextOps.tokenizeBpeSegmentsSql})),
+       |fb AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 100 AS own_bucket
+       |  FROM documents),
+       |keep AS (
+       |  SELECT q.doc_id FROM q JOIN fb USING (doc_id)
+       |  WHERE q.quality_score >= 0.5
+       |    AND NOT EXISTS (SELECT 1 FROM comp
+       |                    WHERE comp.doc_id = q.doc_id AND comp.component <> q.doc_id)
+       |    AND fb.own_bucket < 90),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dc AS (SELECT dw.doc_id, CAST(sum(n_syms) AS BIGINT) AS n_subwords
+       |  FROM dw JOIN sv ON sv.word = dw.w JOIN keep ON keep.doc_id = dw.doc_id
+       |  WHERE w <> '' GROUP BY dw.doc_id),
+       |eh AS (SELECT doc_id, n_subwords, ${epochHashSql(0)} AS hk FROM dc),
+       |rk AS (SELECT doc_id, n_subwords,
+       |  row_number() OVER (ORDER BY hk, doc_id) AS pos,
+       |  count(*) OVER () AS n FROM eh),
+       |cm AS (SELECT doc_id, n_subwords, pos, n,
+       |  CAST(sum(n_subwords) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_subwords AS BIGINT) AS sub_offset
+       |  FROM rk),
+       |shd AS (SELECT CAST((pos - 1) * 16 // n AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+       |  count(DISTINCT sub_offset // 2048) AS n_bins,
+       |  CAST(min(pos) AS BIGINT) AS first_pos, CAST(max(pos) AS BIGINT) AS last_pos
+       |  FROM cm GROUP BY 1),
+       |mn AS (SELECT CAST(sum(n_subwords) AS BIGINT) // count(*) AS mean_subwords FROM shd)
+       |SELECT shard, n_docs, n_subwords, n_bins, first_pos, last_pos, mean_subwords,
+       |  CAST(1000000 * (n_subwords - mean_subwords) // mean_subwords AS BIGINT) AS dev_ppm,
+       |  n_subwords * 1000000 > mean_subwords * 1050000 AS straggler
+       |FROM shd CROSS JOIN mn ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pretrain_build" -> pipelinePretrainBuild,
     "corpus_shards" -> corpusShards,
     "corpus_shard_skew" -> corpusShardSkew,
     "corpus_shuffle" -> corpusShuffle,
@@ -1349,6 +1499,7 @@ object Curate {
     "sample_stratified" -> sampleStratified)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pretrain_build" -> pipelinePretrainBuildSql,
     "corpus_shards" -> corpusShardsSql,
     "corpus_shard_skew" -> corpusShardSkewSql,
     "corpus_shuffle" -> corpusShuffleSql,

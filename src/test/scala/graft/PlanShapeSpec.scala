@@ -639,6 +639,21 @@ class PlanShapeSpec extends SparkSpec {
       s"component and rep-bucket maps must both broadcast, got $broadcasts:\n$plan")
   }
 
+  test("pipeline_pretrain_build: composed plan is text-free past the stage scans") {
+    val plan = planOf(operators.Curate.pipelinePretrainBuild(spark, sf))
+    // every text-carrying scan lives INSIDE its stage (behind that
+    // stage's checkpoint), so the composed DAG exchanges only thin
+    // materialized relations: no parquet scan and no text column may
+    // appear anywhere in the stitched plan — the O(stages), not
+    // O(stages·shuffles), guarantee
+    assert(!plan.contains("Scan parquet"),
+      s"composed stages must ride materialized thin relations:\n$plan")
+    assert(!plan.contains("text#"),
+      s"text must never cross a stage boundary:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product in the composition:\n$plan")
+  }
+
   test("mm_phash is one scan with no exchange before the display sort") {
     val plan = planOf(operators.Multimodal.mmPhash(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length

@@ -1230,6 +1230,49 @@ class TextDedupSpec extends SparkSpec {
       "subword mass identical to whitespace mass — vacuous")
   }
 
+  test("pipeline_pretrain_build: the composed DAG ties out against its stage faces") {
+    import spark.implicits._
+    val ledger = graft.operators.Curate.pipelinePretrainBuild(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(ledger.nonEmpty)
+    // [contiguity] shards tile the shuffled survivor order exactly:
+    // first_pos chains off the previous last_pos, doc counts match spans
+    var expectFirst = 1L
+    ledger.foreach { case (sh, nDocs, _, _, first, last, _, _, _) =>
+      assert(first == expectFirst, s"shard $sh first_pos")
+      assert(last - first + 1 == nDocs, s"shard $sh span vs n_docs")
+      expectFirst = last + 1
+    }
+    // [mass conservation vs the stage faces] survivors = the cluster-
+    // policy curate face ∩ the dedup-aware train side; their mass = the
+    // pack_subword face's per-doc subword mass. Three independently
+    // oracle-checked operators must reproduce the ledger's totals.
+    val curated = graft.operators.Curate.pipelineCurateCluster(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val train = graft.operators.Curate.splitDedupAware(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val mass = graft.operators.Curate.packSubword(spark, sf)
+      .select("doc_id", "n_subwords").as[(Long, Long)].collect().toMap
+    val keepMass = (curated & train).toSeq.flatMap(mass.get)
+    assert(ledger.map(_._2).sum == keepMass.size,
+      "ledger doc total != composed survivor count")
+    assert(ledger.map(_._3).sum == keepMass.sum,
+      "ledger subword total != composed survivor mass")
+    // [skew gate identity] flag and deviation replay from the row itself
+    val meanAll = ledger.map(_._3).sum / ledger.length
+    ledger.foreach { case (sh, _, n, _, _, _, mean, dev, strag) =>
+      assert(mean == meanAll, s"shard $sh mean")
+      assert(dev == 1000000L * (n - mean) / mean ||
+        dev == Math.floorDiv(1000000L * (n - mean), mean), s"shard $sh dev_ppm")
+      assert(strag == (n * 1000000L > mean * 1050000L), s"shard $sh flag")
+    }
+    // the deviation must be a real signal: both signs present
+    assert(ledger.exists(_._8 > 0) && ledger.exists(_._8 < 0),
+      "all shards identical — skew gate vacuous at this SF")
+  }
+
   test("text_surprisal_bigram matches an in-memory conditional-bits model") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
