@@ -800,6 +800,159 @@ object Analytics {
       |  count(*) AS n_events, min(user_id) AS min_user, max(user_id) AS max_user
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------- replayable quantile sketch
+  /** A quantile sketch whose ESTIMATE is hash-checkable — the
+    * fixed-grid completion of the sketch family (CMS and HLL already
+    * replay; quantiles rode the opaque native t-digest): value cents
+    * fold into 64-cent grid buckets whose counts ARE the sketch
+    * (mergeable by plain addition — see [[aggQuantileUnion]]), and the
+    * q-quantile estimate is the midpoint of the first bucket whose
+    * cumulative count reaches the target rank ⌈q·N⌉. Grid geometry
+    * bounds the error at ±32 cents BY CONSTRUCTION (the exact rank-t
+    * value lives inside the chosen bucket) — the spec asserts the
+    * bound, and the EXACT rank-t value rides alongside as the honesty
+    * column, computed from the same grouped-cents relation. The native
+    * `percentile_approx` key stays registered as the production twin.
+    *
+    * == Scale design ==
+    * ONE scan folds events onto the O(|value domain|) distinct-cents
+    * relation map-side; the sketch is a second fold of that relation
+    * onto O(domain/64) buckets. Both cumulative windows run over
+    * BOUNDED relations (domain-sized, not corpus-sized — the
+    * WindowExec single-partition warning is the documented
+    * bounded-relation case). A production grid over an unbounded
+    * domain clamps or log-scales the bucket map; this corpus's value
+    * domain is the bounded ops-metric case the fixed grid is built
+    * for.
+    */
+  def aggQuantileReplay(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = events(s, dir).select(cents(col("value")).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .stableCheckpoint()
+    val n = c.agg(sum(col("cnt")).as("n"))
+    val qs = s.createDataFrame(Seq(250L, 500L, 750L, 900L, 990L)
+      .map(Tuple1.apply)).toDF("q_permille")
+    val t = qs.crossJoin(broadcast(n))
+      .withColumn("target_rank", expr("(q_permille * n + 999) div 1000"))
+    val cumFrame = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = c.withColumn("cum", sum(col("cnt")).over(cumFrame))
+    val exact = t.join(cum, col("cum") >= col("target_rank"))
+      .groupBy(col("q_permille"), col("target_rank"), col("n"))
+      .agg(min(col("v")).as("exact_cents"))
+    val sk = c.groupBy(expr("v div 64").as("b")).agg(sum(col("cnt")).as("bcnt"))
+    val cumB = sk.withColumn("cumb", sum(col("bcnt")).over(
+      Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val est = t.select(col("q_permille"), col("target_rank"))
+      .join(cumB, col("cumb") >= col("target_rank"))
+      .groupBy(col("q_permille")).agg(min(col("b")).as("b"))
+      .select(col("q_permille"), (col("b") * 64L + 32L).as("est_cents"))
+    exact.join(est, "q_permille")
+      .select(col("q_permille"), col("target_rank"), col("n"),
+        col("est_cents"), col("exact_cents"),
+        (col("est_cents") - col("exact_cents")).as("err_cents"))
+      .orderBy(col("q_permille"))
+  }
+
+  val aggQuantileReplaySql: String =
+    """WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS v, count(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+      |qs AS (SELECT unnest(CAST([250,500,750,900,990] AS BIGINT[])) AS q_permille),
+      |t AS (SELECT q_permille, (q_permille * n + 999) // 1000 AS target_rank, n
+      |  FROM qs CROSS JOIN nn),
+      |cum AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM c),
+      |ex AS (SELECT q_permille, target_rank, n, min(v) AS exact_cents
+      |  FROM t JOIN cum ON cum.cum >= t.target_rank GROUP BY 1, 2, 3),
+      |sk AS (SELECT v // 64 AS b, CAST(sum(cnt) AS BIGINT) AS bcnt FROM c GROUP BY 1),
+      |cb AS (SELECT b, CAST(sum(bcnt) OVER (ORDER BY b) AS BIGINT) AS cumb FROM sk),
+      |es AS (SELECT q_permille, min(b) AS b
+      |  FROM t JOIN cb ON cb.cumb >= t.target_rank GROUP BY 1)
+      |SELECT ex.q_permille, ex.target_rank, ex.n,
+      |  es.b * 64 + 32 AS est_cents, ex.exact_cents,
+      |  es.b * 64 + 32 - ex.exact_cents AS err_cents
+      |FROM ex JOIN es USING (q_permille) ORDER BY q_permille""".stripMargin
+
+  /** Sketch ALGEBRA on the grid-quantile registers — the HLL-union
+    * pattern applied to quantiles: the two time windows' sketches
+    * ([[graft.operators.Maintain.dqDrift]]'s epoch cut) MERGE by
+    * register-wise ADDITION (counting registers merge exactly, unlike
+    * HLL's lossy max), and the merged estimate is printed beside the
+    * estimate of a sketch built DIRECTLY over the union — the two
+    * must agree bucket-for-bucket, which the hash gate certifies. The
+    * per-window medians/p90s are the real dashboard quantities: the
+    * quantile-drift face of dq_drift, computed entirely from O(domain
+    * /64) mergeable state without re-touching raw data.
+    *
+    * == Scale design ==
+    * Two scans (the split sketch and the independent direct build —
+    * the second exists purely as the cross-check target), each folding
+    * map-side onto O(domain/64) buckets; merge cost is register-table
+    * size, never a re-scan — a backfill∪live merge at 100 TB adds two
+    * 900-row tables.
+    */
+  def aggQuantileUnion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cut = lit("2024-01-16").cast("timestamp")
+    val sk = events(s, dir)
+      .select(cents(col("value")).as("v0"),
+        (col("ts") < cut).cast("long").as("is_ref"))
+      .select(expr("v0 div 64").as("b"), col("is_ref"))
+      .groupBy(col("b"))
+      .agg(sum(col("is_ref")).as("ref_cnt"),
+        sum(lit(1L) - col("is_ref")).as("cur_cnt"))
+    val direct = events(s, dir)
+      .select(cents(col("value")).as("v0"))
+      .select(expr("v0 div 64").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .select(col("b"), lit("direct").as("face"), col("cnt"))
+    val stacked = sk.select(col("b"), expr(
+        "stack(3, 'ref', ref_cnt, 'cur', cur_cnt, 'merged', ref_cnt + cur_cnt) AS (face, cnt)"))
+      .select(col("b"), col("face"), col("cnt"))
+      .union(direct.select(col("b"), col("face"), col("cnt")))
+    val tot = stacked.groupBy(col("face")).agg(sum(col("cnt")).as("n"))
+    val cum = stacked.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col("face")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qs = s.createDataFrame(Seq(500L, 900L).map(Tuple1.apply)).toDF("q_permille")
+    val t = qs.crossJoin(broadcast(tot))
+      .withColumn("target_rank", expr("(q_permille * n + 999) div 1000"))
+    // cum shares lineage with tot (both fold `stacked`): rename its
+    // face so the equi-join predicate binds the two sides, not one
+    val cumR = cum.select(col("face").as("cface"), col("b"), col("cum"))
+    t.join(cumR, col("cface") === col("face") && col("cum") >= col("target_rank"))
+      .groupBy(col("face"), col("q_permille"), col("n"), col("target_rank"))
+      .agg(min(col("b")).as("b"))
+      .select(col("q_permille"), col("face"), col("n"), col("target_rank"),
+        (col("b") * 64L + 32L).as("est_cents"))
+      .orderBy(col("q_permille"), col("face"))
+  }
+
+  val aggQuantileUnionSql: String =
+    """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) // 64 AS b,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+      |  FROM events),
+      |sk AS (SELECT b, CAST(sum(is_ref) AS BIGINT) AS ref_cnt,
+      |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_cnt
+      |  FROM e GROUP BY b),
+      |stacked AS (
+      |  SELECT b, 'ref' AS face, ref_cnt AS cnt FROM sk
+      |  UNION ALL SELECT b, 'cur', cur_cnt FROM sk
+      |  UNION ALL SELECT b, 'merged', ref_cnt + cur_cnt FROM sk
+      |  UNION ALL SELECT b, 'direct', count(*) FROM e GROUP BY b),
+      |tot AS (SELECT face, CAST(sum(cnt) AS BIGINT) AS n FROM stacked GROUP BY 1),
+      |cum AS (SELECT face, b, CAST(sum(cnt) OVER (PARTITION BY face ORDER BY b) AS BIGINT) AS cum
+      |  FROM stacked),
+      |qs AS (SELECT unnest(CAST([500,900] AS BIGINT[])) AS q_permille),
+      |t AS (SELECT q_permille, face, n, (q_permille * n + 999) // 1000 AS target_rank
+      |  FROM qs CROSS JOIN tot)
+      |SELECT t.q_permille, t.face, t.n, t.target_rank,
+      |  min(cum.b) * 64 + 32 AS est_cents
+      |FROM t JOIN cum ON cum.face = t.face AND cum.cum >= t.target_rank
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY t.q_permille, t.face""".stripMargin
+
   // ------------------------------------------- bucketed fact-fact join
   /** Corpora whose bucketed twin tables are already written. Keyed by
     * SESSION identity + corpus FILE SIGNATURE: the saveAsTable
@@ -3301,6 +3454,8 @@ object Analytics {
     "filter_bloom" -> filterBloom,
     "agg_percentile" -> aggPercentile,
     "agg_approx_quantile" -> aggApproxQuantile,
+    "agg_quantile_replay" -> aggQuantileReplay,
+    "agg_quantile_union" -> aggQuantileUnion,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_approx_quantile_inputs" -> aggApproxQuantileInputs,
     "agg_approx_distinct_inputs" -> aggApproxDistinctInputs,
@@ -3356,6 +3511,8 @@ object Analytics {
     "filter_bloom" -> filterBloomSql,
     "agg_percentile" -> aggPercentileSql,
     "agg_approx_quantile_inputs" -> aggApproxQuantileInputsSql,
+    "agg_quantile_replay" -> aggQuantileReplaySql,
+    "agg_quantile_union" -> aggQuantileUnionSql,
     "agg_approx_distinct_inputs" -> aggApproxDistinctInputsSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

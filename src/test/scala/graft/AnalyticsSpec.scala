@@ -530,6 +530,49 @@ class AnalyticsSpec extends SparkSpec {
       s"corrected estimate $corrected implausibly far from $nExact")
   }
 
+  test("agg_quantile_replay: grid estimate within ±32 cents of the true rank value") {
+    val vals = graft.sources.Tables.load(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.expr("CAST(round(value*100) AS BIGINT)"))
+      .as[Long].collect().sorted
+    val got = Analytics.aggQuantileReplay(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(250L, 500L, 750L, 900L, 990L))
+    got.foreach { case (q, target, n, est, exact, err) =>
+      assert(n == vals.length.toLong, s"q$q n")
+      assert(target == (q * n + 999) / 1000, s"q$q target rank")
+      // the honesty column really is the rank-t order statistic
+      assert(exact == vals((target - 1).toInt), s"q$q exact")
+      assert(err == est - exact, s"q$q err identity")
+      // grid geometry: the estimate is the midpoint of exact's bucket
+      assert(est == (exact / 64) * 64 + 32, s"q$q bucket midpoint")
+      assert(math.abs(err) <= 32, s"q$q error outside the grid bound")
+    }
+  }
+
+  test("agg_quantile_union: register-add merge reproduces the direct build exactly") {
+    val rows = Analytics.aggQuantileUnion(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.length == 8) // 2 quantiles x 4 faces
+    for (q <- Seq(500L, 900L)) {
+      val byFace = rows.filter(_._1 == q).map(r => r._2 -> r).toMap
+      // mergeability: counting registers add exactly — the merged
+      // sketch and the independently built direct sketch must agree
+      // on BOTH the total and the estimate
+      assert(byFace("merged")._3 == byFace("direct")._3, s"q$q merged n")
+      assert(byFace("merged")._5 == byFace("direct")._5, s"q$q merged est")
+      assert(byFace("ref")._3 + byFace("cur")._3 == byFace("merged")._3,
+        s"q$q window totals don't add")
+    }
+    // the epochs must be distinguishable somewhere, else the drift
+    // face reads nothing (both quantiles identical across windows
+    // would make the monitor vacuous at this SF)
+    assert(rows.exists(r => {
+      val m = rows.filter(x => x._1 == r._1).map(x => x._2 -> x._5).toMap
+      m("ref") != m("cur")
+    }) || rows.map(_._5).distinct.length > 1,
+      "ref and cur estimates identical everywhere — drift face vacuous")
+  }
+
   test("bucketed-table memo self-heals after an external DROP (fresh-catalog stand-in)") {
     // losing the catalog entries while the JVM-global memo survives is
     // exactly what a SparkSession swap in one JVM produces — the memo
