@@ -1199,8 +1199,241 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- unigram-LM tokenizer
+  /** SentencePiece-style unigram-LM tokenization (Kudo 2018) — the
+    * third production segmentation family beside BPE (merge-rank
+    * replay) and WordPiece (greedy longest-match): pieces carry
+    * PROBABILITIES and each word takes its Viterbi-optimal
+    * segmentation (minimum total cost), trained by hard-EM. The
+    * engine's replayable rendition keeps every step exact-integer so
+    * both engines agree bit-for-bit:
+    *
+    *   - seed vocabulary = the corpus alphabet (closure: every word
+    *     segmentable) ∪ the top-[[UNI_K]] substrings of length 2..4
+    *     by frequency-weighted occurrence mass ((mass desc, piece)
+    *     cut — the unigram "make a big candidate set, keep the
+    *     useful" shape with a deterministic prune);
+    *   - piece cost = floor-log2(M) − floor-log2(mass) — the integer
+    *     bit-cost family [[textSurprisal]] established (−log₂ p in
+    *     whole bits);
+    *   - Viterbi = per-word DP over ≤[[UNI_MAXP]]-char pieces,
+    *     tie-broken (cost, n_pieces, segmentation-string) — total
+    *     order, so the best path is unique on both engines;
+    *   - ONE hard-EM round: piece masses re-estimated from the
+    *     round-1 Viterbi segmentations (frequency-weighted usage,
+    *     Laplace +1 so unused pieces keep finite cost), costs
+    *     recomputed, words re-segmented under the final model.
+    *
+    * [[tokenizeUnigram]] emits the trained model (piece, seed mass,
+    * EM mass, final bit-cost); [[tokenizeUnigramSegments]] the final
+    * per-word Viterbi segmentation. The oracle unrolls the DP as 8
+    * MATERIALIZED position rounds per EM phase (words here are ≤ 8
+    * chars — the same bound [[tokenizeWordpieceSql]] pins) with a
+    * row_number best-state cut per (word, position).
+    *
+    * == Scale design ==
+    * The corpus is scanned once for the Heaps-law word counts;
+    * everything else rides the vocab relation. Substring seeding is
+    * a bounded explode (≤ 4·len per word) folded map-side onto piece
+    * keys; the model is O(alphabet + [[UNI_K]]) rows — MODEL-STATE
+    * collects only (the ANN-codebook pattern), broadcast into the
+    * per-word DP loop (a bounded mapPartitions like the WordPiece
+    * matcher, the sanctioned typed escape). EM rounds are fixed (1),
+    * each one segmentation pass + one O(pieces) aggregate.
+    */
+  private val UNI_K = 64
+  private val UNI_MAXP = 4
+  private val UNI_POS = 8
+
+  /** Viterbi best path for one word under an integer piece-cost
+    * model; returns (total cost, n_pieces, space-joined pieces).
+    * Tie-break (cost, np, acc) — the oracle's row_number order.
+    */
+  private def uniViterbi(w: String, cost: collection.Map[String, Long]): (Long, Long, String) = {
+    val ord = Ordering.Tuple3[Long, Long, String]
+    val dp = new Array[(Long, Long, String)](w.length + 1)
+    dp(0) = (0L, 0L, "")
+    var p = 1
+    while (p <= w.length) {
+      var best: (Long, Long, String) = null
+      var q = math.max(0, p - UNI_MAXP)
+      while (q < p) {
+        if (dp(q) != null) {
+          val piece = w.substring(q, p)
+          val c = cost.get(piece)
+          if (c.isDefined) {
+            val prev = dp(q)
+            val cand = (prev._1 + c.get, prev._2 + 1L,
+              if (prev._3.isEmpty) piece else prev._3 + " " + piece)
+            if (best == null || ord.lt(cand, best)) best = cand
+          }
+        }
+        q += 1
+      }
+      dp(p) = best
+      p += 1
+    }
+    dp(w.length)
+  }
+
+  private def lg2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** Trained unigram model memo: (piece, seed_mass, em_mass, cost). */
+  private val uniModels = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long, Long, Long)]]()
+
+  private def uniWordFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(explode(words).as("w")).filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  private def trainedUnigram(s: SparkSession, dir: String): Seq[(String, Long, Long, Long)] = {
+    import s.implicits._
+    val memoKey = bpeCorpusKey(s, dir)
+    val cached = uniModels.get(memoKey)
+    if (cached != null) return cached
+    val wv = uniWordFreq(s, dir).cache()
+    try {
+      // seed: alphabet + top-K multi-char substrings by weighted mass
+      val sub = wv.select(col("freq"), explode(expr(
+          s"""flatten(transform(sequence(1, length(w)), i ->
+             |  transform(sequence(1, least($UNI_MAXP, length(w) - i + 1)),
+             |    l -> substring(w, i, l))))""".stripMargin)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("mass"))
+        .cache()
+      val alpha = sub.filter(length(col("piece")) === 1)
+      val multi = sub.filter(length(col("piece")) >= 2)
+        .orderBy(col("mass").desc, col("piece")).limit(UNI_K)
+      // MODEL-STATE collect: O(alphabet + UNI_K) rows
+      val seed = alpha.union(multi).as[(String, Long)].collect().toSeq
+      val m1 = seed.map(_._2).sum
+      val cost1 = seed.map { case (p, m) => p -> (lg2(m1) - lg2(m)) }.toMap
+      // hard-EM round: usage mass from round-1 Viterbi segmentations
+      val seg1 = wv.as[(String, Long)].mapPartitions { it =>
+        it.map { case (w, f) =>
+          val (_, _, acc) = uniViterbi(w, cost1); (f, acc)
+        }
+      }.toDF("freq", "acc")
+      val used = seg1.select(col("freq"), explode(split(col("acc"), " ")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("used"))
+        .as[(String, Long)].collect().toMap // O(pieces)
+      val mass2 = seed.map { case (p, sm) => (p, sm, used.getOrElse(p, 0L) + 1L) }
+      val m2 = mass2.map(_._3).sum
+      val model = mass2.map { case (p, sm, em) => (p, sm, em, lg2(m2) - lg2(em)) }
+      val prev = uniModels.putIfAbsent(memoKey, model)
+      if (prev != null) prev else model
+    } finally wv.unpersist()
+  }
+
+  /** The trained unigram model — piece inventory with seed mass, EM
+    * mass (Laplace-smoothed usage) and the final integer bit-cost. */
+  def tokenizeUnigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainedUnigram(s, dir)
+      .toDF("piece", "seed_mass", "em_mass", "cost_bits")
+      .orderBy(col("piece"))
+  }
+
+  /** The final Viterbi segmentation of every vocab word under the
+    * trained model — the unigram counterpart of
+    * [[tokenizeBpeSegments]]/[[tokenizeWordpiece]]. */
+  def tokenizeUnigramSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cost2 = trainedUnigram(s, dir).map { case (p, _, _, c) => p -> c }.toMap
+    uniWordFreq(s, dir).as[(String, Long)]
+      .mapPartitions { it =>
+        it.map { case (w, f) =>
+          val (c, np, acc) = uniViterbi(w, cost2)
+          (w, f, np, acc, c)
+        }
+      }
+      .toDF("word", "freq", "n_pieces", "segmented", "cost_bits")
+      .orderBy(col("word"))
+  }
+
+  /** The unigram training chain as DuckDB CTEs: seed → costs → 8
+    * unrolled Viterbi position rounds → EM re-mass → 8 more rounds.
+    */
+  private def uniViterbiCtes(tag: String, costRel: String): String = {
+    val s0 =
+      s"""${tag}s0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS pos,
+         |  CAST(0 AS BIGINT) AS cost, CAST(0 AS BIGINT) AS np, '' AS acc FROM uwv)""".stripMargin
+    val rounds = (1 to UNI_POS).map { p =>
+      val prevs = (math.max(0, p - UNI_MAXP) until p)
+        .map(q => s"SELECT * FROM ${tag}s$q").mkString(" UNION ALL ")
+      s"""${tag}s$p AS MATERIALIZED (
+         |  SELECT word, freq, pos, cost, np, acc FROM (
+         |    SELECT s.word, s.freq, CAST($p AS BIGINT) AS pos,
+         |      s.cost + c.cost AS cost, s.np + 1 AS np,
+         |      CASE WHEN s.acc = '' THEN c.piece ELSE s.acc || ' ' || c.piece END AS acc,
+         |      row_number() OVER (PARTITION BY s.word
+         |        ORDER BY s.cost + c.cost, s.np + 1,
+         |          CASE WHEN s.acc = '' THEN c.piece ELSE s.acc || ' ' || c.piece END) AS rn
+         |    FROM ($prevs) s
+         |    JOIN $costRel c
+         |      ON c.piece = substr(s.word, CAST(s.pos + 1 AS INT), $p - CAST(s.pos AS INT))
+         |    WHERE strlen(s.word) >= $p)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val fin = (1 to UNI_POS).map(p => s"SELECT * FROM ${tag}s$p").mkString(" UNION ALL ")
+    ((s0 +: rounds) :+
+      s"${tag}f AS (SELECT word, freq, np, acc, cost FROM ($fin) WHERE strlen(word) = pos)")
+      .mkString(",\n")
+  }
+
+  private lazy val uniTrainCtes: String = {
+    val base =
+      s"""uwv AS MATERIALIZED (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |usub AS MATERIALIZED (
+         |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         |         CAST(sum(freq) AS BIGINT) AS mass
+         |  FROM uwv, unnest(range(1, strlen(word) + 1)) t(i),
+         |       unnest(range(1, ${UNI_MAXP + 1})) u(l)
+         |  WHERE i + l <= strlen(word) + 1
+         |  GROUP BY 1),
+         |useed AS MATERIALIZED (
+         |  SELECT piece, mass FROM usub WHERE strlen(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, mass FROM (
+         |    SELECT piece, mass FROM usub WHERE strlen(piece) >= 2
+         |    ORDER BY mass DESC, piece LIMIT $UNI_K)),
+         |um1 AS (SELECT CAST(sum(mass) AS BIGINT) AS m FROM useed),
+         |uc1 AS MATERIALIZED (
+         |  SELECT piece, mass,
+         |    CAST(length(bin(m)) - length(bin(mass)) AS BIGINT) AS cost
+         |  FROM useed CROSS JOIN um1)""".stripMargin
+    val em =
+      s"""ucnt2 AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS used
+         |  FROM (SELECT unnest(string_split(acc, ' ')) AS piece, freq FROM u1f)
+         |  GROUP BY 1),
+         |umass2 AS MATERIALIZED (
+         |  SELECT s.piece, s.mass AS seed_mass, COALESCE(c.used, 0) + 1 AS mass
+         |  FROM useed s LEFT JOIN ucnt2 c USING (piece)),
+         |um2 AS (SELECT CAST(sum(mass) AS BIGINT) AS m FROM umass2),
+         |uc2 AS MATERIALIZED (
+         |  SELECT piece, seed_mass, mass,
+         |    CAST(length(bin(m)) - length(bin(mass)) AS BIGINT) AS cost
+         |  FROM umass2 CROSS JOIN um2)""".stripMargin
+    Seq(base, uniViterbiCtes("u1", "uc1"), em, uniViterbiCtes("u2", "uc2"))
+      .mkString(",\n")
+  }
+
+  lazy val tokenizeUnigramSql: String =
+    s"""WITH $uniTrainCtes
+       |SELECT piece, seed_mass, mass AS em_mass, cost AS cost_bits
+       |FROM uc2 ORDER BY piece""".stripMargin
+
+  lazy val tokenizeUnigramSegmentsSql: String =
+    s"""WITH $uniTrainCtes
+       |SELECT word, freq, np AS n_pieces, acc AS segmented, cost AS cost_bits
+       |FROM u2f ORDER BY word""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_redact" -> textRedact,
+    "tokenize_unigram" -> tokenizeUnigram,
+    "tokenize_unigram_segments" -> tokenizeUnigramSegments,
     "tokenize_bpe" -> tokenizeBpe,
     "tokenize_wordpiece" -> tokenizeWordpiece,
     "tokenize_bpe_segments" -> tokenizeBpeSegments,
@@ -1267,6 +1500,8 @@ object TextOps {
     "text_ngrams" -> textNgramsSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_redact" -> textRedactSql,
+    "tokenize_unigram" -> tokenizeUnigramSql,
+    "tokenize_unigram_segments" -> tokenizeUnigramSegmentsSql,
     "tokenize_bpe" -> tokenizeBpeSql,
     "tokenize_wordpiece" -> tokenizeWordpieceSql,
     "tokenize_bpe_segments" -> tokenizeBpeSegmentsSql,

@@ -401,6 +401,50 @@ class TextDedupSpec extends SparkSpec {
       "no word used any multi-char piece")
   }
 
+  test("tokenize_unigram: Viterbi segmentations are cost-optimal and lossless") {
+    val model = TextOps.tokenizeUnigram(spark, sf)
+      .select("piece", "seed_mass", "em_mass", "cost_bits")
+      .as[(String, Long, Long, Long)].collect()
+    assert(model.nonEmpty)
+    val cost = model.map(r => r._1 -> r._4).toMap
+    // Laplace floor: every piece keeps finite mass and non-negative cost
+    model.foreach { case (p, sm, em, c) =>
+      assert(sm >= 1 && em >= 1 && c >= 0, s"piece '$p' degenerate")
+    }
+    val rows = TextOps.tokenizeUnigramSegments(spark, sf)
+      .select("word", "freq", "n_pieces", "segmented", "cost_bits")
+      .as[(String, Long, Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    // alphabet closure: every corpus character is a piece
+    rows.flatMap(_._1.toSeq).map(_.toString).distinct
+      .foreach(c => assert(cost.contains(c), s"alphabet char '$c' missing"))
+    // brute-force ALL segmentations into <=4-char vocab pieces and
+    // require the emitted path to be the (cost, n, seg) minimum
+    def allSegs(w: String): Seq[(Long, Long, String)] = {
+      if (w.isEmpty) Seq((0L, 0L, ""))
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val h = w.substring(0, l)
+        cost.get(h).toSeq.flatMap { c =>
+          allSegs(w.substring(l)).map { case (tc, tn, ts) =>
+            (tc + c, tn + 1L, if (ts.isEmpty) h else h + " " + ts)
+          }
+        }
+      }
+    }
+    rows.foreach { case (w, f, n, seg, c) =>
+      val pieces = seg.split(" ").toSeq
+      assert(pieces.mkString == w, s"$w: pieces don't tile the word")
+      assert(pieces.length.toLong == n && f > 0, s"$w: ledger wrong")
+      assert(pieces.map(cost).sum == c, s"$w: cost doesn't add up")
+      val best = allSegs(w).min
+      assert((c, n, seg) == best,
+        s"$w: emitted ($c,$n,'$seg') but optimum is $best")
+    }
+    // the model must actually compress: some word uses a multi-char piece
+    assert(rows.exists { case (w, _, n, _, _) => n < w.length },
+      "no word used any multi-char piece — unigram model vacuous")
+  }
+
   test("tokenize_bpe_ids round-trips: decoding subword ids reproduces each document") {
     // invert the id table, decode every doc, compare to the raw text
     val segs = TextOps.tokenizeBpeSegments(spark, sf)
