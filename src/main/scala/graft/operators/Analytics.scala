@@ -2639,6 +2639,115 @@ object Analytics {
       |FROM tagged WHERE event_type = 'purchase'
       |GROUP BY attributed ORDER BY attributed""".stripMargin
 
+  // ----------------------------------------- multi-touch attribution
+  /** Multi-touch attribution — the production question behind
+    * [[eventsAttribution]]'s last-touch shortcut: every purchase's
+    * value is SPLIT across all its prior touches (click/view events
+    * of the same user within a 7-day lookback), under two standard
+    * credit schemes emitted side by side:
+    *
+    *   - `linear`  — equal weight per touch;
+    *   - `decay`   — weight ∝ the touch's time-order position (later
+    *     touches earn proportionally more — the exact-integer
+    *     rendition of time-decay credit).
+    *
+    * Credits are EXACT INTEGER CENTS via the largest-remainder
+    * machinery ([[graft.operators.Curate.sampleQuota]]'s Hamilton
+    * apportionment applied per purchase): base = ⌊V·w/W⌋, the
+    * leftover cents go to the largest fractional remainders
+    * ((rem desc, position) tiebreak), so per purchase the credits sum
+    * to the purchase cents EXACTLY — the spec replays the
+    * conservation law per scheme. Touchless purchases credit
+    * `direct` whole.
+    *
+    * == Scale design ==
+    * The touch enumeration is a user-keyed range join (the
+    * [[joinRange]] shape) with the 7-day lookback bounding the
+    * fan-out — the window every production attribution job caps at.
+    * All credit windows partition on (scheme, purchase id) — maximal
+    * key cardinality, P-way parallel, one hash partitioning reused
+    * across the three window passes. V·w stays far inside int64 (V ≤
+    * 10⁶ cents, w ≤ touches-per-purchase).
+    */
+  def eventsAttributionMulti(s: SparkSession, dir: String): DataFrame = {
+    val LOOKBACK_US = 7L * 24 * 3600 * 1000000
+    val e = events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"), cents(col("value")).as("vc"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_eid"), col("us").as("p_us"), col("vc"))
+    val t = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("t_eid"), col("us").as("t_us"),
+        col("event_type").as("channel"))
+    val j = p.join(t, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - LOOKBACK_US)
+      .select(col("p_eid"), col("vc"), col("channel"), col("t_us"), col("t_eid"))
+    val perP = Window.partitionBy(col("p_eid"))
+    val k = j.withColumn("k", count(lit(1)).over(perP))
+      .withColumn("r", row_number().over(
+        perP.orderBy(col("t_us"), col("t_eid"))).cast("long"))
+    val st = k.select(col("p_eid"), col("vc"), col("channel"), col("r"), expr(
+      "stack(2, 'linear', CAST(1 AS BIGINT), k, 'decay', r, k * (k + 1) div 2)" +
+        " AS (scheme, w, tw)"))
+      .select(col("p_eid"), col("vc"), col("channel"), col("r"),
+        col("scheme"), col("w"), col("tw"))
+    val perSP = Window.partitionBy(col("scheme"), col("p_eid"))
+    val cr = st
+      .withColumn("base", expr("(vc * w) div tw"))
+      .withColumn("rem", expr("(vc * w) % tw"))
+      .withColumn("leftover", col("vc") - sum(col("base")).over(perSP))
+      .withColumn("rr", row_number().over(
+        perSP.orderBy(col("rem").desc, col("r"))).cast("long"))
+      .select(col("scheme"), col("channel"), col("p_eid"),
+        (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .as("credit"))
+    val schemes = s.createDataFrame(Seq(Tuple1("linear"), Tuple1("decay")))
+      .toDF("scheme")
+    val direct = p.join(j.select(col("p_eid")).distinct(), Seq("p_eid"), "left_anti")
+      .crossJoin(broadcast(schemes))
+      .select(col("scheme"), lit("direct").as("channel"), col("p_eid"),
+        col("vc").as("credit"))
+    cr.union(direct)
+      .groupBy(col("scheme"), col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        countDistinct(col("p_eid")).as("n_purchases"),
+        sum(col("credit")).as("credit_cents"))
+      .orderBy(col("scheme"), col("channel"))
+  }
+
+  /** DuckDB twin: same lookback join, same per-purchase Hamilton
+    * split, same two stacked schemes. */
+  val eventsAttributionMultiSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |p AS (SELECT user_id, event_id AS p_eid, us AS p_us, vc FROM e
+      |  WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_id AS t_eid, us AS t_us, event_type AS channel
+      |  FROM e WHERE event_type IN ('click','view')),
+      |j AS (SELECT p.p_eid, p.vc, t.channel, t.t_us, t.t_eid
+      |  FROM p JOIN t ON t.user_id = p.user_id
+      |   AND t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000),
+      |k AS (SELECT *, CAST(count(*) OVER (PARTITION BY p_eid) AS BIGINT) AS k,
+      |    CAST(row_number() OVER (PARTITION BY p_eid ORDER BY t_us, t_eid) AS BIGINT) AS r
+      |  FROM j),
+      |st AS (SELECT p_eid, vc, channel, r, 'linear' AS scheme,
+      |    CAST(1 AS BIGINT) AS w, k AS tw FROM k
+      |  UNION ALL SELECT p_eid, vc, channel, r, 'decay', r, k*(k+1)//2 FROM k),
+      |c AS (SELECT *, (vc * w) // tw AS base, (vc * w) % tw AS rem FROM st),
+      |l AS (SELECT *,
+      |    vc - CAST(sum(base) OVER (PARTITION BY scheme, p_eid) AS BIGINT) AS leftover,
+      |    CAST(row_number() OVER (PARTITION BY scheme, p_eid ORDER BY rem DESC, r) AS BIGINT) AS rr
+      |  FROM c),
+      |cr AS (SELECT scheme, channel, p_eid,
+      |    base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS credit FROM l),
+      |d AS (SELECT s.scheme, 'direct' AS channel, p.p_eid, p.vc AS credit
+      |  FROM p CROSS JOIN (SELECT 'linear' AS scheme UNION ALL SELECT 'decay') s
+      |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.p_eid = p.p_eid)),
+      |a AS (SELECT * FROM cr UNION ALL SELECT * FROM d)
+      |SELECT scheme, channel, count(*) AS n_credits,
+      |  count(DISTINCT p_eid) AS n_purchases,
+      |  CAST(sum(credit) AS BIGINT) AS credit_cents
+      |FROM a GROUP BY 1, 2 ORDER BY scheme, channel""".stripMargin
+
   // ----------------------------------------------------- RFM segments
   /** RFM user segmentation: recency (calendar days from the user's
     * last event to the corpus max, both cast to DATE so day counting
@@ -3406,6 +3515,7 @@ object Analytics {
     "events_seasonality" -> eventsSeasonality,
     "events_late_data" -> eventsLateData,
     "events_attribution" -> eventsAttribution,
+    "events_attribution_multi" -> eventsAttributionMulti,
     "events_rfm" -> eventsRfm,
     "agg_countmin" -> aggCountMin,
     "events_props_json" -> eventsPropsJson,
@@ -3480,6 +3590,7 @@ object Analytics {
     "events_seasonality" -> eventsSeasonalitySql,
     "events_late_data" -> eventsLateDataSql,
     "events_attribution" -> eventsAttributionSql,
+    "events_attribution_multi" -> eventsAttributionMultiSql,
     "events_rfm" -> eventsRfmSql,
     "agg_countmin" -> aggCountMinSql,
     "events_props_json" -> eventsPropsJsonSql,

@@ -530,6 +530,30 @@ class AnalyticsSpec extends SparkSpec {
       s"corrected estimate $corrected implausibly far from $nExact")
   }
 
+  test("events_attribution_multi: credits conserve purchase cents exactly per scheme") {
+    val rows = Analytics.eventsAttributionMulti(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq("decay", "linear"))
+    // conservation: every scheme's channel credits sum to the total
+    // purchase value — the largest-remainder split loses no cent
+    val totalPurchaseCents = graft.sources.Tables.load(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.expr(
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)"))
+      .as[Long].collect().head
+    for (scheme <- Seq("linear", "decay")) {
+      val bys = rows.filter(_._1 == scheme)
+      assert(bys.map(_._5).sum == totalPurchaseCents, s"$scheme loses cents")
+    }
+    // the two schemes must actually disagree somewhere (decay weights
+    // later touches more), else the second scheme is vacuous
+    val lin = rows.filter(_._1 == "linear").map(r => r._2 -> r._5).toMap
+    val dec = rows.filter(_._1 == "decay").map(r => r._2 -> r._5).toMap
+    assert(lin.keySet == dec.keySet)
+    assert(lin.exists { case (ch, v) => dec(ch) != v },
+      "linear and decay identical everywhere — decay face vacuous")
+  }
+
   test("agg_quantile_replay: grid estimate within ±32 cents of the true rank value") {
     val vals = graft.sources.Tables.load(spark, sf, "events")
       .select(org.apache.spark.sql.functions.expr("CAST(round(value*100) AS BIGINT)"))
