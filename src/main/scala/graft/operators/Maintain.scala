@@ -289,6 +289,78 @@ object Maintain {
       |  (CAST(sum(bytes) AS BIGINT) * 1000000) // max(target) AS fill_ppm
       |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
 
+  // --------------------------------------------------- compaction exec
+  /** EXECUTE the compaction plan — [[compactionPlan]]'s missing half:
+    * every document routes to its planned output file (the same
+    * (source, lang) → file_id assignment the planner computed) and
+    * the face emits the POST-compaction file manifest: per file the
+    * group/doc/byte totals, the doc-id span, and an order-independent
+    * content checksum (Σ poly-hash of each doc's text, reduced mod
+    * the hash prime). Conservation is the contract: the manifest's
+    * n_groups/n_docs/bytes must equal the plan's ledger row for row
+    * (the spec compares them), and the checksum column proves the
+    * rewrite moved every byte — the corpus-level checksum equals the
+    * sum over files (spec-replayed), which no dropped or duplicated
+    * document can fake.
+    *
+    * == Scale design ==
+    * The plan's group→file map is O(groups) and BROADCASTS into the
+    * one corpus scan (documents are touched once, routed map-side,
+    * folded into per-file totals with map-side combine — exactly what
+    * a real compaction job's shuffle-free bin-packing write does);
+    * the checksum accumulates in DECIMAL(38,0) so ~10¹² docs × 10⁹
+    * hash values cannot wrap.
+    */
+  def compactionExec(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val g = Tables.load(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    val ord = Window.orderBy(col("source"), col("lang"))
+    val routing = g
+      .withColumn("cum_before", coalesce(
+        sum(col("bytes")).over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("bytes")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("target", greatest(lit(65536L), expr("(total + 15) div 16")))
+      .select(col("source"), col("lang"), expr("cum_before div target").as("file_id"))
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(col("text")),
+      GraftSqlShim.expression(lit(1000000007L))))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), h.as("h"))
+      .join(broadcast(routing), Seq("source", "lang"))
+      .groupBy(col("file_id"))
+      .agg(countDistinct(col("source"), col("lang")).as("n_groups"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1000000007 AS BIGINT)")
+          .as("checksum"))
+      .orderBy(col("file_id"))
+  }
+
+  val compactionExecSql: String =
+    """WITH g AS (SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY source, lang),
+      |c AS (SELECT *,
+      |    coalesce(CAST(sum(bytes) OVER (ORDER BY source, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before,
+      |    CAST(sum(bytes) OVER () AS BIGINT) AS total
+      |  FROM g),
+      |f AS (SELECT source, lang,
+      |    cum_before // greatest(65536, (total + 15) // 16) AS file_id
+      |  FROM c),
+      |d AS (SELECT doc_id, source, lang, n_chars,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM documents)
+      |SELECT f.file_id,
+      |  count(DISTINCT (d.source, d.lang)) AS n_groups,
+      |  count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS bytes,
+      |  min(d.doc_id) AS min_doc, max(d.doc_id) AS max_doc,
+      |  CAST(sum(CAST(d.h AS HUGEINT)) % 1000000007 AS BIGINT) AS checksum
+      |FROM d JOIN f ON f.source = d.source AND f.lang = d.lang
+      |GROUP BY f.file_id ORDER BY f.file_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   // --------------------------------------------------- snapshot diff
   /** Time-travel snapshot diff — the Iceberg/Delta "what changed
@@ -665,6 +737,7 @@ object Maintain {
     "dim_scd2_asof" -> dimScd2Asof,
     "agg_incremental" -> aggIncremental,
     "compaction_plan" -> compactionPlan,
+    "compaction_exec" -> compactionExec,
     "table_snapshot_diff" -> tableSnapshotDiff,
     "table_profile" -> tableProfile,
     "dq_rules" -> dqRules,
@@ -678,6 +751,7 @@ object Maintain {
     "dim_scd2_asof" -> dimScd2AsofSql,
     "agg_incremental" -> aggIncrementalSql,
     "compaction_plan" -> compactionPlanSql,
+    "compaction_exec" -> compactionExecSql,
     "table_snapshot_diff" -> tableSnapshotDiffSql,
     "table_profile" -> tableProfileSql,
     "dq_rules" -> dqRulesSql,

@@ -176,6 +176,30 @@ class MaintainSpec extends SparkSpec {
     }
   }
 
+  test("compaction_exec: the rewrite reproduces the plan's ledger and moves every byte") {
+    val plan = Maintain.compactionPlan(spark, sf)
+      .select("file_id", "n_groups", "n_docs", "bytes")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val exec = Maintain.compactionExec(spark, sf)
+      .select("file_id", "n_groups", "n_docs", "bytes", "min_doc", "max_doc", "checksum")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // the executed manifest must match the plan ROW FOR ROW
+    assert(exec.map(r => (r._1, r._2, r._3, r._4)).toSeq == plan.toSeq,
+      "executed manifest diverges from the plan ledger")
+    // conservation: per-file checksums sum (mod p) to the corpus checksum —
+    // no dropped or duplicated document can fake this
+    val P = 1000000007L
+    val corpus = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.graftshim.GraftSqlShim.column(
+        graft.functions.StringPolyHash(
+          org.apache.spark.sql.graftshim.GraftSqlShim.expression(col("text")),
+          org.apache.spark.sql.graftshim.GraftSqlShim.expression(lit(P)))).as("h"))
+      .as[Long].collect()
+    assert(exec.map(_._7).sum % P == corpus.map(_ % P).sum % P,
+      "per-file checksums don't add to the corpus checksum")
+    assert(exec.map(_._3).sum == corpus.length.toLong, "doc count not conserved")
+  }
+
   test("layout_zorder tiles are compact <=256-wide rectangles") {
     val tiles = Geo.layoutZorder(spark, sf)
       .select("tile", "n_points", "px_min", "px_max", "py_min", "py_max")
