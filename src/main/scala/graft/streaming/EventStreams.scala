@@ -1101,7 +1101,149 @@ object EventStreams {
       |FROM h WHERE hwm - us > 86400000000
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** One arriving event for the live drift monitor (pre-bucketed). */
+  case class DriftEv(day: Long, feature: String, bucket: String)
+  /** Emitted per-(day, feature) drift snapshot. */
+  case class DriftOut(day: Long, feature: String, n_events: Long, tvd_ppm: Long)
+
+  /** Live distribution-drift monitor — the streaming twin of
+    * [[graft.operators.Maintain.dqDrift]], closing the monitoring
+    * family's last batch-only asymmetry (cusum and late_data already
+    * have live twins): the REFERENCE profile (per-feature bucket
+    * counts from the pre-cut epoch) ships to the stream as broadcast
+    * model state — a deployment trains it offline exactly like a
+    * tokenizer vocab — and each (closed day, feature) key holds its
+    * bucket-count map as FMGWS state (bounded by the BUCKET ALPHABET:
+    * event types + six value bands, never event volume). Every
+    * processed batch emits the key's current total-variation distance
+    * vs the reference in exact integer ppm — the same
+    * Σ|ref_share − cur_share| / 2 the batch face computes, so fed one
+    * batch per closed day the emitted rows are exactly the batch
+    * relation (the spec pins it). Buckets outside the union of the
+    * reference and the key's own state contribute zero on both faces,
+    * which is what makes the per-key emission equal the batch grid.
+    */
+  def driftStream(stream: Dataset[DriftEv],
+                  refProfile: Map[(String, String), Long],
+                  refTotals: Map[String, Long]): Dataset[DriftOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(r => (r.day, r.feature))
+      .flatMapGroupsWithState[Map[String, Long], DriftOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), recs: Iterator[DriftEv],
+         state: GroupState[Map[String, Long]]) =>
+          val (day, feature) = key
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          recs.foreach { r =>
+            m = m.updated(r.bucket, m.getOrElse(r.bucket, 0L) + 1L)
+          }
+          state.update(m)
+          val curTotal = m.values.sum
+          val refTotal = refTotals.getOrElse(feature, 0L)
+          val buckets = m.keySet ++
+            refProfile.keysIterator.filter(_._1 == feature).map(_._2)
+          val tvd = buckets.toSeq.map { b =>
+            val rp = if (refTotal == 0) 0L
+              else 1000000L * refProfile.getOrElse((feature, b), 0L) / refTotal
+            val cp = if (curTotal == 0) 0L
+              else 1000000L * m.getOrElse(b, 0L) / curTotal
+            math.abs(rp - cp)
+          }.sum / 2
+          Iterator.single(DriftOut(day, feature, curTotal, tvd))
+      }
+  }
+
+  /** Batch face of [[driftStream]] (registered as `stream_drift`):
+    * per CURRENT day (≥ the [[graft.operators.Maintain.dqDrift]]
+    * epoch cut) and stacked feature, the day's total-variation
+    * distance vs the pre-cut reference profile in exact integer ppm —
+    * dq_drift's two-window readout turned into the daily series a
+    * live monitor pages on.
+    *
+    * == Scale design ==
+    * ONE stacked events scan folds map-side onto O(days × buckets)
+    * keys (the reference leg onto O(buckets)); the drift grid —
+    * days × (ref ∪ cur buckets) — is bounded by alphabet × days, so
+    * everything past the scan is tiny-relation arithmetic. The
+    * streaming twin's per-key state is one bucket-count map.
+    */
+  def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val b = events(s, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("band",
+        when(col("cents") < 1000, "v0").when(col("cents") < 2500, "v1")
+          .when(col("cents") < 5000, "v2").when(col("cents") < 7500, "v3")
+          .when(col("cents") < 10000, "v4").otherwise("v5"))
+      .withColumn("is_ref", col("ts") < cut)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .select(col("day"), col("is_ref"), expr(
+        "stack(2, 'event_type', event_type, 'value_band', band) AS (feature, bucket)"))
+    val ref = b.filter(col("is_ref"))
+      .groupBy(col("feature"), col("bucket")).agg(count(lit(1)).as("ref_n"))
+    val reft = ref.groupBy(col("feature")).agg(sum(col("ref_n")).as("ref_total"))
+    val cur = b.filter(!col("is_ref"))
+      .groupBy(col("day"), col("feature"), col("bucket"))
+      .agg(count(lit(1)).as("cur_n"))
+    val curt = cur.groupBy(col("day"), col("feature"))
+      .agg(sum(col("cur_n")).as("cur_total"))
+    val grid = cur.select(col("day")).distinct()
+      .crossJoin(ref.select(col("feature"), col("bucket"))
+        .union(cur.select(col("feature"), col("bucket"))).distinct())
+      .join(ref, Seq("feature", "bucket"), "left")
+      .join(broadcast(reft), Seq("feature"))
+      .join(cur, Seq("day", "feature", "bucket"), "left")
+      .join(curt, Seq("day", "feature"))
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    grid
+      .withColumn("d", expr(
+        "abs((1000000 * ref_n) div ref_total - (1000000 * cur_n) div cur_total)"))
+      .groupBy(col("day"), col("feature"))
+      .agg(max(col("cur_total")).as("n_events"),
+        expr("sum(d) div 2").as("tvd_ppm"))
+      .orderBy(col("day"), col("feature"))
+  }
+
+  val streamDriftSql: String =
+    """WITH b0 AS (SELECT
+      |    epoch_us(ts) // 86400000000 AS day,
+      |    ts < TIMESTAMP '2024-01-16' AS is_ref,
+      |    event_type,
+      |    CASE WHEN round(value*100) < 1000 THEN 'v0'
+      |         WHEN round(value*100) < 2500 THEN 'v1'
+      |         WHEN round(value*100) < 5000 THEN 'v2'
+      |         WHEN round(value*100) < 7500 THEN 'v3'
+      |         WHEN round(value*100) < 10000 THEN 'v4' ELSE 'v5' END AS band
+      |  FROM events),
+      |b AS (SELECT day, is_ref, 'event_type' AS feature, event_type AS bucket FROM b0
+      |  UNION ALL SELECT day, is_ref, 'value_band', band FROM b0),
+      |ref AS (SELECT feature, bucket, CAST(count(*) AS BIGINT) AS ref_n
+      |  FROM b WHERE is_ref GROUP BY 1, 2),
+      |reft AS (SELECT feature, CAST(sum(ref_n) AS BIGINT) AS ref_total
+      |  FROM ref GROUP BY 1),
+      |cur AS (SELECT day, feature, bucket, CAST(count(*) AS BIGINT) AS cur_n
+      |  FROM b WHERE NOT is_ref GROUP BY 1, 2, 3),
+      |curt AS (SELECT day, feature, CAST(sum(cur_n) AS BIGINT) AS cur_total
+      |  FROM cur GROUP BY 1, 2),
+      |allb AS (SELECT DISTINCT feature, bucket FROM
+      |  (SELECT feature, bucket FROM ref UNION ALL SELECT feature, bucket FROM cur)),
+      |grid AS (SELECT d.day, a.feature, a.bucket,
+      |    COALESCE(ref.ref_n, 0) AS ref_n, reft.ref_total,
+      |    COALESCE(cur.cur_n, 0) AS cur_n, curt.cur_total
+      |  FROM (SELECT DISTINCT day FROM cur) d
+      |  CROSS JOIN allb a
+      |  LEFT JOIN ref ON ref.feature = a.feature AND ref.bucket = a.bucket
+      |  JOIN reft ON reft.feature = a.feature
+      |  LEFT JOIN cur ON cur.day = d.day AND cur.feature = a.feature AND cur.bucket = a.bucket
+      |  JOIN curt ON curt.day = d.day AND curt.feature = a.feature)
+      |SELECT CAST(day AS BIGINT) AS day, feature,
+      |  max(cur_total) AS n_events,
+      |  CAST(sum(abs((1000000 * ref_n) // ref_total - (1000000 * cur_n) // cur_total)) // 2 AS BIGINT) AS tvd_ppm
+      |FROM grid GROUP BY 1, 2 ORDER BY day, feature""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_drift" -> streamDrift,
     "stream_late_data" -> streamLateData,
     "stream_cusum" -> streamCusum,
     "stream_topk" -> streamTopk,
@@ -1131,6 +1273,7 @@ object EventStreams {
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_drift" -> streamDriftSql,
     "stream_late_data" -> streamLateDataSql,
     "stream_cusum" -> streamCusumSql,
     "stream_topk" -> streamTopkSql,

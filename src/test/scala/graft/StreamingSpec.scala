@@ -868,6 +868,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed drift monitor equals the batch TVD series at daily cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.DriftEv
+    // the reference profile ships to the stream as broadcast model
+    // state — built here from the same pre-cut epoch the batch face uses
+    val cutUs = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime * 1000L
+    def band(cents: Long): String =
+      if (cents < 1000) "v0" else if (cents < 2500) "v1"
+      else if (cents < 5000) "v2" else if (cents < 7500) "v3"
+      else if (cents < 10000) "v4" else "v5"
+    val raw = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(unix_micros(col("ts")), col("event_type"),
+        expr("CAST(round(value*100) AS BIGINT)"))
+      .as[(Long, String, Long)].collect()
+      .flatMap { case (us, t, vc) =>
+        Seq((us, "event_type", t), (us, "value_band", band(vc)))
+      }
+    val refProfile = raw.filter(_._1 < cutUs)
+      .groupBy(r => (r._2, r._3)).view.mapValues(_.length.toLong).toMap
+    val refTotals = refProfile.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val curEvs = raw.filter(_._1 >= cutUs)
+      .map { case (us, f, b) => DriftEv(us / 86400000000L, f, b) }
+    val byDay = curEvs.groupBy(_.day).toSeq.sortBy(_._1)
+    val mem = MemoryStream[DriftEv]
+    val q = EventStreams.driftStream(mem.toDS(), refProfile, refTotals)
+      .writeStream.format("memory").queryName("drift_live")
+      .outputMode("append").start()
+    try {
+      // one batch per closed day — each (day, feature) key emits once
+      byDay.foreach { case (_, rows) =>
+        mem.addData(rows.toSeq: _*); q.processAllAvailable()
+      }
+      val live = spark.sql(
+        "SELECT day, feature, n_events, tvd_ppm FROM drift_live")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val batch = EventStreams.streamDrift(spark, sf)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(live == batch,
+        s"stream-only ${live.diff(batch).take(3)}; batch-only ${batch.diff(live).take(3)}")
+      // the monitor must read a real signal: drift is nonzero somewhere
+      assert(batch.exists(_._4 > 0), "TVD zero everywhere — monitor vacuous")
+    } finally q.stop()
+  }
+
   test("streamed daily top-k leaderboard equals the batch face at daily cadence") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.TopkEv
