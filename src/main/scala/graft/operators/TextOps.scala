@@ -930,6 +930,7 @@ object TextOps {
     */
   def tokenizeWordpiece(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.graftshim.GraftSqlShim
     val merges = trainedBpeMerges(s, dir)
     val vocabRel = bpeVocab(s, dir)
     val alphabet = vocabRel
@@ -937,29 +938,24 @@ object TextOps {
       .filter(col("c") =!= "").distinct().as[String].collect()
     val pieceSet = alphabet.toSet ++
       merges.map(_._4.replace("</w>", "")).filter(_.nonEmpty)
-    val maxLen = if (pieceSet.isEmpty) 1 else pieceSet.map(_.length).max
-    vocabRel.select(col("w"), col("freq")).as[(String, Long)]
-      .mapPartitions { it =>
-        it.map { case (w, f) =>
-          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-          var pos = 0
-          var nf = 0L
-          while (pos < w.length) {
-            var l = math.min(maxLen, w.length - pos)
-            var found: String = null
-            while (l >= 1 && found == null) {
-              val cand = w.substring(pos, pos + l)
-              if (pieceSet.contains(cand)) found = cand
-              l -= 1
-            }
-            if (found == null) { found = w.substring(pos, pos + 1); nf += 1L }
-            buf += found
-            pos += found.length
-          }
-          (w, f, buf.length.toLong, buf.mkString(" "), nf)
-        }
-      }
-      .toDF("word", "freq", "n_pieces", "segmented", "n_fallback")
+    // the matcher runs as a codegen'd expression (the minhash_sig
+    // static-kernel pattern): the bounded piece vocab ships as ONE
+    // foldable literal, parsed once per distinct vocab in the kernel
+    // memo, so the projection stays inside whole-stage codegen with
+    // no encoder round-trip (formerly a typed mapPartitions loop)
+    val vocabLit = lit(pieceSet.toSeq.sorted.mkString(""))
+    def kernel(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+                   org.apache.spark.sql.catalyst.expressions.Expression) =>
+                  org.apache.spark.sql.catalyst.expressions.Expression): Column =
+      GraftSqlShim.column(f(GraftSqlShim.expression(col("w")),
+        GraftSqlShim.expression(vocabLit)))
+    vocabRel
+      .select(col("w"), col("freq"),
+        kernel(graft.functions.WordPieceSeg.apply).as("segmented"),
+        kernel(graft.functions.WordPieceFallback.apply).as("n_fallback"))
+      .select(col("w").as("word"), col("freq"),
+        size(split(col("segmented"), " ")).cast("long").as("n_pieces"),
+        col("segmented"), col("n_fallback"))
       .orderBy(col("word"))
   }
 

@@ -639,6 +639,20 @@ class PlanShapeSpec extends SparkSpec {
       s"component and rep-bucket maps must both broadcast, got $broadcasts:\n$plan")
   }
 
+  test("tokenize_wordpiece matches via a codegen'd expression, not a typed loop") {
+    val df = graft.operators.TextOps.tokenizeWordpiece(spark, sf)
+    // the expression lands inside the aggregate's result projection,
+    // which the physical toString elides — read the optimized logical
+    // plan for its presence, the physical plan for the absence of any
+    // typed-encoder fence
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("wordpiece_seg"),
+      s"expected the codegen'd matcher expression:\n$logical")
+    val plan = planOf(df)
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      s"the matcher must not fence the stage behind an encoder round-trip:\n$plan")
+  }
+
   test("pipeline_pretrain_build: composed plan is text-free past the stage scans") {
     val plan = planOf(operators.Curate.pipelinePretrainBuild(spark, sf))
     // every text-carrying scan lives INSIDE its stage (behind that
