@@ -895,6 +895,10 @@ object Analytics {
   def aggQuantileUnion(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cut = lit("2024-01-16").cast("timestamp")
+    // the split sketch is checkpointed: the three stacked faces and
+    // their totals/cumsums all read the O(domain/64) register table,
+    // not the fact — leaving exactly two events scans (this one and
+    // the deliberately independent direct build below)
     val sk = events(s, dir)
       .select(cents(col("value")).as("v0"),
         (col("ts") < cut).cast("long").as("is_ref"))
@@ -902,6 +906,7 @@ object Analytics {
       .groupBy(col("b"))
       .agg(sum(col("is_ref")).as("ref_cnt"),
         sum(lit(1L) - col("is_ref")).as("cur_cnt"))
+      .stableCheckpoint()
     val direct = events(s, dir)
       .select(cents(col("value")).as("v0"))
       .select(expr("v0 div 64").as("b"))
@@ -2678,9 +2683,13 @@ object Analytics {
     val t = e.filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), col("event_id").as("t_eid"), col("us").as("t_us"),
         col("event_type").as("channel"))
+    // the touch enumeration is checkpointed: the credit windows, the
+    // direct-purchase anti join and the final rollup all reuse it
+    // instead of re-running the range join (three consumers)
     val j = p.join(t, Seq("user_id"))
       .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - LOOKBACK_US)
       .select(col("p_eid"), col("vc"), col("channel"), col("t_us"), col("t_eid"))
+      .stableCheckpoint()
     val perP = Window.partitionBy(col("p_eid"))
     val k = j.withColumn("k", count(lit(1)).over(perP))
       .withColumn("r", row_number().over(

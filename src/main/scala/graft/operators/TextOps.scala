@@ -1426,10 +1426,79 @@ object TextOps {
        |SELECT word, freq, np AS n_pieces, acc AS segmented, cost AS cost_bits
        |FROM u2f ORDER BY word""".stripMargin
 
+  // -------------------------------------------- tokenizer comparison
+  /** The tokenizer-SELECTION report — the readout a team looks at
+    * before committing a vocabulary: all three trained disciplines
+    * ([[tokenizeBpeSegments]] merge-rank replay,
+    * [[tokenizeWordpiece]] greedy longest-match,
+    * [[tokenizeUnigramSegments]] Viterbi unigram-LM) run over the
+    * same word-frequency relation, rolled to one row per family:
+    * vocab words covered, the FREQUENCY-WEIGHTED corpus subword mass
+    * (the number the packer consumes — [[packSubword]] packs exactly
+    * the BPE row's mass), the distinct piece inventory actually used,
+    * and chars-per-piece compression in exact milli units. BPE's mass
+    * counts its `</w>` end-of-word marker because that IS what
+    * [[tokenizeBpeIds]] emits and a model consumes — the comparison
+    * is over what each family actually feeds training, not a
+    * normalized abstraction.
+    *
+    * == Scale design ==
+    * All three faces ride the Heaps-law vocab relation (the corpus is
+    * scanned once for word counts, memoized models thereafter), so
+    * the comparison costs three vocab-sized passes + one rollup —
+    * corpus-size-independent after the count scan.
+    */
+  def tokenizeCompare(s: SparkSession, dir: String): DataFrame = {
+    val bpe = tokenizeBpeSegments(s, dir)
+      .select(lit("bpe").as("family"), col("word"), col("freq"),
+        col("n_syms").as("n_pieces"), col("segmented"))
+    val wp = tokenizeWordpiece(s, dir)
+      .select(lit("wordpiece").as("family"), col("word"), col("freq"),
+        col("n_pieces"), col("segmented"))
+    val uni = tokenizeUnigramSegments(s, dir)
+      .select(lit("unigram").as("family"), col("word"), col("freq"),
+        col("n_pieces"), col("segmented"))
+    val u = bpe.union(wp).union(uni)
+    val pc = u.select(col("family"), explode(split(col("segmented"), " ")).as("piece"))
+      .groupBy(col("family")).agg(countDistinct(col("piece")).as("distinct_pieces"))
+    u.groupBy(col("family"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("freq") * col("n_pieces")).as("corpus_subwords"),
+        sum(col("freq") * length(col("word"))).as("corpus_chars"))
+      .join(broadcast(pc), "family")
+      .select(col("family"), col("n_words"), col("corpus_subwords"),
+        col("distinct_pieces"),
+        expr("1000 * corpus_chars div corpus_subwords").as("cpp_milli"))
+      .orderBy(col("family"))
+  }
+
+  /** DuckDB twin: the three segmentation oracles inlined as derived
+    * tables (each carries its own scoped training chain), same
+    * rollup. */
+  lazy val tokenizeCompareSql: String =
+    s"""WITH bpe AS (SELECT 'bpe' AS family, word, freq, n_syms AS n_pieces, segmented
+       |  FROM ($tokenizeBpeSegmentsSql)),
+       |wp AS (SELECT 'wordpiece' AS family, word, freq, n_pieces, segmented
+       |  FROM ($tokenizeWordpieceSql)),
+       |uni AS (SELECT 'unigram' AS family, word, freq, n_pieces, segmented
+       |  FROM ($tokenizeUnigramSegmentsSql)),
+       |u AS (SELECT * FROM bpe UNION ALL SELECT * FROM wp UNION ALL SELECT * FROM uni),
+       |pieces AS (SELECT family, unnest(string_split(segmented, ' ')) AS piece FROM u),
+       |pc AS (SELECT family, count(DISTINCT piece) AS distinct_pieces
+       |  FROM pieces GROUP BY 1),
+       |r AS (SELECT family, count(*) AS n_words,
+       |    CAST(sum(freq * n_pieces) AS BIGINT) AS corpus_subwords,
+       |    CAST(sum(freq * strlen(word)) AS BIGINT) AS corpus_chars
+       |  FROM u GROUP BY 1)
+       |SELECT r.family, n_words, corpus_subwords, distinct_pieces,
+       |  1000 * corpus_chars // corpus_subwords AS cpp_milli
+       |FROM r JOIN pc USING (family) ORDER BY family""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_redact" -> textRedact,
     "tokenize_unigram" -> tokenizeUnigram,
     "tokenize_unigram_segments" -> tokenizeUnigramSegments,
+    "tokenize_compare" -> tokenizeCompare,
     "tokenize_bpe" -> tokenizeBpe,
     "tokenize_wordpiece" -> tokenizeWordpiece,
     "tokenize_bpe_segments" -> tokenizeBpeSegments,
@@ -1498,6 +1567,7 @@ object TextOps {
     "text_redact" -> textRedactSql,
     "tokenize_unigram" -> tokenizeUnigramSql,
     "tokenize_unigram_segments" -> tokenizeUnigramSegmentsSql,
+    "tokenize_compare" -> tokenizeCompareSql,
     "tokenize_bpe" -> tokenizeBpeSql,
     "tokenize_wordpiece" -> tokenizeWordpieceSql,
     "tokenize_bpe_segments" -> tokenizeBpeSegmentsSql,

@@ -1169,8 +1169,15 @@ object EventStreams {
     * streaming twin's per-key state is one bucket-count map.
     */
   def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
     val cut = lit("2024-01-16").cast("timestamp")
-    val b = events(s, dir)
+    // ONE events scan: everything folds map-side onto the
+    // O(days × buckets) grouped relation, which is checkpointed so
+    // the reference rollup, the per-day totals and the bucket-universe
+    // derivations all read the tiny materialized table instead of
+    // re-scanning the fact (the epoch cut is midnight-aligned, so
+    // is_ref is a function of the day key)
+    val g = events(s, dir)
       .withColumn("cents", round(col("value") * 100).cast("long"))
       .withColumn("band",
         when(col("cents") < 1000, "v0").when(col("cents") < 2500, "v1")
@@ -1180,12 +1187,15 @@ object EventStreams {
       .withColumn("day", expr("unix_micros(ts) div 86400000000"))
       .select(col("day"), col("is_ref"), expr(
         "stack(2, 'event_type', event_type, 'value_band', band) AS (feature, bucket)"))
-    val ref = b.filter(col("is_ref"))
-      .groupBy(col("feature"), col("bucket")).agg(count(lit(1)).as("ref_n"))
+      .groupBy(col("day"), col("is_ref"), col("feature"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .stableCheckpoint()
+    val ref = g.filter(col("is_ref"))
+      .groupBy(col("feature"), col("bucket")).agg(sum(col("n")).as("ref_n"))
     val reft = ref.groupBy(col("feature")).agg(sum(col("ref_n")).as("ref_total"))
-    val cur = b.filter(!col("is_ref"))
+    val cur = g.filter(!col("is_ref"))
       .groupBy(col("day"), col("feature"), col("bucket"))
-      .agg(count(lit(1)).as("cur_n"))
+      .agg(sum(col("n")).as("cur_n"))
     val curt = cur.groupBy(col("day"), col("feature"))
       .agg(sum(col("cur_n")).as("cur_total"))
     val grid = cur.select(col("day")).distinct()

@@ -445,6 +445,39 @@ class TextDedupSpec extends SparkSpec {
       "no word used any multi-char piece — unigram model vacuous")
   }
 
+  test("tokenize_compare: the selection report ties out against each family's face") {
+    val rows = TextOps.tokenizeCompare(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("bpe", "unigram", "wordpiece"))
+    // all three disciplines cover the same word vocabulary
+    assert(rows.map(_._2).distinct.length == 1, "families disagree on n_words")
+    // per-family recompute from the segment faces
+    def massOf(df: org.apache.spark.sql.DataFrame, n: String): (Long, Long, Long) = {
+      val r = df.select(col("freq"), col(n), col("word"), col("segmented"))
+        .as[(Long, Long, String, String)].collect()
+      (r.map(x => x._1 * x._2).sum,
+        r.flatMap(_._4.split(" ")).distinct.length.toLong,
+        r.map(x => x._1 * x._3.length).sum)
+    }
+    val faces = Map(
+      "bpe" -> massOf(TextOps.tokenizeBpeSegments(spark, sf), "n_syms"),
+      "wordpiece" -> massOf(TextOps.tokenizeWordpiece(spark, sf), "n_pieces"),
+      "unigram" -> massOf(TextOps.tokenizeUnigramSegments(spark, sf), "n_pieces"))
+    rows.foreach { case (fam, _, subwords, pieces, cpp) =>
+      val (m, p, chars) = faces(fam)
+      assert(subwords == m, s"$fam mass")
+      assert(pieces == p, s"$fam inventory")
+      assert(cpp == 1000L * chars / m, s"$fam compression")
+    }
+    // the BPE row's mass is EXACTLY what pack_subword packs
+    val packed = graft.operators.Curate.packSubword(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_subwords")).as[Long].head()
+    assert(rows.find(_._1 == "bpe").get._3 == packed,
+      "bpe corpus mass != pack_subword's packed mass")
+    // the disciplines must actually differ (else the report is vacuous)
+    assert(rows.map(_._3).distinct.length > 1, "all families same mass")
+  }
+
   test("tokenize_bpe_ids round-trips: decoding subword ids reproduces each document") {
     // invert the id table, decode every doc, compare to the raw text
     val segs = TextOps.tokenizeBpeSegments(spark, sf)
