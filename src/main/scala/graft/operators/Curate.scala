@@ -1317,6 +1317,61 @@ object Curate {
       |SELECT doc_id, shuffle_pos, n_tokens, tok_offset, tok_offset // 2048 AS bin_id
       |FROM c ORDER BY shuffle_pos""".stripMargin
 
+  // ---------------------------------------------- quality-gate sweep
+  /** Quality-threshold sweep — the gate-SETTING decision tool beside
+    * [[pipelineCurate]]'s fixed 0.5 cut: for every candidate cutoff
+    * 0.0, 0.1 … 0.9, how many documents and tokens survive, and what
+    * fraction of the corpus that retains (exact integer ppm). A
+    * curation run reads this curve to pick the quality bar — the
+    * token column is the one that matters (dropping 40% of docs may
+    * cost 10% of tokens, or 60%).
+    *
+    * == Scale design ==
+    * ONE corpus scan folds each doc onto its score DECILE (the same
+    * [[TextOps.textQuality]] formula, floor(score·10) clamped to 9 —
+    * O(11) keys, map-side combinable); the curve is a reverse
+    * cumulative over that tiny bucket relation against the 10-row
+    * threshold grid. No per-threshold corpus pass, no fan-out.
+    */
+  def corpusQualityCurve(s: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.textQuality(s, dir)
+      .select(least(floor(col("quality_score") * 10), lit(9)).cast("long").as("bucket"),
+        col("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val tot = q.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    val grid = s.range(10).toDF("thr")
+    grid.join(q, col("bucket") >= col("thr"))
+      .groupBy(col("thr"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("thr"), (col("thr") * 100000L).as("cutoff_ppm"),
+        col("n_docs"), col("n_tokens"),
+        expr("1000000 * n_docs div tot_docs").as("docs_retained_ppm"),
+        expr("1000000 * n_tokens div tot_tokens").as("tokens_retained_ppm"))
+      .orderBy(col("thr"))
+  }
+
+  /** DuckDB twin: the SHARED quality CTE, same decile fold, same
+    * reverse cumulative. */
+  val corpusQualityCurveSql: String =
+    s"""WITH $qualityCte,
+       |b AS (SELECT least(CAST(floor(quality_score * 10) AS BIGINT), 9) AS bucket,
+       |    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM q GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM b),
+       |g AS (SELECT unnest(range(0, 10)) AS thr)
+       |SELECT g.thr, g.thr * 100000 AS cutoff_ppm,
+       |  CAST(sum(b.n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(1000000 * sum(b.n_docs) // tot_docs AS BIGINT) AS docs_retained_ppm,
+       |  CAST(1000000 * sum(b.n_tokens) // tot_tokens AS BIGINT) AS tokens_retained_ppm
+       |FROM g JOIN b ON b.bucket >= g.thr CROSS JOIN tot
+       |GROUP BY g.thr, tot_docs, tot_tokens
+       |ORDER BY g.thr""".stripMargin
+
   // ------------------------------------- end-to-end pretraining build
   /** The engine's `main()`: the COMPOSED production DAG a pretraining
     * data build runs, wired end to end from the verified stage
@@ -1468,6 +1523,7 @@ object Curate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain_build" -> pipelinePretrainBuild,
+    "corpus_quality_curve" -> corpusQualityCurve,
     "corpus_shards" -> corpusShards,
     "corpus_shard_skew" -> corpusShardSkew,
     "corpus_shuffle" -> corpusShuffle,
@@ -1500,6 +1556,7 @@ object Curate {
 
   val oracles: Map[String, String] = Map(
     "pipeline_pretrain_build" -> pipelinePretrainBuildSql,
+    "corpus_quality_curve" -> corpusQualityCurveSql,
     "corpus_shards" -> corpusShardsSql,
     "corpus_shard_skew" -> corpusShardSkewSql,
     "corpus_shuffle" -> corpusShuffleSql,

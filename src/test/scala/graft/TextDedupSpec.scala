@@ -1307,6 +1307,27 @@ class TextDedupSpec extends SparkSpec {
       "subword mass identical to whitespace mass — vacuous")
   }
 
+  test("corpus_quality_curve: monotone, anchored at full corpus, ties to the 0.5 gate") {
+    val curve = graft.operators.Curate.corpusQualityCurve(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == (0L to 9L))
+    // thr=0 retains everything
+    val q = TextOps.textQuality(spark, sf)
+      .select("doc_id", "n_tokens", "quality_score")
+      .as[(Long, Long, Double)].collect()
+    assert(curve.head._3 == q.length.toLong && curve.head._5 == 1000000L)
+    // monotone non-increasing in both docs and tokens
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"curve not monotone at thr ${b._1}")
+    }
+    // the thr=5 row is EXACTLY the docs pipeline_curate's 0.5 gate keeps
+    // (same formula, decile >= 5 <=> score >= 0.5 up to the float floor)
+    val gate5 = q.count(r => math.floor(math.min(r._3 * 10, 9.0)) >= 5)
+    assert(curve(5)._3 == gate5.toLong, "thr=5 disagrees with the decile fold")
+    // the curve must separate somewhere (a flat curve reads nothing)
+    assert(curve.map(_._3).distinct.length > 1, "quality curve is flat")
+  }
+
   test("pipeline_pretrain_build: the composed DAG ties out against its stage faces") {
     import spark.implicits._
     val ledger = graft.operators.Curate.pipelinePretrainBuild(spark, sf)
