@@ -1782,6 +1782,67 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  // ------------------------------------------------------ path mining
+  /** Top user-journey paths (r14): the three-step sequence report
+    * behind [[eventsMarkov]]'s one-step transition matrix — the
+    * product question "what do users actually DO, in order?" answered
+    * as the top-20 session-bounded event-type trigrams with exact
+    * counts and exact-ppm share of all qualifying trigrams. The same
+    * 30-minute step gap as the Markov face bounds each hop, so a path
+    * never spans a session boundary; ranking is a total order
+    * (n desc, then the three steps) so both engines pick one list.
+    *
+    * == Scale design ==
+    * ONE user-keyed shuffle (the window); trigram enumeration is two
+    * `lead`s inside that single window pass — no self-join on the
+    * fact. The path relation is bounded by |type-alphabet|³, so the
+    * count rollup, the share total and the rank all run on a tiny
+    * relation; only the window touches event volume.
+    */
+  def eventsPaths(s: SparkSession, dir: String): DataFrame = {
+    val GAP = 1800000000L // 30 min in micros
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("us2", lead(col("us"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("us3", lead(col("us"), 2).over(w))
+    val paths = e
+      .filter(col("t3").isNotNull &&
+        col("us2") - col("us") <= GAP && col("us3") - col("us2") <= GAP)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+    val rw = Window.orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+    paths
+      .withColumn("share_ppm", expr("n * 1000000 div sum(n) over ()"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("step1"), col("step2"), col("step3"),
+        col("n"), col("share_ppm"))
+      .orderBy(col("rank"))
+  }
+
+  val eventsPathsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |f AS (SELECT *,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t2,
+      |    lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS us2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t3,
+      |    lead(us, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS us3
+      |  FROM e),
+      |p AS (SELECT event_type AS step1, t2 AS step2, t3 AS step3, count(*) AS n
+      |  FROM f WHERE t3 IS NOT NULL AND us2 - us <= 1800000000 AND us3 - us2 <= 1800000000
+      |  GROUP BY 1, 2, 3),
+      |r AS (SELECT *,
+      |    (n * 1000000) // CAST(sum(n) OVER () AS BIGINT) AS share_ppm,
+      |    CAST(row_number() OVER (ORDER BY n DESC, step1, step2, step3) AS BIGINT) AS rank
+      |  FROM p)
+      |SELECT rank, step1, step2, step3, n, share_ppm
+      |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   val eventsMarkovSql: String =
     """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
       |f AS (SELECT *,
@@ -3547,6 +3608,7 @@ object Analytics {
     "join_skew_salted" -> joinSkewSalted,
     "join_skew_aqe" -> joinSkewAqe,
     "events_markov" -> eventsMarkov,
+    "events_paths" -> eventsPaths,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -3622,6 +3684,7 @@ object Analytics {
     "join_skew_salted" -> joinSkewSaltedSql,
     "join_skew_aqe" -> joinSkewAqeSql,
     "events_markov" -> eventsMarkovSql,
+    "events_paths" -> eventsPathsSql,
     "events_sliding" -> eventsSlidingSql,
     "cube_revenue" -> cubeRevenueSql,
     "topk_per_group_agg" -> topkPerGroupSql,

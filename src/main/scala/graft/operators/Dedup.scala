@@ -569,6 +569,75 @@ object Dedup {
       |WHERE d.source = 'src0'
       |ORDER BY eval_id""".stripMargin
 
+  // --------------------------------------- decontamination (executed)
+  /** Decontamination EXECUTED (r14, [[contaminationNgram]]'s act-on-it
+    * half — the audit→execute symmetry of `compaction_plan` →
+    * `compaction_exec`): the audit counts eval-set shingles leaking
+    * into training sources; this face applies the standard removal
+    * rule — any TRAIN doc sharing ≥ 3 distinct trigram shingles with
+    * ANY eval doc (source `src0` stands in for the benchmark suite) is
+    * dropped — and emits the per-source decontamination ledger a
+    * training run records: docs and chars dropped, exact-ppm char
+    * retention. Chars, not docs, is the decision column: dropping 1 %
+    * of docs that hold 30 % of the tokens is a different cut.
+    *
+    * == Scale design ==
+    * The eval side is SMALL BY CONTRACT (a benchmark suite vs a
+    * 100 TB crawl), so its distinct shingle-hash set broadcasts —
+    * exactly [[contaminationNgram]]'s join orientation reversed onto
+    * the train side; train shingles stream through map-side. The hit
+    * count groups on doc_id (the shuffle the shingle explode already
+    * implies), and the ledger is O(sources).
+    */
+  def corpusDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val evalHg = explodedOf(d.filter(col("source") === "src0"))
+      .select(col("hg")).distinct()
+    val train = explodedOf(d.filter(col("source") =!= "src0"))
+      .select(col("doc_id"), col("hg"))
+    val hits = train.join(broadcast(evalHg), Seq("hg"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("hg")).as("n_hit"))
+      .filter(col("n_hit") >= 3)
+      .select(col("doc_id"), lit(true).as("dropped"))
+    d.filter(col("source") =!= "src0")
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("dropped"), col("n_chars")).otherwise(0L)).as("chars_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        col("chars_total"), col("chars_dropped"),
+        expr("(chars_total - chars_dropped) * 1000000 div chars_total")
+          .as("kept_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the contamination shingle CTEs with the join reversed
+    * onto the train side, thresholded and rolled up per source. */
+  val corpusDecontaminateSql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, source, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
+      |  FROM w WHERE len(ws) > 2),
+      |gh AS (SELECT doc_id, source,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS hg
+      |  FROM g),
+      |ev AS (SELECT DISTINCT hg FROM gh WHERE source = 'src0'),
+      |hit AS (SELECT t.doc_id, count(DISTINCT t.hg) AS n_hit
+      |  FROM gh t JOIN ev ON ev.hg = t.hg
+      |  WHERE t.source <> 'src0' GROUP BY t.doc_id HAVING count(DISTINCT t.hg) >= 3)
+      |SELECT d.source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+      |  CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped,
+      |  (CAST(sum(d.n_chars) AS BIGINT) - CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END) AS BIGINT)) * 1000000
+      |    // CAST(sum(d.n_chars) AS BIGINT) AS kept_ppm
+      |FROM documents d LEFT JOIN hit ON hit.doc_id = d.doc_id
+      |WHERE d.source <> 'src0'
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ------------------------------------------- incremental dedup
   /** Incremental ingest dedup: near-dup pairs of NEW docs (source =
     * 'src1', standing in for today's crawl batch) against the EXISTING
@@ -1396,6 +1465,7 @@ object Dedup {
     "dedup_components" -> dedupComponents,
     "dedup_cluster_stats" -> dedupClusterStats,
     "contamination_ngram" -> contaminationNgram,
+    "corpus_decontaminate" -> corpusDecontaminate,
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_incremental" -> dedupIncremental,
     "dedup_span_exact" -> dedupSpanExact,
@@ -1482,6 +1552,7 @@ object Dedup {
     "dedup_components" -> dedupComponentsSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "contamination_ngram" -> contaminationNgramSql,
+    "corpus_decontaminate" -> corpusDecontaminateSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_span_exact" -> dedupSpanExactSql,

@@ -1078,4 +1078,29 @@ class AnalyticsSpec extends SparkSpec {
     // the plant must make the audit non-vacuous at this sf
     assert(got.exists(_._3 > 0), "no late events — the audit is vacuous")
   }
+
+  test("events_paths top trigrams match a direct per-user recompute") {
+    import spark.implicits._
+    val got = Analytics.eventsPaths(spark, sf)
+      .as[(Long, String, String, String, Long, Long)].collect()
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val model = evs.groupBy(_._1).values.flatMap { u =>
+      u.sortBy(r => (r._2, r._3)).sliding(3).collect {
+        case Array(a, b, c)
+          if b._2 - a._2 <= 1800000000L && c._2 - b._2 <= 1800000000L =>
+            (a._4, b._4, c._4)
+      }
+    }.toSeq
+    val counts = model.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = model.size.toLong
+    val expected = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20).zipWithIndex
+      .map { case (((a, b, c), n), i) =>
+        (i + 1L, a, b, c, n, n * 1000000L / total) }
+    assert(got.sortBy(_._1).toSeq == expected, "top-20 path list drifted")
+    assert(got.nonEmpty && got.map(_._1).toSeq == (1L to got.length).toSeq)
+  }
 }

@@ -1494,4 +1494,33 @@ class TextDedupSpec extends SparkSpec {
       assert(nChars >= nWords, src)
     }
   }
+
+  test("corpus_decontaminate ledger matches a direct shingle-set recompute") {
+    import spark.implicits._
+    val got = Dedup.corpusDecontaminate(spark, sfMid)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val ds = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .as[(Long, String, String, Long)].collect()
+    def tris(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val evalSet = ds.filter(_._3 == "src0").flatMap(r => tris(r._2)).toSet
+    val train = ds.filter(_._3 != "src0")
+    val dropped = train.filter(r => (tris(r._2) & evalSet).size >= 3)
+      .map(_._1).toSet
+    val expected = train.groupBy(_._3).map { case (src, rs) =>
+      val nd = rs.count(r => dropped(r._1))
+      val ct = rs.map(_._4).sum
+      val cd = rs.filter(r => dropped(r._1)).map(_._4).sum
+      src -> ((rs.length.toLong, nd.toLong, ct, cd, (ct - cd) * 1000000L / ct))
+    }
+    assert(got == expected, "decontamination ledger drifted")
+    // non-vacuous: the synthetic corpus must plant at least one leak
+    assert(got.values.map(_._2).sum > 0, "no contaminated train docs at sfMid")
+    assert(!got.contains("src0"), "eval source must not appear in the ledger")
+  }
 }
