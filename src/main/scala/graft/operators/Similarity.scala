@@ -904,7 +904,97 @@ object Similarity {
       s"\nSELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
   }
 
+  // ------------------------------------------------------- kNN graph
+  /** k-NN GRAPH over the embedding corpus (r14): every vector's top-5
+    * neighbors by exact cosine among its IVF candidates — the
+    * all-points generalization of [[annIvf]]'s bounded query set, and
+    * the input relation for graph-side semantic curation (SemDeDup
+    * clustering, connected components over embeddings, link-based
+    * quality propagation all consume a kNN edge list).
+    *
+    * == Scale design ==
+    * The brute-force graph is O(N²); this face never builds it. Both
+    * sides carry the trained cell key, so candidate generation is a
+    * cell-keyed SHUFFLE join (no broadcast — the probe side is the
+    * whole corpus here, unlike annIvf's 10-query broadcast):
+    * candidates ≈ N·PROBE·ASSIGN·avg|cell|, with avg|cell| = N/CELLS
+    * and CELLS grown ~√N at scale. Exact rerank happens per candidate
+    * inside the join projection; the per-query top-k window shuffles
+    * only (query, k) rows. Recall vs the exact graph is measured by
+    * [[annRecallEval]]'s machinery — the probe dial, not this plan, is
+    * the recall lever.
+    */
+  def annKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
+    def assignedAt(k: Int): DataFrame = e.flatMap { case (id, v) =>
+      val n = math.sqrt(dotd(v, v))
+      codebook.value
+        .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(k).map { case (cell, _) => (id, v, n, cell) }
+    }.toDF("vec_id", "embedding", "nrm", "cell")
+    val index = assignedAt(IVF_ASSIGN)
+    val probes = assignedAt(IVF_NPROBE)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(index,
+        probes("cell") === index("cell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // -------------------------------------------------------- SemDeDup
+  /** Semantic dedup EXECUTED (r14, the embedding-space curation cut of
+    * Abbas et al.'s SemDeDup, composed from [[dedupEmbeddingIvf]]'s
+    * verified pair face): within the trained IVF cells, any vector
+    * with a LOWER-id exact-cosine ≥ 0.45 neighbor is dropped (min-id
+    * keeps the exemplar — the deterministic one-pass rule; the
+    * transitive-component policy is [[graft.operators.Dedup]]'s
+    * components machinery and is a different, costlier contract), and
+    * the per-label retention ledger is emitted — the readout a
+    * curation run records before shipping the surviving corpus.
+    *
+    * == Scale design ==
+    * Pair generation is the identical Σ|cell|² bucketed join as
+    * dedupEmbeddingIvf (never all-pairs; cells grow ~√N); the drop
+    * set is one distinct projection of the pair relation and
+    * BROADCASTS (|pairs| ≪ N by the near-dup contract); the ledger is
+    * one map-side-combinable rollup onto O(labels) keys.
+    */
+  def corpusSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val dropped = dedupEmbeddingIvf(s, dir)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .join(broadcast(dropped), Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("label"), col("n_vecs"), col("n_dropped"),
+        (col("n_vecs") - col("n_dropped")).as("n_kept"),
+        expr("(n_vecs - n_dropped) * 1000000 div n_vecs").as("kept_ppm"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_knn_graph" -> annKnnGraph,
+    "corpus_semdedup" -> corpusSemdedup,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -1065,7 +1155,39 @@ object Similarity {
       |  1000000 * n_new // greatest(n_base, 1) > 500000 AS retrain_flag
       |FROM led ORDER BY cell""".stripMargin
 
+  /** DuckDB twin of the kNN graph: [[annIvfSql]]'s probe/candidate/
+    * rerank chain with the query restriction removed — every vector
+    * probes its top-[[IVF_NPROBE]] trained cells. */
+  val annKnnGraphSql: String = {
+    val search = Seq(
+      s"prb AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= $IVF_NPROBE)",
+      "cand AS (SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id FROM prb q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.vec_id)",
+      s"p AS (SELECT c.query_id, c.neighbor_id, ${ivfFold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine FROM cand c JOIN n nq ON nq.vec_id = c.query_id JOIN n nc ON nc.vec_id = c.neighbor_id)",
+      "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM p)")
+    "WITH " + (ivfCodebookCtes ++ search).mkString(",\n") +
+      s"\nSELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
+  }
+
+  /** DuckDB twin of the SemDeDup cut: [[dedupEmbeddingIvfSql]]'s pair
+    * chain, dropped = distinct higher-id endpoints, ledger per label. */
+  val corpusSemdedupSql: String = {
+    val search = Seq(
+      "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM asg a JOIN asg b ON b.cell = a.cell AND a.vec_id < b.vec_id)",
+      s"p AS (SELECT c.vec_a, c.vec_b, ${ivfFold("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine FROM cand c JOIN n na ON na.vec_id = c.vec_a JOIN n nb ON nb.vec_id = c.vec_b)",
+      "drp AS (SELECT DISTINCT vec_b AS vec_id FROM p WHERE cosine >= 0.45)")
+    "WITH " + (ivfCodebookCtes ++ search).mkString(",\n") +
+      """
+        |SELECT e.label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(count(*) - sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  (CAST(count(*) - sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS kept_ppm
+        |FROM embeddings e LEFT JOIN drp d ON d.vec_id = e.vec_id
+        |GROUP BY e.label ORDER BY e.label""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_knn_graph" -> annKnnGraphSql,
+    "corpus_semdedup" -> corpusSemdedupSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_index_upsert" -> annIndexUpsertSql,
     "ann_lsh" -> annLshSql,

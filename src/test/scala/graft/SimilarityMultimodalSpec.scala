@@ -443,4 +443,45 @@ class SimilarityMultimodalSpec extends SparkSpec {
       assert(sorted.length == (n - 1) / (rate * 20) + 1, s"doc $id chunk count")
     }
   }
+
+  test("ann_knn_graph agrees with ann_ivf on the shared query set") {
+    val graph = Similarity.annKnnGraph(spark, sf)
+    val small = graph.filter(col("query_id") < 10)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(spark, sf)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(small == ivf,
+      "knn graph restricted to the ivf query set must equal ann_ivf")
+    // every vector is a query node with a dense 1..m rank prefix
+    val byQ = graph.select("query_id", "rank").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val nVecs = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(byQ.size == nVecs, s"graph covers ${byQ.size} of $nVecs vectors")
+    byQ.foreach { case (q, rs) =>
+      assert(rs == (1L to rs.length), s"query $q ranks not dense: $rs")
+      assert(rs.length <= 5, s"query $q has ${rs.length} neighbors")
+    }
+  }
+
+  test("corpus_semdedup ledger replays the min-id drop rule over the pair face") {
+    val pairs = Similarity.dedupEmbeddingIvf(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val dropped = pairs.map(_._2).toSet
+    val labels = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect()
+    val expected = labels.groupBy(_._2).map { case (l, rs) =>
+      val nd = rs.count(r => dropped(r._1)).toLong
+      val n = rs.length.toLong
+      l -> ((n, nd, n - nd, (n - nd) * 1000000L / n))
+    }
+    val got = Similarity.corpusSemdedup(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expected, "semdedup ledger drifted from the pair face")
+    assert(got.values.map(_._1).sum == labels.length.toLong)
+    assert(got.values.map(_._2).sum == dropped.size.toLong,
+      "every dropped vector must appear in exactly one label bucket")
+  }
 }
