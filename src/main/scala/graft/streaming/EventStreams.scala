@@ -1252,7 +1252,101 @@ object EventStreams {
       |  CAST(sum(abs((1000000 * ref_n) // ref_total - (1000000 * cur_n) // cur_total)) // 2 AS BIGINT) AS tvd_ppm
       |FROM grid GROUP BY 1, 2 ORDER BY day, feature""".stripMargin
 
+  // ---------------------------------------------- live quantile sketch
+  case class QuantEv(day: Long, cents: Long)
+  case class QuantOut(day: Long, n_events: Long,
+                      p50_est_cents: Long, p90_est_cents: Long)
+
+  /** Live per-day quantile monitor (r14, the streaming twin of
+    * [[graft.operators.Analytics.aggQuantileReplay]]'s mergeable
+    * 64-cent grid — the quantile face of the cusum/late-data/drift
+    * monitor family): FMGWS state per closed day is the grid's
+    * bucket-count map — O(value-domain/64) registers, never event
+    * volume — and each processed batch emits the day's current p50/p90
+    * estimate (midpoint of the first register whose cumulative count
+    * reaches rank ⌈q·N⌉, the identical rank rule as the batch sketch).
+    * Fed one batch per closed day the emission IS the batch relation
+    * (the spec pins it).
+    */
+  def quantileStream(stream: Dataset[QuantEv]): Dataset[QuantOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.day)
+      .flatMapGroupsWithState[Map[Long, Long], QuantOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (day: Long, recs: Iterator[QuantEv],
+         state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          recs.foreach { r =>
+            val b = r.cents / 64L
+            m = m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          state.update(m)
+          val n = m.values.sum
+          def est(qPermille: Long): Long = {
+            val target = (qPermille * n + 999L) / 1000L
+            var cum = 0L
+            val hit = m.keys.toSeq.sorted.find { b =>
+              cum += m(b); cum >= target
+            }.getOrElse(Long.MaxValue)
+            hit * 64L + 32L
+          }
+          Iterator.single(QuantOut(day, n, est(500L), est(900L)))
+      }
+  }
+
+  /** Batch face of [[quantileStream]] (registered as `stream_quantile`):
+    * per-day p50/p90 grid-sketch estimates over value cents — the
+    * daily latency/value-distribution dashboard a monitor pages on,
+    * from the same mergeable O(domain/64) register state the union
+    * face (`agg_quantile_union`) adds across windows.
+    *
+    * == Scale design ==
+    * ONE events scan folds map-side onto O(days × domain/64) register
+    * keys (checkpointed); the cumulative windows and rank picks run
+    * entirely on that bounded relation. The streaming twin's per-key
+    * state is one register map.
+    */
+  def streamQuantile(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    import org.apache.spark.sql.expressions.Window
+    val g = events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(round(value * 100) as bigint) div 64").as("b"))
+      .groupBy(col("day"), col("b")).agg(count(lit(1)).as("cnt"))
+      .stableCheckpoint()
+    val wCum = Window.partitionBy(col("day")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDay = Window.partitionBy(col("day"))
+    g.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wDay))
+      .withColumn("t50", expr("(500 * n + 999) div 1000"))
+      .withColumn("t90", expr("(900 * n + 999) div 1000"))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n_events"),
+        (min(when(col("cum") >= col("t50"), col("b"))) * 64L + 32L)
+          .as("p50_est_cents"),
+        (min(when(col("cum") >= col("t90"), col("b"))) * 64L + 32L)
+          .as("p90_est_cents"))
+      .orderBy(col("day"))
+  }
+
+  val streamQuantileSql: String =
+    """WITH g AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) // 64 AS b, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |    CAST(sum(cnt) OVER (PARTITION BY day ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY day) AS BIGINT) AS n
+      |  FROM g)
+      |SELECT CAST(day AS BIGINT) AS day, max(n) AS n_events,
+      |  min(CASE WHEN cum >= (500 * n + 999) // 1000 THEN b END) * 64 + 32 AS p50_est_cents,
+      |  min(CASE WHEN cum >= (900 * n + 999) // 1000 THEN b END) * 64 + 32 AS p90_est_cents
+      |FROM c GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_quantile" -> streamQuantile,
     "stream_drift" -> streamDrift,
     "stream_late_data" -> streamLateData,
     "stream_cusum" -> streamCusum,
@@ -1283,6 +1377,7 @@ object EventStreams {
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_quantile" -> streamQuantileSql,
     "stream_drift" -> streamDriftSql,
     "stream_late_data" -> streamLateDataSql,
     "stream_cusum" -> streamCusumSql,

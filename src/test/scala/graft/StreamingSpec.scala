@@ -977,4 +977,37 @@ class StreamingSpec extends SparkSpec {
         s"stream-only: ${live.diff(batchFace).take(3)}; batch-only: ${batchFace.diff(live).take(3)}")
     } finally q.stop()
   }
+
+  test("streamed quantile sketch equals the batch grid estimates at daily cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.QuantEv
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(expr("unix_micros(ts) div 86400000000"),
+        expr("CAST(round(value*100) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+      .map { case (d, c) => QuantEv(d, c) }
+    val byDay = evs.groupBy(_.day).toSeq.sortBy(_._1)
+    val mem = MemoryStream[QuantEv]
+    val q = EventStreams.quantileStream(mem.toDS())
+      .writeStream.format("memory").queryName("quant_live")
+      .outputMode("append").start()
+    try {
+      byDay.foreach { case (_, rows) =>
+        mem.addData(rows.toSeq: _*); q.processAllAvailable()
+      }
+      val live = spark.sql(
+        "SELECT day, n_events, p50_est_cents, p90_est_cents FROM quant_live")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = EventStreams.streamQuantile(spark, sf)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(live == batch,
+        s"stream-only ${live.diff(batch).take(3)}; batch-only ${batch.diff(live).take(3)}")
+      // grid geometry: estimates sit on register midpoints, p50 <= p90
+      batch.foreach { case (d, n, p50, p90) =>
+        assert(n > 0 && p50 % 64 == 32 && p90 % 64 == 32, s"day $d off-grid")
+        assert(p50 <= p90, s"day $d p50 $p50 > p90 $p90")
+      }
+    } finally q.stop()
+  }
 }
