@@ -928,8 +928,17 @@ object Dedup {
     * rounds; the same algorithm scales as small-star/large-star at
     * 100 TB. Oracle: a recursive CTE computing min reachable id.
     */
-  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    componentsOver(dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+
+  /** Min-label connected components over an undirected pair list —
+    * the pointer-doubling loop shared by [[dedupComponents]] and
+    * [[graphComponentsIncremental]]. Returns (id, label) for every
+    * node that appears in a pair; label = min reachable id.
+    */
+  private def componentsOver(pairs: DataFrame): DataFrame = {
     // bidirectional edge list, cached: reused every iteration
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -972,10 +981,72 @@ object Dedup {
     }
     if (changed > 0)
       throw new IllegalStateException(
-        s"dedupComponents did not converge in $rounds rounds")
+        s"componentsOver did not converge in $rounds rounds")
     edges.unpersist(false)
-    labels.select(col("id").as("doc_id"), col("label").as("component"))
+    labels
+  }
+
+  // --------------------------------------- incremental components
+  /** Incremental connected components (r14, the nightly-batch shape of
+    * [[dedupComponents]] — what [[dedupIncremental]] is to the pair
+    * face, this is to the cluster face): NEW docs (doc_id % 5 = 0, a
+    * ~20 % ingest batch) arrive against a standing corpus whose
+    * component labels are already converged; instead of re-running
+    * label propagation over the whole graph, old components CONTRACT
+    * to their labels (supernodes), the delta edges — only pairs
+    * touching a new doc — are remapped onto supernodes, and the
+    * propagation loop runs on that contracted graph alone. The final
+    * label join gives every paired doc its updated component. Labels
+    * are min-reachable-ids on both paths, and min-of-mins composes, so
+    * the result is IDENTICAL to the full recompute — the oracle is
+    * [[dedupComponentsSql]] verbatim (the ann_ivf_indexed move: same
+    * contract, different — incremental — computation path), and the
+    * spec additionally pins face ≡ full-face row-for-row.
+    *
+    * == Scale design ==
+    * This is THE components story at 100 TB: the standing labels are a
+    * persisted table (here recomputed from the old pairs because the
+    * gate is stateless; in production they are yesterday's output),
+    * and tonight's work is delta-sized — the contracted graph has one
+    * node per touched component plus the new docs, so the O(log
+    * diameter) loop runs on a relation ~|delta| regardless of corpus
+    * size. The final label update is one broadcast-sized join against
+    * the contracted labels.
+    */
+  def graphComponentsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val isNew = (c: Column) => pmod(c, lit(5)) === 0
+    val oldPairs = pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+    // standing labels: yesterday's converged table (min id per old component)
+    val base = componentsOver(oldPairs)
+      .select(col("id"), col("label")).cache()
+    // contract: every endpoint maps to its standing label (new docs and
+    // old docs without old edges map to themselves)
+    val delta = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+    def mapped(side: String): DataFrame = base
+      .select(col("id").as(side), col("label").as(s"m_$side"))
+    val contracted = delta
+      .join(mapped("doc_a"), Seq("doc_a"), "left")
+      .join(mapped("doc_b"), Seq("doc_b"), "left")
+      .select(coalesce(col("m_doc_a"), col("doc_a")).as("doc_a"),
+        coalesce(col("m_doc_b"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val merged = componentsOver(contracted)
+      .select(col("id").as("m"), col("label").as("clabel"))
+    // every paired node: standing label (or self), then the contracted fix-up
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b"))).distinct()
+    val out = nodes
+      .join(base, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("m"))
+      .join(broadcast(merged), Seq("m"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("clabel"), col("m")).as("component"))
       .orderBy(col("doc_id"))
+    pairs.unpersist(false)
+    out
   }
 
   /** Shared oracle fragment extending [[pairCtes]] with the recursive
@@ -1463,6 +1534,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_components" -> dedupComponents,
+    "graph_components_incremental" -> graphComponentsIncremental,
     "dedup_cluster_stats" -> dedupClusterStats,
     "contamination_ngram" -> contaminationNgram,
     "corpus_decontaminate" -> corpusDecontaminate,
@@ -1550,6 +1622,8 @@ object Dedup {
     "dedup_recall_eval" -> dedupRecallEvalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_components" -> dedupComponentsSql,
+    // incremental path, identical contract: the full-recompute oracle
+    "graph_components_incremental" -> dedupComponentsSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "contamination_ngram" -> contaminationNgramSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,

@@ -1523,4 +1523,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0, "no contaminated train docs at sfMid")
     assert(!got.contains("src0"), "eval source must not appear in the ledger")
   }
+
+  test("graph_components_incremental equals the full recompute") {
+    import spark.implicits._
+    val inc = Dedup.graphComponentsIncremental(spark, sfMid)
+      .as[(Long, Long)].collect().toSeq
+    val full = Dedup.dedupComponents(spark, sfMid)
+      .as[(Long, Long)].collect().toSeq
+    assert(inc == full, "incremental labels drifted from the full recompute")
+    // non-vacuous: the delta batch must actually touch the graph —
+    // some paired node is a NEW doc (doc_id % 5 == 0), and some
+    // component must span the old/new boundary (a real merge happened)
+    assert(inc.exists(_._1 % 5 == 0), "no new docs in the pair graph")
+    val byComp = inc.groupBy(_._2).values
+    assert(byComp.exists(c => c.exists(_._1 % 5 == 0) && c.exists(_._1 % 5 != 0)),
+      "no component spans the delta boundary — the contraction path is untested")
+  }
 }
