@@ -958,6 +958,81 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ----------------------------------------------- probe tuning curve
+  /** ANN probe-dial tuning curve (r14, completing the curve symmetry:
+    * [[dedupEmbeddingIvfCurve]] sweeps (CELLS, ASSIGN) for the dedup
+    * face; this sweeps NPROBE ∈ 1..4 for the search face): for each
+    * probe count, the candidate-set size the probed cells generate
+    * (the COST — exact reranks paid per query) and the ppm recall of
+    * the resulting top-[[K]] vs the brute-force truth (the YIELD).
+    * Reading the curve: the smallest probe whose recall clears the
+    * product bar is the production setting — [[annIvf]]'s fixed
+    * probe-3 is justified by this artifact instead of by a spec
+    * constant.
+    *
+    * == Scale design ==
+    * ONE search at the maximal probe carries its probe rank along, so
+    * the four configurations are FILTERS over a single candidate
+    * relation (probe rank ≤ p) — no per-config re-search; the config
+    * grid joins as a broadcast 4-row cross. Truth is the bounded
+    * [[NQ]]-query brute-force list ([[annBruteforce]]'s contract —
+    * query-set-bounded, corpus-linear). Everything after the one
+    * candidate join is O(configs · NQ · K).
+    */
+  def annRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val MAXP = 4
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
+    def cellsRanked(v: Array[Float], n: Double, k: Int): Seq[(Long, Int)] =
+      codebook.value
+        .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(k).zipWithIndex.map { case ((cell, _), i) => (cell, i + 1) }.toSeq
+    val assigned = e.flatMap { case (id, v) =>
+      val n = math.sqrt(dotd(v, v))
+      cellsRanked(v, n, IVF_ASSIGN).map { case (c, _) => (id, v, n, c) }
+    }.toDF("vec_id", "embedding", "nrm", "cell")
+    val probes = e.filter(_._1 < NQ).flatMap { case (id, v) =>
+      val n = math.sqrt(dotd(v, v))
+      cellsRanked(v, n, MAXP).map { case (c, pr) => (id, v, n, c, pr) }
+    }.toDF("q_id", "q_emb", "q_nrm", "cell", "probe_rank")
+    // one candidate relation, each pair tagged with the BEST probe rank
+    // that reaches it — configs filter, never re-search
+    val cand = broadcast(probes).join(assigned,
+        probes("cell") === assigned("cell") && col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(min(col("probe_rank")).as("min_probe"),
+        max(dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+    val configs = s.createDataFrame((1 to MAXP).map(p => Tuple1(p.toLong)))
+      .toDF("nprobe")
+    val perConf = broadcast(configs).join(cand, col("min_probe") <= col("nprobe"))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val top = perConf.withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+    val truth = annBruteforce(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val nCand = perConf.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_candidates"))
+    top.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("n_returned"))
+      .join(nCand, Seq("nprobe"))
+      .select(col("nprobe"), col("n_candidates"), col("n_returned"),
+        col("n_hits"),
+        expr(s"1000000 * n_hits div (${NQ.toLong} * ${K.toLong})").as("recall_ppm"))
+      .orderBy(col("nprobe"))
+  }
+
   // -------------------------------------------------------- SemDeDup
   /** Semantic dedup EXECUTED (r14, the embedding-space curation cut of
     * Abbas et al.'s SemDeDup, composed from [[dedupEmbeddingIvf]]'s
@@ -994,6 +1069,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_knn_graph" -> annKnnGraph,
+    "ann_recall_curve" -> annRecallCurve,
     "corpus_semdedup" -> corpusSemdedup,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
@@ -1168,6 +1244,32 @@ object Similarity {
       s"\nSELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
   }
 
+  /** DuckDB twin of the probe curve: one max-probe candidate relation
+    * tagged with min probe rank, four filter-configs, the brute truth
+    * re-derived from the shared normalized relation. */
+  val annRecallCurveSql: String = {
+    // cx and bt are MATERIALIZED: each is referenced by several
+    // downstream legs, and DuckDB would otherwise re-run the
+    // list_reduce cosine fold per reference (measured ~10 min vs
+    // seconds at sf0.01) — the same inlining trap the tokenizer
+    // oracles document.
+    val shared = Seq(
+      s"prb AS (SELECT vec_id, cid AS cell, rn FROM rk WHERE rn <= 4 AND vec_id < $NQ)",
+      "cand AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, min(q.rn) AS min_probe FROM prb q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.vec_id GROUP BY 1, 2)",
+      s"cx AS MATERIALIZED (SELECT c.query_id, c.neighbor_id, c.min_probe, ${ivfFold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine FROM cand c JOIN n nq ON nq.vec_id = c.query_id JOIN n nc ON nc.vec_id = c.neighbor_id)",
+      s"bt AS MATERIALIZED (SELECT query_id, neighbor_id FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY ${ivfFold("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rank FROM n q, n c WHERE q.vec_id < $NQ AND q.vec_id <> c.vec_id) WHERE rank <= $K)",
+      "cfg AS (SELECT CAST(unnest(range(1, 5)) AS BIGINT) AS nprobe)",
+      "cc AS (SELECT f.nprobe, count(*) AS n_candidates FROM cfg f JOIN cx ON cx.min_probe <= f.nprobe GROUP BY 1)",
+      s"tp AS (SELECT nprobe, query_id, neighbor_id FROM (SELECT f.nprobe, cx.query_id, cx.neighbor_id, row_number() OVER (PARTITION BY f.nprobe, cx.query_id ORDER BY cx.cosine DESC, cx.neighbor_id) AS rk FROM cfg f JOIN cx ON cx.min_probe <= f.nprobe) WHERE rk <= $K)",
+      "scc AS (SELECT t.nprobe, count(*) AS n_returned, CAST(sum(CASE WHEN bt.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM tp t LEFT JOIN bt ON bt.query_id = t.query_id AND bt.neighbor_id = t.neighbor_id GROUP BY 1)")
+    "WITH " + (ivfCodebookCtes ++ shared).mkString(",\n") +
+      s"""
+         |SELECT cc.nprobe, cc.n_candidates, scc.n_returned, scc.n_hits,
+         |  (1000000 * scc.n_hits) // ${NQ.toLong * K} AS recall_ppm
+         |FROM cc JOIN scc ON scc.nprobe = cc.nprobe
+         |ORDER BY cc.nprobe""".stripMargin
+  }
+
   /** DuckDB twin of the SemDeDup cut: [[dedupEmbeddingIvfSql]]'s pair
     * chain, dropped = distinct higher-id endpoints, ledger per label. */
   val corpusSemdedupSql: String = {
@@ -1187,6 +1289,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_knn_graph" -> annKnnGraphSql,
+    "ann_recall_curve" -> annRecallCurveSql,
     "corpus_semdedup" -> corpusSemdedupSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_index_upsert" -> annIndexUpsertSql,

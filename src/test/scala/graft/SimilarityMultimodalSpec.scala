@@ -484,4 +484,26 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == dropped.size.toLong,
       "every dropped vector must appear in exactly one label bucket")
   }
+
+  test("ann_recall_curve is monotone and its probe-3 row ties to ann_recall_eval") {
+    val curve = Similarity.annRecallCurve(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // cost and yield both monotone in the probe dial
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"candidates fell ${a._1}->${b._1}")
+      assert(a._4 <= b._4, s"hits fell ${a._1}->${b._1}")
+    }
+    curve.foreach { case (p, nc, nr, nh, ppm) =>
+      assert(nr <= 50 && nh <= nr, s"probe $p returned $nr hits $nh")
+      assert(ppm == nh * 1000000L / 50L, s"probe $p ppm $ppm")
+      assert(nc >= nr, s"probe $p candidates $nc < returned $nr")
+    }
+    // the production probe-3 setting must reproduce ann_recall_eval's ivf row
+    val evalHits = Similarity.annRecallEval(spark, sf)
+      .filter(col("face") === "ivf")
+      .agg(sum(col("n_hits"))).as[Long].collect().head
+    assert(curve.find(_._1 == 3L).get._4 == evalHits,
+      "probe-3 hits drifted from ann_recall_eval's ivf face")
+  }
 }
