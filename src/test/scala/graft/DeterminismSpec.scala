@@ -21,7 +21,9 @@ class DeterminismSpec extends SparkSpec {
     "corpus_mixture", "q8_market_share", "events_anomaly",
     "agg_percentile", "events_ewma",
     // r7d: profit/value doubles divided off DECIMAL(38,0) accumulators
-    "q9_product_profit", "q11_important_parts", "events_value_histogram")
+    "q9_product_profit", "q11_important_parts", "events_value_histogram",
+    // r14: cosine-emitting graph/search faces
+    "ann_knn_graph", "ann_recall_curve")
 
   test("float-emitting queries are bit-identical across two evaluations") {
     val dir = sfMid
