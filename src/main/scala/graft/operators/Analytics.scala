@@ -1782,6 +1782,63 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  // ------------------------------------------------- forecast backtest
+  /** Rolling-origin forecast backtest (r14, the EVALUATION face beside
+    * [[q6ForecastRevenue]]'s point forecast and `events_seasonality`'s
+    * profile — the ML-eval discipline of `ml_eval_langid` pointed at
+    * forecasting): for each event type, walk the final 7 observed days;
+    * at each origin the forecast is the expanding mean of all PRIOR
+    * observed daily counts (integer div — the exact, replayable
+    * baseline every fancier model must beat), and the report is the
+    * per-type error ledger: evaluated days, Σ|err|, MAE in exact
+    * milli-events, and signed bias. Expanding-mean-over-observed-days
+    * is the documented contract (zero-days are absent from the grid,
+    * not imputed).
+    *
+    * == Scale design ==
+    * ONE scan folds map-side onto the O(types × days) daily grid; the
+    * expanding windows and the ledger run entirely on that bounded
+    * relation — same shape as [[eventsSeasonality]].
+    */
+  def mlBacktest(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val wPrior = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastDay = daily.agg(max(col("day")).as("last_day"))
+    daily
+      .withColumn("cum_n", sum(col("n")).over(wPrior))
+      .withColumn("cum_d", count(col("n")).over(wPrior))
+      .join(broadcast(lastDay), lit(true))
+      .filter(col("day") > col("last_day") - 7 && col("cum_d") >= 1)
+      .withColumn("pred", expr("cum_n div cum_d"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("n") - col("pred"))).as("sum_abs_err"),
+        sum(col("n") - col("pred")).as("bias"))
+      .select(col("event_type"), col("n_eval"), col("sum_abs_err"),
+        expr("sum_abs_err * 1000 div n_eval").as("mae_milli"), col("bias"))
+      .orderBy(col("event_type"))
+  }
+
+  val mlBacktestSql: String =
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS cum_n,
+      |    CAST(count(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS cum_d
+      |  FROM d),
+      |e AS (SELECT *, cum_n // cum_d AS pred FROM c
+      |  WHERE day > (SELECT max(day) FROM d) - 7 AND cum_d >= 1)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+      |  CAST(sum(abs(n - pred)) AS BIGINT) AS sum_abs_err,
+      |  CAST(sum(abs(n - pred)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS mae_milli,
+      |  CAST(sum(n - pred) AS BIGINT) AS bias
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------ path mining
   /** Top user-journey paths (r14): the three-step sequence report
     * behind [[eventsMarkov]]'s one-step transition matrix — the
@@ -3609,6 +3666,7 @@ object Analytics {
     "join_skew_aqe" -> joinSkewAqe,
     "events_markov" -> eventsMarkov,
     "events_paths" -> eventsPaths,
+    "ml_backtest" -> mlBacktest,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -3685,6 +3743,7 @@ object Analytics {
     "join_skew_aqe" -> joinSkewAqeSql,
     "events_markov" -> eventsMarkovSql,
     "events_paths" -> eventsPathsSql,
+    "ml_backtest" -> mlBacktestSql,
     "events_sliding" -> eventsSlidingSql,
     "cube_revenue" -> cubeRevenueSql,
     "topk_per_group_agg" -> topkPerGroupSql,

@@ -605,6 +605,70 @@ object Maintain {
        |ORDER BY p.custkey, p.asof_date""".stripMargin
   }
 
+  // ------------------------------------------------------- freshness
+  /** Feed-freshness audit (r14, completing the DQ quartet beside
+    * [[dqRules]] / [[dqDrift]] / [[dqReferential]]): per event-type
+    * feed, when data last arrived and whether the final day of the log
+    * still carries its share — the first page of every pipeline
+    * incident. Exact integers throughout: last arrival as epoch
+    * micros, the trailing-day count vs the feed's all-time daily
+    * average in exact ppm, and a stale flag (nothing in the final 24 h
+    * of the log's span). The span anchor is max(ts) over the LOG (not
+    * wall clock), so the audit is deterministic and replayable.
+    *
+    * == Scale design ==
+    * ONE scan folded map-side onto O(types × days) keys, then
+    * O(types) arithmetic; the global anchor rides a broadcast 1-row
+    * aggregate — the [[dqRules]] shape.
+    */
+  def dqFreshness(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("tts", col("ts").cast("timestamp"))
+      .select(col("event_type"), unix_micros(col("tts")).as("us"),
+        expr("unix_micros(tts) div 86400000000").as("day"))
+    val anchor = e.agg(max(col("us")).as("log_end_us"),
+      (max(col("day")) - min(col("day")) + 1L).as("n_days"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val perType = e.groupBy(col("event_type"))
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("n_total"),
+        max(col("day")).as("last_day"))
+    val lastDayN = daily.alias("d")
+      .join(broadcast(anchor.select(expr("log_end_us div 86400000000").as("end_day"))),
+        col("d.day") === col("end_day"))
+      .select(col("d.event_type").as("event_type"), col("d.n").as("n_last_day"))
+    perType.join(broadcast(anchor), lit(true))
+      .join(lastDayN, Seq("event_type"), "left")
+      .na.fill(0L, Seq("n_last_day"))
+      .select(col("event_type"), col("last_us"), col("n_total"),
+        col("n_last_day"),
+        expr("n_total div n_days").as("avg_daily_n"),
+        expr("case when n_total div n_days = 0 then null else " +
+          "n_last_day * 1000000 div (n_total div n_days) end").as("last_day_ppm"),
+        (col("log_end_us") - col("last_us") >= 86400000000L).as("stale"))
+      .orderBy(col("event_type"))
+  }
+
+  val dqFreshnessSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+      |    epoch_us(ts) // 86400000000 AS day FROM events),
+      |a AS (SELECT max(us) AS log_end_us,
+      |    max(day) - min(day) + 1 AS n_days,
+      |    max(us) // 86400000000 AS end_day FROM e),
+      |d AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, max(us) AS last_us,
+      |    CAST(count(*) AS BIGINT) AS n_total FROM e GROUP BY 1),
+      |ld AS (SELECT d.event_type, d.n AS n_last_day
+      |  FROM d JOIN a ON d.day = a.end_day)
+      |SELECT t.event_type, t.last_us, t.n_total,
+      |  CAST(COALESCE(ld.n_last_day, 0) AS BIGINT) AS n_last_day,
+      |  t.n_total // a.n_days AS avg_daily_n,
+      |  CASE WHEN t.n_total // a.n_days = 0 THEN NULL
+      |    ELSE CAST(COALESCE(ld.n_last_day, 0) AS BIGINT) * 1000000 // (t.n_total // a.n_days) END AS last_day_ppm,
+      |  a.log_end_us - t.last_us >= 86400000000 AS stale
+      |FROM t CROSS JOIN a LEFT JOIN ld ON ld.event_type = t.event_type
+      |ORDER BY t.event_type""".stripMargin
+
   /** Distribution-drift monitor between two epochs of the event log —
     * the check a production pipeline runs when a new data drop lands:
     * the first half of the month is the REFERENCE window, the rest is
@@ -742,6 +806,7 @@ object Maintain {
     "table_profile" -> tableProfile,
     "dq_rules" -> dqRules,
     "dq_drift" -> dqDrift,
+    "dq_freshness" -> dqFreshness,
     "dq_referential" -> dqReferential)
 
   val oracles: Map[String, String] = Map(
@@ -756,5 +821,6 @@ object Maintain {
     "table_profile" -> tableProfileSql,
     "dq_rules" -> dqRulesSql,
     "dq_drift" -> dqDriftSql,
+    "dq_freshness" -> dqFreshnessSql,
     "dq_referential" -> dqReferentialSql)
 }

@@ -1103,4 +1103,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == expected, "top-20 path list drifted")
     assert(got.nonEmpty && got.map(_._1).toSeq == (1L to got.length).toSeq)
   }
+
+  test("ml_backtest replays the expanding-mean walk per event type") {
+    import spark.implicits._
+    val got = Analytics.mlBacktest(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, d), n) => (t, d, n) }
+    val lastDay = daily.map(_._2).max
+    val expected = daily.groupBy(_._1).map { case (t, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val evals = sorted.zipWithIndex.collect {
+        case ((_, d, n), i) if d > lastDay - 7 && i >= 1 =>
+          val prior = sorted.take(i).map(_._3)
+          val pred = prior.sum / prior.length
+          (n - pred, math.abs(n - pred))
+      }
+      t -> ((evals.length.toLong, evals.map(_._2).sum,
+        if (evals.isEmpty) 0L else evals.map(_._2).sum * 1000L / evals.length,
+        evals.map(_._1).sum))
+    }.filter(_._2._1 > 0)
+    assert(got == expected, "backtest ledger drifted")
+    assert(got.nonEmpty && got.values.forall(_._1 <= 7))
+  }
 }

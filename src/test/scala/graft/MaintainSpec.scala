@@ -330,4 +330,29 @@ class MaintainSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("dq_freshness audit matches a direct recompute and anchors on the log end") {
+    import spark.implicits._
+    val got = Maintain.dqFreshness(spark, sf)
+      .as[(String, Long, Long, Long, Long, Option[Long], Boolean)].collect()
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")))
+      .as[(String, Long)].collect()
+    val logEnd = evs.map(_._2).max
+    val endDay = logEnd / 86400000000L
+    val nDays = endDay - evs.map(_._2 / 86400000000L).min + 1
+    val expected = evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      val last = rs.map(_._2).max
+      val nTotal = rs.length.toLong
+      val nLast = rs.count(_._2 / 86400000000L == endDay).toLong
+      val avg = nTotal / nDays
+      val ppm = if (avg == 0) None else Some(nLast * 1000000L / avg)
+      (t, last, nTotal, nLast, avg, ppm, logEnd - last >= 86400000000L)
+    }
+    assert(got.toSeq == expected, "freshness ledger drifted")
+    // the audit anchors on the log, not wall clock: at least one feed
+    // carries the final day (the anchor feed can never be stale)
+    assert(got.exists(!_._7), "every feed stale — anchor broken")
+  }
 }
