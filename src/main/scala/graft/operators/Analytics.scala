@@ -1801,9 +1801,13 @@ object Analytics {
     * relation — same shape as [[eventsSeasonality]].
     */
   def mlBacktest(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    // checkpointed: the grid feeds both the expanding windows and the
+    // lastDay anchor — without it each consumer re-derives the scan
     val daily = events(s, dir)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .stableCheckpoint()
     val wPrior = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val lastDay = daily.agg(max(col("day")).as("last_day"))

@@ -622,19 +622,25 @@ object Maintain {
     * aggregate — the [[dqRules]] shape.
     */
   def dqFreshness(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "events")
+    import graft.plans.Checkpoints.StableSyntax
+    // ONE fact scan: everything — per-type rollup, the global anchor,
+    // and the final-day counts — derives from this checkpointed
+    // O(types × days) grid (each cell carries its max arrival micros,
+    // so last_us survives the day fold exactly)
+    val daily = Tables.load(s, dir, "events")
       .withColumn("tts", col("ts").cast("timestamp"))
       .select(col("event_type"), unix_micros(col("tts")).as("us"),
         expr("unix_micros(tts) div 86400000000").as("day"))
-    val anchor = e.agg(max(col("us")).as("log_end_us"),
-      (max(col("day")) - min(col("day")) + 1L).as("n_days"))
-    val daily = e.groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"))
-    val perType = e.groupBy(col("event_type"))
-      .agg(max(col("us")).as("last_us"), count(lit(1)).as("n_total"),
-        max(col("day")).as("last_day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), max(col("us")).as("max_us"))
+      .stableCheckpoint()
+    val anchor = daily.agg(max(col("max_us")).as("log_end_us"),
+      (max(col("day")) - min(col("day")) + 1L).as("n_days"),
+      max(col("day")).as("end_day"))
+    val perType = daily.groupBy(col("event_type"))
+      .agg(max(col("max_us")).as("last_us"), sum(col("n")).as("n_total"))
     val lastDayN = daily.alias("d")
-      .join(broadcast(anchor.select(expr("log_end_us div 86400000000").as("end_day"))),
+      .join(broadcast(anchor.select(col("end_day"))),
         col("d.day") === col("end_day"))
       .select(col("d.event_type").as("event_type"), col("d.n").as("n_last_day"))
     perType.join(broadcast(anchor), lit(true))
