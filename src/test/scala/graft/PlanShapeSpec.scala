@@ -674,4 +674,36 @@ class PlanShapeSpec extends SparkSpec {
     // exactly the range-partition exchange of the display orderBy
     assert(exchanges <= 1, s"expected at most the sort exchange:\n$plan")
   }
+
+  test("r14 one-scan claims: grid-fold faces are parquet-free past their checkpoint") {
+    // dq_freshness / ml_backtest / stream_quantile fold ONE fact scan
+    // into a checkpointed grid; the composed plan downstream must read
+    // only the materialized relation (Scan ExistingRDD), never the file
+    for ((name, df) <- Seq(
+        "dq_freshness" -> operators.Maintain.dqFreshness(spark, sf),
+        "ml_backtest" -> Analytics.mlBacktest(spark, sf),
+        "stream_quantile" -> streaming.EventStreams.streamQuantile(spark, sf))) {
+      val plan = planOf(df)
+      assert(!plan.contains("FileScan"),
+        s"$name: fact scan escaped the checkpoint:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"$name: expected the checkpointed grid relation:\n$plan")
+    }
+  }
+
+  test("events_paths enumerates trigrams in one fact scan, no self-join") {
+    val plan = planOf(Analytics.eventsPaths(spark, sf))
+    val scans = "FileScan".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one events scan, got $scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"path mining must not self-join the fact:\n$plan")
+  }
+
+  test("corpus_semdedup broadcasts the drop set; no cartesian pair generation") {
+    val plan = planOf(operators.Similarity.corpusSemdedup(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"drop set must broadcast into the ledger join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must stay cell-bucketed:\n$plan")
+  }
 }
