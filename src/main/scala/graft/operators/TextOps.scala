@@ -1494,7 +1494,85 @@ object TextOps {
        |  1000 * corpus_chars // corpus_subwords AS cpp_milli
        |FROM r JOIN pc USING (family) ORDER BY family""".stripMargin
 
+  // ------------------------------------------------------- retrieval
+  /** Inverted-index top-k retrieval (r14, the search face the corpus
+    * engine was still missing — mining-by-keyword is how training-data
+    * pipelines pull domain subsets): tf·idf ranking made bit-stable
+    * cross-engine by the integer floor-log2 discipline the surprisal
+    * family established — idf_bits(term) = len(bin(N)) − len(bin(df)),
+    * score(doc, query) = Σ tf·(1 + idf_bits) (add-one smoothing: the
+    * synthetic vocabulary is near-uniform, so unsmoothed idf floors at
+    * 0 bits for every common term and the tf signal must survive), all
+    * BIGINT, no float logarithm to disagree on. The query set is
+    * CORPUS-DERIVED and deterministic — three 2-term queries from the
+    * RAREST-first df ranking (ranks 1-6 ascending: real queries are
+    * rare-term-led, and rank 1 is the planted near-dup marker, so q1
+    * demonstrates the idf boost surfacing the dup family). Top-10 per
+    * query under the (score desc, doc_id) total order.
+    *
+    * == Scale design ==
+    * The classic retrieval shape: ONE corpus scan builds the (word,
+    * doc, tf) posting relation (the word-keyed shuffle IS the inverted
+    * index); df/idf fold map-side onto the vocabulary; the query-term
+    * list is a broadcast O(6)-row join, so scoring touches only the
+    * query terms' posting lists — never the corpus — and the top-k
+    * window shuffles O(matched docs) thin rows. Heaps's law bounds the
+    * vocabulary relation at any corpus size.
+    */
+  def textSearchTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .stableCheckpoint()
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .join(broadcast(n), lit(true))
+      .withColumn("idf_bits",
+        (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("long"))
+    val wRank = Window.orderBy(col("df"), col("word"))
+    val qterms = df_
+      .withColumn("r", row_number().over(wRank))
+      .filter(col("r") <= 6)
+      .withColumn("query_id",
+        when(col("r") <= 2, 1L).when(col("r") <= 4, 2L).otherwise(3L))
+      .select(col("query_id"), col("word"), col("idf_bits"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), Seq("word"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * (col("idf_bits") + 1L)).as("score"))
+      .filter(col("score") > 0)
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val textSearchTopkSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM w WHERE length(word) > 0 GROUP BY 1, 2),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |dfr AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |idf AS (SELECT word, df,
+      |    CAST(length(bin((SELECT n_docs FROM nd))) - length(bin(df)) AS BIGINT) AS idf_bits,
+      |    row_number() OVER (ORDER BY df, word) AS r
+      |  FROM dfr),
+      |q AS (SELECT CASE WHEN r <= 2 THEN 1 WHEN r <= 4 THEN 2 ELSE 3 END AS query_id,
+      |    word, idf_bits FROM idf WHERE r <= 6),
+      |sc AS (SELECT q.query_id, tf.doc_id, CAST(sum(tf.tf * (q.idf_bits + 1)) AS BIGINT) AS score
+      |  FROM tf JOIN q ON q.word = tf.word GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM sc WHERE score > 0)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_search_topk" -> textSearchTopk,
     "text_redact" -> textRedact,
     "tokenize_unigram" -> tokenizeUnigram,
     "tokenize_unigram_segments" -> tokenizeUnigramSegments,
@@ -1552,6 +1630,7 @@ object TextOps {
       |SELECT doc_id, lang, pred_lang, pred_lang = lang AS label_match FROM p ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_search_topk" -> textSearchTopkSql,
     "text_surprisal" -> textSurprisalSql,
     "text_surprisal_bigram" -> textSurprisalBigramSql,
     "ml_eval_langid" -> mlEvalLangidSql,

@@ -1539,4 +1539,40 @@ class TextDedupSpec extends SparkSpec {
     assert(byComp.exists(c => c.exists(_._1 % 5 == 0) && c.exists(_._1 % 5 != 0)),
       "no component spans the delta boundary — the contraction path is untested")
   }
+
+  test("text_search_topk replays integer tf-idf retrieval and surfaces the rare term") {
+    import spark.implicits._
+    val got = graft.operators.TextOps.textSearchTopk(spark, sfMid)
+      .as[(Long, Long, Long, Long)].collect()
+    val ds = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val words = ds.map { case (id, t) =>
+      id -> t.split(" ", -1).filter(_.nonEmpty) }
+    val n = ds.length.toLong
+    val df = words.flatMap { case (_, ws) => ws.distinct }.groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val ranked = df.toSeq.sortBy { case (w, d) => (d, w) }.take(6)
+    val queries = ranked.grouped(2).zipWithIndex
+      .map { case (ts, i) => (i + 1L) -> ts.map { case (w, d) =>
+        w -> (bits(n) - bits(d) + 1L) }.toMap }.toMap
+    val expected = queries.toSeq.flatMap { case (qid, terms) =>
+      words.flatMap { case (id, ws) =>
+        val score = ws.groupBy(identity).collect {
+          case (w, occ) if terms.contains(w) => occ.length.toLong * terms(w)
+        }.sum
+        if (score > 0) Some((qid, id, score)) else None
+      }.sortBy { case (_, id, sc) => (-sc, id) }.take(10).zipWithIndex
+        .map { case ((q, id, sc), i) => (q, i + 1L, id, sc) }
+    }.toSet
+    assert(got.toSet == expected, "retrieval ranking drifted")
+    assert(got.count(_._1 == 1L) == 10 && got.count(_._1 == 3L) == 10)
+    // the idf boost must surface the planted rare term: q1's top doc
+    // contains the corpus's rarest word
+    val rarest = ranked.head._1
+    val top1 = got.filter(r => r._1 == 1L && r._2 == 1L).head._3
+    val topText = ds.find(_._1 == top1).get._2
+    assert(topText.split(" ", -1).contains(rarest),
+      s"q1 top doc $top1 lacks rare term '$rarest'")
+  }
 }
