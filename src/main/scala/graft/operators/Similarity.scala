@@ -958,6 +958,76 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------------------- filtered search
+  /** Filtered ANN search (r14, the predicate-constrained face every
+    * production vector store ships — "nearest neighbors WHERE label is
+    * even"): [[annIvf]]'s probe-3 search with the metadata predicate
+    * pushed INTO the index side before the cell join, so filtered-out
+    * vectors never become candidates (pre-filtering, not the
+    * rank-then-discard post-filter that under-fills k when the
+    * predicate is selective). Top-[[K]] per query among qualifying
+    * neighbors, same total order as the unfiltered face.
+    *
+    * == Scale design ==
+    * The predicate prunes the posting (index) side at the scan — at a
+    * selective predicate this SHRINKS the candidate join below the
+    * unfiltered face's cost; the filtered index is exactly the
+    * partition-pruned scan a label-partitioned vector table gives for
+    * free. Probe side unchanged (NQ-bounded broadcast).
+    */
+  def annFilteredSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
+    def cellsOf(v: Array[Float], n: Double, k: Int): Seq[Long] =
+      codebook.value
+        .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(k).map(_._1).toSeq
+    // predicate pushed below the index build: filtered vectors are
+    // never assigned, never joined
+    val assigned = e.filter(_._3 % 2 == 0).flatMap { case (id, v, _) =>
+      val n = math.sqrt(dotd(v, v))
+      cellsOf(v, n, IVF_ASSIGN).map(c => (id, v, n, c))
+    }.toDF("vec_id", "embedding", "nrm", "cell")
+    val probes = e.filter(_._1 < NQ).flatMap { case (id, v, _) =>
+      val n = math.sqrt(dotd(v, v))
+      cellsOf(v, n, IVF_NPROBE).map(c => (id, v, n, c))
+    }.toDF("q_id", "q_emb", "q_nrm", "cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(probes).join(assigned,
+        probes("cell") === assigned("cell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin: [[annIvfSql]] with the label predicate applied to
+    * the index-side assignment relation. */
+  // lazy: textually precedes the ivfCodebookCtes definition it splices
+  lazy val annFilteredSearchSql: String = {
+    val search = Seq(
+      "flt AS (SELECT a.vec_id, a.cell FROM asg a JOIN embeddings emb ON emb.vec_id = a.vec_id WHERE emb.label % 2 = 0)",
+      s"prb AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= $IVF_NPROBE AND vec_id < $NQ)",
+      "cand AS (SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id FROM prb q JOIN flt a ON a.cell = q.cell AND a.vec_id <> q.vec_id)",
+      s"p AS (SELECT c.query_id, c.neighbor_id, ${ivfFold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine FROM cand c JOIN n nq ON nq.vec_id = c.query_id JOIN n nc ON nc.vec_id = c.neighbor_id)",
+      "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM p)")
+    "WITH " + (ivfCodebookCtes ++ search).mkString(",\n") +
+      s"\nSELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
+  }
+
   // ----------------------------------------------- probe tuning curve
   /** ANN probe-dial tuning curve (r14, completing the curve symmetry:
     * [[dedupEmbeddingIvfCurve]] sweeps (CELLS, ASSIGN) for the dedup
@@ -1070,6 +1140,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_knn_graph" -> annKnnGraph,
     "ann_recall_curve" -> annRecallCurve,
+    "ann_filtered_search" -> annFilteredSearch,
     "corpus_semdedup" -> corpusSemdedup,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
@@ -1290,6 +1361,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_knn_graph" -> annKnnGraphSql,
     "ann_recall_curve" -> annRecallCurveSql,
+    "ann_filtered_search" -> annFilteredSearchSql,
     "corpus_semdedup" -> corpusSemdedupSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_index_upsert" -> annIndexUpsertSql,

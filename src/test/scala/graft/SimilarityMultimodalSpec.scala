@@ -506,4 +506,30 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(curve.find(_._1 == 3L).get._4 == evalHits,
       "probe-3 hits drifted from ann_recall_eval's ivf face")
   }
+
+  test("ann_filtered_search pre-filters: every neighbor satisfies the predicate") {
+    val got = Similarity.annFilteredSearch(spark, sf)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    val labels = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (q, nb, _) =>
+      assert(labels(nb) % 2 == 0, s"query $q returned odd-label neighbor $nb")
+    }
+    // pre-filter vs post-filter: the filtered face must NOT equal the
+    // unfiltered top-k with odd labels discarded — post-filtering
+    // under-fills k (that is the defect this face exists to avoid);
+    // per query the filtered list is >= as long as the discarded one
+    val unfiltered = Similarity.annIvf(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val post = unfiltered.filter(r => labels(r._2) % 2 == 0)
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val pre = got.groupBy(_._1).view.mapValues(_.length).toMap
+    pre.foreach { case (q, n) =>
+      assert(n >= post.getOrElse(q, 0), s"query $q: pre-filter $n < post-filter")
+    }
+    assert(pre.values.sum > post.values.sum,
+      "predicate never binds — pre vs post filtering indistinguishable")
+  }
 }
