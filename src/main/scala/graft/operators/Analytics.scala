@@ -1782,6 +1782,59 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  // ---------------------------------------------------- active users
+  /** Rolling active-user dashboard (r14 — the DAU/WAU page every
+    * product log feeds, exact, beside [[eventsRetention]]'s cohort
+    * view): per observed day, distinct daily actives (DAU), distinct
+    * trailing-7-day actives (WAU), and DAU/WAU stickiness in exact
+    * ppm. The window is computed by CONTRIBUTION, not by self-join:
+    * each (user, active day) row fans out to the ≤7 future days it
+    * keeps the user active for, and WAU is a distinct count per
+    * target day — no day-range join against the fact, no
+    * O(days²) grid.
+    *
+    * == Scale design ==
+    * ONE scan dedupes to the (user, day) relation — bounded by
+    * users × days, far below event volume — then the ×7 fan-out and
+    * both distinct counts shuffle only that thin relation. Days
+    * outside the observed span are clipped via a broadcast 1-row
+    * max-day.
+    */
+  def eventsMauWau(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val ud = events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .stableCheckpoint()
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"), col("day"),
+        explode(sequence(col("day"), col("day") + 6)).as("target"))
+      .join(broadcast(maxDay), lit(true))
+      .filter(col("target") <= col("max_day"))
+      .groupBy(col("target").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("1000000 * dau div wau").as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val eventsMauWauSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS day FROM events),
+      |md AS (SELECT max(day) AS max_day FROM ud),
+      |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM ud GROUP BY 1),
+      |f AS (SELECT DISTINCT user_id, day + unnest(range(0, 7)) AS target FROM ud),
+      |wau AS (SELECT f.target AS day, CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau
+      |  FROM f CROSS JOIN md WHERE f.target <= md.max_day GROUP BY 1)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  (1000000 * dau.dau) // wau.wau AS stickiness_ppm
+      |FROM dau JOIN wau ON wau.day = dau.day
+      |ORDER BY dau.day""".stripMargin
+
   // ------------------------------------------------- forecast backtest
   /** Rolling-origin forecast backtest (r14, the EVALUATION face beside
     * [[q6ForecastRevenue]]'s point forecast and `events_seasonality`'s
@@ -3671,6 +3724,7 @@ object Analytics {
     "events_markov" -> eventsMarkov,
     "events_paths" -> eventsPaths,
     "ml_backtest" -> mlBacktest,
+    "events_mau_wau" -> eventsMauWau,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -3748,6 +3802,7 @@ object Analytics {
     "events_markov" -> eventsMarkovSql,
     "events_paths" -> eventsPathsSql,
     "ml_backtest" -> mlBacktestSql,
+    "events_mau_wau" -> eventsMauWauSql,
     "events_sliding" -> eventsSlidingSql,
     "cube_revenue" -> cubeRevenueSql,
     "topk_per_group_agg" -> topkPerGroupSql,

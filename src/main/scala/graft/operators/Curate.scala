@@ -1372,6 +1372,76 @@ object Curate {
        |GROUP BY g.thr, tot_docs, tot_tokens
        |ORDER BY g.thr""".stripMargin
 
+  // --------------------------------------------- budgeted selection
+  /** Token-budget selection (r14, the curation question
+    * [[corpusQualityCurve]] informs, EXECUTED: "spend a B-token budget
+    * on the best docs"): rank the corpus best-quality-first at
+    * milli-score granularity (integer quantization makes the ORDER
+    * bit-stable cross-engine — the decile curve's move, one decimal
+    * finer), take docs while the running token total stays under
+    * B = half the corpus mass (corpus-derived, so the face needs no
+    * budget fixture), and emit the per-decile selection ledger — how
+    * deep into each quality band the budget reaches is THE readout a
+    * data-mixing run records.
+    *
+    * == Scale design ==
+    * No single-task global sort: the running total is the
+    * [[packSubword]] two-phase prefix sum keyed by the 1000-bucket
+    * milli-score (intra-bucket windows 1000-way parallel, the
+    * bucket-total prefix is an O(1000)-row broadcast). The ledger is
+    * a map-side rollup onto 10 decile keys.
+    */
+  def corpusTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = TextOps.textQuality(s, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        least(floor(col("quality_score") * 1000), lit(999)).cast("long").as("mb"))
+    val tot = d.agg((sum(col("n_tokens")) / 2).cast("long").as("budget"))
+    val intra = Window.partitionBy(col("mb"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.withColumn("cum_in", sum(col("n_tokens")).over(intra))
+    val bktTotals = d.groupBy(col("mb")).agg(sum(col("n_tokens")).as("bt"))
+    // prefix = token mass in STRICTLY BETTER buckets (mb desc order)
+    val over = Window.orderBy(col("mb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bktTotals
+      .withColumn("bp", coalesce(sum(col("bt")).over(over), lit(0L)))
+      .select(col("mb"), col("bp"))
+    cum.join(broadcast(prefixes), Seq("mb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("sel", col("bp") + col("cum_in") - col("n_tokens") < col("budget"))
+      .groupBy(expr("mb div 100").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_docs_sel"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("sel"), col("n_tokens")).otherwise(0L)).as("n_tokens_sel"))
+      .select(col("decile"), col("n_docs"), col("n_docs_sel"),
+        col("n_tokens"), col("n_tokens_sel"),
+        expr("1000000 * n_tokens_sel div n_tokens").as("sel_tokens_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  /** DuckDB twin: the shared quality CTE, one global ordered cumsum
+    * (the oracle replays semantics, not the distributed prefix). */
+  val corpusTokenBudgetSql: String =
+    s"""WITH $qualityCte,
+       |d AS (SELECT doc_id, n_tokens,
+       |    least(CAST(floor(quality_score * 1000) AS BIGINT), 999) AS mb
+       |  FROM q),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget FROM d),
+       |c AS (SELECT *,
+       |    CAST(sum(n_tokens) OVER (ORDER BY mb DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cum_before
+       |  FROM d)
+       |SELECT mb // 100 AS decile, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN cum_before < budget THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_sel,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN cum_before < budget THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_sel,
+       |  1000000 * CAST(sum(CASE WHEN cum_before < budget THEN n_tokens ELSE 0 END) AS BIGINT) // CAST(sum(n_tokens) AS BIGINT) AS sel_tokens_ppm
+       |FROM c CROSS JOIN tot
+       |GROUP BY 1 ORDER BY decile""".stripMargin
+
   // ------------------------------------- end-to-end pretraining build
   /** The engine's `main()`: the COMPOSED production DAG a pretraining
     * data build runs, wired end to end from the verified stage
@@ -1524,6 +1594,7 @@ object Curate {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain_build" -> pipelinePretrainBuild,
     "corpus_quality_curve" -> corpusQualityCurve,
+    "corpus_token_budget" -> corpusTokenBudget,
     "corpus_shards" -> corpusShards,
     "corpus_shard_skew" -> corpusShardSkew,
     "corpus_shuffle" -> corpusShuffle,
@@ -1557,6 +1628,7 @@ object Curate {
   val oracles: Map[String, String] = Map(
     "pipeline_pretrain_build" -> pipelinePretrainBuildSql,
     "corpus_quality_curve" -> corpusQualityCurveSql,
+    "corpus_token_budget" -> corpusTokenBudgetSql,
     "corpus_shards" -> corpusShardsSql,
     "corpus_shard_skew" -> corpusShardSkewSql,
     "corpus_shuffle" -> corpusShuffleSql,

@@ -1131,4 +1131,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected, "backtest ledger drifted")
     assert(got.nonEmpty && got.values.forall(_._1 <= 7))
   }
+
+  test("events_mau_wau equals a direct trailing-window recompute") {
+    import spark.implicits._
+    val got = Analytics.eventsMauWau(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val ud = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+      .as[(Long, Long)].collect().distinct
+    val days = ud.map(_._2).distinct.sorted
+    val expected = days.map { d =>
+      val dau = ud.filter(_._2 == d).map(_._1).distinct.length.toLong
+      val wau = ud.filter(r => r._2 >= d - 6 && r._2 <= d)
+        .map(_._1).distinct.length.toLong
+      (d, dau, wau, dau * 1000000L / wau)
+    }
+    assert(got.toSeq == expected.toSeq, "active-user series drifted")
+    got.foreach { case (d, dau, wau, st) =>
+      assert(wau >= dau && st <= 1000000L, s"day $d dau $dau wau $wau")
+    }
+  }
 }

@@ -1575,4 +1575,36 @@ class TextDedupSpec extends SparkSpec {
     assert(topText.split(" ", -1).contains(rarest),
       s"q1 top doc $top1 lacks rare term '$rarest'")
   }
+
+  test("corpus_token_budget selection is prefix-consistent and budget-bound") {
+    import spark.implicits._
+    val got = graft.operators.Curate.corpusTokenBudget(spark, sfMid)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val q = graft.operators.TextOps.textQuality(spark, sfMid)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .as[(Long, Long, Double)].collect()
+    val ranked = q.map { case (id, nt, sc) =>
+      (id, nt, math.min(math.floor(sc * 1000).toLong, 999L)) }
+      .sortBy { case (id, _, mb) => (-mb, id) }
+    val budget = ranked.map(_._2).sum / 2
+    var cum = 0L
+    val sel = ranked.map { case (id, nt, mb) =>
+      val take = cum < budget; cum += nt; (id, nt, mb, take) }
+    val expected = sel.groupBy(_._3 / 100).toSeq.sortBy(_._1).map { case (dec, rs) =>
+      val ts = rs.filter(_._4)
+      (dec, rs.length.toLong, ts.length.toLong,
+        rs.map(_._2).sum, ts.map(_._2).sum,
+        ts.map(_._2).sum * 1000000L / rs.map(_._2).sum)
+    }
+    assert(got.toSeq == expected, "budget selection ledger drifted")
+    // budget binds: selected mass stays within budget + one marginal doc
+    val selTok = got.map(_._5).sum
+    val maxDoc = q.map(_._2).max
+    assert(selTok >= budget && selTok < budget + maxDoc,
+      s"selected $selTok vs budget $budget (max doc $maxDoc)")
+    // prefix consistency: selection ppm non-decreasing with decile
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._6 <= b._6, s"decile ${a._1} ppm ${a._6} > decile ${b._1} ${b._6}")
+    }
+  }
 }
