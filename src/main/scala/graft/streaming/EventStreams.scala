@@ -1252,6 +1252,99 @@ object EventStreams {
       |  CAST(sum(abs((1000000 * ref_n) // ref_total - (1000000 * cur_n) // cur_total)) // 2 AS BIGINT) AS tvd_ppm
       |FROM grid GROUP BY 1, 2 ORDER BY day, feature""".stripMargin
 
+  // -------------------------------------------------- live DAU sketch
+  case class DauEv(day: Long, user: Long)
+  case class DauOut(day: Long, v_zero: Long, est_milli: Long)
+
+  /** Live daily-distinct-users monitor (r14 — the dashboard
+    * [[graft.operators.Analytics.aggHllGrouped]] computes per type,
+    * keyed by day and kept LIVE; the one distinct-count face the
+    * streaming family was missing, and the reason sketches exist in a
+    * stream at all: exact per-key distinct needs an unbounded user
+    * set, the HLL register array is 64 longs forever): FMGWS state per
+    * closed day = the register maxes of the shared integer-HLL
+    * (identical hash/j/rho/estimate arithmetic, so stream ≡ batch
+    * bit-for-bit), emitting the day's current milli-estimate per
+    * batch.
+    */
+  def dauStream(stream: Dataset[DauEv]): Dataset[DauOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.day)
+      .flatMapGroupsWithState[Array[Long], DauOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (day: Long, recs: Iterator[DauEv], state: GroupState[Array[Long]]) =>
+          val regs = state.getOption.getOrElse(new Array[Long](64))
+          recs.foreach { r =>
+            val h = (1103515245L * r.user + 12345L) % 2147483647L
+            val j = (h % 64L).toInt
+            val rho = 26L - java.lang.Long.toBinaryString((h >> 6) + 1L).length
+            if (rho > regs(j)) regs(j) = rho
+          }
+          state.update(regs)
+          val s = regs.map(mj => 1L << (26 - mj).toInt).sum
+          Iterator.single(DauOut(day, regs.count(_ == 0L).toLong,
+            709L * 4096L * (1L << 26) / s))
+      }
+  }
+
+  /** Batch face of [[dauStream]] (registered as `stream_dau`): per day
+    * the exact distinct-user count (the honesty column) beside the
+    * integer-HLL milli-estimate — [[graft.operators.Analytics
+    * .aggHllGrouped]]'s replayable register chain keyed by day.
+    *
+    * == Scale design ==
+    * ONE scan dedupes to (day, user) — then registers fold map-side
+    * onto O(days × 64) keys; the exact leg shuffles the same thin
+    * dedupe. The streaming twin's per-key state is 64 longs, never
+    * the user set.
+    */
+  def streamDau(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val ud = events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id").as("u"))
+      .distinct()
+      .stableCheckpoint()
+    val r = ud.select(col("day"),
+        graft.operators.Analytics.hllRegister(col("u")).as("r"))
+      .select(col("day"), col("r.j").as("j"), col("r.rho").as("rho"))
+    val m = r.groupBy(col("day"), col("j")).agg(max(col("rho")).as("mj"))
+    val regs = m.select(col("day")).distinct()
+      .crossJoin(s.range(64).toDF("j"))
+      .join(m, Seq("day", "j"), "left_outer")
+      .select(col("day"), coalesce(col("mj"), lit(0L)).as("mj"))
+    val sums = regs.groupBy(col("day"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - mj AS INT))")).as("s"),
+        sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("v_zero"))
+    ud.groupBy(col("day")).agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(sums), "day")
+      .select(col("day"), col("n_exact"), col("v_zero"),
+        expr("(709 * 4096 * shiftleft(CAST(1 AS BIGINT), 26)) div s").as("est_milli"))
+      .orderBy(col("day"))
+  }
+
+  val streamDauSql: String =
+    """WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+      |    user_id AS u FROM events),
+      |h AS (SELECT day, ((1103515245*u + 12345) % 2147483647) AS h FROM ud),
+      |r AS (SELECT day, h % 64 AS j,
+      |    26 - length(bin((h // 64) + 1)) AS rho FROM h),
+      |m AS (SELECT day, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+      |dy AS (SELECT DISTINCT day FROM m),
+      |regs AS (SELECT dy.day, t.j, COALESCE(m.mj, 0) AS mj
+      |  FROM dy CROSS JOIN range(0, 64) t(j)
+      |  LEFT JOIN m ON m.day = dy.day AND m.j = t.j),
+      |s AS (SELECT day,
+      |    CAST(sum(CAST(1 AS BIGINT) << CAST(26 - mj AS INT)) AS BIGINT) AS s,
+      |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |  FROM regs GROUP BY 1),
+      |ex AS (SELECT day, CAST(count(*) AS BIGINT) AS n_exact FROM ud GROUP BY 1)
+      |SELECT ex.day, ex.n_exact, s.v_zero,
+      |  (709 * 4096 * (CAST(1 AS BIGINT) << 26)) // s.s AS est_milli
+      |FROM ex JOIN s ON s.day = ex.day
+      |ORDER BY ex.day""".stripMargin
+
   // ---------------------------------------------- live quantile sketch
   case class QuantEv(day: Long, cents: Long)
   case class QuantOut(day: Long, n_events: Long,
@@ -1347,6 +1440,7 @@ object EventStreams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_quantile" -> streamQuantile,
+    "stream_dau" -> streamDau,
     "stream_drift" -> streamDrift,
     "stream_late_data" -> streamLateData,
     "stream_cusum" -> streamCusum,
@@ -1378,6 +1472,7 @@ object EventStreams {
 
   val oracles: Map[String, String] = Map(
     "stream_quantile" -> streamQuantileSql,
+    "stream_dau" -> streamDauSql,
     "stream_drift" -> streamDriftSql,
     "stream_late_data" -> streamLateDataSql,
     "stream_cusum" -> streamCusumSql,

@@ -1010,4 +1010,43 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streamed DAU sketch equals the batch HLL estimates at daily cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.DauEv
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(expr("unix_micros(ts) div 86400000000"), col("user_id"))
+      .as[(Long, Long)].collect()
+      .map { case (d, u) => DauEv(d, u) }
+    val byDay = evs.groupBy(_.day).toSeq.sortBy(_._1)
+    val mem = MemoryStream[DauEv]
+    val q = EventStreams.dauStream(mem.toDS())
+      .writeStream.format("memory").queryName("dau_live")
+      .outputMode("append").start()
+    try {
+      byDay.foreach { case (_, rows) =>
+        mem.addData(rows.toSeq: _*); q.processAllAvailable()
+      }
+      val live = spark.sql("SELECT day, v_zero, est_milli FROM dau_live")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = EventStreams.streamDau(spark, sf)
+        .select("day", "v_zero", "est_milli")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(live == batch,
+        s"stream-only ${live.diff(batch).take(3)}; batch-only ${batch.diff(live).take(3)}")
+      // accuracy under the documented consumer contract (the
+      // agg_hll_replay spec's rule): linear counting from v_zero in
+      // the small range, raw HLL otherwise, corrected within ±35%
+      val full = EventStreams.streamDau(spark, sf)
+        .as[(Long, Long, Long, Long)].collect()
+      full.foreach { case (d, exact, vz, est) =>
+        val corrected =
+          if (est / 1000.0 <= 2.5 * 64 && vz > 0) 64.0 * math.log(64.0 / vz)
+          else est / 1000.0
+        assert(math.abs(corrected - exact) <= 0.35 * exact,
+          s"day $d corrected $corrected vs exact $exact outside 35%")
+      }
+    } finally q.stop()
+  }
 }
