@@ -1896,6 +1896,86 @@ object Analytics {
       |  CAST(sum(n - pred) AS BIGINT) AS bias
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- seasonal forecast eval
+  /** Weekday-adjusted rolling-origin backtest (r14 wave 8): the
+    * "fancier model" [[mlBacktest]]'s flat expanding-mean baseline
+    * exists to be beaten, evaluated under the identical leak-free
+    * walk. The seasonal forecast at origin day d is the expanding mean
+    * of the type's PRIOR observed days restricted to d's weekday
+    * (epoch day + 3 mod 7, [[eventsSeasonality]]'s convention) — pure
+    * integer division, replayable, and strictly leak-free because the
+    * restricted window still ends at the previous observed day. The
+    * ledger reports both models' MAE side by side plus the signed
+    * improvement, per event type: the readout that decides whether
+    * seasonality-aware forecasting earns its complexity. Days are
+    * evaluated only where BOTH models are defined (≥1 prior overall
+    * day and ≥1 prior same-weekday day) so the comparison is paired.
+    *
+    * == Scale design ==
+    * Identical to [[mlBacktest]]: ONE scan folds map-side onto the
+    * O(types × days) daily grid (checkpointed — both expanding windows
+    * and the anchor read it); the flat window and the weekday window
+    * are two sorted-window passes over that bounded relation, and the
+    * ledger is O(types).
+    */
+  def mlForecastSeasonal(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(col("day") + 3, lit(7)))
+      .stableCheckpoint()
+    val wFlat = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDow = Window.partitionBy(col("event_type"), col("dow")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastDay = daily.agg(max(col("day")).as("last_day"))
+    daily
+      .withColumn("cum_n", sum(col("n")).over(wFlat))
+      .withColumn("cum_d", count(col("n")).over(wFlat))
+      .withColumn("cum_nw", sum(col("n")).over(wDow))
+      .withColumn("cum_dw", count(col("n")).over(wDow))
+      .join(broadcast(lastDay), lit(true))
+      .filter(col("day") > col("last_day") - 7 &&
+        col("cum_d") >= 1 && col("cum_dw") >= 1)
+      .withColumn("pred_flat", expr("cum_n div cum_d"))
+      .withColumn("pred_seas", expr("cum_nw div cum_dw"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("n") - col("pred_flat"))).as("abs_flat"),
+        sum(abs(col("n") - col("pred_seas"))).as("abs_seas"))
+      .select(col("event_type"), col("n_eval"),
+        expr("abs_flat * 1000 div n_eval").as("mae_flat_milli"),
+        expr("abs_seas * 1000 div n_eval").as("mae_seas_milli"),
+        expr("abs_flat * 1000 div n_eval - abs_seas * 1000 div n_eval")
+          .as("gain_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  val mlForecastSeasonalSql: String =
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |dd AS (SELECT *, (day + 3) % 7 AS dow FROM d),
+      |c AS (SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS cum_n,
+      |    CAST(count(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS cum_d,
+      |    CAST(sum(n) OVER (PARTITION BY event_type, dow ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS cum_nw,
+      |    CAST(count(n) OVER (PARTITION BY event_type, dow ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS cum_dw
+      |  FROM dd),
+      |e AS (SELECT *, cum_n // cum_d AS pred_flat, cum_nw // cum_dw AS pred_seas
+      |  FROM c WHERE day > (SELECT max(day) FROM d) - 7
+      |    AND cum_d >= 1 AND cum_dw >= 1)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+      |  CAST(sum(abs(n - pred_flat)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS mae_flat_milli,
+      |  CAST(sum(abs(n - pred_seas)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS mae_seas_milli,
+      |  CAST(sum(abs(n - pred_flat)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+      |    - CAST(sum(abs(n - pred_seas)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS gain_milli
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------ path mining
   /** Top user-journey paths (r14): the three-step sequence report
     * behind [[eventsMarkov]]'s one-step transition matrix — the
@@ -3724,6 +3804,7 @@ object Analytics {
     "events_markov" -> eventsMarkov,
     "events_paths" -> eventsPaths,
     "ml_backtest" -> mlBacktest,
+    "ml_forecast_seasonal" -> mlForecastSeasonal,
     "events_mau_wau" -> eventsMauWau,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -3802,6 +3883,7 @@ object Analytics {
     "events_markov" -> eventsMarkovSql,
     "events_paths" -> eventsPathsSql,
     "ml_backtest" -> mlBacktestSql,
+    "ml_forecast_seasonal" -> mlForecastSeasonalSql,
     "events_mau_wau" -> eventsMauWauSql,
     "events_sliding" -> eventsSlidingSql,
     "cube_revenue" -> cubeRevenueSql,

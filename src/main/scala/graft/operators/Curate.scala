@@ -340,6 +340,79 @@ object Curate {
       |  (CAST(floor(1e6 * sqrt(CAST(tok_sum AS DOUBLE)) / denom + 0.5) AS BIGINT) * 10 * n_docs) // tok_sum AS alloc_docs
       |FROM s, t ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ mixture upsampling
+  /** Mixture re-weighting EXECUTED (r14 wave 8, the repetition step
+    * [[corpusMixture]]'s weights inform — the data-constrained regime
+    * where scarce languages repeat across an epoch, Muennighoff-style):
+    * target = the BALANCED per-LANGUAGE mixture (equal doc share per
+    * language, the T→∞ temperature limit; languages, unlike the
+    * synthetic corpus's deliberately-uniform sources, are genuinely
+    * imbalanced — en dominates ~3× — so the factors are non-vacuous at
+    * every SF). Each language's repetition factor in exact
+    * milli-epochs is rep_milli = (N·1000) div (k·n_l): scarce
+    * languages get rep > 1 (upsampling with repetition), the dominant
+    * one rep < 1 (downsampling). Execution is per-doc: base =
+    * rep_milli div 1000 copies, plus one more iff the doc's content
+    * hash bucket (poly_hash "up|"-salted, decorrelated from every
+    * sampling/split/shuffle salt) lands under the fractional
+    * remainder — deterministic, replayable, and within one doc per
+    * 1000 of the designed mass. The ledger reports, per language:
+    * natural docs, rep_milli, emitted docs, and the achieved share of
+    * the replicated corpus in exact ppm (now ≈ 1/k for every
+    * language).
+    *
+    * == Scale design ==
+    * One scan → per-doc copy arithmetic (map-side; the O(langs)
+    * repetition table broadcasts back) → a map-side-combinable
+    * per-language rollup. No doc ever materializes its copies here —
+    * the emitted count is arithmetic, and a downstream writer would
+    * `explode(sequence(1, copies))` shard-locally with no shuffle.
+    */
+  def corpusUpsample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("up|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val d = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("lang"), (h % 1000L).as("hb"))
+    val st = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = st.agg(sum(col("n_docs")).as("n_total"), count(lit(1)).as("k"))
+    val rep = st.crossJoin(broadcast(tot))
+      .withColumn("rep_milli", expr("n_total * 1000 div (k * n_docs)"))
+      .select(col("lang").as("lg"), col("n_docs"), col("rep_milli"))
+    val emitted = d.join(broadcast(rep), col("lang") === col("lg"))
+      .withColumn("copies", expr("rep_milli div 1000") +
+        when(col("hb") < col("rep_milli") % 1000, 1L).otherwise(0L))
+      .groupBy(col("lang")).agg(sum(col("copies")).as("emitted"))
+    val totE = emitted.agg(sum(col("emitted")).as("tot_emitted"))
+    emitted.join(broadcast(rep), col("lang") === col("lg"))
+      .crossJoin(broadcast(totE))
+      .select(col("lang"), col("n_docs"), col("rep_milli"), col("emitted"),
+        expr("emitted * 1000000 div tot_emitted").as("share_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB twin: same hash buckets, same integer repetition rule. */
+  val corpusUpsampleSql: String =
+    """WITH d AS (SELECT lang,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('up|' || text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 1000 AS hb
+      |  FROM documents),
+      |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY lang),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+      |    CAST(count(*) AS BIGINT) AS k FROM st),
+      |r AS (SELECT lang, n_docs, (n_total * 1000) // (k * n_docs) AS rep_milli
+      |  FROM st, t),
+      |e AS (SELECT d.lang,
+      |    CAST(sum(r.rep_milli // 1000
+      |      + CASE WHEN d.hb < r.rep_milli % 1000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS emitted
+      |  FROM d JOIN r ON r.lang = d.lang GROUP BY d.lang),
+      |te AS (SELECT CAST(sum(emitted) AS BIGINT) AS tot_emitted FROM e)
+      |SELECT r.lang, r.n_docs, r.rep_milli, e.emitted,
+      |  (e.emitted * 1000000) // te.tot_emitted AS share_ppm
+      |FROM r JOIN e ON e.lang = r.lang, te
+      |ORDER BY r.lang""".stripMargin
+
   // -------------------------------------------------- text normalize
   /** Normalization scrub: strip non-[a-z0-9 ] characters, collapse
     * whitespace runs, trim — the canonical-text pass upstream of exact
@@ -504,6 +577,88 @@ object Curate {
       |SELECT bin_id, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc,
       |  CAST(sum(least(tok_offset + n_tokens, (bin_id + 1) * 2048) - greatest(tok_offset, bin_id * 2048)) AS BIGINT) AS fill_tokens
       |FROM b GROUP BY bin_id ORDER BY bin_id""".stripMargin
+
+  // --------------------------------------------- length-sorted batching
+  /** Length-sorted batching vs shuffled batching (r14 wave 8 — the
+    * PADDING face of the packing family): when sequences are batched
+    * 8-to-a-batch and padded to the batch max, batch composition IS
+    * the padding bill, and the standard fix is sorting by length
+    * before batching (bucketed/sorted batching in every production
+    * trainer). Both strategies are executed over the same corpus —
+    * ranks by (n_tokens desc, doc_id) vs by a decorrelated content
+    * hash — and the ledger reports each strategy's batch count, real
+    * tokens, padded slots, and waste in exact ppm of slot capacity.
+    * The sorted row's waste collapsing versus the shuffled row's is
+    * the business case (spec asserts it strictly, and replays the
+    * batch math per strategy). Padding differs from [[packSequential]]
+    * -family CONCATENATIVE packing: this face models the
+    * padded-batch regime (SFT / inference serving), where waste is
+    * real compute burned on pad tokens.
+    *
+    * == Scale design ==
+    * Both ranks ride [[Analytics.globalRowPos]]'s range-partitioned
+    * two-phase row position (no single-task global sort); everything
+    * downstream of the scan runs on the thin (doc_id, n_tokens, h)
+    * relation, and each ledger collapses through a map-side-combinable
+    * per-batch aggregate to TWO rows.
+    */
+  def packSorted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    import graft.plans.Checkpoints.StableSyntax
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("bat|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val d = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("h"))
+      .stableCheckpoint()
+    def ledger(ranked: DataFrame, pos: String, strategy: String): DataFrame =
+      ranked
+        .withColumn("batch", expr(s"($pos - 1) div 8"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("cnt"), max(col("n_tokens")).as("mx"),
+          sum(col("n_tokens")).as("tot"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("tot")).as("total_tokens"),
+          sum(col("cnt") * col("mx") - col("tot")).as("padded_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          expr("padded_tokens * 1000000 div (total_tokens + padded_tokens)")
+            .as("waste_ppm"))
+    val bySorted = Analytics.globalRowPos(d, Seq.empty,
+      Seq(col("n_tokens").desc, col("doc_id")), "pos_s", "__ns")
+    val byHash = Analytics.globalRowPos(d, Seq.empty,
+      Seq(col("h"), col("doc_id")), "pos_h", "__nh")
+    ledger(bySorted, "pos_s", "sorted")
+      .unionAll(ledger(byHash, "pos_h", "shuffled"))
+      .orderBy(col("strategy"))
+  }
+
+  /** DuckDB twin: the declarative single-window ranks the two-phase
+    * plan exists to avoid at scale — and the ledgers must agree
+    * exactly. */
+  val packSortedSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('bat|' || text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM documents),
+      |rs AS (SELECT n_tokens,
+      |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS pos FROM d),
+      |rh AS (SELECT n_tokens,
+      |    CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos FROM d),
+      |bs AS (SELECT (pos - 1) // 8 AS batch, count(*) AS cnt,
+      |    max(n_tokens) AS mx, sum(n_tokens) AS tot FROM rs GROUP BY 1),
+      |bh AS (SELECT (pos - 1) // 8 AS batch, count(*) AS cnt,
+      |    max(n_tokens) AS mx, sum(n_tokens) AS tot FROM rh GROUP BY 1),
+      |u AS (
+      |  SELECT 'sorted' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+      |    CAST(sum(tot) AS BIGINT) AS total_tokens,
+      |    CAST(sum(cnt * mx - tot) AS BIGINT) AS padded_tokens FROM bs
+      |  UNION ALL
+      |  SELECT 'shuffled', CAST(count(*) AS BIGINT), CAST(sum(tot) AS BIGINT),
+      |    CAST(sum(cnt * mx - tot) AS BIGINT) FROM bh)
+      |SELECT strategy, n_batches, total_tokens, padded_tokens,
+      |  padded_tokens * 1000000 // (total_tokens + padded_tokens) AS waste_ppm
+      |FROM u ORDER BY strategy""".stripMargin
 
   // ------------------------------------------------ stratified sampling
   /** Deterministic stratified sampling: per-language keep rates
@@ -1619,6 +1774,8 @@ object Curate {
     "sample_quota" -> sampleQuota,
     "corpus_stats" -> corpusStats,
     "corpus_mixture" -> corpusMixture,
+    "corpus_upsample" -> corpusUpsample,
+    "pack_sorted" -> packSorted,
     "text_normalize" -> textNormalize,
     "pack_sequential" -> packSequential,
     "pack_subword" -> packSubword,
@@ -1651,6 +1808,8 @@ object Curate {
     "sample_quota" -> sampleQuotaSql,
     "corpus_stats" -> corpusStatsSql,
     "corpus_mixture" -> corpusMixtureSql,
+    "corpus_upsample" -> corpusUpsampleSql,
+    "pack_sorted" -> packSortedSql,
     "text_normalize" -> textNormalizeSql,
     "pack_sequential" -> packSequentialSql,
     "pack_subword" -> packSubwordSql,

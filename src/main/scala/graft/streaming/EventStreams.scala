@@ -1345,6 +1345,83 @@ object EventStreams {
       |FROM ex JOIN s ON s.day = ex.day
       |ORDER BY ex.day""".stripMargin
 
+  // ------------------------------------------------ live funnel rollup
+  /** Batch face of [[funnelStream]] (registered as `stream_funnel`,
+    * r14 wave 8 — the funnel face was the one FMGWS state machine
+    * still spec-only): the DAY-level cumulative funnel dashboard the
+    * change-log drives. Per stage-advance day: how many users have
+    * reached each stage (first view / first strictly-later click /
+    * first strictly-later purchase — `events_funnel`'s exact rule) by
+    * the end of that day, plus view→purchase conversion in exact ppm.
+    * A day appears when some user ADVANCES a stage on it — precisely
+    * the days [[funnelStream]] emits change-log rows for, so the spec
+    * can feed the corpus one day per batch and pin the live counters
+    * to this face row-for-row per closed day.
+    *
+    * == Scale design ==
+    * The stage relations are `events_funnel`'s user-keyed min-aggs
+    * (three filtered scans collapsing immediately to O(users));
+    * everything after — the stage-day hits, the per-day sums, the
+    * cumulative window — runs on the O(days × 3) bounded relation
+    * (the documented bounded-relation single-partition window). The
+    * streaming twin holds three longs per user, never event history.
+    */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("uc"), col("ts").as("tsc"))
+    val c = v.join(clicks, col("uc") === col("user_id") && col("tsc") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("tsc")).as("t_click"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("up"), col("ts").as("tsp"))
+    val p = c.join(purchases, col("up") === col("user_id") && col("tsp") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("tsp")).as("t_purchase"))
+    val hits = v.select(lit(1L).as("v"), lit(0L).as("c"), lit(0L).as("p"),
+        col("t_view").cast("date").as("day"))
+      .unionAll(c.select(lit(0L), lit(1L), lit(0L), col("t_click").cast("date")))
+      .unionAll(p.select(lit(0L), lit(0L), lit(1L), col("t_purchase").cast("date")))
+    val daily = hits.groupBy(col("day"))
+      .agg(sum(col("v")).as("dv"), sum(col("c")).as("dc"), sum(col("p")).as("dp"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        sum(col("dv")).over(w).as("n_view"),
+        sum(col("dc")).over(w).as("n_click"),
+        sum(col("dp")).over(w).as("n_purchase"))
+      .withColumn("conv_ppm", expr("n_purchase * 1000000 div n_view"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: `events_funnel`'s v/c/p CTEs rolled up to stage-day
+    * hits and cumulated over the bounded day relation. */
+  val streamFunnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT v.user_id, min(e.ts) AS t_click FROM v JOIN events e
+      |  ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.t_view
+      |  GROUP BY v.user_id),
+      |p AS (SELECT c.user_id, min(e.ts) AS t_purchase FROM c JOIN events e
+      |  ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.t_click
+      |  GROUP BY c.user_id),
+      |hits AS (
+      |  SELECT CAST(1 AS BIGINT) AS v, CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS p,
+      |    CAST(t_view AS DATE) AS day FROM v
+      |  UNION ALL SELECT 0, 1, 0, CAST(t_click AS DATE) FROM c
+      |  UNION ALL SELECT 0, 0, 1, CAST(t_purchase AS DATE) FROM p),
+      |daily AS (SELECT day, sum(v) AS dv, sum(c) AS dc, sum(p) AS dp
+      |  FROM hits GROUP BY day),
+      |cum AS (SELECT strftime(day, '%Y-%m-%d') AS day,
+      |    CAST(sum(dv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_view,
+      |    CAST(sum(dc) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_click,
+      |    CAST(sum(dp) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_purchase
+      |  FROM daily)
+      |SELECT day, n_view, n_click, n_purchase,
+      |  (n_purchase * 1000000) // n_view AS conv_ppm
+      |FROM cum ORDER BY day""".stripMargin
+
   // ---------------------------------------------- live quantile sketch
   case class QuantEv(day: Long, cents: Long)
   case class QuantOut(day: Long, n_events: Long,
@@ -1441,6 +1518,7 @@ object EventStreams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_quantile" -> streamQuantile,
     "stream_dau" -> streamDau,
+    "stream_funnel" -> streamFunnel,
     "stream_drift" -> streamDrift,
     "stream_late_data" -> streamLateData,
     "stream_cusum" -> streamCusum,
@@ -1473,6 +1551,7 @@ object EventStreams {
   val oracles: Map[String, String] = Map(
     "stream_quantile" -> streamQuantileSql,
     "stream_dau" -> streamDauSql,
+    "stream_funnel" -> streamFunnelSql,
     "stream_drift" -> streamDriftSql,
     "stream_late_data" -> streamLateDataSql,
     "stream_cusum" -> streamCusumSql,

@@ -1132,6 +1132,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.forall(_._1 <= 7))
   }
 
+  test("ml_forecast_seasonal pairs the weekday walk against the flat baseline") {
+    import spark.implicits._
+    val got = Analytics.mlForecastSeasonal(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, d), n) => (t, d, n) }
+    val lastDay = daily.map(_._2).max
+    val expected = daily.groupBy(_._1).map { case (t, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val evals = sorted.zipWithIndex.collect {
+        case ((_, d, n), i) if d > lastDay - 7 && i >= 1 &&
+            sorted.take(i).exists(p => (p._2 + 3) % 7 == (d + 3) % 7) =>
+          val prior = sorted.take(i).map(_._3)
+          val priorW = sorted.take(i)
+            .filter(p => (p._2 + 3) % 7 == (d + 3) % 7).map(_._3)
+          (math.abs(n - prior.sum / prior.length),
+            math.abs(n - priorW.sum / priorW.length))
+      }
+      val nE = evals.length.toLong
+      t -> ((nE,
+        if (nE == 0) 0L else evals.map(_._1).sum * 1000L / nE,
+        if (nE == 0) 0L else evals.map(_._2).sum * 1000L / nE,
+        if (nE == 0) 0L
+        else evals.map(_._1).sum * 1000L / nE - evals.map(_._2).sum * 1000L / nE))
+    }.filter(_._2._1 > 0)
+    assert(got == expected, "seasonal backtest ledger drifted")
+    // paired walk: both models evaluated on the identical day set
+    assert(got.nonEmpty && got.values.forall(_._1 <= 7))
+    got.foreach { case (t, (_, flat, seas, gain)) =>
+      assert(gain == flat - seas, s"$t gain identity broken")
+    }
+  }
+
   test("events_mau_wau equals a direct trailing-window recompute") {
     import spark.implicits._
     val got = Analytics.eventsMauWau(spark, sf)

@@ -839,6 +839,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed funnel counters equal the stream_funnel cumulative face per closed day") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp"),
+        col("event_type"))
+      .as[(Long, Long, Timestamp, String)].collect()
+      .map { case (u, id, t, ty) => EventStreams.FunEv(u, id, t, ty) }
+    val byDay = evs
+      .groupBy(e => java.lang.Math.floorDiv(usOf(e.ts)._1, 86400L))
+      .toSeq.sortBy(_._1)
+    val face = EventStreams.streamFunnel(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // conversion identity on the face itself
+    face.foreach(r => assert(r._5 == r._4 * 1000000L / r._2))
+    val mem = MemoryStream[EventStreams.FunEv]
+    val q = EventStreams.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_cum_live")
+      .outputMode("append").start()
+    try {
+      var checked = 0
+      byDay.foreach { case (d, rows) =>
+        mem.addData(rows.toSeq: _*); q.processAllAvailable()
+        // live counters = latest change-log row per user (stages only
+        // advance, so the fullest row is the latest)
+        val live = spark
+          .sql("SELECT user_id, t_view, t_click, t_purchase FROM funnel_cum_live")
+          .as[(Long, String, Option[String], Option[String])].collect()
+          .groupBy(_._1)
+          .map { case (_, rs) => rs.maxBy(r => r._3.size + r._4.size) }
+        val nv = live.size.toLong
+        val nc = live.count(_._3.isDefined).toLong
+        val np = live.count(_._4.isDefined).toLong
+        val dayStr = java.time.LocalDate.ofEpochDay(d).toString
+        face.filter(_._1 <= dayStr).lastOption.foreach { r =>
+          assert((r._2, r._3, r._4) == ((nv, nc, np)),
+            s"closed day $dayStr: face (${r._2},${r._3},${r._4}) vs live ($nv,$nc,$np)")
+          checked += 1
+        }
+      }
+      assert(checked >= face.length, "some face days never checked")
+    } finally q.stop()
+  }
+
   test("streamed sequential CUSUM equals the batch closed form on the real series") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.CusumEv

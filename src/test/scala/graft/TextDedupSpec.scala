@@ -1607,4 +1607,65 @@ class TextDedupSpec extends SparkSpec {
       assert(a._6 <= b._6, s"decile ${a._1} ppm ${a._6} > decile ${b._1} ${b._6}")
     }
   }
+
+  test("pack_sorted: ledger replays both batchings; sorting strictly cuts padding") {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val got = Curate.packSorted(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("bat|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val rows = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"), h)
+      .as[(Long, Long, Long)].collect()
+    def ledger(tokensInOrder: Seq[Long]) = {
+      val batches = tokensInOrder.grouped(8).toSeq
+      val total = batches.map(_.sum).sum
+      val padded = batches.map(b => b.max * b.length - b.sum).sum
+      (batches.length.toLong, total, padded,
+        padded * 1000000L / (total + padded))
+    }
+    val sortedL = ledger(rows.sortBy(r => (-r._2, r._1)).map(_._2).toSeq)
+    val shuffledL = ledger(rows.sortBy(r => (r._3, r._1)).map(_._2).toSeq)
+    assert(got("sorted") == sortedL, "sorted ledger drifted")
+    assert(got("shuffled") == shuffledL, "shuffled ledger drifted")
+    // the business case: length-sorting must strictly cut padding waste
+    assert(sortedL._4 < shuffledL._4,
+      s"sorted waste ${sortedL._4} not below shuffled ${shuffledL._4}")
+  }
+
+  test("corpus_upsample: ledger replays the repetition rule and rebalances languages") {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val got = Curate.corpusUpsample(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("up|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val rows = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("lang"), h % 1000L)
+      .as[(String, Long)].collect()
+    val n = rows.length.toLong
+    val k = rows.map(_._1).distinct.length.toLong
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, rs) =>
+      val rep = n * 1000L / (k * rs.length)
+      val emitted =
+        rs.map(r => rep / 1000L + (if (r._2 < rep % 1000L) 1L else 0L)).sum
+      (l, rs.length.toLong, rep, emitted)
+    }
+    val totE = expected.map(_._4).sum
+    assert(got.toSeq ==
+      expected.map(e => (e._1, e._2, e._3, e._4, e._4 * 1000000L / totE)),
+      "upsample ledger drifted")
+    // non-vacuous: at least one language up-samples and one down-samples
+    assert(got.exists(_._3 > 1000L) && got.exists(_._3 < 1000L),
+      "repetition factors vacuous — corpus balanced?")
+    // every language's achieved share moves toward the 1/k target
+    got.foreach { case (l, nd, _, _, share) =>
+      val natural = nd * 1000000L / n
+      val target = 1000000L / k
+      assert(math.abs(share - target) <= math.abs(natural - target),
+        s"$l moved away from balance: natural $natural share $share")
+    }
+  }
 }
