@@ -370,11 +370,16 @@ object Curate {
     */
   def corpusUpsample(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftSqlShim
+    import graft.plans.Checkpoints.StableSyntax
     val h = GraftSqlShim.column(graft.functions.StringPolyHash(
       GraftSqlShim.expression(concat(lit("up|"), col("text"))),
       GraftSqlShim.expression(lit(1000000007L))))
+    // checkpointed: the thin (lang, hb) relation feeds the per-lang
+    // counts, the copy arithmetic AND the two broadcast totals — without
+    // the fence each consumer re-derives the corpus scan (+ hash)
     val d = graft.sources.Tables.load(s, dir, "documents")
       .select(col("lang"), (h % 1000L).as("hb"))
+      .stableCheckpoint()
     val st = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     val tot = st.agg(sum(col("n_docs")).as("n_total"), count(lit(1)).as("k"))
     val rep = st.crossJoin(broadcast(tot))
