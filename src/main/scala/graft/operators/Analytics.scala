@@ -1208,6 +1208,60 @@ object Analytics {
       |FROM a FULL OUTER JOIN c ON a.day = c.day
       |ORDER BY day""".stripMargin
 
+  // ----------------------------------------------------- survival
+  /** Discrete survival curve with right-CENSORING (r14) — the
+    * Kaplan-Meier-flavored counting face beside [[eventsRetention]]'s
+    * cohort triangle: per day offset o (0..13), the users AT RISK
+    * (first activity ≥ o days before the log end, so their o-day
+    * outcome is observable) versus the users whose activity span
+    * (last − first day) reached o, and survival in exact ppm. The
+    * censoring discipline is the point: a user who first appeared 3
+    * days before the log end never counts against 7-day survival —
+    * naive lifespan histograms understate survival exactly by that
+    * censored mass, which is why churn dashboards built on them read
+    * low in every growing product.
+    *
+    * == Scale design ==
+    * ONE event scan folds to the O(users) first/last relation
+    * (map-side combinable min/max); that folds again onto the
+    * O(first-day × lifespan) joint grid — bounded by days², corpus
+    * independent — and the 14-row offset relation cross-joins the
+    * GRID, not the users. The 1-row log-end aggregate broadcasts.
+    */
+  def eventsSurvival(s: SparkSession, dir: String): DataFrame = {
+    val u = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("fd"), max(to_date(col("ts"))).as("ld"))
+    val grid = u
+      .groupBy(col("fd"), datediff(col("ld"), col("fd")).cast("long").as("lifespan"))
+      .agg(count(lit(1)).as("n_users"))
+    val logend = u.agg(max(col("ld")).as("logend"))
+    val offs = s.range(0, 14).select(col("id").as("day_offset"))
+    grid.crossJoin(broadcast(logend)).crossJoin(broadcast(offs))
+      .filter(datediff(col("logend"), col("fd")) >= col("day_offset"))
+      .groupBy(col("day_offset"))
+      .agg(sum(col("n_users")).as("n_at_risk"),
+        sum(when(col("lifespan") >= col("day_offset"), col("n_users"))
+          .otherwise(0L)).as("n_survived"))
+      .select(col("day_offset"), col("n_at_risk"), col("n_survived"),
+        expr("n_survived * 1000000 div n_at_risk").as("survival_ppm"))
+      .orderBy(col("day_offset"))
+  }
+
+  val eventsSurvivalSql: String =
+    """WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+      |    max(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1),
+      |le AS (SELECT max(ld) AS logend FROM u),
+      |o AS (SELECT unnest(range(0, 14)) AS day_offset)
+      |SELECT o.day_offset, count(*) AS n_at_risk,
+      |  CAST(sum(CASE WHEN date_diff('day', fd, ld) >= o.day_offset
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_survived,
+      |  (CAST(sum(CASE WHEN date_diff('day', fd, ld) >= o.day_offset
+      |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS survival_ppm
+      |FROM u CROSS JOIN le CROSS JOIN o
+      |WHERE date_diff('day', fd, logend) >= o.day_offset
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------- funnel
   /** Ordered conversion funnel per user: first `view`, first `click`
     * AFTER that view, first `purchase` after that click — the staged
@@ -3844,6 +3898,7 @@ object Analytics {
     "events_funnel" -> eventsFunnel,
     "agg_mode" -> aggMode,
     "events_retention" -> eventsRetention,
+    "events_survival" -> eventsSurvival,
     "events_user_lifecycle" -> eventsUserLifecycle,
     "unpivot_revenue" -> unpivotRevenue)
 
@@ -3921,6 +3976,7 @@ object Analytics {
     "events_funnel" -> eventsFunnelSql,
     "agg_mode" -> aggModeSql,
     "events_retention" -> eventsRetentionSql,
+    "events_survival" -> eventsSurvivalSql,
     "events_user_lifecycle" -> eventsUserLifecycleSql,
     "unpivot_revenue" -> unpivotRevenueSql)
 }

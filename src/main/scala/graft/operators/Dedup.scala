@@ -102,12 +102,12 @@ object Dedup {
       .toDF("doc_id", "n", "hg")
   }
 
-  /** Shared oracle fragment: shingles → polyHash ids → size-compatible
-    * intersection counts → verified jaccard pairs. Interpolated into
-    * every oracle that consumes near-dup pairs (jaccard, components,
-    * curate, leakage) so the replicas cannot drift.
+  /** Shared oracle fragment: shingles → polyHash ids → per-doc shingle
+    * sizes (`w/g/gh/sz`). The base every shingle-set consumer builds
+    * on; [[pairCtes]] adds the size-compatible jaccard pairing,
+    * [[dedupContainmentSql]] the prune-free containment pairing.
     */
-  private[operators] val pairCtes: String =
+  private[operators] val shingleCtes: String =
     """w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
@@ -115,7 +115,15 @@ object Dedup {
       |gh AS (SELECT doc_id,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS hg
       |  FROM g),
-      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1)""".stripMargin
+
+  /** Shared oracle fragment: [[shingleCtes]] → size-compatible
+    * intersection counts → verified jaccard pairs. Interpolated into
+    * every oracle that consumes near-dup pairs (jaccard, components,
+    * curate, leakage) so the replicas cannot drift.
+    */
+  private[operators] val pairCtes: String =
+    s"""$shingleCtes,
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
       |  FROM gh a JOIN gh b ON a.hg = b.hg AND a.doc_id < b.doc_id
       |  JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id
@@ -168,6 +176,63 @@ object Dedup {
     s"""WITH $pairCtes
        |SELECT doc_a, doc_b, jaccard FROM p
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------ containment
+  /** Asymmetric CONTAINMENT near-dup pairs (r14) — the quote/subset
+    * detector Jaccard structurally misses: C = |A∩B| / min(|A|,|B|)
+    * flags a short document embedded verbatim in a long one even
+    * though the union-scaled Jaccard stays tiny (a 50-shingle doc
+    * inside a 1000-shingle doc has C = 1.0 but J ≈ 0.05). Same
+    * shingle-hash candidate join as [[dedupNgramJaccard]] with the
+    * size-compatibility prune REMOVED by contract — size mismatch is
+    * exactly the signal here. Emits both scores in exact ppm (integer
+    * div) plus `jaccard_missed` — an exact cross-multiplied flag
+    * (10·i < 3·(nₐ+n_b−i), no float boundary) marking the pairs only
+    * this face catches at the 0.3 jaccard policy.
+    *
+    * == Scale design ==
+    * The candidate relation is the 8-byte shingle-hash join already
+    * audited for [[dedupNgramJaccard]]; dropping the size prune widens
+    * it only by the size-mismatched share of shingle-sharing pairs
+    * (the prune is a filter inside the same join, not a partitioner).
+    * At 100 TB the production candidate source is the banded LSH
+    * relation ([[dedupMinhashLsh]]) with this exact containment verify
+    * behind it — the verify-after-candidates contract the LSH key
+    * documents; the threshold C ≥ 0.5 keeps the output
+    * near-dup-sized, not candidate-sized.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val g = exploded(s, dir).hint("merge")
+    val a = g.alias("a"); val b = g.alias("b")
+    a.join(b, col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .filter(col("i") * 2 >= least(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"),
+        least(col("na"), col("nb")).cast("long").as("n_small"),
+        col("i").as("n_shared"),
+        expr("i * 1000000 div least(na, nb)").as("containment_ppm"),
+        expr("i * 1000000 div (na + nb - i)").as("jaccard_ppm"),
+        (col("i") * 10 < (col("na") + col("nb") - col("i")) * 3)
+          .cast("long").as("jaccard_missed"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH $shingleCtes,
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM gh a JOIN gh b ON a.hg = b.hg AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |c AS (SELECT doc_a, doc_b, least(s1.n, s2.n) AS n_small, i,
+       |    s1.n + s2.n - i AS u
+       |  FROM inter JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
+       |  WHERE i * 2 >= least(s1.n, s2.n))
+       |SELECT doc_a, doc_b, n_small, i AS n_shared,
+       |  i * 1000000 // n_small AS containment_ppm,
+       |  i * 1000000 // u AS jaccard_ppm,
+       |  CAST(CASE WHEN i * 10 < u * 3 THEN 1 ELSE 0 END AS BIGINT) AS jaccard_missed
+       |FROM c ORDER BY doc_a, doc_b""".stripMargin
 
   /** Threshold-tuning curve for the near-dup policy: for each Jaccard
     * cutoff 0.30..0.90 (integer percent), how many candidate pairs
@@ -1120,6 +1185,78 @@ object Dedup {
        |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  // ----------------------------------------------------- BFS distance
+  /** Hop distance to the cluster EXEMPLAR over the near-dup graph
+    * (r14) — the merge-depth audit behind [[dedupComponents]]'
+    * keep-min-id policy: how many near-dup hops separate each document
+    * from the exemplar that keeps its cluster (hops = 0 ⇔ the doc IS
+    * the exemplar). Depth-d docs were never compared directly to their
+    * keeper — each extra hop is one more transitive leap of faith —
+    * so the depth histogram is the risk profile of transitive
+    * collapse, and chain-shaped clusters (large depth at small size)
+    * are where a verify-pass re-check pays.
+    *
+    * Multi-source BFS: exemplars seed at distance 0 and each round
+    * relaxes dist(v) = min(dist(v), min over neighbors dist(u)+1) to
+    * FIXPOINT over the cached edge list — O(max eccentricity from the
+    * exemplar) driver-synchronized rounds, each one O(E) join +
+    * map-side min, stableCheckpointed to truncate lineage (the
+    * [[componentsOver]] discipline; near-dup clusters are near-cliques
+    * so the round count is small). Every paired node terminates
+    * finite: its component's exemplar is reachable by construction.
+    * Oracle: the shared recursive component CTE + a recursive BFS from
+    * the exemplar set with min-per-node collapse.
+    */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    val INF = 1000000L // > any hop count (rounds are capped at 64)
+    var dist = componentsOver(pairs)
+      .select(col("id"), col("label"),
+        when(col("id") === col("label"), lit(0L)).otherwise(lit(INF)).as("hops"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nmin = edges
+        .join(dist.filter(col("hops") < INF), edges("src") === col("id"))
+        .groupBy(col("dst").as("id2")).agg(min(col("hops") + 1).as("nh"))
+      val stepped = dist.join(nmin, dist("id") === col("id2"), "left")
+        .select(col("id"), col("label"),
+          least(col("hops"), coalesce(col("nh"), col("hops"))).as("newhops"),
+          col("hops"))
+        .stableCheckpoint()
+      changed = stepped.filter(col("newhops") < col("hops")).count()
+      dist = stepped.select(col("id"), col("label"), col("newhops").as("hops"))
+      rounds += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(s"graphBfs did not converge in $rounds rounds")
+    edges.unpersist(false)
+    dist.select(col("id").as("doc_id"), col("label").as("component"), col("hops"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: components CTE + recursive multi-source BFS from the
+    * exemplar set. BFS can only travel within a component, so seeding
+    * every exemplar at once is safe; the d < 64 bound mirrors the
+    * Spark loop cap and the min() collapse picks the true level.
+    */
+  val graphBfsSql: String =
+    s"""WITH RECURSIVE $componentCtes,
+       |reps AS (SELECT DISTINCT component AS id FROM comp),
+       |bfs(id, d) AS (
+       |  SELECT id, 0 FROM reps
+       |  UNION
+       |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.id
+       |  WHERE bfs.d < 64),
+       |h AS (SELECT id, min(d) AS hops FROM bfs GROUP BY id)
+       |SELECT comp.doc_id, comp.component, CAST(h.hops AS BIGINT) AS hops
+       |FROM comp JOIN h ON h.id = comp.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- pagerank
   private val PR_ITERS = 6
   private val PR_SCALE = 1000000000000L // picorank units
@@ -1556,6 +1693,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_containment" -> dedupContainment,
+    "graph_bfs" -> graphBfs,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_threshold_curve" -> dedupThresholdCurve,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -1644,6 +1783,8 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_containment" -> dedupContainmentSql,
+    "graph_bfs" -> graphBfsSql,
     "dedup_edit_distance" -> dedupEditDistanceSql,
     "dedup_threshold_curve" -> dedupThresholdCurveSql,
     "dedup_embedding" -> dedupEmbeddingSql,

@@ -460,6 +460,78 @@ object TextOps {
        |FROM l ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------- calibration
+  /** Calibration report for [[qualityClassifier]] against the gate it
+    * distills ([[textQuality]]'s production `quality_score ≥ 0.5` cut,
+    * the pipeline_curate policy) — the reliability table read before a
+    * distilled filter replaces its teacher: logit axis in half-logit
+    * buckets, per bucket the doc count, mean logit (micro-units), gate
+    * passes, and the empirical pass rate in exact ppm. If the
+    * classifier is calibrated, pass rate climbs monotonically with the
+    * bucket and the operating threshold is wherever it crosses the
+    * target precision. ONE feature pass computes BOTH faces (they
+    * share the same stopword/punct/length features), so the report
+    * cannot drift from either production key.
+    *
+    * Integer discipline: buckets and means are computed on the SHIFTED
+    * non-negative micro-logit (`+16e6`, below any reachable logit's
+    * magnitude) so integer division is floor division in both engines
+    * — Spark `div` truncates toward zero while DuckDB `//` floors, and
+    * they only agree on non-negatives.
+    *
+    * == Scale design ==
+    * The feature pass is [[textQuality]]'s audited shape (explode →
+    * grouped conditional agg, all codegen'd); the fold lands on ≤ ~30
+    * half-logit buckets — map-side combinable onto an O(1) ledger.
+    */
+  def mlCalibration(s: SparkSession, dir: String): DataFrame = {
+    val meta = docs(s, dir).select(col("doc_id"), col("n_chars"),
+      regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
+    val stopR = col("n_stop") * 1.0 / col("n_tokens")
+    val punctR = col("n_punct") * 1.0 / col("n_chars")
+    val lenSat = least(lit(1.0), col("n_tokens") / 64.0)
+    val logit = lit(-2.0) + stopR * 4.0 - punctR * 8.0 + lenSat * 2.0
+    val quality = (lit(1.0) - stopR) * (lit(1.0) - punctR) * lenSat
+    meta.join(toks, "doc_id")
+      .select(
+        (floor(logit * 1e6 + 0.5).cast("long") + 16000000L).as("lm_shift"),
+        (quality >= 0.5).cast("long").as("pass"))
+      .groupBy(expr("lm_shift div 500000").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("lm_shift")).as("slm"),
+        sum(col("pass")).as("n_pass"))
+      .select(col("bucket"), col("n_docs"),
+        (expr("slm div n_docs") - 16000000L).as("mean_logit_micro"),
+        col("n_pass"),
+        expr("n_pass * 1000000 div n_docs").as("pass_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val mlCalibrationSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0
+       |      / len(string_split(text, ' ')) AS stop_r,
+       |    len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars AS punct_r,
+       |    least(1.0, len(string_split(text, ' ')) / 64.0) AS len_sat
+       |  FROM documents),
+       |x AS (SELECT
+       |    CAST(floor((-2.0 + stop_r * 4.0 - punct_r * 8.0 + len_sat * 2.0) * 1e6 + 0.5) AS BIGINT)
+       |      + 16000000 AS lm_shift,
+       |    CASE WHEN (1.0 - stop_r) * (1.0 - punct_r) * len_sat >= 0.5
+       |      THEN 1 ELSE 0 END AS pass
+       |  FROM f)
+       |SELECT lm_shift // 500000 AS bucket, count(*) AS n_docs,
+       |  CAST(sum(lm_shift) // count(*) AS BIGINT) - 16000000 AS mean_logit_micro,
+       |  CAST(sum(pass) AS BIGINT) AS n_pass,
+       |  (CAST(sum(pass) AS BIGINT) * 1000000) // count(*) AS pass_ppm
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---------------------------------------------------------- surprisal
   /** Unigram-LM surprisal scoring in EXACT integer "bits": each token
     * occurrence contributes ⌊log₂ T⌋ − ⌊log₂ c(w)⌋ (corpus total over
@@ -1586,6 +1658,7 @@ object TextOps {
     "text_surprisal" -> textSurprisal,
     "text_surprisal_bigram" -> textSurprisalBigram,
     "ml_eval_langid" -> mlEvalLangid,
+    "ml_calibration" -> mlCalibration,
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
     "tokenize_ids" -> tokenizeIds,
@@ -1634,6 +1707,7 @@ object TextOps {
     "text_surprisal" -> textSurprisalSql,
     "text_surprisal_bigram" -> textSurprisalBigramSql,
     "ml_eval_langid" -> mlEvalLangidSql,
+    "ml_calibration" -> mlCalibrationSql,
     "ml_feature_hash" -> mlFeatureHashSql,
     "vocab_build" -> vocabBuildSql,
     "tokenize_ids" -> tokenizeIdsSql,

@@ -1189,4 +1189,26 @@ class AnalyticsSpec extends SparkSpec {
       assert(wau >= dau && st <= 1000000L, s"day $d dau $dau wau $wau")
     }
   }
+
+  test("survival curve censors users the log end cannot observe") {
+    import spark.implicits._
+    // u1: days 0 and 10 (span 10); u2: day 9 only (span 0, observable
+    // for 1 day); u3: day 0 only (span 0, observable 10). logend = 10.
+    val userDays = Seq((1L, 0L), (1L, 10L), (2L, 9L), (3L, 0L))
+    userDays.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, d * 86400000000L + u * 1000000L, u, "click", 1.0)
+    }.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-surv/events.parquet")
+    val out = Analytics.eventsSurvival(spark, "/tmp/graft-test-surv")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // o=0: all 3 at risk, all spans >= 0. o=1: u2 still observable
+    // (logend-fd = 1) but its span is 0 — only u1 survives. o>=2: u2 is
+    // CENSORED (not counted at risk), so the denominator drops to 2 —
+    // the naive uncensored curve would keep dividing by 3.
+    val expected = Seq((0L, 3L, 3L, 1000000L), (1L, 3L, 1L, 333333L)) ++
+      (2L to 10L).map(o => (o, 2L, 1L, 500000L))
+    assert(out == expected, s"survival drifted: $out")
+  }
 }

@@ -1668,4 +1668,101 @@ class TextDedupSpec extends SparkSpec {
         s"$l moved away from balance: natural $natural share $share")
     }
   }
+
+  test("containment catches a verbatim quote that jaccard misses") {
+    import spark.implicits._
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")          // 10 shingles
+    val long = short + " " + (1 to 100).map(i => s"z$i").mkString(" ") // 110
+    val same = (1 to 12).map(i => s"v$i").mkString(" ")
+    val df = docsDf(Seq((1L, short, "en"), (2L, long, "en"),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" "), "en"),
+      (4L, same, "en"), (5L, same, "en")))
+    df.write.mode("overwrite").parquet("/tmp/graft-test-cont/documents.parquet")
+    val out = Dedup.dedupContainment(spark, "/tmp/graft-test-cont")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // the quote pair: fully contained, jaccard 10/110 — invisible to the
+    // 0.3 jaccard policy AND to its size-compatibility prune
+    assert(out.contains((1L, 2L, 10L, 10L, 1000000L, 90909L, 1L)))
+    // the identical pair: containment and jaccard both saturate
+    assert(out.contains((4L, 5L, 10L, 10L, 1000000L, 1000000L, 0L)))
+    // the unrelated doc shares no shingles with anything
+    assert(!out.exists(r => r._1 == 3L || r._2 == 3L))
+    // jaccard face (the production 0.3 policy) indeed misses the quote
+    val j = Dedup.dedupNgramJaccard(spark, "/tmp/graft-test-cont")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!j.contains((1L, 2L)) && j.contains((4L, 5L)))
+  }
+
+  test("containment is a superset of strong-jaccard pairs on the real corpus") {
+    import spark.implicits._
+    val cont = Dedup.dedupContainment(spark, sfMid)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // j >= 1/3 implies i >= (na+nb)/4 >= min/2, i.e. containment >= 0.5
+    val strong = Dedup.dedupNgramJaccard(spark, sfMid)
+      .filter(col("jaccard") >= 1.0 / 3.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(strong.nonEmpty && strong.subsetOf(cont),
+      s"missing: ${strong -- cont}")
+  }
+
+  test("bfs hops measure chain depth from the cluster exemplar") {
+    import spark.implicits._
+    val xs = (1 to 12).map(i => s"x$i"); val ys = (1 to 12).map(i => s"y$i")
+    val a = xs.mkString(" ")                       // 10 shingles
+    val b = (xs ++ ys).mkString(" ")               // 22: j(a,b)=10/22
+    val c = (ys ++ (1 to 6).map(i => s"q$i")).mkString(" ") // 16: j(b,c)=10/28
+    val df = docsDf(Seq((1L, a, "en"), (2L, b, "en"), (3L, c, "en")))
+    df.write.mode("overwrite").parquet("/tmp/graft-test-bfs/documents.parquet")
+    val out = Dedup.graphBfs(spark, "/tmp/graft-test-bfs")
+      .as[(Long, Long, Long)].collect().toSet
+    // a–b–c is a chain (j(a,c)=0): the exemplar is doc 1, doc 3 is two
+    // transitive hops from the doc that keeps its cluster
+    assert(out == Set((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L)))
+  }
+
+  test("bfs agrees with components and satisfies the parent property on the real corpus") {
+    import spark.implicits._
+    val bfs = Dedup.graphBfs(spark, sfMid)
+      .as[(Long, Long, Long)].collect()
+    val comp = Dedup.dedupComponents(spark, sfMid)
+      .as[(Long, Long)].collect().toMap
+    assert(bfs.map(r => (r._1, r._2)).toMap == comp, "labels drifted from components")
+    bfs.foreach { case (id, label, h) =>
+      assert((h == 0L) == (id == label), s"exemplar/hops mismatch at $id")
+    }
+    val hops = bfs.map(r => (r._1, r._3)).toMap
+    val edges = Dedup.dedupNgramJaccard(spark, sfMid)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap(e => Seq(e, e.swap))
+    edges.foreach { case (u, v) =>
+      assert(math.abs(hops(u) - hops(v)) <= 1, s"edge ($u,$v) violates BFS levels")
+    }
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    hops.foreach { case (v, h) =>
+      if (h > 0)
+        assert(nbrs(v).exists(u => hops(u) == h - 1), s"$v at depth $h has no parent")
+    }
+  }
+
+  test("calibration ledger conserves docs and ties passes to the quality gate") {
+    import spark.implicits._
+    val out = TextOps.mlCalibration(spark, sfMid).collect()
+    val total = spark.read.parquet(s"$sfMid/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total, "docs not conserved")
+    val gatePass = TextOps.textQuality(spark, sfMid)
+      .filter(col("quality_score") >= 0.5).count()
+    assert(out.map(_.getAs[Long]("n_pass")).sum == gatePass,
+      "passes drifted from the production gate")
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val m = r.getAs[Long]("mean_logit_micro") + 16000000L
+      assert(b * 500000L <= m && m < (b + 1) * 500000L, s"mean outside bucket $b")
+      assert(r.getAs[Long]("pass_ppm") ==
+        r.getAs[Long]("n_pass") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+    // the distilled filter is calibrated on this corpus: pass rate is
+    // monotone non-decreasing in the logit bucket (measured at sf0.01)
+    val rates = out.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Long]("pass_ppm")).toSeq
+    assert(rates == rates.sorted, s"pass rate not monotone: $rates")
+  }
 }
