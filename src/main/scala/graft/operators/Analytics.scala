@@ -1145,6 +1145,59 @@ object Analytics {
       |FROM d JOIN c ON c.user_id = d.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------- cohort LTV
+  /** Cohort LTV curve (r14 wave 10) — the MONEY face of
+    * [[eventsRetention]]'s activity triangle: per first-activity-day
+    * cohort × day offset, purchase revenue in exact integer cents,
+    * the running cumulative, and cumulative LTV per cohort user
+    * (integer-cents div) — the payback-curve table growth finance
+    * reads against acquisition cost. Offsets appear where the cohort
+    * actually purchased; the cumulative window makes each row the
+    * authoritative "LTV through day o".
+    *
+    * == Scale design ==
+    * One scan feeds both the O(users) cohort fold and the purchase
+    * leg; the cumulative window partitions on cohort_day over the
+    * O(days²/2) grouped triangle — never event-sized; cohort sizes
+    * (O(days)) broadcast onto it.
+    */
+  def eventsCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"),
+      col("event_type"), cents(col("value")).as("v"))
+    val cohort = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(sum(col("v")).as("cents"))
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .select(fmtDay(col("cohort_day")).as("cohort_day"), col("day_offset"),
+        col("n_users"), col("cents"), col("cum_cents"),
+        expr("cum_cents div n_users").as("ltv_cents_per_user"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val eventsCohortLtvSql: String =
+    """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+      |sz AS (SELECT cohort_day, count(*) AS n_users FROM c GROUP BY 1),
+      |p AS (SELECT c.cohort_day,
+      |    date_diff('day', c.cohort_day, d.day) AS day_offset,
+      |    CAST(sum(v) AS BIGINT) AS cents
+      |  FROM d JOIN c ON c.user_id = d.user_id
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |cum AS (SELECT *, CAST(sum(cents) OVER (PARTITION BY cohort_day
+      |    ORDER BY day_offset) AS BIGINT) AS cum_cents FROM p)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+      |  n_users, cents, cum_cents, cum_cents // n_users AS ltv_cents_per_user
+      |FROM cum JOIN sz USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   // -------------------------------------------- growth accounting
   /** Daily growth accounting — the new / retained / resurrected /
     * churned decomposition of the active-user curve (the standard
@@ -2029,6 +2082,86 @@ object Analytics {
       |  CAST(sum(abs(n - pred_flat)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
       |    - CAST(sum(abs(n - pred_seas)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS gain_milli
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------- conformal intervals
+  /** Split-conformal prediction intervals for the daily-count forecast
+    * (r14 wave 10) — the UNCERTAINTY face beside [[mlBacktest]]'s
+    * point-error ledger: per event type, the 90th-percentile absolute
+    * residual of the expanding-mean forecast over the CALIBRATION days
+    * (everything before the final week) at the exact conformal rank
+    * ⌈0.9·(n+1)⌉, then the empirical coverage of ±q90 on the held-out
+    * final week in exact ppm — the table that says whether "the
+    * forecast ± its calibrated error band" can be trusted at the
+    * nominal rate. Rank-based (no float quantile), so both engines
+    * pick the identical residual; types whose calibration set is too
+    * small for the rank (n_cal < 9 at α = 0.1) drop by contract — the
+    * conformal guarantee does not exist for them.
+    *
+    * == Scale design ==
+    * The shared one-scan O(types × days) grid ([[mlBacktest]]'s shape)
+    * is checkpointed and scored ONCE; calibration ranking is a window
+    * over that bounded relation, the O(types) quantile row broadcasts
+    * onto the 7-day eval slice.
+    */
+  def mlForecastInterval(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .stableCheckpoint()
+    val wPrior = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastDay = daily.agg(max(col("day")).as("last_day"))
+    val scored = daily
+      .withColumn("cum_n", sum(col("n")).over(wPrior))
+      .withColumn("cum_d", count(col("n")).over(wPrior))
+      .join(broadcast(lastDay), lit(true))
+      .filter(col("cum_d") >= 1)
+      .withColumn("abs_err", abs(col("n") - expr("cum_n div cum_d")))
+      .stableCheckpoint() // feeds BOTH the calibration rank and the eval slice
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("abs_err"), col("day"))
+    val q = scored.filter(col("day") <= col("last_day") - 7)
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n_cal", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rk") === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .select(col("event_type"), col("n_cal"), col("abs_err").as("q90_err"))
+    scored.filter(col("day") > col("last_day") - 7)
+      .join(broadcast(q), "event_type")
+      .groupBy(col("event_type"), col("n_cal"), col("q90_err"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("abs_err") <= col("q90_err"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("event_type"), col("n_cal"), col("q90_err"), col("n_eval"),
+        col("n_covered"), expr("n_covered * 1000000 div n_eval").as("coverage_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val mlForecastIntervalSql: String =
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS cum_n,
+      |    CAST(count(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS cum_d
+      |  FROM d),
+      |sc AS (SELECT event_type, day, abs(n - cum_n // cum_d) AS abs_err,
+      |    (SELECT max(day) FROM d) AS last_day
+      |  FROM c WHERE cum_d >= 1),
+      |cal AS (SELECT *,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY abs_err, day) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n_cal
+      |  FROM sc WHERE day <= last_day - 7),
+      |q AS (SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal,
+      |    CAST(abs_err AS BIGINT) AS q90_err
+      |  FROM cal WHERE rk = (9 * (n_cal + 1) + 9) // 10),
+      |ev AS (SELECT * FROM sc WHERE day > last_day - 7)
+      |SELECT ev.event_type, n_cal, q90_err, CAST(count(*) AS BIGINT) AS n_eval,
+      |  CAST(sum(CASE WHEN abs_err <= q90_err THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |  CAST(sum(CASE WHEN abs_err <= q90_err THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+      |    // CAST(count(*) AS BIGINT) AS coverage_ppm
+      |FROM ev JOIN q USING (event_type)
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------ path mining
   /** Top user-journey paths (r14): the three-step sequence report
@@ -3899,6 +4032,8 @@ object Analytics {
     "agg_mode" -> aggMode,
     "events_retention" -> eventsRetention,
     "events_survival" -> eventsSurvival,
+    "events_cohort_ltv" -> eventsCohortLtv,
+    "ml_forecast_interval" -> mlForecastInterval,
     "events_user_lifecycle" -> eventsUserLifecycle,
     "unpivot_revenue" -> unpivotRevenue)
 
@@ -3977,6 +4112,8 @@ object Analytics {
     "agg_mode" -> aggModeSql,
     "events_retention" -> eventsRetentionSql,
     "events_survival" -> eventsSurvivalSql,
+    "events_cohort_ltv" -> eventsCohortLtvSql,
+    "ml_forecast_interval" -> mlForecastIntervalSql,
     "events_user_lifecycle" -> eventsUserLifecycleSql,
     "unpivot_revenue" -> unpivotRevenueSql)
 }

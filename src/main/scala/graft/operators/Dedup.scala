@@ -1209,7 +1209,11 @@ object Dedup {
     */
   def graphBfs(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.Checkpoints.StableSyntax
+    // checkpointed: the shingle candidate join feeds BOTH the
+    // components loop (via its edge cache) and this loop's edge list —
+    // without it the corpus-sized join runs twice
     val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      .stableCheckpoint()
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()

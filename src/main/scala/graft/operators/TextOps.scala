@@ -532,6 +532,180 @@ object TextOps {
        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // -------------------------------------------- feature importance
+  /** Single-split gini importance for the quality-gate features (r14
+    * wave 10) — the model-debug face beside [[mlCalibration]]: for
+    * each feature (stopword ratio, punct ratio, length saturation,
+    * each quantized to exact milli-units) and each decile threshold,
+    * the exact-ppm gini impurity reduction of splitting the corpus
+    * there against the production 0.5 gate — the table that says
+    * WHICH feature carries the gate and where its decision boundary
+    * lives (a decision-stump sweep, the first split of any tree
+    * ensemble). Squares ride DECIMAL(38,0)/HUGEINT so per-side counts
+    * up to ~1e12 docs cannot silently wrap ([[Analytics]] ab-lift
+    * discipline); empty split sides are excluded by contract (the
+    * split does not exist).
+    *
+    * == Scale design ==
+    * ONE stacked feature pass (the dq_drift move: 3 rows per doc,
+    * map-side combinable) folds the corpus onto the O(3 × 10)
+    * (feature, milli-decile) histogram; thresholds, prefix sums, and
+    * gini arithmetic all run on that bounded grid — no per-threshold
+    * corpus pass, no corpus-sized shuffle beyond the fold.
+    */
+  def mlFeatureImportance(s: SparkSession, dir: String): DataFrame = {
+    val meta = docs(s, dir).select(col("doc_id"), col("n_chars"),
+      regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
+    val stopR = col("n_stop") * 1.0 / col("n_tokens")
+    val punctR = col("n_punct") * 1.0 / col("n_chars")
+    val lenSat = least(lit(1.0), col("n_tokens") / 64.0)
+    val quality = (lit(1.0) - stopR) * (lit(1.0) - punctR) * lenSat
+    val hist = meta.join(toks, "doc_id")
+      .select(
+        expr("n_stop * 1000 div n_tokens").as("stop_m"),
+        expr("n_punct * 1000 div n_chars").as("punct_m"),
+        least(lit(1000L), expr("n_tokens * 1000 div 64")).as("len_m"),
+        (quality >= 0.5).cast("long").as("pass"))
+      .selectExpr("stack(3, 'len_sat', len_m, 'punct_ratio', punct_m, " +
+        "'stopword_ratio', stop_m) AS (feature, v)", "pass")
+      .groupBy(col("feature"), least(lit(9L), expr("v div 100")).as("bucket"))
+      .agg(count(lit(1)).as("bn"), sum(col("pass")).as("bp"))
+    val tot = hist.groupBy(col("feature"))
+      .agg(sum(col("bn")).as("tn"), sum(col("bp")).as("tp"))
+    val thr = s.range(1, 10).select(col("id").as("t"))
+    def giniPpm(n: String, p: String): String =
+      s"1000000 - (cast($p as decimal(38,0)) * $p + " +
+        s"cast($n - $p as decimal(38,0)) * ($n - $p)) * 1000000 div " +
+        s"(cast($n as decimal(38,0)) * $n)"
+    hist.crossJoin(broadcast(thr)).filter(col("bucket") < col("t"))
+      .groupBy(col("feature"), col("t"))
+      .agg(sum(col("bn")).as("ln"), sum(col("bp")).as("lp"))
+      .join(broadcast(tot), "feature")
+      .filter(col("tn") - col("ln") >= 1)
+      .withColumn("rn", col("tn") - col("ln"))
+      .withColumn("rp", col("tp") - col("lp"))
+      .withColumn("gl", expr(giniPpm("ln", "lp")))
+      .withColumn("gr", expr(giniPpm("rn", "rp")))
+      .withColumn("gp", expr(giniPpm("tn", "tp")))
+      .select(col("feature"), (col("t") * 100).as("thr_milli"),
+        col("ln").as("n_left"), col("rn").as("n_right"),
+        (col("gp") - expr("(cast(ln as decimal(38,0)) * gl + " +
+          "cast(rn as decimal(38,0)) * gr) div tn")).as("gini_drop_ppm"))
+      .orderBy(col("feature"), col("thr_milli"))
+  }
+
+  val mlFeatureImportanceSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    def gini(n: String, p: String): String =
+      s"1000000 - CAST((CAST($p AS HUGEINT) * $p + " +
+        s"CAST($n - $p AS HUGEINT) * ($n - $p)) * 1000000 // " +
+        s"(CAST($n AS HUGEINT) * $n) AS BIGINT)"
+    s"""WITH f AS (SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ($stops))) AS n_stop,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct, n_chars
+       |  FROM documents),
+       |x AS (SELECT
+       |    CAST(n_stop AS BIGINT) * 1000 // n_tokens AS stop_m,
+       |    CAST(n_punct AS BIGINT) * 1000 // n_chars AS punct_m,
+       |    least(1000, CAST(n_tokens AS BIGINT) * 1000 // 64) AS len_m,
+       |    CASE WHEN (1.0 - n_stop * 1.0 / n_tokens)
+       |        * (1.0 - n_punct * 1.0 / n_chars)
+       |        * least(1.0, n_tokens / 64.0) >= 0.5
+       |      THEN 1 ELSE 0 END AS pass
+       |  FROM f),
+       |st AS (SELECT 'len_sat' AS feature, len_m AS v, pass FROM x
+       |  UNION ALL SELECT 'punct_ratio', punct_m, pass FROM x
+       |  UNION ALL SELECT 'stopword_ratio', stop_m, pass FROM x),
+       |hist AS (SELECT feature, least(9, v // 100) AS bucket,
+       |    count(*) AS bn, CAST(sum(pass) AS BIGINT) AS bp
+       |  FROM st GROUP BY 1, 2),
+       |tot AS (SELECT feature, CAST(sum(bn) AS BIGINT) AS tn,
+       |    CAST(sum(bp) AS BIGINT) AS tp FROM hist GROUP BY 1),
+       |sp AS (SELECT feature, t, CAST(sum(bn) AS BIGINT) AS ln,
+       |    CAST(sum(bp) AS BIGINT) AS lp
+       |  FROM hist CROSS JOIN (SELECT unnest(range(1, 10)) AS t) th
+       |  WHERE bucket < t GROUP BY 1, 2),
+       |g AS (SELECT feature, t, ln, tn - ln AS rn, lp, tp - lp AS rp, tn, tp
+       |  FROM sp JOIN tot USING (feature) WHERE tn - ln >= 1)
+       |SELECT feature, t * 100 AS thr_milli, ln AS n_left, rn AS n_right,
+       |  ${gini("tn", "tp")}
+       |    - CAST((CAST(ln AS HUGEINT) * (${gini("ln", "lp")})
+       |        + CAST(rn AS HUGEINT) * (${gini("rn", "rp")})) // tn AS BIGINT)
+       |  AS gini_drop_ppm
+       |FROM g ORDER BY feature, thr_milli""".stripMargin
+  }
+
+  // ------------------------------------------------------ collocations
+  /** PMI collocation mining (r14 wave 10) — the corpus-level phrase
+    * report behind [[textSurprisalBigram]]'s per-doc transition score:
+    * the top-20 adjacent word pairs by pointwise mutual information in
+    * exact integer bits, ⌊log₂(T·c(xy))⌋ − ⌊log₂(c(x)·c(y))⌋ (the
+    * binary-digit-counting skeleton of log₂ P(xy)/(P(x)P(y)), float-log
+    * free), with a ≥5 pair-count support floor — the phrase inventory
+    * that seeds tokenizer vocabularies and collocation-aware quality
+    * checks. Rank is total-ordered (bits desc, count desc, words), so
+    * the top-20 is engine-identical. Products stay in int64 up to
+    * ~3·10⁹ tokens; past that the bit-length moves to the DECIMAL
+    * digit-count form ([[mlFeatureImportance]]'s promotion).
+    *
+    * == Scale design ==
+    * Two corpus-flat map-side folds (pair counts, unigram counts) onto
+    * vocab- and vocab²-bounded relations; everything after — support
+    * filter, PMI arithmetic, top-k — runs on the bounded pair relation
+    * with the 1-row total broadcast; top-20 is TakeOrdered, never a
+    * global sort.
+    */
+  def textCollocations(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .select(words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+    val u = docs(s, dir).select(explode(words).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val t = u.agg(sum(col("c")).as("t"))
+    val scored = bc
+      .join(u.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(u.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(t))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        (length(bin(col("t") * col("n_pair"))) -
+          length(bin(col("c1") * col("c2")))).cast("long").as("pmi_bits"))
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("pmi_bits").desc, col("n_pair").desc, col("w1"), col("w2"))
+    scored.orderBy(ord: _*).limit(20)
+      .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
+      .select(col("rnk").cast("long").as("rnk"), col("w1"), col("w2"),
+        col("n_pair"), col("pmi_bits"))
+      .orderBy(col("rnk"))
+  }
+
+  val textCollocationsSql: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+      |  FROM w, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+      |bc AS (SELECT w1, w2, count(*) AS n_pair FROM bg
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |occ AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |u AS (SELECT tok, count(*) AS c FROM occ GROUP BY 1),
+      |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM u),
+      |sc AS (SELECT w1, w2, n_pair,
+      |    CAST(length(bin(tt.t * n_pair)) - length(bin(u1.c * u2.c)) AS BIGINT) AS pmi_bits
+      |  FROM bc JOIN u u1 ON u1.tok = w1 JOIN u u2 ON u2.tok = w2 CROSS JOIN tt)
+      |SELECT row_number() OVER (ORDER BY pmi_bits DESC, n_pair DESC, w1, w2) AS rnk,
+      |  w1, w2, n_pair, pmi_bits
+      |FROM sc ORDER BY pmi_bits DESC, n_pair DESC, w1, w2 LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------- surprisal
   /** Unigram-LM surprisal scoring in EXACT integer "bits": each token
     * occurrence contributes ⌊log₂ T⌋ − ⌊log₂ c(w)⌋ (corpus total over
@@ -1659,6 +1833,8 @@ object TextOps {
     "text_surprisal_bigram" -> textSurprisalBigram,
     "ml_eval_langid" -> mlEvalLangid,
     "ml_calibration" -> mlCalibration,
+    "ml_feature_importance" -> mlFeatureImportance,
+    "text_collocations" -> textCollocations,
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
     "tokenize_ids" -> tokenizeIds,
@@ -1708,6 +1884,8 @@ object TextOps {
     "text_surprisal_bigram" -> textSurprisalBigramSql,
     "ml_eval_langid" -> mlEvalLangidSql,
     "ml_calibration" -> mlCalibrationSql,
+    "ml_feature_importance" -> mlFeatureImportanceSql,
+    "text_collocations" -> textCollocationsSql,
     "ml_feature_hash" -> mlFeatureHashSql,
     "vocab_build" -> vocabBuildSql,
     "tokenize_ids" -> tokenizeIdsSql,

@@ -1211,4 +1211,50 @@ class AnalyticsSpec extends SparkSpec {
       (2L to 10L).map(o => (o, 2L, 1L, 500000L))
     assert(out == expected, s"survival drifted: $out")
   }
+
+  test("cohort LTV accumulates exact cents and ignores non-purchase value") {
+    import spark.implicits._
+    // u1,u2 cohort day0 (u2 never purchases); u3 cohort day1.
+    val rows = Seq(
+      (1L, 0L, 1L, "purchase", 5.0), (2L, 0L, 2L, "view", 99.0),
+      (3L, 2L, 1L, "purchase", 2.5), (4L, 1L, 3L, "purchase", 1.0))
+    rows.map { case (e, d, u, t, v) => (e, d * 86400000000L + e * 1000L, u, t, v) }
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-ltv/events.parquet")
+    val out = Analytics.eventsCohortLtv(spark, "/tmp/graft-test-ltv")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("1970-01-01", 0L, 2L, 500L, 500L, 250L),
+      ("1970-01-01", 2L, 2L, 250L, 750L, 375L),
+      ("1970-01-02", 0L, 1L, 100L, 100L, 100L)), s"ltv drifted: $out")
+  }
+
+  test("conformal interval covers at the nominal rate when residuals are calibrated") {
+    import spark.implicits._
+    // 21 days each: "click" constant 10/day; "view" constant 10 with a
+    // one-day spike of 25 inside the eval week (day 18).
+    val rows = for {
+      d <- 0L to 20L; t <- Seq("click", "view")
+      n = if (t == "view" && d == 18L) 25 else 10
+      i <- 1 to n
+    } yield (d * 1000 + i.toLong, d, t)
+    rows.zipWithIndex.map { case ((e, d, t), i) =>
+      (i.toLong, d * 86400000000L + e * 1000L, e % 7 + 1, t, 1.0)
+    }.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-conf/events.parquet")
+    val out = Analytics.mlForecastInterval(spark, "/tmp/graft-test-conf")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // calibration = days 1..13 (day 0 has no prior) -> n_cal 13, rank
+    // ceil(0.9*14) = 13 -> q90 = the max calibration residual = 0.
+    // click: all eval residuals 0 -> full coverage. view: the day-18
+    // spike misses the band (|25-10| > 0), later days re-absorb it
+    // (floor mean stays 10) -> 6/7 covered.
+    assert(out == Seq(
+      ("click", 13L, 0L, 7L, 7L, 1000000L),
+      ("view", 13L, 0L, 7L, 6L, 857142L)), s"conformal drifted: $out")
+  }
 }

@@ -1765,4 +1765,72 @@ class TextDedupSpec extends SparkSpec {
     val rates = out.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Long]("pass_ppm")).toSeq
     assert(rates == rates.sorted, s"pass rate not monotone: $rates")
   }
+
+  test("feature importance equals an exact in-memory gini replay") {
+    import spark.implicits._
+    // punctuation-free single-space docs so the feature replay is exact:
+    // 4 long clean docs (pass), 3 stopword-heavy (fail), 2 short (fail)
+    val clean = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val stopy = ((1 to 48).map(_ => "the") ++ (1 to 32).map(i => s"s$i")).mkString(" ")
+    val short = (1 to 16).map(i => s"q$i").mkString(" ")
+    val texts = Seq.tabulate(4)(i => (i + 1L, clean + s" u$i")) ++
+      Seq.tabulate(3)(i => (i + 5L, stopy + s" v$i")) ++
+      Seq.tabulate(2)(i => (i + 8L, short + s" w$i"))
+    docsDf(texts.map(t => (t._1, t._2, "en")))
+      .write.mode("overwrite").parquet("/tmp/graft-test-fi/documents.parquet")
+    val got = TextOps.mlFeatureImportance(spark, "/tmp/graft-test-fi")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // replay with the operator's integer arithmetic
+    def gini(n: Long, p: Long): Long =
+      1000000L - ((BigInt(p) * p + BigInt(n - p) * (n - p)) * 1000000 /
+        (BigInt(n) * n)).toLong
+    val feats = texts.map { case (_, txt) =>
+      val ws = txt.split(" ")
+      val nTok = ws.length.toLong
+      val nStop = ws.count(TextOps.stopwords.contains).toLong
+      val pass = (1.0 - nStop.toDouble / nTok) *
+        math.min(1.0, nTok / 64.0) >= 0.5
+      Map("stopword_ratio" -> nStop * 1000 / nTok,
+        "punct_ratio" -> 0L,
+        "len_sat" -> math.min(1000L, nTok * 1000 / 64)) -> pass
+    }
+    val expected = (for {
+      f <- Seq("len_sat", "punct_ratio", "stopword_ratio")
+      t <- 1L to 9L
+      buckets = feats.map { case (m, p) => (math.min(9L, m(f) / 100), p) }
+      left = buckets.filter(_._1 < t)
+      if left.nonEmpty && buckets.size - left.size >= 1
+    } yield {
+      val (ln, lp) = (left.size.toLong, left.count(_._2).toLong)
+      val (tn, tp) = (buckets.size.toLong, buckets.count(_._2).toLong)
+      val (rn, rp) = (tn - ln, tp - lp)
+      val drop = gini(tn, tp) -
+        ((BigInt(ln) * gini(ln, lp) + BigInt(rn) * gini(rn, rp)) / tn).toLong
+      (f, t * 100, ln, rn, drop)
+    }).toSet
+    assert(got == expected, s"extra=${got -- expected} missing=${expected -- got}")
+    // every split's impurity drop is non-negative under the staged floors
+    assert(got.forall(_._5 >= 0))
+  }
+
+  test("collocations rank the planted phrase first and enforce the support floor") {
+    import spark.implicits._
+    // "alpha beta" appears 5x and nowhere else; "gam del" only 4x
+    // (below the support floor); filler words are all distinct.
+    val docs = Seq.tabulate(5) { i =>
+      (i + 1L, s"alpha beta f${i}a f${i}b f${i}c", "en")
+    } ++ Seq.tabulate(4) { i => (i + 6L, s"gam del g${i}a g${i}b g${i}c", "en") }
+    docsDf(docs).write.mode("overwrite")
+      .parquet("/tmp/graft-test-coll/documents.parquet")
+    val out = TextOps.textCollocations(spark, "/tmp/graft-test-coll")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(out.head._1 == 1L && (out.head._2, out.head._3) == ("alpha", "beta"))
+    // T = 5*5 + 4*5 = 45 tokens; pmi_bits = bits(45*5) - bits(5*5)
+    assert(out.head._4 == 5L &&
+      out.head._5 == (java.lang.Long.toBinaryString(225).length -
+        java.lang.Long.toBinaryString(25).length).toLong)
+    // below-floor pair excluded; every reported pair met the floor
+    assert(!out.exists(r => r._2 == "gam"))
+    assert(out.forall(_._4 >= 5L))
+  }
 }
