@@ -3591,6 +3591,62 @@ object Analytics {
     * high-cardinality (day, user) key); the χ² arithmetic runs on the
     * O(days) relation.
     */
+  // ------------------------------------------------ a/b power design
+  /** A/B sample-size design (r14 wave 11) — the third face of the
+    * experimentation family: [[eventsAbSrm]] checks the split's
+    * health, [[eventsAbLift]] analyzes the outcome, this one answers
+    * the question asked BEFORE either — how many user-days per arm
+    * does detecting a given relative effect require? Baseline rate =
+    * the fraction of (user, active-day) units converting to each
+    * event type (the per-user rate is degenerate on long windows —
+    * everyone eventually does everything; the daily unit is the one
+    * experiments actually randomize). The classic two-proportion
+    * formula n = (z_α/2 + z_β)²·2·p(1−p)/δ² at 95 % / 80 % power
+    * ((1.96 + 0.84)² = 7.84 — EXACT in the integer staging 784/100)
+    * evaluated at relative MDEs of 5/10/20 % with ceil-division exact
+    * ppm arithmetic, so both engines emit identical sample sizes.
+    *
+    * == Scale design ==
+    * ONE scan dedupes to the (user, day, type) relation (map-side
+    * combinable); everything after runs on O(types) rows with the
+    * 1-row denominator and the 3-row MDE grid broadcast.
+    */
+  def eventsAbPower(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+    val tot = ud.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_units"))
+    val conv = ud.distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_conv"))
+    val mde = s.range(0, 3).select(
+      element_at(typedLit(Seq(5L, 10L, 20L)), (col("id") + 1).cast("int"))
+        .as("mde_pct"))
+    conv.crossJoin(broadcast(tot)).crossJoin(broadcast(mde))
+      .withColumn("p_ppm", expr("n_conv * 1000000 div n_units"))
+      .withColumn("delta_ppm", expr("p_ppm * mde_pct div 100"))
+      .select(col("event_type"), col("n_units"), col("p_ppm"),
+        col("mde_pct"), col("delta_ppm"),
+        expr("(1568 * p_ppm * (1000000 - p_ppm) + 100 * delta_ppm * delta_ppm - 1) " +
+          "div (100 * delta_ppm * delta_ppm)").as("n_per_arm"))
+      .orderBy(col("event_type"), col("mde_pct"))
+  }
+
+  val eventsAbPowerSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+      |    event_type FROM events),
+      |t AS (SELECT count(*) AS n_units FROM
+      |  (SELECT DISTINCT user_id, day FROM ud)),
+      |c AS (SELECT event_type, count(*) AS n_conv FROM ud GROUP BY 1),
+      |m AS (SELECT unnest([5, 10, 20]) AS mde_pct),
+      |x AS (SELECT event_type, CAST(n_units AS BIGINT) AS n_units,
+      |    n_conv * 1000000 // n_units AS p_ppm, CAST(mde_pct AS BIGINT) AS mde_pct
+      |  FROM c CROSS JOIN t CROSS JOIN m),
+      |y AS (SELECT *, p_ppm * mde_pct // 100 AS delta_ppm FROM x)
+      |SELECT event_type, n_units, p_ppm, mde_pct, delta_ppm,
+      |  (1568 * p_ppm * (1000000 - p_ppm) + 100 * delta_ppm * delta_ppm - 1)
+      |    // (100 * delta_ppm * delta_ppm) AS n_per_arm
+      |FROM y ORDER BY event_type, mde_pct""".stripMargin
+
   def eventsAbSrm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftSqlShim
     val h = GraftSqlShim.column(graft.functions.StringPolyHash(
@@ -3963,6 +4019,7 @@ object Analytics {
     "ml_target_encode" -> mlTargetEncode,
     "events_ab_lift" -> eventsAbLift,
     "events_ab_srm" -> eventsAbSrm,
+    "events_ab_power" -> eventsAbPower,
     "events_seasonality" -> eventsSeasonality,
     "events_late_data" -> eventsLateData,
     "events_attribution" -> eventsAttribution,
@@ -4045,6 +4102,7 @@ object Analytics {
     "ml_target_encode" -> mlTargetEncodeSql,
     "events_ab_lift" -> eventsAbLiftSql,
     "events_ab_srm" -> eventsAbSrmSql,
+    "events_ab_power" -> eventsAbPowerSql,
     "events_seasonality" -> eventsSeasonalitySql,
     "events_late_data" -> eventsLateDataSql,
     "events_attribution" -> eventsAttributionSql,

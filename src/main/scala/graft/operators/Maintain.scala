@@ -311,19 +311,42 @@ object Maintain {
     * the checksum accumulates in DECIMAL(38,0) so ~10¹² docs × 10⁹
     * hash values cannot wrap.
     */
-  def compactionExec(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftshim.GraftSqlShim
+  /** The (source, lang) → file_id routing map [[compactionPlan]]'s
+    * byte-packing implies — shared by [[compactionExec]] and
+    * [[tableVacuumPlan]] so the two faces can never route a doc to
+    * different files. O(groups) rows; the ordering window runs on the
+    * group ledger, never the corpus.
+    */
+  private def compactionRouting(s: SparkSession, dir: String): DataFrame = {
     val g = Tables.load(s, dir, "documents")
       .groupBy(col("source"), col("lang"))
       .agg(sum(col("n_chars")).as("bytes"))
     val ord = Window.orderBy(col("source"), col("lang"))
-    val routing = g
-      .withColumn("cum_before", coalesce(
+    g.withColumn("cum_before", coalesce(
         sum(col("bytes")).over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("total", sum(col("bytes")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("target", greatest(lit(65536L), expr("(total + 15) div 16")))
       .select(col("source"), col("lang"), expr("cum_before div target").as("file_id"))
+  }
+
+  /** Shared oracle fragment for [[compactionRouting]]: `f(source,
+    * lang, file_id)`. */
+  private val compactionRoutingCtes: String =
+    """g AS (SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY source, lang),
+      |c AS (SELECT *,
+      |    coalesce(CAST(sum(bytes) OVER (ORDER BY source, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before,
+      |    CAST(sum(bytes) OVER () AS BIGINT) AS total
+      |  FROM g),
+      |f AS (SELECT source, lang,
+      |    cum_before // greatest(65536, (total + 15) // 16) AS file_id
+      |  FROM c)""".stripMargin
+
+  def compactionExec(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val routing = compactionRouting(s, dir)
     val h = GraftSqlShim.column(graft.functions.StringPolyHash(
       GraftSqlShim.expression(col("text")),
       GraftSqlShim.expression(lit(1000000007L))))
@@ -340,16 +363,7 @@ object Maintain {
   }
 
   val compactionExecSql: String =
-    """WITH g AS (SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
-      |  FROM documents GROUP BY source, lang),
-      |c AS (SELECT *,
-      |    coalesce(CAST(sum(bytes) OVER (ORDER BY source, lang
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before,
-      |    CAST(sum(bytes) OVER () AS BIGINT) AS total
-      |  FROM g),
-      |f AS (SELECT source, lang,
-      |    cum_before // greatest(65536, (total + 15) // 16) AS file_id
-      |  FROM c),
+    s"""WITH $compactionRoutingCtes,
       |d AS (SELECT doc_id, source, lang, n_chars,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS h
       |  FROM documents)
@@ -359,6 +373,62 @@ object Maintain {
       |  min(d.doc_id) AS min_doc, max(d.doc_id) AS max_doc,
       |  CAST(sum(CAST(d.h AS HUGEINT)) % 1000000007 AS BIGINT) AS checksum
       |FROM d JOIN f ON f.source = d.source AND f.lang = d.lang
+      |GROUP BY f.file_id ORDER BY f.file_id""".stripMargin
+
+  // ------------------------------------------------------- vacuum plan
+  /** Retention/vacuum planning (r14 wave 11) — the third table-
+    * maintenance face beside [[compactionPlan]]→[[compactionExec]]
+    * (layout) and [[tableSnapshotDiff]] (history): after a logical
+    * delete wave, which PHYSICAL files hold enough dead rows that
+    * rewriting them reclaims real bytes? The delete wave here is the
+    * curation gate itself ([[TextOps.textQuality]] < 0.5 — the
+    * pipeline_curate drop set): per [[compactionRouting]] file, live
+    * vs dead rows, dead ppm, reclaimable bytes, and the
+    * rewrite-vs-keep decision at the 30 % dead threshold — the
+    * vacuum scheduler's work list. Sharing the routing helper means
+    * the plan can never disagree with [[compactionExec]] about which
+    * file a doc lives in.
+    *
+    * == Scale design ==
+    * The quality relation and the doc spine are two thin corpus
+    * relations joined on doc_id (one shuffle); the O(groups) routing
+    * broadcasts; the ledger is O(files). At 100 TB the dead flags
+    * come from the curation run's persisted output — the join IS the
+    * production shape, not an artifact.
+    */
+  def tableVacuumPlan(s: SparkSession, dir: String): DataFrame = {
+    val dead = TextOps.textQuality(s, dir)
+      .select(col("doc_id"), (col("quality_score") < 0.5).cast("long").as("dead"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .join(broadcast(compactionRouting(s, dir)), Seq("source", "lang"))
+      .join(dead, "doc_id")
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("dead")).as("n_dead"),
+        sum(when(col("dead") === 1L, col("n_chars")).otherwise(0L))
+          .as("bytes_reclaimed"))
+      .select(col("file_id"), col("n_rows"), col("n_dead"),
+        expr("n_dead * 1000000 div n_rows").as("dead_ppm"),
+        col("bytes_reclaimed"),
+        when(expr("n_dead * 1000000 div n_rows") >= 300000L, "rewrite")
+          .otherwise("keep").as("action"))
+      .orderBy(col("file_id"))
+  }
+
+  val tableVacuumPlanSql: String =
+    s"""WITH $compactionRoutingCtes,
+      |q AS (SELECT doc_id, CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END AS dead
+      |  FROM (${TextOps.textQualitySql})),
+      |d AS (SELECT doc_id, source, lang, n_chars FROM documents)
+      |SELECT f.file_id, count(*) AS n_rows,
+      |  CAST(sum(q.dead) AS BIGINT) AS n_dead,
+      |  CAST(sum(q.dead) AS BIGINT) * 1000000 // count(*) AS dead_ppm,
+      |  CAST(sum(CASE WHEN q.dead = 1 THEN d.n_chars ELSE 0 END) AS BIGINT)
+      |    AS bytes_reclaimed,
+      |  CASE WHEN CAST(sum(q.dead) AS BIGINT) * 1000000 // count(*) >= 300000
+      |    THEN 'rewrite' ELSE 'keep' END AS action
+      |FROM d JOIN f ON f.source = d.source AND f.lang = d.lang
+      |JOIN q ON q.doc_id = d.doc_id
       |GROUP BY f.file_id ORDER BY f.file_id""".stripMargin
 
   // ------------------------------------------------------------ registry
@@ -808,6 +878,7 @@ object Maintain {
     "agg_incremental" -> aggIncremental,
     "compaction_plan" -> compactionPlan,
     "compaction_exec" -> compactionExec,
+    "table_vacuum_plan" -> tableVacuumPlan,
     "table_snapshot_diff" -> tableSnapshotDiff,
     "table_profile" -> tableProfile,
     "dq_rules" -> dqRules,
@@ -823,6 +894,7 @@ object Maintain {
     "agg_incremental" -> aggIncrementalSql,
     "compaction_plan" -> compactionPlanSql,
     "compaction_exec" -> compactionExecSql,
+    "table_vacuum_plan" -> tableVacuumPlanSql,
     "table_snapshot_diff" -> tableSnapshotDiffSql,
     "table_profile" -> tableProfileSql,
     "dq_rules" -> dqRulesSql,

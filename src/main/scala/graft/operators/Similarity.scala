@@ -1028,6 +1028,77 @@ object Similarity {
       s"\nSELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
   }
 
+  // ----------------------------------------------- hard negatives
+  /** Hard-negative mining from the IVF index (r14 wave 11) — the
+    * contrastive-training data op every retrieval/embedding trainer
+    * runs against its own vector store: per query, the top-[[K]]
+    * highest-cosine candidates from the probed cells that are NOT
+    * near-duplicates (exact cosine < 0.45, [[Dedup.dedupEmbedding]]'s
+    * verify threshold) — "close enough to be informative, far enough
+    * to be a true negative". Random in-batch negatives are trivially
+    * easy; the index's near-misses are exactly the gradient-rich
+    * pairs, and the near-dup cut keeps false negatives (unlabeled
+    * positives) out of the loss.
+    *
+    * == Scale design ==
+    * The [[annIvf]] probe machinery verbatim — broadcast probes into
+    * the cell-partitioned assignment join, exact cosine in one
+    * codegen'd expression, distinct collapses redundant-assignment
+    * duplicates — with one extra filter before the rank window. The
+    * negative cut removes the near-dup head, so the per-query rank
+    * window ranks the same candidate relation the search face already
+    * pays for.
+    */
+  def annHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    def nrm(v: Array[Float]): Double = math.sqrt(dotd(v, v))
+    val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
+    def cellsOf(v: Array[Float], n: Double, k: Int): Seq[Long] =
+      codebook.value
+        .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(k).map(_._1).toSeq
+    val assigned = e.flatMap { case (id, v) =>
+      val n = nrm(v)
+      cellsOf(v, n, IVF_ASSIGN).map(c => (id, v, n, c))
+    }.toDF("vec_id", "embedding", "nrm", "cell")
+    val probes = e.filter(_._1 < NQ).flatMap { case (id, v) =>
+      val n = nrm(v)
+      cellsOf(v, n, IVF_NPROBE).map(c => (id, v, n, c))
+    }.toDF("q_id", "q_emb", "q_nrm", "cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(probes).join(assigned,
+        probes("cell") === assigned("cell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .distinct()
+      .filter(col("cosine") < 0.45)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin: [[annIvfSql]]'s chain with the near-dup cut applied
+    * before the rank window. */
+  lazy val annHardNegativesSql: String = {
+    val search = Seq(
+      s"prb AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= $IVF_NPROBE AND vec_id < $NQ)",
+      "cand AS (SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id FROM prb q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.vec_id)",
+      s"p AS (SELECT c.query_id, c.neighbor_id, ${ivfFold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine FROM cand c JOIN n nq ON nq.vec_id = c.query_id JOIN n nc ON nc.vec_id = c.neighbor_id)",
+      "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM p WHERE cosine < 0.45)")
+    "WITH " + (ivfCodebookCtes ++ search).mkString(",\n") +
+      s"\nSELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
+  }
+
   // ----------------------------------------------- probe tuning curve
   /** ANN probe-dial tuning curve (r14, completing the curve symmetry:
     * [[dedupEmbeddingIvfCurve]] sweeps (CELLS, ASSIGN) for the dedup
@@ -1141,6 +1212,7 @@ object Similarity {
     "ann_knn_graph" -> annKnnGraph,
     "ann_recall_curve" -> annRecallCurve,
     "ann_filtered_search" -> annFilteredSearch,
+    "ann_hard_negatives" -> annHardNegatives,
     "corpus_semdedup" -> corpusSemdedup,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
@@ -1362,6 +1434,7 @@ object Similarity {
     "ann_knn_graph" -> annKnnGraphSql,
     "ann_recall_curve" -> annRecallCurveSql,
     "ann_filtered_search" -> annFilteredSearchSql,
+    "ann_hard_negatives" -> annHardNegativesSql,
     "corpus_semdedup" -> corpusSemdedupSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_index_upsert" -> annIndexUpsertSql,

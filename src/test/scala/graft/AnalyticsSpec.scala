@@ -1257,4 +1257,36 @@ class AnalyticsSpec extends SparkSpec {
       ("click", 13L, 0L, 7L, 7L, 1000000L),
       ("view", 13L, 0L, 7L, 6L, 857142L)), s"conformal drifted: $out")
   }
+
+  test("a/b power replays the two-proportion formula exactly") {
+    import spark.implicits._
+    // 4 (user, day) units; "buy" converts 1 of 4 (p = 0.25), "view"
+    // 3 of 4 (p = 0.75) — same p(1-p), different deltas.
+    val rows = Seq((1L, 0L, "buy"), (1L, 1L, "view"),
+      (2L, 0L, "view"), (2L, 1L, "view"))
+    rows.zipWithIndex.map { case ((u, d, t), i) =>
+      (i.toLong, d * 86400000000L + i * 1000L, u, t, 1.0)
+    }.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-pow/events.parquet")
+    val out = Analytics.eventsAbPower(spark, "/tmp/graft-test-pow")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    def n(pPpm: Long, mde: Long): Long = {
+      val delta = pPpm * mde / 100
+      val num = BigInt(1568) * pPpm * (1000000L - pPpm)
+      val den = BigInt(100) * delta * delta
+      ((num + den - 1) / den).toLong
+    }
+    val expected = for {
+      (t, p) <- Seq(("buy", 250000L), ("view", 750000L))
+      m <- Seq(5L, 10L, 20L)
+    } yield (t, 4L, p, m, p * m / 100, n(p, m))
+    assert(out == expected, s"power table drifted: $out")
+    // more sensitivity demanded -> more samples, always
+    out.groupBy(_._1).values.foreach { g =>
+      val byMde = g.sortBy(_._4).map(_._6)
+      assert(byMde == byMde.sorted.reverse, "n_per_arm not monotone in MDE")
+    }
+  }
 }

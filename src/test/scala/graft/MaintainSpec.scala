@@ -355,4 +355,45 @@ class MaintainSpec extends SparkSpec {
     // carries the final day (the anchor feed can never be stale)
     assert(got.exists(!_._7), "every feed stale — anchor broken")
   }
+
+  test("vacuum plan flags the file the curation deletes hollowed out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group a0: 10 docs of pure stopwords (quality 0 — all dead);
+    // group b0: 10 clean long docs. ~70k chars per group forces the
+    // byte router to split them into two files (target = 65536).
+    val deadTxt = Seq.fill(1700)("the").mkString(" ")   // 6799 chars, x10 > 65536
+    val liveTxt = (1 to 1000).map(i => s"tok$i").mkString(" ")
+    val docs = Seq.tabulate(10)(i => (i.toLong, deadTxt + s" x$i", "a0")) ++
+      Seq.tabulate(10)(i => (i + 10L, liveTxt + s" y$i", "b0"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft-test-vac/documents.parquet")
+    val out = Maintain.tableVacuumPlan(spark, "/tmp/graft-test-vac")
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    val deadBytes = docs.filter(_._3 == "a0").map(_._2.length.toLong).sum
+    assert(out == Seq(
+      (0L, 10L, 10L, 1000000L, deadBytes, "rewrite"),
+      (1L, 10L, 0L, 0L, 0L, "keep")), s"vacuum plan drifted: $out")
+  }
+
+  test("vacuum plan conserves rows and ties deads to the quality gate at sf0.01") {
+    import org.apache.spark.sql.functions._
+    val out = Maintain.tableVacuumPlan(spark, sfMid).collect()
+    val total = spark.read.parquet(s"$sfMid/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == total)
+    val gateFail = graft.operators.TextOps.textQuality(spark, sfMid)
+      .filter(col("quality_score") < 0.5).count()
+    assert(out.map(_.getAs[Long]("n_dead")).sum == gateFail)
+    // routing agrees with the executed compaction's file inventory
+    val files = Maintain.compactionExec(spark, sfMid)
+      .select("file_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("file_id")).toSet == files)
+    out.foreach { r =>
+      assert((r.getAs[String]("action") == "rewrite") ==
+        (r.getAs[Long]("dead_ppm") >= 300000L))
+    }
+  }
 }

@@ -532,4 +532,30 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(pre.values.sum > post.values.sum,
       "predicate never binds — pre vs post filtering indistinguishable")
   }
+
+  test("hard negatives are near-misses, never near-duplicates") {
+    import spark.implicits._
+    val hn = Similarity.annHardNegatives(spark, sf)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(hn.nonEmpty, "no hard negatives mined")
+    // the defining cut: every mined negative is below the near-dup
+    // threshold, and none collides with a verified near-dup pair
+    assert(hn.forall(_._3 < 0.45))
+    hn.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq,
+        s"query $q ranks not dense")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).toSeq.sorted.reverse,
+        s"query $q cosines not non-increasing")
+    }
+    // consistency with the search face: an annIvf neighbor below the
+    // near-dup cut is also a hard negative at an equal-or-better rank
+    val ivf = Similarity.annIvf(spark, sf)
+      .as[(Long, Long, Double, Long)].collect()
+    val hnRank = hn.map(r => (r._1, r._2) -> r._4).toMap
+    ivf.filter(_._3 < 0.45).foreach { case (q, nbr, _, rk) =>
+      assert(hnRank.get((q, nbr)).exists(_ <= rk),
+        s"ivf non-dup neighbor ($q,$nbr) missing or demoted")
+    }
+  }
 }
