@@ -1162,13 +1162,21 @@ object Analytics {
     * (O(days)) broadcast onto it.
     */
   def eventsCohortLtv(s: SparkSession, dir: String): DataFrame = {
-    val d = events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"),
-      col("event_type"), cents(col("value")).as("v"))
+    import graft.plans.Checkpoints.StableSyntax
+    // ONE fact scan folds to the checkpointed (user, day) grain —
+    // purchase cents pre-summed per day — feeding the cohort fold,
+    // the sizes, and the purchase triangle (was 6 parquet scans)
+    val d = events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", cents(col("value")))
+        .otherwise(0L)).as("v"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .stableCheckpoint()
     val cohort = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_users"))
     val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    d.filter(col("event_type") === "purchase")
+    d.filter(col("np") > 0)
       .join(cohort, "user_id")
       .groupBy(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
@@ -1282,9 +1290,13 @@ object Analytics {
     * GRID, not the users. The 1-row log-end aggregate broadcasts.
     */
   def eventsSurvival(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    // checkpointed: the O(users) span relation feeds both the joint
+    // grid and the log-end anchor — one fact scan, not two
     val u = events(s, dir)
       .groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("fd"), max(to_date(col("ts"))).as("ld"))
+      .stableCheckpoint()
     val grid = u
       .groupBy(col("fd"), datediff(col("ld"), col("fd")).cast("long").as("lifespan"))
       .agg(count(lit(1)).as("n_users"))
@@ -3612,11 +3624,16 @@ object Analytics {
     * 1-row denominator and the 3-row MDE grid broadcast.
     */
   def eventsAbPower(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    // checkpointed: the distinct (user, day, type) relation feeds both
+    // the unit denominator and the per-type conversions — one fact scan
     val ud = events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+      .stableCheckpoint()
     val tot = ud.select(col("user_id"), col("day")).distinct()
       .agg(count(lit(1)).as("n_units"))
-    val conv = ud.distinct()
+    val conv = ud
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_conv"))
     val mde = s.range(0, 3).select(
       element_at(typedLit(Seq(5L, 10L, 20L)), (col("id") + 1).cast("int"))

@@ -706,4 +706,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"pair generation must stay cell-bucketed:\n$plan")
   }
+
+  test("r14 wave 9-11 one-scan claims: fact-fold faces are parquet-free past their checkpoint") {
+    for ((name, df) <- Seq(
+        "events_survival" -> Analytics.eventsSurvival(spark, sf),
+        "events_cohort_ltv" -> Analytics.eventsCohortLtv(spark, sf),
+        "events_ab_power" -> Analytics.eventsAbPower(spark, sf),
+        "ml_forecast_interval" -> Analytics.mlForecastInterval(spark, sf))) {
+      val plan = planOf(df)
+      assert(!plan.contains("FileScan"),
+        s"$name: fact scan escaped the checkpoint:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"$name: expected the checkpointed relation:\n$plan")
+    }
+  }
+
+  test("dedup_containment keeps the jaccard face's join shape: no cartesian") {
+    val plan = planOf(operators.Dedup.dedupContainment(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"candidates must come from the shingle-hash join:\n$plan")
+  }
 }
