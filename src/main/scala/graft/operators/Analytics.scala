@@ -3641,6 +3641,10 @@ object Analytics {
     conv.crossJoin(broadcast(tot)).crossJoin(broadcast(mde))
       .withColumn("p_ppm", expr("n_conv * 1000000 div n_units"))
       .withColumn("delta_ppm", expr("p_ppm * mde_pct div 100"))
+      // a type too rare for the MDE to round to >=1 ppm has no
+      // detectable effect size — excluded by contract on BOTH engines
+      // (DuckDB errors on // 0 where Spark yields NULL)
+      .filter(col("delta_ppm") >= 1)
       .select(col("event_type"), col("n_units"), col("p_ppm"),
         col("mde_pct"), col("delta_ppm"),
         expr("(1568 * p_ppm * (1000000 - p_ppm) + 100 * delta_ppm * delta_ppm - 1) " +
@@ -3658,7 +3662,8 @@ object Analytics {
       |x AS (SELECT event_type, CAST(n_units AS BIGINT) AS n_units,
       |    n_conv * 1000000 // n_units AS p_ppm, CAST(mde_pct AS BIGINT) AS mde_pct
       |  FROM c CROSS JOIN t CROSS JOIN m),
-      |y AS (SELECT *, p_ppm * mde_pct // 100 AS delta_ppm FROM x)
+      |y AS (SELECT *, p_ppm * mde_pct // 100 AS delta_ppm FROM x
+      |  WHERE p_ppm * mde_pct // 100 >= 1)
       |SELECT event_type, n_units, p_ppm, mde_pct, delta_ppm,
       |  (1568 * p_ppm * (1000000 - p_ppm) + 100 * delta_ppm * delta_ppm - 1)
       |    // (100 * delta_ppm * delta_ppm) AS n_per_arm
