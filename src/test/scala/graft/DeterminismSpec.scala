@@ -23,7 +23,9 @@ class DeterminismSpec extends SparkSpec {
     // r7d: profit/value doubles divided off DECIMAL(38,0) accumulators
     "q9_product_profit", "q11_important_parts", "events_value_histogram",
     // r14: cosine-emitting graph/search faces
-    "ann_knn_graph", "ann_recall_curve")
+    "ann_knn_graph", "ann_recall_curve",
+    // r14 w9-11: jaccard-double pairs, cosine-emitting negative miner
+    "dedup_containment", "ann_hard_negatives")
 
   test("float-emitting queries are bit-identical across two evaluations") {
     val dir = sfMid
