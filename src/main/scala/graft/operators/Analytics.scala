@@ -1370,6 +1370,155 @@ object Analytics {
       |LEFT JOIN p ON p.user_id = v.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  // ------------------------------------------- conversion velocity
+  /** Conversion-velocity report (r14 wave 12) — the TIME dimension of
+    * [[eventsFunnel]]'s staged progression: for each stage pair
+    * (view→click, click→purchase, view→purchase), how many users
+    * converted and the p50/p90 latency in whole seconds at the exact
+    * rank ⌈q·n⌉ ([[stream_quantile]]'s convention, fully tie-broken by
+    * (latency, user_id)) — the dashboard that distinguishes "the
+    * funnel converts" from "the funnel converts this quarter".
+    * Latencies derive from the same first-view/first-click-after/
+    * first-purchase-after stage times the funnel face pins.
+    *
+    * == Scale design ==
+    * The stage relations collapse to O(users) min-aggregations (the
+    * funnel shape already audited); the three-pair stack and its rank
+    * windows run on ≤3×users thin rows partitioned by stage pair —
+    * never the event log.
+    */
+  def eventsFunnelTime(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t_view"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("uc"), unix_micros(col("ts")).as("tsc"))
+    val c = v.join(clicks, col("uc") === col("user_id") && col("tsc") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("tsc")).as("t_click"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("up"), unix_micros(col("ts")).as("tsp"))
+    val p = c.join(purchases, col("up") === col("user_id") && col("tsp") > col("t_click"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(col("tsp")).as("t_purchase"))
+    val lat = c.select(lit("view_click").as("stage_pair"), col("user_id"),
+        expr("(t_click - t_view) div 1000000").as("lat_s"))
+      .unionByName(p.select(lit("click_purchase").as("stage_pair"), col("user_id"),
+        expr("(t_purchase - t_click) div 1000000").as("lat_s")))
+      .unionByName(p.select(lit("view_purchase").as("stage_pair"), col("user_id"),
+        expr("(t_purchase - t_view) div 1000000").as("lat_s")))
+    val wr = Window.partitionBy(col("stage_pair")).orderBy(col("lat_s"), col("user_id"))
+    lat.withColumn("rk", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("stage_pair"))))
+      .groupBy(col("stage_pair"))
+      .agg(max(col("n")).cast("long").as("n_users"),
+        max(when(col("rk") === expr("(n + 1) div 2"), col("lat_s"))).as("p50_s"),
+        max(when(col("rk") === expr("(9 * n + 9) div 10"), col("lat_s"))).as("p90_s"))
+      .orderBy(col("stage_pair"))
+  }
+
+  val eventsFunnelTimeSql: String =
+    """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT v.user_id, v.t_view, min(epoch_us(e.ts)) AS t_click
+      |  FROM v JOIN events e ON e.user_id = v.user_id
+      |    AND e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+      |  GROUP BY v.user_id, v.t_view),
+      |p AS (SELECT c.user_id, c.t_view, c.t_click, min(epoch_us(e.ts)) AS t_purchase
+      |  FROM c JOIN events e ON e.user_id = c.user_id
+      |    AND e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+      |  GROUP BY c.user_id, c.t_view, c.t_click),
+      |lat AS (
+      |  SELECT 'view_click' AS stage_pair, user_id, (t_click - t_view) // 1000000 AS lat_s FROM c
+      |  UNION ALL
+      |  SELECT 'click_purchase', user_id, (t_purchase - t_click) // 1000000 FROM p
+      |  UNION ALL
+      |  SELECT 'view_purchase', user_id, (t_purchase - t_view) // 1000000 FROM p),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY stage_pair ORDER BY lat_s, user_id) AS rk,
+      |    count(*) OVER (PARTITION BY stage_pair) AS n FROM lat)
+      |SELECT stage_pair, CAST(max(n) AS BIGINT) AS n_users,
+      |  max(CASE WHEN rk = (n + 1) // 2 THEN lat_s END) AS p50_s,
+      |  max(CASE WHEN rk = (9 * n + 9) // 10 THEN lat_s END) AS p90_s
+      |FROM r GROUP BY stage_pair ORDER BY stage_pair""".stripMargin
+
+  // ------------------------------------------ markov steady state
+  /** 6-step state distribution of the session transition chain (r14
+    * wave 12) — [[graphPagerank]]'s fixed-point discipline applied to
+    * [[eventsMarkov]]'s matrix: starting uniform over the observed
+    * types, push mass through the exact integer transition recurrence
+    * π_{k+1}(t) = Σ_f π_k(f)·n(f,t) div rowtotal(f) for 6 rounds in
+    * pico units — "where do sessions end up", the long-run engagement
+    * mix behind the one-step matrix. Fixed rounds make the contract
+    * replayable (no convergence test to diverge across engines);
+    * integer-division dust decays Σπ slightly per round, exactly as
+    * the pagerank face documents. Types with no outgoing transitions
+    * evaporate their mass by the same recurrence on both engines.
+    *
+    * == Scale design ==
+    * ONE fact scan (the lag window) folds to the checkpointed
+    * O(types²) matrix; all 6 rounds run on that and the O(types)
+    * vector — broadcast-scale, corpus-free. π·n products ride
+    * DECIMAL(38,0)/HUGEINT (pico-mass × corpus-sized counts overflows
+    * int64 past ~10⁷ transitions).
+    */
+  def eventsMarkovSteady(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val PI = 1000000000000L
+    val GAP = 1800000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val trans = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("from_type").isNotNull && col("us") - col("prev_us") <= GAP)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rt", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .stableCheckpoint()
+    val states = trans.select(col("from_type").as("t"))
+      .union(trans.select(col("to_type"))).distinct()
+    val nn = states.agg(count(lit(1)).as("k"))
+    var pi = states.crossJoin(broadcast(nn))
+      .select(col("t"), expr(s"${PI}L div k").as("pi"))
+    for (_ <- 1 to 6) {
+      val inflow = trans.join(pi, col("from_type") === col("t"))
+        .groupBy(col("to_type"))
+        .agg(sum(expr("cast(pi as decimal(38,0)) * n div rt")).as("pin"))
+      pi = states.join(inflow, states("t") === col("to_type"), "left")
+        .select(col("t"), coalesce(col("pin"), lit(0L)).as("pi"))
+    }
+    pi.select(col("t").as("event_type"), col("pi").as("pi_pico"),
+        expr("pi div 1000000").as("pi_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsMarkovSteadySql: String = {
+    val iters = (1 to 6).map { k =>
+      s"p$k AS (SELECT s.t, coalesce(i.pin, 0) AS pi FROM s LEFT JOIN " +
+        s"(SELECT t.to_type, CAST(sum(CAST(p${k - 1}.pi AS HUGEINT) * t.n // t.rt) AS BIGINT) AS pin" +
+        s" FROM t JOIN p${k - 1} ON t.from_type = p${k - 1}.t GROUP BY t.to_type) i" +
+        s" ON i.to_type = s.t)"
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS from_type,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+       |  FROM events),
+       |tr AS (SELECT from_type, event_type AS to_type, count(*) AS n FROM x
+       |  WHERE from_type IS NOT NULL AND us - prev_us <= 1800000000
+       |  GROUP BY 1, 2),
+       |t AS MATERIALIZED (SELECT *,
+       |    CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS rt FROM tr),
+       |s AS (SELECT DISTINCT from_type AS t FROM t
+       |  UNION SELECT DISTINCT to_type FROM t),
+       |kk AS (SELECT count(*) AS k FROM s),
+       |p0 AS (SELECT s.t, 1000000000000 // kk.k AS pi FROM s CROSS JOIN kk),
+       |$iters
+       |SELECT t AS event_type, CAST(pi AS BIGINT) AS pi_pico,
+       |  CAST(pi AS BIGINT) // 1000000 AS pi_ppm
+       |FROM p6 ORDER BY event_type""".stripMargin
+  }
+
   // ----------------------------------------- native session windows
   /** Gap sessionization via Spark's NATIVE `session_window` operator —
     * the built-in face beside the explicit lag/cumsum [[sessionize]]
@@ -4042,6 +4191,8 @@ object Analytics {
     "events_ab_lift" -> eventsAbLift,
     "events_ab_srm" -> eventsAbSrm,
     "events_ab_power" -> eventsAbPower,
+    "events_funnel_time" -> eventsFunnelTime,
+    "events_markov_steady" -> eventsMarkovSteady,
     "events_seasonality" -> eventsSeasonality,
     "events_late_data" -> eventsLateData,
     "events_attribution" -> eventsAttribution,
@@ -4125,6 +4276,8 @@ object Analytics {
     "events_ab_lift" -> eventsAbLiftSql,
     "events_ab_srm" -> eventsAbSrmSql,
     "events_ab_power" -> eventsAbPowerSql,
+    "events_funnel_time" -> eventsFunnelTimeSql,
+    "events_markov_steady" -> eventsMarkovSteadySql,
     "events_seasonality" -> eventsSeasonalitySql,
     "events_late_data" -> eventsLateDataSql,
     "events_attribution" -> eventsAttributionSql,

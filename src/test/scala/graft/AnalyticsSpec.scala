@@ -1289,4 +1289,50 @@ class AnalyticsSpec extends SparkSpec {
       assert(byMde == byMde.sorted.reverse, "n_per_arm not monotone in MDE")
     }
   }
+
+  test("funnel time picks the exact rank-quantile latencies per stage pair") {
+    import spark.implicits._
+    // u1: view@0 click@10s purchase@60s; u2: view@0 click@20s;
+    // u3: view@0 click@30s -> view_click latencies {10,20,30}
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 60L, "purchase"),
+      (2L, 0L, "view"), (2L, 20L, "click"),
+      (3L, 0L, "view"), (3L, 30L, "click"))
+    rows.zipWithIndex.map { case ((u, sec, t), i) =>
+      (i.toLong, sec * 1000000L + u, u, t, 1.0)
+    }.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-ft/events.parquet")
+    val out = Analytics.eventsFunnelTime(spark, "/tmp/graft-test-ft")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // n=3: p50 rank (3+1)/2=2 -> 20s, p90 rank (27+9)/10=3 -> 30s
+    assert(out == Seq(
+      ("click_purchase", 1L, 50L, 50L),
+      ("view_click", 3L, 20L, 30L),
+      ("view_purchase", 1L, 60L, 60L)), s"funnel time drifted: $out")
+  }
+
+  test("markov steady state equals a 6-round in-memory mass replay") {
+    import spark.implicits._
+    val got = Analytics.eventsMarkovSteady(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    // replay from the registered one-step matrix
+    val m = Analytics.eventsMarkov(spark, sf)
+      .select("from_type", "to_type", "n").as[(String, String, Long)]
+      .collect()
+    val rt = m.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val states = (m.map(_._1) ++ m.map(_._2)).distinct.sorted
+    var pi = states.map(t => t -> 1000000000000L / states.length).toMap
+    for (_ <- 1 to 6) {
+      val inflow = m.groupBy(_._2).view.mapValues(
+        _.map { case (f, _, n) => (BigInt(pi(f)) * n / rt(f)).toLong }.sum).toMap
+      pi = states.map(t => t -> inflow.getOrElse(t, 0L)).toMap
+    }
+    val expected = states.map(t => (t, pi(t), pi(t) / 1000000L)).toSeq
+    assert(got == expected, s"steady state drifted: $got vs $expected")
+    // mass is conserved up to integer-division dust (never created)
+    assert(got.map(_._2).sum <= 1000000000000L)
+    assert(got.map(_._2).sum > 990000000000L, "mass evaporated beyond dust")
+  }
 }
