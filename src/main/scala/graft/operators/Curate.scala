@@ -1158,6 +1158,67 @@ object Curate {
   val corpusShuffleSql: String = corpusShuffleSqlEpoch(0)
   val corpusShuffleE1Sql: String = corpusShuffleSqlEpoch(1)
 
+  // ------------------------------------------------ source interleave
+  /** Deterministic multi-source INTERLEAVE order (r14 wave 13) — the
+    * balanced-reader key beside [[corpusShuffle]]'s global
+    * permutation: within each source docs take a salted-hash rank
+    * (one "il|" fold, a salt no other sampler uses), and the global
+    * read key is (rank − 1)·k + source_index — strict round-robin
+    * across the k sources, so ANY prefix of the order is per-source
+    * balanced to ±1 while every source still has documents (the spec
+    * pins the exact-balance prefix). This is the order a streaming
+    * trainer reads when the source mixture must stay honest within
+    * every batch, not just in expectation — a plain shuffle leaves
+    * source runs whose length fluctuates with the corpus; an
+    * interleave cannot. Exhausted sources leave key gaps by design:
+    * the key is a SORT key, not a dense position ([[corpusUpsample]]
+    * is the face that repairs imbalance before this one reads).
+    *
+    * == Scale design ==
+    * Per-source ranks ride [[Analytics.globalRowPos]]'s range-
+    * partitioned two-phase row position partitioned BY source — no
+    * single-task sort, sources rank in parallel; the O(sources)
+    * index ledger broadcasts; the output sort is the presentation
+    * order every corpus-order key pays.
+    */
+  def corpusInterleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    def fold(c: Column): Column = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(c), GraftSqlShim.expression(lit(1000000007L))))
+    val keyed = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        fold(concat(lit("il|"), col("doc_id").cast("string"))).as("h"))
+    val ranked = Analytics.globalRowPos(keyed, Seq("source"),
+      Seq(col("h"), col("doc_id")), "src_pos", "__nsrc")
+    val idx = keyed.select(col("source")).distinct()
+      .withColumn("sidx",
+        row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+      .withColumn("k", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    ranked.join(broadcast(idx), "source")
+      .select(col("doc_id"), col("source"), col("src_pos"),
+        ((col("src_pos") - 1) * col("k") + col("sidx") + 1).as("interleave_key"))
+      .orderBy(col("interleave_key"))
+  }
+
+  /** DuckDB twin: the same salted fold, per-source row_number, and
+    * round-robin key arithmetic. */
+  val corpusInterleaveSql: String =
+    s"""WITH h AS (SELECT doc_id, source,
+       |    ${foldSql("'il|' || CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY h, doc_id) AS BIGINT) AS src_pos FROM h),
+       |s AS (SELECT source,
+       |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS sidx,
+       |    CAST(count(*) OVER () AS BIGINT) AS k
+       |  FROM (SELECT DISTINCT source FROM documents))
+       |SELECT r.doc_id, r.source, r.src_pos,
+       |  (r.src_pos - 1) * s.k + s.sidx + 1 AS interleave_key
+       |FROM r JOIN s ON s.source = r.source
+       |ORDER BY interleave_key""".stripMargin
+
   /** Grown-corpus shuffle stability — the registered face of the r12
     * spec pin: the epoch order REPLAYED after the corpus gains
     * documents. "Before" is the even-doc_id half of the corpus,
@@ -1758,6 +1819,7 @@ object Curate {
     "corpus_shards" -> corpusShards,
     "corpus_shard_skew" -> corpusShardSkew,
     "corpus_shuffle" -> corpusShuffle,
+    "corpus_interleave" -> corpusInterleave,
     "corpus_shuffle_e1" -> corpusShuffleE1,
     "corpus_shuffle_grown" -> corpusShuffleGrown,
     "corpus_shard_read" -> corpusShardRead,
@@ -1794,6 +1856,7 @@ object Curate {
     "corpus_shards" -> corpusShardsSql,
     "corpus_shard_skew" -> corpusShardSkewSql,
     "corpus_shuffle" -> corpusShuffleSql,
+    "corpus_interleave" -> corpusInterleaveSql,
     "corpus_shuffle_e1" -> corpusShuffleE1Sql,
     "corpus_shuffle_grown" -> corpusShuffleGrownSql,
     "corpus_shard_read" -> corpusShardReadSql,

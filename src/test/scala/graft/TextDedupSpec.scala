@@ -1669,6 +1669,33 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("interleave order is per-source balanced in every full-round prefix") {
+    import spark.implicits._
+    val out = Curate.corpusInterleave(spark, sfMid)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._4)
+    // the key is a total read order
+    assert(out.map(_._4).distinct.length == out.length, "keys collide")
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    val k = bySrc.size; val mmin = bySrc.values.min
+    assert(k >= 2, "single-source corpus — interleave vacuous")
+    // every source's rank-r doc precedes every rank-(r+1) doc, so the
+    // first k*m keys hold exactly m docs of EVERY source while all last
+    val prefix = out.take(k * mmin)
+    val cnt = prefix.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(cnt.values.toSet == Set(mmin), s"full-round prefix unbalanced: $cnt")
+    // and ANY prefix in the balanced region is within +-1 per source
+    (1 to math.min(k * mmin, 60)).foreach { m =>
+      val c = out.take(m).groupBy(_._2).view.mapValues(_.length).toMap
+      val vs = bySrc.keySet.toSeq.map(s0 => c.getOrElse(s0, 0))
+      assert(vs.max - vs.min <= 1, s"prefix $m unbalanced: $c")
+    }
+    // per-source ranks are dense 1..n
+    out.groupBy(_._2).foreach { case (s0, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"$s0 ranks not dense")
+    }
+  }
+
   test("containment catches a verbatim quote that jaccard misses") {
     import spark.implicits._
     val short = (1 to 12).map(i => s"w$i").mkString(" ")          // 10 shingles
