@@ -791,6 +791,73 @@ object Maintain {
       .orderBy(col("feature"), col("bucket"))
   }
 
+  // ------------------------------------------------- KS two-sample
+  /** Exact two-sample Kolmogorov–Smirnov test on the purchase-value
+    * distribution across [[dqDrift]]'s epoch cut (r14 wave 13) — the
+    * CONTINUOUS-distribution face beside drift's banded TVD: banding
+    * can hide a shift that moves mass within a band, the KS sup-gap
+    * cannot. D = max over the merged cents grid of |CDF_ref −
+    * CDF_cur| in exact ppm (integer-div CDFs, (gap desc, cents)
+    * tie-break picks one attaining value), plus the α = 0.05 decision
+    * by EXACT integer cross-multiplication — D²·n_ref·n_cur >
+    * c²·10⁶·(n_ref+n_cur) with c² = 1.844164 staged as 1844164/10⁶ —
+    * in DECIMAL(38,0)/HUGEINT so no float boundary and no overflow up
+    * to ~10¹³ events per side.
+    *
+    * == Scale design ==
+    * ONE scan folds events onto the O(distinct cents) grid (the value
+    * domain is bounded — ≤ ~10⁴ distinct cents by generation); the
+    * cumulative and max windows run un-partitioned on that bounded
+    * ledger, never the event log (the compaction_plan precedent: the
+    * single-partition warning fires on ~10⁴ rows, not events).
+    */
+  def dqKsValues(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val grid = Tables.load(s, dir, "events")
+      .select(cents(col("value")).as("v"),
+        (col("ts") < cut).cast("long").as("is_ref"))
+      .groupBy(col("v"))
+      .agg(sum(col("is_ref")).as("a"), sum(lit(1L) - col("is_ref")).as("b"))
+    val wc = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("ca", sum(col("a")).over(wc))
+      .withColumn("cb", sum(col("b")).over(wc))
+      .withColumn("na", sum(col("a")).over(wAll))
+      .withColumn("nb", sum(col("b")).over(wAll))
+      .withColumn("d_ppm",
+        expr("abs(ca * 1000000 div na - cb * 1000000 div nb)"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("d_ppm").desc, col("v"))))
+      .filter(col("rn") === 1)
+      .select(col("na").as("n_ref"), col("nb").as("n_cur"),
+        col("d_ppm"), col("v").as("at_cents"),
+        (expr("cast(d_ppm as decimal(38,0)) * d_ppm * na * nb") >
+          expr("cast(1844164 as decimal(38,0)) * 1000000 * (na + nb)"))
+          .cast("long").as("reject_05"))
+  }
+
+  val dqKsValuesSql: String =
+    """WITH g AS (SELECT CAST(round(value*100) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS BIGINT) AS b
+      |  FROM events GROUP BY 1),
+      |c AS (SELECT v,
+      |    CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+      |    CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb,
+      |    CAST(sum(a) OVER () AS BIGINT) AS na,
+      |    CAST(sum(b) OVER () AS BIGINT) AS nb
+      |  FROM g),
+      |d AS (SELECT v, na, nb,
+      |    abs(ca * 1000000 // na - cb * 1000000 // nb) AS d_ppm
+      |  FROM c),
+      |r AS (SELECT *, row_number() OVER (ORDER BY d_ppm DESC, v) AS rn FROM d)
+      |SELECT na AS n_ref, nb AS n_cur, d_ppm, v AS at_cents,
+      |  CAST(CASE WHEN CAST(d_ppm AS HUGEINT) * d_ppm * na * nb
+      |      > CAST(1844164 AS HUGEINT) * 1000000 * (na + nb)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+      |FROM r WHERE rn = 1""".stripMargin
+
   /** DuckDB twin: same two stacked features, same integer shares. */
   val dqDriftSql: String =
     """WITH b AS (SELECT
@@ -883,6 +950,7 @@ object Maintain {
     "table_profile" -> tableProfile,
     "dq_rules" -> dqRules,
     "dq_drift" -> dqDrift,
+    "dq_ks_values" -> dqKsValues,
     "dq_freshness" -> dqFreshness,
     "dq_referential" -> dqReferential)
 
@@ -899,6 +967,7 @@ object Maintain {
     "table_profile" -> tableProfileSql,
     "dq_rules" -> dqRulesSql,
     "dq_drift" -> dqDriftSql,
+    "dq_ks_values" -> dqKsValuesSql,
     "dq_freshness" -> dqFreshnessSql,
     "dq_referential" -> dqReferentialSql)
 }

@@ -356,6 +356,32 @@ class MaintainSpec extends SparkSpec {
     assert(got.exists(!_._7), "every feed stale — anchor broken")
   }
 
+  test("ks test detects a planted location shift and stays quiet on identity") {
+    import spark.implicits._
+    def write(curVals: Seq[Double], dir: String): Unit = {
+      val ref = (1 to 20).map(i => (i.toLong, "2024-01-10 00:00:00", 10.0 + (i % 3)))
+      val cur = curVals.zipWithIndex.map { case (v, i) =>
+        (100L + i, "2024-01-20 00:00:00", v)
+      }
+      (ref ++ cur).toDF("event_id", "tss", "value")
+        .withColumn("ts", to_timestamp(col("tss")))
+        .withColumn("user_id", col("event_id") % 5)
+        .withColumn("event_type", lit("purchase"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    // planted shift: every current value above every reference value
+    write((1 to 20).map(_ => 50.0), "/tmp/graft-test-ks1")
+    val shifted = Maintain.dqKsValues(spark, "/tmp/graft-test-ks1")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(shifted == ((20L, 20L, 1000000L, 1200L, 1L)), s"shift missed: $shifted")
+    // identical distributions: D = 0, never rejected
+    write((1 to 20).map(i => 10.0 + (i % 3)), "/tmp/graft-test-ks2")
+    val same = Maintain.dqKsValues(spark, "/tmp/graft-test-ks2")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(same._3 == 0L && same._5 == 0L, s"false alarm: $same")
+  }
+
   test("vacuum plan flags the file the curation deletes hollowed out") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
