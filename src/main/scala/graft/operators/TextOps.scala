@@ -532,6 +532,91 @@ object TextOps {
        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // -------------------------------------------------------- AUC
+  /** Exact Mann-Whitney AUC of [[qualityClassifier]] against the gate
+    * it distills (r14 wave 14) — DISCRIMINATION, the second half of
+    * classifier evaluation beside [[mlCalibration]]'s reliability
+    * table (a filter can be perfectly calibrated and useless, or
+    * sharply discriminating and miscalibrated — production gates need
+    * both numbers): AUC = P(logit_pos > logit_neg) + ½P(tie), computed
+    * tie-EXACTLY in doubled integer units — U₂ = Σ over distinct
+    * logits g of pos_g·(2·negs_below(g) + neg_g), AUC_ppm = U₂·10⁶
+    * div (2·n_pos·n_neg) — no rank floats, no tie approximation, both
+    * engines bit-agree. Products ride DECIMAL(38,0)/HUGEINT (U₂ is
+    * O(N²)).
+    *
+    * == Scale design ==
+    * One feature pass folds to the O(distinct logits) grid; the
+    * negs-below prefix runs as the [[Curate.corpusTokenBudget]]
+    * two-phase — intra-bucket windows partitioned by the ~30
+    * half-logit buckets (parallel) plus an O(30) broadcast bucket
+    * prefix — never a single global sort over the grid.
+    */
+  def mlAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = docs(s, dir).select(col("doc_id"), col("n_chars"),
+      regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
+    val stopR = col("n_stop") * 1.0 / col("n_tokens")
+    val punctR = col("n_punct") * 1.0 / col("n_chars")
+    val lenSat = least(lit(1.0), col("n_tokens") / 64.0)
+    val logit = lit(-2.0) + stopR * 4.0 - punctR * 8.0 + lenSat * 2.0
+    val quality = (lit(1.0) - stopR) * (lit(1.0) - punctR) * lenSat
+    val g = meta.join(toks, "doc_id")
+      .select(floor(logit * 1e6 + 0.5).cast("long").as("lm"),
+        (quality >= 0.5).cast("long").as("pass"))
+      .groupBy(col("lm"))
+      .agg(sum(col("pass")).as("pos"), sum(lit(1L) - col("pass")).as("neg"))
+      .withColumn("bucket", expr("(lm + 16000000) div 500000"))
+    val intra = Window.partitionBy(col("bucket")).orderBy(col("lm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktNeg = g.groupBy(col("bucket")).agg(sum(col("neg")).as("bn"))
+    val over = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bktNeg
+      .withColumn("bp", coalesce(sum(col("bn")).over(over), lit(0L)))
+      .select(col("bucket"), col("bp"))
+    g.withColumn("nin", coalesce(sum(col("neg")).over(intra), lit(0L)))
+      .join(broadcast(prefixes), "bucket")
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(expr("cast(pos as decimal(38,0)) * (2 * (bp + nin) + neg)")).as("u2d"))
+      .select(col("n_pos"), col("n_neg"),
+        col("u2d").cast("decimal(38,0)").cast("long").as("u2"),
+        expr("cast(u2d * 1000000 div (2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)")
+          .as("auc_ppm"))
+  }
+
+  val mlAucSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0
+       |      / len(string_split(text, ' ')) AS stop_r,
+       |    len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars AS punct_r,
+       |    least(1.0, len(string_split(text, ' ')) / 64.0) AS len_sat
+       |  FROM documents),
+       |x AS (SELECT
+       |    CAST(floor((-2.0 + stop_r * 4.0 - punct_r * 8.0 + len_sat * 2.0) * 1e6 + 0.5) AS BIGINT) AS lm,
+       |    CASE WHEN (1.0 - stop_r) * (1.0 - punct_r) * len_sat >= 0.5
+       |      THEN 1 ELSE 0 END AS pass
+       |  FROM f),
+       |g AS (SELECT lm, CAST(sum(pass) AS BIGINT) AS pos,
+       |    CAST(sum(1 - pass) AS BIGINT) AS neg
+       |  FROM x GROUP BY lm),
+       |c AS (SELECT *, coalesce(CAST(sum(neg) OVER (ORDER BY lm
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cnb
+       |  FROM g)
+       |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(neg) AS BIGINT) AS n_neg,
+       |  CAST(sum(CAST(pos AS HUGEINT) * (2 * cnb + neg)) AS BIGINT) AS u2,
+       |  CAST(sum(CAST(pos AS HUGEINT) * (2 * cnb + neg)) * 1000000
+       |    // (2 * CAST(sum(pos) AS HUGEINT) * CAST(sum(neg) AS BIGINT)) AS BIGINT) AS auc_ppm
+       |FROM c""".stripMargin
+  }
+
   // -------------------------------------------- feature importance
   /** Single-split gini importance for the quality-gate features (r14
     * wave 10) — the model-debug face beside [[mlCalibration]]: for
@@ -1834,6 +1919,7 @@ object TextOps {
     "ml_eval_langid" -> mlEvalLangid,
     "ml_calibration" -> mlCalibration,
     "ml_feature_importance" -> mlFeatureImportance,
+    "ml_auc" -> mlAuc,
     "text_collocations" -> textCollocations,
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
@@ -1885,6 +1971,7 @@ object TextOps {
     "ml_eval_langid" -> mlEvalLangidSql,
     "ml_calibration" -> mlCalibrationSql,
     "ml_feature_importance" -> mlFeatureImportanceSql,
+    "ml_auc" -> mlAucSql,
     "text_collocations" -> textCollocationsSql,
     "ml_feature_hash" -> mlFeatureHashSql,
     "vocab_build" -> vocabBuildSql,

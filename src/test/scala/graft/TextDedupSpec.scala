@@ -1793,6 +1793,45 @@ class TextDedupSpec extends SparkSpec {
     assert(rates == rates.sorted, s"pass rate not monotone: $rates")
   }
 
+  test("auc equals a brute-force pairwise comparison of classifier vs gate") {
+    import spark.implicits._
+    val cls = TextOps.qualityClassifier(spark, sfMid)
+      .select("doc_id", "logit_micro").as[(Long, Long)].collect().toMap
+    val gate = TextOps.textQuality(spark, sfMid)
+      .select(col("doc_id"), (col("quality_score") >= 0.5).as("p"))
+      .as[(Long, Boolean)].collect()
+    val pos = gate.filter(_._2).map(r => cls(r._1))
+    val neg = gate.filterNot(_._2).map(r => cls(r._1))
+    var u2 = BigInt(0)
+    for (p <- pos; n2 <- neg)
+      u2 += (if (p > n2) 2 else if (p == n2) 1 else 0)
+    val out = TextOps.mlAuc(spark, sfMid).head()
+    assert(out.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(out.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(BigInt(out.getAs[Long]("u2")) == u2, "rank-sum drifted from brute force")
+    assert(out.getAs[Long]("auc_ppm") ==
+      (u2 * 1000000 / (2 * BigInt(pos.length) * neg.length)).toLong)
+    // the distilled filter genuinely separates the gate on this corpus
+    assert(out.getAs[Long]("auc_ppm") > 900000L)
+  }
+
+  test("auc saturates when classifier and gate agree on the length axis") {
+    import spark.implicits._
+    // length is the axis BOTH faces score the same way (stopwords they
+    // genuinely disagree on — the classifier rewards them as a
+    // natural-language signal, the gate penalizes them; the brute-force
+    // test above carries that case). Long clean docs: logit 0, gate
+    // pass; short clean docs: logit -1.5, gate fail -> AUC = 1.
+    val long = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val short = (1 to 15).map(i => s"q$i").mkString(" ")
+    docsDf(Seq.tabulate(3)(i => (i + 1L, long + s" u$i", "en")) ++
+      Seq.tabulate(3)(i => (i + 4L, short + s" w$i", "en")))
+      .write.mode("overwrite").parquet("/tmp/graft-test-auc/documents.parquet")
+    val sep = TextOps.mlAuc(spark, "/tmp/graft-test-auc").head()
+    assert(sep.getAs[Long]("n_pos") == 3L && sep.getAs[Long]("n_neg") == 3L)
+    assert(sep.getAs[Long]("auc_ppm") == 1000000L, "separation not saturated")
+  }
+
   test("feature importance equals an exact in-memory gini replay") {
     import spark.implicits._
     // punctuation-free single-space docs so the feature replay is exact:
