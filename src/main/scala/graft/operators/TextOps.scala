@@ -617,6 +617,90 @@ object TextOps {
        |FROM c""".stripMargin
   }
 
+  // ---------------------------------------------------- PR curve
+  /** Precision-recall operating table for [[qualityClassifier]]
+    * against the gate (r14 wave 14) — the third face of classifier
+    * evaluation: [[mlCalibration]] says whether the scores mean what
+    * they claim, [[mlAuc]] whether they separate at all, this one
+    * says WHICH threshold to ship: for every half-logit bucket
+    * threshold, predicted positives, true positives, and exact-ppm
+    * precision / recall / F1 (F1 staged integer-exactly as
+    * 2·tp·10⁶ div (2·tp + fp + fn) — no float harmonic mean). The
+    * production decision — "filter at score ≥ X" — is a row lookup
+    * in this table.
+    *
+    * == Scale design ==
+    * The shared feature pass folds onto the O(30) bucket histogram;
+    * the reverse-cumulative windows and every metric run on that
+    * ledger ([[Curate.corpusQualityCurve]]'s reverse-cumulative
+    * move) — no per-threshold corpus pass.
+    */
+  def mlPrCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = docs(s, dir).select(col("doc_id"), col("n_chars"),
+      regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
+    val stopR = col("n_stop") * 1.0 / col("n_tokens")
+    val punctR = col("n_punct") * 1.0 / col("n_chars")
+    val lenSat = least(lit(1.0), col("n_tokens") / 64.0)
+    val logit = lit(-2.0) + stopR * 4.0 - punctR * 8.0 + lenSat * 2.0
+    val quality = (lit(1.0) - stopR) * (lit(1.0) - punctR) * lenSat
+    val hist = meta.join(toks, "doc_id")
+      .select(
+        expr("(cast(floor((-2.0 + (n_stop * 1.0 / n_tokens) * 4.0" +
+          " - (n_punct * 1.0 / n_chars) * 8.0" +
+          " + least(1.0, n_tokens / 64.0) * 2.0) * 1e6 + 0.5) as long)" +
+          " + 16000000) div 500000").as("bucket"),
+        (quality >= 0.5).cast("long").as("pass"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"), sum(col("pass")).as("bp"))
+    val rev = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("pp", sum(col("bn")).over(rev))
+      .withColumn("tp", sum(col("bp")).over(rev))
+      .withColumn("pos", sum(col("bp")).over(wAll))
+      .select(col("bucket").as("thr_bucket"),
+        col("pp").as("n_predicted_pos"), col("tp"),
+        expr("tp * 1000000 div pp").as("precision_ppm"),
+        expr("tp * 1000000 div pos").as("recall_ppm"),
+        expr("2 * tp * 1000000 div (pp + pos)").as("f1_ppm"))
+      .orderBy(col("thr_bucket"))
+  }
+
+  val mlPrCurveSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0
+       |      / len(string_split(text, ' ')) AS stop_r,
+       |    len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars AS punct_r,
+       |    least(1.0, len(string_split(text, ' ')) / 64.0) AS len_sat
+       |  FROM documents),
+       |x AS (SELECT
+       |    (CAST(floor((-2.0 + stop_r * 4.0 - punct_r * 8.0 + len_sat * 2.0) * 1e6 + 0.5) AS BIGINT)
+       |      + 16000000) // 500000 AS bucket,
+       |    CASE WHEN (1.0 - stop_r) * (1.0 - punct_r) * len_sat >= 0.5
+       |      THEN 1 ELSE 0 END AS pass
+       |  FROM f),
+       |h AS (SELECT bucket, count(*) AS bn, CAST(sum(pass) AS BIGINT) AS bp
+       |  FROM x GROUP BY 1),
+       |c AS (SELECT *,
+       |    CAST(sum(bn) OVER (ORDER BY bucket DESC) AS BIGINT) AS pp,
+       |    CAST(sum(bp) OVER (ORDER BY bucket DESC) AS BIGINT) AS tp,
+       |    CAST(sum(bp) OVER () AS BIGINT) AS pos
+       |  FROM h)
+       |SELECT bucket AS thr_bucket, pp AS n_predicted_pos, tp,
+       |  tp * 1000000 // pp AS precision_ppm,
+       |  tp * 1000000 // pos AS recall_ppm,
+       |  2 * tp * 1000000 // (pp + pos) AS f1_ppm
+       |FROM c ORDER BY thr_bucket""".stripMargin
+  }
+
   // -------------------------------------------- feature importance
   /** Single-split gini importance for the quality-gate features (r14
     * wave 10) — the model-debug face beside [[mlCalibration]]: for
@@ -1920,6 +2004,7 @@ object TextOps {
     "ml_calibration" -> mlCalibration,
     "ml_feature_importance" -> mlFeatureImportance,
     "ml_auc" -> mlAuc,
+    "ml_pr_curve" -> mlPrCurve,
     "text_collocations" -> textCollocations,
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
@@ -1972,6 +2057,7 @@ object TextOps {
     "ml_calibration" -> mlCalibrationSql,
     "ml_feature_importance" -> mlFeatureImportanceSql,
     "ml_auc" -> mlAucSql,
+    "ml_pr_curve" -> mlPrCurveSql,
     "text_collocations" -> textCollocationsSql,
     "ml_feature_hash" -> mlFeatureHashSql,
     "vocab_build" -> vocabBuildSql,

@@ -1832,6 +1832,30 @@ class TextDedupSpec extends SparkSpec {
     assert(sep.getAs[Long]("auc_ppm") == 1000000L, "separation not saturated")
   }
 
+  test("pr curve is the reverse cumulative of the calibration histogram") {
+    import spark.implicits._
+    val cal = TextOps.mlCalibration(spark, sfMid)
+      .select("bucket", "n_docs", "n_pass")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val pr = TextOps.mlPrCurve(spark, sfMid)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(pr.map(_._1).toSeq == cal.map(_._1).toSeq, "threshold axis drifted")
+    val pos = cal.map(_._3).sum
+    pr.foreach { case (b, pp, tp, prec, rec, f1) =>
+      val tail = cal.filter(_._1 >= b)
+      assert(pp == tail.map(_._2).sum, s"predicted-pos at $b")
+      assert(tp == tail.map(_._3).sum, s"true-pos at $b")
+      assert(prec == tp * 1000000 / pp && rec == tp * 1000000 / pos)
+      assert(f1 == 2 * tp * 1000000 / (pp + pos), s"f1 identity at $b")
+    }
+    // mathematical monotonicity: raising the threshold can only shrink
+    // the predicted set and the recall
+    assert(pr.map(_._2).toSeq == pr.map(_._2).toSeq.sorted.reverse)
+    assert(pr.map(_._5).toSeq == pr.map(_._5).toSeq.sorted.reverse)
+    // the lowest threshold accepts everything
+    assert(pr.head._5 == 1000000L, "bottom row must have full recall")
+  }
+
   test("feature importance equals an exact in-memory gini replay") {
     import spark.implicits._
     // punctuation-free single-space docs so the feature replay is exact:
