@@ -1519,6 +1519,69 @@ object Analytics {
        |FROM p6 ORDER BY event_type""".stripMargin
   }
 
+  // ----------------------------------------------- gap histogram
+  /** Inter-event gap histogram in log₂ buckets (r14 wave 14) — the
+    * knob-setting query behind the 30-minute session gap every
+    * session-bounded face ([[sessionize]], [[eventsMarkov]],
+    * [[eventsPaths]]) hard-codes: per-user consecutive gaps in whole
+    * seconds, bucketed by ⌊log₂(gap+1)⌋ (binary-digit counting, no
+    * float log), with exact-ppm share, ascending cumulative, and the
+    * per-bucket share of gaps above the 1800 s cut — the table that
+    * shows whether the cut sits in the valley of the bimodal
+    * within-session / between-session gap distribution (the same
+    * justify-the-constant discipline as [[Dedup.dedupThresholdCurve]]).
+    *
+    * == Scale design ==
+    * ONE fact scan through the user-partitioned lag window (the
+    * markov shuffle); the fold lands on ≤ ~40 log buckets map-side,
+    * and every share/cumulative runs on that O(40) ledger.
+    */
+  def eventsGapHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gaps = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(expr("(us - prev_us) div 1000000").as("gap_s"))
+    val hist = gaps
+      .groupBy((length(bin(col("gap_s") + 1)) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("gap_s") > 1800L, 1L).otherwise(0L)).as("n_over_cut"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("cn", sum(col("n")).over(cum))
+      .select(col("bucket"),
+        (pow(lit(2), col("bucket")).cast("long") - 1).as("lo_s"),
+        col("n"), col("n_over_cut"),
+        expr("n * 1000000 div tot").as("share_ppm"),
+        expr("cn * 1000000 div tot").as("cum_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val eventsGapHistogramSql: String =
+    """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |g AS (SELECT (us - prev_us) // 1000000 AS gap_s FROM x
+      |  WHERE prev_us IS NOT NULL),
+      |h AS (SELECT CAST(length(bin(gap_s + 1)) - 1 AS BIGINT) AS bucket,
+      |    count(*) AS n,
+      |    CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cut
+      |  FROM g GROUP BY 1),
+      |c AS (SELECT *,
+      |    CAST(sum(n) OVER () AS BIGINT) AS tot,
+      |    CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cn
+      |  FROM h)
+      |SELECT bucket, CAST(power(2, bucket) AS BIGINT) - 1 AS lo_s,
+      |  n, n_over_cut,
+      |  n * 1000000 // tot AS share_ppm,
+      |  cn * 1000000 // tot AS cum_ppm
+      |FROM c ORDER BY bucket""".stripMargin
+
   // ----------------------------------------- native session windows
   /** Gap sessionization via Spark's NATIVE `session_window` operator —
     * the built-in face beside the explicit lag/cumsum [[sessionize]]
@@ -4192,6 +4255,7 @@ object Analytics {
     "events_ab_srm" -> eventsAbSrm,
     "events_ab_power" -> eventsAbPower,
     "events_funnel_time" -> eventsFunnelTime,
+    "events_gap_histogram" -> eventsGapHistogram,
     "events_markov_steady" -> eventsMarkovSteady,
     "events_seasonality" -> eventsSeasonality,
     "events_late_data" -> eventsLateData,
@@ -4277,6 +4341,7 @@ object Analytics {
     "events_ab_srm" -> eventsAbSrmSql,
     "events_ab_power" -> eventsAbPowerSql,
     "events_funnel_time" -> eventsFunnelTimeSql,
+    "events_gap_histogram" -> eventsGapHistogramSql,
     "events_markov_steady" -> eventsMarkovSteadySql,
     "events_seasonality" -> eventsSeasonalitySql,
     "events_late_data" -> eventsLateDataSql,

@@ -1313,6 +1313,25 @@ class AnalyticsSpec extends SparkSpec {
       ("view_purchase", 1L, 60L, 60L)), s"funnel time drifted: $out")
   }
 
+  test("gap histogram buckets by binary digits and flags the session cut") {
+    import spark.implicits._
+    // one user, gaps of 5 s, 100 s, 3895 s -> buckets 2, 6, 11; only
+    // the last exceeds the 1800 s session cut
+    val secs = Seq(0L, 5L, 105L, 4000L)
+    secs.zipWithIndex.map { case (sec, i) =>
+      (i.toLong, sec * 1000000L, 1L, "click", 1.0)
+    }.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-gap/events.parquet")
+    val out = Analytics.eventsGapHistogram(spark, "/tmp/graft-test-gap")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (2L, 3L, 1L, 0L, 333333L, 333333L),
+      (6L, 63L, 1L, 0L, 333333L, 666666L),
+      (11L, 2047L, 1L, 1L, 333333L, 1000000L)), s"gap histogram drifted: $out")
+  }
+
   test("markov steady state equals a 6-round in-memory mass replay") {
     import spark.implicits._
     val got = Analytics.eventsMarkovSteady(spark, sf)
