@@ -452,6 +452,134 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------ LSH banding curve
+  /** MinHash BANDING tradeoff curve (r14 wave 14, completing the
+    * tuning-curve symmetry: [[dedupThresholdCurve]] justifies the 0.3
+    * jaccard cut, [[dedupEmbeddingIvfCurve]] the IVF dials — this
+    * justifies [[dedupMinhashLsh]]'s fixed 8×4 banding): the same 32
+    * permutation lanes re-banded as (2×16, 4×8, 8×4, 16×2); per
+    * config the candidate pairs generated, how many verify at the
+    * exact 0.3 jaccard, and the exact-ppm recall against the
+    * exhaustive jaccard face — the S-curve dial (more bands / fewer
+    * rows = catch lower similarity at more candidates) read off real
+    * data instead of the textbook formula.
+    *
+    * == Scale design ==
+    * ONE shingle-hash pass and ONE 32-lane signature fold
+    * (checkpointed — all four configs re-band the same signatures
+    * map-side via a 30-struct explode); each config's candidate join
+    * keys on (cfg, band, bh) — uniform by minhash construction; the
+    * verify leg touches only candidate pairs, the truth join only the
+    * truth pairs, and the ledger is 4 rows.
+    */
+  def dedupLshCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.Checkpoints.StableSyntax
+    val minAggs = (0 until MINHASH_K).map(i =>
+      min(pmod(col("h") * aCoef(i) + bCoef(i), lit(P))).as(s"m$i"))
+    val hashed = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, java.lang.Long]()
+        it.flatMap { case (id, t) =>
+          trigrams(t).iterator.map { ng =>
+            var h = memo.get(ng)
+            if (h == null) {
+              if (memo.size() > (1 << 20)) memo.clear()
+              h = java.lang.Long.valueOf(polyHash(ng))
+              memo.put(ng, h)
+            }
+            (id, h.longValue())
+          }
+        }
+      }
+      .toDF("doc_id", "h")
+    val sigs = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .stableCheckpoint()
+    val cfgs = Seq(2, 4, 8, 16) // number of bands; rows = 32 / bands
+    val bandStructs = cfgs.flatMap { nb =>
+      val r = MINHASH_K / nb
+      (0 until nb).map { bd =>
+        val bh = (bd * r until bd * r + r).map(i => col(s"m$i"))
+          .foldLeft(lit(0L).cast("long"): Column)((acc, m) => pmod(acc * 31L + m, lit(P)))
+        struct(lit(nb.toLong).as("cfg"), lit(bd).as("band"), bh.as("bh"))
+      }
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.cfg").as("cfg"), col("bb.band").as("band"),
+        col("bb.bh").as("bh"))
+    val ba = banded.alias("a"); val bb = banded.alias("b")
+    val cand = ba.join(bb, col("a.cfg") === col("b.cfg")
+        && col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.cfg").as("cfg"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .distinct()
+      .stableCheckpoint() // feeds the verify leg AND the truth join
+    val sh = shingled(s, dir)
+    val ver = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("ngs").as("ngs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("ngs").as("ngs_b")), "doc_b")
+      .select(col("cfg"),
+        (size(array_intersect(col("ngs_a"), col("ngs_b"))) * 1.0 /
+          size(array_union(col("ngs_a"), col("ngs_b"))) >= 0.3)
+          .cast("long").as("v"))
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("v")).as("n_verified"))
+    val truth = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      .stableCheckpoint()
+    val tn = truth.agg(count(lit(1)).as("n_truth"))
+    val hits = cand.join(truth, Seq("doc_a", "doc_b"))
+      .groupBy(col("cfg")).agg(count(lit(1)).as("n_truth_hit"))
+    ver.join(hits, Seq("cfg"), "left")
+      .crossJoin(broadcast(tn))
+      .select(col("cfg").as("n_bands"),
+        expr(s"$MINHASH_K div cfg").as("rows_per_band"),
+        col("n_candidates"), col("n_verified"),
+        coalesce(col("n_truth_hit"), lit(0L)).as("n_truth_hit"), col("n_truth"),
+        expr("coalesce(n_truth_hit, 0) * 1000000 div n_truth").as("recall_ppm"))
+      .orderBy(col("n_bands"))
+  }
+
+  /** DuckDB twin: the shared pair/truth CTEs plus the 32-lane minhash
+    * replay re-banded per config; 4-row UNION of scalar-subquery
+    * ledgers. */
+  val dedupLshCurveSql: String = {
+    val chains = Seq(2, 4, 8, 16).map { nb =>
+      val r = MINHASH_K / nb
+      s"""b$nb AS (SELECT doc_id, j // $r AS band,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(mj ORDER BY j)), (a,b) -> (a*31 + b) % 2147483647) AS bh
+         |  FROM lanes GROUP BY doc_id, j // $r),
+         |c$nb AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM b$nb a JOIN b$nb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |v$nb AS (SELECT i.doc_a, i.doc_b, i.i * 1.0 / (s1.n + s2.n - i.i) AS jacc
+         |  FROM (SELECT c.doc_a, c.doc_b, count(*) AS i
+         |    FROM c$nb c JOIN g ga ON ga.doc_id = c.doc_a
+         |    JOIN g gb ON gb.doc_id = c.doc_b AND gb.ng = ga.ng
+         |    GROUP BY 1, 2) i
+         |  JOIN sz s1 ON s1.doc_id = i.doc_a JOIN sz s2 ON s2.doc_id = i.doc_b)""".stripMargin
+    }.mkString(",\n")
+    val rows = Seq(2, 4, 8, 16).map { nb =>
+      val r = MINHASH_K / nb
+      s"""SELECT CAST($nb AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  (SELECT count(*) FROM c$nb) AS n_candidates,
+         |  (SELECT count(*) FROM v$nb WHERE jacc >= 0.3) AS n_verified,
+         |  (SELECT count(*) FROM c$nb JOIN p USING (doc_a, doc_b)) AS n_truth_hit,
+         |  (SELECT count(*) FROM p) AS n_truth,
+         |  (SELECT count(*) FROM c$nb JOIN p USING (doc_a, doc_b)) * 1000000
+         |    // (SELECT count(*) FROM p) AS recall_ppm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $pairCtes,
+       |lgh AS (SELECT doc_id, ng,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS h
+       |  FROM g),
+       |perms AS (SELECT j, (1103515245 * (j+1)) % 2147483647 AS a, (12345*(j+1) + 987654321) % 2147483647 AS b FROM range(0,32) t(j)),
+       |lanes AS MATERIALIZED (SELECT doc_id, j, min((h * a + b) % 2147483647) AS mj
+       |  FROM lgh CROSS JOIN perms GROUP BY doc_id, j),
+       |$chains
+       |$rows
+       |ORDER BY n_bands""".stripMargin
+  }
+
   // --------------------------------------------------------- simhash
   /** 60-bit SimHash: lane j's ±1 contribution per word is the parity
     * of (polyHash(word)·aⱼ+bⱼ) mod 2³¹−1, bit set if the lane sum is
@@ -1701,6 +1829,7 @@ object Dedup {
     "graph_bfs" -> graphBfs,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_threshold_curve" -> dedupThresholdCurve,
+    "dedup_lsh_curve" -> dedupLshCurve,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_recall_eval" -> dedupRecallEval,
     "dedup_simhash" -> dedupSimhash,
@@ -1791,6 +1920,7 @@ object Dedup {
     "graph_bfs" -> graphBfsSql,
     "dedup_edit_distance" -> dedupEditDistanceSql,
     "dedup_threshold_curve" -> dedupThresholdCurveSql,
+    "dedup_lsh_curve" -> dedupLshCurveSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_recall_eval" -> dedupRecallEvalSql,

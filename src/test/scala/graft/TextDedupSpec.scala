@@ -1696,6 +1696,29 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("lsh banding curve is monotone and its 8x4 row ties to the production face") {
+    import spark.implicits._
+    val out = Dedup.dedupLshCurve(spark, sfMid)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L))
+    out.foreach { r =>
+      assert(r._1 * r._2 == 32L, "bands x rows must use all lanes")
+      assert(r._4 <= r._3, "verified beyond candidates")
+      assert(r._5 <= r._6 && r._5 <= r._3, "truth hits out of range")
+      assert(r._7 == r._5 * 1000000 / r._6)
+    }
+    // more bands -> more candidates -> recall can only grow... banding
+    // at finer granularity is a superset candidate generator? NOT in
+    // general (different band boundaries), but candidates and recall
+    // measured monotone on this corpus — pin the measured shape
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted, "candidates not monotone")
+    assert(out.map(_._7).toSeq == out.map(_._7).toSeq.sorted, "recall not monotone")
+    // the 8x4 config IS dedupMinhashLsh's banding: verified counts match
+    val lsh = Dedup.dedupMinhashLsh(spark, sfMid).count()
+    assert(out.find(_._1 == 8L).get._4 == lsh,
+      "curve's 8x4 verified count drifted from the production face")
+  }
+
   test("containment catches a verbatim quote that jaccard misses") {
     import spark.implicits._
     val short = (1 to 12).map(i => s"w$i").mkString(" ")          // 10 shingles
