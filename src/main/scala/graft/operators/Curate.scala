@@ -1219,6 +1219,94 @@ object Curate {
        |FROM r JOIN s ON s.source = r.source
        |ORDER BY interleave_key""".stripMargin
 
+  // ------------------------------------------- rendezvous resharding
+  /** Resharding-stability ledger (r14 wave 15) — the consistent-
+    * hashing story told on real data: when a 100 TB corpus grows its
+    * shard count 16 → 17, MODULAR assignment (doc_id mod n) moves
+    * ~16/17 of every byte while RENDEZVOUS hashing (highest-random-
+    * weight: shard = argmax over s of hash("hrw|s|doc")) moves only
+    * the ~1/17 that the NEW shard wins — each method's ledger row
+    * carries docs moved and exact-ppm moved share. Measured ≈ 941k
+    * vs ≈ 59k ppm: the 16× reshuffle-traffic gap that decides how
+    * training-data shards are addressed. HRW's argmax is tie-broken
+    * (hash desc, shard asc) — a total order, so both engines assign
+    * identically.
+    *
+    * == Scale design ==
+    * One corpus scan fans each doc_id to the 17-row shard axis
+    * (bounded ×17, map-side), the argmax collapses per doc in one
+    * grouped struct-max (no window over the fan-out), and the ledger
+    * is a 2-row map-side fold. No shuffle grows with the corpus
+    * beyond the doc-keyed combine.
+    */
+  def corpusShardsRendezvous(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    def fold(c: Column): Column = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(c), GraftSqlShim.expression(lit(1000000007L))))
+    // the [[epochHash]] discipline: a bare fold is LINEAR in the shard
+    // digit (the label enters at a fixed power of 31, so the largest
+    // label would win ~every argmax — measured 98% before the fix);
+    // three digit-reversal re-folds scramble it to noise
+    def scrambled(c: Column): Column = {
+      val h0 = fold(c)
+      val h1 = fold(reverse(h0.cast("string")))
+      val h2 = fold(reverse(h1.cast("string")))
+      fold(reverse(h2.cast("string")))
+    }
+    val axis = broadcast(s.range(0, 17).select(col("id").as("sh")))
+    val hrw = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id")).crossJoin(axis)
+      .select(col("doc_id"), col("sh"),
+        scrambled(concat(lit("hrw|"), col("sh").cast("string"), lit("|"),
+          col("doc_id").cast("string"))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("sh") < 16, struct(col("h"), (-col("sh")).as("ns")))).as("a16"),
+        max(struct(col("h"), (-col("sh")).as("ns"))).as("a17"))
+      .select(col("doc_id"), (-col("a16.ns")).as("r16"), (-col("a17.ns")).as("r17"))
+    val ledger = hrw.select(
+        lit("rendezvous").as("method"),
+        (col("r16") =!= col("r17")).cast("long").as("moved"))
+      .unionByName(hrw.select(lit("modular").as("method"),
+        (pmod(col("doc_id"), lit(16)) =!= pmod(col("doc_id"), lit(17)))
+          .cast("long").as("moved")))
+    ledger.groupBy(col("method"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("moved")).as("n_moved"))
+      .select(col("method"), col("n_docs"), col("n_moved"),
+        expr("n_moved * 1000000 div n_docs").as("moved_ppm"))
+      .orderBy(col("method"))
+  }
+
+  /** DuckDB twin: the same HRW fold over the 17-row axis, struct
+    * arg-max via a per-doc rank, modular comparison inline. */
+  val corpusShardsRendezvousSql: String = {
+    val h0 = foldSql("'hrw|' || CAST(sh AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)")
+    val h1 = foldSql(s"reverse(CAST($h0 AS VARCHAR))")
+    val h2 = foldSql(s"reverse(CAST($h1 AS VARCHAR))")
+    val h3 = foldSql(s"reverse(CAST($h2 AS VARCHAR))")
+    s"""WITH ax AS (SELECT unnest(range(0, 17)) AS sh),
+       |x AS (SELECT doc_id, sh, $h3 AS h
+       |  FROM documents CROSS JOIN ax),
+       |r17 AS (SELECT doc_id, sh AS r17 FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, sh) AS rn
+       |   FROM x) WHERE rn = 1),
+       |r16 AS (SELECT doc_id, sh AS r16 FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, sh) AS rn
+       |   FROM x WHERE sh < 16) WHERE rn = 1),
+       |led AS (
+       |  SELECT 'rendezvous' AS method,
+       |    CASE WHEN r16.r16 <> r17.r17 THEN 1 ELSE 0 END AS moved
+       |  FROM r16 JOIN r17 USING (doc_id)
+       |  UNION ALL
+       |  SELECT 'modular',
+       |    CASE WHEN doc_id % 16 <> doc_id % 17 THEN 1 ELSE 0 END
+       |  FROM documents)
+       |SELECT method, count(*) AS n_docs,
+       |  CAST(sum(moved) AS BIGINT) AS n_moved,
+       |  CAST(sum(moved) AS BIGINT) * 1000000 // count(*) AS moved_ppm
+       |FROM led GROUP BY method ORDER BY method""".stripMargin
+  }
+
   /** Grown-corpus shuffle stability — the registered face of the r12
     * spec pin: the epoch order REPLAYED after the corpus gains
     * documents. "Before" is the even-doc_id half of the corpus,
@@ -1820,6 +1908,7 @@ object Curate {
     "corpus_shard_skew" -> corpusShardSkew,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_interleave" -> corpusInterleave,
+    "corpus_shards_rendezvous" -> corpusShardsRendezvous,
     "corpus_shuffle_e1" -> corpusShuffleE1,
     "corpus_shuffle_grown" -> corpusShuffleGrown,
     "corpus_shard_read" -> corpusShardRead,
@@ -1857,6 +1946,7 @@ object Curate {
     "corpus_shard_skew" -> corpusShardSkewSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "corpus_interleave" -> corpusInterleaveSql,
+    "corpus_shards_rendezvous" -> corpusShardsRendezvousSql,
     "corpus_shuffle_e1" -> corpusShuffleE1Sql,
     "corpus_shuffle_grown" -> corpusShuffleGrownSql,
     "corpus_shard_read" -> corpusShardReadSql,

@@ -1719,6 +1719,23 @@ class TextDedupSpec extends SparkSpec {
       "curve's 8x4 verified count drifted from the production face")
   }
 
+  test("rendezvous resharding moves a seventeenth where modular moves all") {
+    import spark.implicits._
+    val rows = Curate.corpusShardsRendezvous(spark, sfMid)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val ids = spark.read.parquet(s"$sfMid/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    val (mod, rdv) = (rows("modular"), rows("rendezvous"))
+    assert(mod._2 == ids.length && rdv._2 == ids.length)
+    // modular replayed exactly: almost every doc moves on 16 -> 17
+    assert(mod._3 == ids.count(d => d % 16 != d % 17))
+    assert(mod._4 > 900000L, s"modular should move ~16/17: $mod")
+    // rendezvous moves only what the new shard wins: ~1/17
+    assert(rdv._3 > 0 && rdv._4 < 150000L,
+      s"rendezvous should move ~1/17: $rdv")
+    assert(rdv._4 == rdv._3 * 1000000 / rdv._2)
+  }
+
   test("containment catches a verbatim quote that jaccard misses") {
     import spark.implicits._
     val short = (1 to 12).map(i => s"w$i").mkString(" ")          // 10 shingles
