@@ -3738,6 +3738,166 @@ object Analytics {
       |       WHEN (r0+1)*(r0+1) <= z2_micro THEN r0+1 ELSE r0 END AS z_milli
       |FROM r""".stripMargin
 
+  // ------------------------------------------------------ CUPED lift
+  /** CUPED-adjusted experiment readout (r14 wave 16) — the variance-
+    * reduction face of the experimentation family ([[eventsAbSrm]]
+    * checks the split, [[eventsAbPower]] designs the size,
+    * [[eventsAbLift]] reads the raw effect; this one reads the SAME
+    * effect with the pre-period regressed out, the technique that
+    * lets the same experiment reach significance on a fraction of the
+    * traffic). Covariate X = per-user event count before the
+    * 2024-01-16 cut ([[graft.operators.Maintain]]'s drift-epoch cut);
+    * outcome Y = the post-cut `purchase` COUNT — the binary
+    * conversion is degenerate on this window (every user eventually
+    * purchases, [[eventsAbPower]]'s documented long-window trap), the
+    * count metric carries real variance and real X-correlation; arms
+    * = the family's "ab|" salted hash. θ = cov(X,Y)/var(X) in ppm and
+    * ρ² (the theoretical
+    * variance-reduction fraction, var(Y−θX) = var(Y)·(1−ρ²)) come
+    * from ONE set of global sums (n, Σx, Σy, Σx², Σxy); the adjusted
+    * per-arm means use the fraction-free form
+    * Σ_arm(10⁶·n·y_u − θ_ppm·(n·x_u − Σx)), which needs only per-arm
+    * sums — so the whole readout is a single two-level aggregate,
+    * never a per-user second pass. All divisions are SHIFT-stabilized
+    * (numerators made non-negative before the floor div, shift
+    * subtracted after) because Spark `div` truncates toward zero
+    * while DuckDB `//` floors — they agree only on non-negative
+    * numerators; intermediate products are DECIMAL(38,0)/HUGEINT,
+    * exact to ~10⁶ users × 10⁴ events/user (documented bound; beyond
+    * that, re-stage with an upfront ÷n as the repo's z² face does).
+    *
+    * == Scale design ==
+    * One events scan folded to per-user (x, y, arm) — map-side
+    * combinable on the natural user key — then ONE global aggregate
+    * producing both the pooled moment sums and the per-arm sums;
+    * everything after is scalar arithmetic on a 1-row relation. At
+    * 100 TB: scan + two combine stages with O(1) state, identical
+    * shape to [[eventsAbLift]].
+    */
+  def eventsAbCuped(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("ab|"), col("user_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val cut = lit("2024-01-16").cast("timestamp")
+    val perUser = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cut && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("y"))
+      .select(col("x"), col("y"), (h % 2L).as("armn"))
+    perUser
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("y")).cast("decimal(38,0)").as("sy"),
+        sum(expr("x * x")).cast("decimal(38,0)").as("sxx"),
+        sum(expr("y * y")).cast("decimal(38,0)").as("syy"),
+        sum(expr("x * y")).cast("decimal(38,0)").as("sxy"),
+        sum(when(col("armn") === 0L, 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("n_a"),
+        sum(when(col("armn") === 1L, 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("n_b"),
+        sum(when(col("armn") === 0L, col("y")).otherwise(0L))
+          .cast("decimal(38,0)").as("conv_a"),
+        sum(when(col("armn") === 1L, col("y")).otherwise(0L))
+          .cast("decimal(38,0)").as("conv_b"),
+        sum(when(col("armn") === 0L, col("x")).otherwise(0L))
+          .cast("decimal(38,0)").as("sx_a"),
+        sum(when(col("armn") === 1L, col("x")).otherwise(0L))
+          .cast("decimal(38,0)").as("sx_b"))
+      .withColumn("cov_n2", expr("n * sxy - sx * sy"))
+      .withColumn("varx_n2", expr("n * sxx - sx * sx"))
+      .withColumn("vary_n2", expr("n * syy - sy * sy"))
+      // theta in ppm; numerator shifted by 10^13·varx so the floor div
+      // runs on a non-negative value (by Cauchy-Schwarz |theta_ppm| <=
+      // 10^6·sqrt(vary/varx), ~2e5 on any non-degenerate corpus where
+      // purchases are a fraction of events; the 10^13 guard holds to
+      // vary/varx ratios of 10^14)
+      .withColumn("theta_ppm", expr(
+        """CASE WHEN varx_n2 = 0 THEN 0
+          |ELSE (1000000 * cov_n2 + 10000000000000 * varx_n2) div varx_n2
+          |     - 10000000000000 END""".stripMargin))
+      // rho^2 in ppm: cov² and var products are non-negative, no shift
+      .withColumn("rho2_ppm", expr(
+        """CASE WHEN varx_n2 * vary_n2 = 0 THEN 0
+          |ELSE (1000000 * cov_n2 * cov_n2) div (varx_n2 * vary_n2) END"""
+          .stripMargin))
+      .withColumn("adjsum_a", expr(
+        "1000000 * n * conv_a - theta_ppm * (n * sx_a - n_a * sx)"))
+      .withColumn("adjsum_b", expr(
+        "1000000 * n * conv_b - theta_ppm * (n * sx_b - n_b * sx)"))
+      .select(
+        col("n").cast("long").as("n"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("theta_ppm").cast("long").as("theta_ppm"),
+        col("rho2_ppm").cast("long").as("rho2_ppm"),
+        expr("CAST(1000000 - rho2_ppm AS BIGINT)").as("var_ratio_ppm"),
+        expr("CAST((1000000 * conv_a) div n_a AS BIGINT)").as("rate_a_micro"),
+        expr("CAST((1000000 * conv_b) div n_b AS BIGINT)").as("rate_b_micro"),
+        expr("CAST((1000000 * conv_b) div n_b - (1000000 * conv_a) div n_a AS BIGINT)")
+          .as("lift_raw_micro"),
+        expr("""CAST((adjsum_a + 10000000000000000 * (n * n_a)) div (n * n_a)
+                - 10000000000000000 AS BIGINT)""").as("adj_a_micro"),
+        expr("""CAST((adjsum_b + 10000000000000000 * (n * n_b)) div (n * n_b)
+                - 10000000000000000 AS BIGINT)""").as("adj_b_micro"),
+        expr("""CAST(((adjsum_b + 10000000000000000 * (n * n_b)) div (n * n_b))
+                - ((adjsum_a + 10000000000000000 * (n * n_a)) div (n * n_a)) AS BIGINT)""")
+          .as("lift_cuped_micro"))
+  }
+
+  /** DuckDB twin: same per-user fold, same HUGEINT moment sums, same
+    * shift-stabilized floor divisions in the same staging order. */
+  val eventsAbCupedSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('ab|' || CAST(user_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 2 AS armn
+      |  FROM events GROUP BY user_id),
+      |s AS (SELECT
+      |    CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(x * x) AS HUGEINT) AS sxx, CAST(sum(y * y) AS HUGEINT) AS syy,
+      |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CASE WHEN armn = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n_a,
+      |    CAST(sum(CASE WHEN armn = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n_b,
+      |    CAST(sum(CASE WHEN armn = 0 THEN y ELSE 0 END) AS HUGEINT) AS conv_a,
+      |    CAST(sum(CASE WHEN armn = 1 THEN y ELSE 0 END) AS HUGEINT) AS conv_b,
+      |    CAST(sum(CASE WHEN armn = 0 THEN x ELSE 0 END) AS HUGEINT) AS sx_a,
+      |    CAST(sum(CASE WHEN armn = 1 THEN x ELSE 0 END) AS HUGEINT) AS sx_b
+      |  FROM u),
+      |d AS (SELECT *, n * sxy - sx * sy AS cov_n2,
+      |    n * sxx - sx * sx AS varx_n2, n * syy - sy * sy AS vary_n2 FROM s),
+      |t AS (SELECT *,
+      |    CASE WHEN varx_n2 = 0 THEN 0
+      |      ELSE (1000000 * cov_n2 + 10000000000000 * varx_n2) // varx_n2
+      |           - 10000000000000 END AS theta_ppm,
+      |    CASE WHEN varx_n2 * vary_n2 = 0 THEN 0
+      |      ELSE (1000000 * cov_n2 * cov_n2) // (varx_n2 * vary_n2) END AS rho2_ppm
+      |  FROM d),
+      |a AS (SELECT *,
+      |    1000000 * n * conv_a - theta_ppm * (n * sx_a - n_a * sx) AS adjsum_a,
+      |    1000000 * n * conv_b - theta_ppm * (n * sx_b - n_b * sx) AS adjsum_b
+      |  FROM t)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(theta_ppm AS BIGINT) AS theta_ppm,
+      |  CAST(rho2_ppm AS BIGINT) AS rho2_ppm,
+      |  CAST(1000000 - rho2_ppm AS BIGINT) AS var_ratio_ppm,
+      |  CAST((1000000 * conv_a) // n_a AS BIGINT) AS rate_a_micro,
+      |  CAST((1000000 * conv_b) // n_b AS BIGINT) AS rate_b_micro,
+      |  CAST((1000000 * conv_b) // n_b - (1000000 * conv_a) // n_a AS BIGINT) AS lift_raw_micro,
+      |  CAST((adjsum_a + 10000000000000000 * (n * n_a)) // (n * n_a)
+      |       - 10000000000000000 AS BIGINT) AS adj_a_micro,
+      |  CAST((adjsum_b + 10000000000000000 * (n * n_b)) // (n * n_b)
+      |       - 10000000000000000 AS BIGINT) AS adj_b_micro,
+      |  CAST(((adjsum_b + 10000000000000000 * (n * n_b)) // (n * n_b))
+      |       - ((adjsum_a + 10000000000000000 * (n * n_a)) // (n * n_a)) AS BIGINT) AS lift_cuped_micro
+      |FROM a""".stripMargin
+
   // ----------------------------------------------- weekly seasonality
   /** Day-of-week seasonality profile — the baseline a monitoring stack
     * subtracts before calling anything an anomaly: per event type and
@@ -4252,6 +4412,7 @@ object Analytics {
     "ml_pit_features" -> mlPitFeatures,
     "ml_target_encode" -> mlTargetEncode,
     "events_ab_lift" -> eventsAbLift,
+    "events_ab_cuped" -> eventsAbCuped,
     "events_ab_srm" -> eventsAbSrm,
     "events_ab_power" -> eventsAbPower,
     "events_funnel_time" -> eventsFunnelTime,
@@ -4338,6 +4499,7 @@ object Analytics {
     "ml_pit_features" -> mlPitFeaturesSql,
     "ml_target_encode" -> mlTargetEncodeSql,
     "events_ab_lift" -> eventsAbLiftSql,
+    "events_ab_cuped" -> eventsAbCupedSql,
     "events_ab_srm" -> eventsAbSrmSql,
     "events_ab_power" -> eventsAbPowerSql,
     "events_funnel_time" -> eventsFunnelTimeSql,

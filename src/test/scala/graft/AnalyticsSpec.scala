@@ -857,6 +857,65 @@ class AnalyticsSpec extends SparkSpec {
     assert((z + 1) * (z + 1) > z2)
   }
 
+  test("events_ab_cuped: BigInt replay and the CUPED conservation identity") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "ts", "event_type")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    val armOf = (u: Long) =>
+      ("ab|" + u).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 2
+    val per = events.groupBy(_._1).map { case (u, es) =>
+      val x = BigInt(es.count(_._2.before(cut)))
+      val y = BigInt(es.count(e => !e._2.before(cut) && e._3 == "purchase"))
+      (armOf(u), x, y)
+    }.toSeq
+    val n = BigInt(per.size)
+    val sx = per.map(_._2).sum; val sy = per.map(_._3).sum
+    val sxx = per.map(t => t._2 * t._2).sum
+    val syy = per.map(t => t._3 * t._3).sum
+    val sxy = per.map(t => t._2 * t._3).sum
+    val armA = per.filter(_._1 == 0L); val armB = per.filter(_._1 == 1L)
+    val (nA, nB) = (BigInt(armA.size), BigInt(armB.size))
+    val (convA, convB) = (armA.map(_._3).sum, armB.map(_._3).sum)
+    val (sxA, sxB) = (armA.map(_._2).sum, armB.map(_._2).sum)
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    // floor division replay — every engine-side div runs on a
+    // shift-nonnegative numerator, so BigInt / replays it exactly
+    def fdiv(p: BigInt, q: BigInt): BigInt = { assert(p >= 0 && q > 0); p / q }
+    val TS = BigInt(10).pow(13); val AS = BigInt(10).pow(16)
+    val theta =
+      if (varx == 0) BigInt(0)
+      else fdiv(BigInt(1000000) * cov + TS * varx, varx) - TS
+    val rho2 =
+      if (varx * vary == 0) BigInt(0)
+      else fdiv(BigInt(1000000) * cov * cov, varx * vary)
+    assert(rho2 >= 0 && rho2 <= 1000000, "rho^2 outside [0, 1] — not a correlation")
+    val adjA = BigInt(1000000) * n * convA - theta * (n * sxA - nA * sx)
+    val adjB = BigInt(1000000) * n * convB - theta * (n * sxB - nB * sx)
+    // the CUPED conservation identity: Σ(n·x_u − Σx) = 0 over all
+    // users, so the pooled ADJUSTED total equals the raw total exactly
+    // — adjustment moves mass between arms, never creates it
+    assert(adjA + adjB == BigInt(1000000) * n * sy,
+      "pooled adjusted total diverged from the raw total")
+    val row = Analytics.eventsAbCuped(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(row._1 == n && row._2 == nA && row._3 == nB)
+    assert(row._4 == theta, "theta_ppm diverges from the BigInt replay")
+    assert(row._5 == rho2, "rho2_ppm diverges from the BigInt replay")
+    assert(row._6 == BigInt(1000000) - rho2)
+    assert(row._7 == fdiv(BigInt(1000000) * convA, nA))
+    assert(row._8 == fdiv(BigInt(1000000) * convB, nB))
+    assert(row._9 == row._8 - row._7)
+    val aAdj = fdiv(adjA + AS * (n * nA), n * nA) - AS
+    val bAdj = fdiv(adjB + AS * (n * nB), n * nB) - AS
+    assert(row._10 == aAdj, "adjusted arm-A mean diverges from the replay")
+    assert(row._11 == bAdj, "adjusted arm-B mean diverges from the replay")
+    assert(row._12 == bAdj - aAdj)
+  }
+
   test("events_ab_srm: green on the healthy assignment, fires on a planted skew") {
     val rows = Analytics.eventsAbSrm(spark, sf)
       .as[(Long, Long, Long, Long, Boolean)].collect()
