@@ -1681,6 +1681,111 @@ object Curate {
        |GROUP BY g.thr, tot_docs, tot_tokens
        |ORDER BY g.thr""".stripMargin
 
+  // ------------------------------------------- bootstrap uncertainty
+  /** Poisson-bootstrap confidence interval for the quality-gate pass
+    * rate (r14 wave 16) — the UNCERTAINTY face of the gate every other
+    * curation key treats as a point estimate. The point of the
+    * technique: classical resampling-with-replacement needs a global
+    * shuffle per replicate, but drawing each row's replicate
+    * multiplicity from Poisson(1) (the B→∞ limit of the binomial
+    * resample count) makes all B = 64 replicates ONE stateless
+    * map-side pass — the standard distributed bootstrap. Replicate
+    * weights are DETERMINISTIC: the inverse Poisson(1) CDF (fixed ppm
+    * thresholds 367879 / 735758 / 919698 / 981011 / 996340 / 999405 /
+    * 999916, capped at 7) applied to a "boot" salted three-round
+    * digit-reversal scramble hash of (replicate, doc_id) — the
+    * [[epochHash]] discipline, because a bare poly-fold is barely
+    * sensitive to the low-order replicate digits. CI = the percentile
+    * bootstrap at the exact ⌈α(B+1)⌉ order statistics (α ≈ 0.025 →
+    * ranks 2 and 63 of the 64 sorted replicate rates).
+    *
+    * == Scale design ==
+    * The corpus is scanned ONCE into the checkpointed (doc, pass)
+    * relation; the ×64 fan-out is an explode that partial-aggregates
+    * map-side to 64 groups before any exchange (the weight, not the
+    * row, is what varies per replicate). Everything downstream — the
+    * rank window (expected single-partition warning: 64 rows) and the
+    * CI join — runs on O(B) rows. At 100 TB: one scan, one 64-row
+    * shuffle.
+    */
+  def mlBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    def fold(c: Column): Column = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(c), GraftSqlShim.expression(lit(1000000007L))))
+    val pass = TextOps.textQuality(s, dir)
+      .select(col("doc_id"),
+        (col("quality_score") >= 0.5).cast("long").as("pass"))
+      .stableCheckpoint()
+    val point = pass.agg(
+      count(lit(1)).as("n_docs"),
+      expr("1000000 * sum(pass) div count(1)").as("point_ppm"))
+    val h0 = fold(concat(lit("boot"), col("rep").cast("string"),
+      lit("|"), col("doc_id").cast("string")))
+    val h1 = fold(reverse(h0.cast("string")))
+    val h2 = fold(reverse(h1.cast("string")))
+    val u = fold(reverse(h2.cast("string"))) % 1000000L
+    val rates = pass
+      .select(col("doc_id"), col("pass"),
+        explode(sequence(lit(0L), lit(63L))).as("rep"))
+      .withColumn("u", u)
+      .withColumn("w",
+        when(col("u") < 367879L, 0L).when(col("u") < 735758L, 1L)
+          .when(col("u") < 919698L, 2L).when(col("u") < 981011L, 3L)
+          .when(col("u") < 996340L, 4L).when(col("u") < 999405L, 5L)
+          .when(col("u") < 999916L, 6L).otherwise(7L))
+      .groupBy(col("rep"))
+      .agg(sum(col("w")).as("tot"),
+        sum(col("w") * col("pass")).as("passw"))
+      .select(col("rep"), expr(
+        "CASE WHEN tot = 0 THEN 0 ELSE (1000000 * passw) div tot END")
+        .as("rate_ppm"))
+    val rk = row_number().over(Window.orderBy(col("rate_ppm"), col("rep")))
+    val ci = rates.withColumn("rk", rk)
+      .filter(col("rk") === 2 || col("rk") === 63)
+      .agg(max(when(col("rk") === 2, col("rate_ppm"))).as("lo_ppm"),
+        max(when(col("rk") === 63, col("rate_ppm"))).as("hi_ppm"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_docs"), lit(64L).as("b_replicates"),
+        col("point_ppm"), col("lo_ppm"), col("hi_ppm"),
+        (col("hi_ppm") - col("lo_ppm")).as("width_ppm"))
+  }
+
+  /** DuckDB twin: the SHARED quality CTE, same scrambled weight hash,
+    * same inverse-CDF thresholds, same rank-2/63 percentile CI. */
+  val mlBootstrapCiSql: String = {
+    val b0 = foldSql("'boot' || CAST(rep AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)")
+    val b1 = foldSql(s"reverse(CAST($b0 AS VARCHAR))")
+    val b2 = foldSql(s"reverse(CAST($b1 AS VARCHAR))")
+    val b3 = foldSql(s"reverse(CAST($b2 AS VARCHAR))")
+    s"""WITH $qualityCte,
+       |p AS (SELECT doc_id,
+       |    CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS pass FROM q),
+       |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    (1000000 * CAST(sum(pass) AS BIGINT)) // count(*) AS point_ppm FROM p),
+       |r AS (SELECT doc_id, pass, unnest(range(0, 64)) AS rep FROM p),
+       |w AS (SELECT rep, pass,
+       |    CASE WHEN $b3 % 1000000 < 367879 THEN 0
+       |         WHEN $b3 % 1000000 < 735758 THEN 1
+       |         WHEN $b3 % 1000000 < 919698 THEN 2
+       |         WHEN $b3 % 1000000 < 981011 THEN 3
+       |         WHEN $b3 % 1000000 < 996340 THEN 4
+       |         WHEN $b3 % 1000000 < 999405 THEN 5
+       |         WHEN $b3 % 1000000 < 999916 THEN 6
+       |         ELSE 7 END AS w
+       |  FROM r),
+       |g AS (SELECT rep, CAST(sum(w) AS BIGINT) AS tot,
+       |    CAST(sum(w * pass) AS BIGINT) AS passw FROM w GROUP BY rep),
+       |rt AS (SELECT rep, CASE WHEN tot = 0 THEN 0
+       |    ELSE (1000000 * passw) // tot END AS rate_ppm FROM g),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY rate_ppm, rep) AS rk FROM rt),
+       |ci AS (SELECT max(CASE WHEN rk = 2 THEN rate_ppm END) AS lo_ppm,
+       |    max(CASE WHEN rk = 63 THEN rate_ppm END) AS hi_ppm FROM rk)
+       |SELECT n_docs, CAST(64 AS BIGINT) AS b_replicates, point_ppm,
+       |  lo_ppm, hi_ppm, hi_ppm - lo_ppm AS width_ppm
+       |FROM pt CROSS JOIN ci""".stripMargin
+  }
+
   // --------------------------------------------- budgeted selection
   /** Token-budget selection (r14, the curation question
     * [[corpusQualityCurve]] informs, EXECUTED: "spend a B-token budget
@@ -1903,6 +2008,7 @@ object Curate {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain_build" -> pipelinePretrainBuild,
     "corpus_quality_curve" -> corpusQualityCurve,
+    "ml_bootstrap_ci" -> mlBootstrapCi,
     "corpus_token_budget" -> corpusTokenBudget,
     "corpus_shards" -> corpusShards,
     "corpus_shard_skew" -> corpusShardSkew,
@@ -1941,6 +2047,7 @@ object Curate {
   val oracles: Map[String, String] = Map(
     "pipeline_pretrain_build" -> pipelinePretrainBuildSql,
     "corpus_quality_curve" -> corpusQualityCurveSql,
+    "ml_bootstrap_ci" -> mlBootstrapCiSql,
     "corpus_token_budget" -> corpusTokenBudgetSql,
     "corpus_shards" -> corpusShardsSql,
     "corpus_shard_skew" -> corpusShardSkewSql,

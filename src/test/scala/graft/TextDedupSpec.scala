@@ -1328,6 +1328,54 @@ class TextDedupSpec extends SparkSpec {
     assert(curve.map(_._3).distinct.length > 1, "quality curve is flat")
   }
 
+  test("ml_bootstrap_ci: exact Poisson-weight replay, CI brackets the point") {
+    val pass = TextOps.textQuality(spark, sf)
+      .select("doc_id", "quality_score")
+      .as[(Long, Double)].collect()
+      .map { case (d, s0) => (d, if (s0 >= 0.5) 1L else 0L) }
+    def fold(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    def scrambled(rep: Long, doc: Long): Long = {
+      val h0 = fold(s"boot$rep|$doc")
+      val h1 = fold(h0.toString.reverse)
+      val h2 = fold(h1.toString.reverse)
+      fold(h2.toString.reverse)
+    }
+    val thresholds = Seq(367879L, 735758L, 919698L, 981011L,
+      996340L, 999405L, 999916L)
+    def weight(u: Long): Long = {
+      val i = thresholds.indexWhere(u < _)
+      if (i < 0) 7L else i.toLong
+    }
+    val rates = (0L until 64L).map { rep =>
+      var tot = 0L; var pw = 0L
+      pass.foreach { case (d, p) =>
+        val w = weight(scrambled(rep, d) % 1000000L)
+        tot += w; pw += w * p
+      }
+      (rep, if (tot == 0) 0L else 1000000L * pw / tot)
+    }
+    val sorted = rates.sortBy(r => (r._2, r._1)).map(_._2)
+    val (lo, hi) = (sorted(1), sorted(62)) // ranks 2 and 63, 1-indexed
+    val point = 1000000L * pass.map(_._2).sum / pass.length
+    val row = graft.operators.Curate.mlBootstrapCi(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(row == ((pass.length.toLong, 64L, point, lo, hi, hi - lo)),
+      "bootstrap row diverges from the exact in-memory replay")
+    // the percentile CI must bracket the point estimate and be
+    // non-degenerate — a zero-width CI means the weights collapsed
+    assert(lo <= point && point <= hi, "CI does not bracket the point")
+    assert(hi > lo, "degenerate zero-width CI")
+    // Poisson(1) weights average to ~1: total resampled mass within
+    // 5% of B·n (loose — catches a broken CDF constant, not noise)
+    val totalMass = (0L until 64L).map { rep =>
+      pass.map { case (d, _) => weight(scrambled(rep, d) % 1000000L) }.sum
+    }.sum
+    val expected = 64L * pass.length
+    assert(math.abs(totalMass - expected) * 20 < expected,
+      s"resampled mass $totalMass far from $expected — CDF constants broken?")
+  }
+
   test("pipeline_pretrain_build: the composed DAG ties out against its stage faces") {
     import spark.implicits._
     val ledger = graft.operators.Curate.pipelinePretrainBuild(spark, sf)
