@@ -4287,6 +4287,135 @@ object Analytics {
       |  prefix - least(0, minp) > target_cents AS alarm
       |FROM p ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------- changepoint
+  /** Retrospective least-squares changepoint (r14 wave 17) — the
+    * WHERE-did-it-shift face beside [[eventsCusum]] (which answers
+    * WHETHER a shift is in progress) and [[Maintain]]'s KS face
+    * (whether two known epochs differ): per event type, the split of
+    * the dense daily-cents series minimizing SSE_left + SSE_right —
+    * binary segmentation's first cut, the building block of every
+    * offline changepoint pass. Exact integer staging: n·SSE = n·Σy² −
+    * (Σy)² per side (both non-negative by Cauchy-Schwarz, so the
+    * floor divisions need no shift guard), candidate costs compared
+    * at fixed micro precision — floor(10⁶·cost) — so both engines
+    * rank candidates identically; two costs within 10⁻⁶ of each other
+    * tie to the earlier day by the documented (cost, day) order. The
+    * flat-model cost rides along, so `gain_micro` is the variance the
+    * cut explains — a near-zero gain means "no changepoint", which is
+    * the honest reading on a stationary series.
+    *
+    * == Scale design ==
+    * ONE fact scan folds to the checkpointed O(types × days) daily
+    * relation (map-side combinable); the dense grid, prefix sums,
+    * per-type totals, candidate costs and the argmin all run on that
+    * ledger under a single (type)-keyed sort — at 100 TB the series
+    * per type is still O(days), so the candidate sweep costs nothing.
+    */
+  def eventsChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val daily = events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        cents(col("value")).as("vc"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vc")).as("cents"))
+      .stableCheckpoint()
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wRun = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = byDay.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cand = dense
+      .withColumn("i", row_number().over(byDay).cast("long"))
+      .withColumn("cs",
+        sum(col("cents")).over(wRun).cast("decimal(38,0)"))
+      .withColumn("css",
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).over(wRun)
+          .cast("decimal(38,0)"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("stot",
+        sum(col("cents")).over(wAll).cast("decimal(38,0)"))
+      .withColumn("sstot",
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).over(wAll)
+          .cast("decimal(38,0)"))
+      .filter(col("i") < col("n"))
+      .withColumn("a_num", expr(
+        """(n - i) * (i * css - cs * cs)
+          | + i * ((n - i) * (sstot - css) - (stot - cs) * (stot - cs))"""
+          .stripMargin))
+      .withColumn("cost_split_micro", expr(
+        "CAST((1000000 * a_num) div (i * (n - i)) AS BIGINT)"))
+      .withColumn("cost_flat_micro", expr(
+        "CAST((1000000 * (n * sstot - stot * stot)) div n AS BIGINT)"))
+    cand
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("cost_split_micro"), col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        date_format(date_add(to_date(lit("1970-01-01")), col("day").cast("int")),
+          "yyyy-MM-dd").as("cut_day"),
+        col("i").as("n_left"), expr("CAST(n - i AS BIGINT)").as("n_right"),
+        expr("CAST(cs div i AS BIGINT)").as("mean_left_cents"),
+        expr("CAST((stot - cs) div (n - i) AS BIGINT)").as("mean_right_cents"),
+        expr("CAST((stot - cs) div (n - i) - cs div i AS BIGINT)")
+          .as("shift_cents"),
+        col("cost_flat_micro"), col("cost_split_micro"),
+        (col("cost_flat_micro") - col("cost_split_micro")).as("gain_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin: same dense grid, same prefix/total staging, same
+    * (cost, day) argmin order. */
+  val eventsChangepointSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |daily AS (SELECT event_type, day, CAST(sum(vc) AS BIGINT) AS cents
+      |  FROM e GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |grid AS (SELECT t.event_type, d0 + i AS day
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN b, unnest(range(0, d1 - d0 + 1)) u(i)),
+      |dense AS (SELECT g.event_type, g.day, COALESCE(daily.cents, 0) AS cents
+      |  FROM grid g LEFT JOIN daily ON daily.event_type = g.event_type AND daily.day = g.day),
+      |pre AS (SELECT event_type, day,
+      |    CAST(row_number() OVER wo AS HUGEINT) AS i,
+      |    CAST(sum(cents) OVER wr AS HUGEINT) AS cs,
+      |    CAST(sum(CAST(cents AS HUGEINT) * cents) OVER wr AS HUGEINT) AS css,
+      |    CAST(count(*) OVER wa AS HUGEINT) AS n,
+      |    CAST(sum(cents) OVER wa AS HUGEINT) AS stot,
+      |    CAST(sum(CAST(cents AS HUGEINT) * cents) OVER wa AS HUGEINT) AS sstot
+      |  FROM dense
+      |  WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+      |    wr AS (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wa AS (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |cand AS (SELECT *,
+      |    (n - i) * (i * css - cs * cs)
+      |      + i * ((n - i) * (sstot - css) - (stot - cs) * (stot - cs)) AS a_num
+      |  FROM pre WHERE i < n),
+      |cost AS (SELECT *,
+      |    CAST((1000000 * a_num) // (i * (n - i)) AS BIGINT) AS cost_split_micro,
+      |    CAST((1000000 * (n * sstot - stot * stot)) // n AS BIGINT) AS cost_flat_micro
+      |  FROM cand),
+      |best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY cost_split_micro, day) AS rk FROM cost)
+      |SELECT event_type,
+      |  strftime(DATE '1970-01-01' + CAST(day AS INT), '%Y-%m-%d') AS cut_day,
+      |  CAST(i AS BIGINT) AS n_left, CAST(n - i AS BIGINT) AS n_right,
+      |  CAST(cs // i AS BIGINT) AS mean_left_cents,
+      |  CAST((stot - cs) // (n - i) AS BIGINT) AS mean_right_cents,
+      |  CAST((stot - cs) // (n - i) - cs // i AS BIGINT) AS shift_cents,
+      |  cost_flat_micro, cost_split_micro,
+      |  cost_flat_micro - cost_split_micro AS gain_micro
+      |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   // --------------------------------------------- nearest as-of join
   /** Nearest-event attribution — the NEAREST variant of [[joinAsof]]
     * (pandas `merge_asof(direction='nearest')`): each event resolves
@@ -4409,6 +4538,7 @@ object Analytics {
     "ml_lag_features" -> mlLagFeatures,
     "join_asof_nearest" -> joinAsofNearest,
     "events_cusum" -> eventsCusum,
+    "events_changepoint" -> eventsChangepoint,
     "ml_pit_features" -> mlPitFeatures,
     "ml_target_encode" -> mlTargetEncode,
     "events_ab_lift" -> eventsAbLift,
@@ -4496,6 +4626,7 @@ object Analytics {
     "ml_lag_features" -> mlLagFeaturesSql,
     "join_asof_nearest" -> joinAsofNearestSql,
     "events_cusum" -> eventsCusumSql,
+    "events_changepoint" -> eventsChangepointSql,
     "ml_pit_features" -> mlPitFeaturesSql,
     "ml_target_encode" -> mlTargetEncodeSql,
     "events_ab_lift" -> eventsAbLiftSql,

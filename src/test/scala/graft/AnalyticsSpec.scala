@@ -1007,6 +1007,68 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("events_changepoint: BigInt argmin replay, fires exactly on a planted shift") {
+    // full replay of the candidate sweep on the real corpus
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+      .as[(String, Long, Long)].collect()
+    val d0 = ev.map(_._2).min; val d1 = ev.map(_._2).max
+    val daily = ev.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    val expected = ev.map(_._1).distinct.sorted.map { t =>
+      val series = (d0 to d1).map(d => BigInt(daily.getOrElse((t, d), 0L)))
+      val n = BigInt(series.length)
+      val stot = series.sum; val sstot = series.map(y => y * y).sum
+      val flat = BigInt(1000000) * (n * sstot - stot * stot) / n
+      var cs = BigInt(0); var css = BigInt(0)
+      var bestCost: BigInt = null; var bestDay = 0L
+      for (i <- 1 until series.length) {
+        cs += series(i - 1); css += series(i - 1) * series(i - 1)
+        val iB = BigInt(i); val nr = n - iB
+        val a = nr * (iB * css - cs * cs) +
+          iB * (nr * (sstot - css) - (stot - cs) * (stot - cs))
+        val cost = BigInt(1000000) * a / (iB * nr)
+        // ascending-day iteration + strict < == the (cost, day) order
+        if (bestCost == null || cost < bestCost) { bestCost = cost; bestDay = d0 + i - 1 }
+      }
+      (t, java.time.LocalDate.ofEpochDay(bestDay).toString, flat, bestCost)
+    }
+    val got = Analytics.eventsChangepoint(spark, sf)
+      .select("event_type", "cut_day", "cost_flat_micro", "cost_split_micro")
+      .as[(String, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == expected.length)
+    expected.zip(got).foreach { case ((t, day, flat, cost), (gt, gday, gflat, gcost)) =>
+      assert(t == gt)
+      assert(gday == day, s"$t: argmin day diverges from the replay")
+      assert(BigInt(gflat) == flat && BigInt(gcost) == cost,
+        s"$t: staged costs diverge from the replay")
+    }
+    // planted level shift: 10 flat days at 10.00 then 10 at 50.00 —
+    // the cut must land exactly on the boundary with zero split cost
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg").toString
+    try {
+      (0 until 20).map { d =>
+        (d.toLong, java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+          1L, "purchase", if (d < 10) 10.0 else 50.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val row = Analytics.eventsChangepoint(spark, dir)
+        .as[(String, String, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect()
+      assert(row.length == 1)
+      val (_, cut, nl, nr, ml, mr, shift, flat, split, gain) = row.head
+      assert(cut == "2024-01-10", s"cut landed at $cut, not the planted boundary")
+      assert(nl == 10L && nr == 10L)
+      assert(ml == 1000L && mr == 5000L && shift == 4000L)
+      assert(split == 0L, "perfectly flat halves must cost zero")
+      assert(gain == flat && gain > 0L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("events_cusum equals the sequential max(0,.) recurrence replayed in memory") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select(col("event_type"),
