@@ -1422,6 +1422,162 @@ object EventStreams {
       |  (n_purchase * 1000000) // n_view AS conv_ppm
       |FROM cum ORDER BY day""".stripMargin
 
+  // ------------------------------------------------ live A/B monitor
+  case class AbEv(user_id: Long, event_id: Long, us: Long, event_type: String)
+  case class AbState(seen: Boolean, conv: Boolean)
+  case class AbDelta(day: Long, armn: Long, d_users: Long, d_conv: Long)
+
+  /** Live A/B experiment monitor (r14 wave 17) — the streaming twin of
+    * [[graft.operators.Analytics.eventsAbLift]], the face an
+    * experiment dashboard actually watches: per-user FMGWS state is
+    * TWO BOOLEANS (ever seen, ever converted — never event history);
+    * each batch emits the enrollment / conversion transition deltas,
+    * and the day-keyed running sums of those deltas ARE the cumulative
+    * per-arm counters the batch face computes. Arm = the family's
+    * "ab|" salted fold, derived from the group key inside the state
+    * function, so assignment can never drift between faces.
+    */
+  def abLiftStream(stream: Dataset[AbEv]): Dataset[AbDelta] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AbState, AbDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[AbEv], state: GroupState[AbState]) =>
+          val sorted = evs.toVector.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(AbState(false, false))
+          val arm = ("ab|" + uid)
+            .foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 2
+          val out = scala.collection.mutable.ArrayBuffer[AbDelta]()
+          sorted.foreach { e =>
+            val day = e.us / 86400000000L
+            if (!st.seen) {
+              st = st.copy(seen = true); out += AbDelta(day, arm, 1L, 0L)
+            }
+            if (e.event_type == "purchase" && !st.conv) {
+              st = st.copy(conv = true); out += AbDelta(day, arm, 0L, 1L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch face of [[abLiftStream]] (registered as `stream_ab_lift`):
+    * the day-level cumulative experiment dashboard — per epoch day,
+    * users enrolled and converted per hash arm BY THE END of that day
+    * (enrollment = first event, conversion = first `purchase`), with
+    * lift in exact ppm and the pooled z in milli-units via
+    * `events_ab_lift`'s staged integer form. The END-day row equals
+    * the lift face's single row exactly (the spec pins it) — this
+    * face is the same readout unrolled over time, which is what makes
+    * peeking bias visible: the z column wanders before it settles.
+    *
+    * == Scale design ==
+    * ONE fact scan folds to the checkpointed per-user firsts relation
+    * (map-side combinable on user_id); deltas, daily sums, cumulative
+    * windows and the z arithmetic all run on the O(days) ledger (the
+    * documented bounded-relation single-partition window). The
+    * streaming twin holds two booleans per user.
+    */
+  def streamAbLift(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("ab|"), col("user_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val firsts = events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"),
+        min(when(col("event_type") === "purchase", col("day")))
+          .as("first_purch_day"))
+      .select(col("first_day"), col("first_purch_day"), (h % 2L).as("armn"))
+      .stableCheckpoint()
+    val deltas = firsts.select(col("first_day").as("day"),
+        when(col("armn") === 0L, 1L).otherwise(0L).as("da"),
+        when(col("armn") === 1L, 1L).otherwise(0L).as("db"),
+        lit(0L).as("dca"), lit(0L).as("dcb"))
+      .unionAll(firsts.filter(col("first_purch_day").isNotNull)
+        .select(col("first_purch_day"), lit(0L), lit(0L),
+          when(col("armn") === 0L, 1L).otherwise(0L),
+          when(col("armn") === 1L, 1L).otherwise(0L)))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    deltas.groupBy(col("day"))
+      .agg(sum(col("da")).as("da"), sum(col("db")).as("db"),
+        sum(col("dca")).as("dca"), sum(col("dcb")).as("dcb"))
+      .select(col("day"),
+        sum(col("da")).over(w).as("n_a"), sum(col("db")).over(w).as("n_b"),
+        sum(col("dca")).over(w).as("conv_a"),
+        sum(col("dcb")).over(w).as("conv_b"))
+      .withColumn("lift_ppm", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+          |ELSE (1000000 * conv_b) div n_b - (1000000 * conv_a) div n_a END"""
+          .stripMargin))
+      .withColumn("z2_micro", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+          |    OR conv_a + conv_b = n_a + n_b THEN 0
+          |ELSE ((CAST(conv_b AS DECIMAL(38,0)) * n_a - CAST(conv_a AS DECIMAL(38,0)) * n_b)
+          |      * (CAST(conv_b AS DECIMAL(38,0)) * n_a - CAST(conv_a AS DECIMAL(38,0)) * n_b)
+          |      div (n_a * n_b)) * 1000000 * (n_a + n_b)
+          |      div ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) END"""
+          .stripMargin))
+      .withColumn("r0", expr(
+        "CAST(floor(sqrt(CAST(z2_micro AS DOUBLE))) AS BIGINT)"))
+      .select(col("day"), col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("lift_ppm"),
+        expr("""CASE WHEN r0*r0 > z2_micro THEN r0-1
+                WHEN (r0+1)*(r0+1) <= z2_micro THEN r0+1 ELSE r0 END""")
+          .as("z_milli"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: same firsts fold, same delta union, same staged z. */
+  val streamAbLiftSql: String =
+    """WITH u AS (SELECT user_id,
+      |    min(epoch_us(ts) // 86400000000) AS first_day,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) // 86400000000 END) AS first_purch_day,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('ab|' || CAST(user_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 2 AS armn
+      |  FROM events GROUP BY user_id),
+      |del AS (
+      |  SELECT first_day AS day,
+      |    CASE WHEN armn = 0 THEN 1 ELSE 0 END AS da,
+      |    CASE WHEN armn = 1 THEN 1 ELSE 0 END AS db,
+      |    0 AS dca, 0 AS dcb FROM u
+      |  UNION ALL
+      |  SELECT first_purch_day, 0, 0,
+      |    CASE WHEN armn = 0 THEN 1 ELSE 0 END,
+      |    CASE WHEN armn = 1 THEN 1 ELSE 0 END
+      |  FROM u WHERE first_purch_day IS NOT NULL),
+      |daily AS (SELECT day, sum(da) AS da, sum(db) AS db,
+      |    sum(dca) AS dca, sum(dcb) AS dcb FROM del GROUP BY day),
+      |cum AS (SELECT day,
+      |    CAST(sum(da) OVER w AS HUGEINT) AS n_a,
+      |    CAST(sum(db) OVER w AS HUGEINT) AS n_b,
+      |    CAST(sum(dca) OVER w AS HUGEINT) AS conv_a,
+      |    CAST(sum(dcb) OVER w AS HUGEINT) AS conv_b
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |z AS (SELECT *,
+      |    CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+      |      ELSE (1000000 * conv_b) // n_b - (1000000 * conv_a) // n_a END AS lift_ppm,
+      |    CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+      |        OR conv_a + conv_b = n_a + n_b THEN 0
+      |      ELSE ((conv_b * n_a - conv_a * n_b)
+      |            * (conv_b * n_a - conv_a * n_b)
+      |            // (n_a * n_b)) * 1000000 * (n_a + n_b)
+      |            // ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) END AS z2_micro
+      |  FROM cum),
+      |r AS (SELECT *, CAST(floor(sqrt(CAST(z2_micro AS DOUBLE))) AS BIGINT) AS r0 FROM z)
+      |SELECT CAST(day AS BIGINT) AS day, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_a AS BIGINT) AS conv_a,
+      |  CAST(conv_b AS BIGINT) AS conv_b, CAST(lift_ppm AS BIGINT) AS lift_ppm,
+      |  CAST(CASE WHEN r0*r0 > z2_micro THEN r0-1
+      |       WHEN (r0+1)*(r0+1) <= z2_micro THEN r0+1 ELSE r0 END AS BIGINT) AS z_milli
+      |FROM r ORDER BY day""".stripMargin
+
   // ---------------------------------------------- live quantile sketch
   case class QuantEv(day: Long, cents: Long)
   case class QuantOut(day: Long, n_events: Long,
@@ -1518,6 +1674,7 @@ object EventStreams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_quantile" -> streamQuantile,
     "stream_dau" -> streamDau,
+    "stream_ab_lift" -> streamAbLift,
     "stream_funnel" -> streamFunnel,
     "stream_drift" -> streamDrift,
     "stream_late_data" -> streamLateData,
@@ -1551,6 +1708,7 @@ object EventStreams {
   val oracles: Map[String, String] = Map(
     "stream_quantile" -> streamQuantileSql,
     "stream_dau" -> streamDauSql,
+    "stream_ab_lift" -> streamAbLiftSql,
     "stream_funnel" -> streamFunnelSql,
     "stream_drift" -> streamDriftSql,
     "stream_late_data" -> streamLateDataSql,

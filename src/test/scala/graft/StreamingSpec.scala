@@ -882,6 +882,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed A/B monitor deltas accumulate to the stream_ab_lift face per closed day") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (u, id, us, ty) => EventStreams.AbEv(u, id, us, ty) }
+    val byDay = evs.groupBy(_.us / 86400000000L).toSeq.sortBy(_._1)
+    val face = EventStreams.streamAbLift(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val mem = MemoryStream[EventStreams.AbEv]
+    val q = EventStreams.abLiftStream(mem.toDS())
+      .writeStream.format("memory").queryName("ab_live")
+      .outputMode("append").start()
+    try {
+      var checked = 0
+      byDay.foreach { case (d, rows) =>
+        mem.addData(rows.toSeq: _*); q.processAllAvailable()
+        // running sums of every delta emitted so far ARE the counters
+        val deltas = spark.sql("SELECT armn, d_users, d_conv FROM ab_live")
+          .as[(Long, Long, Long)].collect()
+        val na = deltas.filter(_._1 == 0L).map(_._2).sum
+        val nb = deltas.filter(_._1 == 1L).map(_._2).sum
+        val ca = deltas.filter(_._1 == 0L).map(_._3).sum
+        val cb = deltas.filter(_._1 == 1L).map(_._3).sum
+        face.filter(_._1 <= d).lastOption.foreach { r =>
+          assert((r._2, r._3, r._4, r._5) == ((na, nb, ca, cb)),
+            s"closed day $d: face (${r._2},${r._3},${r._4},${r._5}) " +
+              s"vs live ($na,$nb,$ca,$cb)")
+          checked += 1
+        }
+      }
+      assert(checked >= face.length, "some face days never checked")
+    } finally q.stop()
+    // the END-day row must equal events_ab_lift's one-row readout —
+    // this face is the same experiment unrolled over time
+    val last = face.last
+    val lift = graft.operators.Analytics.eventsAbLift(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert((last._2, last._3, last._4, last._5) ==
+      ((lift._1, lift._2, lift._3, lift._4)),
+      "end-day counters diverge from events_ab_lift")
+    assert(last._6 == lift._7 && last._7 == lift._8,
+      "end-day lift/z diverge from events_ab_lift")
+  }
+
   test("streamed sequential CUSUM equals the batch closed form on the real series") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.CusumEv
