@@ -1416,6 +1416,135 @@ object TextOps {
       |FROM st$WP_ROUNDS ORDER BY word""".stripMargin
   }
 
+  // ------------------------------------------- WordPiece training
+  /** WordPiece merge TRAINING (r14 wave 18) — the likelihood-criterion
+    * trainer that completes the tokenizer-family symmetry (BPE and
+    * unigram-LM both have train faces; WordPiece previously had only
+    * the runtime matcher riding BPE's merges). Identical loop shape to
+    * [[tokenizeBpe]] — pair-count over the cached vocab relation, one
+    * 1-row winner collect per round — but the winner maximizes
+    * count(ab) / (count(a)·count(b)) (the training-corpus likelihood
+    * gain of merging, Schuster & Nakajima 2012) instead of raw
+    * count(ab): a pair whose halves rarely appear APART beats a merely
+    * frequent pair. Scores are compared at fixed 10⁻¹⁸ precision —
+    * floor(cnt·10¹⁸ / (lcnt·rcnt)), exact integer on both engines,
+    * ≤ 10¹⁸ so it fits BIGINT — with (score desc, l, r) tie-break;
+    * two true fractions closer than 10⁻¹⁸ tie lexicographically by
+    * the same documented rule on both engines.
+    *
+    * == Scale design ==
+    * The corpus contributes only the Heaps-law word-frequency relation
+    * (one scan, cached); each round adds a symbol-count aggregate
+    * (O(vocab·len) explode, map-side combinable to O(symbols) rows)
+    * broadcast twice into the O(pairs) relation — the loop never
+    * re-touches the corpus, exactly like the BPE trainer.
+    */
+  private val WORDPIECE_MERGES = 12
+
+  private val wordpieceMerges = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, String, Long, Long, Long, Long)]]()
+
+  private def trainedWordpieceMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long, Long, Long, Long)] = {
+    import s.implicits._
+    val memoKey = bpeCorpusKey(s, dir)
+    val cached = wordpieceMerges.get(memoKey)
+    if (cached != null) return cached
+    val vocab = bpeVocab(s, dir).cache()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Long, Long, Long)]
+    try {
+      var cur = vocab.select(col("seq"), col("freq"))
+      var k = 1
+      var exhausted = false
+      while (k <= WORDPIECE_MERGES && !exhausted) {
+        val split0 = cur
+          .select(split(trim(col("seq")), "  ").as("s"), col("freq"))
+        val syms = split0
+          .select(explode(col("s")).as("sym"), col("freq"))
+          .groupBy(col("sym")).agg(sum(col("freq")).as("scnt"))
+        val best = split0
+          .filter(size(col("s")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(s)-2), i -> struct(s[i] as l, s[i+1] as r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .join(broadcast(syms.select(col("sym").as("l"), col("scnt").as("lcnt"))), "l")
+          .join(broadcast(syms.select(col("sym").as("r"), col("scnt").as("rcnt"))), "r")
+          .withColumn("score_e18", expr(
+            """CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000000000000000)
+              | div (CAST(lcnt AS DECIMAL(38,0)) * rcnt) AS BIGINT)""".stripMargin))
+          .orderBy(col("score_e18").desc, col("l"), col("r"))
+          .limit(1)
+          .select(col("l"), col("r"), col("cnt"), col("lcnt"), col("rcnt"),
+            col("score_e18"))
+          .as[(String, String, Long, Long, Long, Long)].collect()
+        best.headOption match {
+          case Some((l, r, cnt, lc, rc, sc)) =>
+            merges += ((k.toLong, l, r, l + r, cnt, lc, rc, sc))
+            cur = cur.withColumn("seq", call_function("replace", col("seq"),
+              lit(s" $l  $r "), lit(s" $l$r ")))
+            k += 1
+          case None => exhausted = true
+        }
+      }
+    } finally vocab.unpersist()
+    val trained = merges.toSeq
+    val prev = wordpieceMerges.putIfAbsent(memoKey, trained)
+    if (prev != null) prev else trained
+  }
+
+  def tokenizeWordpieceTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainedWordpieceMerges(s, dir)
+      .toDF("rank", "left_sym", "right_sym", "merged", "pair_freq",
+        "left_freq", "right_freq", "score_e18")
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB twin: the training loop unrolled — per round a symbol-count
+    * CTE, a pair-count CTE, the likelihood-scored LIMIT-1 winner, and
+    * the delimited-string rewrite; MATERIALIZED for the same
+    * exponential-inlining reason as the BPE chain. */
+  private val wordpieceTrainCtes: Seq[String] = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """v0 AS MATERIALIZED (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+        |         ' ' || array_to_string(list_append(string_split(w, ''), '</w>'), '  ') || ' ' AS seq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin)
+    for (k <- 1 to WORDPIECE_MERGES) {
+      val p = k - 1
+      ctes += s"""ws$k AS MATERIALIZED (
+        |  SELECT sym, CAST(sum(freq) AS BIGINT) AS scnt
+        |  FROM (SELECT unnest(string_split(trim(seq), '  ')) AS sym, freq FROM v$p)
+        |  GROUP BY 1)""".stripMargin
+      ctes += s"""wp$k AS MATERIALIZED (
+        |  SELECT s[i] AS l, s[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(seq), '  ') AS s, freq FROM v$p),
+        |       unnest(range(1, len(s))) t(i)
+        |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"""wb$k AS (SELECT p.l, p.r, p.cnt, sl.scnt AS lcnt, sr.scnt AS rcnt,
+        |  CAST(CAST(p.cnt AS HUGEINT) * 1000000000000000000
+        |       // (CAST(sl.scnt AS HUGEINT) * sr.scnt) AS BIGINT) AS score_e18
+        |  FROM wp$k p JOIN ws$k sl ON sl.sym = p.l JOIN ws$k sr ON sr.sym = p.r
+        |  ORDER BY score_e18 DESC, p.l, p.r LIMIT 1)""".stripMargin
+      ctes += s"""v$k AS MATERIALIZED (
+        |  SELECT word, freq, replace(seq, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS seq
+        |  FROM v$p CROSS JOIN wb$k)""".stripMargin
+    }
+    ctes.toSeq
+  }
+
+  val tokenizeWordpieceTrainSql: String = {
+    val sel = (1 to WORDPIECE_MERGES).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, cnt AS pair_freq, lcnt AS left_freq, " +
+        s"rcnt AS right_freq, score_e18 FROM wb$k")
+      .mkString("\nUNION ALL\n")
+    "WITH " + wordpieceTrainCtes.mkString(",\n") + "\n" + sel + "\nORDER BY rank"
+  }
+
   /** BPE-dropout segmentation (Provilkov et al. 2020) — the
     * subword-regularization face: during merge REPLAY (training is
     * untouched), each (word, merge-rank) pair deterministically skips
@@ -1994,6 +2123,7 @@ object TextOps {
     "tokenize_compare" -> tokenizeCompare,
     "tokenize_bpe" -> tokenizeBpe,
     "tokenize_wordpiece" -> tokenizeWordpiece,
+    "tokenize_wordpiece_train" -> tokenizeWordpieceTrain,
     "tokenize_bpe_segments" -> tokenizeBpeSegments,
     "tokenize_bpe_ids" -> tokenizeBpeIds,
     "tokenize_coverage" -> tokenizeCoverage,
@@ -2074,6 +2204,7 @@ object TextOps {
     "tokenize_compare" -> tokenizeCompareSql,
     "tokenize_bpe" -> tokenizeBpeSql,
     "tokenize_wordpiece" -> tokenizeWordpieceSql,
+    "tokenize_wordpiece_train" -> tokenizeWordpieceTrainSql,
     "tokenize_bpe_segments" -> tokenizeBpeSegmentsSql,
     "tokenize_bpe_ids" -> tokenizeBpeIdsSql,
     "tokenize_coverage" -> tokenizeCoverageSql,

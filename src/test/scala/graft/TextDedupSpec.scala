@@ -338,6 +338,74 @@ class TextDedupSpec extends SparkSpec {
     assert(got.forall(_._5 > 0))
   }
 
+  test("tokenize_wordpiece_train matches an in-memory likelihood trainer, diverges from BPE") {
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .as[(String, Long)].collect()
+    // reference trainer: same merge loop as the BPE spec but the
+    // winner maximizes the exact staged likelihood score
+    // floor(cnt·1e18 / (lcnt·rcnt)) with (score desc, l, r) ties
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }.toMap
+    val E18 = BigInt(10).pow(18)
+    val expect = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Long, Long, Long)]
+    var k = 1
+    var done = false
+    while (k <= 12 && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      val syms = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (ss, f) =>
+        ss.foreach(sm => syms(sm) = syms.getOrElse(sm, 0L) + f)
+        ss.sliding(2).foreach {
+          case Seq(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val scored = pairs.toSeq.map { case ((a, b), c) =>
+          val sc = (BigInt(c) * E18 / (BigInt(syms(a)) * syms(b))).toLong
+          (a, b, c, syms(a), syms(b), sc)
+        }
+        val (l, r, cnt, lc, rc, sc) =
+          scored.minBy { case (a, b, _, _, _, s0) => (-s0, a, b) }
+        expect += ((k.toLong, l, r, l + r, cnt, lc, rc, sc))
+        vocab = vocab.toSeq.map { case (ss, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          (out.result(), f)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        k += 1
+      }
+    }
+    val got = TextOps.tokenizeWordpieceTrain(spark, sf)
+      .as[(Long, String, String, String, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.nonEmpty, "vacuous WordPiece-train check")
+    assert(got == expect.toSeq,
+      "Spark WordPiece training diverged from the in-memory reference")
+    // the likelihood criterion must actually differ from raw frequency:
+    // the two disciplines' merge sequences diverge on this corpus
+    val bpe = TextOps.tokenizeBpe(spark, sf)
+      .select("merged").as[String].collect().toSeq
+    assert(got.map(_._4) != bpe.take(got.length),
+      "WordPiece picked BPE's exact merge sequence — criterion vacuous here")
+    // cohesion sanity: a winner's score never exceeds 1e18/min-side
+    // (score = 1e18·cnt/(lcnt·rcnt) and cnt <= min(lcnt, rcnt))
+    got.foreach { case (_, _, _, _, cnt, lc, rc, sc) =>
+      assert(cnt <= lc && cnt <= rc)
+      assert(BigInt(sc) <= E18 / BigInt(math.max(lc, rc)),
+        "score exceeds the perfect-cohesion bound")
+    }
+  }
+
   test("tokenize_bpe_segments: segmentations tile each word and use only trained symbols") {
     val merges = TextOps.tokenizeBpe(spark, sf)
       .select("merged").as[String].collect().toSet
