@@ -432,7 +432,163 @@ object Geo {
        |ORDER BY layout, box_id""".stripMargin
   }
 
+  // --------------------------------------------------- Hilbert layout
+  /** Hilbert xy→d index over the 2048-square (the canvas's covering
+    * power of two), appended as column `out` — the classic 11-round
+    * bit transform (top-down quadrant descent with the rotate/reflect
+    * state carried in (x, y); each round contributes s²·((3·rx)⊕ry)).
+    * Materialized ROUND BY ROUND as withColumn stages: a single nested
+    * expression would re-reference each round's (x, y) three times and
+    * the tree would grow 3¹¹-fold; per-round projections keep it
+    * linear and Catalyst's CollapseProject guard (non-cheap exprs
+    * referenced more than once are not inlined) preserves that.
+    */
+  private[graft] def withHilbert(df: DataFrame, xCol: String, yCol: String,
+                                 out: String): DataFrame = {
+    var d = df.withColumn("hx", col(xCol).cast("long"))
+      .withColumn("hy", col(yCol).cast("long"))
+      .withColumn(out, lit(0L))
+    var s = 1024L
+    while (s >= 1L) {
+      d = d
+        .withColumn("hrx",
+          when(col("hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("hry",
+          when(col("hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn(out,
+          col(out) + lit(s * s) * (col("hrx") * 3L).bitwiseXOR(col("hry")))
+        .withColumn("hx2", when(col("hry") === 0,
+          when(col("hrx") === 1, lit(s - 1) - col("hy")).otherwise(col("hy")))
+          .otherwise(col("hx")))
+        .withColumn("hy2", when(col("hry") === 0,
+          when(col("hrx") === 1, lit(s - 1) - col("hx")).otherwise(col("hx")))
+          .otherwise(col("hy")))
+        .withColumn("hx", col("hx2")).withColumn("hy", col("hy2"))
+      s /= 2L
+    }
+    d.drop("hx", "hy", "hrx", "hry", "hx2", "hy2")
+  }
+
+  /** Hilbert-vs-Morton skipping audit (r14 wave 18) — the
+    * better-curve question [[layoutSkippingEval]] leaves open: Morton
+    * order has quadrant-boundary JUMPS (the curve teleports across the
+    * canvas between quadrants, so a 256-cell file there spans distant
+    * regions), the Hilbert curve is fully adjacency-preserving
+    * (consecutive indices are always Manhattan neighbors — the spec
+    * pins exactly that property), so its files are tighter rectangles
+    * and zone-map pruning touches fewer of them. Same harness as the
+    * linear-vs-Morton face: 256-cell files per layout, min/max zone
+    * maps, the four fixed probe boxes, read amplification in exact
+    * ppm. The honest readout stands either way — on axis-aligned
+    * probes the two curves are usually close, and the jump cost shows
+    * on boxes that straddle a quadrant boundary.
+    *
+    * == Scale design ==
+    * Identical to [[layoutSkippingEval]]: everything after the one
+    * rasterize fold runs on the canvas-bounded cell grid; the Hilbert
+    * transform is 11 codegen-friendly integer projection stages over
+    * that bounded relation, zero extra shuffles.
+    */
+  def layoutHilbert(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val F = 256L
+    val raster = withHilbert(rasterDf(s, dir), "px", "py", "hd")
+      .stableCheckpoint()
+    val zkey = spread16(col("px")).bitwiseOR(shiftleft(spread16(col("py")), 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("layout")).orderBy(col("okey"))
+    val files = raster
+      .select(col("px"), col("py"), col("cnt"), col("hd"),
+        explode(array(lit("hilbert"), lit("zorder"))).as("layout"))
+      .withColumn("okey",
+        when(col("layout") === "zorder", zkey).otherwise(col("hd")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("file_id", expr(s"(rn - 1) div $F"))
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_points"),
+        min(col("px")).as("fx0"), max(col("px")).as("fx1"),
+        min(col("py")).as("fy0"), max(col("py")).as("fy1"))
+    val boxes = s.range(1).select(expr(skipBoxes))
+    val matching = raster.crossJoin(broadcast(boxes))
+      .filter(col("px") >= col("bx0") && col("px") <= col("bx1") &&
+        col("py") >= col("by0") && col("py") <= col("by1"))
+      .groupBy(col("box_id"))
+      .agg(count(lit(1)).as("cells_matching"))
+    files.crossJoin(broadcast(boxes))
+      .withColumn("files_total", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("layout"), col("box_id"))))
+      .filter(col("fx1") >= col("bx0") && col("fx0") <= col("bx1") &&
+        col("fy1") >= col("by0") && col("fy0") <= col("by1"))
+      .groupBy(col("layout"), col("box_id"), col("files_total"))
+      .agg(count(lit(1)).as("files_touched"),
+        sum(col("n_cells")).as("cells_scanned"))
+      .join(broadcast(matching), Seq("box_id"))
+      .select(col("layout"), col("box_id"), col("files_total"),
+        col("files_touched"), col("cells_scanned"), col("cells_matching"),
+        expr("(1000000 * cells_scanned) div greatest(cells_matching, 1)")
+          .as("read_amp_ppm"))
+      .orderBy(col("layout"), col("box_id"))
+  }
+
+  /** The Hilbert rounds as chained MATERIALIZED CTEs (same per-round
+    * state transform; materialized so DuckDB cannot exponentially
+    * inline the thrice-referenced hx/hy). */
+  private val hilbertCtes: String = {
+    val rounds = Iterator.iterate(1024L)(_ / 2L).takeWhile(_ >= 1L).toSeq
+    val chain = rounds.zipWithIndex.map { case (s, i) =>
+      val k = i + 1
+      s"""hh$k AS MATERIALIZED (SELECT px, py, cnt,
+         |  CASE WHEN (hy & $s) = 0 THEN CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END ELSE hx END AS hx,
+         |  CASE WHEN (hy & $s) = 0 THEN CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hx ELSE hx END ELSE hy END AS hy,
+         |  hd + ${s * s} * xor(CASE WHEN (hx & $s) > 0 THEN 3 ELSE 0 END,
+         |                      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) AS hd
+         |FROM hh${i})""".stripMargin
+    }.mkString(",\n")
+    s"""hh0 AS (SELECT px, py, cnt, CAST(px AS BIGINT) AS hx,
+       |  CAST(py AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM raster),
+       |$chain""".stripMargin
+  }
+
+  /** DuckDB twin: same Hilbert rounds, same file ranking, same
+    * zone-map probe. */
+  val layoutHilbertSql: String = {
+    val z = s"(${spreadSql("px")} | (${spreadSql("py")} << 1))"
+    s"""WITH $pointsCte, $mercCte, $rasterCte,
+       |$hilbertCtes,
+       |l AS (
+       |  SELECT px, py, cnt, 'hilbert' AS layout, hd AS okey FROM hh11
+       |  UNION ALL
+       |  SELECT px, py, cnt, 'zorder', $z FROM raster),
+       |r AS (SELECT layout, cnt, px, py,
+       |    (row_number() OVER (PARTITION BY layout ORDER BY okey) - 1) // 256 AS file_id
+       |  FROM l),
+       |files AS (SELECT layout, file_id, count(*) AS n_cells,
+       |    min(px) AS fx0, max(px) AS fx1, min(py) AS fy0, max(py) AS fy1
+       |  FROM r GROUP BY 1, 2),
+       |boxes AS (SELECT * FROM (VALUES (0, 0, 0, 349, 249), (1, 700, 0, 1399, 499),
+       |    (2, 350, 250, 1049, 749), (3, 1200, 800, 1399, 999))
+       |  AS t(box_id, bx0, by0, bx1, by1)),
+       |m AS (SELECT box_id, count(*) AS cells_matching
+       |  FROM raster CROSS JOIN boxes
+       |  WHERE px >= bx0 AND px <= bx1 AND py >= by0 AND py <= by1
+       |  GROUP BY box_id),
+       |ft AS (SELECT layout, count(*) AS files_total FROM files GROUP BY layout),
+       |hit AS (SELECT layout, box_id, count(*) AS files_touched,
+       |    CAST(sum(n_cells) AS BIGINT) AS cells_scanned
+       |  FROM files CROSS JOIN boxes
+       |  WHERE fx1 >= bx0 AND fx0 <= bx1 AND fy1 >= by0 AND fy0 <= by1
+       |  GROUP BY 1, 2)
+       |SELECT hit.layout, CAST(hit.box_id AS BIGINT) AS box_id,
+       |  CAST(ft.files_total AS BIGINT) AS files_total,
+       |  CAST(files_touched AS BIGINT) AS files_touched, cells_scanned,
+       |  CAST(cells_matching AS BIGINT) AS cells_matching,
+       |  (1000000 * cells_scanned) // greatest(cells_matching, 1) AS read_amp_ppm
+       |FROM hit JOIN ft USING (layout) JOIN m USING (box_id)
+       |ORDER BY layout, box_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_hilbert" -> layoutHilbert,
     "layout_skipping_eval" -> layoutSkippingEval,
     "layout_zorder" -> layoutZorder,
     "geo_mercator" -> geoMercator,
@@ -444,6 +600,7 @@ object Geo {
     "reduce_assemble" -> reduceAssemble)
 
   val oracles: Map[String, String] = Map(
+    "layout_hilbert" -> layoutHilbertSql,
     "layout_skipping_eval" -> layoutSkippingEvalSql,
     "layout_zorder" -> layoutZorderSql,
     "geo_mercator" -> geoMercatorSql,

@@ -73,4 +73,70 @@ class GeoSpec extends SparkSpec {
         s"z-order lost the corner-box pruning on box $b")
     }
   }
+
+  test("layout_hilbert: transform matches the reference xy2d and preserves adjacency") {
+    // reference implementation of the public top-down xy2d transform
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L); var s = 1024L
+      while (s >= 1) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    // exhaustive 64x64 grid through the operator's transform
+    val grid = spark.range(64L * 64L)
+      .select((col("id") % 64L).as("x"), expr("id div 64").as("y"))
+    val got = Geo.withHilbert(grid.toDF(), "x", "y", "hd")
+      .select("x", "y", "hd").as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, hd) =>
+      assert(hd == xy2d(x, y), s"($x,$y): $hd != ${xy2d(x, y)}")
+    }
+    // the curve's defining property: indices differing by 1 are
+    // Manhattan neighbors (Morton violates this at quadrant jumps)
+    val byD = got.map(t => t._3 -> (t._1, t._2)).toMap
+    var checked = 0
+    byD.foreach { case (d, (x, y)) =>
+      byD.get(d + 1).foreach { case (x2, y2) =>
+        assert(math.abs(x2 - x) + math.abs(y2 - y) == 1,
+          s"d=$d -> d+1 jumps from ($x,$y) to ($x2,$y2)")
+        checked += 1
+      }
+    }
+    assert(checked > 1000, "adjacency property vacuously checked")
+    // Morton does NOT have it on this same grid — pin the contrast
+    val mortonViolations = got.map { case (x, y, _) =>
+      def spread(v: Long): Long = { // 16-bit Morton spread
+        var r = v & 0xFFFFL
+        r = (r | (r << 8)) & 0x00FF00FFL
+        r = (r | (r << 4)) & 0x0F0F0F0FL
+        r = (r | (r << 2)) & 0x33333333L
+        (r | (r << 1)) & 0x55555555L
+      }
+      (spread(x) | (spread(y) << 1)) -> (x, y)
+    }.toMap match { case m =>
+      m.count { case (z, (x, y)) =>
+        m.get(z + 1).exists { case (x2, y2) =>
+          math.abs(x2 - x) + math.abs(y2 - y) != 1
+        }
+      }
+    }
+    assert(mortonViolations > 0, "Morton unexpectedly adjacency-preserving")
+    // the shared zorder rows must equal layout_skipping_eval's exactly
+    val hil = Geo.layoutHilbert(spark, sfMid)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(hil.length == 8, "2 layouts x 4 boxes")
+    val zFromHil = hil.filter(_._1 == "zorder").sortBy(_._2)
+    val zFromEval = Geo.layoutSkippingEval(spark, sfMid)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .filter(_._1 == "zorder").sortBy(_._2)
+    assert(zFromHil.toSeq == zFromEval.toSeq,
+      "the two audits disagree on the shared zorder layout")
+  }
 }
