@@ -218,6 +218,94 @@ object Multimodal {
       |    (a, b) -> (a * 31 + b) % 997) AS frame_checksum
       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------- scene-cut detect
+  /** Video scene-cut detection (r14 wave 18) — the temporal-structure
+    * face of the video family: [[mmFrameSample]] plans WHICH frames to
+    * decode, this one segments the stream into SCENES, the unit a
+    * training pipeline actually samples clips from. Per 'video'-kind
+    * blob, EVERY 32-byte frame gets a 16-bit ordinal signature (bit j
+    * set iff frame byte 2j > byte 2j+1 — the rank-order feature family
+    * real perceptual hashes use, deterministic on the fake decode);
+    * a cut opens where the Hamming distance to the PREVIOUS frame's
+    * signature reaches 12 of 16 bits (uncorrelated frames measure
+    * ~Binomial(16, ½) ≈ 8, so 12 is a ~4 % tail — on this synthetic
+    * corpus scenes are noise-cut segments, and the spec plants a real
+    * repeated-frame fixture to pin boundary exactness). Output is the
+    * per-scene ledger: frame span, length, and the opening cut's
+    * distance. The signature, distance, and segmentation are all pure
+    * SQL expressions — unlike the sibling faces this one needs no
+    * typed escape, so it stays in whole-stage codegen end to end.
+    *
+    * == Scale design ==
+    * One corpus scan; the frame fan-out is an explode over
+    * length/32 positions with the signature computed map-side; the
+    * only shuffle is the (doc)-keyed lag/cumsum window — partitioned
+    * on doc_id, P-way parallel at any scale; the ledger collapses
+    * frames to O(scenes).
+    */
+  def mmSceneCut(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs(s, dir)
+      .filter(col("doc_id") % 3 === 2) // 'video' kind
+      .select(col("doc_id"), col("text"),
+        expr("length(text) div 32").as("nf"))
+      .filter(col("nf") >= 1)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(CAST(0 AS BIGINT), nf - 1)")).as("f"))
+      .withColumn("sig", expr(
+        """aggregate(transform(sequence(0, 15), j ->
+          |  IF(ascii(substr(text, CAST(f*32 + 2*j + 1 AS INT), 1))
+          |     > ascii(substr(text, CAST(f*32 + 2*j + 2 AS INT), 1)),
+          |     shiftleft(1, j), 0)), 0, (a, x) -> a + x)""".stripMargin)
+        .cast("long"))
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .withColumn("dist", expr(
+        "bit_count(CAST(sig AS INT) ^ CAST(prev AS INT))").cast("long"))
+      .withColumn("cut",
+        when(col("prev").isNotNull && col("dist") >= 12L, 1L).otherwise(0L))
+      .withColumn("scene_id", sum(col("cut")).over(wRun))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("f")).as("start_frame"), max(col("f")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        max(when(col("cut") === 1L, col("dist"))).as("cut_dist"))
+      .orderBy(col("doc_id"), col("scene_id"))
+  }
+
+  /** Oracle: pure-ASCII corpus ⇒ frame bytes are chars; same ordinal
+    * signature, same lag distance, same running cut sum. */
+  val mmSceneCutSql: String =
+    """WITH v AS (SELECT doc_id, text, strlen(text) // 32 AS nf FROM documents
+      |  WHERE doc_id % 3 = 2 AND strlen(text) >= 32),
+      |fr AS (SELECT doc_id, text, unnest(range(0, nf)) AS f FROM v),
+      |sg AS (SELECT doc_id, f,
+      |    list_sum(list_transform(range(0, 16), j ->
+      |      CASE WHEN ascii(substr(text, CAST(f*32 + 2*j + 1 AS INT), 1))
+      |           > ascii(substr(text, CAST(f*32 + 2*j + 2 AS INT), 1))
+      |      THEN 1 << CAST(j AS INT) ELSE 0 END)) AS sig
+      |  FROM fr),
+      |lg AS (SELECT doc_id, f, sig,
+      |    lag(sig) OVER (PARTITION BY doc_id ORDER BY f) AS prev FROM sg),
+      |ct AS (SELECT doc_id, f,
+      |    CASE WHEN prev IS NULL THEN NULL
+      |         ELSE bit_count(xor(CAST(sig AS INT), CAST(prev AS INT))) END AS dist,
+      |    CASE WHEN prev IS NOT NULL
+      |          AND bit_count(xor(CAST(sig AS INT), CAST(prev AS INT))) >= 12
+      |         THEN 1 ELSE 0 END AS cut
+      |  FROM lg),
+      |sc AS (SELECT doc_id, f, dist, cut,
+      |    CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_id
+      |  FROM ct)
+      |SELECT doc_id, scene_id,
+      |  CAST(min(f) AS BIGINT) AS start_frame,
+      |  CAST(max(f) AS BIGINT) AS end_frame,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(max(CASE WHEN cut = 1 THEN dist END) AS BIGINT) AS cut_dist
+      |FROM sc GROUP BY 1, 2 ORDER BY doc_id, scene_id""".stripMargin
+
   // ---------------------------------------------------- CDC chunk dedup
   /** Sub-blob dedup accounting via content-defined chunking: every blob
     * splits at Rabin-style rolling-hash boundaries
@@ -456,6 +544,7 @@ object Multimodal {
     "mm_cdc_chunks" -> mmCdcChunks,
     "mm_batch_extract" -> mmBatchExtract,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_scene_cut" -> mmSceneCut,
     "mm_resize" -> mmResize,
     "mm_audio_chunks" -> mmAudioChunks,
     "mm_phash" -> mmPhash,
@@ -535,6 +624,7 @@ object Multimodal {
     "mm_cdc_chunks" -> mmCdcChunksSql,
     "mm_batch_extract" -> mmBatchExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_scene_cut" -> mmSceneCutSql,
     "mm_resize" -> mmResizeSql,
     "mm_audio_chunks" -> mmAudioChunksSql,
     "mm_phash" -> mmPhashSql,

@@ -444,6 +444,56 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_scene_cut: full corpus replay, planted repeated-frame boundary is exact") {
+    val vids = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 3 === 2)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def sigOf(text: String, f: Int): Int =
+      (0 until 16).map { j =>
+        if (text(f * 32 + 2 * j) > text(f * 32 + 2 * j + 1)) 1 << j else 0
+      }.sum
+    val expected = vids.flatMap { case (id, text) =>
+      val nf = text.length / 32
+      if (nf < 1) Seq.empty
+      else {
+        val sigs = (0 until nf).map(sigOf(text, _))
+        val cuts = (0 until nf).map { f =>
+          if (f > 0 && Integer.bitCount(sigs(f) ^ sigs(f - 1)) >= 12) 1 else 0
+        }
+        val sceneIds = cuts.scanLeft(0)(_ + _).tail
+        (0 until nf).groupBy(sceneIds(_)).toSeq.map { case (sc, fs) =>
+          val cutDist = fs.sorted.headOption.filter(_ > 0)
+            .filter(f => cuts(f) == 1)
+            .map(f => Integer.bitCount(sigs(f) ^ sigs(f - 1)).toLong)
+          (id, sc.toLong, fs.min.toLong, fs.max.toLong, fs.size.toLong, cutDist)
+        }
+      }
+    }.toSet
+    val got = Multimodal.mmSceneCut(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSet
+    assert(got == expected, "scene ledger diverges from the in-memory replay")
+    assert(got.nonEmpty && got.exists(_._6.isDefined),
+      "no cut ever fired — threshold vacuous on this corpus")
+    // planted scenes: 5 identical all-ones-signature frames, then 5
+    // all-zeros frames — one cut, exactly at the boundary, distance 16
+    val dir = java.nio.file.Files.createTempDirectory("graft-scene").toString
+    try {
+      val text = ("ba" * 16) * 5 + ("ab" * 16) * 5
+      Seq((2L, text)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = Multimodal.mmSceneCut(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+        .sortBy(_._2).toSeq
+      assert(rows == Seq(
+        (2L, 0L, 0L, 4L, 5L, None),
+        (2L, 1L, 5L, 9L, 5L, Some(16L))),
+        s"planted boundary mis-segmented: $rows")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("ann_knn_graph agrees with ann_ivf on the shared query set") {
     val graph = Similarity.annKnnGraph(spark, sf)
     val small = graph.filter(col("query_id") < 10)
