@@ -1416,6 +1416,79 @@ object TextOps {
       |FROM st$WP_ROUNDS ORDER BY word""".stripMargin
   }
 
+  // --------------------------------------------- vocab-budget curve
+  /** Merge-budget tuning curve (r14 wave 18) — the justify-the-vocab-
+    * size table beside the trained tokenizer (the corpus_quality_curve
+    * / dedup_lsh_curve move, tokenizer edition): for every merge
+    * budget J = 0..[[BPE_MERGES]], the vocab size, the corpus's total
+    * subword count, and chars-per-subword compression. The whole
+    * sweep costs NOTHING beyond the already-memoized merge table,
+    * because of a conservation identity: merge k replaces exactly
+    * pair_freq_k symbol pairs with single symbols, so
+    * total_subwords(J) = base_symbols − Σ_{k≤J} pair_freq_k — no
+    * re-segmentation per budget (the spec re-segments two budgets
+    * from scratch and pins the identity). The J = 16 row ties to the
+    * segment table's total mass exactly.
+    *
+    * == Scale design ==
+    * One corpus scan into the checkpointed Heaps-law vocab relation
+    * (feeds both the base-mass fold and the alphabet count); the
+    * 17-row budget axis joins the 16-row merge table — O(1) work on
+    * broadcast-scale relations.
+    */
+  def tokenizeVocabCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.Checkpoints.StableSyntax
+    val vocab = bpeVocab(s, dir).stableCheckpoint()
+    val base = vocab.agg(
+      sum(expr("freq * (length(w) + 1)")).as("base_syms"),
+      sum(expr("freq * length(w)")).as("total_chars"))
+    val alpha = vocab
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .agg((countDistinct(col("c")) + 1L).as("n_alpha"))
+    val merges = trainedBpeMerges(s, dir)
+      .map(m => (m._1, m._5)).toDF("rank", "cnt")
+    val grid = s.range(0L, BPE_MERGES + 1L).toDF("j")
+    grid.join(broadcast(merges), col("rank") <= col("j"), "left")
+      .groupBy(col("j"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("saved_cum"),
+        coalesce(max(when(col("rank") === col("j"), col("cnt"))), lit(0L))
+          .as("saved_by_merge"))
+      .crossJoin(broadcast(base)).crossJoin(broadcast(alpha))
+      .select(col("j").as("j_merges"),
+        (col("n_alpha") + col("j")).as("vocab_size"),
+        (col("base_syms") - col("saved_cum")).as("total_subwords"),
+        expr("(1000 * total_chars) div (base_syms - saved_cum)")
+          .as("chars_per_subword_milli"),
+        col("saved_by_merge"))
+      .orderBy(col("j_merges"))
+  }
+
+  /** DuckDB twin: the training chain's winners prefix-summed against
+    * the base mass — same identity, same floor division. */
+  val tokenizeVocabCurveSql: String = {
+    val mUnion = (1 to BPE_MERGES)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, cnt FROM b$k")
+      .mkString(" UNION ALL ")
+    "WITH " + bpeTrainCtes.mkString(",\n") + s""",
+      |base AS (SELECT CAST(sum(freq * (strlen(word) + 1)) AS BIGINT) AS base_syms,
+      |    CAST(sum(freq * strlen(word)) AS BIGINT) AS total_chars FROM w0),
+      |alpha AS (SELECT CAST(count(DISTINCT c) + 1 AS BIGINT) AS n_alpha
+      |  FROM (SELECT unnest(string_split(word, '')) AS c FROM w0) WHERE c <> ''),
+      |m AS ($mUnion),
+      |g AS (SELECT unnest(range(0, ${BPE_MERGES + 1})) AS j),
+      |p AS (SELECT g.j,
+      |    CAST(COALESCE(sum(m.cnt), 0) AS BIGINT) AS saved_cum,
+      |    CAST(COALESCE(max(CASE WHEN m.rank = g.j THEN m.cnt END), 0) AS BIGINT) AS saved_by_merge
+      |  FROM g LEFT JOIN m ON m.rank <= g.j GROUP BY g.j)
+      |SELECT CAST(j AS BIGINT) AS j_merges, n_alpha + j AS vocab_size,
+      |  base_syms - saved_cum AS total_subwords,
+      |  (1000 * total_chars) // (base_syms - saved_cum) AS chars_per_subword_milli,
+      |  saved_by_merge
+      |FROM p CROSS JOIN base CROSS JOIN alpha ORDER BY j_merges""".stripMargin
+  }
+
   // ------------------------------------------- WordPiece training
   /** WordPiece merge TRAINING (r14 wave 18) — the likelihood-criterion
     * trainer that completes the tokenizer-family symmetry (BPE and
@@ -2124,6 +2197,7 @@ object TextOps {
     "tokenize_bpe" -> tokenizeBpe,
     "tokenize_wordpiece" -> tokenizeWordpiece,
     "tokenize_wordpiece_train" -> tokenizeWordpieceTrain,
+    "tokenize_vocab_curve" -> tokenizeVocabCurve,
     "tokenize_bpe_segments" -> tokenizeBpeSegments,
     "tokenize_bpe_ids" -> tokenizeBpeIds,
     "tokenize_coverage" -> tokenizeCoverage,
@@ -2205,6 +2279,7 @@ object TextOps {
     "tokenize_bpe" -> tokenizeBpeSql,
     "tokenize_wordpiece" -> tokenizeWordpieceSql,
     "tokenize_wordpiece_train" -> tokenizeWordpieceTrainSql,
+    "tokenize_vocab_curve" -> tokenizeVocabCurveSql,
     "tokenize_bpe_segments" -> tokenizeBpeSegmentsSql,
     "tokenize_bpe_ids" -> tokenizeBpeIdsSql,
     "tokenize_coverage" -> tokenizeCoverageSql,

@@ -338,6 +338,51 @@ class TextDedupSpec extends SparkSpec {
     assert(got.forall(_._5 > 0))
   }
 
+  test("tokenize_vocab_curve: conservation identity against real re-segmentation") {
+    val curve = TextOps.tokenizeVocabCurve(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.length == 17)
+    // monotone: every merge strictly shrinks the corpus, compression
+    // strictly improves, the vocab axis is dense
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 < a._3 && b._4 >= a._4 && b._2 == a._2 + 1)
+    }
+    // identity vs REAL re-segmentation at two budgets: replay the
+    // first J merges over the word vocab and count symbols directly
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .as[(String, Long)].collect()
+    val merges = TextOps.tokenizeBpe(spark, sf)
+      .select("left_sym", "right_sym").as[(String, String)].collect()
+    def resegmentMass(j: Int): Long = {
+      var vocab: Map[Vector[String], Long] =
+        words.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }.toMap
+      merges.take(j).foreach { case (l, r) =>
+        vocab = vocab.toSeq.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), f)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+      vocab.map { case (syms, f) => syms.length * f }.sum
+    }
+    Seq(4, 16).foreach { j =>
+      assert(curve(j)._3 == resegmentMass(j),
+        s"budget $j: prefix-sum identity diverges from real re-segmentation")
+    }
+    // the full-budget row IS the segment table's mass
+    val segMass = TextOps.tokenizeBpeSegments(spark, sf)
+      .select(expr("CAST(freq * n_syms AS BIGINT)")).as[Long].collect().sum
+    assert(curve(16)._3 == segMass,
+      "J=16 total diverges from tokenize_bpe_segments mass")
+  }
+
   test("tokenize_wordpiece_train matches an in-memory likelihood trainer, diverges from BPE") {
     val words = spark.read.parquet(s"$sf/documents.parquet")
       .select(explode(split(col("text"), " ")).as("w"))
