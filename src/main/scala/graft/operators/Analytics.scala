@@ -4296,10 +4296,13 @@ object Analytics {
     * binary segmentation's first cut, the building block of every
     * offline changepoint pass. Exact integer staging: n·SSE = n·Σy² −
     * (Σy)² per side (both non-negative by Cauchy-Schwarz, so the
-    * floor divisions need no shift guard), candidate costs compared
-    * at fixed micro precision — floor(10⁶·cost) — so both engines
-    * rank candidates identically; two costs within 10⁻⁶ of each other
-    * tie to the earlier day by the documented (cost, day) order. The
+    * floor divisions need no shift guard); costs are reported
+    * PER-DAY (÷n — an intensive unit, so the column survives any
+    * data-volume decade where the extensive SSE in cents² would
+    * overflow int64; dividing every candidate by the same n preserves
+    * the argmin), floored to whole cents² — two candidates tying
+    * within 1 cents²/day go to the earlier day by the documented
+    * (cost, day) order, identically on both engines. The
     * flat-model cost rides along, so `gain_micro` is the variance the
     * cut explains — a near-zero gain means "no changepoint", which is
     * the honest reading on a stationary series.
@@ -4349,13 +4352,13 @@ object Analytics {
         """(n - i) * (i * css - cs * cs)
           | + i * ((n - i) * (sstot - css) - (stot - cs) * (stot - cs))"""
           .stripMargin))
-      .withColumn("cost_split_micro", expr(
-        "CAST((1000000 * a_num) div (i * (n - i)) AS BIGINT)"))
-      .withColumn("cost_flat_micro", expr(
-        "CAST((1000000 * (n * sstot - stot * stot)) div n AS BIGINT)"))
+      .withColumn("cost_split", expr(
+        "CAST(a_num div (i * (n - i) * n) AS BIGINT)"))
+      .withColumn("cost_flat", expr(
+        "CAST((n * sstot - stot * stot) div (n * n) AS BIGINT)"))
     cand
       .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
-        .orderBy(col("cost_split_micro"), col("day"))))
+        .orderBy(col("cost_split"), col("day"))))
       .filter(col("rk") === 1)
       .select(col("event_type"),
         date_format(date_add(to_date(lit("1970-01-01")), col("day").cast("int")),
@@ -4365,8 +4368,8 @@ object Analytics {
         expr("CAST((stot - cs) div (n - i) AS BIGINT)").as("mean_right_cents"),
         expr("CAST((stot - cs) div (n - i) - cs div i AS BIGINT)")
           .as("shift_cents"),
-        col("cost_flat_micro"), col("cost_split_micro"),
-        (col("cost_flat_micro") - col("cost_split_micro")).as("gain_micro"))
+        col("cost_flat"), col("cost_split"),
+        (col("cost_flat") - col("cost_split")).as("gain"))
       .orderBy(col("event_type"))
   }
 
@@ -4401,19 +4404,19 @@ object Analytics {
       |      + i * ((n - i) * (sstot - css) - (stot - cs) * (stot - cs)) AS a_num
       |  FROM pre WHERE i < n),
       |cost AS (SELECT *,
-      |    CAST((1000000 * a_num) // (i * (n - i)) AS BIGINT) AS cost_split_micro,
-      |    CAST((1000000 * (n * sstot - stot * stot)) // n AS BIGINT) AS cost_flat_micro
+      |    CAST(a_num // (i * (n - i) * n) AS BIGINT) AS cost_split,
+      |    CAST((n * sstot - stot * stot) // (n * n) AS BIGINT) AS cost_flat
       |  FROM cand),
       |best AS (SELECT *, row_number() OVER (PARTITION BY event_type
-      |    ORDER BY cost_split_micro, day) AS rk FROM cost)
+      |    ORDER BY cost_split, day) AS rk FROM cost)
       |SELECT event_type,
       |  strftime(DATE '1970-01-01' + CAST(day AS INT), '%Y-%m-%d') AS cut_day,
       |  CAST(i AS BIGINT) AS n_left, CAST(n - i AS BIGINT) AS n_right,
       |  CAST(cs // i AS BIGINT) AS mean_left_cents,
       |  CAST((stot - cs) // (n - i) AS BIGINT) AS mean_right_cents,
       |  CAST((stot - cs) // (n - i) - cs // i AS BIGINT) AS shift_cents,
-      |  cost_flat_micro, cost_split_micro,
-      |  cost_flat_micro - cost_split_micro AS gain_micro
+      |  cost_flat, cost_split,
+      |  cost_flat - cost_split AS gain
       |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin
 
   // --------------------------------------------- nearest as-of join

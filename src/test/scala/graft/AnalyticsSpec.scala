@@ -1020,7 +1020,7 @@ class AnalyticsSpec extends SparkSpec {
       val series = (d0 to d1).map(d => BigInt(daily.getOrElse((t, d), 0L)))
       val n = BigInt(series.length)
       val stot = series.sum; val sstot = series.map(y => y * y).sum
-      val flat = BigInt(1000000) * (n * sstot - stot * stot) / n
+      val flat = (n * sstot - stot * stot) / (n * n)
       var cs = BigInt(0); var css = BigInt(0)
       var bestCost: BigInt = null; var bestDay = 0L
       for (i <- 1 until series.length) {
@@ -1028,14 +1028,14 @@ class AnalyticsSpec extends SparkSpec {
         val iB = BigInt(i); val nr = n - iB
         val a = nr * (iB * css - cs * cs) +
           iB * (nr * (sstot - css) - (stot - cs) * (stot - cs))
-        val cost = BigInt(1000000) * a / (iB * nr)
+        val cost = a / (iB * nr * n)
         // ascending-day iteration + strict < == the (cost, day) order
         if (bestCost == null || cost < bestCost) { bestCost = cost; bestDay = d0 + i - 1 }
       }
       (t, java.time.LocalDate.ofEpochDay(bestDay).toString, flat, bestCost)
     }
     val got = Analytics.eventsChangepoint(spark, sf)
-      .select("event_type", "cut_day", "cost_flat_micro", "cost_split_micro")
+      .select("event_type", "cut_day", "cost_flat", "cost_split")
       .as[(String, String, Long, Long)].collect().sortBy(_._1)
     assert(got.length == expected.length)
     expected.zip(got).foreach { case ((t, day, flat, cost), (gt, gday, gflat, gcost)) =>
