@@ -3898,6 +3898,161 @@ object Analytics {
       |       - ((adjsum_a + 10000000000000000 * (n * n_a)) // (n * n_a)) AS BIGINT) AS lift_cuped_micro
       |FROM a""".stripMargin
 
+  // ------------------------------------------ group-sequential test
+  /** Group-sequential experiment decision (r14 wave 19) — the
+    * peeking-CORRECT face the experimentation family was missing:
+    * [[graft.streaming.EventStreams.streamAbLift]] makes the peeking
+    * problem visible (its per-day z wanders past 1.96 and back before
+    * settling), this face applies the published fix — K = 5 planned
+    * looks at enrollment-time quantiles with Pocock (1977) and
+    * O'Brien–Fleming (1979) alpha-adjusted boundaries, the two
+    * standard group-sequential designs. Per look: the cumulative
+    * per-arm enrollment / first-purchase counters (the identical
+    * firsts-fold the live monitor uses, so the faces can never
+    * disagree on what a look sees), the pooled two-proportion z via
+    * `events_ab_lift`'s staged exact-integer z², and THREE verdicts —
+    * `naive_sig` (z > 1.960, the wrong fixed-threshold peek),
+    * `pocock_sig` (z > 2.413, the constant Pocock boundary for K = 5,
+    * α = 0.05 two-sided) and `obf_sig` (z_k > 2.040·√(K/k), the
+    * O'Brien–Fleming spend — compared EXACTLY as z²_micro >
+    * (2040²·5) div k, which equals the real-valued inequality by the
+    * floor-division identity z² > N div k ⇔ z²·k > N). Look days are
+    * the ⌈k·D/5⌉-ranked epoch days of the daily delta ledger, so the
+    * design is SF-invariant. All integer end to end; the boundary
+    * constants are published table values in milli units.
+    *
+    * == Scale design ==
+    * ONE fact scan folds to the checkpointed per-user firsts relation
+    * (map-side combinable on user_id); the delta union, daily sums,
+    * cumulative windows, rank and the 5-row look join all run on the
+    * O(days) ledger (documented bounded-relation single-partition
+    * window). Identical shape to `stream_ab_lift`'s batch face plus a
+    * broadcast 5-row join.
+    */
+  def eventsAbSequential(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    import org.apache.spark.sql.expressions.Window
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("ab|"), col("user_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val firsts = events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"),
+        min(when(col("event_type") === "purchase", col("day")))
+          .as("first_purch_day"))
+      .select(col("first_day"), col("first_purch_day"), (h % 2L).as("armn"))
+      .stableCheckpoint()
+    val deltas = firsts.select(col("first_day").as("day"),
+        when(col("armn") === 0L, 1L).otherwise(0L).as("da"),
+        when(col("armn") === 1L, 1L).otherwise(0L).as("db"),
+        lit(0L).as("dca"), lit(0L).as("dcb"))
+      .unionAll(firsts.filter(col("first_purch_day").isNotNull)
+        .select(col("first_purch_day"), lit(0L), lit(0L),
+          when(col("armn") === 0L, 1L).otherwise(0L),
+          when(col("armn") === 1L, 1L).otherwise(0L)))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = deltas.groupBy(col("day"))
+      .agg(sum(col("da")).as("da"), sum(col("db")).as("db"),
+        sum(col("dca")).as("dca"), sum(col("dcb")).as("dcb"))
+      .select(col("day"),
+        sum(col("da")).over(w).as("n_a"), sum(col("db")).over(w).as("n_b"),
+        sum(col("dca")).over(w).as("conv_a"),
+        sum(col("dcb")).over(w).as("conv_b"),
+        row_number().over(Window.orderBy(col("day"))).as("rk"),
+        count(lit(1)).over(wAll).as("nd"))
+    val looks = s.range(1, 6).select(col("id").as("look"))
+    cum.join(broadcast(looks),
+        col("rk") === expr("(look * nd + 4) div 5"))
+      .withColumn("z2_micro", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+          |    OR conv_a + conv_b = n_a + n_b THEN 0
+          |ELSE CAST(((CAST(conv_b AS DECIMAL(38,0)) * n_a - CAST(conv_a AS DECIMAL(38,0)) * n_b)
+          |      * (CAST(conv_b AS DECIMAL(38,0)) * n_a - CAST(conv_a AS DECIMAL(38,0)) * n_b)
+          |      div (n_a * n_b)) * 1000000 * (n_a + n_b)
+          |      div ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) AS BIGINT) END"""
+          .stripMargin))
+      .withColumn("r0", expr(
+        "CAST(floor(sqrt(CAST(z2_micro AS DOUBLE))) AS BIGINT)"))
+      .withColumn("z_milli", expr(
+        """CASE WHEN r0*r0 > z2_micro THEN r0-1
+          |WHEN (r0+1)*(r0+1) <= z2_micro THEN r0+1 ELSE r0 END""".stripMargin))
+      // OBF boundary² in micro units: (2040 milli)²·K div k — the floor
+      // is exact for the decision (see Scaladoc identity)
+      .withColumn("obf_bound2_micro", expr("20808000 div look"))
+      .select(col("look"), col("day"), col("n_a"), col("n_b"),
+        col("conv_a"), col("conv_b"),
+        col("z2_micro"), col("z_milli"),
+        col("obf_bound2_micro"),
+        when(col("z_milli") > 1960L, 1L).otherwise(0L).as("naive_sig"),
+        when(col("z_milli") > 2413L, 1L).otherwise(0L).as("pocock_sig"),
+        when(col("z2_micro") > col("obf_bound2_micro"), 1L).otherwise(0L)
+          .as("obf_sig"))
+      .orderBy(col("look"))
+  }
+
+  /** DuckDB twin: same firsts fold, delta union, ranked look join and
+    * staged integer boundaries in the same order. */
+  val eventsAbSequentialSql: String =
+    """WITH u AS (SELECT user_id,
+      |    min(epoch_us(ts) // 86400000000) AS first_day,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) // 86400000000 END) AS first_purch_day,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('ab|' || CAST(user_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 2 AS armn
+      |  FROM events GROUP BY user_id),
+      |del AS (
+      |  SELECT first_day AS day,
+      |    CASE WHEN armn = 0 THEN 1 ELSE 0 END AS da,
+      |    CASE WHEN armn = 1 THEN 1 ELSE 0 END AS db,
+      |    0 AS dca, 0 AS dcb FROM u
+      |  UNION ALL
+      |  SELECT first_purch_day, 0, 0,
+      |    CASE WHEN armn = 0 THEN 1 ELSE 0 END,
+      |    CASE WHEN armn = 1 THEN 1 ELSE 0 END
+      |  FROM u WHERE first_purch_day IS NOT NULL),
+      |daily AS (SELECT day, sum(da) AS da, sum(db) AS db,
+      |    sum(dca) AS dca, sum(dcb) AS dcb FROM del GROUP BY day),
+      |cum AS (SELECT day,
+      |    CAST(sum(da) OVER w AS HUGEINT) AS n_a,
+      |    CAST(sum(db) OVER w AS HUGEINT) AS n_b,
+      |    CAST(sum(dca) OVER w AS HUGEINT) AS conv_a,
+      |    CAST(sum(dcb) OVER w AS HUGEINT) AS conv_b,
+      |    row_number() OVER (ORDER BY day) AS rk,
+      |    count(*) OVER () AS nd
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |looks(look) AS (VALUES (1), (2), (3), (4), (5)),
+      |sel AS (SELECT l.look, c.* FROM cum c
+      |  JOIN looks l ON c.rk = (l.look * c.nd + 4) // 5),
+      |z AS (SELECT *,
+      |    CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+      |        OR conv_a + conv_b = n_a + n_b THEN 0
+      |      ELSE CAST(((conv_b * n_a - conv_a * n_b)
+      |            * (conv_b * n_a - conv_a * n_b)
+      |            // (n_a * n_b)) * 1000000 * (n_a + n_b)
+      |            // ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) AS BIGINT) END AS z2_micro
+      |  FROM sel),
+      |r AS (SELECT *, CAST(floor(sqrt(CAST(z2_micro AS DOUBLE))) AS BIGINT) AS r0 FROM z),
+      |m AS (SELECT *,
+      |    CASE WHEN r0*r0 > z2_micro THEN r0-1
+      |         WHEN (r0+1)*(r0+1) <= z2_micro THEN r0+1 ELSE r0 END AS z_milli,
+      |    20808000 // look AS obf_bound2_micro
+      |  FROM r)
+      |SELECT CAST(look AS BIGINT) AS look, CAST(day AS BIGINT) AS day,
+      |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+      |  z2_micro, CAST(z_milli AS BIGINT) AS z_milli,
+      |  CAST(obf_bound2_micro AS BIGINT) AS obf_bound2_micro,
+      |  CAST(CASE WHEN z_milli > 1960 THEN 1 ELSE 0 END AS BIGINT) AS naive_sig,
+      |  CAST(CASE WHEN z_milli > 2413 THEN 1 ELSE 0 END AS BIGINT) AS pocock_sig,
+      |  CAST(CASE WHEN z2_micro > obf_bound2_micro THEN 1 ELSE 0 END AS BIGINT) AS obf_sig
+      |FROM m ORDER BY look""".stripMargin
+
   // ----------------------------------------------- weekly seasonality
   /** Day-of-week seasonality profile — the baseline a monitoring stack
     * subtracts before calling anything an anomaly: per event type and
@@ -4546,6 +4701,7 @@ object Analytics {
     "ml_target_encode" -> mlTargetEncode,
     "events_ab_lift" -> eventsAbLift,
     "events_ab_cuped" -> eventsAbCuped,
+    "events_ab_sequential" -> eventsAbSequential,
     "events_ab_srm" -> eventsAbSrm,
     "events_ab_power" -> eventsAbPower,
     "events_funnel_time" -> eventsFunnelTime,
@@ -4634,6 +4790,7 @@ object Analytics {
     "ml_target_encode" -> mlTargetEncodeSql,
     "events_ab_lift" -> eventsAbLiftSql,
     "events_ab_cuped" -> eventsAbCupedSql,
+    "events_ab_sequential" -> eventsAbSequentialSql,
     "events_ab_srm" -> eventsAbSrmSql,
     "events_ab_power" -> eventsAbPowerSql,
     "events_funnel_time" -> eventsFunnelTimeSql,

@@ -916,6 +916,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(row._12 == bAdj - aAdj)
   }
 
+  test("events_ab_sequential: BigInt look replay, OBF floor identity, end-look ties to lift") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "ts", "event_type")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    val armOf = (u: Long) =>
+      ("ab|" + u).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 2
+    val dayOf = (ts: java.sql.Timestamp) => Math.floorDiv(ts.getTime, 86400000L)
+    val firsts = events.groupBy(_._1).map { case (u, es) =>
+      val fd = es.map(e => dayOf(e._2)).min
+      val fp = es.filter(_._3 == "purchase").map(e => dayOf(e._2))
+        .reduceOption(_ min _)
+      (armOf(u), fd, fp)
+    }.toSeq
+    val ledgerDays = (firsts.map(_._2) ++ firsts.flatMap(_._3)).distinct.sorted
+    val dCount = ledgerDays.size
+    val rows = Analytics.eventsAbSequential(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 5)
+    // OBF boundary² halves as information accrues — look 1 is strictest
+    assert(rows.map(_._9).toSeq == rows.map(_._9).sortBy(-_).toSeq)
+    rows.foreach { case (k, day, nA, nB, cA, cB, z2, zMilli, obf2, nv, pc, ob) =>
+      val rank = (k * dCount + 4) / 5
+      assert(day == ledgerDays(rank.toInt - 1), s"look $k lands on the wrong day")
+      // cumulative counters replayed from the per-user firsts
+      assert(nA == firsts.count(f => f._1 == 0L && f._2 <= day).toLong)
+      assert(nB == firsts.count(f => f._1 == 1L && f._2 <= day).toLong)
+      assert(cA == firsts.count(f => f._1 == 0L && f._3.exists(_ <= day)).toLong)
+      assert(cB == firsts.count(f => f._1 == 1L && f._3.exists(_ <= day)).toLong)
+      // staged z² replay (the events_ab_lift form) in BigInt
+      val d = BigInt(cB) * nA - BigInt(cA) * nB
+      val c = BigInt(cA + cB); val n = BigInt(nA + nB)
+      val z2r = if (nA == 0 || nB == 0 || c == 0 || c == n) BigInt(0)
+        else d * d / (BigInt(nA) * nB) * 1000000 * n / (c * (n - c))
+      assert(BigInt(z2) == z2r, s"look $k z2_micro diverges from the replay")
+      assert(BigInt(zMilli) * zMilli <= z2r && (BigInt(zMilli) + 1) * (BigInt(zMilli) + 1) > z2r)
+      // the exact floor identity: z² > (N div k)  ⇔  z²·k > N
+      assert(obf2 == 20808000L / k)
+      assert((ob == 1L) == (z2 * k > 20808000L), s"look $k OBF verdict diverges")
+      assert((nv == 1L) == (zMilli > 1960L))
+      assert((pc == 1L) == (zMilli > 2413L))
+      // boundary ordering: anything Pocock rejects, the naive peek also
+      // rejected (2413 > 1960) — the correction only removes rejections
+      if (pc == 1L) assert(nv == 1L)
+    }
+    // the final look IS the fixed-horizon readout: counters equal
+    // events_ab_lift's single row exactly
+    val lift = Analytics.eventsAbLift(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val last = rows.last
+    assert((last._3, last._4, last._5, last._6) == ((lift._1, lift._2, lift._3, lift._4)),
+      "end-look counters diverge from events_ab_lift")
+  }
+
   test("events_ab_srm: green on the healthy assignment, fires on a planted skew") {
     val rows = Analytics.eventsAbSrm(spark, sf)
       .as[(Long, Long, Long, Long, Boolean)].collect()
