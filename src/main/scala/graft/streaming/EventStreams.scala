@@ -1671,7 +1671,123 @@ object EventStreams {
       |  min(CASE WHEN cum >= (900 * n + 999) // 1000 THEN b END) * 64 + 32 AS p90_est_cents
       |FROM c GROUP BY day ORDER BY day""".stripMargin
 
+  // ---------------------------------------------- live anomaly monitor
+  case class AnomEv(event_type: String, day: Long, cents: Long)
+  case class AnomState(k: Long, s: Long, ss: String)
+  case class AnomOut(day: Long, event_type: String, cents: Long,
+                     n_prior: Long, z2_micro: Long, anomaly: Long)
+
+  /** Live daily-volume anomaly monitor (r14 wave 19) — the anomaly
+    * family's missing live face ([[graft.operators.Analytics.eventsAnomaly]]
+    * ranks per-EVENT outliers against full-corpus moments, which a live
+    * monitor cannot know): per (event type, closed day), the day's
+    * total cents scored against the PREQUENTIAL moments — mean and
+    * variance of the type's PRIOR days only, so no future leakage and
+    * the score stream is exactly replayable. z² is staged as the exact
+    * integer (k·x − S)² · 10⁶ div (k·SS − S²) (the k² scale cancels;
+    * numerator squared so always non-negative, no floor-div shift
+    * needed); the page fires at z² > 9·10⁶ (|z| > 3). FMGWS state per
+    * type is the (k, Σx, Σx²) register triple — Σx² carried as a
+    * BigInt string so the live face matches the batch DECIMAL(38,0)
+    * staging bit-for-bit at any magnitude.
+    */
+  def anomalyStream(stream: Dataset[AnomEv]): Dataset[AnomOut] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, evs: Iterator[AnomEv], state: GroupState[AnomState]) =>
+          // a batch normally carries one closed day, but fold any
+          // catch-up days in order so replays stay deterministic
+          val byDay = evs.toVector.groupBy(_.day).toVector.sortBy(_._1)
+          var st = state.getOption.getOrElse(AnomState(0L, 0L, "0"))
+          val out = scala.collection.mutable.ArrayBuffer[AnomOut]()
+          byDay.foreach { case (day, rs) =>
+            val x = rs.map(_.cents).sum
+            val k = BigInt(st.k); val sPri = BigInt(st.s)
+            val ssPri = BigInt(st.ss)
+            val varN = k * ssPri - sPri * sPri
+            val z2 = if (st.k < 2 || varN <= 0) BigInt(0)
+              else (BigInt(1000000) * (k * x - sPri) * (k * x - sPri)) / varN
+            out += AnomOut(day, typ, x, st.k, z2.toLong,
+              if (z2 > 9000000) 1L else 0L)
+            st = AnomState(st.k + 1, st.s + x, (ssPri + BigInt(x) * x).toString)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch face of [[anomalyStream]] (registered as `stream_anomaly`):
+    * the identical prequential score via expanding windows — each
+    * (type, day) row scored against the type's prior-day moments.
+    *
+    * == Scale design ==
+    * ONE events scan folds map-side onto the O(types × days) daily
+    * ledger (checkpointed); the expanding windows partition by the
+    * bounded type alphabet. Products run in DECIMAL(38,0) — exact to
+    * ~10¹² daily cents over ~3000 days (documented bound; the BigInt
+    * stream state is unbounded). The streaming twin holds three
+    * registers per type.
+    */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    import org.apache.spark.sql.expressions.Window
+    val g = events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vc")).as("cents"))
+      .stableCheckpoint()
+    val wPrior = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("n_prior", count(lit(1)).over(wPrior))
+      .withColumn("s_prior",
+        coalesce(sum(col("cents")).over(wPrior), lit(0L)).cast("decimal(38,0)"))
+      .withColumn("ss_prior",
+        coalesce(sum(col("cents").cast("decimal(38,0)") * col("cents")
+          .cast("decimal(38,0)")).over(wPrior), lit(0).cast("decimal(38,0)")))
+      .withColumn("z2_micro", expr(
+        """CASE WHEN n_prior < 2
+          |    OR n_prior * ss_prior - s_prior * s_prior <= 0 THEN 0
+          |ELSE CAST((1000000 * (n_prior * CAST(cents AS DECIMAL(38,0)) - s_prior)
+          |           * (n_prior * CAST(cents AS DECIMAL(38,0)) - s_prior))
+          |     div (n_prior * ss_prior - s_prior * s_prior) AS BIGINT) END"""
+          .stripMargin))
+      .select(col("day"), col("event_type"), col("cents"),
+        col("n_prior"), col("z2_micro"),
+        when(col("z2_micro") > 9000000L, 1L).otherwise(0L).as("anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB twin: same daily fold, same excluded-current expanding
+    * window, same HUGEINT staging. */
+  val streamAnomalySql: String =
+    """WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT *,
+      |    CAST(count(*) OVER w AS BIGINT) AS n_prior,
+      |    CAST(coalesce(sum(cents) OVER w, 0) AS HUGEINT) AS s_prior,
+      |    CAST(coalesce(sum(CAST(cents AS HUGEINT) * cents) OVER w, 0) AS HUGEINT) AS ss_prior
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT *,
+      |    CASE WHEN n_prior < 2
+      |        OR n_prior * ss_prior - s_prior * s_prior <= 0 THEN 0
+      |      ELSE CAST((1000000 * (n_prior * CAST(cents AS HUGEINT) - s_prior)
+      |                 * (n_prior * CAST(cents AS HUGEINT) - s_prior))
+      |           // (n_prior * ss_prior - s_prior * s_prior) AS BIGINT) END AS z2_micro
+      |  FROM p)
+      |SELECT CAST(day AS BIGINT) AS day, event_type, cents,
+      |  n_prior, z2_micro,
+      |  CAST(CASE WHEN z2_micro > 9000000 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+      |FROM z ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_anomaly" -> streamAnomaly,
     "stream_quantile" -> streamQuantile,
     "stream_dau" -> streamDau,
     "stream_ab_lift" -> streamAbLift,
@@ -1706,6 +1822,7 @@ object EventStreams {
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_anomaly" -> streamAnomalySql,
     "stream_quantile" -> streamQuantileSql,
     "stream_dau" -> streamDauSql,
     "stream_ab_lift" -> streamAbLiftSql,

@@ -1100,6 +1100,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed anomaly monitor equals the prequential batch face; planted spike pages") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.AnomEv
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"),
+        expr("CAST(round(value*100) AS BIGINT)"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, d, c) => AnomEv(t, d, c) }
+    val byDay = evs.groupBy(_.day).toSeq.sortBy(_._1)
+    val mem = MemoryStream[AnomEv]
+    val q = EventStreams.anomalyStream(mem.toDS())
+      .writeStream.format("memory").queryName("anom_live")
+      .outputMode("append").start()
+    try {
+      byDay.foreach { case (_, rows) =>
+        mem.addData(rows.toSeq: _*); q.processAllAvailable()
+      }
+      val live = spark.sql(
+        "SELECT day, event_type, cents, n_prior, z2_micro, anomaly FROM anom_live")
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      val batch = EventStreams.streamAnomaly(spark, sf)
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      assert(live == batch,
+        s"stream-only ${live.diff(batch).take(3)}; batch-only ${batch.diff(live).take(3)}")
+    } finally q.stop()
+    // planted near-constant series with a 5× spike: exact prequential
+    // replay in BigInt; the spike day is the ONLY page, and the crafted
+    // day-2 score of exactly 9·10⁶ sits ON the boundary without paging
+    val series = Seq(100L, 102L, 98L, 101L, 99L, 500L)
+    val mem2 = MemoryStream[AnomEv]
+    val q2 = EventStreams.anomalyStream(mem2.toDS())
+      .writeStream.format("memory").queryName("anom_plant")
+      .outputMode("append").start()
+    try {
+      series.zipWithIndex.foreach { case (c, d) =>
+        mem2.addData(AnomEv("spend", d.toLong, c)); q2.processAllAvailable()
+      }
+      val rows = spark.sql(
+        "SELECT day, n_prior, z2_micro, anomaly FROM anom_plant")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(rows.length == series.length)
+      var (k, s, ss) = (BigInt(0), BigInt(0), BigInt(0))
+      series.zipWithIndex.foreach { case (c, d) =>
+        val varN = k * ss - s * s
+        val z2 = if (k < 2 || varN <= 0) BigInt(0)
+          else BigInt(1000000) * (k * c - s) * (k * c - s) / varN
+        val row = rows(d)
+        assert(row._2 == k.toLong, s"day $d n_prior")
+        assert(BigInt(row._3) == z2, s"day $d z2 diverges from the replay")
+        assert((row._4 == 1L) == (z2 > 9000000), s"day $d verdict")
+        k += 1; s += c; ss += BigInt(c) * c
+      }
+      assert(rows.count(_._4 == 1L) == 1 && rows.last._4 == 1L,
+        "the spike day must be the only page")
+      assert(rows(2)._3 == 9000000L && rows(2)._4 == 0L,
+        "the on-boundary day-2 score must not page")
+    } finally q2.stop()
+  }
+
   test("streamed DAU sketch equals the batch HLL estimates at daily cadence") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.DauEv
