@@ -587,7 +587,61 @@ object Geo {
        |ORDER BY layout, box_id""".stripMargin
   }
 
+  // ------------------------------------------------------ tile pyramid
+  /** Multi-zoom tile pre-aggregation (r14 wave 19) — the tile-SERVING
+    * face of the rasterizer: a slippy-map client asks for count tiles
+    * at whatever zoom it is at, and recomputing the aggregation per
+    * zoom would re-scan the corpus once per level. This face bins the
+    * bbox-filtered points ONCE at the finest zoom (z = 5, a 32×32
+    * grid) and derives every coarser level by integer halving of the
+    * base tile coordinates (tx_z = tx₅ div 2^(5−z)) — the parent/child
+    * relation real tile pyramids use. Deriving (never re-binning)
+    * makes cross-zoom conservation hold BY CONSTRUCTION and dodges the
+    * float-edge trap: a point on a tile boundary could bin differently
+    * when the float bin width changes per zoom, silently breaking
+    * parent = Σ children.
+    *
+    * == Scale design ==
+    * ONE scan reduces to the ≤ 4^5 base tiles (bounded key space ⇒
+    * map-side combine absorbs the corpus); the 6-level rollup is a
+    * broadcast cross join + re-aggregate on that ≤1024-row relation.
+    * At 100 TB the base binning is the only corpus-sized reduce; a
+    * deeper pyramid just raises the bounded key count (4^z).
+    */
+  def geoTilePyramid(s: SparkSession, dir: String): DataFrame = {
+    val N = 32 // 2^5
+    val base = points(s, dir).select(col("event_id"), mercX, mercY)
+      .filter(col("x") >= X0 && col("x") <= X1 && col("y") >= Y0 && col("y") <= Y1)
+      .select(
+        least(floor((col("x") - X0) / (X1 - X0) * N), lit(N - 1)).cast("long").as("bx"),
+        least(floor((col("y") - Y0) / (Y1 - Y0) * N), lit(N - 1)).cast("long").as("by"))
+      .groupBy("bx", "by").agg(count(lit(1)).as("cnt"))
+    import s.implicits._
+    val zooms = Seq((0L, 32L), (1L, 16L), (2L, 8L), (3L, 4L), (4L, 2L), (5L, 1L))
+      .toDF("zoom", "d")
+    base.crossJoin(broadcast(zooms))
+      .select(col("zoom"), expr("bx div d").as("tx"), expr("by div d").as("ty"),
+        col("cnt"))
+      .groupBy("zoom", "tx", "ty").agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("zoom"), col("tx"), col("ty"))
+  }
+
+  val geoTilePyramidSql: String =
+    s"""WITH $pointsCte, $mercCte,
+       |base AS (
+       |  SELECT CAST(least(floor((x - ($X0)) / (${X1 - X0}) * 32), 31) AS BIGINT) AS bx,
+       |    CAST(least(floor((y - ($Y0)) / (${Y1 - Y0}) * 32), 31) AS BIGINT) AS by,
+       |    count(*) AS cnt
+       |  FROM merc
+       |  WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
+       |  GROUP BY 1, 2),
+       |zooms(zoom, d) AS (VALUES (0, 32), (1, 16), (2, 8), (3, 4), (4, 2), (5, 1))
+       |SELECT CAST(zoom AS BIGINT) AS zoom, bx // d AS tx, by // d AS ty,
+       |  CAST(sum(cnt) AS BIGINT) AS cnt
+       |FROM base, zooms GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_tile_pyramid" -> geoTilePyramid,
     "layout_hilbert" -> layoutHilbert,
     "layout_skipping_eval" -> layoutSkippingEval,
     "layout_zorder" -> layoutZorder,
@@ -600,6 +654,7 @@ object Geo {
     "reduce_assemble" -> reduceAssemble)
 
   val oracles: Map[String, String] = Map(
+    "geo_tile_pyramid" -> geoTilePyramidSql,
     "layout_hilbert" -> layoutHilbertSql,
     "layout_skipping_eval" -> layoutSkippingEvalSql,
     "layout_zorder" -> layoutZorderSql,

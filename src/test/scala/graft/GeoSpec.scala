@@ -34,6 +34,37 @@ class GeoSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("tile pyramid: per-zoom conservation, parent = sum of children, coords in range") {
+    val rows = Geo.geoTilePyramid(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val byZoom = rows.groupBy(_._1)
+    assert(byZoom.keySet == (0L to 5L).toSet)
+    // every zoom carries the identical point total — conservation
+    val totals = byZoom.view.mapValues(_.map(_._4).sum).toMap
+    assert(totals.values.toSet.size == 1,
+      s"per-zoom totals diverge: $totals")
+    assert(totals(5L) == Geo.geoBboxFilter(spark, sf).count())
+    // zoom 0 is ONE tile holding everything
+    assert(byZoom(0L).length == 1 && byZoom(0L).head._2 == 0L && byZoom(0L).head._3 == 0L)
+    // coords in range and tile counts bounded by 4^z
+    byZoom.foreach { case (z, ts) =>
+      val n = 1L << z
+      assert(ts.forall(t => t._2 >= 0 && t._2 < n && t._3 >= 0 && t._3 < n),
+        s"zoom $z tile coords out of range")
+      assert(ts.length <= n * n)
+    }
+    // parent/child identity: every zoom-z tile equals the sum of its
+    // (at most 4) zoom-(z+1) children
+    (0L to 4L).foreach { z =>
+      val children = byZoom(z + 1L)
+        .groupBy(t => (t._2 / 2, t._3 / 2)).view.mapValues(_.map(_._4).sum).toMap
+      byZoom(z).foreach { case (_, tx, ty, cnt) =>
+        assert(children.getOrElse((tx, ty), 0L) == cnt,
+          s"zoom $z tile ($tx,$ty) != sum of its children")
+      }
+    }
+  }
+
   test("eq-hist shade is 0..255 and monotone in count") {
     val shade = Geo.geoShadeEqhist(spark, sf).select("cnt", "shade")
       .as[(Long, Int)].collect()
