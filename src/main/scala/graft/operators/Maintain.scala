@@ -791,6 +791,95 @@ object Maintain {
       .orderBy(col("feature"), col("bucket"))
   }
 
+  // -------------------------------------------- PSI drift (integer bits)
+  /** Population Stability Index across [[dqDrift]]'s epoch cut (r14
+    * wave 19) — the industry-standard drift score beside the family's
+    * TVD (banded) and KS (continuous) faces: PSI weights each bucket's
+    * share shift by the LOG of the share ratio, so a bucket that
+    * doubles from 1% to 2% scores like one that moves 30% → 60% —
+    * multiplicative sensitivity TVD deliberately lacks. Computed in
+    * EXACT integer "bits" via the text_collocations PMI staging:
+    * log₂-ratio = length(bin(cur·ref_total)) − length(bin(ref·cur_total))
+    * (floor-log₂ of the exact cross products — no float log), weighted
+    * by the clamped-share ppm shift; clamping zero buckets to count 1
+    * (the standard PSI practice) is applied to BOTH factors, and since
+    * floor is monotone the two factors always agree in sign, so every
+    * term is ≥ 0 and the sum is a true divergence. The page threshold
+    * is the industry 0.2-nat rule converted to this unit: 0.2/ln 2 ≈
+    * 0.2885 bits = 288539 ppm·bits.
+    *
+    * == Scale design ==
+    * The identical ONE-scan 2-row-stack fold as [[dqDrift]] onto
+    * O(buckets) keys; the PSI reduce runs on that bounded grid. Cross
+    * products are exact to ~3·10⁹ events per window in int64
+    * (documented bound; beyond that, shift both totals right by the
+    * same k — the bit DIFFERENCE is shift-invariant up to the floor).
+    */
+  def dqPsi(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val e = Tables.load(s, dir, "events")
+      .withColumn("cents", cents(col("value")))
+      .withColumn("band",
+        when(col("cents") < 1000, "v0").when(col("cents") < 2500, "v1")
+          .when(col("cents") < 5000, "v2").when(col("cents") < 7500, "v3")
+          .when(col("cents") < 10000, "v4").otherwise("v5"))
+      .withColumn("is_ref", (col("ts") < cut).cast("long"))
+      .select(col("is_ref"), expr(
+        "stack(2, 'event_type', event_type, 'value_band', band) AS (feature, bucket)"))
+    val perFeature = Window.partitionBy(col("feature"))
+    e.groupBy(col("feature"), col("bucket"))
+      .agg(sum(col("is_ref")).as("ref_n"),
+        sum(lit(1L) - col("is_ref")).as("cur_n"))
+      .withColumn("ref_total", sum(col("ref_n")).over(perFeature))
+      .withColumn("cur_total", sum(col("cur_n")).over(perFeature))
+      .withColumn("ref_c", greatest(col("ref_n"), lit(1L)))
+      .withColumn("cur_c", greatest(col("cur_n"), lit(1L)))
+      .withColumn("term", expr(
+        """((1000000 * cur_c) div cur_total - (1000000 * ref_c) div ref_total)
+          |* (length(bin(cur_c * ref_total)) - length(bin(ref_c * cur_total)))"""
+          .stripMargin))
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("ref_total")).as("ref_total"),
+        max(col("cur_total")).as("cur_total"),
+        sum(col("term")).as("psi_micro_bits"))
+      .select(col("feature"), col("n_buckets"), col("ref_total"),
+        col("cur_total"), col("psi_micro_bits"),
+        (col("psi_micro_bits") > 288539L).cast("long").as("drift_flag"))
+      .orderBy(col("feature"))
+  }
+
+  /** DuckDB twin: same stacked fold, same clamped cross-product bit
+    * staging. */
+  val dqPsiSql: String =
+    """WITH b AS (SELECT
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref,
+      |    event_type,
+      |    CASE WHEN round(value*100) < 1000 THEN 'v0'
+      |         WHEN round(value*100) < 2500 THEN 'v1'
+      |         WHEN round(value*100) < 5000 THEN 'v2'
+      |         WHEN round(value*100) < 7500 THEN 'v3'
+      |         WHEN round(value*100) < 10000 THEN 'v4' ELSE 'v5' END AS band
+      |  FROM events),
+      |e AS (SELECT is_ref, 'event_type' AS feature, event_type AS bucket FROM b
+      |  UNION ALL SELECT is_ref, 'value_band', band FROM b),
+      |g AS (SELECT feature, bucket, CAST(sum(is_ref) AS BIGINT) AS ref_n,
+      |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_n
+      |  FROM e GROUP BY feature, bucket),
+      |t AS (SELECT *, CAST(sum(ref_n) OVER (PARTITION BY feature) AS BIGINT) AS ref_total,
+      |    CAST(sum(cur_n) OVER (PARTITION BY feature) AS BIGINT) AS cur_total,
+      |    greatest(ref_n, 1) AS ref_c, greatest(cur_n, 1) AS cur_c
+      |  FROM g),
+      |s AS (SELECT *,
+      |    ((1000000 * cur_c) // cur_total - (1000000 * ref_c) // ref_total)
+      |    * (length(bin(cur_c * ref_total)) - length(bin(ref_c * cur_total))) AS term
+      |  FROM t)
+      |SELECT feature, CAST(count(*) AS BIGINT) AS n_buckets,
+      |  max(ref_total) AS ref_total, max(cur_total) AS cur_total,
+      |  CAST(sum(term) AS BIGINT) AS psi_micro_bits,
+      |  CAST(CASE WHEN sum(term) > 288539 THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+      |FROM s GROUP BY feature ORDER BY feature""".stripMargin
+
   // ------------------------------------------------- KS two-sample
   /** Exact two-sample Kolmogorov–Smirnov test on the purchase-value
     * distribution across [[dqDrift]]'s epoch cut (r14 wave 13) — the
@@ -951,6 +1040,7 @@ object Maintain {
     "dq_rules" -> dqRules,
     "dq_drift" -> dqDrift,
     "dq_ks_values" -> dqKsValues,
+    "dq_psi" -> dqPsi,
     "dq_freshness" -> dqFreshness,
     "dq_referential" -> dqReferential)
 
@@ -968,6 +1058,7 @@ object Maintain {
     "dq_rules" -> dqRulesSql,
     "dq_drift" -> dqDriftSql,
     "dq_ks_values" -> dqKsValuesSql,
+    "dq_psi" -> dqPsiSql,
     "dq_freshness" -> dqFreshnessSql,
     "dq_referential" -> dqReferentialSql)
 }

@@ -296,6 +296,69 @@ class MaintainSpec extends SparkSpec {
     }
   }
 
+  test("dq_psi: exact bit replay, every term non-negative, planted swap fires") {
+    val cut = 1705363200000000L // 2024-01-16T00:00:00Z in epoch micros
+    val ev = Tables.load(spark, sf, "events")
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+    def band(v: Double): String = {
+      val c = math.round(v * 100)
+      if (c < 1000) "v0" else if (c < 2500) "v1" else if (c < 5000) "v2"
+      else if (c < 7500) "v3" else if (c < 10000) "v4" else "v5"
+    }
+    def bits(x: Long): Long = { assert(x > 0); 64L - java.lang.Long.numberOfLeadingZeros(x) }
+    val stacked = ev.flatMap { case (us, et, v) =>
+      val ref = us < cut
+      Seq((ref, "event_type", et), (ref, "value_band", band(v)))
+    }
+    val expected = stacked.groupBy(_._2).map { case (f, hits) =>
+      val refT = hits.count(_._1).toLong
+      val curT = hits.count(!_._1).toLong
+      val buckets = hits.groupBy(_._3)
+      val terms = buckets.values.map { bs =>
+        val rc = math.max(bs.count(_._1).toLong, 1L)
+        val cc = math.max(bs.count(!_._1).toLong, 1L)
+        val term = (1000000L * cc / curT - 1000000L * rc / refT) *
+          (bits(cc * refT) - bits(rc * curT))
+        assert(term >= 0, s"$f negative PSI term — the sign argument broke")
+        term
+      }
+      val psi = terms.sum
+      (f, buckets.size.toLong, refT, curT, psi,
+        if (psi > 288539L) 1L else 0L)
+    }.toSet
+    val got = Maintain.dqPsi(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected, "PSI ledger diverges from the bit replay")
+    // planted swap: reference all 'view', current all 'purchase' — the
+    // event_type PSI must page; an identity feed must stay silent
+    val dir = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    try {
+      def feed(curType: String): Unit =
+        ((1 to 50).map(i => (i.toLong, "2024-01-10 00:00:00", "view")) ++
+          (1 to 50).map(i => (100L + i, "2024-01-20 00:00:00", curType)))
+          .toDF("event_id", "tss", "event_type")
+          .withColumn("ts", to_timestamp(col("tss")))
+          .withColumn("user_id", col("event_id") % 5)
+          .withColumn("value", lit(10.0))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      feed("purchase")
+      val swap = Maintain.dqPsi(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(swap("event_type")._6 == 1L, "planted swap did not page")
+      assert(swap("value_band")._5 == 0L, "identical band profile scored nonzero")
+      feed("view")
+      val same = Maintain.dqPsi(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      assert(same.forall(r => r._5 == 0L && r._6 == 0L), "identity feed paged")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("dq_referential: green on the clean corpus, fires on a planted orphan") {
     val rows = Maintain.dqReferential(spark, sf)
       .select("fk_edge", "n_child", "n_orphans", "orphan_ppm", "pass")
