@@ -754,6 +754,108 @@ object EventStreams {
       |SELECT key, us, value, op FROM (SELECT * FROM ul UNION ALL SELECT * FROM d)
       |ORDER BY key, us, value""".stripMargin
 
+  /** SCD2 emission: one row per (key, version) state transition — an
+    * OPEN row (valid_to None, is_current 1) when a version starts and a
+    * CLOSE row (valid_to = the successor's valid_from, is_current 0)
+    * when the next version supersedes it. Latest row per (key, version)
+    * IS the history table. */
+  case class Scd2Out(key: Long, version_n: Long, value: Long,
+                     valid_from_us: Long, valid_to_us: Option[Long],
+                     is_current: Long)
+  case class Scd2State(us: Long, value: Long, version: Long, from: Long)
+
+  /** Streaming SCD2 face (r14 wave 19) — the VERSIONED-history live twin
+    * completing the dimension trio ([[upsertStream]] keeps latest-only,
+    * [[graft.operators.Maintain.dimScd2]] builds history in batch; this
+    * is the history a live pipeline maintains): per-key state is one
+    * (stamp, value, version, valid_from) tuple; a newer value-change
+    * emits the old version's CLOSE row and the new version's OPEN row,
+    * a newer same-value record advances the stamp silently (no version
+    * churn), and a LATE record older than the state is discarded — the
+    * same out-of-order invariants as SCD1. Downstream applies
+    * latest-per-(key, version), so the change-log converges to exactly
+    * the batch history table.
+    */
+  def scd2Stream(stream: Dataset[Upsert]): Dataset[Scd2Out] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, recs: Iterator[Upsert], state: GroupState[Scd2State]) =>
+          val sorted = recs.toVector.sortBy(r => (r.us, r.value))
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[Scd2Out]()
+          sorted.foreach { r =>
+            val newer = st.forall(c =>
+              r.us > c.us || (r.us == c.us && r.value > c.value))
+            if (newer) st match {
+              case Some(c) if c.value != r.value =>
+                out += Scd2Out(key, c.version, c.value, c.from, Some(r.us), 0L)
+                out += Scd2Out(key, c.version + 1, r.value, r.us, None, 1L)
+                st = Some(Scd2State(r.us, r.value, c.version + 1, r.us))
+              case Some(c) =>
+                st = Some(c.copy(us = r.us))
+              case None =>
+                out += Scd2Out(key, 1L, r.value, r.us, None, 1L)
+                st = Some(Scd2State(r.us, r.value, 1L, r.us))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Batch face of [[scd2Stream]] (registered as `stream_scd2`): the
+    * SCD2 history table of the corpus upsert feed — [[streamScd1]]'s
+    * value-change rows promoted to versions with [valid_from, valid_to)
+    * intervals (valid_to = the next change's stamp, NULL while
+    * current). In rank order the streamed change-log's
+    * latest-per-(key, version) row equals this table row-for-row
+    * (spec-pinned): a version's OPEN row survives only if nothing
+    * superseded it, otherwise its CLOSE row carries the successor's
+    * valid_from — which is exactly `lead(us)` here.
+    *
+    * == Scale design ==
+    * The scd1 change-log windows plus one lead/row_number pass — all
+    * on the SAME user-keyed partitioning, so Catalyst reuses one
+    * exchange (single shuffle, O(1) state per row). The streaming twin
+    * holds one 4-field tuple per key.
+    */
+  def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("us"), col("value"))
+    val changes = events(s, dir)
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("value"))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .filter(col("pv").isNull || col("value") =!= col("pv"))
+      .select(col("key"), col("us"), col("value"))
+    val wc = Window.partitionBy(col("key")).orderBy(col("us"), col("value"))
+    changes
+      .withColumn("version_n", row_number().over(wc).cast("long"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(wc))
+      .select(col("key"), col("version_n"), col("value"),
+        col("us").as("valid_from_us"), col("valid_to_us"),
+        when(col("valid_to_us").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy(col("key"), col("version_n"))
+  }
+
+  val streamScd2Sql: String =
+    """WITH u AS (SELECT user_id AS key, epoch_us(ts) AS us,
+      |    CAST(round(value*100) AS BIGINT) AS value FROM events),
+      |r AS (SELECT key, us, value,
+      |    lag(value) OVER (PARTITION BY key ORDER BY us, value) AS pv FROM u),
+      |c AS (SELECT key, us, value FROM r WHERE pv IS NULL OR value <> pv)
+      |SELECT key,
+      |  CAST(row_number() OVER w AS BIGINT) AS version_n, value,
+      |  us AS valid_from_us,
+      |  lead(us) OVER w AS valid_to_us,
+      |  CAST(CASE WHEN lead(us) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM c
+      |WINDOW w AS (PARTITION BY key ORDER BY us, value)
+      |ORDER BY key, version_n""".stripMargin
+
   /** One upstream change record: op 'U' (upsert value) or 'D' (delete). */
   case class Change(key: Long, us: Long, value: Long, op: String)
   /** Emitted change-log row: op 'U' (new current value) or 'D' (tombstone). */
@@ -1803,6 +1905,7 @@ object EventStreams {
     "stream_retention" -> streamRetention,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_scd1" -> streamScd1,
+    "stream_scd2" -> streamScd2,
     "stream_merge_delete" -> streamMergeDelete)
 
   /** DuckDB twin of the flatMapGroups fold: the window-function
@@ -1838,5 +1941,6 @@ object EventStreams {
     "stream_retention" -> streamRetentionSql,
     "stream_interval_join" -> streamIntervalJoinSql,
     "stream_scd1" -> streamScd1Sql,
+    "stream_scd2" -> streamScd2Sql,
     "stream_merge_delete" -> streamMergeDeleteSql)
 }

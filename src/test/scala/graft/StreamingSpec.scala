@@ -226,6 +226,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2 batch history equals the streamed change-log's latest-per-version") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Upsert
+    val raw = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id"), unix_micros(col("ts")), round(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, us, v) => Upsert(k, us, v) }
+    val byKey = raw.groupBy(_.key).view
+      .mapValues(_.sortBy(r => (r.us, r.value)).toVector).toMap
+    val rounds = byKey.values.map(_.length).max
+    val mem = MemoryStream[Upsert]
+    val q = EventStreams.scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_replay")
+      .outputMode("append").start()
+    try {
+      (0 until rounds).foreach { i =>
+        val batch = byKey.values.flatMap(_.lift(i)).toSeq
+        if (batch.nonEmpty) { mem.addData(batch: _*); q.processAllAvailable() }
+      }
+      // apply the change-log: the LAST row emitted per (key, version)
+      // is that version's final state (closes supersede opens)
+      val log = spark.sql(
+        """SELECT key, version_n, value, valid_from_us, valid_to_us, is_current
+          |FROM scd2_replay""".stripMargin)
+        .as[(Long, Long, Long, Long, Option[Long], Long)].collect()
+      val applied = log.groupBy(r => (r._1, r._2)).values.map { vs =>
+        // a version emits at most an open then one close; close wins
+        vs.minBy(_._6)
+      }.toSeq.sortBy(r => (r._1, r._2))
+      val batchFace = EventStreams.streamScd2(spark, sf)
+        .as[(Long, Long, Long, Long, Option[Long], Long)].collect()
+        .toSeq.sortBy(r => (r._1, r._2))
+      assert(batchFace.nonEmpty, "vacuous scd2 history")
+      assert(applied == batchFace,
+        s"history diverged: stream ${applied.size} vs batch ${batchFace.size} rows")
+      // interval algebra on the batch face: per key exactly one current
+      // version, versions dense 1..n, and each close abuts its successor
+      batchFace.groupBy(_._1).values.foreach { vs =>
+        val sorted = vs.sortBy(_._2)
+        assert(sorted.map(_._2) == (1L to sorted.length).toSeq, "version gap")
+        assert(sorted.count(_._6 == 1L) == 1, "not exactly one current version")
+        assert(sorted.last._6 == 1L && sorted.last._5.isEmpty)
+        sorted.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(a._5.contains(b._4), "close must abut the successor's open")
+            assert(a._3 != b._3, "consecutive versions with equal value")
+          case _ =>
+        }
+      }
+    } finally q.stop()
+  }
+
   test("merge-delete batch face equals the streamed change-log with tombstones") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.{Change, ChangeOut}
