@@ -1603,6 +1603,104 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------- modularity
+  /** Newman modularity of the [[graphLabelProp]] communities (r14 wave
+    * 19) — the SCORE face the community detector was missing: LPA says
+    * what is densely together, modularity says whether that partition
+    * is actually better than chance (Q = Σ_c [e_c/m − (d_c/2m)²], the
+    * fraction of edges inside communities minus the degree-preserving
+    * random expectation; Q ≈ 0 means the "communities" are noise).
+    * Per-community ledger: node count, intra-community edges e_c,
+    * degree sum d_c, the shared edge total m, and the community's Q
+    * term in SIGNED ppm via the shift-stabilized floor division
+    * (1e6·(4·m·e_c − d_c²) + 1e6·4m²) div (4m²) − 1e6 — the term can
+    * be legitimately negative (a community sparser than chance), and
+    * Spark div truncates while DuckDB // floors, so the numerator is
+    * made non-negative first (|term| ≤ 1 bounds the shift). Products
+    * ride DECIMAL(38,0)/HUGEINT — exact to ~10⁹ edges.
+    *
+    * == Scale design ==
+    * Labels come from the registered LPA face; edges re-derive the
+    * canonical pair graph (two shingle-join legs total — the
+    * dedup_recall_eval multi-face precedent). e_c is one broadcast
+    * label join per endpoint over the O(edges) pair list; d_c is the
+    * endpoint explode folded map-side; everything after runs on the
+    * O(communities) ledger.
+    */
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      .stableCheckpoint()
+    val labels = graphLabelProp(s, dir).select(col("doc_id"), col("label"))
+      .stableCheckpoint()
+    val la = labels.select(col("doc_id").as("doc_a"), col("label").as("lbl_a"))
+    val lb = labels.select(col("doc_id").as("doc_b"), col("label").as("lbl_b"))
+    val tagged = edges.join(broadcast(la), "doc_a").join(broadcast(lb), "doc_b")
+    val intra = tagged.filter(col("lbl_a") === col("lbl_b"))
+      .groupBy(col("lbl_a").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degSum = tagged
+      .select(explode(array(col("lbl_a"), col("lbl_b"))).as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("degree_sum"))
+    val nNodes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    val m = edges.agg(count(lit(1)).as("m_edges"))
+    nNodes
+      .join(degSum, Seq("label"), "left")
+      .join(intra, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
+        col("m_edges"))
+      .withColumn("q_term_ppm", expr(
+        """CAST((1000000 * (4 * CAST(m_edges AS DECIMAL(38,0)) * intra_edges
+          |                 - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum)
+          |       + 1000000 * 4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges)
+          |     div (4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges)
+          |     - 1000000 AS BIGINT)""".stripMargin))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB twin: LPA rounds unrolled (the [[graphLabelPropSql]]
+    * CTEs) + the same shift-stabilized modularity ledger. */
+  val graphModularitySql: String = {
+    val rounds = (1 to LP_ITERS).map { k =>
+      val p = k - 1
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS id, l$p.lbl, count(*) AS cnt
+         |  FROM e JOIN l$p ON l$p.id = e.src GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (SELECT id, lbl FROM c$k
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairCtes,
+       |e AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |l0 AS (SELECT id, id AS lbl FROM (SELECT DISTINCT src AS id FROM e)),
+       |$rounds,
+       |tag AS (SELECT la.lbl AS lbl_a, lb.lbl AS lbl_b FROM p
+       |  JOIN l$LP_ITERS la ON la.id = p.doc_a
+       |  JOIN l$LP_ITERS lb ON lb.id = p.doc_b),
+       |intra AS (SELECT lbl_a AS label, CAST(count(*) AS BIGINT) AS intra_edges
+       |  FROM tag WHERE lbl_a = lbl_b GROUP BY 1),
+       |ds AS (SELECT lbl AS label, CAST(count(*) AS BIGINT) AS degree_sum
+       |  FROM (SELECT lbl_a AS lbl FROM tag UNION ALL SELECT lbl_b FROM tag)
+       |  GROUP BY 1),
+       |nn AS (SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM l$LP_ITERS GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM p)
+       |SELECT nn.label, nn.n_nodes,
+       |  COALESCE(intra.intra_edges, 0) AS intra_edges,
+       |  COALESCE(ds.degree_sum, 0) AS degree_sum,
+       |  mm.m_edges,
+       |  CAST((1000000 * (4 * CAST(mm.m_edges AS HUGEINT) * COALESCE(intra.intra_edges, 0)
+       |                   - CAST(COALESCE(ds.degree_sum, 0) AS HUGEINT) * COALESCE(ds.degree_sum, 0))
+       |        + 1000000 * 4 * CAST(mm.m_edges AS HUGEINT) * mm.m_edges)
+       |      // (4 * CAST(mm.m_edges AS HUGEINT) * mm.m_edges)
+       |      - 1000000 AS BIGINT) AS q_term_ppm
+       |FROM nn LEFT JOIN ds USING (label) LEFT JOIN intra USING (label)
+       |CROSS JOIN mm
+       |ORDER BY label""".stripMargin
+  }
+
   /** Link prediction over the WEAK-similarity graph: doc pairs whose
     * trigram Jaccard clears 0.02 (well below the 0.3 near-dup cut —
     * the corpus's similarity distribution is bimodal, ≥0.9 planted
@@ -1848,6 +1946,7 @@ object Dedup {
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_label_prop" -> graphLabelProp,
+    "graph_modularity" -> graphModularity,
     "graph_link_predict" -> graphLinkPredict)
 
   /** DuckDB twin of the cosine pairs: sequential left-fold dot, same
@@ -1940,5 +2039,6 @@ object Dedup {
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_label_prop" -> graphLabelPropSql,
+    "graph_modularity" -> graphModularitySql,
     "graph_link_predict" -> graphLinkPredictSql)
 }

@@ -1159,6 +1159,41 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("graph_modularity: BigInt ledger replay, degree/edge identities, beats chance") {
+    val dir = sfMid
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val edges = Dedup.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assume(edges.nonEmpty, "corpus has no near-dup pairs — vacuous")
+    val labels = Dedup.graphLabelProp(spark, dir)
+      .select("doc_id", "label").as[(Long, Long)].collect().toMap
+    val m = BigInt(edges.length)
+    val intra = edges.filter { case (a, b) => labels(a) == labels(b) }
+      .groupBy(e => labels(e._1)).view.mapValues(_.length.toLong).toMap
+    val degSum = edges.flatMap { case (a, b) => Seq(labels(a), labels(b)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nNodes = labels.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.graphModularity(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == labels.values.toSet, "community set drifted")
+    got.foreach { case (lbl, nn, ie, ds, me, q) =>
+      assert(me == m.toLong)
+      assert(nn == nNodes(lbl) && ie == intra.getOrElse(lbl, 0L)
+        && ds == degSum.getOrElse(lbl, 0L), s"ledger row $lbl drifted")
+      val qr = (BigInt(1000000) * (4 * m * ie - BigInt(ds) * ds)
+        + BigInt(1000000) * 4 * m * m) / (4 * m * m) - 1000000
+      assert(BigInt(q) == qr, s"community $lbl q_term diverges from the replay")
+      assert(q >= -1000000 && q <= 1000000, s"q_term $q outside [-1, 1]")
+    }
+    // partition identities: degree sums add to 2m, intra edges to <= m
+    assert(got.map(_._4).sum == 2L * edges.length)
+    assert(got.map(_._3).sum <= edges.length)
+    // the near-dup LPA partition must beat the chance baseline (exact
+    // numerator sign — Q > 0), else the detector found noise
+    val qNum = got.map(r => BigInt(4) * m * r._3 - BigInt(r._4) * r._4).sum
+    assert(qNum > 0, "LPA partition no better than chance on the near-dup graph")
+  }
+
   /** Direct single-threaded replay of graphPagerank's exact integer
     * recurrence (same scale, damping, truncating division, 6 rounds).
     */
