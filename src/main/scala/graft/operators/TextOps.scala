@@ -460,6 +460,112 @@ object TextOps {
        |FROM l ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ quality ensemble
+  /** Quality-ensemble disagreement ledger (r14 wave 19) — the table a
+    * curation owner reviews before trusting ANY single filter: every
+    * doc voted on by the four registered quality gates (the production
+    * rule-gate `quality_score ≥ 0.5`, the distilled classifier's
+    * `logit > 0`, the langid label agreement, and the Gopher-style
+    * repetition cut staged exactly as 5·(shingles − distinct) ≤
+    * shingles), folded to one row per 4-bit agreement pattern with
+    * exact-ppm share and the majority (≥3) verdict. The off-diagonal
+    * patterns ARE the review queue: docs the teacher keeps but the
+    * student drops (ml_auc's documented stopword-axis disagreement
+    * shows up here as a pattern, not an anecdote). Gate and classifier
+    * reuse ONE shared feature pass (the ml_calibration move), langid
+    * and repetition are the registered faces' own formulas — the spec
+    * pins the ledger to the composition of all four registered keys.
+    *
+    * == Scale design ==
+    * Three corpus passes (shared features, langid hits, shingle
+    * counts — the dedup_recall_eval multi-face precedent), each the
+    * audited explode → map-side-combinable agg shape; the vote fold
+    * lands on ≤16 pattern keys.
+    */
+  def qualityVote(s: SparkSession, dir: String): DataFrame = {
+    val meta = docs(s, dir).select(col("doc_id"), col("n_chars"),
+      regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
+    val stopR = col("n_stop") * 1.0 / col("n_tokens")
+    val punctR = col("n_punct") * 1.0 / col("n_chars")
+    val lenSat = least(lit(1.0), col("n_tokens") / 64.0)
+    val logit = lit(-2.0) + stopR * 4.0 - punctR * 8.0 + lenSat * 2.0
+    val quality = (lit(1.0) - stopR) * (lit(1.0) - punctR) * lenSat
+    val gates12 = meta.join(toks, "doc_id")
+      .select(col("doc_id"),
+        (quality >= 0.5).cast("long").as("g_gate"),
+        (logit > 0).cast("long").as("g_clf"))
+    val gLang = textLangid(s, dir)
+      .select(col("doc_id"), col("label_match").cast("long").as("g_lang"))
+    val gRep = textRepetition(s, dir)
+      .select(col("doc_id"),
+        (lit(5L) * (col("n_shingles") - col("n_distinct")) <= col("n_shingles"))
+          .cast("long").as("g_rep"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_total"))
+    gates12.join(gLang, "doc_id").join(gRep, "doc_id")
+      .groupBy(col("g_gate"), col("g_clf"), col("g_lang"), col("g_rep"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(n))
+      .select(col("g_gate"), col("g_clf"), col("g_lang"), col("g_rep"),
+        col("n_docs"), expr("(1000000 * n_docs) div n_total").as("share_ppm"),
+        (col("g_gate") + col("g_clf") + col("g_lang") + col("g_rep") >= 3L)
+          .cast("long").as("majority_keep"))
+      .orderBy(col("g_gate").desc, col("g_clf").desc,
+        col("g_lang").desc, col("g_rep").desc)
+  }
+
+  /** DuckDB twin: the four gates' own registered formulas recombined
+    * over shared CTEs, same pattern fold. */
+  val qualityVoteSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0
+       |      / len(string_split(text, ' ')) AS stop_r,
+       |    len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars AS punct_r,
+       |    least(1.0, len(string_split(text, ' ')) / 64.0) AS len_sat
+       |  FROM documents),
+       |g12 AS (SELECT doc_id,
+       |    CASE WHEN (1.0 - stop_r) * (1.0 - punct_r) * len_sat >= 0.5
+       |      THEN 1 ELSE 0 END AS g_gate,
+       |    CASE WHEN -2.0 + stop_r * 4.0 - punct_r * 8.0 + len_sat * 2.0 > 0
+       |      THEN 1 ELSE 0 END AS g_clf
+       |  FROM f),
+       |t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |  len(list_filter(ws, w -> w IN ('the','a','and','of','to','is'))) AS h_en,
+       |  len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht'))) AS h_de,
+       |  len(list_filter(ws, w -> w IN ('el','la','los','y','es','que'))) AS h_es,
+       |  len(list_filter(ws, w -> w IN ('le','la','les','et','est','que'))) AS h_fr
+       |  FROM t),
+       |lg AS (SELECT doc_id,
+       |  CASE WHEN (CASE WHEN h_en = greatest(h_en,h_de,h_es,h_fr) AND h_en > 0 THEN 'en'
+       |       WHEN h_de = greatest(h_en,h_de,h_es,h_fr) AND h_de > 0 THEN 'de'
+       |       WHEN h_es = greatest(h_en,h_de,h_es,h_fr) AND h_es > 0 THEN 'es'
+       |       WHEN h_fr = greatest(h_en,h_de,h_es,h_fr) AND h_fr > 0 THEN 'fr'
+       |       ELSE 'und' END) = lang THEN 1 ELSE 0 END AS g_lang
+       |  FROM h),
+       |sw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |ng AS (SELECT doc_id, list_transform(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |  s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647)) AS ngs FROM sw),
+       |rp AS (SELECT doc_id,
+       |  CASE WHEN 5 * (len(ngs) - len(list_distinct(ngs))) <= len(ngs)
+       |    THEN 1 ELSE 0 END AS g_rep
+       |  FROM ng),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+       |SELECT CAST(g_gate AS BIGINT) AS g_gate, CAST(g_clf AS BIGINT) AS g_clf,
+       |  CAST(g_lang AS BIGINT) AS g_lang, CAST(g_rep AS BIGINT) AS g_rep,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  (1000000 * CAST(count(*) AS BIGINT)) // max(tot.n_total) AS share_ppm,
+       |  CAST(CASE WHEN g_gate + g_clf + g_lang + g_rep >= 3 THEN 1 ELSE 0 END AS BIGINT) AS majority_keep
+       |FROM g12 JOIN lg USING (doc_id) JOIN rp USING (doc_id) CROSS JOIN tot
+       |GROUP BY g_gate, g_clf, g_lang, g_rep
+       |ORDER BY g_gate DESC, g_clf DESC, g_lang DESC, g_rep DESC""".stripMargin
+  }
+
   // ---------------------------------------------------- calibration
   /** Calibration report for [[qualityClassifier]] against the gate it
     * distills ([[textQuality]]'s production `quality_score ≥ 0.5` cut,
@@ -2214,6 +2320,7 @@ object TextOps {
     "vocab_build" -> vocabBuild,
     "tokenize_ids" -> tokenizeIds,
     "quality_classifier" -> qualityClassifier,
+    "quality_vote" -> qualityVote,
     "text_boilerplate" -> textBoilerplate,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -2267,6 +2374,7 @@ object TextOps {
     "vocab_build" -> vocabBuildSql,
     "tokenize_ids" -> tokenizeIdsSql,
     "quality_classifier" -> qualityClassifierSql,
+    "quality_vote" -> qualityVoteSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

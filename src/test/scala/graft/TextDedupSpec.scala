@@ -1094,6 +1094,38 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("quality_vote ledger equals the composition of the four registered gates") {
+    val gate = TextOps.textQuality(spark, sf)
+      .select(col("doc_id"), (col("quality_score") >= 0.5).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val clf = TextOps.qualityClassifier(spark, sf)
+      .select("doc_id", "keep").as[(Long, Long)].collect().toMap
+    val lang = TextOps.textLangid(spark, sf)
+      .select(col("doc_id"), col("label_match").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val rep = TextOps.textRepetition(spark, sf)
+      .select("doc_id", "n_shingles", "n_distinct").as[(Long, Long, Long)].collect()
+      .map { case (d, ns, nd) => d -> (if (5 * (ns - nd) <= ns) 1L else 0L) }.toMap
+    val nTotal = gate.size.toLong
+    val expected = gate.keys.toSeq
+      .map(d => (gate(d), clf(d), lang(d), rep(d)))
+      .groupBy(identity).map { case (p, hits) =>
+        (p._1, p._2, p._3, p._4, hits.size.toLong,
+          1000000L * hits.size / nTotal,
+          if (p._1 + p._2 + p._3 + p._4 >= 3) 1L else 0L)
+      }.toSet
+    val got = TextOps.qualityVote(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected,
+      "vote ledger diverged from the registered faces' composition")
+    // the patterns partition the corpus exactly
+    assert(got.map(_._5).sum == nTotal)
+    // non-vacuous: the ensemble must actually disagree somewhere, else
+    // the review queue this face exists for is empty by construction
+    assert(got.exists(r => Seq(r._1, r._2, r._3, r._4).distinct.size > 1),
+      "all four gates agree on every doc — vacuous ensemble")
+  }
+
   test("sample_importance thins by quality with exact inverse-propensity weights") {
     val kept = Curate.sampleImportance(spark, sfMid)
       .select("doc_id", "n_tokens", "accept_ppm", "ipw_ppm")
