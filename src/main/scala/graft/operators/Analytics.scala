@@ -4053,6 +4053,97 @@ object Analytics {
       |  CAST(CASE WHEN z2_micro > obf_bound2_micro THEN 1 ELSE 0 END AS BIGINT) AS obf_sig
       |FROM m ORDER BY look""".stripMargin
 
+  // ------------------------------------------ difference-in-differences
+  /** Difference-in-differences readout (r14 wave 19) — the
+    * quasi-experimental face of the family: the 2×2 table of
+    * (arm × pre/post the 2024-01-16 epoch cut) with conversion per
+    * ACTIVE USER-DAY in exact ppm, the pre-period gap (the balance
+    * check — under the family's randomized hash arms it should sit
+    * near zero, which is the A/A validation of the estimator), the
+    * post-period gap, and DiD = post-gap − pre-gap. For an
+    * observational grouping the same arithmetic is the
+    * parallel-trends estimator; here it doubles as the proof that the
+    * hash assignment carries no pre-existing difference the raw lift
+    * face would misattribute. No signed division anywhere: each cell
+    * rate is a floor div of non-negative integers, and the gaps/DiD
+    * are SUBTRACTIONS of already-floored rates — engine-stable by
+    * construction.
+    *
+    * == Scale design ==
+    * ONE fact scan dedupes to (user, day) with a purchase flag
+    * (map-side combinable), then a single 8-lane conditional
+    * aggregate to one row — the events_ab_lift shape with a period
+    * axis.
+    */
+  def eventsDid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("ab|"), col("user_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val cutDay = 19738L // 2024-01-16 in epoch days
+    val ud = events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(col("p")).as("conv"))
+      .select((h % 2L).as("armn"),
+        (col("day") >= cutDay).cast("long").as("post"), col("conv"))
+    def cell(arm: Int, post: Int, what: Column): Column =
+      sum(when(col("armn") === arm.toLong && col("post") === post.toLong, what)
+        .otherwise(0L))
+    ud.agg(
+        cell(0, 0, lit(1L)).as("days_a_pre"), cell(0, 0, col("conv")).as("conv_a_pre"),
+        cell(0, 1, lit(1L)).as("days_a_post"), cell(0, 1, col("conv")).as("conv_a_post"),
+        cell(1, 0, lit(1L)).as("days_b_pre"), cell(1, 0, col("conv")).as("conv_b_pre"),
+        cell(1, 1, lit(1L)).as("days_b_post"), cell(1, 1, col("conv")).as("conv_b_post"))
+      .withColumn("rate_a_pre_ppm", expr("(1000000 * conv_a_pre) div days_a_pre"))
+      .withColumn("rate_a_post_ppm", expr("(1000000 * conv_a_post) div days_a_post"))
+      .withColumn("rate_b_pre_ppm", expr("(1000000 * conv_b_pre) div days_b_pre"))
+      .withColumn("rate_b_post_ppm", expr("(1000000 * conv_b_post) div days_b_post"))
+      .select(col("days_a_pre"), col("conv_a_pre"), col("days_a_post"), col("conv_a_post"),
+        col("days_b_pre"), col("conv_b_pre"), col("days_b_post"), col("conv_b_post"),
+        col("rate_a_pre_ppm"), col("rate_a_post_ppm"),
+        col("rate_b_pre_ppm"), col("rate_b_post_ppm"),
+        (col("rate_b_pre_ppm") - col("rate_a_pre_ppm")).as("pre_gap_ppm"),
+        (col("rate_b_post_ppm") - col("rate_a_post_ppm")).as("post_gap_ppm"),
+        ((col("rate_b_post_ppm") - col("rate_a_post_ppm"))
+          - (col("rate_b_pre_ppm") - col("rate_a_pre_ppm"))).as("did_ppm"))
+  }
+
+  /** DuckDB twin: same (user, day) dedupe, same 8-lane cell fold. */
+  val eventsDidSql: String =
+    """WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('ab|' || CAST(user_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 2 AS armn,
+      |    CASE WHEN day >= 19738 THEN 1 ELSE 0 END AS post, conv
+      |  FROM ud),
+      |c AS (SELECT
+      |    CAST(sum(CASE WHEN armn = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS days_a_pre,
+      |    CAST(sum(CASE WHEN armn = 0 AND post = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a_pre,
+      |    CAST(sum(CASE WHEN armn = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS days_a_post,
+      |    CAST(sum(CASE WHEN armn = 0 AND post = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_a_post,
+      |    CAST(sum(CASE WHEN armn = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS days_b_pre,
+      |    CAST(sum(CASE WHEN armn = 1 AND post = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_b_pre,
+      |    CAST(sum(CASE WHEN armn = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS days_b_post,
+      |    CAST(sum(CASE WHEN armn = 1 AND post = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b_post
+      |  FROM t),
+      |r AS (SELECT *,
+      |    (1000000 * conv_a_pre) // days_a_pre AS rate_a_pre_ppm,
+      |    (1000000 * conv_a_post) // days_a_post AS rate_a_post_ppm,
+      |    (1000000 * conv_b_pre) // days_b_pre AS rate_b_pre_ppm,
+      |    (1000000 * conv_b_post) // days_b_post AS rate_b_post_ppm
+      |  FROM c)
+      |SELECT days_a_pre, conv_a_pre, days_a_post, conv_a_post,
+      |  days_b_pre, conv_b_pre, days_b_post, conv_b_post,
+      |  rate_a_pre_ppm, rate_a_post_ppm, rate_b_pre_ppm, rate_b_post_ppm,
+      |  rate_b_pre_ppm - rate_a_pre_ppm AS pre_gap_ppm,
+      |  rate_b_post_ppm - rate_a_post_ppm AS post_gap_ppm,
+      |  (rate_b_post_ppm - rate_a_post_ppm) - (rate_b_pre_ppm - rate_a_pre_ppm) AS did_ppm
+      |FROM r""".stripMargin
+
   // ----------------------------------------------- weekly seasonality
   /** Day-of-week seasonality profile — the baseline a monitoring stack
     * subtracts before calling anything an anomaly: per event type and
@@ -4702,6 +4793,7 @@ object Analytics {
     "events_ab_lift" -> eventsAbLift,
     "events_ab_cuped" -> eventsAbCuped,
     "events_ab_sequential" -> eventsAbSequential,
+    "events_did" -> eventsDid,
     "events_ab_srm" -> eventsAbSrm,
     "events_ab_power" -> eventsAbPower,
     "events_funnel_time" -> eventsFunnelTime,
@@ -4791,6 +4883,7 @@ object Analytics {
     "events_ab_lift" -> eventsAbLiftSql,
     "events_ab_cuped" -> eventsAbCupedSql,
     "events_ab_sequential" -> eventsAbSequentialSql,
+    "events_did" -> eventsDidSql,
     "events_ab_srm" -> eventsAbSrmSql,
     "events_ab_power" -> eventsAbPowerSql,
     "events_funnel_time" -> eventsFunnelTimeSql,

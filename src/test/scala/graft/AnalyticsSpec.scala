@@ -970,6 +970,37 @@ class AnalyticsSpec extends SparkSpec {
       "end-look counters diverge from events_ab_lift")
   }
 
+  test("events_did: 2x2 cell replay and the gap identity") {
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+        col("event_type"))
+      .as[(Long, Long, String)].collect()
+    val armOf = (u: Long) =>
+      ("ab|" + u).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 2
+    val ud = evs.groupBy(e => (e._1, e._2)).map { case ((u, d), es) =>
+      (armOf(u), if (d >= 19738L) 1 else 0,
+        if (es.exists(_._3 == "purchase")) 1L else 0L)
+    }.toSeq
+    def cell(a: Long, p: Int) = {
+      val hits = ud.filter(t => t._1 == a && t._2 == p)
+      (hits.size.toLong, hits.map(_._3).sum)
+    }
+    val (dap, cap) = cell(0, 0); val (daq, caq) = cell(0, 1)
+    val (dbp, cbp) = cell(1, 0); val (dbq, cbq) = cell(1, 1)
+    assert(Seq(dap, daq, dbp, dbq).forall(_ > 0), "an empty 2x2 cell — vacuous")
+    val row = Analytics.eventsDid(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long,
+           Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert((row._1, row._2, row._3, row._4) == ((dap, cap, daq, caq)))
+    assert((row._5, row._6, row._7, row._8) == ((dbp, cbp, dbq, cbq)))
+    val (rap, raq) = (1000000L * cap / dap, 1000000L * caq / daq)
+    val (rbp, rbq) = (1000000L * cbp / dbp, 1000000L * cbq / dbq)
+    assert((row._9, row._10, row._11, row._12) == ((rap, raq, rbp, rbq)))
+    // the DiD identity: did = post gap - pre gap, all from floored rates
+    assert(row._13 == rbp - rap && row._14 == rbq - raq)
+    assert(row._15 == (rbq - raq) - (rbp - rap), "DiD identity broke")
+  }
+
   test("events_ab_srm: green on the healthy assignment, fires on a planted skew") {
     val rows = Analytics.eventsAbSrm(spark, sf)
       .as[(Long, Long, Long, Long, Boolean)].collect()
