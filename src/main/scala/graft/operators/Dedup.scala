@@ -1555,11 +1555,13 @@ object Dedup {
     * results checkpoint so the lineage stays flat (the
     * [[dedupComponents]] iteration discipline).
     */
-  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").stableCheckpoint()
+  /** The [[LP_ITERS]] synchronous LPA rounds over a SYMMETRIC
+    * (src, dst) edge relation (caller checkpoints it) — shared by the
+    * registered face and [[graphModularity]] so the score face cannot
+    * run a different propagation than the face it scores (the
+    * componentsOver precedent). Returns (id, lbl). */
+  private def lpaOver(edges: DataFrame): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     val byVote = org.apache.spark.sql.expressions.Window
@@ -1574,6 +1576,15 @@ object Dedup {
         .select(col("id"), col("lbl"))
         .stableCheckpoint()
     }
+    labels
+  }
+
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").stableCheckpoint()
+    val labels = lpaOver(edges)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     labels.join(broadcast(sizes), Seq("lbl"))
       .select(col("id").as("doc_id"), col("lbl").as("label"), col("community_size"))
@@ -1620,17 +1631,24 @@ object Dedup {
     * ride DECIMAL(38,0)/HUGEINT — exact to ~10⁹ edges.
     *
     * == Scale design ==
-    * Labels come from the registered LPA face; edges re-derive the
-    * canonical pair graph (two shingle-join legs total — the
-    * dedup_recall_eval multi-face precedent). e_c is one broadcast
-    * label join per endpoint over the O(edges) pair list; d_c is the
-    * endpoint explode folded map-side; everything after runs on the
-    * O(communities) ledger.
+    * ONE shingle pair join feeds both the propagation (via the shared
+    * [[lpaOver]] loop — the componentsOver refactor precedent, so the
+    * score face cannot run a different LPA than the face it scores)
+    * and the score. e_c is one broadcast label join per endpoint over
+    * the O(edges) pair list; d_c is the endpoint explode folded
+    * map-side; everything after runs on the O(communities) ledger.
     */
   def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    // ONE shingle pair join feeds both the propagation and the score
+    // (lpaOver is the registered face's own loop, so the labels are
+    // identical by construction — spec-pinned against graph_label_prop)
     val edges = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
       .stableCheckpoint()
-    val labels = graphLabelProp(s, dir).select(col("doc_id"), col("label"))
+    val sym = edges
+      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").stableCheckpoint()
+    val labels = lpaOver(sym)
+      .select(col("id").as("doc_id"), col("lbl").as("label"))
       .stableCheckpoint()
     val la = labels.select(col("doc_id").as("doc_a"), col("label").as("lbl_a"))
     val lb = labels.select(col("doc_id").as("doc_b"), col("label").as("lbl_b"))
