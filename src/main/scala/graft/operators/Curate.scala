@@ -2005,7 +2005,135 @@ object Curate {
        |  n_subwords * 1000000 > mean_subwords * 1050000 AS straggler
        |FROM shd CROSS JOIN mn ORDER BY shard""".stripMargin
 
+  // ------------------------------------------------ eval-set build
+  /** The EVAL-side counterpart of [[pipelinePretrainBuild]] (r14 wave
+    * 19) — composing the held-out evaluation set a training run scores
+    * against, with the per-source integrity manifest. Stages (each
+    * one's registered face is the contract):
+    *
+    *   1. the leakage-proof val side — [[splitDedupAware]]'s rule
+    *      (bucket ≥ 90 under the component-representative hash), so no
+    *      VERIFIED near-dup straddles eval/train by construction;
+    *   2. quality gate — the production `quality_score ≥ 0.5` rule (an
+    *      eval set drops garbage too, else it scores noise);
+    *   3. residual decontamination — the long-n-gram overlap rule
+    *      (the published 13-gram practice scaled to this corpus's doc
+    *      length): an eval doc sharing ANY 7-WORD shingle with the
+    *      train side is dropped. Long shingles, not trigrams, because
+    *      the trigram union of a 90% train split SATURATES (measured:
+    *      a ≥3-shared-trigram rule drops 100% of val at sf0.001 —
+    *      every doc shares common trigrams with something), while a
+    *      7-gram collision needs genuine span copying. On this corpus
+    *      the stage finds zero — measured: every 7-gram-sharing pair
+    *      also clears 0.3 jaccard, so stage 1 already routed it whole
+    *      to one side — the defense-in-depth property the spec pins
+    *      (and proves non-vacuous with a planted sub-0.3 quote pair);
+    *   4. the manifest: per source, val docs, gate drops, MARGINAL
+    *      contamination drops (among gate passers), final docs/chars,
+    *      final char share in exact ppm.
+    *
+    * == Scale design ==
+    * Split and gate are scan-side column math + broadcast component
+    * maps (the splitDedupAware shape). The contamination leg is one
+    * hg-keyed shuffle semi-join between the val-side shingles and the
+    * train-side shingle stream — both sides shingle ONCE with the
+    * split filter pushed below the explode; the val side is 10% by
+    * the split contract, and at production scale (a benchmark suite
+    * vs a crawl) the join degenerates to corpus_decontaminate's
+    * broadcast. The manifest is O(sources).
+    */
+  def pipelineEvalBuild(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val split = splitDedupAware(s, dir).select(col("doc_id"), col("split"))
+    val valIds = split.filter(col("split") === "val").select(col("doc_id"))
+    val trainIds = split.filter(col("split") === "train").select(col("doc_id"))
+    val gatePass = TextOps.textQuality(s, dir)
+      .filter(col("quality_score") >= 0.5)
+      .select(col("doc_id"), lit(1L).as("gate_ok"))
+    val d = graft.sources.Tables.load(s, dir, "documents")
+    // 7-word shingle hashes, split filter pushed below the explode
+    // (the sanctioned typed shingle emission, Dedup.explodedOf's shape)
+    def sevenGramsOf(dd: DataFrame): DataFrame = {
+      import s.implicits._
+      dd.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val ws = t.split(" ", -1)
+          val set = scala.collection.mutable.LinkedHashSet.empty[String]
+          var i = 0
+          while (i + 6 < ws.length) { set += ws.slice(i, i + 7).mkString(" "); i += 1 }
+          set.iterator.map(ng => (id, graft.functions.MinHashKernel.polyHash(ng)))
+        }.toDF("doc_id", "hg")
+    }
+    val valHg = sevenGramsOf(d.join(valIds, "doc_id"))
+    val trainHg = sevenGramsOf(d.join(trainIds, "doc_id")).select(col("hg"))
+    val contam = valHg.join(trainHg, Seq("hg"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit(1L).as("contam"))
+    val finalCase =
+      col("gate_ok").isNotNull && col("contam").isNull
+    val led = d.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(valIds, "doc_id")
+      .join(gatePass, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_val_docs"),
+        sum(when(col("gate_ok").isNull, 1L).otherwise(0L)).as("n_gate_fail"),
+        sum(when(col("gate_ok").isNotNull && col("contam").isNotNull, 1L)
+          .otherwise(0L)).as("n_contaminated"),
+        sum(when(finalCase, 1L).otherwise(0L)).as("n_final"),
+        sum(when(finalCase, col("n_chars")).otherwise(0L)).as("chars_final"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    led.withColumn("tot", sum(col("chars_final")).over(wAll))
+      .select(col("source"), col("n_val_docs"), col("n_gate_fail"),
+        col("n_contaminated"), col("n_final"), col("chars_final"),
+        expr("CASE WHEN tot = 0 THEN 0 ELSE (1000000 * chars_final) div tot END")
+          .as("share_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin: the stage oracles chained — the SHARED recursive
+    * component CTE (whose shingle base `gh` also feeds the
+    * contamination leg), the SHARED quality CTE, the split rule, then
+    * the same marginal-accounting manifest. */
+  lazy val pipelineEvalBuildSql: String =
+    s"""WITH RECURSIVE ${Dedup.componentCtes},
+       |$qualityCte,
+       |fb AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 100 AS own_bucket
+       |  FROM documents),
+       |eff AS (SELECT fb.doc_id,
+       |    coalesce(rf.own_bucket, fb.own_bucket) AS bucket
+       |  FROM fb LEFT JOIN comp ON comp.doc_id = fb.doc_id
+       |  LEFT JOIN fb rf ON rf.doc_id = comp.component),
+       |vd AS (SELECT doc_id FROM eff WHERE bucket >= 90),
+       |td AS (SELECT doc_id FROM eff WHERE bucket < 90),
+       |g7 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 5),
+       |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]))) AS ng
+       |  FROM w WHERE len(ws) > 6),
+       |g7h AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS hg
+       |  FROM g7),
+       |th AS (SELECT DISTINCT g7h.hg FROM g7h JOIN td USING (doc_id)),
+       |ch AS (SELECT DISTINCT g7h.doc_id
+       |  FROM g7h JOIN vd USING (doc_id) JOIN th ON th.hg = g7h.hg),
+       |led AS (SELECT d.source,
+       |    CAST(count(*) AS BIGINT) AS n_val_docs,
+       |    CAST(sum(CASE WHEN q.quality_score >= 0.5 THEN 0 ELSE 1 END) AS BIGINT) AS n_gate_fail,
+       |    CAST(sum(CASE WHEN q.quality_score >= 0.5 AND ch.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |    CAST(sum(CASE WHEN q.quality_score >= 0.5 AND ch.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       |    CAST(sum(CASE WHEN q.quality_score >= 0.5 AND ch.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_final
+       |  FROM documents d JOIN vd USING (doc_id) JOIN q USING (doc_id)
+       |  LEFT JOIN ch ON ch.doc_id = d.doc_id
+       |  GROUP BY 1)
+       |SELECT source, n_val_docs, n_gate_fail, n_contaminated, n_final,
+       |  chars_final,
+       |  CAST(CASE WHEN sum(chars_final) OVER () = 0 THEN 0
+       |    ELSE (1000000 * chars_final) // sum(chars_final) OVER () END AS BIGINT) AS share_ppm
+       |FROM led ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_eval_build" -> pipelineEvalBuild,
     "pipeline_pretrain_build" -> pipelinePretrainBuild,
     "corpus_quality_curve" -> corpusQualityCurve,
     "ml_bootstrap_ci" -> mlBootstrapCi,
@@ -2046,6 +2174,7 @@ object Curate {
 
   val oracles: Map[String, String] = Map(
     "pipeline_pretrain_build" -> pipelinePretrainBuildSql,
+    "pipeline_eval_build" -> pipelineEvalBuildSql,
     "corpus_quality_curve" -> corpusQualityCurveSql,
     "ml_bootstrap_ci" -> mlBootstrapCiSql,
     "corpus_token_budget" -> corpusTokenBudgetSql,

@@ -726,4 +726,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"candidates must come from the shingle-hash join:\n$plan")
   }
+
+  test("r14 wave 19 one-scan claims: ledger faces fold their only fact scan") {
+    // events_ab_sequential folds to the checkpointed per-user firsts —
+    // everything downstream (ledger windows + the 5-row look join) must
+    // read the materialized relation, never the file
+    val seqPlan = planOf(Analytics.eventsAbSequential(spark, sf))
+    assert(!seqPlan.contains("FileScan"),
+      s"events_ab_sequential: fact scan escaped the checkpoint:\n$seqPlan")
+    assert(seqPlan.contains("ExistingRDD"),
+      s"events_ab_sequential: expected the checkpointed firsts:\n$seqPlan")
+    // stream_anomaly / events_did / dq_psi: exactly ONE fact scan each —
+    // the prequential windows / the 2x2 fold / the stacked PSI fold all
+    // run on the grouped ledger
+    for ((name, df) <- Seq(
+        "stream_anomaly" -> streaming.EventStreams.streamAnomaly(spark, sf),
+        "events_did" -> Analytics.eventsDid(spark, sf),
+        "dq_psi" -> operators.Maintain.dqPsi(spark, sf),
+        "geo_tile_pyramid" -> operators.Geo.geoTilePyramid(spark, sf))) {
+      val plan = planOf(df)
+      val scans = "FileScan".r.findAllIn(plan).length +
+        "Scan ExistingRDD".r.findAllIn(plan).length
+      assert(scans == 1, s"$name: expected exactly one corpus scan, got $scans:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: cartesian product:\n$plan")
+    }
+    // geo_tile_pyramid's 6-level rollup must ride a broadcast, not a
+    // shuffled join
+    val tilePlan = planOf(operators.Geo.geoTilePyramid(spark, sf))
+    assert(tilePlan.contains("BroadcastNestedLoopJoin")
+      || tilePlan.contains("BroadcastHashJoin"),
+      s"tile rollup must broadcast the zoom relation:\n$tilePlan")
+  }
 }

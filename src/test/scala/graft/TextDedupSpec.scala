@@ -1126,6 +1126,86 @@ class TextDedupSpec extends SparkSpec {
       "all four gates agree on every doc — vacuous ensemble")
   }
 
+  test("pipeline_eval_build manifest equals the composition of its stage faces") {
+    val split = Curate.splitDedupAware(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val gate = TextOps.textQuality(spark, sf)
+      .select(col("doc_id"), col("quality_score") >= 0.5)
+      .as[(Long, Boolean)].collect().toMap
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars", "text")
+      .as[(Long, String, Long, String)].collect()
+    def shingles(t: String): Set[Long] = {
+      val ws = t.split(" ", -1)
+      (0 until math.max(ws.length - 6, 0))
+        .map(i => graft.functions.MinHashKernel.polyHash(
+          ws.slice(i, i + 7).mkString(" "))).toSet
+    }
+    val trainHg = docs.filter(d => split(d._1) == "train")
+      .flatMap(d => shingles(d._4)).toSet
+    val contam = docs.filter(d => split(d._1) == "val")
+      .filter(d => shingles(d._4).exists(trainHg)).map(_._1).toSet
+    val perSource = docs.filter(d => split(d._1) == "val").groupBy(_._2).toSeq
+      .map { case (src, ds) =>
+        val fin = ds.filter(d => gate(d._1) && !contam(d._1))
+        (src, ds.length.toLong,
+          ds.count(d => !gate(d._1)).toLong,
+          ds.count(d => gate(d._1) && contam(d._1)).toLong,
+          fin.length.toLong, fin.map(_._3).sum)
+      }
+    val totChars = perSource.map(_._6).sum
+    val expected = perSource.map { t =>
+      (t._1, t._2, t._3, t._4, t._5, t._6,
+        if (totChars == 0) 0L else 1000000L * t._6 / totChars)
+    }.toSet
+    val got = Curate.pipelineEvalBuild(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected,
+      "eval manifest diverged from the composed stage replay")
+    // marginal accounting: every val doc lands in exactly one column
+    got.foreach(r => assert(r._2 == r._3 + r._4 + r._5,
+      s"${r._1}: stage accounting leak"))
+    assert(got.map(_._5).sum > 0, "empty eval set — vacuous")
+  }
+
+  test("pipeline_eval_build stage 3 fires on a planted sub-0.3 quote pair") {
+    // a train doc and a val doc share ONE 7-word span (a quote) but sit
+    // far below the 0.3 near-dup cut, so stage 1 cannot route them to
+    // one side — exactly the residual leakage stage 3 exists to catch
+    def bucketOf(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 100
+    val span = "alpha bravo charlie delta echo foxtrot golf"
+    def mk(prefix: String, wantTrain: Boolean, withSpan: Boolean): String = {
+      val base = (1 to 40).map(i => s"$prefix$i") ++
+        (if (withSpan) span.split(" ").toSeq else Seq.empty)
+      (0 to 200).iterator
+        .map(k => (base ++ Seq(s"${prefix}salt$k")).mkString(" "))
+        .find(t => (bucketOf(t) < 90) == wantTrain)
+        .getOrElse(fail(s"no $prefix candidate found in 200 salts"))
+    }
+    val trainDoc = mk("tr", wantTrain = true, withSpan = true)
+    val valDoc = mk("vl", wantTrain = false, withSpan = true)
+    val ctrlDoc = mk("ct", wantTrain = false, withSpan = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-evalbuild").toString
+    try {
+      Seq((1L, trainDoc), (2L, valDoc), (3L, ctrlDoc)).map { case (id, t) =>
+        (id, t, "en", "s0", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val row = Curate.pipelineEvalBuild(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      assert(row.length == 1 && row.head._1 == "s0")
+      val (_, nVal, nGateFail, nContam, nFinal, _, _) = row.head
+      assert(nVal == 2L, s"expected the two val-side docs, got $nVal")
+      assert(nGateFail == 0L, "fixture docs must pass the quality gate")
+      assert(nContam == 1L, "the planted quote pair did not fire stage 3")
+      assert(nFinal == 1L, "the control val doc must survive")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("sample_importance thins by quality with exact inverse-propensity weights") {
     val kept = Curate.sampleImportance(spark, sfMid)
       .select("doc_id", "n_tokens", "accept_ppm", "ipw_ppm")
