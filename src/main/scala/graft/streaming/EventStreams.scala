@@ -1773,6 +1773,86 @@ object EventStreams {
       |  min(CASE WHEN cum >= (900 * n + 999) // 1000 THEN b END) * 64 + 32 AS p90_est_cents
       |FROM c GROUP BY day ORDER BY day""".stripMargin
 
+  // ------------------------------------------- live revenue attribution
+  case class AttrEv(user_id: Long, event_id: Long, us: Long,
+                    event_type: String, cents: Long)
+  case class AttrOut(day: Long, attributed: String, cents: Long)
+
+  /** Live last-touch revenue attribution (r14 wave 19) — the streaming
+    * twin of [[graft.operators.Analytics.eventsAttribution]], the
+    * real-time "which channel is earning right now" dashboard: FMGWS
+    * state per user is ONE STRING (the last click/view channel seen);
+    * each purchase emits a (day, attributed channel, exact cents)
+    * credit row, and the running per-(day, channel) sums of those
+    * emissions ARE the batch face's daily ledger. State never holds
+    * event history — the last-touch rule is Markov by construction.
+    */
+  def attributionStream(stream: Dataset[AttrEv]): Dataset[AttrOut] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[AttrEv], state: GroupState[String]) =>
+          val sorted = evs.toVector.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse("")
+          val out = scala.collection.mutable.ArrayBuffer[AttrOut]()
+          sorted.foreach { e =>
+            if (e.event_type == "purchase")
+              out += AttrOut(e.us / 86400000000L,
+                if (st.isEmpty) "direct" else st, e.cents)
+            else if (e.event_type == "click" || e.event_type == "view")
+              st = e.event_type
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch face of [[attributionStream]] (registered as
+    * `stream_attribution`): the per-(day, channel) credited-purchase
+    * ledger — `events_attribution`'s identical running last-touch
+    * window, grouped by purchase day instead of rolled up corpus-wide,
+    * in exact integer cents (the all-time face emits dollars; a live
+    * ledger must re-aggregate downstream, so it stays integer).
+    *
+    * == Scale design ==
+    * One user-keyed window over the fact (the attribution family's
+    * single shuffle), then a map-side-combinable (day, channel) fold —
+    * O(days × channels) out. The streaming twin holds one string per
+    * user.
+    */
+  def streamAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+    events(s, dir)
+      .withColumn("attributed",
+        coalesce(last(touch, ignoreNulls = true).over(w), lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("attributed"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      .groupBy(col("day"), col("attributed"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("vc")).as("cents"))
+      .orderBy(col("day"), col("attributed"))
+  }
+
+  /** DuckDB twin: the shared IGNORE NULLS running-last-touch frame,
+    * grouped by day. */
+  val streamAttributionSql: String =
+    """WITH tagged AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(value*100) AS BIGINT) AS vc,
+      |    coalesce(last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'direct') AS attributed
+      |  FROM events)
+      |SELECT CAST(day AS BIGINT) AS day, attributed, count(*) AS n_purchases,
+      |  CAST(sum(vc) AS BIGINT) AS cents
+      |FROM tagged WHERE event_type = 'purchase'
+      |GROUP BY day, attributed ORDER BY day, attributed""".stripMargin
+
   // ---------------------------------------------- live anomaly monitor
   case class AnomEv(event_type: String, day: Long, cents: Long)
   case class AnomState(k: Long, s: Long, ss: String)
@@ -1890,6 +1970,7 @@ object EventStreams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_anomaly" -> streamAnomaly,
+    "stream_attribution" -> streamAttribution,
     "stream_quantile" -> streamQuantile,
     "stream_dau" -> streamDau,
     "stream_ab_lift" -> streamAbLift,
@@ -1926,6 +2007,7 @@ object EventStreams {
 
   val oracles: Map[String, String] = Map(
     "stream_anomaly" -> streamAnomalySql,
+    "stream_attribution" -> streamAttributionSql,
     "stream_quantile" -> streamQuantileSql,
     "stream_dau" -> streamDauSql,
     "stream_ab_lift" -> streamAbLiftSql,

@@ -1153,6 +1153,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed attribution credits equal the batch daily ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.AttrEv
+    val raw = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("event_type"), expr("CAST(round(value*100) AS BIGINT)"))
+      .as[(Long, Long, Long, String, Long)].collect()
+      .map { case (u, e, us, t, c) => AttrEv(u, e, us, t, c) }
+    // per-key rank batches: each user's events arrive in (us, event_id)
+    // order — the in-order replay the batch window models
+    val byKey = raw.groupBy(_.user_id).view
+      .mapValues(_.sortBy(r => (r.us, r.event_id)).toVector).toMap
+    val rounds = byKey.values.map(_.length).max
+    val mem = MemoryStream[AttrEv]
+    val q = EventStreams.attributionStream(mem.toDS())
+      .writeStream.format("memory").queryName("attr_live")
+      .outputMode("append").start()
+    try {
+      (0 until rounds).foreach { i =>
+        val batch = byKey.values.flatMap(_.lift(i)).toSeq
+        if (batch.nonEmpty) { mem.addData(batch: _*); q.processAllAvailable() }
+      }
+      // the live change-log's per-(day, channel) sums ARE the ledger
+      val live = spark.sql(
+        """SELECT day, attributed, count(*) AS n, sum(cents) AS cents
+          |FROM attr_live GROUP BY day, attributed""".stripMargin)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val batchFace = EventStreams.streamAttribution(spark, sf)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(batchFace.nonEmpty, "no purchases — vacuous")
+      assert(live == batchFace,
+        s"stream-only ${live.diff(batchFace).take(3)}; batch-only ${batchFace.diff(live).take(3)}")
+      // every channel value is a real one
+      assert(batchFace.forall(r => Set("click", "view", "direct")(r._2)))
+    } finally q.stop()
+  }
+
   test("streamed anomaly monitor equals the prequential batch face; planted spike pages") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.AnomEv
