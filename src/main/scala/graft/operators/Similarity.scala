@@ -1208,7 +1208,74 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  // ------------------------------------------------------- OOD audit
+  /** Embedding out-of-distribution audit (r14 wave 19) — the
+    * data-quality face of the ANN family: a vector far from EVERY
+    * trained centroid is an outlier the index serves badly and a
+    * curation pass reviews first (broken encoder output, empty-doc
+    * embeddings, wrong-modality rows). Every corpus vector is scored
+    * by its best-centroid cosine (the same spherical codebook the
+    * IVF faces train — shared memoized model, so the audit can never
+    * disagree with the index about geometry); the bottom 1% by
+    * (cos_micro, vec_id) RANK are flagged — a rank cut, not a float
+    * threshold, so the page set is deterministic and SF-invariant.
+    * Cosines are floored to micro units BEFORE ranking on both
+    * engines, so the order key is integer-stable.
+    *
+    * == Scale design ==
+    * One O(N·CELLS) map-side scoring pass against the broadcast
+    * codebook, then the two-phase range-partitioned rank
+    * ([[graft.operators.Analytics.globalRowPos]]) over thin
+    * (id, cell, cos) rows — no global single-task sort; output is
+    * N/100 rows.
+    */
+  def annOod(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val centroids = trainedCodebook(s, dir)
+    val codebook = s.sparkContext.broadcast(centroids)
+    val best = e.map { case (id, v, lbl) =>
+      val n = math.sqrt(dotd(v, v))
+      var bc = -1L; var bcos = Double.MinValue
+      codebook.value.foreach { case (cid, cv, cn) =>
+        val cos = dotd(v, cv) / (n * cn)
+        if (cos > bcos || (cos == bcos && cid < bc)) { bcos = cos; bc = cid }
+      }
+      (id, lbl.toLong, bc, math.floor(bcos * 1e6 + 0.5).toLong)
+    }.toDF("vec_id", "label", "best_cell", "cos_micro")
+    Analytics.globalRowPos(best, Seq.empty,
+        Seq(col("cos_micro"), col("vec_id")), "ood_rank", "__n")
+      .filter(col("ood_rank") <= expr("(`__n` + 99) div 100"))
+      .select(col("vec_id"), col("label"), col("best_cell"),
+        col("cos_micro"), col("ood_rank"))
+      .orderBy(col("ood_rank"))
+  }
+
+  /** DuckDB twin: the shared codebook replay's final score table,
+    * best-centroid row per vector, the same micro-floored rank cut. */
+  lazy val annOodSql: String =
+    "WITH " + (ivfCodebookCtes ++ Seq(
+      "oodb AS (SELECT vec_id, cid AS best_cell, cos FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc) WHERE rn = 1)",
+      "oodc AS (SELECT vec_id, best_cell, CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS cos_micro FROM oodb)",
+      "rko AS (SELECT *, row_number() OVER (ORDER BY cos_micro, vec_id) AS ood_rank, count(*) OVER () AS nn2 FROM oodc)"
+    )).mkString(",\n") +
+      """
+        |SELECT r.vec_id, CAST(e.label AS BIGINT) AS label, r.best_cell,
+        |  r.cos_micro, CAST(r.ood_rank AS BIGINT) AS ood_rank
+        |FROM rko r JOIN embeddings e ON e.vec_id = r.vec_id
+        |WHERE r.ood_rank <= (r.nn2 + 99) // 100
+        |ORDER BY ood_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ood" -> annOod,
     "ann_knn_graph" -> annKnnGraph,
     "ann_recall_curve" -> annRecallCurve,
     "ann_filtered_search" -> annFilteredSearch,
@@ -1445,6 +1512,7 @@ object Similarity {
     "ann_pq" -> annPqSql,
     "ann_ivf_pq" -> annIvfPqSql,
     "ann_recall_eval" -> annRecallEvalSql,
+    "ann_ood" -> annOodSql,
     "dedup_embedding_ivf" -> dedupEmbeddingIvfSql,
     "dedup_embedding_ivf_curve" -> dedupEmbeddingIvfCurveSql)
 }

@@ -101,6 +101,46 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVFPQ recall@5 regressed: $recall")
   }
 
+  test("ann_ood flags the bottom-1% rank cut; a planted junk vector pages first") {
+    // corpus properties: exactly ceil(N/100) rows, dense ranks, cosine
+    // non-decreasing with rank
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val rows = Similarity.annOod(spark, sf)
+      .select("vec_id", "cos_micro", "ood_rank")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(rows.length.toLong == (n + 99) / 100, "rank cut size drifted")
+    assert(rows.map(_._3).toSeq == (1L to rows.length.toLong))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._2, "cosine must rise with rank")
+      case _ =>
+    }
+    // planted fixture: 32 one-hot seeds, 68 normals clustered on the
+    // first 8 seed directions, and ONE junk vector pointing equally at
+    // everything — the audit must page the junk first
+    val dim = 64
+    def oneHot(i: Int): Array[Float] = {
+      val v = new Array[Float](dim); v(i) = 1.0f; v
+    }
+    val seeds = (0 until 32).map(i => (i.toLong, oneHot(i), i))
+    val normals = (32 until 100).map(i => (i.toLong, oneHot(i % 8), i % 8))
+    val junk = Seq((100L, Array.fill(dim)(1.0f / 8.0f), 99))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ood").toString
+    try {
+      (seeds ++ normals ++ junk).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = Similarity.annOod(spark, dir)
+        .select("vec_id", "cos_micro", "ood_rank")
+        .as[(Long, Long, Long)].collect().sortBy(_._3)
+      assert(out.length == 2, s"ceil(101/100) = 2 flagged, got ${out.length}")
+      assert(out.head._1 == 100L, "the planted junk vector must page first")
+      assert(out.head._2 < out(1)._2,
+        "junk must sit strictly below the in-distribution tail")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("ann_recall_eval scores every face against an independent truth join") {
     val rows = Similarity.annRecallEval(spark, sf)
       .select("face", "query_id", "n_hits", "n_returned", "recall_ppm")
