@@ -25,7 +25,9 @@ class DeterminismSpec extends SparkSpec {
     // r14: cosine-emitting graph/search faces
     "ann_knn_graph", "ann_recall_curve",
     // r14 w9-11: jaccard-double pairs, cosine-emitting negative miner
-    "dedup_containment", "ann_hard_negatives")
+    "dedup_containment", "ann_hard_negatives",
+    // r14 w19: micro-floored codebook cosines (the rank cut rides them)
+    "ann_ood")
 
   test("float-emitting queries are bit-identical across two evaluations") {
     val dir = sfMid
