@@ -580,6 +580,102 @@ object Dedup {
        |ORDER BY n_bands""".stripMargin
   }
 
+  // ---------------------------------------------- b-bit minhash fidelity
+  /** b-bit MinHash fidelity ledger (r14 wave 19, Li & König 2010) —
+    * the storage-dial evidence beside [[dedupLshCurve]]'s banding
+    * dial: keeping only the LOWEST BIT of each lane minimum stores a
+    * 32-lane signature in 32 bits instead of 32×64 (at 10¹¹ docs
+    * that is a ~0.4 GB-per-billion index vs 25×), at the cost of a
+    * noisier estimate — random lanes agree half the time, so the
+    * unbiased estimator is Ĵ = 2·â − 1. This face scores BOTH
+    * estimators against exact jaccard on the verified near-dup
+    * pairs: per pair, the exact integer jaccard_ppm, the full-lane
+    * agreement (÷32 → est_full_ppm = agree·31250) and the 1-bit
+    * agreement (est_bbit_ppm = max(0, (agree−16)·62500) — exactly
+    * divisible staging, so no signed floor-division hazard exists).
+    *
+    * == Scale design ==
+    * One shingle-hash pass + the 32-lane map-side fold (the LSH
+    * face's audited shape, checkpointed); the tiny verified-pair
+    * relation broadcasts into two signature joins; the ledger is
+    * O(pairs).
+    */
+  def dedupMinhashBbit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.Checkpoints.StableSyntax
+    val minAggs = (0 until MINHASH_K).map(i =>
+      min(pmod(col("h") * aCoef(i) + bCoef(i), lit(P))).as(s"m$i"))
+    val hashed = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, java.lang.Long]()
+        it.flatMap { case (id, t) =>
+          trigrams(t).iterator.map { ng =>
+            var h = memo.get(ng)
+            if (h == null) {
+              if (memo.size() > (1 << 20)) memo.clear()
+              h = java.lang.Long.valueOf(polyHash(ng))
+              memo.put(ng, h)
+            }
+            (id, h.longValue())
+          }
+        }
+      }
+      .toDF("doc_id", "h")
+    val sigs = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .stableCheckpoint()
+    val sh = shingled(s, dir)
+    val withSets = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("ngs").as("ngs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("ngs").as("ngs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ngs_a"), col("ngs_b"))).cast("long").as("i"),
+        size(array_union(col("ngs_a"), col("ngs_b"))).cast("long").as("u"))
+      .select(col("doc_a"), col("doc_b"), expr("i * 1000000 div u").as("jaccard_ppm"))
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until MINHASH_K).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until MINHASH_K).map(i => col(s"m$i").as(s"b$i")): _*)
+    val agreeF = (0 until MINHASH_K)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val agreeB = (0 until MINHASH_K)
+      .map(i => when(pmod(col(s"a$i"), lit(2L)) === pmod(col(s"b$i"), lit(2L)), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    broadcast(withSets).join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"),
+        agreeF.as("agree_full"), agreeB.as("agree_bbit"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"),
+        col("agree_full"), expr("agree_full * 31250").as("est_full_ppm"),
+        col("agree_bbit"),
+        expr("greatest(0L, (agree_bbit - 16) * 62500)").as("est_bbit_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin: the shared pair/lane CTEs, the same exactly-divisible
+    * estimator staging. */
+  val dedupMinhashBbitSql: String =
+    s"""WITH $pairCtes,
+       |lgh AS (SELECT doc_id, ng,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS h
+       |  FROM g),
+       |perms AS (SELECT j, (1103515245 * (j+1)) % 2147483647 AS a, (12345*(j+1) + 987654321) % 2147483647 AS b FROM range(0,32) t(j)),
+       |lanes AS MATERIALIZED (SELECT doc_id, j, min((h * a + b) % 2147483647) AS mj
+       |  FROM lgh CROSS JOIN perms GROUP BY doc_id, j),
+       |jp AS (SELECT inter.doc_a, inter.doc_b,
+       |    inter.i * 1000000 // (s1.n + s2.n - inter.i) AS jaccard_ppm
+       |  FROM inter JOIN sz s1 ON s1.doc_id = inter.doc_a
+       |  JOIN sz s2 ON s2.doc_id = inter.doc_b
+       |  WHERE inter.i * 1.0 / (s1.n + s2.n - inter.i) >= 0.3),
+       |ag AS (SELECT j.doc_a, j.doc_b, j.jaccard_ppm,
+       |    CAST(sum(CASE WHEN la.mj = lb.mj THEN 1 ELSE 0 END) AS BIGINT) AS agree_full,
+       |    CAST(sum(CASE WHEN la.mj % 2 = lb.mj % 2 THEN 1 ELSE 0 END) AS BIGINT) AS agree_bbit
+       |  FROM jp j JOIN lanes la ON la.doc_id = j.doc_a
+       |  JOIN lanes lb ON lb.doc_id = j.doc_b AND lb.j = la.j
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, jaccard_ppm, agree_full,
+       |  agree_full * 31250 AS est_full_ppm, agree_bbit,
+       |  CAST(greatest(0, (agree_bbit - 16) * 62500) AS BIGINT) AS est_bbit_ppm
+       |FROM ag ORDER BY doc_a, doc_b""".stripMargin
+
   // --------------------------------------------------------- simhash
   /** 60-bit SimHash: lane j's ±1 contribution per word is the parity
     * of (polyHash(word)·aⱼ+bⱼ) mod 2³¹−1, bit set if the lane sum is
@@ -1956,6 +2052,7 @@ object Dedup {
     "contamination_ngram" -> contaminationNgram,
     "corpus_decontaminate" -> corpusDecontaminate,
     "dedup_minhash_sig" -> dedupMinhashSig,
+    "dedup_minhash_bbit" -> dedupMinhashBbit,
     "dedup_incremental" -> dedupIncremental,
     "dedup_span_exact" -> dedupSpanExact,
     "dedup_span_hot" -> dedupSpanHot,
@@ -2049,6 +2146,7 @@ object Dedup {
     "contamination_ngram" -> contaminationNgramSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
+    "dedup_minhash_bbit" -> dedupMinhashBbitSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_span_exact" -> dedupSpanExactSql,
     "dedup_span_hot" -> dedupSpanHotSql,

@@ -1271,6 +1271,53 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_bbit: exact lane replay, estimator staging, pair-set identity") {
+    val dir = sfMid
+    assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
+    val P = 2147483647L
+    def polyHash(t: String): Long =
+      t.foldLeft(0L)((h, c) => (h * 31 + c) % P)
+    def shingles(t: String): Seq[Long] = {
+      val ws = t.split(" ", -1)
+      val set = scala.collection.mutable.LinkedHashSet.empty[String]
+      (0 until math.max(ws.length - 2, 0)).foreach(i =>
+        set += (ws(i) + " " + ws(i + 1) + " " + ws(i + 2)))
+      set.toSeq.map(polyHash)
+    }
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val hs = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    def lanes(ids: Seq[Long]): Array[Long] =
+      (0 until 32).map { j =>
+        val a = (1103515245L * (j + 1)) % P
+        val b = (12345L * (j + 1) + 987654321L) % P
+        ids.map(h => (h * a + b) % P).min
+      }.toArray
+    val truth = Dedup.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assume(truth.nonEmpty, "no near-dup pairs — vacuous")
+    val got = Dedup.dedupMinhashBbit(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == truth.toSet,
+      "bbit ledger must cover exactly the verified pair set")
+    val laneMemo = scala.collection.mutable.Map.empty[Long, Array[Long]]
+    def lanesOf(id: Long) = laneMemo.getOrElseUpdate(id, lanes(hs(id)))
+    got.foreach { case (a, b, jp, af, ef, ab0, eb) =>
+      val (sa, sb) = (hs(a).toSet, hs(b).toSet)
+      assert(jp == 1000000L * sa.intersect(sb).size / sa.union(sb).size,
+        s"pair ($a,$b) jaccard_ppm diverges")
+      val (la, lb) = (lanesOf(a), lanesOf(b))
+      val afr = (0 until 32).count(j => la(j) == lb(j)).toLong
+      val abr = (0 until 32).count(j => la(j) % 2 == lb(j) % 2).toLong
+      assert(af == afr && ab0 == abr, s"pair ($a,$b) lane agreements diverge")
+      assert(ef == af * 31250L && eb == math.max(0L, (ab0 - 16) * 62500L),
+        s"pair ($a,$b) estimator staging diverges")
+      // 1-bit agreement can never be below full agreement (equal lanes
+      // agree on every bit)
+      assert(ab0 >= af, s"pair ($a,$b): bbit agreement below full agreement")
+    }
+  }
+
   test("graph_modularity: BigInt ledger replay, degree/edge identities, beats chance") {
     val dir = sfMid
     assume(new java.io.File(dir).isDirectory, s"$dir absent — cancelling, not failing")
