@@ -317,4 +317,55 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: wave-19 integer stagings — OBF floor identity, PSI sign, bbit range") {
+    val rnd = new Random(1914)
+    // [1] the OBF decision identity the Scaladoc claims: comparing the
+    // z-square against (N div k) equals the exact rational inequality
+    // z2 * k > N, for every k and any z2 — floors cannot flip a verdict
+    val N = 20808000L
+    (1 to 20000).foreach { _ =>
+      val k = 1L + rnd.nextInt(5)
+      val z2 = rnd.nextInt(50000000).toLong
+      assert((z2 > N / k) == (z2 * k > N),
+        s"OBF floor identity broke at z2=$z2 k=$k")
+    }
+    // [2] dq_psi's sign argument: with BOTH factors computed from the
+    // same clamped counts, floor monotonicity forces sign agreement —
+    // every term is non-negative for ANY bucket table
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    (1 to 5000).foreach { _ =>
+      val nb = 2 + rnd.nextInt(8)
+      val ref = Array.fill(nb)(rnd.nextInt(1000).toLong)
+      val cur = Array.fill(nb)(rnd.nextInt(1000).toLong)
+      // ensure the windows are non-empty (the operator always has rows
+      // on both sides of the cut by construction)
+      ref(0) += 1; cur(0) += 1
+      val (rt, ct) = (ref.sum, cur.sum)
+      (0 until nb).foreach { i =>
+        val rc = math.max(ref(i), 1L); val cc = math.max(cur(i), 1L)
+        val term = (1000000L * cc / ct - 1000000L * rc / rt) *
+          (bits(cc * rt) - bits(rc * ct))
+        assert(term >= 0, s"negative PSI term: ref=${ref.toSeq} cur=${cur.toSeq} i=$i")
+      }
+    }
+    // [3] the b-bit estimator staging: the exactly-divisible form equals
+    // the textbook floor form and stays inside [0, 1e6]
+    (0L to 32L).foreach { a =>
+      val est = math.max(0L, (a - 16) * 62500L)
+      assert(est == math.max(0L, (2 * a - 32) * 1000000L / 32L))
+      assert(est >= 0L && est <= 1000000L)
+    }
+    // [4] stream_anomaly's variance guard: k*SS - S^2 is non-negative
+    // for ANY integer series (Cauchy-Schwarz), so the guard can only
+    // fire on genuinely constant prefixes
+    (1 to 5000).foreach { _ =>
+      val xs = Array.fill(1 + rnd.nextInt(20))(BigInt(rnd.nextInt(2000000) - 1000000))
+      val k = BigInt(xs.length)
+      val sSum = xs.sum; val ss = xs.map(x => x * x).sum
+      val varN = k * ss - sSum * sSum
+      assert(varN >= 0, s"negative variance numerator on ${xs.toSeq}")
+      if (xs.distinct.length == 1) assert(varN == 0)
+    }
+  }
 }
