@@ -1773,6 +1773,88 @@ object EventStreams {
       |  min(CASE WHEN cum >= (900 * n + 999) // 1000 THEN b END) * 64 + 32 AS p90_est_cents
       |FROM c GROUP BY day ORDER BY day""".stripMargin
 
+  // ----------------------------------------------- live gap filling
+  case class GapEv(event_type: String, hi: Long, cents: Long)
+  case class GapOut(hour_idx: Long, event_type: String, n_events: Long,
+                    cents: Long, filled: Long)
+
+  /** Live hourly gap filling (r14 wave 19) — the densify face a
+    * streaming dashboard needs before any rate math
+    * ([[graft.operators.Analytics.eventsGapFill]] densifies in batch
+    * against GLOBAL bounds a live pipeline cannot know; this twin uses
+    * the per-type live-computable contract: fill from each type's
+    * FIRST seen hour): FMGWS state per type is ONE LONG (the last
+    * emitted hour); when an hour closes with a later arrival, the
+    * intervening empty hours emit as zero rows with `filled = 1`.
+    * Hours at-or-before the state are DROPPED (the watermark rule —
+    * an already-filled hour cannot be retracted in append mode).
+    */
+  def gapFillStream(stream: Dataset[GapEv]): Dataset[GapOut] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, GapOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, evs: Iterator[GapEv], state: GroupState[Long]) =>
+          val byHour = evs.toVector.groupBy(_.hi).toVector.sortBy(_._1)
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer[GapOut]()
+          byHour.foreach { case (h, rs) =>
+            if (last == Long.MinValue || h > last) {
+              if (last != Long.MinValue) {
+                var g = last + 1
+                while (g < h) { out += GapOut(g, typ, 0L, 0L, 1L); g += 1 }
+              }
+              out += GapOut(h, typ, rs.length.toLong, rs.map(_.cents).sum, 0L)
+              last = h
+            }
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
+
+  /** Batch face of [[gapFillStream]] (registered as `stream_gap_fill`):
+    * the per-type dense hourly series — each type's grid runs from its
+    * own first to its own last hour (the live-computable bounds), with
+    * exact integer cents (a live ledger re-aggregates downstream).
+    *
+    * == Scale design ==
+    * One scan folds map-side onto the O(types × hours) hourly ledger;
+    * the per-type bounds aggregate is O(types), and the grid explode
+    * is ledger-sized. The streaming twin holds one long per type.
+    */
+  def streamGapFill(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hi"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+    val hourly = e.groupBy(col("hi"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sc"))
+    val bounds = e.groupBy(col("event_type"))
+      .agg(min(col("hi")).as("h0"), max(col("hi")).as("h1"))
+    bounds
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hi"))
+      .join(hourly, Seq("hi", "event_type"), "left")
+      .select(col("hi").as("hour_idx"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("sc"), lit(0L)).as("cents"),
+        when(col("n").isNull, 1L).otherwise(0L).as("filled"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
+  val streamGapFillSql: String =
+    """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hi, event_type,
+      |    CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |hourly AS (SELECT hi, event_type, count(*) AS n,
+      |    CAST(sum(vc) AS BIGINT) AS sc FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(hi) AS h0, max(hi) AS h1 FROM e GROUP BY 1),
+      |grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hi FROM b)
+      |SELECT CAST(g.hi AS BIGINT) AS hour_idx, g.event_type,
+      |  coalesce(n, 0) AS n_events, coalesce(sc, 0) AS cents,
+      |  CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+      |FROM grid g LEFT JOIN hourly h ON h.hi = g.hi AND h.event_type = g.event_type
+      |ORDER BY g.event_type, hour_idx""".stripMargin
+
   // ------------------------------------------- live revenue attribution
   case class AttrEv(user_id: Long, event_id: Long, us: Long,
                     event_type: String, cents: Long)
@@ -1971,6 +2053,7 @@ object EventStreams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_anomaly" -> streamAnomaly,
     "stream_attribution" -> streamAttribution,
+    "stream_gap_fill" -> streamGapFill,
     "stream_quantile" -> streamQuantile,
     "stream_dau" -> streamDau,
     "stream_ab_lift" -> streamAbLift,
@@ -2008,6 +2091,7 @@ object EventStreams {
   val oracles: Map[String, String] = Map(
     "stream_anomaly" -> streamAnomalySql,
     "stream_attribution" -> streamAttributionSql,
+    "stream_gap_fill" -> streamGapFillSql,
     "stream_quantile" -> streamQuantileSql,
     "stream_dau" -> streamDauSql,
     "stream_ab_lift" -> streamAbLiftSql,

@@ -1153,6 +1153,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed gap filling equals the per-type dense batch grid") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.GapEv
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"),
+        expr("CAST(round(value*100) AS BIGINT)"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, h, c) => GapEv(t, h, c) }
+    val byHour = evs.groupBy(_.hi).toSeq.sortBy(_._1)
+    val mem = MemoryStream[GapEv]
+    val q = EventStreams.gapFillStream(mem.toDS())
+      .writeStream.format("memory").queryName("gap_live")
+      .outputMode("append").start()
+    try {
+      byHour.foreach { case (_, rows) =>
+        mem.addData(rows.toSeq: _*); q.processAllAvailable()
+      }
+      val live = spark.sql(
+        "SELECT hour_idx, event_type, n_events, cents, filled FROM gap_live")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val batch = EventStreams.streamGapFill(spark, sf)
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(batch.nonEmpty)
+      assert(live == batch,
+        s"stream-only ${live.diff(batch).take(3)}; batch-only ${batch.diff(live).take(3)}")
+      // non-vacuous: the corpus must actually have gaps to fill, and
+      // every filled row is an exact zero
+      assert(batch.exists(_._5 == 1L), "no gaps in the corpus feed — vacuous")
+      batch.filter(_._5 == 1L).foreach(r =>
+        assert(r._3 == 0L && r._4 == 0L, "a filled hour carried data"))
+      // per type the grid is dense between its own bounds
+      batch.groupBy(_._2).values.foreach { rows =>
+        val hs = rows.map(_._1).toSeq.sorted
+        assert(hs == (hs.head to hs.last), "per-type grid has holes")
+      }
+    } finally q.stop()
+  }
+
   test("streamed attribution credits equal the batch daily ledger") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.AttrEv
