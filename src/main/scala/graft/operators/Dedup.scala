@@ -623,10 +623,17 @@ object Dedup {
       .toDF("doc_id", "h")
     val sigs = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
       .stableCheckpoint()
+    // the tiny pair side BROADCASTS into every corpus-sized relation
+    // (the dedupEditDistance join orientation) — hinting the streamed
+    // side instead lets the planner try to broadcast the trigram-array
+    // relation, which OOMs at the 100x decade
     val sh = shingled(s, dir)
-    val withSets = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
-      .join(sh.select(col("doc_id").as("doc_a"), col("ngs").as("ngs_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("ngs").as("ngs_b")), "doc_b")
+    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val withA = sh.join(broadcast(pairs), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("ngs").as("ngs_a"))
+    val both = sh.join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ngs_a"), col("ngs").as("ngs_b"))
+    val withSets = both
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ngs_a"), col("ngs_b"))).cast("long").as("i"),
         size(array_union(col("ngs_a"), col("ngs_b"))).cast("long").as("u"))
@@ -640,7 +647,7 @@ object Dedup {
     val agreeB = (0 until MINHASH_K)
       .map(i => when(pmod(col(s"a$i"), lit(2L)) === pmod(col(s"b$i"), lit(2L)), 1L)
         .otherwise(0L)).reduce(_ + _)
-    broadcast(withSets).join(sa, "doc_a").join(sb, "doc_b")
+    sb.join(broadcast(sa.join(broadcast(withSets), "doc_a")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"),
         agreeF.as("agree_full"), agreeB.as("agree_bbit"))
       .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"),
