@@ -2132,8 +2132,105 @@ object Curate {
        |    ELSE (1000000 * chars_final) // sum(chars_final) OVER () END AS BIGINT) AS share_ppm
        |FROM led ORDER BY source""".stripMargin
 
+  // -------------------------------------------- incremental delta build
+  /** The NIGHTLY shape completing the build-pipeline trio (r14 wave 19:
+    * [[pipelinePretrainBuild]] is the full rebuild,
+    * [[pipelineEvalBuild]] the eval side, this is what actually runs
+    * every day): ingest the delta batch (source `src1`,
+    * [[Dedup.dedupIncremental]]'s contract) against the STANDING
+    * corpus — quality gate → near-dup-vs-standing drop (the registered
+    * incremental face: only the delta shingles against the index,
+    * never corpus × corpus) → subword mass of the admitted docs over
+    * the STANDING tokenizer (the memoized trained-BPE segment table —
+    * a nightly ingest never retrains) → the per-language admission
+    * ledger with marginal accounting (delta = gate_fail + dup_dropped
+    * + admitted, spec-pinned) and the subword/char mass the batch adds
+    * to the training pool. Delta-internal duplicates are out of scope
+    * by the incremental face's contract (they collapse in the next
+    * full rebuild); the vs-standing drop is what prevents the nightly
+    * feed from re-admitting yesterday's corpus.
+    *
+    * == Scale design ==
+    * Delta-sized relations broadcast everywhere (the incremental
+    * face's orientation: the standing corpus streams, the delta
+    * builds); the gate and mass legs scan only delta text after the
+    * pushed source filter; the ledger is O(langs).
+    */
+  def pipelineIncrementalBuild(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.load(s, dir, "documents")
+    val gatePass = TextOps.textQuality(s, dir)
+      .filter(col("quality_score") >= 0.5)
+      .select(col("doc_id"), lit(1L).as("g"))
+    val dupNew = Dedup.dedupIncremental(s, dir)
+      .select(col("new_id").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(1L).as("dup"))
+    val segs = TextOps.tokenizeBpeSegments(s, dir)
+      .select(col("word").as("w"), col("n_syms"))
+    val mass = d.filter(col("source") === "src1")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(segs), Seq("w"))
+      .groupBy(col("doc_id")).agg(sum(col("n_syms")).as("n_subwords"))
+    val admitted = col("g").isNotNull && col("dup").isNull
+    d.filter(col("source") === "src1")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(gatePass, Seq("doc_id"), "left")
+      .join(broadcast(dupNew), Seq("doc_id"), "left")
+      .join(mass, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_delta"),
+        sum(when(col("g").isNull, 1L).otherwise(0L)).as("n_gate_fail"),
+        sum(when(col("g").isNotNull && col("dup").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_dropped"),
+        sum(when(admitted, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(admitted, coalesce(col("n_subwords"), lit(0L))).otherwise(0L))
+          .as("subwords_added"),
+        sum(when(admitted, col("n_chars")).otherwise(0L)).as("chars_admitted"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB twin: the SHARED quality CTE, the incremental-dedup CTEs,
+    * the segment oracle, the same marginal ledger. */
+  lazy val pipelineIncrementalBuildSql: String =
+    s"""WITH $qualityCte,
+       |w AS (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, source, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS ng
+       |  FROM w WHERE len(ws) > 2),
+       |gh AS (SELECT doc_id, source,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(ng,''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31 + b) % 2147483647) AS hg
+       |  FROM g),
+       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS i
+       |  FROM gh a JOIN gh b ON a.hg = b.hg AND a.source = 'src1' AND b.source <> 'src1'
+       |  JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id
+       |  WHERE zb.n * 10 >= za.n * 3 AND za.n * 10 >= zb.n * 3
+       |  GROUP BY 1, 2),
+       |dup AS (SELECT DISTINCT new_id AS doc_id FROM inter
+       |  JOIN sz s1 ON s1.doc_id = inter.new_id
+       |  JOIN sz s2 ON s2.doc_id = inter.old_id
+       |  WHERE inter.i * 1.0 / (s1.n + s2.n - inter.i) >= 0.3),
+       |sv AS (SELECT word, n_syms FROM (${TextOps.tokenizeBpeSegmentsSql})),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE source = 'src1'),
+       |dc AS (SELECT dw.doc_id, CAST(sum(n_syms) AS BIGINT) AS n_subwords
+       |  FROM dw JOIN sv ON sv.word = dw.w WHERE w <> '' GROUP BY dw.doc_id)
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_delta,
+       |  CAST(sum(CASE WHEN q.quality_score >= 0.5 THEN 0 ELSE 1 END) AS BIGINT) AS n_gate_fail,
+       |  CAST(sum(CASE WHEN q.quality_score >= 0.5 AND dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+       |  CAST(sum(CASE WHEN q.quality_score >= 0.5 AND dup.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |  CAST(sum(CASE WHEN q.quality_score >= 0.5 AND dup.doc_id IS NULL THEN coalesce(dc.n_subwords, 0) ELSE 0 END) AS BIGINT) AS subwords_added,
+       |  CAST(sum(CASE WHEN q.quality_score >= 0.5 AND dup.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_admitted
+       |FROM documents d
+       |JOIN q ON q.doc_id = d.doc_id
+       |LEFT JOIN dup ON dup.doc_id = d.doc_id
+       |LEFT JOIN dc ON dc.doc_id = d.doc_id
+       |WHERE d.source = 'src1'
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_eval_build" -> pipelineEvalBuild,
+    "pipeline_incremental_build" -> pipelineIncrementalBuild,
     "pipeline_pretrain_build" -> pipelinePretrainBuild,
     "corpus_quality_curve" -> corpusQualityCurve,
     "ml_bootstrap_ci" -> mlBootstrapCi,
@@ -2175,6 +2272,7 @@ object Curate {
   val oracles: Map[String, String] = Map(
     "pipeline_pretrain_build" -> pipelinePretrainBuildSql,
     "pipeline_eval_build" -> pipelineEvalBuildSql,
+    "pipeline_incremental_build" -> pipelineIncrementalBuildSql,
     "corpus_quality_curve" -> corpusQualityCurveSql,
     "ml_bootstrap_ci" -> mlBootstrapCiSql,
     "corpus_token_budget" -> corpusTokenBudgetSql,

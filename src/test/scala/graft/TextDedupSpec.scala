@@ -1168,6 +1168,40 @@ class TextDedupSpec extends SparkSpec {
     assert(got.map(_._5).sum > 0, "empty eval set — vacuous")
   }
 
+  test("pipeline_incremental_build ledger equals the composition of its stage faces") {
+    val gate = TextOps.textQuality(spark, sf)
+      .select(col("doc_id"), col("quality_score") >= 0.5)
+      .as[(Long, Boolean)].collect().toMap
+    val dups = Dedup.dedupIncremental(spark, sf)
+      .select("new_id").as[Long].collect().toSet
+    val segs = TextOps.tokenizeBpeSegments(spark, sf)
+      .select("word", "n_syms").as[(String, Long)].collect().toMap
+    val delta = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("source") === "src1")
+      .select("doc_id", "lang", "n_chars", "text")
+      .as[(Long, String, Long, String)].collect()
+    assume(delta.nonEmpty, "no delta batch — vacuous")
+    def massOf(t: String): Long =
+      t.split(" ", -1).filter(_.nonEmpty).flatMap(segs.get).sum
+    val expected = delta.groupBy(_._2).map { case (lang, ds) =>
+      val adm = ds.filter(d => gate(d._1) && !dups(d._1))
+      (lang, ds.length.toLong,
+        ds.count(d => !gate(d._1)).toLong,
+        ds.count(d => gate(d._1) && dups(d._1)).toLong,
+        adm.length.toLong,
+        adm.map(d => massOf(d._4)).sum,
+        adm.map(_._3).sum)
+    }.toSet
+    val got = Curate.pipelineIncrementalBuild(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected,
+      "incremental ledger diverged from the composed stage replay")
+    // marginal accounting: every delta doc lands in exactly one column
+    got.foreach(r => assert(r._2 == r._3 + r._4 + r._5,
+      s"${r._1}: stage accounting leak"))
+    assert(got.map(_._5).sum > 0, "nothing admitted — vacuous")
+  }
+
   test("pipeline_eval_build stage 3 fires on a planted sub-0.3 quote pair") {
     // a train doc and a val doc share ONE 7-word span (a quote) but sit
     // far below the 0.3 near-dup cut, so stage 1 cannot route them to
