@@ -276,6 +276,49 @@ object Curate {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy(col("source"))
 
+  /** Per-source log₂ document-length histogram (r14 wave 19) — the
+    * justify-the-window table behind the packing family (the
+    * events_gap_histogram move, corpus edition): a 2048-subword window
+    * wastes exactly the tail mass of docs longer than the window, and
+    * this table is where that tail is read off. Per (source, ⌊log₂
+    * tokens⌋ bucket): doc count, token mass, and both shares within
+    * the source in exact ppm. Integer bits via length(bin(n)) — the
+    * engine-portable log₂ the repo's bit faces share.
+    *
+    * == Scale design ==
+    * One scan folds map-side onto O(sources × ~20 buckets); shares
+    * ride a per-source window over that bounded ledger.
+    */
+  def corpusLengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("length(bin(n_tokens))"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val w = Window.partitionBy(col("source"))
+    t.withColumn("src_docs", sum(col("n_docs")).over(w))
+      .withColumn("src_tokens", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("bucket").cast("long").as("bucket"),
+        col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_docs) div src_docs").as("doc_share_ppm"),
+        expr("(1000000 * n_tokens) div src_tokens").as("token_share_ppm"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val corpusLengthHistogramSql: String =
+    """WITH t AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |g AS (SELECT source, CAST(length(bin(n_tokens)) AS BIGINT) AS bucket,
+      |    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |  FROM t GROUP BY 1, 2)
+      |SELECT source, bucket, n_docs, n_tokens,
+      |  (1000000 * n_docs) // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS doc_share_ppm,
+      |  (1000000 * n_tokens) // CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS token_share_ppm
+      |FROM g ORDER BY source, bucket""".stripMargin
+
   val corpusStatsSql: String =
     """SELECT source, count(*) AS n_docs,
       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -2260,6 +2303,7 @@ object Curate {
     "split_dedup_aware" -> splitDedupAware,
     "sample_quota" -> sampleQuota,
     "corpus_stats" -> corpusStats,
+    "corpus_length_histogram" -> corpusLengthHistogram,
     "corpus_mixture" -> corpusMixture,
     "corpus_upsample" -> corpusUpsample,
     "pack_sorted" -> packSorted,
@@ -2299,6 +2343,7 @@ object Curate {
     "split_dedup_aware" -> splitDedupAwareSql,
     "sample_quota" -> sampleQuotaSql,
     "corpus_stats" -> corpusStatsSql,
+    "corpus_length_histogram" -> corpusLengthHistogramSql,
     "corpus_mixture" -> corpusMixtureSql,
     "corpus_upsample" -> corpusUpsampleSql,
     "pack_sorted" -> packSortedSql,

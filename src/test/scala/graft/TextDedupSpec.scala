@@ -1168,6 +1168,30 @@ class TextDedupSpec extends SparkSpec {
     assert(got.map(_._5).sum > 0, "empty eval set — vacuous")
   }
 
+  test("corpus_length_histogram: exact bit-bucket replay, shares partition each source") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("source", "text").as[(String, String)].collect()
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val expected = docs
+      .map { case (src, t) => (src, t.split(" ", -1).length.toLong) }
+      .groupBy { case (src, n) => (src, bits(n)) }
+      .map { case ((src, b), hits) => (src, b, hits.length.toLong, hits.map(_._2).sum) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        val (sd, st) = (rows.map(_._3).sum, rows.map(_._4).sum)
+        rows.map(r => (r._1, r._2, r._3, r._4,
+          1000000L * r._3 / sd, 1000000L * r._4 / st))
+      }.toSet
+    val got = Curate.corpusLengthHistogram(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected, "histogram diverged from the bit replay")
+    // shares partition: per source they sum to 1e6 up to floor loss
+    got.groupBy(_._1).values.foreach { rows =>
+      Seq(rows.map(_._5).sum, rows.map(_._6).sum).foreach { s0 =>
+        assert(s0 <= 1000000L && s0 > 1000000L - rows.length, s"share sum $s0")
+      }
+    }
+  }
+
   test("pipeline_incremental_build ledger equals the composition of its stage faces") {
     val gate = TextOps.textQuality(spark, sf)
       .select(col("doc_id"), col("quality_score") >= 0.5)
