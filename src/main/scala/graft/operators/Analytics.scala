@@ -3012,7 +3012,7 @@ object Analytics {
     * (e.g. least/greatest over both branches) would reintroduce the
     * divide-by-zero; keep the guard structural.
     */
-  private def ntileAt(pos: String, total: String, k: Int): Column =
+  private[operators] def ntileAt(pos: String, total: String, k: Int): Column =
     expr(
       s"""CASE WHEN $pos <= ($total % $k) * (($total div $k) + 1)
          |THEN (($pos - 1) div (($total div $k) + 1)) + 1

@@ -1083,6 +1083,95 @@ object TextOps {
       |  (CAST(sum(bits) AS BIGINT) * 1000) // count(*) AS bits_per_bigram_milli
       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style per-language perplexity buckets (Wenzek et al. 2020 —
+    * the public web-corpus curation recipe): score every document by
+    * its cross-entropy under a unigram LM trained ONLY on the
+    * quality-gated reference slice (quality_score ≥ 0.5, the
+    * registered curation gate — the stand-in for CCNet's Wikipedia
+    * reference), then deal each LANGUAGE's documents into
+    * head(1)/middle(2)/tail(3) terciles by (bits/token, doc_id) rank.
+    * The emitted table is the filter decision surface: per
+    * (lang, bucket) doc count, token mass, and the exact
+    * milli-bits/token band edges. OOV tokens (absent from the
+    * reference vocabulary) cost ⌊log₂ T⌋+1 bits — one more than the
+    * rarest in-vocabulary token, the integer-bits escape code. Same
+    * float-log-free binary-digit counting as [[textSurprisal]], so
+    * every value is a bit-identical bigint cross-engine.
+    *
+    * == Scale design ==
+    * Two corpus scans by contract (one trains the reference counts,
+    * one scores — CCNet's own shape); the reference-count relation is
+    * vocab-bounded (Heaps-law ≪ corpus) and joins occurrence-side.
+    * The per-language tercile is [[Analytics.globalRowPos]]'s
+    * range-partitioned two-phase rank (languages rank in parallel
+    * across slices — NOT a per-language single-task sort) with the
+    * bucket dealt arithmetically ([[Analytics.ntileAt]]); the final
+    * rollup lands on O(langs × 3) rows.
+    */
+  def textCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val gate = textQuality(s, dir)
+      .filter(col("quality_score") >= 0.5).select(col("doc_id"))
+    val refOcc = docs(s, dir).join(gate, "doc_id")
+      .select(explode(words).as("w"))
+    val rc = refOcc.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val rt = rc.agg(sum(col("cnt")).as("t"))
+    val occ = docs(s, dir)
+      .select(col("doc_id"), col("lang"), explode(words).as("w"))
+    val scored = occ.join(rc, Seq("w"), "left_outer")
+      .crossJoin(broadcast(rt))
+      .select(col("doc_id"), col("lang"),
+        when(col("cnt").isNull, length(bin(col("t"))))
+          .otherwise(length(bin(col("t"))) - length(bin(col("cnt"))))
+          .cast("long").as("bits"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+      .withColumn("bpt_milli", expr("total_bits * 1000 div n_tokens"))
+    Analytics.globalRowPos(scored, Seq("lang"),
+        Seq(col("bpt_milli"), col("doc_id")), "__pos", "__n")
+      .withColumn("bucket", Analytics.ntileAt("__pos", "__n", 3).cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("bpt_milli")).as("min_bpt_milli"),
+        max(col("bpt_milli")).as("max_bpt_milli"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** DuckDB twin: the quality CTE replicates [[textQualitySql]]'s
+    * formula verbatim; the tercile uses native ntile(3) with the same
+    * (bpt, doc_id) deal order [[Analytics.ntileAt]] reconstructs.
+    */
+  val textCcnetBucketsSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH q AS (SELECT doc_id,
+       |    (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0 / len(string_split(text, ' ')))
+       |      * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars)
+       |      * least(1.0, len(string_split(text, ' ')) / 64.0) AS quality_score
+       |  FROM documents),
+       |ref AS (SELECT unnest(string_split(d.text, ' ')) AS w
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+       |  WHERE q.quality_score >= 0.5),
+       |rc AS (SELECT w, count(*) AS cnt FROM ref GROUP BY 1),
+       |rt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM rc),
+       |occ AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |b AS (SELECT occ.doc_id, occ.lang,
+       |    CASE WHEN rc.w IS NULL THEN CAST(length(bin(rt.t)) AS BIGINT)
+       |         ELSE CAST(length(bin(rt.t)) - length(bin(rc.cnt)) AS BIGINT)
+       |    END AS bits
+       |  FROM occ LEFT JOIN rc ON occ.w = rc.w CROSS JOIN rt),
+       |d AS (SELECT doc_id, lang, count(*) AS n_tokens,
+       |    CAST(sum(bits) AS BIGINT) AS total_bits,
+       |    (CAST(sum(bits) AS BIGINT) * 1000) // count(*) AS bpt_milli
+       |  FROM b GROUP BY 1, 2),
+       |k AS (SELECT lang, n_tokens, bpt_milli,
+       |    CAST(ntile(3) OVER (PARTITION BY lang ORDER BY bpt_milli, doc_id) AS BIGINT) AS bucket
+       |  FROM d)
+       |SELECT lang, bucket, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(bpt_milli) AS min_bpt_milli, max(bpt_milli) AS max_bpt_milli
+       |FROM k GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+  }
+
   /** Classifier-evaluation harness over the language-ID face — the
     * confusion accounting every model gate reports: per class (union
     * of true labels and predictions, `und` included), the true count,
@@ -2310,6 +2399,7 @@ object TextOps {
     "tokenize_bpe_dropout" -> tokenizeBpeDropout,
     "text_surprisal" -> textSurprisal,
     "text_surprisal_bigram" -> textSurprisalBigram,
+    "text_ccnet_buckets" -> textCcnetBuckets,
     "ml_eval_langid" -> mlEvalLangid,
     "ml_calibration" -> mlCalibration,
     "ml_feature_importance" -> mlFeatureImportance,
@@ -2364,6 +2454,7 @@ object TextOps {
     "text_search_topk" -> textSearchTopkSql,
     "text_surprisal" -> textSurprisalSql,
     "text_surprisal_bigram" -> textSurprisalBigramSql,
+    "text_ccnet_buckets" -> textCcnetBucketsSql,
     "ml_eval_langid" -> mlEvalLangidSql,
     "ml_calibration" -> mlCalibrationSql,
     "ml_feature_importance" -> mlFeatureImportanceSql,

@@ -1168,6 +1168,52 @@ class TextDedupSpec extends SparkSpec {
     assert(got.map(_._5).sum > 0, "empty eval set — vacuous")
   }
 
+  test("text_ccnet_buckets: in-memory LM replay, tercile band monotonicity") {
+    val gateIds = TextOps.textQuality(spark, sf)
+      .filter(col("quality_score") >= 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val allDocs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val refCnt = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    allDocs.filter(d => gateIds(d._1))
+      .foreach(_._3.split(" ", -1).foreach(w => refCnt(w) += 1))
+    val t = refCnt.values.sum
+    def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val perDoc = allDocs.map { case (id, lang, txt) =>
+      val ws = txt.split(" ", -1)
+      val bits = ws.map(w =>
+        if (refCnt(w) == 0L) blen(t) else blen(t) - blen(refCnt(w))).sum
+      (id, lang, ws.length.toLong, bits * 1000 / ws.length)
+    }
+    val dealt = perDoc.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._1))
+      val n = sorted.length.toLong
+      sorted.zipWithIndex.map { case (r, i) =>
+        val pos = i + 1L
+        val nmod = n % 3; val up = n / 3 + 1
+        val bucket =
+          if (pos <= nmod * up) (pos - 1) / up + 1
+          else nmod + (pos - nmod * up - 1) / (n / 3) + 1
+        (lang, bucket, r._3, r._4)
+      }
+    }
+    val expected = dealt.groupBy(x => (x._1, x._2)).map { case ((lang, b), rows) =>
+      (lang, b, rows.size.toLong, rows.map(_._3).sum,
+        rows.map(_._4).min, rows.map(_._4).max)
+    }.toSet
+    val got = TextOps.textCcnetBuckets(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected, "bucket table diverged from the LM replay")
+    // the terciles slice the bits/token axis: head max <= middle min <= ...
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case (lo, hi) =>
+        assert(lo._6 <= hi._5, s"band overlap: $lo vs $hi")
+      }
+    }
+    assert(got.map(_._1).toSet.size >= 3, "too few languages — vacuous")
+  }
+
   test("corpus_length_histogram: exact bit-bucket replay, shares partition each source") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("source", "text").as[(String, String)].collect()
