@@ -873,6 +873,116 @@ object Curate {
       |  CAST(1000000000000 // accept_ppm AS BIGINT) AS ipw_ppm
       |FROM a WHERE draw < accept_ppm ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- DSIR selection
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023, the public hashed-n-gram recipe): rank every document by
+    * the importance log-ratio log p_target/p_raw of its hashed word
+    * features and keep the global top 40 %. The target distribution
+    * is the quality-gated slice (the registered curation gate — the
+    * stand-in for DSIR's formal-text target); raw is the whole
+    * corpus. Words hash into B=128 buckets via the codegen'd
+    * poly_hash ("dsir|"-salted, decorrelated from every other
+    * sampler); each occurrence of bucket b contributes
+    * [⌊log₂(Tr+B)⌋−⌊log₂(rc+1)⌋] − [⌊log₂(Tt+B)⌋−⌊log₂(tc+1)⌋]
+    * bits (Laplace-smoothed, float-log-free integer skeleton of the
+    * log-ratio), so every doc weight is an exact bigint and the
+    * selection replays bit-for-bit cross-engine. Emitted: the
+    * per-source admission ledger (docs, selected, exact ppm rate,
+    * selected weight mass) — the report a mixture designer reads to
+    * see WHICH sources the target distribution favors.
+    *
+    * == Scale design ==
+    * ONE corpus text scan folds map-side onto the per-(doc, bucket)
+    * count relation (≤128 rows per doc), stable-checkpointed; both
+    * bucket marginals and the per-doc weight fold ride that compact
+    * relation, with the 128-row smoothed-bits ledger broadcast back.
+    * The global 40 % cut is [[Analytics.globalRowPos]]'s two-phase
+    * range-partitioned rank — no single-task sort — and the cut
+    * itself is the exact integer predicate 5·pos ≤ 2·n.
+    */
+  def sampleDsir(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val B = 128L
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("dsir|"), col("w"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val dbc = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("source"), (h % B).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .stableCheckpoint()
+    val gate = TextOps.textQuality(s, dir)
+      .filter(col("quality_score") >= 0.5).select(col("doc_id"))
+    val rc = dbc.groupBy(col("b")).agg(sum(col("n")).as("rc"))
+    val tc = dbc.join(gate, "doc_id")
+      .groupBy(col("b")).agg(sum(col("n")).as("tc"))
+    val rt = rc.agg(sum(col("rc")).as("tr"))
+    val tt = tc.agg(sum(col("tc")).as("ttot"))
+    val led = rc.join(tc, Seq("b"), "left_outer")
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(tt))
+      .select(col("b"),
+        ((length(bin(col("tr") + B)) - length(bin(col("rc") + 1)))
+          - (length(bin(col("ttot") + B))
+            - length(bin(coalesce(col("tc"), lit(0L)) + 1))))
+          .cast("long").as("contrib"))
+    val perDoc = dbc.join(broadcast(led), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n") * col("contrib")).as("w_bits"))
+    Analytics.globalRowPos(perDoc, Seq.empty,
+        Seq(col("w_bits").desc, col("doc_id")), "__pos", "__n")
+      .withColumn("sel", col("__pos") * 5 <= col("__n") * 2)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("sel"), col("w_bits")).otherwise(0L)).as("sel_weight_bits"))
+      .select(col("source"), col("n_docs"), col("n_selected"),
+        expr("(1000000 * n_selected) div n_docs").as("selected_ppm"),
+        col("sel_weight_bits"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin: the same poly_hash character fold ("dsir|" salt),
+    * the shared quality CTE formula, and a row_number window for the
+    * global 5·pos ≤ 2·n cut.
+    */
+  val sampleDsirSql: String = {
+    val stops = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH q AS (SELECT doc_id,
+       |    (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0 / len(string_split(text, ' ')))
+       |      * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars)
+       |      * least(1.0, len(string_split(text, ' ')) / 64.0) AS quality_score
+       |  FROM documents),
+       |g AS (SELECT doc_id FROM q WHERE quality_score >= 0.5),
+       |o AS (SELECT doc_id, source,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split('dsir|' || w, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) % 128 AS b
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)),
+       |dbc AS (SELECT doc_id, source, b, count(*) AS n FROM o GROUP BY 1, 2, 3),
+       |rc AS (SELECT b, CAST(sum(n) AS BIGINT) AS rc FROM dbc GROUP BY 1),
+       |tc AS (SELECT dbc.b, CAST(sum(n) AS BIGINT) AS tc
+       |  FROM dbc JOIN g USING (doc_id) GROUP BY 1),
+       |rt AS (SELECT CAST(sum(rc) AS BIGINT) AS tr FROM rc),
+       |tt AS (SELECT CAST(sum(tc) AS BIGINT) AS ttot FROM tc),
+       |led AS (SELECT rc.b,
+       |    CAST((length(bin(rt.tr + 128)) - length(bin(rc.rc + 1)))
+       |      - (length(bin(tt.ttot + 128)) - length(bin(coalesce(tc.tc, 0) + 1))) AS BIGINT) AS contrib
+       |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN rt CROSS JOIN tt),
+       |pd AS (SELECT dbc.doc_id, dbc.source,
+       |    CAST(sum(dbc.n * led.contrib) AS BIGINT) AS w_bits
+       |  FROM dbc JOIN led ON dbc.b = led.b GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (ORDER BY w_bits DESC, doc_id) AS pos,
+       |    count(*) OVER () AS n FROM pd)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN pos * 5 <= n * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |  CAST((1000000 * sum(CASE WHEN pos * 5 <= n * 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS selected_ppm,
+       |  CAST(sum(CASE WHEN pos * 5 <= n * 2 THEN w_bits ELSE 0 END) AS BIGINT) AS sel_weight_bits
+       |FROM r GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------- temperature sampling
   /** Temperature-flattened mixture sampling (the mT5/data-mixture
     * α=0.5 schedule): each source keeps docs with probability
@@ -2302,6 +2412,7 @@ object Curate {
     "split_leakage" -> splitLeakage,
     "split_dedup_aware" -> splitDedupAware,
     "sample_quota" -> sampleQuota,
+    "sample_dsir" -> sampleDsir,
     "corpus_stats" -> corpusStats,
     "corpus_length_histogram" -> corpusLengthHistogram,
     "corpus_mixture" -> corpusMixture,
@@ -2342,6 +2453,7 @@ object Curate {
     "split_leakage" -> splitLeakageSql,
     "split_dedup_aware" -> splitDedupAwareSql,
     "sample_quota" -> sampleQuotaSql,
+    "sample_dsir" -> sampleDsirSql,
     "corpus_stats" -> corpusStatsSql,
     "corpus_length_histogram" -> corpusLengthHistogramSql,
     "corpus_mixture" -> corpusMixtureSql,

@@ -1214,6 +1214,46 @@ class TextDedupSpec extends SparkSpec {
     assert(got.map(_._1).toSet.size >= 3, "too few languages — vacuous")
   }
 
+  test("sample_dsir: in-memory weight replay, exact global 40% cut") {
+    val gateIds = TextOps.textQuality(spark, sf)
+      .filter(col("quality_score") >= 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val allDocs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    def ph(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L) % 128L
+    def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val rc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val tc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    allDocs.foreach { case (id, _, txt) =>
+      txt.split(" ", -1).foreach { w =>
+        val b = ph("dsir|" + w)
+        rc(b) += 1
+        if (gateIds(id)) tc(b) += 1
+      }
+    }
+    val (tr, ttot) = (rc.values.sum, tc.values.sum)
+    def contrib(b: Long): Long =
+      (blen(tr + 128) - blen(rc(b) + 1)) - (blen(ttot + 128) - blen(tc(b) + 1))
+    val perDoc = allDocs.map { case (id, src, txt) =>
+      (id, src, txt.split(" ", -1).map(w => contrib(ph("dsir|" + w))).sum)
+    }
+    val n = perDoc.length.toLong
+    val ranked = perDoc.sortBy(r => (-r._3, r._1)).zipWithIndex
+      .map { case ((id, src, w), i) => (id, src, w, (i + 1L) * 5 <= n * 2) }
+    val expected = ranked.groupBy(_._2).map { case (src, rows) =>
+      val sel = rows.filter(_._4)
+      (src, rows.length.toLong, sel.length.toLong,
+        1000000L * sel.length / rows.length, sel.map(_._3).sum)
+    }.toSet
+    val got = Curate.sampleDsir(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected, "DSIR ledger diverged from the replay")
+    // the cut is exact: selected count across sources == (2n) div 5
+    assert(got.map(_._3).sum == 2 * n / 5, "global cut not exact")
+    assert(got.map(_._3).sum > 0, "nothing selected — vacuous")
+  }
+
   test("corpus_length_histogram: exact bit-bucket replay, shares partition each source") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("source", "text").as[(String, String)].collect()
