@@ -2306,6 +2306,68 @@ object TextOps {
        |  1000 * corpus_chars // corpus_subwords AS cpp_milli
        |FROM r JOIN pc USING (family) ORDER BY family""".stripMargin
 
+  /** Per-language tokenizer fertility — the multilingual parity audit
+    * (the measurement behind "tokenizers tax some languages more than
+    * others", e.g. Petrov et al. 2023): for each of the three trained
+    * disciplines and each language, pieces-per-word (fertility) and
+    * chars-per-piece in exact milli units, weighted by the language's
+    * OWN word-occurrence counts — a language whose words shatter into
+    * more pieces pays proportionally more sequence length for the
+    * same text, and this table is where that tax is read off per
+    * family before choosing a tokenizer.
+    *
+    * == Scale design ==
+    * One corpus scan folds map-side onto the (lang, word) count
+    * relation (langs × Heaps-law vocab, ≪ corpus); the three segment
+    * relations are vocab-bounded and join on the word key; the rollup
+    * lands on O(families × langs) rows. Training costs are the
+    * memoized/bounded chains the segment faces already pay.
+    */
+  def tokenizeFertility(s: SparkSession, dir: String): DataFrame = {
+    val wl = docs(s, dir)
+      .select(col("lang"), explode(words).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n_wl"))
+    val seg = tokenizeBpeSegments(s, dir)
+      .select(lit("bpe").as("family"), col("word"), col("n_syms").as("n_pieces"))
+      .union(tokenizeWordpiece(s, dir)
+        .select(lit("wordpiece").as("family"), col("word"), col("n_pieces")))
+      .union(tokenizeUnigramSegments(s, dir)
+        .select(lit("unigram").as("family"), col("word"), col("n_pieces")))
+    wl.join(seg, "word")
+      .groupBy(col("family"), col("lang"))
+      .agg(countDistinct(col("word")).as("n_word_types"),
+        sum(col("n_wl")).as("corpus_words"),
+        sum(col("n_wl") * col("n_pieces")).as("corpus_pieces"),
+        sum(col("n_wl") * length(col("word"))).as("corpus_chars"))
+      .select(col("family"), col("lang"), col("n_word_types"),
+        col("corpus_words"), col("corpus_pieces"),
+        expr("1000 * corpus_pieces div corpus_words").as("fertility_milli"),
+        expr("1000 * corpus_chars div corpus_pieces").as("cpp_milli"))
+      .orderBy(col("family"), col("lang"))
+  }
+
+  /** DuckDB twin: the three segmentation oracles inlined (scoped
+    * training chains), joined onto the per-(lang, word) count CTE. */
+  lazy val tokenizeFertilitySql: String =
+    s"""WITH wl AS (SELECT lang, w AS word, count(*) AS n_wl
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |bpe AS (SELECT 'bpe' AS family, word, n_syms AS n_pieces
+       |  FROM ($tokenizeBpeSegmentsSql)),
+       |wp AS (SELECT 'wordpiece' AS family, word, n_pieces
+       |  FROM ($tokenizeWordpieceSql)),
+       |uni AS (SELECT 'unigram' AS family, word, n_pieces
+       |  FROM ($tokenizeUnigramSegmentsSql)),
+       |seg AS (SELECT * FROM bpe UNION ALL SELECT * FROM wp
+       |  UNION ALL SELECT * FROM uni)
+       |SELECT family, lang, count(DISTINCT wl.word) AS n_word_types,
+       |  CAST(sum(n_wl) AS BIGINT) AS corpus_words,
+       |  CAST(sum(n_wl * n_pieces) AS BIGINT) AS corpus_pieces,
+       |  CAST((1000 * sum(n_wl * n_pieces)) // sum(n_wl) AS BIGINT) AS fertility_milli,
+       |  CAST((1000 * sum(n_wl * strlen(wl.word))) // sum(n_wl * n_pieces) AS BIGINT) AS cpp_milli
+       |FROM wl JOIN seg ON wl.word = seg.word
+       |GROUP BY 1, 2 ORDER BY family, lang""".stripMargin
+
   // ------------------------------------------------------- retrieval
   /** Inverted-index top-k retrieval (r14, the search face the corpus
     * engine was still missing — mining-by-keyword is how training-data
@@ -2389,6 +2451,7 @@ object TextOps {
     "tokenize_unigram" -> tokenizeUnigram,
     "tokenize_unigram_segments" -> tokenizeUnigramSegments,
     "tokenize_compare" -> tokenizeCompare,
+    "tokenize_fertility" -> tokenizeFertility,
     "tokenize_bpe" -> tokenizeBpe,
     "tokenize_wordpiece" -> tokenizeWordpiece,
     "tokenize_wordpiece_train" -> tokenizeWordpieceTrain,
@@ -2475,6 +2538,7 @@ object TextOps {
     "tokenize_unigram" -> tokenizeUnigramSql,
     "tokenize_unigram_segments" -> tokenizeUnigramSegmentsSql,
     "tokenize_compare" -> tokenizeCompareSql,
+    "tokenize_fertility" -> tokenizeFertilitySql,
     "tokenize_bpe" -> tokenizeBpeSql,
     "tokenize_wordpiece" -> tokenizeWordpieceSql,
     "tokenize_wordpiece_train" -> tokenizeWordpieceTrainSql,

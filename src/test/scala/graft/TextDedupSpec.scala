@@ -1254,6 +1254,48 @@ class TextDedupSpec extends SparkSpec {
     assert(got.map(_._3).sum > 0, "nothing selected — vacuous")
   }
 
+  test("tokenize_fertility: rollup replay from segment faces, compare identity") {
+    val wl = graft.sources.Tables.load(spark, sf, "documents")
+      .select("lang", "text").as[(String, String)].collect()
+      .flatMap { case (lang, txt) => txt.split(" ", -1).map(w => (lang, w)) }
+      .groupBy(identity).map { case ((lang, w), hits) => (lang, w, hits.length.toLong) }
+    val seg =
+      TextOps.tokenizeBpeSegments(spark, sf)
+        .select(lit("bpe").as("f"), col("word"), col("n_syms").cast("long"))
+        .as[(String, String, Long)].collect() ++
+      TextOps.tokenizeWordpiece(spark, sf)
+        .select(lit("wordpiece").as("f"), col("word"), col("n_pieces").cast("long"))
+        .as[(String, String, Long)].collect() ++
+      TextOps.tokenizeUnigramSegments(spark, sf)
+        .select(lit("unigram").as("f"), col("word"), col("n_pieces").cast("long"))
+        .as[(String, String, Long)].collect()
+    val pieces = seg.groupBy(_._2).map { case (w, rows) =>
+      w -> rows.map(r => (r._1, r._3)).toMap
+    }
+    val expected = wl.toSeq
+      .flatMap { case (lang, w, n) =>
+        pieces.getOrElse(w, Map.empty).toSeq.map { case (f, np) =>
+          (f, lang, w, n, n * np, n * w.length)
+        }
+      }
+      .groupBy(x => (x._1, x._2)).map { case ((f, lang), rows) =>
+        val (cw, cp, cc) =
+          (rows.map(_._4).sum, rows.map(_._5).sum, rows.map(_._6).sum)
+        (f, lang, rows.map(_._3).distinct.size.toLong, cw, cp,
+          1000 * cp / cw, 1000 * cc / cp)
+      }.toSet
+    val got = TextOps.tokenizeFertility(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected, "fertility table diverged from the replay")
+    // cross-face identity: per family, sum of per-lang piece mass equals
+    // tokenize_compare's corpus_subwords
+    val cmp = TextOps.tokenizeCompare(spark, sf)
+      .select("family", "corpus_subwords").as[(String, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (f, rows) =>
+      assert(rows.map(_._5).sum == cmp(f), s"piece mass mismatch for $f")
+    }
+  }
+
   test("corpus_length_histogram: exact bit-bucket replay, shares partition each source") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("source", "text").as[(String, String)].collect()
