@@ -144,7 +144,7 @@ object Similarity {
     * scaladoc for the determinism story. Shared by the inline-search
     * query and the persisted-index builder.
     */
-  private def trainedCodebook(s: SparkSession, dir: String,
+  private[graft] def trainedCodebook(s: SparkSession, dir: String,
       cells: Int = IVF_CELLS): Array[(Long, Array[Float], Double)] = {
     import s.implicits._
     val CELLS = cells
@@ -1274,8 +1274,78 @@ object Similarity {
         |WHERE r.ood_rank <= (r.nn2 + 99) // 100
         |ORDER BY ood_rank""".stripMargin
 
+  /** Embedding-distribution drift monitor — the dq_drift move applied
+    * to the vector space: partition the embedding corpus into a
+    * reference half (even vec_id — the standing snapshot) and a
+    * current half (odd — the new batch), assign every vector to its
+    * nearest trained-codebook cell (the shared IVF artifact), and
+    * compare the two CELL-OCCUPANCY distributions in exact ppm. The
+    * per-cell delta table plus the total-variation summary is the
+    * page an embedding pipeline raises when its upstream model or
+    * corpus shifts — a drifted encoder repopulates cells long before
+    * any single cosine looks wrong. Occupancy is O(CELLS) additive
+    * state, so the monitor is mergeable across batches by
+    * construction (the CMS-face property).
+    *
+    * == Scale design ==
+    * One embeddings scan scores O(CELLS) broadcast-codebook dots
+    * map-side and folds to the O(CELLS) occupancy ledger; shares,
+    * deltas, and the TVD window all run on those ≤32 rows. At 100 TB
+    * the monitor is scan + 32 longs of state per half.
+    */
+  def dqEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
+    val best = e.map { case (id, v) =>
+      val n = math.sqrt(dotd(v, v))
+      var bc = -1L; var bcos = Double.MinValue
+      codebook.value.foreach { case (cid, cv, cn) =>
+        val cos = dotd(v, cv) / (n * cn)
+        if (cos > bcos || (cos == bcos && cid < bc)) { bcos = cos; bc = cid }
+      }
+      (id % 2, bc)
+    }.toDF("half", "cell")
+    val cnt = best.groupBy(col("cell"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val tot = cnt.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cnt.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_ref"), col("n_cur"),
+        expr("(1000000 * n_ref) div tr").as("ref_ppm"),
+        expr("(1000000 * n_cur) div tc").as("cur_ppm"))
+      .withColumn("delta_ppm", abs(col("ref_ppm") - col("cur_ppm")))
+      .withColumn("tvd_ppm", expr("sum(delta_ppm) over () div 2"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB twin: the shared codebook replay's best-cell table split
+    * by vec_id parity, the same ppm occupancy compare. */
+  lazy val dqEmbeddingDriftSql: String =
+    "WITH " + (ivfCodebookCtes ++ Seq(
+      "edb AS (SELECT vec_id, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc) WHERE rn = 1)",
+      "edh AS (SELECT vec_id % 2 AS half, cell FROM edb)",
+      "edc AS (SELECT cell, CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur FROM edh GROUP BY 1)",
+      "edt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM edc)",
+      "edp AS (SELECT cell, n_ref, n_cur, CAST((1000000 * n_ref) // tr AS BIGINT) AS ref_ppm, CAST((1000000 * n_cur) // tc AS BIGINT) AS cur_ppm FROM edc CROSS JOIN edt)"
+    )).mkString(",\n") +
+      """
+        |SELECT cell, n_ref, n_cur, ref_ppm, cur_ppm,
+        |  abs(ref_ppm - cur_ppm) AS delta_ppm,
+        |  CAST(sum(abs(ref_ppm - cur_ppm)) OVER () // 2 AS BIGINT) AS tvd_ppm
+        |FROM edp ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ood" -> annOod,
+    "dq_embedding_drift" -> dqEmbeddingDrift,
     "ann_knn_graph" -> annKnnGraph,
     "ann_recall_curve" -> annRecallCurve,
     "ann_filtered_search" -> annFilteredSearch,
@@ -1513,6 +1583,7 @@ object Similarity {
     "ann_ivf_pq" -> annIvfPqSql,
     "ann_recall_eval" -> annRecallEvalSql,
     "ann_ood" -> annOodSql,
+    "dq_embedding_drift" -> dqEmbeddingDriftSql,
     "dedup_embedding_ivf" -> dedupEmbeddingIvfSql,
     "dedup_embedding_ivf_curve" -> dedupEmbeddingIvfCurveSql)
 }

@@ -141,6 +141,44 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dq_embedding_drift: exact codebook replay, conservation, TVD identity") {
+    val got = Similarity.dqEmbeddingDrift(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    // in-memory replay against the shared trained codebook
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val cb = Similarity.trainedCodebook(spark, sf)
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val best = e.map { case (id, v) =>
+      val n = math.sqrt(dotd(v, v))
+      val (bc, _) = cb.map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+        .minBy { case (cid, cos) => (-cos, cid) }
+      (id % 2, bc)
+    }
+    val cells = best.map(_._2).distinct.sorted
+    val tr = best.count(_._1 == 0L).toLong
+    val tc = best.count(_._1 == 1L).toLong
+    val expected = cells.map { c =>
+      val nr = best.count(b => b._1 == 0L && b._2 == c).toLong
+      val nc = best.count(b => b._1 == 1L && b._2 == c).toLong
+      (c, nr, nc, 1000000L * nr / tr, 1000000L * nc / tc)
+    }
+    val tvd = expected.map(x => math.abs(x._4 - x._5)).sum / 2
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSet == expected.toSet,
+      "occupancy ledger diverged from the codebook replay")
+    got.foreach { r =>
+      assert(r._6 == math.abs(r._4 - r._5), "delta column inconsistent")
+      assert(r._7 == tvd, "tvd column inconsistent")
+    }
+    assert(got.map(_._2).sum == tr && got.map(_._3).sum == tc,
+      "halves must conserve the corpus")
+  }
+
   test("ann_recall_eval scores every face against an independent truth join") {
     val rows = Similarity.annRecallEval(spark, sf)
       .select("face", "query_id", "n_hits", "n_returned", "recall_ppm")
