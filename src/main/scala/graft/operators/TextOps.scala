@@ -2368,6 +2368,68 @@ object TextOps {
        |FROM wl JOIN seg ON wl.word = seg.word
        |GROUP BY 1, 2 ORDER BY family, lang""".stripMargin
 
+  /** Tokenizer decode round-trip certificate — the lossless contract
+    * every production tokenizer ships with (SentencePiece's
+    * decode(encode(x)) ≡ x guarantee): for each trained discipline,
+    * strip the segmentation back to a surface form (concatenate
+    * pieces, drop the `</w>` end-of-word marker) and count, by vocab
+    * type and by corpus occurrence, how many words survive exactly.
+    * All three registered segmenters PARTITION the word's characters,
+    * so the mismatch columns are pinned to zero — the point of
+    * registering the certificate is that a future segmenter change
+    * that silently breaks losslessness (a normalizing merge, a lossy
+    * fallback) flips a hash-checked zero, not a code comment.
+    *
+    * == Scale design ==
+    * Rides the three vocab-bounded segment relations only — no
+    * corpus scan beyond the Heaps-law word-count pass each trainer
+    * already memoizes; the rollup is O(families).
+    */
+  def tokenizeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column =
+      call_function("replace",
+        call_function("replace", c, lit(" "), lit("")), lit("</w>"), lit(""))
+    val u = tokenizeBpeSegments(s, dir)
+      .select(lit("bpe").as("family"), col("word"), col("freq"),
+        dec(col("segmented")).as("decoded"))
+      .union(tokenizeWordpiece(s, dir)
+        .select(lit("wordpiece").as("family"), col("word"), col("freq"),
+          dec(col("segmented")).as("decoded")))
+      .union(tokenizeUnigramSegments(s, dir)
+        .select(lit("unigram").as("family"), col("word"), col("freq"),
+          dec(col("segmented")).as("decoded")))
+    u.groupBy(col("family"))
+      .agg(count(lit(1)).as("n_word_types"),
+        sum(col("freq")).as("corpus_words"),
+        sum(when(col("decoded") === col("word"), 1L).otherwise(0L))
+          .as("n_types_exact"),
+        sum(when(col("decoded") === col("word"), col("freq")).otherwise(0L))
+          .as("corpus_words_exact"),
+        sum(when(col("decoded") =!= col("word"), 1L).otherwise(0L))
+          .as("n_types_mismatch"))
+      .orderBy(col("family"))
+  }
+
+  /** DuckDB twin: the three segmentation oracles inlined, the same
+    * concatenate-and-strip decode. */
+  lazy val tokenizeRoundtripSql: String =
+    s"""WITH bpe AS (SELECT 'bpe' AS family, word, freq, segmented
+       |  FROM ($tokenizeBpeSegmentsSql)),
+       |wp AS (SELECT 'wordpiece' AS family, word, freq, segmented
+       |  FROM ($tokenizeWordpieceSql)),
+       |uni AS (SELECT 'unigram' AS family, word, freq, segmented
+       |  FROM ($tokenizeUnigramSegmentsSql)),
+       |u AS (SELECT family, word, freq,
+       |    replace(replace(segmented, ' ', ''), '</w>', '') AS decoded
+       |  FROM (SELECT * FROM bpe UNION ALL SELECT * FROM wp
+       |        UNION ALL SELECT * FROM uni))
+       |SELECT family, count(*) AS n_word_types,
+       |  CAST(sum(freq) AS BIGINT) AS corpus_words,
+       |  CAST(sum(CASE WHEN decoded = word THEN 1 ELSE 0 END) AS BIGINT) AS n_types_exact,
+       |  CAST(sum(CASE WHEN decoded = word THEN freq ELSE 0 END) AS BIGINT) AS corpus_words_exact,
+       |  CAST(sum(CASE WHEN decoded <> word THEN 1 ELSE 0 END) AS BIGINT) AS n_types_mismatch
+       |FROM u GROUP BY 1 ORDER BY family""".stripMargin
+
   // ------------------------------------------------------- retrieval
   /** Inverted-index top-k retrieval (r14, the search face the corpus
     * engine was still missing — mining-by-keyword is how training-data
@@ -2452,6 +2514,7 @@ object TextOps {
     "tokenize_unigram_segments" -> tokenizeUnigramSegments,
     "tokenize_compare" -> tokenizeCompare,
     "tokenize_fertility" -> tokenizeFertility,
+    "tokenize_roundtrip" -> tokenizeRoundtrip,
     "tokenize_bpe" -> tokenizeBpe,
     "tokenize_wordpiece" -> tokenizeWordpiece,
     "tokenize_wordpiece_train" -> tokenizeWordpieceTrain,
@@ -2539,6 +2602,7 @@ object TextOps {
     "tokenize_unigram_segments" -> tokenizeUnigramSegmentsSql,
     "tokenize_compare" -> tokenizeCompareSql,
     "tokenize_fertility" -> tokenizeFertilitySql,
+    "tokenize_roundtrip" -> tokenizeRoundtripSql,
     "tokenize_bpe" -> tokenizeBpeSql,
     "tokenize_wordpiece" -> tokenizeWordpieceSql,
     "tokenize_wordpiece_train" -> tokenizeWordpieceTrainSql,

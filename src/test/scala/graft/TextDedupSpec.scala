@@ -1296,6 +1296,21 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("tokenize_roundtrip: every family decodes losslessly, totals tie to fertility") {
+    val got = TextOps.tokenizeRoundtrip(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).sorted.toSeq == Seq("bpe", "unigram", "wordpiece"))
+    got.foreach { r =>
+      assert(r._6 == 0L, s"${r._1}: lossless contract broken (${r._6} mismatches)")
+      assert(r._2 == r._4 && r._3 == r._5,
+        s"${r._1}: exact counts must equal totals under the zero-mismatch pin")
+      assert(r._2 > 0 && r._3 > r._2, "vacuous corpus")
+    }
+    // the three families segment the same vocabulary
+    assert(got.map(_._2).distinct.length == 1, "family vocab inventories diverged")
+    assert(got.map(_._3).distinct.length == 1, "family corpus masses diverged")
+  }
+
   test("corpus_length_histogram: exact bit-bucket replay, shares partition each source") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("source", "text").as[(String, String)].collect()
