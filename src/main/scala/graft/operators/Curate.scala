@@ -824,6 +824,62 @@ object Curate {
       |  CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
       |FROM p ORDER BY priority, doc_id LIMIT 100""".stripMargin
 
+  /** Mergeable-reservoir identity for the weighted sample — the
+    * union-algebra face [[sampleWeightedK]] was missing (the
+    * agg_hll_union / agg_quantile_union pattern applied to sampling):
+    * split the corpus into two epoch halves (doc_id parity), take each
+    * half's top-K Efraimidis–Spirakis reservoir INDEPENDENTLY, then
+    * merge the two K-row reservoirs and re-rank. Because priorities
+    * are deterministic content functions, top-K(A ∪ B) ≡
+    * top-K(top-K(A) ∪ top-K(B)) EXACTLY — the identity that lets a
+    * 1000-executor fleet (or a week of nightly batches) sample
+    * locally and merge O(K) state instead of reshuffling the corpus.
+    * The emitted sample carries each row's source half; the spec
+    * pins row-for-row equality with the direct single-pass sample.
+    *
+    * == Scale design ==
+    * Each half's reservoir is the same global-top-K shape as the
+    * parent face (per-partition top-K fold, O(K) state merged at the
+    * combiner); the merge leg re-ranks 2K rows. Nothing here scales
+    * with the corpus except the scan.
+    */
+  def sampleReservoirMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val K = 100
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("wk|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val ranked = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("weight"), h.as("h"),
+        (col("doc_id") % 2).as("half"))
+      .withColumn("priority", expr("h div weight"))
+    val perHalf = graft.plans.GraftOps.topKPerGroup(ranked, Seq("half"),
+        Seq("priority" -> false, "doc_id" -> false), k = K, rankName = "half_rank")
+      .select(col("doc_id"), col("source"), col("weight"),
+        col("priority"), col("half"))
+      .withColumn("g", lit(1))
+    graft.plans.GraftOps.topKPerGroup(perHalf, Seq("g"),
+        Seq("priority" -> false, "doc_id" -> false), k = K, rankName = "sample_rank")
+      .select(col("doc_id"), col("source"), col("weight"), col("priority"),
+        col("half"), col("sample_rank"))
+      .orderBy(col("sample_rank"))
+  }
+
+  val sampleReservoirMergeSql: String =
+    """WITH f AS (SELECT doc_id, source,
+      |  len(string_split(text, ' ')) AS weight,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('wk|' || text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM documents),
+      |p AS (SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
+      |    h // weight AS priority, doc_id % 2 AS half FROM f),
+      |ph AS (SELECT * FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY half ORDER BY priority, doc_id) AS hr
+      |  FROM p) WHERE hr <= 100)
+      |SELECT doc_id, source, weight, priority, half,
+      |  CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
+      |FROM ph ORDER BY priority, doc_id LIMIT 100""".stripMargin
+
   // --------------------------------------------- importance sampling
   /** Quality-weighted importance sampling: longer (more informative)
     * documents keep a higher deterministic acceptance rate —
@@ -2413,6 +2469,7 @@ object Curate {
     "split_dedup_aware" -> splitDedupAware,
     "sample_quota" -> sampleQuota,
     "sample_dsir" -> sampleDsir,
+    "sample_reservoir_merge" -> sampleReservoirMerge,
     "corpus_stats" -> corpusStats,
     "corpus_length_histogram" -> corpusLengthHistogram,
     "corpus_mixture" -> corpusMixture,
@@ -2454,6 +2511,7 @@ object Curate {
     "split_dedup_aware" -> splitDedupAwareSql,
     "sample_quota" -> sampleQuotaSql,
     "sample_dsir" -> sampleDsirSql,
+    "sample_reservoir_merge" -> sampleReservoirMergeSql,
     "corpus_stats" -> corpusStatsSql,
     "corpus_length_histogram" -> corpusLengthHistogramSql,
     "corpus_mixture" -> corpusMixtureSql,

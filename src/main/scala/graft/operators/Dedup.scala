@@ -1604,6 +1604,53 @@ object Dedup {
     * cached once and reused for all three roles. Costs are all
     * O(edges^1.5) worst-case — the proven bound for this enumeration.
     */
+  /** Log₂ degree histogram of the near-dup graph — the skew profile
+    * every graph-side cost model in this repo quotes (the wedge join's
+    * Σdeg² bound, LPA's per-node vote fan-in, the components loop's
+    * hot keys) read off one bounded table: per ⌊log₂ degree⌋ bucket,
+    * node count, edge-endpoint mass, the bucket's max degree, and the
+    * node share in exact ppm. A corpus whose top bucket grows a decade
+    * faster than its node count is telling you the pair join needs
+    * salting before the wedge faces are safe — this is where that is
+    * read BEFORE paying for them.
+    *
+    * == Scale design ==
+    * One shingle pair join (the family's shared edge relation), a
+    * map-side-combinable per-node degree fold, then a fold onto
+    * O(log N) buckets; shares ride a window over that bounded ledger.
+    */
+  def graphDegreeHist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val deg = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+    val hist = deg
+      .withColumn("bucket", expr("cast(length(bin(degree)) as bigint)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("degree")).as("sum_deg"),
+        max(col("degree")).as("max_deg"))
+    hist
+      .withColumn("node_share_ppm",
+        expr("(1000000 * n_nodes) div sum(n_nodes) over ()"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB twin over the shared pair graph. */
+  val graphDegreeHistSql: String =
+    s"""WITH $pairCtes,
+       |e AS (SELECT doc_a, doc_b FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |deg AS (SELECT doc_a AS doc_id, count(*) AS degree FROM e GROUP BY 1),
+       |h AS (SELECT CAST(length(bin(degree)) AS BIGINT) AS bucket,
+       |    count(*) AS n_nodes, CAST(sum(degree) AS BIGINT) AS sum_deg,
+       |    CAST(max(degree) AS BIGINT) AS max_deg
+       |  FROM deg GROUP BY 1)
+       |SELECT bucket, n_nodes, sum_deg, max_deg,
+       |  CAST((1000000 * n_nodes) // sum(n_nodes) OVER () AS BIGINT) AS node_share_ppm
+       |FROM h ORDER BY bucket""".stripMargin
+
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     // eager localCheckpoint, not .cache(): three roles (wedge x/y legs
     // and the closing semi-join) scan one materialization; blocks are
@@ -2067,6 +2114,7 @@ object Dedup {
     "dedup_source_overlap" -> dedupSourceOverlap,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
+    "graph_degree_hist" -> graphDegreeHist,
     "graph_label_prop" -> graphLabelProp,
     "graph_modularity" -> graphModularity,
     "graph_link_predict" -> graphLinkPredict)
@@ -2161,6 +2209,7 @@ object Dedup {
     "dedup_source_overlap" -> dedupSourceOverlapSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_degree_hist" -> graphDegreeHistSql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_modularity" -> graphModularitySql,
     "graph_link_predict" -> graphLinkPredictSql)

@@ -2430,6 +2430,178 @@ object TextOps {
        |  CAST(sum(CASE WHEN decoded <> word THEN 1 ELSE 0 END) AS BIGINT) AS n_types_mismatch
        |FROM u GROUP BY 1 ORDER BY family""".stripMargin
 
+  /** Learning-curve table for the distilled quality filter — the
+    * data-scaling question every "train a cheap student on the
+    * expensive teacher's labels" pipeline must answer: how does the
+    * best decision stump's HELD-OUT agreement with the teacher gate
+    * move as the training set grows? Docs are dealt into 8
+    * content-hash folds ("lc|"-salted, decorrelated from every other
+    * split); fold 7 is the fixed eval holdout and the nested training
+    * sets are folds {<1, <2, <4, <7}. Per training size the stump is
+    * chosen exactly as in [[mlFeatureImportance]] (10-bucket feature
+    * grid, DECIMAL-staged gini, argmin by (impurity, feature, t)),
+    * side labels by train-side majority (ties → keep), and scored on
+    * the holdout in exact ppm. More data should pick stabler stumps —
+    * and when it does not, THIS table is the evidence.
+    *
+    * == Scale design ==
+    * ONE corpus feature pass folds map-side onto the O(8 folds × 3
+    * features × 10 buckets) histogram (stable-checkpointed); every
+    * downstream step — nested-fraction sums, threshold sweep, winner
+    * argmin, holdout scoring — is column math on that ≤240-row ledger
+    * with broadcast joins. At 100 TB the curve costs one scan.
+    */
+  def mlLearningCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.Checkpoints.StableSyntax
+    val hb = (GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("lc|"), col("text"))),
+      GraftSqlShim.expression(lit(1000000007L)))) % 8).as("hb")
+    val meta = docs(s, dir).select(col("doc_id"), col("n_chars"), hb,
+      regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
+    val quality = (lit(1.0) - col("n_stop") * 1.0 / col("n_tokens")) *
+      (lit(1.0) - col("n_punct") * 1.0 / col("n_chars")) *
+      least(lit(1.0), col("n_tokens") / 64.0)
+    val stacked = meta.join(toks, "doc_id")
+      .select(col("hb"),
+        expr("n_stop * 1000 div n_tokens").as("stop_m"),
+        expr("n_punct * 1000 div n_chars").as("punct_m"),
+        least(lit(1000L), expr("n_tokens * 1000 div 64")).as("len_m"),
+        (quality >= 0.5).cast("long").as("pass"))
+      .selectExpr("hb", "stack(3, 'len_sat', len_m, 'punct_ratio', punct_m, " +
+        "'stopword_ratio', stop_m) AS (feature, v)", "pass")
+      .groupBy(col("hb"), col("feature"),
+        least(lit(9L), expr("v div 100")).as("bucket"))
+      .agg(count(lit(1)).as("bn"), sum(col("pass")).as("bp"))
+      .stableCheckpoint()
+    val fracs = s.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(4L), Tuple1(7L)))
+      .toDF("k")
+    val histK = stacked.filter(col("hb") < 7)
+      .crossJoin(broadcast(fracs)).filter(col("hb") < col("k"))
+      .groupBy(col("k"), col("feature"), col("bucket"))
+      .agg(sum(col("bn")).as("bn"), sum(col("bp")).as("bp"))
+    val tot = histK.groupBy(col("k"), col("feature"))
+      .agg(sum(col("bn")).as("tn"), sum(col("bp")).as("tp"))
+    val thr = s.range(1, 10).select(col("id").as("t"))
+    def giniPpm(n: String, p: String): String =
+      s"1000000 - (cast($p as decimal(38,0)) * $p + " +
+        s"cast($n - $p as decimal(38,0)) * ($n - $p)) * 1000000 div " +
+        s"(cast($n as decimal(38,0)) * $n)"
+    val splits = histK.crossJoin(broadcast(thr)).filter(col("bucket") < col("t"))
+      .groupBy(col("k"), col("feature"), col("t"))
+      .agg(sum(col("bn")).as("ln"), sum(col("bp")).as("lp"))
+      .join(broadcast(tot), Seq("k", "feature"))
+      .filter(col("ln") >= 1 && col("tn") - col("ln") >= 1)
+      .withColumn("rn", col("tn") - col("ln"))
+      .withColumn("rp", col("tp") - col("lp"))
+      .withColumn("wimp", expr(
+        s"cast((cast(ln as decimal(38,0)) * (${giniPpm("ln", "lp")}) + " +
+          s"cast(rn as decimal(38,0)) * (${giniPpm("rn", "rp")})) div tn as bigint)"))
+    val wWin = Window.partitionBy(col("k"))
+      .orderBy(col("wimp"), col("feature"), col("t"))
+    val win = splits.withColumn("rnk", row_number().over(wWin))
+      .filter(col("rnk") === 1)
+      .withColumn("left_keep", (col("lp") * 2 >= col("ln")).cast("long"))
+      .withColumn("right_keep", (col("rp") * 2 >= col("rn")).cast("long"))
+      .select(col("k"), col("feature"), col("t"), col("tn").as("n_train"),
+        col("wimp"), col("left_keep"), col("right_keep"))
+    val evalHist = stacked.filter(col("hb") === 7)
+      .groupBy(col("feature"), col("bucket"))
+      .agg(sum(col("bn")).as("bn"), sum(col("bp")).as("bp"))
+    broadcast(win).join(evalHist, "feature")
+      .withColumn("matches",
+        when(col("bucket") < col("t"),
+          when(col("left_keep") === 1, col("bp")).otherwise(col("bn") - col("bp")))
+          .otherwise(
+            when(col("right_keep") === 1, col("bp")).otherwise(col("bn") - col("bp"))))
+      .groupBy(col("k"), col("feature"), col("t"), col("n_train"), col("wimp"))
+      .agg(sum(col("bn")).as("n_eval"), sum(col("matches")).as("n_match"))
+      .select(col("k").as("train_buckets"), col("n_train"), col("n_eval"),
+        col("feature"), (col("t") * 100).as("thr_milli"),
+        col("wimp").as("train_impurity_ppm"),
+        expr("(1000000 * n_match) div n_eval").as("eval_acc_ppm"))
+      .orderBy(col("train_buckets"))
+  }
+
+  /** DuckDB twin: same fold deal, nested histogram sums, HUGEINT gini
+    * staging, argmin winner, holdout scoring. */
+  val mlLearningCurveSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    def gini(n: String, p: String): String =
+      s"1000000 - (CAST($p AS HUGEINT) * $p + " +
+        s"CAST($n - $p AS HUGEINT) * ($n - $p)) * 1000000 // " +
+        s"(CAST($n AS HUGEINT) * $n)"
+    s"""WITH f AS (SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split('lc|' || text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) % 8 AS hb,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ($stops))) AS n_stop,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct, n_chars
+       |  FROM documents),
+       |x AS (SELECT hb,
+       |    CAST(n_stop AS BIGINT) * 1000 // n_tokens AS stop_m,
+       |    CAST(n_punct AS BIGINT) * 1000 // n_chars AS punct_m,
+       |    least(1000, CAST(n_tokens AS BIGINT) * 1000 // 64) AS len_m,
+       |    CASE WHEN (1.0 - n_stop * 1.0 / n_tokens)
+       |        * (1.0 - n_punct * 1.0 / n_chars)
+       |        * least(1.0, n_tokens / 64.0) >= 0.5
+       |      THEN 1 ELSE 0 END AS pass
+       |  FROM f),
+       |st AS (SELECT hb, 'len_sat' AS feature, len_m AS v, pass FROM x
+       |  UNION ALL SELECT hb, 'punct_ratio', punct_m, pass FROM x
+       |  UNION ALL SELECT hb, 'stopword_ratio', stop_m, pass FROM x),
+       |stacked AS (SELECT hb, feature, least(9, v // 100) AS bucket,
+       |    count(*) AS bn, CAST(sum(pass) AS BIGINT) AS bp
+       |  FROM st GROUP BY 1, 2, 3),
+       |fracs AS (SELECT CAST(unnest([1, 2, 4, 7]) AS BIGINT) AS k),
+       |histk AS (SELECT k, feature, bucket, CAST(sum(bn) AS BIGINT) AS bn,
+       |    CAST(sum(bp) AS BIGINT) AS bp
+       |  FROM stacked CROSS JOIN fracs WHERE hb < 7 AND hb < k
+       |  GROUP BY 1, 2, 3),
+       |tot AS (SELECT k, feature, CAST(sum(bn) AS BIGINT) AS tn,
+       |    CAST(sum(bp) AS BIGINT) AS tp FROM histk GROUP BY 1, 2),
+       |thr AS (SELECT unnest(range(1, 10)) AS t),
+       |sp AS (SELECT k, feature, t, CAST(sum(bn) AS BIGINT) AS ln,
+       |    CAST(sum(bp) AS BIGINT) AS lp
+       |  FROM histk CROSS JOIN thr WHERE bucket < t GROUP BY 1, 2, 3),
+       |g AS (SELECT sp.k, sp.feature, t, ln, lp, tn, tp,
+       |    tn - ln AS rn, tp - lp AS rp
+       |  FROM sp JOIN tot ON sp.k = tot.k AND sp.feature = tot.feature
+       |  WHERE ln >= 1 AND tn - ln >= 1),
+       |w AS (SELECT *, CAST((CAST(ln AS HUGEINT) * (${gini("ln", "lp")}) +
+       |      CAST(rn AS HUGEINT) * (${gini("rn", "rp")})) // tn AS BIGINT) AS wimp
+       |  FROM g),
+       |win AS (SELECT * FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY k ORDER BY wimp, feature, t) AS rnk
+       |  FROM w) WHERE rnk = 1),
+       |winl AS (SELECT k, feature, t, tn AS n_train, wimp,
+       |    CASE WHEN lp * 2 >= ln THEN 1 ELSE 0 END AS left_keep,
+       |    CASE WHEN rp * 2 >= rn THEN 1 ELSE 0 END AS right_keep
+       |  FROM win),
+       |eh AS (SELECT feature, bucket, CAST(sum(bn) AS BIGINT) AS bn,
+       |    CAST(sum(bp) AS BIGINT) AS bp
+       |  FROM stacked WHERE hb = 7 GROUP BY 1, 2),
+       |sc AS (SELECT winl.k, winl.feature, winl.t, n_train, wimp,
+       |    eh.bn,
+       |    CASE WHEN eh.bucket < winl.t
+       |      THEN CASE WHEN left_keep = 1 THEN eh.bp ELSE eh.bn - eh.bp END
+       |      ELSE CASE WHEN right_keep = 1 THEN eh.bp ELSE eh.bn - eh.bp END
+       |    END AS matches
+       |  FROM winl JOIN eh ON eh.feature = winl.feature)
+       |SELECT k AS train_buckets, n_train,
+       |  CAST(sum(bn) AS BIGINT) AS n_eval, feature,
+       |  CAST(t * 100 AS BIGINT) AS thr_milli, wimp AS train_impurity_ppm,
+       |  CAST((1000000 * sum(matches)) // sum(bn) AS BIGINT) AS eval_acc_ppm
+       |FROM sc GROUP BY 1, 2, 4, 5, 6 ORDER BY train_buckets""".stripMargin
+  }
+
   // ------------------------------------------------------- retrieval
   /** Inverted-index top-k retrieval (r14, the search face the corpus
     * engine was still missing — mining-by-keyword is how training-data
@@ -2529,6 +2701,7 @@ object TextOps {
     "ml_eval_langid" -> mlEvalLangid,
     "ml_calibration" -> mlCalibration,
     "ml_feature_importance" -> mlFeatureImportance,
+    "ml_learning_curve" -> mlLearningCurve,
     "ml_auc" -> mlAuc,
     "ml_pr_curve" -> mlPrCurve,
     "text_collocations" -> textCollocations,
@@ -2584,6 +2757,7 @@ object TextOps {
     "ml_eval_langid" -> mlEvalLangidSql,
     "ml_calibration" -> mlCalibrationSql,
     "ml_feature_importance" -> mlFeatureImportanceSql,
+    "ml_learning_curve" -> mlLearningCurveSql,
     "ml_auc" -> mlAucSql,
     "ml_pr_curve" -> mlPrCurveSql,
     "text_collocations" -> textCollocationsSql,

@@ -1311,6 +1311,100 @@ class TextDedupSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length == 1, "family corpus masses diverged")
   }
 
+  test("sample_reservoir_merge: merged per-half reservoirs equal the direct sample") {
+    val merged = Curate.sampleReservoirMerge(spark, sf)
+      .select("doc_id", "priority", "sample_rank")
+      .as[(Long, Long, Long)].collect()
+    val direct = Curate.sampleWeightedK(spark, sf)
+      .select("doc_id", "priority", "sample_rank")
+      .as[(Long, Long, Long)].collect()
+    assert(merged.length == direct.length, "sample sizes differ")
+    assert(merged.map(r => (r._1, r._2, r._3)).toSet ==
+      direct.map(r => (r._1, r._2, r._3)).toSet,
+      "the mergeable identity top-K(A∪B) ≡ top-K(top-K(A)∪top-K(B)) broke")
+    // both halves must actually contribute (decorrelated hash priorities)
+    val halves = Curate.sampleReservoirMerge(spark, sf)
+      .select("half").as[Long].collect().toSet
+    assert(halves == Set(0L, 1L), "one half never surfaced — vacuous merge")
+  }
+
+  test("graph_degree_hist: exact degree replay from the pair face") {
+    val pairs = Dedup.dedupNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val deg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    pairs.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val n = deg.size.toLong
+    val expected = deg.toSeq.groupBy { case (_, d) => blen(d) }
+      .map { case (b, rows) =>
+        (b, rows.size.toLong, rows.map(_._2).sum, rows.map(_._2).max,
+          1000000L * rows.size / n)
+      }.toSet
+    val got = Dedup.graphDegreeHist(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected, "histogram diverged from the pair replay")
+    // handshake identity: endpoint mass = 2 |E|
+    assert(got.map(_._3).sum == 2L * pairs.length, "handshake lemma broke")
+  }
+
+  test("ml_learning_curve: full in-memory stump replay per training fraction") {
+    val rows = graft.sources.Tables.load(spark, sf, "documents")
+      .select("text", "n_chars").as[(String, Long)].collect()
+    def ph(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L) % 8L
+    case class D(hb: Long, stopM: Long, punctM: Long, lenM: Long, pass: Long)
+    val stops = TextOps.stopwords.toSet
+    val ds = rows.map { case (txt, nChars) =>
+      val ws = txt.split(" ", -1)
+      val nTok = ws.length.toLong
+      val nStop = ws.count(stops).toLong
+      val nPunct = txt.count(c => !(c.isDigit || (c >= 'a' && c <= 'z') || c == ' ')).toLong
+      val q = (1.0 - nStop.toDouble / nTok) * (1.0 - nPunct.toDouble / nChars) *
+        math.min(1.0, nTok / 64.0)
+      D(ph("lc|" + txt), nStop * 1000 / nTok, nPunct * 1000 / nChars,
+        math.min(1000L, nTok * 1000 / 64), if (q >= 0.5) 1L else 0L)
+    }
+    def buckets(d: D): Seq[(String, Long)] = Seq(
+      ("len_sat", math.min(9L, d.lenM / 100)),
+      ("punct_ratio", math.min(9L, d.punctM / 100)),
+      ("stopword_ratio", math.min(9L, d.stopM / 100)))
+    def gini(n: Long, p: Long): BigInt =
+      BigInt(1000000) - (BigInt(p) * p + BigInt(n - p) * (n - p)) * 1000000 / (BigInt(n) * n)
+    val evalDocs = ds.filter(_.hb == 7)
+    val expected = Seq(1L, 2L, 4L, 7L).map { k =>
+      val tr = ds.filter(_.hb < k)
+      val cand = for {
+        f <- Seq("len_sat", "punct_ratio", "stopword_ratio")
+        t <- 1L to 9L
+        left = tr.filter(d => buckets(d).toMap.apply(f) < t)
+        if left.nonEmpty && left.length < tr.length
+      } yield {
+        val right = tr.length - left.length
+        val lp = left.map(_.pass).sum; val ln = left.length.toLong
+        val rp = tr.map(_.pass).sum - lp; val rn = right.toLong
+        val wimp = ((BigInt(ln) * gini(ln, lp) + BigInt(rn) * gini(rn, rp)) / tr.length).toLong
+        (wimp, f, t, ln, lp, rn, rp)
+      }
+      val (wimp, f, t, ln, lp, rn, rp) = cand.minBy(c => (c._1, c._2, c._3))
+      val leftKeep = if (lp * 2 >= ln) 1L else 0L
+      val rightKeep = if (rp * 2 >= rn) 1L else 0L
+      val matches = evalDocs.map { d =>
+        val b = buckets(d).toMap.apply(f)
+        val pred = if (b < t) leftKeep else rightKeep
+        if (pred == d.pass) 1L else 0L
+      }.sum
+      (k, tr.length.toLong, evalDocs.length.toLong, f, t * 100, wimp,
+        1000000L * matches / evalDocs.length)
+    }.toSet
+    val got = TextOps.mlLearningCurve(spark, sf)
+      .as[(Long, Long, Long, String, Long, Long, Long)].collect()
+    assert(got.toSet == expected, "learning curve diverged from the replay")
+    assert(got.map(_._2).toSeq.sorted.sliding(2).forall {
+      case Seq(a, b) => a < b
+      case _ => true
+    }, "training sizes must strictly grow")
+  }
+
   test("corpus_length_histogram: exact bit-bucket replay, shares partition each source") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("source", "text").as[(String, String)].collect()
