@@ -501,7 +501,7 @@ object Curate {
   /** (doc_id, n_tokens, tok_offset) via the two-pass prefix sum —
     * shared by the per-doc and per-window packing views.
     */
-  private def packedOffsets(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def packedOffsets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = graft.sources.Tables.load(s, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),

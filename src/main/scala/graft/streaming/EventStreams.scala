@@ -1855,6 +1855,88 @@ object EventStreams {
       |FROM grid g LEFT JOIN hourly h ON h.hi = g.hi AND h.event_type = g.event_type
       |ORDER BY g.event_type, hour_idx""".stripMargin
 
+  // ------------------------------------------------------ live packing
+  case class PackDoc(doc_id: Long, n_tokens: Long)
+  case class PackSt(off: Long, bin: Long, nDocs: Long, first: Long,
+                    last: Long, toks: Long)
+  case class PackOut(bin_id: Long, n_docs: Long, first_doc: Long,
+                     last_doc: Long, tokens_started: Long)
+
+  /** Live sequence packing (the streaming twin of the packing family):
+    * documents arrive in doc_id order (the append-only ingest
+    * contract), the packer keeps ONE running token offset and the
+    * open 2048-token window's accumulators as state, and emits a
+    * window's ledger row the moment a document STARTS past it — the
+    * tail-append a kafka-to-training-shards writer actually performs.
+    * A document spanning several windows closes only the window it
+    * started in (start-offset assignment, [[graft.operators.Curate
+    * .packSequential]]'s rule), so skipped interior windows emit
+    * nothing on both faces. The final partial window stays open
+    * forever — the batch face excludes it for exactly that reason.
+    */
+  def packStream(stream: Dataset[PackDoc]): Dataset[PackOut] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_ => 0)
+      .flatMapGroupsWithState[PackSt, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, docs: Iterator[PackDoc], state: GroupState[PackSt]) =>
+          val sorted = docs.toVector.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(PackSt(0L, 0L, 0L, -1L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[PackOut]()
+          sorted.foreach { d =>
+            val startBin = st.off / 2048
+            if (startBin > st.bin) {
+              if (st.nDocs > 0)
+                out += PackOut(st.bin, st.nDocs, st.first, st.last, st.toks)
+              st = st.copy(bin = startBin, nDocs = 0L, first = -1L,
+                last = -1L, toks = 0L)
+            }
+            st = PackSt(st.off + d.n_tokens, st.bin, st.nDocs + 1,
+              if (st.nDocs == 0L) d.doc_id else st.first, d.doc_id,
+              st.toks + d.n_tokens)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch face of [[packStream]] (registered as `stream_pack`): the
+    * CLOSED-window ledger — per 2048-token window (by start offset,
+    * the [[graft.operators.Curate.packSequential]] rule, its offsets
+    * helper shared so the faces cannot drift): starting-doc count, the
+    * doc-id span, and the started token mass, excluding the final
+    * still-open window.
+    *
+    * == Scale design ==
+    * Rides packedOffsets' two-phase range-partitioned prefix sum (no
+    * single-task global window); the max-bin aggregate is one scalar
+    * broadcast; the rollup is map-side combinable per window. The
+    * streaming twin holds six longs of state total.
+    */
+  def streamPack(s: SparkSession, dir: String): DataFrame = {
+    val off = graft.operators.Curate.packedOffsets(s, dir)
+      .withColumn("bin_id", expr("tok_offset div 2048"))
+    val mb = off.agg(max(col("bin_id")).as("mb"))
+    off.crossJoin(broadcast(mb)).filter(col("bin_id") < col("mb"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("n_tokens")).as("tokens_started"))
+      .orderBy(col("bin_id"))
+  }
+
+  val streamPackSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |c AS (SELECT doc_id, n,
+      |    sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) - n AS off FROM d),
+      |s AS (SELECT doc_id, n, CAST(off // 2048 AS BIGINT) AS bin_id FROM c),
+      |m AS (SELECT max(bin_id) AS mb FROM s)
+      |SELECT bin_id, count(*) AS n_docs, min(doc_id) AS first_doc,
+      |  max(doc_id) AS last_doc, CAST(sum(n) AS BIGINT) AS tokens_started
+      |FROM s CROSS JOIN m WHERE bin_id < mb GROUP BY 1 ORDER BY bin_id""".stripMargin
+
   // ------------------------------------------- live revenue attribution
   case class AttrEv(user_id: Long, event_id: Long, us: Long,
                     event_type: String, cents: Long)
@@ -2059,6 +2141,7 @@ object EventStreams {
     "stream_ab_lift" -> streamAbLift,
     "stream_funnel" -> streamFunnel,
     "stream_drift" -> streamDrift,
+    "stream_pack" -> streamPack,
     "stream_late_data" -> streamLateData,
     "stream_cusum" -> streamCusum,
     "stream_topk" -> streamTopk,
@@ -2097,6 +2180,7 @@ object EventStreams {
     "stream_ab_lift" -> streamAbLiftSql,
     "stream_funnel" -> streamFunnelSql,
     "stream_drift" -> streamDriftSql,
+    "stream_pack" -> streamPackSql,
     "stream_late_data" -> streamLateDataSql,
     "stream_cusum" -> streamCusumSql,
     "stream_topk" -> streamTopkSql,

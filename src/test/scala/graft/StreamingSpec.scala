@@ -1192,6 +1192,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed packing emits exactly the batch closed-window ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.PackDoc
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+      .map { case (id, n) => PackDoc(id, n) }
+    val mem = MemoryStream[PackDoc]
+    val q = EventStreams.packStream(mem.toDS())
+      .writeStream.format("memory").queryName("pack_live")
+      .outputMode("append").start()
+    try {
+      // in-order arrival in uneven batches — the append-only ingest
+      docs.grouped(37).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val live = spark.sql(
+        "SELECT bin_id, n_docs, first_doc, last_doc, tokens_started FROM pack_live")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = EventStreams.streamPack(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "no closed windows at this SF — vacuous")
+      assert(live == batch,
+        s"stream-only ${live.diff(batch).take(3)}; batch-only ${batch.diff(live).take(3)}")
+      // window spans tile: each closed window's doc span is contiguous
+      // with the next (the packer never skips a doc)
+      val sorted = batch.toSeq.sortBy(_._1)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b._3 == a._4 + 1, s"doc span gap between bins ${a._1} and ${b._1}")
+      }
+    } finally q.stop()
+  }
+
   test("streamed attribution credits equal the batch daily ledger") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.AttrEv
