@@ -2817,6 +2817,76 @@ object Analytics {
       |FROM ex JOIN s ON s.event_type = ex.event_type
       |ORDER BY ex.event_type""".stripMargin
 
+  /** Register-count tuning curve for the replayable integer HLL — the
+    * sketch family's size/accuracy trade made an oracle-checked
+    * artifact (the dedup_lsh_curve / ann_recall_curve move applied to
+    * sketches): the SAME distinct-user relation sketched at
+    * m ∈ {16, 64, 256} registers with the matched bit budget
+    * (r = 31 − log₂ m + 1 leading-bit range) and the standard α_m
+    * milli-constants (673/709/712), each estimate compared against the
+    * exact count in exact integer ppm. The emitted table is where the
+    * 1/√m error law is read off before choosing production register
+    * width — and the m=64 row reproduces [[aggHllReplay]]'s estimate
+    * by construction (spec-pinned).
+    *
+    * == Scale design ==
+    * ONE distinct pass; the 3-config fan-out is a broadcast cross
+    * join on the distinct-user relation folding map-side onto
+    * O(Σm = 336) register rows; estimates are scalar divisions.
+    */
+  def aggHllCurve(s: SparkSession, dir: String): DataFrame = {
+    val cfg = s.createDataFrame(Seq((16L, 673L, 28), (64L, 709L, 26), (256L, 712L, 24)))
+      .toDF("m", "alpha_milli", "r")
+    val u = events(s, dir).select(col("user_id").as("u")).distinct()
+    val h = (lit(1103515245L) * col("u") + 12345L) % 2147483647L
+    val reg = u.crossJoin(broadcast(cfg))
+      .select(col("m"), col("alpha_milli"), col("r"), h.as("h"))
+      .select(col("m"), col("alpha_milli"), col("r"),
+        expr("h % m").as("j"),
+        expr("cast(r - length(bin((h div m) + 1)) as bigint)").as("rho"))
+      .groupBy(col("m"), col("alpha_milli"), col("r"), col("j"))
+      .agg(max(col("rho")).as("mj"))
+    val grid = cfg.select(col("m"), col("alpha_milli"), col("r"),
+        explode(sequence(lit(0L), col("m") - 1)).as("j"))
+      .join(reg, Seq("m", "alpha_milli", "r", "j"), "left_outer")
+      .select(col("m"), col("alpha_milli"), col("r"),
+        coalesce(col("mj"), lit(0L)).as("mj"))
+    val sums = grid.groupBy(col("m"), col("alpha_milli"), col("r"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(r - mj AS INT))")).as("s"))
+    val exact = events(s, dir).agg(countDistinct(col("user_id")).as("n_exact"))
+    sums.crossJoin(broadcast(exact))
+      .select(col("m"), col("n_exact"),
+        expr("(alpha_milli * m * m * shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))) div s")
+          .as("est_milli"))
+      .withColumn("err_ppm",
+        expr("abs(est_milli - 1000 * n_exact) * 1000 div n_exact"))
+      .orderBy(col("m"))
+  }
+
+  /** DuckDB twin: same LCG hash, per-m register lanes, matched bit
+    * budgets and α constants. */
+  val aggHllCurveSql: String =
+    """WITH cfg AS (SELECT CAST(m AS BIGINT) AS m,
+      |    CAST(alpha_milli AS BIGINT) AS alpha_milli, CAST(r AS BIGINT) AS r
+      |  FROM (VALUES (16, 673, 28), (64, 709, 26), (256, 712, 24)) t(m, alpha_milli, r)),
+      |u AS (SELECT DISTINCT user_id AS u FROM events),
+      |h AS (SELECT ((1103515245*u + 12345) % 2147483647) AS h FROM u),
+      |rr AS (SELECT m, alpha_milli, r, h % m AS j,
+      |    r - length(bin((h // m) + 1)) AS rho FROM h CROSS JOIN cfg),
+      |mm AS (SELECT m, j, max(rho) AS mj FROM rr GROUP BY 1, 2),
+      |grid AS (SELECT m, alpha_milli, r, unnest(range(0, m)) AS j FROM cfg),
+      |regs AS (SELECT g.m, g.alpha_milli, g.r, COALESCE(mm.mj, 0) AS mj
+      |  FROM grid g LEFT JOIN mm ON mm.m = g.m AND mm.j = g.j),
+      |s AS (SELECT m, alpha_milli, r,
+      |    CAST(sum(CAST(1 AS BIGINT) << CAST(r - mj AS INT)) AS BIGINT) AS s
+      |  FROM regs GROUP BY 1, 2, 3),
+      |e AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+      |SELECT m, n_exact,
+      |  (alpha_milli * m * m * (CAST(1 AS BIGINT) << CAST(r AS INT))) // s AS est_milli,
+      |  abs((alpha_milli * m * m * (CAST(1 AS BIGINT) << CAST(r AS INT))) // s
+      |    - 1000 * n_exact) * 1000 // n_exact AS err_ppm
+      |FROM s CROSS JOIN e ORDER BY m""".stripMargin
+
   /** Sketch ALGEBRA on the per-type HLL register tables — the property
     * that justifies sketches at 100 TB made oracle-checkable: for every
     * event-type pair, the union sketch is the register-wise max of the
@@ -4075,6 +4145,92 @@ object Analytics {
     * aggregate to one row — the events_ab_lift shape with a period
     * axis.
     */
+  /** Growth-accounting metric tree — the north-star decomposition a
+    * revenue dashboard runs every morning: daily purchase revenue
+    * factored as DAU × purchases-per-active-user × cents-per-purchase,
+    * with each day-over-day revenue delta attributed EXACTLY to the
+    * three factors by sequential substitution (the standard
+    * growth-accounting identity: Δ(abc) = Δa·b₁c₁ + a₂·Δb·c₁ +
+    * a₂b₂·Δc, telescoping with no residual in exact rationals). Terms
+    * are emitted in floor'd micro-cents with an explicit `dust_micro`
+    * column, so conservation holds BY CONSTRUCTION in the output:
+    * 10⁶·Δrevenue = users-term + frequency-term + value-term + dust,
+    * 0 ≤ dust < 3 (one floor per term — spec-pinned). Floor division
+    * of SIGNED terms is written as a sign-split CASE over nonnegative
+    * integral divisions on BOTH engines, closing the Spark
+    * truncate-toward-zero vs DuckDB floor divergence structurally.
+    * Deltas compare against the previous OBSERVED day (the
+    * cooccurrence-drift rule); days whose predecessor had no
+    * purchases are excluded (p₁ = 0 has no per-purchase value to
+    * substitute — the documented contract).
+    *
+    * == Scale design ==
+    * One scan folds map-side onto the O(days) daily ledger
+    * (countDistinct(user) is the only shuffle); the lag window and
+    * all DECIMAL(38,0)-staged term math run on that bounded relation.
+    */
+  def eventsMetricTree(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("isp"),
+        when(col("event_type") === "purchase",
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L).as("cents"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("u"),
+        sum(col("isp")).as("p"), sum(col("cents")).as("r"))
+    val w = Window.orderBy(col("day"))
+    def fdiv(num: String, den: String): String =
+      s"""CASE WHEN ($num) >= 0 THEN cast(($num) div ($den) as bigint)
+         |ELSE cast(-((-($num) + ($den) - 1) div ($den)) as bigint) END""".stripMargin
+    daily
+      .withColumn("u1", lag(col("u"), 1).over(w))
+      .withColumn("p1", lag(col("p"), 1).over(w))
+      .withColumn("r1", lag(col("r"), 1).over(w))
+      .filter(col("u1").isNotNull && col("p1") > 0)
+      .withColumn("delta_cents", col("r") - col("r1"))
+      .withColumn("t_users_micro", expr(fdiv(
+        "cast(1000000 as decimal(38,0)) * (u - u1) * r1", "u1")))
+      .withColumn("t_freq_micro", expr(fdiv(
+        "cast(1000000 as decimal(38,0)) * r1 * (p * u1 - p1 * u)", "cast(u1 as decimal(38,0)) * p1")))
+      .withColumn("t_value_micro", expr(fdiv(
+        "cast(1000000 as decimal(38,0)) * (r * p1 - r1 * p)", "p1")))
+      .withColumn("dust_micro", expr(
+        "1000000 * delta_cents - t_users_micro - t_freq_micro - t_value_micro"))
+      .select(col("day"), col("u").as("dau"), col("p").as("purchases"),
+        col("r").as("revenue_cents"), col("delta_cents"),
+        col("t_users_micro"), col("t_freq_micro"), col("t_value_micro"),
+        col("dust_micro"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: same daily ledger, lag over observed days, HUGEINT
+    * staging, and the identical sign-split floor division. */
+  val eventsMetricTreeSql: String = {
+    def fdiv(num: String, den: String): String =
+      s"CASE WHEN $num >= 0 THEN CAST(($num) // ($den) AS BIGINT) " +
+        s"ELSE CAST(-((-($num) + ($den) - 1) // ($den)) AS BIGINT) END"
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    count(DISTINCT user_id) AS u,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS r
+       |  FROM events GROUP BY 1),
+       |lagd AS (SELECT *, lag(u) OVER (ORDER BY day) AS u1,
+       |    lag(p) OVER (ORDER BY day) AS p1, lag(r) OVER (ORDER BY day) AS r1
+       |  FROM daily),
+       |t AS (SELECT day, u, p, r, u1, p1, r1, r - r1 AS delta_cents,
+       |    ${fdiv("CAST(1000000 AS HUGEINT) * (u - u1) * r1", "u1")} AS t_users_micro,
+       |    ${fdiv("CAST(1000000 AS HUGEINT) * r1 * (p * u1 - p1 * u)", "CAST(u1 AS HUGEINT) * p1")} AS t_freq_micro,
+       |    ${fdiv("CAST(1000000 AS HUGEINT) * (r * p1 - r1 * p)", "p1")} AS t_value_micro
+       |  FROM lagd WHERE u1 IS NOT NULL AND p1 > 0)
+       |SELECT day, u AS dau, p AS purchases, r AS revenue_cents, delta_cents,
+       |  t_users_micro, t_freq_micro, t_value_micro,
+       |  1000000 * delta_cents - t_users_micro - t_freq_micro - t_value_micro AS dust_micro
+       |FROM t ORDER BY day""".stripMargin
+  }
+
   def eventsDid(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftSqlShim
     val h = GraftSqlShim.column(graft.functions.StringPolyHash(
@@ -4794,6 +4950,7 @@ object Analytics {
     "events_ab_cuped" -> eventsAbCuped,
     "events_ab_sequential" -> eventsAbSequential,
     "events_did" -> eventsDid,
+    "events_metric_tree" -> eventsMetricTree,
     "events_ab_srm" -> eventsAbSrm,
     "events_ab_power" -> eventsAbPower,
     "events_funnel_time" -> eventsFunnelTime,
@@ -4815,6 +4972,7 @@ object Analytics {
     "window_distribution" -> windowDistribution,
     "agg_hll_replay" -> aggHllReplay,
     "agg_hll_grouped" -> aggHllGrouped,
+    "agg_hll_curve" -> aggHllCurve,
     "agg_hll_union" -> aggHllUnion,
     "scan_dpp" -> scanDpp,
     "events_gap_fill" -> eventsGapFill,
@@ -4884,6 +5042,7 @@ object Analytics {
     "events_ab_cuped" -> eventsAbCupedSql,
     "events_ab_sequential" -> eventsAbSequentialSql,
     "events_did" -> eventsDidSql,
+    "events_metric_tree" -> eventsMetricTreeSql,
     "events_ab_srm" -> eventsAbSrmSql,
     "events_ab_power" -> eventsAbPowerSql,
     "events_funnel_time" -> eventsFunnelTimeSql,
@@ -4905,6 +5064,7 @@ object Analytics {
     "window_distribution" -> windowDistributionSql,
     "agg_hll_replay" -> aggHllReplaySql,
     "agg_hll_grouped" -> aggHllGroupedSql,
+    "agg_hll_curve" -> aggHllCurveSql,
     "agg_hll_union" -> aggHllUnionSql,
     "scan_dpp" -> scanDppSql,
     "events_gap_fill" -> eventsGapFillSql,

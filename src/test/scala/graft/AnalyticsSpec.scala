@@ -530,6 +530,65 @@ class AnalyticsSpec extends SparkSpec {
       s"corrected estimate $corrected implausibly far from $nExact")
   }
 
+  test("agg_hll_curve: per-m sketch replay, m=64 row matches agg_hll_replay") {
+    val users = graft.sources.Tables.load(spark, sf, "events")
+      .select("user_id").as[Long].collect().distinct
+    def bits(n: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val expected = Seq((16, 673L, 28), (64, 709L, 26), (256, 712L, 24))
+      .map { case (m, alpha, r) =>
+        val regs = Array.fill(m)(0L)
+        users.foreach { u =>
+          val h = (1103515245L * u + 12345L) % 2147483647L
+          val j = (h % m).toInt
+          val rho = r.toLong - bits(h / m + 1)
+          if (rho > regs(j)) regs(j) = rho
+        }
+        val sSum = regs.map(mj => 1L << (r - mj)).sum
+        val est = alpha * m * m * (1L << r) / sSum
+        val n = users.length.toLong
+        (m.toLong, n, est, math.abs(est - 1000 * n) * 1000 / n)
+      }.toSet
+    val got = Analytics.aggHllCurve(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected, "curve diverged from the direct sketch replay")
+    // cross-face identity: the m=64 lane IS agg_hll_replay's estimate
+    val rep = Analytics.aggHllReplay(spark, sf)
+      .select("est_milli").as[Long].collect().head
+    assert(got.find(_._1 == 64L).get._3 == rep, "m=64 row drifted from agg_hll_replay")
+  }
+
+  test("events_metric_tree: in-memory decomposition replay, conservation by construction") {
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(expr("unix_micros(ts) div 86400000000"), col("user_id"),
+        col("event_type"), expr("CAST(round(value*100) AS BIGINT)"))
+      .as[(Long, Long, String, Long)].collect()
+    val daily = evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, rows) =>
+      (d, rows.map(_._2).distinct.length.toLong,
+        rows.count(_._3 == "purchase").toLong,
+        rows.filter(_._3 == "purchase").map(_._4).sum)
+    }
+    def fdiv(num: BigInt, den: BigInt): Long =
+      (if (num >= 0) num / den else -((-num + den - 1) / den)).toLong
+    val expected = daily.zip(daily.tail).filter(_._1._3 > 0).map {
+      case ((_, u1, p1, r1), (d, u2, p2, r2)) =>
+        val tu = fdiv(BigInt(1000000) * (u2 - u1) * r1, u1)
+        val tf = fdiv(BigInt(1000000) * r1 * (p2 * u1 - p1 * u2), BigInt(u1) * p1)
+        val tv = fdiv(BigInt(1000000) * (r2 * p1 - r1 * p2), p1)
+        (d, u2, p2, r2, r2 - r1, tu, tf, tv,
+          1000000 * (r2 - r1) - tu - tf - tv)
+    }.toSet
+    val got = Analytics.eventsMetricTree(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected, "metric tree diverged from the replay")
+    assert(got.nonEmpty, "no day pairs — vacuous")
+    // conservation with bounded floor dust: 10^6·Δr = Σ terms + dust, dust ∈ {0,1,2}
+    got.foreach { r =>
+      assert(r._9 >= 0 && r._9 < 3, s"dust out of the 3-floor bound: $r")
+      assert(1000000 * r._5 == r._6 + r._7 + r._8 + r._9, "conservation broke")
+    }
+  }
+
   test("events_attribution_multi: credits conserve purchase cents exactly per scheme") {
     val rows = Analytics.eventsAttributionMulti(spark, sf)
       .as[(String, String, Long, Long, Long)].collect()
