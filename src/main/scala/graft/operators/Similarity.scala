@@ -1316,9 +1316,11 @@ object Similarity {
     val cnt = best.groupBy(col("cell"))
       .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_cur"))
-    val tot = cnt.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cnt.crossJoin(broadcast(tot))
+    // totals as window sums over the O(CELLS) ledger — one fact scan,
+    // no second aggregate over the corpus-sized base (plan-pinned)
+    cnt
+      .withColumn("tr", expr("sum(n_ref) over ()"))
+      .withColumn("tc", expr("sum(n_cur) over ()"))
       .select(col("cell"), col("n_ref"), col("n_cur"),
         expr("(1000000 * n_ref) div tr").as("ref_ppm"),
         expr("(1000000 * n_cur) div tc").as("cur_ppm"))

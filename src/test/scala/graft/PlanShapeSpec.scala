@@ -757,4 +757,33 @@ class PlanShapeSpec extends SparkSpec {
       || tilePlan.contains("BroadcastHashJoin"),
       s"tile rollup must broadcast the zoom relation:\n$tilePlan")
   }
+
+  test("r14 wave 20-21 scan claims: ledger faces stay on their bounded relations") {
+    // ml_learning_curve: everything past the checkpointed fold histogram
+    // reads the materialized relation — no parquet in the final plan
+    val lcPlan = planOf(operators.TextOps.mlLearningCurve(spark, sf))
+    assert(!lcPlan.contains("FileScan"),
+      s"ml_learning_curve: a scan escaped the histogram checkpoint:\n$lcPlan")
+    // sample_dsir: the corpus folds once into the checkpointed (doc,
+    // bucket) relation; only the gate's feature scans may remain
+    val dsPlan = planOf(operators.Curate.sampleDsir(spark, sf))
+    val dsScans = "FileScan".r.findAllIn(dsPlan).length
+    assert(dsScans <= 2,
+      s"sample_dsir: expected at most the gate's 2 feature scans, got $dsScans:\n$dsPlan")
+    // dq_embedding_drift / agg_hll_curve / events_metric_tree: one fact
+    // scan each, no cartesian beyond the broadcast config fan-outs
+    for ((name, df) <- Seq(
+        "dq_embedding_drift" -> operators.Similarity.dqEmbeddingDrift(spark, sf),
+        "events_metric_tree" -> Analytics.eventsMetricTree(spark, sf))) {
+      val plan = planOf(df)
+      val scans = "FileScan".r.findAllIn(plan).length
+      assert(scans == 1, s"$name: expected exactly one fact scan, got $scans:\n$plan")
+    }
+    // agg_hll_curve: the 3-config fan-out must broadcast (never shuffle
+    // the distinct-user relation against the config table)
+    val hcPlan = planOf(Analytics.aggHllCurve(spark, sf))
+    assert(hcPlan.contains("BroadcastNestedLoopJoin")
+      || hcPlan.contains("BroadcastHashJoin"),
+      s"agg_hll_curve: config fan-out must broadcast:\n$hcPlan")
+  }
 }
