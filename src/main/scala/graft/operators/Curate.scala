@@ -525,6 +525,64 @@ object Curate {
       .withColumn("bin_id", expr("tok_offset div 2048"))
       .orderBy(col("doc_id"))
 
+  /** Context-window size sweep for the sequential packer — the
+    * justify-the-2048 table ([[corpusLengthHistogram]] reads the tail
+    * mass off the corpus; THIS face prices the window choice on the
+    * packer's own mechanics): under boundary-splitting sequential
+    * fill, a document crossing a window edge is cut — smaller windows
+    * waste nothing to padding but shred more documents (attention
+    * never sees the severed halves together). Per W ∈ {512, 2048,
+    * 8192}: window count, documents split at least once, exact split
+    * ppm, and total boundary crossings (a doc spanning k windows is
+    * cut k−1 times). The production window is chosen where this curve
+    * crosses the per-batch padding-waste curve ([[packSorted]]).
+    *
+    * == Scale design ==
+    * ONE two-phase prefix-sum pass (the shared [[packedOffsets]]);
+    * the 3-config fan-out is a broadcast cross join computed
+    * row-local, folding map-side onto O(3) ledger rows.
+    */
+  def packWindowCurve(s: SparkSession, dir: String): DataFrame = {
+    val cfg = s.createDataFrame(Seq(Tuple1(512L), Tuple1(2048L), Tuple1(8192L)))
+      .toDF("w")
+    packedOffsets(s, dir)
+      .crossJoin(broadcast(cfg))
+      .select(col("w"), col("n_tokens"),
+        expr("(tok_offset + n_tokens - 1) div w - tok_offset div w").as("crossings"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("crossings") > 0, 1L).otherwise(0L)).as("n_split_docs"),
+        sum(col("crossings")).as("n_crossings"))
+      .select(col("w"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens + w - 1) div w").as("n_windows"),
+        col("n_split_docs"),
+        expr("(1000000 * n_split_docs) div n_docs").as("split_ppm"),
+        col("n_crossings"))
+      .orderBy(col("w"))
+  }
+
+  /** DuckDB twin: the packSequential offsets CTE with the 3-window
+    * fan-out. */
+  val packWindowCurveSql: String =
+    """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tok_offset
+      |  FROM d),
+      |cfg AS (SELECT CAST(unnest([512, 2048, 8192]) AS BIGINT) AS w),
+      |x AS (SELECT w, n_tokens,
+      |    (tok_offset + n_tokens - 1) // w - tok_offset // w AS crossings
+      |  FROM c CROSS JOIN cfg),
+      |g AS (SELECT w, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN crossings > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+      |    CAST(sum(crossings) AS BIGINT) AS n_crossings
+      |  FROM x GROUP BY 1)
+      |SELECT w, n_docs, n_tokens, (n_tokens + w - 1) // w AS n_windows,
+      |  n_split_docs, (1000000 * n_split_docs) // n_docs AS split_ppm,
+      |  n_crossings
+      |FROM g ORDER BY w""".stripMargin
+
   /** Sequence packing by TRUE subword counts — the tokenizer and the
     * packer composed: each document's length is its trained-BPE
     * subword count (words broadcast-joined against the memoized
@@ -823,6 +881,71 @@ object Curate {
       |SELECT doc_id, source, weight, priority,
       |  CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
       |FROM p ORDER BY priority, doc_id LIMIT 100""".stripMargin
+
+  /** Per-source corpus datasheet — the data card (Gebru et al.'s
+    * "Datasheets for Datasets" made a registered, hash-checked
+    * artifact) a model release ships beside its weights: for every
+    * source, volume (docs/tokens/chars), language breadth, the
+    * quality-gate pass rate, and the verified near-dup exposure rate,
+    * all in exact integer ppm and all CHAINED FROM THE REGISTERED
+    * FACES (the shared quality formula, the shared jaccard pair
+    * relation) so the card cannot drift from the operators it
+    * summarizes. This is the one-table answer to "what is in this
+    * corpus and how clean is it, per provenance".
+    *
+    * == Scale design ==
+    * One stats scan + the gate's feature pass fold map-side per
+    * source; the near-dup leg reuses the pair join's machinery and
+    * collapses to a distinct exposed-doc set broadcast-joined back.
+    * The final ledger is O(sources).
+    */
+  def corpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.load(s, dir, "documents")
+    val base = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+    val gate = TextOps.textQuality(s, dir)
+      .select(col("doc_id"), (col("quality_score") >= 0.5).cast("long").as("pass"))
+    val passBySrc = d.select(col("doc_id"), col("source")).join(gate, "doc_id")
+      .groupBy(col("source")).agg(sum(col("pass")).as("n_pass"))
+    val exposed = Dedup.dedupNgramJaccard(s, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val dupBySrc = d.select(col("doc_id"), col("source"))
+      .join(broadcast(exposed), Seq("doc_id"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_neardup"))
+    base.join(passBySrc, Seq("source"), "left_outer")
+      .join(dupBySrc, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"),
+        expr("(1000000 * coalesce(n_pass, 0)) div n_docs").as("gate_pass_ppm"),
+        expr("(1000000 * coalesce(n_neardup, 0)) div n_docs").as("neardup_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin: the shared quality CTE and the shared pair CTEs
+    * chained into one per-source card. */
+  val corpusDatasheetSql: String =
+    s"""WITH $qualityCte,
+       |${Dedup.pairCtes},
+       |exposed AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p)),
+       |base AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM documents GROUP BY 1),
+       |ps AS (SELECT d.source, CAST(sum(CASE WHEN q.quality_score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |  FROM documents d JOIN q ON q.doc_id = d.doc_id GROUP BY 1),
+       |ds AS (SELECT d.source, count(*) AS n_neardup
+       |  FROM documents d JOIN exposed e ON e.doc_id = d.doc_id GROUP BY 1)
+       |SELECT b.source, n_docs, n_tokens, n_chars, n_langs,
+       |  (1000000 * coalesce(n_pass, 0)) // n_docs AS gate_pass_ppm,
+       |  (1000000 * coalesce(n_neardup, 0)) // n_docs AS neardup_ppm
+       |FROM base b LEFT JOIN ps ON ps.source = b.source
+       |LEFT JOIN ds ON ds.source = b.source
+       |ORDER BY b.source""".stripMargin
 
   /** Mergeable-reservoir identity for the weighted sample — the
     * union-algebra face [[sampleWeightedK]] was missing (the
@@ -2471,10 +2594,12 @@ object Curate {
     "sample_dsir" -> sampleDsir,
     "sample_reservoir_merge" -> sampleReservoirMerge,
     "corpus_stats" -> corpusStats,
+    "corpus_datasheet" -> corpusDatasheet,
     "corpus_length_histogram" -> corpusLengthHistogram,
     "corpus_mixture" -> corpusMixture,
     "corpus_upsample" -> corpusUpsample,
     "pack_sorted" -> packSorted,
+    "pack_window_curve" -> packWindowCurve,
     "text_normalize" -> textNormalize,
     "pack_sequential" -> packSequential,
     "pack_subword" -> packSubword,
@@ -2513,10 +2638,12 @@ object Curate {
     "sample_dsir" -> sampleDsirSql,
     "sample_reservoir_merge" -> sampleReservoirMergeSql,
     "corpus_stats" -> corpusStatsSql,
+    "corpus_datasheet" -> corpusDatasheetSql,
     "corpus_length_histogram" -> corpusLengthHistogramSql,
     "corpus_mixture" -> corpusMixtureSql,
     "corpus_upsample" -> corpusUpsampleSql,
     "pack_sorted" -> packSortedSql,
+    "pack_window_curve" -> packWindowCurveSql,
     "text_normalize" -> textNormalizeSql,
     "pack_sequential" -> packSequentialSql,
     "pack_subword" -> packSubwordSql,

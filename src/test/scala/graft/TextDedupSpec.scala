@@ -1405,6 +1405,62 @@ class TextDedupSpec extends SparkSpec {
     }, "training sizes must strictly grow")
   }
 
+  test("pack_window_curve: exact offset replay, splits shrink as windows grow") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, t) => (id, t.split(" ", -1).length.toLong) }
+    var off = 0L
+    val withOff = docs.map { case (id, n) => val o = off; off += n; (id, n, o) }
+    val total = off
+    val expected = Seq(512L, 2048L, 8192L).map { w =>
+      val cross = withOff.map { case (_, n, o) => (o + n - 1) / w - o / w }
+      (w, docs.length.toLong, total, (total + w - 1) / w,
+        cross.count(_ > 0).toLong,
+        1000000L * cross.count(_ > 0) / docs.length, cross.sum)
+    }.toSet
+    val got = Curate.packWindowCurve(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected, "curve diverged from the offset replay")
+    // monotone tradeoff: larger windows shred strictly fewer docs (at
+    // these SFs every smaller window splits at least one more doc)
+    val byW = got.sortBy(_._1)
+    byW.zip(byW.tail).foreach { case (small, big) =>
+      assert(small._5 >= big._5, "splits must not grow with window size")
+      assert(small._7 >= big._7, "crossings must not grow with window size")
+    }
+    assert(byW.head._5 > 0, "no splits at the smallest window — vacuous")
+  }
+
+  test("corpus_datasheet ties every column to the registered faces") {
+    val got = Curate.corpusDatasheet(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // volume columns == corpus_stats
+    val stats = Curate.corpusStats(spark, sf)
+      .select("source", "n_docs", "total_tokens", "total_chars", "n_langs")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSet == stats,
+      "volume columns drifted from corpus_stats")
+    // gate rate == textQuality composition per source
+    val srcOf = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val passBySrc = TextOps.textQuality(spark, sf)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect()
+      .groupBy(r => srcOf(r._1))
+      .map { case (src, rows) => src -> rows.count(_._2 >= 0.5).toLong }
+    // dup exposure == the jaccard pair face's endpoint set per source
+    val exposed = Dedup.dedupNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    val dupBySrc = exposed.groupBy(srcOf).map { case (s0, ids) => s0 -> ids.size.toLong }
+    got.foreach { r =>
+      assert(r._6 == 1000000L * passBySrc.getOrElse(r._1, 0L) / r._2,
+        s"gate rate drifted for ${r._1}")
+      assert(r._7 == 1000000L * dupBySrc.getOrElse(r._1, 0L) / r._2,
+        s"dup exposure drifted for ${r._1}")
+    }
+    assert(got.exists(_._7 > 0), "no near-dup exposure anywhere — vacuous")
+  }
+
   test("corpus_length_histogram: exact bit-bucket replay, shares partition each source") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("source", "text").as[(String, String)].collect()
