@@ -247,13 +247,54 @@ object Ingest {
       |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Plain-text-lines round trip — the format web corpora actually
+    * arrive in (one document per line, tab-separated provenance — the
+    * WET/JSONL-adjacent shape): the documents table is written as
+    * `doc_id \t source \t text` lines with `spark.write.text`, read
+    * back with an explicit 3-way limited split (tabs inside text, if
+    * any ever appeared, would stay in the text field), and rolled up
+    * per source. The oracle aggregates the ORIGINAL table, so the
+    * hash check proves the text path lossless end-to-end.
+    *
+    * == Scale design ==
+    * Text write/read are scan-shaped (splittable line format, no
+    * small-file amplification at this slice size); the rollup is
+    * map-side combinable onto O(sources).
+    */
+  def sourceTextRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.load(s, dir, "documents")
+      .select(concat_ws("\t",
+        col("doc_id"), col("source"), col("text")).as("value"))
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_text_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+    slice.write.mode("overwrite").text(path)
+    s.read.text(path)
+      .select(split(col("value"), "\t", 3).as("p"))
+      .select(col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).as("source"), col("p").getItem(2).as("text"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .orderBy(col("source"))
+  }
+
+  val sourceTextRoundtripSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_text_roundtrip" -> sourceTextRoundtrip,
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
     "source_json_roundtrip" -> sourceJsonRoundtrip,
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "source_schema_merge" -> sourceSchemaMerge)
 
   val oracles: Map[String, String] = Map(
+    "source_text_roundtrip" -> sourceTextRoundtripSql,
     "source_csv_roundtrip" -> sourceCsvRoundtripSql,
     "source_json_roundtrip" -> sourceJsonRoundtripSql,
     "source_orc_roundtrip" -> sourceOrcRoundtripSql,

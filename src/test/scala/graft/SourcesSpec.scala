@@ -60,6 +60,33 @@ class SourcesSpec extends SparkSpec {
     assert(fromOrc.schema == schema)
   }
 
+  test("text-lines round trip preserves every document byte-for-byte") {
+    import graft.operators.Ingest
+    // the registered rollup matches the original table's rollup
+    val got = Ingest.sourceTextRoundtrip(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("t"),
+        sum(expr("CAST(length(text) AS BIGINT)")).as("c"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want, "text path lost or altered documents")
+    // byte-exact per-doc preservation through the written lines
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_text_" + sf.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val back = spark.read.text(path)
+      .select(split(col("value"), "\t", 3).as("p"))
+      .select(col("p").getItem(0).cast("long"), col("p").getItem(2))
+      .as[(Long, String)].collect().toMap
+    val orig = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(orig.length == back.size, "doc count changed in flight")
+    orig.foreach { case (id, txt) =>
+      assert(back(id) == txt, s"doc $id text altered by the text path")
+    }
+  }
+
   test("schema-merge fixture is reused within a JVM yet tracks a regenerated dir") {
     import org.apache.spark.sql.functions._
     def writeEvents(dir: String, values: Seq[Double]): Unit =
