@@ -2602,6 +2602,52 @@ object TextOps {
        |FROM sc GROUP BY 1, 2, 4, 5, 6 ORDER BY train_buckets""".stripMargin
   }
 
+  /** Model card for the distilled quality filter — the evaluation
+    * family's release artifact (the [[graft.operators.Curate
+    * .corpusDatasheet]] move applied to the model side): ONE row
+    * holding the numbers a reviewer signs off before the student
+    * classifier replaces the teacher gate in production — exact
+    * tie-aware AUC, the peak operating point (max F1, ties to the
+    * smallest threshold bucket), the calibration separation (top
+    * minus bottom bucket pass rate — a flat column means the logit
+    * carries no signal), and the full-data held-out accuracy from the
+    * learning curve. Every number is CHAINED FROM THE REGISTERED
+    * FACES so the card cannot drift from the evaluations it quotes.
+    *
+    * == Scale design ==
+    * Four one-row/ledger-sized reductions of faces that are each one
+    * or two corpus scans; the card join is four broadcast-trivial
+    * single-row relations.
+    */
+  def mlModelCard(s: SparkSession, dir: String): DataFrame = {
+    val auc = mlAuc(s, dir).select(col("n_pos"), col("n_neg"), col("auc_ppm"))
+    val pr = mlPrCurve(s, dir)
+      .orderBy(col("f1_ppm").desc, col("thr_bucket")).limit(1)
+      .select(col("f1_ppm").as("peak_f1_ppm"),
+        col("thr_bucket").as("peak_f1_bucket"))
+    val cal = mlCalibration(s, dir)
+      .agg((max(col("pass_ppm")) - min(col("pass_ppm")))
+        .as("calib_separation_ppm"))
+    val lc = mlLearningCurve(s, dir).filter(col("train_buckets") === 7)
+      .select(col("eval_acc_ppm").as("holdout_acc_ppm"))
+    auc.crossJoin(pr).crossJoin(cal).crossJoin(lc)
+      .orderBy(col("auc_ppm"))
+  }
+
+  /** DuckDB twin: the four face oracles inlined as derived tables. */
+  lazy val mlModelCardSql: String =
+    s"""WITH auc AS (SELECT n_pos, n_neg, auc_ppm FROM ($mlAucSql)),
+       |pr AS (SELECT f1_ppm AS peak_f1_ppm, thr_bucket AS peak_f1_bucket
+       |  FROM ($mlPrCurveSql) ORDER BY f1_ppm DESC, thr_bucket LIMIT 1),
+       |cal AS (SELECT max(pass_ppm) - min(pass_ppm) AS calib_separation_ppm
+       |  FROM ($mlCalibrationSql)),
+       |lc AS (SELECT eval_acc_ppm AS holdout_acc_ppm
+       |  FROM ($mlLearningCurveSql) WHERE train_buckets = 7)
+       |SELECT n_pos, n_neg, auc_ppm, peak_f1_ppm, peak_f1_bucket,
+       |  calib_separation_ppm, holdout_acc_ppm
+       |FROM auc CROSS JOIN pr CROSS JOIN cal CROSS JOIN lc
+       |ORDER BY auc_ppm""".stripMargin
+
   // ------------------------------------------------------- retrieval
   /** Inverted-index top-k retrieval (r14, the search face the corpus
     * engine was still missing — mining-by-keyword is how training-data
@@ -2702,6 +2748,7 @@ object TextOps {
     "ml_calibration" -> mlCalibration,
     "ml_feature_importance" -> mlFeatureImportance,
     "ml_learning_curve" -> mlLearningCurve,
+    "ml_model_card" -> mlModelCard,
     "ml_auc" -> mlAuc,
     "ml_pr_curve" -> mlPrCurve,
     "text_collocations" -> textCollocations,
@@ -2758,6 +2805,7 @@ object TextOps {
     "ml_calibration" -> mlCalibrationSql,
     "ml_feature_importance" -> mlFeatureImportanceSql,
     "ml_learning_curve" -> mlLearningCurveSql,
+    "ml_model_card" -> mlModelCardSql,
     "ml_auc" -> mlAucSql,
     "ml_pr_curve" -> mlPrCurveSql,
     "text_collocations" -> textCollocationsSql,

@@ -1461,6 +1461,28 @@ class TextDedupSpec extends SparkSpec {
     assert(got.exists(_._7 > 0), "no near-dup exposure anywhere — vacuous")
   }
 
+  test("ml_model_card quotes its four registered faces exactly") {
+    val card = TextOps.mlModelCard(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(card.length == 1, "the card is one row")
+    val (nPos, nNeg, auc, f1, f1b, sep, acc) = card.head
+    val aucRow = TextOps.mlAuc(spark, sf)
+      .select("n_pos", "n_neg", "auc_ppm").as[(Long, Long, Long)].collect().head
+    assert((nPos, nNeg, auc) == aucRow, "AUC columns drifted")
+    val pr = TextOps.mlPrCurve(spark, sf)
+      .select("thr_bucket", "f1_ppm").as[(Long, Long)].collect()
+    val best = pr.sortBy(r => (-r._2, r._1)).head
+    assert((f1b, f1) == best, "peak operating point drifted")
+    val cal = TextOps.mlCalibration(spark, sf)
+      .select("pass_ppm").as[Long].collect()
+    assert(sep == cal.max - cal.min, "calibration separation drifted")
+    val lc = TextOps.mlLearningCurve(spark, sf)
+      .filter(col("train_buckets") === 7)
+      .select("eval_acc_ppm").as[Long].collect().head
+    assert(acc == lc, "holdout accuracy drifted")
+    assert(auc > 500000, "classifier worse than chance — vacuous corpus")
+  }
+
   test("corpus_length_histogram: exact bit-bucket replay, shares partition each source") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("source", "text").as[(String, String)].collect()
