@@ -958,6 +958,91 @@ object Analytics {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY t.q_permille, t.face""".stripMargin
 
+  /** Grid-width tuning curve for the replayable quantile sketch — the
+    * [[aggHllCurve]] move applied to quantiles (the read-BEFORE-choosing
+    * table for the production grid width): the SAME distinct-cents
+    * relation sketched at bucket widths W ∈ {16, 64, 256} cents, each
+    * (W, q) estimate printed beside the exact rank-⌈q·N⌉ value with the
+    * signed error and the geometry bound W div 2 — |err| ≤ bound holds
+    * BY CONSTRUCTION (the exact value lives inside the chosen bucket;
+    * the spec asserts the bound and pins the W=64 rows equal to
+    * [[aggQuantileReplay]]'s). Halving the error costs a doubling of
+    * register state — the 1/W law read off before choosing a width,
+    * exactly as [[aggHllCurve]] reads off 1/√m before choosing m.
+    *
+    * == Scale design ==
+    * ONE scan folds events map-side onto the O(|value domain|)
+    * distinct-cents relation (stableCheckpointed); the 3-config fan-out
+    * rides THAT relation (×3 of domain-sized, never of corpus) and
+    * folds onto O(Σ domain/W) buckets. The cumulative windows run over
+    * bounded relations — the documented bounded-relation
+    * single-partition case.
+    */
+  def aggQuantileCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = events(s, dir).select(cents(col("value")).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .stableCheckpoint()
+    val n = c.agg(sum(col("cnt")).as("n"))
+    val ws = s.createDataFrame(Seq(16L, 64L, 256L).map(Tuple1.apply)).toDF("w")
+    val qs = s.createDataFrame(Seq(500L, 900L).map(Tuple1.apply)).toDF("q_permille")
+    val cumFrame = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = c.withColumn("cum", sum(col("cnt")).over(cumFrame))
+    val exact = qs.crossJoin(broadcast(n))
+      .withColumn("target_rank", expr("(q_permille * n + 999) div 1000"))
+      .join(cum, col("cum") >= col("target_rank"))
+      .groupBy(col("q_permille")).agg(min(col("v")).as("exact_cents"))
+    val sk = c.crossJoin(broadcast(ws))
+      .groupBy(col("w"), expr("v div w").as("b")).agg(sum(col("cnt")).as("bcnt"))
+    val cumB = sk.withColumn("cumb", sum(col("bcnt")).over(
+        Window.partitionBy(col("w")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("w").as("cw"), col("b"), col("cumb"))
+    val t = qs.crossJoin(ws).crossJoin(broadcast(n))
+      .withColumn("target_rank", expr("(q_permille * n + 999) div 1000"))
+    val est = t.join(cumB, col("cw") === col("w") && col("cumb") >= col("target_rank"))
+      .groupBy(col("w"), col("q_permille"), col("target_rank"), col("n"))
+      .agg(min(col("b")).as("b"))
+    est.join(broadcast(exact), "q_permille")
+      .select(col("w").as("width_cents"), col("q_permille"), col("target_rank"),
+        col("n"),
+        (col("b") * col("w") + expr("w div 2")).as("est_cents"),
+        col("exact_cents"),
+        (col("b") * col("w") + expr("w div 2") - col("exact_cents")).as("err_cents"),
+        expr("w div 2").as("bound_cents"))
+      .orderBy(col("width_cents"), col("q_permille"))
+  }
+
+  /** DuckDB twin: same distinct-cents relation, per-width bucket lanes,
+    * identical rank arithmetic. */
+  val aggQuantileCurveSql: String =
+    """WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS v, count(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+      |ws AS (SELECT unnest(CAST([16,64,256] AS BIGINT[])) AS w),
+      |qs AS (SELECT unnest(CAST([500,900] AS BIGINT[])) AS q_permille),
+      |cum AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM c),
+      |ex AS (SELECT q_permille, min(v) AS exact_cents
+      |  FROM (SELECT q_permille, (q_permille * n + 999) // 1000 AS target_rank
+      |        FROM qs CROSS JOIN nn) tq
+      |  JOIN cum ON cum.cum >= tq.target_rank GROUP BY 1),
+      |sk AS (SELECT w, v // w AS b, CAST(sum(cnt) AS BIGINT) AS bcnt
+      |  FROM c CROSS JOIN ws GROUP BY 1, 2),
+      |cb AS (SELECT w, b, CAST(sum(bcnt) OVER (PARTITION BY w ORDER BY b) AS BIGINT) AS cumb
+      |  FROM sk),
+      |t AS (SELECT w, q_permille, (q_permille * n + 999) // 1000 AS target_rank, n
+      |  FROM ws CROSS JOIN qs CROSS JOIN nn),
+      |es AS (SELECT t.w, t.q_permille, t.target_rank, t.n, min(cb.b) AS b
+      |  FROM t JOIN cb ON cb.w = t.w AND cb.cumb >= t.target_rank
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT es.w AS width_cents, es.q_permille, es.target_rank, es.n,
+      |  es.b * es.w + es.w // 2 AS est_cents, ex.exact_cents,
+      |  es.b * es.w + es.w // 2 - ex.exact_cents AS err_cents,
+      |  es.w // 2 AS bound_cents
+      |FROM es JOIN ex USING (q_permille)
+      |ORDER BY width_cents, q_permille""".stripMargin
+
   // ------------------------------------------- bucketed fact-fact join
   /** Corpora whose bucketed twin tables are already written. Keyed by
     * SESSION identity + corpus FILE SIGNATURE: the saveAsTable
@@ -2572,6 +2657,106 @@ object Analytics {
       |  AND c.cell = ((l.a*t.u + l.b) % 2147483647) % 1024
       |GROUP BY t.u, t.n_exact
       |ORDER BY n_exact DESC, user_id""".stripMargin
+
+  /** Sketch ALGEBRA on the count-min cells — the union symmetry CMS
+    * lacked (HLL and the grid quantile both have hash-checked merge
+    * faces): the two drift epochs' 4×1024 sketches (the 2024-01-16
+    * cut shared with [[aggQuantileUnion]]) merge by CELL-WISE
+    * ADDITION — counting registers merge exactly — and the merged
+    * sketch must agree with a sketch built DIRECTLY over the union.
+    * Certified by estimating the SAME top-5 exact-hot users under all
+    * four faces ('ref', 'cur', 'merged', 'direct') and hash-checking
+    * the table: merged ≡ direct row-for-row is the algebra; n_est ≥
+    * n_exact per face is the CMS one-sided contract (est_err = the
+    * collision overcount, per-epoch errors visible separately).
+    *
+    * == Scale design ==
+    * ONE scan folds events map-side onto the O(users) per-user
+    * (total, ref) count relation (stableCheckpointed); both epoch
+    * sketches are WEIGHTED folds of that relation onto the fixed
+    * 4×1024 cells, and the top-5 exact leg rides it too. The direct
+    * face deliberately re-scans raw events — it exists purely as the
+    * independent cross-check target (the [[aggQuantileUnion]]
+    * pattern). Merging a backfill∪live pair at 100 TB costs the
+    * 4096-row register table, never a re-scan.
+    */
+  def aggCountMinUnion(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val lanes = cmsLanes
+    def laneCells(u: Column): Column = explode(array(lanes.indices.map(i =>
+      struct(lit(i.toLong).as("lane"), cmsCell(i, u).as("cell"))): _*))
+    val ue = events(s, dir)
+      .select(col("user_id").as("u"), (col("ts") < cut).cast("long").as("is_ref"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n_all"), sum(col("is_ref")).as("n_ref"))
+      .stableCheckpoint()
+    val sk = ue.select(col("n_all"), col("n_ref"), laneCells(col("u")).as("lc"))
+      .select(col("lc.lane").as("lane"), col("lc.cell").as("cell"),
+        col("n_all"), col("n_ref"))
+      .groupBy(col("lane"), col("cell"))
+      .agg(sum(col("n_ref")).as("ref_c"),
+        sum(col("n_all") - col("n_ref")).as("cur_c"))
+    val direct = events(s, dir).select(col("user_id").as("u"))
+      .select(laneCells(col("u")).as("lc"))
+      .select(col("lc.lane").as("lane"), col("lc.cell").as("cell"))
+      .groupBy(col("lane"), col("cell")).agg(count(lit(1)).as("c"))
+      .select(col("lane"), col("cell"), lit("direct").as("face"), col("c"))
+    val stacked = sk.select(col("lane"), col("cell"), expr(
+        "stack(3, 'ref', ref_c, 'cur', cur_c, 'merged', ref_c + cur_c) AS (face, c)"))
+      .select(col("lane"), col("cell"), col("face"), col("c"))
+      .union(direct)
+      .select(col("lane").as("slane"), col("cell").as("scell"),
+        col("face").as("sface"), col("c"))
+    val top = ue.orderBy(col("n_all").desc, col("u")).limit(5)
+    val faces = top.select(col("u"), expr(
+      "stack(4, 'ref', n_ref, 'cur', n_all - n_ref," +
+        " 'merged', n_all, 'direct', n_all) AS (face, n_exact)"))
+    faces.select(col("u"), col("face"), col("n_exact"), laneCells(col("u")).as("lc"))
+      .select(col("u"), col("face"), col("n_exact"),
+        col("lc.lane").as("lane"), col("lc.cell").as("cell"))
+      .join(broadcast(stacked), col("slane") === col("lane") &&
+        col("scell") === col("cell") && col("sface") === col("face"))
+      .groupBy(col("u"), col("face"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+      .select(col("face"), col("u").as("user_id"), col("n_exact"),
+        col("n_est"), (col("n_est") - col("n_exact")).as("est_err"))
+      .orderBy(col("user_id"), col("face"))
+  }
+
+  /** DuckDB twin: same lanes, same epoch cut, same stacked faces. */
+  val aggCountMinUnionSql: String =
+    """WITH e AS (SELECT user_id AS u,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+      |  FROM events),
+      |ue AS (SELECT u, count(*) AS n_all, CAST(sum(is_ref) AS BIGINT) AS n_ref
+      |  FROM e GROUP BY u),
+      |l AS (SELECT * FROM (VALUES (0, 1103515245, 12345),
+      |    (1, 1140671485, 12820163), (2, 214013, 2531011),
+      |    (3, 69069, 1)) AS t(lane, a, b)),
+      |sk AS (SELECT lane, ((a*u + b) % 2147483647) % 1024 AS cell,
+      |    CAST(sum(n_ref) AS BIGINT) AS ref_c,
+      |    CAST(sum(n_all - n_ref) AS BIGINT) AS cur_c
+      |  FROM ue CROSS JOIN l GROUP BY 1, 2),
+      |stacked AS (
+      |  SELECT lane, cell, 'ref' AS face, ref_c AS c FROM sk
+      |  UNION ALL SELECT lane, cell, 'cur', cur_c FROM sk
+      |  UNION ALL SELECT lane, cell, 'merged', ref_c + cur_c FROM sk
+      |  UNION ALL SELECT lane, ((a*u + b) % 2147483647) % 1024, 'direct', count(*)
+      |    FROM e CROSS JOIN l GROUP BY 1, 2),
+      |top AS (SELECT u, n_all, n_ref FROM ue ORDER BY n_all DESC, u LIMIT 5),
+      |faces AS (
+      |  SELECT u, 'ref' AS face, n_ref AS n_exact FROM top
+      |  UNION ALL SELECT u, 'cur', n_all - n_ref FROM top
+      |  UNION ALL SELECT u, 'merged', n_all FROM top
+      |  UNION ALL SELECT u, 'direct', n_all FROM top)
+      |SELECT f.face, f.u AS user_id, f.n_exact,
+      |  CAST(min(st.c) AS BIGINT) AS n_est,
+      |  CAST(min(st.c) - f.n_exact AS BIGINT) AS est_err
+      |FROM faces f CROSS JOIN l
+      |JOIN stacked st ON st.lane = l.lane AND st.face = f.face
+      |  AND st.cell = ((l.a*f.u + l.b) % 2147483647) % 1024
+      |GROUP BY 1, 2, 3
+      |ORDER BY user_id, f.face""".stripMargin
 
   // ------------------------------------------------------------ skyline
   /** Pareto frontier (skyline) of parts under (minimize price, maximize
@@ -5015,6 +5200,8 @@ object Analytics {
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_quantile_replay" -> aggQuantileReplay,
     "agg_quantile_union" -> aggQuantileUnion,
+    "agg_quantile_curve" -> aggQuantileCurve,
+    "agg_countmin_union" -> aggCountMinUnion,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_approx_quantile_inputs" -> aggApproxQuantileInputs,
     "agg_approx_distinct_inputs" -> aggApproxDistinctInputs,
@@ -5090,6 +5277,8 @@ object Analytics {
     "agg_approx_quantile_inputs" -> aggApproxQuantileInputsSql,
     "agg_quantile_replay" -> aggQuantileReplaySql,
     "agg_quantile_union" -> aggQuantileUnionSql,
+    "agg_quantile_curve" -> aggQuantileCurveSql,
+    "agg_countmin_union" -> aggCountMinUnionSql,
     "agg_approx_distinct_inputs" -> aggApproxDistinctInputsSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

@@ -656,6 +656,78 @@ class AnalyticsSpec extends SparkSpec {
       "ref and cur estimates identical everywhere — drift face vacuous")
   }
 
+  test("agg_quantile_curve: every width honors its geometry bound; W=64 reproduces the replay face") {
+    val rows = Analytics.aggQuantileCurve(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 6) // 3 widths x 2 quantiles
+    rows.foreach { case (w, q, target, n, est, exact, err, bound) =>
+      assert(bound == w / 2, s"w$w q$q bound")
+      assert(err == est - exact, s"w$w q$q err identity")
+      // the estimate is the midpoint of exact's bucket at THIS width
+      assert(est == (exact / w) * w + w / 2, s"w$w q$q bucket midpoint")
+      assert(math.abs(err) <= bound, s"w$w q$q error outside the grid bound")
+      assert(target == (q * n + 999) / 1000, s"w$w q$q target rank")
+    }
+    // the W=64 rows must BE agg_quantile_replay's q500/q900 rows
+    val replay = Analytics.aggQuantileReplay(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .filter(r => r._1 == 500L || r._1 == 900L)
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    rows.filter(_._1 == 64L).foreach { case (_, q, target, n, est, exact, err, _) =>
+      assert(replay(q) == ((target, n, est, exact, err)),
+        s"q$q: curve W=64 row diverges from agg_quantile_replay")
+    }
+    // exact values agree across widths per quantile (shared honest leg)
+    for (q <- Seq(500L, 900L))
+      assert(rows.filter(_._2 == q).map(_._6).distinct.length == 1, s"q$q exact leg")
+  }
+
+  test("agg_countmin_union: cell-add merge reproduces the direct sketch; replayed in memory") {
+    val rows = Analytics.aggCountMinUnion(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length == 20) // 5 hot users x 4 faces
+    val users = rows.map(_._2).distinct
+    assert(users.length == 5)
+    rows.foreach { case (face, u, nExact, nEst, err) =>
+      assert(err == nEst - nExact, s"$face u$u err identity")
+      assert(err >= 0, s"$face u$u CMS undercounts — one-sided contract broken")
+    }
+    for (u <- users) {
+      val byFace = rows.filter(_._2 == u).map(r => r._1 -> r).toMap
+      // the algebra under test: register-wise ADDITION ≡ direct build
+      assert(byFace("merged")._3 == byFace("direct")._3, s"u$u merged n_exact")
+      assert(byFace("merged")._4 == byFace("direct")._4, s"u$u merged n_est")
+      assert(byFace("ref")._3 + byFace("cur")._3 == byFace("merged")._3,
+        s"u$u epoch exact counts don't add")
+    }
+    // full in-memory replay: per-epoch 4x1024 sketches from the raw rows
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+    val lanes = Seq((1103515245L, 12345L), (1140671485L, 12820163L),
+      (214013L, 2531011L), (69069L, 1L))
+    def cell(i: Int, u: Long): Int =
+      (((u * lanes(i)._1 + lanes(i)._2) % 2147483647L + 2147483647L) % 2147483647L % 1024L).toInt
+    val sk = Array.fill(2, 4, 1024)(0L) // epoch (0=ref,1=cur) x lane x cell
+    ev.foreach { case (u, ts) =>
+      val ep = if (ts.before(cut)) 0 else 1
+      for (i <- 0 until 4) sk(ep)(i)(cell(i, u)) += 1L
+    }
+    rows.foreach { case (face, u, _, nEst, _) =>
+      val est = (0 until 4).map { i =>
+        val c = cell(i, u)
+        face match {
+          case "ref" => sk(0)(i)(c)
+          case "cur" => sk(1)(i)(c)
+          case _     => sk(0)(i)(c) + sk(1)(i)(c) // merged == direct
+        }
+      }.min
+      assert(est == nEst, s"$face u$u in-memory replay diverges")
+    }
+  }
+
   test("bucketed-table memo self-heals after an external DROP (fresh-catalog stand-in)") {
     // losing the catalog entries while the JVM-global memo survives is
     // exactly what a SparkSession swap in one JVM produces — the memo
