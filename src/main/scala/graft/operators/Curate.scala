@@ -35,7 +35,7 @@ object Curate {
     * scoring formula, interpolated into both curate oracles so the
     * replicas cannot drift.
     */
-  private val qualityCte: String = {
+  private[operators] val qualityCte: String = {
     val stops = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
     s"""q AS (
        |  SELECT doc_id, n_chars,

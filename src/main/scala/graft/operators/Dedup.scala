@@ -1416,6 +1416,75 @@ object Dedup {
        |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  // ------------------------------------------- exemplar policy face
+  /** Keep-BEST exemplar policy (r14 wave 24 — the POLICY question
+    * [[dedupClusterStats]]' docs_removed column leaves open: keep-one
+    * says nothing about WHICH one): every verified near-dup cluster
+    * keeps its highest-QUALITY member instead of [[dedupComponents]]'
+    * min-id convention — production dedup keeps the best copy of a
+    * page, not the first-crawled one. Quality is the shared gate
+    * formula at [[graft.operators.Curate.corpusTokenBudget]]'s
+    * milli-score granularity (integer quantization keeps the argmax
+    * bit-stable cross-engine), keeper = row 1 under the
+    * (mb DESC, doc_id) total order, min-id rides beside it as the
+    * incumbent. The per-source ledger prices the policy switch: kept
+    * docs and kept quality mass per source under BOTH policies — a
+    * source whose kept count drops under keep-best is the source
+    * whose crawls lose the quality contest (spec pins Σkept equal
+    * across policies — one keeper per cluster either way — and that
+    * keep-best's quality mass dominates, with strict gain somewhere).
+    *
+    * == Scale design ==
+    * The component labels are the verified O(paired docs) relation;
+    * the quality join adds one doc-keyed join against the gate's
+    * scan-side features, the two rank windows partition BY COMPONENT
+    * (parallel across clusters at any scale), and the ledger folds
+    * map-side onto O(sources) keys.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = dedupComponents(s, dir)
+    val m = TextOps.textQuality(s, dir).select(col("doc_id"),
+      least(floor(col("quality_score") * 1000), lit(999)).cast("long").as("mb"))
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val cq = comp.join(m, "doc_id").join(src, "doc_id")
+    val k = cq
+      .withColumn("rb", row_number().over(Window.partitionBy(col("component"))
+        .orderBy(col("mb").desc, col("doc_id"))))
+      .withColumn("rm", row_number().over(Window.partitionBy(col("component"))
+        .orderBy(col("doc_id"))))
+    k.groupBy(col("source")).agg(
+        count(lit(1)).as("n_paired"),
+        sum(when(col("rm") === 1, 1L).otherwise(0L)).as("kept_minid"),
+        sum(when(col("rb") === 1, 1L).otherwise(0L)).as("kept_best"),
+        sum(when(col("rm") === 1, col("mb")).otherwise(0L)).as("mb_kept_minid"),
+        sum(when(col("rb") === 1, col("mb")).otherwise(0L)).as("mb_kept_best"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the shared recursive component CTE joined to the shared
+    * quality CTE, keepers via the same two rank windows. */
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $componentCtes,
+       |${graft.operators.Curate.qualityCte},
+       |mq AS (SELECT doc_id,
+       |    least(CAST(floor(quality_score * 1000) AS BIGINT), 999) AS mb
+       |  FROM q),
+       |cq AS (SELECT c.doc_id, c.component, mq.mb, d.source
+       |  FROM comp c JOIN mq USING (doc_id)
+       |  JOIN documents d USING (doc_id)),
+       |k AS (SELECT *,
+       |    row_number() OVER (PARTITION BY component
+       |      ORDER BY mb DESC, doc_id) AS rb,
+       |    row_number() OVER (PARTITION BY component ORDER BY doc_id) AS rm
+       |  FROM cq)
+       |SELECT source, count(*) AS n_paired,
+       |  CAST(sum(CASE WHEN rm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_minid,
+       |  CAST(sum(CASE WHEN rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_best,
+       |  CAST(sum(CASE WHEN rm = 1 THEN mb ELSE 0 END) AS BIGINT) AS mb_kept_minid,
+       |  CAST(sum(CASE WHEN rb = 1 THEN mb ELSE 0 END) AS BIGINT) AS mb_kept_best
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------- BFS distance
   /** Hop distance to the cluster EXEMPLAR over the near-dup graph
     * (r14) — the merge-depth audit behind [[dedupComponents]]'
@@ -2103,6 +2172,7 @@ object Dedup {
     "dedup_components" -> dedupComponents,
     "graph_components_incremental" -> graphComponentsIncremental,
     "dedup_cluster_stats" -> dedupClusterStats,
+    "dedup_keep_best" -> dedupKeepBest,
     "contamination_ngram" -> contaminationNgram,
     "corpus_decontaminate" -> corpusDecontaminate,
     "dedup_minhash_sig" -> dedupMinhashSig,
@@ -2198,6 +2268,7 @@ object Dedup {
     // incremental path, identical contract: the full-recompute oracle
     "graph_components_incremental" -> dedupComponentsSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "contamination_ngram" -> contaminationNgramSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,

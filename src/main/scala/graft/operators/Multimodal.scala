@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.plans.Checkpoints.StableSyntax
 
 /** Multimodal-column plumbing (SURVEY.md §2): media as opaque binary
   * columns with typed metadata, and a batched per-partition feature
@@ -391,6 +392,103 @@ object Multimodal {
       |FROM ch GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY n_refs DESC, chunk_hash, chunk_len""".stripMargin
 
+  /** Chunk-STORE bill per modality kind (r14 wave 24 — the
+    * execute-side ledger [[mmCdcChunks]]' per-chunk accounting feeds:
+    * what the storage invoice looks like after content-defined dedup):
+    * every blob's chunk references are charged raw; each DISTINCT
+    * chunk is stored once, charged to the kind of its FIRST reference
+    * (min doc_id — the "first writer pays" convention that makes the
+    * per-kind stored bytes sum EXACTLY to the global store size, the
+    * conservation the spec pins). Output per kind: blobs, chunk refs,
+    * raw bytes, chunks owned, stored bytes, bytes saved, and the
+    * stored/raw ratio in exact ppm. Chunk identity is the same
+    * (hash, len) descriptor as the parent face — the birthday-bound
+    * caveat there applies verbatim.
+    *
+    * == Scale design ==
+    * ONE corpus scan through the codegen'd splitter kernel folds to
+    * the per-ref relation (stableCheckpointed — it feeds both the
+    * owner fold and the raw rollup); owners are one
+    * map-side-combinable groupBy on uniform hash keys; both ledgers
+    * are O(kinds) = 3 rows.
+    */
+  def mmCdcDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val ch = GraftSqlShim.column(
+      graft.functions.CdcChunks(GraftSqlShim.expression(col("text"))))
+    def kindOf(id: Column): Column =
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (id % 3 + 1).cast("int"))
+    val refs = docs(s, dir)
+      .filter(octet_length(col("text")) > 0)
+      .select(col("doc_id"), kindOf(col("doc_id")).as("kind"), explode(ch).as("d"))
+      .select(col("doc_id"), col("kind"),
+        shiftright(col("d"), 20).as("chunk_hash"),
+        col("d").bitwiseAND(lit(1048575L)).as("chunk_len"))
+      .stableCheckpoint()
+    val raw = refs.groupBy(col("kind")).agg(
+      countDistinct(col("doc_id")).as("n_blobs"),
+      count(lit(1)).as("n_chunk_refs"),
+      sum(col("chunk_len")).as("raw_bytes"))
+    val stored = refs.groupBy(col("chunk_hash"), col("chunk_len"))
+      .agg(min(col("doc_id")).as("owner_doc"))
+      .groupBy(kindOf(col("owner_doc")).as("kind"))
+      .agg(count(lit(1)).as("n_chunks_owned"),
+        sum(col("chunk_len")).as("stored_bytes"))
+    raw.join(stored, Seq("kind"), "left_outer")
+      .select(col("kind"), col("n_blobs"), col("n_chunk_refs"), col("raw_bytes"),
+        coalesce(col("n_chunks_owned"), lit(0L)).as("n_chunks_owned"),
+        coalesce(col("stored_bytes"), lit(0L)).as("stored_bytes"),
+        (col("raw_bytes") - coalesce(col("stored_bytes"), lit(0L))).as("bytes_saved"),
+        expr("1000000 * coalesce(stored_bytes, 0) div raw_bytes").as("stored_ppm"))
+      .orderBy(col("kind"))
+  }
+
+  /** DuckDB twin: the parent face's declarative splitter CTEs kept
+    * per-doc, then the same owner/raw rollups. */
+  val mmCdcDedupSql: String =
+    """WITH pos AS (SELECT doc_id, text,
+      |    unnest(range(1, strlen(text)+1)) AS i FROM documents
+      |  WHERE strlen(text) > 0),
+      |b AS (SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) AS byte,
+      |    CASE WHEN i >= 8 THEN
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(CAST(i-7 AS INT), CAST(i+1 AS INT)),
+      |          j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+      |        (a, c) -> (a*31 + c) % 2147483647)
+      |    ELSE NULL END AS w
+      |  FROM pos),
+      |m AS (SELECT doc_id, i, byte,
+      |    CASE WHEN w IS NOT NULL AND w % 64 = 0 THEN 1 ELSE 0 END AS bnd
+      |  FROM b),
+      |c AS (SELECT doc_id, i, byte,
+      |    COALESCE(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      |  FROM m),
+      |ch AS (SELECT doc_id, cid,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list(CAST(byte AS BIGINT) ORDER BY i)),
+      |      (a, x) -> (a*31 + x) % 2147483647) AS hash,
+      |    count(*) AS len
+      |  FROM c GROUP BY 1, 2),
+      |refs AS (SELECT doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    hash, len FROM ch),
+      |raw AS (SELECT kind, count(DISTINCT doc_id) AS n_blobs,
+      |    count(*) AS n_chunk_refs, CAST(sum(len) AS BIGINT) AS raw_bytes
+      |  FROM refs GROUP BY 1),
+      |own AS (SELECT hash, len, min(doc_id) AS owner_doc
+      |  FROM refs GROUP BY 1, 2),
+      |st AS (SELECT ['image', 'audio', 'video'][CAST(owner_doc % 3 + 1 AS INT)] AS kind,
+      |    count(*) AS n_chunks_owned, CAST(sum(len) AS BIGINT) AS stored_bytes
+      |  FROM own GROUP BY 1)
+      |SELECT raw.kind, n_blobs, n_chunk_refs, raw_bytes,
+      |  COALESCE(n_chunks_owned, 0) AS n_chunks_owned,
+      |  COALESCE(stored_bytes, 0) AS stored_bytes,
+      |  raw_bytes - COALESCE(stored_bytes, 0) AS bytes_saved,
+      |  1000000 * COALESCE(stored_bytes, 0) // raw_bytes AS stored_ppm
+      |FROM raw LEFT JOIN st USING (kind) ORDER BY kind""".stripMargin
+
   // ------------------------------------------------- perceptual hash
   /** Per-blob perceptual signature — the average-hash (aHash) skeleton
     * every image near-dup pipeline computes after decode: downscale to
@@ -542,6 +640,7 @@ object Multimodal {
     "mm_ingest" -> mmIngest,
     "mm_dedup_blob" -> mmDedupBlob,
     "mm_cdc_chunks" -> mmCdcChunks,
+    "mm_cdc_dedup" -> mmCdcDedup,
     "mm_batch_extract" -> mmBatchExtract,
     "mm_frame_sample" -> mmFrameSample,
     "mm_scene_cut" -> mmSceneCut,
@@ -622,6 +721,7 @@ object Multimodal {
     "mm_ingest" -> mmIngestSql,
     "mm_dedup_blob" -> mmDedupBlobSql,
     "mm_cdc_chunks" -> mmCdcChunksSql,
+    "mm_cdc_dedup" -> mmCdcDedupSql,
     "mm_batch_extract" -> mmBatchExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_scene_cut" -> mmSceneCutSql,

@@ -335,6 +335,42 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "chunk accounting drifted from the kernel replay")
   }
 
+  test("mm_cdc_dedup: first-writer-pays conserves the global store; bill replayed in memory") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2.nonEmpty)
+    val kinds = Seq("image", "audio", "video")
+    val refs = docs.flatMap { case (id, t) =>
+      graft.functions.CdcKernel.chunkArray(t.getBytes("UTF-8"))
+        .map(d => (id, kinds((id % 3).toInt), d >> 20, d & 1048575L))
+    }
+    val got = Multimodal.mmCdcDedup(spark, sf)
+      .select("kind", "n_blobs", "n_chunk_refs", "raw_bytes",
+        "n_chunks_owned", "stored_bytes", "bytes_saved", "stored_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 3)
+    // conservation: per-kind stored bytes sum to the global distinct store
+    val globalStore = refs.groupBy(r => (r._3, r._4)).map(_._2.head._4).sum
+    assert(got.map(_._6).sum == globalStore, "stored bytes != global store size")
+    // raw bytes tile the blobs exactly (chunks partition each blob)
+    assert(got.map(_._4).sum == docs.map(_._2.getBytes("UTF-8").length.toLong).sum,
+      "raw bytes != corpus byte mass")
+    // full in-memory replay of the per-kind bill
+    val owners = refs.groupBy(r => (r._3, r._4))
+      .map { case (_, v) => v.minBy(_._1) } // first writer
+    got.foreach { case (kind, nb, nr, raw, owned, stored, saved, ppm) =>
+      val kr = refs.filter(_._2 == kind)
+      val ko = owners.filter(_._2 == kind)
+      assert(nb == kr.map(_._1).distinct.length.toLong, s"$kind n_blobs")
+      assert(nr == kr.length.toLong, s"$kind n_chunk_refs")
+      assert(raw == kr.map(_._4).sum, s"$kind raw_bytes")
+      assert(owned == ko.size.toLong, s"$kind n_chunks_owned")
+      assert(stored == ko.map(_._4).sum, s"$kind stored_bytes")
+      assert(saved == raw - stored && saved >= 0, s"$kind saved")
+      assert(ppm == 1000000L * stored / raw, s"$kind stored_ppm")
+    }
+  }
+
   test("mm ingest kinds cycle by doc_id and sha256 is 64 hex chars") {
     val out = Multimodal.mmIngest(spark, sf)
       .select("doc_id", "kind", "sha256").as[(Long, String, String)].collect()

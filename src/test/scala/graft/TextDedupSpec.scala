@@ -891,6 +891,40 @@ class TextDedupSpec extends SparkSpec {
     assert(hist.map(_._3).sum == comp.length.toLong, "doc mass lost")
   }
 
+  test("dedup_keep_best: one keeper per cluster either way; keep-best quality mass dominates") {
+    import graft.operators.Dedup
+    val comp = Dedup.dedupComponents(spark, sfMid)
+      .select("doc_id", "component").as[(Long, Long)].collect()
+    val nClusters = comp.map(_._2).distinct.length.toLong
+    val rows = Dedup.dedupKeepBest(spark, sfMid)
+      .select("source", "n_paired", "kept_minid", "kept_best",
+        "mb_kept_minid", "mb_kept_best")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // one keeper per cluster under BOTH policies
+    assert(rows.map(_._3).sum == nClusters, "min-id keeper count != clusters")
+    assert(rows.map(_._4).sum == nClusters, "best keeper count != clusters")
+    assert(rows.map(_._2).sum == comp.length.toLong, "paired doc mass lost")
+    // policy dominance: keep-best's kept quality mass >= min-id's,
+    // globally (per cluster best >= incumbent by construction)
+    val bestMass = rows.map(_._6).sum; val minidMass = rows.map(_._5).sum
+    assert(bestMass >= minidMass, "keep-best lost the quality contest it defines")
+    // non-vacuous: the policies must actually disagree somewhere
+    assert(bestMass > minidMass || rows.exists(r => r._3 != r._4),
+      "keep-best == min-id everywhere — policy face vacuous at this SF")
+    // in-memory replay of the argmax: keeper = (mb desc, doc_id) row 1
+    val mb = graft.operators.TextOps.textQuality(spark, sfMid)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect()
+      .map { case (id, q) => id -> math.min(math.floor(q * 1000).toLong, 999L) }.toMap
+    val srcOf = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val perSourceBest = comp.groupBy(_._2).values.map { members =>
+      srcOf(members.map(m => (-mb(m._1), m._1)).min._2)
+    }.groupBy(identity).map { case (s0, xs) => s0 -> xs.size.toLong }
+    assert(rows.map(r => r._1 -> r._4).filter(_._2 > 0).toMap == perSourceBest,
+      "keep-best keeper attribution diverges from the in-memory argmax")
+  }
+
   test("sample_quota: largest-remainder apportionment fills the budget exactly") {
     import graft.operators.Curate
     val rows = Curate.sampleQuota(spark, sfMid)
