@@ -209,6 +209,64 @@ object Geo {
        |  greatest(0, least(255, (shade - 170) * 3)) AS blue
        |FROM shaded ORDER BY px, py""".stripMargin
 
+  /** Spread pass over the shaded raster (r14 wave 25 — datashader's
+    * `tf.spread` step, the one visual-pipeline stage between shade and
+    * export the inventory lacked: single-pixel points are invisible at
+    * display resolution, so each occupied cell's count is spread over
+    * its 3×3 neighborhood before export). Implemented as a 9-offset
+    * fan-out of the OCCUPIED raster cells (a convolution with the ones
+    * kernel) clipped at the canvas edges, then a grouped re-sum per
+    * target cell — `cnt_spread` = Σ neighbor counts, `n_src` = how
+    * many occupied neighbors contributed, and the original `cnt`
+    * rides along (0 where spread lit a previously-empty cell).
+    * Interior mass conservation — every count lands in exactly 9
+    * cells unless clipped — is what the spec pins.
+    *
+    * == Scale design ==
+    * The fan-out rides the RASTER relation (canvas-bounded, ≤1.4M
+    * cells, already reduced map-side from the point corpus), never the
+    * points: ×9 of bounded is bounded. The re-sum is one
+    * map-side-combinable groupBy on grid keys; the original-count
+    * join-back is grid-keyed and canvas-bounded on both sides.
+    */
+  def geoSpread(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val raster = rasterDf(s, dir).stableCheckpoint()
+    val offs = (for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))).toSeq
+    val sp = raster.select(col("px"), col("py"), col("cnt"),
+        explode(array(offs: _*)).as("o"))
+      .select((col("px") + col("o.dx")).as("qx"),
+        (col("py") + col("o.dy")).as("qy"), col("cnt"))
+      .filter(col("qx") >= 0 && col("qx") <= (W - 1) &&
+        col("qy") >= 0 && col("qy") <= (H - 1))
+      .groupBy(col("qx"), col("qy"))
+      .agg(count(lit(1)).as("n_src"), sum(col("cnt")).as("cnt_spread"))
+    sp.join(raster.select(col("px"), col("py"), col("cnt")),
+        col("px") === col("qx") && col("py") === col("qy"), "left_outer")
+      .select(col("qx").as("px"), col("qy").as("py"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("n_src"), col("cnt_spread"))
+      .orderBy(col("px"), col("py"))
+  }
+
+  val geoSpreadSql: String =
+    s"""WITH $pointsCte, $mercCte, $rasterCte,
+       |off AS (SELECT o1.d AS dx, o2.d AS dy
+       |  FROM (SELECT unnest(range(-1, 2)) AS d) o1
+       |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS d) o2),
+       |sp AS (SELECT px + dx AS qx, py + dy AS qy, cnt
+       |  FROM raster CROSS JOIN off
+       |  WHERE px + dx BETWEEN 0 AND ${W - 1}
+       |    AND py + dy BETWEEN 0 AND ${H - 1}),
+       |agg AS (SELECT qx, qy, count(*) AS n_src,
+       |    CAST(sum(cnt) AS BIGINT) AS cnt_spread
+       |  FROM sp GROUP BY 1, 2)
+       |SELECT a.qx AS px, a.qy AS py,
+       |  COALESCE(r.cnt, 0) AS cnt, a.n_src, a.cnt_spread
+       |FROM agg a LEFT JOIN raster r ON r.px = a.qx AND r.py = a.qy
+       |ORDER BY px, py""".stripMargin
+
   /** Per-partition (day) fan-out: one frame-summary row per day of
     * in-bbox points, with an ordered frame sequence — the Spark-native
     * equivalent of the reference's per-month AWS Batch array job
@@ -648,6 +706,7 @@ object Geo {
     "geo_mercator" -> geoMercator,
     "geo_bbox_filter" -> geoBboxFilter,
     "geo_rasterize" -> geoRasterize,
+    "geo_spread" -> geoSpread,
     "geo_shade_eqhist" -> geoShadeEqhist,
     "geo_shade_rgb" -> geoShadeRgb,
     "map_fanout" -> mapFanout,
@@ -661,6 +720,7 @@ object Geo {
     "geo_mercator" -> geoMercatorSql,
     "geo_bbox_filter" -> geoBboxFilterSql,
     "geo_rasterize" -> geoRasterizeSql,
+    "geo_spread" -> geoSpreadSql,
     "geo_shade_eqhist" -> geoShadeEqhistSql,
     "geo_shade_rgb" -> geoShadeRgbSql,
     "map_fanout" -> mapFanoutSql,

@@ -379,6 +379,70 @@ object TextOps {
        |  CAST(n_docs AS BIGINT) AS n_docs, cum_ppm
        |FROM vocab ORDER BY vocab_id""".stripMargin
 
+  /** Zipf rank-frequency decay table (r14 wave 25 — the
+    * justify-the-model audit behind every Heaps/Zipf assumption this
+    * engine quotes: the BPE trainer's Heaps-law vocab bound, the
+    * surprisal LM, the ccnet reference counts): words ranked by
+    * (count DESC, token), dealt into doubling-rank buckets
+    * b = ⌊log₂ rank⌋ by binary-digit counting, each bucket reporting
+    * its word count, occurrence mass, mean occurrences in exact milli
+    * units, and `decay_ppm` — the bucket-over-bucket mean-frequency
+    * ratio in exact ppm via DECIMAL/HUGEINT cross-multiplication. A
+    * Zipf corpus with exponent s shows decay ≈ 2^−s per bucket
+    * (s = 1 → 500000 ppm); the table is where that exponent is READ,
+    * not assumed.
+    *
+    * == Scale design ==
+    * ONE corpus scan folds map-side onto the Heaps-law (token, count)
+    * vocab relation; the rank window rides that bounded relation (the
+    * documented bounded-relation single-partition case, exactly
+    * [[vocabBuild]]'s), and everything after runs on O(log vocab)
+    * bucket rows.
+    */
+  def textZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs(s, dir).select(explode(words).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+    val byFreq = Window.orderBy(col("n_occ").desc, col("token"))
+    val b = g.withColumn("r", row_number().over(byFreq).cast("long"))
+      .select((length(bin(col("r"))) - 1).cast("long").as("bucket"), col("n_occ"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_occ")).as("occ_mass"))
+    val w = Window.orderBy(col("bucket"))
+    b.withColumn("prev_mass", lag(col("occ_mass"), 1).over(w))
+      .withColumn("prev_words", lag(col("n_words"), 1).over(w))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").as("rank_lo"),
+        col("n_words"), col("occ_mass"),
+        expr("1000 * occ_mass div n_words").as("mean_occ_milli"),
+        expr("CASE WHEN prev_mass IS NULL THEN NULL ELSE " +
+          "CAST((CAST(occ_mass AS DECIMAL(38,0)) * prev_words * 1000000)" +
+          " div (CAST(prev_mass AS DECIMAL(38,0)) * n_words) AS BIGINT) END")
+          .as("decay_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB twin: same rank, same binary-digit bucket, HUGEINT ratio. */
+  val textZipfFitSql: String =
+    """WITH g AS (SELECT token, count(*) AS n_occ
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token),
+      |r AS (SELECT n_occ,
+      |    row_number() OVER (ORDER BY n_occ DESC, token) AS r FROM g),
+      |b AS (SELECT length(bin(r)) - 1 AS bucket, count(*) AS n_words,
+      |    CAST(sum(n_occ) AS BIGINT) AS occ_mass
+      |  FROM r GROUP BY 1),
+      |l AS (SELECT *, lag(occ_mass) OVER (ORDER BY bucket) AS prev_mass,
+      |    lag(n_words) OVER (ORDER BY bucket) AS prev_words FROM b)
+      |SELECT bucket,
+      |  CAST(1 AS BIGINT) << CAST(bucket AS INT) AS rank_lo,
+      |  CAST(n_words AS BIGINT) AS n_words, occ_mass,
+      |  1000 * occ_mass // n_words AS mean_occ_milli,
+      |  CASE WHEN prev_mass IS NULL THEN NULL ELSE
+      |    CAST((CAST(occ_mass AS HUGEINT) * prev_words * 1000000)
+      |      // (CAST(prev_mass AS HUGEINT) * n_words) AS BIGINT) END AS decay_ppm
+      |FROM l ORDER BY bucket""".stripMargin
+
   /** Corpus → token-id encoding against [[vocabBuild]]'s table: one row
     * per (doc, position) with the assigned id — the serialize-to-ids
     * stage before packing ([[Curate.packSequential]] consumes exactly
@@ -2754,6 +2818,7 @@ object TextOps {
     "text_collocations" -> textCollocations,
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
+    "text_zipf_fit" -> textZipfFit,
     "tokenize_ids" -> tokenizeIds,
     "quality_classifier" -> qualityClassifier,
     "quality_vote" -> qualityVote,
@@ -2811,6 +2876,7 @@ object TextOps {
     "text_collocations" -> textCollocationsSql,
     "ml_feature_hash" -> mlFeatureHashSql,
     "vocab_build" -> vocabBuildSql,
+    "text_zipf_fit" -> textZipfFitSql,
     "tokenize_ids" -> tokenizeIdsSql,
     "quality_classifier" -> qualityClassifierSql,
     "quality_vote" -> qualityVoteSql,

@@ -170,4 +170,41 @@ class GeoSpec extends SparkSpec {
     assert(zFromHil.toSeq == zFromEval.toSeq,
       "the two audits disagree on the shared zorder layout")
   }
+
+  test("geo_spread: 3x3 convolution replayed in memory, interior mass x9") {
+    val raster = Geo.rasterDf(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val cntOf = raster.map(r => (r._1, r._2) -> r._3).toMap
+    val model = collection.mutable.Map[(Long, Long), (Long, Long)]()
+    raster.foreach { case (px, py, c) =>
+      for (dx <- -1L to 1L; dy <- -1L to 1L) {
+        val (qx, qy) = (px + dx, py + dy)
+        if (qx >= 0 && qx <= 1399 && qy >= 0 && qy <= 999) {
+          val (n, m) = model.getOrElse((qx, qy), (0L, 0L))
+          model((qx, qy)) = (n + 1, m + c)
+        }
+      }
+    }
+    val got = Geo.geoSpread(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == model.size, "spread cell set diverges")
+    got.foreach { case (px, py, cnt, nSrc, spread) =>
+      assert(cnt == cntOf.getOrElse((px, py), 0L), s"($px,$py) original count")
+      assert((nSrc, spread) == model((px, py)), s"($px,$py) spread accounting")
+    }
+    // conservation: every interior count lands in exactly 9 cells
+    val interiorMass = raster.filter { case (px, py, _) =>
+      px >= 1 && px <= 1398 && py >= 1 && py <= 998 }.map(_._3).sum
+    val edgeRaster = raster.filterNot { case (px, py, _) =>
+      px >= 1 && px <= 1398 && py >= 1 && py <= 998 }
+    val edgeLanding = edgeRaster.map { case (px, py, c) =>
+      val nx = (-1L to 1L).count(d => px + d >= 0 && px + d <= 1399)
+      val ny = (-1L to 1L).count(d => py + d >= 0 && py + d <= 999)
+      c * nx * ny
+    }.sum
+    assert(got.map(_._5).sum == 9 * interiorMass + edgeLanding,
+      "spread mass diverges from the clipped-kernel accounting")
+    // non-vacuous: spread must light previously-empty neighbors
+    assert(got.exists(_._3 == 0L), "no halo cells — spread vacuous")
+  }
 }

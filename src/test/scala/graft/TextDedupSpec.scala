@@ -925,6 +925,38 @@ class TextDedupSpec extends SparkSpec {
       "keep-best keeper attribution diverges from the in-memory argmax")
   }
 
+  test("text_zipf_fit: doubling-rank buckets replayed in memory, mass conserved") {
+    import graft.operators.TextOps
+    val counts = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }.toSeq
+    val ranked = counts.sortBy { case (w, n) => (-n, w) }.zipWithIndex
+      .map { case ((_, n), i) => (i + 1L, n) }
+    val model = ranked.groupBy { case (r, _) => 63 - java.lang.Long.numberOfLeadingZeros(r) }
+      .map { case (b, xs) => b.toLong -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val got = TextOps.textZipfFit(spark, sfMid)
+      .select("bucket", "rank_lo", "n_words", "occ_mass", "mean_occ_milli", "decay_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got.map(g => g._1 -> ((g._3, g._4))).toMap == model,
+      "bucket table diverges from the in-memory rank fold")
+    // every bucket except possibly the last is full: n_words = 2^b
+    got.dropRight(1).foreach { case (b, lo, nw, _, _, _) =>
+      assert(lo == (1L << b) && nw == lo, s"bucket $b not full")
+    }
+    // conservation: occurrence mass = corpus token count
+    assert(got.map(_._4).sum == counts.map(_._2).sum, "token mass lost")
+    // decay identity vs the previous bucket
+    got.sliding(2).foreach {
+      case Array(p, c) =>
+        val want = (BigInt(c._4) * p._3 * 1000000) / (BigInt(p._4) * c._3)
+        assert(c._6.contains(want.toLong), s"bucket ${c._1} decay_ppm")
+      case _ =>
+    }
+    assert(got.head._6.isEmpty, "bucket 0 must have no decay")
+  }
+
   test("sample_quota: largest-remainder apportionment fills the budget exactly") {
     import graft.operators.Curate
     val rows = Curate.sampleQuota(spark, sfMid)
