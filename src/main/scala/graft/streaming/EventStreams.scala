@@ -1855,6 +1855,107 @@ object EventStreams {
       |FROM grid g LEFT JOIN hourly h ON h.hi = g.hi AND h.event_type = g.event_type
       |ORDER BY g.event_type, hour_idx""".stripMargin
 
+  // ------------------------------------------------------- live EWMA
+  case class EwmaEv(event_type: String, hi: Long)
+  /** hi = the OPEN hour; n = its running count; ring = the ≤24 most
+    * recent CLOSED hourly counts, most recent first — 26 longs of
+    * state per type, the whole memory of the trailing-25 kernel. */
+  case class EwmaSt(hi: Long, n: Long, ring: Seq[Long])
+  case class EwmaOut(hour_idx: Long, event_type: String, n_events: Long,
+                     ewma_scaled: Long)
+
+  /** Live trailing-25 dyadic EWMA (the streaming twin
+    * [[graft.operators.Analytics.eventsEwma]] lacked — the smoothed
+    * volume curve a monitoring dashboard draws as events arrive): an
+    * hour's row emits the moment a LATER hour's first event closes it
+    * (the open hour is still accumulating, so its EWMA is not yet
+    * defined — the closed-hour contract every live face here uses),
+    * gap hours close as exact zeros on the way (the
+    * [[gapFillStream]] densification), and the scaled estimate is the
+    * same pure-integer Σ n_{t−k}·2^{24−k} as the batch face — no
+    * float state, so stream ≡ batch bit-for-bit per closed hour.
+    */
+  def ewmaStream(stream: Dataset[EwmaEv]): Dataset[EwmaOut] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaSt, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, evs: Iterator[EwmaEv], state: GroupState[EwmaSt]) =>
+          val byHour = evs.toVector.groupBy(_.hi).toVector.sortBy(_._1)
+          var st = state.getOption.getOrElse(EwmaSt(Long.MinValue, 0L, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[EwmaOut]()
+          def scaled(n: Long, ring: Seq[Long]): Long =
+            (n << 24) + ring.zipWithIndex.map { case (v, i) => v << (23 - i) }.sum
+          byHour.foreach { case (h, rs) =>
+            if (st.hi == Long.MinValue) st = EwmaSt(h, rs.length.toLong, Nil)
+            else if (h == st.hi) st = st.copy(n = st.n + rs.length)
+            else {
+              out += EwmaOut(st.hi, typ, st.n, scaled(st.n, st.ring))
+              var ring = (st.n +: st.ring).take(24)
+              var g = st.hi + 1
+              while (g < h) {
+                out += EwmaOut(g, typ, 0L, scaled(0L, ring))
+                ring = (0L +: ring).take(24)
+                g += 1
+              }
+              st = EwmaSt(h, rs.length.toLong, ring)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch face of [[ewmaStream]] (registered as `stream_ewma`): the
+    * per-type dense hourly grid over [h0, h1) — the final observed
+    * hour is EXCLUDED because it is still open on the live face — with
+    * the trailing-25 scaled EWMA as one 25-lag window expression,
+    * [[graft.operators.Analytics.eventsEwma]]'s kernel on
+    * [[streamGapFill]]'s live-computable per-type bounds.
+    *
+    * == Scale design ==
+    * One scan folds map-side onto the O(types × hours) hourly ledger;
+    * the grid explode and the 25-lag window ride that ledger
+    * partitioned by type. The live twin holds 26 longs per type.
+    */
+  def streamEwma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hi"), col("event_type"))
+    val hourly = e.groupBy(col("hi"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = e.groupBy(col("event_type"))
+      .agg(min(col("hi")).as("h0"), max(col("hi")).as("h1"))
+    val grid = bounds.filter(col("h1") > col("h0"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1") - 1)).as("hi"))
+      .join(hourly, Seq("hi", "event_type"), "left")
+      .select(col("hi"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hi"))
+    val scaled = (0 to 24).map(k =>
+      coalesce(lag(col("n"), k).over(w), lit(0L)) * lit(1L << (24 - k)))
+      .reduce(_ + _)
+    grid.select(col("hi").as("hour_idx"), col("event_type"),
+        col("n").as("n_events"), scaled.as("ewma_scaled"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
+  val streamEwmaSql: String = {
+    val terms = (0 to 24).map(k =>
+      s"coalesce(lag(n, $k) OVER w, 0) * ${1L << (24 - k)}").mkString(" + ")
+    s"""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hi, event_type FROM events),
+       |hourly AS (SELECT hi, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+       |b AS (SELECT event_type, min(hi) AS h0, max(hi) AS h1 FROM e GROUP BY 1),
+       |grid AS (SELECT event_type, unnest(range(h0, h1)) AS hi
+       |  FROM b WHERE h1 > h0),
+       |g2 AS (SELECT g.hi, g.event_type, coalesce(n, 0) AS n
+       |  FROM grid g LEFT JOIN hourly h
+       |    ON h.hi = g.hi AND h.event_type = g.event_type)
+       |SELECT CAST(hi AS BIGINT) AS hour_idx, event_type,
+       |  CAST(n AS BIGINT) AS n_events, CAST($terms AS BIGINT) AS ewma_scaled
+       |FROM g2 WINDOW w AS (PARTITION BY event_type ORDER BY hi)
+       |ORDER BY event_type, hour_idx""".stripMargin
+  }
+
   // ------------------------------------------------------ live packing
   case class PackDoc(doc_id: Long, n_tokens: Long)
   case class PackSt(off: Long, bin: Long, nDocs: Long, first: Long,
@@ -2136,6 +2237,7 @@ object EventStreams {
     "stream_anomaly" -> streamAnomaly,
     "stream_attribution" -> streamAttribution,
     "stream_gap_fill" -> streamGapFill,
+    "stream_ewma" -> streamEwma,
     "stream_quantile" -> streamQuantile,
     "stream_dau" -> streamDau,
     "stream_ab_lift" -> streamAbLift,
@@ -2175,6 +2277,7 @@ object EventStreams {
     "stream_anomaly" -> streamAnomalySql,
     "stream_attribution" -> streamAttributionSql,
     "stream_gap_fill" -> streamGapFillSql,
+    "stream_ewma" -> streamEwmaSql,
     "stream_quantile" -> streamQuantileSql,
     "stream_dau" -> streamDauSql,
     "stream_ab_lift" -> streamAbLiftSql,

@@ -1192,6 +1192,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed EWMA equals the batch trailing-25 kernel per closed hour") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.EwmaEv
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .as[(String, Long)].collect()
+      .map { case (t, h) => EwmaEv(t, h) }
+    val byHour = evs.groupBy(_.hi).toSeq.sortBy(_._1)
+    val mem = MemoryStream[EwmaEv]
+    val q = EventStreams.ewmaStream(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_live")
+      .outputMode("append").start()
+    try {
+      byHour.foreach { case (_, rows) =>
+        mem.addData(rows.toSeq: _*); q.processAllAvailable()
+      }
+      val live = spark.sql(
+        "SELECT hour_idx, event_type, n_events, ewma_scaled FROM ewma_live")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val batch = EventStreams.streamEwma(spark, sf)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(batch.nonEmpty)
+      assert(live == batch,
+        s"stream-only ${live.diff(batch).take(3)}; batch-only ${batch.diff(live).take(3)}")
+      // the open hour never emits: per type, exactly [h0, h1) appears
+      val lastObs = evs.groupBy(_.event_type).map { case (t, xs) =>
+        t -> (xs.map(_.hi).min, xs.map(_.hi).max) }
+      batch.groupBy(_._2).foreach { case (t, rows) =>
+        val hs = rows.map(_._1).toSeq.sorted
+        val (h0, h1) = lastObs(t)
+        assert(hs == (h0 until h1), s"$t grid != [h0, h1)")
+      }
+      // kernel identity: scaled EWMA replayed from the closed counts
+      batch.groupBy(_._2).foreach { case (t, rows) =>
+        val byH = rows.toSeq.sortBy(_._1)
+        val counts = byH.map(_._3)
+        byH.zipWithIndex.foreach { case ((h, _, _, got), i) =>
+          val want = (0 to 24).map(k =>
+            (if (i - k >= 0) counts(i - k) else 0L) << (24 - k)).sum
+          assert(got == want, s"$t hour $h scaled kernel")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streamed packing emits exactly the batch closed-window ledger") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.PackDoc
