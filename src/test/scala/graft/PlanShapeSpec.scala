@@ -786,4 +786,46 @@ class PlanShapeSpec extends SparkSpec {
       || hcPlan.contains("BroadcastHashJoin"),
       s"agg_hll_curve: config fan-out must broadcast:\n$hcPlan")
   }
+
+  test("r14 wave 23-26 scan claims: curve/union/bill faces ride their checkpoints") {
+    // agg_quantile_curve / mm_cdc_dedup / geo_spread: the corpus folds
+    // ONCE into a checkpointed relation (distinct-cents / chunk refs /
+    // raster); every downstream leg — 3-width fan-out, owner fold,
+    // 9-offset spread — must read the materialized relation only
+    for ((name, df) <- Seq(
+        "agg_quantile_curve" -> Analytics.aggQuantileCurve(spark, sf),
+        "mm_cdc_dedup" -> operators.Multimodal.mmCdcDedup(spark, sf),
+        "geo_spread" -> operators.Geo.geoSpread(spark, sf))) {
+      val plan = planOf(df)
+      assert(!plan.contains("FileScan"),
+        s"$name: a corpus scan escaped the checkpoint:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"$name: expected the checkpointed relation:\n$plan")
+    }
+    // agg_countmin_union: the checkpointed per-user fold plus EXACTLY
+    // the one deliberate direct re-scan (the independent cross-check)
+    val cmPlan = planOf(Analytics.aggCountMinUnion(spark, sf))
+    val cmScans = "FileScan".r.findAllIn(cmPlan).length
+    assert(cmScans == 1,
+      s"agg_countmin_union: expected only the direct face's scan, got $cmScans:\n$cmPlan")
+    assert(cmPlan.contains("ExistingRDD"),
+      s"agg_countmin_union: expected the checkpointed user fold:\n$cmPlan")
+    // text_zipf_fit: one corpus scan; the rank/bucket windows ride the
+    // vocab relation
+    val zPlan = planOf(operators.TextOps.textZipfFit(spark, sf))
+    assert("FileScan".r.findAllIn(zPlan).length == 1,
+      s"text_zipf_fit: expected exactly one corpus scan:\n$zPlan")
+    // stream_ewma keeps the gap-fill family's two-read shape (hourly
+    // fold + bounds) and must not grow beyond it
+    val ePlan = planOf(streaming.EventStreams.streamEwma(spark, sf))
+    assert("FileScan".r.findAllIn(ePlan).length <= 2,
+      s"stream_ewma: scan count grew past the family shape:\n$ePlan")
+    // dedup_keep_best: labels come out of the loop checkpointed; the
+    // quality/source joins may scan documents but never cartesian
+    val kbPlan = planOf(operators.Dedup.dedupKeepBest(spark, sf))
+    assert(!kbPlan.contains("CartesianProduct"),
+      s"dedup_keep_best: cartesian product:\n$kbPlan")
+    assert("FileScan".r.findAllIn(kbPlan).length <= 3,
+      s"dedup_keep_best: more scans than the quality+source joins explain:\n$kbPlan")
+  }
 }
