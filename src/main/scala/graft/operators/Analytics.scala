@@ -3709,6 +3709,69 @@ object Analytics {
     * (metric, value, user_id) tiebreaks make every quintile boundary
     * deterministic cross-engine.
     */
+  /** Revenue-concentration audit (r14 wave 27 — the inequality lens
+    * beside [[aggHeavyHitters]]' who-are-the-whales list: HOW
+    * concentrated is the spend, per event type): per type, each
+    * user's revenue cents ranked ascending under the (x, user_id)
+    * total order, the Gini coefficient computed EXACTLY as
+    * 10⁶·(2·Σi·xᵢ − (n+1)·Σxᵢ) div (n·Σxᵢ) — the closed form of the
+    * sorted-values Gini, staged in DECIMAL(38,0)/HUGEINT so the
+    * Σi·xᵢ cross product survives any corpus decade — beside the
+    * top-decile revenue share in exact ppm (the "top 10 % of users
+    * drive X % of revenue" number a monetization review quotes). A
+    * type whose gini rises epoch-over-epoch is concentrating risk
+    * into fewer payers; the exact-integer staging is what lets that
+    * comparison be a hash-stable diff rather than a float drift.
+    *
+    * == Scale design ==
+    * ONE scan folds map-side onto the checkpointed O(types × users)
+    * per-user revenue relation; the rank window partitions BY TYPE
+    * (parallel across types — at one hot type the same rank
+    * decomposes through [[globalRowPos]]); the ledger is O(types).
+    */
+  def eventsGini(s: SparkSession, dir: String): DataFrame = {
+    val ux = events(s, dir)
+      .select(col("event_type"), col("user_id"), cents(col("value")).as("vc"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("vc")).as("x"))
+      .stableCheckpoint()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"), col("user_id"))
+    val r = ux
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("nt", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    r.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x")).as("total_cents"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * i")).as("a"),
+        sum(when(col("i") > col("nt") - expr("nt div 10"), col("x"))
+          .otherwise(0L)).as("topx"))
+      .select(col("event_type"), col("n_users"), col("total_cents"),
+        expr("CAST((2 * a - (n_users + 1) * CAST(total_cents AS DECIMAL(38,0)))" +
+          " * 1000000 div (n_users * CAST(total_cents AS DECIMAL(38,0))) AS BIGINT)")
+          .as("gini_ppm"),
+        expr("CAST(CAST(topx AS DECIMAL(38,0)) * 1000000" +
+          " div CAST(total_cents AS DECIMAL(38,0)) AS BIGINT)").as("top_decile_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin: same total order, same closed form, HUGEINT staged. */
+  val eventsGiniSql: String =
+    """WITH e AS (SELECT event_type, user_id,
+      |    CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |ux AS (SELECT event_type, user_id, CAST(sum(vc) AS BIGINT) AS x
+      |  FROM e GROUP BY 1, 2),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i,
+      |    count(*) OVER (PARTITION BY event_type) AS nt FROM ux)
+      |SELECT event_type, count(*) AS n_users,
+      |  CAST(sum(x) AS BIGINT) AS total_cents,
+      |  CAST((2 * sum(CAST(x AS HUGEINT) * i)
+      |      - (count(*) + 1) * CAST(sum(x) AS HUGEINT)) * 1000000
+      |    // (count(*) * CAST(sum(x) AS HUGEINT)) AS BIGINT) AS gini_ppm,
+      |  CAST(CAST(sum(CASE WHEN i > nt - nt // 10 THEN x ELSE 0 END) AS HUGEINT)
+      |    * 1000000 // CAST(sum(x) AS HUGEINT) AS BIGINT) AS top_decile_ppm
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def eventsRfm(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
     val anchor = e.agg(max(col("ts")).as("t_max"))
@@ -5146,6 +5209,7 @@ object Analytics {
     "events_attribution" -> eventsAttribution,
     "events_attribution_multi" -> eventsAttributionMulti,
     "events_rfm" -> eventsRfm,
+    "events_gini" -> eventsGini,
     "agg_countmin" -> aggCountMin,
     "events_props_json" -> eventsPropsJson,
     "events_value_histogram" -> eventsValueHistogram,
@@ -5240,6 +5304,7 @@ object Analytics {
     "events_attribution" -> eventsAttributionSql,
     "events_attribution_multi" -> eventsAttributionMultiSql,
     "events_rfm" -> eventsRfmSql,
+    "events_gini" -> eventsGiniSql,
     "agg_countmin" -> aggCountMinSql,
     "events_props_json" -> eventsPropsJsonSql,
     "events_value_histogram" -> eventsValueHistogramSql,

@@ -515,6 +515,76 @@ object Maintain {
     * and keep the identical shape — exact here because the oracle
     * hash-compares.
     */
+  /** Zone-map clustering audit of the standing fact table (r14 wave
+    * 27 — the layout_skipping discipline pointed at a REAL table: the
+    * clustering-depth metric Delta/Iceberg OPTIMIZE decisions read):
+    * lineitem is dealt into 64 equal files in its ingest order
+    * (l_orderkey, l_linenumber — the deterministic stand-in for "the
+    * order rows arrived"), each file's zone map (min/max) is taken for
+    * two probe columns — the clustered ingest key and the UNCORRELATED
+    * l_shipdate — and each file's `depth` counts how many files' zones
+    * a point query hitting this file must also read (range-overlap
+    * count, self included). The contrast IS the finding: orderkey
+    * zones overlap only at file boundaries (depth ≤ 2) while shipdate
+    * zones all span the whole date range (depth ≈ 64, nothing prunes) —
+    * the one-table justification for re-clustering when shipdate
+    * predicates dominate the workload.
+    *
+    * == Scale design ==
+    * File assignment rides [[graft.operators.Analytics.globalRowPos]]'
+    * two-phase range-partitioned rank (no single-task sort); zone maps
+    * are one map-side-combinable fold onto O(files) keys; the overlap
+    * join is O(files²) on a ≤128-row broadcast relation. At 100 TB the
+    * zone relation comes free from parquet footers and the audit stays
+    * O(files).
+    */
+  def tableZonemapAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("sday"),
+        col("l_linenumber"))
+    val pos = graft.operators.Analytics.globalRowPos(li, Seq.empty,
+      Seq(col("okey"), col("l_linenumber")), "pos", "n")
+    val f = pos.select(col("okey"), col("sday"),
+      expr("(pos - 1) div ((n + 63) div 64)").as("fid"))
+    val st = f.select(expr(
+        "stack(2, 'orderkey', fid, okey, 'shipdate', fid, sday)" +
+        " AS (probe, fid, v)"))
+    val z = st.groupBy(col("probe"), col("fid"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val zb = z.select(col("probe").as("bprobe"), col("vmin").as("bmin"),
+      col("vmax").as("bmax"))
+    z.join(broadcast(zb), col("bprobe") === col("probe") &&
+        col("bmin") <= col("vmax") && col("bmax") >= col("vmin"))
+      .groupBy(col("probe"), col("fid"), col("vmin"), col("vmax"))
+      .agg(count(lit(1)).as("depth"))
+      .select(col("probe"), col("fid").as("file_id"), col("vmin"),
+        col("vmax"), col("depth"))
+      .orderBy(col("probe"), col("file_id"))
+  }
+
+  /** DuckDB twin: one global rank (the oracle replays semantics, not
+    * the distributed two-phase), same zones, same overlap count. */
+  val tableZonemapAuditSql: String =
+    """WITH r AS (SELECT l_orderkey AS okey,
+      |    CAST(datediff('day', DATE '1970-01-01', l_shipdate) AS BIGINT) AS sday,
+      |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS pos,
+      |    count(*) OVER () AS n
+      |  FROM lineitem),
+      |f AS (SELECT okey, sday, (pos - 1) // ((n + 63) // 64) AS fid FROM r),
+      |st AS (SELECT 'orderkey' AS probe, fid, okey AS v FROM f
+      |  UNION ALL SELECT 'shipdate', fid, sday FROM f),
+      |z AS (SELECT probe, fid, min(v) AS vmin, max(v) AS vmax
+      |  FROM st GROUP BY 1, 2),
+      |d AS (SELECT a.probe, a.fid, count(*) AS depth
+      |  FROM z a JOIN z b ON b.probe = a.probe
+      |    AND b.vmin <= a.vmax AND b.vmax >= a.vmin
+      |  GROUP BY 1, 2)
+      |SELECT z.probe, CAST(z.fid AS BIGINT) AS file_id, z.vmin, z.vmax,
+      |  CAST(d.depth AS BIGINT) AS depth
+      |FROM z JOIN d ON d.probe = z.probe AND d.fid = z.fid
+      |ORDER BY z.probe, file_id""".stripMargin
+
   def tableProfile(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")
     val tsRepr = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
@@ -1037,6 +1107,7 @@ object Maintain {
     "table_vacuum_plan" -> tableVacuumPlan,
     "table_snapshot_diff" -> tableSnapshotDiff,
     "table_profile" -> tableProfile,
+    "table_zonemap_audit" -> tableZonemapAudit,
     "dq_rules" -> dqRules,
     "dq_drift" -> dqDrift,
     "dq_ks_values" -> dqKsValues,
@@ -1055,6 +1126,7 @@ object Maintain {
     "table_vacuum_plan" -> tableVacuumPlanSql,
     "table_snapshot_diff" -> tableSnapshotDiffSql,
     "table_profile" -> tableProfileSql,
+    "table_zonemap_audit" -> tableZonemapAuditSql,
     "dq_rules" -> dqRulesSql,
     "dq_drift" -> dqDriftSql,
     "dq_ks_values" -> dqKsValuesSql,

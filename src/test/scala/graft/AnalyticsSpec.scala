@@ -682,6 +682,33 @@ class AnalyticsSpec extends SparkSpec {
       assert(rows.filter(_._2 == q).map(_._6).distinct.length == 1, s"q$q exact leg")
   }
 
+  test("events_gini: closed-form Gini replayed in BigInt; top decile dominates uniform") {
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr("CAST(round(value*100) AS BIGINT)"))
+      .as[(String, Long, Long)].collect()
+    val got = Analytics.eventsGini(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (t, n, total, gini, top) =>
+      val xs = ev.filter(_._1 == t).groupBy(_._2).toSeq
+        .map { case (u, rows) => (u, rows.map(_._3).sum) }
+        .sortBy { case (u, x) => (x, u) }.map(_._2)
+      assert(n == xs.length.toLong, s"$t n_users")
+      assert(total == xs.sum, s"$t total_cents")
+      val a = xs.zipWithIndex.map { case (x, i) => BigInt(x) * (i + 1) }.sum
+      val wantGini = (BigInt(2) * a - BigInt(n + 1) * total) * 1000000 /
+        (BigInt(n) * total)
+      assert(gini == wantGini.toLong, s"$t gini_ppm")
+      assert(gini >= 0 && gini < 1000000, s"$t gini out of range")
+      val topx = xs.takeRight((n / 10).toInt).map(BigInt(_)).sum
+      assert(top == (topx * 1000000 / total).toLong, s"$t top_decile_ppm")
+      // the top decile holds at least its uniform share
+      assert(top >= (n / 10) * 1000000 / n, s"$t top decile below uniform")
+    }
+  }
+
   test("agg_countmin_union: cell-add merge reproduces the direct sketch; replayed in memory") {
     val rows = Analytics.aggCountMinUnion(spark, sf)
       .as[(String, Long, Long, Long, Long)].collect()

@@ -485,4 +485,44 @@ class MaintainSpec extends SparkSpec {
         (r.getAs[Long]("dead_ppm") >= 300000L))
     }
   }
+
+  test("table_zonemap_audit: zones replayed in memory; ingest key prunes, shipdate does not") {
+    import spark.implicits._
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"),
+        expr("CAST(datediff(l_shipdate, '1970-01-01') AS BIGINT)"),
+        col("l_linenumber").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy { case (ok, _, ln) => (ok, ln) }
+    val n = li.length
+    val per = (n + 63) / 64
+    val files = li.zipWithIndex.groupBy(_._2 / per)
+    def zones(pick: ((Long, Long, Long)) => Long) =
+      files.map { case (fid, rows) =>
+        val vs = rows.map(r => pick(r._1))
+        fid.toLong -> ((vs.min, vs.max))
+      }
+    val got = graft.operators.Maintain.tableZonemapAudit(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == 128, "64 files x 2 probes")
+    for ((probe, pick) <- Seq[(String, ((Long, Long, Long)) => Long)](
+        "orderkey" -> (_._1), "shipdate" -> (_._2))) {
+      val z = zones(pick)
+      val rows = got.filter(_._1 == probe)
+      assert(rows.length == 64, s"$probe file count")
+      rows.foreach { case (_, fid, vmin, vmax, depth) =>
+        assert(z(fid) == ((vmin, vmax)), s"$probe file $fid zone")
+        val want = z.values.count { case (bmin, bmax) =>
+          bmin <= vmax && bmax >= vmin }
+        assert(depth == want.toLong, s"$probe file $fid depth")
+      }
+    }
+    // the finding the audit exists for: the ingest key's zones barely
+    // overlap (boundary-straddling orders only), shipdate's span all
+    val okDepth = got.filter(_._1 == "orderkey").map(_._5)
+    val sdDepth = got.filter(_._1 == "shipdate").map(_._5)
+    assert(okDepth.max <= 3, "ingest-key clustering lost")
+    assert(sdDepth.sum > 4 * okDepth.sum,
+      "shipdate zones unexpectedly prunable — contrast gone")
+  }
 }
