@@ -1416,6 +1416,80 @@ object Dedup {
        |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  // ------------------------------------------------- k-core peeling
+  /** 2-core shrinkage ledger of the near-dup graph (r14 wave 28 — the
+    * density profile between [[graphDegreeHist]]'s static skew table
+    * and [[dedupClusterStats]]' size histogram: how much of the graph
+    * survives when thinly-connected tissue is peeled away): repeatedly
+    * delete nodes of degree < 2 — the classic k-core peel at k = 2 —
+    * recording per round the surviving node and edge counts. Isolated
+    * pairs, chains and pendant tissue evaporate; what remains at the
+    * fixpoint is the MULTIPLY-connected duplication (triangles and
+    * denser — boilerplate farms, mirror sets) where per-pair
+    * verification money should go first. k = 2 is the first core the
+    * trigram graph populates (its clusters are near-cliques but
+    * small); the same ledger at any k is one constant away. Both engines
+    * run the SAME fixed 8 peel rounds (the tokenize_bpe fixed-round
+    * convention — the oracle unrolls them as MATERIALIZED CTEs) and
+    * the spec asserts the fixpoint landed inside them, so the hash
+    * pins a converged ledger, not a truncation.
+    *
+    * == Scale design ==
+    * The pair join runs ONCE (stableCheckpointed); each peel round is
+    * a degree fold + two semi-joins on the SHRINKING edge relation,
+    * checkpointed per round (the [[componentsOver]] discipline). The
+    * ledger rows are per-round scalar aggregates — the `changed`
+    * counts the components loop already pays.
+    */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      .stableCheckpoint()
+    var edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+    val ledger = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    for (r <- 0 to 8) {
+      val nNodes = edges.select(col("src")).distinct().count()
+      val nEdges = edges.count() / 2
+      ledger += ((r.toLong, nNodes, nEdges))
+      if (r < 8) {
+        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2)
+        val kSrc = keep.select(col("src").as("ks"))
+        val kDst = keep.select(col("src").as("kd"))
+        edges = edges
+          .join(kSrc, col("src") === col("ks"))
+          .join(kDst, col("dst") === col("kd"))
+          .select(col("src"), col("dst"))
+          .stableCheckpoint()
+      }
+    }
+    s.createDataFrame(ledger.toSeq).toDF("round", "n_nodes", "n_edges")
+      .orderBy(col("round"))
+  }
+
+  /** Oracle: the shared pair CTE + 8 peel rounds unrolled as
+    * MATERIALIZED CTEs (each e_r is referenced three times). */
+  val graphKcoreSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""d${r - 1} AS (SELECT src FROM e${r - 1} GROUP BY src HAVING count(*) >= 2),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN d${r - 1} a ON a.src = e.src
+         |  JOIN d${r - 1} b ON b.src = e.dst)""".stripMargin
+    }.mkString(",\n")
+    val led = (0 to 8).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT count(DISTINCT src) FROM e$r) AS n_nodes,
+         |  (SELECT count(*) FROM e$r) // 2 AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $pairCtes,
+       |e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |$rounds
+       |$led
+       |ORDER BY round""".stripMargin
+  }
+
   // ------------------------------------------- exemplar policy face
   /** Keep-BEST exemplar policy (r14 wave 24 — the POLICY question
     * [[dedupClusterStats]]' docs_removed column leaves open: keep-one
@@ -2173,6 +2247,7 @@ object Dedup {
     "graph_components_incremental" -> graphComponentsIncremental,
     "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_keep_best" -> dedupKeepBest,
+    "graph_kcore" -> graphKcore,
     "contamination_ngram" -> contaminationNgram,
     "corpus_decontaminate" -> corpusDecontaminate,
     "dedup_minhash_sig" -> dedupMinhashSig,
@@ -2269,6 +2344,7 @@ object Dedup {
     "graph_components_incremental" -> dedupComponentsSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_keep_best" -> dedupKeepBestSql,
+    "graph_kcore" -> graphKcoreSql,
     "contamination_ngram" -> contaminationNgramSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,

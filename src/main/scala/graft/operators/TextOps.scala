@@ -524,6 +524,79 @@ object TextOps {
        |FROM l ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source student-vs-teacher confusion (r14 wave 28 — the SLICE
+    * audit the global evaluation trio lacks: [[mlAuc]] /
+    * [[mlPrCurve]] / [[mlCalibration]] score the distilled classifier
+    * against the gate over the whole corpus, but a model that is fine
+    * on average and broken on one provenance ships a biased filter):
+    * per source, the full 2×2 confusion of the student's `logit > 0`
+    * against the teacher's `quality_score ≥ 0.5`, agreement in exact
+    * ppm, and the two disagreement queues separately (n_fp = student
+    * keeps what the teacher drops, n_fn = student drops what the
+    * teacher keeps — the review queue [[qualityVote]]'s pattern table
+    * aggregates globally, here broken out by provenance). Both
+    * verdicts are computed from ONE shared feature pass (the
+    * [[mlCalibration]] discipline — the faces cannot drift).
+    *
+    * == Scale design ==
+    * One corpus scan (the explode → grouped conditional-sum feature
+    * shape every gate face uses) plus the doc-keyed source join;
+    * the confusion folds map-side onto O(sources) keys.
+    */
+  def mlEvalSlices(s: SparkSession, dir: String): DataFrame = {
+    val meta = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"),
+      regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
+    val stopR = col("n_stop") * 1.0 / col("n_tokens")
+    val punctR = col("n_punct") * 1.0 / col("n_chars")
+    val lenSat = least(lit(1.0), col("n_tokens") / 64.0)
+    val teacher = ((lit(1.0) - stopR) * (lit(1.0) - punctR) * lenSat >= 0.5)
+      .cast("long")
+    val student = (lit(-2.0) + stopR * 4.0 - punctR * 8.0 + lenSat * 2.0 > 0)
+      .cast("long")
+    meta.join(toks, "doc_id")
+      .select(col("source"), teacher.as("t"), student.as("p"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t") * col("p")).as("n_tp"),
+        sum((lit(1L) - col("t")) * col("p")).as("n_fp"),
+        sum(col("t") * (lit(1L) - col("p"))).as("n_fn"),
+        sum((lit(1L) - col("t")) * (lit(1L) - col("p"))).as("n_tn"))
+      .select(col("source"), col("n_docs"), col("n_tp"), col("n_fp"),
+        col("n_fn"), col("n_tn"),
+        expr("1000000 * (n_tp + n_tn) div n_docs").as("agree_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin: the same shared features, both verdicts inline. */
+  val mlEvalSlicesSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id, source,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ($stops))) * 1.0
+       |      / len(string_split(text, ' ')) AS stop_r,
+       |    len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars AS punct_r,
+       |    least(1.0, len(string_split(text, ' ')) / 64.0) AS len_sat
+       |  FROM documents),
+       |v AS (SELECT source,
+       |    CASE WHEN (1.0 - stop_r) * (1.0 - punct_r) * len_sat >= 0.5
+       |      THEN 1 ELSE 0 END AS t,
+       |    CASE WHEN -2.0 + stop_r * 4.0 - punct_r * 8.0 + len_sat * 2.0 > 0
+       |      THEN 1 ELSE 0 END AS p
+       |  FROM f)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(t * p) AS BIGINT) AS n_tp,
+       |  CAST(sum((1 - t) * p) AS BIGINT) AS n_fp,
+       |  CAST(sum(t * (1 - p)) AS BIGINT) AS n_fn,
+       |  CAST(sum((1 - t) * (1 - p)) AS BIGINT) AS n_tn,
+       |  1000000 * CAST(sum(t * p) + sum((1 - t) * (1 - p)) AS BIGINT)
+       |    // count(*) AS agree_ppm
+       |FROM v GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------ quality ensemble
   /** Quality-ensemble disagreement ledger (r14 wave 19) — the table a
     * curation owner reviews before trusting ANY single filter: every
@@ -2819,6 +2892,7 @@ object TextOps {
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
     "text_zipf_fit" -> textZipfFit,
+    "ml_eval_slices" -> mlEvalSlices,
     "tokenize_ids" -> tokenizeIds,
     "quality_classifier" -> qualityClassifier,
     "quality_vote" -> qualityVote,
@@ -2877,6 +2951,7 @@ object TextOps {
     "ml_feature_hash" -> mlFeatureHashSql,
     "vocab_build" -> vocabBuildSql,
     "text_zipf_fit" -> textZipfFitSql,
+    "ml_eval_slices" -> mlEvalSlicesSql,
     "tokenize_ids" -> tokenizeIdsSql,
     "quality_classifier" -> qualityClassifierSql,
     "quality_vote" -> qualityVoteSql,

@@ -925,6 +925,59 @@ class TextDedupSpec extends SparkSpec {
       "keep-best keeper attribution diverges from the in-memory argmax")
   }
 
+  test("graph_kcore: peel replayed in memory, fixpoint inside the unrolled rounds") {
+    import graft.operators.Dedup
+    val pairs = Dedup.dedupNgramJaccard(spark, sfMid)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    val model = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    for (r <- 0 to 8) {
+      model += ((r.toLong, edges.map(_._1).size.toLong, edges.size.toLong / 2))
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+    }
+    val got = Dedup.graphKcore(spark, sfMid)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == model.toSeq, "ledger diverges from the in-memory peel")
+    // fixpoint landed inside the 8 unrolled rounds — the hash pins a
+    // converged ledger, not a truncation
+    assert(got(8)._2 == got(7)._2 && got(8)._3 == got(7)._3,
+      "peel did not converge within 8 rounds")
+    // non-vacuous: a multiply-connected core must survive
+    assert(got(8)._2 > 0, "2-core empty — peel face vacuous at this SF")
+    // round 1 must actually peel something (pairs exist)
+    assert(got(1)._2 < got(0)._2, "nothing peeled — no thin tissue")
+  }
+
+  test("ml_eval_slices ties out against the registered teacher and student faces") {
+    import graft.operators.{Dedup => _, TextOps}
+    val teacher = TextOps.textQuality(spark, sfMid)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect()
+      .map { case (id, q) => id -> (q >= 0.5) }.toMap
+    val student = TextOps.qualityClassifier(spark, sfMid)
+      .select("doc_id", "keep").as[(Long, Long)].collect()
+      .map { case (id, k) => id -> (k == 1L) }.toMap
+    val srcOf = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val got = TextOps.mlEvalSlices(spark, sfMid)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, tp, fp, fn, tn, agree) =>
+      val ids = srcOf.filter(_._2 == src).map(_._1)
+      assert(n == ids.length.toLong, s"$src n_docs")
+      assert(tp == ids.count(i => teacher(i) && student(i)).toLong, s"$src tp")
+      assert(fp == ids.count(i => !teacher(i) && student(i)).toLong, s"$src fp")
+      assert(fn == ids.count(i => teacher(i) && !student(i)).toLong, s"$src fn")
+      assert(tn == ids.count(i => !teacher(i) && !student(i)).toLong, s"$src tn")
+      assert(tp + fp + fn + tn == n, s"$src confusion mass")
+      assert(agree == 1000000L * (tp + tn) / n, s"$src agree_ppm")
+    }
+    // the known global disagreement (ml_auc's stopword-axis finding)
+    // must surface in at least one slice
+    assert(got.exists(r => r._4 + r._5 > 0), "no disagreement anywhere — slices vacuous")
+  }
+
   test("text_zipf_fit: doubling-rank buckets replayed in memory, mass conserved") {
     import graft.operators.TextOps
     val counts = graft.sources.Tables.load(spark, sfMid, "documents")
