@@ -4787,6 +4787,78 @@ object Analytics {
       |FROM l GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Watermark-delay sweep (r14 wave 29 — the justify-the-constant
+    * table behind [[eventsLateData]]'s hard-coded 24 h cut, the
+    * dedup_threshold_curve discipline pointed at watermarks): the same
+    * planted-disorder arrival replay, but instead of ONE cut the full
+    * price curve — for W ∈ {1 h, 6 h, 24 h, 72 h}, how many events a
+    * `withWatermark("ts", W)` pipeline would DROP, in counts and exact
+    * ppm, beside the disorder mass (any lateness > 0) and the worst
+    * observed disorder. A tighter watermark bounds state and latency
+    * but silently sheds the tail this table prices; the production W
+    * is chosen where the drop curve flattens, not assumed. The plant
+    * (every 17th event backdated 2–10 days) is shared VERBATIM with
+    * the parent face so the curves cannot drift.
+    *
+    * == Scale design ==
+    * ONE user-keyed window pass (the parent's shape) computes per-event
+    * lateness; all four thresholds fold as conditional sums in the
+    * SAME aggregate — no per-config fan-out of the corpus — and the
+    * 4-row curve is a stack of that one ledger row.
+    */
+  def eventsWatermarkCurve(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hours = Seq(1L, 6L, 24L, 72L)
+    val lateness = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us0"))
+      .withColumn("us", expr(
+        "us0 - CASE WHEN event_id % 17 = 0 THEN (event_id % 5 + 1) * 172800000000 ELSE 0 END"))
+      .withColumn("hwm", max(col("us")).over(w))
+      .select(greatest(coalesce(col("hwm") - col("us"), lit(0L)), lit(0L)).as("lb"))
+    val aggs = Seq(count(lit(1)).as("n_events"),
+      sum(when(col("lb") > 0L, 1L).otherwise(0L)).as("n_disordered"),
+      max(col("lb")).as("max_lateness_us")) ++ hours.map(h =>
+      sum(when(col("lb") > h * 3600000000L, 1L).otherwise(0L)).as(s"d$h"))
+    val one = lateness.agg(aggs.head, aggs.tail: _*)
+    one.select(expr("stack(4, " + hours.map(h =>
+        s"CAST($h AS BIGINT), d$h").mkString(", ") +
+        ") AS (wm_hours, n_dropped)"),
+        col("n_events"), col("n_disordered"), col("max_lateness_us"))
+      .select(col("wm_hours"), col("n_events"), col("n_disordered"),
+        col("n_dropped"),
+        expr("1000000 * n_dropped div n_events").as("dropped_ppm"),
+        col("max_lateness_us"))
+      .orderBy(col("wm_hours"))
+  }
+
+  /** DuckDB twin: same plant, same single-pass conditional sums. */
+  val eventsWatermarkCurveSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch_us(ts) - CASE WHEN event_id % 17 = 0 THEN (event_id % 5 + 1) * 172800000000 ELSE 0 END AS us
+      |  FROM events),
+      |h AS (SELECT user_id, us,
+      |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM e),
+      |l AS (SELECT greatest(coalesce(hwm - us, 0), 0) AS lb FROM h),
+      |a AS (SELECT count(*) AS n_events,
+      |    CAST(sum(CASE WHEN lb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_disordered,
+      |    CAST(max(lb) AS BIGINT) AS max_lateness_us,
+      |    CAST(sum(CASE WHEN lb > 1 * 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN lb > 6 * 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d6,
+      |    CAST(sum(CASE WHEN lb > 24 * 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d24,
+      |    CAST(sum(CASE WHEN lb > 72 * 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d72
+      |  FROM l),
+      |c AS (
+      |  SELECT CAST(1 AS BIGINT) AS wm_hours, n_events, n_disordered, d1 AS n_dropped, max_lateness_us FROM a
+      |  UNION ALL SELECT 6, n_events, n_disordered, d6, max_lateness_us FROM a
+      |  UNION ALL SELECT 24, n_events, n_disordered, d24, max_lateness_us FROM a
+      |  UNION ALL SELECT 72, n_events, n_disordered, d72, max_lateness_us FROM a)
+      |SELECT wm_hours, n_events, n_disordered, n_dropped,
+      |  1000000 * n_dropped // n_events AS dropped_ppm, max_lateness_us
+      |FROM c ORDER BY wm_hours""".stripMargin
+
   // ------------------------------------------------ lag features
   /** Time-series feature engineering on the dense per-user day grid —
     * the lag/rolling block every churn/forecast training matrix
@@ -5206,6 +5278,7 @@ object Analytics {
     "events_markov_steady" -> eventsMarkovSteady,
     "events_seasonality" -> eventsSeasonality,
     "events_late_data" -> eventsLateData,
+    "events_watermark_curve" -> eventsWatermarkCurve,
     "events_attribution" -> eventsAttribution,
     "events_attribution_multi" -> eventsAttributionMulti,
     "events_rfm" -> eventsRfm,
@@ -5301,6 +5374,7 @@ object Analytics {
     "events_markov_steady" -> eventsMarkovSteadySql,
     "events_seasonality" -> eventsSeasonalitySql,
     "events_late_data" -> eventsLateDataSql,
+    "events_watermark_curve" -> eventsWatermarkCurveSql,
     "events_attribution" -> eventsAttributionSql,
     "events_attribution_multi" -> eventsAttributionMultiSql,
     "events_rfm" -> eventsRfmSql,

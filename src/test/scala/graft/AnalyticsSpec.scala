@@ -682,6 +682,45 @@ class AnalyticsSpec extends SparkSpec {
       assert(rows.filter(_._2 == q).map(_._6).distinct.length == 1, s"q$q exact leg")
   }
 
+  test("events_watermark_curve: drops replayed per threshold; ties to the 24h face") {
+    val rows = Analytics.eventsWatermarkCurve(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 6L, 24L, 72L))
+    // replay the planted-disorder arrival in memory
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts)"))
+      .as[(Long, Long, Long)].collect()
+    val lb = ev.groupBy(_._1).values.flatMap { g =>
+      var hwm = Long.MinValue
+      g.sortBy(_._2).map { case (_, eid, us0) =>
+        val us = us0 - (if (eid % 17 == 0) (eid % 5 + 1) * 172800000000L else 0L)
+        val l = if (hwm == Long.MinValue) 0L else math.max(hwm - us, 0L)
+        hwm = math.max(hwm, us)
+        l
+      }
+    }.toSeq
+    rows.foreach { case (w, n, nd, drop, ppm, mx) =>
+      assert(n == ev.length.toLong, s"w$w n_events")
+      assert(nd == lb.count(_ > 0).toLong, s"w$w n_disordered")
+      assert(drop == lb.count(_ > w * 3600000000L).toLong, s"w$w n_dropped")
+      assert(ppm == 1000000L * drop / n, s"w$w dropped_ppm")
+      assert(mx == lb.max, s"w$w max lateness")
+    }
+    // widening the watermark can only shed fewer events
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq,
+      "drop curve not monotone in the watermark")
+    // cross-face tie: the 24h row IS events_late_data's total late count
+    val late24 = Analytics.eventsLateData(spark, sf)
+      .select("n_late").as[Long].collect().sum
+    assert(rows.find(_._1 == 24L).get._4 == late24,
+      "24h config diverges from the registered late-data face")
+    // the plant guarantees a non-trivial curve
+    assert(rows.head._4 > rows.last._4, "curve flat — plant not visible")
+  }
+
   test("events_gini: closed-form Gini replayed in BigInt; top decile dominates uniform") {
     val ev = graft.sources.Tables.load(spark, sf, "events")
       .select(org.apache.spark.sql.functions.col("event_type"),
