@@ -5259,7 +5259,131 @@ object Analytics {
        |ORDER BY user_id, cutoff, event_type""".stripMargin
   }
 
+  // ---------------------------------------- composed feature build
+  /** The feature-store nightly build (r14 wave 30 — the third composed
+    * pipeline beside pretrain/eval builds, completing the ML symmetry:
+    * the verified feature faces wired into ONE leak-free training
+    * matrix). Serving date C = last observed day − 7; every feature is
+    * computed from events STRICTLY BEFORE C and the label strictly at
+    * or after it — the point-in-time discipline [[mlPitFeatures]]
+    * proves, applied end to end. Stages (each one's registered face is
+    * the contract): trailing 7/28-day activity and cents
+    * ([[mlLagFeatures]]' trailing windows at one origin), recency +
+    * the 7-day staleness flag ([[joinAsofTolerance]]'s max-feature-age
+    * rule), the modal event type ([[aggMode]]'s argmax convention),
+    * a "ftr|"-salted 5-fold train/val split (decorrelated from every
+    * other salt, [[eventsAbLift]]'s bucket family), and a smoothed
+    * target encoding of the modal type fitted on the TRAIN FOLD ONLY
+    * and served to val (the [[mlTargetEncode]] discipline — exact
+    * integer ppm, prior weight 20, unseen types fall back to the
+    * train-global rate).
+    *
+    * == Scale design ==
+    * ONE fact scan folds map-side onto the checkpointed
+    * O(users × days × types) ledger; every stage — features, mode,
+    * label, encoding — rides that relation. The encoding table is
+    * O(types) and broadcasts back; no stage re-touches raw events, so
+    * the composed DAG adds stages without adding corpus scans (the
+    * pipeline_pretrain_build contract).
+    */
+  def pipelineFeatureBuild(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val led = events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"), cents(col("value")).as("vc"))
+      .groupBy(col("user_id"), col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("c"))
+      .stableCheckpoint()
+    val cutoff = led.agg((max(col("day")) - 7L).as("cd"))
+    val past = led.crossJoin(broadcast(cutoff)).filter(col("day") < col("cd"))
+    val feats = past.groupBy(col("user_id"), col("cd")).agg(
+      sum(when(col("day") >= col("cd") - 7L, col("n")).otherwise(0L)).as("f_n7"),
+      sum(when(col("day") >= col("cd") - 28L, col("n")).otherwise(0L)).as("f_n28"),
+      sum(when(col("day") >= col("cd") - 28L, col("c")).otherwise(0L)).as("f_cents28"),
+      (first(col("cd")) - max(col("day"))).as("f_days_since_last"))
+    val wm = Window.partitionBy(col("user_id"))
+      .orderBy(col("tn").desc, col("event_type"))
+    val mode = past.groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("n")).as("tn"))
+      .withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("f_mode_type"))
+    val lab = led.crossJoin(broadcast(cutoff)).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("day") >= col("cd"), 1L)
+        .otherwise(0L)).as("label"))
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("ftr|"), col("user_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val base = feats.join(mode, "user_id").join(lab, "user_id")
+      .select(col("user_id"),
+        when(h % 5L === 0L, "val").otherwise("train").as("fold"),
+        col("f_n7"), col("f_n28"), col("f_cents28"), col("f_days_since_last"),
+        (col("f_days_since_last") > 7L).cast("long").as("f_stale"),
+        col("f_mode_type"), col("label"))
+      .stableCheckpoint()
+    val train = base.filter(col("fold") === "train")
+    val g = train.agg(expr("1000000 * sum(label) div count(1)").as("gppm"))
+    val enc = train.groupBy(col("f_mode_type")).agg(
+        sum(col("label")).as("pos_t"), count(lit(1)).as("n_t"))
+      .crossJoin(broadcast(g))
+      .select(col("f_mode_type").as("enc_type"),
+        expr("(1000000 * pos_t + 20 * gppm) div (n_t + 20)").as("enc_ppm"))
+    base.join(broadcast(enc), col("enc_type") === col("f_mode_type"), "left_outer")
+      .crossJoin(broadcast(g))
+      .select(col("user_id"), col("fold"), col("f_n7"), col("f_n28"),
+        col("f_cents28"), col("f_days_since_last"), col("f_stale"),
+        col("f_mode_type"),
+        coalesce(col("enc_ppm"), col("gppm")).as("f_type_enc_ppm"),
+        col("label"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB twin: the stage CTEs chained — ledger, cutoff, features,
+    * mode, label, fold, train-only encoding. */
+  val pipelineFeatureBuildSql: String =
+    """WITH led AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    event_type, count(*) AS n,
+      |    CAST(sum(round(value*100)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |cdt AS (SELECT max(day) - 7 AS cd FROM led),
+      |past AS (SELECT l.*, cdt.cd FROM led l CROSS JOIN cdt WHERE l.day < cdt.cd),
+      |f AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN day >= cd - 7 THEN n ELSE 0 END) AS BIGINT) AS f_n7,
+      |    CAST(sum(CASE WHEN day >= cd - 28 THEN n ELSE 0 END) AS BIGINT) AS f_n28,
+      |    CAST(sum(CASE WHEN day >= cd - 28 THEN c ELSE 0 END) AS BIGINT) AS f_cents28,
+      |    CAST(max(cd) - max(day) AS BIGINT) AS f_days_since_last
+      |  FROM past GROUP BY 1),
+      |m AS (SELECT user_id, event_type AS f_mode_type FROM (
+      |    SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY sum(n) DESC, event_type) AS rn
+      |    FROM past GROUP BY user_id, event_type) WHERE rn = 1),
+      |lab AS (SELECT l.user_id,
+      |    CAST(max(CASE WHEN l.event_type = 'purchase' AND l.day >= cdt.cd
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS label
+      |  FROM led l CROSS JOIN cdt GROUP BY 1),
+      |base AS (SELECT f.user_id,
+      |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split('ftr|' || CAST(f.user_id AS VARCHAR), ''),
+      |          c -> CAST(ascii(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007) % 5 = 0
+      |      THEN 'val' ELSE 'train' END AS fold,
+      |    f_n7, f_n28, f_cents28, f_days_since_last,
+      |    CAST(CASE WHEN f_days_since_last > 7 THEN 1 ELSE 0 END AS BIGINT) AS f_stale,
+      |    m.f_mode_type, lab.label
+      |  FROM f JOIN m USING (user_id) JOIN lab USING (user_id)),
+      |g AS (SELECT CAST(1000000 * sum(label) // count(*) AS BIGINT) AS gppm
+      |  FROM base WHERE fold = 'train'),
+      |enc AS (SELECT f_mode_type,
+      |    CAST((1000000 * sum(label) + 20 * max(g.gppm)) // (count(*) + 20) AS BIGINT)
+      |      AS enc_ppm
+      |  FROM base CROSS JOIN g WHERE fold = 'train' GROUP BY f_mode_type)
+      |SELECT b.user_id, b.fold, b.f_n7, b.f_n28, b.f_cents28,
+      |  b.f_days_since_last, b.f_stale, b.f_mode_type,
+      |  COALESCE(enc.enc_ppm, g.gppm) AS f_type_enc_ppm, b.label
+      |FROM base b LEFT JOIN enc USING (f_mode_type) CROSS JOIN g
+      |ORDER BY b.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_feature_build" -> pipelineFeatureBuild,
     "ml_lag_features" -> mlLagFeatures,
     "join_asof_nearest" -> joinAsofNearest,
     "events_cusum" -> eventsCusum,
@@ -5356,6 +5480,7 @@ object Analytics {
     "unpivot_revenue" -> unpivotRevenue)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_feature_build" -> pipelineFeatureBuildSql,
     "ml_lag_features" -> mlLagFeaturesSql,
     "join_asof_nearest" -> joinAsofNearestSql,
     "events_cusum" -> eventsCusumSql,

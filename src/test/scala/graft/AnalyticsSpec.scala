@@ -682,6 +682,55 @@ class AnalyticsSpec extends SparkSpec {
       assert(rows.filter(_._2 == q).map(_._6).distinct.length == 1, s"q$q exact leg")
   }
 
+  test("pipeline_feature_build: leak-free matrix replayed in memory, encoding fit on train only") {
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts) div 86400000000"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("CAST(round(value*100) AS BIGINT)"))
+      .as[(Long, Long, String, Long)].collect()
+    val cd = ev.map(_._2).max - 7
+    def fold(u: Long): String = {
+      val h = s"ftr|$u".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+      if (h % 5 == 0) "val" else "train"
+    }
+    val got = Analytics.pipelineFeatureBuild(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long, Long, String, Long, Long)]
+      .collect()
+    val byUser = ev.groupBy(_._1)
+    // base = exactly the users with pre-cutoff activity
+    val wantUsers = byUser.filter(_._2.exists(_._2 < cd)).keySet
+    assert(got.map(_._1).toSet == wantUsers, "matrix row set diverges")
+    got.foreach { case (u, fl, n7, n28, c28, dsl, stale, mode, enc, label) =>
+      val past = byUser(u).filter(_._2 < cd)
+      assert(fl == fold(u), s"u$u fold")
+      // LEAK-FREE: every feature replays from strictly-pre-cutoff events
+      assert(n7 == past.count(_._2 >= cd - 7).toLong, s"u$u f_n7")
+      assert(n28 == past.count(_._2 >= cd - 28).toLong, s"u$u f_n28")
+      assert(c28 == past.filter(_._2 >= cd - 28).map(_._4).sum, s"u$u f_cents28")
+      assert(dsl == cd - past.map(_._2).max, s"u$u recency")
+      assert(stale == (if (dsl > 7) 1L else 0L), s"u$u staleness flag")
+      val wantMode = past.groupBy(_._3).toSeq
+        .map { case (t, xs) => (t, xs.size) }
+        .minBy { case (t, n) => (-n, t) }._1
+      assert(mode == wantMode, s"u$u mode type")
+      // label replays from the horizon side only
+      assert(label == (if (byUser(u).exists(e => e._3 == "purchase" && e._2 >= cd)) 1L else 0L),
+        s"u$u label")
+    }
+    // encoding: fit on the train fold only, served to val
+    val train = got.filter(_._2 == "train")
+    assert(train.nonEmpty && got.exists(_._2 == "val"), "a fold is empty")
+    val gppm = 1000000L * train.map(_._10).sum / train.length
+    got.foreach { case (u, _, _, _, _, _, _, mode, enc, _) =>
+      val t = train.filter(_._8 == mode)
+      val want = if (t.isEmpty) gppm
+        else (1000000L * t.map(_._10).sum + 20L * gppm) / (t.length + 20L)
+      assert(enc == want, s"u$u target encoding not the train-fold fit")
+    }
+  }
+
   test("events_watermark_curve: drops replayed per threshold; ties to the 24h face") {
     val rows = Analytics.eventsWatermarkCurve(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
