@@ -2144,6 +2144,83 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source PII incidence ledger (r14 wave 31 — the release-audit
+    * face [[textRedact]]'s per-doc scrub feeds: a data card quotes
+    * "PII per million tokens by provenance", not a per-doc table):
+    * the SAME planted spans and the SAME progressive class counting
+    * as the redact face (email first, then phone on the
+    * already-redacted text, then long ids — shared `redactClasses`,
+    * so the audit cannot drift from the scrubber), rolled up per
+    * source: docs, token mass, per-class hit counts, hits per million
+    * tokens in exact integers, and the affected-doc rate in exact
+    * ppm. The denominator is the ORIGINAL token mass (the corpus a
+    * consumer sees), not the planted text.
+    *
+    * == Scale design ==
+    * One corpus scan — the per-class regex counts are codegen'd
+    * column math over the scan exactly as the parent face — folding
+    * map-side onto O(sources) keys.
+    */
+  def textPiiAudit(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" mail user"), col("doc_id").cast("string"),
+      lit("@ex"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".org"),
+      lit(" code "), (col("doc_id") * 7919L + 100000L).cast("string"),
+      lit(" tel 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val (_, counts) = redactClasses
+      .foldLeft((planted, Seq.empty[Column])) {
+        case ((txt, cs), (re, tok)) =>
+          val n = size(regexp_extract_all(txt, lit(re), lit(0)))
+            .cast("long").as(s"n_${tok.toLowerCase.filter(_.isLetter)}")
+          (regexp_replace(txt, re, tok), cs :+ n)
+      }
+    val perDoc = docs(s, dir).select(
+      col("source") +: size(words).cast("long").as("toks") +: counts: _*)
+    perDoc.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_email")).as("n_email"),
+        sum(col("n_phone")).as("n_phone"),
+        sum(col("n_id")).as("n_id"),
+        sum(when(col("n_email") + col("n_phone") + col("n_id") > 0L, 1L)
+          .otherwise(0L)).as("docs_affected"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_email"), col("n_phone"), col("n_id"),
+        expr("1000000 * (n_email + n_phone + n_id) div n_tokens")
+          .as("hits_per_mtok"),
+        expr("1000000 * docs_affected div n_docs").as("affected_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin: same plant, same progressive counting, same rollup. */
+  val textPiiAuditSql: String = {
+    val planted =
+      """text || ' mail user' || CAST(doc_id AS VARCHAR)
+        | || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+        | || ' code ' || CAST(doc_id * 7919 + 100000 AS VARCHAR)
+        | || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"""
+        .stripMargin.replace("\n", "")
+    val (_, counts) = redactClasses.foldLeft((s"($planted)", Seq.empty[String])) {
+      case ((txt, cs), (re, tok)) =>
+        val name = "n_" + tok.toLowerCase.filter(_.isLetter)
+        val n = s"CAST(len(regexp_extract_all($txt, '$re', 0)) AS BIGINT) AS $name"
+        (s"regexp_replace($txt, '$re', '$tok', 'g')", cs :+ n)
+    }
+    s"""WITH d AS (SELECT source, len(string_split(text, ' ')) AS toks,
+       |    ${counts.mkString(",\n    ")}
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_email) AS BIGINT) AS n_email,
+       |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       |  CAST(sum(n_id) AS BIGINT) AS n_id,
+       |  1000000 * CAST(sum(n_email) + sum(n_phone) + sum(n_id) AS BIGINT)
+       |    // CAST(sum(toks) AS BIGINT) AS hits_per_mtok,
+       |  1000000 * CAST(sum(CASE WHEN n_email + n_phone + n_id > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) // count(*) AS affected_ppm
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------- unigram-LM tokenizer
   /** SentencePiece-style unigram-LM tokenization (Kudo 2018) — the
     * third production segmentation family beside BPE (merge-rank
@@ -2865,6 +2942,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_search_topk" -> textSearchTopk,
     "text_redact" -> textRedact,
+    "text_pii_audit" -> textPiiAudit,
     "tokenize_unigram" -> tokenizeUnigram,
     "tokenize_unigram_segments" -> tokenizeUnigramSegments,
     "tokenize_compare" -> tokenizeCompare,
@@ -2961,6 +3039,7 @@ object TextOps {
     "text_ngrams" -> textNgramsSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_redact" -> textRedactSql,
+    "text_pii_audit" -> textPiiAuditSql,
     "tokenize_unigram" -> tokenizeUnigramSql,
     "tokenize_unigram_segments" -> tokenizeUnigramSegmentsSql,
     "tokenize_compare" -> tokenizeCompareSql,

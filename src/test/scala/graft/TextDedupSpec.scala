@@ -925,6 +925,35 @@ class TextDedupSpec extends SparkSpec {
       "keep-best keeper attribution diverges from the in-memory argmax")
   }
 
+  test("text_pii_audit ties out against the redact face per class and source") {
+    import graft.operators.TextOps
+    val srcOf = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val toks = TextOps.textTokens(spark, sfMid)
+      .select("doc_id", "ws_tokens").as[(Long, Long)].collect().toMap
+    val red = TextOps.textRedact(spark, sfMid)
+      .select("doc_id", "n_email", "n_phone", "n_id")
+      .as[(Long, Long, Long, Long)].collect()
+    val got = TextOps.textPiiAudit(spark, sfMid)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, nd, nt, ne, np, ni, hpm, aff) =>
+      val docs = red.filter(r => srcOf(r._1) == src)
+      assert(nd == docs.length.toLong, s"$src n_docs")
+      // the audit's class counts ARE the redact face's, rolled up
+      assert(ne == docs.map(_._2).sum, s"$src emails")
+      assert(np == docs.map(_._3).sum, s"$src phones")
+      assert(ni == docs.map(_._4).sum, s"$src ids")
+      // denominator is the ORIGINAL token mass (text_tokens' ws count)
+      assert(nt == docs.map(r => toks(r._1)).sum, s"$src token mass")
+      assert(hpm == 1000000L * (ne + np + ni) / nt, s"$src hits_per_mtok")
+      val affected = docs.count(r => r._2 + r._3 + r._4 > 0).toLong
+      assert(aff == 1000000L * affected / nd, s"$src affected_ppm")
+    }
+    // the plant guarantees non-vacuity: every doc carries one of each
+    assert(got.forall(_._8 == 1000000L), "planted spans missing somewhere")
+  }
+
   test("graph_kcore: peel replayed in memory, fixpoint inside the unrolled rounds") {
     import graft.operators.Dedup
     val pairs = Dedup.dedupNgramJaccard(spark, sfMid)
