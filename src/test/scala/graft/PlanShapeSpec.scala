@@ -828,4 +828,17 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(kbPlan).length <= 3,
       s"dedup_keep_best: more scans than the quality+source joins explain:\n$kbPlan")
   }
+
+  test("pipeline_feature_build composes stages without re-touching raw events") {
+    // the composed matrix must read only the checkpointed (user, day,
+    // type) ledger (and the checkpointed base) — zero parquet scans in
+    // the final plan, encoding joined by broadcast
+    val plan = planOf(Analytics.pipelineFeatureBuild(spark, sf))
+    assert(!plan.contains("FileScan"),
+      s"pipeline_feature_build: a stage re-scanned the fact:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"pipeline_feature_build: expected the checkpointed ledger:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pipeline_feature_build: encoding join must broadcast:\n$plan")
+  }
 }
