@@ -602,6 +602,49 @@ object Analytics {
       |FROM events
       |ORDER BY user_id, us, event_id""".stripMargin
 
+  /** FORWARD as-of join (r14 wave 32 — the direction the family
+    * lacked: [[joinAsof]] attributes each event to the latest signup
+    * AT OR BEFORE it, this face to the EARLIEST purchase STRICTLY
+    * AFTER it — the "time until next conversion" attribution a
+    * marketing-response model trains on, and the label-side mirror of
+    * the feature-side backward as-of). Same join-free single-window
+    * shape: one user-keyed sort, a min-over-following frame, exact
+    * integer micros; events after the user's last purchase stay NULL
+    * (right-censored — the consumer applies [[eventsSurvival]]'s
+    * censoring discipline, not a fake horizon).
+    *
+    * == Scale design ==
+    * ONE scan, one user-keyed shuffle serving the single window — no
+    * range join, no self-join; the frame is
+    * (currentRow+1, unboundedFollowing) over the same sort the
+    * backward face pays.
+    */
+  def joinAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("us"))).over(w))
+      .withColumn("ttc_sec",
+        (col("next_purchase_us") - col("us")) / 1000000.0)
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  val joinAsofForwardSql: String =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_us,
+      |  (min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |   - epoch_us(ts)) / 1000000.0 AS ttc_sec
+      |FROM events
+      |ORDER BY user_id, us, event_id""".stripMargin
+
   /** As-of join with a STALENESS BOUND — the feature-correctness knob
     * [[joinAsof]] lacks: a point-in-time feature older than the
     * tolerance (7 days here) is usually worse than no feature, so the
@@ -5454,6 +5497,7 @@ object Analytics {
     "sessionize" -> sessionize,
     "topk_per_group_agg" -> topkPerGroupAgg,
     "join_asof" -> joinAsof,
+    "join_asof_forward" -> joinAsofForward,
     "join_asof_tolerance" -> joinAsofTolerance,
     "join_range" -> joinRange,
     "filter_bloom" -> filterBloom,
@@ -5534,6 +5578,7 @@ object Analytics {
     "cube_revenue" -> cubeRevenueSql,
     "topk_per_group_agg" -> topkPerGroupSql,
     "join_asof" -> joinAsofSql,
+    "join_asof_forward" -> joinAsofForwardSql,
     "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_range" -> joinRangeSql,
     "filter_bloom" -> filterBloomSql,

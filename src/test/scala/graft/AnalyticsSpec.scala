@@ -682,6 +682,32 @@ class AnalyticsSpec extends SparkSpec {
       assert(rows.filter(_._2 == q).map(_._6).distinct.length == 1, s"q$q exact leg")
   }
 
+  test("join_asof_forward: next-purchase attribution replayed; censoring and strictness pinned") {
+    val rows = Analytics.joinAsofForward(spark, sf)
+      .select("event_id", "user_id", "event_type", "us", "next_purchase_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._2)
+    byUser.values.foreach { g =>
+      val sorted = g.sortBy(r => (r._4, r._1))
+      sorted.zipWithIndex.foreach { case ((eid, u, _, us, np), i) =>
+        val want = sorted.drop(i + 1).filter(_._3 == "purchase").map(_._4)
+          .minOption
+        assert(np == want, s"u$u e$eid forward as-of")
+      }
+    }
+    // strictness: a purchase event's own timestamp never matches itself
+    rows.filter(_._3 == "purchase").foreach { case (eid, u, _, us, np) =>
+      assert(!np.contains(us) ||
+        rows.exists(r => r._2 == u && r._3 == "purchase" && r._4 == us && r._1 != eid),
+        s"u$u e$eid matched itself")
+    }
+    // censoring: every user's LAST purchase (and anything after) is NULL
+    assert(rows.exists(_._5.isEmpty), "no censored tail — forward face vacuous")
+    assert(rows.forall(r => r._5.forall(_ > r._4)), "next purchase not strictly after")
+  }
+
   test("pipeline_feature_build: leak-free matrix replayed in memory, encoding fit on train only") {
     val ev = graft.sources.Tables.load(spark, sf, "events")
       .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
