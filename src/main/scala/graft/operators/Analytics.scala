@@ -2801,6 +2801,76 @@ object Analytics {
       |GROUP BY 1, 2, 3
       |ORDER BY user_id, f.face""".stripMargin
 
+  /** Width tuning curve for the count-min sketch (r14 wave 33 — the
+    * third and last sketch family gains its curve face, completing
+    * the curve symmetry: [[aggHllCurve]] reads 1/√m, the quantile
+    * curve reads 1/W, this reads CMS's ε = e/w collision law): the
+    * SAME per-user count relation sketched at widths
+    * w ∈ {64, 256, 1024, 4096} cells per lane, the top-5 exact-hot
+    * users re-estimated under each width — est_err (the collision
+    * overcount, always ≥ 0) shrinks roughly ×4 per width step until
+    * it floors at 0, and the production 1024 is chosen where the
+    * curve crosses the memory budget, not assumed.
+    *
+    * == Scale design ==
+    * ONE scan folds map-side onto the checkpointed O(users) count
+    * relation; all four sketches are folds of THAT relation (4 widths
+    * × 4 lanes of cells, ≤4·(64+256+1024+4096) register rows total);
+    * the probe joins broadcast the register table.
+    */
+  def aggCountMinCurve(s: SparkSession, dir: String): DataFrame = {
+    val lanes = cmsLanes
+    def cellAt(i: Int, u: Column, w: Column): Column =
+      pmod(pmod(u * lit(lanes(i)._1) + lit(lanes(i)._2), lit(2147483647L)), w)
+    val ue = events(s, dir).select(col("user_id").as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("n"))
+      .stableCheckpoint()
+    val ws = s.createDataFrame(Seq(64L, 256L, 1024L, 4096L).map(Tuple1.apply)).toDF("w")
+    val cells = ue.crossJoin(broadcast(ws))
+      .select(col("w"), col("n"), explode(array(lanes.indices.map(i =>
+        struct(lit(i.toLong).as("lane"), cellAt(i, col("u"), col("w")).as("cell"))): _*))
+        .as("lc"))
+      .select(col("w"), col("lc.lane").as("lane"), col("lc.cell").as("cell"), col("n"))
+      .groupBy(col("w"), col("lane"), col("cell")).agg(sum(col("n")).as("c"))
+      .select(col("w").as("sw"), col("lane").as("slane"),
+        col("cell").as("scell"), col("c"))
+    val top = ue.orderBy(col("n").desc, col("u")).limit(5)
+    top.crossJoin(broadcast(ws))
+      .select(col("u"), col("n").as("n_exact"), col("w"),
+        explode(array(lanes.indices.map(i =>
+          struct(lit(i.toLong).as("lane"), cellAt(i, col("u"), col("w")).as("cell"))): _*))
+          .as("lc"))
+      .select(col("u"), col("n_exact"), col("w"),
+        col("lc.lane").as("lane"), col("lc.cell").as("cell"))
+      .join(broadcast(cells), col("sw") === col("w") &&
+        col("slane") === col("lane") && col("scell") === col("cell"))
+      .groupBy(col("w"), col("u"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+      .select(col("w").as("width"), col("u").as("user_id"), col("n_exact"),
+        col("n_est"), (col("n_est") - col("n_exact")).as("est_err"))
+      .orderBy(col("width"), col("user_id"))
+  }
+
+  /** DuckDB twin: same lanes, same width fan-out over the user fold. */
+  val aggCountMinCurveSql: String =
+    """WITH ue AS (SELECT user_id AS u, count(*) AS n FROM events GROUP BY 1),
+      |ws AS (SELECT unnest(CAST([64,256,1024,4096] AS BIGINT[])) AS w),
+      |l AS (SELECT * FROM (VALUES (0, 1103515245, 12345),
+      |    (1, 1140671485, 12820163), (2, 214013, 2531011),
+      |    (3, 69069, 1)) AS t(lane, a, b)),
+      |cells AS (SELECT w, lane, ((a*u + b) % 2147483647) % w AS cell,
+      |    CAST(sum(n) AS BIGINT) AS c
+      |  FROM ue CROSS JOIN ws CROSS JOIN l GROUP BY 1, 2, 3),
+      |top AS (SELECT u, n FROM ue ORDER BY n DESC, u LIMIT 5)
+      |SELECT ws.w AS width, t.u AS user_id, CAST(t.n AS BIGINT) AS n_exact,
+      |  CAST(min(c.c) AS BIGINT) AS n_est,
+      |  CAST(min(c.c) - t.n AS BIGINT) AS est_err
+      |FROM top t CROSS JOIN ws CROSS JOIN l
+      |JOIN cells c ON c.w = ws.w AND c.lane = l.lane
+      |  AND c.cell = ((l.a*t.u + l.b) % 2147483647) % ws.w
+      |GROUP BY ws.w, t.u, t.n
+      |ORDER BY width, user_id""".stripMargin
+
   // ------------------------------------------------------------ skyline
   /** Pareto frontier (skyline) of parts under (minimize price, maximize
     * size): a part survives iff no other part is at-most-as-expensive
@@ -5507,6 +5577,7 @@ object Analytics {
     "agg_quantile_union" -> aggQuantileUnion,
     "agg_quantile_curve" -> aggQuantileCurve,
     "agg_countmin_union" -> aggCountMinUnion,
+    "agg_countmin_curve" -> aggCountMinCurve,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_approx_quantile_inputs" -> aggApproxQuantileInputs,
     "agg_approx_distinct_inputs" -> aggApproxDistinctInputs,
@@ -5588,6 +5659,7 @@ object Analytics {
     "agg_quantile_union" -> aggQuantileUnionSql,
     "agg_quantile_curve" -> aggQuantileCurveSql,
     "agg_countmin_union" -> aggCountMinUnionSql,
+    "agg_countmin_curve" -> aggCountMinCurveSql,
     "agg_approx_distinct_inputs" -> aggApproxDistinctInputsSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

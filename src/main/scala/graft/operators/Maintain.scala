@@ -317,7 +317,7 @@ object Maintain {
     * different files. O(groups) rows; the ordering window runs on the
     * group ledger, never the corpus.
     */
-  private def compactionRouting(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def compactionRouting(s: SparkSession, dir: String): DataFrame = {
     val g = Tables.load(s, dir, "documents")
       .groupBy(col("source"), col("lang"))
       .agg(sum(col("n_chars")).as("bytes"))
@@ -374,6 +374,90 @@ object Maintain {
       |  CAST(sum(CAST(d.h AS HUGEINT)) % 1000000007 AS BIGINT) AS checksum
       |FROM d JOIN f ON f.source = d.source AND f.lang = d.lang
       |GROUP BY f.file_id ORDER BY f.file_id""".stripMargin
+
+  /** Vacuum EXECUTION (r14 wave 33 — [[tableVacuumPlan]]'s rewrite
+    * half, the plan→execute symmetry [[compactionPlan]]→
+    * [[compactionExec]] already has): apply the plan — files at or
+    * above the 30 % dead threshold are REWRITTEN without their dead
+    * rows, kept files retain them (below threshold the rewrite costs
+    * more than the bytes reclaim) — and emit the post-vacuum file
+    * manifest: rows/bytes before and after, bytes actually reclaimed,
+    * and the post-image content checksum ([[compactionExec]]'s
+    * poly-hash-sum convention, over exactly the SURVIVING rows). The
+    * spec proves conservation: live rows are never dropped, kept
+    * files are byte-identical, and the rewritten files' checksums
+    * equal an independent live-only replay.
+    *
+    * == Scale design ==
+    * ONE corpus scan: both the plan decision and both post-image
+    * variants fold as conditional sums in the SAME grouped aggregate
+    * (dead/live row, byte and checksum lanes), so executing the plan
+    * costs exactly the planning pass plus column math — no second
+    * pass, no per-file job. Routing broadcasts; manifest O(files).
+    */
+  def tableVacuumExec(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(col("text")),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val dead = TextOps.textQuality(s, dir)
+      .select(col("doc_id"), (col("quality_score") < 0.5).cast("long").as("dead"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), h.as("h"))
+      .join(broadcast(compactionRouting(s, dir)), Seq("source", "lang"))
+      .join(dead, "doc_id")
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("dead")).as("n_dead"),
+        sum(col("n_chars")).as("bytes_before"),
+        sum(when(col("dead") === 1L, col("n_chars")).otherwise(0L)).as("bytes_dead"),
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1000000007 AS BIGINT)")
+          .as("cks_all"),
+        expr("CAST(sum(CASE WHEN dead = 0 THEN CAST(h AS DECIMAL(38,0))" +
+          " ELSE CAST(0 AS DECIMAL(38,0)) END) % 1000000007 AS BIGINT)")
+          .as("cks_live"))
+      .withColumn("action",
+        when(expr("n_dead * 1000000 div n_rows") >= 300000L, "rewrite")
+          .otherwise("keep"))
+      .select(col("file_id"), col("action"), col("n_rows").as("rows_before"),
+        when(col("action") === "rewrite", col("n_rows") - col("n_dead"))
+          .otherwise(col("n_rows")).as("rows_after"),
+        col("bytes_before"),
+        when(col("action") === "rewrite", col("bytes_before") - col("bytes_dead"))
+          .otherwise(col("bytes_before")).as("bytes_after"),
+        when(col("action") === "rewrite", col("bytes_dead"))
+          .otherwise(lit(0L)).as("bytes_reclaimed"),
+        when(col("action") === "rewrite", col("cks_live"))
+          .otherwise(col("cks_all")).as("checksum_after"))
+      .orderBy(col("file_id"))
+  }
+
+  val tableVacuumExecSql: String =
+    s"""WITH $compactionRoutingCtes,
+      |q AS (SELECT doc_id, CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END AS dead
+      |  FROM (${TextOps.textQualitySql})),
+      |d AS (SELECT doc_id, source, lang, n_chars,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM documents),
+      |vg AS (SELECT f.file_id, count(*) AS n_rows,
+      |    CAST(sum(q.dead) AS BIGINT) AS n_dead,
+      |    CAST(sum(d.n_chars) AS BIGINT) AS bytes_before,
+      |    CAST(sum(CASE WHEN q.dead = 1 THEN d.n_chars ELSE 0 END) AS BIGINT) AS bytes_dead,
+      |    CAST(sum(CAST(d.h AS HUGEINT)) % 1000000007 AS BIGINT) AS cks_all,
+      |    CAST(sum(CASE WHEN q.dead = 0 THEN CAST(d.h AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) % 1000000007 AS BIGINT) AS cks_live
+      |  FROM d JOIN f ON f.source = d.source AND f.lang = d.lang
+      |  JOIN q ON q.doc_id = d.doc_id
+      |  GROUP BY f.file_id),
+      |va AS (SELECT *, CASE WHEN n_dead * 1000000 // n_rows >= 300000
+      |    THEN 'rewrite' ELSE 'keep' END AS action FROM vg)
+      |SELECT file_id, action, n_rows AS rows_before,
+      |  CASE WHEN action = 'rewrite' THEN n_rows - n_dead ELSE n_rows END AS rows_after,
+      |  bytes_before,
+      |  CASE WHEN action = 'rewrite' THEN bytes_before - bytes_dead
+      |    ELSE bytes_before END AS bytes_after,
+      |  CASE WHEN action = 'rewrite' THEN bytes_dead ELSE 0 END AS bytes_reclaimed,
+      |  CASE WHEN action = 'rewrite' THEN cks_live ELSE cks_all END AS checksum_after
+      |FROM va ORDER BY file_id""".stripMargin
 
   // ------------------------------------------------------- vacuum plan
   /** Retention/vacuum planning (r14 wave 11) — the third table-
@@ -1105,6 +1189,7 @@ object Maintain {
     "compaction_plan" -> compactionPlan,
     "compaction_exec" -> compactionExec,
     "table_vacuum_plan" -> tableVacuumPlan,
+    "table_vacuum_exec" -> tableVacuumExec,
     "table_snapshot_diff" -> tableSnapshotDiff,
     "table_profile" -> tableProfile,
     "table_zonemap_audit" -> tableZonemapAudit,
@@ -1124,6 +1209,7 @@ object Maintain {
     "compaction_plan" -> compactionPlanSql,
     "compaction_exec" -> compactionExecSql,
     "table_vacuum_plan" -> tableVacuumPlanSql,
+    "table_vacuum_exec" -> tableVacuumExecSql,
     "table_snapshot_diff" -> tableSnapshotDiffSql,
     "table_profile" -> tableProfileSql,
     "table_zonemap_audit" -> tableZonemapAuditSql,

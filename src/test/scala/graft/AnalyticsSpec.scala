@@ -796,6 +796,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.head._4 > rows.last._4, "curve flat — plant not visible")
   }
 
+  test("agg_countmin_curve: per-width estimates replayed; wider sketches collide less") {
+    // sfMid: the narrow w=64 sketch needs enough users to collide
+    val ev = graft.sources.Tables.load(spark, sfMid, "events")
+      .select("user_id").as[Long].collect()
+    val counts = ev.groupBy(identity).map { case (u, xs) => u -> xs.length.toLong }
+    val lanes = Seq((1103515245L, 12345L), (1140671485L, 12820163L),
+      (214013L, 2531011L), (69069L, 1L))
+    def cell(i: Int, u: Long, w: Long): Long =
+      (u * lanes(i)._1 + lanes(i)._2) % 2147483647L % w
+    val got = Analytics.aggCountMinCurve(spark, sfMid)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 20) // 4 widths x 5 hot users
+    val widths = Seq(64L, 256L, 1024L, 4096L)
+    assert(got.map(_._1).distinct.sorted.toSeq == widths)
+    got.foreach { case (w, u, nExact, nEst, err) =>
+      assert(nExact == counts(u), s"w$w u$u exact")
+      val want = (0 until 4).map { i =>
+        val c = cell(i, u, w)
+        counts.filter { case (v, _) => cell(i, v, w) == c }.values.sum
+      }.min
+      assert(nEst == want, s"w$w u$u estimate replay")
+      assert(err == nEst - nExact && err >= 0, s"w$w u$u one-sided contract")
+    }
+    // the ε = e/w law in aggregate: the widest sketch collides no
+    // more than the narrowest
+    val errOf = got.groupBy(_._1).map { case (w, rs) => w -> rs.map(_._5).sum }
+    assert(errOf(4096L) <= errOf(64L), "width curve inverted")
+    assert(errOf(64L) > 0, "no collisions at w=64 — curve face vacuous")
+  }
+
   test("events_gini: closed-form Gini replayed in BigInt; top decile dominates uniform") {
     val ev = graft.sources.Tables.load(spark, sf, "events")
       .select(org.apache.spark.sql.functions.col("event_type"),

@@ -486,6 +486,70 @@ class MaintainSpec extends SparkSpec {
     }
   }
 
+  test("table_vacuum_exec applies the plan exactly and conserves every live row") {
+    import spark.implicits._
+    val plan = graft.operators.Maintain.tableVacuumPlan(spark, sfMid)
+      .select("file_id", "n_rows", "n_dead", "bytes_reclaimed", "action")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val exec = graft.operators.Maintain.tableVacuumExec(spark, sfMid)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(exec.nonEmpty)
+    exec.foreach { case (fid, action, rb, ra, bb, ba, rec, _) =>
+      val (_, nRows, nDead, bytesRec, planAction) = plan(fid)
+      // the exec face can never disagree with the plan it applies
+      assert(action == planAction, s"file $fid action diverges from the plan")
+      assert(rb == nRows, s"file $fid rows_before")
+      assert(ra == (if (action == "rewrite") nRows - nDead else nRows),
+        s"file $fid rows_after conservation")
+      assert(rec == (if (action == "rewrite") bytesRec else 0L), s"file $fid reclaim")
+      assert(bb - ba == rec, s"file $fid byte conservation")
+    }
+    // checksum: rewritten files carry exactly the live rows' poly-hash
+    val docs = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select("doc_id", "source", "lang", "text").as[(Long, String, String, String)].collect()
+    val alive = graft.operators.TextOps.textQuality(spark, sfMid)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect()
+      .map { case (id, q) => id -> (q >= 0.5) }.toMap
+    val routing = graft.operators.Maintain.compactionRouting(spark, sfMid)
+      .select("source", "lang", "file_id").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def poly(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val wantCks = docs.groupBy(d => routing(d._2, d._3)).map { case (fid, ds) =>
+      val keep = if (plan(fid)._5 == "rewrite") ds.filter(d => alive(d._1)) else ds
+      fid -> keep.map(d => BigInt(poly(d._4))).sum.mod(BigInt(1000000007L)).toLong
+    }
+    exec.foreach { case (fid, _, _, _, _, _, _, cks) =>
+      assert(cks == wantCks(fid), s"file $fid post-image checksum")
+    }
+    // the REWRITE path on the planted hollow-file fixture (the vacuum
+    // plan spec's corpus): file 0 is all-dead and must shed every row,
+    // file 1 is clean and must be byte-identical
+    import org.apache.spark.sql.functions.{col => c2, lit => l2, length => len2}
+    val deadTxt = Seq.fill(1700)("the").mkString(" ")
+    val liveTxt = (1 to 1000).map(i => s"tok$i").mkString(" ")
+    val fix = Seq.tabulate(10)(i => (i.toLong, deadTxt + s" x$i", "a0")) ++
+      Seq.tabulate(10)(i => (i + 10L, liveTxt + s" y$i", "b0"))
+    fix.toDF("doc_id", "text", "source")
+      .withColumn("lang", l2("en"))
+      .withColumn("n_chars", len2(c2("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft-test-vacx/documents.parquet")
+    val fx = graft.operators.Maintain.tableVacuumExec(spark, "/tmp/graft-test-vacx")
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    val deadBytes = fix.filter(_._3 == "a0").map(_._2.length.toLong).sum
+    val liveBytes = fix.filter(_._3 == "b0").map(_._2.length.toLong).sum
+    val cksOf = (txts: Seq[String]) => txts.map(t =>
+      BigInt(poly(t))).sum.mod(BigInt(1000000007L)).toLong
+    assert(fx(0) == ((0L, "rewrite", 10L, 0L, deadBytes, 0L, deadBytes, 0L)),
+      s"rewrite face drifted: ${fx(0)}")
+    assert(fx(1) == ((1L, "keep", 10L, 10L, liveBytes, liveBytes, 0L,
+      cksOf(fix.filter(_._3 == "b0").map(_._2)))),
+      s"keep face drifted: ${fx(1)}")
+  }
+
   test("table_zonemap_audit: zones replayed in memory; ingest key prunes, shipdate does not") {
     import spark.implicits._
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
