@@ -23,7 +23,7 @@ object Curate {
     val quality = TextOps.textQuality(s, dir)
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         col("stopword_ratio"), col("quality_score"))
-    val dropIds = Dedup.dedupNgramJaccard(s, dir)
+    val dropIds = Dedup.verifiedPairs(s, dir)
       .select(col("doc_b").as("doc_id")).distinct()
     quality
       .filter(col("quality_score") >= 0.5)
@@ -910,7 +910,7 @@ object Curate {
       .select(col("doc_id"), (col("quality_score") >= 0.5).cast("long").as("pass"))
     val passBySrc = d.select(col("doc_id"), col("source")).join(gate, "doc_id")
       .groupBy(col("source")).agg(sum(col("pass")).as("n_pass"))
-    val exposed = Dedup.dedupNgramJaccard(s, dir)
+    val exposed = Dedup.verifiedPairs(s, dir)
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val dupBySrc = d.select(col("doc_id"), col("source"))
       .join(broadcast(exposed), Seq("doc_id"), "left_semi")
