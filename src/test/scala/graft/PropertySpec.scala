@@ -368,4 +368,59 @@ class PropertySpec extends SparkSpec {
       if (xs.distinct.length == 1) assert(varN == 0)
     }
   }
+
+  test("property: wave 23-33 integer stagings — gini range, grid bound, CMS one-sidedness") {
+    val rnd = new Random(2333)
+    // [1] the closed-form Gini on ANY positive multiset lands in
+    // [0, 1e6) and is 0 exactly on constant multisets
+    (1 to 5000).foreach { _ =>
+      val xs = Array.fill(1 + rnd.nextInt(50))(1L + rnd.nextInt(100000))
+        .sorted
+      val n = BigInt(xs.length); val sSum = BigInt(xs.map(BigInt(_)).sum)
+      val a = xs.zipWithIndex.map { case (x, i) => BigInt(x) * (i + 1) }.sum
+      val g = (BigInt(2) * a - (n + 1) * sSum) * 1000000 / (n * sSum)
+      assert(g >= 0 && g < 1000000, s"gini out of range on ${xs.toSeq}")
+      if (xs.distinct.length == 1) assert(g == 0, "constant multiset must be equal")
+    }
+    // [2] the grid-quantile geometry bound: for ANY values and width,
+    // the midpoint of the exact value's bucket is within w/2
+    (1 to 5000).foreach { _ =>
+      val w = Seq(16L, 64L, 256L)(rnd.nextInt(3))
+      val v = rnd.nextInt(2000000).toLong
+      val est = (v / w) * w + w / 2
+      assert(math.abs(est - v) <= w / 2, s"grid bound broke at v=$v w=$w")
+    }
+    // [3] CMS one-sidedness: min-over-lanes of cell sums can never be
+    // below the key's own count, at any width
+    val lanes = Seq((1103515245L, 12345L), (1140671485L, 12820163L),
+      (214013L, 2531011L), (69069L, 1L))
+    (1 to 300).foreach { _ =>
+      val w = Seq(8L, 64L, 1024L)(rnd.nextInt(3))
+      val keys = Array.fill(1 + rnd.nextInt(200))(rnd.nextInt(5000).toLong)
+      val counts = keys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      def cell(i: Int, u: Long) = (u * lanes(i)._1 + lanes(i)._2) % 2147483647L % w
+      counts.foreach { case (u, n) =>
+        val est = (0 until 4).map { i =>
+          counts.filter { case (v, _) => cell(i, v) == cell(i, u) }.values.sum
+        }.min
+        assert(est >= n, s"CMS undercounted u=$u at w=$w")
+      }
+    }
+    // [4] the watermark-curve monotonicity: widening the threshold can
+    // only drop fewer events, for ANY lateness multiset
+    (1 to 2000).foreach { _ =>
+      val lb = Array.fill(rnd.nextInt(50))(rnd.nextInt(100) * 3600000000L)
+      val drops = Seq(1L, 6L, 24L, 72L).map(h => lb.count(_ > h * 3600000000L))
+      assert(drops == drops.sorted.reverse, s"drop curve not monotone on ${lb.toSeq}")
+    }
+    // [5] the vacuum-exec conservation identity: under either action,
+    // rows_after + dropped = rows_before and bytes reconcile
+    (1 to 2000).foreach { _ =>
+      val n = 1L + rnd.nextInt(1000); val dead = rnd.nextInt(n.toInt + 1).toLong
+      val rewrite = dead * 1000000L / n >= 300000L
+      val after = if (rewrite) n - dead else n
+      assert(after + (if (rewrite) dead else 0L) == n)
+      assert(after >= 0 && after <= n)
+    }
+  }
 }
