@@ -376,7 +376,7 @@ class PropertySpec extends SparkSpec {
     (1 to 5000).foreach { _ =>
       val xs = Array.fill(1 + rnd.nextInt(50))(1L + rnd.nextInt(100000))
         .sorted
-      val n = BigInt(xs.length); val sSum = BigInt(xs.map(BigInt(_)).sum)
+      val n = BigInt(xs.length); val sSum = xs.map(BigInt(_)).sum
       val a = xs.zipWithIndex.map { case (x, i) => BigInt(x) * (i + 1) }.sum
       val g = (BigInt(2) * a - (n + 1) * sSum) * 1000000 / (n * sSum)
       assert(g >= 0 && g < 1000000, s"gini out of range on ${xs.toSeq}")
