@@ -2520,6 +2520,87 @@ object TextOps {
        |  1000 * corpus_chars // corpus_subwords AS cpp_milli
        |FROM r JOIN pc USING (family) ORDER BY family""".stripMargin
 
+  /** Cross-discipline piece-inventory overlap (r14 wave 34 — the
+    * interoperability table behind [[tokenizeCompare]]'s per-family
+    * summary: switching tokenizers mid-project re-trains embeddings
+    * for every piece the families DON'T share, and this table prices
+    * that migration): for each family pair, pieces in both / only in
+    * each, inventory Jaccard in exact ppm, and — the column that
+    * matters more than raw inventory — each side's corpus USE MASS
+    * landing on shared pieces (a piece used once and a piece carrying
+    * 10 % of the corpus are different migration risks). Masses are
+    * exact integer occurrence-weighted piece uses from the same
+    * segment relations the compare face rolls up.
+    *
+    * == Scale design ==
+    * Rides the three vocab-bounded segment relations only (training
+    * memoized); the piece-mass relations are O(pieces) and the pair
+    * join is piece-keyed over those bounded inventories; ledger
+    * O(pairs) = 3 rows.
+    */
+  def tokenizePieceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val bpe = tokenizeBpeSegments(s, dir)
+      .select(lit("bpe").as("family"), col("freq"), col("segmented"))
+    val wp = tokenizeWordpiece(s, dir)
+      .select(lit("wordpiece").as("family"), col("freq"), col("segmented"))
+    val uni = tokenizeUnigramSegments(s, dir)
+      .select(lit("unigram").as("family"), col("freq"), col("segmented"))
+    val pm = bpe.union(wp).union(uni)
+      .select(col("family"), col("freq"), explode(split(col("segmented"), " ")).as("piece"))
+      .groupBy(col("family"), col("piece")).agg(sum(col("freq")).as("mass"))
+    val tot = pm.groupBy(col("family"))
+      .agg(count(lit(1)).as("n_pieces"), sum(col("mass")).as("total_mass"))
+    val a = pm.select(col("family").as("family_a"), col("piece"), col("mass").as("mass_a"))
+    val b = pm.select(col("family").as("family_b"), col("piece"), col("mass").as("mass_b"))
+    val shared = a.join(b, "piece").filter(col("family_a") < col("family_b"))
+      .groupBy(col("family_a"), col("family_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("mass_a")).as("sm_a"), sum(col("mass_b")).as("sm_b"))
+    shared
+      .join(broadcast(tot.select(col("family").as("family_a"),
+        col("n_pieces").as("np_a"), col("total_mass").as("tm_a"))), "family_a")
+      .join(broadcast(tot.select(col("family").as("family_b"),
+        col("n_pieces").as("np_b"), col("total_mass").as("tm_b"))), "family_b")
+      .select(col("family_a"), col("family_b"), col("n_shared"),
+        (col("np_a") - col("n_shared")).as("n_only_a"),
+        (col("np_b") - col("n_shared")).as("n_only_b"),
+        expr("1000000 * n_shared div (np_a + np_b - n_shared)").as("jaccard_ppm"),
+        expr("1000000 * sm_a div tm_a").as("mass_a_shared_ppm"),
+        expr("1000000 * sm_b div tm_b").as("mass_b_shared_ppm"))
+      .orderBy(col("family_a"), col("family_b"))
+  }
+
+  /** DuckDB twin: the three segmentation oracles inlined, same piece
+    * masses, same pair rollup. */
+  lazy val tokenizePieceOverlapSql: String =
+    s"""WITH bpe AS (SELECT 'bpe' AS family, freq, segmented
+       |  FROM ($tokenizeBpeSegmentsSql)),
+       |wp AS (SELECT 'wordpiece' AS family, freq, segmented
+       |  FROM ($tokenizeWordpieceSql)),
+       |uni AS (SELECT 'unigram' AS family, freq, segmented
+       |  FROM ($tokenizeUnigramSegmentsSql)),
+       |u AS (SELECT * FROM bpe UNION ALL SELECT * FROM wp UNION ALL SELECT * FROM uni),
+       |pm AS (SELECT family, piece, CAST(sum(freq) AS BIGINT) AS mass
+       |  FROM (SELECT family, freq, unnest(string_split(segmented, ' ')) AS piece FROM u)
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT family, count(*) AS n_pieces,
+       |    CAST(sum(mass) AS BIGINT) AS total_mass FROM pm GROUP BY 1),
+       |sh AS (SELECT a.family AS family_a, b.family AS family_b,
+       |    count(*) AS n_shared,
+       |    CAST(sum(a.mass) AS BIGINT) AS sm_a,
+       |    CAST(sum(b.mass) AS BIGINT) AS sm_b
+       |  FROM pm a JOIN pm b ON a.piece = b.piece AND a.family < b.family
+       |  GROUP BY 1, 2)
+       |SELECT sh.family_a, sh.family_b, sh.n_shared,
+       |  ta.n_pieces - sh.n_shared AS n_only_a,
+       |  tb.n_pieces - sh.n_shared AS n_only_b,
+       |  1000000 * sh.n_shared // (ta.n_pieces + tb.n_pieces - sh.n_shared) AS jaccard_ppm,
+       |  1000000 * sh.sm_a // ta.total_mass AS mass_a_shared_ppm,
+       |  1000000 * sh.sm_b // tb.total_mass AS mass_b_shared_ppm
+       |FROM sh JOIN tot ta ON ta.family = sh.family_a
+       |JOIN tot tb ON tb.family = sh.family_b
+       |ORDER BY family_a, family_b""".stripMargin
+
   /** Per-language tokenizer fertility — the multilingual parity audit
     * (the measurement behind "tokenizers tax some languages more than
     * others", e.g. Petrov et al. 2023): for each of the three trained
@@ -2946,6 +3027,7 @@ object TextOps {
     "tokenize_unigram" -> tokenizeUnigram,
     "tokenize_unigram_segments" -> tokenizeUnigramSegments,
     "tokenize_compare" -> tokenizeCompare,
+    "tokenize_piece_overlap" -> tokenizePieceOverlap,
     "tokenize_fertility" -> tokenizeFertility,
     "tokenize_roundtrip" -> tokenizeRoundtrip,
     "tokenize_bpe" -> tokenizeBpe,
@@ -3043,6 +3125,7 @@ object TextOps {
     "tokenize_unigram" -> tokenizeUnigramSql,
     "tokenize_unigram_segments" -> tokenizeUnigramSegmentsSql,
     "tokenize_compare" -> tokenizeCompareSql,
+    "tokenize_piece_overlap" -> tokenizePieceOverlapSql,
     "tokenize_fertility" -> tokenizeFertilitySql,
     "tokenize_roundtrip" -> tokenizeRoundtripSql,
     "tokenize_bpe" -> tokenizeBpeSql,

@@ -925,6 +925,40 @@ class TextDedupSpec extends SparkSpec {
       "keep-best keeper attribution diverges from the in-memory argmax")
   }
 
+  test("tokenize_piece_overlap replays from the segment faces and ties to tokenize_compare") {
+    import graft.operators.TextOps
+    def pieces(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select("freq", "segmented").as[(Long, String)].collect()
+        .flatMap { case (f, seg) => seg.split(" ").map(_ -> f) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val inv = Map(
+      "bpe" -> pieces(TextOps.tokenizeBpeSegments(spark, sfMid)),
+      "wordpiece" -> pieces(TextOps.tokenizeWordpiece(spark, sfMid)),
+      "unigram" -> pieces(TextOps.tokenizeUnigramSegments(spark, sfMid)))
+    val got = TextOps.tokenizePieceOverlap(spark, sfMid)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 3)
+    got.foreach { case (fa, fb, sh, oa, ob, jac, ma, mb) =>
+      val (pa, pb) = (inv(fa), inv(fb))
+      val shared = pa.keySet & pb.keySet
+      assert(sh == shared.size.toLong, s"$fa-$fb shared")
+      assert(oa == (pa.keySet -- pb.keySet).size.toLong, s"$fa-$fb only_a")
+      assert(ob == (pb.keySet -- pa.keySet).size.toLong, s"$fa-$fb only_b")
+      assert(jac == 1000000L * sh / (pa.size + pb.size - sh), s"$fa-$fb jaccard")
+      assert(ma == 1000000L * shared.toSeq.map(pa).sum / pa.values.sum, s"$fa-$fb mass_a")
+      assert(mb == 1000000L * shared.toSeq.map(pb).sum / pb.values.sum, s"$fa-$fb mass_b")
+      // migration risk is real: inventories must genuinely differ
+      assert(oa + ob > 0, s"$fa-$fb identical inventories — overlap face vacuous")
+    }
+    // cross-face tie: shared + only_a is tokenize_compare's inventory
+    val cmp = TextOps.tokenizeCompare(spark, sfMid)
+      .select("family", "distinct_pieces").as[(String, Long)].collect().toMap
+    got.foreach { case (fa, fb, sh, oa, ob, _, _, _) =>
+      assert(sh + oa == cmp(fa), s"$fa inventory diverges from tokenize_compare")
+      assert(sh + ob == cmp(fb), s"$fb inventory diverges from tokenize_compare")
+    }
+  }
+
   test("text_pii_audit ties out against the redact face per class and source") {
     import graft.operators.TextOps
     val srcOf = graft.sources.Tables.load(spark, sfMid, "documents")
