@@ -244,6 +244,83 @@ object Multimodal {
     * on doc_id, P-way parallel at any scale; the ledger collapses
     * frames to O(scenes).
     */
+  /** Level-based audio segmentation (r14 wave 35 — the VAD face
+    * beside [[mmSceneCut]]'s CHANGE detection: speech pipelines chunk
+    * on loud-vs-quiet RUNS, not on content cuts): audio-kind blobs
+    * split into 32-byte frames, each frame's energy = the exact
+    * integer byte sum, a frame is `quiet` iff its energy is below the
+    * blob's own mean — compared as the cross product
+    * energy·n_frames < total_energy, no division — and maximal
+    * same-state runs become the segments (run id = cumulative
+    * state-change count). Per run: the quiet flag, frame span, and
+    * energy mass — voiced runs are the transcription units, the
+    * quiet-run length distribution is the silence-trim dial. The
+    * byte-energy proxy is the stubbed-decode convention of the whole
+    * mm family (§6): the run algebra, thresholding and windows are
+    * the real deliverable.
+    *
+    * == Scale design ==
+    * One corpus scan; the frame explode is blob-bounded, both windows
+    * ride the per-blob partitioning, and the run rollup is map-side
+    * combinable on (doc, run).
+    */
+  def mmSilenceChunks(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("doc_id")).orderBy(col("f"))
+    docs(s, dir)
+      .filter(col("doc_id") % 3 === 1) // 'audio' kind
+      .select(col("doc_id"), col("text"),
+        expr("length(text) div 32").as("nf"))
+      .filter(col("nf") >= 1)
+      .select(col("doc_id"), col("nf"), col("text"),
+        explode(expr("sequence(CAST(0 AS BIGINT), nf - 1)")).as("f"))
+      .withColumn("energy", expr(
+        """aggregate(transform(sequence(0, 31), j ->
+          |  CAST(ascii(substr(text, CAST(f*32 + j + 1 AS INT), 1)) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .withColumn("tot", sum(col("energy")).over(W.partitionBy(col("doc_id"))))
+      .withColumn("quiet",
+        (col("energy") * col("nf") < col("tot")).cast("long"))
+      .withColumn("chg", when(lag(col("quiet"), 1).over(w).isNull ||
+        lag(col("quiet"), 1).over(w) =!= col("quiet"), 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum(col("chg")).over(w.rowsBetween(W.unboundedPreceding, 0)) - 1L)
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(max(col("quiet")).as("quiet"),
+        min(col("f")).as("start_frame"), max(col("f")).as("end_frame"),
+        count(lit(1)).as("n_frames"), sum(col("energy")).as("energy"))
+      .orderBy(col("doc_id"), col("run_id"))
+  }
+
+  /** Oracle: pure-ASCII corpus ⇒ frame bytes are chars; same energy
+    * fold, same cross-product threshold, same run algebra. */
+  val mmSilenceChunksSql: String =
+    """WITH a AS (SELECT doc_id, text, strlen(text) // 32 AS nf FROM documents
+      |  WHERE doc_id % 3 = 1 AND strlen(text) >= 32),
+      |fr AS (SELECT doc_id, nf, text, unnest(range(0, nf)) AS f FROM a),
+      |en AS (SELECT doc_id, nf, f,
+      |    list_sum(list_transform(range(0, 32), j ->
+      |      CAST(ascii(substr(text, CAST(f*32 + j + 1 AS INT), 1)) AS BIGINT))) AS energy
+      |  FROM fr),
+      |qt AS (SELECT doc_id, f, energy,
+      |    CASE WHEN energy * nf < sum(energy) OVER (PARTITION BY doc_id)
+      |      THEN 1 ELSE 0 END AS quiet
+      |  FROM en),
+      |ch AS (SELECT doc_id, f, energy, quiet,
+      |    CASE WHEN lag(quiet) OVER (PARTITION BY doc_id ORDER BY f) IS NULL
+      |           OR lag(quiet) OVER (PARTITION BY doc_id ORDER BY f) <> quiet
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM qt),
+      |rn AS (SELECT doc_id, f, energy, quiet,
+      |    CAST(sum(chg) OVER (PARTITION BY doc_id ORDER BY f
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS run_id
+      |  FROM ch)
+      |SELECT doc_id, run_id, CAST(max(quiet) AS BIGINT) AS quiet,
+      |  CAST(min(f) AS BIGINT) AS start_frame,
+      |  CAST(max(f) AS BIGINT) AS end_frame,
+      |  count(*) AS n_frames, CAST(sum(energy) AS BIGINT) AS energy
+      |FROM rn GROUP BY 1, 2 ORDER BY doc_id, run_id""".stripMargin
+
   def mmSceneCut(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"))
@@ -644,6 +721,7 @@ object Multimodal {
     "mm_batch_extract" -> mmBatchExtract,
     "mm_frame_sample" -> mmFrameSample,
     "mm_scene_cut" -> mmSceneCut,
+    "mm_silence_chunks" -> mmSilenceChunks,
     "mm_resize" -> mmResize,
     "mm_audio_chunks" -> mmAudioChunks,
     "mm_phash" -> mmPhash,
@@ -725,6 +803,7 @@ object Multimodal {
     "mm_batch_extract" -> mmBatchExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_scene_cut" -> mmSceneCutSql,
+    "mm_silence_chunks" -> mmSilenceChunksSql,
     "mm_resize" -> mmResizeSql,
     "mm_audio_chunks" -> mmAudioChunksSql,
     "mm_phash" -> mmPhashSql,

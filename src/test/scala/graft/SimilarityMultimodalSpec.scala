@@ -335,6 +335,47 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "chunk accounting drifted from the kernel replay")
   }
 
+  test("mm_silence_chunks: runs replayed in memory, alternate, and tile every frame") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter { case (id, t) => id % 3 == 1 && t.length >= 32 }
+    val got = Multimodal.mmSilenceChunks(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.length == docs.length, "blob set diverges")
+    docs.foreach { case (id, t) =>
+      val nf = t.length / 32
+      val energy = (0 until nf).map(f =>
+        t.substring(f * 32, f * 32 + 32).map(_.toLong).sum)
+      val tot = energy.sum
+      val quiet = energy.map(e => if (e * nf < tot) 1L else 0L)
+      // fold into runs
+      val runs = quiet.zipWithIndex.foldLeft(List.empty[(Long, Int, Int)]) {
+        case (acc, (q, f)) => acc match {
+          case (q0, s0, _) :: tail if q0 == q => (q0, s0, f) :: tail
+          case _ => (q, f, f) :: acc
+        }
+      }.reverse
+      val rows = got.filter(_._1 == id).sortBy(_._2)
+      assert(rows.length == runs.length, s"doc $id run count")
+      rows.zip(runs).zipWithIndex.foreach { case (((_, rid, q, st, en, n, e), (mq, ms, me)), i) =>
+        assert(rid == i.toLong, s"doc $id run ids not dense")
+        assert(q == mq && st == ms.toLong && en == me.toLong, s"doc $id run $i span")
+        assert(n == (me - ms + 1).toLong, s"doc $id run $i width")
+        assert(e == (ms to me).map(energy(_)).sum, s"doc $id run $i energy")
+      }
+      // alternation + tiling: that's what makes them RUNS
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 != b._3, s"doc $id consecutive runs share a state")
+          assert(b._4 == a._5 + 1, s"doc $id runs don't tile")
+        case _ =>
+      }
+    }
+    // non-vacuous: both states appear somewhere
+    assert(got.exists(_._3 == 1L) && got.exists(_._3 == 0L))
+  }
+
   test("mm_cdc_dedup: first-writer-pays conserves the global store; bill replayed in memory") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("doc_id", "text").as[(Long, String)].collect()
