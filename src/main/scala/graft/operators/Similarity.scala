@@ -1293,6 +1293,68 @@ object Similarity {
     * deltas, and the TVD window all run on those ≤32 rows. At 100 TB
     * the monitor is scan + 32 longs of state per half.
     */
+  /** IVF posting-list balance audit (r14 wave 36 —
+    * [[graft.operators.Curate.corpusShardSkew]]'s straggler discipline
+    * pointed at the index: probed-cell latency at serving time is the
+    * LARGEST posting list the probe touches, so an unbalanced coarse
+    * quantizer quietly turns nprobe=3 into one straggler cell): every
+    * corpus vector assigned to its [[IVF_ASSIGN]] nearest trained
+    * cells (exactly [[annIvf]]'s redundant indexing), per cell the
+    * posting count, exact-ppm share of all postings, the signed
+    * deviation from the uniform share, and a `hot` flag where a cell
+    * holds over 2× its uniform share (the re-train/split dial —
+    * k-means on drifted data concentrates; [[annIndexUpsert]]'s
+    * growth ledger says when, this says WHERE).
+    *
+    * == Scale design ==
+    * One embeddings scan against the broadcast O(CELLS) codebook (the
+    * sanctioned k-means-assignment escape), folding map-side onto the
+    * O(CELLS) ledger; ratios are window math over that ledger (the
+    * documented bounded-relation window).
+    */
+  def annCellBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
+    val assigned = e.flatMap { case (_, v) =>
+      val n = math.sqrt(dotd(v, v))
+      codebook.value
+        .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(IVF_ASSIGN).map(_._1)
+    }.toDF("cell")
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_postings"))
+      .withColumn("tot", expr("sum(n_postings) over ()"))
+      .withColumn("nc", expr("count(1) over ()"))
+      .select(col("cell"), col("n_postings"),
+        expr("1000000 * n_postings div tot").as("share_ppm"),
+        expr("1000000 * n_postings div tot - 1000000 div nc").as("dev_ppm"),
+        expr("CAST(n_postings * nc > 2 * tot AS LONG)").as("hot"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB twin: the shared codebook replay, top-[[IVF_ASSIGN]] cells
+    * per vector, same ledger ratios. */
+  lazy val annCellBalanceSql: String =
+    "WITH " + (ivfCodebookCtes ++ Seq(
+      s"cba AS (SELECT cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc) WHERE rn <= $IVF_ASSIGN)",
+      "cbc AS (SELECT cell, count(*) AS n_postings FROM cba GROUP BY 1)",
+      "cbt AS (SELECT CAST(sum(n_postings) AS BIGINT) AS tot, count(*) AS nc FROM cbc)"
+    )).mkString(",\n") +
+      """
+        |SELECT cell, CAST(n_postings AS BIGINT) AS n_postings,
+        |  1000000 * n_postings // tot AS share_ppm,
+        |  1000000 * n_postings // tot - 1000000 // nc AS dev_ppm,
+        |  CAST(CASE WHEN n_postings * nc > 2 * tot THEN 1 ELSE 0 END AS BIGINT) AS hot
+        |FROM cbc CROSS JOIN cbt ORDER BY cell""".stripMargin
+
   def dqEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
@@ -1362,6 +1424,7 @@ object Similarity {
     "ann_ivf_pq" -> annIvfPq,
     "ann_recall_eval" -> annRecallEval,
     "dedup_embedding_ivf" -> dedupEmbeddingIvf,
+    "ann_cell_balance" -> annCellBalance,
     "dedup_embedding_ivf_curve" -> dedupEmbeddingIvfCurve)
 
   /** DuckDB twin of the brute-force path: the dot product is a
@@ -1587,5 +1650,6 @@ object Similarity {
     "ann_ood" -> annOodSql,
     "dq_embedding_drift" -> dqEmbeddingDriftSql,
     "dedup_embedding_ivf" -> dedupEmbeddingIvfSql,
+    "ann_cell_balance" -> annCellBalanceSql,
     "dedup_embedding_ivf_curve" -> dedupEmbeddingIvfCurveSql)
 }

@@ -335,6 +335,37 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "chunk accounting drifted from the kernel replay")
   }
 
+  test("ann_cell_balance: postings replayed against the shared codebook, mass conserved") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val cb = graft.operators.Similarity.trainedCodebook(spark, sf)
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val model = emb.flatMap { case (_, v) =>
+      val n = math.sqrt(dotd(v, v))
+      cb.map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(2).map(_._1)
+    }.groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val got = graft.operators.Similarity.annCellBalance(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(g => g._1 -> g._2).toMap == model,
+      "posting counts diverge from the shared-codebook replay")
+    // redundant indexing conserves mass exactly: ASSIGN postings/vector
+    assert(got.map(_._2).sum == 2L * emb.length, "posting mass != 2N")
+    val tot = got.map(_._2).sum; val nc = got.length.toLong
+    got.foreach { case (c, n, share, dev, hot) =>
+      assert(share == 1000000L * n / tot, s"cell $c share")
+      assert(dev == share - 1000000L / nc, s"cell $c dev")
+      assert(hot == (if (n * nc > 2 * tot) 1L else 0L), s"cell $c flag")
+    }
+    // the trained quantizer balances this corpus: deviations straddle 0
+    assert(got.exists(_._4 > 0) && got.exists(_._4 < 0))
+  }
+
   test("mm_silence_chunks: runs replayed in memory, alternate, and tile every frame") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("doc_id", "text").as[(Long, String)].collect()
