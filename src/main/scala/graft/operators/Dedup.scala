@@ -1460,6 +1460,64 @@ object Dedup {
        |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  // --------------------------------------------- lexical diversity
+  /** Per-source lexical diversity ledger (r14 wave 37 — the
+    * repetition-vs-novelty audit beside [[dedupSourceOverlap]]'s
+    * pairwise sharing table: a source can be clean of cross-source
+    * dup and still be internally repetitive boilerplate, or the one
+    * provenance contributing genuinely novel text): over the SHARED
+    * trigram shingle relation (per-doc distinct, the dedup family's
+    * unit), per source — shingle incidences, distinct shingles, the
+    * type-token ratio in exact ppm (low = the source repeats itself
+    * across documents), shingles appearing in NO other source, and
+    * the novelty share (high = this source is where new text comes
+    * from; a mixture weight built on volume alone overpays
+    * low-novelty sources).
+    *
+    * == Scale design ==
+    * One shingle pass joined to the doc spine (checkpointed — it
+    * feeds both the per-source fold and the ownership fold); the
+    * ownership relation collapses to O(distinct shingles) map-side;
+    * both ledgers are O(sources).
+    */
+  def corpusDiversity(s: SparkSession, dir: String): DataFrame = {
+    val sh = exploded(s, dir).select(col("doc_id"), col("hg"))
+      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .stableCheckpoint()
+    val bySrc = sh.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_incidences"),
+        countDistinct(col("hg")).as("n_distinct"))
+    val owners = sh.select(col("source"), col("hg")).distinct()
+      .groupBy(col("hg"))
+      .agg(count(lit(1)).as("ns"), min(col("source")).as("only_src"))
+    val uniq = owners.filter(col("ns") === 1)
+      .groupBy(col("only_src").as("source")).agg(count(lit(1)).as("n_unique"))
+    bySrc.join(uniq, Seq("source"), "left_outer")
+      .select(col("source"), col("n_incidences"), col("n_distinct"),
+        expr("1000000 * n_distinct div n_incidences").as("ttr_ppm"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        expr("1000000 * coalesce(n_unique, 0) div n_distinct").as("unique_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the shared shingle CTEs joined to the doc spine, same
+    * ownership fold. */
+  val corpusDiversitySql: String =
+    s"""WITH $shingleCtes,
+       |sd AS (SELECT gh.doc_id, gh.hg, d.source
+       |  FROM gh JOIN documents d ON d.doc_id = gh.doc_id),
+       |bs AS (SELECT source, count(*) AS n_incidences,
+       |    count(DISTINCT hg) AS n_distinct FROM sd GROUP BY 1),
+       |ow AS (SELECT hg, count(DISTINCT source) AS ns, min(source) AS only_src
+       |  FROM sd GROUP BY 1),
+       |uq AS (SELECT only_src AS source, count(*) AS n_unique
+       |  FROM ow WHERE ns = 1 GROUP BY 1)
+       |SELECT bs.source, bs.n_incidences, CAST(bs.n_distinct AS BIGINT) AS n_distinct,
+       |  1000000 * bs.n_distinct // bs.n_incidences AS ttr_ppm,
+       |  CAST(COALESCE(uq.n_unique, 0) AS BIGINT) AS n_unique,
+       |  1000000 * COALESCE(uq.n_unique, 0) // bs.n_distinct AS unique_ppm
+       |FROM bs LEFT JOIN uq USING (source) ORDER BY source""".stripMargin
+
   // ------------------------------------------------- k-core peeling
   /** 2-core shrinkage ledger of the near-dup graph (r14 wave 28 — the
     * density profile between [[graphDegreeHist]]'s static skew table
@@ -2297,6 +2355,7 @@ object Dedup {
     "dedup_span_hot" -> dedupSpanHot,
     "dedup_growth_curve" -> dedupGrowthCurve,
     "dedup_source_overlap" -> dedupSourceOverlap,
+    "corpus_diversity" -> corpusDiversity,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_degree_hist" -> graphDegreeHist,
@@ -2394,6 +2453,7 @@ object Dedup {
     "dedup_span_hot" -> dedupSpanHotSql,
     "dedup_growth_curve" -> dedupGrowthCurveSql,
     "dedup_source_overlap" -> dedupSourceOverlapSql,
+    "corpus_diversity" -> corpusDiversitySql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_degree_hist" -> graphDegreeHistSql,

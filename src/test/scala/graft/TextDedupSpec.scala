@@ -925,6 +925,37 @@ class TextDedupSpec extends SparkSpec {
       "keep-best keeper attribution diverges from the in-memory argmax")
   }
 
+  test("corpus_diversity: ledger replayed from per-doc trigram sets; novelty conserved") {
+    val docs = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    def tris(t: String): Set[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 3) Set.empty
+      else (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
+    }
+    val perDoc = docs.map { case (id, src, t) => (src, tris(t)) }
+    val got = graft.operators.Dedup.corpusDiversity(spark, sfMid)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val srcSets = perDoc.groupBy(_._1)
+    assert(got.map(_._1).toSet == srcSets.keySet)
+    val ownedBy = perDoc.flatMap { case (src, ts) => ts.map(_ -> src) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.toList }
+    got.foreach { case (src, inc, dist, ttr, uniq, uppm) =>
+      val sets = srcSets(src).map(_._2)
+      assert(inc == sets.map(_.size.toLong).sum, s"$src incidences")
+      val union = sets.foldLeft(Set.empty[String])(_ ++ _)
+      assert(dist == union.size.toLong, s"$src distinct")
+      assert(ttr == 1000000L * dist / inc, s"$src ttr")
+      assert(uniq == union.count(t => ownedBy(t) == List(src)).toLong, s"$src unique")
+      assert(uppm == 1000000L * uniq / dist, s"$src unique_ppm")
+    }
+    // unique shingles are a partition: each belongs to exactly one source
+    assert(got.map(_._5).sum ==
+      ownedBy.count(_._2.length == 1).toLong, "novelty mass not conserved")
+    // non-vacuous: sources must differ in novelty somewhere
+    assert(got.map(_._6).distinct.length > 1, "identical novelty everywhere")
+  }
+
   test("tokenize_piece_overlap replays from the segment faces and ties to tokenize_compare") {
     import graft.operators.TextOps
     def pieces(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
