@@ -27,7 +27,9 @@ class DeterminismSpec extends SparkSpec {
     // r14 w9-11: jaccard-double pairs, cosine-emitting negative miner
     "dedup_containment", "ann_hard_negatives",
     // r14 w19: micro-floored codebook cosines (the rank cut rides them)
-    "ann_ood")
+    "ann_ood",
+    // r14 w32: ttc_sec = single division off exact micros
+    "join_asof_forward")
 
   test("float-emitting queries are bit-identical across two evaluations") {
     val dir = sfMid
