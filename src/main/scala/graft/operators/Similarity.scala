@@ -797,6 +797,7 @@ object Similarity {
   def annRecallEval(s: SparkSession, dir: String): DataFrame = {
     val bf = annBruteforce(s, dir).select(col("query_id"), col("neighbor_id"))
     val faces = Seq(
+      ("graph", annGraphSearch(s, dir)),
       ("ivf", annIvf(s, dir)),
       ("ivf_pq", annIvfPq(s, dir)),
       ("lsh", annLsh(s, dir)))
@@ -821,7 +822,9 @@ object Similarity {
   lazy val annRecallEvalSql: String =
     s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($annBruteforceSql)),
        |apx AS (
-       |  SELECT 'ivf' AS face, query_id, neighbor_id FROM ($annIvfSql)
+       |  SELECT 'graph' AS face, query_id, neighbor_id FROM ($annGraphSearchSql)
+       |  UNION ALL
+       |  SELECT 'ivf', query_id, neighbor_id FROM ($annIvfSql)
        |  UNION ALL
        |  SELECT 'ivf_pq', query_id, neighbor_id FROM ($annIvfPqSql)
        |  UNION ALL
@@ -955,6 +958,93 @@ object Similarity {
       .distinct()
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------ graph-walk search
+  private val GS_BEAM = 8        // beam width kept between expansion rounds
+  private val GS_ROUNDS = 2      // fixed expansion rounds (unrolled in the oracle)
+  private val GS_SEED_PROBE = 1  // seeds come from the single nearest cell
+
+  /** Graph-walk ANN search (r15) — the HNSW-flavored beam search that
+    * gives [[annKnnGraph]]'s edge list its in-engine consumer: seed
+    * each query with the candidates of its SINGLE nearest IVF cell
+    * (probe-1, a third of [[annIvf]]'s probe-3 scan), then run
+    * [[GS_ROUNDS]] fixed rounds of expand-over-knn-edges — every beam
+    * survivor contributes its top-[[K]] graph neighbors as new
+    * candidates, exact cosine scores them, and only the top-[[GS_BEAM]]
+    * stay in the beam. The final top-[[K]] is exact over everything
+    * visited. Greedy graph descent reaches neighbors the seed cell
+    * missed (the boundary-loss failure mode probe-1 IVF suffers) while
+    * scoring strictly fewer candidates than probe-3.
+    *
+    * == Scale design ==
+    * The walk is query-bounded end to end: seeds ≈ |cell|·ASSIGN rows
+    * per query, each round adds ≤ BEAM·K edge lookups, and the frontier
+    * (NQ·BEAM rows) is broadcast into the src-keyed edge relation — the
+    * corpus-sized knn graph is built ONCE per corpus (an index artifact
+    * in production, reused across queries) and only its probed rows are
+    * touched. Exact full-dim cosine is paid only for visited ids, so
+    * search cost is O(|cell| + ROUNDS·BEAM·K) per query, independent of
+    * corpus size — the defining property that makes graph ANN the
+    * production search shape when nprobe scans stop fitting the latency
+    * budget. Fixed rounds (not walk-to-convergence) keep the plan
+    * static, the oracle unrollable, and the latency bounded.
+    */
+  def annGraphSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val e = emb(s, dir)
+    // the corpus knn graph (index artifact) projected to its edge list
+    val edges = annKnnGraph(s, dir)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val eDs = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
+    def assignedAt(ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+        k: Int): DataFrame = ds.flatMap { case (id, v) =>
+      val n = math.sqrt(dotd(v, v))
+      codebook.value
+        .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(k).map { case (cell, _) => (id, cell) }
+    }.toDF("vec_id", "cell")
+    val index = assignedAt(eDs, IVF_ASSIGN)
+    val seeds = assignedAt(eDs.filter(_._1 < NQ), GS_SEED_PROBE)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id2"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // exact cosine over a (query_id, neighbor_id) id set — queries are
+    // broadcast, the corpus side is a neighbor-keyed hash join
+    def score(v: DataFrame): DataFrame =
+      v.join(e, v("neighbor_id") === e("vec_id"))
+        .join(broadcast(q), col("query_id") === col("q_id2"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+    var visited: DataFrame = broadcast(seeds)
+      .join(index, seeds("cell") === index("cell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    for (_ <- 1 to GS_ROUNDS) {
+      val beam = graft.plans.GraftOps.topKPerGroup(score(visited), Seq("query_id"),
+          Seq("cosine" -> true, "neighbor_id" -> false), k = GS_BEAM, rankName = "brn")
+        .select(col("query_id"), col("neighbor_id"))
+      val expand = broadcast(beam)
+        .join(edges, beam("neighbor_id") === edges("src"))
+        .filter(col("dst") =!= col("query_id"))
+        .select(col("query_id"), col("dst").as("neighbor_id"))
+      visited = visited.unionByName(expand).distinct()
+    }
+    graft.plans.GraftOps.topKPerGroup(score(visited), Seq("query_id"),
+        Seq("cosine" -> true, "neighbor_id" -> false), k = K, rankName = "rank")
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1411,6 +1501,7 @@ object Similarity {
     "ann_ood" -> annOod,
     "dq_embedding_drift" -> dqEmbeddingDrift,
     "ann_knn_graph" -> annKnnGraph,
+    "ann_graph_search" -> annGraphSearch,
     "ann_recall_curve" -> annRecallCurve,
     "ann_filtered_search" -> annFilteredSearch,
     "ann_hard_negatives" -> annHardNegatives,
@@ -1589,6 +1680,44 @@ object Similarity {
       s"\nSELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
   }
 
+  /** DuckDB twin of the graph-walk search: the [[annKnnGraphSql]]
+    * edge chain (MATERIALIZED — several beam rounds read it), probe-1
+    * seeds, then the fixed [[GS_ROUNDS]] beam recurrence unrolled CTE
+    * by CTE (score → top-[[GS_BEAM]] → expand ∪ visited), final exact
+    * rank over the last visited set — ids, cosines, ranks
+    * bit-identical.
+    */
+  val annGraphSearchSql: String = {
+    // gn/grk/gasg re-expose the codebook replay MATERIALIZED: the beam
+    // recurrence references its upstream CTEs once per round, and
+    // DuckDB would otherwise re-inline (and re-run) the whole k-means
+    // chain per reference — the same exponential-re-evaluation trap the
+    // recall-curve oracle documents. Every CTE the rounds fan into is
+    // materialized, so each stage runs exactly once.
+    val pre = Seq(
+      "gn AS MATERIALIZED (SELECT vec_id, embedding, nrm FROM n)",
+      "grk AS MATERIALIZED (SELECT vec_id, cid, rn FROM rk)",
+      "gasg AS MATERIALIZED (SELECT vec_id, cell FROM asg)",
+      s"gprb AS (SELECT vec_id, cid AS cell FROM grk WHERE rn <= $IVF_NPROBE)",
+      "gcand AS (SELECT DISTINCT q.vec_id AS src, a.vec_id AS dst FROM gprb q JOIN gasg a ON a.cell = q.cell AND a.vec_id <> q.vec_id)",
+      s"gsc AS MATERIALIZED (SELECT c.src, c.dst, ${ivfFold("ns.embedding", "nd.embedding")} / (ns.nrm * nd.nrm) AS cos FROM gcand c JOIN gn ns ON ns.vec_id = c.src JOIN gn nd ON nd.vec_id = c.dst)",
+      s"g AS MATERIALIZED (SELECT src, dst FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gsc) WHERE rn <= $K)",
+      s"sprb AS (SELECT vec_id, cid AS cell FROM grk WHERE rn <= $GS_SEED_PROBE AND vec_id < $NQ)",
+      "v0 AS MATERIALIZED (SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id FROM sprb q JOIN gasg a ON a.cell = q.cell AND a.vec_id <> q.vec_id)")
+    val rounds = (1 to GS_ROUNDS).flatMap { t =>
+      val pv = t - 1
+      Seq(
+        s"gs$pv AS MATERIALIZED (SELECT v.query_id, v.neighbor_id, ${ivfFold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine FROM v$pv v JOIN gn nq ON nq.vec_id = v.query_id JOIN gn nc ON nc.vec_id = v.neighbor_id)",
+        s"gb$pv AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM gs$pv) WHERE rn <= $GS_BEAM)",
+        s"v$t AS MATERIALIZED (SELECT query_id, neighbor_id FROM v$pv UNION SELECT b.query_id, g.dst FROM gb$pv b JOIN g ON g.src = b.neighbor_id WHERE g.dst <> b.query_id)")
+    }
+    val fin = Seq(
+      s"gsf AS (SELECT v.query_id, v.neighbor_id, ${ivfFold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine FROM v$GS_ROUNDS v JOIN gn nq ON nq.vec_id = v.query_id JOIN gn nc ON nc.vec_id = v.neighbor_id)",
+      "gr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM gsf)")
+    "WITH " + (ivfCodebookCtes ++ pre ++ rounds ++ fin).mkString(",\n") +
+      s"\nSELECT query_id, neighbor_id, cosine, rank FROM gr WHERE rank <= $K ORDER BY query_id, rank"
+  }
+
   /** DuckDB twin of the probe curve: one max-probe candidate relation
     * tagged with min probe rank, four filter-configs, the brute truth
     * re-derived from the shared normalized relation. */
@@ -1634,6 +1763,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_knn_graph" -> annKnnGraphSql,
+    "ann_graph_search" -> annGraphSearchSql,
     "ann_recall_curve" -> annRecallCurveSql,
     "ann_filtered_search" -> annFilteredSearchSql,
     "ann_hard_negatives" -> annHardNegativesSql,

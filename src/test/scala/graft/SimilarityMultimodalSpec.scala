@@ -794,4 +794,60 @@ class SimilarityMultimodalSpec extends SparkSpec {
         s"ivf non-dup neighbor ($q,$nbr) missing or demoted")
     }
   }
+
+  test("ann_graph_search replays a driver-side beam walk; cheaper than probe-3") {
+    import spark.implicits._
+    val out = Similarity.annGraphSearch(spark, sf)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    // dense 1..5 ranks per query, all ten queries answered
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length),
+        s"query $q ranks not dense")
+    }
+    // independent replay: same codebook, plain-Scala beam recurrence
+    // (sequential-fold doubles = FloatVectorDot's association order)
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0; while (i < a.length) { d += a(i).toDouble * b(i); i += 1 }; d
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def cos(a: Long, b: Long): Double = dot(vecs(a), vecs(b)) / (nrm(a) * nrm(b))
+    val cb = Similarity.trainedCodebook(spark, sf)
+    def cells(id: Long, k: Int): Seq[Long] =
+      cb.map { case (cid, cv, cn) => (cid, dot(vecs(id), cv) / (nrm(id) * cn)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(k).map(_._1).toSeq
+    val assign = vecs.keys.toSeq.flatMap(id => cells(id, 2).map(c => c -> id))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val edges = Similarity.annKnnGraph(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var graphCost = 0L; var ivfCost = 0L
+    (0L until 10L).foreach { q =>
+      var visited = cells(q, 1).flatMap(assign.getOrElse(_, Set.empty[Long])).toSet - q
+      for (_ <- 1 to 2) {
+        val beam = visited.toSeq.sortBy(id => (-cos(q, id), id)).take(8)
+        visited = visited ++ beam.flatMap(b => edges.getOrElse(b, Seq.empty)).filter(_ != q)
+      }
+      graphCost += visited.size
+      val expect = visited.toSeq.sortBy(id => (-cos(q, id), id)).take(5)
+        .zipWithIndex.map { case (id, i) => (q, id, i + 1L) }
+      assert(out.filter(_._1 == q).sortBy(_._3).toSeq == expect,
+        s"query $q top-5 diverges from the replayed walk")
+      ivfCost += cells(q, 3).flatMap(assign.getOrElse(_, Set.empty[Long]))
+        .toSet.excl(q).size
+    }
+    // the headline claim: strictly fewer scored candidates than probe-3
+    info(s"graph candidate cost $graphCost vs probe-3 ivf $ivfCost")
+    assert(graphCost < ivfCost, s"graph walk ($graphCost) not cheaper than probe-3 ($ivfCost)")
+    // recall floor, read off the registered eval face
+    val eval = Similarity.annRecallEval(spark, sf)
+      .filter(col("face") === "graph")
+      .agg(sum("n_hits"), sum("n_returned")).as[(Long, Long)].head()
+    info(s"graph recall: ${eval._1}/50")
+    assert(eval._2 == 50L)
+    assert(eval._1 >= 40L, s"graph recall@5 regressed: ${eval._1}/50")
+  }
 }
