@@ -2435,6 +2435,124 @@ object Analytics {
       |    - CAST(sum(abs(n - pred_seas)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS gain_milli
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------- trend forecast eval
+  /** Holt-style level+trend backtest (r15) — the third rung of the
+    * forecast ladder (flat → seasonal → trend), evaluated PAIRED
+    * against [[mlForecastSeasonal]] exactly the way seasonal is paired
+    * against flat: same leak-free rolling-origin walk over the final 7
+    * observed days, same paired-row filter (≥1 prior overall day AND
+    * ≥1 prior same-weekday day), so every evaluated (type, day) cell
+    * is scored by both models and `mae_seas_milli` here reproduces
+    * the seasonal key's column bit-for-bit. The trend forecast at
+    * origin d folds the type's PRIOR observed days through the
+    * integer Holt recurrence (α = β = ½, milli-scaled state):
+    * level₀ = 1000·y₀, trend₀ = 0, then with A = 1000·y + lv + tr,
+    * lv' = ⌊A/2⌋ and tr' = ⌊(lv' − lv + tr)/2⌋ — all floor divisions
+    * (pmod-adjusted on the Spark side, native `//` in DuckDB), so the
+    * walk is exactly replayable. The prediction is ⌊(lv + tr)/1000⌋.
+    * Steps advance per OBSERVED day (zero days are absent, not
+    * imputed) — the ladder's documented contract.
+    *
+    * == Scale design ==
+    * The shared one-scan O(types × days) grid ([[mlBacktest]]'s
+    * shape, checkpointed); the per-origin prior series is a sorted
+    * window collect over that bounded relation — O(days²) array cells
+    * per type, trivial because days ≪ rows — and the fold itself is a
+    * codegen'd higher-order `aggregate`, no extra shuffle beyond the
+    * grid's. The ledger is O(types).
+    */
+  def mlForecastTrend(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(col("day") + 3, lit(7)))
+      .stableCheckpoint()
+    val wFlat = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDow = Window.partitionBy(col("event_type"), col("dow")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastDay = daily.agg(max(col("day")).as("last_day"))
+    // the Holt fold: state (lv, tr) in milli-units; floor division via
+    // pmod so negatives round like DuckDB's //
+    val holt =
+      """aggregate(
+        |  transform(prior, p -> p.n),
+        |  named_struct('lv', CAST(-1 AS BIGINT), 'tr', CAST(0 AS BIGINT)),
+        |  (acc, y) -> IF(acc.lv = -1,
+        |    named_struct('lv', CAST(1000 * y AS BIGINT), 'tr', CAST(0 AS BIGINT)),
+        |    named_struct(
+        |      'lv', (1000 * y + acc.lv + acc.tr
+        |             - pmod(1000 * y + acc.lv + acc.tr, 2)) div 2,
+        |      'tr', ((1000 * y + acc.lv + acc.tr
+        |              - pmod(1000 * y + acc.lv + acc.tr, 2)) div 2
+        |             - acc.lv + acc.tr
+        |             - pmod((1000 * y + acc.lv + acc.tr
+        |                     - pmod(1000 * y + acc.lv + acc.tr, 2)) div 2
+        |                    - acc.lv + acc.tr, 2)) div 2)))""".stripMargin
+    daily
+      .withColumn("cum_d", count(col("n")).over(wFlat))
+      .withColumn("cum_nw", sum(col("n")).over(wDow))
+      .withColumn("cum_dw", count(col("n")).over(wDow))
+      .withColumn("prior", sort_array(collect_list(struct(col("day"), col("n"))).over(wFlat)))
+      .join(broadcast(lastDay), lit(true))
+      .filter(col("day") > col("last_day") - 7 &&
+        col("cum_d") >= 1 && col("cum_dw") >= 1)
+      .withColumn("st", expr(holt))
+      .withColumn("pred_trend",
+        expr("(st.lv + st.tr - pmod(st.lv + st.tr, 1000)) div 1000"))
+      .withColumn("pred_seas", expr("cum_nw div cum_dw"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("n") - col("pred_seas"))).as("abs_seas"),
+        sum(abs(col("n") - col("pred_trend"))).as("abs_trend"))
+      .select(col("event_type"), col("n_eval"),
+        expr("abs_seas * 1000 div n_eval").as("mae_seas_milli"),
+        expr("abs_trend * 1000 div n_eval").as("mae_trend_milli"),
+        expr("abs_seas * 1000 div n_eval - abs_trend * 1000 div n_eval")
+          .as("gain_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  val mlForecastTrendSql: String =
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |dd AS (SELECT *, (day + 3) % 7 AS dow FROM d),
+      |c AS (SELECT *,
+      |    CAST(count(n) OVER wf AS BIGINT) AS cum_d,
+      |    CAST(sum(n) OVER wd AS BIGINT) AS cum_nw,
+      |    CAST(count(n) OVER wd AS BIGINT) AS cum_dw,
+      |    list_sort(list({'day': day, 'n': n}) OVER wf) AS prior
+      |  FROM dd
+      |  WINDOW wf AS (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    wd AS (PARTITION BY event_type, dow ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |e AS (SELECT *,
+      |    -- acc is a BIGINT LIST [lv, tr, unused], NOT a struct: DuckDB
+      |    -- v1.0.0 list_reduce evaluates a struct accumulator's later
+      |    -- fields against a one-iteration-stale acc (verified: the
+      |    -- 3-step fold returns tr computed from step-1 state); the
+      |    -- list accumulator folds correctly.
+      |    list_reduce(
+      |      list_prepend([CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+      |        list_transform(prior, p -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(p.n AS BIGINT)])),
+      |      (acc, x) -> CASE WHEN acc[1] = -1
+      |        THEN [CAST(1000 * x[3] AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)]
+      |        ELSE [CAST((1000 * x[3] + acc[1] + acc[2]) // 2 AS BIGINT),
+      |              CAST(((1000 * x[3] + acc[1] + acc[2]) // 2 - acc[1] + acc[2]) // 2 AS BIGINT),
+      |              CAST(0 AS BIGINT)] END) AS st,
+      |    cum_nw // cum_dw AS pred_seas
+      |  FROM c WHERE day > (SELECT max(day) FROM d) - 7
+      |    AND cum_d >= 1 AND cum_dw >= 1),
+      |f AS (SELECT *, (st[1] + st[2]) // 1000 AS pred_trend FROM e)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+      |  CAST(sum(abs(n - pred_seas)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS mae_seas_milli,
+      |  CAST(sum(abs(n - pred_trend)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS mae_trend_milli,
+      |  CAST(sum(abs(n - pred_seas)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+      |    - CAST(sum(abs(n - pred_trend)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS gain_milli
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------------------------- conformal intervals
   /** Split-conformal prediction intervals for the daily-count forecast
     * (r14 wave 10) — the UNCERTAINTY face beside [[mlBacktest]]'s
@@ -5545,6 +5663,7 @@ object Analytics {
     "events_paths" -> eventsPaths,
     "ml_backtest" -> mlBacktest,
     "ml_forecast_seasonal" -> mlForecastSeasonal,
+    "ml_forecast_trend" -> mlForecastTrend,
     "events_mau_wau" -> eventsMauWau,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -5644,6 +5763,7 @@ object Analytics {
     "events_paths" -> eventsPathsSql,
     "ml_backtest" -> mlBacktestSql,
     "ml_forecast_seasonal" -> mlForecastSeasonalSql,
+    "ml_forecast_trend" -> mlForecastTrendSql,
     "events_mau_wau" -> eventsMauWauSql,
     "events_sliding" -> eventsSlidingSql,
     "cube_revenue" -> cubeRevenueSql,

@@ -1678,6 +1678,57 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ml_forecast_trend replays the integer Holt walk, paired with seasonal") {
+    import spark.implicits._
+    val got = Analytics.mlForecastTrend(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, d), n) => (t, d, n) }
+    val lastDay = daily.map(_._2).max
+    def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    def holtPred(prior: Seq[Long]): Long = {
+      var lv = 1000L * prior.head; var tr = 0L
+      prior.tail.foreach { y =>
+        val lv2 = floorDiv(1000L * y + lv + tr, 2)
+        tr = floorDiv(lv2 - lv + tr, 2)
+        lv = lv2
+      }
+      floorDiv(lv + tr, 1000)
+    }
+    val expected = daily.groupBy(_._1).map { case (t, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val evals = sorted.zipWithIndex.collect {
+        case ((_, d, n), i) if d > lastDay - 7 && i >= 1 &&
+            sorted.take(i).exists(p => (p._2 + 3) % 7 == (d + 3) % 7) =>
+          val priorW = sorted.take(i)
+            .filter(p => (p._2 + 3) % 7 == (d + 3) % 7).map(_._3)
+          (math.abs(n - priorW.sum / priorW.length),
+            math.abs(n - holtPred(sorted.take(i).map(_._3))))
+      }
+      val nE = evals.length.toLong
+      t -> ((nE,
+        if (nE == 0) 0L else evals.map(_._1).sum * 1000L / nE,
+        if (nE == 0) 0L else evals.map(_._2).sum * 1000L / nE,
+        if (nE == 0) 0L
+        else evals.map(_._1).sum * 1000L / nE - evals.map(_._2).sum * 1000L / nE))
+    }.filter(_._2._1 > 0)
+    assert(got == expected, "trend backtest ledger drifted")
+    // the ladder is PAIRED: this key's seasonal column reproduces
+    // ml_forecast_seasonal's bit-for-bit (same walk, same day set)
+    val seas = Analytics.mlForecastSeasonal(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    got.foreach { case (t, (nE, maeSeas, maeTrend, gain)) =>
+      assert(seas(t) == ((nE, maeSeas)), s"$t seasonal column unpaired")
+      assert(gain == maeSeas - maeTrend, s"$t gain identity broken")
+    }
+  }
+
   test("events_mau_wau equals a direct trailing-window recompute") {
     import spark.implicits._
     val got = Analytics.eventsMauWau(spark, sf)
