@@ -713,7 +713,172 @@ object Multimodal {
       |  WHERE bit_count(xor(a.phash, b2.phash)) <= 10)
       |SELECT doc_a, doc_b, hamming FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------- composed media build
+  /** The composed media-curation pipeline (r15) — the multimodal twin
+    * of the text side's pretrain/eval/incremental/feature builds
+    * ([[Curate.pipelinePretrainBuild]]): every stage is a REGISTERED
+    * face, chained with marginal accounting so each kind's ingest
+    * count decomposes exactly into what each stage removed plus what
+    * survived (`n_ingested = n_blob_dup + n_phash_dup + n_admitted`,
+    * the identity the spec pins):
+    *
+    *   1. ingest — [[mmIngest]]'s typed-metadata relation (kind,
+    *      byte length, sha256); the only stage that hashes raw bytes.
+    *   2. CAS blob dedup — [[mmDedupBlob]]'s rule: byte-identical
+    *      copies collapse onto the minimum doc_id; non-canonical
+    *      copies drop, charged to their OWN declared kind.
+    *   3. perceptual near-dup cut — [[mmDedupPhash]]'s banded pair
+    *      list verbatim; any survivor appearing as the HIGHER-id
+    *      endpoint of a qualifying pair drops (the corpus_semdedup
+    *      convention).
+    *   4. CDC storage bill — [[mmCdcDedup]]'s chunk machinery over
+    *      the ADMITTED set only: raw chunk-ref bytes per kind, stored
+    *      bytes under first-writer-pays owner attribution, and the
+    *      stored/raw ratio in exact ppm.
+    *
+    * == Scale design ==
+    * Each stage materializes a THIN relation (ids + kind + metadata;
+    * checkpointed), so the composed DAG never moves blob payloads
+    * between stages — text/bytes are read only inside stage 1's hash
+    * fold, stage 3's signature build, and stage 4's chunk split, each
+    * a single corpus scan behind its checkpoint. The final ledger is
+    * O(kinds) = 3 rows; every join past the scans is on those bounded
+    * relations.
+    */
+  def pipelineMediaBuild(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    // [1] ingest — typed metadata only past this checkpoint
+    val ing = docs(s, dir).select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        octet_length(col("text")).cast("long").as("byte_len"),
+        sha2(col("text"), 256).as("sha256"))
+      .stableCheckpoint()
+    // [2] CAS survivors: min doc_id per digest
+    val canon = ing.groupBy(col("sha256")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val surv = ing.join(canon, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("kind"))
+    // [3] the registered phash pair list; higher-id endpoints drop
+    val pdrop = mmDedupPhash(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .stableCheckpoint()
+    val adm = surv.join(pdrop, Seq("doc_id"), "left_anti")
+    // [4] CDC chunk refs over the admitted set only
+    val ch = GraftSqlShim.column(
+      graft.functions.CdcChunks(GraftSqlShim.expression(col("text"))))
+    val refs = docs(s, dir)
+      .join(adm, Seq("doc_id"))
+      .filter(octet_length(col("text")) > 0)
+      .select(col("doc_id"), col("kind"), explode(ch).as("d"))
+      .select(col("doc_id"), col("kind"),
+        shiftright(col("d"), 20).as("chunk_hash"),
+        col("d").bitwiseAND(lit(1048575L)).as("chunk_len"))
+      .stableCheckpoint()
+    // marginal stage ledgers, all O(kinds)
+    val ingC = ing.groupBy(col("kind")).agg(count(lit(1)).as("n_ingested"))
+    val blobC = ing.join(canon, Seq("doc_id"), "left_anti")
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_blob_dup"))
+    val phashC = surv.join(pdrop, Seq("doc_id"), "left_semi")
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_phash_dup"))
+    val admC = adm.groupBy(col("kind")).agg(count(lit(1)).as("n_admitted"))
+    val raw = refs.groupBy(col("kind")).agg(sum(col("chunk_len")).as("raw_bytes"))
+    val st = refs.groupBy(col("chunk_hash"), col("chunk_len"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(adm, Seq("doc_id"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_chunks_owned"), sum(col("chunk_len")).as("stored_bytes"))
+    ingC
+      .join(blobC, Seq("kind"), "left_outer")
+      .join(phashC, Seq("kind"), "left_outer")
+      .join(admC, Seq("kind"), "left_outer")
+      .join(raw, Seq("kind"), "left_outer")
+      .join(st, Seq("kind"), "left_outer")
+      .select(col("kind"), col("n_ingested"),
+        coalesce(col("n_blob_dup"), lit(0L)).as("n_blob_dup"),
+        coalesce(col("n_phash_dup"), lit(0L)).as("n_phash_dup"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("raw_bytes"), lit(0L)).as("raw_bytes"),
+        coalesce(col("n_chunks_owned"), lit(0L)).as("n_chunks_owned"),
+        coalesce(col("stored_bytes"), lit(0L)).as("stored_bytes"),
+        (coalesce(col("raw_bytes"), lit(0L)) - coalesce(col("stored_bytes"), lit(0L)))
+          .as("bytes_saved"),
+        expr("1000000 * coalesce(stored_bytes, 0) div greatest(coalesce(raw_bytes, 0), 1)")
+          .as("stored_ppm"))
+      .orderBy(col("kind"))
+  }
+
+  /** DuckDB twin: the stage oracles chained — ingest metadata, CAS
+    * canon filter, the phash pair face inlined as a derived table,
+    * then the CDC chunk chain restricted to the admitted set and the
+    * same O(kinds) rollups. */
+  lazy val pipelineMediaBuildSql: String =
+    s"""WITH ing AS (SELECT doc_id,
+       |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       |    strlen(text) AS byte_len, sha256(text) AS sha256 FROM documents),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM ing GROUP BY sha256),
+       |surv AS (SELECT i.doc_id, i.kind FROM ing i
+       |  WHERE EXISTS (SELECT 1 FROM canon c WHERE c.doc_id = i.doc_id)),
+       |pdrop AS (SELECT DISTINCT doc_b AS doc_id FROM ($mmDedupPhashSql)),
+       |adm AS (SELECT s.doc_id, s.kind FROM surv s
+       |  WHERE NOT EXISTS (SELECT 1 FROM pdrop p WHERE p.doc_id = s.doc_id)),
+       |pos AS (SELECT d.doc_id, d.text, unnest(range(1, strlen(d.text)+1)) AS i
+       |  FROM documents d JOIN adm ON adm.doc_id = d.doc_id
+       |  WHERE strlen(d.text) > 0),
+       |b AS (SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) AS byte,
+       |    CASE WHEN i >= 8 THEN
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(CAST(i-7 AS INT), CAST(i+1 AS INT)),
+       |          j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |        (a, c) -> (a*31 + c) % 2147483647)
+       |    ELSE NULL END AS w
+       |  FROM pos),
+       |m AS (SELECT doc_id, i, byte,
+       |    CASE WHEN w IS NOT NULL AND w % 64 = 0 THEN 1 ELSE 0 END AS bnd
+       |  FROM b),
+       |c AS (SELECT doc_id, i, byte,
+       |    COALESCE(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+       |  FROM m),
+       |ch AS (SELECT doc_id, cid,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list(CAST(byte AS BIGINT) ORDER BY i)),
+       |      (a, x) -> (a*31 + x) % 2147483647) AS hash,
+       |    count(*) AS len
+       |  FROM c GROUP BY 1, 2),
+       |refs AS (SELECT ch.doc_id, adm.kind, hash, len
+       |  FROM ch JOIN adm USING (doc_id)),
+       |ingc AS (SELECT kind, CAST(count(*) AS BIGINT) AS n_ingested FROM ing GROUP BY 1),
+       |blobc AS (SELECT kind, CAST(count(*) AS BIGINT) AS n_blob_dup FROM ing i
+       |  WHERE NOT EXISTS (SELECT 1 FROM canon c2 WHERE c2.doc_id = i.doc_id) GROUP BY 1),
+       |phashc AS (SELECT kind, CAST(count(*) AS BIGINT) AS n_phash_dup FROM surv s
+       |  WHERE EXISTS (SELECT 1 FROM pdrop p WHERE p.doc_id = s.doc_id) GROUP BY 1),
+       |admc AS (SELECT kind, CAST(count(*) AS BIGINT) AS n_admitted FROM adm GROUP BY 1),
+       |raw AS (SELECT kind, CAST(sum(len) AS BIGINT) AS raw_bytes FROM refs GROUP BY 1),
+       |own AS (SELECT hash, len, min(doc_id) AS doc_id FROM refs GROUP BY 1, 2),
+       |st AS (SELECT adm.kind, CAST(count(*) AS BIGINT) AS n_chunks_owned,
+       |    CAST(sum(own.len) AS BIGINT) AS stored_bytes
+       |  FROM own JOIN adm USING (doc_id) GROUP BY 1)
+       |SELECT ingc.kind, ingc.n_ingested,
+       |  COALESCE(blobc.n_blob_dup, 0) AS n_blob_dup,
+       |  COALESCE(phashc.n_phash_dup, 0) AS n_phash_dup,
+       |  COALESCE(admc.n_admitted, 0) AS n_admitted,
+       |  COALESCE(raw.raw_bytes, 0) AS raw_bytes,
+       |  COALESCE(st.n_chunks_owned, 0) AS n_chunks_owned,
+       |  COALESCE(st.stored_bytes, 0) AS stored_bytes,
+       |  COALESCE(raw.raw_bytes, 0) - COALESCE(st.stored_bytes, 0) AS bytes_saved,
+       |  1000000 * COALESCE(st.stored_bytes, 0) // greatest(COALESCE(raw.raw_bytes, 0), 1) AS stored_ppm
+       |FROM ingc
+       |LEFT JOIN blobc USING (kind)
+       |LEFT JOIN phashc USING (kind)
+       |LEFT JOIN admc USING (kind)
+       |LEFT JOIN raw USING (kind)
+       |LEFT JOIN st USING (kind)
+       |ORDER BY ingc.kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_media_build" -> pipelineMediaBuild,
     "mm_ingest" -> mmIngest,
     "mm_dedup_blob" -> mmDedupBlob,
     "mm_cdc_chunks" -> mmCdcChunks,
@@ -796,6 +961,7 @@ object Multimodal {
       |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_media_build" -> pipelineMediaBuildSql,
     "mm_ingest" -> mmIngestSql,
     "mm_dedup_blob" -> mmDedupBlobSql,
     "mm_cdc_chunks" -> mmCdcChunksSql,

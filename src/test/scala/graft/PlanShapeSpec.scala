@@ -668,6 +668,19 @@ class PlanShapeSpec extends SparkSpec {
       s"no cartesian product in the composition:\n$plan")
   }
 
+  test("pipeline_media_build: composed plan is blob-free past the stage scans") {
+    val plan = planOf(operators.Multimodal.pipelineMediaBuild(spark, sf))
+    // blob payloads are read only INSIDE the checkpointed stages
+    // (ingest hash, phash signatures, CDC split); the stitched plan
+    // exchanges thin id/kind/metadata relations only
+    assert(!plan.contains("Scan parquet"),
+      s"composed stages must ride materialized thin relations:\n$plan")
+    assert(!plan.contains("text#"),
+      s"blob bytes must never cross a stage boundary:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product in the composition:\n$plan")
+  }
+
   test("mm_phash is one scan with no exchange before the display sort") {
     val plan = planOf(operators.Multimodal.mmPhash(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length

@@ -795,6 +795,37 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_media_build: marginal stage identity, faces consistent") {
+    import spark.implicits._
+    val led = Multimodal.pipelineMediaBuild(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(led.map(_._1).toSeq == Seq("audio", "image", "video"))
+    // the marginal accounting identity: every ingested blob is either
+    // dropped by exactly one stage or admitted
+    led.foreach { case (k, ing, blob, phash, adm, raw, _, stored, saved, ppm) =>
+      assert(ing == blob + phash + adm, s"$k stage identity broken")
+      assert(saved == raw - stored, s"$k bytes_saved identity broken")
+      assert(ppm >= 0 && ppm <= 1000000L, s"$k stored_ppm out of range")
+    }
+    // stage-1 consistency: ingest counts match the registered face
+    val ingFace = Multimodal.mmIngest(spark, sf)
+      .groupBy(col("kind")).agg(count(lit(1)))
+      .as[(String, Long)].collect().toMap
+    led.foreach { case (k, ing, _, _, _, _, _, _, _, _) =>
+      assert(ingFace(k) == ing, s"$k ingest count drifted from mm_ingest")
+    }
+    // stage-3 consistency: phash drops never exceed the face's
+    // distinct higher-id endpoints
+    val faceDrops = Multimodal.mmDedupPhash(spark, sf)
+      .select(col("doc_b")).distinct().count()
+    assert(led.map(_._3).sum <= faceDrops,
+      "phash stage dropped more than the pair face's endpoints")
+    // global storage conservation: dedup never inflates the store
+    assert(led.map(_._7).sum <= led.map(_._6).sum,
+      "stored bytes exceed raw bytes globally")
+  }
+
   test("ann_graph_search replays a driver-side beam walk; cheaper than probe-3") {
     import spark.implicits._
     val out = Similarity.annGraphSearch(spark, sf)
