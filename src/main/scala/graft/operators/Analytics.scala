@@ -613,6 +613,15 @@ object Analytics {
     * (right-censored — the consumer applies [[eventsSurvival]]'s
     * censoring discipline, not a fake horizon).
     *
+    * TIE RULE (pinned): "strictly after" means strictly after in the
+    * (us, event_id) ROW ORDER, not in time — the ROWS (1,
+    * unboundedFollowing) frame is positional, so a purchase sharing
+    * the event's exact microsecond but carrying a LARGER event_id
+    * counts as the next purchase (and one with a smaller event_id
+    * does not). Deterministic (the sort key is a total order) and
+    * identical in both engines; the spec pins the same-microsecond
+    * case explicitly.
+    *
     * == Scale design ==
     * ONE scan, one user-keyed shuffle serving the single window — no
     * range join, no self-join; the frame is
@@ -2448,8 +2457,13 @@ object Analytics {
     * integer Holt recurrence (α = β = ½, milli-scaled state):
     * level₀ = 1000·y₀, trend₀ = 0, then with A = 1000·y + lv + tr,
     * lv' = ⌊A/2⌋ and tr' = ⌊(lv' − lv + tr)/2⌋ — all floor divisions
-    * (pmod-adjusted on the Spark side, native `//` in DuckDB), so the
-    * walk is exactly replayable. The prediction is ⌊(lv + tr)/1000⌋.
+    * (pmod-adjusted on the Spark side; DuckDB's `//` truncates toward
+    * zero, so the oracle emulates floor with the same pmod identity
+    * `(a − ((a % m) + m) % m) // m` wherever the dividend can go
+    * negative), so the walk is exactly replayable. The fold carries an
+    * explicit init flag — the level can legitimately reach any value,
+    * including −1, on a crashing series, so no state value doubles as
+    * the uninitialized sentinel. The prediction is ⌊(lv + tr)/1000⌋.
     * Steps advance per OBSERVED day (zero days are absent, not
     * imputed) — the ladder's documented contract.
     *
@@ -2473,14 +2487,18 @@ object Analytics {
     val wDow = Window.partitionBy(col("event_type"), col("dow")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val lastDay = daily.agg(max(col("day")).as("last_day"))
-    // the Holt fold: state (lv, tr) in milli-units; floor division via
-    // pmod so negatives round like DuckDB's //
+    // the Holt fold: state (lv, tr, init) in milli-units; floor
+    // division via pmod (negatives round toward -inf in both engines);
+    // the explicit init flag keeps a legitimate lv = -1 (crashing
+    // series) from re-seeding the walk
     val holt =
       """aggregate(
         |  transform(prior, p -> p.n),
-        |  named_struct('lv', CAST(-1 AS BIGINT), 'tr', CAST(0 AS BIGINT)),
-        |  (acc, y) -> IF(acc.lv = -1,
-        |    named_struct('lv', CAST(1000 * y AS BIGINT), 'tr', CAST(0 AS BIGINT)),
+        |  named_struct('lv', CAST(0 AS BIGINT), 'tr', CAST(0 AS BIGINT),
+        |               'init', CAST(0 AS BIGINT)),
+        |  (acc, y) -> IF(acc.init = 0,
+        |    named_struct('lv', CAST(1000 * y AS BIGINT), 'tr', CAST(0 AS BIGINT),
+        |                 'init', CAST(1 AS BIGINT)),
         |    named_struct(
         |      'lv', (1000 * y + acc.lv + acc.tr
         |             - pmod(1000 * y + acc.lv + acc.tr, 2)) div 2,
@@ -2489,7 +2507,8 @@ object Analytics {
         |             - acc.lv + acc.tr
         |             - pmod((1000 * y + acc.lv + acc.tr
         |                     - pmod(1000 * y + acc.lv + acc.tr, 2)) div 2
-        |                    - acc.lv + acc.tr, 2)) div 2)))""".stripMargin
+        |                    - acc.lv + acc.tr, 2)) div 2,
+        |      'init', CAST(1 AS BIGINT))))""".stripMargin
     daily
       .withColumn("cum_d", count(col("n")).over(wFlat))
       .withColumn("cum_nw", sum(col("n")).over(wDow))
@@ -2529,23 +2548,35 @@ object Analytics {
       |    wd AS (PARTITION BY event_type, dow ORDER BY day
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
       |e AS (SELECT *,
-      |    -- acc is a BIGINT LIST [lv, tr, unused], NOT a struct: DuckDB
+      |    -- acc is a BIGINT LIST [lv, tr, init], NOT a struct: DuckDB
       |    -- v1.0.0 list_reduce evaluates a struct accumulator's later
       |    -- fields against a one-iteration-stale acc (verified: the
       |    -- 3-step fold returns tr computed from step-1 state); the
-      |    -- list accumulator folds correctly.
+      |    -- list accumulator folds correctly. acc[3] is the explicit
+      |    -- init flag (lv = -1 is a legitimate state on a crashing
+      |    -- series, so it cannot double as the sentinel). DuckDB's //
+      |    -- truncates toward zero, so every division whose dividend can
+      |    -- go negative emulates floor via (a - ((a % m) + m) % m) // m
+      |    -- — mirroring the Spark fold's pmod adjustment.
       |    list_reduce(
-      |      list_prepend([CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+      |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
       |        list_transform(prior, p -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(p.n AS BIGINT)])),
-      |      (acc, x) -> CASE WHEN acc[1] = -1
-      |        THEN [CAST(1000 * x[3] AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)]
-      |        ELSE [CAST((1000 * x[3] + acc[1] + acc[2]) // 2 AS BIGINT),
-      |              CAST(((1000 * x[3] + acc[1] + acc[2]) // 2 - acc[1] + acc[2]) // 2 AS BIGINT),
-      |              CAST(0 AS BIGINT)] END) AS st,
+      |      (acc, x) -> CASE WHEN acc[3] = 0
+      |        THEN [CAST(1000 * x[3] AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)]
+      |        ELSE [CAST(((1000 * x[3] + acc[1] + acc[2])
+      |                    - (((1000 * x[3] + acc[1] + acc[2]) % 2) + 2) % 2) // 2 AS BIGINT),
+      |              CAST(((((1000 * x[3] + acc[1] + acc[2])
+      |                      - (((1000 * x[3] + acc[1] + acc[2]) % 2) + 2) % 2) // 2
+      |                     - acc[1] + acc[2])
+      |                    - (((((1000 * x[3] + acc[1] + acc[2])
+      |                          - (((1000 * x[3] + acc[1] + acc[2]) % 2) + 2) % 2) // 2
+      |                         - acc[1] + acc[2]) % 2) + 2) % 2) // 2 AS BIGINT),
+      |              CAST(1 AS BIGINT)] END) AS st,
       |    cum_nw // cum_dw AS pred_seas
       |  FROM c WHERE day > (SELECT max(day) FROM d) - 7
       |    AND cum_d >= 1 AND cum_dw >= 1),
-      |f AS (SELECT *, (st[1] + st[2]) // 1000 AS pred_trend FROM e)
+      |f AS (SELECT *, ((st[1] + st[2])
+      |    - (((st[1] + st[2]) % 1000) + 1000) % 1000) // 1000 AS pred_trend FROM e)
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
       |  CAST(sum(abs(n - pred_seas)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS mae_seas_milli,
       |  CAST(sum(abs(n - pred_trend)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS mae_trend_milli,

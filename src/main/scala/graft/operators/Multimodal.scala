@@ -747,12 +747,13 @@ object Multimodal {
     */
   def pipelineMediaBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftSqlShim
-    // [1] ingest — typed metadata only past this checkpoint
+    // [1] ingest — typed metadata only past this checkpoint (just the
+    // columns the stages consume: id, kind, digest — byte accounting
+    // happens in stage 4's chunk refs, not here)
     val ing = docs(s, dir).select(
         col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        octet_length(col("text")).cast("long").as("byte_len"),
         sha2(col("text"), 256).as("sha256"))
       .stableCheckpoint()
     // [2] CAS survivors: min doc_id per digest
@@ -816,7 +817,7 @@ object Multimodal {
   lazy val pipelineMediaBuildSql: String =
     s"""WITH ing AS (SELECT doc_id,
        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-       |    strlen(text) AS byte_len, sha256(text) AS sha256 FROM documents),
+       |    sha256(text) AS sha256 FROM documents),
        |canon AS (SELECT min(doc_id) AS doc_id FROM ing GROUP BY sha256),
        |surv AS (SELECT i.doc_id, i.kind FROM ing i
        |  WHERE EXISTS (SELECT 1 FROM canon c WHERE c.doc_id = i.doc_id)),
@@ -877,7 +878,158 @@ object Multimodal {
        |LEFT JOIN st USING (kind)
        |ORDER BY ingc.kind""".stripMargin
 
+  // ------------------------------------------ incremental media build
+  /** Incremental media ingest (r16) — [[pipelineMediaBuild]]'s
+    * delta-ingest twin, completing the media side's build symmetry the
+    * way [[graft.operators.Curate.pipelineIncrementalBuild]] completes
+    * the text side's: today's arriving batch (source = 'src1', the
+    * [[graft.operators.Dedup.dedupIncremental]] orientation) is checked
+    * against the STANDING corpus (every other source), never corpus ×
+    * corpus:
+    *
+    *   1. CAS check — an arriving blob drops as `blob_dup` when its
+    *      sha256 already exists in the standing store OR a smaller-id
+    *      blob in the same batch carries it (within-batch min-id
+    *      canonicalization, [[mmDedupBlob]]'s rule).
+    *   2. perceptual cut — a CAS survivor drops as `phash_dup` when
+    *      its [[mmPhash]] signature has a banded-candidate (4×15) pair
+    *      at Hamming ≤ 10 with ANY standing blob, or with a smaller-id
+    *      CAS survivor in the same batch ([[mmDedupPhash]]'s higher-id
+    *      endpoint convention applied within the delta).
+    *   3. ledger — per kind: n_arrived = n_blob_dup + n_phash_dup +
+    *      n_admitted (the marginal identity, spec-pinned) + exact-ppm
+    *      admitted share.
+    *
+    * == Scale design ==
+    * The delta is ingest-batch-sized, so every delta relation
+    * BROADCASTS (digest probe set, banded delta signatures); the
+    * standing corpus streams through one metadata scan and one
+    * signature scan — the nightly O(delta × standing-bucket) shape,
+    * never a standing self-join. Matched standing digests collapse to
+    * a ≤|delta| relation before rejoining the batch; signatures are
+    * checkpointed thin (16 B/blob); the ledger is O(kinds).
+    */
+  def pipelineMediaIncremental(s: SparkSession, dir: String): DataFrame = {
+    val meta = docs(s, dir).select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("source"),
+        sha2(col("text"), 256).as("sha256"))
+      .stableCheckpoint()
+    val delta = meta.filter(col("source") === "src1")
+      .select(col("doc_id"), col("kind"), col("sha256"))
+    val standing = meta.filter(col("source") =!= "src1")
+    // [1] CAS: standing digests matching the batch collapse to a
+    // <=|delta| relation (standing streams, delta probe broadcast)
+    val hitSha = standing
+      .join(broadcast(delta.select(col("sha256")).distinct()), Seq("sha256"), "left_semi")
+      .select(col("sha256")).distinct()
+    val canon = delta.groupBy(col("sha256")).agg(min(col("doc_id")).as("canon_id"))
+    val flagged = delta
+      .join(broadcast(canon), Seq("sha256"))
+      .join(broadcast(hitSha.withColumn("in_standing", lit(1L))), Seq("sha256"), "left_outer")
+      .select(col("doc_id"), col("kind"),
+        when(col("in_standing").isNotNull || col("doc_id") =!= col("canon_id"), 1L)
+          .otherwise(0L).as("blob_dup"))
+    val surv = flagged.filter(col("blob_dup") === 0L).select(col("doc_id"))
+    // [2] perceptual cut: banded signatures, delta side broadcast
+    val sigs = phashSigs(s, dir).stableCheckpoint()
+    val chunkCols = (0 until 4).map(c =>
+      struct(lit(c).as("band"),
+        shiftright(col("phash"), c * 15).bitwiseAND(lit(32767L)).as("bv")))
+    val banded = sigs.select(col("doc_id"), col("phash"),
+        explode(array(chunkCols: _*)).as("cc"))
+      .select(col("doc_id"), col("phash"), col("cc.band"), col("cc.bv"))
+    val bDelta = banded.join(broadcast(surv), Seq("doc_id"))
+    val bStand = banded.join(
+      broadcast(delta.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val a = bDelta.alias("a")
+    val dropVsStanding = bStand.alias("b")
+      .join(broadcast(a), col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
+      .filter(bit_count(col("a.phash").bitwiseXOR(col("b.phash"))) <= 10)
+      .select(col("a.doc_id").as("doc_id"))
+    val dropWithin = bDelta.alias("b2")
+      .join(broadcast(a), col("a.band") === col("b2.band") && col("a.bv") === col("b2.bv")
+        && col("a.doc_id") < col("b2.doc_id"))
+      .filter(bit_count(col("a.phash").bitwiseXOR(col("b2.phash"))) <= 10)
+      .select(col("b2.doc_id").as("doc_id"))
+    val pdrop = dropVsStanding.unionByName(dropWithin).distinct()
+      .withColumn("pd", lit(1L))
+    // [3] marginal ledger, O(kinds)
+    flagged
+      .join(broadcast(pdrop), Seq("doc_id"), "left_outer")
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_arrived"),
+        sum(col("blob_dup")).as("n_blob_dup"),
+        sum(when(col("blob_dup") === 0L && col("pd").isNotNull, 1L).otherwise(0L))
+          .as("n_phash_dup"),
+        sum(when(col("blob_dup") === 0L && col("pd").isNull, 1L).otherwise(0L))
+          .as("n_admitted"))
+      .select(col("kind"), col("n_arrived"), col("n_blob_dup"),
+        col("n_phash_dup"), col("n_admitted"),
+        expr("1000000 * n_admitted div n_arrived").as("admitted_ppm"))
+      .orderBy(col("kind"))
+  }
+
+  /** DuckDB twin: the metadata CTE with source split, the shared phash
+    * chain, delta-vs-standing and within-delta banded candidate joins,
+    * then the same O(kinds) rollup. */
+  lazy val pipelineMediaIncrementalSql: String =
+    """WITH m AS (SELECT doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    source, sha256(text) AS sha256 FROM documents),
+      |del AS (SELECT doc_id, kind, sha256 FROM m WHERE source = 'src1'),
+      |hit AS (SELECT DISTINCT s.sha256 FROM m s
+      |  WHERE s.source <> 'src1'
+      |    AND EXISTS (SELECT 1 FROM del WHERE del.sha256 = s.sha256)),
+      |canon AS (SELECT sha256, min(doc_id) AS canon_id FROM del GROUP BY 1),
+      |flag AS (SELECT del.doc_id, del.kind,
+      |    CASE WHEN hit.sha256 IS NOT NULL OR del.doc_id <> canon.canon_id
+      |      THEN 1 ELSE 0 END AS blob_dup
+      |  FROM del JOIN canon USING (sha256) LEFT JOIN hit USING (sha256)),
+      |surv AS (SELECT doc_id FROM flag WHERE blob_dup = 0),
+      |d2 AS (SELECT doc_id, text, strlen(text) AS len FROM documents
+      |  WHERE strlen(text) > 0),
+      |chx AS (SELECT doc_id, unnest(range(0, len)) AS i FROM d2),
+      |bb AS (SELECT chx.doc_id, d2.len, (i * 60) // d2.len AS bin,
+      |    ascii(substr(d2.text, CAST(i + 1 AS INT), 1)) AS byte
+      |  FROM chx JOIN d2 USING (doc_id)),
+      |cell AS (SELECT doc_id, len, bin, sum(byte) AS cs, count(*) AS cl
+      |  FROM bb GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, sum(cs) AS ts FROM cell GROUP BY 1),
+      |ph AS (SELECT cell.doc_id,
+      |    CAST(sum(CASE WHEN cs * len > ts * cl
+      |      THEN (CAST(1 AS BIGINT) << CAST(bin AS INT)) ELSE 0 END) AS BIGINT)
+      |      AS phash
+      |  FROM cell JOIN tot USING (doc_id) GROUP BY 1),
+      |bands AS (SELECT doc_id, phash, b AS band,
+      |    (phash >> CAST(b * 15 AS INT)) & 32767 AS bv
+      |  FROM ph, unnest(range(0, 4)) t(b)),
+      |bdel AS (SELECT bands.* FROM bands JOIN surv USING (doc_id)),
+      |bstand AS (SELECT bands.* FROM bands
+      |  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.doc_id = bands.doc_id)),
+      |pdrop AS (
+      |  SELECT DISTINCT a.doc_id FROM bdel a JOIN bstand b2
+      |    ON a.band = b2.band AND a.bv = b2.bv
+      |  WHERE bit_count(xor(a.phash, b2.phash)) <= 10
+      |  UNION
+      |  SELECT DISTINCT b2.doc_id FROM bdel a JOIN bdel b2
+      |    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+      |  WHERE bit_count(xor(a.phash, b2.phash)) <= 10)
+      |SELECT f.kind, count(*) AS n_arrived,
+      |  CAST(sum(f.blob_dup) AS BIGINT) AS n_blob_dup,
+      |  CAST(sum(CASE WHEN f.blob_dup = 0 AND p.doc_id IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_phash_dup,
+      |  CAST(sum(CASE WHEN f.blob_dup = 0 AND p.doc_id IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+      |  1000000 * CAST(sum(CASE WHEN f.blob_dup = 0 AND p.doc_id IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) // count(*) AS admitted_ppm
+      |FROM flag f LEFT JOIN pdrop p ON p.doc_id = f.doc_id
+      |GROUP BY f.kind ORDER BY f.kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_media_incremental" -> pipelineMediaIncremental,
     "pipeline_media_build" -> pipelineMediaBuild,
     "mm_ingest" -> mmIngest,
     "mm_dedup_blob" -> mmDedupBlob,
@@ -961,6 +1113,7 @@ object Multimodal {
       |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_media_incremental" -> pipelineMediaIncrementalSql,
     "pipeline_media_build" -> pipelineMediaBuildSql,
     "mm_ingest" -> mmIngestSql,
     "mm_dedup_blob" -> mmDedupBlobSql,

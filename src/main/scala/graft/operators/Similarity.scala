@@ -71,6 +71,38 @@ object Similarity {
   private def plane(j: Int): Array[Float] =
     Array.tabulate(DIM)(d => (((j * 73 + d * 179) % 97) / 97.0 - 0.5).toFloat)
 
+  /** Driver/executor-side exact float dot product — THE scalar the
+    * codebook-assignment tie-break is defined over. One definition so
+    * assignment order cannot drift between the IVF-family faces.
+    * (Object-method calls from Spark lambdas resolve through the
+    * static module reference; nothing extra is serialized.)
+    */
+  private def dotd(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    val m = math.min(a.length, b.length)
+    while (i < m) { d += a(i).toDouble * b(i); i += 1 }
+    d
+  }
+
+  /** Canonical codebook assignment shared by [[annKnnGraph]] /
+    * [[annGraphSearch]]: each vector's top-k trained cells by
+    * (−cosine, cid) — the single tie-break every face must agree on,
+    * or index and probe sides silently diverge. Returns the full
+    * (vec_id, embedding, nrm, cell) projection; callers select down.
+    */
+  private def assignCells(s: SparkSession, dir: String,
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Float])], k: Int): DataFrame = {
+    import s.implicits._
+    val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
+    ds.flatMap { case (id, v) =>
+      val n = math.sqrt(dotd(v, v))
+      codebook.value
+        .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(k).map { case (cell, _) => (id, v, n, cell) }
+    }.toDF("vec_id", "embedding", "nrm", "cell")
+  }
+
   /** Exact cosine top-k: broadcast query set × corpus scan, then
     * row_number ≤ k per query with a vec_id tiebreak.
     */
@@ -931,22 +963,8 @@ object Similarity {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
-    val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
-    def assignedAt(k: Int): DataFrame = e.flatMap { case (id, v) =>
-      val n = math.sqrt(dotd(v, v))
-      codebook.value
-        .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
-        .sortBy { case (cid, cos) => (-cos, cid) }
-        .take(k).map { case (cell, _) => (id, v, n, cell) }
-    }.toDF("vec_id", "embedding", "nrm", "cell")
-    val index = assignedAt(IVF_ASSIGN)
-    val probes = assignedAt(IVF_NPROBE)
+    val index = assignCells(s, dir, e, IVF_ASSIGN)
+    val probes = assignCells(s, dir, e, IVF_NPROBE)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
@@ -1000,23 +1018,9 @@ object Similarity {
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val eDs = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
-    val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
-    def assignedAt(ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
-        k: Int): DataFrame = ds.flatMap { case (id, v) =>
-      val n = math.sqrt(dotd(v, v))
-      codebook.value
-        .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
-        .sortBy { case (cid, cos) => (-cos, cid) }
-        .take(k).map { case (cell, _) => (id, cell) }
-    }.toDF("vec_id", "cell")
-    val index = assignedAt(eDs, IVF_ASSIGN)
-    val seeds = assignedAt(eDs.filter(_._1 < NQ), GS_SEED_PROBE)
+    val index = assignCells(s, dir, eDs, IVF_ASSIGN)
+      .select(col("vec_id"), col("cell"))
+    val seeds = assignCells(s, dir, eDs.filter(_._1 < NQ), GS_SEED_PROBE)
       .select(col("vec_id").as("q_id"), col("cell"))
     val q = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id2"), col("embedding").as("q_emb"),

@@ -963,6 +963,92 @@ object EventStreams {
         sum(col("vc").cast("decimal(38,0)")).as("vc_sum"),
         min(col("vc")).as("vc_min"), max(col("vc")).as("vc_max"))
 
+  /** Batch face of [[histogramStream]] (registered as
+    * `stream_value_histogram`, r16 — the last of the three r7-era
+    * spec-only sketch faces promoted to a registered key): the SAME
+    * `histogramStream` function applied to the corpus cents feed, so
+    * the oracle checks the per-micro-batch plan literally (the
+    * [[enrichStream]] promotion pattern); only a final column-shaping
+    * select (DECIMAL(38,0) accumulator → BIGINT cents) sits on top.
+    * The MemoryStream spec pins stream ≡ batch cell-for-cell on a
+    * split feed.
+    *
+    * == Scale design ==
+    * The canonical additive sketch: one scan folds map-side onto
+    * O(buckets) cells; counts/sums add and min/max merge per cell, so
+    * a 100 TB backfill histogram and the live table union cell-wise.
+    * Streaming state is O(buckets) forever — no watermark, no per-key
+    * eviction.
+    */
+  def streamValueHistogram(s: SparkSession, dir: String): DataFrame =
+    histogramStream(events(s, dir)
+        .select(expr("CAST(round(value*100) AS BIGINT)").as("vc")))
+      .select(col("bucket"), col("n_events"),
+        col("vc_sum").cast("long").as("vc_sum_cents"),
+        col("vc_min").as("vc_min_cents"), col("vc_max").as("vc_max_cents"))
+      .orderBy(col("bucket"))
+
+  val streamValueHistogramSql: String =
+    """SELECT CAST(round(value*100) AS BIGINT) // 5000 AS bucket,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS vc_sum_cents,
+      |  min(CAST(round(value*100) AS BIGINT)) AS vc_min_cents,
+      |  max(CAST(round(value*100) AS BIGINT)) AS vc_max_cents
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------- streaming CAS dedup
+  /** Batch face of [[casDedupStream]] (registered as `stream_cas_dedup`,
+    * r16 — the multimodal family's first live face): the admitted-blob
+    * change-log of a content-addressed ingest — FIRST arrival per
+    * sha256 digest under the append-only doc_id ingest order (the
+    * [[packStream]] arrival contract), with its modality kind. This is
+    * [[graft.operators.Multimodal.mmDedupBlob]]'s canonical set viewed
+    * as the change-log a live ingest emits.
+    *
+    * == Scale design ==
+    * Batch: one digest-keyed shuffle (row_number over the ingest
+    * stamp); digests are collision-resistant ⇒ uniform, cannot skew.
+    * Streaming: `dropDuplicatesWithinWatermark` on the digest — state
+    * holds only digests younger than the watermark, so a 100 TB/day
+    * blob firehose carries O(rate × horizon) state, not the unbounded
+    * all-time seen-set (a byte-identical copy arriving PAST the
+    * horizon re-admits — the documented bounded-state trade, same as
+    * the event-dedup face; the nightly batch CAS sweep reconciles).
+    */
+  def streamCasDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sha256")).orderBy(col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        sha2(col("text"), 256).as("sha256"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("kind"), col("sha256"))
+      .orderBy(col("doc_id"))
+  }
+
+  val streamCasDedupSql: String =
+    """SELECT doc_id, kind, sha256 FROM (
+      |  SELECT doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    sha256(text) AS sha256,
+      |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Streaming face: first arrival per digest within the watermark.
+    * The feed carries (doc_id, kind, sha256, ts) where ts is the
+    * ingest stamp (doc_id-derived in the spec — the append-only
+    * contract makes first-arrival = min doc_id, which is exactly the
+    * batch face's rule, pinned by the MemoryStream spec).
+    */
+  def casDedupStream(stream: DataFrame, watermark: String = "30 days"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sha256")
+
   /** One closed day of a metric series for the CUSUM monitor. */
   case class CusumEv(etype: String, day: Long, cents: Long, target: Long)
   /** Emitted per-day CUSUM state row. */
@@ -2239,6 +2325,8 @@ object EventStreams {
     "stream_gap_fill" -> streamGapFill,
     "stream_ewma" -> streamEwma,
     "stream_quantile" -> streamQuantile,
+    "stream_value_histogram" -> streamValueHistogram,
+    "stream_cas_dedup" -> streamCasDedup,
     "stream_dau" -> streamDau,
     "stream_ab_lift" -> streamAbLift,
     "stream_funnel" -> streamFunnel,
@@ -2279,6 +2367,8 @@ object EventStreams {
     "stream_gap_fill" -> streamGapFillSql,
     "stream_ewma" -> streamEwmaSql,
     "stream_quantile" -> streamQuantileSql,
+    "stream_value_histogram" -> streamValueHistogramSql,
+    "stream_cas_dedup" -> streamCasDedupSql,
     "stream_dau" -> streamDauSql,
     "stream_ab_lift" -> streamAbLiftSql,
     "stream_funnel" -> streamFunnelSql,

@@ -705,7 +705,31 @@ class AnalyticsSpec extends SparkSpec {
     }
     // censoring: every user's LAST purchase (and anything after) is NULL
     assert(rows.exists(_._5.isEmpty), "no censored tail — forward face vacuous")
-    assert(rows.forall(r => r._5.forall(_ > r._4)), "next purchase not strictly after")
+    // "strictly after" is ROW order (us, event_id), not time: a
+    // same-microsecond later-event_id purchase may match (>=, not >);
+    // the dedicated tie test below pins that case on synthetic data
+    assert(rows.forall(r => r._5.forall(_ >= r._4)), "next purchase before the event")
+  }
+
+  test("join_asof_forward tie rule: same-microsecond later-event_id purchase matches") {
+    import spark.implicits._
+    // user 1, all three events at the SAME microsecond us=1000:
+    // purchase id0 | click id1 | purchase id2. Row order (us, event_id)
+    // makes id2 the "next purchase" for id0 and id1; id2 itself is
+    // censored. A time-strict rule would return NULL for all three.
+    Seq((0L, 1000L, 1L, "purchase", 1.0),
+        (1L, 1000L, 1L, "click", 1.0),
+        (2L, 1000L, 1L, "purchase", 2.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-asoffwd/events.parquet")
+    val got = Analytics.joinAsofForward(spark, "/tmp/graft-test-asoffwd")
+      .select("event_id", "next_purchase_us")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(0L -> Some(1000L), 1L -> Some(1000L), 2L -> None),
+      s"tie rule drifted: $got")
   }
 
   test("pipeline_feature_build: leak-free matrix replayed in memory, encoding fit on train only") {
@@ -1727,6 +1751,59 @@ class AnalyticsSpec extends SparkSpec {
       assert(seas(t) == ((nE, maeSeas)), s"$t seasonal column unpaired")
       assert(gain == maeSeas - maeTrend, s"$t gain identity broken")
     }
+  }
+
+  test("trend forecast floors negative Holt state on a crashing series") {
+    import spark.implicits._
+    // day 0 = 2000 events then 1/day: the level collapses, the trend
+    // numerator goes odd-and-negative within three steps, and the
+    // level itself goes negative — the regime where floor division
+    // (both engines) and truncation toward zero (what DuckDB's bare
+    // `//` would do) give different walks. Also exercises the init
+    // flag: no state value doubles as the uninitialized sentinel.
+    val counts = 2000L +: Seq.fill(13)(1L)
+    val rows = for {
+      (n, d) <- counts.zipWithIndex; i <- 1L to n
+    } yield (d.toLong * 100000 + i, d.toLong * 86400000000L + i * 1000L,
+      i % 7 + 1, "crash", 1.0)
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-holt/events.parquet")
+    def pred(prior: Seq[Long], div: (Long, Long) => Long): Long = {
+      var lv = 1000L * prior.head; var tr = 0L
+      prior.tail.foreach { y =>
+        val lv2 = div(1000L * y + lv + tr, 2)
+        tr = div(lv2 - lv + tr, 2)
+        lv = lv2
+      }
+      div(lv + tr, 1000)
+    }
+    val lastDay = 13L
+    val evalDays = (0 to 13).map(_.toLong)
+      .filter(d => d > lastDay - 7 && d >= 1 && d - 7 >= 0)
+    val floorPreds = evalDays.map(d => pred(counts.take(d.toInt), Math.floorDiv))
+    val truncPreds = evalDays.map(d => pred(counts.take(d.toInt), (a, b) => a / b))
+    // the guard that this series exercises the distinction at all: a
+    // truncating walk must disagree with the floor walk somewhere
+    assert(floorPreds != truncPreds,
+      "crash series no longer separates floor from truncation — rewrite it")
+    val expected = {
+      val evals = evalDays.map { d =>
+        val priorW = counts.zipWithIndex
+          .filter { case (_, pd) => pd < d && (pd + 3) % 7 == (d + 3) % 7 }
+          .map(_._1)
+        (math.abs(counts(d.toInt) - priorW.sum / priorW.length),
+          math.abs(counts(d.toInt) - pred(counts.take(d.toInt), Math.floorDiv)))
+      }
+      val nE = evals.length.toLong
+      val maeS = evals.map(_._1).sum * 1000L / nE
+      val maeT = evals.map(_._2).sum * 1000L / nE
+      ("crash", nE, maeS, maeT, maeS - maeT)
+    }
+    val got = Analytics.mlForecastTrend(spark, "/tmp/graft-test-holt")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(expected), s"negative-state Holt walk drifted: $got")
   }
 
   test("events_mau_wau equals a direct trailing-window recompute") {

@@ -681,6 +681,28 @@ class PlanShapeSpec extends SparkSpec {
       s"no cartesian product in the composition:\n$plan")
   }
 
+  test("pipeline_media_incremental: blob-free composition, delta side broadcast") {
+    val df = operators.Multimodal.pipelineMediaIncremental(spark, sf)
+    val plan = planOf(df)
+    // same stage-isolation contract as the full build: blob payloads
+    // are read only inside the checkpointed metadata/signature scans
+    assert(!plan.contains("Scan parquet"),
+      s"composed stages must ride materialized thin relations:\n$plan")
+    assert(!plan.contains("text#"),
+      s"blob bytes must never cross a stage boundary:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product in the composition:\n$plan")
+    // the incremental contract: every standing-corpus join probes a
+    // BROADCAST delta relation — the standing side must never build a
+    // hash table or sort for the delta (no SortMergeJoin anywhere; at
+    // least the digest probe + the two banded candidate joins are
+    // broadcast hash joins)
+    assert(!plan.contains("SortMergeJoin"),
+      s"delta joins must broadcast the batch side, not sort the standing side:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 3, s"expected >=3 broadcast delta joins, got $bhj:\n$plan")
+  }
+
   test("mm_phash is one scan with no exchange before the display sort") {
     val plan = planOf(operators.Multimodal.mmPhash(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length

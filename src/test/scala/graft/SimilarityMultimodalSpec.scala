@@ -183,7 +183,7 @@ class SimilarityMultimodalSpec extends SparkSpec {
     val rows = Similarity.annRecallEval(spark, sf)
       .select("face", "query_id", "n_hits", "n_returned", "recall_ppm")
       .as[(String, Long, Long, Long, Long)].collect()
-    assert(rows.map(_._1).toSet == Set("ivf", "ivf_pq", "lsh"))
+    assert(rows.map(_._1).toSet == Set("graph", "ivf", "ivf_pq", "lsh"))
     // arithmetic invariants
     rows.foreach { case (f, q, h, r, ppm) =>
       assert(h <= r && r <= 5, s"$f/$q: hits/returned out of range")
@@ -197,6 +197,7 @@ class SimilarityMultimodalSpec extends SparkSpec {
         .groupBy(_._1).map { case (q, ps) =>
           q -> ps.count(truth.contains).toLong }
     val expect = Map(
+      "graph" -> score(Similarity.annGraphSearch(spark, sf)),
       "ivf" -> score(Similarity.annIvf(spark, sf)),
       "ivf_pq" -> score(Similarity.annIvfPq(spark, sf)),
       "lsh" -> score(Similarity.annLsh(spark, sf)))
@@ -209,6 +210,12 @@ class SimilarityMultimodalSpec extends SparkSpec {
       fr.map(_._3).sum.toDouble / (5.0 * fr.length)
     }
     assert(meanRecall("ivf") >= 0.85 && meanRecall("ivf_pq") >= 0.8)
+    // the graph face's business case: beam search seeded from ONE
+    // probe cell must recover recall at-or-above the ivf_pq floor —
+    // i.e. the graph walk buys back what the cheaper seeding gave up.
+    info(s"graph-face mean recall: ${meanRecall("graph")}")
+    assert(meanRecall("graph") >= 0.8,
+      s"graph-face recall regressed: ${meanRecall("graph")}")
   }
 
   test("cell-bucketed embedding dedup is an exact-subset with high recall") {
@@ -880,5 +887,61 @@ class SimilarityMultimodalSpec extends SparkSpec {
     info(s"graph recall: ${eval._1}/50")
     assert(eval._2 == 50L)
     assert(eval._1 >= 40L, s"graph recall@5 regressed: ${eval._1}/50")
+  }
+
+  test("pipeline_media_incremental: planted fixture exercises every drop class") {
+    // 60 blocks x 10 chars; block j "high" iff bit j of the pattern is
+    // set. With exactly 30 high blocks the global mean sits midway, so
+    // the phash equals the pattern bit-for-bit; pairwise pattern
+    // Hamming >= 30 keeps distinct docs out of the <= 10 cut.
+    def blockText(pattern: Long): String =
+      (0 until 60).map(j =>
+        if ((pattern >> j & 1L) == 1L) "qrstuvwxyz" else "abcdefghij").mkString
+    // same block sums => same phash; different bytes => different sha
+    def swapped(t: String): String =
+      "" + t.charAt(1) + t.charAt(0) + t.substring(2)
+    val patA = (0 until 30).map(1L << _).sum            // bits 0..29
+    val patB = (30 until 60).map(1L << _).sum           // bits 30..59
+    val patC = (0 until 60 by 2).map(1L << _).sum       // even bits
+    val patD = (1 until 60 by 2).map(1L << _).sum       // odd bits
+    val patE = ((0 until 15) ++ (30 until 45)).map(1L << _).sum
+    val ta = blockText(patA); val tb = blockText(patB); val tc = blockText(patC)
+    val td = blockText(patD); val te = blockText(patE)
+    val docs = Seq(
+      (0L, ta, "src0"),           // standing
+      (3L, tb, "src0"),           // standing
+      (6L, ta, "src1"),           // blob_dup: sha matches standing doc 0
+      (9L, tc, "src1"),           // within-batch CAS canonical -> admitted
+      (12L, tc, "src1"),          // blob_dup: within-batch copy of doc 9
+      (15L, swapped(tb), "src1"), // phash_dup vs standing doc 3 (hamming 0)
+      (18L, td, "src1"),          // within-batch phash pair low id -> admitted
+      (21L, swapped(td), "src1"), // phash_dup within batch (higher id)
+      (24L, te, "src1"))          // admitted
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft-test-mmi/documents.parquet")
+    val got = Multimodal.pipelineMediaIncremental(spark, "/tmp/graft-test-mmi")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // all planted delta ids are % 3 == 0 -> one 'image' ledger row
+    assert(got == Seq(("image", 7L, 2L, 2L, 3L, 1000000L * 3 / 7)),
+      s"incremental media ledger drifted: $got")
+  }
+
+  test("pipeline_media_incremental: marginal identity holds on the corpus") {
+    val rows = Multimodal.pipelineMediaIncremental(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, arr, bd, pd, adm, ppm) =>
+      assert(arr == bd + pd + adm, s"$k: marginal identity broken")
+      assert(ppm == 1000000L * adm / arr, s"$k: ppm not the exact ratio")
+    }
+    // n_arrived per kind is exactly the src1 slice of the ingest face
+    val want = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("source") === "src1")
+      .select(element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"))
+      .groupBy(col("kind")).count()
+      .as[(String, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == want, "arrival counts diverge")
   }
 }
