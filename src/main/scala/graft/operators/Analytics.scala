@@ -2445,6 +2445,62 @@ object Analytics {
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --------------------------------------------- trend forecast eval
+  /** Spark-SQL floor division: `(x - pmod(x, m)) div m` — exact floor
+    * for any sign of x (pmod is non-negative). The Holt-family folds
+    * use it everywhere a dividend can go negative.
+    */
+  private def sparkFloorDiv(x: String, m: Int): String =
+    s"(($x) - pmod($x, $m)) div $m"
+
+  /** DuckDB floor division: DuckDB's `//` truncates toward zero, so
+    * floor is emulated with the same pmod identity the Spark side
+    * uses: `(x - ((x % m) + m) % m) // m`.
+    */
+  private def duckFloorDiv(x: String, m: Int): String =
+    s"(($x) - ((($x) % $m) + $m) % $m) // $m"
+
+  /** The integer Holt fold (α = β = ½, milli-scaled state, explicit
+    * init flag) shared by [[mlForecastTrend]] and the damped rung's
+    * paired column: state struct (lv, tr, init); per observed count y,
+    * A = 1000y + lv + tr, lv' = ⌊A/2⌋, tr' = ⌊(lv' − lv + tr)/2⌋.
+    */
+  private lazy val holtFold: String = {
+    val a = "1000 * y + acc.lv + acc.tr"
+    val lv2 = sparkFloorDiv(a, 2)
+    val tr2 = sparkFloorDiv(s"$lv2 - acc.lv + acc.tr", 2)
+    s"""aggregate(
+       |  transform(prior, p -> p.n),
+       |  named_struct('lv', CAST(0 AS BIGINT), 'tr', CAST(0 AS BIGINT),
+       |               'init', CAST(0 AS BIGINT)),
+       |  (acc, y) -> IF(acc.init = 0,
+       |    named_struct('lv', CAST(1000 * y AS BIGINT), 'tr', CAST(0 AS BIGINT),
+       |                 'init', CAST(1 AS BIGINT)),
+       |    named_struct('lv', $lv2, 'tr', $tr2,
+       |                 'init', CAST(1 AS BIGINT))))""".stripMargin
+  }
+
+  /** The DAMPED integer Holt fold (α = β = ½, damping φ = ½ — dyadic,
+    * so every term stays exactly representable): with D = ⌊tr/2⌋ the
+    * damped trend contribution, A = 1000y + lv + D, lv' = ⌊A/2⌋,
+    * tr' = ⌊(lv' − lv + D)/2⌋ (= β(lv'−lv) + (1−β)φ·tr in the
+    * Gardner–McKenzie form), prediction ⌊(lv + D)/1000⌋.
+    */
+  private lazy val holtDampedFold: String = {
+    val d = sparkFloorDiv("acc.tr", 2)
+    val a = s"1000 * y + acc.lv + $d"
+    val lv2 = sparkFloorDiv(a, 2)
+    val tr2 = sparkFloorDiv(s"$lv2 - acc.lv + $d", 2)
+    s"""aggregate(
+       |  transform(prior, p -> p.n),
+       |  named_struct('lv', CAST(0 AS BIGINT), 'tr', CAST(0 AS BIGINT),
+       |               'init', CAST(0 AS BIGINT)),
+       |  (acc, y) -> IF(acc.init = 0,
+       |    named_struct('lv', CAST(1000 * y AS BIGINT), 'tr', CAST(0 AS BIGINT),
+       |                 'init', CAST(1 AS BIGINT)),
+       |    named_struct('lv', $lv2, 'tr', $tr2,
+       |                 'init', CAST(1 AS BIGINT))))""".stripMargin
+  }
+
   /** Holt-style level+trend backtest (r15) — the third rung of the
     * forecast ladder (flat → seasonal → trend), evaluated PAIRED
     * against [[mlForecastSeasonal]] exactly the way seasonal is paired
@@ -2487,28 +2543,7 @@ object Analytics {
     val wDow = Window.partitionBy(col("event_type"), col("dow")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val lastDay = daily.agg(max(col("day")).as("last_day"))
-    // the Holt fold: state (lv, tr, init) in milli-units; floor
-    // division via pmod (negatives round toward -inf in both engines);
-    // the explicit init flag keeps a legitimate lv = -1 (crashing
-    // series) from re-seeding the walk
-    val holt =
-      """aggregate(
-        |  transform(prior, p -> p.n),
-        |  named_struct('lv', CAST(0 AS BIGINT), 'tr', CAST(0 AS BIGINT),
-        |               'init', CAST(0 AS BIGINT)),
-        |  (acc, y) -> IF(acc.init = 0,
-        |    named_struct('lv', CAST(1000 * y AS BIGINT), 'tr', CAST(0 AS BIGINT),
-        |                 'init', CAST(1 AS BIGINT)),
-        |    named_struct(
-        |      'lv', (1000 * y + acc.lv + acc.tr
-        |             - pmod(1000 * y + acc.lv + acc.tr, 2)) div 2,
-        |      'tr', ((1000 * y + acc.lv + acc.tr
-        |              - pmod(1000 * y + acc.lv + acc.tr, 2)) div 2
-        |             - acc.lv + acc.tr
-        |             - pmod((1000 * y + acc.lv + acc.tr
-        |                     - pmod(1000 * y + acc.lv + acc.tr, 2)) div 2
-        |                    - acc.lv + acc.tr, 2)) div 2,
-        |      'init', CAST(1 AS BIGINT))))""".stripMargin
+    val holt = holtFold
     daily
       .withColumn("cum_d", count(col("n")).over(wFlat))
       .withColumn("cum_nw", sum(col("n")).over(wDow))
@@ -2583,6 +2618,276 @@ object Analytics {
       |  CAST(sum(abs(n - pred_seas)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
       |    - CAST(sum(abs(n - pred_trend)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS gain_milli
       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------- damped-trend forecast
+  /** Damped-trend Holt backtest (r16) — the FOURTH rung of the
+    * forecast ladder (flat → seasonal → trend → damped), evaluated
+    * PAIRED against [[mlForecastTrend]] exactly the way trend is
+    * paired against seasonal: identical leak-free rolling-origin walk,
+    * identical paired-row filter, so `mae_trend_milli` here reproduces
+    * the trend key's column bit-for-bit. The damped model
+    * (Gardner–McKenzie) multiplies the trend's contribution by φ = ½
+    * each step — the standard fix for plain Holt's signature failure
+    * mode, a transient slope extrapolated forever; φ dyadic keeps the
+    * walk exactly integer ([[holtDampedFold]]): with D = ⌊tr/2⌋,
+    * lv' = ⌊(1000y + lv + D)/2⌋, tr' = ⌊(lv' − lv + D)/2⌋, prediction
+    * ⌊(lv + D)/1000⌋. All floor divisions, pmod-adjusted in Spark and
+    * floor-emulated in the DuckDB oracle; explicit init flag.
+    *
+    * == Scale design ==
+    * Identical to the trend rung: the one-scan O(types × days)
+    * checkpointed grid, a sorted window collect bounded by the
+    * calendar, two codegen'd higher-order folds over the same prior
+    * array (no second shuffle for the pairing), ledger O(types).
+    */
+  def mlForecastDamped(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(col("day") + 3, lit(7)))
+      .stableCheckpoint()
+    val wFlat = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDow = Window.partitionBy(col("event_type"), col("dow")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastDay = daily.agg(max(col("day")).as("last_day"))
+    daily
+      .withColumn("cum_d", count(col("n")).over(wFlat))
+      .withColumn("cum_dw", count(col("n")).over(wDow))
+      .withColumn("prior", sort_array(collect_list(struct(col("day"), col("n"))).over(wFlat)))
+      .join(broadcast(lastDay), lit(true))
+      .filter(col("day") > col("last_day") - 7 &&
+        col("cum_d") >= 1 && col("cum_dw") >= 1)
+      .withColumn("st", expr(holtFold))
+      .withColumn("sd", expr(holtDampedFold))
+      .withColumn("pred_trend",
+        expr(sparkFloorDiv("st.lv + st.tr", 1000)))
+      .withColumn("pred_damped",
+        expr(sparkFloorDiv("sd.lv + " + sparkFloorDiv("sd.tr", 2), 1000)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("n") - col("pred_trend"))).as("abs_trend"),
+        sum(abs(col("n") - col("pred_damped"))).as("abs_damped"))
+      .select(col("event_type"), col("n_eval"),
+        expr("abs_trend * 1000 div n_eval").as("mae_trend_milli"),
+        expr("abs_damped * 1000 div n_eval").as("mae_damped_milli"),
+        expr("abs_trend * 1000 div n_eval - abs_damped * 1000 div n_eval")
+          .as("gain_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin: the trend oracle's grid/filter chain with BOTH list
+    * folds (plain + damped), floor emulated everywhere a dividend can
+    * go negative, built from the same [[duckFloorDiv]] identity the
+    * Scaladoc documents. */
+  lazy val mlForecastDampedSql: String = {
+    // plain Holt fold terms
+    val aT = "1000 * x[3] + acc[1] + acc[2]"
+    val lv2T = duckFloorDiv(aT, 2)
+    val tr2T = duckFloorDiv(s"$lv2T - acc[1] + acc[2]", 2)
+    // damped fold terms: D = floor(tr/2)
+    val dD = duckFloorDiv("acc[2]", 2)
+    val aD = s"1000 * x[3] + acc[1] + $dD"
+    val lv2D = duckFloorDiv(aD, 2)
+    val tr2D = duckFloorDiv(s"$lv2D - acc[1] + $dD", 2)
+    val predT = duckFloorDiv("st[1] + st[2]", 1000)
+    val predD = duckFloorDiv(s"sd[1] + ${duckFloorDiv("sd[2]", 2)}", 1000)
+    s"""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       |dd AS (SELECT *, (day + 3) % 7 AS dow FROM d),
+       |c AS (SELECT *,
+       |    CAST(count(n) OVER wf AS BIGINT) AS cum_d,
+       |    CAST(count(n) OVER wd AS BIGINT) AS cum_dw,
+       |    list_sort(list({'day': day, 'n': n}) OVER wf) AS prior
+       |  FROM dd
+       |  WINDOW wf AS (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    wd AS (PARTITION BY event_type, dow ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |e AS (SELECT *,
+       |    -- BIGINT LIST accumulators [lv, tr, init] (struct acc fields
+       |    -- read one-iteration-stale in DuckDB 1.0 list_reduce; see the
+       |    -- trend oracle); // truncates toward zero so floor is
+       |    -- emulated via (a - ((a % m) + m) % m) // m
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+       |        list_transform(prior, p -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(p.n AS BIGINT)])),
+       |      (acc, x) -> CASE WHEN acc[3] = 0
+       |        THEN [CAST(1000 * x[3] AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)]
+       |        ELSE [CAST($lv2T AS BIGINT), CAST($tr2T AS BIGINT),
+       |              CAST(1 AS BIGINT)] END) AS st,
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+       |        list_transform(prior, p -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(p.n AS BIGINT)])),
+       |      (acc, x) -> CASE WHEN acc[3] = 0
+       |        THEN [CAST(1000 * x[3] AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)]
+       |        ELSE [CAST($lv2D AS BIGINT), CAST($tr2D AS BIGINT),
+       |              CAST(1 AS BIGINT)] END) AS sd
+       |  FROM c WHERE day > (SELECT max(day) FROM d) - 7
+       |    AND cum_d >= 1 AND cum_dw >= 1),
+       |f AS (SELECT *, $predT AS pred_trend, $predD AS pred_damped FROM e)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+       |  CAST(sum(abs(n - pred_trend)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS mae_trend_milli,
+       |  CAST(sum(abs(n - pred_damped)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS mae_damped_milli,
+       |  CAST(sum(abs(n - pred_trend)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+       |    - CAST(sum(abs(n - pred_damped)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS gain_milli
+       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  // ------------------------------------------- Holt–Winters forecast
+  /** The integer additive Holt–Winters fold (α = β = γ = ½, weekday
+    * seasonality, milli-scaled state) — state struct (lv, tr, init,
+    * s[7]): per observed (count y, weekday w), with D = s[w]
+    * (0 while the slot is unvisited — the general update with D = 0
+    * IS the classic first-visit initialization ⌊(1000y − lv')/2⌋, so
+    * no per-slot flags are needed), A = 1000y − D + lv + tr,
+    * lv' = ⌊A/2⌋, tr' = ⌊(lv' − lv + tr)/2⌋,
+    * s[w]' = ⌊(1000y − lv' + D)/2⌋. The global init observation seeds
+    * lv = 1000y, tr = 0, s = 0⁷ (no updates that step).
+    */
+  private lazy val holtWintersFold: String = {
+    val d = "element_at(acc.s, CAST(o.dw AS INT) + 1)"
+    val a = s"1000 * o.n - $d + acc.lv + acc.tr"
+    val lv2 = sparkFloorDiv(a, 2)
+    val tr2 = sparkFloorDiv(s"$lv2 - acc.lv + acc.tr", 2)
+    val s2 = sparkFloorDiv(s"1000 * o.n - ($lv2) + $d", 2)
+    s"""aggregate(
+       |  transform(prior, p -> named_struct('n', p.n,
+       |    'dw', pmod(p.day + 3, 7))),
+       |  named_struct('lv', CAST(0 AS BIGINT), 'tr', CAST(0 AS BIGINT),
+       |               'init', CAST(0 AS BIGINT),
+       |               's', array_repeat(CAST(0 AS BIGINT), 7)),
+       |  (acc, o) -> IF(acc.init = 0,
+       |    named_struct('lv', CAST(1000 * o.n AS BIGINT), 'tr', CAST(0 AS BIGINT),
+       |                 'init', CAST(1 AS BIGINT), 's', acc.s),
+       |    named_struct('lv', $lv2, 'tr', $tr2, 'init', CAST(1 AS BIGINT),
+       |                 's', transform(acc.s, (v, i) ->
+       |                   IF(i = CAST(o.dw AS INT), $s2, v)))))""".stripMargin
+  }
+
+  /** Holt–Winters backtest (r16) — the FIFTH rung of the forecast
+    * ladder (flat → seasonal → trend → damped → holt-winters), the
+    * first rung to model level, trend AND weekday seasonality in one
+    * state ([[mlForecastSeasonal]] has the seasonality but no trend;
+    * [[mlForecastTrend]] the trend but no seasonality). PAIRED against
+    * the trend rung under the identical leak-free walk and row filter,
+    * so `mae_trend_milli` reproduces that key's column bit-for-bit —
+    * and the paired-row filter (≥ 1 prior same-weekday day) guarantees
+    * the predicted weekday's seasonal slot has been visited before any
+    * prediction reads it. Integer recurrence in [[holtWintersFold]];
+    * prediction ⌊(lv + tr + s[w])/1000⌋ at the origin's weekday w.
+    * All floor divisions, pmod-adjusted in Spark and floor-emulated in
+    * the DuckDB oracle (whose accumulator is the BIGINT list
+    * [lv, tr, init, s₀…s₆] — the list-not-struct rule the trend
+    * oracle documents).
+    *
+    * == Scale design ==
+    * Identical to the trend/damped rungs: one-scan O(types × days)
+    * checkpointed grid, calendar-bounded window collects, two
+    * codegen'd higher-order folds over the same prior array, ledger
+    * O(types). The seasonal array adds 7 longs to fold state — still
+    * O(1) per row.
+    */
+  def mlForecastHw(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(col("day") + 3, lit(7)))
+      .stableCheckpoint()
+    val wFlat = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDow = Window.partitionBy(col("event_type"), col("dow")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastDay = daily.agg(max(col("day")).as("last_day"))
+    daily
+      .withColumn("cum_d", count(col("n")).over(wFlat))
+      .withColumn("cum_dw", count(col("n")).over(wDow))
+      .withColumn("prior", sort_array(collect_list(struct(col("day"), col("n"))).over(wFlat)))
+      .join(broadcast(lastDay), lit(true))
+      .filter(col("day") > col("last_day") - 7 &&
+        col("cum_d") >= 1 && col("cum_dw") >= 1)
+      .withColumn("st", expr(holtFold))
+      .withColumn("hw", expr(holtWintersFold))
+      .withColumn("pred_trend",
+        expr(sparkFloorDiv("st.lv + st.tr", 1000)))
+      .withColumn("pred_hw",
+        expr(sparkFloorDiv(
+          "hw.lv + hw.tr + element_at(hw.s, CAST(dow AS INT) + 1)", 1000)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("n") - col("pred_trend"))).as("abs_trend"),
+        sum(abs(col("n") - col("pred_hw"))).as("abs_hw"))
+      .select(col("event_type"), col("n_eval"),
+        expr("abs_trend * 1000 div n_eval").as("mae_trend_milli"),
+        expr("abs_hw * 1000 div n_eval").as("mae_hw_milli"),
+        expr("abs_trend * 1000 div n_eval - abs_hw * 1000 div n_eval")
+          .as("gain_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin: the trend oracle's grid/filter chain with the plain
+    * fold plus the 10-slot Holt–Winters list fold ([lv, tr, init,
+    * s₀…s₆]; items [0, 0, n, dow]), floor emulated everywhere a
+    * dividend can go negative, seasonal-slot update as 7 positional
+    * CASE arms (DuckDB lists have no functional update). */
+  lazy val mlForecastHwSql: String = {
+    val aT = "1000 * x[3] + acc[1] + acc[2]"
+    val lv2T = duckFloorDiv(aT, 2)
+    val tr2T = duckFloorDiv(s"$lv2T - acc[1] + acc[2]", 2)
+    val dH = "acc[CAST(4 + x[4] AS INT)]"
+    val aH = s"1000 * x[3] - $dH + acc[1] + acc[2]"
+    val lv2H = duckFloorDiv(aH, 2)
+    val tr2H = duckFloorDiv(s"$lv2H - acc[1] + acc[2]", 2)
+    val s2H = duckFloorDiv(s"1000 * x[3] - ($lv2H) + $dH", 2)
+    val slots = (0 until 7).map(k =>
+      s"CAST(CASE WHEN x[4] = $k THEN $s2H ELSE acc[${4 + k}] END AS BIGINT)")
+      .mkString(",\n       |              ")
+    val zeros7 = Seq.fill(7)("CAST(0 AS BIGINT)").mkString(", ")
+    val predT = duckFloorDiv("st[1] + st[2]", 1000)
+    val predH = duckFloorDiv("hw[1] + hw[2] + hw[CAST(4 + dow AS INT)]", 1000)
+    s"""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       |dd AS (SELECT *, (day + 3) % 7 AS dow FROM d),
+       |c AS (SELECT *,
+       |    CAST(count(n) OVER wf AS BIGINT) AS cum_d,
+       |    CAST(count(n) OVER wd AS BIGINT) AS cum_dw,
+       |    list_sort(list({'day': day, 'n': n}) OVER wf) AS prior
+       |  FROM dd
+       |  WINDOW wf AS (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    wd AS (PARTITION BY event_type, dow ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |e AS (SELECT *,
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+       |        list_transform(prior, p -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |          CAST(p.n AS BIGINT), CAST((p.day + 3) % 7 AS BIGINT)])),
+       |      (acc, x) -> CASE WHEN acc[3] = 0
+       |        THEN [CAST(1000 * x[3] AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)]
+       |        ELSE [CAST($lv2T AS BIGINT), CAST($tr2T AS BIGINT),
+       |              CAST(1 AS BIGINT)] END) AS st,
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |          $zeros7],
+       |        list_transform(prior, p -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |          CAST(p.n AS BIGINT), CAST((p.day + 3) % 7 AS BIGINT)])),
+       |      (acc, x) -> CASE WHEN acc[3] = 0
+       |        THEN [CAST(1000 * x[3] AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+       |              acc[4], acc[5], acc[6], acc[7], acc[8], acc[9], acc[10]]
+       |        ELSE [CAST($lv2H AS BIGINT), CAST($tr2H AS BIGINT), CAST(1 AS BIGINT),
+       |              $slots] END) AS hw
+       |  FROM c WHERE day > (SELECT max(day) FROM d) - 7
+       |    AND cum_d >= 1 AND cum_dw >= 1),
+       |f AS (SELECT *, $predT AS pred_trend, $predH AS pred_hw FROM e)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+       |  CAST(sum(abs(n - pred_trend)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS mae_trend_milli,
+       |  CAST(sum(abs(n - pred_hw)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS mae_hw_milli,
+       |  CAST(sum(abs(n - pred_trend)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+       |    - CAST(sum(abs(n - pred_hw)) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS gain_milli
+       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
 
   // --------------------------------------------- conformal intervals
   /** Split-conformal prediction intervals for the daily-count forecast
@@ -5695,6 +6000,8 @@ object Analytics {
     "ml_backtest" -> mlBacktest,
     "ml_forecast_seasonal" -> mlForecastSeasonal,
     "ml_forecast_trend" -> mlForecastTrend,
+    "ml_forecast_damped" -> mlForecastDamped,
+    "ml_forecast_hw" -> mlForecastHw,
     "events_mau_wau" -> eventsMauWau,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -5795,6 +6102,8 @@ object Analytics {
     "ml_backtest" -> mlBacktestSql,
     "ml_forecast_seasonal" -> mlForecastSeasonalSql,
     "ml_forecast_trend" -> mlForecastTrendSql,
+    "ml_forecast_damped" -> mlForecastDampedSql,
+    "ml_forecast_hw" -> mlForecastHwSql,
     "events_mau_wau" -> eventsMauWauSql,
     "events_sliding" -> eventsSlidingSql,
     "cube_revenue" -> cubeRevenueSql,

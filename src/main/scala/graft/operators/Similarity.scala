@@ -984,6 +984,39 @@ object Similarity {
   private val GS_ROUNDS = 2      // fixed expansion rounds (unrolled in the oracle)
   private val GS_SEED_PROBE = 1  // seeds come from the single nearest cell
 
+  private val knnGraphReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialize the corpus kNN graph as a TABLE — the index artifact
+    * [[annGraphSearch]] walks. Built once per corpus signature (the
+    * [[ensureIvfIndex]] pattern, same self-healing catalog check): a
+    * production graph-ANN store rebuilds the graph on reindex, not per
+    * query, so the search face's cost is the walk, not the build —
+    * this is what restores the search's corpus-size-independent
+    * per-query bound ([[annKnnGraph]]'s fixed-cell build wall is the
+    * REGISTERED build face's documented cost, paid once here).
+    */
+  private def ensureKnnGraph(s: SparkSession, dir: String): String = {
+    val ck = corpusKey(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Long.toHexString(ck.hashCode.toLong & 0xffffffffL)
+    val tbl = s"graft_knn_graph_$tag"
+    val key = s"${System.identityHashCode(s)}|$ck"
+    if (knnGraphReady.containsKey(key) && !s.catalog.tableExists(tbl))
+      knnGraphReady.remove(key)
+    knnGraphReady.computeIfAbsent(key, _ => {
+      val hconf = s.sparkContext.hadoopConfiguration
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), tbl)
+      loc.getFileSystem(hconf).delete(loc, true)
+      annKnnGraph(s, dir)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+      tag
+    })
+    tbl
+  }
+
   /** Graph-walk ANN search (r15) — the HNSW-flavored beam search that
     * gives [[annKnnGraph]]'s edge list its in-engine consumer: seed
     * each query with the candidates of its SINGLE nearest IVF cell
@@ -1013,9 +1046,10 @@ object Similarity {
     import s.implicits._
     GraftFunctions.register(s)
     val e = emb(s, dir)
-    // the corpus knn graph (index artifact) projected to its edge list
-    val edges = annKnnGraph(s, dir)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    // the corpus knn graph — a PERSISTED index artifact (built once
+    // per corpus signature, the ivf-index pattern), scanned at search
+    // time exactly like a deployed graph store
+    val edges = s.table(ensureKnnGraph(s, dir))
     val eDs = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     val index = assignCells(s, dir, eDs, IVF_ASSIGN)

@@ -928,6 +928,35 @@ object EventStreams {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Batch face of [[cmsStream]] (registered as `stream_cms_cells`,
+    * r16): the live 4×1024 count-min cell table as the SAME
+    * `cmsStream` function applied to the corpus user feed — the
+    * [[streamValueHistogram]] promotion pattern, closing the last of
+    * the r7-era spec-only sketch faces. This is the state table the
+    * update-mode aggregation maintains live; frequency estimates read
+    * min-over-lanes off it ([[graft.operators.Analytics
+    * .aggHeavyHitters]] consumes exactly these cells).
+    *
+    * == Scale design ==
+    * Counting registers are ADDITIVE: a 100 TB backfill sketch and the
+    * live table union by summing cells, and streaming state is ≤ 4096
+    * rows forever. One scan, 4-way cell fan-out, map-side combine onto
+    * the fixed grid.
+    */
+  def streamCmsCells(s: SparkSession, dir: String): DataFrame =
+    cmsStream(events(s, dir).select(col("user_id")))
+      .orderBy(col("lane"), col("cell"))
+
+  val streamCmsCellsSql: String =
+    """WITH l AS (SELECT * FROM (VALUES (0, 1103515245, 12345),
+      |    (1, 1140671485, 12820163), (2, 214013, 2531011),
+      |    (3, 69069, 1)) AS t(lane, a, b))
+      |SELECT CAST(l.lane AS BIGINT) AS lane,
+      |  CAST(((l.a * e.user_id + l.b) % 2147483647) % 1024 AS BIGINT) AS cell,
+      |  count(*) AS c
+      |FROM events e CROSS JOIN l
+      |GROUP BY 1, 2 ORDER BY lane, cell""".stripMargin
+
   /** Streaming face of [[graft.operators.Analytics.aggHllReplay]]'s
     * register table: a live distinct-user sketch as an update-mode
     * 64-key max aggregation. No upstream dropDuplicates is needed —
@@ -944,6 +973,32 @@ object EventStreams {
       .groupBy(col("j"))
       .agg(max(col("rho")).as("mj"))
   }
+
+  /** Batch face of [[hllRegisterStream]] (registered as
+    * `stream_hll_registers`, r16): the live 64-register HLL table as
+    * the SAME function applied to the raw (duplicate-heavy) corpus
+    * user feed — duplicate-insensitivity means no distinct is needed
+    * on the way in, which is the whole reason this sketch streams.
+    * [[graft.operators.Analytics.aggHllReplay]] consumes exactly
+    * these registers for its estimate; only occupied registers appear
+    * (the estimate face densifies the 64-row frame).
+    *
+    * == Scale design ==
+    * Max-registers merge by max: backfill ∪ live = cell-wise max, the
+    * same union algebra [[graft.operators.Analytics.aggHllUnion]]
+    * certifies. One scan onto ≤ 64 keys, map-side combine absorbs the
+    * corpus; streaming state is 64 longs forever.
+    */
+  def streamHllRegisters(s: SparkSession, dir: String): DataFrame =
+    hllRegisterStream(events(s, dir).select(col("user_id")))
+      .orderBy(col("j"))
+
+  val streamHllRegistersSql: String =
+    """WITH h AS (SELECT ((1103515245 * user_id + 12345) % 2147483647) AS h
+      |  FROM events),
+      |r AS (SELECT h % 64 AS j, 26 - length(bin((h // 64) + 1)) AS rho FROM h)
+      |SELECT CAST(j AS BIGINT) AS j, CAST(max(rho) AS BIGINT) AS mj
+      |FROM r GROUP BY 1 ORDER BY j""".stripMargin
 
   /** Streaming face of
     * [[graft.operators.Analytics.eventsValueHistogram]]: the live
@@ -2327,6 +2382,8 @@ object EventStreams {
     "stream_quantile" -> streamQuantile,
     "stream_value_histogram" -> streamValueHistogram,
     "stream_cas_dedup" -> streamCasDedup,
+    "stream_cms_cells" -> streamCmsCells,
+    "stream_hll_registers" -> streamHllRegisters,
     "stream_dau" -> streamDau,
     "stream_ab_lift" -> streamAbLift,
     "stream_funnel" -> streamFunnel,
@@ -2369,6 +2426,8 @@ object EventStreams {
     "stream_quantile" -> streamQuantileSql,
     "stream_value_histogram" -> streamValueHistogramSql,
     "stream_cas_dedup" -> streamCasDedupSql,
+    "stream_cms_cells" -> streamCmsCellsSql,
+    "stream_hll_registers" -> streamHllRegistersSql,
     "stream_dau" -> streamDauSql,
     "stream_ab_lift" -> streamAbLiftSql,
     "stream_funnel" -> streamFunnelSql,

@@ -1753,6 +1753,174 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ml_forecast_damped replays the dyadic damped walk, paired with trend") {
+    import spark.implicits._
+    val got = Analytics.mlForecastDamped(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, d), n) => (t, d, n) }
+    val lastDay = daily.map(_._2).max
+    def fd(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    def holtPred(prior: Seq[Long]): Long = {
+      var lv = 1000L * prior.head; var tr = 0L
+      prior.tail.foreach { y =>
+        val lv2 = fd(1000L * y + lv + tr, 2)
+        tr = fd(lv2 - lv + tr, 2); lv = lv2
+      }
+      fd(lv + tr, 1000)
+    }
+    def dampedPred(prior: Seq[Long]): Long = {
+      var lv = 1000L * prior.head; var tr = 0L
+      prior.tail.foreach { y =>
+        val d = fd(tr, 2)
+        val lv2 = fd(1000L * y + lv + d, 2)
+        tr = fd(lv2 - lv + d, 2); lv = lv2
+      }
+      fd(lv + fd(tr, 2), 1000)
+    }
+    val expected = daily.groupBy(_._1).map { case (t, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val evals = sorted.zipWithIndex.collect {
+        case ((_, d, n), i) if d > lastDay - 7 && i >= 1 &&
+            sorted.take(i).exists(p => (p._2 + 3) % 7 == (d + 3) % 7) =>
+          (math.abs(n - holtPred(sorted.take(i).map(_._3))),
+            math.abs(n - dampedPred(sorted.take(i).map(_._3))))
+      }
+      val nE = evals.length.toLong
+      t -> ((nE,
+        if (nE == 0) 0L else evals.map(_._1).sum * 1000L / nE,
+        if (nE == 0) 0L else evals.map(_._2).sum * 1000L / nE,
+        if (nE == 0) 0L
+        else evals.map(_._1).sum * 1000L / nE - evals.map(_._2).sum * 1000L / nE))
+    }.filter(_._2._1 > 0)
+    assert(got == expected, "damped backtest ledger drifted")
+    // the ladder is PAIRED: the trend column reproduces
+    // ml_forecast_trend's bit-for-bit (same walk, same day set)
+    val trend = Analytics.mlForecastTrend(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    got.foreach { case (t, (nE, maeT, maeD, gain)) =>
+      assert(trend(t) == ((nE, maeT)), s"$t trend column unpaired")
+      assert(gain == maeT - maeD, s"$t gain identity broken")
+    }
+  }
+
+  test("ml_forecast_hw replays the seasonal-state walk, paired with trend") {
+    import spark.implicits._
+    val got = Analytics.mlForecastHw(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, d), n) => (t, d, n) }
+    val lastDay = daily.map(_._2).max
+    def fd(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    def holtPred(prior: Seq[Long]): Long = {
+      var lv = 1000L * prior.head; var tr = 0L
+      prior.tail.foreach { y =>
+        val lv2 = fd(1000L * y + lv + tr, 2)
+        tr = fd(lv2 - lv + tr, 2); lv = lv2
+      }
+      fd(lv + tr, 1000)
+    }
+    // prior as (n, dow) pairs; predDow = the origin day's weekday
+    def hwPred(prior: Seq[(Long, Long)], predDow: Long): Long = {
+      var lv = 0L; var tr = 0L; var init = false
+      val sArr = Array.fill(7)(0L)
+      prior.foreach { case (y, w) =>
+        if (!init) { lv = 1000L * y; tr = 0L; init = true }
+        else {
+          val dSeas = sArr(w.toInt)
+          val lv2 = fd(1000L * y - dSeas + lv + tr, 2)
+          tr = fd(lv2 - lv + tr, 2)
+          sArr(w.toInt) = fd(1000L * y - lv2 + dSeas, 2)
+          lv = lv2
+        }
+      }
+      fd(lv + tr + sArr(predDow.toInt), 1000)
+    }
+    val expected = daily.groupBy(_._1).map { case (t, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val evals = sorted.zipWithIndex.collect {
+        case ((_, d, n), i) if d > lastDay - 7 && i >= 1 &&
+            sorted.take(i).exists(p => (p._2 + 3) % 7 == (d + 3) % 7) =>
+          val prior = sorted.take(i)
+          (math.abs(n - holtPred(prior.map(_._3))),
+            math.abs(n - hwPred(prior.map(p => (p._3, (p._2 + 3) % 7)),
+              (d + 3) % 7)))
+      }
+      val nE = evals.length.toLong
+      t -> ((nE,
+        if (nE == 0) 0L else evals.map(_._1).sum * 1000L / nE,
+        if (nE == 0) 0L else evals.map(_._2).sum * 1000L / nE,
+        if (nE == 0) 0L
+        else evals.map(_._1).sum * 1000L / nE - evals.map(_._2).sum * 1000L / nE))
+    }.filter(_._2._1 > 0)
+    assert(got == expected, "holt-winters backtest ledger drifted")
+    val trend = Analytics.mlForecastTrend(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    got.foreach { case (t, (nE, maeT, maeH, gain)) =>
+      assert(trend(t) == ((nE, maeT)), s"$t trend column unpaired")
+      assert(gain == maeT - maeH, s"$t gain identity broken")
+    }
+  }
+
+  test("holt-winters beats plain trend on a weekday-seasonal series") {
+    import spark.implicits._
+    // 28 flat-level days with a strong weekend double: trend has no
+    // seasonal state so it splits the difference; HW learns the
+    // weekday offsets and must score a strictly lower MAE
+    val counts = (0 until 28).map(d => if ((d + 3) % 7 >= 5) 40L else 10L)
+    val rows = for {
+      (n, d) <- counts.zipWithIndex; i <- 1L to n
+    } yield (d.toLong * 100000 + i, d.toLong * 86400000000L + i * 1000L,
+      i % 7 + 1, "season", 1.0)
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-hw/events.parquet")
+    val Seq((t, nE, maeT, maeH, gain)) =
+      Analytics.mlForecastHw(spark, "/tmp/graft-test-hw")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(t == "season" && nE == 7L)
+    assert(maeH < maeT,
+      s"seasonal state must beat plain trend here: hw $maeH vs trend $maeT")
+    assert(gain == maeT - maeH)
+  }
+
+  test("damped trend beats plain trend on a crashing series (the damping business case)") {
+    import spark.implicits._
+    // same crash shape as the floor test: plain Holt extrapolates the
+    // collapse slope far below zero; the phi = 1/2 damping halves the
+    // trend's reach each step, so damped predictions recover toward
+    // the stabilized level and the damped MAE must be strictly lower
+    val counts = 2000L +: Seq.fill(13)(1L)
+    val rows = for {
+      (n, d) <- counts.zipWithIndex; i <- 1L to n
+    } yield (d.toLong * 100000 + i, d.toLong * 86400000000L + i * 1000L,
+      i % 7 + 1, "crash", 1.0)
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-test-damp/events.parquet")
+    val Seq((t, nE, maeT, maeD, gain)) =
+      Analytics.mlForecastDamped(spark, "/tmp/graft-test-damp")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(t == "crash" && nE == 7L)
+    assert(maeD < maeT,
+      s"damping must beat plain trend on the crash: damped $maeD vs trend $maeT")
+    assert(gain == maeT - maeD)
+  }
+
   test("trend forecast floors negative Holt state on a crashing series") {
     import spark.implicits._
     // day 0 = 2000 events then 1/day: the level collapses, the trend

@@ -24,6 +24,8 @@ class DeterminismSpec extends SparkSpec {
     "q9_product_profit", "q11_important_parts", "events_value_histogram",
     // r14: cosine-emitting graph/search faces
     "ann_knn_graph", "ann_recall_curve",
+    // r15/r16: the beam walk re-scores visited ids with exact cosine
+    "ann_graph_search",
     // r14 w9-11: jaccard-double pairs, cosine-emitting negative miner
     "dedup_containment", "ann_hard_negatives",
     // r14 w19: micro-floored codebook cosines (the rank cut rides them)

@@ -466,6 +466,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("registered sketch faces: CMS cells conserve mass, HLL registers feed the estimate") {
+    import graft.operators.Analytics
+    val nEvents = graft.sources.Tables.load(spark, sf, "events").count()
+    // CMS: each event lands in exactly one cell per lane — per-lane
+    // cell sums conserve the corpus, the grid stays within 4x1024
+    val cms = EventStreams.streamCmsCells(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(cms.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    cms.groupBy(_._1).foreach { case (lane, cells) =>
+      assert(cells.map(_._3).sum == nEvents, s"lane $lane lost mass")
+      assert(cells.forall(c => c._2 >= 0 && c._2 < 1024), s"lane $lane cell range")
+    }
+    assert(cms.length <= 4096, "grid must stay within 4x1024 cells")
+    // HLL: the registered register table is exactly the relation
+    // agg_hll_replay's estimate reads — recompute its est_milli from
+    // these registers and pin it to the registered estimate face
+    val regs = EventStreams.streamHllRegisters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(regs.keys.forall(j => j >= 0 && j < 64) && regs.size <= 64)
+    val s64 = (0L until 64L).map(j => 1L << (26 - regs.getOrElse(j, 0L)).toInt).sum
+    val estMilli = (709L * 4096L * (1L << 26)) / s64
+    val fromFace = Analytics.aggHllReplay(spark, sf)
+      .select("est_milli").as[Long].head()
+    assert(estMilli == fromFace,
+      s"registers do not reproduce the estimate: $estMilli vs $fromFace")
+  }
+
   test("streaming CAS dedup admits exactly the batch canonical set on an in-order feed") {
     implicit val sqlCtx = spark.sqlContext
     // the blob metadata feed in doc_id (append-only ingest) order;
