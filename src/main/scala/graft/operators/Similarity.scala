@@ -1043,12 +1043,43 @@ object Similarity {
     * static, the oracle unrollable, and the latency bounded.
     */
   def annGraphSearch(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    // the walk reads the corpus knn graph as a PERSISTED index
+    // artifact (built once per corpus signature, the ivf-index
+    // pattern) — scanned at search time exactly like a deployed
+    // graph store
+    graft.plans.GraftOps.topKPerGroup(
+        graphScore(s, dir, graphWalkVisited(s, dir, GS_BEAM)), Seq("query_id"),
+        Seq("cosine" -> true, "neighbor_id" -> false), k = K, rankName = "rank")
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact cosine over a (query_id, neighbor_id) id set — queries are
+    * broadcast, the corpus side is a neighbor-keyed hash join. Shared
+    * by the search face and the beam-width curve.
+    */
+  private def graphScore(s: SparkSession, dir: String, v: DataFrame): DataFrame = {
     GraftFunctions.register(s)
     val e = emb(s, dir)
-    // the corpus knn graph — a PERSISTED index artifact (built once
-    // per corpus signature, the ivf-index pattern), scanned at search
-    // time exactly like a deployed graph store
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id2"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    v.join(e, v("neighbor_id") === e("vec_id"))
+      .join(broadcast(q), col("query_id") === col("q_id2"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+  }
+
+  /** The beam walk's visited set at a given beam width: probe-1 cell
+    * seeds, then [[GS_ROUNDS]] expand-over-persisted-edges rounds
+    * keeping the top-`beam` per query between rounds. Returns the
+    * final (query_id, neighbor_id) visited relation — its row count
+    * IS the search's exact-scoring cost, which is what the beam dial
+    * trades against recall.
+    */
+  private def graphWalkVisited(s: SparkSession, dir: String, beam: Int): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
     val edges = s.table(ensureKnnGraph(s, dir))
     val eDs = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -1056,34 +1087,65 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
     val seeds = assignCells(s, dir, eDs.filter(_._1 < NQ), GS_SEED_PROBE)
       .select(col("vec_id").as("q_id"), col("cell"))
-    val q = e.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("q_id2"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-    // exact cosine over a (query_id, neighbor_id) id set — queries are
-    // broadcast, the corpus side is a neighbor-keyed hash join
-    def score(v: DataFrame): DataFrame =
-      v.join(e, v("neighbor_id") === e("vec_id"))
-        .join(broadcast(q), col("query_id") === col("q_id2"))
-        .select(col("query_id"), col("neighbor_id"),
-          (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
     var visited: DataFrame = broadcast(seeds)
       .join(index, seeds("cell") === index("cell") && col("q_id") =!= col("vec_id"))
       .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
     for (_ <- 1 to GS_ROUNDS) {
-      val beam = graft.plans.GraftOps.topKPerGroup(score(visited), Seq("query_id"),
-          Seq("cosine" -> true, "neighbor_id" -> false), k = GS_BEAM, rankName = "brn")
+      val front = graft.plans.GraftOps.topKPerGroup(
+          graphScore(s, dir, visited), Seq("query_id"),
+          Seq("cosine" -> true, "neighbor_id" -> false), k = beam, rankName = "brn")
         .select(col("query_id"), col("neighbor_id"))
-      val expand = broadcast(beam)
-        .join(edges, beam("neighbor_id") === edges("src"))
+      val expand = broadcast(front)
+        .join(edges, front("neighbor_id") === edges("src"))
         .filter(col("dst") =!= col("query_id"))
         .select(col("query_id"), col("dst").as("neighbor_id"))
       visited = visited.unionByName(expand).distinct()
     }
-    graft.plans.GraftOps.topKPerGroup(score(visited), Seq("query_id"),
-        Seq("cosine" -> true, "neighbor_id" -> false), k = K, rankName = "rank")
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    visited
+  }
+
+  private val GS_CURVE_BEAMS = Seq(2, 4, 8)
+
+  /** Beam-width tuning curve for the graph walk (r16 — completing the
+    * curve symmetry: [[annRecallCurve]] sweeps the IVF probe dial,
+    * [[Dedup]]'s lsh curve the banding, this the graph face's ONE
+    * dial): per beam ∈ {2, 4, 8}, the walk's exact-scoring cost (the
+    * final visited-set size — every visited id is scored with one
+    * full-dim cosine) next to top-[[K]] recall vs the brute-force
+    * truth in exact ppm. The artifact that justifies the production
+    * face's fixed [[GS_BEAM]] = 8: recall should saturate while cost
+    * keeps climbing.
+    *
+    * == Scale design ==
+    * Three walks over the SAME persisted edge table (built once, the
+    * [[ensureKnnGraph]] memo) — each is query-bounded like the search
+    * face; the truth join is K·NQ broadcast; output is 3 rows. Beam
+    * cuts change the walk itself, so the legs cannot be filters over
+    * one max-beam relation the way the probe curve's configs are —
+    * but each leg is O(queries), so running three IS the cheap shape.
+    */
+  def annGraphRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteforce(s, dir).select(col("query_id"), col("neighbor_id"))
+    val legs = GS_CURVE_BEAMS.map { b =>
+      val visited = graphWalkVisited(s, dir, b)
+      val cost = visited.agg(count(lit(1)).as("n_candidates"))
+      val top = graft.plans.GraftOps.topKPerGroup(
+          graphScore(s, dir, visited), Seq("query_id"),
+          Seq("cosine" -> true, "neighbor_id" -> false), k = K, rankName = "rank")
+        .select(col("query_id"), col("neighbor_id"))
+      val scored = top.alias("t")
+        .join(broadcast(bf.alias("b")),
+          col("t.query_id") === col("b.query_id") &&
+            col("t.neighbor_id") === col("b.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_returned"),
+          count(col("b.query_id")).as("n_hits"))
+      cost.crossJoin(scored)
+        .select(lit(b.toLong).as("beam"), col("n_candidates"),
+          col("n_returned"), col("n_hits"),
+          expr(s"1000000 * n_hits div ${NQ.toLong * K}").as("recall_ppm"))
+    }
+    legs.reduce(_ unionByName _).orderBy(col("beam"))
   }
 
   // ------------------------------------------------- filtered search
@@ -1540,6 +1602,7 @@ object Similarity {
     "dq_embedding_drift" -> dqEmbeddingDrift,
     "ann_knn_graph" -> annKnnGraph,
     "ann_graph_search" -> annGraphSearch,
+    "ann_graph_recall_curve" -> annGraphRecallCurve,
     "ann_recall_curve" -> annRecallCurve,
     "ann_filtered_search" -> annFilteredSearch,
     "ann_hard_negatives" -> annHardNegatives,
@@ -1756,6 +1819,44 @@ object Similarity {
       s"\nSELECT query_id, neighbor_id, cosine, rank FROM gr WHERE rank <= $K ORDER BY query_id, rank"
   }
 
+  /** DuckDB twin of the beam curve: the shared codebook/edge chain
+    * (MATERIALIZED once), then the beam recurrence unrolled per leg
+    * with a `c<beam>` prefix (the [[ivfCodebookCtesAt]] prefix trick),
+    * each leg's visited count + top-K hits vs the shared brute truth,
+    * three rows unioned. */
+  lazy val annGraphRecallCurveSql: String = {
+    val pre = Seq(
+      "gn AS MATERIALIZED (SELECT vec_id, embedding, nrm FROM n)",
+      "grk AS MATERIALIZED (SELECT vec_id, cid, rn FROM rk)",
+      "gasg AS MATERIALIZED (SELECT vec_id, cell FROM asg)",
+      s"gprb AS (SELECT vec_id, cid AS cell FROM grk WHERE rn <= $IVF_NPROBE)",
+      "gcand AS (SELECT DISTINCT q.vec_id AS src, a.vec_id AS dst FROM gprb q JOIN gasg a ON a.cell = q.cell AND a.vec_id <> q.vec_id)",
+      s"gsc AS MATERIALIZED (SELECT c.src, c.dst, ${ivfFold("ns.embedding", "nd.embedding")} / (ns.nrm * nd.nrm) AS cos FROM gcand c JOIN gn ns ON ns.vec_id = c.src JOIN gn nd ON nd.vec_id = c.dst)",
+      s"g AS MATERIALIZED (SELECT src, dst FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gsc) WHERE rn <= $K)",
+      s"sprb AS (SELECT vec_id, cid AS cell FROM grk WHERE rn <= $GS_SEED_PROBE AND vec_id < $NQ)",
+      "v0 AS MATERIALIZED (SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id FROM sprb q JOIN gasg a ON a.cell = q.cell AND a.vec_id <> q.vec_id)",
+      s"bt AS MATERIALIZED (SELECT query_id, neighbor_id FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY ${ivfFold("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rank FROM gn q, gn c WHERE q.vec_id < $NQ AND q.vec_id <> c.vec_id) WHERE rank <= $K)")
+    val legs = GS_CURVE_BEAMS.flatMap { b =>
+      val rounds = (1 to GS_ROUNDS).flatMap { t =>
+        val pv = if (t == 1) "v0" else s"c${b}v${t - 1}"
+        Seq(
+          s"c${b}s$t AS MATERIALIZED (SELECT v.query_id, v.neighbor_id, ${ivfFold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine FROM $pv v JOIN gn nq ON nq.vec_id = v.query_id JOIN gn nc ON nc.vec_id = v.neighbor_id)",
+          s"c${b}b$t AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM c${b}s$t) WHERE rn <= $b)",
+          s"c${b}v$t AS MATERIALIZED (SELECT query_id, neighbor_id FROM $pv UNION SELECT x.query_id, g.dst FROM c${b}b$t x JOIN g ON g.src = x.neighbor_id WHERE g.dst <> x.query_id)")
+      }
+      val fin = Seq(
+        s"c${b}f AS (SELECT v.query_id, v.neighbor_id, ${ivfFold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine FROM c${b}v$GS_ROUNDS v JOIN gn nq ON nq.vec_id = v.query_id JOIN gn nc ON nc.vec_id = v.neighbor_id)",
+        s"c${b}t AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM c${b}f) WHERE rk <= $K)",
+        s"c${b}r AS (SELECT CAST($b AS BIGINT) AS beam, (SELECT CAST(count(*) AS BIGINT) FROM c${b}v$GS_ROUNDS) AS n_candidates, CAST(count(*) AS BIGINT) AS n_returned, CAST(sum(CASE WHEN bt.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM c${b}t t LEFT JOIN bt ON bt.query_id = t.query_id AND bt.neighbor_id = t.neighbor_id)")
+      rounds ++ fin
+    }
+    val union = GS_CURVE_BEAMS.map(b =>
+        s"SELECT beam, n_candidates, n_returned, n_hits, (1000000 * n_hits) // ${NQ.toLong * K} AS recall_ppm FROM c${b}r")
+      .mkString("\nUNION ALL\n")
+    "WITH " + (ivfCodebookCtes ++ pre ++ legs).mkString(",\n") +
+      s"\nSELECT * FROM (\n$union\n) ORDER BY beam"
+  }
+
   /** DuckDB twin of the probe curve: one max-probe candidate relation
     * tagged with min probe rank, four filter-configs, the brute truth
     * re-derived from the shared normalized relation. */
@@ -1802,6 +1903,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_knn_graph" -> annKnnGraphSql,
     "ann_graph_search" -> annGraphSearchSql,
+    "ann_graph_recall_curve" -> annGraphRecallCurveSql,
     "ann_recall_curve" -> annRecallCurveSql,
     "ann_filtered_search" -> annFilteredSearchSql,
     "ann_hard_negatives" -> annHardNegativesSql,

@@ -703,6 +703,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(bhj >= 3, s"expected >=3 broadcast delta joins, got $bhj:\n$plan")
   }
 
+  test("ann_graph_search walks the persisted edge table, never rebuilds the graph") {
+    val plan = planOf(operators.Similarity.annGraphSearch(spark, sf))
+    // the index artifact contract: the beam walk's edge relation is a
+    // parquet scan of the persisted knn-graph table (built once per
+    // corpus signature), not an inline rebuild — the rebuild's
+    // signature shape (the cell-keyed shuffle candidate join feeding a
+    // per-query rank window) must be absent from the search plan
+    assert(plan.contains("graft_knn_graph"),
+      s"expected a scan of the persisted knn-graph table:\n$plan")
+    // the rebuild would carry the graph's own top-k rank filter
+    // (row_number over query partitions inside the edge derivation);
+    // the search plan ranks only its final top-K and the beam cuts,
+    // all through the TopKPerGroup operator — no window rank at all
+    assert(!plan.contains("row_number"),
+      s"a window rank in the search plan means the graph was rebuilt inline:\n$plan")
+  }
+
   test("mm_phash is one scan with no exchange before the display sort") {
     val plan = planOf(operators.Multimodal.mmPhash(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length

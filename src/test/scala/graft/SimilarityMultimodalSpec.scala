@@ -889,6 +889,32 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(eval._1 >= 40L, s"graph recall@5 regressed: ${eval._1}/50")
   }
 
+  test("ann_graph_recall_curve: cost monotone in beam, recall saturates, face-consistent") {
+    val rows = Similarity.annGraphRecallCurve(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L, 8L))
+    rows.foreach { case (b, cand, ret, hits, ppm) =>
+      assert(ret == 50L, s"beam $b must return NQ*K rows")
+      assert(hits <= ret && ppm == 1000000L * hits / 50L, s"beam $b arithmetic")
+      assert(cand >= ret, s"beam $b scored fewer candidates than it returned")
+    }
+    // the dial's shape: widening the beam can only visit MORE (cost
+    // strictly monotone — each round keeps a superset of the narrower
+    // beam's frontier on this corpus) and recall never degrades
+    val cands = rows.map(_._2); val hits = rows.map(_._4)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a < b },
+      s"visited-set cost must grow with beam: ${cands.toSeq}")
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      s"recall must not degrade with beam: ${hits.toSeq}")
+    // the beam-8 leg IS the registered search face: its hit count must
+    // equal ann_recall_eval's graph-face sum (itself truth-checked)
+    val evalHits = Similarity.annRecallEval(spark, sf)
+      .filter(col("face") === "graph")
+      .agg(sum("n_hits")).as[Long].head()
+    assert(rows.last._4 == evalHits,
+      s"beam-8 leg diverges from the recall-eval graph face: ${rows.last._4} vs $evalHits")
+  }
+
   test("pipeline_media_incremental: planted fixture exercises every drop class") {
     // 60 blocks x 10 chars; block j "high" iff bit j of the pattern is
     // set. With exactly 30 high blocks the global mean sits midway, so
