@@ -1093,6 +1093,70 @@ object Dedup {
       |FROM a GROUP BY span HAVING count(*) >= 2
       |ORDER BY docs_with DESC, occurrences DESC, span LIMIT 20""".stripMargin
 
+  /** Incremental span dedup (r16) — the span family's delta face,
+    * completing the orientation symmetry [[dedupIncremental]] gives
+    * the trigram-jaccard family: today's arriving batch (source =
+    * 'src1') scored for verbatim [[SPAN_K]]-word overlap against the
+    * STANDING corpus only — per arriving doc, how many of its span
+    * occurrences already exist verbatim in the standing store
+    * ([[dedupSpanExact]]'s Lee-et-al. coverage signal restricted to
+    * the cross-set direction a nightly ingest actually needs; the
+    * within-batch direction is the standing face re-run tomorrow).
+    * Same (doc_id, n_spans, dup_spans, dup_permille) ledger columns as
+    * the standing face, over the batch only.
+    *
+    * == Scale design ==
+    * The batch is ingest-sized, so its DISTINCT span probe set
+    * BROADCASTS into one scan of the standing span relation; matched
+    * spans collapse to ≤ |batch spans| before rejoining the batch —
+    * the standing corpus is never shuffled on the span key and never
+    * self-joins (the [[pipelineMediaIncremental]] CAS shape at span
+    * granularity). At a batch too large to broadcast, the same plan
+    * flips to a span-keyed shuffle join — high-cardinality, skew-free
+    * — without touching the ledger semantics.
+    */
+  def dedupSpanIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val batchSpans = spanRows(d.filter(col("source") === "src1"))
+      .groupBy(col("doc_id"), col("span")).agg(count(lit(1)).as("c"))
+    val standingSpans = spanRows(d.filter(col("source") =!= "src1"))
+      .select(col("span"))
+    val hit = standingSpans
+      .join(broadcast(batchSpans.select(col("span")).distinct()),
+        Seq("span"), "left_semi")
+      .select(col("span")).distinct()
+    val dup = batchSpans.join(broadcast(hit), Seq("span"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup"))
+    val base = d.filter(col("source") === "src1").select(col("doc_id"),
+      greatest(size(split(col("text"), " ")) - lit(SPAN_K - 1), lit(0))
+        .cast("long").as("n_spans"))
+    base.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup"), lit(0L)).as("dup_spans"))
+      .withColumn("dup_permille",
+        when(col("n_spans") > lit(0L),
+          expr("dup_spans * 1000 div n_spans")).otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSpanIncrementalSql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents),
+      |sp AS (SELECT doc_id, source, array_to_string(ws[i:i+7], ' ') AS span
+      |  FROM w, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
+      |da AS (SELECT doc_id, span, count(*) AS c FROM sp
+      |  WHERE source = 'src1' GROUP BY 1, 2),
+      |hit AS (SELECT DISTINCT s.span FROM sp s WHERE s.source <> 'src1'
+      |  AND EXISTS (SELECT 1 FROM da WHERE da.span = s.span)),
+      |dup AS (SELECT da.doc_id, sum(da.c) AS dup FROM da
+      |  JOIN hit USING (span) GROUP BY 1),
+      |base AS (SELECT doc_id,
+      |    CAST(greatest(len(string_split(text,' ')) - 7, 0) AS BIGINT) AS n_spans
+      |  FROM documents WHERE source = 'src1')
+      |SELECT b.doc_id, b.n_spans, CAST(coalesce(dup.dup, 0) AS BIGINT) AS dup_spans,
+      |  CASE WHEN b.n_spans > 0 THEN CAST(coalesce(dup.dup, 0) * 1000 // b.n_spans AS BIGINT) ELSE CAST(0 AS BIGINT) END AS dup_permille
+      |FROM base b LEFT JOIN dup ON dup.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   // ------------------------------- corpus growth / provenance overlap
   /** Dedup saturation curve — the marginal-value-of-data report a
     * corpus build reads before ingesting the next shard: the corpus is
@@ -2352,6 +2416,7 @@ object Dedup {
     "dedup_minhash_bbit" -> dedupMinhashBbit,
     "dedup_incremental" -> dedupIncremental,
     "dedup_span_exact" -> dedupSpanExact,
+    "dedup_span_incremental" -> dedupSpanIncremental,
     "dedup_span_hot" -> dedupSpanHot,
     "dedup_growth_curve" -> dedupGrowthCurve,
     "dedup_source_overlap" -> dedupSourceOverlap,
@@ -2450,6 +2515,7 @@ object Dedup {
     "dedup_minhash_bbit" -> dedupMinhashBbitSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_span_exact" -> dedupSpanExactSql,
+    "dedup_span_incremental" -> dedupSpanIncrementalSql,
     "dedup_span_hot" -> dedupSpanHotSql,
     "dedup_growth_curve" -> dedupGrowthCurveSql,
     "dedup_source_overlap" -> dedupSourceOverlapSql,

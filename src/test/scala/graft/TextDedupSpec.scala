@@ -81,6 +81,54 @@ class TextDedupSpec extends SparkSpec {
       ("c d e f g h i j", 2L, 2L)))
   }
 
+  test("incremental span dedup scores the batch against the standing corpus only") {
+    // standing (src0): docs 1, 2; batch (src1): docs 10, 11, 12, 13.
+    // doc 10 = verbatim copy of standing doc 1 -> full coverage;
+    // doc 11 shares only its first 8-gram with standing;
+    // docs 12 + 13 share a span ONLY with each other -> within-batch
+    // overlap must NOT count (tomorrow's standing face catches it);
+    // doc 13 also repeats its own span -> self-repeat never counts.
+    val rows = Seq(
+      (1L, "a b c d e f g h i j", "src0"),
+      (2L, "k l m n o p q r s t", "src0"),
+      (10L, "a b c d e f g h i j", "src1"),
+      (11L, "a b c d e f g h x y", "src1"),
+      (12L, "u v w x1 y1 z1 q1 r1", "src1"),
+      (13L, "u v w x1 y1 z1 q1 r1 u v w x1 y1 z1 q1 r1", "src1"))
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft-test-spaninc/documents.parquet")
+    val out = Dedup.dedupSpanIncremental(spark, "/tmp/graft-test-spaninc")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (10L, 3L, 3L, 1000L),  // full verbatim copy of the standing store
+      (11L, 3L, 1L, 333L),   // only the shared prefix span hits
+      (12L, 1L, 0L, 0L),     // batch-internal overlap does not count
+      (13L, 9L, 0L, 0L)),    // nor does a self-repeat
+      s"incremental span ledger drifted: $out")
+  }
+
+  test("incremental span dedup replays in memory on the corpus") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "source").as[(Long, String, String)].collect()
+    def spans(t: String): Seq[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 8) Seq.empty
+      else (0 to ws.length - 8).map(i => ws.slice(i, i + 8).mkString(" "))
+    }
+    val standing = d.filter(_._3 != "src1").flatMap(r => spans(r._2)).toSet
+    val expected = d.filter(_._3 == "src1").map { case (id, t, _) =>
+      val sp = spans(t)
+      val dup = sp.count(standing.contains).toLong
+      (id, sp.length.toLong, dup,
+        if (sp.nonEmpty) dup * 1000L / sp.length else 0L)
+    }.toSet
+    val got = Dedup.dedupSpanIncremental(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, "incremental span ledger diverged from the replay")
+    assert(got.nonEmpty)
+  }
+
   // one 8-word doc ⇒ exactly one span, tagged by its first word
   private def spanText(tag: String) = s"$tag w w w w w w w"
 
