@@ -2449,14 +2449,14 @@ object Analytics {
     * for any sign of x (pmod is non-negative). The Holt-family folds
     * use it everywhere a dividend can go negative.
     */
-  private def sparkFloorDiv(x: String, m: Int): String =
+  private[graft] def sparkFloorDiv(x: String, m: Int): String =
     s"(($x) - pmod($x, $m)) div $m"
 
   /** DuckDB floor division: DuckDB's `//` truncates toward zero, so
     * floor is emulated with the same pmod identity the Spark side
     * uses: `(x - ((x % m) + m) % m) // m`.
     */
-  private def duckFloorDiv(x: String, m: Int): String =
+  private[graft] def duckFloorDiv(x: String, m: Int): String =
     s"(($x) - ((($x) % $m) + $m) % $m) // $m"
 
   /** The integer Holt fold (α = β = ½, milli-scaled state, explicit
@@ -2464,7 +2464,7 @@ object Analytics {
     * paired column: state struct (lv, tr, init); per observed count y,
     * A = 1000y + lv + tr, lv' = ⌊A/2⌋, tr' = ⌊(lv' − lv + tr)/2⌋.
     */
-  private lazy val holtFold: String = {
+  private[graft] lazy val holtFold: String = {
     val a = "1000 * y + acc.lv + acc.tr"
     val lv2 = sparkFloorDiv(a, 2)
     val tr2 = sparkFloorDiv(s"$lv2 - acc.lv + acc.tr", 2)

@@ -1104,6 +1104,117 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("sha256")
 
+  // ------------------------------------------------ live forecasting
+  /** One closed day of a type's count series for the forecast monitor. */
+  case class FcEv(event_type: String, day: Long, n: Long)
+  /** Emitted per-day forecast row: prediction BEFORE seeing the day. */
+  case class FcOut(event_type: String, day: Long, n: Long,
+                   pred_trend: Long, abs_err: Long)
+  case class FcState(lv: Long, tr: Long, init: Long)
+
+  /** Batch face of [[forecastStream]] (registered as `stream_forecast`,
+    * r16 — the forecast family's live face, the monitoring-family
+    * pattern [[cusumStream]]/[[streamAnomaly]] applied to prediction):
+    * the PREQUENTIAL Holt error ledger — every observed (type, day)
+    * cell with ≥ 1 prior observed day is predicted from the integer
+    * Holt state folded over STRICTLY PRIOR days
+    * ([[graft.operators.Analytics.holtFold]], the exact fold the
+    * ladder's trend rung uses), then scored |n − pred|. Where
+    * `ml_forecast_trend` evaluates the final week for model selection,
+    * this face emits the full dashboard series a live monitor charts.
+    *
+    * == Scale design ==
+    * The one-scan O(types × days) checkpointed grid; calendar-bounded
+    * window collect; the fold is a codegen'd higher-order aggregate;
+    * output O(types × days). The streaming twin's state is THREE
+    * LONGS per type — the whole point of exponential smoothing as the
+    * streaming forecaster.
+    */
+  def streamForecast(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Analytics
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .stableCheckpoint()
+    val wFlat = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("cum_d", count(col("n")).over(wFlat))
+      .withColumn("prior", sort_array(collect_list(struct(col("day"), col("n"))).over(wFlat)))
+      .filter(col("cum_d") >= 1)
+      .withColumn("st", expr(Analytics.holtFold))
+      .withColumn("pred_trend",
+        expr(Analytics.sparkFloorDiv("st.lv + st.tr", 1000)))
+      .select(col("event_type"), col("day"), col("n"), col("pred_trend"),
+        abs(col("n") - col("pred_trend")).as("abs_err"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB twin: the trend oracle's grid + the BIGINT-list Holt fold
+    * (floor emulated — DuckDB's `//` truncates), applied to EVERY
+    * prior-bearing day instead of the final-week eval filter. */
+  lazy val streamForecastSql: String = {
+    import graft.operators.Analytics.duckFloorDiv
+    val a = "1000 * x[3] + acc[1] + acc[2]"
+    val lv2 = duckFloorDiv(a, 2)
+    val tr2 = duckFloorDiv(s"$lv2 - acc[1] + acc[2]", 2)
+    val pred = duckFloorDiv("st[1] + st[2]", 1000)
+    s"""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       |c AS (SELECT *,
+       |    CAST(count(n) OVER wf AS BIGINT) AS cum_d,
+       |    list_sort(list({'day': day, 'n': n}) OVER wf) AS prior
+       |  FROM d
+       |  WINDOW wf AS (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |e AS (SELECT *,
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+       |        list_transform(prior, p -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(p.n AS BIGINT)])),
+       |      (acc, x) -> CASE WHEN acc[3] = 0
+       |        THEN [CAST(1000 * x[3] AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)]
+       |        ELSE [CAST($lv2 AS BIGINT), CAST($tr2 AS BIGINT),
+       |              CAST(1 AS BIGINT)] END) AS st
+       |  FROM c WHERE cum_d >= 1),
+       |f AS (SELECT event_type, day, n, $pred AS pred_trend FROM e)
+       |SELECT event_type, CAST(day AS BIGINT) AS day, n, pred_trend,
+       |  abs(n - pred_trend) AS abs_err
+       |FROM f ORDER BY event_type, day""".stripMargin
+  }
+
+  /** Live prequential Holt forecaster: per type, predict each closed
+    * day from the CURRENT three-long state (skip while uninitialized),
+    * then fold the day in — the exact integer recurrence the batch
+    * face replays, so stream ≡ batch row-for-row (spec-pinned).
+    */
+  def forecastStream(stream: Dataset[FcEv]): Dataset[FcOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[FcState, FcOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (t: String, recs: Iterator[FcEv], state: GroupState[FcState]) =>
+          var st = state.getOption.getOrElse(FcState(0L, 0L, 0L))
+          val out = recs.toSeq.sortBy(_.day).flatMap { r =>
+            val o = if (st.init == 1L) {
+              val pred = Math.floorDiv(st.lv + st.tr, 1000L)
+              Some(FcOut(t, r.day, r.n, pred, math.abs(r.n - pred)))
+            } else None
+            st =
+              if (st.init == 0L) FcState(1000L * r.n, 0L, 1L)
+              else {
+                val lv2 = Math.floorDiv(1000L * r.n + st.lv + st.tr, 2L)
+                FcState(lv2, Math.floorDiv(lv2 - st.lv + st.tr, 2L), 1L)
+              }
+            o
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One closed day of a metric series for the CUSUM monitor. */
   case class CusumEv(etype: String, day: Long, cents: Long, target: Long)
   /** Emitted per-day CUSUM state row. */
@@ -2382,6 +2493,7 @@ object EventStreams {
     "stream_quantile" -> streamQuantile,
     "stream_value_histogram" -> streamValueHistogram,
     "stream_cas_dedup" -> streamCasDedup,
+    "stream_forecast" -> streamForecast,
     "stream_cms_cells" -> streamCmsCells,
     "stream_hll_registers" -> streamHllRegisters,
     "stream_dau" -> streamDau,
@@ -2426,6 +2538,7 @@ object EventStreams {
     "stream_quantile" -> streamQuantileSql,
     "stream_value_histogram" -> streamValueHistogramSql,
     "stream_cas_dedup" -> streamCasDedupSql,
+    "stream_forecast" -> streamForecastSql,
     "stream_cms_cells" -> streamCmsCellsSql,
     "stream_hll_registers" -> streamHllRegistersSql,
     "stream_dau" -> streamDauSql,

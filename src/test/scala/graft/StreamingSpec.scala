@@ -466,6 +466,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live Holt forecaster equals the batch prequential ledger per closed day") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.FcEv
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").count()
+      .as[(String, Long, Long)].collect()
+      .map { case (t, d, n) => FcEv(t, d, n) }
+    val days = daily.map(_.day).distinct.sorted
+    val mem = MemoryStream[FcEv]
+    val q = EventStreams.forecastStream(mem.toDS())
+      .writeStream.format("memory").queryName("fc_live")
+      .outputMode("append").start()
+    try {
+      // one batch per closed day, in day order — the closed-day feed
+      // contract every monitor twin in this suite uses
+      days.foreach { d =>
+        mem.addData(daily.filter(_.day == d).toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+          "SELECT event_type, day, n, pred_trend, abs_err FROM fc_live")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val batch = EventStreams.streamForecast(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch, "live forecaster diverged from the batch ledger")
+      assert(streamed.nonEmpty)
+      // prequential honesty: the first observed day of a type never
+      // emits (no prior state to predict from)
+      val firstDays = daily.groupBy(_.event_type).map { case (t, rs) =>
+        (t, rs.map(_.day).min) }.toSet
+      assert(streamed.forall(r => !firstDays.contains((r._1, r._2))),
+        "a first day was predicted — leakage from its own observation")
+    } finally q.stop()
+  }
+
   test("registered sketch faces: CMS cells conserve mass, HLL registers feed the estimate") {
     import graft.operators.Analytics
     val nEvents = graft.sources.Tables.load(spark, sf, "events").count()
