@@ -2889,6 +2889,194 @@ object Analytics {
        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // --------------------------------------------- forecast model select
+  /** Forecast champion selection (r16) — the ladder's capstone: per
+    * event type, all FIVE ladder models (flat expanding mean, weekday
+    * seasonal mean, Holt trend, damped trend, Holt–Winters) are
+    * backtested on a VALIDATION week (days in (last−14, last−7]) and
+    * the validation winner — ties to the SIMPLER model, ladder order —
+    * is deployed on the EVAL week (days > last−7), reported against
+    * the eval-week oracle-best with the exact-milli REGRET. This is
+    * the model-selection discipline a forecasting platform runs
+    * nightly: never ship the eval winner (that is leakage); ship the
+    * validation winner and MEASURE what the honesty cost. Same
+    * leak-free walk and paired-row filter as every rung (≥ 1 prior
+    * day AND ≥ 1 prior same-weekday day, so all five models are
+    * defined on every scored cell); types without both a validation
+    * and an eval row drop by contract.
+    *
+    * == Scale design ==
+    * The rungs' one-scan O(types × days) checkpointed grid; ONE pass
+    * computes all five predictions per scored cell (the three folds
+    * share the same prior array — no extra shuffle); model selection
+    * runs on the O(types × 5) exploded relation through two
+    * row_number windows. Ledger O(types).
+    */
+  def mlForecastSelect(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(col("day") + 3, lit(7)))
+      .stableCheckpoint()
+    val wFlat = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDow = Window.partitionBy(col("event_type"), col("dow")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastDay = daily.agg(max(col("day")).as("last_day"))
+    val scored = daily
+      .withColumn("cum_n", sum(col("n")).over(wFlat))
+      .withColumn("cum_d", count(col("n")).over(wFlat))
+      .withColumn("cum_nw", sum(col("n")).over(wDow))
+      .withColumn("cum_dw", count(col("n")).over(wDow))
+      .withColumn("prior", sort_array(collect_list(struct(col("day"), col("n"))).over(wFlat)))
+      .join(broadcast(lastDay), lit(true))
+      .filter(col("day") > col("last_day") - 14 &&
+        col("cum_d") >= 1 && col("cum_dw") >= 1)
+      .withColumn("st", expr(holtFold))
+      .withColumn("sd", expr(holtDampedFold))
+      .withColumn("hw", expr(holtWintersFold))
+      .withColumn("p1", expr("cum_n div cum_d"))
+      .withColumn("p2", expr("cum_nw div cum_dw"))
+      .withColumn("p3", expr(sparkFloorDiv("st.lv + st.tr", 1000)))
+      .withColumn("p4", expr(sparkFloorDiv(
+        "sd.lv + " + sparkFloorDiv("sd.tr", 2), 1000)))
+      .withColumn("p5", expr(sparkFloorDiv(
+        "hw.lv + hw.tr + element_at(hw.s, CAST(dow AS INT) + 1)", 1000)))
+      .withColumn("is_eval", (col("day") > col("last_day") - 7).cast("int"))
+    def maeCols(m: Int): Seq[Column] = Seq(
+      sum(when(col("is_eval") === 0, abs(col("n") - col(s"p$m")))).as(s"av$m"),
+      sum(when(col("is_eval") === 1, abs(col("n") - col(s"p$m")))).as(s"ae$m"))
+    val agg = scored.groupBy(col("event_type"))
+      .agg(sum(lit(1) - col("is_eval")).as("nv"),
+        (sum(col("is_eval")).as("ne") +: (1 to 5).flatMap(maeCols)): _*)
+      .filter(col("nv") >= 1 && col("ne") >= 1)
+    val names = Seq("flat", "seasonal", "trend", "damped", "hw")
+    val modelRows = agg.select(col("event_type"), col("nv"), col("ne"),
+        explode(array((1 to 5).map(m => struct(
+          lit(m.toLong).as("rank"), lit(names(m - 1)).as("model"),
+          expr(s"av$m * 1000 div nv").as("val_mae_milli"),
+          expr(s"ae$m * 1000 div ne").as("eval_mae_milli"))): _*)).as("m"))
+      .select(col("event_type"), col("m.rank"), col("m.model"),
+        col("m.val_mae_milli"), col("m.eval_mae_milli"))
+    val wVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("val_mae_milli"), col("rank"))
+    val wEval = Window.partitionBy(col("event_type"))
+      .orderBy(col("eval_mae_milli"), col("rank"))
+    val chosen = modelRows.withColumn("rn", row_number().over(wVal))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("model").as("chosen_model"),
+        col("val_mae_milli").as("chosen_val_mae_milli"),
+        col("eval_mae_milli").as("chosen_eval_mae_milli"))
+    val best = modelRows.withColumn("rn", row_number().over(wEval))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("model").as("best_model"),
+        col("eval_mae_milli").as("best_eval_mae_milli"))
+    chosen.join(best, Seq("event_type"))
+      .withColumn("regret_milli",
+        col("chosen_eval_mae_milli") - col("best_eval_mae_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin: the grid/filter chain with all three list folds, the
+    * five per-row predictions, conditional val/eval aggregates, the
+    * 5-row model relation via UNION ALL, and the same two
+    * (mae, ladder-rank) row_number picks. */
+  lazy val mlForecastSelectSql: String = {
+    val aT = "1000 * x[3] + acc[1] + acc[2]"
+    val lv2T = duckFloorDiv(aT, 2)
+    val tr2T = duckFloorDiv(s"$lv2T - acc[1] + acc[2]", 2)
+    val dD = duckFloorDiv("acc[2]", 2)
+    val aD = s"1000 * x[3] + acc[1] + $dD"
+    val lv2D = duckFloorDiv(aD, 2)
+    val tr2D = duckFloorDiv(s"$lv2D - acc[1] + $dD", 2)
+    val dH = "acc[CAST(4 + x[4] AS INT)]"
+    val aH = s"1000 * x[3] - $dH + acc[1] + acc[2]"
+    val lv2H = duckFloorDiv(aH, 2)
+    val tr2H = duckFloorDiv(s"$lv2H - acc[1] + acc[2]", 2)
+    val s2H = duckFloorDiv(s"1000 * x[3] - ($lv2H) + $dH", 2)
+    val slots = (0 until 7).map(k =>
+      s"CAST(CASE WHEN x[4] = $k THEN $s2H ELSE acc[${4 + k}] END AS BIGINT)")
+      .mkString(", ")
+    val zeros7 = Seq.fill(7)("CAST(0 AS BIGINT)").mkString(", ")
+    val items = "list_transform(prior, p -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(p.n AS BIGINT), CAST((p.day + 3) % 7 AS BIGINT)])"
+    val p3 = duckFloorDiv("st[1] + st[2]", 1000)
+    val p4 = duckFloorDiv(s"sd[1] + ${duckFloorDiv("sd[2]", 2)}", 1000)
+    val p5 = duckFloorDiv("hw[1] + hw[2] + hw[CAST(4 + dow AS INT)]", 1000)
+    val modelUnion = Seq(
+      (1, "flat"), (2, "seasonal"), (3, "trend"), (4, "damped"), (5, "hw"))
+      .map { case (m, nm) =>
+        s"SELECT event_type, CAST($m AS BIGINT) AS rank, '$nm' AS model, av$m * 1000 // nv AS val_mae_milli, ae$m * 1000 // ne AS eval_mae_milli FROM a" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       |dd AS (SELECT *, (day + 3) % 7 AS dow FROM d),
+       |c AS (SELECT *,
+       |    CAST(sum(n) OVER wf AS BIGINT) AS cum_n,
+       |    CAST(count(n) OVER wf AS BIGINT) AS cum_d,
+       |    CAST(sum(n) OVER wd AS BIGINT) AS cum_nw,
+       |    CAST(count(n) OVER wd AS BIGINT) AS cum_dw,
+       |    list_sort(list({'day': day, 'n': n}) OVER wf) AS prior
+       |  FROM dd
+       |  WINDOW wf AS (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    wd AS (PARTITION BY event_type, dow ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |e AS (SELECT *,
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)], $items),
+       |      (acc, x) -> CASE WHEN acc[3] = 0
+       |        THEN [CAST(1000 * x[3] AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)]
+       |        ELSE [CAST($lv2T AS BIGINT), CAST($tr2T AS BIGINT), CAST(1 AS BIGINT)] END) AS st,
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)], $items),
+       |      (acc, x) -> CASE WHEN acc[3] = 0
+       |        THEN [CAST(1000 * x[3] AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)]
+       |        ELSE [CAST($lv2D AS BIGINT), CAST($tr2D AS BIGINT), CAST(1 AS BIGINT)] END) AS sd,
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), $zeros7], $items),
+       |      (acc, x) -> CASE WHEN acc[3] = 0
+       |        THEN [CAST(1000 * x[3] AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+       |              acc[4], acc[5], acc[6], acc[7], acc[8], acc[9], acc[10]]
+       |        ELSE [CAST($lv2H AS BIGINT), CAST($tr2H AS BIGINT), CAST(1 AS BIGINT), $slots] END) AS hw
+       |  FROM c WHERE day > (SELECT max(day) FROM d) - 14
+       |    AND cum_d >= 1 AND cum_dw >= 1),
+       |f AS (SELECT *,
+       |    cum_n // cum_d AS p1, cum_nw // cum_dw AS p2,
+       |    $p3 AS p3, $p4 AS p4, $p5 AS p5,
+       |    CASE WHEN day > (SELECT max(day) FROM d) - 7 THEN 1 ELSE 0 END AS is_eval
+       |  FROM e),
+       |a AS (SELECT event_type,
+       |    CAST(sum(1 - is_eval) AS BIGINT) AS nv, CAST(sum(is_eval) AS BIGINT) AS ne,
+       |    CAST(sum(CASE WHEN is_eval = 0 THEN abs(n - p1) END) AS BIGINT) AS av1,
+       |    CAST(sum(CASE WHEN is_eval = 1 THEN abs(n - p1) END) AS BIGINT) AS ae1,
+       |    CAST(sum(CASE WHEN is_eval = 0 THEN abs(n - p2) END) AS BIGINT) AS av2,
+       |    CAST(sum(CASE WHEN is_eval = 1 THEN abs(n - p2) END) AS BIGINT) AS ae2,
+       |    CAST(sum(CASE WHEN is_eval = 0 THEN abs(n - p3) END) AS BIGINT) AS av3,
+       |    CAST(sum(CASE WHEN is_eval = 1 THEN abs(n - p3) END) AS BIGINT) AS ae3,
+       |    CAST(sum(CASE WHEN is_eval = 0 THEN abs(n - p4) END) AS BIGINT) AS av4,
+       |    CAST(sum(CASE WHEN is_eval = 1 THEN abs(n - p4) END) AS BIGINT) AS ae4,
+       |    CAST(sum(CASE WHEN is_eval = 0 THEN abs(n - p5) END) AS BIGINT) AS av5,
+       |    CAST(sum(CASE WHEN is_eval = 1 THEN abs(n - p5) END) AS BIGINT) AS ae5
+       |  FROM f GROUP BY event_type
+       |  HAVING sum(1 - is_eval) >= 1 AND sum(is_eval) >= 1),
+       |m AS ($modelUnion),
+       |ch AS (SELECT event_type, model AS chosen_model,
+       |    val_mae_milli AS chosen_val_mae_milli,
+       |    eval_mae_milli AS chosen_eval_mae_milli
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+       |      ORDER BY val_mae_milli, rank) AS rn FROM m) WHERE rn = 1),
+       |bs AS (SELECT event_type, model AS best_model,
+       |    eval_mae_milli AS best_eval_mae_milli
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+       |      ORDER BY eval_mae_milli, rank) AS rn FROM m) WHERE rn = 1)
+       |SELECT ch.event_type, ch.chosen_model, ch.chosen_val_mae_milli,
+       |  ch.chosen_eval_mae_milli, bs.best_model, bs.best_eval_mae_milli,
+       |  ch.chosen_eval_mae_milli - bs.best_eval_mae_milli AS regret_milli
+       |FROM ch JOIN bs USING (event_type)
+       |ORDER BY ch.event_type""".stripMargin
+  }
+
   // --------------------------------------------- conformal intervals
   /** Split-conformal prediction intervals for the daily-count forecast
     * (r14 wave 10) — the UNCERTAINTY face beside [[mlBacktest]]'s
@@ -6002,6 +6190,7 @@ object Analytics {
     "ml_forecast_trend" -> mlForecastTrend,
     "ml_forecast_damped" -> mlForecastDamped,
     "ml_forecast_hw" -> mlForecastHw,
+    "ml_forecast_select" -> mlForecastSelect,
     "events_mau_wau" -> eventsMauWau,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -6104,6 +6293,7 @@ object Analytics {
     "ml_forecast_trend" -> mlForecastTrendSql,
     "ml_forecast_damped" -> mlForecastDampedSql,
     "ml_forecast_hw" -> mlForecastHwSql,
+    "ml_forecast_select" -> mlForecastSelectSql,
     "events_mau_wau" -> eventsMauWauSql,
     "events_sliding" -> eventsSlidingSql,
     "cube_revenue" -> cubeRevenueSql,

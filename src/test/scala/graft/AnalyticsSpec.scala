@@ -1874,6 +1874,83 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ml_forecast_select replays champion selection with ladder tie-breaks") {
+    import spark.implicits._
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, d), n) => (t, d, n) }
+    val lastDay = daily.map(_._2).max
+    def fd(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    def holtPred(prior: Seq[Long]): Long = {
+      var lv = 1000L * prior.head; var tr = 0L
+      prior.tail.foreach { y =>
+        val lv2 = fd(1000L * y + lv + tr, 2); tr = fd(lv2 - lv + tr, 2); lv = lv2
+      }
+      fd(lv + tr, 1000)
+    }
+    def dampedPred(prior: Seq[Long]): Long = {
+      var lv = 1000L * prior.head; var tr = 0L
+      prior.tail.foreach { y =>
+        val d0 = fd(tr, 2); val lv2 = fd(1000L * y + lv + d0, 2)
+        tr = fd(lv2 - lv + d0, 2); lv = lv2
+      }
+      fd(lv + fd(tr, 2), 1000)
+    }
+    def hwPred(prior: Seq[(Long, Long)], predDow: Long): Long = {
+      var lv = 0L; var tr = 0L; var init = false
+      val sArr = Array.fill(7)(0L)
+      prior.foreach { case (y, w) =>
+        if (!init) { lv = 1000L * y; tr = 0L; init = true }
+        else {
+          val d0 = sArr(w.toInt); val lv2 = fd(1000L * y - d0 + lv + tr, 2)
+          tr = fd(lv2 - lv + tr, 2); sArr(w.toInt) = fd(1000L * y - lv2 + d0, 2)
+          lv = lv2
+        }
+      }
+      fd(lv + tr + sArr(predDow.toInt), 1000)
+    }
+    val expected = daily.groupBy(_._1).flatMap { case (t, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val cells = sorted.zipWithIndex.collect {
+        case ((_, d, n), i) if d > lastDay - 14 && i >= 1 &&
+            sorted.take(i).exists(p => (p._2 + 3) % 7 == (d + 3) % 7) =>
+          val prior = sorted.take(i)
+          val priorW = prior.filter(p => (p._2 + 3) % 7 == (d + 3) % 7)
+          val preds = Seq(
+            prior.map(_._3).sum / prior.length,
+            priorW.map(_._3).sum / priorW.length,
+            holtPred(prior.map(_._3)),
+            dampedPred(prior.map(_._3)),
+            hwPred(prior.map(p => (p._3, (p._2 + 3) % 7)), (d + 3) % 7))
+          (d > lastDay - 7, preds.map(p => math.abs(n - p)))
+      }
+      val (ev, va) = cells.partition(_._1)
+      if (ev.isEmpty || va.isEmpty) None
+      else {
+        def mae(cs: Seq[(Boolean, Seq[Long])], m: Int): Long =
+          cs.map(_._2(m)).sum * 1000L / cs.length
+        val names = Seq("flat", "seasonal", "trend", "damped", "hw")
+        val vMae = (0 until 5).map(mae(va, _))
+        val eMae = (0 until 5).map(mae(ev, _))
+        val ch = (0 until 5).minBy(m => (vMae(m), m))
+        val bs = (0 until 5).minBy(m => (eMae(m), m))
+        Some(t -> ((names(ch), vMae(ch), eMae(ch), names(bs), eMae(bs),
+          eMae(ch) - eMae(bs))))
+      }
+    }
+    val got = Analytics.mlForecastSelect(spark, sf)
+      .as[(String, String, Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == expected, s"champion selection drifted: $got vs $expected")
+    got.values.foreach { case (_, _, chosenEval, _, bestEval, regret) =>
+      assert(regret == chosenEval - bestEval && regret >= 0,
+        "regret identity broken — the eval-best must lower-bound the champion")
+    }
+  }
+
   test("holt-winters beats plain trend on a weekday-seasonal series") {
     import spark.implicits._
     // 28 flat-level days with a strong weekend double: trend has no
