@@ -297,6 +297,87 @@ object Geo {
        |  frame_day, n_points, checksum
        |FROM frames ORDER BY frame_seq""".stripMargin
 
+  /** Frame-over-frame raster churn (r16) — the temporal-diff face of
+    * the animation pipeline ([[mapFanout]] plans the frames,
+    * [[reduceAssemble]] sequences them; this measures what actually
+    * CHANGES between consecutive frames, the signal an animation
+    * pipeline reads to pick frame rate and to skip near-identical
+    * frames): per frame day, against the PREVIOUS calendar day's
+    * raster — lit cells now/before, newly-lit cells, extinguished
+    * cells, signed point-mass delta, and cell churn in exact ppm over
+    * the two frames' cell union. The corpus's first frame is
+    * all-new by contract (n_prev = 0, churn 10⁶).
+    *
+    * == Scale design ==
+    * ONE corpus scan folds map-side onto the bounded (day, px, py)
+    * lit-cell relation (≤ days × 1.4M, checkpointed — consumed twice
+    * as current and day-shifted previous); the frame pair is a
+    * full-outer join ON that bounded relation, never the points; the
+    * ledger is O(days).
+    */
+  def geoFrameChurn(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val r = points(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("dkey"),
+        col("ts"), mercX, mercY)
+      .filter(col("x") >= X0 && col("x") <= X1 && col("y") >= Y0 && col("y") <= Y1)
+      .select(col("dkey"),
+        least(floor((col("x") - X0) / (X1 - X0) * W), lit(W - 1)).cast("long").as("px"),
+        least(floor((col("y") - Y0) / (Y1 - Y0) * H), lit(H - 1)).cast("long").as("py"))
+      .groupBy(col("dkey"), col("px"), col("py")).agg(count(lit(1)).as("cnt"))
+      .stableCheckpoint()
+    val cur = r.select(col("dkey"), col("px"), col("py"), col("cnt").as("c_cnt"))
+    val prev = r.select((col("dkey") + 1).as("dkey"), col("px"), col("py"),
+      col("cnt").as("p_cnt"))
+    val days = r.select(col("dkey")).distinct()
+    cur.join(prev, Seq("dkey", "px", "py"), "full_outer")
+      .join(days, Seq("dkey"), "left_semi")
+      .groupBy(col("dkey"))
+      .agg(count(col("c_cnt")).as("n_cur"), count(col("p_cnt")).as("n_prev"),
+        sum(when(col("c_cnt").isNotNull && col("p_cnt").isNull, 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("p_cnt").isNotNull && col("c_cnt").isNull, 1L).otherwise(0L))
+          .as("n_dead"),
+        (coalesce(sum(col("c_cnt")), lit(0L)) - coalesce(sum(col("p_cnt")), lit(0L)))
+          .as("mass_delta"))
+      .select(col("dkey").as("day"),
+        expr("date_format(date_add(DATE'1970-01-01', CAST(dkey AS INT)), 'yyyy-MM-dd')")
+          .as("frame_day"),
+        col("n_cur"), col("n_prev"), col("n_new"), col("n_dead"), col("mass_delta"),
+        expr("1000000 * (n_new + n_dead) div (n_prev + n_new)").as("churn_ppm"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: the shared point/merc CTEs, the per-day raster, the
+    * day-shifted full-outer pair, the same O(days) ledger. */
+  val geoFrameChurnSql: String =
+    s"""WITH $pointsCte, $mercCte,
+       |dr AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS dkey,
+       |    CAST(least(floor((x - ($X0)) / (${X1 - X0}) * $W), ${W - 1}) AS BIGINT) AS px,
+       |    CAST(least(floor((y - ($Y0)) / (${Y1 - Y0}) * $H), ${H - 1}) AS BIGINT) AS py,
+       |    count(*) AS cnt
+       |  FROM merc
+       |  WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
+       |  GROUP BY 1, 2, 3),
+       |j AS (
+       |  SELECT COALESCE(c.dkey, p.dkey + 1) AS dkey,
+       |    c.cnt AS c_cnt, p.cnt AS p_cnt
+       |  FROM dr c FULL JOIN dr p
+       |    ON p.dkey + 1 = c.dkey AND p.px = c.px AND p.py = c.py),
+       |led AS (
+       |  SELECT dkey, count(c_cnt) AS n_cur, count(p_cnt) AS n_prev,
+       |    CAST(sum(CASE WHEN c_cnt IS NOT NULL AND p_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    CAST(sum(CASE WHEN p_cnt IS NOT NULL AND c_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+       |    CAST(COALESCE(sum(c_cnt), 0) - COALESCE(sum(p_cnt), 0) AS BIGINT) AS mass_delta
+       |  FROM j WHERE dkey IN (SELECT DISTINCT dkey FROM dr)
+       |  GROUP BY 1)
+       |SELECT CAST(dkey AS BIGINT) AS day,
+       |  strftime(DATE '1970-01-01' + CAST(dkey AS INT), '%Y-%m-%d') AS frame_day,
+       |  n_cur, n_prev, n_new, n_dead, mass_delta,
+       |  1000000 * (n_new + n_dead) // (n_prev + n_new) AS churn_ppm
+       |FROM led ORDER BY day""".stripMargin
+
   /** Ordered reduce: assemble the frame manifest the encoder would
     * consume (Reduce.ps1's ffmpeg step, encode itself stubbed as
     * out-of-scope I/O): cumulative point offsets, total frame count,
@@ -706,6 +787,7 @@ object Geo {
     "geo_mercator" -> geoMercator,
     "geo_bbox_filter" -> geoBboxFilter,
     "geo_rasterize" -> geoRasterize,
+    "geo_frame_churn" -> geoFrameChurn,
     "geo_spread" -> geoSpread,
     "geo_shade_eqhist" -> geoShadeEqhist,
     "geo_shade_rgb" -> geoShadeRgb,
@@ -720,6 +802,7 @@ object Geo {
     "geo_mercator" -> geoMercatorSql,
     "geo_bbox_filter" -> geoBboxFilterSql,
     "geo_rasterize" -> geoRasterizeSql,
+    "geo_frame_churn" -> geoFrameChurnSql,
     "geo_spread" -> geoSpreadSql,
     "geo_shade_eqhist" -> geoShadeEqhistSql,
     "geo_shade_rgb" -> geoShadeRgbSql,

@@ -207,4 +207,48 @@ class GeoSpec extends SparkSpec {
     // non-vacuous: spread must light previously-empty neighbors
     assert(got.exists(_._3 == 0L), "no halo cells — spread vacuous")
   }
+
+  test("frame churn replays the day-pair cell diff with exact union accounting") {
+    import spark.implicits._
+    // the same per-day raster the operator folds, replayed in memory
+    val cells = Geo.points(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("dkey"),
+        col("event_id"), col("lon"), col("lat"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (d, _, lon, lat) =>
+        val x = math.floor(lon * 20037508.342789244 / 180.0 * 100.0 + 0.5) / 100.0
+        val y = math.floor(math.log(math.tan((lat + 90.0) * (math.Pi / 360.0))) *
+          6378137.0 * 100.0 + 0.5) / 100.0
+        (d, x, y)
+      }
+      .filter { case (_, x, y) =>
+        x >= -8254332.0 && x <= -8209813.5 && y >= 4965255.5 && y <= 4988769.5 }
+      .map { case (d, x, y) =>
+        val px = math.min(math.floor((x - -8254332.0) / (-8209813.5 - -8254332.0) * 1400), 1399).toLong
+        val py = math.min(math.floor((y - 4965255.5) / (4988769.5 - 4965255.5) * 1000), 999).toLong
+        (d, px, py)
+      }
+    val byDay = cells.groupBy(_._1).view
+      .mapValues(_.groupBy(c => (c._2, c._3)).view.mapValues(_.size.toLong).toMap)
+      .toMap
+    val expected = byDay.keys.toSeq.sorted.map { d =>
+      val cur = byDay(d); val prev = byDay.getOrElse(d - 1, Map.empty[(Long, Long), Long])
+      val nNew = cur.keySet.diff(prev.keySet).size.toLong
+      val nDead = prev.keySet.diff(cur.keySet).size.toLong
+      (d, cur.size.toLong, prev.size.toLong, nNew, nDead,
+        cur.values.sum - prev.values.sum,
+        1000000L * (nNew + nDead) / (prev.size + nNew))
+    }
+    val got = Geo.geoFrameChurn(spark, sf)
+      .select("day", "n_cur", "n_prev", "n_new", "n_dead", "mass_delta", "churn_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expected, "frame churn diverged from the day-pair replay")
+    // union identity + the first frame's all-new contract
+    got.foreach { case (d, nc, np, nn, nd, _, _) =>
+      assert(nc == np + nn - nd, s"day $d: union identity broken")
+    }
+    assert(got.head._3 == 0L && got.head._7 == 1000000L,
+      "the corpus's first frame must be all-new")
+    assert(got.exists(r => r._4 > 0 && r._5 > 0), "churn vacuous — no real frame diff")
+  }
 }
