@@ -734,7 +734,11 @@ class PlanShapeSpec extends SparkSpec {
     for ((name, df) <- Seq(
         "dq_freshness" -> operators.Maintain.dqFreshness(spark, sf),
         "ml_backtest" -> Analytics.mlBacktest(spark, sf),
-        "stream_quantile" -> streaming.EventStreams.streamQuantile(spark, sf))) {
+        "stream_quantile" -> streaming.EventStreams.streamQuantile(spark, sf),
+        // r16: the forecast ladder's new rungs ride the same
+        // checkpointed grid — five models must still be ONE fact scan
+        "ml_forecast_select" -> Analytics.mlForecastSelect(spark, sf),
+        "stream_forecast" -> streaming.EventStreams.streamForecast(spark, sf))) {
       val plan = planOf(df)
       assert(!plan.contains("FileScan"),
         s"$name: fact scan escaped the checkpoint:\n$plan")
