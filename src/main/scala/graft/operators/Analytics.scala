@@ -2772,10 +2772,17 @@ object Analytics {
     * state ([[mlForecastSeasonal]] has the seasonality but no trend;
     * [[mlForecastTrend]] the trend but no seasonality). PAIRED against
     * the trend rung under the identical leak-free walk and row filter,
-    * so `mae_trend_milli` reproduces that key's column bit-for-bit —
-    * and the paired-row filter (≥ 1 prior same-weekday day) guarantees
-    * the predicted weekday's seasonal slot has been visited before any
-    * prediction reads it. Integer recurrence in [[holtWintersFold]];
+    * so `mae_trend_milli` reproduces that key's column bit-for-bit.
+    * The paired-row filter (≥ 1 prior same-weekday day) guarantees a
+    * prior same-weekday OBSERVATION exists, not that the seasonal slot
+    * is nonzero: the global-init step (init = 0) sets only (lv, tr)
+    * and skips the s[w] update, so when the sole prior same-weekday
+    * day IS the type's first observed day the slot still holds its 0
+    * initial value and the HW prediction degrades gracefully to the
+    * plain trend prediction for that cell (D = 0). Both engines and
+    * the spec replay share that contract — it is the intended
+    * semantics, not a divergence. Integer recurrence in
+    * [[holtWintersFold]];
     * prediction ⌊(lv + tr + s[w])/1000⌋ at the origin's weekday w.
     * All floor divisions, pmod-adjusted in Spark and floor-emulated in
     * the DuckDB oracle (whose accumulator is the BIGINT list

@@ -429,6 +429,30 @@ object Similarity {
     rows.reduce(_ unionAll _).orderBy(col("cells"), col("assign_k"))
   }
 
+  /** Drop superseded persisted-index tables for the same dir tag. The
+    * table NAME carries the corpus-signature hash so two signatures
+    * for one dir never race on a warehouse path — but that means a
+    * corpus REWRITE under the same dir (reingest, refreshed fixtures)
+    * mints a new name and the prior table would otherwise leak its
+    * catalog entry and parquet payload for the life of the session.
+    * Called under the build memo's bin lock, right before the new
+    * table is written: any `<prefix><dirTag>_<otherHash>` sibling is
+    * dropped, catalog and files both.
+    */
+  private def dropSuperseded(s: SparkSession, prefix: String, dirTag: String,
+      keep: String): Unit = {
+    val pat = s"$prefix${dirTag}_"
+    val hconf = s.sparkContext.hadoopConfiguration
+    s.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith(pat) && n != keep)
+      .foreach { n =>
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), n)
+        loc.getFileSystem(hconf).delete(loc, true)
+      }
+  }
+
   /** Corpora whose persisted IVF index tables exist. Keyed by SESSION
     * identity + corpus signature (the codebook memo stays
     * session-independent — it's pure driver data — but these are
@@ -448,7 +472,8 @@ object Similarity {
   private def ensureIvfIndex(s: SparkSession, dir: String): (String, String) = {
     import s.implicits._
     val ck = corpusKey(s, dir)
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = dirTag +
       "_" + java.lang.Long.toHexString(ck.hashCode.toLong & 0xffffffffL)
     val (cbTbl, idxTbl) = (s"graft_ivf_codebook_$tag", s"graft_ivf_index_$tag")
     val key = s"${System.identityHashCode(s)}|$ck"
@@ -460,6 +485,8 @@ object Similarity {
     // lock is what serializes two threads racing the same CTAS.
     ivfIndexReady.computeIfAbsent(key, _ => {
       val hconf = s.sparkContext.hadoopConfiguration
+      dropSuperseded(s, "graft_ivf_codebook_", dirTag, cbTbl)
+      dropSuperseded(s, "graft_ivf_index_", dirTag, idxTbl)
       Seq(cbTbl, idxTbl).foreach { tbl =>
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         val loc = new org.apache.hadoop.fs.Path(
@@ -997,7 +1024,8 @@ object Similarity {
     */
   private def ensureKnnGraph(s: SparkSession, dir: String): String = {
     val ck = corpusKey(s, dir)
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = dirTag +
       "_" + java.lang.Long.toHexString(ck.hashCode.toLong & 0xffffffffL)
     val tbl = s"graft_knn_graph_$tag"
     val key = s"${System.identityHashCode(s)}|$ck"
@@ -1005,6 +1033,7 @@ object Similarity {
       knnGraphReady.remove(key)
     knnGraphReady.computeIfAbsent(key, _ => {
       val hconf = s.sparkContext.hadoopConfiguration
+      dropSuperseded(s, "graft_knn_graph_", dirTag, tbl)
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       val loc = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), tbl)
