@@ -412,6 +412,165 @@ object Geo {
        |  (frame_seq - 1) / 2.0 AS pts_sec
        |FROM seq ORDER BY frame_seq""".stripMargin
 
+  // ------------------------------------------- composed frame build
+  /** The composed per-frame render (r17) — the reference's actual unit
+    * of work (/root/reference/src/awsbatch-map/main.py:21-96: one
+    * month → read → normalize → project → filter → rasterize → shade →
+    * PNG) as ONE registered key with marginal stage accounting, the
+    * [[graft.operators.Multimodal.pipelineMediaBuild]] pattern applied
+    * to the Geo family. Every stage is a registered face's rule; this
+    * face chains them PER FRAME DAY and emits the frame ledger:
+    *
+    *   1. ingest — all points of the frame day (`n_points`).
+    *   2. bbox cut — [[geoBboxFilter]]'s predicate (`n_bbox`
+    *      survivors; the marginal `n_points − n_bbox` is the cut).
+    *   3. rasterize — [[geoRasterize]]'s binning per day (`n_lit`
+    *      cells; Σ cell counts = `n_bbox` by construction).
+    *   4. spread — [[geoSpread]]'s 3×3 ones-kernel convolution on the
+    *      day's raster (`n_spread` cells, `spread_mass`).
+    *   5. shade + RGB — [[geoShadeEqhist]]'s two-pass histogram
+    *      eq-hist over the day's SPREAD counts (per-frame
+    *      normalization, exactly datashader's per-image eq_hist) and
+    *      [[geoShadeRgb]]'s fire ramp, reduced to `shade_mass` and an
+    *      order-independent exact `rgb_digest` (Σ of a per-pixel
+    *      integer mix mod 1e9+7) — the frame-level checksum an encode
+    *      step would consume.
+    *
+    * == Scale design ==
+    * ONE corpus scan folds map-side onto the bounded (day, px, py)
+    * relation — out-of-bbox rows fold to the (−1,−1) overflow cell so
+    * the stage-1/2 marginals read off the SAME bounded relation
+    * (checkpointed; ≤ days × (1.4M + 1) rows). The spread fan-out,
+    * per-frame histogram (days × |distinct counts|), shade lookup and
+    * ledger are all canvas-bounded; no stage past the scan touches
+    * point volume, and the per-day partitioning is embarrassingly
+    * parallel across frames — the reference's 24-way array job as
+    * group keys.
+    */
+  def pipelineFrameBuild(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val inb = col("x") >= X0 && col("x") <= X1 && col("y") >= Y0 && col("y") <= Y1
+    // [1-3] one scan: project, bin (overflow cell for out-of-bbox)
+    val r = points(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("dkey"), mercX, mercY)
+      .select(col("dkey"),
+        when(inb, least(floor((col("x") - X0) / (X1 - X0) * W), lit(W - 1)))
+          .otherwise(lit(-1L)).cast("long").as("px"),
+        when(inb, least(floor((col("y") - Y0) / (Y1 - Y0) * H), lit(H - 1)))
+          .otherwise(lit(-1L)).cast("long").as("py"))
+      .groupBy(col("dkey"), col("px"), col("py")).agg(count(lit(1)).as("cnt"))
+      .stableCheckpoint()
+    val raster = r.filter(col("px") >= 0)
+    val stages = r.groupBy(col("dkey")).agg(
+      sum(col("cnt")).as("n_points"),
+      sum(when(col("px") >= 0, col("cnt")).otherwise(0L)).as("n_bbox"),
+      sum(when(col("px") >= 0, 1L).otherwise(0L)).as("n_lit"))
+    // [4] 3x3 spread on the day raster (canvas-bounded fan-out)
+    val offs = (for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))).toSeq
+    val sp = raster.select(col("dkey"), col("px"), col("py"), col("cnt"),
+        explode(array(offs: _*)).as("o"))
+      .select(col("dkey"), (col("px") + col("o.dx")).as("qx"),
+        (col("py") + col("o.dy")).as("qy"), col("cnt"))
+      .filter(col("qx") >= 0 && col("qx") <= (W - 1) &&
+        col("qy") >= 0 && col("qy") <= (H - 1))
+      .groupBy(col("dkey"), col("qx"), col("qy"))
+      .agg(sum(col("cnt")).as("cs"))
+    // [5] per-frame eq-hist: the geoShadeEqhist two-pass histogram
+    // with the frame day joined into every key — reproduces
+    // percent_rank() OVER (PARTITION BY dkey ORDER BY cs) exactly
+    val hist = sp.groupBy(col("dkey"), col("cs")).agg(count(lit(1)).as("m"))
+    val histO = hist.select(col("dkey").as("dk_o"), col("cs").as("cs_o"),
+      col("m").as("m_o"))
+    val below = hist.join(broadcast(histO),
+        col("dk_o") === col("dkey") && col("cs_o") < col("cs"), "left")
+      .groupBy(col("dkey"), col("cs"))
+      .agg(coalesce(sum(col("m_o")), lit(0L)).as("below"))
+    val tot = hist.groupBy(col("dkey")).agg(count(lit(1)).as("n_bins"))
+    val prk = when(col("n_bins") === 1, lit(0.0))
+      .otherwise(col("below").cast("double") / (col("n_bins") - 1).cast("double"))
+    val lookup = below.join(broadcast(tot), Seq("dkey"))
+      .select(col("dkey").as("dk_l"), col("cs").as("cs_l"),
+        floor(prk * 255).as("shade"))
+    val shaded = sp.join(broadcast(lookup),
+        col("dk_l") === col("dkey") && col("cs_l") === col("cs"))
+      .select(col("dkey"), col("qx"), col("qy"), col("cs"), col("shade"))
+    // fire-ramp RGB + order-independent exact frame digest
+    val red = least(lit(255L), col("shade") * 3L)
+    val green = greatest(lit(0L), least(lit(255L), (col("shade") - 85L) * 3L))
+    val blue = greatest(lit(0L), least(lit(255L), (col("shade") - 170L) * 3L))
+    val frame = shaded
+      .select(col("dkey"), col("cs"), col("shade"),
+        (((col("qx") * 1009L + col("qy")) *
+          (red * 65536L + green * 256L + blue + 1L)) % 1000000007L).as("mix"))
+      .groupBy(col("dkey"))
+      .agg(count(lit(1)).as("n_spread"), sum(col("cs")).as("spread_mass"),
+        sum(col("shade")).as("shade_mass"), sum(col("mix")).as("rgb_digest"))
+    stages.join(frame, Seq("dkey"), "left_outer")
+      .select(col("dkey").as("day"),
+        expr("date_format(date_add(DATE'1970-01-01', CAST(dkey AS INT)), 'yyyy-MM-dd')")
+          .as("frame_day"),
+        col("n_points"), col("n_bbox"), col("n_lit"),
+        coalesce(col("n_spread"), lit(0L)).as("n_spread"),
+        coalesce(col("spread_mass"), lit(0L)).as("spread_mass"),
+        coalesce(col("shade_mass"), lit(0L)).as("shade_mass"),
+        coalesce(col("rgb_digest"), lit(0L)).as("rgb_digest"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: the shared point/merc CTEs, the overflow-cell day
+    * binning, the 3×3 spread, per-frame percent_rank eq-hist (the
+    * two-pass histogram's closed form), fire ramp, same digest. */
+  val pipelineFrameBuildSql: String =
+    s"""WITH $pointsCte, $mercCte,
+       |pr AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS dkey,
+       |    CASE WHEN x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
+       |      THEN CAST(least(floor((x - ($X0)) / (${X1 - X0}) * $W), ${W - 1}) AS BIGINT)
+       |      ELSE -1 END AS px,
+       |    CASE WHEN x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
+       |      THEN CAST(least(floor((y - ($Y0)) / (${Y1 - Y0}) * $H), ${H - 1}) AS BIGINT)
+       |      ELSE -1 END AS py,
+       |    count(*) AS cnt
+       |  FROM merc GROUP BY 1, 2, 3),
+       |stg AS (SELECT dkey, CAST(sum(cnt) AS BIGINT) AS n_points,
+       |    CAST(sum(CASE WHEN px >= 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_bbox,
+       |    CAST(sum(CASE WHEN px >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lit
+       |  FROM pr GROUP BY 1),
+       |off AS (SELECT o1.d AS dx, o2.d AS dy
+       |  FROM (SELECT unnest(range(-1, 2)) AS d) o1
+       |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS d) o2),
+       |sp AS (SELECT dkey, px + dx AS qx, py + dy AS qy,
+       |    CAST(sum(cnt) AS BIGINT) AS cs
+       |  FROM pr CROSS JOIN off
+       |  WHERE px >= 0 AND px + dx BETWEEN 0 AND ${W - 1}
+       |    AND py + dy BETWEEN 0 AND ${H - 1}
+       |  GROUP BY 1, 2, 3),
+       |sh AS (SELECT dkey, qx, qy, cs,
+       |    CAST(floor(percent_rank() OVER (PARTITION BY dkey ORDER BY cs) * 255)
+       |      AS BIGINT) AS shade
+       |  FROM sp),
+       |rgb AS (SELECT dkey, cs, shade,
+       |    ((qx * 1009 + qy) *
+       |     (least(255, shade * 3) * 65536 +
+       |      greatest(0, least(255, (shade - 85) * 3)) * 256 +
+       |      greatest(0, least(255, (shade - 170) * 3)) + 1)) % 1000000007 AS mix
+       |  FROM sh),
+       |fr AS (SELECT dkey, count(*) AS n_spread,
+       |    CAST(sum(cs) AS BIGINT) AS spread_mass,
+       |    CAST(sum(shade) AS BIGINT) AS shade_mass,
+       |    CAST(sum(mix) AS BIGINT) AS rgb_digest
+       |  FROM rgb GROUP BY 1)
+       |SELECT CAST(stg.dkey AS BIGINT) AS day,
+       |  strftime(DATE '1970-01-01' + CAST(stg.dkey AS INT), '%Y-%m-%d') AS frame_day,
+       |  n_points, n_bbox, n_lit,
+       |  COALESCE(n_spread, 0) AS n_spread,
+       |  COALESCE(spread_mass, 0) AS spread_mass,
+       |  COALESCE(shade_mass, 0) AS shade_mass,
+       |  COALESCE(rgb_digest, 0) AS rgb_digest
+       |FROM stg LEFT JOIN fr ON fr.dkey = stg.dkey
+       |ORDER BY day""".stripMargin
+
   // --------------------------------------------------------- Z-order
   /** 16-bit Morton spread: interleave-ready bit expansion via the
     * classic shift-or-mask ladder — pure codegen'd integer ops, and the
@@ -788,6 +947,7 @@ object Geo {
     "geo_bbox_filter" -> geoBboxFilter,
     "geo_rasterize" -> geoRasterize,
     "geo_frame_churn" -> geoFrameChurn,
+    "pipeline_frame_build" -> pipelineFrameBuild,
     "geo_spread" -> geoSpread,
     "geo_shade_eqhist" -> geoShadeEqhist,
     "geo_shade_rgb" -> geoShadeRgb,
@@ -803,6 +963,7 @@ object Geo {
     "geo_bbox_filter" -> geoBboxFilterSql,
     "geo_rasterize" -> geoRasterizeSql,
     "geo_frame_churn" -> geoFrameChurnSql,
+    "pipeline_frame_build" -> pipelineFrameBuildSql,
     "geo_spread" -> geoSpreadSql,
     "geo_shade_eqhist" -> geoShadeEqhistSql,
     "geo_shade_rgb" -> geoShadeRgbSql,

@@ -208,6 +208,83 @@ class GeoSpec extends SparkSpec {
     assert(got.exists(_._3 == 0L), "no halo cells — spread vacuous")
   }
 
+  test("pipeline_frame_build: full per-frame replay + stage marginals vs the standalone faces") {
+    import spark.implicits._
+    // per-day points through the shared projection/binning rules
+    val cells = Geo.points(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("dkey"),
+        col("lon"), col("lat"))
+      .as[(Long, Double, Double)].collect()
+      .map { case (d, lon, lat) =>
+        val x = math.floor(lon * 20037508.342789244 / 180.0 * 100.0 + 0.5) / 100.0
+        val y = math.floor(math.log(math.tan((lat + 90.0) * (math.Pi / 360.0))) *
+          6378137.0 * 100.0 + 0.5) / 100.0
+        (d, x, y)
+      }
+    val perDay = cells.groupBy(_._1)
+    val expected = perDay.keys.toSeq.sorted.map { d =>
+      val pts = perDay(d)
+      val inb = pts.filter { case (_, x, y) =>
+        x >= -8254332.0 && x <= -8209813.5 && y >= 4965255.5 && y <= 4988769.5 }
+      val raster = inb.map { case (_, x, y) =>
+        (math.min(math.floor((x - -8254332.0) / (-8209813.5 - -8254332.0) * 1400), 1399).toLong,
+          math.min(math.floor((y - 4965255.5) / (4988769.5 - 4965255.5) * 1000), 999).toLong)
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      // 3x3 clipped spread
+      val sp = collection.mutable.Map[(Long, Long), Long]()
+      raster.foreach { case ((px, py), c) =>
+        for (dx <- -1L to 1L; dy <- -1L to 1L) {
+          val (qx, qy) = (px + dx, py + dy)
+          if (qx >= 0 && qx <= 1399 && qy >= 0 && qy <= 999)
+            sp((qx, qy)) = sp.getOrElse((qx, qy), 0L) + c
+        }
+      }
+      // per-frame eq-hist over spread counts: percent_rank on distinct
+      // count bins, floor(pr*255)
+      val bins = sp.values.toSeq.distinct.sorted
+      val nBins = bins.length
+      val shadeOf = bins.zipWithIndex.map { case (c, i) =>
+        c -> (if (nBins == 1) 0L
+              else math.floor(i.toDouble / (nBins - 1).toDouble * 255).toLong)
+      }.toMap
+      var (shadeMass, digest) = (0L, 0L)
+      sp.foreach { case ((qx, qy), c) =>
+        val sh = shadeOf(c)
+        val r = math.min(255L, sh * 3)
+        val g = math.max(0L, math.min(255L, (sh - 85) * 3))
+        val b = math.max(0L, math.min(255L, (sh - 170) * 3))
+        shadeMass += sh
+        digest += ((qx * 1009L + qy) * (r * 65536L + g * 256L + b + 1L)) % 1000000007L
+      }
+      (d, pts.length.toLong, inb.length.toLong, raster.size.toLong,
+        sp.size.toLong, sp.values.sum, shadeMass, digest)
+    }
+    val got = Geo.pipelineFrameBuild(spark, sf)
+      .select("day", "n_points", "n_bbox", "n_lit", "n_spread",
+        "spread_mass", "shade_mass", "rgb_digest")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == expected, "frame build diverged from the in-memory replay")
+    // stage marginals against the standalone faces
+    got.foreach { case (d, np, nb, nl, ns, _, _, _) =>
+      assert(np >= nb && nb >= nl && ns >= nl, s"day $d: stage monotonicity")
+    }
+    val churn = Geo.geoFrameChurn(spark, sf)
+      .select("day", "n_cur").as[(Long, Long)].collect().toMap
+    got.foreach { case (d, _, _, nl, _, _, _, _) =>
+      assert(churn(d) == nl, s"day $d: n_lit != geo_frame_churn n_cur")
+    }
+    val fanout = Geo.mapFanout(spark, sf)
+      .select("frame_day", "n_points").as[(String, Long)].collect().toMap
+    val gotByDay = Geo.pipelineFrameBuild(spark, sf)
+      .select("frame_day", "n_bbox").as[(String, Long)].collect().toMap
+    fanout.foreach { case (fd, n) =>
+      assert(gotByDay(fd) == n, s"$fd: n_bbox != map_fanout n_points")
+    }
+    assert(got.map(_._3).sum == Geo.geoBboxFilter(spark, sf).count(),
+      "sum of per-frame bbox survivors != the corpus bbox face")
+  }
+
   test("frame churn replays the day-pair cell diff with exact union accounting") {
     import spark.implicits._
     // the same per-day raster the operator folds, replayed in memory

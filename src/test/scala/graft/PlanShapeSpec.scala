@@ -703,6 +703,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(bhj >= 3, s"expected >=3 broadcast delta joins, got $bhj:\n$plan")
   }
 
+  test("pipeline_frame_build: one corpus scan, canvas-bounded composition") {
+    val plan = planOf(operators.Geo.pipelineFrameBuild(spark, sf))
+    // the one events scan lives INSIDE the checkpointed day-binning
+    // fold; everything stitched after it rides the bounded (day, px,
+    // py) relation — zero parquet scans in the composed plan
+    assert(!plan.contains("Scan parquet"),
+      s"composed stages must ride the materialized cell relation:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product in the composition:\n$plan")
+    // the histogram/shade lookups are broadcast joins on bounded keys
+    assert(!plan.contains("SortMergeJoin"),
+      s"canvas-bounded lookups must broadcast:\n$plan")
+  }
+
   test("ann_graph_search walks the persisted edge table, never rebuilds the graph") {
     val plan = planOf(operators.Similarity.annGraphSearch(spark, sf))
     // the index artifact contract: the beam walk's edge relation is a
