@@ -315,9 +315,14 @@ object Geo {
     * full-outer join ON that bounded relation, never the points; the
     * ledger is O(days).
     */
-  def geoFrameChurn(s: SparkSession, dir: String): DataFrame = {
+  /** Per-day lit-cell relation (dkey, px, py, cnt) — ONE corpus scan
+    * folded map-side onto the bounded grid, checkpointed. Shared by
+    * [[geoFrameChurn]], the `stream_frame_churn` batch face and its
+    * MemoryStream spec feed.
+    */
+  private[graft] def dayRaster(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.Checkpoints.StableSyntax
-    val r = points(s, dir)
+    points(s, dir)
       .select(expr("unix_micros(ts) div 86400000000").as("dkey"),
         col("ts"), mercX, mercY)
       .filter(col("x") >= X0 && col("x") <= X1 && col("y") >= Y0 && col("y") <= Y1)
@@ -326,6 +331,15 @@ object Geo {
         least(floor((col("y") - Y0) / (Y1 - Y0) * H), lit(H - 1)).cast("long").as("py"))
       .groupBy(col("dkey"), col("px"), col("py")).agg(count(lit(1)).as("cnt"))
       .stableCheckpoint()
+  }
+
+  /** The day-keyed churn ledger over [[dayRaster]] — the epoch-day
+    * relation both churn faces share (the batch key formats the date
+    * on top; the streaming face consumes the long, per the feed's-own-
+    * key convention).
+    */
+  private[graft] def frameChurnLedger(s: SparkSession, dir: String): DataFrame = {
+    val r = dayRaster(s, dir)
     val cur = r.select(col("dkey"), col("px"), col("py"), col("cnt").as("c_cnt"))
     val prev = r.select((col("dkey") + 1).as("dkey"), col("px"), col("py"),
       col("cnt").as("p_cnt"))
@@ -340,17 +354,22 @@ object Geo {
           .as("n_dead"),
         (coalesce(sum(col("c_cnt")), lit(0L)) - coalesce(sum(col("p_cnt")), lit(0L)))
           .as("mass_delta"))
+      .withColumn("churn_ppm",
+        expr("1000000 * (n_new + n_dead) div (n_prev + n_new)"))
+  }
+
+  def geoFrameChurn(s: SparkSession, dir: String): DataFrame =
+    frameChurnLedger(s, dir)
       .select(col("dkey").as("day"),
         expr("date_format(date_add(DATE'1970-01-01', CAST(dkey AS INT)), 'yyyy-MM-dd')")
           .as("frame_day"),
         col("n_cur"), col("n_prev"), col("n_new"), col("n_dead"), col("mass_delta"),
-        expr("1000000 * (n_new + n_dead) div (n_prev + n_new)").as("churn_ppm"))
+        col("churn_ppm"))
       .orderBy(col("day"))
-  }
 
-  /** DuckDB twin: the shared point/merc CTEs, the per-day raster, the
-    * day-shifted full-outer pair, the same O(days) ledger. */
-  val geoFrameChurnSql: String =
+  /** Shared churn-ledger CTE chain (points → merc → per-day raster →
+    * day-shifted full-outer pair → O(days) ledger). */
+  private val frameChurnCtes: String =
     s"""WITH $pointsCte, $mercCte,
        |dr AS (
        |  SELECT epoch_us(ts) // 86400000000 AS dkey,
@@ -371,9 +390,23 @@ object Geo {
        |    CAST(sum(CASE WHEN p_cnt IS NOT NULL AND c_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
        |    CAST(COALESCE(sum(c_cnt), 0) - COALESCE(sum(p_cnt), 0) AS BIGINT) AS mass_delta
        |  FROM j WHERE dkey IN (SELECT DISTINCT dkey FROM dr)
-       |  GROUP BY 1)
+       |  GROUP BY 1)""".stripMargin
+
+  /** DuckDB twin: the shared point/merc CTEs, the per-day raster, the
+    * day-shifted full-outer pair, the same O(days) ledger. */
+  val geoFrameChurnSql: String =
+    s"""$frameChurnCtes
        |SELECT CAST(dkey AS BIGINT) AS day,
        |  strftime(DATE '1970-01-01' + CAST(dkey AS INT), '%Y-%m-%d') AS frame_day,
+       |  n_cur, n_prev, n_new, n_dead, mass_delta,
+       |  1000000 * (n_new + n_dead) // (n_prev + n_new) AS churn_ppm
+       |FROM led ORDER BY day""".stripMargin
+
+  /** The ledger as the streaming face consumes it: epoch-day long key,
+    * no date formatting (the `stream_frame_churn` oracle). */
+  private[graft] val frameChurnDaysSql: String =
+    s"""$frameChurnCtes
+       |SELECT CAST(dkey AS BIGINT) AS day,
        |  n_cur, n_prev, n_new, n_dead, mass_delta,
        |  1000000 * (n_new + n_dead) // (n_prev + n_new) AS churn_ppm
        |FROM led ORDER BY day""".stripMargin

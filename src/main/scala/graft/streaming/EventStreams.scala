@@ -1314,6 +1314,98 @@ object EventStreams {
       |  prefix - least(0, minp) > target_cents AS alarm
       |FROM p ORDER BY event_type, day""".stripMargin
 
+  /** One lit raster cell of one closed frame day (the feed the
+    * rasterizer's map-side fold emits per frame). `ts` carries the
+    * frame day as an event-time timestamp for the watermark. */
+  case class CellEv(px: Long, py: Long, day: Long, cnt: Long,
+                    ts: java.sql.Timestamp)
+  /** Emitted per-cell churn transition: exactly one non-dead row per
+    * (lit cell, day), plus one dead row the day a cell goes dark. */
+  case class CellChurnOut(day: Long, px: Long, py: Long, is_new: Boolean,
+                          is_dead: Boolean, cnt: Long, prev_cnt: Long)
+  /** One long of count plus the day it was observed. */
+  case class CellState(lastDay: Long, lastCnt: Long)
+
+  /** Live frame-over-frame raster churn — the streaming twin of
+    * [[graft.operators.Geo.geoFrameChurn]] (the Geo family's first
+    * live face): FMGWS keyed by CELL, state one (day, count) pair,
+    * fed the per-frame lit-cell relation one closed frame day at a
+    * time. A cell's arrival emits its transition (new if the previous
+    * frame didn't light it, survived with the signed count delta if
+    * it did); a cell that goes dark emits its dead row either lazily
+    * (when it relights after a gap) or via EVENT-TIME TIMEOUT when
+    * the watermark passes the frame after its last appearance — the
+    * bounded-state move [[retentionStreamEventTime]] uses, so state
+    * is O(currently-lit cells ≤ canvas), never history. Downstream,
+    * the per-day aggregation of these transitions IS the batch churn
+    * ledger (spec-pinned): n_cur = non-dead rows, n_new/n_dead =
+    * flags, n_prev = survived + dead, mass_delta = Σ (cnt − prev).
+    */
+  def frameChurnStream(stream: Dataset[CellEv],
+                       watermarkDelay: String = "0 seconds"): Dataset[CellChurnOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.px, e.py))
+      .flatMapGroupsWithState[CellState, CellChurnOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((px, py), recs, state) =>
+          if (state.hasTimedOut) {
+            // the frame after the cell's last appearance closed with
+            // the cell dark: emit its death, retire the state
+            val st = state.get
+            state.remove()
+            Iterator.single(CellChurnOut(st.lastDay + 1, px, py,
+              is_new = false, is_dead = true, 0L, st.lastCnt))
+          } else {
+            val out = Vector.newBuilder[CellChurnOut]
+            var st = state.getOption
+            recs.toSeq.sortBy(_.day).foreach { r =>
+              st match {
+                case Some(p) if p.lastDay == r.day => // idempotent re-delivery
+                case Some(p) if p.lastDay == r.day - 1 =>
+                  out += CellChurnOut(r.day, px, py, is_new = false,
+                    is_dead = false, r.cnt, p.lastCnt)
+                  st = Some(CellState(r.day, r.cnt))
+                case Some(p) => // gap: died after last frame, new now
+                  out += CellChurnOut(p.lastDay + 1, px, py, is_new = false,
+                    is_dead = true, 0L, p.lastCnt)
+                  out += CellChurnOut(r.day, px, py, is_new = true,
+                    is_dead = false, r.cnt, 0L)
+                  st = Some(CellState(r.day, r.cnt))
+                case None =>
+                  out += CellChurnOut(r.day, px, py, is_new = true,
+                    is_dead = false, r.cnt, 0L)
+                  st = Some(CellState(r.day, r.cnt))
+              }
+            }
+            st.foreach { p =>
+              state.update(p)
+              // fire once the frame after lastDay has closed
+              state.setTimeoutTimestamp(math.max((p.lastDay + 2) * 86400000L,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Batch face of [[frameChurnStream]] (registered as
+    * `stream_frame_churn`): the geo_frame_churn ledger with the frame
+    * day as an epoch-day long (the feed's own key — the streaming
+    * face never formats dates). The spec replays the REAL per-day
+    * lit-cell relation through MemoryStream one closed frame day per
+    * batch and pins that the aggregated transition change-log equals
+    * this ledger row-for-row.
+    */
+  def streamFrameChurn(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Geo.frameChurnLedger(s, dir)
+      .select(col("dkey").as("day"), col("n_cur"), col("n_prev"),
+        col("n_new"), col("n_dead"), col("mass_delta"), col("churn_ppm"))
+      .orderBy(col("day"))
+
+  val streamFrameChurnSql: String = graft.operators.Geo.frameChurnDaysSql
+
   /** One arriving event for the daily top-k leaderboard. */
   case class TopkEv(day: Long, etype: String)
   /** One emitted leaderboard row (a snapshot per processed batch). */
@@ -2503,6 +2595,7 @@ object EventStreams {
     "stream_pack" -> streamPack,
     "stream_late_data" -> streamLateData,
     "stream_cusum" -> streamCusum,
+    "stream_frame_churn" -> streamFrameChurn,
     "stream_topk" -> streamTopk,
     "stream_window_agg" -> streamWindowAgg,
     "stream_sessionize" -> streamSessionize,
@@ -2548,6 +2641,7 @@ object EventStreams {
     "stream_pack" -> streamPackSql,
     "stream_late_data" -> streamLateDataSql,
     "stream_cusum" -> streamCusumSql,
+    "stream_frame_churn" -> streamFrameChurnSql,
     "stream_topk" -> streamTopkSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_sessionize" -> streamSessionizeSql,

@@ -913,6 +913,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming frame churn transitions aggregate to the stream_frame_churn batch ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    // the REAL per-frame lit-cell relation, fed one closed day per batch
+    val cells = graft.operators.Geo.dayRaster(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val days = cells.map(_._1).distinct.sorted
+    val mem = MemoryStream[EventStreams.CellEv]
+    val q = EventStreams.frameChurnStream(mem.toDS())
+      .writeStream.format("memory").queryName("churn_live")
+      .outputMode("append").start()
+    try {
+      days.foreach { d =>
+        val batch = cells.filter(_._1 == d).map { case (dk, px, py, cnt) =>
+          EventStreams.CellEv(px, py, dk, cnt, new Timestamp(dk * 86400000L))
+        }
+        mem.addData(batch.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // advance the watermark past the final frame so every still-lit
+      // cell's event-time timeout fires (the death a live pipeline
+      // would emit once the next frame closes dark)
+      mem.addData(EventStreams.CellEv(-1L, -1L, days.max + 5,
+        0L, new Timestamp((days.max + 5) * 86400000L)))
+      q.processAllAvailable()
+      val daySet = days.toSet
+      val live = spark.sql(
+          "SELECT day, is_new, is_dead, cnt, prev_cnt FROM churn_live")
+        .as[(Long, Boolean, Boolean, Long, Long)].collect()
+        .filter(r => daySet.contains(r._1)) // the ledger counts observed frames
+        .groupBy(_._1).map { case (d, rs) =>
+          val nCur = rs.count(!_._3).toLong
+          val nNew = rs.count(_._2).toLong
+          val nDead = rs.count(_._3).toLong
+          val nPrev = rs.count(r => !r._2 && !r._3).toLong + nDead
+          val mass = rs.map(r => r._4 - r._5).sum
+          (d, nCur, nPrev, nNew, nDead, mass,
+            1000000L * (nNew + nDead) / (nPrev + nNew))
+        }.toSeq.sortBy(_._1)
+      val batch = EventStreams.streamFrameChurn(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(live == batch,
+        s"stream-only: ${live.diff(batch)}; batch-only: ${batch.diff(live)}")
+      // the batch key must itself equal geo_frame_churn minus the date
+      val g = graft.operators.Geo.geoFrameChurn(spark, sf)
+        .select("day", "n_cur", "n_prev", "n_new", "n_dead", "mass_delta", "churn_ppm")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(batch == g, "stream_frame_churn ledger diverges from geo_frame_churn")
+      // non-vacuous: real deaths must exist, including timeout-emitted ones
+      assert(batch.map(_._5).sum > 0, "no deaths — churn spec vacuous")
+    } finally q.stop()
+  }
+
   test("streaming enrich over the replayed event log equals the stream_enrich batch face") {
     implicit val sqlCtx = spark.sqlContext
     val evs = graft.sources.Tables.load(spark, sf, "events")
