@@ -716,6 +716,115 @@ object Maintain {
     rows.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
   }
 
+  /** Sketch twin of [[tableProfile]] (r17) — the 100 TB profile shape:
+    * the exact face's six `countDistinct` lanes are the one profile
+    * stage whose shuffle grows with column cardinality; this face
+    * replaces them with six 64-register integer HLL sketches (the
+    * [[graft.operators.Analytics.aggHllGrouped]] machinery keyed by
+    * column name) whose estimate is hash-checkable on both engines.
+    * Per column: exact row/null counts (free — they fold into the
+    * same register aggregation: every non-null value lands in exactly
+    * one register, nulls in the null register group), the empty-
+    * register count `v_zero` (so a consumer can apply the standard
+    * linear-counting small-range correction m·ln(m/V) — the float
+    * step deliberately OUTSIDE the hash contract, same as the HLL
+    * replay face), and the raw harmonic-mean estimate in exact
+    * bigint millis. Column values map to sketch longs by each type's
+    * canonical repr: ids as-is, value as integer cents, ts as
+    * unix-micros, strings through the codegen'd poly_hash — then a
+    * pmod into the affine-hash domain so no engine can overflow.
+    *
+    * == Scale design ==
+    * ONE scan → 6-way column stack → groupBy (col, register): the
+    * shuffle is O(6 × 65) AFTER map-side combine at ANY corpus size —
+    * the flat decade slope the exact face cannot have (its distinct
+    * lanes shuffle O(Σ column cardinalities)). The spec pins each
+    * estimate against the exact profile within the documented
+    * linear-counting consumer contract.
+    */
+  def tableProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    import s.implicits._
+    def ph(c: Column): Column = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(c), GraftSqlShim.expression(lit(2147483647L))))
+    val u = Tables.load(s, dir, "events").select(
+      col("event_id").as("u_event_id"),
+      ph(col("event_type")).as("u_event_type"),
+      ph(col("props")).as("u_props"),
+      expr("unix_micros(cast(ts as timestamp))").as("u_ts"),
+      col("user_id").as("u_user_id"),
+      cents(col("value")).as("u_value"))
+    val st = u.select(expr(
+      "stack(6, 'event_id', u_event_id, 'event_type', u_event_type, " +
+        "'props', u_props, 'ts', u_ts, 'user_id', u_user_id, " +
+        "'value', u_value) AS (col_name, u)"))
+    // the shared affine register (hllRegister's arithmetic) over the
+    // pmod-bounded repr — identical formula in the oracle
+    val h = (lit(1103515245L) * pmod(col("u"), lit(2147483647L)) + 12345L) %
+      2147483647L
+    val g = st.select(col("col_name"), (h % 64).as("j"),
+        (lit(26) - length(bin(shiftright(h, 6) + 1))).cast("long").as("rho"))
+      .groupBy(col("col_name"), col("j"))
+      .agg(count(lit(1)).as("c"), max(col("rho")).as("mj"))
+    val tot = g.groupBy(col("col_name")).agg(
+      sum(col("c")).as("n_rows"),
+      coalesce(sum(when(col("j").isNull, col("c"))), lit(0L)).as("n_nulls"))
+    val dense = Seq("event_id", "event_type", "props", "ts", "user_id", "value")
+      .toDF("col_name")
+      .crossJoin(s.range(64).toDF("j"))
+      .join(g.filter(col("j").isNotNull), Seq("col_name", "j"), "left_outer")
+      .select(col("col_name"), coalesce(col("mj"), lit(0L)).as("mj"))
+    val sums = dense.groupBy(col("col_name")).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - mj AS INT))")).as("s"),
+      sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v_zero"))
+    tot.join(broadcast(sums), Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("v_zero"),
+        expr("(709 * 4096 * shiftleft(CAST(1 AS BIGINT), 26)) div s")
+          .as("nd_est_milli"))
+      .orderBy(col("col_name"))
+  }
+
+  /** DuckDB twin: the same six canonical reprs stacked by UNION ALL,
+    * the identical pmod + affine register chain, dense 6×64 register
+    * grid, exact-integer harmonic sum. */
+  val tableProfileApproxSql: String = {
+    def phSql(c: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+        s"(a, b) -> (a*31 + b) % 2147483647)"
+    s"""WITH u AS (
+       |  SELECT 'event_id' AS col_name, CAST(event_id AS BIGINT) AS u FROM events
+       |  UNION ALL SELECT 'event_type', ${phSql("event_type")} FROM events
+       |  UNION ALL SELECT 'props', ${phSql("props")} FROM events
+       |  UNION ALL SELECT 'ts', epoch_us(ts) FROM events
+       |  UNION ALL SELECT 'user_id', CAST(user_id AS BIGINT) FROM events
+       |  UNION ALL SELECT 'value', CAST(round(value*100) AS BIGINT) FROM events),
+       |h AS (SELECT col_name,
+       |    (1103515245 * (((u % 2147483647) + 2147483647) % 2147483647) + 12345)
+       |      % 2147483647 AS h
+       |  FROM u),
+       |r AS (SELECT col_name, h % 64 AS j,
+       |    26 - length(bin((h // 64) + 1)) AS rho FROM h),
+       |g AS (SELECT col_name, j, count(*) AS c, max(rho) AS mj
+       |  FROM r GROUP BY 1, 2),
+       |tot AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+       |    CAST(COALESCE(sum(CASE WHEN j IS NULL THEN c END), 0) AS BIGINT) AS n_nulls
+       |  FROM g GROUP BY 1),
+       |cols AS (SELECT unnest(['event_id', 'event_type', 'props', 'ts',
+       |    'user_id', 'value']) AS col_name),
+       |dense AS (SELECT cols.col_name, t.j, COALESCE(g.mj, 0) AS mj
+       |  FROM cols CROSS JOIN range(0, 64) t(j)
+       |  LEFT JOIN g ON g.col_name = cols.col_name AND g.j = t.j),
+       |sm AS (SELECT col_name,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(26 - mj AS INT)) AS BIGINT) AS s,
+       |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+       |  FROM dense GROUP BY 1)
+       |SELECT tot.col_name, n_rows, n_nulls, v_zero,
+       |  (709 * 4096 * (CAST(1 AS BIGINT) << 26)) // sm.s AS nd_est_milli
+       |FROM tot JOIN sm USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** Rule-based data-quality validation (the Deequ/Great-Expectations
     * constraint suite): completeness, key uniqueness, domain, range,
     * and freshness checks over the event log, each emitting its exact
@@ -1192,6 +1301,7 @@ object Maintain {
     "table_vacuum_exec" -> tableVacuumExec,
     "table_snapshot_diff" -> tableSnapshotDiff,
     "table_profile" -> tableProfile,
+    "table_profile_approx" -> tableProfileApprox,
     "table_zonemap_audit" -> tableZonemapAudit,
     "dq_rules" -> dqRules,
     "dq_drift" -> dqDrift,
@@ -1212,6 +1322,7 @@ object Maintain {
     "table_vacuum_exec" -> tableVacuumExecSql,
     "table_snapshot_diff" -> tableSnapshotDiffSql,
     "table_profile" -> tableProfileSql,
+    "table_profile_approx" -> tableProfileApproxSql,
     "table_zonemap_audit" -> tableZonemapAuditSql,
     "dq_rules" -> dqRulesSql,
     "dq_drift" -> dqDriftSql,

@@ -97,6 +97,37 @@ class MaintainSpec extends SparkSpec {
     assert(rows("value")._6 == ev.map(_._3).max.toString)
   }
 
+  test("table_profile_approx: exact counters match the exact face, estimates in-spec") {
+    val approx = Maintain.tableProfileApprox(spark, sf)
+      .select("col_name", "n_rows", "n_nulls", "v_zero", "nd_est_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val exact = Maintain.tableProfile(spark, sf)
+      .select("col_name", "n_rows", "n_nulls", "n_distinct")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(approx.keySet == exact.keySet && approx.size == 6)
+    approx.values.foreach { case (cn, nr, nn, vz, est) =>
+      // the exact counters ride the SAME register aggregation for free
+      assert(nr == exact(cn)._2 && nn == exact(cn)._3,
+        s"$cn: row/null counters diverge from the exact face")
+      assert(vz >= 0L && vz <= 64L, s"$cn: v_zero out of range")
+      assert(est > 0L, s"$cn: estimate must be positive")
+      // the documented consumer contract: apply linear counting in the
+      // small range (v_zero > 0, raw < 2.5m), then the corrected
+      // estimate must land within 2x of truth — the replayable affine
+      // hash trades avalanche quality for oracle checkability, so the
+      // bound is the sketch family's honest worst case (measured: all
+      // but sequential-id event_id land within ±16%)
+      val raw = est.toDouble / 1000.0
+      val corrected =
+        if (vz > 0 && raw < 2.5 * 64) 64.0 * math.log(64.0 / vz) else raw
+      val truth = exact(cn)._4.toDouble
+      assert(corrected >= 0.5 * truth && corrected <= 2.0 * truth,
+        s"$cn: corrected estimate $corrected vs exact $truth out of spec")
+    }
+  }
+
   test("dq_rules: exact ppm metrics, and the strict rule actually fails") {
     val rules = Maintain.dqRules(spark, sf)
       .select("rule", "metric_ppm", "pass")
