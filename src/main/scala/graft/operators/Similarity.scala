@@ -1177,6 +1177,180 @@ object Similarity {
     legs.reduce(_ unionByName _).orderBy(col("beam"))
   }
 
+  // --------------------------------------------- graph upsert (delta)
+  private val knnBaseReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persist YESTERDAY'S graph artifact: the kNN edge list (with its
+    * exact cosines and ranks) plus the per-node probe-cell relation,
+    * both restricted to the BASE corpus (vec_id % 5 ≠ 4 — the
+    * [[annIndexUpsert]] ingest split) under the frozen full-corpus
+    * codebook. The probe table is part of the artifact on purpose: a
+    * production graph store persists per-node routing metadata
+    * precisely so delta maintenance can find affected nodes without
+    * re-assigning the corpus.
+    */
+  private def ensureKnnGraphBase(s: SparkSession, dir: String): (String, String) = {
+    import s.implicits._
+    val ck = corpusKey(s, dir)
+    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = dirTag +
+      "_" + java.lang.Long.toHexString(ck.hashCode.toLong & 0xffffffffL)
+    val (edgeTbl, probeTbl) = (s"graft_knn_base_$tag", s"graft_knn_probes_$tag")
+    val key = s"${System.identityHashCode(s)}|$ck"
+    if (knnBaseReady.containsKey(key) &&
+        !(s.catalog.tableExists(edgeTbl) && s.catalog.tableExists(probeTbl)))
+      knnBaseReady.remove(key)
+    knnBaseReady.computeIfAbsent(key, _ => {
+      val hconf = s.sparkContext.hadoopConfiguration
+      dropSuperseded(s, "graft_knn_base_", dirTag, edgeTbl)
+      dropSuperseded(s, "graft_knn_probes_", dirTag, probeTbl)
+      Seq(edgeTbl, probeTbl).foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), tbl)
+        loc.getFileSystem(hconf).delete(loc, true)
+      }
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .filter(_._1 % 5 != 4)
+      val index = assignCells(s, dir, e, IVF_ASSIGN)
+      val probes = assignCells(s, dir, e, IVF_NPROBE)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("cell"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cosine").desc, col("dst"))
+      probes.join(index,
+          probes("cell") === index("cell") && col("q_id") =!= col("vec_id"))
+        .select(col("q_id").as("src"), col("vec_id").as("dst"),
+          (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+        .distinct()
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .write.mode("overwrite").format("parquet").saveAsTable(edgeTbl)
+      probes.select(col("q_id").as("vec_id"), col("cell"))
+        .write.mode("overwrite").format("parquet").saveAsTable(probeTbl)
+      tag
+    })
+    (edgeTbl, probeTbl)
+  }
+
+  /** Incremental kNN-graph maintenance (r17) — the graph family's
+    * delta face, completing the symmetry [[annIndexUpsert]] gives the
+    * IVF index: the arriving batch (vec_id % 5 = 4, the ingest split)
+    * is folded into YESTERDAY'S persisted graph without a full
+    * rebuild, and the emitted ledger diffs the upserted graph against
+    * the from-scratch rebuild it provably equals:
+    *
+    *   1. batch assignment — the frozen codebook (FAISS add-without-
+    *      train), batch-bounded.
+    *   2. new-node edges — batch probes × (persisted base postings ∪
+    *      batch postings), exact cosine, top-[[K]].
+    *   3. affected-node refresh — base nodes whose PERSISTED probe
+    *      cells received a batch posting merge their stored top-[[K]]
+    *      (cosines ride the artifact, never rescored) with the newly
+    *      scored batch candidates; one top-[[K]] re-rank. The merge
+    *      identity makes this EXACT: any base candidate of the
+    *      rebuilt top-K survives the base-only top-K, so stored ∪
+    *      batch-scored covers the rebuilt candidate set.
+    *
+    * Ledger (single row): node counts, affected count, kept / added /
+    * dropped / new edge counts, and an order-independent digest of
+    * the upserted edge set — which the oracle computes from the full
+    * rebuild, so the hash check IS the upsert ≡ rebuild proof
+    * (re-proven edge-for-edge in the spec).
+    *
+    * == Scale design ==
+    * The delta path reads three persisted artifacts (base edges, base
+    * probes, IVF postings) and computes only batch-sized work: batch
+    * assignment is |Δ|·CELLS, candidate scoring is bounded by the
+    * batch's postings per probed cell, the merge re-rank rides the
+    * O(N·K) stored edge relation through [[graft.plans.GraftOps
+    * .topKPerGroup]] (no window sort), and the diff ledger is one
+    * aggregate over O(N·K) rows. No full-graph candidate join exists
+    * anywhere in the plan (plan-pinned).
+    */
+  def annGraphUpsert(s: SparkSession, dir: String): DataFrame = {
+    val (edgeTbl, _) = ensureKnnGraphBase(s, dir)
+    val baseEdges = s.table(edgeTbl)
+    val up = annGraphUpsertEdges(s, dir)
+    // the diff ledger: upserted vs the persisted artifact
+    val cls = up.select(col("src"), col("dst"), col("rank"), lit(1).as("in_f"))
+      .join(baseEdges.select(col("src"), col("dst"), lit(1).as("in_b")),
+        Seq("src", "dst"), "full_outer")
+    val mix = ((col("src") * 131071L + col("dst")) * (col("rank") + 1L)) % 1000000007L
+    val aff = cls.filter(col("src") % 5 =!= 4 &&
+        (col("in_b").isNull || col("in_f").isNull))
+      .agg(countDistinct(col("src")).as("n_affected"))
+    val nodes = up.agg(
+      countDistinct(when(col("src") % 5 =!= 4, col("src"))).as("n_base_nodes"),
+      countDistinct(when(col("src") % 5 === 4, col("src"))).as("n_new_nodes"))
+    cls.agg(
+        sum(when(col("in_b").isNotNull && col("in_f").isNotNull, 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("in_f").isNotNull && col("in_b").isNull &&
+          col("src") % 5 =!= 4, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_b").isNotNull && col("in_f").isNull, 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("in_f").isNotNull && col("src") % 5 === 4, 1L).otherwise(0L))
+          .as("n_new_edges"),
+        sum(when(col("in_f").isNotNull, mix).otherwise(0L)).as("graph_digest"))
+      .crossJoin(broadcast(nodes))
+      .crossJoin(broadcast(aff))
+      .select(col("n_base_nodes"), col("n_new_nodes"), col("n_affected"),
+        col("n_kept"), col("n_added"), col("n_dropped"), col("n_new_edges"),
+        col("graph_digest"))
+  }
+
+  /** The upserted edge relation itself (the spec's hook for the
+    * upsert ≡ rebuild proof): base-node merges + new-node edges,
+    * exactly the ledger's `in_f` side. */
+  private[graft] def annGraphUpsertEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val (edgeTbl, probeTbl) = ensureKnnGraphBase(s, dir)
+    val (_, idxTbl) = ensureIvfIndex(s, dir)
+    val baseEdges = s.table(edgeTbl)
+    val baseProbes = s.table(probeTbl)
+    val basePostings = s.table(idxTbl).filter(col("vec_id") % 5 =!= 4)
+    val batch = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .filter(_._1 % 5 == 4)
+    val batchIdx = assignCells(s, dir, batch, IVF_ASSIGN)
+    val batchProbes = assignCells(s, dir, batch, IVF_NPROBE)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val index = basePostings.select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cell"))
+      .unionByName(batchIdx)
+    val newEdges = graft.plans.GraftOps.topKPerGroup(
+        broadcast(batchProbes).join(index,
+            batchProbes("cell") === index("cell") && col("q_id") =!= col("vec_id"))
+          .select(col("q_id").as("src"), col("vec_id").as("dst"),
+            (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+              .as("cosine"))
+          .distinct(),
+        Seq("src"), Seq("cosine" -> true, "dst" -> false), k = K, rankName = "rank")
+      .select(col("src"), col("dst"), col("rank").cast("long").as("rank"))
+    val em = emb(s, dir)
+    val touched = baseProbes
+      .join(broadcast(batchIdx.select(col("cell"), col("vec_id").as("dst"))),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("dst"))
+      .select(col("vec_id").as("src"), col("dst")).distinct()
+    val scored = touched
+      .join(em.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+        col("nrm").as("s_nrm")), Seq("src"))
+      .join(broadcast(em.select(col("vec_id").as("dst"),
+        col("embedding").as("d_emb"), col("nrm").as("d_nrm"))), Seq("dst"))
+      .select(col("src"), col("dst"),
+        (dot(col("s_emb"), col("d_emb")) / (col("s_nrm") * col("d_nrm"))).as("cosine"))
+    val upBase = graft.plans.GraftOps.topKPerGroup(
+        baseEdges.select(col("src"), col("dst"), col("cosine")).unionByName(scored),
+        Seq("src"), Seq("cosine" -> true, "dst" -> false), k = K, rankName = "rank")
+      .select(col("src"), col("dst"), col("rank").cast("long").as("rank"))
+    upBase.unionByName(newEdges)
+  }
+
   // ------------------------------------------------- filtered search
   /** Filtered ANN search (r14, the predicate-constrained face every
     * production vector store ships — "nearest neighbors WHERE label is
@@ -1630,6 +1804,7 @@ object Similarity {
     "ann_ood" -> annOod,
     "dq_embedding_drift" -> dqEmbeddingDrift,
     "ann_knn_graph" -> annKnnGraph,
+    "ann_graph_upsert" -> annGraphUpsert,
     "ann_graph_search" -> annGraphSearch,
     "ann_graph_recall_curve" -> annGraphRecallCurve,
     "ann_recall_curve" -> annRecallCurve,
@@ -1810,6 +1985,44 @@ object Similarity {
       s"\nSELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K ORDER BY query_id, rank"
   }
 
+  /** DuckDB twin of the graph-upsert ledger. The oracle builds the
+    * FULL rebuilt graph and the base-restricted graph from the shared
+    * codebook replay, then diffs — so the driver's hash check on the
+    * digest IS the upsert ≡ rebuild proof (the Spark side never
+    * rebuilds; its digest comes from the delta-maintained edges). */
+  val annGraphUpsertSql: String = {
+    val pre = Seq(
+      "un AS MATERIALIZED (SELECT vec_id, embedding, nrm FROM n)",
+      "urk AS MATERIALIZED (SELECT vec_id, cid, rn FROM rk)",
+      "uasg AS MATERIALIZED (SELECT vec_id, cell FROM asg)",
+      s"prbf AS (SELECT vec_id, cid AS cell FROM urk WHERE rn <= $IVF_NPROBE)",
+      "candf AS (SELECT DISTINCT q.vec_id AS src, a.vec_id AS dst FROM prbf q JOIN uasg a ON a.cell = q.cell AND a.vec_id <> q.vec_id)",
+      s"pf AS (SELECT c.src, c.dst, ${ivfFold("ns.embedding", "nd.embedding")} / (ns.nrm * nd.nrm) AS cosine FROM candf c JOIN un ns ON ns.vec_id = c.src JOIN un nd ON nd.vec_id = c.dst)",
+      s"fg AS MATERIALIZED (SELECT src, dst, CAST(rn AS BIGINT) AS rank FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn FROM pf) WHERE rn <= $K)",
+      s"prbb AS (SELECT vec_id, cid AS cell FROM urk WHERE rn <= $IVF_NPROBE AND vec_id % 5 <> 4)",
+      "candb AS (SELECT DISTINCT q.vec_id AS src, a.vec_id AS dst FROM prbb q JOIN (SELECT vec_id, cell FROM uasg WHERE vec_id % 5 <> 4) a ON a.cell = q.cell AND a.vec_id <> q.vec_id)",
+      s"pb AS (SELECT c.src, c.dst, ${ivfFold("ns.embedding", "nd.embedding")} / (ns.nrm * nd.nrm) AS cosine FROM candb c JOIN un ns ON ns.vec_id = c.src JOIN un nd ON nd.vec_id = c.dst)",
+      s"bg AS MATERIALIZED (SELECT src, dst FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn FROM pb) WHERE rn <= $K)",
+      """cls AS MATERIALIZED (SELECT COALESCE(f.src, b.src) AS src,
+        |    COALESCE(f.dst, b.dst) AS dst, f.rank AS f_rank,
+        |    f.src IS NOT NULL AS in_f, b.src IS NOT NULL AS in_b
+        |  FROM fg f FULL JOIN bg b ON b.src = f.src AND b.dst = f.dst)""".stripMargin)
+    "WITH " + (ivfCodebookCtes ++ pre).mkString(",\n") + """
+      |SELECT
+      |  (SELECT count(DISTINCT src) FROM bg) AS n_base_nodes,
+      |  (SELECT count(DISTINCT src) FROM fg WHERE src % 5 = 4) AS n_new_nodes,
+      |  (SELECT count(DISTINCT src) FROM cls
+      |    WHERE src % 5 <> 4 AND (NOT in_b OR NOT in_f)) AS n_affected,
+      |  CAST(sum(CASE WHEN in_b AND in_f THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN in_f AND NOT in_b AND src % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(sum(CASE WHEN in_b AND NOT in_f THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(sum(CASE WHEN in_f AND src % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_edges,
+      |  CAST(sum(CASE WHEN in_f
+      |    THEN ((src * 131071 + dst) * (f_rank + 1)) % 1000000007
+      |    ELSE 0 END) AS BIGINT) AS graph_digest
+      |FROM cls""".stripMargin
+  }
+
   /** DuckDB twin of the graph-walk search: the [[annKnnGraphSql]]
     * edge chain (MATERIALIZED — several beam rounds read it), probe-1
     * seeds, then the fixed [[GS_ROUNDS]] beam recurrence unrolled CTE
@@ -1931,6 +2144,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_knn_graph" -> annKnnGraphSql,
+    "ann_graph_upsert" -> annGraphUpsertSql,
     "ann_graph_search" -> annGraphSearchSql,
     "ann_graph_recall_curve" -> annGraphRecallCurveSql,
     "ann_recall_curve" -> annRecallCurveSql,

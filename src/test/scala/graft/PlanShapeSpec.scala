@@ -734,6 +734,24 @@ class PlanShapeSpec extends SparkSpec {
       s"a window rank in the search plan means the graph was rebuilt inline:\n$plan")
   }
 
+  test("ann_graph_upsert reads the persisted artifacts, never rebuilds the full graph") {
+    val plan = planOf(operators.Similarity.annGraphUpsert(spark, sf))
+    // the delta path's edge relation is the persisted base-graph table
+    // plus batch-bounded work — the full-graph rebuild's signature (a
+    // corpus-wide window rank over the cell-keyed candidate join) must
+    // be absent; all ranking rides TopKPerGroup
+    assert(plan.contains("graft_knn_base"),
+      s"expected a scan of the persisted base-graph table:\n$plan")
+    assert(plan.contains("graft_knn_probes"),
+      s"expected a scan of the persisted probe metadata:\n$plan")
+    assert(plan.contains("graft_ivf_index"),
+      s"expected a scan of the persisted IVF postings:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"a window rank means the graph was rebuilt inline:\n$plan")
+    assert(plan.contains("TopKPerGroup"),
+      s"merge re-rank must ride the TopKPerGroup operator:\n$plan")
+  }
+
   test("mm_phash is one scan with no exchange before the display sort") {
     val plan = planOf(operators.Multimodal.mmPhash(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length

@@ -687,6 +687,35 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ann_graph_upsert: delta-maintained graph equals the full rebuild edge-for-edge") {
+    import spark.implicits._
+    // the planted batch is the ingest split itself (vec_id % 5 = 4):
+    // fold it into the persisted base artifact, then compare against
+    // the from-scratch rebuild over the whole corpus
+    val up = Similarity.annGraphUpsertEdges(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val rebuilt = Similarity.annKnnGraph(spark, sf)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(up == rebuilt,
+      s"upsert-only: ${up.diff(rebuilt).take(5)}; rebuild-only: ${rebuilt.diff(up).take(5)}")
+    // ledger identities + non-vacuity
+    val led = Similarity.annGraphUpsert(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val (nb, nn, naff, nk, na, nd, nne, dig) = led
+    val baseSrcEdges = up.count(_._1 % 5 != 4).toLong
+    assert(nk + na == baseSrcEdges, "kept + added must tile the base-src edges")
+    assert(nne == up.count(_._1 % 5 == 4).toLong, "new-edge count wrong")
+    assert(nb == up.map(_._1).count(_ % 5 != 4).toLong, "base node count")
+    assert(nn == up.map(_._1).count(_ % 5 == 4).toLong, "new node count")
+    assert(naff <= nb && naff > 0, "no affected nodes — upsert spec vacuous")
+    assert(na > 0 && nd > 0, "batch must displace some base edges")
+    assert(nn > 0 && nne >= nn, "every new node carries edges")
+    val expectDig = rebuilt.toSeq
+      .map { case (s, d, r) => ((s * 131071L + d) * (r + 1L)) % 1000000007L }.sum
+    assert(dig == expectDig, "digest must cover the rebuilt edge set exactly")
+  }
+
   test("ann_knn_graph agrees with ann_ivf on the shared query set") {
     val graph = Similarity.annKnnGraph(spark, sf)
     val small = graph.filter(col("query_id") < 10)
