@@ -918,6 +918,122 @@ object Geo {
        |ORDER BY layout, box_id""".stripMargin
   }
 
+  // ------------------------------------------------ hilbert writer
+  private val hilbertLayoutReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Cheap driver-side corpus signature over the events table (the
+    * Similarity corpusKey pattern): FS metadata only, no Spark job. */
+  private def eventsKey(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      try fs.listStatus(path).map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+      catch { case _: java.io.FileNotFoundException => Array(s"$dir:missing") }
+    dir + "|" + stats.sorted.mkString(",")
+  }
+
+  /** Materialize the Hilbert-clustered layout as REAL parquet files:
+    * the raster cells ranked by their Hilbert index (two-phase
+    * range-partitioned rank — no single-task sort), dealt into
+    * 256-cell files by the audit's deterministic rule, and WRITTEN
+    * partitioned by file id with one physical parquet file per unit
+    * (hash repartition on file_id ⇒ each file's rows land in exactly
+    * one task). The written files carry genuine row-group zone maps
+    * on px/py — what [[layoutHilbert]] models, made disk truth.
+    */
+  private[graft] def ensureHilbertLayout(s: SparkSession, dir: String): String = {
+    val ck = eventsKey(s, dir)
+    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = dirTag +
+      "_" + java.lang.Long.toHexString(ck.hashCode.toLong & 0xffffffffL)
+    val tbl = s"graft_hilbert_layout_$tag"
+    val key = s"${System.identityHashCode(s)}|$ck"
+    if (hilbertLayoutReady.containsKey(key) && !s.catalog.tableExists(tbl))
+      hilbertLayoutReady.remove(key)
+    hilbertLayoutReady.computeIfAbsent(key, _ => {
+      val hconf = s.sparkContext.hadoopConfiguration
+      val pat = s"graft_hilbert_layout_${dirTag}_"
+      s.catalog.listTables().collect().map(_.name)
+        .filter(n => n.startsWith(pat) && n != tbl)
+        .foreach { n =>
+          s.sql(s"DROP TABLE IF EXISTS $n")
+          val loc = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), n)
+          loc.getFileSystem(hconf).delete(loc, true)
+        }
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), tbl)
+      loc.getFileSystem(hconf).delete(loc, true)
+      val ranked = graft.operators.Analytics.globalRowPos(
+        withHilbert(rasterDf(s, dir), "px", "py", "hd"),
+        Seq.empty, Seq(col("hd")), "rn", "n")
+      ranked
+        .withColumn("file_id", expr("(rn - 1) div 256"))
+        .select(col("px"), col("py"), col("cnt"), col("hd"), col("file_id"))
+        .repartition(col("file_id"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("file_id").saveAsTable(tbl)
+      tag
+    })
+    tbl
+  }
+
+  /** Hilbert-layout skipping audit over WRITTEN files (r17 — the
+    * writer face the modeled audits plan for: [[layoutHilbert]]
+    * measured the Hilbert curve's pruning win on MODELED 256-cell
+    * files; this face actually WRITES the layout — a partitioned
+    * parquet table, one physical file per 256-cell Hilbert range,
+    * real row-group zone maps on disk — then runs the identical
+    * 4-box probe against zone maps derived from the files READ BACK,
+    * never from the model). The oracle is the modeled audit's
+    * hilbert rows, so the hash match proves the written layout
+    * delivers exactly the skipping the model promised; the spec
+    * additionally opens the parquet FOOTERS and pins each file's
+    * min/max stats to the audit's zone maps.
+    *
+    * == Scale design ==
+    * The write is the [[layoutZorder]] scale note made concrete: one
+    * rasterize fold, the two-phase range rank on the canvas-bounded
+    * cell relation, one hash shuffle into file-sized tasks. The audit
+    * reads the bounded written relation (≤1.4M cells) once; file
+    * summaries and the probe are broadcast-sized.
+    */
+  def layoutHilbertWrite(s: SparkSession, dir: String): DataFrame = {
+    val t = s.table(ensureHilbertLayout(s, dir))
+    val files = t.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("px")).as("fx0"), max(col("px")).as("fx1"),
+        min(col("py")).as("fy0"), max(col("py")).as("fy1"))
+    val boxes = s.range(1).select(expr(skipBoxes))
+    val matching = t.crossJoin(broadcast(boxes))
+      .filter(col("px") >= col("bx0") && col("px") <= col("bx1") &&
+        col("py") >= col("by0") && col("py") <= col("by1"))
+      .groupBy(col("box_id"))
+      .agg(count(lit(1)).as("cells_matching"))
+    files.crossJoin(broadcast(boxes))
+      .withColumn("files_total", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("box_id"))))
+      .filter(col("fx1") >= col("bx0") && col("fx0") <= col("bx1") &&
+        col("fy1") >= col("by0") && col("fy0") <= col("by1"))
+      .groupBy(col("box_id"), col("files_total"))
+      .agg(count(lit(1)).as("files_touched"),
+        sum(col("n_cells")).as("cells_scanned"))
+      .join(broadcast(matching), Seq("box_id"))
+      .select(lit("hilbert").as("layout"), col("box_id"), col("files_total"),
+        col("files_touched"), col("cells_scanned"), col("cells_matching"),
+        expr("(1000000 * cells_scanned) div greatest(cells_matching, 1)")
+          .as("read_amp_ppm"))
+      .orderBy(col("box_id"))
+  }
+
+  /** DuckDB twin: the MODELED hilbert audit restricted to its hilbert
+    * rows — written layout ≡ model is exactly the claim. */
+  val layoutHilbertWriteSql: String =
+    s"""SELECT * FROM ($layoutHilbertSql) WHERE layout = 'hilbert'
+       |ORDER BY box_id""".stripMargin
+
   // ------------------------------------------------------ tile pyramid
   /** Multi-zoom tile pre-aggregation (r14 wave 19) — the tile-SERVING
     * face of the rasterizer: a slippy-map client asks for count tiles
@@ -974,6 +1090,7 @@ object Geo {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_tile_pyramid" -> geoTilePyramid,
     "layout_hilbert" -> layoutHilbert,
+    "layout_hilbert_write" -> layoutHilbertWrite,
     "layout_skipping_eval" -> layoutSkippingEval,
     "layout_zorder" -> layoutZorder,
     "geo_mercator" -> geoMercator,
@@ -990,6 +1107,7 @@ object Geo {
   val oracles: Map[String, String] = Map(
     "geo_tile_pyramid" -> geoTilePyramidSql,
     "layout_hilbert" -> layoutHilbertSql,
+    "layout_hilbert_write" -> layoutHilbertWriteSql,
     "layout_skipping_eval" -> layoutSkippingEvalSql,
     "layout_zorder" -> layoutZorderSql,
     "geo_mercator" -> geoMercatorSql,

@@ -171,6 +171,59 @@ class GeoSpec extends SparkSpec {
       "the two audits disagree on the shared zorder layout")
   }
 
+  test("layout_hilbert_write: written files reproduce the model, footers carry the zone maps") {
+    import scala.jdk.CollectionConverters._
+    val got = Geo.layoutHilbertWrite(spark, sfMid)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    val model = Geo.layoutHilbert(spark, sfMid)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .filter(_._1 == "hilbert").sortBy(_._2)
+    assert(got.toSeq == model.toSeq,
+      "written-layout audit diverges from the modeled audit")
+    // open the REAL parquet footers: each written file's row-group
+    // stats must be exactly the zone map the audit probed
+    val tbl = Geo.ensureHilbertLayout(spark, sfMid)
+    val zones = spark.table(tbl).groupBy("file_id")
+      .agg(min("px"), max("px"), min("py"), max("py"))
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl)
+    val fs = root.getFileSystem(conf)
+    val dirs = fs.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("file_id="))
+    assert(dirs.length.toLong == got.head._3,
+      "written file count diverges from the audit's files_total")
+    var checked = 0
+    dirs.foreach { d =>
+      val fid = d.getPath.getName.stripPrefix("file_id=").toLong
+      val parts = fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+      assert(parts.length == 1, s"file_id $fid must be ONE physical file")
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          parts.head.getPath, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        def stat(name: String): (Long, Long) = {
+          val s = blocks.map { b =>
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == name).get.getStatistics
+            (c.genericGetMin.asInstanceOf[Number].longValue,
+              c.genericGetMax.asInstanceOf[Number].longValue)
+          }
+          (s.map(_._1).min, s.map(_._2).max)
+        }
+        val (px0, px1) = stat("px"); val (py0, py1) = stat("py")
+        val z = zones(fid)
+        assert((px0, px1, py0, py1) == (z._2, z._3, z._4, z._5),
+          s"file $fid: footer stats diverge from the audit zone map")
+      } finally reader.close()
+      checked += 1
+    }
+    assert(checked > 10, "footer check vacuous")
+  }
+
   test("geo_spread: 3x3 convolution replayed in memory, interior mass x9") {
     val raster = Geo.rasterDf(spark, sf)
       .as[(Long, Long, Long)].collect()
