@@ -2295,11 +2295,17 @@ object Dedup {
   }
 
   private val embCountMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def embBlocks(s: SparkSession, dir: String): Int = {
-    val n: Long = embCountMemo.computeIfAbsent(dir,
+  private def embCount(s: SparkSession, dir: String): Long =
+    embCountMemo.computeIfAbsent(dir,
       _ => Tables.load(s, dir, "embeddings").count())
+  private def embBlocks(s: SparkSession, dir: String): Int = {
+    val n = embCount(s, dir)
     math.max(8, math.min(256, math.ceil(n / 2048.0).toInt))
   }
+
+  /** Conf key for [[dedupEmbedding]]'s executable cardinality fence. */
+  private[graft] val EmbCapKey = "spark.graft.dedupEmbedding.maxVectors"
+  private val EmbCapDefault = 100000L
 
   /** Embedding-cosine near-dup pairs — EXACT all-pairs, distributed.
     *
@@ -2321,6 +2327,18 @@ object Dedup {
     * as [[dedupEmbeddingBruteForce]] for the spec cross-check only.
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    // Executable fence (r17): exact all-pairs is quadratic BY CONTRACT
+    // — the face exists as the 100%-recall truth verifier, and a
+    // corpus past the cap should refuse loudly instead of silently
+    // burning a cluster on N²/2 dots. The registered scale path is
+    // [[dedupEmbeddingIvf]] (cells ~ √N); raise the cap deliberately
+    // via the conf when a bigger exact verification is the point.
+    val n = embCount(s, dir)
+    val cap = s.conf.getOption(EmbCapKey).map(_.toLong).getOrElse(EmbCapDefault)
+    require(n <= cap,
+      s"dedup_embedding is the EXACT quadratic verifier: $n vectors exceed " +
+        s"the $cap cap ($EmbCapKey). Use dedup_embedding_ivf — the " +
+        "registered scale path — or raise the cap deliberately.")
     val B = embBlocks(s, dir)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),

@@ -269,6 +269,25 @@ class TextDedupSpec extends SparkSpec {
     assert(out.forall { case (a, b, c) => a < b && c >= 0.45 && c <= 1.0 + 1e-9 })
   }
 
+  test("dedup_embedding refuses a corpus past its cardinality cap") {
+    // the exact all-pairs verifier is quadratic BY CONTRACT: the fence
+    // must fire loudly below any cluster-burning input, pointing at
+    // dedup_embedding_ivf as the registered scale path
+    val key = graft.operators.Dedup.EmbCapKey
+    spark.conf.set(key, "3")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.dedupEmbedding(spark, sf)
+      }
+      assert(ex.getMessage.contains("dedup_embedding_ivf"),
+        "the refusal must name the registered scale path")
+      assert(ex.getMessage.contains(key),
+        "the refusal must name the escape-hatch conf")
+    } finally spark.conf.unset(key)
+    // back under the cap, the verifier runs
+    assert(Dedup.dedupEmbedding(spark, sf).count() >= 0)
+  }
+
   test("corpus shuffle is a replayable permutation and not doc_id order") {
     val a = Curate.corpusShuffle(spark, sf)
       .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
