@@ -480,6 +480,56 @@ object Geo {
     * parallel across frames — the reference's 24-way array job as
     * group keys.
     */
+  /** Shared per-frame render: stages [4-5] of [[pipelineFrameBuild]] —
+    * 3×3 spread + per-frame eq-hist + fire-ramp RGB, reduced to the
+    * frame ledger (n_spread, spread_mass, shade_mass, rgb_digest).
+    * Factored out so [[pipelineFrameIncremental]] can push its before/
+    * after legs through the IDENTICAL arithmetic. The eq-hist is
+    * [[eqhistShade]]'s two-pass histogram with the frame day joined
+    * into every key: percent_rank = cells-strictly-below / (cells − 1)
+    * per frame, DuckDB's `percent_rank() OVER (PARTITION BY dkey ORDER
+    * BY cs)` exactly. Input is a canvas-bounded day raster
+    * (dkey, px, py, cnt); every relation here is canvas-bounded.
+    */
+  private[operators] def frameRender(raster: DataFrame): DataFrame = {
+    val offs = (for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))).toSeq
+    val sp = raster.select(col("dkey"), col("px"), col("py"), col("cnt"),
+        explode(array(offs: _*)).as("o"))
+      .select(col("dkey"), (col("px") + col("o.dx")).as("qx"),
+        (col("py") + col("o.dy")).as("qy"), col("cnt"))
+      .filter(col("qx") >= 0 && col("qx") <= (W - 1) &&
+        col("qy") >= 0 && col("qy") <= (H - 1))
+      .groupBy(col("dkey"), col("qx"), col("qy"))
+      .agg(sum(col("cnt")).as("cs"))
+    val hist = sp.groupBy(col("dkey"), col("cs")).agg(count(lit(1)).as("m"))
+    val histO = hist.select(col("dkey").as("dk_o"), col("cs").as("cs_o"),
+      col("m").as("m_o"))
+    val below = hist.join(broadcast(histO),
+        col("dk_o") === col("dkey") && col("cs_o") < col("cs"), "left")
+      .groupBy(col("dkey"), col("cs"))
+      .agg(coalesce(sum(col("m_o")), lit(0L)).as("below"))
+    val tot = hist.groupBy(col("dkey")).agg(sum(col("m")).as("n_cells"))
+    val prk = when(col("n_cells") === 1, lit(0.0))
+      .otherwise(col("below").cast("double") / (col("n_cells") - 1).cast("double"))
+    val lookup = below.join(broadcast(tot), Seq("dkey"))
+      .select(col("dkey").as("dk_l"), col("cs").as("cs_l"),
+        floor(prk * 255).as("shade"))
+    val shaded = sp.join(broadcast(lookup),
+        col("dk_l") === col("dkey") && col("cs_l") === col("cs"))
+      .select(col("dkey"), col("qx"), col("qy"), col("cs"), col("shade"))
+    val red = least(lit(255L), col("shade") * 3L)
+    val green = greatest(lit(0L), least(lit(255L), (col("shade") - 85L) * 3L))
+    val blue = greatest(lit(0L), least(lit(255L), (col("shade") - 170L) * 3L))
+    shaded
+      .select(col("dkey"), col("cs"), col("shade"),
+        (((col("qx") * 1009L + col("qy")) *
+          (red * 65536L + green * 256L + blue + 1L)) % 1000000007L).as("mix"))
+      .groupBy(col("dkey"))
+      .agg(count(lit(1)).as("n_spread"), sum(col("cs")).as("spread_mass"),
+        sum(col("shade")).as("shade_mass"), sum(col("mix")).as("rgb_digest"))
+  }
+
   def pipelineFrameBuild(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.Checkpoints.StableSyntax
     val inb = col("x") >= X0 && col("x") <= X1 && col("y") >= Y0 && col("y") <= Y1
@@ -498,47 +548,7 @@ object Geo {
       sum(col("cnt")).as("n_points"),
       sum(when(col("px") >= 0, col("cnt")).otherwise(0L)).as("n_bbox"),
       sum(when(col("px") >= 0, 1L).otherwise(0L)).as("n_lit"))
-    // [4] 3x3 spread on the day raster (canvas-bounded fan-out)
-    val offs = (for (dx <- -1 to 1; dy <- -1 to 1)
-      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))).toSeq
-    val sp = raster.select(col("dkey"), col("px"), col("py"), col("cnt"),
-        explode(array(offs: _*)).as("o"))
-      .select(col("dkey"), (col("px") + col("o.dx")).as("qx"),
-        (col("py") + col("o.dy")).as("qy"), col("cnt"))
-      .filter(col("qx") >= 0 && col("qx") <= (W - 1) &&
-        col("qy") >= 0 && col("qy") <= (H - 1))
-      .groupBy(col("dkey"), col("qx"), col("qy"))
-      .agg(sum(col("cnt")).as("cs"))
-    // [5] per-frame eq-hist: the geoShadeEqhist two-pass histogram
-    // with the frame day joined into every key — reproduces
-    // percent_rank() OVER (PARTITION BY dkey ORDER BY cs) exactly
-    val hist = sp.groupBy(col("dkey"), col("cs")).agg(count(lit(1)).as("m"))
-    val histO = hist.select(col("dkey").as("dk_o"), col("cs").as("cs_o"),
-      col("m").as("m_o"))
-    val below = hist.join(broadcast(histO),
-        col("dk_o") === col("dkey") && col("cs_o") < col("cs"), "left")
-      .groupBy(col("dkey"), col("cs"))
-      .agg(coalesce(sum(col("m_o")), lit(0L)).as("below"))
-    val tot = hist.groupBy(col("dkey")).agg(count(lit(1)).as("n_bins"))
-    val prk = when(col("n_bins") === 1, lit(0.0))
-      .otherwise(col("below").cast("double") / (col("n_bins") - 1).cast("double"))
-    val lookup = below.join(broadcast(tot), Seq("dkey"))
-      .select(col("dkey").as("dk_l"), col("cs").as("cs_l"),
-        floor(prk * 255).as("shade"))
-    val shaded = sp.join(broadcast(lookup),
-        col("dk_l") === col("dkey") && col("cs_l") === col("cs"))
-      .select(col("dkey"), col("qx"), col("qy"), col("cs"), col("shade"))
-    // fire-ramp RGB + order-independent exact frame digest
-    val red = least(lit(255L), col("shade") * 3L)
-    val green = greatest(lit(0L), least(lit(255L), (col("shade") - 85L) * 3L))
-    val blue = greatest(lit(0L), least(lit(255L), (col("shade") - 170L) * 3L))
-    val frame = shaded
-      .select(col("dkey"), col("cs"), col("shade"),
-        (((col("qx") * 1009L + col("qy")) *
-          (red * 65536L + green * 256L + blue + 1L)) % 1000000007L).as("mix"))
-      .groupBy(col("dkey"))
-      .agg(count(lit(1)).as("n_spread"), sum(col("cs")).as("spread_mass"),
-        sum(col("shade")).as("shade_mass"), sum(col("mix")).as("rgb_digest"))
+    val frame = frameRender(raster)
     stages.join(frame, Seq("dkey"), "left_outer")
       .select(col("dkey").as("day"),
         expr("date_format(date_add(DATE'1970-01-01', CAST(dkey AS INT)), 'yyyy-MM-dd')")
@@ -602,6 +612,153 @@ object Geo {
        |  COALESCE(shade_mass, 0) AS shade_mass,
        |  COALESCE(rgb_digest, 0) AS rgb_digest
        |FROM stg LEFT JOIN fr ON fr.dkey = stg.dkey
+       |ORDER BY day""".stripMargin
+
+  // ------------------------------------------ incremental frame build
+  /** SQL twin of [[frameRender]]: spread → per-frame percent_rank
+    * eq-hist → fire-ramp digest over a raster CTE `src`(dkey,px,py,cnt),
+    * CTE names suffixed so the incremental face can render two legs in
+    * one statement. Requires the shared `off` offsets CTE in scope. */
+  private def renderSql(src: String, sfx: String): String =
+    s"""sp$sfx AS (SELECT dkey, px + dx AS qx, py + dy AS qy,
+       |    CAST(sum(cnt) AS BIGINT) AS cs
+       |  FROM $src CROSS JOIN off
+       |  WHERE px + dx BETWEEN 0 AND ${W - 1}
+       |    AND py + dy BETWEEN 0 AND ${H - 1}
+       |  GROUP BY 1, 2, 3),
+       |sh$sfx AS (SELECT dkey, qx, qy, cs,
+       |    CAST(floor(percent_rank() OVER (PARTITION BY dkey ORDER BY cs) * 255)
+       |      AS BIGINT) AS shade
+       |  FROM sp$sfx),
+       |dig$sfx AS (SELECT dkey,
+       |    CAST(sum(((qx * 1009 + qy) *
+       |      (least(255, shade * 3) * 65536 +
+       |       greatest(0, least(255, (shade - 85) * 3)) * 256 +
+       |       greatest(0, least(255, (shade - 170) * 3)) + 1)) % 1000000007)
+       |      AS BIGINT) AS rgb_digest
+       |  FROM sh$sfx GROUP BY 1)""".stripMargin
+
+  /** Incremental frame rebuild (r17) — [[pipelineFrameBuild]]'s
+    * delta-ingest twin, completing the Geo family's build symmetry the
+    * way [[graft.operators.Multimodal.pipelineMediaIncremental]]
+    * completes the media side's: a late-arriving point batch (event_id
+    * ≡ 0 mod 10, [[graft.operators.Maintain.aggIncremental]]'s delta
+    * convention) lands on a standing frame set, and ONLY the frames the
+    * delta actually touches are re-rendered — per affected frame day,
+    * the ledger row carries the arriving in-bbox point count, the
+    * before/after bbox-survivor and lit-cell counts, the before/after
+    * [[frameRender]] RGB digests, a `render_changed` flag (a delta CAN
+    * leave the digest intact when eq-hist re-ranks to the same shades),
+    * and the constant frames_total / frames_touched pair — the
+    * skip-work accounting that justifies the incremental path.
+    *
+    * == Scale design ==
+    * One corpus scan folds map-side onto the bounded (day, px, py)
+    * relation carrying BOTH leg counts (standing `cb`, total `ca`,
+    * delta `cd`) — on the test corpus this scan plays the role of the
+    * persisted base raster + the arriving batch; a deployment keeps
+    * the (day, px, py, cnt) relation as a table (it is exactly what
+    * [[layoutHilbertWrite]] persists) and scans only the delta, so the
+    * nightly cost is O(delta) + O(affected-day rasters), never the
+    * corpus. Affected days collapse to a broadcast set; both render
+    * legs and the ledger are canvas-bounded × affected-days; untouched
+    * frames are never re-shaded (the frames_touched / frames_total
+    * margin). Out-of-bbox delta points are dropped at the fold — they
+    * cannot change a frame.
+    */
+  def pipelineFrameIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val inb = col("x") >= X0 && col("x") <= X1 && col("y") >= Y0 && col("y") <= Y1
+    val r = points(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("dkey"),
+        (pmod(col("event_id"), lit(10)) === 0).cast("long").as("d"), mercX, mercY)
+      .filter(inb)
+      .select(col("dkey"), col("d"),
+        least(floor((col("x") - X0) / (X1 - X0) * W), lit(W - 1))
+          .cast("long").as("px"),
+        least(floor((col("y") - Y0) / (Y1 - Y0) * H), lit(H - 1))
+          .cast("long").as("py"))
+      .groupBy(col("dkey"), col("px"), col("py"))
+      .agg(sum(lit(1L) - col("d")).as("cb"), count(lit(1)).as("ca"),
+        sum(col("d")).as("cd"))
+      .stableCheckpoint()
+    val aff = r.filter(col("cd") > 0).select(col("dkey")).distinct()
+    val rAff = r.join(broadcast(aff), Seq("dkey"))
+    val stats = rAff.groupBy(col("dkey")).agg(
+      sum(col("cd")).as("n_delta"),
+      sum(col("cb")).as("n_points_before"),
+      sum(col("ca")).as("n_points_after"),
+      sum(when(col("cb") > 0, 1L).otherwise(0L)).as("n_lit_before"),
+      count(lit(1)).as("n_lit_after"))
+    val digB = frameRender(rAff.filter(col("cb") > 0)
+        .select(col("dkey"), col("px"), col("py"), col("cb").as("cnt")))
+      .select(col("dkey"), col("rgb_digest").as("rgb_digest_before"))
+    val digA = frameRender(rAff
+        .select(col("dkey"), col("px"), col("py"), col("ca").as("cnt")))
+      .select(col("dkey"), col("rgb_digest").as("rgb_digest_after"))
+    val totals = r.agg(countDistinct(col("dkey")).as("frames_total"))
+    val touched = aff.agg(count(lit(1)).as("frames_touched"))
+    stats
+      .join(digB, Seq("dkey"), "left_outer")
+      .join(digA, Seq("dkey"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(touched))
+      .select(col("dkey").as("day"),
+        expr("date_format(date_add(DATE'1970-01-01', CAST(dkey AS INT)), 'yyyy-MM-dd')")
+          .as("frame_day"),
+        col("n_delta"), col("n_points_before"), col("n_points_after"),
+        col("n_lit_before"), col("n_lit_after"),
+        coalesce(col("rgb_digest_before"), lit(0L)).as("rgb_digest_before"),
+        col("rgb_digest_after"),
+        (coalesce(col("rgb_digest_before"), lit(-1L)) =!= col("rgb_digest_after"))
+          .cast("long").as("render_changed"),
+        col("frames_total"), col("frames_touched"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: one in-bbox fold carrying both leg counts, affected
+    * days, [[renderSql]] twice (before/after), the same ledger. */
+  val pipelineFrameIncrementalSql: String =
+    s"""WITH $pointsCte, $mercCte,
+       |pr AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS dkey,
+       |    CAST(least(floor((x - ($X0)) / (${X1 - X0}) * $W), ${W - 1}) AS BIGINT) AS px,
+       |    CAST(least(floor((y - ($Y0)) / (${Y1 - Y0}) * $H), ${H - 1}) AS BIGINT) AS py,
+       |    CAST(sum(CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cb,
+       |    count(*) AS ca,
+       |    CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cd
+       |  FROM merc
+       |  WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
+       |  GROUP BY 1, 2, 3),
+       |aff AS (SELECT DISTINCT dkey FROM pr WHERE cd > 0),
+       |rb AS (SELECT dkey, px, py, cb AS cnt FROM pr JOIN aff USING (dkey)
+       |  WHERE cb > 0),
+       |ra AS (SELECT dkey, px, py, ca AS cnt FROM pr JOIN aff USING (dkey)),
+       |off AS (SELECT o1.d AS dx, o2.d AS dy
+       |  FROM (SELECT unnest(range(-1, 2)) AS d) o1
+       |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS d) o2),
+       |${renderSql("rb", "b")},
+       |${renderSql("ra", "a")},
+       |stats AS (SELECT dkey,
+       |    CAST(sum(cd) AS BIGINT) AS n_delta,
+       |    CAST(sum(cb) AS BIGINT) AS n_points_before,
+       |    CAST(sum(ca) AS BIGINT) AS n_points_after,
+       |    CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lit_before,
+       |    count(*) AS n_lit_after
+       |  FROM pr JOIN aff USING (dkey) GROUP BY 1),
+       |tot AS (SELECT count(DISTINCT dkey) AS frames_total FROM pr),
+       |tch AS (SELECT count(*) AS frames_touched FROM aff)
+       |SELECT CAST(stats.dkey AS BIGINT) AS day,
+       |  strftime(DATE '1970-01-01' + CAST(stats.dkey AS INT), '%Y-%m-%d') AS frame_day,
+       |  n_delta, n_points_before, n_points_after, n_lit_before, n_lit_after,
+       |  COALESCE(db.rgb_digest, 0) AS rgb_digest_before,
+       |  da.rgb_digest AS rgb_digest_after,
+       |  CAST(CASE WHEN COALESCE(db.rgb_digest, -1) <> da.rgb_digest
+       |    THEN 1 ELSE 0 END AS BIGINT) AS render_changed,
+       |  frames_total, frames_touched
+       |FROM stats
+       |LEFT JOIN digb db ON db.dkey = stats.dkey
+       |JOIN diga da ON da.dkey = stats.dkey
+       |CROSS JOIN tot CROSS JOIN tch
        |ORDER BY day""".stripMargin
 
   // --------------------------------------------------------- Z-order
@@ -1098,6 +1255,7 @@ object Geo {
     "geo_rasterize" -> geoRasterize,
     "geo_frame_churn" -> geoFrameChurn,
     "pipeline_frame_build" -> pipelineFrameBuild,
+    "pipeline_frame_incremental" -> pipelineFrameIncremental,
     "geo_spread" -> geoSpread,
     "geo_shade_eqhist" -> geoShadeEqhist,
     "geo_shade_rgb" -> geoShadeRgb,
@@ -1115,6 +1273,7 @@ object Geo {
     "geo_rasterize" -> geoRasterizeSql,
     "geo_frame_churn" -> geoFrameChurnSql,
     "pipeline_frame_build" -> pipelineFrameBuildSql,
+    "pipeline_frame_incremental" -> pipelineFrameIncrementalSql,
     "geo_spread" -> geoSpreadSql,
     "geo_shade_eqhist" -> geoShadeEqhistSql,
     "geo_shade_rgb" -> geoShadeRgbSql,

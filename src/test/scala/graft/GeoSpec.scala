@@ -292,13 +292,15 @@ class GeoSpec extends SparkSpec {
             sp((qx, qy)) = sp.getOrElse((qx, qy), 0L) + c
         }
       }
-      // per-frame eq-hist over spread counts: percent_rank on distinct
-      // count bins, floor(pr*255)
-      val bins = sp.values.toSeq.distinct.sorted
-      val nBins = bins.length
-      val shadeOf = bins.zipWithIndex.map { case (c, i) =>
-        c -> (if (nBins == 1) 0L
-              else math.floor(i.toDouble / (nBins - 1).toDouble * 255).toLong)
+      // per-frame eq-hist over spread counts: per-cell percent_rank
+      // (cells strictly below / (cells − 1)) — DuckDB's percent_rank
+      // and the eqhistShade convention — then floor(pr*255)
+      val allCs = sp.values.toSeq
+      val nCells = allCs.length
+      val shadeOf = allCs.distinct.map { c =>
+        val belowCells = allCs.count(_ < c)
+        c -> (if (nCells == 1) 0L
+              else math.floor(belowCells.toDouble / (nCells - 1).toDouble * 255).toLong)
       }.toMap
       var (shadeMass, digest) = (0L, 0L)
       sp.foreach { case ((qx, qy), c) =>
@@ -336,6 +338,90 @@ class GeoSpec extends SparkSpec {
     }
     assert(got.map(_._3).sum == Geo.geoBboxFilter(spark, sf).count(),
       "sum of per-frame bbox survivors != the corpus bbox face")
+  }
+
+  test("pipeline_frame_incremental: after-leg == full rebuild, before-leg replay, skip accounting") {
+    import spark.implicits._
+    val inc = Geo.pipelineFrameIncremental(spark, sf)
+      .select("day", "n_delta", "n_points_before", "n_points_after",
+        "n_lit_before", "n_lit_after", "rgb_digest_before", "rgb_digest_after",
+        "render_changed", "frames_total", "frames_touched")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    val full = Geo.pipelineFrameBuild(spark, sf)
+      .select("day", "n_bbox", "n_lit", "rgb_digest")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // re-rendering a touched frame with the delta folded in must land
+    // EXACTLY on the full rebuild's row — points, lit cells, digest
+    inc.foreach { case (d, _, _, pa, _, la, _, dga, _, _, _) =>
+      val (_, nb, nl, dg) = full(d)
+      assert(pa == nb && la == nl && dga == dg, s"day $d: after-leg != full rebuild")
+    }
+    // skip-work accounting: touched <= total, constants consistent
+    assert(inc.nonEmpty && inc.size <= full.size)
+    assert(inc.map(_._10).distinct == Seq(full.size.toLong), "frames_total")
+    assert(inc.map(_._11).distinct == Seq(inc.size.toLong), "frames_touched")
+    // in-memory replay of the standing (before) leg: event_id % 10 != 0
+    val pts = Geo.points(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("dkey"),
+        col("event_id"), col("lon"), col("lat"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (d, eid, lon, lat) =>
+        val x = math.floor(lon * 20037508.342789244 / 180.0 * 100.0 + 0.5) / 100.0
+        val y = math.floor(math.log(math.tan((lat + 90.0) * (math.Pi / 360.0))) *
+          6378137.0 * 100.0 + 0.5) / 100.0
+        (d, eid, x, y)
+      }
+      .filter { case (_, _, x, y) =>
+        x >= -8254332.0 && x <= -8209813.5 && y >= 4965255.5 && y <= 4988769.5 }
+      .map { case (d, eid, x, y) =>
+        val px = math.min(math.floor((x - -8254332.0) / (-8209813.5 - -8254332.0) * 1400), 1399).toLong
+        val py = math.min(math.floor((y - 4965255.5) / (4988769.5 - 4965255.5) * 1000), 999).toLong
+        (d, eid, px, py)
+      }
+    def render(cells: Map[(Long, Long), Long]): (Long, Long) = {
+      // returns (n_lit, rgb_digest) through the shared per-cell
+      // percent_rank eq-hist arithmetic
+      val sp = collection.mutable.Map[(Long, Long), Long]()
+      cells.foreach { case ((px, py), c) =>
+        for (dx <- -1L to 1L; dy <- -1L to 1L) {
+          val (qx, qy) = (px + dx, py + dy)
+          if (qx >= 0 && qx <= 1399 && qy >= 0 && qy <= 999)
+            sp((qx, qy)) = sp.getOrElse((qx, qy), 0L) + c
+        }
+      }
+      val allCs = sp.values.toSeq
+      val nCells = allCs.length
+      val shadeOf = allCs.distinct.map { c =>
+        val belowCells = allCs.count(_ < c)
+        c -> (if (nCells == 1) 0L
+              else math.floor(belowCells.toDouble / (nCells - 1).toDouble * 255).toLong)
+      }.toMap
+      var digest = 0L
+      sp.foreach { case ((qx, qy), c) =>
+        val sh = shadeOf(c)
+        val r = math.min(255L, sh * 3)
+        val g = math.max(0L, math.min(255L, (sh - 85) * 3))
+        val b = math.max(0L, math.min(255L, (sh - 170) * 3))
+        digest += ((qx * 1009L + qy) * (r * 65536L + g * 256L + b + 1L)) % 1000000007L
+      }
+      (cells.size.toLong, digest)
+    }
+    val deltaByDay = pts.filter(_._2 % 10 == 0).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    // affected = days with in-bbox delta, and n_delta matches
+    assert(inc.map(_._1).toSet == deltaByDay.keySet, "affected-day set")
+    inc.foreach { case (d, nd, pb, _, lb, _, dgb, _, changed, _, _) =>
+      assert(nd == deltaByDay(d), s"day $d: n_delta")
+      val standing = pts.filter(p => p._1 == d && p._2 % 10 != 0)
+      val raster = standing.groupBy(p => (p._3, p._4)).view.mapValues(_.length.toLong).toMap
+      assert(pb == standing.length.toLong, s"day $d: n_points_before")
+      val (lit, dig) = render(raster)
+      assert(lb == lit, s"day $d: n_lit_before")
+      val expectedDgb = if (raster.isEmpty) 0L else dig
+      assert(dgb == expectedDgb, s"day $d: rgb_digest_before")
+      val expectChanged = if (raster.isEmpty) 1L else (if (dig != full(d)._4) 1L else 0L)
+      assert(changed == expectChanged, s"day $d: render_changed")
+    }
   }
 
   test("frame churn replays the day-pair cell diff with exact union accounting") {

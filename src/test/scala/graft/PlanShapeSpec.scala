@@ -717,6 +717,19 @@ class PlanShapeSpec extends SparkSpec {
       s"canvas-bounded lookups must broadcast:\n$plan")
   }
 
+  test("pipeline_frame_incremental: rides the checkpointed fold, broadcast-only composition") {
+    val plan = planOf(operators.Geo.pipelineFrameIncremental(spark, sf))
+    // one corpus scan lives inside the checkpointed two-leg fold; the
+    // affected-day set, both render legs and the skip-accounting
+    // constants all ride that bounded relation
+    assert(!plan.contains("Scan parquet"),
+      s"composed stages must ride the materialized cell relation:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product in the composition:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"canvas-bounded lookups must broadcast:\n$plan")
+  }
+
   test("ann_graph_search walks the persisted edge table, never rebuilds the graph") {
     val plan = planOf(operators.Similarity.annGraphSearch(spark, sf))
     // the index artifact contract: the beam walk's edge relation is a
