@@ -825,6 +825,131 @@ object Maintain {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ---------------------------------------- incremental stats merge
+  /** Incrementally-maintained table profile (r17) — the delta face of
+    * [[tableProfileApprox]], closing the profile family's maintenance
+    * story: a nightly batch (event_id ≡ 0 mod 10, [[aggIncremental]]'s
+    * delta convention) arrives and the profile is MERGED, not
+    * recomputed — the standing leg's 6×64 HLL register block and row/
+    * null counters combine with the delta leg's by pure sketch algebra
+    * (registers: per-(col, j) `max`; counters: `sum`), which equals
+    * the full recompute BY CONSTRUCTION (max/sum are associative over
+    * any partition of the rows — that mergeability is the entire
+    * point of sketch-backed stats). Ledger per column: leg row counts
+    * (n_base/n_delta), merged n_rows/n_nulls, empty-register count
+    * v_zero and the raw harmonic estimate in exact bigint millis —
+    * the same consumer contract as the approx face.
+    *
+    * == Scale design ==
+    * At 100 TB the base leg's registers are what you PERSIST (6×64
+    * longs per table — bytes); the nightly job scans ONLY the delta
+    * partition, folds it to its own 6×64 block map-side, and merges
+    * two bounded blocks driver-side-free: cost is O(delta), flat in
+    * the standing corpus. The registered face computes both legs from
+    * the corpus (the test harness has no persisted register store) but
+    * the merge path never touches a combined scan — the spec pins
+    * merge ≡ [[tableProfileApprox]] recompute on every shared column.
+    */
+  def tableStatsIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    import s.implicits._
+    def ph(c: Column): Column = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(c), GraftSqlShim.expression(lit(2147483647L))))
+    def legRegisters(leg: DataFrame): DataFrame = {
+      val u = leg.select(
+        col("event_id").as("u_event_id"),
+        ph(col("event_type")).as("u_event_type"),
+        ph(col("props")).as("u_props"),
+        expr("unix_micros(cast(ts as timestamp))").as("u_ts"),
+        col("user_id").as("u_user_id"),
+        cents(col("value")).as("u_value"))
+      val st = u.select(expr(
+        "stack(6, 'event_id', u_event_id, 'event_type', u_event_type, " +
+          "'props', u_props, 'ts', u_ts, 'user_id', u_user_id, " +
+          "'value', u_value) AS (col_name, u)"))
+      val h = (lit(1103515245L) * pmod(col("u"), lit(2147483647L)) + 12345L) %
+        2147483647L
+      st.select(col("col_name"), (h % 64).as("j"),
+          (lit(26) - length(bin(shiftright(h, 6) + 1))).cast("long").as("rho"))
+        .groupBy(col("col_name"), col("j"))
+        .agg(count(lit(1)).as("c"), max(col("rho")).as("mj"))
+    }
+    val e = Tables.load(s, dir, "events")
+    val legs = legRegisters(e.filter(pmod(col("event_id"), lit(10)) =!= 0))
+      .withColumn("leg", lit("base"))
+      .unionByName(legRegisters(e.filter(pmod(col("event_id"), lit(10)) === 0))
+        .withColumn("leg", lit("delta")))
+    // the merge: register max + counter sum over the two leg blocks
+    val merged = legs.groupBy(col("col_name"), col("j"))
+      .agg(sum(col("c")).as("c"), max(col("mj")).as("mj"))
+    val tot = merged.groupBy(col("col_name")).agg(
+      sum(col("c")).as("n_rows"),
+      coalesce(sum(when(col("j").isNull, col("c"))), lit(0L)).as("n_nulls"))
+    val legCounts = legs.groupBy(col("col_name")).agg(
+      sum(when(col("leg") === "base", col("c")).otherwise(0L)).as("n_base"),
+      sum(when(col("leg") === "delta", col("c")).otherwise(0L)).as("n_delta"))
+    val dense = Seq("event_id", "event_type", "props", "ts", "user_id", "value")
+      .toDF("col_name")
+      .crossJoin(s.range(64).toDF("j"))
+      .join(merged.filter(col("j").isNotNull), Seq("col_name", "j"), "left_outer")
+      .select(col("col_name"), coalesce(col("mj"), lit(0L)).as("mj"))
+    val sums = dense.groupBy(col("col_name")).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - mj AS INT))")).as("s"),
+      sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v_zero"))
+    tot.join(broadcast(legCounts), Seq("col_name"))
+      .join(broadcast(sums), Seq("col_name"))
+      .select(col("col_name"), col("n_base"), col("n_delta"), col("n_rows"),
+        col("n_nulls"), col("v_zero"),
+        expr("(709 * 4096 * shiftleft(CAST(1 AS BIGINT), 26)) div s")
+          .as("nd_est_milli"))
+      .orderBy(col("col_name"))
+  }
+
+  /** DuckDB twin: the full recompute the merge must equal
+    * ([[aggIncrementalSql]]'s orientation) — [[tableProfileApproxSql]]'s
+    * register chain over ALL rows plus the per-leg row counts. */
+  val tableStatsIncrementalSql: String = {
+    def phSql(c: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+        s"(a, b) -> (a*31 + b) % 2147483647)"
+    s"""WITH u AS (
+       |  SELECT 'event_id' AS col_name, CAST(event_id AS BIGINT) AS u FROM events
+       |  UNION ALL SELECT 'event_type', ${phSql("event_type")} FROM events
+       |  UNION ALL SELECT 'props', ${phSql("props")} FROM events
+       |  UNION ALL SELECT 'ts', epoch_us(ts) FROM events
+       |  UNION ALL SELECT 'user_id', CAST(user_id AS BIGINT) FROM events
+       |  UNION ALL SELECT 'value', CAST(round(value*100) AS BIGINT) FROM events),
+       |h AS (SELECT col_name,
+       |    (1103515245 * (((u % 2147483647) + 2147483647) % 2147483647) + 12345)
+       |      % 2147483647 AS h
+       |  FROM u),
+       |r AS (SELECT col_name, h % 64 AS j,
+       |    26 - length(bin((h // 64) + 1)) AS rho FROM h),
+       |g AS (SELECT col_name, j, count(*) AS c, max(rho) AS mj
+       |  FROM r GROUP BY 1, 2),
+       |tot AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+       |    CAST(COALESCE(sum(CASE WHEN j IS NULL THEN c END), 0) AS BIGINT) AS n_nulls
+       |  FROM g GROUP BY 1),
+       |cols AS (SELECT unnest(['event_id', 'event_type', 'props', 'ts',
+       |    'user_id', 'value']) AS col_name),
+       |dense AS (SELECT cols.col_name, t.j, COALESCE(g.mj, 0) AS mj
+       |  FROM cols CROSS JOIN range(0, 64) t(j)
+       |  LEFT JOIN g ON g.col_name = cols.col_name AND g.j = t.j),
+       |sm AS (SELECT col_name,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(26 - mj AS INT)) AS BIGINT) AS s,
+       |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+       |  FROM dense GROUP BY 1),
+       |legc AS (SELECT
+       |    CAST(sum(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |    CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+       |  FROM events)
+       |SELECT tot.col_name, n_base, n_delta, n_rows, n_nulls, v_zero,
+       |  (709 * 4096 * (CAST(1 AS BIGINT) << 26)) // sm.s AS nd_est_milli
+       |FROM tot JOIN sm USING (col_name) CROSS JOIN legc
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** Rule-based data-quality validation (the Deequ/Great-Expectations
     * constraint suite): completeness, key uniqueness, domain, range,
     * and freshness checks over the event log, each emitting its exact
@@ -1302,6 +1427,7 @@ object Maintain {
     "table_snapshot_diff" -> tableSnapshotDiff,
     "table_profile" -> tableProfile,
     "table_profile_approx" -> tableProfileApprox,
+    "table_stats_incremental" -> tableStatsIncremental,
     "table_zonemap_audit" -> tableZonemapAudit,
     "dq_rules" -> dqRules,
     "dq_drift" -> dqDrift,
@@ -1323,6 +1449,7 @@ object Maintain {
     "table_snapshot_diff" -> tableSnapshotDiffSql,
     "table_profile" -> tableProfileSql,
     "table_profile_approx" -> tableProfileApproxSql,
+    "table_stats_incremental" -> tableStatsIncrementalSql,
     "table_zonemap_audit" -> tableZonemapAuditSql,
     "dq_rules" -> dqRulesSql,
     "dq_drift" -> dqDriftSql,

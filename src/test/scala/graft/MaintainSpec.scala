@@ -128,6 +128,30 @@ class MaintainSpec extends SparkSpec {
     }
   }
 
+  test("table_stats_incremental: the two-leg merge equals the full recompute") {
+    val merged = Maintain.tableStatsIncremental(spark, sf)
+      .select("col_name", "n_base", "n_delta", "n_rows", "n_nulls",
+        "v_zero", "nd_est_milli")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val full = Maintain.tableProfileApprox(spark, sf)
+      .select("col_name", "n_rows", "n_nulls", "v_zero", "nd_est_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(merged.keySet == full.keySet && merged.size == 6)
+    merged.values.foreach { case (cn, nb, nd, nr, nn, vz, est) =>
+      // sketch mergeability: max/sum over the leg partition reproduce
+      // the one-pass registers exactly — every derived field identical
+      assert(nr == full(cn)._2 && nn == full(cn)._3,
+        s"$cn: merged counters diverge from the recompute")
+      assert(vz == full(cn)._4 && est == full(cn)._5,
+        s"$cn: merged registers diverge from the recompute")
+      // the legs partition the rows
+      assert(nb + nd == nr, s"$cn: n_base + n_delta != n_rows")
+      assert(nd > 0L, s"$cn: the delta convention must select rows here")
+    }
+  }
+
   test("dq_rules: exact ppm metrics, and the strict rule actually fails") {
     val rules = Maintain.dqRules(spark, sf)
       .select("rule", "metric_ppm", "pass")
