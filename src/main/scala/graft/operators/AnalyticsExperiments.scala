@@ -753,5 +753,151 @@ trait AnalyticsExperiments extends AnalyticsBase {
       .orderBy(col("seg"))
   }
 
-  // ------------------------------------------------ late-data audit
+  // ------------------------------------------------- bandit replay
+  /** Prequential greedy-bandit replay (r17) — the adaptive-allocation
+    * face of the experimentation family: [[eventsAbLift]] reads a
+    * fixed 50/50 split after the fact; an adaptive rollout instead
+    * shifts traffic toward the winning arm as evidence accrues. This
+    * face replays the deterministic posterior-mean greedy policy
+    * (Beta(1,1) prior; the expectation-policy core of Thompson
+    * sampling with the sampling step removed so both engines replay it
+    * exactly): per calendar day, the leader is the arm with the higher
+    * posterior mean over all PRIOR days — (1+convₐ)/(2+nₐ) vs
+    * (1+conv_b)/(2+n_b), compared by integer cross-multiplication, ties
+    * to arm a — and the ledger reads what that policy would have
+    * earned: the leader's realized conversion rate that day, the
+    * hindsight-best arm's rate, the day's regret (best − leader, ≥ 0
+    * by construction) and cumulative regret, all exact ppm. A
+    * sublinear cumulative-regret path is the bandit's whole sales
+    * pitch; the spec pins the replay and the regret identities.
+    *
+    * == Scale design ==
+    * One events scan → per-(day, arm) distinct-user fold (the only
+    * corpus-sized shuffle, (day, user) keyed with partial aggregation);
+    * everything after rides the O(days × 2) ledger — the prequential
+    * windows sort ≤ days rows, the same bounded-relation window
+    * contract as the stream_* batch oracles.
+    */
+  def eventsAbBandit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("ab|"), col("user_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val byDay = events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"),
+        (h % 2L).as("armn"), col("event_type"))
+      .groupBy(col("day"), col("armn"))
+      .agg(countDistinct(col("user_id")).as("n"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id")))
+          .as("conv"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("armn") === 0L, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("armn") === 1L, col("n")).otherwise(0L)).as("n_b"),
+        sum(when(col("armn") === 0L, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("armn") === 1L, col("conv")).otherwise(0L)).as("conv_b"))
+    val wPrior = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("cum_na", coalesce(sum(col("n_a")).over(wPrior), lit(0L)))
+      .withColumn("cum_nb", coalesce(sum(col("n_b")).over(wPrior), lit(0L)))
+      .withColumn("cum_ca", coalesce(sum(col("conv_a")).over(wPrior), lit(0L)))
+      .withColumn("cum_cb", coalesce(sum(col("conv_b")).over(wPrior), lit(0L)))
+      .withColumn("leader",
+        when((lit(1L) + col("cum_ca")) * (lit(2L) + col("cum_nb")) >=
+          (lit(1L) + col("cum_cb")) * (lit(2L) + col("cum_na")), lit("a"))
+          .otherwise(lit("b")))
+      .withColumn("rate_a_ppm",
+        expr("CASE WHEN n_a = 0 THEN 0 ELSE (1000000 * conv_a) div n_a END"))
+      .withColumn("rate_b_ppm",
+        expr("CASE WHEN n_b = 0 THEN 0 ELSE (1000000 * conv_b) div n_b END"))
+      .withColumn("leader_rate_ppm",
+        when(col("leader") === "a", col("rate_a_ppm")).otherwise(col("rate_b_ppm")))
+      .withColumn("best_rate_ppm", greatest(col("rate_a_ppm"), col("rate_b_ppm")))
+      .withColumn("regret_ppm", col("best_rate_ppm") - col("leader_rate_ppm"))
+      .withColumn("cum_regret_ppm", sum(col("regret_ppm")).over(wRun))
+      .select(col("day"), col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("leader"), col("leader_rate_ppm"), col("best_rate_ppm"),
+        col("regret_ppm"), col("cum_regret_ppm"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: same distinct-user day fold, prior-window posterior
+    * cross-multiplication, running regret. */
+  val eventsAbBanditSql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, user_id, event_type,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('ab|' || CAST(user_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 2 AS armn
+      |  FROM events),
+      |g AS (SELECT day, armn,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS conv
+      |  FROM e GROUP BY 1, 2),
+      |d AS (SELECT day,
+      |    CAST(sum(CASE WHEN armn = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN armn = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN armn = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN armn = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM g GROUP BY 1),
+      |c AS (SELECT *,
+      |    CAST(COALESCE(sum(n_a) OVER wp, 0) AS BIGINT) AS cum_na,
+      |    CAST(COALESCE(sum(n_b) OVER wp, 0) AS BIGINT) AS cum_nb,
+      |    CAST(COALESCE(sum(conv_a) OVER wp, 0) AS BIGINT) AS cum_ca,
+      |    CAST(COALESCE(sum(conv_b) OVER wp, 0) AS BIGINT) AS cum_cb
+      |  FROM d
+      |  WINDOW wp AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |l AS (SELECT *,
+      |    CASE WHEN (1 + cum_ca) * (2 + cum_nb) >= (1 + cum_cb) * (2 + cum_na)
+      |      THEN 'a' ELSE 'b' END AS leader,
+      |    CASE WHEN n_a = 0 THEN 0 ELSE (1000000 * conv_a) // n_a END AS rate_a_ppm,
+      |    CASE WHEN n_b = 0 THEN 0 ELSE (1000000 * conv_b) // n_b END AS rate_b_ppm
+      |  FROM c),
+      |r AS (SELECT *,
+      |    CASE WHEN leader = 'a' THEN rate_a_ppm ELSE rate_b_ppm END AS leader_rate_ppm,
+      |    greatest(rate_a_ppm, rate_b_ppm) AS best_rate_ppm
+      |  FROM l)
+      |SELECT day, n_a, n_b, conv_a, conv_b, leader, leader_rate_ppm, best_rate_ppm,
+      |  best_rate_ppm - leader_rate_ppm AS regret_ppm,
+      |  CAST(sum(best_rate_ppm - leader_rate_ppm) OVER
+      |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_regret_ppm
+      |FROM r ORDER BY day""".stripMargin
+
+  /** DuckDB twin: same pre-period segmentation, salted-hash arms,
+    * first-week outcome window, staged floor z². */
+  val eventsUpliftSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS pre_cnt,
+      |    max(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+      |      AND ts < TIMESTAMP '2024-01-23' THEN 1 ELSE 0 END) AS conv,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('ab|' || CAST(user_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 2 AS armn
+      |  FROM events GROUP BY user_id),
+      |g AS (SELECT least(pre_cnt // 10, 4) AS seg,
+      |    CAST(sum(CASE WHEN armn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN armn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN armn = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN armn = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM u GROUP BY 1),
+      |rts AS (SELECT *,
+      |    CASE WHEN n_a = 0 THEN 0 ELSE (1000000 * conv_a) // n_a END AS rate_a_ppm,
+      |    CASE WHEN n_b = 0 THEN 0 ELSE (1000000 * conv_b) // n_b END AS rate_b_ppm
+      |  FROM g),
+      |z AS (SELECT *,
+      |    rate_b_ppm - rate_a_ppm AS uplift_ppm,
+      |    (rate_b_ppm - rate_a_ppm) * (n_a + n_b) AS incr_conv_micro,
+      |    CASE WHEN n_a = 0 OR n_b = 0
+      |        OR conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0
+      |      ELSE CAST(((CAST(conv_b AS HUGEINT) * n_a - CAST(conv_a AS HUGEINT) * n_b)
+      |            * (CAST(conv_b AS HUGEINT) * n_a - CAST(conv_a AS HUGEINT) * n_b)
+      |            // (n_a * n_b)) * 1000000 * (n_a + n_b)
+      |            // ((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) AS BIGINT) END AS z2_micro
+      |  FROM rts),
+      |r AS (SELECT *, CAST(floor(sqrt(CAST(z2_micro AS DOUBLE))) AS BIGINT) AS r0 FROM z)
+      |SELECT seg, n_a, n_b, conv_a, conv_b, rate_a_ppm, rate_b_ppm, uplift_ppm,
+      |  incr_conv_micro,
+      |  CASE WHEN r0*r0 > z2_micro THEN r0-1
+      |       WHEN (r0+1)*(r0+1) <= z2_micro THEN r0+1 ELSE r0 END AS z_milli
+      |FROM r ORDER BY seg""".stripMargin
 }

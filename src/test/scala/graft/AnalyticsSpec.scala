@@ -1183,6 +1183,50 @@ class AnalyticsSpec extends SparkSpec {
     assert((z + 1) * (z + 1) > z2)
   }
 
+  test("events_uplift: per-segment replay, arm totals match the pooled face") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val wkEnd = java.sql.Timestamp.valueOf("2024-01-23 00:00:00")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "ts", "event_type")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    val armOf = (u: Long) =>
+      ("ab|" + u).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 2
+    val per = events.groupBy(_._1).map { case (u, es) =>
+      val pre = es.count(_._2.before(cut)).toLong
+      val conv = if (es.exists(e => !e._2.before(cut) && e._2.before(wkEnd) &&
+        e._3 == "purchase")) 1L else 0L
+      (math.min(pre / 10, 4L), armOf(u), conv)
+    }.toSeq
+    val expected = per.groupBy(_._1).map { case (seg, us) =>
+      val a = us.filter(_._2 == 0L); val b = us.filter(_._2 == 1L)
+      val (nA, nB) = (a.size.toLong, b.size.toLong)
+      val (cA, cB) = (a.map(_._3).sum, b.map(_._3).sum)
+      val rA = if (nA == 0) 0L else 1000000L * cA / nA
+      val rB = if (nB == 0) 0L else 1000000L * cB / nB
+      seg -> (nA, nB, cA, cB, rA, rB, rB - rA, (rB - rA) * (nA + nB))
+    }
+    val got = Analytics.eventsUplift(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.map(_._1).toSet == expected.keySet, "segment set")
+    got.foreach { case (seg, nA, nB, cA, cB, rA, rB, up, incr, z) =>
+      val e = expected(seg)
+      assert((nA, nB, cA, cB, rA, rB, up, incr) == e, s"segment $seg ledger")
+      // the staged z-square, replayed from first principles
+      val d = BigInt(cB) * nA - BigInt(cA) * nB
+      val c = cA + cB; val n = nA + nB
+      val z2 = if (nA == 0 || nB == 0 || c == 0 || c == n) BigInt(0)
+        else d * d / (BigInt(nA) * nB) * 1000000 * n / (BigInt(c) * (n - c))
+      assert(BigInt(z) * z <= z2 && (BigInt(z) + 1) * (BigInt(z) + 1) > z2,
+        s"segment $seg z_milli")
+    }
+    // segments partition the users: arm totals equal the pooled face
+    val pooled = Analytics.eventsAbLift(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got.map(_._2).sum == pooled._1 && got.map(_._3).sum == pooled._2,
+      "per-segment arm sizes must sum to the pooled experiment's")
+  }
+
   test("events_ab_cuped: BigInt replay and the CUPED conservation identity") {
     val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
     val events = spark.read.parquet(s"$sf/events.parquet")
@@ -1700,6 +1744,46 @@ class AnalyticsSpec extends SparkSpec {
     got.foreach { case (t, (_, flat, seas, gain)) =>
       assert(gain == flat - seas, s"$t gain identity broken")
     }
+  }
+
+  test("events_ab_bandit: prequential greedy replay and the regret identities") {
+    import spark.implicits._
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .as[(Long, String, Long)].collect()
+    val armOf = (u: Long) =>
+      ("ab|" + u).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 2
+    val byDay = events.groupBy(_._3).toSeq.sortBy(_._1).map { case (d, es) =>
+      def stats(arm: Long) = {
+        val us = es.filter(e => armOf(e._1) == arm)
+        (us.map(_._1).distinct.length.toLong,
+          us.filter(_._2 == "purchase").map(_._1).distinct.length.toLong)
+      }
+      val ((nA, cA), (nB, cB)) = (stats(0L), stats(1L))
+      (d, nA, nB, cA, cB)
+    }
+    var (cumNa, cumNb, cumCa, cumCb, cumRegret) = (0L, 0L, 0L, 0L, 0L)
+    val expected = byDay.map { case (d, nA, nB, cA, cB) =>
+      val leader = if ((1 + cumCa) * (2 + cumNb) >= (1 + cumCb) * (2 + cumNa)) "a" else "b"
+      val rA = if (nA == 0) 0L else 1000000L * cA / nA
+      val rB = if (nB == 0) 0L else 1000000L * cB / nB
+      val lr = if (leader == "a") rA else rB
+      val best = math.max(rA, rB)
+      cumRegret += best - lr
+      cumNa += nA; cumNb += nB; cumCa += cA; cumCb += cB
+      (d, nA, nB, cA, cB, leader, lr, best, best - lr, cumRegret)
+    }
+    val got = Analytics.eventsAbBandit(spark, sf)
+      .as[(Long, Long, Long, Long, Long, String, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == expected, "bandit replay drifted")
+    // identities: regret nonneg by construction, cumulative monotone
+    got.foreach { case (d, _, _, _, _, _, lr, best, reg, _) =>
+      assert(reg >= 0L && reg == best - lr, s"day $d regret identity")
+    }
+    assert(got.map(_._10) == got.map(_._9).scanLeft(0L)(_ + _).tail,
+      "cumulative regret must be the running sum")
   }
 
   test("ml_forecast_trend replays the integer Holt walk, paired with seasonal") {
