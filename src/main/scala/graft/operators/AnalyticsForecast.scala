@@ -1748,4 +1748,138 @@ trait AnalyticsForecast extends AnalyticsBase {
       |  COALESCE(enc.enc_ppm, g.gppm) AS f_type_enc_ppm, b.label
       |FROM base b LEFT JOIN enc USING (f_mode_type) CROSS JOIN g
       |ORDER BY b.user_id""".stripMargin
+
+  // -------------------------------------- hierarchical reconciliation
+  /** Hierarchical forecast reconciliation (r17) — the COHERENCE rung of
+    * the forecast ladder: every prior rung forecasts each series in
+    * isolation, but a consumer reading both the per-type and the total
+    * forecast gets numbers that don't add up. This face runs the same
+    * leak-free rolling-origin Holt walk ([[holtFold]], the
+    * [[mlForecastTrend]] harness) over the 5 type series AND the
+    * derived `__total` series, then evaluates two classic
+    * reconciliations over the final-7-day window:
+    *
+    *   - bottom rows (per type): `mae_base_milli` is the direct Holt
+    *     forecast's MAE; `mae_recon_milli` re-forecasts the type
+    *     TOP-DOWN by forecast proportions — reconciled =
+    *     ⌊top_pred × type_pred / Σ type_preds⌋ (Hyndman's
+    *     forecast-proportions method, all nonneg integer math — Holt
+    *     predictions are clamped at 0 first, a count series' honest
+    *     floor — so `div`/`//` agree between engines).
+    *   - the `__total` row: `mae_base_milli` is the DIRECT top
+    *     forecast; `mae_recon_milli` is the BOTTOM-UP forecast
+    *     (Σ type predictions) — whether the disaggregated signal beats
+    *     forecasting the aggregate.
+    *
+    * `gain_milli` = base − recon on every row (positive ⇔
+    * reconciliation helped). Types appear on eval days they have
+    * observations for (the trend face's paired-row contract).
+    *
+    * == Scale design ==
+    * One scan → the O(types × days) grid (checkpointed); the total
+    * series is a second bounded fold of the SAME grid, not a second
+    * scan. Sorted prior-window collects are calendar-bounded; the
+    * per-day proportion join is O(7) rows broadcast; ledger O(types+1).
+    */
+  def mlForecastReconcile(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val grid = events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val daily = grid.unionByName(
+        grid.groupBy(col("day")).agg(sum(col("n")).as("n"))
+          .select(lit("__total").as("event_type"), col("day"), col("n")))
+      .stableCheckpoint()
+    val wFlat = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastDay = daily.agg(max(col("day")).as("last_day"))
+    val eval = daily
+      .withColumn("cum_d", count(col("n")).over(wFlat))
+      .withColumn("prior", sort_array(collect_list(struct(col("day"), col("n"))).over(wFlat)))
+      .join(broadcast(lastDay), lit(true))
+      .filter(col("day") > col("last_day") - 7 && col("cum_d") >= 1)
+      .withColumn("st", expr(holtFold))
+      .withColumn("pm", greatest(lit(0L), expr("st.lv + st.tr")))
+      .select(col("event_type"), col("day"), col("n"), col("pm"))
+      .stableCheckpoint()
+    val bottoms = eval.filter(col("event_type") =!= "__total")
+    val sums = bottoms.groupBy(col("day")).agg(sum(col("pm")).as("sum_base"))
+    val tops = eval.filter(col("event_type") === "__total")
+      .select(col("day"), col("pm").as("top_pm"), col("n").as("n_total"))
+    val bLedger = bottoms
+      .join(broadcast(tops.select(col("day"), col("top_pm"))), Seq("day"))
+      .join(broadcast(sums), Seq("day"))
+      .withColumn("recon_pm",
+        expr("CASE WHEN sum_base = 0 THEN pm ELSE (top_pm * pm) div sum_base END"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("n") - expr("pm div 1000"))).as("abs_base"),
+        sum(abs(col("n") - expr("recon_pm div 1000"))).as("abs_recon"))
+    val tLedger = tops
+      .join(broadcast(sums), Seq("day"))
+      .groupBy(lit("__total").as("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("n_total") - expr("top_pm div 1000"))).as("abs_base"),
+        sum(abs(col("n_total") - expr("sum_base div 1000"))).as("abs_recon"))
+    bLedger.unionByName(tLedger)
+      .select(col("event_type"), col("n_eval"),
+        expr("abs_base * 1000 div n_eval").as("mae_base_milli"),
+        expr("abs_recon * 1000 div n_eval").as("mae_recon_milli"),
+        expr("abs_base * 1000 div n_eval - abs_recon * 1000 div n_eval")
+          .as("gain_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin: the same grid + `__total` union, the list-accumulator
+    * Holt fold ([[mlForecastTrendSql]]'s form), clamped milli
+    * predictions, forecast-proportions top-down + bottom-up rollup. */
+  lazy val mlForecastReconcileSql: String =
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |u AS (SELECT * FROM d
+      |  UNION ALL
+      |  SELECT '__total', day, CAST(sum(n) AS BIGINT) FROM d GROUP BY 2),
+      |c AS (SELECT *,
+      |    CAST(count(n) OVER wf AS BIGINT) AS cum_d,
+      |    list_sort(list({'day': day, 'n': n}) OVER wf) AS prior
+      |  FROM u
+      |  WINDOW wf AS (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |e AS (SELECT *,
+      |    list_reduce(
+      |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+      |        list_transform(prior, p -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(p.n AS BIGINT)])),
+      |      (acc, x) -> CASE WHEN acc[3] = 0
+      |        THEN [CAST(1000 * x[3] AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)]
+      |        ELSE [CAST(((1000 * x[3] + acc[1] + acc[2])
+      |                    - (((1000 * x[3] + acc[1] + acc[2]) % 2) + 2) % 2) // 2 AS BIGINT),
+      |              CAST(((((1000 * x[3] + acc[1] + acc[2])
+      |                      - (((1000 * x[3] + acc[1] + acc[2]) % 2) + 2) % 2) // 2
+      |                     - acc[1] + acc[2])
+      |                    - (((((1000 * x[3] + acc[1] + acc[2])
+      |                          - (((1000 * x[3] + acc[1] + acc[2]) % 2) + 2) % 2) // 2
+      |                         - acc[1] + acc[2]) % 2) + 2) % 2) // 2 AS BIGINT),
+      |              CAST(1 AS BIGINT)] END) AS st
+      |  FROM c WHERE day > (SELECT max(day) FROM u) - 7 AND cum_d >= 1),
+      |p AS (SELECT event_type, day, n,
+      |    greatest(CAST(0 AS BIGINT), st[1] + st[2]) AS pm FROM e),
+      |bt AS (SELECT * FROM p WHERE event_type <> '__total'),
+      |sm AS (SELECT day, CAST(sum(pm) AS BIGINT) AS sum_base FROM bt GROUP BY 1),
+      |tp AS (SELECT day, pm AS top_pm, n AS n_total FROM p WHERE event_type = '__total'),
+      |bl AS (SELECT bt.event_type, CAST(count(*) AS BIGINT) AS n_eval,
+      |    CAST(sum(abs(bt.n - bt.pm // 1000)) AS BIGINT) AS abs_base,
+      |    CAST(sum(abs(bt.n - (CASE WHEN sm.sum_base = 0 THEN bt.pm
+      |      ELSE (tp.top_pm * bt.pm) // sm.sum_base END) // 1000)) AS BIGINT) AS abs_recon
+      |  FROM bt JOIN tp USING (day) JOIN sm USING (day)
+      |  GROUP BY 1),
+      |tl AS (SELECT '__total' AS event_type, CAST(count(*) AS BIGINT) AS n_eval,
+      |    CAST(sum(abs(n_total - top_pm // 1000)) AS BIGINT) AS abs_base,
+      |    CAST(sum(abs(n_total - sum_base // 1000)) AS BIGINT) AS abs_recon
+      |  FROM tp JOIN sm USING (day)),
+      |led AS (SELECT * FROM bl UNION ALL SELECT * FROM tl)
+      |SELECT event_type, n_eval,
+      |  abs_base * 1000 // n_eval AS mae_base_milli,
+      |  abs_recon * 1000 // n_eval AS mae_recon_milli,
+      |  abs_base * 1000 // n_eval - abs_recon * 1000 // n_eval AS gain_milli
+      |FROM led ORDER BY event_type""".stripMargin
 }

@@ -1786,6 +1786,63 @@ class AnalyticsSpec extends SparkSpec {
       "cumulative regret must be the running sum")
   }
 
+  test("ml_forecast_reconcile: top-down and bottom-up ledgers replayed from first principles") {
+    import spark.implicits._
+    val daily0 = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, d), n) => (t, d, n) }
+    val daily = daily0 ++ daily0.groupBy(_._2).map { case (d, rs) =>
+      ("__total", d, rs.map(_._3).sum) }.toSeq
+    val lastDay = daily.map(_._2).max
+    def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    def holtPm(prior: Seq[Long]): Long = {
+      var lv = 1000L * prior.head; var tr = 0L
+      prior.tail.foreach { y =>
+        val lv2 = floorDiv(1000L * y + lv + tr, 2)
+        tr = floorDiv(lv2 - lv + tr, 2); lv = lv2
+      }
+      math.max(0L, lv + tr)
+    }
+    val preds = daily.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.zipWithIndex.collect {
+        case ((_, d, n), i) if d > lastDay - 7 && i >= 1 =>
+          (t, d, n, holtPm(sorted.take(i).map(_._3)))
+      }
+    }
+    val sums = preds.filter(_._1 != "__total").groupBy(_._2)
+      .view.mapValues(_.map(_._4).sum).toMap
+    val tops = preds.filter(_._1 == "__total").map(p => p._2 -> ((p._4, p._3))).toMap
+    val bLed = preds.filter(_._1 != "__total").groupBy(_._1).map { case (t, rs) =>
+      val n = rs.length.toLong
+      val aBase = rs.map(r => math.abs(r._3 - r._4 / 1000L)).sum
+      val aRec = rs.map { r =>
+        val recon = if (sums(r._2) == 0L) r._4 else tops(r._2)._1 * r._4 / sums(r._2)
+        math.abs(r._3 - recon / 1000L)
+      }.sum
+      t -> ((n, aBase * 1000L / n, aRec * 1000L / n,
+        aBase * 1000L / n - aRec * 1000L / n))
+    }
+    val tRows = tops.toSeq.map { case (d, (pm, nTot)) =>
+      (math.abs(nTot - pm / 1000L), math.abs(nTot - sums(d) / 1000L)) }
+    val tN = tRows.length.toLong
+    val tLed = "__total" -> ((tN, tRows.map(_._1).sum * 1000L / tN,
+      tRows.map(_._2).sum * 1000L / tN,
+      tRows.map(_._1).sum * 1000L / tN - tRows.map(_._2).sum * 1000L / tN))
+    val expected = (bLed + tLed).toMap
+    val got = Analytics.mlForecastReconcile(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expected, "reconciliation ledger drifted from the replay")
+    // the gain identity holds on every row
+    got.values.foreach { case (_, base, recon, gain) =>
+      assert(gain == base - recon, "gain_milli identity")
+    }
+  }
+
   test("ml_forecast_trend replays the integer Holt walk, paired with seasonal") {
     import spark.implicits._
     val got = Analytics.mlForecastTrend(spark, sf)
