@@ -2577,7 +2577,186 @@ object EventStreams {
       |  CAST(CASE WHEN z2_micro > 9000000 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
       |FROM z ORDER BY event_type, day""".stripMargin
 
+  // ------------------------------------------------ decayed bandit
+  /** One closed day of the experiment's per-arm distinct-user ledger
+    * (the per-(day, arm) fold the batch experiment faces compute). */
+  case class BanditEv(day: Long, nA: Long, nB: Long, cA: Long, cB: Long)
+  /** Emitted per-day decayed-bandit allocation row: post-update decayed
+    * evidence, the day's leader, realized/best rates and regret. */
+  case class BanditOut(day: Long, dn_a: Long, dn_b: Long, dconv_a: Long,
+                       dconv_b: Long, leader: String, leader_rate_ppm: Long,
+                       best_rate_ppm: Long, regret_ppm: Long,
+                       cum_regret_ppm: Long)
+  case class BanditState(na: Long, ca: Long, nb: Long, cb: Long,
+                         cumRegret: Long)
+
+  /** Live nonstationary greedy bandit — the DECAYED twin of
+    * [[graft.operators.Analytics.eventsAbBandit]]: the batch face's
+    * cumulative posterior assumes a stationary effect, but a live
+    * allocator must forget — a regime change would otherwise take as
+    * long to un-learn as it took to learn. This face decays the
+    * evidence by the dyadic factor ¾ per closed day (⌊s·3/4⌋, exact
+    * integer, ≈2.4-day half-life) before folding in the day's counts,
+    * so the posterior-mean leader tracks the RECENT effect; the
+    * interleaved floors make the recurrence genuinely sequential (no
+    * windowed closed form — Σ⌊·⌋ ≠ ⌊Σ·⌋), which is exactly what the
+    * five-long FMGWS state is for. Leader reads the PRE-update state
+    * (yesterday's evidence allocates today), emitted evidence is
+    * post-update; regret accounting is the batch face's.
+    *
+    * State: five longs under a single group key — the feed is the
+    * O(days) closed-day ledger, not the event stream, so the single
+    * partition sees ≤ calendar-days rows total.
+    */
+  def banditStream(stream: Dataset[BanditEv]): Dataset[BanditOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[BanditState, BanditOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, recs: Iterator[BanditEv], state: GroupState[BanditState]) =>
+          var st = state.getOption.getOrElse(BanditState(0L, 0L, 0L, 0L, 0L))
+          val out = recs.toSeq.sortBy(_.day).map { r =>
+            val leader =
+              if ((1 + st.ca) * (2 + st.nb) >= (1 + st.cb) * (2 + st.na)) "a"
+              else "b"
+            val rA = if (r.nA == 0) 0L else 1000000L * r.cA / r.nA
+            val rB = if (r.nB == 0) 0L else 1000000L * r.cB / r.nB
+            val lr = if (leader == "a") rA else rB
+            val best = math.max(rA, rB)
+            st = BanditState(st.na * 3 / 4 + r.nA, st.ca * 3 / 4 + r.cA,
+              st.nb * 3 / 4 + r.nB, st.cb * 3 / 4 + r.cB,
+              st.cumRegret + (best - lr))
+            BanditOut(r.day, st.na, st.nb, st.ca, st.cb, leader, lr, best,
+              best - lr, st.cumRegret)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch face of [[banditStream]] (registered as `stream_bandit`):
+    * the same decayed recurrence distributed as a higher-order
+    * `aggregate` fold over the sorted prior-day array (the
+    * [[graft.operators.Analytics.holtFold]] pattern — the interleaved
+    * floors have no windowed closed form, so the batch face folds the
+    * recurrence too, over the O(days) ledger). One events scan → the
+    * per-(day, arm) distinct-user fold (the only corpus-sized
+    * shuffle); the calendar-bounded prior arrays, fold, and regret
+    * windows all ride the O(days) relation.
+    */
+  def streamBandit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("ab|"), col("user_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val byDay = events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"),
+        (h % 2L).as("armn"), col("event_type"))
+      .groupBy(col("day"), col("armn"))
+      .agg(countDistinct(col("user_id")).as("n"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id")))
+          .as("conv"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("armn") === 0L, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("armn") === 1L, col("n")).otherwise(0L)).as("n_b"),
+        sum(when(col("armn") === 0L, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("armn") === 1L, col("conv")).otherwise(0L)).as("conv_b"))
+    val wPrior = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("prior", sort_array(collect_list(struct(col("day"),
+        col("n_a"), col("conv_a"), col("n_b"), col("conv_b"))).over(wPrior)))
+      .withColumn("stp", expr(
+        """aggregate(prior,
+          |  named_struct('na', CAST(0 AS BIGINT), 'ca', CAST(0 AS BIGINT),
+          |               'nb', CAST(0 AS BIGINT), 'cb', CAST(0 AS BIGINT)),
+          |  (acc, p) -> named_struct(
+          |    'na', (acc.na * 3) div 4 + p.n_a,
+          |    'ca', (acc.ca * 3) div 4 + p.conv_a,
+          |    'nb', (acc.nb * 3) div 4 + p.n_b,
+          |    'cb', (acc.cb * 3) div 4 + p.conv_b))""".stripMargin))
+      .withColumn("leader",
+        when((lit(1L) + expr("stp.ca")) * (lit(2L) + expr("stp.nb")) >=
+          (lit(1L) + expr("stp.cb")) * (lit(2L) + expr("stp.na")), lit("a"))
+          .otherwise(lit("b")))
+      .withColumn("rate_a_ppm",
+        expr("CASE WHEN n_a = 0 THEN 0 ELSE (1000000 * conv_a) div n_a END"))
+      .withColumn("rate_b_ppm",
+        expr("CASE WHEN n_b = 0 THEN 0 ELSE (1000000 * conv_b) div n_b END"))
+      .withColumn("leader_rate_ppm",
+        when(col("leader") === "a", col("rate_a_ppm")).otherwise(col("rate_b_ppm")))
+      .withColumn("best_rate_ppm", greatest(col("rate_a_ppm"), col("rate_b_ppm")))
+      .withColumn("regret_ppm", col("best_rate_ppm") - col("leader_rate_ppm"))
+      .withColumn("cum_regret_ppm", sum(col("regret_ppm")).over(wRun))
+      .select(col("day"),
+        expr("(stp.na * 3) div 4 + n_a").as("dn_a"),
+        expr("(stp.nb * 3) div 4 + n_b").as("dn_b"),
+        expr("(stp.ca * 3) div 4 + conv_a").as("dconv_a"),
+        expr("(stp.cb * 3) div 4 + conv_b").as("dconv_b"),
+        col("leader"), col("leader_rate_ppm"), col("best_rate_ppm"),
+        col("regret_ppm"), col("cum_regret_ppm"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: list-accumulator decayed fold (the struct-accumulator
+    * staleness workaround the forecast twins document), same leader
+    * cross-multiplication and regret windows. All state nonnegative, so
+    * truncating `//` IS floor. */
+  val streamBanditSql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, user_id, event_type,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('ab|' || CAST(user_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 2 AS armn
+      |  FROM events),
+      |g AS (SELECT day, armn,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS conv
+      |  FROM e GROUP BY 1, 2),
+      |d AS (SELECT day,
+      |    CAST(sum(CASE WHEN armn = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN armn = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN armn = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN armn = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM g GROUP BY 1),
+      |c AS (SELECT *,
+      |    list_reduce(
+      |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |                    CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+      |        COALESCE(list_sort(list([day, n_a, conv_a, n_b, conv_b]) OVER wp),
+      |                 CAST([] AS BIGINT[][]))),
+      |      (acc, x) -> [CAST(0 AS BIGINT),
+      |        (acc[2] * 3) // 4 + x[2], (acc[3] * 3) // 4 + x[3],
+      |        (acc[4] * 3) // 4 + x[4], (acc[5] * 3) // 4 + x[5]]) AS stp
+      |  FROM d
+      |  WINDOW wp AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |l AS (SELECT *,
+      |    CASE WHEN (1 + stp[3]) * (2 + stp[4]) >= (1 + stp[5]) * (2 + stp[2])
+      |      THEN 'a' ELSE 'b' END AS leader,
+      |    CASE WHEN n_a = 0 THEN 0 ELSE (1000000 * conv_a) // n_a END AS rate_a_ppm,
+      |    CASE WHEN n_b = 0 THEN 0 ELSE (1000000 * conv_b) // n_b END AS rate_b_ppm
+      |  FROM c),
+      |r AS (SELECT *,
+      |    CASE WHEN leader = 'a' THEN rate_a_ppm ELSE rate_b_ppm END AS leader_rate_ppm,
+      |    greatest(rate_a_ppm, rate_b_ppm) AS best_rate_ppm
+      |  FROM l)
+      |SELECT day,
+      |  (stp[2] * 3) // 4 + n_a AS dn_a,
+      |  (stp[4] * 3) // 4 + n_b AS dn_b,
+      |  (stp[3] * 3) // 4 + conv_a AS dconv_a,
+      |  (stp[5] * 3) // 4 + conv_b AS dconv_b,
+      |  leader, leader_rate_ppm, best_rate_ppm,
+      |  best_rate_ppm - leader_rate_ppm AS regret_ppm,
+      |  CAST(sum(best_rate_ppm - leader_rate_ppm) OVER
+      |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_regret_ppm
+      |FROM r ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_bandit" -> streamBandit,
     "stream_anomaly" -> streamAnomaly,
     "stream_attribution" -> streamAttribution,
     "stream_gap_fill" -> streamGapFill,
@@ -2631,6 +2810,7 @@ object EventStreams {
     "stream_quantile" -> streamQuantileSql,
     "stream_value_histogram" -> streamValueHistogramSql,
     "stream_cas_dedup" -> streamCasDedupSql,
+    "stream_bandit" -> streamBanditSql,
     "stream_forecast" -> streamForecastSql,
     "stream_cms_cells" -> streamCmsCellsSql,
     "stream_hll_registers" -> streamHllRegistersSql,

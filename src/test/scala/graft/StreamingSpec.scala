@@ -1143,6 +1143,48 @@ class StreamingSpec extends SparkSpec {
       "end-day lift/z diverge from events_ab_lift")
   }
 
+  test("streamed decayed bandit equals the batch HOF fold at daily cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.BanditEv
+    // the per-(day, arm) distinct-user feed the batch face folds,
+    // rebuilt here independently from the raw events
+    val armOf = (u: Long) =>
+      ("ab|" + u).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 2
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+        col("event_type"))
+      .as[(Long, Long, String)].collect()
+    val feed = evs.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, rs) =>
+      def stats(arm: Long) = {
+        val us = rs.filter(r => armOf(r._1) == arm)
+        (us.map(_._1).distinct.length.toLong,
+          us.filter(_._3 == "purchase").map(_._1).distinct.length.toLong)
+      }
+      val ((nA, cA), (nB, cB)) = (stats(0L), stats(1L))
+      BanditEv(d, nA, nB, cA, cB)
+    }
+    val mem = MemoryStream[BanditEv]
+    val q = EventStreams.banditStream(mem.toDS())
+      .writeStream.format("memory").queryName("bandit_live")
+      .outputMode("append").start()
+    try {
+      // one batch per closed day — the allocator's natural cadence
+      feed.foreach { r => mem.addData(r); q.processAllAvailable() }
+      val live = spark.sql(
+        "SELECT day, dn_a, dn_b, dconv_a, dconv_b, leader, leader_rate_ppm, " +
+          "best_rate_ppm, regret_ppm, cum_regret_ppm FROM bandit_live")
+        .as[(Long, Long, Long, Long, Long, String, Long, Long, Long, Long)]
+        .collect().toSet
+      val batch = EventStreams.streamBandit(spark, sf)
+        .as[(Long, Long, Long, Long, Long, String, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(live == batch,
+        s"sequential fold vs HOF fold: stream-only ${live.diff(batch).take(3)}; " +
+          s"batch-only ${batch.diff(live).take(3)}")
+    } finally q.stop()
+  }
+
   test("streamed sequential CUSUM equals the batch closed form on the real series") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.CusumEv
