@@ -1244,7 +1244,116 @@ object Geo {
        |  CAST(sum(cnt) AS BIGINT) AS cnt
        |FROM base, zooms GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------------ tile serve
+  /** Tile-serving planner (r17) — [[geoTilePyramid]]'s READ path, the
+    * face that proves the pyramid's purpose: a slippy-map client asks
+    * for a VIEWPORT at a display budget, and the server must pick the
+    * zoom, enumerate the covering tiles, and account for what the
+    * over-read costs. Four fixed viewports in base-cell coordinates
+    * (the [[layoutSkippingEval]] four-box harness applied to serving):
+    * center 8², corner 8², wide 24², and a full-width strip. Per
+    * viewport the planner picks the DEEPEST zoom whose covering-tile
+    * span is ≤ 4 per axis (the client's 4×4 tile budget), reads
+    * exactly the covering tiles from the pyramid, and emits the plan
+    * ledger: chosen zoom + tile size, tiles read, point mass served,
+    * the viewport-exact mass (zoom-5 base cells inside the viewport —
+    * the pyramid's own finest level, so exactness is by construction),
+    * and the edge-overhang in exact ppm (served ≥ exact because tiles
+    * overhang viewport edges — the read-amplification the budget
+    * trades for fewer requests).
+    *
+    * == Scale design ==
+    * Every relation here is pyramid-bounded (≤ Σ4^z = 1365 rows after
+    * the corpus-absorbing base fold): the 4×6 viewport × zoom plan
+    * grid, the covering-tile range joins and the ledger are all
+    * broadcast work. The corpus is touched exactly once — inside
+    * [[geoTilePyramid]]'s map-side base fold.
+    */
+  def geoTileServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.Checkpoints.StableSyntax
+    val pyr = geoTilePyramid(s, dir).stableCheckpoint()
+    val vps = Seq(
+      ("center", 12L, 19L, 12L, 19L),
+      ("corner", 0L, 7L, 0L, 7L),
+      ("strip", 0L, 31L, 14L, 17L),
+      ("wide", 4L, 27L, 4L, 27L))
+      .toDF("viewport", "bx0", "bx1", "by0", "by1")
+    val zooms = Seq((0L, 32L), (1L, 16L), (2L, 8L), (3L, 4L), (4L, 2L), (5L, 1L))
+      .toDF("zoom", "d")
+    // deepest zoom whose covering span fits the 4x4 tile budget
+    val plan = vps.crossJoin(broadcast(zooms))
+      .filter(expr("bx1 div d - bx0 div d + 1 <= 4 AND by1 div d - by0 div d + 1 <= 4"))
+      .groupBy(col("viewport"), col("bx0"), col("bx1"), col("by0"), col("by1"))
+      .agg(max(struct(col("zoom"), col("d"))).as("z"))
+      .select(col("viewport"), col("bx0"), col("bx1"), col("by0"), col("by1"),
+        col("z.zoom").as("zoom"), col("z.d").as("d"))
+    val tiles = pyr.select(col("zoom").as("pz"), col("tx").as("ptx"),
+      col("ty").as("pty"), col("cnt").as("pcnt"))
+    val served = plan.join(broadcast(tiles),
+        col("pz") === col("zoom") &&
+          col("ptx").between(expr("bx0 div d"), expr("bx1 div d")) &&
+          col("pty").between(expr("by0 div d"), expr("by1 div d")))
+      .groupBy(col("viewport"))
+      .agg(count(lit(1)).as("tiles_read"), sum(col("pcnt")).as("mass_served"))
+    val exact = plan.join(broadcast(tiles.filter(col("pz") === 5L)),
+        col("ptx").between(col("bx0"), col("bx1")) &&
+          col("pty").between(col("by0"), col("by1")))
+      .groupBy(col("viewport"))
+      .agg(sum(col("pcnt")).as("mass_exact"))
+    plan.select(col("viewport"), col("zoom"), col("d"))
+      .join(broadcast(served), Seq("viewport"))
+      .join(broadcast(exact), Seq("viewport"))
+      .select(col("viewport"), col("zoom"), col("d"), col("tiles_read"),
+        col("mass_served"), col("mass_exact"),
+        expr("1000000 * (mass_served - mass_exact) div greatest(mass_served, 1)")
+          .as("overhang_ppm"))
+      .orderBy(col("viewport"))
+  }
+
+  /** DuckDB twin: the pyramid CTE, viewport VALUES, the same deepest-
+    * fitting-zoom argmax, covering-tile range joins, exact ppm. */
+  val geoTileServeSql: String =
+    s"""WITH $pointsCte, $mercCte,
+       |base AS (
+       |  SELECT CAST(least(floor((x - ($X0)) / (${X1 - X0}) * 32), 31) AS BIGINT) AS bx,
+       |    CAST(least(floor((y - ($Y0)) / (${Y1 - Y0}) * 32), 31) AS BIGINT) AS by,
+       |    count(*) AS cnt
+       |  FROM merc
+       |  WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
+       |  GROUP BY 1, 2),
+       |zooms(zoom, d) AS (VALUES (0, 32), (1, 16), (2, 8), (3, 4), (4, 2), (5, 1)),
+       |pyr AS (SELECT CAST(zoom AS BIGINT) AS zoom, bx // d AS tx, by // d AS ty,
+       |    CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM base, zooms GROUP BY 1, 2, 3),
+       |vps(viewport, bx0, bx1, by0, by1) AS (VALUES
+       |  ('center', 12, 19, 12, 19), ('corner', 0, 7, 0, 7),
+       |  ('strip', 0, 31, 14, 17), ('wide', 4, 27, 4, 27)),
+       |plan AS (SELECT viewport, bx0, bx1, by0, by1,
+       |    CAST(max(zoom) AS BIGINT) AS zoom
+       |  FROM vps, zooms
+       |  WHERE bx1 // d - bx0 // d + 1 <= 4 AND by1 // d - by0 // d + 1 <= 4
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |pland AS (SELECT plan.*, CAST(z.d AS BIGINT) AS d
+       |  FROM plan JOIN zooms z ON z.zoom = plan.zoom),
+       |served AS (SELECT viewport, CAST(count(*) AS BIGINT) AS tiles_read,
+       |    CAST(sum(p.cnt) AS BIGINT) AS mass_served
+       |  FROM pland JOIN pyr p ON p.zoom = pland.zoom
+       |    AND p.tx BETWEEN bx0 // d AND bx1 // d
+       |    AND p.ty BETWEEN by0 // d AND by1 // d
+       |  GROUP BY 1),
+       |ex AS (SELECT viewport, CAST(sum(p.cnt) AS BIGINT) AS mass_exact
+       |  FROM pland JOIN pyr p ON p.zoom = 5
+       |    AND p.tx BETWEEN bx0 AND bx1 AND p.ty BETWEEN by0 AND by1
+       |  GROUP BY 1)
+       |SELECT pland.viewport, zoom, d, tiles_read, mass_served, mass_exact,
+       |  1000000 * (mass_served - mass_exact) // greatest(mass_served, 1)
+       |    AS overhang_ppm
+       |FROM pland JOIN served USING (viewport) JOIN ex USING (viewport)
+       |ORDER BY viewport""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_tile_serve" -> geoTileServe,
     "geo_tile_pyramid" -> geoTilePyramid,
     "layout_hilbert" -> layoutHilbert,
     "layout_hilbert_write" -> layoutHilbertWrite,
@@ -1263,6 +1372,7 @@ object Geo {
     "reduce_assemble" -> reduceAssemble)
 
   val oracles: Map[String, String] = Map(
+    "geo_tile_serve" -> geoTileServeSql,
     "geo_tile_pyramid" -> geoTilePyramidSql,
     "layout_hilbert" -> layoutHilbertSql,
     "layout_hilbert_write" -> layoutHilbertWriteSql,

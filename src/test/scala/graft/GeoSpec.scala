@@ -340,6 +340,33 @@ class GeoSpec extends SparkSpec {
       "sum of per-frame bbox survivors != the corpus bbox face")
   }
 
+  test("geo_tile_serve: plan replayed against the pyramid, overhang accounting") {
+    import spark.implicits._
+    val pyr = Geo.geoTilePyramid(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val vps = Seq(("center", 12L, 19L, 12L, 19L), ("corner", 0L, 7L, 0L, 7L),
+      ("strip", 0L, 31L, 14L, 17L), ("wide", 4L, 27L, 4L, 27L))
+    val zooms = Seq((0L, 32L), (1L, 16L), (2L, 8L), (3L, 4L), (4L, 2L), (5L, 1L))
+    val expected = vps.map { case (v, bx0, bx1, by0, by1) =>
+      val (z, d) = zooms.filter { case (_, dd) =>
+        bx1 / dd - bx0 / dd + 1 <= 4 && by1 / dd - by0 / dd + 1 <= 4 }.maxBy(_._1)
+      val cov = pyr.filter(t => t._1 == z && t._2 >= bx0 / d && t._2 <= bx1 / d &&
+        t._3 >= by0 / d && t._3 <= by1 / d)
+      val exact = pyr.filter(t => t._1 == 5L && t._2 >= bx0 && t._2 <= bx1 &&
+        t._3 >= by0 && t._3 <= by1).map(_._4).sum
+      val served = cov.map(_._4).sum
+      (v, z, d, cov.length.toLong, served, exact,
+        1000000L * (served - exact) / math.max(served, 1L))
+    }.sortBy(_._1)
+    val got = Geo.geoTileServe(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, "tile-serve plan drifted from the pyramid replay")
+    got.foreach { case (v, _, _, tr, served, exact, ppm) =>
+      assert(tr <= 16, s"$v exceeds the 4x4 tile budget")
+      assert(served >= exact && ppm >= 0, s"$v overhang sign")
+    }
+  }
+
   test("pipeline_frame_incremental: after-leg == full rebuild, before-leg replay, skip accounting") {
     import spark.implicits._
     val inc = Geo.pipelineFrameIncremental(spark, sf)
