@@ -797,6 +797,134 @@ object Curate {
       |WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 80 END
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- Neyman budget design
+  /** Variance-optimal annotation-budget design (r17 — the sampling
+    * family's DESIGN face: [[sampleStratified]] executes fixed
+    * per-stratum rates, [[sampleQuota]] executes a target mixture;
+    * this face computes what the allocation SHOULD be): classic
+    * Neyman allocation nₕ ∝ Nₕ·Sₕ for estimating the corpus mean
+    * document length from a 500-doc labeling budget, strata = source.
+    * Per stratum: Nₕ, mean length in exact milli, the unbiased
+    * stratum std Sₕ (integer variance (Nₕ·Σy² − (Σy)²)/(Nₕ(Nₕ−1)) —
+    * nonnegative by Cauchy–Schwarz so floor div is engine-identical —
+    * rooted with the ±1-corrected exact isqrt), the Neyman and
+    * proportional seat counts (both apportioned by largest-remainder
+    * Hamilton with source tiebreak, [[sampleQuota]]'s rule, so seats
+    * sum EXACTLY to the budget), each allocation's stratified-variance
+    * term Nₕ²·S²ₕ/nₕ (exact floor units), and the design's headline:
+    * the variance both totals imply and the Neyman gain in exact ppm —
+    * how much estimator variance the optimal design buys over
+    * proportional at the same labeling cost.
+    *
+    * == Scale design ==
+    * One documents scan folds map-side to O(sources) moment rows
+    * (count/Σ/Σ² — the textbook mergeable triple); apportionment,
+    * variance terms and the gain are window math on that ≤5-row
+    * ledger. Same shape at any corpus size.
+    */
+  def sampleNeyman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = 500L
+    val m = graft.sources.Tables.load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .withColumn("var_u", expr(
+        """CASE WHEN n_docs < 2 THEN 0
+          |ELSE (n_docs * s2 - s1 * s1) div (n_docs * (n_docs - 1)) END""".stripMargin))
+      .withColumn("r0", expr("CAST(floor(sqrt(CAST(var_u AS DOUBLE))) AS BIGINT)"))
+      .withColumn("s_len", expr(
+        """CASE WHEN r0*r0 > var_u THEN r0-1
+          |WHEN (r0+1)*(r0+1) <= var_u THEN r0+1 ELSE r0 END""".stripMargin))
+    val weighted = m
+      .withColumn("w_ney", col("n_docs") * col("s_len"))
+      .withColumn("w_prop", col("n_docs"))
+    val tot = weighted.agg(sum(col("w_ney")).as("tw_ney"),
+      sum(col("w_prop")).as("tw_prop"))
+    val wAll = Window.partitionBy()
+    def apportion(df: DataFrame, w: String, tw: String, out: String): DataFrame = {
+      val seats = df
+        .withColumn("fl", expr(s"($N * $w) div $tw"))
+        .withColumn("rem", expr(s"($N * $w) % $tw"))
+      val leftover = seats
+        .withColumn("left", lit(N) - sum(col("fl")).over(wAll))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+      leftover
+        .withColumn(out,
+          col("fl") + when(col("rk") <= col("left"), 1L).otherwise(0L))
+        .drop("fl", "rem", "left", "rk")
+    }
+    val alloc = apportion(
+      apportion(weighted.crossJoin(broadcast(tot)), "w_ney", "tw_ney", "alloc_neyman"),
+      "w_prop", "tw_prop", "alloc_prop")
+      .withColumn("var_term_neyman", expr(
+        "CASE WHEN alloc_neyman = 0 THEN 0 ELSE (n_docs * n_docs * var_u) div alloc_neyman END"))
+      .withColumn("var_term_prop", expr(
+        "CASE WHEN alloc_prop = 0 THEN 0 ELSE (n_docs * n_docs * var_u) div alloc_prop END"))
+      .withColumn("var_neyman_total", sum(col("var_term_neyman")).over(wAll))
+      .withColumn("var_prop_total", sum(col("var_term_prop")).over(wAll))
+    alloc.select(col("source"), col("n_docs"),
+        expr("(1000 * s1) div n_docs").as("mean_len_milli"),
+        col("s_len"), col("alloc_neyman"), col("alloc_prop"),
+        col("var_term_neyman"), col("var_term_prop"),
+        col("var_neyman_total"), col("var_prop_total"),
+        expr("""CASE WHEN var_prop_total = 0 THEN 0
+                ELSE 1000000 * (var_prop_total - var_neyman_total) div var_prop_total END""")
+          .as("gain_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin: same moment fold, isqrt, double Hamilton
+    * apportionment, variance terms and ppm gain. */
+  val sampleNeymanSql: String =
+    """WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS s1,
+      |    CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS s2
+      |  FROM documents GROUP BY 1),
+      |v AS (SELECT *,
+      |    CASE WHEN n_docs < 2 THEN 0
+      |      ELSE (n_docs * s2 - s1 * s1) // (n_docs * (n_docs - 1)) END AS var_u
+      |  FROM m),
+      |sr AS (SELECT *, CAST(floor(sqrt(CAST(var_u AS DOUBLE))) AS BIGINT) AS r0 FROM v),
+      |sl AS (SELECT *, CASE WHEN r0*r0 > var_u THEN r0-1
+      |    WHEN (r0+1)*(r0+1) <= var_u THEN r0+1 ELSE r0 END AS s_len FROM sr),
+      |w AS (SELECT *, n_docs * s_len AS w_ney, n_docs AS w_prop,
+      |    CAST(sum(n_docs * s_len) OVER () AS BIGINT) AS tw_ney,
+      |    CAST(sum(n_docs) OVER () AS BIGINT) AS tw_prop
+      |  FROM sl),
+      |a1 AS (SELECT *, (500 * w_ney) // tw_ney AS fl1, (500 * w_ney) % tw_ney AS rem1,
+      |    (500 * w_prop) // tw_prop AS fl2, (500 * w_prop) % tw_prop AS rem2
+      |  FROM w),
+      |a2 AS (SELECT *,
+      |    CAST(500 - sum(fl1) OVER () AS BIGINT) AS left1,
+      |    CAST(500 - sum(fl2) OVER () AS BIGINT) AS left2,
+      |    row_number() OVER (ORDER BY rem1 DESC, source) AS rk1,
+      |    row_number() OVER (ORDER BY rem2 DESC, source) AS rk2
+      |  FROM a1),
+      |al AS (SELECT *,
+      |    fl1 + CASE WHEN rk1 <= left1 THEN 1 ELSE 0 END AS alloc_neyman,
+      |    fl2 + CASE WHEN rk2 <= left2 THEN 1 ELSE 0 END AS alloc_prop
+      |  FROM a2),
+      |t AS (SELECT *,
+      |    CASE WHEN alloc_neyman = 0 THEN 0
+      |      ELSE (n_docs * n_docs * var_u) // alloc_neyman END AS var_term_neyman,
+      |    CASE WHEN alloc_prop = 0 THEN 0
+      |      ELSE (n_docs * n_docs * var_u) // alloc_prop END AS var_term_prop
+      |  FROM al),
+      |f AS (SELECT *,
+      |    CAST(sum(var_term_neyman) OVER () AS BIGINT) AS var_neyman_total,
+      |    CAST(sum(var_term_prop) OVER () AS BIGINT) AS var_prop_total
+      |  FROM t)
+      |SELECT source, n_docs, (1000 * s1) // n_docs AS mean_len_milli, s_len,
+      |  alloc_neyman, alloc_prop, var_term_neyman, var_term_prop,
+      |  var_neyman_total, var_prop_total,
+      |  CASE WHEN var_prop_total = 0 THEN 0
+      |    ELSE 1000000 * (var_prop_total - var_neyman_total) // var_prop_total END
+      |    AS gain_ppm
+      |FROM f ORDER BY source""".stripMargin
+
   // -------------------------------------------- fixed-k uniform sample
   /** Exact-k uniform sample without replacement, deterministic: rank
     * every doc by a content-seeded hash and keep the k smallest — the
@@ -2591,6 +2719,7 @@ object Curate {
     "split_leakage" -> splitLeakage,
     "split_dedup_aware" -> splitDedupAware,
     "sample_quota" -> sampleQuota,
+    "sample_neyman" -> sampleNeyman,
     "sample_dsir" -> sampleDsir,
     "sample_reservoir_merge" -> sampleReservoirMerge,
     "corpus_stats" -> corpusStats,
@@ -2635,6 +2764,7 @@ object Curate {
     "split_leakage" -> splitLeakageSql,
     "split_dedup_aware" -> splitDedupAwareSql,
     "sample_quota" -> sampleQuotaSql,
+    "sample_neyman" -> sampleNeymanSql,
     "sample_dsir" -> sampleDsirSql,
     "sample_reservoir_merge" -> sampleReservoirMergeSql,
     "corpus_stats" -> corpusStatsSql,

@@ -1171,6 +1171,37 @@ class TextDedupSpec extends SparkSpec {
     assert(got.head._6.isEmpty, "bucket 0 must have no decay")
   }
 
+  test("sample_neyman: moment replay, exact budgets, and the optimality direction") {
+    import graft.operators.Curate
+    val got = Curate.sampleNeyman(spark, sfMid)
+      .select("source", "n_docs", "s_len", "alloc_neyman", "alloc_prop",
+        "var_neyman_total", "var_prop_total", "gain_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // moments and std replayed from the raw column
+    val docs = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select(col("source"), col("n_chars").cast("long"))
+      .as[(String, Long)].collect()
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    got.foreach { case (src, n, sLen, _, _, _, _, _) =>
+      val ys = bySrc(src)
+      assert(n == ys.length.toLong, s"$src n_docs")
+      val s1 = ys.map(BigInt(_)).sum; val s2 = ys.map(y => BigInt(y) * y).sum
+      val varU = if (n < 2) BigInt(0) else (n * s2 - s1 * s1) / (n * (n - 1))
+      assert(BigInt(sLen) * sLen <= varU &&
+        (BigInt(sLen) + 1) * (BigInt(sLen) + 1) > varU, s"$src isqrt std")
+    }
+    // both apportionments fill the 500-seat budget exactly (Hamilton)
+    assert(got.map(_._4).sum == 500L, "Neyman seats must sum to the budget")
+    assert(got.map(_._5).sum == 500L, "proportional seats must sum to the budget")
+    // Neyman is the variance-optimal allocation: its total can't lose
+    // (floor rounding can only perturb within a seat, and gain >= 0
+    // holds on this corpus — the design's whole point)
+    val (vn, vp, gain) = (got.head._6, got.head._7, got.head._8)
+    assert(got.forall(r => r._6 == vn && r._7 == vp), "totals must be constant")
+    assert(vn <= vp, "Neyman total variance must not exceed proportional")
+    assert(gain == 1000000L * (vp - vn) / vp, "gain_ppm identity")
+  }
+
   test("sample_quota: largest-remainder apportionment fills the budget exactly") {
     import graft.operators.Curate
     val rows = Curate.sampleQuota(spark, sfMid)
