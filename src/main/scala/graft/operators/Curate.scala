@@ -837,9 +837,13 @@ object Curate {
       .withColumn("s_len", expr(
         """CASE WHEN r0*r0 > var_u THEN r0-1
           |WHEN (r0+1)*(r0+1) <= var_u THEN r0+1 ELSE r0 END""".stripMargin))
+    import graft.plans.Checkpoints.StableSyntax
+    // O(sources) moment ledger, materialized once for the two
+    // apportionment branches and the totals
     val weighted = m
       .withColumn("w_ney", col("n_docs") * col("s_len"))
       .withColumn("w_prop", col("n_docs"))
+      .stableCheckpoint()
     val tot = weighted.agg(sum(col("w_ney")).as("tw_ney"),
       sum(col("w_prop")).as("tw_prop"))
     val wAll = Window.partitionBy()

@@ -874,11 +874,16 @@ object Maintain {
         .groupBy(col("col_name"), col("j"))
         .agg(count(lit(1)).as("c"), max(col("rho")).as("mj"))
     }
+    import graft.plans.Checkpoints.StableSyntax
     val e = Tables.load(s, dir, "events")
+    // the two leg blocks are the bounded artifact (2 × 6 × ≤65 rows);
+    // checkpoint so the three consumers below read the materialized
+    // registers, not three more pairs of corpus scans
     val legs = legRegisters(e.filter(pmod(col("event_id"), lit(10)) =!= 0))
       .withColumn("leg", lit("base"))
       .unionByName(legRegisters(e.filter(pmod(col("event_id"), lit(10)) === 0))
         .withColumn("leg", lit("delta")))
+      .stableCheckpoint()
     // the merge: register max + counter sum over the two leg blocks
     val merged = legs.groupBy(col("col_name"), col("j"))
       .agg(sum(col("c")).as("c"), max(col("mj")).as("mj"))

@@ -792,6 +792,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r17 one-scan claims: the new ledger faces fold one scan, broadcast the rest") {
+    // each face is one corpus scan folded map-side to a bounded
+    // relation (day ledger / 6x64 registers / source moments); nothing
+    // downstream may sort-merge or cartesian, and the fact must be
+    // scanned exactly once
+    for ((name, df) <- Seq(
+        "events_uplift" -> Analytics.eventsUplift(spark, sf),
+        "events_ab_bandit" -> Analytics.eventsAbBandit(spark, sf),
+        "stream_bandit" -> streaming.EventStreams.streamBandit(spark, sf))) {
+      val plan = planOf(df)
+      val scans = "FileScan".r.findAllIn(plan).length
+      assert(scans == 1, s"$name: expected exactly one fact scan, got $scans:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$name: bounded-ledger math must not shuffle-join:\n$plan")
+    }
+    // the stats merge / Neyman design / tile server all ride a
+    // checkpointed bounded artifact (register blocks, moment ledger,
+    // pyramid): the composed plans must be parquet-free
+    for ((name, df) <- Seq(
+        "table_stats_incremental" -> operators.Maintain.tableStatsIncremental(spark, sf),
+        "sample_neyman" -> operators.Curate.sampleNeyman(spark, sf),
+        "geo_tile_serve" -> operators.Geo.geoTileServe(spark, sf))) {
+      val plan = planOf(df)
+      assert(!plan.contains("FileScan"),
+        s"$name: corpus scan escaped the checkpointed artifact:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"$name: expected the materialized bounded relation:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$name: bounded joins must broadcast:\n$plan")
+    }
+  }
+
   test("events_paths enumerates trigrams in one fact scan, no self-join") {
     val plan = planOf(Analytics.eventsPaths(spark, sf))
     val scans = "FileScan".r.findAllIn(plan).length
