@@ -125,6 +125,89 @@ object Curate {
       |  CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- temporal split
+  /** Time-based train/val split with its leakage audit (r17 — the
+    * split family's TEMPORAL protocol: [[splitTrainVal]] and kin split
+    * by content hash, the right protocol for i.i.d. corpus training,
+    * but any model evaluated on the FUTURE — forecasters, churn,
+    * next-event — must split by time or the validation set leaks
+    * hindsight). Train = the first 4/5 of the observed day span
+    * (cut = d0 + ⌊4·(d1−d0+1)/5⌋, derived from the data so the key is
+    * corpus-generic), val = the rest. The ledger reads each side's
+    * size (events/days/users) plus the contamination channel a
+    * temporal split ALLOWS and a user-keyed hash split forbids:
+    * warm-start users appearing on both sides, and the share of val
+    * events carried by them in exact ppm — the number an honest
+    * cold-start evaluation must subset away.
+    *
+    * == Scale design ==
+    * One events scan folds map-side onto the (user, day) relation
+    * (the retention family's bounded fold, ≪ events), checkpointed
+    * once; the span bounds broadcast back, and the per-split and
+    * per-user rollups both ride the materialized fold — user-keyed
+    * combines with an O(2)-row ledger. Same shape at any corpus size.
+    */
+  def splitTemporal(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val ud = graft.sources.Tables.load(s, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("cnt"))
+      .stableCheckpoint()
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("cut", expr("d0 + (4 * (d1 - d0 + 1)) div 5"))
+    val tagged = ud.crossJoin(broadcast(bounds))
+      .withColumn("split", when(col("day") < col("cut"), "train").otherwise("val"))
+    val perSplit = tagged.groupBy(col("split")).agg(
+      sum(col("cnt")).as("n_events"),
+      countDistinct(col("day")).as("n_days"),
+      countDistinct(col("user_id")).as("n_users"))
+    val perUser = tagged.groupBy(col("user_id")).agg(
+      max(when(col("split") === "train", 1L).otherwise(0L)).as("in_tr"),
+      sum(when(col("split") === "val", col("cnt")).otherwise(0L)).as("va_ev"))
+    val overlap = perUser.agg(
+      sum(when(col("in_tr") === 1L && col("va_ev") > 0L, 1L).otherwise(0L))
+        .as("users_overlap"),
+      sum(when(col("in_tr") === 1L, col("va_ev")).otherwise(0L))
+        .as("val_events_seen"),
+      sum(col("va_ev")).as("val_events_all"))
+    perSplit.crossJoin(broadcast(overlap))
+      .select(col("split"), col("n_events"), col("n_days"), col("n_users"),
+        col("users_overlap"), col("val_events_seen"),
+        expr("1000000 * val_events_seen div greatest(val_events_all, 1)")
+          .as("seen_ppm"))
+      .orderBy(col("split"))
+  }
+
+  /** DuckDB twin: same (user, day) fold, span-derived cut, per-split
+    * and warm-user rollups. */
+  val splitTemporalSql: String =
+    """WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1,
+      |    min(day) + (4 * (max(day) - min(day) + 1)) // 5 AS cut FROM ud),
+      |t AS (SELECT ud.*, CASE WHEN day < cut THEN 'train' ELSE 'val' END AS split
+      |  FROM ud CROSS JOIN b),
+      |ps AS (SELECT split, CAST(sum(cnt) AS BIGINT) AS n_events,
+      |    CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM t GROUP BY 1),
+      |pu AS (SELECT user_id,
+      |    max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
+      |    CAST(sum(CASE WHEN split = 'val' THEN cnt ELSE 0 END) AS BIGINT) AS va_ev
+      |  FROM t GROUP BY 1),
+      |ov AS (SELECT
+      |    CAST(sum(CASE WHEN in_tr = 1 AND va_ev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS users_overlap,
+      |    CAST(sum(CASE WHEN in_tr = 1 THEN va_ev ELSE 0 END) AS BIGINT)
+      |      AS val_events_seen,
+      |    CAST(sum(va_ev) AS BIGINT) AS val_events_all
+      |  FROM pu)
+      |SELECT split, n_events, n_days, n_users, users_overlap, val_events_seen,
+      |  1000000 * val_events_seen // greatest(val_events_all, 1) AS seen_ppm
+      |FROM ps CROSS JOIN ov ORDER BY split""".stripMargin
+
   /** K-fold cross-validation assignment (k=5): every doc lands in
     * exactly one fold by salted content hash — deterministic,
     * replayable, and exact duplicates land in the SAME fold (the
@@ -2724,6 +2807,7 @@ object Curate {
     "split_dedup_aware" -> splitDedupAware,
     "sample_quota" -> sampleQuota,
     "sample_neyman" -> sampleNeyman,
+    "split_temporal" -> splitTemporal,
     "sample_dsir" -> sampleDsir,
     "sample_reservoir_merge" -> sampleReservoirMerge,
     "corpus_stats" -> corpusStats,
@@ -2769,6 +2853,7 @@ object Curate {
     "split_dedup_aware" -> splitDedupAwareSql,
     "sample_quota" -> sampleQuotaSql,
     "sample_neyman" -> sampleNeymanSql,
+    "split_temporal" -> splitTemporalSql,
     "sample_dsir" -> sampleDsirSql,
     "sample_reservoir_merge" -> sampleReservoirMergeSql,
     "corpus_stats" -> corpusStatsSql,

@@ -1171,6 +1171,37 @@ class TextDedupSpec extends SparkSpec {
     assert(got.head._6.isEmpty, "bucket 0 must have no decay")
   }
 
+  test("split_temporal: span cut, partition identities, warm-user accounting") {
+    import graft.operators.Curate
+    val got = Curate.splitTemporal(spark, sfMid)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("train", "val"))
+    // replay from the raw events
+    val evs = graft.sources.Tables.load(spark, sfMid, "events")
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+      .as[(Long, Long)].collect()
+    val (d0, d1) = (evs.map(_._2).min, evs.map(_._2).max)
+    val cut = d0 + 4 * (d1 - d0 + 1) / 5
+    def side(p: ((Long, Long)) => Boolean) = evs.filter(p)
+    val tr = side(_._2 < cut); val va = side(_._2 >= cut)
+    assert(got("train")._2 == tr.length.toLong && got("val")._2 == va.length.toLong,
+      "split event counts")
+    assert(got("train")._3 == tr.map(_._2).distinct.length.toLong &&
+      got("val")._3 == va.map(_._2).distinct.length.toLong, "split day counts")
+    assert(got("train")._4 == tr.map(_._1).distinct.length.toLong &&
+      got("val")._4 == va.map(_._1).distinct.length.toLong, "split user counts")
+    // warm-user contamination: users on both sides + their val events
+    val seen = tr.map(_._1).toSet
+    val overlap = va.map(_._1).distinct.count(seen.contains).toLong
+    val seenEv = va.count(e => seen.contains(e._1)).toLong
+    got.values.foreach { r =>
+      assert(r._5 == overlap && r._6 == seenEv, "warm-user columns")
+      assert(r._7 == 1000000L * seenEv / math.max(va.length.toLong, 1L), "seen_ppm")
+    }
+  }
+
   test("sample_neyman: moment replay, exact budgets, and the optimality direction") {
     import graft.operators.Curate
     val got = Curate.sampleNeyman(spark, sfMid)
