@@ -1808,6 +1808,7 @@ object Similarity {
     "ann_graph_search" -> annGraphSearch,
     "ann_graph_recall_curve" -> annGraphRecallCurve,
     "ann_recall_curve" -> annRecallCurve,
+    "ann_probe_plan" -> annProbePlan,
     "ann_filtered_search" -> annFilteredSearch,
     "ann_hard_negatives" -> annHardNegatives,
     "corpus_semdedup" -> corpusSemdedup,
@@ -2125,6 +2126,65 @@ object Similarity {
          |ORDER BY cc.nprobe""".stripMargin
   }
 
+  // ------------------------------------------------- probe planner
+  /** Serving-policy planner over the measured recall curve (r17 —
+    * the face that turns [[annRecallCurve]]'s eval ledger into an
+    * operating decision: a serving tier doesn't read a curve, it asks
+    * "what nprobe do I run for a 90 % recall SLO?"). For each recall
+    * target {70, 80, 90, 95 %} the planner picks the CHEAPEST probe
+    * count whose measured recall meets the target (min nprobe among
+    * reached rows); an unreachable target degrades to the best
+    * available recall (max recall, min nprobe tiebreak) with
+    * `reached` = 0 — the honest answer when the curve tops out. The
+    * ledger carries the chosen config's measured recall and its
+    * candidate volume (the scan-cost the SLO buys), so the
+    * recall-vs-cost trade is one row per target.
+    *
+    * == Scale design ==
+    * The expensive part IS the curve (already a registered face,
+    * bounded by queries × probes); the planning join is 4 targets ×
+    * ≤4 curve rows of broadcast window math. At 100 TB the curve is
+    * measured on a sampled query set and this plan is free.
+    */
+  def annProbePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val curve = annRecallCurve(s, dir)
+      .select(col("nprobe"), col("n_candidates"), col("recall_ppm"))
+    val targets = Seq(700000L, 800000L, 900000L, 950000L).toDF("target_ppm")
+    val w = Window.partitionBy(col("target_ppm")).orderBy(
+      (col("recall_ppm") >= col("target_ppm")).desc,
+      when(col("recall_ppm") >= col("target_ppm"), col("nprobe"))
+        .otherwise(lit(1000000L) - col("recall_ppm")).asc,
+      col("nprobe").asc)
+    broadcast(targets).crossJoin(curve)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("target_ppm"), col("nprobe"), col("recall_ppm"),
+        col("n_candidates"),
+        (col("recall_ppm") >= col("target_ppm")).cast("long").as("reached"))
+      .orderBy(col("target_ppm"))
+  }
+
+  /** DuckDB twin: the full curve statement as a subquery, the same
+    * reached-first / cheapest-probe ranking. */
+  lazy val annProbePlanSql: String =
+    s"""WITH curve AS (SELECT nprobe, n_candidates, recall_ppm FROM (
+       |$annRecallCurveSql
+       |)),
+       |tg(target_ppm) AS (VALUES (700000), (800000), (900000), (950000)),
+       |r AS (SELECT tg.target_ppm, c.nprobe, c.recall_ppm, c.n_candidates,
+       |    CASE WHEN c.recall_ppm >= tg.target_ppm THEN 1 ELSE 0 END AS reached,
+       |    row_number() OVER (PARTITION BY tg.target_ppm ORDER BY
+       |      CASE WHEN c.recall_ppm >= tg.target_ppm THEN 1 ELSE 0 END DESC,
+       |      CASE WHEN c.recall_ppm >= tg.target_ppm THEN c.nprobe
+       |        ELSE 1000000 - c.recall_ppm END ASC,
+       |      c.nprobe ASC) AS rk
+       |  FROM tg CROSS JOIN curve c)
+       |SELECT CAST(target_ppm AS BIGINT) AS target_ppm, nprobe, recall_ppm,
+       |  n_candidates, CAST(reached AS BIGINT) AS reached
+       |FROM r WHERE rk = 1 ORDER BY target_ppm""".stripMargin
+
   /** DuckDB twin of the SemDeDup cut: [[dedupEmbeddingIvfSql]]'s pair
     * chain, dropped = distinct higher-id endpoints, ledger per label. */
   val corpusSemdedupSql: String = {
@@ -2148,6 +2208,7 @@ object Similarity {
     "ann_graph_search" -> annGraphSearchSql,
     "ann_graph_recall_curve" -> annGraphRecallCurveSql,
     "ann_recall_curve" -> annRecallCurveSql,
+    "ann_probe_plan" -> annProbePlanSql,
     "ann_filtered_search" -> annFilteredSearchSql,
     "ann_hard_negatives" -> annHardNegativesSql,
     "corpus_semdedup" -> corpusSemdedupSql,

@@ -779,6 +779,29 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "probe-3 hits drifted from ann_recall_eval's ivf face")
   }
 
+  test("ann_probe_plan picks the cheapest reached config, degrades honestly") {
+    val curve = Similarity.annRecallCurve(spark, sf)
+      .select("nprobe", "n_candidates", "recall_ppm")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = Seq(700000L, 800000L, 900000L, 950000L).map { t =>
+      val reached = curve.filter(_._3 >= t)
+      val pick =
+        if (reached.nonEmpty) reached.minBy(_._1)
+        else curve.maxBy(c => (c._3, -c._1))
+      (t, pick._1, pick._3, pick._2, if (pick._3 >= t) 1L else 0L)
+    }
+    val got = Similarity.annProbePlan(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, "probe plan drifted from the curve replay")
+    // the SLO dial is monotone: a harder target never picks a cheaper
+    // probe count (among reached targets)
+    val reachedRows = got.filter(_._5 == 1L)
+    reachedRows.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._2, "harder target picked fewer probes")
+      case _ =>
+    }
+  }
+
   test("ann_filtered_search pre-filters: every neighbor satisfies the predicate") {
     val got = Similarity.annFilteredSearch(spark, sf)
       .select("query_id", "neighbor_id", "rank")
