@@ -18,10 +18,16 @@ object GraftSqlShim {
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
   def registerFunction(spark: SparkSession, name: String,
-                       builder: Seq[Expression] => Expression): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+                       builder: Seq[Expression] => Expression): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "built-in")
+    // Registration is idempotent (same builder every time), so skip when
+    // the name is already bound: createOrReplaceTempFunction WARNs on
+    // every replace, and operators re-register per query.
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!registry.functionExists(id))
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+  }
 
   /** DataFrame from a (possibly custom) LogicalPlan — runs the full
     * analyzer, so unresolved attributes in custom nodes resolve against
