@@ -761,6 +761,102 @@ object Geo {
        |CROSS JOIN tot CROSS JOIN tch
        |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------ whole-job manifest
+  /** The reference's WHOLE job as one key (r18 — the last structural
+    * seam closed): the reference runs fan-out (Implementation.cs:47-58,
+    * one array task per month) → per-frame render (main.py:21-96) →
+    * ordered assembly (Reduce.ps1:8, ffmpeg consuming the ordered frame
+    * list). The registered faces cover each stage — [[mapFanout]] plans
+    * the frames, [[pipelineFrameBuild]] renders one, [[reduceAssemble]]
+    * sequences them — but reduceAssemble's manifest carries only the
+    * fan-out's event_id checksum, while the encoder manifest the real
+    * reduce step consumes carries the per-frame RENDER digest. This key
+    * chains all three: per frame (in-bbox day, the fan-out contract),
+    * the manifest row holds the frame sequence, in-bbox point count and
+    * fan-out checksum, cumulative point offsets, total frame count, the
+    * 2-fps presentation timestamp, and [[frameRender]]'s exact
+    * `rgb_digest` — byte-for-byte the columns [[reduceAssemble]] emits
+    * on seq/offsets and [[pipelineFrameBuild]] emits on digests (the
+    * spec pins both equivalences).
+    *
+    * == Scale design ==
+    * ONE corpus scan folds map-side onto the bounded (day, px, py)
+    * relation with the fan-out checksum folded per cell (sum of
+    * event_id mod 997 rides the same combine as the count), then
+    * checkpointed — the render legs and the day ledger both read the
+    * materialized relation, never the points. The manifest windows
+    * (row_number / running sum / count) sort the O(days) ledger — the
+    * documented bounded-relation single-partition window — and the
+    * per-day render is embarrassingly parallel across frames, exactly
+    * the reference's array job re-expressed as group keys.
+    */
+  def pipelineJobBuild(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    // [fan-out] one scan: in-bbox day binning, checksum folded per cell
+    val r = points(s, dir)
+      .select(col("event_id"), expr("unix_micros(ts) div 86400000000").as("dkey"),
+        mercX, mercY)
+      .filter(col("x") >= X0 && col("x") <= X1 && col("y") >= Y0 && col("y") <= Y1)
+      .select(col("dkey"),
+        least(floor((col("x") - X0) / (X1 - X0) * W), lit(W - 1)).cast("long").as("px"),
+        least(floor((col("y") - Y0) / (Y1 - Y0) * H), lit(H - 1)).cast("long").as("py"),
+        (col("event_id") % 997L).as("ck"))
+      .groupBy(col("dkey"), col("px"), col("py"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ck")).as("chk"))
+      .stableCheckpoint()
+    // [render] per-frame digest over the same bounded relation
+    val frame = frameRender(r.select(col("dkey"), col("px"), col("py"), col("cnt")))
+      .select(col("dkey"), col("rgb_digest"))
+    // [assemble] ordered manifest over the O(days) ledger
+    val days = r.groupBy(col("dkey"))
+      .agg(sum(col("cnt")).as("n_points"), sum(col("chk")).as("checksum"))
+    val wRun = Window.orderBy(col("frame_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(frame, Seq("dkey"))
+      .withColumn("frame_seq", row_number().over(Window.orderBy(col("dkey"))).cast("long"))
+      .select(col("frame_seq"),
+        expr("date_format(date_add(DATE'1970-01-01', CAST(dkey AS INT)), 'yyyy-MM-dd')")
+          .as("frame_day"),
+        col("n_points"), col("checksum"),
+        sum(col("n_points")).over(wRun).as("cum_points"),
+        count(lit(1)).over(Window.partitionBy()).as("total_frames"),
+        ((col("frame_seq") - 1) / 2.0).as("pts_sec"),
+        col("rgb_digest"))
+      .orderBy(col("frame_seq"))
+  }
+
+  /** DuckDB twin: the shared point/merc CTEs, the in-bbox cell fold
+    * with the checksum riding the combine, [[renderSql]] for the digest
+    * leg, the same ordered-manifest windows. */
+  val pipelineJobBuildSql: String =
+    s"""WITH $pointsCte, $mercCte,
+       |pr AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS dkey,
+       |    CAST(least(floor((x - ($X0)) / (${X1 - X0}) * $W), ${W - 1}) AS BIGINT) AS px,
+       |    CAST(least(floor((y - ($Y0)) / (${Y1 - Y0}) * $H), ${H - 1}) AS BIGINT) AS py,
+       |    count(*) AS cnt, CAST(sum(event_id % 997) AS BIGINT) AS chk
+       |  FROM merc
+       |  WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
+       |  GROUP BY 1, 2, 3),
+       |off AS (SELECT o1.d AS dx, o2.d AS dy
+       |  FROM (SELECT unnest(range(-1, 2)) AS d) o1
+       |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS d) o2),
+       |${renderSql("pr", "j")},
+       |d AS (SELECT dkey, CAST(sum(cnt) AS BIGINT) AS n_points,
+       |    CAST(sum(chk) AS BIGINT) AS checksum
+       |  FROM pr GROUP BY 1),
+       |seq AS (SELECT CAST(row_number() OVER (ORDER BY dkey) AS BIGINT) AS frame_seq,
+       |    dkey, n_points, checksum FROM d)
+       |SELECT frame_seq,
+       |  strftime(DATE '1970-01-01' + CAST(seq.dkey AS INT), '%Y-%m-%d') AS frame_day,
+       |  n_points, checksum,
+       |  CAST(sum(n_points) OVER (ORDER BY frame_seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_points,
+       |  count(*) OVER () AS total_frames,
+       |  (frame_seq - 1) / 2.0 AS pts_sec,
+       |  dig.rgb_digest
+       |FROM seq JOIN digj dig ON dig.dkey = seq.dkey
+       |ORDER BY frame_seq""".stripMargin
+
   // --------------------------------------------------------- Z-order
   /** 16-bit Morton spread: interleave-ready bit expansion via the
     * classic shift-or-mask ladder — pure codegen'd integer ops, and the
@@ -1365,6 +1461,7 @@ object Geo {
     "geo_frame_churn" -> geoFrameChurn,
     "pipeline_frame_build" -> pipelineFrameBuild,
     "pipeline_frame_incremental" -> pipelineFrameIncremental,
+    "pipeline_job_build" -> pipelineJobBuild,
     "geo_spread" -> geoSpread,
     "geo_shade_eqhist" -> geoShadeEqhist,
     "geo_shade_rgb" -> geoShadeRgb,
@@ -1384,6 +1481,7 @@ object Geo {
     "geo_frame_churn" -> geoFrameChurnSql,
     "pipeline_frame_build" -> pipelineFrameBuildSql,
     "pipeline_frame_incremental" -> pipelineFrameIncrementalSql,
+    "pipeline_job_build" -> pipelineJobBuildSql,
     "geo_spread" -> geoSpreadSql,
     "geo_shade_eqhist" -> geoShadeEqhistSql,
     "geo_shade_rgb" -> geoShadeRgbSql,

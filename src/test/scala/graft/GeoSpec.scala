@@ -82,6 +82,32 @@ class GeoSpec extends SparkSpec {
     assert(manifest.head.getAs[Long]("total_frames") == frames.length)
   }
 
+  test("pipeline_job_build: manifest == reduce_assemble on seq/offsets, == pipeline_frame_build on digests") {
+    val job = Geo.pipelineJobBuild(spark, sf).collect()
+      .map(r => (r.getAs[Long]("frame_seq"), r.getAs[String]("frame_day"),
+        r.getAs[Long]("n_points"), r.getAs[Long]("checksum"),
+        r.getAs[Long]("cum_points"), r.getAs[Long]("total_frames"),
+        r.getAs[Double]("pts_sec"), r.getAs[Long]("rgb_digest")))
+    // [assemble] the manifest's ordering/offset columns are
+    // reduce_assemble's, row for row
+    val red = Geo.reduceAssemble(spark, sf).collect()
+      .map(r => (r.getAs[Long]("frame_seq"), r.getAs[String]("frame_day"),
+        r.getAs[Long]("n_points"), r.getAs[Long]("cum_points"),
+        r.getAs[Long]("total_frames"), r.getAs[Double]("pts_sec")))
+    assert(job.map(j => (j._1, j._2, j._3, j._5, j._6, j._7)).toSeq == red.toSeq,
+      "manifest seq/offset columns diverge from reduce_assemble")
+    // [fan-out] the checksum column is map_fanout's
+    val fan = Geo.mapFanout(spark, sf).collect()
+      .map(r => (r.getAs[String]("frame_day"), r.getAs[Long]("checksum"))).toMap
+    job.foreach(j => assert(fan(j._2) == j._4,
+      s"frame ${j._2}: checksum ${j._4} != fan-out ${fan(j._2)}"))
+    // [render] the digest column is pipeline_frame_build's, per frame day
+    val dig = Geo.pipelineFrameBuild(spark, sf).collect()
+      .map(r => (r.getAs[String]("frame_day"), r.getAs[Long]("rgb_digest"))).toMap
+    job.foreach(j => assert(dig(j._2) == j._8,
+      s"frame ${j._2}: digest ${j._8} != pipeline_frame_build ${dig(j._2)}"))
+  }
+
   test("layout_skipping_eval: consistent accounting, and z-order prunes the corner boxes harder") {
     val rows = Geo.layoutSkippingEval(spark, sfMid)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()

@@ -730,6 +730,19 @@ class PlanShapeSpec extends SparkSpec {
       s"canvas-bounded lookups must broadcast:\n$plan")
   }
 
+  test("pipeline_job_build: one corpus scan, manifest rides the checkpointed fold") {
+    val plan = planOf(operators.Geo.pipelineJobBuild(spark, sf))
+    // the one events scan lives inside the checkpointed (day, px, py)
+    // fold (checksum riding the combine); render + manifest windows all
+    // read the materialized relation
+    assert(!plan.contains("Scan parquet"),
+      s"composed stages must ride the materialized cell relation:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"expected the checkpointed cell relation:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"canvas-bounded lookups must broadcast:\n$plan")
+  }
+
   test("ann_graph_search walks the persisted edge table, never rebuilds the graph") {
     val plan = planOf(operators.Similarity.annGraphSearch(spark, sf))
     // the index artifact contract: the beam walk's edge relation is a
