@@ -208,6 +208,101 @@ object Curate {
       |  1000000 * val_events_seen // greatest(val_events_all, 1) AS seen_ppm
       |FROM ps CROSS JOIN ov ORDER BY split""".stripMargin
 
+  /** Cold-start evaluation split (r18 — the face [[splitTemporal]]
+    * points at: its ledger measures warm-user contamination (seen_ppm)
+    * and names it "the number an honest cold-start evaluation must
+    * subset away"; this key REGISTERS that subset). The same span-
+    * derived temporal cut, with the val side partitioned by whether the
+    * user also appears in train: `val_warm` (train-seen users — the
+    * hindsight channel) vs `val_cold` (train-unseen users — the honest
+    * cold-start eval set). Per split: events / distinct days / users,
+    * the per-user event rate in exact micro-units, and the constant
+    * `rate_gap_x1e6` (warm rate − cold rate) — the size of the bias a
+    * pooled val metric absorbs, which is exactly why the cold subset
+    * must be evaluated alone.
+    *
+    * == Scale design ==
+    * The identical one-scan (user, day) fold as [[splitTemporal]]
+    * (checkpointed); the warm/cold tag is a user-keyed self-join ON the
+    * bounded fold (both sides already user-clustered, ≪ events); the
+    * ledger is O(3) rows. Same shape at any corpus size.
+    */
+  def splitTemporalCold(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val ud = graft.sources.Tables.load(s, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("cnt"))
+      .stableCheckpoint()
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("cut", expr("d0 + (4 * (d1 - d0 + 1)) div 5"))
+    val tagged = ud.crossJoin(broadcast(bounds))
+      .withColumn("tr", (col("day") < col("cut")).cast("long"))
+    val perUser = tagged.groupBy(col("user_id"))
+      .agg(max(col("tr")).as("in_tr"))
+    val per = tagged.join(perUser, Seq("user_id"))
+      .withColumn("split", when(col("tr") === 1L, "train")
+        .when(col("in_tr") === 1L, "val_warm").otherwise("val_cold"))
+      .groupBy(col("split"))
+      .agg(sum(col("cnt")).as("n_events"),
+        countDistinct(col("day")).as("n_days"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("ev_per_user_x1e6",
+        expr("1000000 * n_events div greatest(n_users, 1)"))
+    // the 3-row domain is pinned: an EMPTY val_cold row (all zeros) is
+    // the ledger's honest headline — "the cold-start eval set does not
+    // exist; a pooled val metric is 100 % warm-contaminated"
+    import s.implicits._
+    val domain = Seq("train", "val_cold", "val_warm").toDF("split")
+    val full = domain.join(broadcast(per), Seq("split"), "left_outer")
+      .select(col("split"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_days"), lit(0L)).as("n_days"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("ev_per_user_x1e6"), lit(0L)).as("ev_per_user_x1e6"))
+    val gap = full.agg(
+      sum(when(col("split") === "val_warm", col("ev_per_user_x1e6"))
+        .otherwise(0L)).as("w"),
+      sum(when(col("split") === "val_cold", col("ev_per_user_x1e6"))
+        .otherwise(0L)).as("c"))
+      .select((col("w") - col("c")).as("rate_gap_x1e6"))
+    full.crossJoin(broadcast(gap))
+      .select(col("split"), col("n_events"), col("n_days"), col("n_users"),
+        col("ev_per_user_x1e6"), col("rate_gap_x1e6"))
+      .orderBy(col("split"))
+  }
+
+  /** DuckDB twin: same fold, same cut, warm/cold partition of val. */
+  val splitTemporalColdSql: String =
+    """WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) + (4 * (max(day) - min(day) + 1)) // 5 AS cut FROM ud),
+      |t AS (SELECT ud.*, CASE WHEN day < cut THEN 1 ELSE 0 END AS tr
+      |  FROM ud CROSS JOIN b),
+      |pu AS (SELECT user_id, max(tr) AS in_tr FROM t GROUP BY 1),
+      |seg AS (SELECT t.*, CASE WHEN t.tr = 1 THEN 'train'
+      |    WHEN pu.in_tr = 1 THEN 'val_warm' ELSE 'val_cold' END AS split
+      |  FROM t JOIN pu USING (user_id)),
+      |per AS (SELECT split, CAST(sum(cnt) AS BIGINT) AS n_events,
+      |    CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM seg GROUP BY 1),
+      |dom(split) AS (VALUES ('train'), ('val_cold'), ('val_warm')),
+      |pr AS (SELECT dom.split,
+      |    COALESCE(n_events, 0) AS n_events, COALESCE(n_days, 0) AS n_days,
+      |    COALESCE(n_users, 0) AS n_users,
+      |    COALESCE(1000000 * n_events // greatest(n_users, 1), 0)
+      |      AS ev_per_user_x1e6
+      |  FROM dom LEFT JOIN per ON per.split = dom.split),
+      |g AS (SELECT
+      |    CAST(sum(CASE WHEN split = 'val_warm' THEN ev_per_user_x1e6 ELSE 0 END)
+      |      - sum(CASE WHEN split = 'val_cold' THEN ev_per_user_x1e6 ELSE 0 END)
+      |      AS BIGINT) AS rate_gap_x1e6
+      |  FROM pr)
+      |SELECT split, n_events, n_days, n_users, ev_per_user_x1e6, rate_gap_x1e6
+      |FROM pr CROSS JOIN g ORDER BY split""".stripMargin
+
   /** K-fold cross-validation assignment (k=5): every doc lands in
     * exactly one fold by salted content hash — deterministic,
     * replayable, and exact duplicates land in the SAME fold (the
@@ -2808,6 +2903,7 @@ object Curate {
     "sample_quota" -> sampleQuota,
     "sample_neyman" -> sampleNeyman,
     "split_temporal" -> splitTemporal,
+    "split_temporal_cold" -> splitTemporalCold,
     "sample_dsir" -> sampleDsir,
     "sample_reservoir_merge" -> sampleReservoirMerge,
     "corpus_stats" -> corpusStats,
@@ -2854,6 +2950,7 @@ object Curate {
     "sample_quota" -> sampleQuotaSql,
     "sample_neyman" -> sampleNeymanSql,
     "split_temporal" -> splitTemporalSql,
+    "split_temporal_cold" -> splitTemporalColdSql,
     "sample_dsir" -> sampleDsirSql,
     "sample_reservoir_merge" -> sampleReservoirMergeSql,
     "corpus_stats" -> corpusStatsSql,

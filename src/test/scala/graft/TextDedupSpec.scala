@@ -1202,6 +1202,42 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("split_temporal_cold: exact arithmetic ties to split_temporal's contamination ledger") {
+    import graft.operators.Curate
+    val st = Curate.splitTemporal(spark, sfMid)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val cold = Curate.splitTemporalCold(spark, sfMid)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the 3-row domain is pinned even when a side is empty
+    assert(cold.keySet == Set("train", "val_cold", "val_warm"))
+    // train side is split_temporal's train row verbatim
+    assert((cold("train")._2, cold("train")._3, cold("train")._4) ==
+      ((st("train")._2, st("train")._3, st("train")._4)), "train sizes")
+    // warm = the contamination split_temporal measures: users_overlap
+    // users carrying val_events_seen events
+    assert(cold("val_warm")._4 == st("train")._5, "warm users == users_overlap")
+    assert(cold("val_warm")._2 == st("train")._6, "warm events == val_events_seen")
+    // cold = exactly what remains of the val side
+    assert(cold("val_cold")._2 == st("val")._2 - st("train")._6,
+      "cold events == val total - seen")
+    assert(cold("val_cold")._4 == st("val")._4 - st("train")._5,
+      "cold users == val users - overlap")
+    // the rate gap is the two rows' per-user rates differenced, and is
+    // constant across rows
+    val w = cold("val_warm")._5; val c = cold("val_cold")._5
+    cold.values.foreach(r => assert(r._6 == w - c, "rate_gap_x1e6"))
+    // per-user rate identity on each row
+    cold.values.foreach(r =>
+      assert(r._5 == 1000000L * r._2 / math.max(r._4, 1L), "ev_per_user_x1e6"))
+    // and on this corpus the contamination is TOTAL: seen_ppm = 1e6 ==>
+    // the honest cold-start eval set is EMPTY — the row says so
+    if (st("train")._7 == 1000000L && st("val")._2 == st("train")._6)
+      assert(cold("val_cold")._2 == 0L && cold("val_cold")._4 == 0L,
+        "cold row must be all-zero when contamination is total")
+  }
+
   test("sample_neyman: moment replay, exact budgets, and the optimality direction") {
     import graft.operators.Curate
     val got = Curate.sampleNeyman(spark, sfMid)
