@@ -1809,6 +1809,7 @@ object Similarity {
     "ann_graph_recall_curve" -> annGraphRecallCurve,
     "ann_recall_curve" -> annRecallCurve,
     "ann_probe_plan" -> annProbePlan,
+    "ann_beam_plan" -> annBeamPlan,
     "ann_filtered_search" -> annFilteredSearch,
     "ann_hard_negatives" -> annHardNegatives,
     "corpus_semdedup" -> corpusSemdedup,
@@ -2185,6 +2186,67 @@ object Similarity {
        |  n_candidates, CAST(reached AS BIGINT) AS reached
        |FROM r WHERE rk = 1 ORDER BY target_ppm""".stripMargin
 
+  // -------------------------------------------------- beam planner
+  /** Serving-policy planner for the GRAPH face (r18 — the SLO symmetry
+    * [[annProbePlan]] gives the IVF dial, applied to the graph walk's
+    * one dial: [[annGraphRecallCurve]] measures recall-vs-cost per beam
+    * over the persisted kNN graph, but no face picked the cheapest beam
+    * for a recall target). For each target {70, 80, 90, 95 %} the
+    * planner picks the CHEAPEST beam whose measured recall meets the
+    * target (min beam among reached rows — beam IS the cost dial: the
+    * visited set every walk scores in full grows with it); an
+    * unreachable target degrades to the best available recall (max
+    * recall, min beam tiebreak) with `reached` = 0 — the honest answer
+    * when the curve tops out. The ledger carries the chosen beam's
+    * measured recall and its visited-set size (`n_candidates`, the
+    * exact-scoring cost the SLO buys).
+    *
+    * == Scale design ==
+    * The expensive part IS the curve (already a registered face, three
+    * query-bounded walks over the persisted edge table); the planning
+    * join is 4 targets × 3 curve rows of broadcast window math. At
+    * 100 TB the curve is measured on a sampled query set and this plan
+    * is free.
+    */
+  def annBeamPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val curve = annGraphRecallCurve(s, dir)
+      .select(col("beam"), col("n_candidates"), col("recall_ppm"))
+    val targets = Seq(700000L, 800000L, 900000L, 950000L).toDF("target_ppm")
+    val w = Window.partitionBy(col("target_ppm")).orderBy(
+      (col("recall_ppm") >= col("target_ppm")).desc,
+      when(col("recall_ppm") >= col("target_ppm"), col("beam"))
+        .otherwise(lit(1000000L) - col("recall_ppm")).asc,
+      col("beam").asc)
+    broadcast(targets).crossJoin(curve)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("target_ppm"), col("beam"), col("recall_ppm"),
+        col("n_candidates"),
+        (col("recall_ppm") >= col("target_ppm")).cast("long").as("reached"))
+      .orderBy(col("target_ppm"))
+  }
+
+  /** DuckDB twin: the full graph-curve statement as a subquery, the
+    * same reached-first / cheapest-beam ranking. */
+  lazy val annBeamPlanSql: String =
+    s"""WITH curve AS (SELECT beam, n_candidates, recall_ppm FROM (
+       |$annGraphRecallCurveSql
+       |)),
+       |tg(target_ppm) AS (VALUES (700000), (800000), (900000), (950000)),
+       |r AS (SELECT tg.target_ppm, c.beam, c.recall_ppm, c.n_candidates,
+       |    CASE WHEN c.recall_ppm >= tg.target_ppm THEN 1 ELSE 0 END AS reached,
+       |    row_number() OVER (PARTITION BY tg.target_ppm ORDER BY
+       |      CASE WHEN c.recall_ppm >= tg.target_ppm THEN 1 ELSE 0 END DESC,
+       |      CASE WHEN c.recall_ppm >= tg.target_ppm THEN c.beam
+       |        ELSE 1000000 - c.recall_ppm END ASC,
+       |      c.beam ASC) AS rk
+       |  FROM tg CROSS JOIN curve c)
+       |SELECT CAST(target_ppm AS BIGINT) AS target_ppm, beam, recall_ppm,
+       |  n_candidates, CAST(reached AS BIGINT) AS reached
+       |FROM r WHERE rk = 1 ORDER BY target_ppm""".stripMargin
+
   /** DuckDB twin of the SemDeDup cut: [[dedupEmbeddingIvfSql]]'s pair
     * chain, dropped = distinct higher-id endpoints, ledger per label. */
   val corpusSemdedupSql: String = {
@@ -2209,6 +2271,7 @@ object Similarity {
     "ann_graph_recall_curve" -> annGraphRecallCurveSql,
     "ann_recall_curve" -> annRecallCurveSql,
     "ann_probe_plan" -> annProbePlanSql,
+    "ann_beam_plan" -> annBeamPlanSql,
     "ann_filtered_search" -> annFilteredSearchSql,
     "ann_hard_negatives" -> annHardNegativesSql,
     "corpus_semdedup" -> corpusSemdedupSql,

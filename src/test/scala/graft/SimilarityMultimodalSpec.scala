@@ -802,6 +802,41 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ann_beam_plan picks the cheapest reached beam, degrades honestly") {
+    val curve = Similarity.annGraphRecallCurve(spark, sf)
+      .select("beam", "n_candidates", "recall_ppm")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = Seq(700000L, 800000L, 900000L, 950000L).map { t =>
+      val reached = curve.filter(_._3 >= t)
+      val pick =
+        if (reached.nonEmpty) reached.minBy(_._1)
+        else curve.maxBy(c => (c._3, -c._1))
+      (t, pick._1, pick._3, pick._2, if (pick._3 >= t) 1L else 0L)
+    }
+    val got = Similarity.annBeamPlan(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, "beam plan drifted from the curve replay")
+    // degraded targets (reached = 0) must carry the curve's BEST recall
+    // with the cheapest beam achieving it — the honest top-out answer
+    val best = curve.maxBy(c => (c._3, -c._1))
+    got.filter(_._5 == 0L).foreach { r =>
+      assert(r._2 == best._1 && r._3 == best._3,
+        s"degraded target ${r._1} must fall to the best row, got $r")
+      assert(r._3 < r._1, "a degraded row claiming to meet its target")
+    }
+    // the SLO dial is monotone among reached targets, and the beam dial
+    // buys recall with candidates: n_candidates is monotone in beam
+    val reachedRows = got.filter(_._5 == 1L)
+    reachedRows.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._2, "harder target picked a cheaper beam")
+      case _ =>
+    }
+    curve.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._2, "visited-set cost shrank as beam grew")
+      case _ =>
+    }
+  }
+
   test("ann_filtered_search pre-filters: every neighbor satisfies the predicate") {
     val got = Similarity.annFilteredSearch(spark, sf)
       .select("query_id", "neighbor_id", "rank")
