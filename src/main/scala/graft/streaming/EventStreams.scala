@@ -2024,6 +2024,188 @@ object EventStreams {
       |       WHEN (r0+1)*(r0+1) <= z2_micro THEN r0+1 ELSE r0 END AS BIGINT) AS z_milli
       |FROM r ORDER BY day""".stripMargin
 
+  // ------------------------------------------------ live uplift monitor
+  case class UpEv(user_id: Long, event_id: Long, us: Long, event_type: String)
+  case class UpState(preCnt: Long, enrolled: Boolean, conv: Boolean, seg: Long)
+  case class UpDelta(day: Long, seg: Long, armn: Long, d_users: Long, d_conv: Long)
+
+  private val upCutUs: Long =
+    java.time.LocalDate.of(2024, 1, 16).toEpochDay * 86400000000L
+  private val upWkEndUs: Long =
+    java.time.LocalDate.of(2024, 1, 23).toEpochDay * 86400000000L
+
+  /** Live segment-uplift monitor (r18) — the streaming twin of
+    * [[graft.operators.Analytics.eventsUplift]], completing the
+    * experiment family's live symmetry ([[abLiftStream]] watches the
+    * pooled lift, [[banditStream]] the adaptive allocation; this
+    * watches WHERE the effect lives). Per-user FMGWS state is the
+    * pre-period counter plus two booleans (activity count before the
+    * cut, enrolled, converted — never event history); the segment is
+    * FROZEN at the user's first in-window event (pre-treatment
+    * activity bucketed `least(pre_cnt div 10, 4)` — by then every
+    * pre-cut event has been processed, so the live segment equals the
+    * batch one), and each batch emits (day, seg, arm) enrollment /
+    * conversion deltas whose running sums ARE the per-segment
+    * dashboard counters. Arm = the family's "ab|" salted fold derived
+    * from the group key, so assignment can never drift between faces.
+    * Events at or after the outcome-window end mutate nothing.
+    */
+  def upliftStream(stream: Dataset[UpEv]): Dataset[UpDelta] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UpState, UpDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[UpEv], state: GroupState[UpState]) =>
+          val sorted = evs.toVector.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(UpState(0L, false, false, -1L))
+          val arm = ("ab|" + uid)
+            .foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 2
+          val out = scala.collection.mutable.ArrayBuffer[UpDelta]()
+          sorted.foreach { e =>
+            if (e.us < upCutUs) {
+              if (!st.enrolled) st = st.copy(preCnt = st.preCnt + 1)
+            } else if (e.us < upWkEndUs) {
+              val day = e.us / 86400000000L
+              if (!st.enrolled) {
+                st = st.copy(enrolled = true,
+                  seg = math.min(st.preCnt / 10L, 4L))
+                out += UpDelta(day, st.seg, arm, 1L, 0L)
+              }
+              if (e.event_type == "purchase" && !st.conv) {
+                st = st.copy(conv = true)
+                out += UpDelta(day, st.seg, arm, 0L, 1L)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch face of [[upliftStream]] (registered as `stream_uplift`):
+    * the per-segment experiment dashboard unrolled over the outcome
+    * week — per closed (epoch day, pre-treatment segment), the users
+    * enrolled (first in-window event) and converted (first in-window
+    * `purchase`) per hash arm BY THE END of that day, with exact-ppm
+    * per-arm rates and the segment's running `uplift_ppm` (B − A).
+    * [[graft.operators.Analytics.eventsUplift]] reads this ledger's
+    * final frame with the all-users denominator; this face is the
+    * in-window-active readout a live dashboard can actually know, and
+    * its end-day per-segment CONVERSION counts equal the batch face's
+    * exactly (the spec pins it).
+    *
+    * == Scale design ==
+    * ONE fact scan folds to the checkpointed per-user firsts relation
+    * (map-side combinable on user_id; pre-count, window firsts and the
+    * arm in one pass); deltas, the (days × ≤5 segs) grid and the
+    * per-segment cumulative windows all ride the O(days × segs)
+    * ledger. The streaming twin holds one counter + two booleans per
+    * user.
+    */
+  def streamUplift(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("ab|"), col("user_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val cut = lit("2024-01-16").cast("timestamp")
+    val wkEnd = lit("2024-01-23").cast("timestamp")
+    val perUser = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("pre_cnt"),
+        min(when(col("ts") >= cut && col("ts") < wkEnd,
+          expr("unix_micros(ts) div 86400000000"))).as("first_day"),
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= cut && col("ts") < wkEnd,
+          expr("unix_micros(ts) div 86400000000"))).as("first_purch_day"))
+      .filter(col("first_day").isNotNull)
+      .select(col("first_day"), col("first_purch_day"),
+        least(expr("pre_cnt div 10"), lit(4L)).as("seg"), (h % 2L).as("armn"))
+      .stableCheckpoint()
+    val deltas = perUser.select(col("first_day").as("day"), col("seg"),
+        when(col("armn") === 0L, 1L).otherwise(0L).as("da"),
+        when(col("armn") === 1L, 1L).otherwise(0L).as("db"),
+        lit(0L).as("dca"), lit(0L).as("dcb"))
+      .unionAll(perUser.filter(col("first_purch_day").isNotNull)
+        .select(col("first_purch_day"), col("seg"), lit(0L), lit(0L),
+          when(col("armn") === 0L, 1L).otherwise(0L),
+          when(col("armn") === 1L, 1L).otherwise(0L)))
+    val daily = deltas.groupBy(col("day"), col("seg"))
+      .agg(sum(col("da")).as("da"), sum(col("db")).as("db"),
+        sum(col("dca")).as("dca"), sum(col("dcb")).as("dcb"))
+    // closed-day × segment dashboard grid: every segment already seen
+    // is carried forward on each closed day
+    val days = daily.select(col("day")).distinct()
+    val segs = daily.select(col("seg")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+      .orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    days.crossJoin(segs)
+      .join(daily, Seq("day", "seg"), "left_outer")
+      .na.fill(0L, Seq("da", "db", "dca", "dcb"))
+      .select(col("day"), col("seg"),
+        sum(col("da")).over(w).as("n_a"), sum(col("db")).over(w).as("n_b"),
+        sum(col("dca")).over(w).as("conv_a"),
+        sum(col("dcb")).over(w).as("conv_b"))
+      .filter(col("n_a") + col("n_b") > 0L)
+      .withColumn("rate_a_ppm",
+        expr("CASE WHEN n_a = 0 THEN 0 ELSE (1000000 * conv_a) div n_a END"))
+      .withColumn("rate_b_ppm",
+        expr("CASE WHEN n_b = 0 THEN 0 ELSE (1000000 * conv_b) div n_b END"))
+      .withColumn("uplift_ppm", col("rate_b_ppm") - col("rate_a_ppm"))
+      .orderBy(col("day"), col("seg"))
+  }
+
+  /** DuckDB twin: same per-user firsts fold, delta union, day × seg
+    * grid, per-segment cumulative windows. */
+  val streamUpliftSql: String =
+    """WITH u AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS pre_cnt,
+      |    min(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND ts < TIMESTAMP '2024-01-23'
+      |      THEN epoch_us(ts) // 86400000000 END) AS first_day,
+      |    min(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+      |      AND ts < TIMESTAMP '2024-01-23'
+      |      THEN epoch_us(ts) // 86400000000 END) AS first_purch_day,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('ab|' || CAST(user_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 2 AS armn
+      |  FROM events GROUP BY user_id),
+      |e AS (SELECT CAST(least(pre_cnt // 10, 4) AS BIGINT) AS seg,
+      |    first_day, first_purch_day, armn
+      |  FROM u WHERE first_day IS NOT NULL),
+      |del AS (
+      |  SELECT first_day AS day, seg,
+      |    CASE WHEN armn = 0 THEN 1 ELSE 0 END AS da,
+      |    CASE WHEN armn = 1 THEN 1 ELSE 0 END AS db,
+      |    0 AS dca, 0 AS dcb FROM e
+      |  UNION ALL
+      |  SELECT first_purch_day, seg, 0, 0,
+      |    CASE WHEN armn = 0 THEN 1 ELSE 0 END,
+      |    CASE WHEN armn = 1 THEN 1 ELSE 0 END
+      |  FROM e WHERE first_purch_day IS NOT NULL),
+      |daily AS (SELECT day, seg, sum(da) AS da, sum(db) AS db,
+      |    sum(dca) AS dca, sum(dcb) AS dcb FROM del GROUP BY 1, 2),
+      |grid AS (SELECT d.day, s.seg,
+      |    COALESCE(da, 0) AS da, COALESCE(db, 0) AS db,
+      |    COALESCE(dca, 0) AS dca, COALESCE(dcb, 0) AS dcb
+      |  FROM (SELECT DISTINCT day FROM daily) d
+      |  CROSS JOIN (SELECT DISTINCT seg FROM daily) s
+      |  LEFT JOIN daily ON daily.day = d.day AND daily.seg = s.seg),
+      |cum AS (SELECT day, seg,
+      |    CAST(sum(da) OVER w AS BIGINT) AS n_a,
+      |    CAST(sum(db) OVER w AS BIGINT) AS n_b,
+      |    CAST(sum(dca) OVER w AS BIGINT) AS conv_a,
+      |    CAST(sum(dcb) OVER w AS BIGINT) AS conv_b
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY seg ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |r AS (SELECT *,
+      |    CASE WHEN n_a = 0 THEN 0 ELSE (1000000 * conv_a) // n_a END AS rate_a_ppm,
+      |    CASE WHEN n_b = 0 THEN 0 ELSE (1000000 * conv_b) // n_b END AS rate_b_ppm
+      |  FROM cum WHERE n_a + n_b > 0)
+      |SELECT CAST(day AS BIGINT) AS day, seg, n_a, n_b, conv_a, conv_b,
+      |  rate_a_ppm, rate_b_ppm, rate_b_ppm - rate_a_ppm AS uplift_ppm
+      |FROM r ORDER BY day, seg""".stripMargin
+
   // ---------------------------------------------- live quantile sketch
   case class QuantEv(day: Long, cents: Long)
   case class QuantOut(day: Long, n_events: Long,
@@ -2769,6 +2951,7 @@ object EventStreams {
     "stream_hll_registers" -> streamHllRegisters,
     "stream_dau" -> streamDau,
     "stream_ab_lift" -> streamAbLift,
+    "stream_uplift" -> streamUplift,
     "stream_funnel" -> streamFunnel,
     "stream_drift" -> streamDrift,
     "stream_pack" -> streamPack,
@@ -2816,6 +2999,7 @@ object EventStreams {
     "stream_hll_registers" -> streamHllRegistersSql,
     "stream_dau" -> streamDauSql,
     "stream_ab_lift" -> streamAbLiftSql,
+    "stream_uplift" -> streamUpliftSql,
     "stream_funnel" -> streamFunnelSql,
     "stream_drift" -> streamDriftSql,
     "stream_pack" -> streamPackSql,

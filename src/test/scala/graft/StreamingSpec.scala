@@ -1143,6 +1143,62 @@ class StreamingSpec extends SparkSpec {
       "end-day lift/z diverge from events_ab_lift")
   }
 
+  test("streamed uplift monitor deltas accumulate to the stream_uplift face per closed day") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (u, id, us, ty) => EventStreams.UpEv(u, id, us, ty) }
+    val byDay = evs.groupBy(_.us / 86400000000L).toSeq.sortBy(_._1)
+    val face = EventStreams.streamUplift(spark, sf)
+      .select("day", "seg", "n_a", "n_b", "conv_a", "conv_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val mem = MemoryStream[EventStreams.UpEv]
+    val q = EventStreams.upliftStream(mem.toDS())
+      .writeStream.format("memory").queryName("uplift_live")
+      .outputMode("append").start()
+    try {
+      var checked = 0
+      byDay.foreach { case (d, rows) =>
+        mem.addData(rows.toSeq: _*); q.processAllAvailable()
+        // running sums of the deltas per segment ARE the counters
+        val deltas = spark
+          .sql("SELECT seg, armn, d_users, d_conv FROM uplift_live")
+          .as[(Long, Long, Long, Long)].collect()
+        val live = deltas.groupBy(_._1).map { case (seg, ds) =>
+          seg -> (ds.filter(_._2 == 0L).map(_._3).sum,
+            ds.filter(_._2 == 1L).map(_._3).sum,
+            ds.filter(_._2 == 0L).map(_._4).sum,
+            ds.filter(_._2 == 1L).map(_._4).sum)
+        }
+        // the face's latest closed-day row per segment
+        val faceAt = face.filter(_._1 <= d).groupBy(_._2)
+          .map { case (seg, rs) => seg -> rs.maxBy(_._1) }
+        faceAt.foreach { case (seg, r) =>
+          assert(live.get(seg).contains((r._3, r._4, r._5, r._6)),
+            s"closed day $d seg $seg: face (${r._3},${r._4},${r._5},${r._6}) " +
+              s"vs live ${live.get(seg)}")
+          checked += 1
+        }
+      }
+      assert(checked > 0, "no face rows ever checked")
+    } finally q.stop()
+    // the end-of-window per-segment CONVERSION counts equal
+    // events_uplift's exactly (a conversion implies in-window activity,
+    // so both denominations see the same converters); segments the live
+    // face never saw must be conversion-free in the batch readout
+    val endDay = face.map(_._1).max
+    val faceEnd = face.filter(_._1 == endDay).map(r => r._2 -> (r._5, r._6)).toMap
+    val batch = graft.operators.Analytics.eventsUplift(spark, sf)
+      .select("seg", "conv_a", "conv_b")
+      .as[(Long, Long, Long)].collect()
+    batch.foreach { case (seg, ca, cb) =>
+      assert(faceEnd.getOrElse(seg, (0L, 0L)) == ((ca, cb)),
+        s"seg $seg: end-day conversions diverge from events_uplift ($ca,$cb)")
+    }
+  }
+
   test("streamed decayed bandit equals the batch HOF fold at daily cadence") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.BanditEv
