@@ -579,6 +579,74 @@ object Dedup {
        |ORDER BY n_bands""".stripMargin
   }
 
+  // ------------------------------------------------- banding planner
+  /** Serving-policy planner for the BANDING dial (r18 — the SLO
+    * symmetry `ann_probe_plan` / `ann_beam_plan` give the two ANN
+    * dials, applied to dedup's one dial: [[dedupLshCurve]] measures
+    * recall-vs-candidates per banding config, but no face picked the
+    * cheapest banding for a recall target). For each recall target
+    * {70, 80, 90, 95 %} the planner picks the CHEAPEST config whose
+    * measured truth-recall meets the target — cheapest by
+    * `n_candidates`, the verify-leg cost the recall buys (unlike the
+    * ANN dials, cost is not monotone in the config id, so the planner
+    * ranks by the measured candidate volume itself); an unreachable
+    * target degrades to the best available recall (max recall, then
+    * min candidates) with `reached` = 0. The ledger carries the chosen
+    * config's banding, recall, candidate volume and exact-ppm
+    * precision (verified / candidates) — the full cost/quality frame
+    * of the pick.
+    *
+    * == Scale design ==
+    * The expensive part IS the curve (already a registered face: one
+    * signature fold, four re-bandings); the planning join is 4 targets
+    * × 4 curve rows of broadcast window math — free at any scale.
+    */
+  def dedupLshPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val curve = dedupLshCurve(s, dir)
+      .select(col("n_bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_verified"), col("recall_ppm"))
+    val targets = Seq(700000L, 800000L, 900000L, 950000L).toDF("target_ppm")
+    val w = Window.partitionBy(col("target_ppm")).orderBy(
+      (col("recall_ppm") >= col("target_ppm")).desc,
+      when(col("recall_ppm") >= col("target_ppm"), col("n_candidates"))
+        .otherwise(lit(1000000L) - col("recall_ppm")).asc,
+      col("n_candidates").asc, col("n_bands").asc)
+    broadcast(targets).crossJoin(curve)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("target_ppm"), col("n_bands"), col("rows_per_band"),
+        col("recall_ppm"), col("n_candidates"),
+        expr("1000000 * n_verified div greatest(n_candidates, 1)")
+          .as("precision_ppm"),
+        (col("recall_ppm") >= col("target_ppm")).cast("long").as("reached"))
+      .orderBy(col("target_ppm"))
+  }
+
+  /** DuckDB twin: the full banding-curve statement as a subquery, the
+    * same reached-first / cheapest-candidates ranking. */
+  lazy val dedupLshPlanSql: String =
+    s"""WITH curve AS (SELECT n_bands, rows_per_band, n_candidates, n_verified,
+       |    recall_ppm FROM (
+       |$dedupLshCurveSql
+       |)),
+       |tg(target_ppm) AS (VALUES (700000), (800000), (900000), (950000)),
+       |r AS (SELECT tg.target_ppm, c.n_bands, c.rows_per_band, c.recall_ppm,
+       |    c.n_candidates,
+       |    1000000 * c.n_verified // greatest(c.n_candidates, 1) AS precision_ppm,
+       |    CASE WHEN c.recall_ppm >= tg.target_ppm THEN 1 ELSE 0 END AS reached,
+       |    row_number() OVER (PARTITION BY tg.target_ppm ORDER BY
+       |      CASE WHEN c.recall_ppm >= tg.target_ppm THEN 1 ELSE 0 END DESC,
+       |      CASE WHEN c.recall_ppm >= tg.target_ppm THEN c.n_candidates
+       |        ELSE 1000000 - c.recall_ppm END ASC,
+       |      c.n_candidates ASC, c.n_bands ASC) AS rk
+       |  FROM tg CROSS JOIN curve c)
+       |SELECT CAST(target_ppm AS BIGINT) AS target_ppm, n_bands, rows_per_band,
+       |  recall_ppm, n_candidates, CAST(precision_ppm AS BIGINT) AS precision_ppm,
+       |  CAST(reached AS BIGINT) AS reached
+       |FROM r WHERE rk = 1 ORDER BY target_ppm""".stripMargin
+
   // ---------------------------------------------- b-bit minhash fidelity
   /** b-bit MinHash fidelity ledger (r14 wave 19, Li & König 2010) —
     * the storage-dial evidence beside [[dedupLshCurve]]'s banding
@@ -2419,6 +2487,7 @@ object Dedup {
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_threshold_curve" -> dedupThresholdCurve,
     "dedup_lsh_curve" -> dedupLshCurve,
+    "dedup_lsh_plan" -> dedupLshPlan,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_recall_eval" -> dedupRecallEval,
     "dedup_simhash" -> dedupSimhash,
@@ -2517,6 +2586,7 @@ object Dedup {
     "dedup_edit_distance" -> dedupEditDistanceSql,
     "dedup_threshold_curve" -> dedupThresholdCurveSql,
     "dedup_lsh_curve" -> dedupLshCurveSql,
+    "dedup_lsh_plan" -> dedupLshPlanSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_recall_eval" -> dedupRecallEvalSql,

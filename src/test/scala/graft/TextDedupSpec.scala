@@ -2825,6 +2825,38 @@ class TextDedupSpec extends SparkSpec {
       "curve's 8x4 verified count drifted from the production face")
   }
 
+  test("dedup_lsh_plan picks the cheapest-candidates reached config, degrades honestly") {
+    import spark.implicits._
+    val curve = Dedup.dedupLshCurve(spark, sfMid)
+      .select("n_bands", "rows_per_band", "n_candidates", "n_verified", "recall_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val expected = Seq(700000L, 800000L, 900000L, 950000L).map { t =>
+      val reached = curve.filter(_._5 >= t)
+      val pick =
+        if (reached.nonEmpty) reached.minBy(c => (c._3, c._1))
+        else curve.maxBy(c => (c._5, -c._3, -c._1))
+      (t, pick._1, pick._2, pick._5, pick._3,
+        1000000L * pick._4 / math.max(pick._3, 1L),
+        if (pick._5 >= t) 1L else 0L)
+    }
+    val got = Dedup.dedupLshPlan(spark, sfMid)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, "banding plan drifted from the curve replay")
+    // a degraded target must carry the curve's best recall and admit it
+    got.filter(_._7 == 0L).foreach { r =>
+      assert(r._4 == curve.map(_._5).max, "degraded row must fall to best recall")
+      assert(r._4 < r._1, "a degraded row claiming to meet its target")
+    }
+    // the SLO dial buys recall with candidates: a harder reached target
+    // never picks a CHEAPER candidate volume
+    val reachedRows = got.filter(_._7 == 1L)
+    reachedRows.sliding(2).foreach {
+      case Seq(a, b) => assert(a._5 <= b._5,
+        "harder target picked a cheaper candidate volume")
+      case _ =>
+    }
+  }
+
   test("rendezvous resharding moves a seventeenth where modular moves all") {
     import spark.implicits._
     val rows = Curate.corpusShardsRendezvous(spark, sfMid)
