@@ -857,6 +857,164 @@ object Geo {
        |FROM seq JOIN digj dig ON dig.dkey = seq.dkey
        |ORDER BY frame_seq""".stripMargin
 
+  // -------------------------------------------- incremental job manifest
+  /** Incremental MANIFEST maintenance (r18 — [[pipelineJobBuild]]'s
+    * delta twin, and the accounting [[pipelineFrameIncremental]] cannot
+    * see: that face proves only TOUCHED frames re-render, but the job's
+    * final artifact is the ordered manifest, and its cumulative offsets
+    * make incremental assembly structurally worse than incremental
+    * rendering — one touched frame shifts `cum_points` for EVERY later
+    * frame, so the encoder must re-emit the whole suffix. This ledger
+    * quantifies that amplification: the late batch (event_id ≡ 0 mod
+    * 10, the family's delta convention) lands on the standing manifest,
+    * and per after-frame the row carries both legs' point counts, the
+    * delta, `touched` (delta landed on the frame), `digest_changed`
+    * (the re-render actually changed the RGB digest — a delta CAN
+    * re-rank eq-hist to the same shades), `offsets_shifted` (the
+    * frame's sequence number or cumulative offset moved), `rewrite`
+    * (any of the three — the rows the encoder re-emits), and the
+    * constant totals. `frames_rewritten` ≥ `frames_touched` is the
+    * structural lesson: rewrite is a SUFFIX from the first touched
+    * frame (spec-pinned), which is why real encoder manifests version
+    * offsets per chunk instead of globally.
+    *
+    * == Scale design ==
+    * ONE corpus scan folds map-side onto the bounded (day, px, py)
+    * relation carrying both leg counts (at 100 TB the standing leg is
+    * the persisted raster table and only the delta is scanned);
+    * affected days broadcast, ONLY touched frames render (both legs,
+    * canvas-bounded × affected days — untouched frames keep their
+    * digest by construction and are never re-shaded); the two manifest
+    * legs are O(days) windows on the day ledger.
+    */
+  def pipelineJobIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    val inb = col("x") >= X0 && col("x") <= X1 && col("y") >= Y0 && col("y") <= Y1
+    val r = points(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("dkey"),
+        (pmod(col("event_id"), lit(10)) === 0).cast("long").as("d"), mercX, mercY)
+      .filter(inb)
+      .select(col("dkey"), col("d"),
+        least(floor((col("x") - X0) / (X1 - X0) * W), lit(W - 1))
+          .cast("long").as("px"),
+        least(floor((col("y") - Y0) / (Y1 - Y0) * H), lit(H - 1))
+          .cast("long").as("py"))
+      .groupBy(col("dkey"), col("px"), col("py"))
+      .agg(sum(lit(1L) - col("d")).as("cb"), count(lit(1)).as("ca"),
+        sum(col("d")).as("cd"))
+      .stableCheckpoint()
+    val aff = r.filter(col("cd") > 0).select(col("dkey")).distinct()
+    val rAff = r.join(broadcast(aff), Seq("dkey"))
+    val digB = frameRender(rAff.filter(col("cb") > 0)
+        .select(col("dkey"), col("px"), col("py"), col("cb").as("cnt")))
+      .select(col("dkey"), col("rgb_digest").as("dig_b"))
+    val digA = frameRender(rAff
+        .select(col("dkey"), col("px"), col("py"), col("ca").as("cnt")))
+      .select(col("dkey"), col("rgb_digest").as("dig_a"))
+    val days = r.groupBy(col("dkey")).agg(
+      sum(col("cb")).as("nb"), sum(col("ca")).as("na"), sum(col("cd")).as("nd"))
+    val wRun = Window.orderBy(col("dkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val before = days.filter(col("nb") > 0)
+      .select(col("dkey"),
+        row_number().over(Window.orderBy(col("dkey"))).cast("long").as("seq_b"),
+        sum(col("nb")).over(wRun).as("cum_b"))
+    val after = days
+      .select(col("dkey"), col("nb"), col("na"), col("nd"),
+        row_number().over(Window.orderBy(col("dkey"))).cast("long").as("seq_a"),
+        sum(col("na")).over(wRun).as("cum_a"))
+    val led = after
+      .join(before, Seq("dkey"), "left_outer")
+      .join(digB, Seq("dkey"), "left_outer")
+      .join(digA, Seq("dkey"), "left_outer")
+      .withColumn("touched", (col("nd") > 0).cast("long"))
+      .withColumn("digest_changed",
+        when(col("nd") > 0, coalesce(col("dig_b"), lit(-1L)) =!= col("dig_a"))
+          .otherwise(lit(false)).cast("long"))
+      .withColumn("offsets_shifted",
+        (col("seq_b").isNull || col("seq_b") =!= col("seq_a") ||
+          col("cum_b") =!= col("cum_a")).cast("long"))
+      .withColumn("rewrite",
+        greatest(col("touched"), col("digest_changed"), col("offsets_shifted")))
+    val tot = led.agg(count(lit(1)).as("frames_total"),
+      sum(col("touched")).as("frames_touched"),
+      sum(col("rewrite")).as("frames_rewritten"))
+    led.crossJoin(broadcast(tot))
+      .select(col("seq_a").as("frame_seq"),
+        expr("date_format(date_add(DATE'1970-01-01', CAST(dkey AS INT)), 'yyyy-MM-dd')")
+          .as("frame_day"),
+        col("nb").as("n_points_before"), col("na").as("n_points_after"),
+        col("nd").as("delta_points"), col("touched"), col("digest_changed"),
+        col("offsets_shifted"), col("rewrite"),
+        col("frames_total"), col("frames_touched"), col("frames_rewritten"))
+      .orderBy(col("frame_seq"))
+  }
+
+  /** DuckDB twin: the two-leg cell fold, affected days, [[renderSql]]
+    * per leg on touched frames only, both manifest windows, the same
+    * rewrite ledger. */
+  val pipelineJobIncrementalSql: String =
+    s"""WITH $pointsCte, $mercCte,
+       |pr AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS dkey,
+       |    CAST(least(floor((x - ($X0)) / (${X1 - X0}) * $W), ${W - 1}) AS BIGINT) AS px,
+       |    CAST(least(floor((y - ($Y0)) / (${Y1 - Y0}) * $H), ${H - 1}) AS BIGINT) AS py,
+       |    CAST(sum(CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cb,
+       |    count(*) AS ca,
+       |    CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cd
+       |  FROM merc
+       |  WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
+       |  GROUP BY 1, 2, 3),
+       |aff AS (SELECT DISTINCT dkey FROM pr WHERE cd > 0),
+       |rb AS (SELECT dkey, px, py, cb AS cnt FROM pr JOIN aff USING (dkey)
+       |  WHERE cb > 0),
+       |ra AS (SELECT dkey, px, py, ca AS cnt FROM pr JOIN aff USING (dkey)),
+       |off AS (SELECT o1.d AS dx, o2.d AS dy
+       |  FROM (SELECT unnest(range(-1, 2)) AS d) o1
+       |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS d) o2),
+       |${renderSql("rb", "b")},
+       |${renderSql("ra", "a")},
+       |d AS (SELECT dkey, CAST(sum(cb) AS BIGINT) AS nb,
+       |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cd) AS BIGINT) AS nd
+       |  FROM pr GROUP BY 1),
+       |bm AS (SELECT dkey,
+       |    CAST(row_number() OVER (ORDER BY dkey) AS BIGINT) AS seq_b,
+       |    CAST(sum(nb) OVER (ORDER BY dkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+       |  FROM d WHERE nb > 0),
+       |am AS (SELECT dkey, nb, na, nd,
+       |    CAST(row_number() OVER (ORDER BY dkey) AS BIGINT) AS seq_a,
+       |    CAST(sum(na) OVER (ORDER BY dkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a
+       |  FROM d),
+       |led AS (SELECT am.*, bm.seq_b, bm.cum_b, db.rgb_digest AS dig_b,
+       |    da.rgb_digest AS dig_a
+       |  FROM am LEFT JOIN bm USING (dkey)
+       |  LEFT JOIN digb db ON db.dkey = am.dkey
+       |  LEFT JOIN diga da ON da.dkey = am.dkey),
+       |l2 AS (SELECT *,
+       |    CASE WHEN nd > 0 THEN 1 ELSE 0 END AS touched,
+       |    CASE WHEN nd > 0 AND COALESCE(dig_b, -1) <> dig_a
+       |      THEN 1 ELSE 0 END AS digest_changed,
+       |    CASE WHEN seq_b IS NULL OR seq_b <> seq_a OR cum_b <> cum_a
+       |      THEN 1 ELSE 0 END AS offsets_shifted
+       |  FROM led),
+       |l3 AS (SELECT *,
+       |    greatest(touched, digest_changed, offsets_shifted) AS rewrite
+       |  FROM l2),
+       |tot AS (SELECT count(*) AS frames_total,
+       |    CAST(sum(touched) AS BIGINT) AS frames_touched,
+       |    CAST(sum(rewrite) AS BIGINT) AS frames_rewritten
+       |  FROM l3)
+       |SELECT seq_a AS frame_seq,
+       |  strftime(DATE '1970-01-01' + CAST(dkey AS INT), '%Y-%m-%d') AS frame_day,
+       |  nb AS n_points_before, na AS n_points_after, nd AS delta_points,
+       |  CAST(touched AS BIGINT) AS touched,
+       |  CAST(digest_changed AS BIGINT) AS digest_changed,
+       |  CAST(offsets_shifted AS BIGINT) AS offsets_shifted,
+       |  CAST(rewrite AS BIGINT) AS rewrite,
+       |  frames_total, frames_touched, frames_rewritten
+       |FROM l3 CROSS JOIN tot
+       |ORDER BY frame_seq""".stripMargin
+
   // --------------------------------------------------------- Z-order
   /** 16-bit Morton spread: interleave-ready bit expansion via the
     * classic shift-or-mask ladder — pure codegen'd integer ops, and the
@@ -1462,6 +1620,7 @@ object Geo {
     "pipeline_frame_build" -> pipelineFrameBuild,
     "pipeline_frame_incremental" -> pipelineFrameIncremental,
     "pipeline_job_build" -> pipelineJobBuild,
+    "pipeline_job_incremental" -> pipelineJobIncremental,
     "geo_spread" -> geoSpread,
     "geo_shade_eqhist" -> geoShadeEqhist,
     "geo_shade_rgb" -> geoShadeRgb,
@@ -1482,6 +1641,7 @@ object Geo {
     "pipeline_frame_build" -> pipelineFrameBuildSql,
     "pipeline_frame_incremental" -> pipelineFrameIncrementalSql,
     "pipeline_job_build" -> pipelineJobBuildSql,
+    "pipeline_job_incremental" -> pipelineJobIncrementalSql,
     "geo_spread" -> geoSpreadSql,
     "geo_shade_eqhist" -> geoShadeEqhistSql,
     "geo_shade_rgb" -> geoShadeRgbSql,

@@ -108,6 +108,50 @@ class GeoSpec extends SparkSpec {
       s"frame ${j._2}: digest ${j._8} != pipeline_frame_build ${dig(j._2)}"))
   }
 
+  test("pipeline_job_incremental: suffix-rewrite amplification, legs tied to the build faces") {
+    val led = Geo.pipelineJobIncremental(spark, sf).collect()
+      .map(r => (r.getAs[Long]("frame_seq"), r.getAs[String]("frame_day"),
+        r.getAs[Long]("n_points_before"), r.getAs[Long]("n_points_after"),
+        r.getAs[Long]("delta_points"), r.getAs[Long]("touched"),
+        r.getAs[Long]("digest_changed"), r.getAs[Long]("offsets_shifted"),
+        r.getAs[Long]("rewrite"), r.getAs[Long]("frames_total"),
+        r.getAs[Long]("frames_touched"), r.getAs[Long]("frames_rewritten")))
+    // after-leg == pipeline_job_build's manifest, frame for frame
+    val job = Geo.pipelineJobBuild(spark, sf).collect()
+      .map(r => (r.getAs[Long]("frame_seq"), r.getAs[String]("frame_day"),
+        r.getAs[Long]("n_points")))
+    assert(led.map(l => (l._1, l._2, l._4)).toSeq == job.toSeq,
+      "after-leg manifest diverged from pipeline_job_build")
+    // before-leg replayed from raw events: in-bbox non-delta counts
+    val beforeCnt = Geo.geoBboxFilter(spark, sf)
+      .join(graft.sources.Tables.load(spark, sf, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts")), "event_id")
+      .filter(col("event_id") % 10 =!= 0)
+      .groupBy(expr("date_format(ts, 'yyyy-MM-dd')").as("frame_day"))
+      .count().as[(String, Long)].collect().toMap
+    led.foreach(l => assert(beforeCnt.getOrElse(l._2, 0L) == l._3,
+      s"frame ${l._2}: before-leg ${l._3} != replay ${beforeCnt.getOrElse(l._2, 0L)}"))
+    // leg identity and flag containment
+    led.foreach { l =>
+      assert(l._4 == l._3 + l._5, "after = before + delta per frame")
+      assert(l._6 == (if (l._5 > 0) 1L else 0L), "touched flag")
+      assert(l._7 <= l._6, "digest_changed must imply touched")
+      assert(l._9 == Seq(l._6, l._7, l._8).max, "rewrite composition")
+    }
+    // the structural lesson: rewrite is a SUFFIX from the first touched
+    // frame — cumulative offsets invalidate every later manifest row
+    val flags = led.sortBy(_._1).map(_._9).toSeq
+    assert(!flags.sliding(2).exists { case Seq(a, b) => a == 1L && b == 0L
+      case _ => false }, "rewrite must be monotone once set")
+    val firstTouched = led.sortBy(_._1).find(_._6 == 1L).map(_._1)
+    val (total, touched, rewritten) = (led.head._10, led.head._11, led.head._12)
+    assert(led.forall(l => l._10 == total && l._11 == touched && l._12 == rewritten))
+    firstTouched.foreach(ft =>
+      assert(rewritten == total - ft + 1, "rewritten != suffix from first touched"))
+    assert(rewritten >= touched, "the amplification the ledger exists to show")
+    assert(touched == led.count(_._6 == 1L) && rewritten == led.count(_._9 == 1L))
+  }
+
   test("layout_skipping_eval: consistent accounting, and z-order prunes the corner boxes harder") {
     val rows = Geo.layoutSkippingEval(spark, sfMid)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()

@@ -743,6 +743,18 @@ class PlanShapeSpec extends SparkSpec {
       s"canvas-bounded lookups must broadcast:\n$plan")
   }
 
+  test("pipeline_job_incremental: rides the checkpointed two-leg fold, broadcast-only") {
+    val plan = planOf(operators.Geo.pipelineJobIncremental(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"composed stages must ride the materialized cell relation:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"expected the checkpointed cell relation:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product in the composition:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"canvas-bounded lookups must broadcast:\n$plan")
+  }
+
   test("ann_graph_search walks the persisted edge table, never rebuilds the graph") {
     val plan = planOf(operators.Similarity.annGraphSearch(spark, sf))
     // the index artifact contract: the beam walk's edge relation is a
