@@ -1419,7 +1419,96 @@ object Maintain {
       |      UNION ALL SELECT 'orders_customer', * FROM e2)
       |ORDER BY fk_edge""".stripMargin
 
+  // ------------------------------------------------- retention planner
+  /** TTL retention planner (r18 — the deletion face of the maintenance
+    * family: [[tableVacuumPlan]] reclaims files a rewrite orphaned,
+    * [[compactionPlan]] packs small files; neither answers the
+    * compliance question a 100 TB event table asks weekly: "expire
+    * everything older than the TTL — what does that COST?"). Against a
+    * mid-day cut (2024-01-10 12:00, deliberately intra-partition so
+    * the plan always contains the hard case) the planner classifies
+    * every day partition: `drop` (wholly expired — a metadata-only
+    * partition drop, the cheap path), `keep` (wholly live — untouched),
+    * `rewrite` (straddles the cut — the only partition that needs
+    * row-level deletes, paying a copy of every SURVIVING row). The
+    * per-partition ledger carries row/expired/live counts and the
+    * action; the constant columns carry the plan totals and
+    * `rewrite_amp_ppm` — surviving rows copied per expired row deleted
+    * in rewrite partitions, the number that justifies partitioning ON
+    * the retention column (amp → 0 as the cut aligns with boundaries).
+    *
+    * == Scale design ==
+    * ONE fact scan folds map-side to the O(days) (day, expired?) ledger
+    * — the classification, totals and amplification are all window/agg
+    * math on that bounded relation. The drop set never reads row data
+    * at deploy time (partition pruning IS the plan's cheap path), and
+    * the single rewrite partition bounds the row-level work to one
+    * day's data regardless of corpus age.
+    */
+  def tableRetentionPlan(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-10 12:00:00").cast("timestamp")
+    val perDay = Tables.load(s, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("ts") < cut).cast("long").as("exp"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("exp")).as("n_expired"))
+      .withColumn("n_live", col("n_rows") - col("n_expired"))
+      .withColumn("action",
+        when(col("n_expired") === col("n_rows"), "drop")
+          .when(col("n_expired") === 0L, "keep").otherwise("rewrite"))
+    val tot = perDay.agg(
+      count(lit(1)).as("partitions_total"),
+      sum(when(col("action") === "drop", 1L).otherwise(0L)).as("n_drop"),
+      sum(when(col("action") === "rewrite", 1L).otherwise(0L)).as("n_rewrite"),
+      sum(when(col("action") === "drop", col("n_rows")).otherwise(0L))
+        .as("rows_freed_by_drop"),
+      sum(when(col("action") === "rewrite", col("n_expired")).otherwise(0L))
+        .as("rows_deleted_in_rewrite"),
+      sum(when(col("action") === "rewrite", col("n_live")).otherwise(0L))
+        .as("rows_copied_in_rewrite"))
+      .withColumn("rewrite_amp_ppm",
+        expr("1000000 * rows_copied_in_rewrite div greatest(rows_deleted_in_rewrite, 1)"))
+    perDay.crossJoin(broadcast(tot))
+      .select(col("day"),
+        expr("date_format(date_add(DATE'1970-01-01', CAST(day AS INT)), 'yyyy-MM-dd')")
+          .as("partition_day"),
+        col("n_rows"), col("n_expired"), col("n_live"), col("action"),
+        col("partitions_total"), col("n_drop"), col("n_rewrite"),
+        col("rows_freed_by_drop"), col("rows_deleted_in_rewrite"),
+        col("rows_copied_in_rewrite"), col("rewrite_amp_ppm"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: same day fold, classification and plan totals. */
+  val tableRetentionPlanSql: String =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-10 12:00:00'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_expired
+      |  FROM events GROUP BY 1),
+      |c AS (SELECT *, n_rows - n_expired AS n_live,
+      |    CASE WHEN n_expired = n_rows THEN 'drop'
+      |         WHEN n_expired = 0 THEN 'keep' ELSE 'rewrite' END AS action
+      |  FROM d),
+      |t AS (SELECT count(*) AS partitions_total,
+      |    CAST(sum(CASE WHEN action = 'drop' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop,
+      |    CAST(sum(CASE WHEN action = 'rewrite' THEN 1 ELSE 0 END) AS BIGINT) AS n_rewrite,
+      |    CAST(sum(CASE WHEN action = 'drop' THEN n_rows ELSE 0 END) AS BIGINT) AS rows_freed_by_drop,
+      |    CAST(sum(CASE WHEN action = 'rewrite' THEN n_expired ELSE 0 END) AS BIGINT) AS rows_deleted_in_rewrite,
+      |    CAST(sum(CASE WHEN action = 'rewrite' THEN n_live ELSE 0 END) AS BIGINT) AS rows_copied_in_rewrite
+      |  FROM c)
+      |SELECT CAST(day AS BIGINT) AS day,
+      |  strftime(DATE '1970-01-01' + CAST(day AS INT), '%Y-%m-%d') AS partition_day,
+      |  n_rows, n_expired, n_live, action,
+      |  partitions_total, n_drop, n_rewrite, rows_freed_by_drop,
+      |  rows_deleted_in_rewrite, rows_copied_in_rewrite,
+      |  1000000 * rows_copied_in_rewrite // greatest(rows_deleted_in_rewrite, 1)
+      |    AS rewrite_amp_ppm
+      |FROM c CROSS JOIN t ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_retention_plan" -> tableRetentionPlan,
     "merge_upsert" -> mergeUpsert,
     "merge_delete" -> mergeDelete,
     "dim_scd2" -> dimScd2,
@@ -1442,6 +1531,7 @@ object Maintain {
     "dq_referential" -> dqReferential)
 
   val oracles: Map[String, String] = Map(
+    "table_retention_plan" -> tableRetentionPlanSql,
     "merge_upsert" -> mergeUpsertSql,
     "merge_delete" -> mergeDeleteSql,
     "dim_scd2" -> dimScd2Sql,

@@ -72,6 +72,48 @@ class MaintainSpec extends SparkSpec {
     assert(diff.forall(r => Set("U", "D", "I").contains(r._4)))
   }
 
+  test("table_retention_plan: classification replay, one straddler, amplification identity") {
+    val got = Maintain.tableRetentionPlan(spark, sf).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_expired"), r.getAs[Long]("n_live"),
+        r.getAs[String]("action"), r.getAs[Long]("partitions_total"),
+        r.getAs[Long]("n_drop"), r.getAs[Long]("n_rewrite"),
+        r.getAs[Long]("rows_freed_by_drop"),
+        r.getAs[Long]("rows_deleted_in_rewrite"),
+        r.getAs[Long]("rows_copied_in_rewrite"),
+        r.getAs[Long]("rewrite_amp_ppm")))
+    // replay from raw events against the same mid-day cut
+    val cutUs = java.time.LocalDateTime.of(2024, 1, 10, 12, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val evs = Tables.load(spark, sf, "events")
+      .select(unix_micros(col("ts").cast("timestamp"))).as[Long].collect()
+    val byDay = evs.groupBy(_ / 86400000000L).view
+      .mapValues(us => (us.length.toLong, us.count(_ < cutUs).toLong)).toMap
+    assert(got.map(_._1).toSet == byDay.keySet)
+    got.foreach { r =>
+      val (n, e) = byDay(r._1)
+      assert((r._2, r._3, r._4) == ((n, e, n - e)), s"day ${r._1} counts")
+      val want = if (e == n) "drop" else if (e == 0) "keep" else "rewrite"
+      assert(r._5 == want, s"day ${r._1}: action ${r._5} != $want")
+    }
+    // the intra-day cut guarantees the hard case exists and is unique:
+    // drops strictly before it, keeps strictly after
+    val rewrites = got.filter(_._5 == "rewrite")
+    assert(rewrites.length == 1, "exactly one straddling partition")
+    val rd = rewrites.head._1
+    assert(got.filter(_._5 == "drop").forall(_._1 < rd))
+    assert(got.filter(_._5 == "keep").forall(_._1 > rd))
+    // plan totals and the amplification identity
+    val h = got.head
+    assert(h._6 == got.length && h._7 == got.count(_._5 == "drop") &&
+      h._8 == 1L)
+    assert(h._9 == got.filter(_._5 == "drop").map(_._2).sum)
+    assert(h._10 == rewrites.head._3 && h._11 == rewrites.head._4)
+    assert(h._12 == 1000000L * h._11 / math.max(h._10, 1L))
+    assert(got.forall(r => (r._6, r._7, r._8, r._9, r._10, r._11, r._12) ==
+      ((h._6, h._7, h._8, h._9, h._10, h._11, h._12))), "constants must be constant")
+  }
+
   test("table_profile matches a direct per-column recompute") {
     val rows = Maintain.tableProfile(spark, sf)
       .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
