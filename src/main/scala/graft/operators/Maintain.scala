@@ -1419,6 +1419,134 @@ object Maintain {
       |      UNION ALL SELECT 'orders_customer', * FROM e2)
       |ORDER BY fk_edge""".stripMargin
 
+  // -------------------------------------------- incremental compaction
+  /** Incremental re-compaction ledger (r18 — [[compactionPlan]]'s
+    * delta face, and the Maintain-family instance of the lesson
+    * `pipeline_job_incremental` proves for manifests: GLOBALLY
+    * byte-packed layouts are hostile to growth). A delta batch
+    * (doc_id ≡ 0 mod 10, the family's convention) lands on the
+    * standing corpus; the standing layout was packed with the
+    * before-corpus target (frozen here, as real systems freeze their
+    * file-size target — the plan face's adaptive total÷16 would
+    * re-pack everything unconditionally and hide the effect); the
+    * after-corpus re-packs with the SAME target, and the ledger diffs
+    * the two layouts file by file: group/doc/byte totals and fill per
+    * after-file, `groups_moved_in`, and `rewritten` — the file's group
+    * SET changed (order-independent group-hash digest + byte total +
+    * group count compared across legs), i.e. the file a compactor must
+    * physically rewrite. The constants carry the amplification:
+    * `files_rewritten` ≫ files-the-delta-touched, because every grown
+    * group shifts the cumulative byte offsets of every LATER group —
+    * which is exactly why production compactors pack per partition,
+    * not globally (the spec pins prefix preservation: files wholly
+    * before the first grown group never rewrite).
+    *
+    * == Scale design ==
+    * ONE corpus scan folds both legs' byte/doc totals per (source,
+    * lang) map-side (the bounded group relation, ≪ docs); both
+    * packings are windows ON that relation; the file ledgers and the
+    * diff are O(files). At 100 TB the group ledger is the table's
+    * stats file, and this plan never touches row data.
+    */
+  def compactionIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val gh = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(col("source"), lit("|"), col("lang"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val ord = Window.orderBy(col("source"), col("lang"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val packed = Tables.load(s, dir, "documents")
+      .withColumn("d", (pmod(col("doc_id"), lit(10)) === 0).cast("long"))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(when(col("d") === 0L, col("n_chars")).otherwise(0L)).as("bytes_b"),
+        sum(col("n_chars")).as("bytes_a"),
+        sum(lit(1L) - col("d")).as("docs_b"), count(lit(1)).as("docs_a"))
+      .withColumn("ghash", gh)
+      .withColumn("cum_b", coalesce(sum(col("bytes_b")).over(prev), lit(0L)))
+      .withColumn("cum_a", coalesce(sum(col("bytes_a")).over(prev), lit(0L)))
+      .withColumn("total_b", sum(col("bytes_b")).over(wAll))
+      .withColumn("target", greatest(lit(65536L), expr("(total_b + 15) div 16")))
+      .withColumn("file_b", when(col("docs_b") > 0, expr("cum_b div target")))
+      .withColumn("file_a", expr("cum_a div target"))
+    val beforeF = packed.filter(col("docs_b") > 0)
+      .groupBy(col("file_b").as("file_id"))
+      .agg(sum(col("ghash")).as("dig_b"), sum(col("bytes_b")).as("bytes_bf"),
+        count(lit(1)).as("groups_bf"))
+    val afterF = packed.groupBy(col("file_a").as("file_id"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("docs_a")).as("n_docs"),
+        sum(col("bytes_a")).as("bytes"), sum(col("ghash")).as("dig_a"),
+        sum(when(col("file_b").isNull || col("file_b") =!= col("file_a"), 1L)
+          .otherwise(0L)).as("groups_moved_in"),
+        max(col("target")).as("target"))
+    val led = afterF.join(broadcast(beforeF), Seq("file_id"), "left_outer")
+      .withColumn("fill_ppm", expr("(bytes * 1000000) div target"))
+      .withColumn("rewritten",
+        (col("dig_b").isNull || col("dig_a") =!= col("dig_b") ||
+          col("bytes") =!= col("bytes_bf") ||
+          col("n_groups") =!= col("groups_bf")).cast("long"))
+    val delta = packed.agg(
+      sum(col("docs_a") - col("docs_b")).as("delta_docs"),
+      sum(col("bytes_a") - col("bytes_b")).as("delta_bytes"))
+    val tot = led.agg(count(lit(1)).as("files_total"),
+      sum(col("rewritten")).as("files_rewritten"))
+    led.crossJoin(broadcast(tot)).crossJoin(broadcast(delta))
+      .select(col("file_id"), col("n_groups"), col("n_docs"), col("bytes"),
+        col("fill_ppm"), col("groups_moved_in"), col("rewritten"),
+        col("files_total"), col("files_rewritten"),
+        col("delta_docs"), col("delta_bytes"))
+      .orderBy(col("file_id"))
+  }
+
+  /** DuckDB twin: the same two-leg group fold, frozen before-target,
+    * both packings, digest-diffed file ledger. */
+  val compactionIncrementalSql: String =
+    """WITH g AS (SELECT source, lang,
+      |    CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS bytes_b,
+      |    CAST(sum(n_chars) AS BIGINT) AS bytes_a,
+      |    CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS docs_b,
+      |    count(*) AS docs_a,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(source || '|' || lang, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) AS ghash
+      |  FROM documents GROUP BY source, lang),
+      |p AS (SELECT *,
+      |    coalesce(CAST(sum(bytes_b) OVER (ORDER BY source, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_b,
+      |    coalesce(CAST(sum(bytes_a) OVER (ORDER BY source, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_a,
+      |    CAST(sum(bytes_b) OVER () AS BIGINT) AS total_b
+      |  FROM g),
+      |f AS (SELECT *, greatest(65536, (total_b + 15) // 16) AS target,
+      |    CASE WHEN docs_b > 0
+      |      THEN cum_b // greatest(65536, (total_b + 15) // 16) END AS file_b,
+      |    cum_a // greatest(65536, (total_b + 15) // 16) AS file_a
+      |  FROM p),
+      |bf AS (SELECT file_b AS file_id, CAST(sum(ghash) AS BIGINT) AS dig_b,
+      |    CAST(sum(bytes_b) AS BIGINT) AS bytes_bf, count(*) AS groups_bf
+      |  FROM f WHERE docs_b > 0 GROUP BY 1),
+      |af AS (SELECT file_a AS file_id, count(*) AS n_groups,
+      |    CAST(sum(docs_a) AS BIGINT) AS n_docs,
+      |    CAST(sum(bytes_a) AS BIGINT) AS bytes,
+      |    CAST(sum(ghash) AS BIGINT) AS dig_a,
+      |    CAST(sum(CASE WHEN file_b IS NULL OR file_b <> file_a
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS groups_moved_in,
+      |    max(target) AS target
+      |  FROM f GROUP BY 1),
+      |led AS (SELECT af.*, bf.dig_b, bf.bytes_bf, bf.groups_bf,
+      |    (af.bytes * 1000000) // af.target AS fill_ppm,
+      |    CASE WHEN bf.dig_b IS NULL OR af.dig_a <> bf.dig_b
+      |      OR af.bytes <> bf.bytes_bf OR af.n_groups <> bf.groups_bf
+      |      THEN 1 ELSE 0 END AS rewritten
+      |  FROM af LEFT JOIN bf USING (file_id)),
+      |d AS (SELECT CAST(sum(docs_a - docs_b) AS BIGINT) AS delta_docs,
+      |    CAST(sum(bytes_a - bytes_b) AS BIGINT) AS delta_bytes FROM f),
+      |t AS (SELECT count(*) AS files_total,
+      |    CAST(sum(rewritten) AS BIGINT) AS files_rewritten FROM led)
+      |SELECT file_id, n_groups, n_docs, bytes, fill_ppm, groups_moved_in,
+      |  CAST(rewritten AS BIGINT) AS rewritten, files_total, files_rewritten,
+      |  delta_docs, delta_bytes
+      |FROM led CROSS JOIN t CROSS JOIN d ORDER BY file_id""".stripMargin
+
   // ------------------------------------------------- retention planner
   /** TTL retention planner (r18 — the deletion face of the maintenance
     * family: [[tableVacuumPlan]] reclaims files a rewrite orphaned,
@@ -1516,6 +1644,7 @@ object Maintain {
     "agg_incremental" -> aggIncremental,
     "compaction_plan" -> compactionPlan,
     "compaction_exec" -> compactionExec,
+    "compaction_incremental" -> compactionIncremental,
     "table_vacuum_plan" -> tableVacuumPlan,
     "table_vacuum_exec" -> tableVacuumExec,
     "table_snapshot_diff" -> tableSnapshotDiff,
@@ -1539,6 +1668,7 @@ object Maintain {
     "agg_incremental" -> aggIncrementalSql,
     "compaction_plan" -> compactionPlanSql,
     "compaction_exec" -> compactionExecSql,
+    "compaction_incremental" -> compactionIncrementalSql,
     "table_vacuum_plan" -> tableVacuumPlanSql,
     "table_vacuum_exec" -> tableVacuumExecSql,
     "table_snapshot_diff" -> tableSnapshotDiffSql,

@@ -72,6 +72,70 @@ class MaintainSpec extends SparkSpec {
     assert(diff.forall(r => Set("U", "D", "I").contains(r._4)))
   }
 
+  test("compaction_incremental: both packings replayed, digest-exact rewrite set, conservation") {
+    val got = Maintain.compactionIncremental(spark, sf).collect()
+      .map(r => (r.getAs[Long]("file_id"), r.getAs[Long]("n_groups"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("bytes"),
+        r.getAs[Long]("fill_ppm"), r.getAs[Long]("groups_moved_in"),
+        r.getAs[Long]("rewritten"), r.getAs[Long]("files_total"),
+        r.getAs[Long]("files_rewritten"), r.getAs[Long]("delta_docs"),
+        r.getAs[Long]("delta_bytes"))).sortBy(_._1)
+    // replay both packings from the raw documents
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("lang"), col("doc_id"),
+        col("n_chars").cast("long")).as[(String, String, Long, Long)].collect()
+    val groups = docs.groupBy(d => (d._1, d._2)).toSeq.sortBy(_._1)
+      .map { case ((src, lg), ds) =>
+        val before = ds.filter(_._3 % 10 != 0)
+        (src, lg, before.map(_._4).sum, ds.map(_._4).sum,
+          before.length.toLong, ds.length.toLong)
+      }
+    val totalB = groups.map(_._3).sum
+    val target = math.max(65536L, (totalB + 15) / 16)
+    var (cb, ca) = (0L, 0L)
+    val placed = groups.map { g =>
+      val fb = if (g._5 > 0) Some(cb / target) else None
+      val fa = ca / target
+      cb += g._3; ca += g._4
+      (g, fb, fa)
+    }
+    val beforeSets = placed.filter(_._2.isDefined)
+      .groupBy(_._2.get).view.mapValues(_.map(p => (p._1._1, p._1._2)).toSet).toMap
+    val afterByFile = placed.groupBy(_._3)
+    assert(got.map(_._1).toSet == afterByFile.keySet, "file id domain")
+    got.foreach { r =>
+      val ps = afterByFile(r._1)
+      assert(r._2 == ps.length.toLong, s"file ${r._1} n_groups")
+      assert(r._3 == ps.map(_._1._6).sum, s"file ${r._1} n_docs")
+      assert(r._4 == ps.map(_._1._4).sum, s"file ${r._1} bytes")
+      assert(r._5 == r._4 * 1000000L / target, s"file ${r._1} fill")
+      assert(r._6 == ps.count(p => !p._2.contains(p._3)).toLong,
+        s"file ${r._1} groups_moved_in")
+      // rewritten iff the group SET changed (the file must be re-emitted)
+      val afterSet = ps.map(p => (p._1._1, p._1._2)).toSet
+      val sameSet = beforeSets.get(r._1).contains(afterSet) &&
+        ps.map(_._1._3).sum == ps.map(_._1._4).sum
+      assert(r._7 == (if (sameSet) 0L else 1L), s"file ${r._1} rewritten")
+    }
+    // prefix preservation: every file wholly before the first grown
+    // group's before-file must be unrewritten (vacuously tight here:
+    // a uniform 10% delta grows the very first group, so a GLOBAL
+    // byte-packing rewrites every file — the lesson this face exists
+    // to show)
+    val firstGrown = placed.find(p => p._1._4 > p._1._3)
+    firstGrown.foreach { fg =>
+      val cutF = fg._2.getOrElse(0L)
+      got.filter(_._1 < cutF).foreach(r =>
+        assert(r._7 == 0L, s"file ${r._1} before the first grown group rewrote"))
+    }
+    // conservation + constants
+    assert(got.map(_._4).sum == groups.map(_._4).sum, "bytes conserved")
+    val h = got.head
+    assert(h._8 == got.length && h._9 == got.count(_._7 == 1L))
+    assert(h._10 == docs.count(_._3 % 10 == 0).toLong, "delta_docs")
+    assert(h._11 == docs.filter(_._3 % 10 == 0).map(_._4).sum, "delta_bytes")
+  }
+
   test("table_retention_plan: classification replay, one straddler, amplification identity") {
     val got = Maintain.tableRetentionPlan(spark, sf).collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_rows"),
