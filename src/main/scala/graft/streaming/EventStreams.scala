@@ -2206,6 +2206,156 @@ object EventStreams {
       |  rate_a_ppm, rate_b_ppm, rate_b_ppm - rate_a_ppm AS uplift_ppm
       |FROM r ORDER BY day, seg""".stripMargin
 
+  // ------------------------------------------------- live DiD monitor
+  case class DidEv(user_id: Long, event_id: Long, us: Long, event_type: String)
+  case class DidState(lastDay: Long, conv: Boolean)
+  case class DidDelta(day: Long, armn: Long, d_units: Long, d_conv: Long)
+
+  /** Live difference-in-differences monitor (r18 — the last experiment
+    * face without a live twin after `stream_uplift`:
+    * [[graft.operators.Analytics.eventsDid]] reads the four-cell DiD
+    * once, after the fact; a rollout watches the estimate SETTLE).
+    * The unit is the (user, active-day) pair, so per-user FMGWS state
+    * is two fields (last active day, converted that day): each closed
+    * day's batch emits one unit delta per active user (conv upgrades
+    * within the day emit a conv-only delta), and the running sums of
+    * those deltas keyed (arm, pre/post of the delta's own day) ARE the
+    * cumulative 2×2 cells. Arm = the family's "ab|" salted fold from
+    * the group key.
+    */
+  def didStream(stream: Dataset[DidEv]): Dataset[DidDelta] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DidState, DidDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[DidEv], state: GroupState[DidState]) =>
+          val sorted = evs.toVector.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(DidState(-1L, false))
+          val arm = ("ab|" + uid)
+            .foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 2
+          val out = scala.collection.mutable.ArrayBuffer[DidDelta]()
+          sorted.foreach { e =>
+            val d = e.us / 86400000000L
+            val p = e.event_type == "purchase"
+            if (st.lastDay != d) {
+              st = DidState(d, p)
+              out += DidDelta(d, arm, 1L, if (p) 1L else 0L)
+            } else if (p && !st.conv) {
+              st = st.copy(conv = true)
+              out += DidDelta(d, arm, 0L, 1L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch face of [[didStream]] (registered as `stream_did`): the DiD
+    * dashboard unrolled over time — per closed epoch day, the
+    * cumulative (user, active-day) units and conversions in all four
+    * (arm × pre/post) cells BY THE END of that day, the four exact-ppm
+    * rates (zero-guarded: post cells are empty before the cut), the
+    * parallel-trends gap both sides, and the running `did_ppm`. The
+    * END-day row equals [[graft.operators.Analytics.eventsDid]]'s
+    * one-row readout exactly (the spec pins it); the pre-cut rows make
+    * the design's assumption VISIBLE — `pre_gap_ppm` is the
+    * parallel-trends baseline settling before treatment begins.
+    *
+    * == Scale design ==
+    * ONE fact scan folds map-side to the (user, day) dedupe (the
+    * family's bounded fold, user-keyed — the only corpus-sized
+    * shuffle), immediately reduced to the O(days) four-cell daily
+    * ledger; the cumulative windows and DiD arithmetic ride that
+    * bounded relation. The streaming twin holds two fields per user.
+    */
+  def streamDid(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val h = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(concat(lit("ab|"), col("user_id").cast("string"))),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val cutDay = 19738L // 2024-01-16 in epoch days
+    val daily = events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"), col("day")).agg(max(col("p")).as("conv"))
+      .select(col("day"), (h % 2L).as("armn"), col("conv"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("armn") === 0L, 1L).otherwise(0L)).as("ua"),
+        sum(when(col("armn") === 0L, col("conv")).otherwise(0L)).as("ca"),
+        sum(when(col("armn") === 1L, 1L).otherwise(0L)).as("ub"),
+        sum(when(col("armn") === 1L, col("conv")).otherwise(0L)).as("cb"))
+      .withColumn("post", (col("day") >= cutDay).cast("long"))
+      .stableCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    def cum(cond: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      sum(when(cond, v).otherwise(0L)).over(w)
+    daily.select(col("day"),
+        cum(col("post") === 0L, col("ua")).as("days_a_pre"),
+        cum(col("post") === 0L, col("ca")).as("conv_a_pre"),
+        cum(col("post") === 1L, col("ua")).as("days_a_post"),
+        cum(col("post") === 1L, col("ca")).as("conv_a_post"),
+        cum(col("post") === 0L, col("ub")).as("days_b_pre"),
+        cum(col("post") === 0L, col("cb")).as("conv_b_pre"),
+        cum(col("post") === 1L, col("ub")).as("days_b_post"),
+        cum(col("post") === 1L, col("cb")).as("conv_b_post"))
+      .withColumn("rate_a_pre_ppm",
+        expr("CASE WHEN days_a_pre = 0 THEN 0 ELSE (1000000 * conv_a_pre) div days_a_pre END"))
+      .withColumn("rate_a_post_ppm",
+        expr("CASE WHEN days_a_post = 0 THEN 0 ELSE (1000000 * conv_a_post) div days_a_post END"))
+      .withColumn("rate_b_pre_ppm",
+        expr("CASE WHEN days_b_pre = 0 THEN 0 ELSE (1000000 * conv_b_pre) div days_b_pre END"))
+      .withColumn("rate_b_post_ppm",
+        expr("CASE WHEN days_b_post = 0 THEN 0 ELSE (1000000 * conv_b_post) div days_b_post END"))
+      .withColumn("pre_gap_ppm", col("rate_b_pre_ppm") - col("rate_a_pre_ppm"))
+      .withColumn("post_gap_ppm", col("rate_b_post_ppm") - col("rate_a_post_ppm"))
+      .withColumn("did_ppm", col("post_gap_ppm") - col("pre_gap_ppm"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: same (user, day) dedupe, daily four-cell fold,
+    * cumulative windows and guarded DiD arithmetic. */
+  val streamDidSql: String =
+    """WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT day,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split('ab|' || CAST(user_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 2 AS armn,
+      |    conv FROM ud),
+      |daily AS (SELECT day,
+      |    CAST(sum(CASE WHEN armn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ua,
+      |    CAST(sum(CASE WHEN armn = 0 THEN conv ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN armn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ub,
+      |    CAST(sum(CASE WHEN armn = 1 THEN conv ELSE 0 END) AS BIGINT) AS cb,
+      |    CASE WHEN day >= 19738 THEN 1 ELSE 0 END AS post
+      |  FROM t GROUP BY day),
+      |c AS (SELECT day,
+      |    CAST(sum(CASE WHEN post = 0 THEN ua ELSE 0 END) OVER w AS BIGINT) AS days_a_pre,
+      |    CAST(sum(CASE WHEN post = 0 THEN ca ELSE 0 END) OVER w AS BIGINT) AS conv_a_pre,
+      |    CAST(sum(CASE WHEN post = 1 THEN ua ELSE 0 END) OVER w AS BIGINT) AS days_a_post,
+      |    CAST(sum(CASE WHEN post = 1 THEN ca ELSE 0 END) OVER w AS BIGINT) AS conv_a_post,
+      |    CAST(sum(CASE WHEN post = 0 THEN ub ELSE 0 END) OVER w AS BIGINT) AS days_b_pre,
+      |    CAST(sum(CASE WHEN post = 0 THEN cb ELSE 0 END) OVER w AS BIGINT) AS conv_b_pre,
+      |    CAST(sum(CASE WHEN post = 1 THEN ub ELSE 0 END) OVER w AS BIGINT) AS days_b_post,
+      |    CAST(sum(CASE WHEN post = 1 THEN cb ELSE 0 END) OVER w AS BIGINT) AS conv_b_post
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |r AS (SELECT *,
+      |    CASE WHEN days_a_pre = 0 THEN 0 ELSE (1000000 * conv_a_pre) // days_a_pre END AS rate_a_pre_ppm,
+      |    CASE WHEN days_a_post = 0 THEN 0 ELSE (1000000 * conv_a_post) // days_a_post END AS rate_a_post_ppm,
+      |    CASE WHEN days_b_pre = 0 THEN 0 ELSE (1000000 * conv_b_pre) // days_b_pre END AS rate_b_pre_ppm,
+      |    CASE WHEN days_b_post = 0 THEN 0 ELSE (1000000 * conv_b_post) // days_b_post END AS rate_b_post_ppm
+      |  FROM c)
+      |SELECT day, days_a_pre, conv_a_pre, days_a_post, conv_a_post,
+      |  days_b_pre, conv_b_pre, days_b_post, conv_b_post,
+      |  rate_a_pre_ppm, rate_a_post_ppm, rate_b_pre_ppm, rate_b_post_ppm,
+      |  rate_b_pre_ppm - rate_a_pre_ppm AS pre_gap_ppm,
+      |  rate_b_post_ppm - rate_a_post_ppm AS post_gap_ppm,
+      |  (rate_b_post_ppm - rate_a_post_ppm) - (rate_b_pre_ppm - rate_a_pre_ppm) AS did_ppm
+      |FROM r ORDER BY day""".stripMargin
+
   // ---------------------------------------------- live quantile sketch
   case class QuantEv(day: Long, cents: Long)
   case class QuantOut(day: Long, n_events: Long,
@@ -2952,6 +3102,7 @@ object EventStreams {
     "stream_dau" -> streamDau,
     "stream_ab_lift" -> streamAbLift,
     "stream_uplift" -> streamUplift,
+    "stream_did" -> streamDid,
     "stream_funnel" -> streamFunnel,
     "stream_drift" -> streamDrift,
     "stream_pack" -> streamPack,
@@ -3000,6 +3151,7 @@ object EventStreams {
     "stream_dau" -> streamDauSql,
     "stream_ab_lift" -> streamAbLiftSql,
     "stream_uplift" -> streamUpliftSql,
+    "stream_did" -> streamDidSql,
     "stream_funnel" -> streamFunnelSql,
     "stream_drift" -> streamDriftSql,
     "stream_pack" -> streamPackSql,

@@ -1199,6 +1199,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed DiD monitor deltas accumulate to the stream_did face; end-day row is events_did") {
+    implicit val sqlCtx = spark.sqlContext
+    val cutDay = 19738L
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (u, id, us, ty) => EventStreams.DidEv(u, id, us, ty) }
+    val byDay = evs.groupBy(_.us / 86400000000L).toSeq.sortBy(_._1)
+    val face = EventStreams.streamDid(spark, sf)
+      .select("day", "days_a_pre", "conv_a_pre", "days_a_post", "conv_a_post",
+        "days_b_pre", "conv_b_pre", "days_b_post", "conv_b_post")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    val mem = MemoryStream[EventStreams.DidEv]
+    val q = EventStreams.didStream(mem.toDS())
+      .writeStream.format("memory").queryName("did_live")
+      .outputMode("append").start()
+    try {
+      var checked = 0
+      byDay.foreach { case (d, rows) =>
+        mem.addData(rows.toSeq: _*); q.processAllAvailable()
+        // running delta sums keyed (arm, pre/post of the delta's day)
+        // ARE the four cells
+        val deltas = spark.sql("SELECT day, armn, d_units, d_conv FROM did_live")
+          .as[(Long, Long, Long, Long)].collect()
+        def cell(arm: Long, post: Boolean) = {
+          val ds = deltas.filter(r => r._2 == arm && (r._1 >= cutDay) == post)
+          (ds.map(_._3).sum, ds.map(_._4).sum)
+        }
+        val ((uap, cap), (uaq, caq)) = (cell(0L, false), cell(0L, true))
+        val ((ubp, cbp), (ubq, cbq)) = (cell(1L, false), cell(1L, true))
+        face.filter(_._1 <= d).lastOption.foreach { r =>
+          assert((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9) ==
+            ((uap, cap, uaq, caq, ubp, cbp, ubq, cbq)),
+            s"closed day $d: face vs live cells diverge")
+          checked += 1
+        }
+      }
+      assert(checked >= face.length, "some face days never checked")
+    } finally q.stop()
+    // the END-day row equals events_did's one-row readout exactly
+    val last = EventStreams.streamDid(spark, sf).orderBy(col("day").desc).limit(1)
+      .select("days_a_pre", "conv_a_pre", "days_a_post", "conv_a_post",
+        "days_b_pre", "conv_b_pre", "days_b_post", "conv_b_post",
+        "rate_a_pre_ppm", "rate_a_post_ppm", "rate_b_pre_ppm", "rate_b_post_ppm",
+        "pre_gap_ppm", "post_gap_ppm", "did_ppm")
+      .collect().head.toSeq
+    val did = graft.operators.Analytics.eventsDid(spark, sf).collect().head.toSeq
+    assert(last == did, "end-day row diverges from events_did")
+  }
+
   test("streamed decayed bandit equals the batch HOF fold at daily cadence") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.BanditEv
