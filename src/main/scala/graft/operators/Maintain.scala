@@ -1449,6 +1449,7 @@ object Maintain {
     * stats file, and this plan never touches row data.
     */
   def compactionIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
     import org.apache.spark.sql.graftshim.GraftSqlShim
     val gh = GraftSqlShim.column(graft.functions.StringPolyHash(
       GraftSqlShim.expression(concat(col("source"), lit("|"), col("lang"))),
@@ -1470,6 +1471,9 @@ object Maintain {
       .withColumn("target", greatest(lit(65536L), expr("(total_b + 15) div 16")))
       .withColumn("file_b", when(col("docs_b") > 0, expr("cum_b div target")))
       .withColumn("file_a", expr("cum_a div target"))
+      // one corpus scan into the O(groups) packed relation — the two
+      // file ledgers and the delta totals all read the materialization
+      .stableCheckpoint()
     val beforeF = packed.filter(col("docs_b") > 0)
       .groupBy(col("file_b").as("file_id"))
       .agg(sum(col("ghash")).as("dig_b"), sum(col("bytes_b")).as("bytes_bf"),
@@ -1574,7 +1578,11 @@ object Maintain {
     * day's data regardless of corpus age.
     */
   def tableRetentionPlan(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
     val cut = lit("2024-01-10 12:00:00").cast("timestamp")
+    // ONE fact scan, folded map-side to the O(days) ledger and
+    // checkpointed — the per-partition rows and the plan totals both
+    // read the materialized relation
     val perDay = Tables.load(s, dir, "events")
       .withColumn("ts", col("ts").cast("timestamp"))
       .select(expr("unix_micros(ts) div 86400000000").as("day"),
@@ -1585,6 +1593,7 @@ object Maintain {
       .withColumn("action",
         when(col("n_expired") === col("n_rows"), "drop")
           .when(col("n_expired") === 0L, "keep").otherwise("rewrite"))
+      .stableCheckpoint()
     val tot = perDay.agg(
       count(lit(1)).as("partitions_total"),
       sum(when(col("action") === "drop", 1L).otherwise(0L)).as("n_drop"),

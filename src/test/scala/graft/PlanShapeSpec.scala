@@ -755,6 +755,29 @@ class PlanShapeSpec extends SparkSpec {
       s"canvas-bounded lookups must broadcast:\n$plan")
   }
 
+  test("r18 one-scan claims: the new ledger faces fold one scan, broadcast the rest") {
+    // every new ledger face folds ONE fact scan map-side onto a bounded
+    // relation (day ledger / user firsts / group ledger) and CHECKPOINTS
+    // it — the composed plans must be parquet-free past the fold, with
+    // no sort-merge or cartesian anywhere
+    for ((name, df) <- Seq(
+        "table_retention_plan" -> operators.Maintain.tableRetentionPlan(spark, sf),
+        "compaction_incremental" -> operators.Maintain.compactionIncremental(spark, sf),
+        "stream_uplift" -> streaming.EventStreams.streamUplift(spark, sf),
+        "stream_did" -> streaming.EventStreams.streamDid(spark, sf),
+        // the cold-start split rides the same checkpointed (user, day)
+        // fold as split_temporal
+        "split_temporal_cold" -> operators.Curate.splitTemporalCold(spark, sf))) {
+      val plan = planOf(df)
+      assert(!plan.contains("FileScan"),
+        s"$name: fact scan escaped the checkpointed fold:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"$name: expected the materialized bounded relation:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: no cartesian in the dashboard math:\n$plan")
+    }
+  }
+
   test("ann_graph_search walks the persisted edge table, never rebuilds the graph") {
     val plan = planOf(operators.Similarity.annGraphSearch(spark, sf))
     // the index artifact contract: the beam walk's edge relation is a
