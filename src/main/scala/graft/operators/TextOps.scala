@@ -379,6 +379,122 @@ object TextOps {
        |  CAST(n_docs AS BIGINT) AS n_docs, cum_ppm
        |FROM vocab ORDER BY vocab_id""".stripMargin
 
+  // ---------------------------------------------------- vocab drift
+  /** Vocabulary stability under corpus growth (r18 — the retrain
+    * question [[vocabBuild]] leaves open: its Scaladoc prescribes a
+    * production top-K cap before id assignment, and every consumer
+    * keyed by `vocab_id` — embedding tables, [[tokenizeIds]]'s encode
+    * join — silently corrupts if ids move between corpus versions).
+    * The delta batch (doc_id ≡ 0 mod 10, the family's convention)
+    * grows the corpus; this face trains the SAME capped top-512
+    * frequency vocab on the before and after corpora — over the PHRASE
+    * (adjacent-word-bigram) unit, whose space is open enough that the
+    * cap BINDS (the word unit saturates on this corpus; a binding cap
+    * is where production vocab churn actually lives: entries fall off
+    * the boundary without ever leaving the corpus) — and reads the
+    * drift per doubling-rank bucket of the after vocab: tokens, `n_new`
+    * (absent from the before vocab — an embedding row with no history),
+    * `n_same_id` (byte-identical id), `churn_ppm`, and the mean
+    * absolute id shift of survivors in exact milli units. The shape is
+    * the lesson: the HEAD is stable and the TAIL churns (Zipf heads
+    * saturate first), so id-keyed artifacts survive growth only with
+    * versioned vocabs or head-only caps. Constants carry the whole-
+    * vocab `overlap_ppm` — the retrain trigger a production tokenizer
+    * pipeline monitors.
+    *
+    * == Scale design ==
+    * ONE corpus scan folds map-side onto the Heaps-law-bounded
+    * (token, occ_before, occ_after) relation, checkpointed; both rank
+    * windows ride that bounded relation (the documented single-
+    * partition bounded case, [[vocabBuild]]'s own shape); the bucket
+    * ledger is O(log K).
+    */
+  def vocabDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Checkpoints.StableSyntax
+    import org.apache.spark.sql.expressions.Window
+    val K = 512L
+    val g = docs(s, dir)
+      .withColumn("d", (pmod(col("doc_id"), lit(10)) === 0).cast("long"))
+      .select(col("d"), words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("d"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+        .as("token"))
+      .groupBy(col("token"))
+      .agg(sum(lit(1L) - col("d")).as("occ_b"), count(lit(1)).as("occ_a"))
+      .stableCheckpoint()
+    val wB = Window.orderBy(col("occ_b").desc, col("token"))
+    val before = g.filter(col("occ_b") > 0)
+      .withColumn("rank_b", row_number().over(wB).cast("long"))
+      .filter(col("rank_b") <= lit(K))
+      .select(col("token"), (col("rank_b") + 255L).as("id_b"))
+    val wA = Window.orderBy(col("occ_a").desc, col("token"))
+    val after = g
+      .withColumn("rank_a", row_number().over(wA).cast("long"))
+      .filter(col("rank_a") <= lit(K))
+      .select(col("token"), col("rank_a"), (col("rank_a") + 255L).as("id_a"))
+    val j = after.join(before, Seq("token"), "left_outer")
+      .select((length(bin(col("rank_a"))) - 1).cast("long").as("bucket"),
+        col("id_a"), col("id_b"))
+    val tot = j.agg(count(lit(1)).as("vocab_total"),
+      sum(col("id_b").isNotNull.cast("long")).as("survivors_total"))
+      .withColumn("overlap_ppm",
+        expr("1000000 * survivors_total div greatest(vocab_total, 1)"))
+    j.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("id_b").isNull.cast("long")).as("n_new"),
+        sum((col("id_a") === col("id_b")).cast("long")).as("n_same_id"),
+        sum(when(col("id_b").isNotNull, abs(col("id_a") - col("id_b")))
+          .otherwise(0L)).as("shift_sum"),
+        sum(col("id_b").isNotNull.cast("long")).as("n_survivors"))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").as("rank_lo"),
+        col("n_tokens"), col("n_new"), col("n_same_id"),
+        expr("1000000 * n_new div n_tokens").as("churn_ppm"),
+        expr("CASE WHEN n_survivors = 0 THEN 0 " +
+          "ELSE 1000 * shift_sum div n_survivors END").as("mean_shift_milli"))
+      .crossJoin(broadcast(tot))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB twin: the same two-leg occurrence fold, both capped rank
+    * windows, the doubling-bucket drift ledger. */
+  val vocabDriftSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT token,
+      |    CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS occ_b,
+      |    count(*) AS occ_a
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS token
+      |        FROM w WHERE len(ws) >= 2)
+      |  GROUP BY token),
+      |bef AS (SELECT token, CAST(row_number() OVER (ORDER BY occ_b DESC, token) AS BIGINT) + 255 AS id_b
+      |  FROM g WHERE occ_b > 0
+      |  QUALIFY row_number() OVER (ORDER BY occ_b DESC, token) <= 512),
+      |aft AS (SELECT token, CAST(row_number() OVER (ORDER BY occ_a DESC, token) AS BIGINT) AS rank_a
+      |  FROM g
+      |  QUALIFY row_number() OVER (ORDER BY occ_a DESC, token) <= 512),
+      |j AS (SELECT CAST(length(bin(rank_a)) - 1 AS BIGINT) AS bucket,
+      |    rank_a + 255 AS id_a, bef.id_b
+      |  FROM aft LEFT JOIN bef USING (token)),
+      |t AS (SELECT count(*) AS vocab_total,
+      |    CAST(sum(CASE WHEN id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS survivors_total
+      |  FROM j),
+      |t2 AS (SELECT *, 1000000 * survivors_total // greatest(vocab_total, 1) AS overlap_ppm FROM t)
+      |SELECT bucket,
+      |  CAST(1 AS BIGINT) << CAST(bucket AS INT) AS rank_lo,
+      |  count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN id_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN id_a = id_b THEN 1 ELSE 0 END) AS BIGINT) AS n_same_id,
+      |  1000000 * CAST(sum(CASE WHEN id_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) // count(*) AS churn_ppm,
+      |  CASE WHEN sum(CASE WHEN id_b IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 0
+      |    ELSE 1000 * CAST(sum(CASE WHEN id_b IS NOT NULL THEN abs(id_a - id_b) ELSE 0 END) AS BIGINT)
+      |      // CAST(sum(CASE WHEN id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) END AS mean_shift_milli,
+      |  vocab_total, survivors_total, overlap_ppm
+      |FROM j CROSS JOIN t2
+      |GROUP BY bucket, vocab_total, survivors_total, overlap_ppm
+      |ORDER BY bucket""".stripMargin
+
   /** Zipf rank-frequency decay table (r14 wave 25 — the
     * justify-the-model audit behind every Heaps/Zipf assumption this
     * engine quotes: the BPE trainer's Heaps-law vocab bound, the
@@ -3051,6 +3167,7 @@ object TextOps {
     "text_collocations" -> textCollocations,
     "ml_feature_hash" -> mlFeatureHash,
     "vocab_build" -> vocabBuild,
+    "vocab_drift" -> vocabDrift,
     "text_zipf_fit" -> textZipfFit,
     "ml_eval_slices" -> mlEvalSlices,
     "tokenize_ids" -> tokenizeIds,
@@ -3110,6 +3227,7 @@ object TextOps {
     "text_collocations" -> textCollocationsSql,
     "ml_feature_hash" -> mlFeatureHashSql,
     "vocab_build" -> vocabBuildSql,
+    "vocab_drift" -> vocabDriftSql,
     "text_zipf_fit" -> textZipfFitSql,
     "ml_eval_slices" -> mlEvalSlicesSql,
     "tokenize_ids" -> tokenizeIdsSql,

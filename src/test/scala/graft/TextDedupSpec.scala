@@ -2857,6 +2857,64 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("vocab_drift: both rankings replayed, head stable, churn lives at the cap boundary") {
+    import graft.operators.TextOps
+    val got = TextOps.vocabDrift(spark, sfMid).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("rank_lo"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_same_id"), r.getAs[Long]("churn_ppm"),
+        r.getAs[Long]("mean_shift_milli"), r.getAs[Long]("vocab_total"),
+        r.getAs[Long]("survivors_total"), r.getAs[Long]("overlap_ppm")))
+      .sortBy(_._1)
+    // replay both capped rankings from the raw documents
+    val docs = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def bigrams(t: String) = t.split(" ").sliding(2)
+      .filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val occA = scala.collection.mutable.Map[String, Long]()
+    val occB = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (id, t) =>
+      bigrams(t).foreach { bg =>
+        occA(bg) = occA.getOrElse(bg, 0L) + 1
+        if (id % 10 != 0) occB(bg) = occB.getOrElse(bg, 0L) + 1
+      }
+    }
+    def top(m: scala.collection.Map[String, Long]) =
+      m.toSeq.sortBy { case (tok, c) => (-c, tok) }.take(512)
+        .zipWithIndex.map { case ((tok, _), i) => tok -> (i + 256L) }
+    val idB = top(occB).toMap
+    val aft = top(occA)
+    // per-bucket replay
+    val byBucket = aft.map { case (tok, id) =>
+      val rank = id - 255
+      (63 - java.lang.Long.numberOfLeadingZeros(rank), tok, id)
+    }.groupBy(_._1)
+    assert(got.map(_._1).toSet == byBucket.keySet.map(_.toLong))
+    got.foreach { r =>
+      val ts = byBucket(r._1.toInt)
+      assert(r._2 == (1L << r._1) && r._3 == ts.length.toLong)
+      assert(r._4 == ts.count(t => !idB.contains(t._2)).toLong, s"bucket ${r._1} n_new")
+      assert(r._5 == ts.count(t => idB.get(t._2).contains(t._3)).toLong,
+        s"bucket ${r._1} n_same_id")
+      assert(r._6 == 1000000L * r._4 / r._3, s"bucket ${r._1} churn")
+      val surv = ts.flatMap(t => idB.get(t._2).map(b => math.abs(t._3 - b)))
+      val want = if (surv.isEmpty) 0L else 1000L * surv.sum / surv.length
+      assert(r._7 == want, s"bucket ${r._1} mean shift")
+    }
+    // constants + overlap identity
+    val h = got.head
+    assert(got.map(_._3).sum == h._8, "bucket tokens must sum to the vocab")
+    assert(h._8 == aft.length.toLong &&
+      h._9 == aft.count(t => idB.contains(t._1)).toLong)
+    assert(h._10 == 1000000L * h._9 / h._8)
+    // the lesson: the HEAD is stable (no new entries in the first four
+    // buckets) and churn concentrates at the cap boundary
+    got.filter(_._1 <= 3).foreach(r => assert(r._4 == 0L, "head must be stable"))
+    val maxChurn = got.map(_._6).max
+    assert(got.maxBy(_._6)._1 >= got.map(_._1).max - 1,
+      s"max churn ($maxChurn ppm) must sit at the cap boundary")
+  }
+
   test("rendezvous resharding moves a seventeenth where modular moves all") {
     import spark.implicits._
     val rows = Curate.corpusShardsRendezvous(spark, sfMid)
