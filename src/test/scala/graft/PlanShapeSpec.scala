@@ -767,7 +767,9 @@ class PlanShapeSpec extends SparkSpec {
         "stream_did" -> streaming.EventStreams.streamDid(spark, sf),
         // the cold-start split rides the same checkpointed (user, day)
         // fold as split_temporal
-        "split_temporal_cold" -> operators.Curate.splitTemporalCold(spark, sf))) {
+        "split_temporal_cold" -> operators.Curate.splitTemporalCold(spark, sf),
+        // both capped rank windows ride the checkpointed bigram fold
+        "vocab_drift" -> operators.TextOps.vocabDrift(spark, sf))) {
       val plan = planOf(df)
       assert(!plan.contains("FileScan"),
         s"$name: fact scan escaped the checkpointed fold:\n$plan")
