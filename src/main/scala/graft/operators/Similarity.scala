@@ -34,6 +34,28 @@ object Similarity {
   private val IVF_NPROBE = 3
   private val IVF_ITERS = 4
 
+  /** Conf key for the IVF cell count — THE one ANN dial that must grow
+    * ~√N at corpus scale (candidate bound ≈ N²·k/CELLS, so a fixed cell
+    * count turns every decade of data into 100× more exact cosines —
+    * the documented fixed-cell build wall of [[annKnnGraph]] /
+    * [[dedupEmbeddingIvf]]). Default [[IVF_CELLS]]=32 keeps every
+    * oracle pin and CORRECTNESS row bit-identical (the DuckDB oracle
+    * unrolls k-means at 32 cells); a 100× corpus sets this to ~√N
+    * (e.g. 320) and every codebook consumer — training, assignment,
+    * the persisted IVF/kNN index tables (whose names carry the cell
+    * count, so a conf change mints new tables instead of serving stale
+    * ones) — follows. Non-default values are the SCALE path: oracle
+    * hash parity is only defined at the default.
+    */
+  private[graft] val AnnCellsKey = "spark.graft.ann.cells"
+
+  /** Effective IVF cell count: `spark.graft.ann.cells`, default 32. */
+  private[graft] def ivfCells(s: SparkSession): Int = {
+    val c = s.conf.get(AnnCellsKey, IVF_CELLS.toString).toInt
+    require(c > 0, s"$AnnCellsKey must be positive, got $c")
+    c
+  }
+
   /** Per-corpus trained IVF codebooks (train-once model artifacts).
     * Keyed by the corpus FILE SIGNATURE (paths + sizes + mtimes), not
     * the directory alone, so rewriting the data at a path invalidates
@@ -177,9 +199,11 @@ object Similarity {
     * query and the persisted-index builder.
     */
   private[graft] def trainedCodebook(s: SparkSession, dir: String,
-      cells: Int = IVF_CELLS): Array[(Long, Array[Float], Double)] = {
+      cells: Int = 0): Array[(Long, Array[Float], Double)] = {
     import s.implicits._
-    val CELLS = cells
+    // cells ≤ 0 (the default) resolves the conf dial; explicit values
+    // are the curve faces sweeping fixed configs
+    val CELLS = if (cells > 0) cells else ivfCells(s)
     val ITERS = IVF_ITERS
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -197,7 +221,7 @@ object Similarity {
     // runs OUTSIDE the map (computeIfAbsent would hold the bin lock
     // across ITERS Spark jobs — the Ingest fixture lesson, r11); a
     // lost putIfAbsent race just discards one redundant training run.
-    val memoKey = corpusKey(s, dir) + "|cells=" + cells
+    val memoKey = corpusKey(s, dir) + "|cells=" + CELLS
     val cached = ivfCodebooks.get(memoKey)
     if (cached != null) return cached
     val trained = {
@@ -471,7 +495,10 @@ object Similarity {
     */
   private def ensureIvfIndex(s: SparkSession, dir: String): (String, String) = {
     import s.implicits._
-    val ck = corpusKey(s, dir)
+    // cell count rides the signature: a conf change mints NEW index
+    // tables (dropSuperseded reclaims the old) instead of serving a
+    // codebook trained at a different cell count
+    val ck = corpusKey(s, dir) + "|cells=" + ivfCells(s)
     val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val tag = dirTag +
       "_" + java.lang.Long.toHexString(ck.hashCode.toLong & 0xffffffffL)
@@ -1023,7 +1050,10 @@ object Similarity {
     * REGISTERED build face's documented cost, paid once here).
     */
   private def ensureKnnGraph(s: SparkSession, dir: String): String = {
-    val ck = corpusKey(s, dir)
+    // cell count rides the signature: a conf change mints NEW index
+    // tables (dropSuperseded reclaims the old) instead of serving a
+    // codebook trained at a different cell count
+    val ck = corpusKey(s, dir) + "|cells=" + ivfCells(s)
     val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val tag = dirTag +
       "_" + java.lang.Long.toHexString(ck.hashCode.toLong & 0xffffffffL)
@@ -1191,7 +1221,10 @@ object Similarity {
     */
   private def ensureKnnGraphBase(s: SparkSession, dir: String): (String, String) = {
     import s.implicits._
-    val ck = corpusKey(s, dir)
+    // cell count rides the signature: a conf change mints NEW index
+    // tables (dropSuperseded reclaims the old) instead of serving a
+    // codebook trained at a different cell count
+    val ck = corpusKey(s, dir) + "|cells=" + ivfCells(s)
     val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val tag = dirTag +
       "_" + java.lang.Long.toHexString(ck.hashCode.toLong & 0xffffffffL)

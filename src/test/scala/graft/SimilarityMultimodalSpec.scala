@@ -1057,4 +1057,41 @@ class SimilarityMultimodalSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(rows.map(r => r._1 -> r._2).toMap == want, "arrival counts diverge")
   }
+
+  test("spark.graft.ann.cells: default ⇒ bit-identical 32-cell plan; dial threads through") {
+    // default (conf unset) resolves to the committed 32-cell codebook,
+    // bit-for-bit — every oracle pin and CORRECTNESS row is unchanged
+    assert(spark.conf.getOption(Similarity.AnnCellsKey).isEmpty)
+    def same(a: Array[(Long, Array[Float], Double)],
+        b: Array[(Long, Array[Float], Double)]): Boolean =
+      a.length == b.length && a.zip(b).forall { case ((ia, va, na), (ib, vb, nb)) =>
+        ia == ib && java.util.Arrays.equals(va, vb) && na == nb
+      }
+    val byDefault = Similarity.trainedCodebook(spark, sf)
+    val explicit32 = Similarity.trainedCodebook(spark, sf, 32)
+    assert(byDefault.length == 32, "default dial must stay 32 cells")
+    assert(same(byDefault, explicit32), "default-conf codebook drifted off cells=32")
+    val ivfDefault = Similarity.annIvf(spark, sf)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    try {
+      // the dial threads end-to-end: cells=8 retrains (≡ explicit 8)
+      // and the search face still returns a full valid top-k per query
+      spark.conf.set(Similarity.AnnCellsKey, "8")
+      assert(same(Similarity.trainedCodebook(spark, sf),
+        Similarity.trainedCodebook(spark, sf, 8)), "conf dial not honored")
+      val ivf8 = Similarity.annIvf(spark, sf)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      val perQ = ivf8.groupBy(_._1)
+      assert(perQ.keySet == (0L until 10L).toSet, "cells=8 lost queries")
+      perQ.foreach { case (q, rows) =>
+        assert(rows.map(_._4).sorted == (1L to 5L), s"query $q: ranks not 1..5 at cells=8")
+        assert(rows.forall(_._2 != q), s"query $q: self-match at cells=8")
+      }
+      // and resetting the dial restores the exact default-plan result
+      spark.conf.unset(Similarity.AnnCellsKey)
+      assert(Similarity.annIvf(spark, sf)
+        .as[(Long, Long, Double, Long)].collect().toSeq == ivfDefault,
+        "unsetting the dial must restore the committed default face")
+    } finally spark.conf.unset(Similarity.AnnCellsKey)
+  }
 }

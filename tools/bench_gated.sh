@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Gated bench-ledger update: canary -> full pass -> canary -> regress -> commit.
+#
+# The committed bench_full.json is the repo's quiet-machine baseline;
+# r17/r18 both had load-window passes land in it. This wrapper only
+# lets a pass through when the q1 canary reads quiet BOTH before and
+# after the full run (load arriving mid-pass fails the post-canary),
+# and the per-query regress gate is clean.
+#
+# Usage: tools/bench_gated.sh [sf_dir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.1}"
+TMP=$(mktemp /tmp/bench_full.XXXX.json)
+
+echo "== pre-canary =="
+python3 tools/bench_canary.py bench_full.json 2.0 "$SF"
+
+echo "== full bench pass =="
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$TMP" \
+  sbt -batch "runMain graft.Bench" | grep '"metric"' || true
+
+echo "== post-canary =="
+python3 tools/bench_canary.py bench_full.json 2.0 "$SF"
+
+echo "== regress gate =="
+python3 tools/regress.py bench_full.json "$TMP"
+
+cp "$TMP" bench_full.json
+echo "bench_full.json updated from quiet pass ($TMP)"
