@@ -11,13 +11,9 @@ object DebugIvf {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
-    def nrm(v: Array[Float]): Double = math.sqrt(dotd(v, v))
+    def dotd(a: Array[Float], b: Array[Float]): Double =
+      graft.functions.VecMath.dot(a, b)
+    def nrm(v: Array[Float]): Double = graft.functions.VecMath.nrm(v)
     val seeds = e.filter(_._1 < 16).sortBy(_._1).map { case (id, v) => (id, v, nrm(v)) }
     // exact top-5 per query (vec_id < 10)
     val queries = e.filter(_._1 < 10)

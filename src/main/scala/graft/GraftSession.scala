@@ -48,6 +48,17 @@ object GraftSession {
   def local(cpus: Int = defaultCpus): SparkSession = {
     val s = builder(Some(s"local[$cpus]"), shufflePartitions = cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Every empty-partition window in this engine is over a BOUNDED
+    // relation by construction (day ledgers, decile buckets, frame
+    // manifests — each documented at its definition site), where the
+    // single-task window IS the intended plan. WindowExec's blanket
+    // warning for that shape would print dozens of times per bench
+    // pass and bury real warnings; Catalyst folds constant partition
+    // keys back out, so the logger is the only non-plan-warping
+    // silencer. Scoped to the one class — other WARNs stay visible.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

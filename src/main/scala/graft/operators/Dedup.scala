@@ -2455,22 +2455,15 @@ object Dedup {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def nrm(v: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      while (i < v.length) { d += v(i).toDouble * v(i); i += 1 }
-      math.sqrt(d)
-    }
+    import graft.functions.VecMath
     val all = s.sparkContext.broadcast(
-      e.collect().sortBy(_._1).map { case (id, v) => (id, v, nrm(v)) })
+      e.collect().sortBy(_._1).map { case (id, v) => (id, v, VecMath.nrm(v)) })
     e.mapPartitions { it =>
       val corpus = all.value
       it.flatMap { case (id, v) =>
-        val n = nrm(v)
+        val n = VecMath.nrm(v)
         corpus.iterator.filter(_._1 > id).flatMap { case (oid, ov, on) =>
-          var d = 0.0; var i = 0
-          val m = math.min(v.length, ov.length)
-          while (i < m) { d += v(i).toDouble * ov(i); i += 1 }
-          val cos = d / (n * on)
+          val cos = VecMath.dot(v, ov) / (n * on)
           if (cos >= 0.45) Iterator.single((id, oid, cos)) else Iterator.empty
         }
       }

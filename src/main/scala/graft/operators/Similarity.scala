@@ -4,6 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{FloatVectorDot, GraftFunctions}
+// Renaming import, NOT member defs: unqualified dotd/nrm in a lambda
+// must resolve to another module (static VecMath$ access, captures
+// nothing). A member def would be a `this` call and scalac then passes
+// MODULE$ as a captured lambda arg — Task not serializable.
+import graft.functions.VecMath.{dot => dotd, nrm}
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2):
@@ -92,19 +97,6 @@ object Similarity {
     */
   private def plane(j: Int): Array[Float] =
     Array.tabulate(DIM)(d => (((j * 73 + d * 179) % 97) / 97.0 - 0.5).toFloat)
-
-  /** Driver/executor-side exact float dot product — THE scalar the
-    * codebook-assignment tie-break is defined over. One definition so
-    * assignment order cannot drift between the IVF-family faces.
-    * (Object-method calls from Spark lambdas resolve through the
-    * static module reference; nothing extra is serialized.)
-    */
-  private def dotd(a: Array[Float], b: Array[Float]): Double = {
-    var d = 0.0; var i = 0
-    val m = math.min(a.length, b.length)
-    while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-    d
-  }
 
   /** Canonical codebook assignment shared by [[annKnnGraph]] /
     * [[annGraphSearch]]: each vector's top-k trained cells by
@@ -207,13 +199,6 @@ object Similarity {
     val ITERS = IVF_ITERS
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
-    def nrm(v: Array[Float]): Double = math.sqrt(dotd(v, v))
     // Train-once semantics: the codebook is a model artifact (in a real
     // deployment it would be persisted beside the index), so per-corpus
     // training runs once per JVM and later invocations reuse it —
@@ -281,13 +266,6 @@ object Similarity {
     val NPROBE = IVF_NPROBE
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
-    def nrm(v: Array[Float]): Double = math.sqrt(dotd(v, v))
     val centroids = trainedCodebook(s, dir)
     val codebook = s.sparkContext.broadcast(centroids)
     def cellsOf(v: Array[Float], n: Double, k: Int): Seq[Long] =
@@ -356,12 +334,6 @@ object Similarity {
     GraftFunctions.register(s)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
     val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
     val assigned = e.flatMap { case (id, v) =>
       val n = math.sqrt(dotd(v, v))
@@ -417,12 +389,6 @@ object Similarity {
     GraftFunctions.register(s)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
     val rows = for {
       cells <- Seq(8, 16, 32)
       assign <- Seq(1, 2)
@@ -568,13 +534,6 @@ object Similarity {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
-    def nrm(v: Array[Float]): Double = math.sqrt(dotd(v, v))
     val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
     val assigned = e.flatMap { case (id, v) =>
       val n = nrm(v)
@@ -652,12 +611,6 @@ object Similarity {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
     def l2(a: Array[Float], b: Array[Float]): Double =
       dotd(a, a) - 2 * dotd(a, b) + dotd(b, b)
     val half = HALF // local copy: a closure touching the field would
@@ -1406,12 +1359,6 @@ object Similarity {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
       .as[(Long, Array[Float], Int)]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
     val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
     def cellsOf(v: Array[Float], n: Double, k: Int): Seq[Long] =
       codebook.value
@@ -1479,13 +1426,6 @@ object Similarity {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
-    def nrm(v: Array[Float]): Double = math.sqrt(dotd(v, v))
     val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
     def cellsOf(v: Array[Float], n: Double, k: Int): Seq[Long] =
       codebook.value
@@ -1551,12 +1491,6 @@ object Similarity {
     val MAXP = 4
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
     val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
     def cellsRanked(v: Array[Float], n: Double, k: Int): Seq[(Long, Int)] =
       codebook.value
@@ -1660,12 +1594,6 @@ object Similarity {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
       .as[(Long, Array[Float], Int)]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
     val centroids = trainedCodebook(s, dir)
     val codebook = s.sparkContext.broadcast(centroids)
     val best = e.map { case (id, v, lbl) =>
@@ -1742,12 +1670,6 @@ object Similarity {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
     val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
     val assigned = e.flatMap { case (_, v) =>
       val n = math.sqrt(dotd(v, v))
@@ -1785,12 +1707,6 @@ object Similarity {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { d += a(i).toDouble * b(i); i += 1 }
-      d
-    }
     val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir))
     val best = e.map { case (id, v) =>
       val n = math.sqrt(dotd(v, v))
