@@ -1432,8 +1432,9 @@ object Maintain {
     * after-corpus re-packs with the SAME target, and the ledger diffs
     * the two layouts file by file: group/doc/byte totals and fill per
     * after-file, `groups_moved_in`, and `rewritten` — the file's group
-    * SET changed (order-independent group-hash digest + byte total +
-    * group count compared across legs), i.e. the file a compactor must
+    * SET changed (order-independent group-hash sum AND min/max extrema
+    * + byte total + group count compared across legs), i.e. the file a
+    * compactor must
     * physically rewrite. The constants carry the amplification:
     * `files_rewritten` ≫ files-the-delta-touched, because every grown
     * group shifts the cumulative byte offsets of every LATER group —
@@ -1474,13 +1475,19 @@ object Maintain {
       // one corpus scan into the O(groups) packed relation — the two
       // file ledgers and the delta totals all read the materialization
       .stableCheckpoint()
+    // group-SET digest per file: additive ghash sum PLUS the min/max
+    // ghash extrema — a second order-independent statistic, so a group
+    // swap would have to collide on sum, min, max, bytes AND count to
+    // be missed (the additive sum alone is collision-prone in theory)
     val beforeF = packed.filter(col("docs_b") > 0)
       .groupBy(col("file_b").as("file_id"))
-      .agg(sum(col("ghash")).as("dig_b"), sum(col("bytes_b")).as("bytes_bf"),
+      .agg(sum(col("ghash")).as("dig_b"), min(col("ghash")).as("lo_b"),
+        max(col("ghash")).as("hi_b"), sum(col("bytes_b")).as("bytes_bf"),
         count(lit(1)).as("groups_bf"))
     val afterF = packed.groupBy(col("file_a").as("file_id"))
       .agg(count(lit(1)).as("n_groups"), sum(col("docs_a")).as("n_docs"),
         sum(col("bytes_a")).as("bytes"), sum(col("ghash")).as("dig_a"),
+        min(col("ghash")).as("lo_a"), max(col("ghash")).as("hi_a"),
         sum(when(col("file_b").isNull || col("file_b") =!= col("file_a"), 1L)
           .otherwise(0L)).as("groups_moved_in"),
         max(col("target")).as("target"))
@@ -1488,6 +1495,7 @@ object Maintain {
       .withColumn("fill_ppm", expr("(bytes * 1000000) div target"))
       .withColumn("rewritten",
         (col("dig_b").isNull || col("dig_a") =!= col("dig_b") ||
+          col("lo_a") =!= col("lo_b") || col("hi_a") =!= col("hi_b") ||
           col("bytes") =!= col("bytes_bf") ||
           col("n_groups") =!= col("groups_bf")).cast("long"))
     val delta = packed.agg(
@@ -1526,19 +1534,22 @@ object Maintain {
       |    cum_a // greatest(65536, (total_b + 15) // 16) AS file_a
       |  FROM p),
       |bf AS (SELECT file_b AS file_id, CAST(sum(ghash) AS BIGINT) AS dig_b,
+      |    CAST(min(ghash) AS BIGINT) AS lo_b, CAST(max(ghash) AS BIGINT) AS hi_b,
       |    CAST(sum(bytes_b) AS BIGINT) AS bytes_bf, count(*) AS groups_bf
       |  FROM f WHERE docs_b > 0 GROUP BY 1),
       |af AS (SELECT file_a AS file_id, count(*) AS n_groups,
       |    CAST(sum(docs_a) AS BIGINT) AS n_docs,
       |    CAST(sum(bytes_a) AS BIGINT) AS bytes,
       |    CAST(sum(ghash) AS BIGINT) AS dig_a,
+      |    CAST(min(ghash) AS BIGINT) AS lo_a, CAST(max(ghash) AS BIGINT) AS hi_a,
       |    CAST(sum(CASE WHEN file_b IS NULL OR file_b <> file_a
       |      THEN 1 ELSE 0 END) AS BIGINT) AS groups_moved_in,
       |    max(target) AS target
       |  FROM f GROUP BY 1),
-      |led AS (SELECT af.*, bf.dig_b, bf.bytes_bf, bf.groups_bf,
+      |led AS (SELECT af.*, bf.dig_b, bf.lo_b, bf.hi_b, bf.bytes_bf, bf.groups_bf,
       |    (af.bytes * 1000000) // af.target AS fill_ppm,
       |    CASE WHEN bf.dig_b IS NULL OR af.dig_a <> bf.dig_b
+      |      OR af.lo_a <> bf.lo_b OR af.hi_a <> bf.hi_b
       |      OR af.bytes <> bf.bytes_bf OR af.n_groups <> bf.groups_bf
       |      THEN 1 ELSE 0 END AS rewritten
       |  FROM af LEFT JOIN bf USING (file_id)),

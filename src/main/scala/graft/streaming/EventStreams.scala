@@ -2049,6 +2049,18 @@ object EventStreams {
     * dashboard counters. Arm = the family's "ab|" salted fold derived
     * from the group key, so assignment can never drift between faces.
     * Events at or after the outcome-window end mutate nothing.
+    *
+    * ORDERING CONTRACT: per user, events must be delivered in
+    * event-time order across batches (the closed-day cadence the whole
+    * family replays) — the segment freezes at the first in-window
+    * event on the premise that every pre-cut event has already been
+    * counted. A pre-cut event arriving AFTER enrollment is ignored
+    * (the branch guards on `!st.enrolled`), so under out-of-order
+    * delivery the live segment can sit one bucket below the batch
+    * face's. A deployment that cannot guarantee per-user ordering
+    * must either delay enrollment past the pre-period watermark or
+    * emit a re-segment correction delta (−1 on the old segment, +1 on
+    * the new) when a late pre-cut event lands before the window ends.
     */
   def upliftStream(stream: Dataset[UpEv]): Dataset[UpDelta] = {
     import stream.sparkSession.implicits._
@@ -2222,6 +2234,14 @@ object EventStreams {
     * those deltas keyed (arm, pre/post of the delta's own day) ARE the
     * cumulative 2×2 cells. Arm = the family's "ab|" salted fold from
     * the group key.
+    *
+    * ORDERING CONTRACT: per user, batches must arrive in day order
+    * (the closed-day cadence every face in this family replays). The
+    * two-field state cannot re-open a closed day, so an event for a
+    * day EARLIER than the state's lastDay is DROPPED — emitting it
+    * would double-count the (user, day) unit and reset lastDay
+    * backwards. A deployment with genuinely late days needs a bounded
+    * seen-day set (or a dead-letter channel) in place of lastDay.
     */
   def didStream(stream: Dataset[DidEv]): Dataset[DidDelta] = {
     import stream.sparkSession.implicits._
@@ -2237,13 +2257,16 @@ object EventStreams {
           sorted.foreach { e =>
             val d = e.us / 86400000000L
             val p = e.event_type == "purchase"
-            if (st.lastDay != d) {
+            if (d > st.lastDay) {
               st = DidState(d, p)
               out += DidDelta(d, arm, 1L, if (p) 1L else 0L)
-            } else if (p && !st.conv) {
+            } else if (d == st.lastDay && p && !st.conv) {
               st = st.copy(conv = true)
               out += DidDelta(d, arm, 0L, 1L)
             }
+            // d < lastDay: late event for a closed day — dropped (see
+            // the ordering contract above; re-emitting would
+            // double-count the unit and reset the state backwards)
           }
           state.update(st)
           out.iterator

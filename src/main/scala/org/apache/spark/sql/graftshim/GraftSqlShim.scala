@@ -17,13 +17,29 @@ object GraftSqlShim {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Engine-wide invariant: one function name ⇒ one builder. Keyed by
+    * the builder's synthetic class (stable per call site), so a future
+    * caller binding DIFFERENT semantics under a taken name fails
+    * loudly instead of the skip-if-exists below silently keeping the
+    * stale builder.
+    */
+  private val boundBuilders =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    // Registration is idempotent (same builder every time), so skip when
-    // the name is already bound: createOrReplaceTempFunction WARNs on
-    // every replace, and operators re-register per query.
+    val sig = builder.getClass.getName
+    val prev = boundBuilders.putIfAbsent(name, sig)
+    require(prev == null || prev == sig,
+      s"function '$name' is already registered with a different builder " +
+        s"($prev, new $sig) — same-name re-registration is only skipped " +
+        "because builders are identical; rename one of them")
+    // Registration is idempotent (same builder every time — enforced
+    // above), so skip when the name is already bound:
+    // createOrReplaceTempFunction WARNs on every replace, and
+    // operators re-register per query.
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
     if (!registry.functionExists(id))
       registry.createOrReplaceTempFunction(name, builder, "built-in")

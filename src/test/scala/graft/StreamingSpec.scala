@@ -1251,6 +1251,31 @@ class StreamingSpec extends SparkSpec {
     assert(last == did, "end-day row diverges from events_did")
   }
 
+  test("didStream drops late events for closed days instead of double-counting") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, day: Long, ty: String) =
+      EventStreams.DidEv(7L, id, day * 86400000000L + id, ty)
+    val mem = MemoryStream[EventStreams.DidEv]
+    val q = EventStreams.didStream(mem.toDS())
+      .writeStream.format("memory").queryName("did_late")
+      .outputMode("append").start()
+    try {
+      def deltas() = spark.sql("SELECT day, d_units, d_conv FROM did_late")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      mem.addData(ev(1L, 10L, "view")); q.processAllAvailable()
+      assert(deltas() == Seq((10L, 1L, 0L)), "day-10 unit delta expected")
+      // a purchase for ALREADY-CLOSED day 9 arrives late: the ordering
+      // contract drops it — no unit re-emit, no state reset backwards
+      mem.addData(ev(2L, 9L, "purchase")); q.processAllAvailable()
+      assert(deltas() == Seq((10L, 1L, 0L)), "late closed-day event must be dropped")
+      // state still remembers day 10 (not reset to 9): the day-10
+      // purchase upgrades conv WITHOUT a second unit delta
+      mem.addData(ev(3L, 10L, "purchase")); q.processAllAvailable()
+      assert(deltas() == Seq((10L, 0L, 1L), (10L, 1L, 0L)),
+        "day-10 conv upgrade must be delta-only (state was reset backwards?)")
+    } finally q.stop()
+  }
+
   test("streamed decayed bandit equals the batch HOF fold at daily cadence") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.BanditEv
