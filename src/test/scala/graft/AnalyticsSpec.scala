@@ -196,6 +196,48 @@ class AnalyticsSpec extends SparkSpec {
       }
   }
 
+  test("sketch error bounds hold at the driver's correctness scale (sf0.01)") {
+    // The two rows-only CORRECTNESS keys (agg_approx_quantile /
+    // agg_approx_distinct) get their tightness pinned HERE, at the
+    // same scale the driver's gate runs: the hash gate covers their
+    // exact _inputs twins, this spec covers the estimates themselves.
+    // KLL/GK rank guarantee: percentile_approx(accuracy=10000) puts
+    // the estimate within rank epsilon 1/accuracy of the target; we
+    // assert containment in the exact-value bracket at ±10x epsilon.
+    val eps = 10.0 * (1.0 / 10000.0)
+    val ev = graft.sources.Tables.load(spark, sfMid, "events")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val exact = ev.groupBy(col("event_type")).agg(
+        expr(s"percentile(value, array(${qs.map(q => s"${q - eps},${q + eps}").mkString(",")}))")
+          .as("br"))
+      .select(col("event_type"), col("br"))
+      .as[(String, Seq[Double])].collect().toMap
+    val approx = Analytics.aggApproxQuantile(spark, sfMid)
+      .select("event_type", "p50", "p90", "p99")
+      .as[(String, Double, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (tp, a50, a90, a99) =>
+      val br = exact(tp)
+      Seq(a50, a90, a99).zipWithIndex.foreach { case (a, i) =>
+        val (lo, hi) = (br(2 * i), br(2 * i + 1))
+        assert(a >= lo && a <= hi,
+          s"$tp q=${qs(i)}: approx $a outside rank bracket [$lo, $hi]")
+      }
+    }
+    // HLL++ at rsd=0.02: relative error within 3.5 sigma = 7%
+    val exactUsers = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val hll = Analytics.aggApproxDistinct(spark, sfMid)
+      .select("event_type", "approx_users").as[(String, Long)].collect()
+    assert(hll.nonEmpty)
+    hll.foreach { case (tp, apx) =>
+      val ex = exactUsers(tp)
+      assert(math.abs(apx - ex) <= math.max(2.0, ex * 0.07),
+        s"$tp: HLL $apx vs exact $ex exceeds 3.5-sigma bound (7%)")
+    }
+  }
+
   test("bloom pre-filter has zero false negatives and bounded false positives") {
     val exact = graft.sources.Tables.load(spark, sf, "customer")
       .join(graft.sources.Tables.load(spark, sf, "orders")

@@ -1276,6 +1276,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream twins run on the RocksDB state store (the 100 TB provider) unchanged") {
+    // SCALING.md's streaming section prescribes RocksDB for production
+    // state (the default HDFS-backed provider keeps every user's state
+    // on-heap); this pins that the FMGWS twins' case-class state
+    // round-trips through RocksDB with batch-for-batch identical
+    // output. Three users x three day-cadence batches exercises state
+    // persistence across batches and a conv upgrade.
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, id: Long, day: Long, ty: String) =
+      EventStreams.DidEv(u, id, day * 86400000000L + id, ty)
+    val batches = Seq(
+      Seq(ev(1L, 1L, 10L, "view"), ev(2L, 2L, 10L, "purchase")),
+      Seq(ev(1L, 3L, 11L, "purchase"), ev(3L, 4L, 11L, "view")),
+      Seq(ev(2L, 5L, 12L, "view"), ev(3L, 6L, 12L, "purchase")))
+    def run(tag: String): Seq[(Long, Long, Long, Long)] = {
+      val mem = MemoryStream[EventStreams.DidEv]
+      val q = EventStreams.didStream(mem.toDS())
+        .writeStream.format("memory").queryName(s"did_ssp_$tag")
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.sql(s"SELECT day, armn, d_units, d_conv FROM did_ssp_$tag")
+          .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      } finally q.stop()
+    }
+    val dflt = run("hdfs")
+    assert(dflt.nonEmpty)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      assert(run("rocks") == dflt,
+        "RocksDB state store must replay the default provider's output exactly")
+    } finally spark.conf.unset(key)
+  }
+
   test("streamed decayed bandit equals the batch HOF fold at daily cadence") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.BanditEv
