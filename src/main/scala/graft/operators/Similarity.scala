@@ -1759,6 +1759,8 @@ object Similarity {
     "ann_recall_curve" -> annRecallCurve,
     "ann_probe_plan" -> annProbePlan,
     "ann_beam_plan" -> annBeamPlan,
+    "ann_cells_curve" -> annCellsCurve,
+    "ann_cells_plan" -> annCellsPlan,
     "ann_filtered_search" -> annFilteredSearch,
     "ann_hard_negatives" -> annHardNegatives,
     "corpus_semdedup" -> corpusSemdedup,
@@ -2196,6 +2198,164 @@ object Similarity {
        |  n_candidates, CAST(reached AS BIGINT) AS reached
        |FROM r WHERE rk = 1 ORDER BY target_ppm""".stripMargin
 
+  // ------------------------------------------------ cells tuning curve
+  private val CELLS_CURVE = Seq(8, 16, 32)
+
+  /** ANN cells-dial tuning curve (r19 — the measured face for THE dial
+    * this round made a conf knob: every other ANN/dedup dial already
+    * has its curve ([[annRecallCurve]] probes, [[annGraphRecallCurve]]
+    * beam, [[graft.operators.Dedup.dedupLshCurve]] banding,
+    * [[dedupEmbeddingIvfCurve]] the dedup (cells, assign) grid), but
+    * `spark.graft.ann.cells` — the one dial that must grow ~√N at
+    * corpus scale — had no search-face curve justifying its default).
+    * For each codebook size ∈ {8, 16, 32}: the probe-3/assign-2 search
+    * face's candidate volume (the exact reranks per query set — the
+    * COST a bigger codebook divides, ≈ N·probe·assign/CELLS per query)
+    * and the ppm recall of its top-[[K]] vs brute-force truth (the
+    * YIELD tighter cell boundaries risk losing — the boundary-loss
+    * failure mode the annIvf tuning note documents). Reading the
+    * curve: recall holds roughly flat while candidates fall with
+    * CELLS, which is exactly the property that makes the √N dial safe
+    * to turn — measured here instead of asserted in a Scaladoc.
+    *
+    * == Scale design ==
+    * SAMPLE-BOUND BY CONTRACT, like [[dedupEmbeddingIvfCurve]]:
+    * sweeping fixed cell counts re-trains and re-assigns per config,
+    * which is how parameter tuning actually runs — on a bounded sample
+    * whose recall/cost statistics transfer — never on the 100 TB
+    * corpus. Each leg is one assignment scan + the bucket-equality
+    * join (candidates, never the cross product); truth is the bounded
+    * [[NQ]]-query brute list; everything downstream of the candidate
+    * join is O(NQ · K).
+    */
+  def annCellsCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val truth = annBruteforce(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val legs = CELLS_CURVE.map { c =>
+      val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir, c))
+      def cellsOf(v: Array[Float], n: Double, k: Int): Seq[Long] =
+        codebook.value
+          .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .take(k).map(_._1).toSeq
+      val assigned = e.flatMap { case (id, v) =>
+        val n = nrm(v)
+        cellsOf(v, n, IVF_ASSIGN).map(cell => (id, v, n, cell))
+      }.toDF("vec_id", "embedding", "nrm", "cell")
+      val probes = e.filter(_._1 < NQ).flatMap { case (id, v) =>
+        val n = nrm(v)
+        cellsOf(v, n, IVF_NPROBE).map(cell => (id, v, n, cell))
+      }.toDF("q_id", "q_emb", "q_nrm", "cell")
+      // pairs reached through both probed cells collapse here (same
+      // pair ⇒ identical cosine), exactly annIvf's distinct
+      val cand = broadcast(probes).join(assigned,
+          probes("cell") === assigned("cell") && col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(max(dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val top = cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      top.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_returned"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .crossJoin(nCand)
+        .select(lit(c.toLong).as("cells"), col("n_candidates"),
+          col("n_returned"), col("n_hits"),
+          expr(s"1000000 * n_hits div ${NQ.toLong * K}").as("recall_ppm"))
+    }
+    legs.reduce(_ unionAll _).orderBy(col("cells"))
+  }
+
+  /** DuckDB twin of the cells curve: three prefixed codebook replays
+    * (the [[ivfCodebookCtesAt]] trick), each searched probe-3/assign-2,
+    * one shared brute-truth relation. */
+  lazy val annCellsCurveSql: String = {
+    val chains = CELLS_CURVE.flatMap(c => ivfCodebookCtesAt(s"k${c}_", c))
+    // bt MATERIALIZED: referenced by all three legs; DuckDB would
+    // otherwise re-run the cosine fold per reference (the inlining
+    // trap the curve oracles document)
+    val bt =
+      s"bt AS MATERIALIZED (SELECT query_id, neighbor_id FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY ${ivfFold("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rank FROM k8_n q, k8_n c WHERE q.vec_id < $NQ AND q.vec_id <> c.vec_id) WHERE rank <= $K)"
+    val legs = CELLS_CURVE.flatMap { c =>
+      val p = s"k${c}_"
+      Seq(
+        s"${p}prb AS (SELECT vec_id, cid AS cell FROM ${p}rk WHERE rn <= $IVF_NPROBE AND vec_id < $NQ)",
+        s"${p}cand AS (SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id FROM ${p}prb q JOIN ${p}asg a ON a.cell = q.cell AND a.vec_id <> q.vec_id)",
+        s"${p}cx AS MATERIALIZED (SELECT c.query_id, c.neighbor_id, ${ivfFold("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine FROM ${p}cand c JOIN ${p}n nq ON nq.vec_id = c.query_id JOIN ${p}n nc ON nc.vec_id = c.neighbor_id)",
+        s"${p}tp AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM ${p}cx) WHERE rk <= $K)",
+        s"${p}r AS (SELECT CAST($c AS BIGINT) AS cells, (SELECT CAST(count(*) AS BIGINT) FROM ${p}cx) AS n_candidates, CAST(count(*) AS BIGINT) AS n_returned, CAST(sum(CASE WHEN bt.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM ${p}tp t LEFT JOIN bt ON bt.query_id = t.query_id AND bt.neighbor_id = t.neighbor_id)")
+    }
+    val union = CELLS_CURVE.map(c =>
+        s"SELECT cells, n_candidates, n_returned, n_hits, (1000000 * n_hits) // ${NQ.toLong * K} AS recall_ppm FROM k${c}_r")
+      .mkString("\nUNION ALL\n")
+    "WITH " + (chains ++ Seq(bt) ++ legs).mkString(",\n") +
+      s"\nSELECT * FROM (\n$union\n) ORDER BY cells"
+  }
+
+  // -------------------------------------------------- cells planner
+  /** SLO planner for the cells dial (r19 — the [[annProbePlan]] /
+    * [[annBeamPlan]] / lsh-plan symmetry applied to the codebook-size
+    * dial the round made a conf knob): for each recall target
+    * {70, 80, 90, 95 %} the CHEAPEST cell count whose measured
+    * [[annCellsCurve]] recall meets it — cheapest by `n_candidates`,
+    * the exact-rerank cost the recall buys (cost falls as cells GROW,
+    * so the planner ranks by measured candidate volume, not by the
+    * config id — the lsh-plan lesson). Unreachable targets degrade to
+    * the best available recall (then min candidates) with
+    * `reached` = 0. The pick is what a deployment sets
+    * `spark.graft.ann.cells` to at THIS corpus size; re-planning on
+    * the grown corpus is how the √N schedule is actually operated.
+    *
+    * == Scale design ==
+    * The expensive part IS the curve (a registered face, sample-bound
+    * by contract); the plan is 4 targets × 3 curve rows of broadcast
+    * window math — free at any scale.
+    */
+  def annCellsPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val curve = annCellsCurve(s, dir)
+      .select(col("cells"), col("n_candidates"), col("recall_ppm"))
+    val targets = Seq(700000L, 800000L, 900000L, 950000L).toDF("target_ppm")
+    val w = Window.partitionBy(col("target_ppm")).orderBy(
+      (col("recall_ppm") >= col("target_ppm")).desc,
+      when(col("recall_ppm") >= col("target_ppm"), col("n_candidates"))
+        .otherwise(lit(1000000L) - col("recall_ppm")).asc,
+      col("n_candidates").asc, col("cells").asc)
+    broadcast(targets).crossJoin(curve)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("target_ppm"), col("cells"), col("recall_ppm"),
+        col("n_candidates"),
+        (col("recall_ppm") >= col("target_ppm")).cast("long").as("reached"))
+      .orderBy(col("target_ppm"))
+  }
+
+  /** DuckDB twin: the full cells-curve statement as a subquery, the
+    * same reached-first / cheapest-candidates ranking. */
+  lazy val annCellsPlanSql: String =
+    s"""WITH curve AS (SELECT cells, n_candidates, recall_ppm FROM (
+       |$annCellsCurveSql
+       |)),
+       |tg(target_ppm) AS (VALUES (700000), (800000), (900000), (950000)),
+       |r AS (SELECT tg.target_ppm, c.cells, c.recall_ppm, c.n_candidates,
+       |    CASE WHEN c.recall_ppm >= tg.target_ppm THEN 1 ELSE 0 END AS reached,
+       |    row_number() OVER (PARTITION BY tg.target_ppm ORDER BY
+       |      CASE WHEN c.recall_ppm >= tg.target_ppm THEN 1 ELSE 0 END DESC,
+       |      CASE WHEN c.recall_ppm >= tg.target_ppm THEN c.n_candidates
+       |        ELSE 1000000 - c.recall_ppm END ASC,
+       |      c.n_candidates ASC, c.cells ASC) AS rk
+       |  FROM tg CROSS JOIN curve c)
+       |SELECT CAST(target_ppm AS BIGINT) AS target_ppm, cells, recall_ppm,
+       |  n_candidates, CAST(reached AS BIGINT) AS reached
+       |FROM r WHERE rk = 1 ORDER BY target_ppm""".stripMargin
+
   /** DuckDB twin of the SemDeDup cut: [[dedupEmbeddingIvfSql]]'s pair
     * chain, dropped = distinct higher-id endpoints, ledger per label. */
   val corpusSemdedupSql: String = {
@@ -2221,6 +2381,8 @@ object Similarity {
     "ann_recall_curve" -> annRecallCurveSql,
     "ann_probe_plan" -> annProbePlanSql,
     "ann_beam_plan" -> annBeamPlanSql,
+    "ann_cells_curve" -> annCellsCurveSql,
+    "ann_cells_plan" -> annCellsPlanSql,
     "ann_filtered_search" -> annFilteredSearchSql,
     "ann_hard_negatives" -> annHardNegativesSql,
     "corpus_semdedup" -> corpusSemdedupSql,

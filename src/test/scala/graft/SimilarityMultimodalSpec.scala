@@ -837,6 +837,58 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ann_cells_curve: cost falls with cells, faces consistent, full top-k") {
+    val curve = Similarity.annCellsCurve(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(curve.map(_._1) == Seq(8L, 16L, 32L), "curve domain is the cells sweep")
+    // every leg returns the full top-k and a sane recall
+    curve.foreach { case (c, nc, nr, nh, rp) =>
+      assert(nr == 50L, s"cells=$c returned $nr of 50")
+      assert(nh <= nr && rp == 1000000L * nh / 50L, s"cells=$c recall arithmetic")
+      assert(nc >= nr, s"cells=$c fewer candidates than returns")
+    }
+    // the dial's defining property: candidate cost falls as cells grow
+    curve.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 > b._2,
+        s"candidates must fall with cells (${a._1}:${a._2} -> ${b._1}:${b._2})")
+      case _ =>
+    }
+    // face consistency at the default dial: the 32-cell leg IS annIvf's
+    // config, so its recall equals annIvf ∩ brute-truth directly
+    val ivf = Similarity.annIvf(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = Similarity.annBruteforce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val hits = ivf.count(truth.contains)
+    val row32 = curve.find(_._1 == 32L).get
+    assert(row32._4 == hits.toLong,
+      s"32-cell curve hits ${row32._4} != annIvf∩truth $hits")
+  }
+
+  test("ann_cells_plan picks the cheapest reached cell count, degrades honestly") {
+    val curve = Similarity.annCellsCurve(spark, sf)
+      .select("cells", "n_candidates", "recall_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    val expected = Seq(700000L, 800000L, 900000L, 950000L).map { t =>
+      val reached = curve.filter(_._3 >= t)
+      val pick =
+        if (reached.nonEmpty) reached.minBy(c => (c._2, c._1))
+        else curve.maxBy(c => (c._3, -c._2, -c._1))
+      (t, pick._1, pick._3, pick._2, if (pick._3 >= t) 1L else 0L)
+    }
+    val got = Similarity.annCellsPlan(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, "cells plan drifted from the curve replay")
+    // the dial is cost-ranked: a harder target never picks a CHEAPER
+    // candidate volume (among reached targets)
+    val reachedRows = got.filter(_._5 == 1L)
+    reachedRows.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 <= b._4,
+        "harder target picked a cheaper candidate volume")
+      case _ =>
+    }
+  }
+
   test("ann_filtered_search pre-filters: every neighbor satisfies the predicate") {
     val got = Similarity.annFilteredSearch(spark, sf)
       .select("query_id", "neighbor_id", "rank")
