@@ -3110,7 +3110,199 @@ object EventStreams {
       |    AS cum_regret_ppm
       |FROM r ORDER BY day""".stripMargin
 
+  // ------------------------------------------- state capacity planner
+  /** Streaming state budget (r19 — SCALING.md's streaming-leg table as
+    * a REGISTERED, oracle-checked face: "will this corpus's streams
+    * fit the state store?" is a capacity question a deployment asks of
+    * the DATA, so the engine answers it as a query instead of a doc).
+    * One row per registered `stream_*` twin: its state-key domain, the
+    * MEASURED key cardinality on this corpus (for NoTimeout FMGWS
+    * twins the live upper bound; for watermarked ops the max single-day
+    * bound, ≥ any watermark window here), the per-key state-row size
+    * (encoder-fields + ~48 B store overhead; estimated constants,
+    * except the two map-valued states whose size is itself measured:
+    * topk's per-type count map and quantile's bucket map), and the
+    * product — total live state per stream. The design lesson the
+    * ledger makes visible: every per-user state is O(1) fields, so the
+    * budget is linear in USERS and never in events — the property that
+    * makes a 100 TB event stream hold ~GBs of state, not TBs.
+    *
+    * == Scale design ==
+    * ONE fact scan feeds the global and per-day cardinality folds
+    * (map-side combinable; the per-day maxima ride the bounded day
+    * relation), one documents scan feeds the content-digest count; the
+    * 31-row stream spec is a broadcast literal and everything after
+    * the two folds is O(streams) arithmetic. Pairs with the RocksDB
+    * provider config SCALING.md prescribes (and StreamingSpec pins).
+    */
+  def streamStateBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select(
+      col("user_id"), col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      expr("cast(round(value*100) as bigint)").as("cents"))
+    val dayMax = ev.groupBy(col("day"))
+      .agg(count(lit(1)).as("ev_c"),
+        countDistinct(col("user_id"), col("event_type")).as("ut_c"),
+        countDistinct(expr("cents div 64")).as("qb_c"))
+      .agg(max(col("ev_c")).as("max_day_events"),
+        max(col("ut_c")).as("max_day_user_type"),
+        max(col("qb_c")).as("max_day_buckets"))
+    val glob = ev.agg(
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      countDistinct(col("day")).as("n_days"),
+      countDistinct(col("day"), col("event_type")).as("n_day_types"),
+      countDistinct(expr("cents div 5000")).as("n_vbuckets"))
+    val sha = graft.sources.Tables.load(s, dir, "documents")
+      .agg(countDistinct(sha2(col("text"), 256)).as("n_digests"))
+    val drivers = glob.crossJoin(dayMax).crossJoin(sha)
+    // (stream key, state-key domain, cardinality driver, bytes/key);
+    // bytes 0 = map-valued state, sized from measured drivers below
+    val spec = Seq(
+      ("stream_sessionize", "user", "n_users", 96L),
+      ("stream_retention", "user", "n_users", 176L),
+      ("stream_funnel", "user", "n_users", 72L),
+      ("stream_late_data", "user", "n_users", 56L),
+      ("stream_ab_lift", "user", "n_users", 50L),
+      ("stream_uplift", "user", "n_users", 74L),
+      ("stream_did", "user", "n_users", 57L),
+      ("stream_attribution", "user", "n_users", 176L),
+      ("stream_merge_delete", "user", "n_users", 64L),
+      ("stream_scd1", "user", "n_users", 64L),
+      ("stream_scd2", "user", "n_users", 80L),
+      ("stream_dedup", "user_type_watermark", "max_day_user_type", 48L),
+      ("stream_interval_join", "event_buffer_watermark", "max_day_events", 88L),
+      ("stream_cas_dedup", "content_digest", "n_digests", 96L),
+      ("stream_forecast", "event_type", "n_types", 72L),
+      ("stream_cusum", "event_type", "n_types", 56L),
+      ("stream_gap_fill", "event_type", "n_types", 64L),
+      ("stream_ewma", "event_type", "n_types", 64L),
+      ("stream_anomaly", "event_type", "n_types", 120L),
+      ("stream_window_agg", "live_hour_windows", "windows_live", 80L),
+      ("stream_dau", "day", "n_days", 560L),
+      ("stream_quantile", "day", "n_days", 0L),
+      ("stream_topk", "day", "n_days", 0L),
+      ("stream_drift", "day_feature", "n_day_types", 80L),
+      ("stream_value_histogram", "value_bucket", "n_vbuckets", 80L),
+      ("stream_cms_cells", "sketch_cells", "cms", 56L),
+      ("stream_hll_registers", "sketch_registers", "hll", 56L),
+      ("stream_frame_churn", "canvas_cell", "canvas", 64L),
+      ("stream_pack", "global", "global", 96L),
+      ("stream_bandit", "global", "global", 96L),
+      ("stream_enrich", "stateless", "zero", 0L))
+      .toDF("stream_key", "key_domain", "driver", "bytes0")
+    broadcast(spec).crossJoin(drivers)
+      .withColumn("n_keys",
+        when(col("driver") === "n_users", col("n_users"))
+          .when(col("driver") === "n_types", col("n_types"))
+          .when(col("driver") === "n_days", col("n_days"))
+          .when(col("driver") === "n_day_types", col("n_day_types"))
+          .when(col("driver") === "n_vbuckets", col("n_vbuckets"))
+          .when(col("driver") === "n_digests", col("n_digests"))
+          .when(col("driver") === "max_day_events", col("max_day_events"))
+          .when(col("driver") === "max_day_user_type", col("max_day_user_type"))
+          .when(col("driver") === "windows_live", lit(3L) * col("n_types"))
+          .when(col("driver") === "cms", lit(4096L))
+          .when(col("driver") === "hll", lit(64L))
+          .when(col("driver") === "canvas", lit(1400L * 1000L))
+          .when(col("driver") === "global", lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("state_bytes",
+        when(col("stream_key") === "stream_topk",
+          lit(48L) + lit(24L) * col("n_types"))
+          .when(col("stream_key") === "stream_quantile",
+            lit(48L) + lit(16L) * col("max_day_buckets"))
+          .otherwise(col("bytes0")))
+      .select(col("stream_key"), col("key_domain"), col("n_keys"),
+        col("state_bytes"),
+        expr("n_keys * state_bytes div 1024").as("state_total_kb"))
+      .orderBy(col("stream_key"))
+  }
+
+  /** DuckDB twin: the same two cardinality folds and the identical
+    * 31-row literal spec, joined and sized with the same arithmetic. */
+  val streamStateBudgetSql: String = {
+    val rows = Seq(
+      ("stream_sessionize", "user", "n_users", 96L),
+      ("stream_retention", "user", "n_users", 176L),
+      ("stream_funnel", "user", "n_users", 72L),
+      ("stream_late_data", "user", "n_users", 56L),
+      ("stream_ab_lift", "user", "n_users", 50L),
+      ("stream_uplift", "user", "n_users", 74L),
+      ("stream_did", "user", "n_users", 57L),
+      ("stream_attribution", "user", "n_users", 176L),
+      ("stream_merge_delete", "user", "n_users", 64L),
+      ("stream_scd1", "user", "n_users", 64L),
+      ("stream_scd2", "user", "n_users", 80L),
+      ("stream_dedup", "user_type_watermark", "max_day_user_type", 48L),
+      ("stream_interval_join", "event_buffer_watermark", "max_day_events", 88L),
+      ("stream_cas_dedup", "content_digest", "n_digests", 96L),
+      ("stream_forecast", "event_type", "n_types", 72L),
+      ("stream_cusum", "event_type", "n_types", 56L),
+      ("stream_gap_fill", "event_type", "n_types", 64L),
+      ("stream_ewma", "event_type", "n_types", 64L),
+      ("stream_anomaly", "event_type", "n_types", 120L),
+      ("stream_window_agg", "live_hour_windows", "windows_live", 80L),
+      ("stream_dau", "day", "n_days", 560L),
+      ("stream_quantile", "day", "n_days", 0L),
+      ("stream_topk", "day", "n_days", 0L),
+      ("stream_drift", "day_feature", "n_day_types", 80L),
+      ("stream_value_histogram", "value_bucket", "n_vbuckets", 80L),
+      ("stream_cms_cells", "sketch_cells", "cms", 56L),
+      ("stream_hll_registers", "sketch_registers", "hll", 56L),
+      ("stream_frame_churn", "canvas_cell", "canvas", 64L),
+      ("stream_pack", "global", "global", 96L),
+      ("stream_bandit", "global", "global", 96L),
+      ("stream_enrich", "stateless", "zero", 0L))
+      .map { case (k, d, dr, b) => s"('$k', '$d', '$dr', $b)" }
+      .mkString(",\n    ")
+    s"""WITH ev AS (SELECT user_id, event_type,
+       |    epoch_us(ts) // 86400000000 AS day,
+       |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+       |pd AS (SELECT day, count(*) AS ev_c,
+       |    count(DISTINCT (user_id, event_type)) AS ut_c,
+       |    count(DISTINCT cents // 64) AS qb_c FROM ev GROUP BY day),
+       |dm AS (SELECT max(ev_c) AS max_day_events,
+       |    max(ut_c) AS max_day_user_type,
+       |    max(qb_c) AS max_day_buckets FROM pd),
+       |g AS (SELECT count(DISTINCT user_id) AS n_users,
+       |    count(DISTINCT event_type) AS n_types,
+       |    count(DISTINCT day) AS n_days,
+       |    count(DISTINCT (day, event_type)) AS n_day_types,
+       |    count(DISTINCT cents // 5000) AS n_vbuckets FROM ev),
+       |sh AS (SELECT count(DISTINCT sha256(text)) AS n_digests FROM documents),
+       |d AS (SELECT * FROM g CROSS JOIN dm CROSS JOIN sh),
+       |spec(stream_key, key_domain, driver, bytes0) AS (VALUES
+       |    $rows),
+       |r AS (SELECT s.stream_key, s.key_domain,
+       |    CAST(CASE s.driver
+       |      WHEN 'n_users' THEN d.n_users
+       |      WHEN 'n_types' THEN d.n_types
+       |      WHEN 'n_days' THEN d.n_days
+       |      WHEN 'n_day_types' THEN d.n_day_types
+       |      WHEN 'n_vbuckets' THEN d.n_vbuckets
+       |      WHEN 'n_digests' THEN d.n_digests
+       |      WHEN 'max_day_events' THEN d.max_day_events
+       |      WHEN 'max_day_user_type' THEN d.max_day_user_type
+       |      WHEN 'windows_live' THEN 3 * d.n_types
+       |      WHEN 'cms' THEN 4096
+       |      WHEN 'hll' THEN 64
+       |      WHEN 'canvas' THEN 1400000
+       |      WHEN 'global' THEN 1
+       |      ELSE 0 END AS BIGINT) AS n_keys,
+       |    CAST(CASE s.stream_key
+       |      WHEN 'stream_topk' THEN 48 + 24 * d.n_types
+       |      WHEN 'stream_quantile' THEN 48 + 16 * d.max_day_buckets
+       |      ELSE s.bytes0 END AS BIGINT) AS state_bytes
+       |  FROM spec s CROSS JOIN d)
+       |SELECT stream_key, key_domain, n_keys, state_bytes,
+       |  n_keys * state_bytes // 1024 AS state_total_kb
+       |FROM r ORDER BY stream_key""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_state_budget" -> streamStateBudget,
     "stream_bandit" -> streamBandit,
     "stream_anomaly" -> streamAnomaly,
     "stream_attribution" -> streamAttribution,
@@ -3160,6 +3352,7 @@ object EventStreams {
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_state_budget" -> streamStateBudgetSql,
     "stream_anomaly" -> streamAnomalySql,
     "stream_attribution" -> streamAttributionSql,
     "stream_gap_fill" -> streamGapFillSql,

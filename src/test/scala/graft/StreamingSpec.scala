@@ -1276,6 +1276,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_state_budget covers every stream twin and replays its drivers") {
+    val rows = EventStreams.streamStateBudget(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // one row per registered stream key (except the budget itself)
+    val registered = EventStreams.queries.keySet - "stream_state_budget"
+    assert(rows.map(_._1).toSet == registered,
+      "budget ledger must cover exactly the registered stream twins")
+    // the sizing identity holds on every row
+    rows.foreach { case (k, _, nk, sb, kb) =>
+      assert(kb == nk * sb / 1024L, s"$k: state_total_kb arithmetic")
+      assert(nk >= 0L && sb >= 0L, s"$k: negative driver")
+    }
+    // drivers replay from the raw events: user-domain rows carry the
+    // distinct user count, type-domain rows the type count, and the
+    // quantile row's map bytes come from the measured max bucket day
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+        expr("cast(round(value*100) as bigint)").as("cents"))
+      .as[(Long, String, Long, Long)].collect()
+    val nUsers = ev.map(_._1).distinct.length.toLong
+    val nTypes = ev.map(_._2).distinct.length.toLong
+    val nDays = ev.map(_._3).distinct.length.toLong
+    val maxBuckets = ev.groupBy(_._3)
+      .map(_._2.map(_._4 / 64L).distinct.length).max.toLong
+    rows.filter(_._2 == "user").foreach(r =>
+      assert(r._3 == nUsers, s"${r._1}: user domain must be $nUsers"))
+    rows.filter(_._2 == "event_type").foreach(r =>
+      assert(r._3 == nTypes, s"${r._1}: type domain must be $nTypes"))
+    rows.filter(_._2 == "day").foreach(r =>
+      assert(r._3 == nDays, s"${r._1}: day domain must be $nDays"))
+    val quant = rows.find(_._1 == "stream_quantile").get
+    assert(quant._4 == 48L + 16L * maxBuckets,
+      "quantile map bytes must come from the measured max bucket day")
+    // the design property the ledger exists to show: no stream's state
+    // grows with EVENTS — every n_keys is bounded by a sub-event driver
+    val nEvents = ev.length.toLong
+    rows.filter(r => r._2 != "event_buffer_watermark").foreach(r =>
+      assert(r._3 <= math.max(nUsers * nTypes, 1400000L),
+        s"${r._1}: state keys must not scale with raw events ($nEvents)"))
+  }
+
   test("stream twins run on the RocksDB state store (the 100 TB provider) unchanged") {
     // SCALING.md's streaming section prescribes RocksDB for production
     // state (the default HDFS-backed provider keeps every user's state
