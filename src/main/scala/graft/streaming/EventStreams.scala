@@ -3128,12 +3128,16 @@ object EventStreams {
     * makes a 100 TB event stream hold ~GBs of state, not TBs.
     *
     * == Scale design ==
-    * ONE fact scan feeds the global and per-day cardinality folds
-    * (map-side combinable; the per-day maxima ride the bounded day
-    * relation), one documents scan feeds the content-digest count; the
-    * 31-row stream spec is a broadcast literal and everything after
-    * the two folds is O(streams) arithmetic. Pairs with the RocksDB
-    * provider config SCALING.md prescribes (and StreamingSpec pins).
+    * TWO column-pruned fact scans — the global and per-day distinct
+    * folds group differently, and at 100 TB re-scanning a 4-column
+    * projection twice beats materializing a corpus-sized intermediate
+    * (the stableCheckpoint convention is for BOUNDED folds, not raw
+    * projections) — plus one documents scan for the content-digest
+    * count; all three folds are map-side combinable and the per-day
+    * maxima ride the bounded day relation. The 31-row stream spec is a
+    * broadcast literal and everything after the folds is O(streams)
+    * arithmetic. Pairs with the RocksDB provider config SCALING.md
+    * prescribes (and StreamingSpec pins).
     */
   def streamStateBudget(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
