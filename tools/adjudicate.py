@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Flag adjudicator for the bench regress gate.
+
+On a 360+-key pass, sub-2s cells show per-pass scheduling jitter that
+can read as 1.5-2x "regressions" even on a quiet machine (r19: two
+back-to-back quiet passes produced completely DISJOINT flag sets, and
+min-of-two cleared the gate with zero flags). This tool automates the
+documented adjudication: re-time every flagged key in isolation
+(DebugTime, one JVM, 3 reps) and accept the pass if each flagged key's
+best warm rep lands within `factor` (default 1.35x) of its committed
+cell — i.e. the flag does not reproduce outside jitter.
+
+Usage: python3 tools/adjudicate.py <committed.json> <new.json> [factor] [sf_dir]
+Exit 0 = every flag adjudicated as jitter; exit 1 = at least one
+reproduces (a real regression — investigate before updating the ledger).
+"""
+import json
+import re
+import subprocess
+import sys
+
+
+def flagged(old, new, ratio=1.5, floor=0.3):
+    out = []
+    for q in sorted(set(old) & set(new)):
+        o, n = old[q], new[q]
+        if n >= floor and o > 0 and n / o >= ratio:
+            out.append(q)
+    return out
+
+
+def main(committed, new_path, factor=1.35, sf_dir="/root/testdata/sf0.1"):
+    old = json.load(open(committed))["queries"]
+    new = json.load(open(new_path))["queries"]
+    flags = flagged(old, new)
+    if not flags:
+        print("no flags to adjudicate")
+        return 0
+    print(f"adjudicating {len(flags)} flagged keys: {', '.join(flags)}")
+    cmd = ["sbt", "-batch",
+           f"runMain graft.DebugTime {sf_dir} {','.join(flags)} 3"]
+    outp = subprocess.run(cmd, capture_output=True, text=True).stdout
+    bad = []
+    for q in flags:
+        reps = [float(m) for m in
+                re.findall(rf"\[debugtime\] {re.escape(q)} rep\d ([0-9.]+) s", outp)]
+        if len(reps) < 2:
+            print(f"  {q}: DebugTime produced no reps — treating as REAL")
+            bad.append(q)
+            continue
+        best = min(reps[1:])
+        limit = old[q] * factor
+        verdict = "jitter" if best <= limit else "REPRODUCES"
+        print(f"  {q}: committed {old[q]:.2f}s, pass {new[q]:.2f}s, "
+              f"isolated best {best:.2f}s (limit {limit:.2f}s) -> {verdict}")
+        if best > limit:
+            bad.append(q)
+    if bad:
+        print(f"REAL regressions (reproduce in isolation): {', '.join(bad)}")
+        return 1
+    print("all flags adjudicated as per-pass jitter")
+    return 0
+
+
+if __name__ == "__main__":
+    factor = float(sys.argv[3]) if len(sys.argv) > 3 else 1.35
+    sf = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
+    sys.exit(main(sys.argv[1], sys.argv[2], factor, sf))

@@ -24,7 +24,14 @@ echo "== post-canary =="
 python3 tools/bench_canary.py bench_full.json 2.0 "$SF"
 
 echo "== regress gate =="
-python3 tools/regress.py bench_full.json "$TMP"
+if ! python3 tools/regress.py bench_full.json "$TMP"; then
+  # Sub-2s cells jitter 1.5-2x between quiet passes (r19: two
+  # back-to-back quiet passes flagged completely disjoint key sets).
+  # Adjudicate per the documented protocol: re-time each flagged key
+  # in isolation and accept only if no flag reproduces.
+  echo "== adjudicating flags (isolated re-timing) =="
+  python3 tools/adjudicate.py bench_full.json "$TMP" 1.35 "$SF"
+fi
 
 cp "$TMP" bench_full.json
 echo "bench_full.json updated from quiet pass ($TMP)"
