@@ -3119,9 +3119,11 @@ object EventStreams {
     * MEASURED key cardinality on this corpus (for NoTimeout FMGWS
     * twins the live upper bound; for watermarked ops the max single-day
     * bound, ≥ any watermark window here), the per-key state-row size
-    * (encoder-fields + ~48 B store overhead; estimated constants,
-    * except the two map-valued states whose size is itself measured:
-    * topk's per-type count map and quantile's bucket map), and the
+    * (MEASURED UnsafeRow encoder bytes per state class — see
+    * graft.DebugStateSize — plus ~48 B store key/version overhead;
+    * the two map-valued states, topk's per-type count map and
+    * quantile's bucket map, are sized from their measured 17 B/entry
+    * rate and the corpus's own bucket drivers), and the
     * product — total live state per stream. The design lesson the
     * ledger makes visible: every per-user state is O(1) fields, so the
     * budget is linear in USERS and never in events — the property that
@@ -3165,33 +3167,33 @@ object EventStreams {
     // bytes 0 = map-valued state, sized from measured drivers below
     val spec = Seq(
       ("stream_sessionize", "user", "n_users", 96L),
-      ("stream_retention", "user", "n_users", 176L),
-      ("stream_funnel", "user", "n_users", 72L),
-      ("stream_late_data", "user", "n_users", 56L),
-      ("stream_ab_lift", "user", "n_users", 50L),
-      ("stream_uplift", "user", "n_users", 74L),
-      ("stream_did", "user", "n_users", 57L),
-      ("stream_attribution", "user", "n_users", 176L),
-      ("stream_merge_delete", "user", "n_users", 64L),
-      ("stream_scd1", "user", "n_users", 64L),
-      ("stream_scd2", "user", "n_users", 80L),
-      ("stream_dedup", "user_type_watermark", "max_day_user_type", 48L),
-      ("stream_interval_join", "event_buffer_watermark", "max_day_events", 88L),
-      ("stream_cas_dedup", "content_digest", "n_digests", 96L),
-      ("stream_forecast", "event_type", "n_types", 72L),
-      ("stream_cusum", "event_type", "n_types", 56L),
+      ("stream_retention", "user", "n_users", 216L),
+      ("stream_funnel", "user", "n_users", 80L),
+      ("stream_late_data", "user", "n_users", 64L),
+      ("stream_ab_lift", "user", "n_users", 72L),
+      ("stream_uplift", "user", "n_users", 88L),
+      ("stream_did", "user", "n_users", 72L),
+      ("stream_attribution", "user", "n_users", 104L),
+      ("stream_merge_delete", "user", "n_users", 72L),
+      ("stream_scd1", "user", "n_users", 72L),
+      ("stream_scd2", "user", "n_users", 88L),
+      ("stream_dedup", "user_type_watermark", "max_day_user_type", 88L),
+      ("stream_interval_join", "event_buffer_watermark", "max_day_events", 96L),
+      ("stream_cas_dedup", "content_digest", "n_digests", 128L),
+      ("stream_forecast", "event_type", "n_types", 80L),
+      ("stream_cusum", "event_type", "n_types", 64L),
       ("stream_gap_fill", "event_type", "n_types", 64L),
-      ("stream_ewma", "event_type", "n_types", 64L),
-      ("stream_anomaly", "event_type", "n_types", 120L),
+      ("stream_ewma", "event_type", "n_types", 72L),
+      ("stream_anomaly", "event_type", "n_types", 96L),
       ("stream_window_agg", "live_hour_windows", "windows_live", 80L),
-      ("stream_dau", "day", "n_days", 560L),
+      ("stream_dau", "day", "n_days", 592L),
       ("stream_quantile", "day", "n_days", 0L),
       ("stream_topk", "day", "n_days", 0L),
       ("stream_drift", "day_feature", "n_day_types", 80L),
-      ("stream_value_histogram", "value_bucket", "n_vbuckets", 80L),
-      ("stream_cms_cells", "sketch_cells", "cms", 56L),
-      ("stream_hll_registers", "sketch_registers", "hll", 56L),
-      ("stream_frame_churn", "canvas_cell", "canvas", 64L),
+      ("stream_value_histogram", "value_bucket", "n_vbuckets", 104L),
+      ("stream_cms_cells", "sketch_cells", "cms", 80L),
+      ("stream_hll_registers", "sketch_registers", "hll", 80L),
+      ("stream_frame_churn", "canvas_cell", "canvas", 72L),
       ("stream_pack", "global", "global", 96L),
       ("stream_bandit", "global", "global", 96L),
       ("stream_enrich", "stateless", "zero", 0L))
@@ -3214,9 +3216,9 @@ object EventStreams {
           .otherwise(lit(0L)))
       .withColumn("state_bytes",
         when(col("stream_key") === "stream_topk",
-          lit(48L) + lit(24L) * col("n_types"))
+          lit(56L) + lit(17L) * col("n_types"))
           .when(col("stream_key") === "stream_quantile",
-            lit(48L) + lit(16L) * col("max_day_buckets"))
+            lit(56L) + lit(17L) * col("max_day_buckets"))
           .otherwise(col("bytes0")))
       .select(col("stream_key"), col("key_domain"), col("n_keys"),
         col("state_bytes"),
@@ -3229,33 +3231,33 @@ object EventStreams {
   val streamStateBudgetSql: String = {
     val rows = Seq(
       ("stream_sessionize", "user", "n_users", 96L),
-      ("stream_retention", "user", "n_users", 176L),
-      ("stream_funnel", "user", "n_users", 72L),
-      ("stream_late_data", "user", "n_users", 56L),
-      ("stream_ab_lift", "user", "n_users", 50L),
-      ("stream_uplift", "user", "n_users", 74L),
-      ("stream_did", "user", "n_users", 57L),
-      ("stream_attribution", "user", "n_users", 176L),
-      ("stream_merge_delete", "user", "n_users", 64L),
-      ("stream_scd1", "user", "n_users", 64L),
-      ("stream_scd2", "user", "n_users", 80L),
-      ("stream_dedup", "user_type_watermark", "max_day_user_type", 48L),
-      ("stream_interval_join", "event_buffer_watermark", "max_day_events", 88L),
-      ("stream_cas_dedup", "content_digest", "n_digests", 96L),
-      ("stream_forecast", "event_type", "n_types", 72L),
-      ("stream_cusum", "event_type", "n_types", 56L),
+      ("stream_retention", "user", "n_users", 216L),
+      ("stream_funnel", "user", "n_users", 80L),
+      ("stream_late_data", "user", "n_users", 64L),
+      ("stream_ab_lift", "user", "n_users", 72L),
+      ("stream_uplift", "user", "n_users", 88L),
+      ("stream_did", "user", "n_users", 72L),
+      ("stream_attribution", "user", "n_users", 104L),
+      ("stream_merge_delete", "user", "n_users", 72L),
+      ("stream_scd1", "user", "n_users", 72L),
+      ("stream_scd2", "user", "n_users", 88L),
+      ("stream_dedup", "user_type_watermark", "max_day_user_type", 88L),
+      ("stream_interval_join", "event_buffer_watermark", "max_day_events", 96L),
+      ("stream_cas_dedup", "content_digest", "n_digests", 128L),
+      ("stream_forecast", "event_type", "n_types", 80L),
+      ("stream_cusum", "event_type", "n_types", 64L),
       ("stream_gap_fill", "event_type", "n_types", 64L),
-      ("stream_ewma", "event_type", "n_types", 64L),
-      ("stream_anomaly", "event_type", "n_types", 120L),
+      ("stream_ewma", "event_type", "n_types", 72L),
+      ("stream_anomaly", "event_type", "n_types", 96L),
       ("stream_window_agg", "live_hour_windows", "windows_live", 80L),
-      ("stream_dau", "day", "n_days", 560L),
+      ("stream_dau", "day", "n_days", 592L),
       ("stream_quantile", "day", "n_days", 0L),
       ("stream_topk", "day", "n_days", 0L),
       ("stream_drift", "day_feature", "n_day_types", 80L),
-      ("stream_value_histogram", "value_bucket", "n_vbuckets", 80L),
-      ("stream_cms_cells", "sketch_cells", "cms", 56L),
-      ("stream_hll_registers", "sketch_registers", "hll", 56L),
-      ("stream_frame_churn", "canvas_cell", "canvas", 64L),
+      ("stream_value_histogram", "value_bucket", "n_vbuckets", 104L),
+      ("stream_cms_cells", "sketch_cells", "cms", 80L),
+      ("stream_hll_registers", "sketch_registers", "hll", 80L),
+      ("stream_frame_churn", "canvas_cell", "canvas", 72L),
       ("stream_pack", "global", "global", 96L),
       ("stream_bandit", "global", "global", 96L),
       ("stream_enrich", "stateless", "zero", 0L))
@@ -3296,8 +3298,8 @@ object EventStreams {
        |      WHEN 'global' THEN 1
        |      ELSE 0 END AS BIGINT) AS n_keys,
        |    CAST(CASE s.stream_key
-       |      WHEN 'stream_topk' THEN 48 + 24 * d.n_types
-       |      WHEN 'stream_quantile' THEN 48 + 16 * d.max_day_buckets
+       |      WHEN 'stream_topk' THEN 56 + 17 * d.n_types
+       |      WHEN 'stream_quantile' THEN 56 + 17 * d.max_day_buckets
        |      ELSE s.bytes0 END AS BIGINT) AS state_bytes
        |  FROM spec s CROSS JOIN d)
        |SELECT stream_key, key_domain, n_keys, state_bytes,

@@ -1308,8 +1308,27 @@ class StreamingSpec extends SparkSpec {
     rows.filter(_._2 == "day").foreach(r =>
       assert(r._3 == nDays, s"${r._1}: day domain must be $nDays"))
     val quant = rows.find(_._1 == "stream_quantile").get
-    assert(quant._4 == 48L + 16L * maxBuckets,
+    assert(quant._4 == 56L + 17L * maxBuckets,
       "quantile map bytes must come from the measured max bucket day")
+    // the fixed-size constants are measured, not guessed: per state
+    // class, constant == UnsafeRow encoder bytes + 48 B store overhead
+    def encBytes[T](v: T)(implicit e: org.apache.spark.sql.Encoder[T]): Long =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          e.asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[T]])
+        .createSerializer()(v)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow]
+        .getSizeInBytes.toLong
+    val pinned = Seq(
+      "stream_did" -> encBytes(EventStreams.DidState(1L, true)),
+      "stream_funnel" -> encBytes(EventStreams.FunState(1L, 2L, 3L)),
+      "stream_sessionize" -> encBytes(EventStreams.SessState(1L, 2L, 3L, 4L, 5L)),
+      "stream_uplift" -> encBytes(EventStreams.UpState(1L, true, false, 2L)),
+      "stream_dau" -> encBytes(new Array[Long](64)))
+    pinned.foreach { case (k, measured) =>
+      val row = rows.find(_._1 == k).get
+      assert(row._4 == measured + 48L,
+        s"$k: constant ${row._4} != measured UnsafeRow $measured + 48")
+    }
     // the design property the ledger exists to show: no stream's state
     // grows with EVENTS — every n_keys is bounded by a sub-event driver
     val nEvents = ev.length.toLong
