@@ -70,7 +70,13 @@ object Bench {
     // file; only the compact line goes to stdout.
     val full = s"""{"sf_dir":"$sfDir","total":$total,"cold_total":$coldTotal,"nosort_total":$nosortTotal,""" +
       s""""queries":${m2j(warm)},"cold_queries":${m2j(cold)},"nosort_queries":${m2j(nosort)}}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // Default detail dump goes to bench_last.json (scratch), NOT the
+    // committed bench_full.json ledger: both r17 and r18 ended with an
+    // un-gated round-close pass overwriting the quiet baseline. The
+    // ledger updates ONLY through tools/bench_gated.sh (canary +
+    // regress + isolated-re-timing adjudication), which sets
+    // SPARK_GRAFT_BENCH_OUT explicitly.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     // Standing regression gate (r10 ADVICE): before overwriting the
     // committed bench_full.json, diff this run's NOSORT column (the
     // only load-robust cross-round axis — warm totals have twice been
@@ -80,7 +86,9 @@ object Bench {
     // queries routinely double on scheduling noise alone (§8e band).
     val regressFile = sys.env.getOrElse("SPARK_GRAFT_REGRESS_OUT", "bench_regress.json")
     try {
-      val p = Paths.get(outFile)
+      // diff against the COMMITTED ledger, whatever this run's detail
+      // file is — the scratch default must not dilute the denominator
+      val p = Paths.get("bench_full.json")
       val prev = if (Files.exists(p)) parseNosort(Files.readString(p))
         else Map.empty[String, Double]
       // Locale-pinned formatting: the f-interpolator honors the JVM
