@@ -369,8 +369,13 @@ object Geo {
 
   /** Shared churn-ledger CTE chain (points → merc → per-day raster →
     * day-shifted full-outer pair → O(days) ledger). */
-  private val frameChurnCtes: String =
-    s"""WITH $pointsCte, $mercCte,
+  /** points → merc → per-(day, px, py) raster-cell CTE prefix (no WITH
+    * keyword) — the [[dayRaster]] relation's oracle replay, shared by
+    * the churn faces and [[Maintain.shuffleBudget]] so the raster
+    * shuffle relation is counted by the exact binning the family runs.
+    */
+  private[graft] val rasterCellsCtes: String =
+    s"""$pointsCte, $mercCte,
        |dr AS (
        |  SELECT epoch_us(ts) // 86400000000 AS dkey,
        |    CAST(least(floor((x - ($X0)) / (${X1 - X0}) * $W), ${W - 1}) AS BIGINT) AS px,
@@ -378,7 +383,10 @@ object Geo {
        |    count(*) AS cnt
        |  FROM merc
        |  WHERE x >= $X0 AND x <= $X1 AND y >= $Y0 AND y <= $Y1
-       |  GROUP BY 1, 2, 3),
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  private val frameChurnCtes: String =
+    s"""WITH $rasterCellsCtes,
        |j AS (
        |  SELECT COALESCE(c.dkey, p.dkey + 1) AS dkey,
        |    c.cnt AS c_cnt, p.cnt AS p_cnt

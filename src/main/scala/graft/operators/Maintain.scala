@@ -1655,7 +1655,103 @@ object Maintain {
       |    AS rewrite_amp_ppm
       |FROM c CROSS JOIN t ORDER BY day""".stripMargin
 
+  // --------------------------------------------------- shuffle budget
+  /** Batch shuffle capacity planner (r19 — the batch symmetry of
+    * [[graft.streaming.EventStreams.streamStateBudget]]: that face
+    * sizes the streams' long-lived STATE, this one sizes the engine's
+    * recurring SHUFFLES — "what do `spark.sql.shuffle.partitions` and
+    * the executor memory need to be on THIS corpus?" answered as a
+    * query). One row per canonical shuffle relation — the key spaces
+    * the operator families actually exchange on:
+    *
+    *  - `events_user_day`: the user-fold family's relation (sessions,
+    *    retention, splits, experiment faces) — distinct (user, day);
+    *  - `raster_day_cell`: the geo family's (day, px, py) relation,
+    *    counted by the exact [[Geo.dayRaster]] binning;
+    *  - `doc_word_pairs`: the tfidf/vocab family's (doc, token)
+    *    distinct relation;
+    *  - `doc_bigrams`: the phrase-vocab family's Heaps-bounded
+    *    distinct-bigram relation ([[TextOps.bigramOccurrences]], the
+    *    shared generator).
+    *
+    * Bytes per shuffle row = UnsafeRow accounting (8 B null bitmap +
+    * 8 B per fixed-width field + 8 B string header + measured mean
+    * string bytes for the two string-keyed relations) + 24 B shuffle
+    * framing; `partitions_128mb` is the partition count that keeps
+    * each shuffle partition at the classic 128 MiB target — the number
+    * to compare against `spark.sql.shuffle.partitions` before running
+    * the family at a new scale.
+    *
+    * == Scale design ==
+    * Each relation is one column-pruned scan folded map-side to a
+    * single-row count (the distinct IS the relation being sized — the
+    * planner pays one pass of exactly the shuffle it is measuring,
+    * which is also the cheapest possible honest measurement); the
+    * 4-row ledger is a unionAll of scalar aggregates.
+    */
+  def shuffleBudget(s: SparkSession, dir: String): DataFrame = {
+    val MB = 1048576L
+    val PART = 134217728L
+    def shape(name: String, agg: DataFrame): DataFrame =
+      agg.select(lit(name).as("relation"), col("n_rows"), col("row_bytes"),
+        expr(s"n_rows * row_bytes div $MB").as("total_mb"),
+        expr(s"(n_rows * row_bytes + ${PART - 1}) div $PART").as("partitions_128mb"))
+    val ev = Tables.load(s, dir, "events")
+    val userDay = shape("events_user_day",
+      ev.select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        .distinct()
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("row_bytes", lit(8L + 16L + 24L)))
+    val raster = shape("raster_day_cell",
+      Geo.dayRaster(s, dir)
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("row_bytes", lit(8L + 32L + 24L)))
+    val wordPairs = shape("doc_word_pairs",
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+        .agg(count(lit(1)).as("n_rows"),
+          expr("8 + 8 + 8 + sum(length(token)) div count(*) + 24").as("row_bytes")))
+    val bigrams = shape("doc_bigrams",
+      TextOps.bigramOccurrences(s, dir)
+        .distinct()
+        .agg(count(lit(1)).as("n_rows"),
+          expr("8 + 8 + sum(length(bigram)) div count(*) + 24").as("row_bytes")))
+    userDay.unionAll(raster).unionAll(wordPairs).unionAll(bigrams)
+      .orderBy(col("relation"))
+  }
+
+  /** DuckDB twin: the same four distinct relations (the raster via the
+    * shared [[Geo.rasterCellsCtes]] replay), identical byte accounting. */
+  val shuffleBudgetSql: String = {
+    val MB = 1048576L
+    val PART = 134217728L
+    s"""WITH ${graft.operators.Geo.rasterCellsCtes},
+       |ud AS (SELECT count(*) AS n_rows, CAST(48 AS BIGINT) AS row_bytes FROM
+       |  (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 FROM events)),
+       |rc AS (SELECT count(*) AS n_rows, CAST(64 AS BIGINT) AS row_bytes FROM dr),
+       |wp AS (SELECT count(*) AS n_rows,
+       |    8 + 8 + 8 + CAST(sum(length(token)) AS BIGINT) // count(*) + 24 AS row_bytes FROM
+       |  (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+       |bg AS (SELECT count(*) AS n_rows,
+       |    8 + 8 + CAST(sum(length(bigram)) AS BIGINT) // count(*) + 24 AS row_bytes FROM
+       |  (SELECT DISTINCT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+       |   FROM (SELECT string_split(text, ' ') AS ws FROM documents))),
+       |led(relation, n_rows, row_bytes) AS (
+       |  SELECT 'events_user_day', n_rows, row_bytes FROM ud
+       |  UNION ALL SELECT 'raster_day_cell', n_rows, row_bytes FROM rc
+       |  UNION ALL SELECT 'doc_word_pairs', n_rows, row_bytes FROM wp
+       |  UNION ALL SELECT 'doc_bigrams', n_rows, row_bytes FROM bg)
+       |SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(row_bytes AS BIGINT) AS row_bytes,
+       |  CAST(n_rows * row_bytes // $MB AS BIGINT) AS total_mb,
+       |  CAST((n_rows * row_bytes + ${PART - 1}) // $PART AS BIGINT) AS partitions_128mb
+       |FROM led ORDER BY relation""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shuffle_budget" -> shuffleBudget,
     "table_retention_plan" -> tableRetentionPlan,
     "merge_upsert" -> mergeUpsert,
     "merge_delete" -> mergeDelete,
@@ -1680,6 +1776,7 @@ object Maintain {
     "dq_referential" -> dqReferential)
 
   val oracles: Map[String, String] = Map(
+    "shuffle_budget" -> shuffleBudgetSql,
     "table_retention_plan" -> tableRetentionPlanSql,
     "merge_upsert" -> mergeUpsertSql,
     "merge_delete" -> mergeDeleteSql,

@@ -126,19 +126,29 @@ object TextOps {
     * explode → count is a classic map-side-combinable aggregation;
     * top-k happens on the (small) distinct-bigram aggregate.
     */
-  def textNgrams(s: SparkSession, dir: String): DataFrame = {
+  /** Exploded word-bigram occurrences, one row per adjacent pair —
+    * the typed-flatMap generator textNgrams and the shuffle-budget
+    * planner share (one definition of the bigram unit, so the two
+    * faces can never disagree on what a bigram is).
+    *
+    * Typed flatMap (mirror of Dedup.exploded): the
+    * zip_with(slice, slice) + explode formulation pairs an interpreted
+    * lambda with an explode-over-computed-array — both SURVEY §8
+    * pitfalls. One narrow JVM pass; split(" ", -1) matches Spark
+    * split()/DuckDB string_split empty-token semantics.
+    */
+  private[graft] def bigramOccurrences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Typed flatMap bigram generator (mirror of Dedup.exploded): the
-    // zip_with(slice, slice) + explode formulation pairs an interpreted
-    // lambda with an explode-over-computed-array — both SURVEY §8
-    // pitfalls. One narrow JVM pass; split(" ", -1) matches Spark
-    // split()/DuckDB string_split empty-token semantics.
     docs(s, dir).select(col("text")).as[String]
       .flatMap { t =>
         val ws = t.split(" ", -1)
         (0 until ws.length - 1).iterator.map(i => ws(i) + " " + ws(i + 1))
       }
       .toDF("bigram")
+  }
+
+  def textNgrams(s: SparkSession, dir: String): DataFrame = {
+    bigramOccurrences(s, dir)
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(50)

@@ -750,4 +750,45 @@ class MaintainSpec extends SparkSpec {
     assert(sdDepth.sum > 4 * okDepth.sum,
       "shipdate zones unexpectedly prunable — contrast gone")
   }
+  test("shuffle_budget: in-memory replay of every relation, cross-face raster pin") {
+    val rows = Maintain.shuffleBudget(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).sorted == Seq("doc_bigrams", "doc_word_pairs",
+      "events_user_day", "raster_day_cell"))
+    // sizing arithmetic on every row
+    rows.foreach { case (r, n, b, mb, parts) =>
+      assert(mb == n * b / 1048576L, s"$r: total_mb arithmetic")
+      assert(parts == (n * b + 134217727L) / 134217728L, s"$r: partition math")
+    }
+    def cell(r: String) = rows.find(_._1 == r).get
+    // independent in-memory replays from the raw tables
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+      .as[(Long, Long)].collect()
+    assert(cell("events_user_day")._2 == ev.distinct.length.toLong)
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val pairs = texts.flatMap { case (id, t) =>
+      t.split(" ", -1).map(tok => (id, tok)) }.distinct
+    val wp = cell("doc_word_pairs")
+    assert(wp._2 == pairs.length.toLong)
+    assert(wp._3 == 24L + 8L + 8L + 8L +
+      pairs.map(_._2.length.toLong).sum / pairs.length,
+      "word-pair row bytes must come from the measured mean token length")
+    val bigrams = texts.flatMap { case (_, t) =>
+      val ws = t.split(" ", -1)
+      (0 until ws.length - 1).map(i => ws(i) + " " + ws(i + 1))
+    }.distinct
+    val bg = cell("doc_bigrams")
+    assert(bg._2 == bigrams.length.toLong)
+    assert(bg._3 == 24L + 8L + 8L +
+      bigrams.map(_.length.toLong).sum / bigrams.length)
+    // cross-face pin: the raster relation's row count IS the total cell
+    // mass the frame-churn ledger reports per day
+    val churnCur = Geo.geoFrameChurn(spark, sf)
+      .select(col("n_cur")).as[Long].collect().sum
+    assert(cell("raster_day_cell")._2 == churnCur,
+      "raster relation must equal the churn faces' summed per-day cells")
+  }
 }
