@@ -6,9 +6,11 @@ can read as 1.5-2x "regressions" even on a quiet machine (r19: two
 back-to-back quiet passes produced completely DISJOINT flag sets, and
 min-of-two cleared the gate with zero flags). This tool automates the
 documented adjudication: re-time every flagged key in isolation
-(DebugTime, one JVM, 3 reps) and accept the pass if each flagged key's
-best warm rep lands within `factor` (default 1.35x) of its committed
-cell — i.e. the flag does not reproduce outside jitter.
+(DebugTime, one JVM, 5 reps — codegen-heavy keys keep warming down
+through rep 4, measured on ml_forecast_damped: 1.44/1.23/1.06/0.94/0.90)
+and accept the pass if each flagged key's best warm rep (reps 2+) lands
+within `factor` (default 1.35x) of its committed cell — i.e. the flag
+does not reproduce outside jitter/JIT warm-up.
 
 Usage: python3 tools/adjudicate.py <committed.json> <new.json> [factor] [sf_dir]
 Exit 0 = every flag adjudicated as jitter; exit 1 = at least one
@@ -38,7 +40,7 @@ def main(committed, new_path, factor=1.35, sf_dir="/root/testdata/sf0.1"):
         return 0
     print(f"adjudicating {len(flags)} flagged keys: {', '.join(flags)}")
     cmd = ["sbt", "-batch",
-           f"runMain graft.DebugTime {sf_dir} {','.join(flags)} 3"]
+           f"runMain graft.DebugTime {sf_dir} {','.join(flags)} 5"]
     outp = subprocess.run(cmd, capture_output=True, text=True).stdout
     bad = []
     for q in flags:
