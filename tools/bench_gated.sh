@@ -17,8 +17,20 @@ echo "== pre-canary =="
 python3 tools/bench_canary.py bench_full.json 2.0 "$SF"
 
 echo "== full bench pass =="
-SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$TMP" \
-  sbt -batch "runMain graft.Bench" | grep '"metric"' || true
+# sbt logs to a file and its exit status is checked directly — a
+# `sbt | grep || true` pipe would swallow a failed bench run and only
+# resurface later as a confusing JSONDecodeError on the empty $TMP.
+SBTLOG=$(mktemp /tmp/bench_sbt.XXXX.log)
+if ! SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$TMP" \
+    sbt -batch "runMain graft.Bench" >"$SBTLOG" 2>&1; then
+  echo "BENCH FAILED: sbt exited non-zero; tail of $SBTLOG:" >&2
+  tail -n 30 "$SBTLOG" >&2
+  exit 1
+fi
+grep '"metric"' "$SBTLOG" || true
+# $TMP must be parseable JSON with a queries map before the gates read it
+python3 -c "import json,sys; d=json.load(open('$TMP')); assert d.get('queries'), 'no queries map'" \
+  || { echo "BENCH FAILED: $TMP is not a valid bench detail file" >&2; exit 1; }
 
 echo "== post-canary =="
 python3 tools/bench_canary.py bench_full.json 2.0 "$SF"
