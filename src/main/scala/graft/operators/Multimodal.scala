@@ -810,6 +810,189 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  // ------------------------------- composed multimodal pretrain mix
+  /** The interleaved text+media TRAINING-MIX build (r20) — the one
+    * composed pipeline a multimodal-model data team asks for next
+    * (r19 verdict gap #2): join the text build's admitted docs to the
+    * media build's admitted blobs on the shared doc spine, classify
+    * every document into its mix class, and apply a JOINT
+    * token+patch budget over the multimodal examples.
+    *
+    * Stage reuse (each stage's registered face is the contract):
+    *   - TEXT admission + subword mass are
+    *     [[Curate.pipelinePretrainBuild]]'s stages 1–4 verbatim
+    *     (quality gate ≥ 0.5, exemplar drop, dedup-aware bucket < 90,
+    *     trained-BPE subword rollup) — the spec pins this face's text
+    *     totals to that build's shard ledger;
+    *   - MEDIA admission is [[pipelineMediaBuild]]'s stages 1–3
+    *     verbatim (CAS canon, phash higher-id drop) — the spec pins
+    *     per-kind media totals to that build's `n_admitted`;
+    *   - the PATCH measure is `(blob_bytes + 63) div 64` per admitted
+    *     blob — the fixed-grid patch-count proxy over the opaque
+    *     payload (the container has no codecs, §6; a real pipeline
+    *     substitutes decoded H·W/p² here and nothing else changes).
+    *
+    * Mix classes on the FULL OUTER doc spine: `joint` (admitted on
+    * both sides — the multimodal example, kind-labeled), `text_only`
+    * (text admitted, media dropped its blob), `media_only` (blob
+    * admitted but the caption failed the text gate — unusable for
+    * caption-conditioned pretraining, reported as the loss it is).
+    * The joint budget keeps multimodal examples in epoch-0 shuffle
+    * order while their running joint cost (subwords + patches) stays
+    * within 80% of the class's total mass — integer arithmetic
+    * (cum·5 ≤ total·4), exact on both engines.
+    *
+    * == Scale design ==
+    * Both admission legs are THIN id relations behind checkpoints
+    * (payloads never cross a stage boundary — the media leg's
+    * contract); the spine join is id-keyed, the budget rides the
+    * two-phase range-partitioned prefix sum (no single-task sort),
+    * and the ledger is O(mix·kinds) = 7 rows.
+    */
+  def pipelineMmPretrain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    import org.apache.spark.sql.expressions.Window
+    // TEXT leg — pipelinePretrainBuild stages 1-4
+    val gate = TextOps.textQuality(s, dir)
+      .filter(col("quality_score") >= 0.5).select(col("doc_id"))
+    val nonExemplar = Dedup.dedupComponents(s, dir)
+      .filter(col("component") =!= col("doc_id")).select(col("doc_id"))
+    val fp = GraftSqlShim.column(graft.functions.StringPolyHash(
+      GraftSqlShim.expression(col("text")),
+      GraftSqlShim.expression(lit(1000000007L))))
+    val own = docs(s, dir).select(col("doc_id"), (fp % 100L).as("own_bucket"))
+    val keep = gate
+      .join(broadcast(nonExemplar), Seq("doc_id"), "left_anti")
+      .join(own, Seq("doc_id"))
+      .filter(col("own_bucket") < 90)
+      .select(col("doc_id"))
+    val segs = TextOps.tokenizeBpeSegments(s, dir)
+      .select(col("word").as("w"), col("n_syms"))
+    val mass = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(segs), Seq("w"))
+      .groupBy(col("doc_id")).agg(sum(col("n_syms")).as("n_subwords"))
+    val text = keep.join(mass, Seq("doc_id")).stableCheckpoint()
+    // MEDIA leg — pipelineMediaBuild stages 1-3 + the patch measure
+    val ing = docs(s, dir).select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        sha2(col("text"), 256).as("sha256"))
+    val canon = ing.groupBy(col("sha256")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val surv = ing.join(canon, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("kind"))
+    val pdrop = mmDedupPhash(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val adm = surv.join(pdrop, Seq("doc_id"), "left_anti")
+      .join(docs(s, dir).select(col("doc_id"),
+        expr("(octet_length(text) + 63) div 64").as("n_patches")), Seq("doc_id"))
+      .stableCheckpoint()
+    // the doc spine classifies the mix
+    val spine = text.join(adm, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("n_subwords").isNotNull && col("kind").isNotNull, lit("joint"))
+          .when(col("n_subwords").isNotNull, lit("text_only"))
+          .otherwise(lit("media_only")).as("mix"),
+        coalesce(col("kind"), lit("text")).as("kind"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("n_patches"), lit(0L)).as("n_patches"))
+      .stableCheckpoint()
+    // joint budget: epoch-0 shuffle order, two-phase prefix sum, 80% cut
+    val joint = spine.filter(col("mix") === "joint")
+      .select(col("doc_id"),
+        (col("n_subwords") + col("n_patches")).as("cost"),
+        Curate.epochHash(0).as("hk"))
+    val pos = Analytics.globalRowPos(joint, Seq.empty,
+      Seq(col("hk"), col("doc_id")), "pos", "__n")
+    val bktd = pos.withColumn("bkt", expr("(pos - 1) div 64"))
+    val intra = Window.partitionBy(col("bkt")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bktd.withColumn("cum_in", sum(col("cost")).over(intra))
+    val prefixes = bktd.groupBy(col("bkt")).agg(sum(col("cost")).as("bt"))
+      .withColumn("bp", coalesce(sum(col("bt")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("bp"))
+    val total = joint.agg(sum(col("cost")).as("tc"))
+    val sel = cum.join(broadcast(prefixes), "bkt")
+      .crossJoin(broadcast(total))
+      .filter((col("bp") + col("cum_in")) * 5L <= col("tc") * 4L)
+      .select(col("doc_id"), lit(1L).as("selflag"))
+    spine.join(sel, Seq("doc_id"), "left")
+      .groupBy(col("mix"), col("kind"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col("n_patches")).as("n_patches"),
+        sum(col("n_subwords") + col("n_patches")).as("joint_cost"),
+        sum(when(col("selflag").isNotNull, 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("selflag").isNotNull, col("n_subwords") + col("n_patches"))
+          .otherwise(0L)).as("sel_cost"))
+      .withColumn("share_ppm",
+        expr("1000000 * joint_cost div sum(joint_cost) over ()"))
+      .orderBy(col("mix"), col("kind"))
+  }
+
+  /** DuckDB twin: the text build's CTE chain (shared recursive
+    * components + quality + segments), the media build's admission
+    * chain, the FULL OUTER spine, the same epoch-0 hash rank and
+    * running-sum budget cut, rolled up per (mix, kind). */
+  lazy val pipelineMmPretrainSql: String =
+    s"""WITH RECURSIVE ${Dedup.componentCtes},
+       |${Curate.qualityCte},
+       |sv AS (SELECT word, n_syms FROM (${TextOps.tokenizeBpeSegmentsSql})),
+       |fb AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % 100 AS own_bucket
+       |  FROM documents),
+       |keep AS (
+       |  SELECT q.doc_id FROM q JOIN fb USING (doc_id)
+       |  WHERE q.quality_score >= 0.5
+       |    AND NOT EXISTS (SELECT 1 FROM comp
+       |                    WHERE comp.doc_id = q.doc_id AND comp.component <> q.doc_id)
+       |    AND fb.own_bucket < 90),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dc AS (SELECT dw.doc_id, CAST(sum(n_syms) AS BIGINT) AS n_subwords
+       |  FROM dw JOIN sv ON sv.word = dw.w JOIN keep ON keep.doc_id = dw.doc_id
+       |  WHERE w <> '' GROUP BY dw.doc_id),
+       |ing AS (SELECT doc_id,
+       |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       |    sha256(text) AS sha256 FROM documents),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM ing GROUP BY sha256),
+       |surv AS (SELECT i.doc_id, i.kind FROM ing i
+       |  WHERE EXISTS (SELECT 1 FROM canon c WHERE c.doc_id = i.doc_id)),
+       |pdrop AS (SELECT DISTINCT doc_b AS doc_id FROM ($mmDedupPhashSql)),
+       |admp AS (SELECT s2.doc_id, s2.kind,
+       |    (strlen(d.text) + 63) // 64 AS n_patches
+       |  FROM surv s2 JOIN documents d USING (doc_id)
+       |  WHERE NOT EXISTS (SELECT 1 FROM pdrop p WHERE p.doc_id = s2.doc_id)),
+       |spine AS (SELECT COALESCE(t.doc_id, m.doc_id) AS doc_id,
+       |    CASE WHEN t.doc_id IS NOT NULL AND m.doc_id IS NOT NULL THEN 'joint'
+       |         WHEN t.doc_id IS NOT NULL THEN 'text_only'
+       |         ELSE 'media_only' END AS mix,
+       |    COALESCE(m.kind, 'text') AS kind,
+       |    COALESCE(t.n_subwords, 0) AS n_subwords,
+       |    COALESCE(m.n_patches, 0) AS n_patches
+       |  FROM dc t FULL OUTER JOIN admp m ON m.doc_id = t.doc_id),
+       |jt AS (SELECT doc_id, n_subwords + n_patches AS cost,
+       |    ${Curate.epochHashSql(0)} AS hk
+       |  FROM spine WHERE mix = 'joint'),
+       |rk AS (SELECT doc_id, sum(cost) OVER (ORDER BY hk, doc_id) AS cum FROM jt),
+       |tc AS (SELECT CAST(sum(cost) AS BIGINT) AS tc FROM jt),
+       |sel AS (SELECT doc_id FROM rk CROSS JOIN tc WHERE cum * 5 <= tc * 4),
+       |led AS (SELECT mix, kind, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+       |    CAST(sum(n_patches) AS BIGINT) AS n_patches,
+       |    CAST(sum(n_subwords + n_patches) AS BIGINT) AS joint_cost,
+       |    CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM sel WHERE sel.doc_id = spine.doc_id)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |    CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM sel WHERE sel.doc_id = spine.doc_id)
+       |      THEN n_subwords + n_patches ELSE 0 END) AS BIGINT) AS sel_cost
+       |  FROM spine GROUP BY mix, kind)
+       |SELECT mix, kind, n_docs, n_subwords, n_patches, joint_cost, n_selected, sel_cost,
+       |  1000000 * joint_cost // CAST(sum(joint_cost) OVER () AS BIGINT) AS share_ppm
+       |FROM led ORDER BY mix, kind""".stripMargin
+
   /** DuckDB twin: the stage oracles chained — ingest metadata, CAS
     * canon filter, the phash pair face inlined as a derived table,
     * then the CDC chunk chain restricted to the admitted set and the
@@ -1031,6 +1214,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_media_incremental" -> pipelineMediaIncremental,
     "pipeline_media_build" -> pipelineMediaBuild,
+    "pipeline_mm_pretrain" -> pipelineMmPretrain,
     "mm_ingest" -> mmIngest,
     "mm_dedup_blob" -> mmDedupBlob,
     "mm_cdc_chunks" -> mmCdcChunks,
@@ -1115,6 +1299,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "pipeline_media_incremental" -> pipelineMediaIncrementalSql,
     "pipeline_media_build" -> pipelineMediaBuildSql,
+    "pipeline_mm_pretrain" -> pipelineMmPretrainSql,
     "mm_ingest" -> mmIngestSql,
     "mm_dedup_blob" -> mmDedupBlobSql,
     "mm_cdc_chunks" -> mmCdcChunksSql,

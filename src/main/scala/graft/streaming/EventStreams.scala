@@ -564,6 +564,62 @@ object EventStreams {
       }
   }
 
+  /** Event-time-timeout funnel (r20) — [[funnelStream]] with the
+    * BOUNDED per-user state [[streamStateBudget]]'s bounded column
+    * prices: a user's funnel RETIRES once the watermark passes their
+    * last stage advance + `horizonDays` (the attribution horizon —
+    * a funnel that hasn't advanced in 30 days is dead, exactly the
+    * retire rule [[retentionStreamEventTime]] applies), and a user
+    * returning after retirement RE-ACQUIRES a fresh funnel from the
+    * view stage (the spec pins both halves of that contract). Timeout
+    * is event-time (watermark-driven, the sessionize/retention twins'
+    * pattern) so replays are deterministic and the micro-batch loop
+    * stays quiescent between inputs.
+    */
+  def funnelStreamEventTime(stream: Dataset[FunEv],
+                            watermarkDelay: String = "1 hour",
+                            horizonDays: Int = 30): Dataset[FunRow] = {
+    import stream.sparkSession.implicits._
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunState, FunRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[FunEv], state: GroupState[FunState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed with no advance: retire
+            Iterator.empty
+          } else {
+            val sorted = evs.toVector.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(FunState(-1L, -1L, -1L))
+            var changed = false
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              e.event_type match {
+                case "view" if st.tView < 0 =>
+                  st = st.copy(tView = us); changed = true
+                case "click" if st.tView >= 0 && st.tClick < 0 && us > st.tView =>
+                  st = st.copy(tClick = us); changed = true
+                case "purchase" if st.tClick >= 0 && st.tPurchase < 0 && us > st.tClick =>
+                  st = st.copy(tPurchase = us); changed = true
+                case _ =>
+              }
+            }
+            state.update(st)
+            val lastUs = math.max(st.tView, math.max(st.tClick, st.tPurchase))
+            if (lastUs >= 0)
+              state.setTimeoutTimestamp(math.max(
+                lastUs / 1000L + horizonDays.toLong * 86400000L,
+                state.getCurrentWatermarkMs() + 1))
+            if (changed && st.tView >= 0)
+              Iterator.single(FunRow(uid, fmtUs(st.tView),
+                if (st.tClick >= 0) fmtUs(st.tClick) else null,
+                if (st.tPurchase >= 0) fmtUs(st.tPurchase) else null))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** Stream-stream interval join — the live twin of
     * [[graft.operators.Analytics.joinRange]]'s batch interval join:
     * attribute each event to purchases by the same user within the
@@ -3129,6 +3185,17 @@ object EventStreams {
     * budget is linear in USERS and never in events — the property that
     * makes a 100 TB event stream hold ~GBs of state, not TBs.
     *
+    * r20 adds the BOUNDED-STATE columns: for the user-keyed twins with
+    * an event-time-timeout variant ([[sessionizeStreamEventTime]],
+    * [[retentionStreamEventTime]], [[funnelStreamEventTime]]),
+    * `bounded_keys` prices the live key set AFTER retirement — the
+    * max single-day distinct users for the gap-flushed sessionizer,
+    * the max trailing-30-day distinct users for the horizon-retired
+    * retention/funnel — instead of the all-time user count; every
+    * other row's bound is its n_keys (already bounded by key domain
+    * or watermark). The gap between state_total_kb and
+    * bounded_total_kb is what the timeout twins buy.
+    *
     * == Scale design ==
     * TWO column-pruned fact scans — the global and per-day distinct
     * folds group differently, and at 100 TB re-scanning a 4-column
@@ -3150,10 +3217,22 @@ object EventStreams {
     val dayMax = ev.groupBy(col("day"))
       .agg(count(lit(1)).as("ev_c"),
         countDistinct(col("user_id"), col("event_type")).as("ut_c"),
-        countDistinct(expr("cents div 64")).as("qb_c"))
+        countDistinct(expr("cents div 64")).as("qb_c"),
+        countDistinct(col("user_id")).as("du_c"))
       .agg(max(col("ev_c")).as("max_day_events"),
         max(col("ut_c")).as("max_day_user_type"),
-        max(col("qb_c")).as("max_day_buckets"))
+        max(col("qb_c")).as("max_day_buckets"),
+        max(col("du_c")).as("max_day_users"))
+    // bounded-state driver for the 30-day-horizon timeout twins
+    // (retentionStreamEventTime / funnelStreamEventTime): the max
+    // trailing-30-day distinct-user count — the live key set once
+    // retired users leave the store. The (user, day) dedupe is the
+    // thin relation; the window join rides the bounded day list.
+    val ud = ev.select(col("user_id"), col("day")).distinct()
+    val m30 = ud.select(col("day").as("d")).distinct()
+      .join(ud, col("day").between(col("d") - 29L, col("d")))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("u30"))
+      .agg(max(col("u30")).as("max_30d_users"))
     val glob = ev.agg(
       countDistinct(col("user_id")).as("n_users"),
       countDistinct(col("event_type")).as("n_types"),
@@ -3162,42 +3241,42 @@ object EventStreams {
       countDistinct(expr("cents div 5000")).as("n_vbuckets"))
     val sha = graft.sources.Tables.load(s, dir, "documents")
       .agg(countDistinct(sha2(col("text"), 256)).as("n_digests"))
-    val drivers = glob.crossJoin(dayMax).crossJoin(sha)
+    val drivers = glob.crossJoin(dayMax).crossJoin(sha).crossJoin(m30)
     // (stream key, state-key domain, cardinality driver, bytes/key);
     // bytes 0 = map-valued state, sized from measured drivers below
     val spec = Seq(
-      ("stream_sessionize", "user", "n_users", 96L),
-      ("stream_retention", "user", "n_users", 216L),
-      ("stream_funnel", "user", "n_users", 80L),
-      ("stream_late_data", "user", "n_users", 64L),
-      ("stream_ab_lift", "user", "n_users", 72L),
-      ("stream_uplift", "user", "n_users", 88L),
-      ("stream_did", "user", "n_users", 72L),
-      ("stream_attribution", "user", "n_users", 104L),
-      ("stream_merge_delete", "user", "n_users", 72L),
-      ("stream_scd1", "user", "n_users", 72L),
-      ("stream_scd2", "user", "n_users", 88L),
-      ("stream_dedup", "user_type_watermark", "max_day_user_type", 88L),
-      ("stream_interval_join", "event_buffer_watermark", "max_day_events", 96L),
-      ("stream_cas_dedup", "content_digest", "n_digests", 128L),
-      ("stream_forecast", "event_type", "n_types", 80L),
-      ("stream_cusum", "event_type", "n_types", 64L),
-      ("stream_gap_fill", "event_type", "n_types", 64L),
-      ("stream_ewma", "event_type", "n_types", 72L),
-      ("stream_anomaly", "event_type", "n_types", 96L),
-      ("stream_window_agg", "live_hour_windows", "windows_live", 80L),
-      ("stream_dau", "day", "n_days", 592L),
-      ("stream_quantile", "day", "n_days", 0L),
-      ("stream_topk", "day", "n_days", 0L),
-      ("stream_drift", "day_feature", "n_day_types", 80L),
-      ("stream_value_histogram", "value_bucket", "n_vbuckets", 104L),
-      ("stream_cms_cells", "sketch_cells", "cms", 80L),
-      ("stream_hll_registers", "sketch_registers", "hll", 80L),
-      ("stream_frame_churn", "canvas_cell", "canvas", 72L),
-      ("stream_pack", "global", "global", 96L),
-      ("stream_bandit", "global", "global", 96L),
-      ("stream_enrich", "stateless", "zero", 0L))
-      .toDF("stream_key", "key_domain", "driver", "bytes0")
+      ("stream_sessionize", "user", "n_users", 96L, "max_day_users"),
+      ("stream_retention", "user", "n_users", 216L, "max_30d_users"),
+      ("stream_funnel", "user", "n_users", 80L, "max_30d_users"),
+      ("stream_late_data", "user", "n_users", 64L, "live"),
+      ("stream_ab_lift", "user", "n_users", 72L, "live"),
+      ("stream_uplift", "user", "n_users", 88L, "live"),
+      ("stream_did", "user", "n_users", 72L, "live"),
+      ("stream_attribution", "user", "n_users", 104L, "live"),
+      ("stream_merge_delete", "user", "n_users", 72L, "live"),
+      ("stream_scd1", "user", "n_users", 72L, "live"),
+      ("stream_scd2", "user", "n_users", 88L, "live"),
+      ("stream_dedup", "user_type_watermark", "max_day_user_type", 88L, "live"),
+      ("stream_interval_join", "event_buffer_watermark", "max_day_events", 96L, "live"),
+      ("stream_cas_dedup", "content_digest", "n_digests", 128L, "live"),
+      ("stream_forecast", "event_type", "n_types", 80L, "live"),
+      ("stream_cusum", "event_type", "n_types", 64L, "live"),
+      ("stream_gap_fill", "event_type", "n_types", 64L, "live"),
+      ("stream_ewma", "event_type", "n_types", 72L, "live"),
+      ("stream_anomaly", "event_type", "n_types", 96L, "live"),
+      ("stream_window_agg", "live_hour_windows", "windows_live", 80L, "live"),
+      ("stream_dau", "day", "n_days", 592L, "live"),
+      ("stream_quantile", "day", "n_days", 0L, "live"),
+      ("stream_topk", "day", "n_days", 0L, "live"),
+      ("stream_drift", "day_feature", "n_day_types", 80L, "live"),
+      ("stream_value_histogram", "value_bucket", "n_vbuckets", 104L, "live"),
+      ("stream_cms_cells", "sketch_cells", "cms", 80L, "live"),
+      ("stream_hll_registers", "sketch_registers", "hll", 80L, "live"),
+      ("stream_frame_churn", "canvas_cell", "canvas", 72L, "live"),
+      ("stream_pack", "global", "global", 96L, "live"),
+      ("stream_bandit", "global", "global", 96L, "live"),
+      ("stream_enrich", "stateless", "zero", 0L, "live"))
+      .toDF("stream_key", "key_domain", "driver", "bytes0", "bdriver")
     broadcast(spec).crossJoin(drivers)
       .withColumn("n_keys",
         when(col("driver") === "n_users", col("n_users"))
@@ -3220,9 +3299,15 @@ object EventStreams {
           .when(col("stream_key") === "stream_quantile",
             lit(56L) + lit(17L) * col("max_day_buckets"))
           .otherwise(col("bytes0")))
+      .withColumn("bounded_keys",
+        when(col("bdriver") === "max_day_users", col("max_day_users"))
+          .when(col("bdriver") === "max_30d_users", col("max_30d_users"))
+          .otherwise(col("n_keys")))
       .select(col("stream_key"), col("key_domain"), col("n_keys"),
         col("state_bytes"),
-        expr("n_keys * state_bytes div 1024").as("state_total_kb"))
+        expr("n_keys * state_bytes div 1024").as("state_total_kb"),
+        col("bounded_keys"),
+        expr("bounded_keys * state_bytes div 1024").as("bounded_total_kb"))
       .orderBy(col("stream_key"))
   }
 
@@ -3230,56 +3315,63 @@ object EventStreams {
     * 31-row literal spec, joined and sized with the same arithmetic. */
   val streamStateBudgetSql: String = {
     val rows = Seq(
-      ("stream_sessionize", "user", "n_users", 96L),
-      ("stream_retention", "user", "n_users", 216L),
-      ("stream_funnel", "user", "n_users", 80L),
-      ("stream_late_data", "user", "n_users", 64L),
-      ("stream_ab_lift", "user", "n_users", 72L),
-      ("stream_uplift", "user", "n_users", 88L),
-      ("stream_did", "user", "n_users", 72L),
-      ("stream_attribution", "user", "n_users", 104L),
-      ("stream_merge_delete", "user", "n_users", 72L),
-      ("stream_scd1", "user", "n_users", 72L),
-      ("stream_scd2", "user", "n_users", 88L),
-      ("stream_dedup", "user_type_watermark", "max_day_user_type", 88L),
-      ("stream_interval_join", "event_buffer_watermark", "max_day_events", 96L),
-      ("stream_cas_dedup", "content_digest", "n_digests", 128L),
-      ("stream_forecast", "event_type", "n_types", 80L),
-      ("stream_cusum", "event_type", "n_types", 64L),
-      ("stream_gap_fill", "event_type", "n_types", 64L),
-      ("stream_ewma", "event_type", "n_types", 72L),
-      ("stream_anomaly", "event_type", "n_types", 96L),
-      ("stream_window_agg", "live_hour_windows", "windows_live", 80L),
-      ("stream_dau", "day", "n_days", 592L),
-      ("stream_quantile", "day", "n_days", 0L),
-      ("stream_topk", "day", "n_days", 0L),
-      ("stream_drift", "day_feature", "n_day_types", 80L),
-      ("stream_value_histogram", "value_bucket", "n_vbuckets", 104L),
-      ("stream_cms_cells", "sketch_cells", "cms", 80L),
-      ("stream_hll_registers", "sketch_registers", "hll", 80L),
-      ("stream_frame_churn", "canvas_cell", "canvas", 72L),
-      ("stream_pack", "global", "global", 96L),
-      ("stream_bandit", "global", "global", 96L),
-      ("stream_enrich", "stateless", "zero", 0L))
-      .map { case (k, d, dr, b) => s"('$k', '$d', '$dr', $b)" }
+      ("stream_sessionize", "user", "n_users", 96L, "max_day_users"),
+      ("stream_retention", "user", "n_users", 216L, "max_30d_users"),
+      ("stream_funnel", "user", "n_users", 80L, "max_30d_users"),
+      ("stream_late_data", "user", "n_users", 64L, "live"),
+      ("stream_ab_lift", "user", "n_users", 72L, "live"),
+      ("stream_uplift", "user", "n_users", 88L, "live"),
+      ("stream_did", "user", "n_users", 72L, "live"),
+      ("stream_attribution", "user", "n_users", 104L, "live"),
+      ("stream_merge_delete", "user", "n_users", 72L, "live"),
+      ("stream_scd1", "user", "n_users", 72L, "live"),
+      ("stream_scd2", "user", "n_users", 88L, "live"),
+      ("stream_dedup", "user_type_watermark", "max_day_user_type", 88L, "live"),
+      ("stream_interval_join", "event_buffer_watermark", "max_day_events", 96L, "live"),
+      ("stream_cas_dedup", "content_digest", "n_digests", 128L, "live"),
+      ("stream_forecast", "event_type", "n_types", 80L, "live"),
+      ("stream_cusum", "event_type", "n_types", 64L, "live"),
+      ("stream_gap_fill", "event_type", "n_types", 64L, "live"),
+      ("stream_ewma", "event_type", "n_types", 72L, "live"),
+      ("stream_anomaly", "event_type", "n_types", 96L, "live"),
+      ("stream_window_agg", "live_hour_windows", "windows_live", 80L, "live"),
+      ("stream_dau", "day", "n_days", 592L, "live"),
+      ("stream_quantile", "day", "n_days", 0L, "live"),
+      ("stream_topk", "day", "n_days", 0L, "live"),
+      ("stream_drift", "day_feature", "n_day_types", 80L, "live"),
+      ("stream_value_histogram", "value_bucket", "n_vbuckets", 104L, "live"),
+      ("stream_cms_cells", "sketch_cells", "cms", 80L, "live"),
+      ("stream_hll_registers", "sketch_registers", "hll", 80L, "live"),
+      ("stream_frame_churn", "canvas_cell", "canvas", 72L, "live"),
+      ("stream_pack", "global", "global", 96L, "live"),
+      ("stream_bandit", "global", "global", 96L, "live"),
+      ("stream_enrich", "stateless", "zero", 0L, "live"))
+      .map { case (k, d, dr, b, bd) => s"('$k', '$d', '$dr', $b, '$bd')" }
       .mkString(",\n    ")
     s"""WITH ev AS (SELECT user_id, event_type,
        |    epoch_us(ts) // 86400000000 AS day,
        |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
        |pd AS (SELECT day, count(*) AS ev_c,
        |    count(DISTINCT (user_id, event_type)) AS ut_c,
-       |    count(DISTINCT cents // 64) AS qb_c FROM ev GROUP BY day),
+       |    count(DISTINCT cents // 64) AS qb_c,
+       |    count(DISTINCT user_id) AS du_c FROM ev GROUP BY day),
        |dm AS (SELECT max(ev_c) AS max_day_events,
        |    max(ut_c) AS max_day_user_type,
-       |    max(qb_c) AS max_day_buckets FROM pd),
+       |    max(qb_c) AS max_day_buckets,
+       |    max(du_c) AS max_day_users FROM pd),
+       |ud AS (SELECT DISTINCT user_id, day FROM ev),
+       |m30 AS (SELECT max(u30) AS max_30d_users FROM (
+       |    SELECT d, count(DISTINCT user_id) AS u30
+       |    FROM (SELECT DISTINCT day AS d FROM ud) dys
+       |    JOIN ud ON ud.day BETWEEN d - 29 AND d GROUP BY d)),
        |g AS (SELECT count(DISTINCT user_id) AS n_users,
        |    count(DISTINCT event_type) AS n_types,
        |    count(DISTINCT day) AS n_days,
        |    count(DISTINCT (day, event_type)) AS n_day_types,
        |    count(DISTINCT cents // 5000) AS n_vbuckets FROM ev),
        |sh AS (SELECT count(DISTINCT sha256(text)) AS n_digests FROM documents),
-       |d AS (SELECT * FROM g CROSS JOIN dm CROSS JOIN sh),
-       |spec(stream_key, key_domain, driver, bytes0) AS (VALUES
+       |d AS (SELECT * FROM g CROSS JOIN dm CROSS JOIN sh CROSS JOIN m30),
+       |spec(stream_key, key_domain, driver, bytes0, bdriver) AS (VALUES
        |    $rows),
        |r AS (SELECT s.stream_key, s.key_domain,
        |    CAST(CASE s.driver
@@ -3300,10 +3392,16 @@ object EventStreams {
        |    CAST(CASE s.stream_key
        |      WHEN 'stream_topk' THEN 56 + 17 * d.n_types
        |      WHEN 'stream_quantile' THEN 56 + 17 * d.max_day_buckets
-       |      ELSE s.bytes0 END AS BIGINT) AS state_bytes
+       |      ELSE s.bytes0 END AS BIGINT) AS state_bytes,
+       |    CAST(CASE s.bdriver
+       |      WHEN 'max_day_users' THEN d.max_day_users
+       |      WHEN 'max_30d_users' THEN d.max_30d_users
+       |      ELSE NULL END AS BIGINT) AS bk0
        |  FROM spec s CROSS JOIN d)
        |SELECT stream_key, key_domain, n_keys, state_bytes,
-       |  n_keys * state_bytes // 1024 AS state_total_kb
+       |  n_keys * state_bytes // 1024 AS state_total_kb,
+       |  COALESCE(bk0, n_keys) AS bounded_keys,
+       |  COALESCE(bk0, n_keys) * state_bytes // 1024 AS bounded_total_kb
        |FROM r ORDER BY stream_key""".stripMargin
   }
 

@@ -1841,4 +1841,54 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("event-time-timeout funnel retires a stale user and re-acquires a fresh funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.FunEv]
+    // 1-day horizon so the retire fires inside a short feed
+    val q = EventStreams.funnelStreamEventTime(mem.toDS(),
+        watermarkDelay = "1 second", horizonDays = 1)
+      .writeStream.format("memory").queryName("funevt")
+      .outputMode("append").start()
+    try {
+      def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+      // user 1 advances view -> click
+      mem.addData(EventStreams.FunEv(1L, 1L, ts(0), "view"),
+        EventStreams.FunEv(1L, 2L, ts(60), "click"))
+      q.processAllAvailable()
+      var rows = spark.sql("SELECT user_id, t_click, t_purchase FROM funevt")
+        .as[(Long, Option[String], Option[String])].collect()
+      assert(rows.exists(r => r._1 == 1L && r._2.isDefined && r._3.isEmpty),
+        s"expected the view->click advance, got ${rows.toSeq}")
+      // two sentinel batches push the watermark >1 day past user 1's
+      // last advance: the first advances the watermark, the second
+      // lets the timeout fire -> user 1's funnel RETIRES (state gone)
+      mem.addData(EventStreams.FunEv(999L, 3L, ts(3 * 86400L), "view"))
+      q.processAllAvailable()
+      mem.addData(EventStreams.FunEv(999L, 4L, ts(3 * 86400L + 60), "view"))
+      q.processAllAvailable()
+      // a purchase from user 1 now must NOT complete the old funnel —
+      // the retired state is gone and a fresh funnel needs a view first
+      mem.addData(EventStreams.FunEv(1L, 5L, ts(3 * 86400L + 120), "purchase"))
+      q.processAllAvailable()
+      rows = spark.sql("SELECT user_id, t_click, t_purchase FROM funevt")
+        .as[(Long, Option[String], Option[String])].collect()
+      assert(!rows.exists(r => r._1 == 1L && r._3.isDefined),
+        s"purchase after retirement must not attach to the retired funnel: ${rows.toSeq}")
+      // re-acquire: a new view starts a FRESH funnel (t_click unset)
+      mem.addData(EventStreams.FunEv(1L, 6L, ts(3 * 86400L + 180), "view"))
+      q.processAllAvailable()
+      val fresh = spark.sql("SELECT user_id, t_view, t_click FROM funevt")
+        .as[(Long, String, Option[String])].collect()
+        .filter(r => r._1 == 1L)
+      assert(fresh.nonEmpty, "expected a fresh funnel row for the returning user")
+      // the fresh funnel's view timestamp is the NEW event's (3 days
+      // past the epoch base), not the retired funnel's original view
+      val lastView = fresh.maxBy(_._2)
+      assert(lastView._3.isEmpty,
+        s"fresh funnel must restart from the view stage: $lastView")
+      assert(lastView._2 > fresh.minBy(_._2)._2 || fresh.length == 2,
+        s"fresh funnel should carry the new view time: ${fresh.toSeq}")
+    } finally q.stop()
+  }
 }
