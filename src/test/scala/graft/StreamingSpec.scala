@@ -1277,16 +1277,24 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream_state_budget covers every stream twin and replays its drivers") {
-    val rows = EventStreams.streamStateBudget(spark, sf)
-      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val rows7 = EventStreams.streamStateBudget(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    val rows = rows7.map(r => (r._1, r._2, r._3, r._4, r._5))
     // one row per registered stream key (except the budget itself)
     val registered = EventStreams.queries.keySet - "stream_state_budget"
     assert(rows.map(_._1).toSet == registered,
       "budget ledger must cover exactly the registered stream twins")
-    // the sizing identity holds on every row
-    rows.foreach { case (k, _, nk, sb, kb) =>
+    // the sizing identities hold on every row, including the r20
+    // bounded-state columns: bounded_keys never exceeds the live
+    // upper bound, and only the three timeout twins tighten it
+    rows7.foreach { case (k, _, nk, sb, kb, bk, bkb) =>
       assert(kb == nk * sb / 1024L, s"$k: state_total_kb arithmetic")
+      assert(bkb == bk * sb / 1024L, s"$k: bounded_total_kb arithmetic")
       assert(nk >= 0L && sb >= 0L, s"$k: negative driver")
+      assert(bk <= nk, s"$k: bounded keys exceed the live bound")
+      val timeoutTwins = Set("stream_sessionize", "stream_retention", "stream_funnel")
+      if (!timeoutTwins.contains(k))
+        assert(bk == nk, s"$k: only the timeout twins have a tighter bound")
     }
     // drivers replay from the raw events: user-domain rows carry the
     // distinct user count, type-domain rows the type count, and the
