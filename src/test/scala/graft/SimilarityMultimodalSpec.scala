@@ -1235,4 +1235,35 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(jt.map(_._7).sum > 0, "budget selected nothing")
     assert(jt.map(_._7).sum < jt.map(_._3).sum, "budget selected everything")
   }
+
+  test("mm_dedup_crossmodal labels every verified text pair from raw sha/phash") {
+    val rows = Multimodal.mmDedupCrossmodal(spark, sfMid)
+      .select("doc_a", "doc_b", "media_rel").as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // pair set is exactly the verified text near-dup pairs
+    val tp = graft.operators.Dedup.dedupMinhashLsh(spark, sfMid)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == tp,
+      "pair set must be exactly the verified text pairs")
+    // every class label re-derives from raw sha / the phash pair face
+    val sha = graft.sources.Tables.load(spark, sfMid, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      .as[(Long, String)].collect().toMap
+    val ph = Multimodal.mmDedupPhash(spark, sfMid)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    rows.foreach { case (a, b, rel) =>
+      val expected =
+        if (sha(a) == sha(b)) "exact"
+        else if (ph((a, b))) "near"
+        else "distinct"
+      assert(rel == expected, s"pair ($a,$b): $rel != $expected")
+    }
+    // the link is informative: at sf0.1 all three classes occur
+    // (sf0.01's verified pair set happens to carry no byte-identical
+    // blobs, so the variety pin runs at the bench scale)
+    val big = Multimodal.mmDedupCrossmodal(spark, "/root/testdata/sf0.1")
+      .select("media_rel").as[String].collect().toSet
+    assert(big == Set("exact", "near", "distinct"),
+      s"expected all three media classes at sf0.1, got $big")
+  }
 }
