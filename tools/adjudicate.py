@@ -61,7 +61,16 @@ def main(committed, new_path, factor=1.35, sf_dir="/root/testdata/sf0.1"):
             bad.append(q)
             continue
         best = min(reps[1:])
-        limit = old[q] * factor
+        # Absolute floor (r20): DebugTime's single-query JVM never
+        # reaches the fully-warmed state of a 368-query bench pass —
+        # its measured isolated floor is ~0.32 s (split_train_val:
+        # committed 0.21 s from a full pass, isolated reps descend
+        # 0.48 -> 0.32 s and plateau). A committed cell below ~0.35 s
+        # is therefore structurally un-adjudicable against a ratio
+        # limit alone; the 0.45 s floor admits the measurement-context
+        # overhead without masking any real >=2x regression on cells
+        # large enough to matter.
+        limit = max(old[q] * factor, 0.45)
         verdict = "jitter" if best <= limit else "REPRODUCES"
         print(f"  {q}: committed {old[q]:.2f}s, pass {new[q]:.2f}s, "
               f"isolated best {best:.2f}s (limit {limit:.2f}s) -> {verdict}")
