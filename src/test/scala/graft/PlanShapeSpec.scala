@@ -681,6 +681,21 @@ class PlanShapeSpec extends SparkSpec {
       s"no cartesian product in the composition:\n$plan")
   }
 
+  test("pipeline_mm_pretrain: composed plan is payload-free past the stage scans") {
+    val plan = planOf(operators.Multimodal.pipelineMmPretrain(spark, sf))
+    // both admission legs and the classified spine are checkpointed
+    // thin id relations; text/blob payloads are read only inside the
+    // parent stages, so the stitched mix+budget plan must exchange
+    // materialized thin relations only (the r20 done-criterion's
+    // "plan-pinned thin-relation composition")
+    assert(!plan.contains("Scan parquet"),
+      s"composed stages must ride materialized thin relations:\n$plan")
+    assert(!plan.contains("text#"),
+      s"payloads must never cross a stage boundary:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product in the composition:\n$plan")
+  }
+
   test("pipeline_media_incremental: blob-free composition, delta side broadcast") {
     val df = operators.Multimodal.pipelineMediaIncremental(spark, sf)
     val plan = planOf(df)
