@@ -31,7 +31,10 @@ class DeterminismSpec extends SparkSpec {
     // r14 w19: micro-floored codebook cosines (the rank cut rides them)
     "ann_ood",
     // r14 w32: ttc_sec = single division off exact micros
-    "join_asof_forward")
+    "join_asof_forward",
+    // r20: cosine doubles surviving five iterative top-K cuts (seed +
+    // 4 descent rounds), and jaccard doubles riding the crossmodal link
+    "ann_knn_descent", "mm_dedup_crossmodal")
 
   test("float-emitting queries are bit-identical across two evaluations") {
     val dir = sfMid
