@@ -20,7 +20,7 @@ import graft.plans.Checkpoints.StableSyntax
 object Curate {
 
   def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
-    val quality = TextOps.textQuality(s, dir)
+    val quality = TextOps.textQualityShared(s, dir)
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         col("stopword_ratio"), col("quality_score"))
     val dropIds = Dedup.verifiedPairs(s, dir)
@@ -76,7 +76,7 @@ object Curate {
     * broadcasts into the left-anti join exactly as before.
     */
   def pipelineCurateCluster(s: SparkSession, dir: String): DataFrame = {
-    val quality = TextOps.textQuality(s, dir)
+    val quality = TextOps.textQualityShared(s, dir)
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         col("stopword_ratio"), col("quality_score"))
     val dropIds = Dedup.dedupComponents(s, dir)
@@ -1216,7 +1216,7 @@ object Curate {
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
         countDistinct(col("lang")).as("n_langs"))
-    val gate = TextOps.textQuality(s, dir)
+    val gate = TextOps.textQualityShared(s, dir)
       .select(col("doc_id"), (col("quality_score") >= 0.5).cast("long").as("pass"))
     val passBySrc = d.select(col("doc_id"), col("source")).join(gate, "doc_id")
       .groupBy(col("source")).agg(sum(col("pass")).as("n_pass"))
@@ -1402,7 +1402,7 @@ object Curate {
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("n"))
       .stableCheckpoint()
-    val gate = TextOps.textQuality(s, dir)
+    val gate = TextOps.textQualityShared(s, dir)
       .filter(col("quality_score") >= 0.5).select(col("doc_id"))
     val rc = dbc.groupBy(col("b")).agg(sum(col("n")).as("rc"))
     val tc = dbc.join(gate, "doc_id")
@@ -2285,7 +2285,7 @@ object Curate {
     * threshold grid. No per-threshold corpus pass, no fan-out.
     */
   def corpusQualityCurve(s: SparkSession, dir: String): DataFrame = {
-    val q = TextOps.textQuality(s, dir)
+    val q = TextOps.textQualityShared(s, dir)
       .select(least(floor(col("quality_score") * 10), lit(9)).cast("long").as("bucket"),
         col("n_tokens"))
       .groupBy(col("bucket"))
@@ -2355,7 +2355,7 @@ object Curate {
     import org.apache.spark.sql.graftshim.GraftSqlShim
     def fold(c: Column): Column = GraftSqlShim.column(graft.functions.StringPolyHash(
       GraftSqlShim.expression(c), GraftSqlShim.expression(lit(1000000007L))))
-    val pass = TextOps.textQuality(s, dir)
+    val pass = TextOps.textQualityShared(s, dir)
       .select(col("doc_id"),
         (col("quality_score") >= 0.5).cast("long").as("pass"))
       .stableCheckpoint()
@@ -2449,7 +2449,7 @@ object Curate {
     */
   def corpusTokenBudget(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = TextOps.textQuality(s, dir)
+    val d = TextOps.textQualityShared(s, dir)
       .select(col("doc_id"), col("n_tokens"),
         least(floor(col("quality_score") * 1000), lit(999)).cast("long").as("mb"))
     val tot = d.agg((sum(col("n_tokens")) / 2).cast("long").as("budget"))
@@ -2548,7 +2548,7 @@ object Curate {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftshim.GraftSqlShim
     // [1] quality gate
-    val gate = TextOps.textQuality(s, dir)
+    val gate = TextOps.textQualityShared(s, dir)
       .filter(col("quality_score") >= 0.5).select(col("doc_id"))
     // [2] exemplar drop — non-representatives of verified components
     val nonExemplar = Dedup.dedupComponents(s, dir)
@@ -2689,7 +2689,7 @@ object Curate {
     val split = splitDedupAware(s, dir).select(col("doc_id"), col("split"))
     val valIds = split.filter(col("split") === "val").select(col("doc_id"))
     val trainIds = split.filter(col("split") === "train").select(col("doc_id"))
-    val gatePass = TextOps.textQuality(s, dir)
+    val gatePass = TextOps.textQualityShared(s, dir)
       .filter(col("quality_score") >= 0.5)
       .select(col("doc_id"), lit(1L).as("gate_ok"))
     val d = graft.sources.Tables.load(s, dir, "documents")
@@ -2800,7 +2800,7 @@ object Curate {
     */
   def pipelineIncrementalBuild(s: SparkSession, dir: String): DataFrame = {
     val d = graft.sources.Tables.load(s, dir, "documents")
-    val gatePass = TextOps.textQuality(s, dir)
+    val gatePass = TextOps.textQualityShared(s, dir)
       .filter(col("quality_score") >= 0.5)
       .select(col("doc_id"), lit(1L).as("g"))
     val dupNew = Dedup.dedupIncremental(s, dir)

@@ -604,7 +604,11 @@ object Dedup {
   def dedupLshPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val curve = dedupLshCurve(s, dir)
+    // planner reads the MEASURED curve artifact (scale note above:
+    // "the expensive part IS the curve") — memoized per corpus like
+    // the ANN planner faces; the registered curve face computes fresh
+    val curve = graft.plans.SharedRel(s,
+        "dedupLshCurve|" + docsCorpusKey(s, dir))(dedupLshCurve(s, dir))
       .select(col("n_bands"), col("rows_per_band"), col("n_candidates"),
         col("n_verified"), col("recall_ppm"))
     val targets = Seq(700000L, 800000L, 900000L, 950000L).toDF("target_ppm")
@@ -1751,7 +1755,7 @@ object Dedup {
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val comp = dedupComponents(s, dir)
-    val m = TextOps.textQuality(s, dir).select(col("doc_id"),
+    val m = TextOps.textQualityShared(s, dir).select(col("doc_id"),
       least(floor(col("quality_score") * 1000), lit(999)).cast("long").as("mb"))
     val src = docs(s, dir).select(col("doc_id"), col("source"))
     val cq = comp.join(m, "doc_id").join(src, "doc_id")

@@ -400,7 +400,7 @@ object Maintain {
     val h = GraftSqlShim.column(graft.functions.StringPolyHash(
       GraftSqlShim.expression(col("text")),
       GraftSqlShim.expression(lit(1000000007L))))
-    val dead = TextOps.textQuality(s, dir)
+    val dead = TextOps.textQualityShared(s, dir)
       .select(col("doc_id"), (col("quality_score") < 0.5).cast("long").as("dead"))
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), h.as("h"))
@@ -481,7 +481,7 @@ object Maintain {
     * production shape, not an artifact.
     */
   def tableVacuumPlan(s: SparkSession, dir: String): DataFrame = {
-    val dead = TextOps.textQuality(s, dir)
+    val dead = TextOps.textQualityShared(s, dir)
       .select(col("doc_id"), (col("quality_score") < 0.5).cast("long").as("dead"))
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))

@@ -904,7 +904,7 @@ object Multimodal {
     import org.apache.spark.sql.graftshim.GraftSqlShim
     import org.apache.spark.sql.expressions.Window
     // TEXT leg — pipelinePretrainBuild stages 1-4
-    val gate = TextOps.textQuality(s, dir)
+    val gate = TextOps.textQualityShared(s, dir)
       .filter(col("quality_score") >= 0.5).select(col("doc_id"))
     val nonExemplar = Dedup.dedupComponents(s, dir)
       .filter(col("component") =!= col("doc_id")).select(col("doc_id"))

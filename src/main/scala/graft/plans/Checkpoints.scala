@@ -61,3 +61,52 @@ object Checkpoints {
     def stableCheckpoint(): DataFrame = stable(df)
   }
 }
+
+/** Per-(session, corpus-signature) shared-relation memo — the
+  * generalized form of the train-once artifact pattern the Dedup
+  * verified-pairs / component-labels and Similarity codebook / index
+  * memos already follow: a relation that production persists once per
+  * corpus (a ground-truth eval table, a measured tuning curve, a
+  * quality feature table) is built on first touch, pinned with a
+  * stable checkpoint, and every LATER consumer face reads the
+  * materialized artifact instead of re-running the build. The
+  * REGISTERED face that declares the artifact's computation always
+  * computes it fresh (its bench cell stays an honest measurement);
+  * only cross-face consumers route through the memo. Session identity
+  * is part of the key because checkpointed blocks die with their
+  * context; the corpus file signature invalidates on rewritten data.
+  */
+object SharedRel {
+  import org.apache.spark.sql.SparkSession
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Driver-side file signature of `dir/<table>.parquet` — FS metadata
+    * only, no Spark job (the Similarity.corpusKey pattern).
+    */
+  def corpusSig(s: SparkSession, dir: String, table: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      try fs.listStatus(path).map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+      catch { case _: java.io.FileNotFoundException => Array(s"$dir:missing") }
+    dir + "|" + stats.sorted.mkString(",")
+  }
+
+  /** Memoized stable checkpoint of `build`, keyed on (session, key).
+    * The build runs OUTSIDE the map (no lock held across Spark jobs —
+    * the Ingest-fixture lesson); a lost putIfAbsent race discards one
+    * redundant build.
+    */
+  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val full = System.identityHashCode(s.sparkContext) + "|" + key
+    val cached = memo.get(full)
+    if (cached != null) cached
+    else {
+      val built = Checkpoints.stable(build)
+      val prev = memo.putIfAbsent(full, built)
+      if (prev != null) prev else built
+    }
+  }
+}
