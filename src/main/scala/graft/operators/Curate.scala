@@ -2544,8 +2544,14 @@ object Curate {
     * build would push the gate predicate into the tokenizing scan,
     * which changes cost, not results.
     */
-  def pipelinePretrainBuild(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Stages 1–4 of [[pipelinePretrainBuild]] as one relation — the
+    * ADMITTED text-training mass (doc_id, n_subwords): quality gate ≥
+    * 0.5, exemplar drop, dedup-aware bucket < 90, trained-BPE subword
+    * rollup. Extracted so the composed multimodal build consumes the
+    * same admission chain (via [[pretrainAdmittedShared]]) instead of
+    * re-running it; the registered build calls this FRESH.
+    */
+  private[operators] def pretrainAdmittedRel(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftSqlShim
     // [1] quality gate
     val gate = TextOps.textQualityShared(s, dir)
@@ -2573,8 +2579,25 @@ object Curate {
       .filter(col("w") =!= "")
       .join(broadcast(segs), Seq("w"))
       .groupBy(col("doc_id")).agg(sum(col("n_syms")).as("n_subwords"))
+    keep.join(mass, Seq("doc_id"))
+  }
+
+  /** [[pretrainAdmittedRel]] memoized per (session, corpus signature)
+    * — the persisted admitted-set artifact a production curation run
+    * writes once and every downstream composed build reads.
+    */
+  private[operators] def pretrainAdmittedShared(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SharedRel(s,
+      "pretrainAdmitted|" + graft.plans.SharedRel.corpusSig(s, dir, "documents")) {
+      pretrainAdmittedRel(s, dir)
+    }
+
+  def pipelinePretrainBuild(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // [1]–[4] admission + subword mass (fresh — this face IS the
+    // registered contract for the chain)
     // [5] epoch-0 shuffle rank over the survivors (thin relation)
-    val keyed = keep.join(mass, Seq("doc_id"))
+    val keyed = pretrainAdmittedRel(s, dir)
       .select(col("doc_id"), epochHash(0).as("hk"), col("n_subwords"))
     val pos = Analytics.globalRowPos(keyed, Seq.empty,
       Seq(col("hk"), col("doc_id")), "pos", "__n")

@@ -900,32 +900,14 @@ object Multimodal {
     * two-phase range-partitioned prefix sum (no single-task sort),
     * and the ledger is O(mix·kinds) = 7 rows.
     */
-  def pipelineMmPretrain(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftshim.GraftSqlShim
-    import org.apache.spark.sql.expressions.Window
-    // TEXT leg — pipelinePretrainBuild stages 1-4
-    val gate = TextOps.textQualityShared(s, dir)
-      .filter(col("quality_score") >= 0.5).select(col("doc_id"))
-    val nonExemplar = Dedup.dedupComponents(s, dir)
-      .filter(col("component") =!= col("doc_id")).select(col("doc_id"))
-    val fp = GraftSqlShim.column(graft.functions.StringPolyHash(
-      GraftSqlShim.expression(col("text")),
-      GraftSqlShim.expression(lit(1000000007L))))
-    val own = docs(s, dir).select(col("doc_id"), (fp % 100L).as("own_bucket"))
-    val keep = gate
-      .join(broadcast(nonExemplar), Seq("doc_id"), "left_anti")
-      .join(own, Seq("doc_id"))
-      .filter(col("own_bucket") < 90)
-      .select(col("doc_id"))
-    val segs = TextOps.tokenizeBpeSegments(s, dir)
-      .select(col("word").as("w"), col("n_syms"))
-    val mass = docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .join(broadcast(segs), Seq("w"))
-      .groupBy(col("doc_id")).agg(sum(col("n_syms")).as("n_subwords"))
-    val text = keep.join(mass, Seq("doc_id")).stableCheckpoint()
-    // MEDIA leg — pipelineMediaBuild stages 1-3 + the patch measure
+  /** MEDIA admission leg of [[pipelineMmPretrain]] —
+    * [[pipelineMediaBuild]] stages 1–3 plus the fixed-grid patch
+    * measure, as one relation (doc_id, kind, n_patches). Extracted so
+    * the composed build reads it as a shared per-corpus artifact
+    * (the text leg's [[graft.operators.Curate.pretrainAdmittedShared]]
+    * symmetry); the registered media build keeps its own fresh chain.
+    */
+  private def mediaAdmittedRel(s: SparkSession, dir: String): DataFrame = {
     val ing = docs(s, dir).select(
         col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -937,10 +919,27 @@ object Multimodal {
       .select(col("doc_id"), col("kind"))
     val pdrop = mmDedupPhash(s, dir)
       .select(col("doc_b").as("doc_id")).distinct()
-    val adm = surv.join(pdrop, Seq("doc_id"), "left_anti")
+    surv.join(pdrop, Seq("doc_id"), "left_anti")
       .join(docs(s, dir).select(col("doc_id"),
         expr("(octet_length(text) + 63) div 64").as("n_patches")), Seq("doc_id"))
-      .stableCheckpoint()
+  }
+
+  private def mediaAdmittedShared(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SharedRel(s,
+      "mediaAdmitted|" + graft.plans.SharedRel.corpusSig(s, dir, "documents")) {
+      mediaAdmittedRel(s, dir)
+    }
+
+  def pipelineMmPretrain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // TEXT leg — pipelinePretrainBuild stages 1-4, read as the shared
+    // admitted-set artifact (r20 verdict item 5: the two admission
+    // legs re-scanned their corpora; production reads the persisted
+    // admitted relations)
+    val text = Curate.pretrainAdmittedShared(s, dir)
+    // MEDIA leg — pipelineMediaBuild stages 1-3 + the patch measure,
+    // same shared-artifact read
+    val adm = mediaAdmittedShared(s, dir)
     // the doc spine classifies the mix
     val spine = text.join(adm, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
