@@ -1069,7 +1069,13 @@ object Similarity {
   def annKnnDescent(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.plans.Checkpoints.StableSyntax
-    val e = emb(s, dir)
+    // Normalized vectors cached ONCE (lazily — an eager checkpoint
+    // here measured SLOWER, its blocking job outweighing the saved
+    // rescans): score() joins the corpus twice per round, so
+    // 2·(1+ND_ROUNDS) broadcast builds were each re-scanning parquet
+    // and re-computing ‖v‖ — a production descent build normalizes
+    // the corpus once before iterating.
+    val e = emb(s, dir).cache()
     val eDs = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     def score(cand: DataFrame): DataFrame =
@@ -1083,12 +1089,15 @@ object Similarity {
       graft.plans.GraftOps.topKPerGroup(scored, Seq("src"),
           Seq("cosine" -> true, "dst" -> false), k = ND_K, rankName = "rn")
         .select(col("src"), col("dst"), col("cosine"))
-    // seed rings inside each assigned cell
+    // seed rings inside each assigned cell; pos feeds BOTH sides of
+    // the ring join below — materialized once instead of re-running
+    // the assignment flatMap + two windows per side
     val part = assignCells(s, dir, eDs, IVF_ASSIGN).select(col("vec_id"), col("cell"))
     val pos = part.select(col("vec_id"), col("cell"),
       (row_number().over(Window.partitionBy(col("cell")).orderBy(col("vec_id"))) - 1)
         .cast("long").as("pos"),
       count(lit(1)).over(Window.partitionBy(col("cell"))).as("csize"))
+      .cache()
     val seeds = pos
       .withColumn("j", explode(typedLit((1 to ND_K).map(_.toLong))))
       .filter(col("j") < col("csize"))
@@ -1110,8 +1119,12 @@ object Similarity {
             col("cosine"), col("fresh")),
           Seq("src"), Seq("cosine" -> true, "dst" -> false), k = ND_K, rankName = "rn")
         .select(col("src"), col("dst"), col("fresh"))
+      // und feeds BOTH sides of the neighbor-of-neighbor join on
+      // different keys (mid=dst vs mid=src), so without a (lazy)
+      // cache the union+groupBy executes twice per round
       val und = g.select(col("src"), col("dst"), col("fresh")).unionByName(rev)
         .groupBy(col("src"), col("dst")).agg(max(col("fresh")).as("fresh"))
+        .cache()
       val cand = und.select(col("src"), col("dst").as("mid"), col("fresh").as("f_a"))
         .join(und.select(col("src").as("mid"), col("dst"), col("fresh").as("f_b")),
           Seq("mid"))
@@ -1126,7 +1139,11 @@ object Similarity {
         .select(col("src"), col("dst"), col("cosine"),
           when(col("seen").isNull, 1L).otherwise(0L).as("fresh"))
         .stableCheckpoint()
+      // g's checkpoint has consumed und — release its blocks now
+      und.unpersist(false)
     }
+    e.unpersist(false)
+    pos.unpersist(false)
     val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
     g.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
