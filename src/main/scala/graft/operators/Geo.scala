@@ -502,6 +502,10 @@ object Geo {
   private[operators] def frameRender(raster: DataFrame): DataFrame = {
     val offs = (for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))).toSeq
+    // sp feeds the histogram chain AND the final shade join; hist
+    // feeds three aggregates (histO/below/tot). Both are canvas-
+    // bounded (≤ W·H cells × days), so cache them lazily instead of
+    // re-running the spread explode + fold per consumer subtree.
     val sp = raster.select(col("dkey"), col("px"), col("py"), col("cnt"),
         explode(array(offs: _*)).as("o"))
       .select(col("dkey"), (col("px") + col("o.dx")).as("qx"),
@@ -510,7 +514,9 @@ object Geo {
         col("qy") >= 0 && col("qy") <= (H - 1))
       .groupBy(col("dkey"), col("qx"), col("qy"))
       .agg(sum(col("cnt")).as("cs"))
+      .cache()
     val hist = sp.groupBy(col("dkey"), col("cs")).agg(count(lit(1)).as("m"))
+      .cache()
     val histO = hist.select(col("dkey").as("dk_o"), col("cs").as("cs_o"),
       col("m").as("m_o"))
     val below = hist.join(broadcast(histO),
