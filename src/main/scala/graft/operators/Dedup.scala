@@ -1321,12 +1321,23 @@ object Dedup {
     * the string key keeps the oracle exactly replayable.
     */
   def dedupSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val d = spanRows(docs(s, dir), keep = Seq("source"))
-      .select(col("source"), col("span")).distinct()
-    val u = d.groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
-    d.as("a").join(d.as("b"),
-        col("a.span") === col("b.span") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    // ONE span-keyed shuffle: fold each span's source SET map-side
+    // (collect_set dedups (source, span) in the same exchange the old
+    // distinct paid), then pairs and per-source uniques both derive
+    // from the folded relation — the previous shape paid the span
+    // shuffle four times (distinct + both self-join sides + the
+    // unique counts). Per-span fan-out stays ≤ |sources| (the
+    // alphabet), exactly the bound the scale note declares.
+    val spanSrcs = spanRows(docs(s, dir), keep = Seq("source"))
+      .groupBy(col("span")).agg(collect_set(col("source")).as("srcs"))
+      .cache()
+    val u = spanSrcs.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+    spanSrcs
+      .select(col("srcs"), explode(col("srcs")).as("source_a"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(u.select(col("source").as("source_a"),
         col("n_unique").as("ua"))), "source_a")
