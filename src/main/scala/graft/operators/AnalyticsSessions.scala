@@ -481,8 +481,13 @@ trait AnalyticsSessions extends AnalyticsBase {
       .agg(count(lit(1)).as("n"))
       .withColumn("rt", sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .stableCheckpoint()
+    // states is referenced by EVERY power-iteration layer (and pi's
+    // plan nests 6 deep), so without materialization the union +
+    // distinct subtree re-executes per layer — checkpointing the
+    // O(|alphabet|) relation collapses 12 duplicated subtrees
     val states = trans.select(col("from_type").as("t"))
       .union(trans.select(col("to_type"))).distinct()
+      .stableCheckpoint()
     val nn = states.agg(count(lit(1)).as("k"))
     var pi = states.crossJoin(broadcast(nn))
       .select(col("t"), expr(s"${PI}L div k").as("pi"))

@@ -871,7 +871,15 @@ object TextOps {
     * grouped conditional agg, all codegen'd); the fold lands on ≤ ~30
     * half-logit buckets — map-side combinable onto an O(1) ledger.
     */
-  def mlCalibration(s: SparkSession, dir: String): DataFrame = {
+  /** The classifier SCORE relation every eval face folds: per doc the
+    * teacher logit in exact micro units (lm = floor(logit·10⁶ + ½))
+    * and the gate label. One corpus feature pass — mlAuc /
+    * mlCalibration / mlPrCurve each inlined it verbatim; extracting it
+    * lets the model card read the scored table once (the production
+    * shape: scores are written once per model version, evals read the
+    * table) while the registered faces keep computing it fresh.
+    */
+  private[operators] def classifierScoredRel(s: SparkSession, dir: String): DataFrame = {
     val meta = docs(s, dir).select(col("doc_id"), col("n_chars"),
       regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
     val toks = docs(s, dir)
@@ -885,9 +893,23 @@ object TextOps {
     val logit = lit(-2.0) + stopR * 4.0 - punctR * 8.0 + lenSat * 2.0
     val quality = (lit(1.0) - stopR) * (lit(1.0) - punctR) * lenSat
     meta.join(toks, "doc_id")
-      .select(
-        (floor(logit * 1e6 + 0.5).cast("long") + 16000000L).as("lm_shift"),
+      .select(col("doc_id"),
+        floor(logit * 1e6 + 0.5).cast("long").as("lm"),
         (quality >= 0.5).cast("long").as("pass"))
+  }
+
+  private def classifierScoredShared(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SharedRel(s,
+      "classifierScored|" + graft.plans.SharedRel.corpusSig(s, dir, "documents")) {
+      classifierScoredRel(s, dir)
+    }
+
+  def mlCalibration(s: SparkSession, dir: String): DataFrame =
+    mlCalibrationFrom(classifierScoredRel(s, dir))
+
+  private def mlCalibrationFrom(scored: DataFrame): DataFrame = {
+    scored
+      .select((col("lm") + 16000000L).as("lm_shift"), col("pass"))
       .groupBy(expr("lm_shift div 500000").as("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("lm_shift")).as("slm"),
         sum(col("pass")).as("n_pass"))
@@ -939,23 +961,13 @@ object TextOps {
     * half-logit buckets (parallel) plus an O(30) broadcast bucket
     * prefix — never a single global sort over the grid.
     */
-  def mlAuc(s: SparkSession, dir: String): DataFrame = {
+  def mlAuc(s: SparkSession, dir: String): DataFrame =
+    mlAucFrom(classifierScoredRel(s, dir))
+
+  private def mlAucFrom(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val meta = docs(s, dir).select(col("doc_id"), col("n_chars"),
-      regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(words).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("w").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
-    val stopR = col("n_stop") * 1.0 / col("n_tokens")
-    val punctR = col("n_punct") * 1.0 / col("n_chars")
-    val lenSat = least(lit(1.0), col("n_tokens") / 64.0)
-    val logit = lit(-2.0) + stopR * 4.0 - punctR * 8.0 + lenSat * 2.0
-    val quality = (lit(1.0) - stopR) * (lit(1.0) - punctR) * lenSat
-    val g = meta.join(toks, "doc_id")
-      .select(floor(logit * 1e6 + 0.5).cast("long").as("lm"),
-        (quality >= 0.5).cast("long").as("pass"))
+    val g = scored
+      .select(col("lm"), col("pass"))
       .groupBy(col("lm"))
       .agg(sum(col("pass")).as("pos"), sum(lit(1L) - col("pass")).as("neg"))
       .withColumn("bucket", expr("(lm + 16000000) div 500000"))
@@ -1022,27 +1034,13 @@ object TextOps {
     * ledger ([[Curate.corpusQualityCurve]]'s reverse-cumulative
     * move) — no per-threshold corpus pass.
     */
-  def mlPrCurve(s: SparkSession, dir: String): DataFrame = {
+  def mlPrCurve(s: SparkSession, dir: String): DataFrame =
+    mlPrCurveFrom(classifierScoredRel(s, dir))
+
+  private def mlPrCurveFrom(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val meta = docs(s, dir).select(col("doc_id"), col("n_chars"),
-      regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(words).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("w").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
-    val stopR = col("n_stop") * 1.0 / col("n_tokens")
-    val punctR = col("n_punct") * 1.0 / col("n_chars")
-    val lenSat = least(lit(1.0), col("n_tokens") / 64.0)
-    val logit = lit(-2.0) + stopR * 4.0 - punctR * 8.0 + lenSat * 2.0
-    val quality = (lit(1.0) - stopR) * (lit(1.0) - punctR) * lenSat
-    val hist = meta.join(toks, "doc_id")
-      .select(
-        expr("(cast(floor((-2.0 + (n_stop * 1.0 / n_tokens) * 4.0" +
-          " - (n_punct * 1.0 / n_chars) * 8.0" +
-          " + least(1.0, n_tokens / 64.0) * 2.0) * 1e6 + 0.5) as long)" +
-          " + 16000000) div 500000").as("bucket"),
-        (quality >= 0.5).cast("long").as("pass"))
+    val hist = scored
+      .select(expr("(lm + 16000000) div 500000").as("bucket"), col("pass"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("bn"), sum(col("pass")).as("bp"))
     val rev = Window.orderBy(col("bucket").desc)
@@ -3059,12 +3057,16 @@ object TextOps {
     * single-row relations.
     */
   def mlModelCard(s: SparkSession, dir: String): DataFrame = {
-    val auc = mlAuc(s, dir).select(col("n_pos"), col("n_neg"), col("auc_ppm"))
-    val pr = mlPrCurve(s, dir)
+    // the card folds the SHARED scored table through the same fold
+    // code the registered faces run (no drift possible) — one feature
+    // pass instead of three
+    val scored = classifierScoredShared(s, dir)
+    val auc = mlAucFrom(scored).select(col("n_pos"), col("n_neg"), col("auc_ppm"))
+    val pr = mlPrCurveFrom(scored)
       .orderBy(col("f1_ppm").desc, col("thr_bucket")).limit(1)
       .select(col("f1_ppm").as("peak_f1_ppm"),
         col("thr_bucket").as("peak_f1_bucket"))
-    val cal = mlCalibration(s, dir)
+    val cal = mlCalibrationFrom(scored)
       .agg((max(col("pass_ppm")) - min(col("pass_ppm")))
         .as("calib_separation_ppm"))
     val lc = mlLearningCurve(s, dir).filter(col("train_buckets") === 7)
