@@ -51,7 +51,11 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val key = s"${System.identityHashCode(spark.sparkContext)}|$path|${fileSig(spark, path)}"
+    // Keyed on the SESSION, not the context: a DataFrame is bound to the
+    // session that created it, and `newSession()` clones (own SQLConf,
+    // shared context) must not be served a relation that will plan under
+    // another session's conf.
+    val key = s"${System.identityHashCode(spark)}|$path|${fileSig(spark, path)}"
     val cached = relCache.get(key)
     if (cached != null) return cached
     val df = spark.read.parquet(path)
