@@ -4,18 +4,23 @@ package graft
   * session (cold vs warm separates janino/codegen overhead from data
   * time). Accepts a comma-separated query list so a scaling sweep
   * pays the JVM/session startup once per scale, not per query.
-  * Usage: runMain graft.DebugTime <sfDir> <query>[,<query>...] [reps]
+  * Usage: runMain graft.DebugTime <sfDir> <query>[,<query>...] [reps] [nosort]
+  * The optional 4th arg `nosort` times the Bench nosort leg (presentation
+  * Sort stripped, same as the ledger's nosort column) so a flagged
+  * nosort cell can be adjudicated in isolation like the warm ones.
   */
 object DebugTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
+    val nosort = args.length > 3 && args(3) == "nosort"
     val spark = GraftSession.local()
     names.foreach { name =>
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir)
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        (if (nosort) Bench.unsorted(df) else df)
           .write.format("noop").mode("overwrite").save()
         // Locale-pinned like Bench.compactLine: tools/bench_canary.py and
         // tools/adjudicate.py parse these lines with a dot-decimal regex,

@@ -503,9 +503,14 @@ object Geo {
     val offs = (for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))).toSeq
     // sp feeds the histogram chain AND the final shade join; hist
-    // feeds three aggregates (histO/below/tot). Both are canvas-
-    // bounded (≤ W·H cells × days), so cache them lazily instead of
-    // re-running the spread explode + fold per consumer subtree.
+    // feeds three aggregates (histO/below/tot). DELIBERATELY NOT
+    // cached: a .cache() here is a pushdown barrier — incremental
+    // consumers filter frameRender's output to the churned-day slice,
+    // and with the cache in place the InMemoryRelation materializes
+    // EVERY day's spread fold before the dkey predicate applies
+    // (measured: pipeline_job_incremental 3.6→4.7 s warm, nosort leg
+    // 3.1→4.8 s with the caches in). Re-running the canvas-bounded
+    // fold per consumer subtree is cheaper than losing the pushdown.
     val sp = raster.select(col("dkey"), col("px"), col("py"), col("cnt"),
         explode(array(offs: _*)).as("o"))
       .select(col("dkey"), (col("px") + col("o.dx")).as("qx"),
@@ -514,9 +519,7 @@ object Geo {
         col("qy") >= 0 && col("qy") <= (H - 1))
       .groupBy(col("dkey"), col("qx"), col("qy"))
       .agg(sum(col("cnt")).as("cs"))
-      .cache()
     val hist = sp.groupBy(col("dkey"), col("cs")).agg(count(lit(1)).as("m"))
-      .cache()
     val histO = hist.select(col("dkey").as("dk_o"), col("cs").as("cs_o"),
       col("m").as("m_o"))
     val below = hist.join(broadcast(histO),
