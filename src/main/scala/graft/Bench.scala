@@ -44,12 +44,18 @@ object Bench {
     // (count() would let Catalyst prune the actual computation away).
     def once(name: String, fn: (SparkSession, String) => DataFrame,
              strip: Boolean): Double = {
+      // Label the jobs (guide §1.5) so the UI/event log maps stages to
+      // queries AND so SharedRel's artifact build log can record which
+      // face paid for a once-per-corpus build (set before t0 — the
+      // label is not part of the timed region).
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         (if (strip) unsorted(df) else df)
           .write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      finally spark.sparkContext.setJobDescription(null)
       (System.nanoTime() - t0) / 1e9
     }
     // Three passes: the first pays one-time janino/codegen compilation
@@ -68,8 +74,18 @@ object Bench {
     val line = compactLine(total, warm, sfNum)
     // Full (unrounded, warm+cold+nosort per query) detail goes to a
     // file; only the compact line goes to stdout.
+    // Attribution hygiene for shared once-per-corpus artifacts: every
+    // SharedRel build that ran during the three passes, with the face
+    // that paid for it — so consumer cells' amortization is readable in
+    // the ledger itself (the build cost otherwise only shows up as the
+    // cold/warm delta). Additive detail-file field; the compact stdout
+    // line and the three-pass timing are unchanged.
+    val artifacts = graft.plans.SharedRel.drainBuilds()
+      .map(b => s"""{"artifact":"${b.id}","face":"${b.face}","sec":${b.sec}}""")
+      .mkString("[", ",", "]")
     val full = s"""{"sf_dir":"$sfDir","total":$total,"cold_total":$coldTotal,"nosort_total":$nosortTotal,""" +
-      s""""queries":${m2j(warm)},"cold_queries":${m2j(cold)},"nosort_queries":${m2j(nosort)}}"""
+      s""""queries":${m2j(warm)},"cold_queries":${m2j(cold)},"nosort_queries":${m2j(nosort)},""" +
+      s""""artifact_builds":$artifacts}"""
     // Default detail dump goes to bench_last.json (scratch), NOT the
     // committed bench_full.json ledger: both r17 and r18 ended with an
     // un-gated round-close pass overwriting the quiet baseline. The

@@ -14,7 +14,13 @@ object DebugTime {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
-    val nosort = args.length > 3 && args(3) == "nosort"
+    // Fail fast on a mistyped 4th arg (e.g. 'nosrot'): silently timing
+    // the sorted leg would hand an adjudication run the wrong column.
+    val nosort = args.length > 3 && {
+      require(args(3) == "nosort",
+        s"unrecognized 4th arg '${args(3)}' (expected 'nosort')")
+      true
+    }
     val spark = GraftSession.local()
     names.foreach { name =>
       (1 to reps).foreach { r =>

@@ -85,8 +85,8 @@ object TextOps {
     * its bench cell still measures the computation.
     */
   private[operators] def textQualityShared(s: SparkSession, dir: String): DataFrame =
-    graft.plans.SharedRel(s,
-      "textQuality|" + graft.plans.SharedRel.corpusSig(s, dir, "documents")) {
+    graft.plans.SharedRel(s, "textQuality|" + dir,
+      graft.plans.SharedRel.corpusSig(s, dir, "documents")) {
       textQuality(s, dir)
     }
 
@@ -899,8 +899,8 @@ object TextOps {
   }
 
   private def classifierScoredShared(s: SparkSession, dir: String): DataFrame =
-    graft.plans.SharedRel(s,
-      "classifierScored|" + graft.plans.SharedRel.corpusSig(s, dir, "documents")) {
+    graft.plans.SharedRel(s, "classifierScored|" + dir,
+      graft.plans.SharedRel.corpusSig(s, dir, "documents")) {
       classifierScoredRel(s, dir)
     }
 

@@ -79,8 +79,47 @@ object Checkpoints {
 object SharedRel {
   import org.apache.spark.sql.SparkSession
 
+  /** One artifact build that actually ran: which artifact, how long the
+    * blocking checkpoint took, and which query face paid for it (the
+    * thread's job description at build time — Bench labels each timed
+    * query). Drained by the bench so consumer cells' amortization is
+    * visible in the ledger itself, not only in the cold/warm delta.
+    */
+  final case class Build(id: String, sec: Double, face: String)
+  private val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[Build]()
+
+  /** Snapshot-and-clear the artifact build log. */
+  def drainBuilds(): Seq[Build] = {
+    val out = scala.collection.mutable.ArrayBuffer[Build]()
+    var b = buildLog.poll()
+    while (b != null) { out += b; b = buildLog.poll() }
+    out.toSeq
+  }
+
+  // Keyed on the SESSION via weak identity (a `newSession()` clone
+  // carries its own SQLConf and a DataFrame plans under the session
+  // that created it — the Tables.relCache lesson): a clone must never
+  // be served a relation built under another session's conf, and a
+  // dead session's artifacts must be collectable. The inner map keys
+  // on the STABLE artifact id (name|dir, conf dials included) and
+  // stores (signature, relation): a rewritten corpus REPLACES the
+  // stale entry instead of accumulating dead checkpointed blocks
+  // under old signatures for the JVM's lifetime.
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]]()
+
+  private def sessionMap(s: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)] =
+    memo.synchronized {
+      var m = memo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+        memo.put(s, m)
+      }
+      m
+    }
 
   /** Driver-side file signature of `dir/<table>.parquet` — FS metadata
     * only, no Spark job (the Similarity.corpusKey pattern).
@@ -94,19 +133,27 @@ object SharedRel {
     dir + "|" + stats.sorted.mkString(",")
   }
 
-  /** Memoized stable checkpoint of `build`, keyed on (session, key).
-    * The build runs OUTSIDE the map (no lock held across Spark jobs —
-    * the Ingest-fixture lesson); a lost putIfAbsent race discards one
-    * redundant build.
+  /** Memoized stable checkpoint of `build`, keyed on (session, id) and
+    * validated against `sig`: a hit with a stale signature rebuilds and
+    * REPLACES the entry (the dropped relation's checkpoint blocks are
+    * freed by ContextCleaner once unreferenced). The build runs OUTSIDE
+    * the map (no lock held across Spark jobs — the Ingest-fixture
+    * lesson); a concurrent race costs one redundant build, last write
+    * wins.
     */
-  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val full = System.identityHashCode(s.sparkContext) + "|" + key
-    val cached = memo.get(full)
-    if (cached != null) cached
+  def apply(s: SparkSession, id: String, sig: String)
+      (build: => DataFrame): DataFrame = {
+    val m = sessionMap(s)
+    val cached = m.get(id)
+    if (cached != null && cached._1 == sig) cached._2
     else {
+      val t0 = System.nanoTime()
       val built = Checkpoints.stable(build)
-      val prev = memo.putIfAbsent(full, built)
-      if (prev != null) prev else built
+      buildLog.add(Build(id, (System.nanoTime() - t0) / 1e9,
+        Option(s.sparkContext.getLocalProperty("spark.job.description"))
+          .getOrElse("")))
+      m.put(id, (sig, built))
+      built
     }
   }
 }

@@ -1039,4 +1039,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"pipeline_feature_build: encoding join must broadcast:\n$plan")
   }
+
+  test("SharedRel keys per session and evicts on a new corpus signature") {
+    import org.apache.spark.sql.functions.lit
+    val base = spark.range(3).toDF("id")
+    val a1 = graft.plans.SharedRel(spark, "psSpec|artifact", "sig1")(base)
+    val a2 = graft.plans.SharedRel(spark, "psSpec|artifact", "sig1") {
+      fail("memo hit must not rebuild")
+    }
+    assert(a1 eq a2, "same (session, id, sig) must serve the memoized relation")
+    // a newSession() clone (own SQLConf, shared context) must get its
+    // OWN artifact — a relation plans under the session that built it,
+    // so serving the original session's would leak its conf
+    val iso = spark.newSession()
+    val b1 = graft.plans.SharedRel(iso, "psSpec|artifact", "sig1") {
+      iso.range(3).toDF("id")
+    }
+    assert(!(b1 eq a1), "a session clone must not be served another session's artifact")
+    assert(b1.sparkSession eq iso, "the clone's artifact must plan under the clone")
+    // a new signature REPLACES the stale entry (rewritten corpus) ...
+    val c1 = graft.plans.SharedRel(spark, "psSpec|artifact", "sig2") {
+      base.withColumn("v", lit(1L))
+    }
+    assert(c1.columns.contains("v"), "new signature must rebuild")
+    // ... and the old signature is gone, not accumulated
+    var rebuilt = false
+    graft.plans.SharedRel(spark, "psSpec|artifact", "sig1") {
+      rebuilt = true; base
+    }
+    assert(rebuilt, "replace-on-new-signature must evict the stale entry")
+  }
+
+  test("Tables.load memo isolates sessions and replaces on rewrite") {
+    val d1 = graft.sources.Tables.load(spark, sf, "nation")
+    val d2 = graft.sources.Tables.load(spark, sf, "nation")
+    assert(d1 eq d2, "unchanged files must serve the memoized relation")
+    val iso = spark.newSession()
+    val d3 = graft.sources.Tables.load(iso, sf, "nation")
+    assert(!(d3 eq d1) && (d3.sparkSession eq iso),
+      "a session clone must get a relation that plans under its own conf")
+  }
 }
