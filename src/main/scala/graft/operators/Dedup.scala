@@ -250,13 +250,10 @@ object Dedup {
     * beyond the pair machinery already audited.
     */
   def dedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
-    val g = exploded(s, dir).hint("merge")
-    val a = g.alias("a"); val b = g.alias("b")
-    val inter = a.join(b, col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id")
-        && col("b.n") * 10 >= col("a.n") * 3 && col("a.n") * 10 >= col("b.n") * 3)
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("i"))
+    // reads the shared candidate relation ([[interShared]]) — the
+    // knob-setting sweep re-cuts the persisted intersection table at
+    // policy time instead of re-running the shingle join per sweep
+    val inter = interShared(s, dir)
     val th = broadcast(s.range(3, 10).select(col("id").as("t10")))
     inter.join(th,
         col("i") * 10 >= col("t10") * (col("na") + col("nb") - col("i")))
@@ -607,8 +604,8 @@ object Dedup {
     // planner reads the MEASURED curve artifact (scale note above:
     // "the expensive part IS the curve") — memoized per corpus like
     // the ANN planner faces; the registered curve face computes fresh
-    val curve = graft.plans.SharedRel(s,
-        "dedupLshCurve|" + docsCorpusKey(s, dir))(dedupLshCurve(s, dir))
+    val curve = graft.plans.SharedRel(s, "dedupLshCurve|" + dir,
+        docsCorpusKey(s, dir))(dedupLshCurve(s, dir))
       .select(col("n_bands"), col("rows_per_band"), col("n_candidates"),
         col("n_verified"), col("recall_ppm"))
     val targets = Seq(700000L, 800000L, 900000L, 950000L).toDF("target_ppm")
@@ -1328,9 +1325,16 @@ object Dedup {
     // shuffle four times (distinct + both self-join sides + the
     // unique counts). Per-span fan-out stays ≤ |sources| (the
     // alphabet), exactly the bound the scale note declares.
+    // stableCheckpoint, NOT .cache(): both consumers fold the WHOLE
+    // folded relation (no slicing, so no pushdown lost — the
+    // frameRender counter-case), and an unreleased cache re-warned
+    // ("already cached") per call while pinning O(distinct spans)
+    // blocks in the CacheManager until session close; checkpoint
+    // blocks are ContextCleaner-freed when the DataFrame is GC'd.
+    import graft.plans.Checkpoints.StableSyntax
     val spanSrcs = spanRows(docs(s, dir), keep = Seq("source"))
       .groupBy(col("span")).agg(collect_set(col("source")).as("srcs"))
-      .cache()
+      .stableCheckpoint()
     val u = spanSrcs.select(explode(col("srcs")).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
     spanSrcs
@@ -1374,6 +1378,44 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("component"))
       .orderBy(col("doc_id"))
 
+  /** The size-compat-pruned shingle INTERSECTION relation
+    * (doc_a, doc_b, na, nb, i) — the candidate-pair machinery every
+    * jaccard-threshold consumer was re-running in full: the verified
+    * 0.3 pairs, [[graphLinkPredict]]'s weak 0.02 graph,
+    * [[dedupThresholdCurve]]'s 3..9 grid are all FILTERS over this one
+    * relation. Built once per (session, corpus signature) — in
+    * production this is the persisted candidate table a dedup service
+    * re-cuts at policy time. The REGISTERED [[dedupNgramJaccard]] face
+    * keeps computing it fresh (its bench cell stays an honest
+    * measurement of the shingle join).
+    */
+  private[operators] def interShared(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SharedRel(s, "shingleInter|" + dir, docsCorpusKey(s, dir)) {
+      val g = exploded(s, dir).hint("merge")
+      val a = g.alias("a"); val b = g.alias("b")
+      a.join(b, col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id")
+          && col("b.n") * 10 >= col("a.n") * 3 && col("a.n") * 10 >= col("b.n") * 3)
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("i"))
+    }
+
+  /** The verified near-dup pair list, memoized per (session, corpus
+    * signature) as a checkpointed distributed relation — in production
+    * this IS the persisted near-dup index ([[dedupIncremental]]'s
+    * standing side); ~10 graph/dedup faces consume it and each was
+    * re-running the shingle candidate join. Train-once contract, no
+    * driver collect. The 0.3 cut is the IDENTICAL double arithmetic
+    * [[dedupNgramJaccard]] declares, applied to the shared
+    * intersection relation.
+    */
+  private[operators] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SharedRel(s, "verifiedPairs|" + dir, docsCorpusKey(s, dir)) {
+      interShared(s, dir)
+        .filter(col("i") * 1.0 / (col("na") + col("nb") - col("i")) >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+    }
+
   /** Converged full-corpus component labels, memoized per (session,
     * corpus signature) — the [[graphComponentsIncremental]]
     * standing-labels / bucketed-twins convention applied to the FULL
@@ -1386,41 +1428,10 @@ object Dedup {
     * part of the key because the checkpointed RDD dies with its
     * context.
     */
-  /** The verified near-dup pair list, memoized per (session, corpus
-    * signature) as a checkpointed distributed relation — in production
-    * this IS the persisted near-dup index ([[dedupIncremental]]'s
-    * standing side); ~10 graph/dedup faces consume it and each was
-    * re-running the shingle candidate join. Train-once contract, no
-    * driver collect.
-    */
-  private val verifiedPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private[operators] def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val key = System.identityHashCode(s.sparkContext) + "|" + docsCorpusKey(s, dir)
-    val cached = verifiedPairsMemo.get(key)
-    if (cached != null) cached
-    else {
-      val built = dedupNgramJaccard(s, dir)
-        .select(col("doc_a"), col("doc_b")).stableCheckpoint()
-      val prev = verifiedPairsMemo.putIfAbsent(key, built)
-      if (prev != null) prev else built
+  private[operators] def componentLabels(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SharedRel(s, "componentLabels|" + dir, docsCorpusKey(s, dir)) {
+      componentsOver(verifiedPairs(s, dir))
     }
-  }
-
-  private val componentLabelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private[operators] def componentLabels(s: SparkSession, dir: String): DataFrame = {
-    val key = System.identityHashCode(s.sparkContext) + "|" + docsCorpusKey(s, dir)
-    val cached = componentLabelsMemo.get(key)
-    if (cached != null) cached
-    else {
-      val built =
-        componentsOver(verifiedPairs(s, dir))
-          .stableCheckpoint()
-      val prev = componentLabelsMemo.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
 
   /** Min-label connected components over an undirected pair list —
     * the pointer-doubling loop shared by [[dedupComponents]] and
@@ -1513,17 +1524,9 @@ object Dedup {
     // reference, NOT a driver collect — the label table is
     // paired-doc-sized and stays distributed; same train-once
     // contract as the BPE-merge and IVF-codebook memos).
-    val memoKey = docsCorpusKey(s, dir)
-    val base = {
-      val cached = standingLabels.get(memoKey)
-      if (cached != null) cached
-      else {
-        val built = componentsOver(oldPairs).select(col("id"), col("label"))
-        import graft.plans.Checkpoints.StableSyntax
-        val mat = built.stableCheckpoint()
-        val prev = standingLabels.putIfAbsent(memoKey, mat)
-        if (prev != null) prev else mat
-      }
+    val base = graft.plans.SharedRel(s, "standingLabels|" + dir,
+        docsCorpusKey(s, dir)) {
+      componentsOver(oldPairs).select(col("id"), col("label"))
     }
     // contract: every endpoint maps to its standing label (new docs and
     // old docs without old edges map to themselves)
@@ -1622,14 +1625,22 @@ object Dedup {
     * low-novelty sources).
     *
     * == Scale design ==
-    * One shingle pass joined to the doc spine (checkpointed — it
-    * feeds both the per-source fold and the ownership fold); the
-    * ownership relation collapses to O(distinct shingles) map-side;
-    * both ledgers are O(sources).
+    * ONE corpus scan: `source` rides the shingle-explode closure
+    * itself (r22 — the previous shape paid a second documents scan
+    * plus a doc_id join that re-shuffled the O(shingle-incidence)
+    * relation just to attach a column the scan already had). The
+    * result is checkpointed — it feeds both the per-source fold and
+    * the ownership fold; the ownership relation collapses to
+    * O(distinct shingles) map-side; both ledgers are O(sources).
     */
   def corpusDiversity(s: SparkSession, dir: String): DataFrame = {
-    val sh = exploded(s, dir).select(col("doc_id"), col("hg"))
-      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    import s.implicits._
+    val sh = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, src, t) =>
+        trigrams(t).iterator.map(ng => (id, src, polyHash(ng)))
+      }
+      .toDF("doc_id", "source", "hg")
       .stableCheckpoint()
     val bySrc = sh.groupBy(col("source"))
       .agg(count(lit(1)).as("n_incidences"),
@@ -2287,18 +2298,15 @@ object Dedup {
     * pair consumer already amortizes.
     */
   def graphLinkPredict(s: SparkSession, dir: String): DataFrame = {
-    val g = exploded(s, dir).hint("merge")
-    val a = g.alias("a"); val b = g.alias("b")
-    // checkpointed: referenced by BOTH the edge-list union and the
-    // anti-join below — without the materialization the shingle pair
-    // join (the expensive subtree) re-executes for the anti-join
-    // branch. Eager localCheckpoint rather than .cache() so the blocks
-    // are ContextCleaner-freed instead of pinned in the CacheManager.
-    val pairs = a.join(b, col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id")
-        && col("b.n") * 10 >= col("a.n") * 3 && col("a.n") * 10 >= col("b.n") * 3)
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("i"))
+    // The weak 0.02 graph is a FILTER over the shared size-pruned
+    // intersection relation ([[interShared]]) — the shingle join runs
+    // once per corpus, not once more for this face (r21-verdict item
+    // 3). Checkpointed: referenced by BOTH the edge-list union and the
+    // anti-join below — without the materialization the filter subtree
+    // re-executes for the anti-join branch. Eager localCheckpoint
+    // rather than .cache() so the blocks are ContextCleaner-freed
+    // instead of pinned in the CacheManager.
+    val pairs = interShared(s, dir)
       .filter(col("i") * 100 >= (col("na") + col("nb") - col("i")) * 2)
       .select(col("doc_a"), col("doc_b"))
       .stableCheckpoint()
@@ -2364,10 +2372,6 @@ object Dedup {
     * cores (straggler waves). The one count() job that sizes B is
     * memoized per corpus dir and is noise next to the O(N²) join.
     */
-  /** Standing component-label memo for [[graphComponentsIncremental]]:
-    * checkpointed distributed relations keyed by corpus signature. */
-  private val standingLabels =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def docsCorpusKey(s: SparkSession, dir: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -144,7 +144,7 @@ object Similarity {
     * REGISTERED `ann_bruteforce` face keeps computing fresh.
     */
   private def bruteforceTruth(s: SparkSession, dir: String): DataFrame =
-    graft.plans.SharedRel(s, "annTruth|" + corpusKey(s, dir)) {
+    graft.plans.SharedRel(s, "annTruth|" + dir, corpusKey(s, dir)) {
       annBruteforce(s, dir).select(col("query_id"), col("neighbor_id"))
     }
 
@@ -156,19 +156,19 @@ object Similarity {
     * re-running the sweep. The registered curve faces compute fresh.
     */
   private def recallCurveShared(s: SparkSession, dir: String): DataFrame =
-    graft.plans.SharedRel(s,
-      "annRecallCurve|" + corpusKey(s, dir) + "|cells=" + ivfCells(s)) {
+    graft.plans.SharedRel(s, "annRecallCurve|" + dir,
+      corpusKey(s, dir) + "|cells=" + ivfCells(s)) {
       annRecallCurve(s, dir)
     }
 
   private def graphRecallCurveShared(s: SparkSession, dir: String): DataFrame =
-    graft.plans.SharedRel(s,
-      "annGraphRecallCurve|" + corpusKey(s, dir) + "|cells=" + ivfCells(s)) {
+    graft.plans.SharedRel(s, "annGraphRecallCurve|" + dir,
+      corpusKey(s, dir) + "|cells=" + ivfCells(s)) {
       annGraphRecallCurve(s, dir)
     }
 
   private def cellsCurveShared(s: SparkSession, dir: String): DataFrame =
-    graft.plans.SharedRel(s, "annCellsCurve|" + corpusKey(s, dir)) {
+    graft.plans.SharedRel(s, "annCellsCurve|" + dir, corpusKey(s, dir)) {
       annCellsCurve(s, dir)
     }
 
@@ -425,36 +425,70 @@ object Similarity {
   def dedupEmbeddingIvfCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
+    // Signature-once, sweep-many (the [[Dedup.dedupLshCurve]] shape,
+    // r21-verdict item 1): the old formulation ran 6 INDEPENDENT
+    // scan→assign→join→distinct→agg jobs — one per (cells, assign)
+    // point, the assign=1 candidate set a strict subset of assign=2's —
+    // and measured ANTI-parallel at 32 cores (driver scaling ratio
+    // 0.20: 6 sequential barriers of small tasks). Now ONE assignment
+    // pass ranks every vector against all three trained codebooks
+    // (top-maxAssign cells, rank carried), ONE (cfg, cell)-keyed
+    // self-join generates the widest candidate set, and every sweep
+    // point derives from the folded per-pair rank level: a pair is an
+    // assign-k candidate iff some shared cell holds both its members
+    // at rank <= k, i.e. lvl = min over shared cells of
+    // max(rank_a, rank_b) <= k. Identical candidates, identical exact
+    // cosine (a pure function of the two vectors), identical 6 rows.
+    val cellsCfgs = Seq(8, 16, 32)
+    val assigns = Seq(1L, 2L)
+    val maxAssign = assigns.max.toInt
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val rows = for {
-      cells <- Seq(8, 16, 32)
-      assign <- Seq(1, 2)
-    } yield {
-      val codebook = s.sparkContext.broadcast(trainedCodebook(s, dir, cells))
-      val assigned = e.flatMap { case (id, v) =>
-        val n = math.sqrt(dotd(v, v))
-        codebook.value
+    val books = cellsCfgs.map(c =>
+      c.toLong -> s.sparkContext.broadcast(trainedCodebook(s, dir, c)))
+    val assigned = e.flatMap { case (id, v) =>
+      val n = math.sqrt(dotd(v, v))
+      books.iterator.flatMap { case (cfg, cb) =>
+        cb.value
           .map { case (cid, cv, cn) => (cid, dotd(v, cv) / (n * cn)) }
           .sortBy { case (cid, cos) => (-cos, cid) }
-          .take(assign).map { case (cell, _) => (id, v, n, cell) }
-      }.toDF("vec_id", "embedding", "nrm", "cell")
-      val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      val cand = a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
-        .distinct()
-      cand.agg(
-          count(lit(1)).as("n_candidates"),
-          coalesce(sum(when(col("cosine") >= 0.45, 1L).otherwise(0L)), lit(0L))
-            .as("n_pairs"))
-        .select(lit(cells.toLong).as("cells"), lit(assign.toLong).as("assign_k"),
-          col("n_candidates"), col("n_pairs"))
-    }
-    rows.reduce(_ unionAll _).orderBy(col("cells"), col("assign_k"))
+          .take(maxAssign).iterator.zipWithIndex
+          .map { case ((cell, _), r) => (cfg, id, v, n, cell, (r + 1).toLong) }
+      }
+    }.toDF("cfg", "vec_id", "embedding", "nrm", "cell", "rk")
+    val a = assigned.select(col("cfg"), col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"), col("rk").as("ra"))
+    val b = assigned.select(col("cfg").as("cfg_b"), col("cell").as("cell_b"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"),
+      col("rk").as("rb"))
+    val folded = a.join(b, col("cfg") === col("cfg_b")
+        && col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .select(col("cfg"), col("vec_a"), col("vec_b"),
+        greatest(col("ra"), col("rb")).as("lvl"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .groupBy(col("cfg"), col("vec_a"), col("vec_b"))
+      .agg(min(col("lvl")).as("lvl"), max(col("cosine")).as("cosine"))
+    val perCfg = folded.groupBy(col("cfg")).agg(
+      coalesce(sum(when(col("lvl") <= 1L, 1L).otherwise(0L)), lit(0L)).as("c1"),
+      count(lit(1)).as("c2"),
+      coalesce(sum(when(col("lvl") <= 1L && col("cosine") >= 0.45, 1L)
+        .otherwise(0L)), lit(0L)).as("p1"),
+      coalesce(sum(when(col("cosine") >= 0.45, 1L).otherwise(0L)), lit(0L))
+        .as("p2"))
+    val stacked = perCfg.select(col("cfg"), expr(
+      "stack(2, CAST(1 AS BIGINT), c1, p1, CAST(2 AS BIGINT), c2, p2)" +
+        " AS (ak, nc, np)"))
+    // fixed 6-row grid left-joined so a config with zero candidates
+    // still emits its row (the old per-config global agg always did)
+    val grid = cellsCfgs.flatMap(c => assigns.map(k => (c.toLong, k)))
+      .toDF("cells", "assign_k")
+    grid.join(stacked,
+        grid("cells") === stacked("cfg") && grid("assign_k") === stacked("ak"),
+        "left_outer")
+      .select(col("cells"), col("assign_k"),
+        coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"))
+      .orderBy(col("cells"), col("assign_k"))
   }
 
   /** Drop superseded persisted-index tables for the same dir tag. The
