@@ -1143,9 +1143,21 @@ object Dedup {
     * [[dedupSpanExact]]; the top-k lands in TakeOrderedAndProject
     * (per-partition heaps, no global sort materialization).
     */
+  /** The (doc_id, span, c) span-occurrence aggregate shared by the
+    * span family's CONSUMER faces (the hotspot report and the growth
+    * curve both declare themselves "over the same span relation") —
+    * once per (session, corpus signature), the persisted span table a
+    * curation service folds repeatedly at policy time. The REGISTERED
+    * [[dedupSpanExact]] face keeps computing it fresh.
+    */
+  private def spanAggShared(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SharedRel(s, "spanAgg|" + dir, docsCorpusKey(s, dir)) {
+      spanRows(docs(s, dir)).groupBy(col("doc_id"), col("span"))
+        .agg(count(lit(1)).as("c"))
+    }
+
   def dedupSpanHot(s: SparkSession, dir: String): DataFrame = {
-    val a = spanRows(docs(s, dir)).groupBy(col("doc_id"), col("span"))
-      .agg(count(lit(1)).as("c"))
+    val a = spanAggShared(s, dir)
     a.groupBy(col("span"))
       .agg(count(lit(1)).as("docs_with"), sum(col("c")).as("occurrences"))
       .filter(col("docs_with") >= 2)
@@ -1260,8 +1272,13 @@ object Dedup {
     // it from the curve (r9 ADVICE contract nit).
     val shards = sharded.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"))
-    val sp = spanRows(sharded, keep = Seq("shard"))
-    val perShard = sp.groupBy(col("shard")).agg(count(lit(1)).as("n_spans"))
+    // span occurrences come from the shared (doc_id, span, c) artifact
+    // (r22): the shard is a pure function of doc_id, so per-shard
+    // occurrence mass is sum(c) and first-seen is min(shard) over the
+    // folded relation — no fresh corpus explode for this face.
+    val sp = spanAggShared(s, dir).crossJoin(broadcast(mx))
+      .withColumn("shard", expr("doc_id * 10 div (mx + 1)"))
+    val perShard = sp.groupBy(col("shard")).agg(sum(col("c")).as("n_spans"))
     val firstSeen = sp.groupBy(col("span"))
       .agg(min(col("shard")).as("shard"))
       .groupBy(col("shard")).agg(count(lit(1)).as("n_new"))
