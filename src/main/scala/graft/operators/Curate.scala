@@ -784,7 +784,7 @@ object Curate {
     */
   def packSubword(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val segs = TextOps.tokenizeBpeSegments(s, dir)
+    val segs = TextOps.bpeSegmentsShared(s, dir)
       .select(col("word").as("w"), col("n_syms"))
     val d = graft.sources.Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -2572,7 +2572,7 @@ object Curate {
       .filter(col("own_bucket") < 90)
       .select(col("doc_id"))
     // [4] per-doc subword mass over the trained-BPE segment table
-    val segs = TextOps.tokenizeBpeSegments(s, dir)
+    val segs = TextOps.bpeSegmentsShared(s, dir)
       .select(col("word").as("w"), col("n_syms"))
     val mass = graft.sources.Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -2829,7 +2829,7 @@ object Curate {
     val dupNew = Dedup.dedupIncremental(s, dir)
       .select(col("new_id").as("doc_id")).distinct()
       .select(col("doc_id"), lit(1L).as("dup"))
-    val segs = TextOps.tokenizeBpeSegments(s, dir)
+    val segs = TextOps.bpeSegmentsShared(s, dir)
       .select(col("word").as("w"), col("n_syms"))
     val mass = d.filter(col("source") === "src1")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

@@ -1670,6 +1670,19 @@ object TextOps {
     * relation — no shuffle after the count; the emitted table is
     * capped-vocab-sized, broadcastable to any encode join.
     */
+  /** The trained segment TABLE as a once-per-corpus artifact — in
+    * production this is the published tokenizer file every encoder
+    * loads, not something re-derived per query: nine consumer faces
+    * (the id/coverage/compare/overlap/fertility/roundtrip encoders and
+    * the Curate token-budget ledgers) each re-ran the vocab scan +
+    * merge replay. The REGISTERED `tokenize_bpe_segments` face keeps
+    * computing it fresh.
+    */
+  private[operators] def bpeSegmentsShared(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SharedRel(s, "bpeSegments|" + dir, bpeCorpusKey(s, dir)) {
+      tokenizeBpeSegments(s, dir)
+    }
+
   def tokenizeBpeSegments(s: SparkSession, dir: String): DataFrame = {
     val merges = trainedBpeMerges(s, dir)
     val seqFinal = merges.foldLeft(col("seq")) { case (c, (_, l, r, _, _)) =>
@@ -1747,7 +1760,7 @@ object TextOps {
     * scale), one shuffle of the thin (doc, word, len) relation.
     */
   def tokenizeBpeIds(s: SparkSession, dir: String): DataFrame = {
-    val segs = tokenizeBpeSegments(s, dir)
+    val segs = bpeSegmentsShared(s, dir)
       .select(col("word"), col("freq"), split(col("segmented"), " ").as("syms"))
     val byFreq = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_occ").desc, col("sym"))
@@ -2185,7 +2198,7 @@ object TextOps {
     * shuffles; at 100 TB this is a scan plus dictionary-sized work.
     */
   def tokenizeCoverage(s: SparkSession, dir: String): DataFrame = {
-    val segs = tokenizeBpeSegments(s, dir)
+    val segs = bpeSegmentsShared(s, dir)
       .select(col("word").as("w"), col("n_syms"))
     docs(s, dir)
       .select(col("source"), explode(words).as("w")).filter(col("w") =!= "")
@@ -2617,7 +2630,7 @@ object TextOps {
     * corpus-size-independent after the count scan.
     */
   def tokenizeCompare(s: SparkSession, dir: String): DataFrame = {
-    val bpe = tokenizeBpeSegments(s, dir)
+    val bpe = bpeSegmentsShared(s, dir)
       .select(lit("bpe").as("family"), col("word"), col("freq"),
         col("n_syms").as("n_pieces"), col("segmented"))
     val wp = tokenizeWordpiece(s, dir)
@@ -2681,7 +2694,7 @@ object TextOps {
     * O(pairs) = 3 rows.
     */
   def tokenizePieceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val bpe = tokenizeBpeSegments(s, dir)
+    val bpe = bpeSegmentsShared(s, dir)
       .select(lit("bpe").as("family"), col("freq"), col("segmented"))
     val wp = tokenizeWordpiece(s, dir)
       .select(lit("wordpiece").as("family"), col("freq"), col("segmented"))
@@ -2764,7 +2777,7 @@ object TextOps {
     val wl = docs(s, dir)
       .select(col("lang"), explode(words).as("word"))
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n_wl"))
-    val seg = tokenizeBpeSegments(s, dir)
+    val seg = bpeSegmentsShared(s, dir)
       .select(lit("bpe").as("family"), col("word"), col("n_syms").as("n_pieces"))
       .union(tokenizeWordpiece(s, dir)
         .select(lit("wordpiece").as("family"), col("word"), col("n_pieces")))
@@ -2826,7 +2839,7 @@ object TextOps {
     def dec(c: Column): Column =
       call_function("replace",
         call_function("replace", c, lit(" "), lit("")), lit("</w>"), lit(""))
-    val u = tokenizeBpeSegments(s, dir)
+    val u = bpeSegmentsShared(s, dir)
       .select(lit("bpe").as("family"), col("word"), col("freq"),
         dec(col("segmented")).as("decoded"))
       .union(tokenizeWordpiece(s, dir)
