@@ -1863,13 +1863,20 @@ object Dedup {
     // components loop (via its edge cache) and this loop's edge list —
     // without it the corpus-sized join runs twice
     val pairs = verifiedPairs(s, dir)
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
     val INF = 1000000L // > any hop count (rounds are capped at 64)
+    // components FIRST, edge cache AFTER (r22): componentsOver caches
+    // the identical bidirectional edge plan internally and unpersists
+    // it when its loop converges — registering ours before that call
+    // shared ONE CacheManager entry ("already cached" WARN), and the
+    // unpersist inside componentsOver killed it, so this loop's joins
+    // ran uncached. Ordering the calls gives each loop its own cache
+    // lifetime.
     var dist = componentsOver(pairs)
       .select(col("id"), col("label"),
         when(col("id") === col("label"), lit(0L)).otherwise(lit(INF)).as("hops"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
