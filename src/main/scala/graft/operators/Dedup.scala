@@ -1143,16 +1143,21 @@ object Dedup {
     * [[dedupSpanExact]]; the top-k lands in TakeOrderedAndProject
     * (per-partition heaps, no global sort materialization).
     */
-  /** The (doc_id, span, c) span-occurrence aggregate shared by the
-    * span family's CONSUMER faces (the hotspot report and the growth
-    * curve both declare themselves "over the same span relation") —
-    * once per (session, corpus signature), the persisted span table a
-    * curation service folds repeatedly at policy time. The REGISTERED
+  /** The (doc_id, source, span, c) span-occurrence aggregate shared by
+    * the span family's CONSUMER faces (the hotspot report, the growth
+    * curve and the source-overlap matrix all declare themselves "over
+    * the same span relation") — once per (session, corpus signature),
+    * the persisted span table a curation service folds repeatedly at
+    * policy time. `source` rides the group key for the overlap face:
+    * it is functionally dependent on `doc_id`, so the groups — and
+    * every per-(doc, span) count — are IDENTICAL to the plain
+    * (doc_id, span) aggregate the other consumers fold. The REGISTERED
     * [[dedupSpanExact]] face keeps computing it fresh.
     */
   private def spanAggShared(s: SparkSession, dir: String): DataFrame =
     graft.plans.SharedRel(s, "spanAgg|" + dir, docsCorpusKey(s, dir)) {
-      spanRows(docs(s, dir)).groupBy(col("doc_id"), col("span"))
+      spanRows(docs(s, dir), keep = Seq("source"))
+        .groupBy(col("doc_id"), col("source"), col("span"))
         .agg(count(lit(1)).as("c"))
     }
 
@@ -1335,23 +1340,24 @@ object Dedup {
     * the string key keeps the oracle exactly replayable.
     */
   def dedupSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    // ONE span-keyed shuffle: fold each span's source SET map-side
-    // (collect_set dedups (source, span) in the same exchange the old
-    // distinct paid), then pairs and per-source uniques both derive
-    // from the folded relation — the previous shape paid the span
-    // shuffle four times (distinct + both self-join sides + the
-    // unique counts). Per-span fan-out stays ≤ |sources| (the
-    // alphabet), exactly the bound the scale note declares.
-    // stableCheckpoint, NOT .cache(): both consumers fold the WHOLE
-    // folded relation (no slicing, so no pushdown lost — the
-    // frameRender counter-case), and an unreleased cache re-warned
-    // ("already cached") per call while pinning O(distinct spans)
-    // blocks in the CacheManager until session close; checkpoint
-    // blocks are ContextCleaner-freed when the DataFrame is GC'd.
-    import graft.plans.Checkpoints.StableSyntax
-    val spanSrcs = spanRows(docs(s, dir), keep = Seq("source"))
+    // ONE span-keyed shuffle over the SHARED span aggregate: fold each
+    // span's source SET map-side (collect_set dedups (source, span) in
+    // the same exchange the old distinct paid), then pairs and
+    // per-source uniques both derive from the folded relation — the
+    // pre-r21 shape paid the span shuffle four times (distinct + both
+    // self-join sides + the unique counts). Per-span fan-out stays
+    // ≤ |sources| (the alphabet), exactly the bound the scale note
+    // declares. The source rides [[spanAggShared]]'s group key
+    // (functionally dependent on doc_id), so this face folds the
+    // once-per-corpus artifact instead of re-exploding the corpus.
+    // NO cache and NO checkpoint on spanSrcs (r22): the r21 shape
+    // cached it and never unpersisted — the warm bench cell was riding
+    // a session-lifetime cache built by the previous call ("already
+    // cached" WARNs, O(distinct spans) pinned until session close); an
+    // eager stableCheckpoint re-materialized per call and measured no
+    // better than recomputing the fold from the artifact.
+    val spanSrcs = spanAggShared(s, dir)
       .groupBy(col("span")).agg(collect_set(col("source")).as("srcs"))
-      .stableCheckpoint()
     val u = spanSrcs.select(explode(col("srcs")).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
     spanSrcs
