@@ -520,16 +520,23 @@ object Geo {
       .groupBy(col("dkey"), col("qx"), col("qy"))
       .agg(sum(col("cnt")).as("cs"))
     val hist = sp.groupBy(col("dkey"), col("cs")).agg(count(lit(1)).as("m"))
-    val histO = hist.select(col("dkey").as("dk_o"), col("cs").as("cs_o"),
-      col("m").as("m_o"))
-    val below = hist.join(broadcast(histO),
-        col("dk_o") === col("dkey") && col("cs_o") < col("cs"), "left")
-      .groupBy(col("dkey"), col("cs"))
-      .agg(coalesce(sum(col("m_o")), lit(0L)).as("below"))
-    val tot = hist.groupBy(col("dkey")).agg(sum(col("m")).as("n_cells"))
+    // below / n_cells as WINDOWS over the one hist relation (r22):
+    // the previous shape computed below via an inequality broadcast
+    // self-join (O(k²) probe per frame, k = distinct counts) and
+    // n_cells via a third aggregate — with sp deliberately uncached
+    // (pushdown, above), each consumer subtree re-ran the spread fold,
+    // so one frameRender paid it ~4×. hist rows are UNIQUE per
+    // (dkey, cs), so a ROWS-framed cumulative sum ordered by cs is
+    // exactly "Σ m over cs' < cs", and both windows share one
+    // dkey-partitioned sort. Same integer sums, same doubles —
+    // bit-identical shades (oracle-pinned).
+    val wBelow = Window.partitionBy(col("dkey")).orderBy(col("cs"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val prk = when(col("n_cells") === 1, lit(0.0))
       .otherwise(col("below").cast("double") / (col("n_cells") - 1).cast("double"))
-    val lookup = below.join(broadcast(tot), Seq("dkey"))
+    val lookup = hist
+      .withColumn("below", coalesce(sum(col("m")).over(wBelow), lit(0L)))
+      .withColumn("n_cells", sum(col("m")).over(Window.partitionBy(col("dkey"))))
       .select(col("dkey").as("dk_l"), col("cs").as("cs_l"),
         floor(prk * 255).as("shade"))
     val shaded = sp.join(broadcast(lookup),
