@@ -634,8 +634,16 @@ object Maintain {
     val st = f.select(expr(
         "stack(2, 'orderkey', fid, okey, 'shipdate', fid, sday)" +
         " AS (probe, fid, v)"))
+    // The ≤128-row zone relation feeds BOTH sides of the overlap join;
+    // unmaterialized, each side re-runs the O(N) stack+fold over the
+    // ranked rows (r22: measured two full passes in the plan). Both
+    // consumers read the WHOLE relation — no slicing, so no pushdown
+    // lost (the frameRender counter-case does not apply) — and the
+    // checkpoint is O(files) tiny.
+    import graft.plans.Checkpoints.StableSyntax
     val z = st.groupBy(col("probe"), col("fid"))
       .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .stableCheckpoint()
     val zb = z.select(col("probe").as("bprobe"), col("vmin").as("bmin"),
       col("vmax").as("bmax"))
     z.join(broadcast(zb), col("bprobe") === col("probe") &&
